@@ -1,0 +1,401 @@
+"""BioImage: the user-facing handle (ref bioio/bio_image.py:27-418).
+
+Holds a SparkSession, an ImageDataset (lazy DataFrames + driver-side
+catalogs), the current scene / resolution level, and memoized caches that are
+invalidated on scene or resolution change — the Spark analog of the
+reference's `_xarray_dask_data`/`_xarray_data` cache discipline
+(ref bio_image.py:415-418, :474-498, :548-604).
+
+Laziness maps 1:1: `get_image_dataframe` returns an unexecuted Catalyst plan
+(= `get_image_dask_data`, ref bio_image.py:764-839); `get_image_data`
+materializes it to an ndarray (= the eager twin, ref bio_image.py:841-917).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bioio_spark.dimensions import Dimensions
+from bioio_spark.operators.mosaic import (
+    mosaic_tile_position,
+    mosaic_tile_positions,
+    stitch_mosaic,
+)
+from bioio_spark.operators.selectors import apply_selectors, to_ndarray
+from bioio_spark.operators.standardize import standardized_dims
+from bioio_spark.sources.array_like import ArrayLikeReader, ImageDataset
+from bioio_spark.types import PhysicalPixelSizes, Scale
+
+
+class UnsupportedFileFormatError(Exception):
+    """No reader could handle the given image (ref bioio-base semantics,
+    raised from bio_image.py:269-282)."""
+
+
+class BioImage:
+    """Image handle over relational pixel/catalog DataFrames.
+
+    Parameters mirror the reference constructor (ref bio_image.py:371-418):
+    `image` may be an ndarray, list of ndarrays (multi-scene), or an
+    ImageDataset; `reader` may override routing (ref bio_image.py:306-369).
+    """
+
+    def __init__(
+        self,
+        image,
+        reader=None,
+        dim_order: Optional[str] = None,
+        channel_names: Optional[Sequence[str]] = None,
+        physical_pixel_sizes: Optional[PhysicalPixelSizes] = None,
+        reconstruct_mosaic: bool = True,
+        spark: Optional[SparkSession] = None,
+        image_id: str = "img",
+    ):
+        from bioio_spark.session import get_session
+
+        self._spark = spark or get_session()
+        self._reconstruct_mosaic = reconstruct_mosaic
+
+        if isinstance(image, ImageDataset):
+            self._dataset = image
+        else:
+            reader_cls = reader or _route(image)
+            self._dataset = reader_cls(
+                image,
+                dim_order=dim_order,
+                channel_names=channel_names,
+                physical_pixel_sizes=physical_pixel_sizes,
+                image_id=image_id,
+            ).to_dataset(self._spark)
+
+        self._scene_ids = self._dataset.scene_ids()
+        if not self._scene_ids:
+            raise UnsupportedFileFormatError("Image contains no scenes")
+        self._current_scene_index = 0
+        self._current_resolution_level = 0
+        self._invalidate()
+
+    # -- cache discipline (ref bio_image.py:415-418, :495-498) -----------
+    def _invalidate(self) -> None:
+        self._cached_df: Optional[DataFrame] = None
+        self._cached_array: Optional[np.ndarray] = None
+
+    # -- scenes (C1, C2) --------------------------------------------------
+    @property
+    def scenes(self) -> tuple[str, ...]:
+        return tuple(self._scene_ids)
+
+    @property
+    def current_scene(self) -> str:
+        return self._scene_ids[self._current_scene_index]
+
+    @property
+    def current_scene_index(self) -> int:
+        return self._current_scene_index
+
+    def set_scene(self, scene_id) -> None:
+        """Switch by string id or int index (ref bio_image.py:474-498)."""
+        if isinstance(scene_id, str):
+            if scene_id not in self._scene_ids:
+                raise IndexError(
+                    f"Scene {scene_id!r} not in {self._scene_ids}")
+            idx = self._scene_ids.index(scene_id)
+        elif isinstance(scene_id, int) and not isinstance(scene_id, bool):
+            if not 0 <= scene_id < len(self._scene_ids):
+                raise IndexError(
+                    f"Scene index {scene_id} out of range "
+                    f"({len(self._scene_ids)} scenes)")
+            idx = scene_id
+        else:
+            raise TypeError(
+                f"scene_id must be str or int, got {type(scene_id)!r}")
+        if idx != self._current_scene_index:
+            self._current_scene_index = idx
+            self._invalidate()
+
+    # -- resolution levels (C4, ref bio_image.py:548-604) -----------------
+    @property
+    def resolution_levels(self) -> tuple[int, ...]:
+        srow = self._scene_catalog_row()
+        if "res_levels" in srow and srow["res_levels"] is not None:
+            return tuple(srow["res_levels"])
+        return (0,)
+
+    @property
+    def current_resolution_level(self) -> int:
+        return self._current_resolution_level
+
+    def set_resolution_level(self, level: int) -> None:
+        if level not in self.resolution_levels:
+            raise IndexError(
+                f"Resolution level {level} not in {self.resolution_levels}")
+        if level != self._current_resolution_level:
+            self._current_resolution_level = level
+            self._invalidate()
+
+    # -- catalog helpers --------------------------------------------------
+    def _scene_catalog_row(self) -> dict:
+        cat = self._dataset.scenes
+        row = cat[cat["scene"] == self.current_scene].iloc[0]
+        return row.to_dict()
+
+    @property
+    def dims(self) -> Dimensions:
+        """Standardized dims, metadata-only — no Spark job
+        (ref bio_image.py:729-747 answers from lazy metadata)."""
+        row = self._scene_catalog_row()
+        raw_order = row["dim_order"]
+        raw_shape = tuple(
+            int(row[f"size_{d.lower()}"])
+            for d in raw_order if row.get(f"size_{d.lower()}") is not None
+        )
+        if len(raw_shape) != len(raw_order):
+            # non-standard letters have no size_* column; reconstruct from
+            # stored sizes by assuming their cataloged size (sliced to 1)
+            raw_shape = tuple(
+                int(row[f"size_{d.lower()}"])
+                if row.get(f"size_{d.lower()}") is not None else 1
+                for d in raw_order)
+        dims = standardized_dims(raw_order, raw_shape)
+        if self._reconstruct_mosaic and "M" in dims.order:
+            stitched = self._stitched_yx_size()
+            if stitched is not None:
+                h, w = stitched
+                order = dims.order.replace("M", "")
+                shape = [h if d == "Y" else w if d == "X" else dims[d][0]
+                         for d in order]
+                return Dimensions(order, tuple(shape))
+        return dims
+
+    @property
+    def shape(self) -> tuple[int, ...]:
+        return self.dims.shape
+
+    @property
+    def dtype(self):
+        return np.dtype(self._scene_catalog_row()["dtype"])
+
+    # -- pixel access (P1-P6 + M1) ----------------------------------------
+    def _scene_pixels(self) -> DataFrame:
+        px = self._dataset.pixels
+        return px.filter(
+            (F.col("scene") == self.current_scene)
+            & (F.col("res_level") == self._current_resolution_level))
+
+    def _standard_pixels(self) -> tuple[DataFrame, Dimensions]:
+        """Current scene's standardized (possibly stitched) pixel plan."""
+        row = self._scene_catalog_row()
+        raw_order = row["dim_order"]
+        raw_shape = tuple(
+            int(row[f"size_{d.lower()}"])
+            if row.get(f"size_{d.lower()}") is not None else 1
+            for d in raw_order)
+        dims = standardized_dims(raw_order, raw_shape)
+        px = self._scene_pixels()
+        if (self._reconstruct_mosaic and "M" in dims.order
+                and self._dataset.tiles is not None):
+            tiles = self._spark.createDataFrame(self._dataset.tiles)
+            px = stitch_mosaic(px, tiles)
+            h, w = self._stitched_yx_size()
+            order = dims.order.replace("M", "")
+            shape = tuple(h if d == "Y" else w if d == "X" else dims[d][0]
+                          for d in order)
+            dims = Dimensions(order, shape)
+        return px, dims
+
+    def _stitched_yx_size(self) -> Optional[tuple[int, int]]:
+        if self._dataset.tiles is None:
+            return None
+        t = self._dataset.tiles
+        t = t[t["scene"] == self.current_scene]
+        if not len(t):
+            return None
+        row = self._scene_catalog_row()
+        tile_h, tile_w = int(row["size_y"]), int(row["size_x"])
+        return (int(t["y_off"].max()) + tile_h,
+                int(t["x_off"].max()) + tile_w)
+
+    def get_image_dataframe(self, dimension_order_out: Optional[str] = None,
+                            **selectors) -> DataFrame:
+        """Lazy plan for a dim-ordered, selector-applied view
+        (analog of get_image_dask_data, ref bio_image.py:764-839)."""
+        px, dims = self._standard_pixels()
+        order = dimension_order_out or dims.order
+        plan, _ = apply_selectors(px, dims, order, selectors)
+        return plan
+
+    def get_image_data(self, dimension_order_out: Optional[str] = None,
+                       **selectors) -> np.ndarray:
+        """Eager ndarray (analog of get_image_data, ref bio_image.py:841-917).
+        Fast path: no args -> cached standardized array (ref :907-909)."""
+        if dimension_order_out is None and not selectors:
+            return self.data
+        px, dims = self._standard_pixels()
+        order = dimension_order_out or dims.order
+        plan, out_dims = apply_selectors(px, dims, order, selectors)
+        return to_ndarray(plan, out_dims)
+
+    @property
+    def data(self) -> np.ndarray:
+        """Standardized eager array, memoized (ref bio_image.py:700-727)."""
+        if self._cached_array is None:
+            px, dims = self._standard_pixels()
+            plan, out_dims = apply_selectors(px, dims, dims.order, {})
+            self._cached_array = to_ndarray(plan, out_dims)
+        return self._cached_array
+
+    @property
+    def dataframe(self) -> DataFrame:
+        """Standardized lazy DataFrame, memoized."""
+        if self._cached_df is None:
+            px, dims = self._standard_pixels()
+            self._cached_df, _ = apply_selectors(px, dims, dims.order, {})
+        return self._cached_df
+
+    # -- stacks (C3, ref bio_image.py:919-1007) ---------------------------
+    def get_stack(self, **selectors) -> np.ndarray:
+        """Stack all scenes along a new leading axis (UNION ALL analog)."""
+        current = self._current_scene_index
+        try:
+            arrays = []
+            for i in range(len(self._scene_ids)):
+                self.set_scene(i)
+                arrays.append(self.get_image_data(**selectors)
+                              if selectors else self.data)
+            return np.stack(arrays)
+        finally:
+            self.set_scene(current)
+
+    def get_stack_dataframe(self) -> DataFrame:
+        """Lazy stack: unionByName of per-scene standardized frames with a
+        scene_idx column — the engine's canonical set operation."""
+        current = self._current_scene_index
+        try:
+            frames = []
+            for i, sid in enumerate(self._scene_ids):
+                self.set_scene(i)
+                px, dims = self._standard_pixels()
+                plan, _ = apply_selectors(px, dims, dims.order, {})
+                frames.append(plan.select(
+                    F.lit(i).alias("scene_idx"), "*"))
+            out = frames[0]
+            for f in frames[1:]:
+                out = out.unionByName(f)
+            return out
+        finally:
+            self.set_scene(current)
+
+    # -- mosaic surface (M1-M4) -------------------------------------------
+    def _scene_tiles(self) -> DataFrame:
+        if self._dataset.tiles is None:
+            raise ValueError("Image has no mosaic tiles")
+        t = self._spark.createDataFrame(self._dataset.tiles)
+        return t.filter(F.col("scene") == self.current_scene)
+
+    def get_mosaic_tile_position(self, mosaic_tile_index: int,
+                                 **dims) -> tuple[int, int]:
+        return mosaic_tile_position(self._scene_tiles(), mosaic_tile_index)
+
+    def get_mosaic_tile_positions(self, **dims) -> list[tuple[int, int]]:
+        if "M" in dims:
+            raise NotImplementedError(
+                "M kwarg cannot be combined with other dims "
+                "(ref bio_image.py:1167-1216)")
+        return mosaic_tile_positions(self._scene_tiles())
+
+    @property
+    def mosaic_tile_dims(self) -> Optional[Dimensions]:
+        row = self._scene_catalog_row()
+        if self._dataset.tiles is None or "M" not in row["dim_order"]:
+            return None
+        return Dimensions("YX", (int(row["size_y"]), int(row["size_x"])))
+
+    # -- metadata (D1-D8) --------------------------------------------------
+    @property
+    def metadata(self):
+        return self._scene_catalog_row().get("metadata")
+
+    @property
+    def channel_names(self) -> Optional[list[str]]:
+        ch = self._dataset.channels
+        ch = ch[ch["scene"] == self.current_scene].sort_values("c")
+        if not len(ch):
+            # BioImage tier guarantees a Channel coord (ref :527-539)
+            return [f"Channel:{self._current_scene_index}:0"]
+        return list(ch["channel_name"])
+
+    @property
+    def physical_pixel_sizes(self) -> PhysicalPixelSizes:
+        row = self._scene_catalog_row()
+        return PhysicalPixelSizes(
+            row.get("pps_z"), row.get("pps_y"), row.get("pps_x"))
+
+    @property
+    def time_interval(self):
+        return self._scene_catalog_row().get("time_interval")
+
+    @property
+    def scale(self) -> Scale:
+        pps = self.physical_pixel_sizes
+        return Scale(T=self.time_interval, C=None, Z=pps.Z, Y=pps.Y, X=pps.X)
+
+    @property
+    def standard_metadata(self) -> dict:
+        """Flat metadata with image sizes overridden from actual dims
+        (ref bio_image.py:1110-1133 `dataclasses.replace` overlay)."""
+        row = self._scene_catalog_row()
+        d = self.dims
+        return {
+            "image_id": row["image_id"],
+            "scene": row["scene"],
+            "dtype": row["dtype"],
+            "ome_pixel_type": row.get("ome_pixel_type"),
+            "image_size_t": d.T if "T" in d.order else 1,
+            "image_size_c": d.C if "C" in d.order else 1,
+            "image_size_z": d.Z if "Z" in d.order else 1,
+            "image_size_y": d.Y if "Y" in d.order else 1,
+            "image_size_x": d.X if "X" in d.order else 1,
+            "pixel_size_z": row.get("pps_z"),
+            "pixel_size_y": row.get("pps_y"),
+            "pixel_size_x": row.get("pps_x"),
+            "time_interval": row.get("time_interval"),
+        }
+
+    # -- sink (S10) --------------------------------------------------------
+    def save(self, uri: str, select_scenes=None) -> None:
+        """Native sink: scene-partitioned parquet
+        (ref bio_image.py:1229-1301; OME-TIFF export lives in writers/)."""
+        from bioio_spark.writers import save_parquet
+
+        save_parquet(self, uri, select_scenes=select_scenes)
+
+    def __repr__(self) -> str:
+        return (f"<BioImage [scene={self.current_scene!r}, "
+                f"dims={self.dims}]>")
+
+
+def _route(image):
+    """S4 routing: arrays -> ArrayLikeReader; everything else raises
+    (path-based plugin routing lives in bioio_spark.plugins)."""
+    from bioio_spark.plugins import determine_reader
+
+    return determine_reader(image)
+
+
+# -- convenience entry points (E1-E2, ref bio_image.py:1340-1446) ---------
+def imread(image, scene_id=None, **kwargs) -> np.ndarray:
+    img = BioImage(image, **kwargs)
+    if scene_id is not None:
+        img.set_scene(scene_id)
+    return img.data
+
+
+def imread_df(image, scene_id=None, **kwargs) -> DataFrame:
+    img = BioImage(image, **kwargs)
+    if scene_id is not None:
+        img.set_scene(scene_id)
+    return img.dataframe

@@ -1,0 +1,241 @@
+"""Reader registry + routing (SURVEY §2.1, S1-S6, S11-S13).
+
+Re-implements the reference's plugin-dispatch semantics
+(ref bioio/plugins.py, bioio/bio_image.py:158-369) for Spark-backed readers:
+
+- S2 extension normalization (lowercase, leading dot, order-preserving dedup,
+  ref plugins.py:39-59)
+- S3 extension-family counting (suffix-grouped union-find,
+  ref plugins.py:62-97)
+- S1 registry ordering: extension keys by descending length; per-extension
+  plugin lists by (family_count desc, raw extension count desc, name asc)
+  (ref plugins.py:299-320)
+- S4/S5 routing: path -> candidate plugins by case-insensitive suffix match
+  (query strings stripped, ref bio_image.py:284-304); first plugin whose
+  `is_supported_image` probe passes wins; probe errors logged and skipped
+  (ref bio_image.py:246-262); arrays route to ArrayLikeReader
+- S6 explicit reader try-order with failure aggregation
+  (ref bio_image.py:306-369)
+- S11 feasibility report probing every plugin (ref plugins.py:378-465)
+
+Registration is in-process (no entry points in this environment); the
+semantics and ordering are identical.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class PluginEntry:
+    """One registered reader (analog of ref plugins.py PluginEntry)."""
+
+    name: str
+    reader: Callable                      # reader factory / class
+    extensions: list[str]
+    is_supported_image: Callable[[object], bool] = field(
+        default=lambda image: True)
+    version: str = "0.0.0"
+
+
+_REGISTRY: list[PluginEntry] = []
+_plugins_by_ext_cache: Optional[dict[str, list[PluginEntry]]] = None
+
+
+def register_plugin(entry: PluginEntry) -> None:
+    global _plugins_by_ext_cache
+    _REGISTRY.append(entry)
+    _plugins_by_ext_cache = None      # ref plugins.py:35-36 cache semantics
+
+
+def clear_plugins() -> None:
+    global _plugins_by_ext_cache
+    _REGISTRY.clear()
+    _plugins_by_ext_cache = None
+
+
+def normalize_extensions(extensions) -> list[str]:
+    """S2 (ref plugins.py:39-59): lowercase, ensure leading '.', dedup
+    preserving first-seen order."""
+    out: list[str] = []
+    for ext in extensions:
+        if not ext:
+            continue
+        e = ext.lower()
+        if not e.startswith("."):
+            e = "." + e
+        if e not in out:
+            out.append(e)
+    return out
+
+
+def count_extension_families(extensions: list[str]) -> int:
+    """S3 (ref plugins.py:62-97): two extensions belong to one family when
+    one is a suffix of the other; returns the number of families."""
+    exts = normalize_extensions(extensions)
+    parent = {e: e for e in exts}
+
+    def find(e):
+        while parent[e] != e:
+            parent[e] = parent[parent[e]]
+            e = parent[e]
+        return e
+
+    for a in exts:
+        for b in exts:
+            if a != b and (a.endswith(b) or b.endswith(a)):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+    return len({find(e) for e in exts})
+
+
+def get_plugins(use_cache: bool = True) -> dict[str, list[PluginEntry]]:
+    """S1 (ref plugins.py:167-326): extension -> ordered plugin list.
+
+    Keys ordered by descending extension length (most specific first);
+    plugins per key ordered by (family_count desc, raw ext count desc,
+    name asc).
+    """
+    global _plugins_by_ext_cache
+    if use_cache and _plugins_by_ext_cache is not None:
+        return _plugins_by_ext_cache
+
+    by_ext: dict[str, list[PluginEntry]] = {}
+    for entry in _REGISTRY:
+        for ext in normalize_extensions(entry.extensions):
+            by_ext.setdefault(ext, []).append(entry)
+
+    for ext, entries in by_ext.items():
+        entries.sort(key=lambda e: (
+            -count_extension_families(e.extensions),
+            -len(normalize_extensions(e.extensions)),
+            e.name,
+        ))
+    ordered = dict(sorted(by_ext.items(), key=lambda kv: -len(kv[0])))
+    _plugins_by_ext_cache = ordered
+    return ordered
+
+
+def path_has_extension(path: str, ext: str) -> bool:
+    """S5 (ref bio_image.py:284-304): case-insensitive endswith on the path
+    or on the path with its '?query' stripped."""
+    p = path.lower()
+    e = ext.lower()
+    return p.endswith(e) or p.split("?", 1)[0].endswith(e)
+
+
+def determine_reader(image, readers: Optional[list] = None):
+    """S4/S6 routing (ref bio_image.py:158-369).
+
+    Array-likes -> ArrayLikeReader. Paths -> first plugin (in registry
+    priority order over matching extensions) whose probe accepts the file.
+    Explicit `readers` list bypasses discovery: first success wins, all
+    failure messages aggregated on total failure (ref bio_image.py:306-369).
+    """
+    from bioio_spark.bio_image import UnsupportedFileFormatError
+    from bioio_spark.sources.array_like import ArrayLikeReader
+
+    if readers:
+        failures = []
+        for rd in readers:
+            try:
+                return rd
+            except Exception as exc:  # pragma: no cover - defensive
+                failures.append(f"{rd}: {exc}")
+        raise UnsupportedFileFormatError(
+            "All provided readers failed:\n" + "\n".join(failures))
+
+    if isinstance(image, (np.ndarray, list, tuple)):
+        return ArrayLikeReader
+
+    if isinstance(image, str):
+        for ext, entries in get_plugins().items():
+            if not path_has_extension(image, ext):
+                continue
+            for entry in entries:
+                try:
+                    if entry.is_supported_image(image):
+                        return entry.reader
+                except FileNotFoundError:
+                    raise
+                except Exception as exc:
+                    log.warning("Plugin %s probe failed on %s: %s",
+                                entry.name, image, exc)
+        raise UnsupportedFileFormatError(
+            f"No reader supports image: {image!r}")
+
+    raise UnsupportedFileFormatError(
+        f"Unsupported image type: {type(image)!r}")
+
+
+@dataclass
+class PluginSupport:
+    supported: bool
+    error: Optional[str] = None
+
+
+def plugin_feasibility_report(image) -> dict[str, PluginSupport]:
+    """S11 (ref plugins.py:378-465): probe every registered plugin plus the
+    built-in ArrayLike path; record supported/error per plugin; warn when a
+    plugin supports a file whose extension it doesn't advertise."""
+    report: dict[str, PluginSupport] = {}
+    for entry in _REGISTRY:
+        try:
+            ok = bool(entry.is_supported_image(image))
+            report[entry.name] = PluginSupport(supported=ok)
+            if ok and isinstance(image, str) and not any(
+                path_has_extension(image, e)
+                for e in normalize_extensions(entry.extensions)
+            ):
+                log.warning(
+                    "Plugin %s reads %s despite not advertising its "
+                    "extension", entry.name, image)
+        except Exception as exc:
+            report[entry.name] = PluginSupport(supported=False,
+                                               error=str(exc))
+    try:
+        arr_ok = isinstance(image, (np.ndarray, list, tuple))
+        report["ArrayLike"] = PluginSupport(supported=arr_ok)
+    except Exception as exc:  # pragma: no cover
+        report["ArrayLike"] = PluginSupport(supported=False, error=str(exc))
+    return report
+
+
+def dump_plugins() -> str:
+    """S12 (ref plugins.py:329-375): human-readable registry listing."""
+    lines = []
+    for entry in _REGISTRY:
+        lines.append(f"{entry.name} {entry.version}: "
+                     f"{', '.join(normalize_extensions(entry.extensions))}")
+    return "\n".join(lines)
+
+
+def parse_version_range(requirement: str) -> tuple[tuple, Optional[tuple]]:
+    """S13 (ref plugins.py:113-164): parse '>=x.y,<a.b' style requirement
+    into (min, max) version tuples, padding partial versions to x.y.z."""
+    def pad(v: str) -> tuple:
+        parts = [int(p) for p in v.strip().split(".") if p.isdigit()]
+        while len(parts) < 3:
+            parts.append(0)
+        return tuple(parts[:3])
+
+    lo, hi = (0, 0, 0), None
+    for clause in requirement.split(","):
+        clause = clause.strip()
+        if clause.startswith(">="):
+            lo = pad(clause[2:])
+        elif clause.startswith("<="):
+            hi = pad(clause[2:])
+        elif clause.startswith("<"):
+            hi = pad(clause[1:])
+        elif clause.startswith("=="):
+            lo = hi = pad(clause[2:])
+    return lo, hi

@@ -1,0 +1,138 @@
+"""Two-tier tests mirroring the reference's matrix
+(ref tests/test_array_like_reader.py:17-869 reader tier, :871-1142 BioImage
+tier): construct from ndarrays, assert standardized TCZYX outputs, scenes,
+channel names, selector semantics, stacks, metadata."""
+
+import numpy as np
+import pytest
+
+from bioio_spark.bio_image import BioImage
+from bioio_spark.types import PhysicalPixelSizes
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.mark.parametrize("shape,expected_dims,expected_shape", [
+    ((4, 5), "TCZYX", (1, 1, 1, 4, 5)),
+    ((3, 4, 5), "TCZYX", (1, 1, 1, 3, 4, 5)[1:]),
+    ((2, 3, 4, 5), "TCZYX", (1, 2, 3, 4, 5)),
+    ((6, 2, 3, 4, 5), "TCZYX", (6, 2, 3, 4, 5)),
+])
+def test_standardized_shape(spark, rng, shape, expected_dims, expected_shape):
+    arr = rng.random(shape)
+    img = BioImage(arr, spark=spark)
+    assert img.dims.order == expected_dims
+    assert img.shape == expected_shape
+    data = img.data
+    assert data.shape == expected_shape
+    # values survive standardization: squeeze inserted axes and compare
+    np.testing.assert_allclose(np.squeeze(data), np.squeeze(arr))
+
+
+def test_six_dim_samples(spark, rng):
+    arr = rng.random((1, 2, 3, 4, 5, 6))
+    img = BioImage(arr, spark=spark)
+    assert img.dims.order == "TCZYXS"
+    assert img.shape == (1, 2, 3, 4, 5, 6)
+
+
+def test_nonstandard_dims_coerced(spark, rng):
+    # ref tests/test_array_like_reader.py:1028-1047: "ABD"(2,2,2) ->
+    # TCZYX(1,1,1,1,1) with the index-0 hyperplane
+    arr = rng.random((2, 2, 2))
+    img = BioImage(arr, dim_order="ABD", spark=spark)
+    assert img.dims.order == "TCZYX"
+    assert img.shape == (1, 1, 1, 1, 1)
+    assert img.data[0, 0, 0, 0, 0] == pytest.approx(arr[0, 0, 0])
+
+
+def test_selectors(spark, rng):
+    arr = rng.random((6, 2, 3, 4, 5))
+    img = BioImage(arr, spark=spark)
+    out = img.get_image_data("ZYX", T=3, C=0)
+    np.testing.assert_allclose(out, arr[3, 0])
+    out = img.get_image_data("CZYX", T=-1, C=[1, 0])
+    np.testing.assert_allclose(out, arr[5, [1, 0]])
+    out = img.get_image_data("TYX", T=slice(0, -1, 2), C=0, Z=1)
+    np.testing.assert_allclose(out, arr[0:-1:2, 0, 1])
+    out = img.get_image_data("ZTYX", C=0)
+    np.testing.assert_allclose(out, arr[:, 0].transpose(1, 0, 2, 3))
+
+
+def test_selector_dataframe_is_lazy(spark, rng):
+    arr = rng.random((6, 2, 3, 4, 5))
+    img = BioImage(arr, spark=spark)
+    df = img.get_image_dataframe("ZYX", T=0, C=0)
+    assert df.columns == ["z", "y", "x", "value"]
+
+
+def test_multi_scene(spark, rng):
+    a = rng.random((1, 4, 5))
+    b = rng.random((2, 4, 5))
+    img = BioImage([a, b], dim_order="CYX", spark=spark)
+    assert img.scenes == ("Image:0", "Image:1")
+    assert img.current_scene == "Image:0"
+    assert img.channel_names == ["Channel:0:0"]
+    img.set_scene("Image:1")
+    assert img.current_scene_index == 1
+    assert img.channel_names == ["Channel:1:0", "Channel:1:1"]
+    assert img.shape == (1, 2, 1, 4, 5)
+    np.testing.assert_allclose(img.data[0, :, 0], b)
+    img.set_scene(0)
+    assert img.current_scene == "Image:0"
+    with pytest.raises(IndexError):
+        img.set_scene("Image:9")
+    with pytest.raises(IndexError):
+        img.set_scene(5)
+    with pytest.raises(TypeError):
+        img.set_scene(1.5)
+
+
+def test_stack(spark, rng):
+    a = rng.random((2, 4, 5))
+    b = rng.random((2, 4, 5))
+    img = BioImage([a, b], dim_order="CYX", spark=spark)
+    stack = img.get_stack()
+    assert stack.shape == (2, 1, 2, 1, 4, 5)
+    np.testing.assert_allclose(stack[0, 0, :, 0], a)
+    np.testing.assert_allclose(stack[1, 0, :, 0], b)
+    sdf = img.get_stack_dataframe()
+    assert sdf.columns[0] == "scene_idx"
+    assert sdf.count() == 2 * 2 * 4 * 5
+
+
+def test_channel_names_provided(spark, rng):
+    arr = rng.random((2, 3, 4, 5))
+    img = BioImage(arr, channel_names=["A", "B"], spark=spark)
+    assert img.channel_names == ["A", "B"]
+    with pytest.raises(ValueError):
+        BioImage(rng.random((2, 3, 4, 5)), channel_names=["A"], spark=spark)
+
+
+def test_physical_pixel_sizes(spark, rng):
+    pps = PhysicalPixelSizes(1.0, 0.5, 0.5)
+    img = BioImage(rng.random((3, 4, 5)), physical_pixel_sizes=pps,
+                   spark=spark)
+    assert img.physical_pixel_sizes == pps
+    assert img.scale.Z == 1.0 and img.scale.C is None
+    assert img.time_interval is None
+
+
+def test_standard_metadata(spark, rng):
+    img = BioImage(rng.random((6, 2, 3, 4, 5)), spark=spark)
+    md = img.standard_metadata
+    assert md["image_size_t"] == 6
+    assert md["image_size_c"] == 2
+    assert md["image_size_x"] == 5
+    assert md["dtype"] == "float64"
+    assert md["ome_pixel_type"] == "double"
+
+
+def test_dims_metadata_only_no_job(spark, rng):
+    img = BioImage(np.zeros((6, 2, 3, 4, 5)), spark=spark)
+    # dims/shape/dtype must come from the catalog, not a Spark job
+    assert img.dims.order == "TCZYX"
+    assert img.dtype == np.dtype("float64")
