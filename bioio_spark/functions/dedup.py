@@ -1,0 +1,281 @@
+"""L1/L2 deduplication operators (SURVEY §2.8).
+
+Exact dedup, MinHash+LSH candidate pairs, SimHash signatures, and n-gram
+Jaccard — each with a DuckDB oracle built on the same md5-derived 32-bit
+hash primitive (functions/hashing.py) so both engines agree bit-for-bit.
+
+Scale notes:
+- exact dedup: one hash-shuffle on the content hash; partial agg map-side.
+- minhash: shingle explode is narrow; the signature groupBy shuffles once on
+  doc_id; band self-join shuffles on (band, key) — hot buckets are bounded
+  because identical signatures collapse before pairing; AQE skew-join covers
+  the rest.
+- simhash: a single groupBy(doc_id) with 32 conditional sums — partial
+  aggregation makes the shuffle tiny.
+- jaccard: shingle-equi-join restricted within (lang, source) blocks to
+  bound the candidate space (blocked near-dup join, the standard trick when
+  a full cross join is infeasible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bioio_spark.functions.hashing import (
+    MINHASH_A,
+    MINHASH_B,
+    MOD,
+    NUM_MINHASH,
+    h32_col,
+    h32_sql,
+)
+
+N_BANDS = 4
+ROWS_PER_BAND = NUM_MINHASH // N_BANDS
+
+_SHINGLE_SPARK = None   # built lazily below
+_WS = r"\s+"
+
+
+# -- L1 exact dedup --------------------------------------------------------
+
+def exact_dedup_groups(documents: DataFrame) -> DataFrame:
+    """Group documents by content hash; keep the lowest doc_id per group."""
+    return (
+        documents.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("content_hash")
+    )
+
+
+EXACT_DEDUP_ORACLE = """
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY content_hash ORDER BY content_hash
+"""
+
+
+# -- shingling helpers -----------------------------------------------------
+
+def _shingles(text_col):
+    """Distinct 3-word shingles (0-based Spark array subscripts)."""
+    words = F.split(F.trim(text_col), _WS)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i + 1), F.element_at(words, i + 2),
+            F.element_at(words, i + 3)))
+    return F.array_distinct(sh)
+
+
+_SHINGLE_SQL = r"""
+list_distinct(list_transform(
+  generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+  i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+       regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+       regexp_split_to_array(trim(text), '\s+')[i+2]))
+"""
+
+
+# -- L2 MinHash + LSH ------------------------------------------------------
+
+def minhash_signatures(documents: DataFrame) -> DataFrame:
+    """Per-document minhash signature columns s0..s{n-1}."""
+    docs = documents.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    docs = docs.filter(F.size("sh") >= 1)
+    exploded = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    hp = (h32_col(F.col("shingle")) % MOD).alias("hp")
+    exploded = exploded.select("doc_id", hp)
+    aggs = [
+        F.min((F.col("hp") * MINHASH_A[i] + MINHASH_B[i]) % MOD)
+        .alias(f"s{i}")
+        for i in range(NUM_MINHASH)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_candidate_pairs(documents: DataFrame) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become a pair."""
+    sig = minhash_signatures(documents)
+    band_cols = []
+    for b in range(N_BANDS):
+        parts = [F.col(f"s{b * ROWS_PER_BAND + r}").cast("string")
+                 for r in range(ROWS_PER_BAND)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat_ws(",", *parts)).alias("key")))
+    banded = (
+        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"),
+                F.col("bk.key").alias("key"))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_sql_core() -> str:
+    mins = ", ".join(
+        f"min((hp * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MOD}) AS s{i}"
+        for i in range(NUM_MINHASH))
+    return f"""
+    shingled AS (
+      SELECT doc_id, {_SHINGLE_SQL.strip()} AS sh
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, {h32_sql('shingle')} % {MOD} AS hp
+      FROM (SELECT doc_id, unnest(sh) AS shingle FROM shingled
+            WHERE len(sh) >= 1)
+    ),
+    sig AS (
+      SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+    )"""
+
+
+def _minhash_pairs_oracle() -> str:
+    band_rows = []
+    for b in range(N_BANDS):
+        parts = " || ',' || ".join(
+            f"CAST(s{b * ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(ROWS_PER_BAND))
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, md5({parts}) AS key FROM sig")
+    banded = " UNION ALL ".join(band_rows)
+    return f"""
+    WITH {_minhash_sql_core()},
+    banded AS ({banded})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """
+
+
+MINHASH_ORACLE = _minhash_pairs_oracle()
+
+
+# -- L2 SimHash ------------------------------------------------------------
+
+def simhash_signatures(documents: DataFrame) -> DataFrame:
+    """32-bit simhash over word hashes (with multiplicity)."""
+    words = F.split(F.trim(F.col("text")), _WS)
+    exploded = documents.select(
+        "doc_id", F.explode(words).alias("w"))
+    exploded = exploded.select(
+        "doc_id", h32_col(F.col("w")).alias("h"))
+    bit_aggs = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)))
+        .alias(f"ones_{b}")
+        for b in range(32)
+    ]
+    counted = exploded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), *bit_aggs)
+    sig = None
+    for b in range(32):
+        bit = F.when(F.col(f"ones_{b}") * 2 > F.col("n"),
+                     F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return (counted.select("doc_id", sig.alias("simhash"))
+            .orderBy("doc_id"))
+
+
+def _simhash_oracle() -> str:
+    ones = ", ".join(
+        f"sum((h // {2 ** b}) % 2) AS ones_{b}" for b in range(32))
+    sig = " + ".join(
+        f"CASE WHEN ones_{b} * 2 > n THEN CAST({2 ** b} AS BIGINT) "
+        f"ELSE 0 END"
+        for b in range(32))
+    return f"""
+    WITH hashed AS (
+      SELECT doc_id, {h32_sql('w')} AS h
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents)
+    ),
+    counted AS (
+      SELECT doc_id, count(*) AS n, {ones} FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, {sig} AS simhash FROM counted ORDER BY doc_id
+    """
+
+
+SIMHASH_ORACLE = _simhash_oracle()
+
+
+# -- L2 n-gram Jaccard -----------------------------------------------------
+
+JACCARD_THRESHOLD = 0.05
+
+
+def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
+    """Jaccard over distinct 3-gram shingles, blocked by (lang, source)."""
+    docs = documents.select(
+        "doc_id", "lang", "source", _shingles(F.col("text")).alias("sh"))
+    docs = docs.filter(F.size("sh") >= 1)
+    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
+    ex = docs.select("doc_id", "lang", "source",
+                     F.explode("sh").alias("shingle"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.source") == F.col("b.source"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+JACCARD_ORACLE = f"""
+WITH shingled AS (
+  SELECT doc_id, lang, source, {_SHINGLE_SQL.strip()} AS sh
+  FROM documents
+),
+docs AS (SELECT * FROM shingled WHERE len(sh) >= 1),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM docs),
+ex AS (SELECT doc_id, lang, source, unnest(sh) AS shingle FROM docs),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM ex a JOIN ex b
+    ON a.shingle = b.shingle AND a.lang = b.lang AND a.source = b.source
+   AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+       i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)
+      >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""

@@ -1,0 +1,201 @@
+"""L4 text-analysis operators over the documents table (SURVEY §2.8).
+
+All operators are pure projections/aggregations of built-in functions —
+whole-stage codegen, no UDFs, no shuffle (except noted) — with DuckDB oracle
+SQL kept adjacent so semantics stay pinned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bioio_spark.functions.hashing import MOD, h32_col, h32_sql
+
+# language-id stopword heuristic: small per-language marker sets. The corpus
+# is synthetic word salad, so this is a *mechanism* demonstration — the
+# contract is engine parity, not linguistic accuracy.
+LANG_MARKERS = {
+    "en": ["the", "or", "a", "of"],
+    "es": ["data", "value", "query"],
+    "de": ["group", "window", "batch"],
+    "fr": ["merge", "sort", "filter"],
+    "zh": ["spark", "hash", "scan"],
+}
+
+STOPWORDS = ["the", "a", "or", "of", "and", "to", "in"]
+
+_WS = r"\s+"
+
+
+def _words(col):
+    return F.split(F.trim(col), _WS)
+
+
+# -- token stats -----------------------------------------------------------
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Per-document token counts and length stats (narrow projection)."""
+    words = _words(F.col("text"))
+    nospace = F.regexp_replace("text", _WS, "")
+    return (
+        documents.select(
+            "doc_id",
+            F.size(words).alias("n_tokens"),
+            F.col("n_chars").alias("n_chars"),
+            F.length("text").alias("text_len"),
+            F.length(nospace).alias("n_chars_nospace"),
+            (F.length(nospace) / F.size(words)).alias("avg_token_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TOKEN_STATS_ORACLE = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       n_chars,
+       length(text) AS text_len,
+       length(regexp_replace(text, '\s+', '', 'g')) AS n_chars_nospace,
+       length(regexp_replace(text, '\s+', '', 'g'))
+         / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+         AS avg_token_len
+FROM documents ORDER BY doc_id
+"""
+
+
+# -- language id -----------------------------------------------------------
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Stopword-marker language scoring with deterministic argmax."""
+    words = _words(F.col("text"))
+    df = documents.select("doc_id", "lang", words.alias("words"))
+    hit_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter("words", lambda w: F.array_contains(arr, w)))
+        hit_cols.append(hits.alias(f"hits_{lang}"))
+    df = df.select("doc_id", "lang", *hit_cols)
+    # deterministic argmax: first language (in declaration order) with the
+    # maximal hit count
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pred = F.lit(None).cast("string")
+    for lg in reversed(langs):
+        pred = F.when(F.col(f"hits_{lg}") == best, F.lit(lg)).otherwise(pred)
+    return (
+        df.select("doc_id", F.col("lang").alias("labeled_lang"),
+                  *[f"hits_{lg}" for lg in langs],
+                  pred.alias("predicted_lang"))
+        .orderBy("doc_id")
+    )
+
+
+def _langid_oracle() -> str:
+    hits = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        hits.append(
+            f"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            f"w -> list_contains([{lst}], w))) AS hits_{lang}")
+    langs = list(LANG_MARKERS)
+    greatest = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    pred = "NULL"
+    for lg in reversed(langs):
+        pred = f"CASE WHEN hits_{lg} = {greatest} THEN '{lg}' ELSE {pred} END"
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang, {", ".join(hits)}
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+           {", ".join(f"hits_{lg}" for lg in langs)},
+           {pred} AS predicted_lang
+    FROM scored ORDER BY doc_id
+    """
+
+
+LANGUAGE_ID_ORACLE = _langid_oracle()
+
+
+# -- quality scoring -------------------------------------------------------
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Composite quality score: length + stopword ratio + mean token length.
+
+    Filter keeps docs with score >= 0.5 (the "training-data keep" set)."""
+    words = _words(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    nospace_len = F.length(F.regexp_replace("text", _WS, ""))
+    mean_tok = nospace_len / n_tokens
+    length_score = F.least(F.col("n_chars") / F.lit(400.0), F.lit(1.0))
+    stop_ratio = n_stop / n_tokens
+    tok_score = F.least(mean_tok / F.lit(6.0), F.lit(1.0))
+    score = (length_score * 0.4 + stop_ratio * 0.3 + tok_score * 0.3)
+    return (
+        documents.select(
+            "doc_id", "lang",
+            n_tokens.alias("n_tokens"),
+            stop_ratio.alias("stopword_ratio"),
+            length_score.alias("length_score"),
+            score.alias("quality_score"))
+        .filter(F.col("quality_score") >= 0.5)
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_ORACLE = r"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             w -> list_contains(['the','a','or','of','and','to','in'], w)))
+           AS n_stop,
+         length(regexp_replace(text, '\s+', '', 'g')) AS nospace_len,
+         n_chars
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       n_stop / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+       least(n_chars / 400.0, 1.0) AS length_score,
+       least(n_chars / 400.0, 1.0) * 0.4
+         + (n_stop / CAST(n_tokens AS DOUBLE)) * 0.3
+         + least((nospace_len / CAST(n_tokens AS DOUBLE)) / 6.0, 1.0) * 0.3
+         AS quality_score
+FROM scored
+WHERE least(n_chars / 400.0, 1.0) * 0.4
+        + (n_stop / CAST(n_tokens AS DOUBLE)) * 0.3
+        + least((nospace_len / CAST(n_tokens AS DOUBLE)) / 6.0, 1.0) * 0.3
+      >= 0.5
+ORDER BY doc_id
+"""
+
+
+# -- rolling-hash fingerprint ---------------------------------------------
+
+def rolling_fingerprint(documents: DataFrame) -> DataFrame:
+    """Word-level polynomial rolling hash: fp = fold (acc*31 + h32(w)) % M.
+
+    A content fingerprint robust to whitespace normalization; identical
+    fold in the oracle via list_reduce with a prepended zero accumulator."""
+    words = _words(F.col("text"))
+    hashes = F.transform(words, lambda w: h32_col(w))
+    fp = F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % F.lit(MOD))
+    return (documents.select("doc_id", fp.alias("fingerprint"))
+            .orderBy("doc_id"))
+
+
+FINGERPRINT_ORACLE = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                          w -> {h32_sql('w')})),
+         (acc, h) -> (acc * 31 + h) % {MOD}) AS fingerprint
+FROM documents ORDER BY doc_id
+"""

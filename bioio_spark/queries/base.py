@@ -1,0 +1,62 @@
+"""Registry plumbing for the oracle-checked query contract.
+
+Each entry couples a Spark DataFrame builder (spark, sf_dir) -> DataFrame
+with the equivalent DuckDB SQL over the same parquet tables. Column names are
+aliased identically on both sides (the driver's compare sorts columns by name
+before hashing). Queries with no SQL-expressible twin set oracle=None and get
+the driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: Optional[str] = None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, *names: str):
+    """Load parquet tables with engine conf applied. Returns one DataFrame
+    or a tuple in the order requested.
+
+    `events.ts` is stored as TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects; it is read as raw nanos (legacy nanosAsLong conf) and converted
+    to a microsecond TIMESTAMP with integer division (`div`, not `/` —
+    double division loses precision above 2^53), matching DuckDB's own
+    ns -> us truncation.
+    """
+    from pyspark.sql import functions as F
+
+    from bioio_spark.session import ensure_engine_conf
+
+    ensure_engine_conf(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    dfs = []
+    for n in names:
+        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        if n == "events":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        dfs.append(df)
+    return dfs[0] if len(dfs) == 1 else tuple(dfs)

@@ -1,0 +1,229 @@
+"""Oracle-checkable image-operator queries (SURVEY §2.2-§2.4).
+
+The driver's DuckDB oracle only sees the ten relational fixture tables, so
+these queries generate the *same deterministic pixel tables in both engines*
+(spark.range vs DuckDB range, identical index arithmetic + value formula) and
+then apply the operator under test. The BioImage API itself is additionally
+covered by tests/ (two-tier pytest matrix); these entries make the selector /
+standardization / mosaic / stack semantics part of the hash-checked contract.
+
+Canonical fixture: shape (T,C,Z,Y,X) = (6,2,3,4,5), x fastest-varying,
+value = t*10000 + c*1000 + z*100 + y*10 + x.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from bioio_spark.queries.base import register
+
+T, C, Z, Y, X = 6, 2, 3, 4, 5
+N = T * C * Z * Y * X
+
+
+def _gen_pixels(spark):
+    df = spark.range(N)
+    t = (F.col("id") / (C * Z * Y * X)).cast("long")
+    c = (F.col("id") / (Z * Y * X)).cast("long") % C
+    z = (F.col("id") / (Y * X)).cast("long") % Z
+    y = (F.col("id") / X).cast("long") % Y
+    x = F.col("id") % X
+    value = (t * 10000 + c * 1000 + z * 100 + y * 10 + x).cast("double")
+    return df.select(
+        t.cast("int").alias("t"), c.cast("int").alias("c"),
+        z.cast("int").alias("z"), y.cast("int").alias("y"),
+        x.cast("int").alias("x"), value.alias("value"))
+
+
+_GEN_SQL = f"""
+  SELECT CAST(i // {C * Z * Y * X} AS INTEGER) AS t,
+         CAST((i // {Z * Y * X}) % {C} AS INTEGER) AS c,
+         CAST((i // {Y * X}) % {Z} AS INTEGER) AS z,
+         CAST((i // {X}) % {Y} AS INTEGER) AS y,
+         CAST(i % {X} AS INTEGER) AS x,
+         CAST((i // {C * Z * Y * X}) * 10000 + ((i // {Z * Y * X}) % {C}) * 1000
+              + ((i // {Y * X}) % {Z}) * 100 + ((i // {X}) % {Y}) * 10
+              + (i % {X}) AS DOUBLE) AS value
+  FROM range({N}) r(i)
+"""
+
+
+# --------------------------------------------------------------------------
+# P1+P2+P3: point select T=3 (drops dim), fancy C=[1,0] (re-indexed in listed
+# order), strided Z=slice(0,-1,2) (python semantics: indices 0).
+# --------------------------------------------------------------------------
+@register(
+    "img_selectors",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL})
+    SELECT CASE WHEN c = 1 THEN 0 ELSE 1 END AS c,
+           (z - 0) // 2 AS z, y, x, value
+    FROM px
+    WHERE t = 3 AND c IN (1, 0)
+      AND z >= 0 AND z < 2 AND (z - 0) % 2 = 0
+    ORDER BY c, z, y, x
+    """,
+    doc="P1-P3 selector algebra on the canonical 5D fixture",
+)
+def img_selectors(spark, sf_dir):
+    from bioio_spark.dimensions import Dimensions
+    from bioio_spark.operators.selectors import apply_selectors
+
+    px = _gen_pixels(spark)
+    plan, _ = apply_selectors(
+        px, Dimensions("TCZYX", (T, C, Z, Y, X)), "CZYX",
+        {"T": 3, "C": [1, 0], "Z": slice(0, -1, 2)})
+    return plan.select(
+        F.col("c").cast("int").alias("c"), F.col("z").cast("int").alias("z"),
+        "y", "x", "value").orderBy("c", "z", "y", "x")
+
+
+# --------------------------------------------------------------------------
+# P7: standardization — non-standard dims "ABD"(2,2,2) coerce to
+# TCZYX(1,1,1,1,1) keeping the index-0 hyperplane
+# (ref tests/test_array_like_reader.py:1028-1047).
+# --------------------------------------------------------------------------
+@register(
+    "img_standardize",
+    oracle="""
+    SELECT CAST(0 AS INTEGER) AS t, CAST(0 AS INTEGER) AS c,
+           CAST(0 AS INTEGER) AS z, CAST(0 AS INTEGER) AS y,
+           CAST(0 AS INTEGER) AS x, CAST(0.0 AS DOUBLE) AS value
+    """,
+    doc="P7 standardization of non-standard dims through the real ingest",
+)
+def img_standardize(spark, sf_dir):
+    from bioio_spark.bio_image import BioImage
+
+    arr = np.arange(8, dtype=np.float64).reshape(2, 2, 2)
+    img = BioImage(arr, dim_order="ABD", spark=spark)
+    return img.get_image_dataframe().select(
+        *[F.col(d).cast("int").alias(d) for d in ("t", "c", "z", "y", "x")],
+        "value")
+
+
+# --------------------------------------------------------------------------
+# M1: mosaic stitch — 2x2 grid of 8x8 tiles, 2px overlap both axes,
+# highest-M-wins (broadcast join + window dedup).
+# --------------------------------------------------------------------------
+_TILE_OFFSETS = [(0, 0, 0), (1, 0, 6), (2, 6, 0), (3, 6, 6)]
+_M_N = 4 * 64
+
+
+@register(
+    "img_mosaic_stitch",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // 64 AS INTEGER) AS m,
+             CAST((i // 8) % 8 AS INTEGER) AS y,
+             CAST(i % 8 AS INTEGER) AS x,
+             CAST((i // 64) * 10000 + ((i // 8) % 8) * 100 + (i % 8)
+                  AS DOUBLE) AS value
+      FROM range({_M_N}) r(i)
+    ),
+    tiles(m, y_off, x_off) AS (VALUES {", ".join(f"({m}, {yo}, {xo})" for m, yo, xo in _TILE_OFFSETS)}),
+    joined AS (
+      SELECT p.m, p.y + t.y_off AS y, p.x + t.x_off AS x, p.value
+      FROM px p JOIN tiles t ON p.m = t.m
+    ),
+    ranked AS (
+      SELECT y, x, value,
+             row_number() OVER (PARTITION BY y, x ORDER BY m DESC) AS rn
+      FROM joined
+    )
+    SELECT y, x, value FROM ranked WHERE rn = 1 ORDER BY y, x
+    """,
+    doc="M1 mosaic stitch with highest-M-wins overlap resolution",
+)
+def img_mosaic_stitch(spark, sf_dir):
+    from bioio_spark.operators.mosaic import stitch_mosaic
+
+    df = spark.range(_M_N)
+    px = df.select(
+        F.lit("img").alias("image_id"), F.lit("Image:0").alias("scene"),
+        F.lit(0).alias("res_level"),
+        F.lit(0).alias("t"), F.lit(0).alias("c"), F.lit(0).alias("z"),
+        ((F.col("id") / 8).cast("long") % 8).cast("int").alias("y"),
+        (F.col("id") % 8).cast("int").alias("x"),
+        (F.col("id") / 64).cast("long").cast("int").alias("m"),
+        F.lit(-1).alias("s"),
+        ((F.col("id") / 64).cast("long") * 10000
+         + ((F.col("id") / 8).cast("long") % 8) * 100
+         + F.col("id") % 8).cast("double").alias("value"))
+    tiles = spark.createDataFrame(
+        [("img", "Image:0", m, yo, xo) for m, yo, xo in _TILE_OFFSETS],
+        "image_id string, scene string, m int, y_off int, x_off int")
+    stitched = stitch_mosaic(px, tiles)
+    return (stitched.select(F.col("y").cast("int").alias("y"),
+                            F.col("x").cast("int").alias("x"), "value")
+            .orderBy("y", "x"))
+
+
+# --------------------------------------------------------------------------
+# C3: scene stacking via the real BioImage API (unionByName + scene_idx).
+# --------------------------------------------------------------------------
+@register(
+    "img_scene_stack",
+    oracle="""
+    SELECT CAST(i // 40 AS INTEGER) AS scene_idx,
+           CAST(0 AS INTEGER) AS t,
+           CAST((i // 20) % 2 AS INTEGER) AS c,
+           CAST(0 AS INTEGER) AS z,
+           CAST((i // 5) % 4 AS INTEGER) AS y,
+           CAST(i % 5 AS INTEGER) AS x,
+           CAST(i AS DOUBLE) AS value
+    FROM range(80) r(i)
+    ORDER BY scene_idx, c, y, x
+    """,
+    doc="C3 all-scene stack through BioImage.get_stack_dataframe",
+)
+def img_scene_stack(spark, sf_dir):
+    from bioio_spark.bio_image import BioImage
+
+    a = np.arange(40, dtype=np.float64).reshape(2, 4, 5)
+    b = np.arange(40, 80, dtype=np.float64).reshape(2, 4, 5)
+    img = BioImage([a, b], dim_order="CYX", spark=spark)
+    return (img.get_stack_dataframe()
+            .select(F.col("scene_idx").cast("int").alias("scene_idx"),
+                    *[F.col(d).cast("int").alias(d)
+                      for d in ("t", "c", "z", "y", "x")],
+                    "value")
+            .orderBy("scene_idx", "c", "y", "x"))
+
+
+# --------------------------------------------------------------------------
+# C4/D8: resolution-level shape aggregation (dims answered relationally).
+# --------------------------------------------------------------------------
+@register(
+    "img_res_level_dims",
+    oracle="""
+    WITH px AS (
+      SELECT 0 AS res_level, CAST((i // 16) AS INTEGER) AS y,
+             CAST(i % 16 AS INTEGER) AS x
+      FROM range(256) r(i)
+      UNION ALL
+      SELECT 1, CAST((i // 8) AS INTEGER), CAST(i % 8 AS INTEGER)
+      FROM range(64) r(i)
+    )
+    SELECT res_level, max(y) + 1 AS size_y, max(x) + 1 AS size_x,
+           count(*) AS n_pixels
+    FROM px GROUP BY res_level ORDER BY res_level
+    """,
+    doc="C4 resolution-level dims via groupBy aggregation",
+)
+def img_res_level_dims(spark, sf_dir):
+    lvl0 = spark.range(256).select(
+        F.lit(0).alias("res_level"),
+        (F.col("id") / 16).cast("long").cast("int").alias("y"),
+        (F.col("id") % 16).cast("int").alias("x"))
+    lvl1 = spark.range(64).select(
+        F.lit(1).alias("res_level"),
+        (F.col("id") / 8).cast("long").cast("int").alias("y"),
+        (F.col("id") % 8).cast("int").alias("x"))
+    return (lvl0.unionByName(lvl1)
+            .groupBy("res_level")
+            .agg((F.max("y") + 1).alias("size_y"),
+                 (F.max("x") + 1).alias("size_x"),
+                 F.count(F.lit(1)).alias("n_pixels"))
+            .orderBy("res_level"))

@@ -1,0 +1,94 @@
+"""L1-L5: LLM-data-pipeline operators over documents/embeddings (SURVEY §2.8).
+
+Implemented via bioio_spark.functions.{text,dedup,similarity}; each query has
+a DuckDB oracle built from the *same* deterministic hash primitives (md5-based
+32-bit hashes) so results match bit-for-bit across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bioio_spark.functions.dedup import (
+    exact_dedup_groups,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from bioio_spark.functions.similarity import (
+    cosine_topk,
+    lsh_near_duplicates,
+)
+from bioio_spark.functions.text import (
+    language_id,
+    quality_score,
+    rolling_fingerprint,
+    token_stats,
+)
+from bioio_spark.queries.base import load, register
+
+from bioio_spark.functions import dedup as _dedup
+from bioio_spark.functions import similarity as _sim
+from bioio_spark.functions import text as _text
+
+
+@register("l1_exact_dedup", oracle=_dedup.EXACT_DEDUP_ORACLE,
+          doc="L1 exact dedup by content hash over documents")
+def l1_exact_dedup(spark, sf_dir):
+    return exact_dedup_groups(load(spark, sf_dir, "documents"))
+
+
+@register("l2_minhash_lsh", oracle=_dedup.MINHASH_ORACLE,
+          doc="L2 MinHash+LSH near-dup candidate pairs over documents")
+def l2_minhash_lsh(spark, sf_dir):
+    return minhash_candidate_pairs(load(spark, sf_dir, "documents"))
+
+
+@register("l2b_simhash", oracle=_dedup.SIMHASH_ORACLE,
+          doc="L2 SimHash 32-bit signatures over documents")
+def l2b_simhash(spark, sf_dir):
+    return simhash_signatures(load(spark, sf_dir, "documents"))
+
+
+@register("l2c_ngram_jaccard", oracle=_dedup.JACCARD_ORACLE,
+          doc="L2 n-gram Jaccard similarity pairs within (lang, source)")
+def l2c_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
+@register("l3_cosine_topk", oracle=_sim.COSINE_TOPK_ORACLE,
+          doc="L3 brute-force cosine top-k against a query vector")
+def l3_cosine_topk(spark, sf_dir):
+    return cosine_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0,
+                       k=10)
+
+
+@register("l3b_lsh_near_dup", oracle=_sim.LSH_NEAR_DUP_ORACLE,
+          doc="L3 hyperplane-LSH bucketed near-duplicate embedding pairs")
+def l3b_lsh_near_dup(spark, sf_dir):
+    return lsh_near_duplicates(load(spark, sf_dir, "embeddings"),
+                               threshold=0.3)
+
+
+@register("l4_token_stats", oracle=_text.TOKEN_STATS_ORACLE,
+          doc="L4 per-document token statistics")
+def l4_token_stats(spark, sf_dir):
+    return token_stats(load(spark, sf_dir, "documents"))
+
+
+@register("l4b_language_id", oracle=_text.LANGUAGE_ID_ORACLE,
+          doc="L4 stopword-heuristic language identification")
+def l4b_language_id(spark, sf_dir):
+    return language_id(load(spark, sf_dir, "documents"))
+
+
+@register("l4c_quality_score", oracle=_text.QUALITY_ORACLE,
+          doc="L4 document quality scoring + filtering")
+def l4c_quality_score(spark, sf_dir):
+    return quality_score(load(spark, sf_dir, "documents"))
+
+
+@register("l4d_fingerprint", oracle=_text.FINGERPRINT_ORACLE,
+          doc="L4 rolling-hash document fingerprint")
+def l4d_fingerprint(spark, sf_dir):
+    return rolling_fingerprint(load(spark, sf_dir, "documents"))

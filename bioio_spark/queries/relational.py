@@ -1,0 +1,520 @@
+"""A1-A11: the relational operator contract (SURVEY §2.7).
+
+Each query is a thin, declarative DataFrame plan — Catalyst supplies partial
+aggregation, predicate pushdown, broadcast selection, and AQE. Scale notes per
+query document why the plan survives 100 TB / 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bioio_spark.queries.base import load, register
+
+
+def _dec(col, prec=12, scale=2):
+    """Money columns are exact 2-decimal quantities stored as doubles.
+    Summing them as doubles is order-dependent (different partial-sum orders
+    across engines land on different 9-sig-digit roundings); casting to
+    DECIMAL makes every aggregate exact and bit-identical to the oracle."""
+    return col.cast(f"decimal({prec},{scale})")
+
+
+# --------------------------------------------------------------------------
+# A1: hash aggregate with partial+final (TPC-H Q1 shape).
+# Scale: map-side partial agg reduces the shuffle to |groups| rows per
+# partition (4 groups here); the l_shipdate filter pushes to the parquet scan.
+# --------------------------------------------------------------------------
+@register(
+    "a1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+             AS sum_charge,
+           sum(l_quantity) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="A1 grouped aggregate, TPC-H Q1 style over lineitem",
+)
+def a1_pricing_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    e = _dec(F.col("l_extendedprice"))
+    d = _dec(F.col("l_discount"), 4, 2)
+    t = _dec(F.col("l_tax"), 4, 2)
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # quantities are integer-valued doubles: sums are exact as-is
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(e).cast("double").alias("sum_base_price"),
+            F.sum(e * (1 - d)).cast("double").alias("sum_disc_price"),
+            F.sum(e * (1 - d) * (1 + t)).cast("double").alias("sum_charge"),
+            (F.sum("l_quantity") / n).alias("avg_qty"),
+            (F.sum(e).cast("double") / n).alias("avg_price"),
+            (F.sum(d).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# A2: distinct aggregation. Scale: Spark plans count(DISTINCT) as a two-phase
+# expand+agg; for sketch-speed at 100 TB approx_count_distinct is the
+# documented alternative (not oracle-checked — HLL is engine-specific).
+# --------------------------------------------------------------------------
+@register(
+    "a2_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="A2 count-distinct per group over orders",
+)
+def a2_count_distinct(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# A3: rollup (grouping sets). Scale: Spark's Expand operator multiplies rows
+# by grouping-set count before the shuffle — acceptable because the aggregate
+# is partial-ized; nation dim is broadcast.
+# --------------------------------------------------------------------------
+@register(
+    "a3_rollup_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP(nation, order_year)
+    ORDER BY nation NULLS FIRST, order_year NULLS FIRST
+    """,
+    doc="A3 rollup over nation x order-year",
+)
+def a3_rollup_revenue(spark, sf_dir):
+    o, c, n = load(spark, sf_dir, "orders", "customer", "nation")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"),
+                F.year("o_orderdate").cast("int").alias("order_year"),
+                "o_totalprice")
+    )
+    return (
+        joined.rollup("nation", "order_year")
+        .agg(F.sum(_dec(F.col("o_totalprice"), 14, 2)).cast("double")
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("nation").asc_nulls_first(),
+                 F.col("order_year").asc_nulls_first())
+    )
+
+
+# --------------------------------------------------------------------------
+# A4: top-k. Scale: Spark plans orderBy+limit as TakeOrderedAndProject —
+# per-partition heaps then a driver merge of k rows; no global sort.
+# --------------------------------------------------------------------------
+@register(
+    "a4_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    doc="A4 top-k via TakeOrderedAndProject",
+)
+def a4_topk_orders(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# A5: ranking window. Scale: partitioned by customer (high cardinality) —
+# shuffles once on the partition key; deterministic tiebreak on orderkey.
+# --------------------------------------------------------------------------
+@register(
+    "a5_window_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER w AS rn,
+             rank() OVER w AS rnk,
+             dense_rank() OVER w AS drnk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+    doc="A5 per-customer top-3 orders via ranking window",
+)
+def a5_window_rank(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"))
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# A6: analytic window with frames (running totals, lag/lead). Scale:
+# partitioned by user_id; running frame is computed in a single pass per
+# partition after one shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "a6_window_running",
+    oracle="""
+    SELECT event_id, user_id, value,
+           sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS running_total,
+           lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_value,
+           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_value,
+           first_value(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS first_value
+    FROM events ORDER BY user_id, event_id
+    """,
+    doc="A6 running totals + lag/lead/first over events",
+)
+def a6_window_running(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        e.select(
+            "event_id", "user_id", "value",
+            F.sum("value").over(running).alias("running_total"),
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("value").over(w).alias("next_value"),
+            F.first("value").over(running).alias("first_value"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# A7: set operations with SQL DISTINCT semantics.
+# --------------------------------------------------------------------------
+@register(
+    "a7_set_ops",
+    oracle="""
+    WITH big_building AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    ),
+    rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 1000)
+    SELECT c_custkey, 'both' AS membership FROM big_building
+    INTERSECT
+    SELECT c_custkey, 'both' AS membership FROM rich
+    UNION ALL
+    (SELECT c_custkey, 'only_segment' AS membership FROM big_building
+     EXCEPT
+     SELECT c_custkey, 'only_segment' AS membership FROM rich)
+    ORDER BY membership, c_custkey
+    """,
+    doc="A7 union/intersect/except over customer splits",
+)
+def a7_set_ops(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    seg = (
+        c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+        .union(c.filter(F.col("c_mktsegment") == "MACHINERY")
+               .select("c_custkey"))
+        .distinct()
+    )
+    rich = c.filter(F.col("c_acctbal") > 1000).select("c_custkey")
+    both = (seg.withColumn("membership", F.lit("both"))
+            .intersect(rich.withColumn("membership", F.lit("both"))))
+    only_seg = (seg.withColumn("membership", F.lit("only_segment"))
+                .exceptAll(rich.withColumn("membership",
+                                           F.lit("only_segment")))
+                .distinct())
+    return both.unionAll(only_seg).orderBy("membership", "c_custkey")
+
+
+# --------------------------------------------------------------------------
+# A8: multi-way equi-join (TPC-H Q3 shape). Scale: customer filter reduces
+# the build side before the orders join; lineitem joins shuffle on orderkey.
+# AQE picks broadcast for the filtered customer side automatically.
+# --------------------------------------------------------------------------
+@register(
+    "a8_join_revenue",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o.o_orderkey, order_date
+    ORDER BY revenue DESC, o.o_orderkey LIMIT 20
+    """,
+    doc="A8 shipping-priority join, TPC-H Q3 style",
+)
+def a8_join_revenue(spark, sf_dir):
+    c, o, li = load(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o.filter(
+            F.col("o_orderdate") < F.lit("2000-03-15 00:00:00").cast("timestamp")),
+            F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.filter(
+            F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(F.sum(_dec(F.col("l_extendedprice"))
+                   * (1 - _dec(F.col("l_discount"), 4, 2)))
+             .cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# A8b: broadcast dimension join chain (TPC-H Q5 shape) + semi/anti joins.
+# Scale: region/nation are broadcast explicitly — zero shuffle of the fact
+# side for dimension enrichment.
+# --------------------------------------------------------------------------
+@register(
+    "a8b_regional_revenue",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_lineitems
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY region, nation
+    ORDER BY region, nation
+    """,
+    doc="A8 broadcast dim chain, TPC-H Q5 style",
+)
+def a8b_regional_revenue(spark, sf_dir):
+    r, n, c, o, li = load(spark, sf_dir, "region", "nation", "customer",
+                          "orders", "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"),
+                 F.col("n_name").alias("nation"))
+        .agg(F.sum(_dec(F.col("l_extendedprice"))
+                   * (1 - _dec(F.col("l_discount"), 4, 2)))
+             .cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+        .orderBy("region", "nation")
+    )
+
+
+@register(
+    "a8c_customers_without_orders",
+    oracle="""
+    SELECT n.n_name AS nation, count(*) AS n_inactive
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY nation ORDER BY nation
+    """,
+    doc="A8 anti join: customers with no orders, per nation",
+)
+def a8c_customers_without_orders(spark, sf_dir):
+    c, o, n = load(spark, sf_dir, "customer", "orders", "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+        .orderBy("nation")
+    )
+
+
+# --------------------------------------------------------------------------
+# A9: range/theta join against a tiny band table. Scale: the band side is 6
+# rows — Spark plans BroadcastNestedLoopJoin; the fact side never shuffles.
+# --------------------------------------------------------------------------
+@register(
+    "a9_price_band_join",
+    oracle="""
+    WITH bands(band_id, lo, hi) AS (
+      SELECT i AS band_id, i * 20000.0 AS lo, (i + 1) * 20000.0 AS hi
+      FROM range(6) t(i)
+    )
+    SELECT b.band_id, count(*) AS n_items,
+           sum(l.l_quantity) AS total_qty
+    FROM lineitem l
+    JOIN bands b ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+    GROUP BY b.band_id ORDER BY b.band_id
+    """,
+    doc="A9 non-equi range join lineitem x price bands",
+)
+def a9_price_band_join(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    bands = (spark.range(6).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 20000.0).alias("lo"),
+        ((F.col("id") + 1) * 20000.0).alias("hi")))
+    cond = (F.col("l_extendedprice") >= F.col("lo")) & \
+           (F.col("l_extendedprice") < F.col("hi"))
+    return (
+        li.join(F.broadcast(bands), cond)
+        .groupBy("band_id")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.sum("l_quantity").alias("total_qty"))
+        .orderBy("band_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# A10: as-of join — nearest prior event per (customer, order date).
+# Implementation: union-tag + last(ignoreNulls) running window, partitioned
+# by key — the scalable pattern (one shuffle on the key, no range explosion).
+# The oracle runs the *same* algorithm in SQL (DuckDB's native ASOF JOIN has
+# nondeterministic tie handling; the window formulation pins semantics).
+# --------------------------------------------------------------------------
+@register(
+    "a10_asof_join",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id AS k, ts, event_id, value, NULL::BIGINT AS o_orderkey,
+             0 AS tag
+      FROM events
+      UNION ALL
+      SELECT o_custkey AS k, o_orderdate AS ts, NULL, NULL, o_orderkey, 1
+      FROM orders
+    ),
+    filled AS (
+      SELECT k, o_orderkey, tag,
+             last_value(value IGNORE NULLS) OVER
+               (PARTITION BY k ORDER BY ts, tag, event_id
+                ROWS UNBOUNDED PRECEDING) AS last_event_value
+      FROM tagged
+    )
+    SELECT k AS custkey, o_orderkey, last_event_value
+    FROM filled WHERE tag = 1
+    ORDER BY custkey, o_orderkey
+    """,
+    doc="A10 as-of join: last event value at or before each order date",
+)
+def a10_asof_join(spark, sf_dir):
+    e, o = load(spark, sf_dir, "events", "orders")
+    tagged = (
+        e.select(F.col("user_id").alias("k"), "ts", "event_id", "value",
+                 F.lit(None).cast("long").alias("o_orderkey"),
+                 F.lit(0).alias("tag"))
+        .unionByName(
+            o.select(F.col("o_custkey").alias("k"),
+                     F.col("o_orderdate").alias("ts"),
+                     F.lit(None).cast("long").alias("event_id"),
+                     F.lit(None).cast("double").alias("value"),
+                     "o_orderkey", F.lit(1).alias("tag")))
+    )
+    w = (Window.partitionBy("k").orderBy("ts", "tag", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        tagged.withColumn(
+            "last_event_value", F.last("value", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select(F.col("k").alias("custkey"), "o_orderkey",
+                "last_event_value")
+        .orderBy("custkey", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# A11: scalar function surface — string / date / math / JSON built-ins.
+# Scale: pure projection, whole-stage codegen, no shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "a11_scalar_functions",
+    oracle="""
+    SELECT event_id,
+           upper(event_type) AS event_type_u,
+           substr(event_type, 1, 3) AS event_type_3,
+           concat(event_type, ':', CAST(user_id AS VARCHAR)) AS event_key,
+           replace(event_type, 'e', '3') AS leeted,
+           CAST(year(ts) AS INTEGER) AS yr,
+           CAST(month(ts) AS INTEGER) AS mo,
+           CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER)
+             AS days_in,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+           CAST(floor(value) AS BIGINT) AS value_floor,
+           abs(value - 100.0) AS dist_from_100,
+           length(event_type) AS type_len
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="A11 scalar string/date/math/JSON functions over events",
+)
+def a11_scalar_functions(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            F.upper("event_type").alias("event_type_u"),
+            F.substring("event_type", 1, 3).alias("event_type_3"),
+            F.concat(F.col("event_type"), F.lit(":"),
+                     F.col("user_id").cast("string")).alias("event_key"),
+            F.regexp_replace("event_type", "e", "3").alias("leeted"),
+            F.year("ts").cast("int").alias("yr"),
+            F.month("ts").cast("int").alias("mo"),
+            F.datediff(F.col("ts").cast("date"),
+                       F.lit("2024-01-01").cast("date")).alias("days_in"),
+            F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+            F.floor("value").alias("value_floor"),
+            F.abs(F.col("value") - 100.0).alias("dist_from_100"),
+            F.length("event_type").alias("type_len"))
+        .orderBy("event_id")
+    )

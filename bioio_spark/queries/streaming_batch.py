@@ -1,0 +1,118 @@
+"""Batch-equivalent streaming aggregations over events (SURVEY §2.10).
+
+Structured Streaming and batch share semantics for append-mode aggregates, so
+the oracle checks run the same window logic in batch SQL. The true streaming
+execution (readStream → watermark → window → sink) lives in
+bioio_spark/streaming/ and is pytest-verified against these batch results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bioio_spark.queries.base import load, register
+
+
+# --------------------------------------------------------------------------
+# Tumbling window aggregation. Scale: in streaming this is an incremental
+# stateful agg with watermark eviction; in batch it's a plain hash agg on the
+# bucketed timestamp.
+# --------------------------------------------------------------------------
+@register(
+    "s1_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+    doc="S 10-minute tumbling window counts/sums over events",
+)
+def s1_tumbling_window(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    win = F.window("ts", "10 minutes")
+    return (
+        e.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(10,2)"))
+             .cast("double").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Session windows (30-minute gap). Spark side uses the native session_window;
+# the oracle reproduces its semantics with the gaps-and-islands pattern
+# (new session when the gap since the previous event is >= the timeout;
+# boundary-equality is measure-zero with microsecond data).
+# --------------------------------------------------------------------------
+@register(
+    "s2_session_windows",
+    oracle="""
+    WITH gapped AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gapped
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+    FROM sessions GROUP BY user_id, session_id
+    ORDER BY user_id, session_start_epoch
+    """,
+    doc="S session windows (30 min gap) via native session_window",
+)
+def s2_session_windows(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(10,2)"))
+             .cast("double").alias("total_value"))
+        .select("user_id",
+                F.unix_timestamp(F.col("w.start"))
+                .alias("session_start_epoch"),
+                "n_events", "total_value")
+        .orderBy("user_id", "session_start_epoch")
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming dedup analog: first event per (user, type) — in streaming this is
+# dropDuplicatesWithinWatermark; batch equivalent is a min-aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "s3_first_event_dedup",
+    oracle="""
+    SELECT user_id, event_type,
+           min(event_id) AS first_event_id,
+           count(*) AS n_events
+    FROM events GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+    doc="S stateful-dedup batch equivalent: first event per key",
+)
+def s3_first_event_dedup(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(F.min("event_id").alias("first_event_id"),
+             F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id", "event_type")
+    )

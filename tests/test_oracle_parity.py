@@ -1,0 +1,84 @@
+"""Local mirror of the driver's t2 correctness gate: every registered query
+runs on Spark AND DuckDB over the same parquet fixtures; results must match
+on row count, column names, and values (canonically sorted, doubles rounded
+to 9 significant digits)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from bioio_spark.queries import REGISTRY
+
+ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle)
+ALL_QUERIES = sorted(REGISTRY)
+
+
+def _canon(val):
+    if val is None:
+        return None
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "nan"
+        if val == 0:
+            return 0.0
+        return float(f"{val:.9g}")
+    if isinstance(val, (list, tuple)):
+        return tuple(_canon(v) for v in val)
+    return val
+
+
+def _canon_rows(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_canon(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, sf_dir, duck, name):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = [c.lower() for c in sdf.columns]
+
+    ddf = duck.execute(spec.oracle).fetchall()
+    dcols = [d[0].lower() for d in duck.description]
+
+    assert sorted(scols) == sorted(dcols), (
+        f"{name}: column mismatch {scols} vs {dcols}")
+    assert len(srows) == len(ddf), (
+        f"{name}: row count {len(srows)} vs {len(ddf)}")
+    left = _canon_rows(srows, scols)
+    right = _canon_rows(ddf, dcols)
+    mismatches = [(l, r) for l, r in zip(left, right) if l != r]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} mismatched rows; first 3: "
+        f"{mismatches[:3]}")
+
+
+@pytest.mark.parametrize("name", [n for n in ALL_QUERIES
+                                  if n not in ORACLE_QUERIES])
+def test_rows_only_queries_run(spark, sf_dir, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, sf_dir)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as m
+
+    df = m.entry(spark)
+    assert df.count() > 0
+    assert set(m.oracle_sql()) <= set(m.queries())
