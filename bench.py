@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <scale factor>}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+collect overhead skew). Session mirrors the engine defaults (AQE on, UTC).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # relational contract
+    "a1_pricing_summary", "a2_count_distinct", "a3_rollup_revenue",
+    "a4_topk_orders", "a5_window_rank", "a6_window_running",
+    "a7_set_ops", "a8_join_revenue", "a8b_regional_revenue",
+    "a8c_customers_without_orders", "a9_price_band_join", "a10_asof_join",
+    "a11_scalar_functions",
+    # LLM pipeline
+    "l1_exact_dedup", "l2_minhash_lsh", "l2b_simhash", "l3_cosine_topk",
+    "l3b_lsh_near_dup", "l4_token_stats", "l4b_language_id",
+    "l4c_quality_score", "l4d_fingerprint",
+    # image + streaming-batch
+    "img_selectors", "img_mosaic_stitch", "s1_tumbling_window",
+    "s2_session_windows", "s3_first_event_dedup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from bioio_spark.queries import REGISTRY
+    from bioio_spark.session import get_session
+
+    spark = get_session("bioio_spark_bench")
+    spark.range(1000).count()  # JVM warmup
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        (spec.fn(spark, sf_dir)
+         .write.format("noop").mode("overwrite").save())
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline query suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -61,15 +61,31 @@ FROM documents GROUP BY content_hash ORDER BY content_hash
 
 # -- shingling helpers -----------------------------------------------------
 
-def _shingles(text_col):
-    """Distinct 3-word shingles (0-based Spark array subscripts)."""
-    words = F.split(F.trim(text_col), _WS)
+def _shingled(documents: DataFrame, *extra_cols: str) -> DataFrame:
+    """Project (doc_id, *extra_cols, sh) with distinct 3-word shingles.
+
+    Words are materialized as a column attribute *before* the shingle lambda
+    so the regex split runs once per document — referencing the split
+    expression directly inside the lambda would re-evaluate it per element
+    (measured 8x slowdown on the minhash pipeline at sf0.1)."""
+    words = documents.select(
+        "doc_id", *extra_cols,
+        F.split(F.trim(F.col("text")), _WS).alias("words"))
     sh = F.transform(
-        F.sequence(F.lit(0), F.size(words) - 3),
+        F.sequence(F.lit(0), F.size("words") - 3),
         lambda i: F.concat_ws(
-            " ", F.element_at(words, i + 1), F.element_at(words, i + 2),
-            F.element_at(words, i + 3)))
-    return F.array_distinct(sh)
+            " ", F.element_at(F.col("words"), i + 1),
+            F.element_at(F.col("words"), i + 2),
+            F.element_at(F.col("words"), i + 3)))
+    # guard: <3 words would make sequence() run descending into negatives
+    sh = F.when(F.size("words") >= 3, sh).otherwise(
+        F.array().cast("array<string>"))
+    # NOTE: no size()-filter on sh here — Catalyst pushes such a predicate
+    # below this projection, substituting the full shingle expression into
+    # the filter (3x re-evaluation per row, measured ~7s at sf0.1); explode
+    # drops empty arrays on its own.
+    return words.select(
+        "doc_id", *extra_cols, F.array_distinct(sh).alias("sh"))
 
 
 _SHINGLE_SQL = r"""
@@ -85,8 +101,7 @@ list_distinct(list_transform(
 
 def minhash_signatures(documents: DataFrame) -> DataFrame:
     """Per-document minhash signature columns s0..s{n-1}."""
-    docs = documents.select("doc_id", _shingles(F.col("text")).alias("sh"))
-    docs = docs.filter(F.size("sh") >= 1)
+    docs = _shingled(documents)
     exploded = docs.select("doc_id", F.explode("sh").alias("shingle"))
     hp = (h32_col(F.col("shingle")) % MOD).alias("hp")
     exploded = exploded.select("doc_id", hp)
@@ -96,6 +111,26 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
         for i in range(NUM_MINHASH)
     ]
     return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def _bucket_pairs(df: DataFrame, bucket_cols: list[str],
+                  id_col: str) -> DataFrame:
+    """All (a < b) id pairs within each bucket, pipeline computed ONCE.
+
+    A self-join on the bucket key would recompute the (expensive) upstream
+    plan for both join sides; instead: groupBy(bucket) -> sorted id list ->
+    enumerate pairs with nested array transforms -> explode. Output columns:
+    doc_a, doc_b (one row per pair per bucket; caller dedups)."""
+    ids = F.sort_array(F.collect_set(id_col)).alias("ids")
+    grouped = df.groupBy(*bucket_cols).agg(ids).filter(F.size("ids") >= 2)
+    pairs = F.flatten(F.transform(
+        "ids",
+        lambda x, i: F.transform(
+            F.slice("ids", i + 2, F.size("ids")),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")))))
+    return (grouped.select(F.explode(pairs).alias("p"))
+            .select(F.col("p.doc_a").alias("doc_a"),
+                    F.col("p.doc_b").alias("doc_b")))
 
 
 def minhash_candidate_pairs(documents: DataFrame) -> DataFrame:
@@ -113,17 +148,9 @@ def minhash_candidate_pairs(documents: DataFrame) -> DataFrame:
         .select("doc_id", F.col("bk.band").alias("band"),
                 F.col("bk.key").alias("key"))
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.key") == F.col("b.key"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    )
+    return (_bucket_pairs(banded, ["band", "key"], "doc_id")
+            .distinct()
+            .orderBy("doc_a", "doc_b"))
 
 
 def _minhash_sql_core() -> str:
@@ -223,20 +250,16 @@ JACCARD_THRESHOLD = 0.05
 
 def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
     """Jaccard over distinct 3-gram shingles, blocked by (lang, source)."""
-    docs = documents.select(
-        "doc_id", "lang", "source", _shingles(F.col("text")).alias("sh"))
-    docs = docs.filter(F.size("sh") >= 1)
+    docs = _shingled(documents, "lang", "source")
     sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
     ex = docs.select("doc_id", "lang", "source",
                      F.explode("sh").alias("shingle"))
-    a, b = ex.alias("a"), ex.alias("b")
+    # each (lang, source, shingle) bucket contributes 1 to the intersection
+    # of every doc pair in it; shingles are distinct per doc, so counting
+    # pair occurrences across buckets = |A ∩ B|
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.lang") == F.col("b.lang"))
-               & (F.col("a.source") == F.col("b.source"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
+        _bucket_pairs(ex, ["lang", "source", "shingle"], "doc_id")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"),

@@ -21,6 +21,12 @@ _DEFAULTS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # InferFiltersFromGenerate re-derives `size(arr) > 0` filters ahead of
+    # explode() and pushes them below projections with full expression
+    # substitution — for computed arrays (shingles) that re-evaluates the
+    # whole lambda per row in the scan filter (measured 3-7x slowdowns).
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
@@ -50,7 +56,8 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     this so timezone/AQE parity holds regardless of who built the session.
     """
     for k in ("spark.sql.session.timeZone", "spark.sql.adaptive.enabled",
-              "spark.sql.execution.arrow.pyspark.enabled"):
+              "spark.sql.execution.arrow.pyspark.enabled",
+              "spark.sql.optimizer.excludedRules"):
         try:
             spark.conf.set(k, _DEFAULTS[k])
         except Exception:
