@@ -1,0 +1,209 @@
+"""L5 multimodal columns: image/audio/video as opaque binary + typed metadata
+(SURVEY §2.8).
+
+Design for 100 TB: media payloads ride as `binary` columns beside text in the
+same row (or in sidecar tables keyed by media_id), metadata is a typed struct
+so filters (kind, width, duration) prune *before* any decode; decoding runs
+as Arrow-batched `mapInPandas` on executors — one Python worker per
+partition, zero driver involvement, repartition governs decode parallelism.
+
+Real codecs (PIL/av/soundfile) are not in this container. The decode step is
+therefore pluggable: `FakeCodec` is a deterministic byte-level format (tested
+end-to-end, exercising the exact schema/batch plumbing a real codec would),
+and `PillowCodec` raises NotImplementedError until its import succeeds.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),        # image | audio | video
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("meta", T.StructType([
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ])),
+])
+
+_MAGIC = b"FKC1"
+
+
+class FakeCodec:
+    """Deterministic toy media format: 4-byte magic + packed header + raw
+    uint8 samples. Stands in for PNG/WAV/MP4 so the Spark-side plumbing
+    (schema, batching, partitioning) is fully real and testable."""
+
+    @staticmethod
+    def encode(media_id: int, kind: str, width: int, height: int,
+               n_frames: int) -> bytes:
+        n = width * height * n_frames
+        # deterministic pixel/sample content from media_id (no RNG)
+        samples = ((np.arange(n, dtype=np.int64) * 31 + media_id * 7) % 251
+                   ).astype(np.uint8)
+        header = struct.pack("<iii", width, height, n_frames)
+        return _MAGIC + header + samples.tobytes()
+
+    @staticmethod
+    def decode(payload: bytes) -> np.ndarray:
+        if payload[:4] != _MAGIC:
+            raise ValueError("bad magic: not a FakeCodec payload")
+        width, height, n_frames = struct.unpack_from("<iii", payload, 4)
+        arr = np.frombuffer(payload, dtype=np.uint8, offset=16)
+        return arr.reshape(n_frames, height, width)
+
+
+class PillowCodec:
+    """Real image codec, gated on import (unavailable in this container)."""
+
+    @staticmethod
+    def decode(payload: bytes) -> np.ndarray:
+        try:
+            from PIL import Image  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "PIL is not installed in this environment; use FakeCodec "
+                "or install pillow on the cluster") from exc
+        raise NotImplementedError("wire Image.open(BytesIO(payload)) here")
+
+
+def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic media table: images (1 frame), audio (1xN), video
+    (multi-frame), round-robin by media_id."""
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        w, h, fr, sr = {
+            "image": (16 + (i % 4) * 8, 12, 1, 0),
+            "audio": (800, 1, 1, 8000),
+            "video": (8, 8, 4 + (i // 3) % 3, 0),
+        }[kind]
+        rows.append((i, kind, FakeCodec.encode(i, kind, w, h, fr),
+                     (w, h, fr, sr, "fkc1")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# -- decode / feature extraction (Arrow-batched, executor-side) ------------
+
+DECODE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("mean_value", T.DoubleType()),
+    T.StructField("max_value", T.IntegerType()),
+])
+
+
+def decode_features(media: DataFrame, codec=FakeCodec) -> DataFrame:
+    """Per-media decoded shape + intensity stats via mapInPandas."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            frames = [codec.decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].values,
+                "kind": pdf["kind"].values,
+                "height": [f.shape[1] for f in frames],
+                "width": [f.shape[2] for f in frames],
+                "n_frames": [f.shape[0] for f in frames],
+                "mean_value": [float(f.mean()) for f in frames],
+                "max_value": [int(f.max()) for f in frames],
+            })
+
+    return media.mapInPandas(batches, schema=DECODE_SCHEMA)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int,
+                  codec=FakeCodec) -> DataFrame:
+    """Nearest-neighbor resize of image payloads; non-images pass through
+    untouched. Output schema == MEDIA_SCHEMA (composable pipeline stage)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            new_payloads, new_meta = [], []
+            for _, row in pdf.iterrows():
+                if row["kind"] != "image":
+                    new_payloads.append(row["payload"])
+                    new_meta.append(row["meta"])
+                    continue
+                frames = codec.decode(row["payload"])
+                _, h, w = frames.shape
+                yi = (np.arange(out_h) * h // out_h)
+                xi = (np.arange(out_w) * w // out_w)
+                resized = frames[:, yi][:, :, xi]
+                header = struct.pack("<iii", out_w, out_h, frames.shape[0])
+                new_payloads.append(_MAGIC + header + resized.tobytes())
+                meta = dict(row["meta"])
+                meta["width"], meta["height"] = out_w, out_h
+                new_meta.append(meta)
+            out["payload"] = new_payloads
+            out["meta"] = new_meta
+            yield out
+
+    return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_k: int = 2,
+                  codec=FakeCodec) -> DataFrame:
+    """Explode videos into every-k-th frame rows (frame_idx + stats)."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("mean_value", T.DoubleType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, means = [], [], []
+            for _, row in pdf.iterrows():
+                frames = codec.decode(row["payload"])
+                for fi in range(0, frames.shape[0], every_k):
+                    ids.append(row["media_id"])
+                    idxs.append(fi)
+                    means.append(float(frames[fi].mean()))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "mean_value": means})
+
+    return (media.filter(F.col("kind") == "video")
+            .mapInPandas(batches, schema=schema))
+
+
+def audio_window_energy(media: DataFrame, window: int = 100,
+                        codec=FakeCodec) -> DataFrame:
+    """Per-window mean amplitude over audio payloads."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("energy", T.DoubleType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, energies = [], [], []
+            for _, row in pdf.iterrows():
+                samples = codec.decode(row["payload"]).reshape(-1)
+                n_win = len(samples) // window
+                trimmed = samples[: n_win * window].astype(np.float64)
+                e = trimmed.reshape(n_win, window).mean(axis=1)
+                ids.extend([row["media_id"]] * n_win)
+                idxs.extend(range(n_win))
+                energies.extend(e.tolist())
+            yield pd.DataFrame(
+                {"media_id": ids, "window_idx": idxs, "energy": energies})
+
+    return (media.filter(F.col("kind") == "audio")
+            .mapInPandas(batches, schema=schema))

@@ -1,0 +1,15 @@
+from bioio_spark.streaming.events import (
+    read_event_stream,
+    streaming_tumbling_counts,
+    streaming_session_windows,
+    streaming_dedup,
+    run_stream_to_memory,
+)
+
+__all__ = [
+    "read_event_stream",
+    "streaming_tumbling_counts",
+    "streaming_session_windows",
+    "streaming_dedup",
+    "run_stream_to_memory",
+]

@@ -1,0 +1,99 @@
+"""Structured Streaming surface over the events table (SURVEY §2.10).
+
+The reference is fully batch (laziness != streaming); this module provides
+the north-star streaming operators with batch-equivalent semantics so the
+DuckDB-checked batch queries (queries/streaming_batch.py) double as oracles:
+
+- tumbling/sliding window aggregates with watermark-based late-data handling
+- session windows (session_window + watermark)
+- stateful dedup (dropDuplicatesWithinWatermark)
+
+Scale: each is an incremental stateful aggregation; state is partitioned by
+(window/session key) across executors, watermarks bound state size, and the
+sink runs in append/update mode. On a real cluster the source would be
+Kafka/files; tests stream parquet files through the file source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),        # raw nanos (see queries/base)
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream of event parquet files with ns->us conversion."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (spark.readStream
+           .schema(EVENT_SCHEMA)
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .parquet(path))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_counts(events: DataFrame,
+                              watermark: str = "30 minutes") -> DataFrame:
+    """10-minute tumbling windows; watermark bounds agg state + admits
+    late data up to the delay."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(10,2)"))
+             .cast("double").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "total_value")
+    )
+
+
+def streaming_session_windows(events: DataFrame,
+                              gap: str = "30 minutes",
+                              watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(10,2)"))
+             .cast("double").alias("total_value"))
+        .select("user_id",
+                F.unix_timestamp(F.col("w.start"))
+                .alias("session_start_epoch"),
+                "n_events", "total_value")
+    )
+
+
+def streaming_dedup(events: DataFrame,
+                    watermark: str = "1 hour") -> DataFrame:
+    """Stateful dedup on (user_id, event_type) within the watermark window
+    (dropDuplicatesWithinWatermark keeps the first arrival per key)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+def run_stream_to_memory(df: DataFrame, query_name: str,
+                         output_mode: str = "append",
+                         timeout_sec: int = 120) -> DataFrame:
+    """Run a streaming frame to completion against a memory sink and return
+    the collected result as a batch DataFrame (test/diagnostic helper)."""
+    q = (df.writeStream
+         .format("memory")
+         .queryName(query_name)
+         .outputMode(output_mode)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(timeout_sec)
+    return df.sparkSession.table(query_name)

@@ -1,0 +1,95 @@
+"""L5 multimodal plumbing: binary payload columns, typed metadata pruning,
+Arrow-batched decode/resize/frame-sample/audio ops via mapInPandas."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bioio_spark.functions.multimodal import (
+    FakeCodec,
+    PillowCodec,
+    audio_window_energy,
+    decode_features,
+    resize_images,
+    sample_frames,
+    synth_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return synth_media(spark, 24).cache()
+
+
+def test_codec_roundtrip():
+    payload = FakeCodec.encode(7, "image", 16, 12, 1)
+    arr = FakeCodec.decode(payload)
+    assert arr.shape == (1, 12, 16)
+    # deterministic: same id -> same bytes
+    assert payload == FakeCodec.encode(7, "image", 16, 12, 1)
+    with pytest.raises(ValueError):
+        FakeCodec.decode(b"nope" + payload)
+
+
+def test_real_codec_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        PillowCodec.decode(b"anything")
+
+
+def test_decode_features(media):
+    feats = decode_features(media)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert len(rows) == 24
+    img = rows[0]
+    assert img["kind"] == "image" and img["n_frames"] == 1
+    vid = rows[2]
+    assert vid["kind"] == "video" and vid["n_frames"] >= 4
+    # stats match a local decode
+    local = FakeCodec.decode(
+        media.filter(F.col("media_id") == 0).collect()[0]["payload"])
+    assert rows[0]["mean_value"] == pytest.approx(float(local.mean()))
+
+
+def test_metadata_prunes_before_decode(media):
+    # filter on typed metadata only — no decode required; plan has no
+    # MapInPandas below the filter
+    wide = media.filter(F.col("meta.width") >= 32).select("media_id")
+    assert "MapInPandas" not in wide._jdf.queryExecution().executedPlan().toString()
+    assert wide.count() > 0
+
+
+def test_resize_images(media):
+    resized = resize_images(media, 8, 6)
+    out = {r["media_id"]: r for r in resized.collect()}
+    assert len(out) == 24
+    img_row = out[0]
+    assert img_row["meta"]["width"] == 8 and img_row["meta"]["height"] == 6
+    arr = FakeCodec.decode(bytes(img_row["payload"]))
+    assert arr.shape == (1, 6, 8)
+    # audio rows untouched
+    assert out[1]["meta"]["width"] == 800
+
+
+def test_sample_frames(media):
+    frames = sample_frames(media, every_k=2).collect()
+    assert all(r["frame_idx"] % 2 == 0 for r in frames)
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    # video with 4 frames sampled every 2 -> frames 0, 2
+    assert sorted(by_media[2]) == [0, 2]
+
+
+def test_audio_window_energy(media):
+    e = audio_window_energy(media, window=100).collect()
+    assert len(e) > 0
+    # 800 samples / 100 -> 8 windows per audio row
+    counts = {}
+    for r in e:
+        counts[r["media_id"]] = counts.get(r["media_id"], 0) + 1
+    assert set(counts.values()) == {8}
+    # energy matches local computation for one row
+    local = FakeCodec.decode(FakeCodec.encode(1, "audio", 800, 1, 1))
+    want = local.reshape(-1)[:100].astype(np.float64).mean()
+    got = [r["energy"] for r in e if r["media_id"] == 1 and r["window_idx"] == 0]
+    assert got[0] == pytest.approx(want)

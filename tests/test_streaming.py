@@ -1,0 +1,67 @@
+"""Structured Streaming execution tests: stream the events parquet through
+the file source (one file per trigger) and check streaming results equal the
+batch-mode oracle queries (streaming/batch share append-mode semantics)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from bioio_spark.queries import REGISTRY
+from bioio_spark.streaming import (
+    read_event_stream,
+    run_stream_to_memory,
+    streaming_dedup,
+    streaming_session_windows,
+    streaming_tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("event_stream")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir, stream_dir):
+    """Append mode emits a window only once the watermark passes its end;
+    the trailing windows (within the 30-min watermark of the max event
+    timestamp) are legitimately withheld when the stream ends."""
+    stream = read_event_stream(spark, stream_dir)
+    assert stream.isStreaming
+    result = run_stream_to_memory(
+        streaming_tumbling_counts(stream), "t_tumbling", "append")
+    got = {tuple(r) for r in result.collect()}
+    want = {tuple(r) for r in
+            REGISTRY["s1_tumbling_window"].fn(spark, sf_dir).collect()}
+    assert got <= want
+    max_ts = (REGISTRY["s1_tumbling_window"].fn(spark, sf_dir)
+              .agg(F.max("window_start")).collect()[0][0])
+    import datetime
+    cutoff = max_ts - datetime.timedelta(minutes=41)
+    withheld = want - got
+    assert all(r[0] >= cutoff for r in withheld), withheld
+
+
+def test_streaming_sessions_equal_batch(spark, sf_dir, stream_dir):
+    stream = read_event_stream(spark, stream_dir)
+    result = run_stream_to_memory(
+        streaming_session_windows(stream), "t_sessions", "append")
+    got = {tuple(r) for r in result.collect()}
+    want = {tuple(r) for r in
+            REGISTRY["s2_session_windows"].fn(spark, sf_dir).collect()}
+    assert got <= want
+    # everything except sessions still open within the 2h watermark arrives
+    max_epoch = max(r[1] for r in want)
+    withheld = want - got
+    assert all(r[1] >= max_epoch - 3 * 3600 for r in withheld), withheld
+
+
+def test_streaming_dedup_one_row_per_key(spark, stream_dir):
+    stream = read_event_stream(spark, stream_dir)
+    result = run_stream_to_memory(
+        streaming_dedup(stream), "t_dedup", "append")
+    rows = result.groupBy("user_id", "event_type").count()
+    assert rows.filter(F.col("count") > 1).count() == 0
+    assert result.count() == rows.count()
