@@ -66,6 +66,115 @@ ORDER BY cosine_sim DESC, e.vec_id LIMIT 10
 """
 
 
+N_CENTROIDS = 8
+N_PROBE = 2
+
+
+def ivf_topk(embeddings: DataFrame, query_vec_id: int = 1, k: int = 10,
+             n_centroids: int = N_CENTROIDS, n_probe: int = N_PROBE
+             ) -> DataFrame:
+    """IVF-style ANN top-k: the scale path for similarity search.
+
+    Train: centroids = the first `n_centroids` vectors by vec_id
+    (deterministic stand-in for k-means — the *index structure* is what's
+    exercised; swapping in real k-means centroids changes no plan shape).
+    Assign: each vector to its max-cosine centroid, computed PER ROW against
+    broadcast literal centroids via higher-order functions — a narrow
+    projection, no shuffle, no 8x row duplication (vs the naive
+    crossJoin + window argmax).
+    Probe: the query searches only the `n_probe` centroids nearest to it
+    (picked driver-side at build time, like any ANN index probe); exact
+    cosine + top-k within the probed inverted lists.
+
+    At 100 TB: assignment is embarrassingly parallel; the probed filter cuts
+    the candidate set by ~n_centroids/n_probe before the only wide op
+    (TakeOrderedAndProject top-k, which aggregates per-partition heaps).
+    Tie-break: equal cosine -> smallest centroid id (matches oracle's
+    ORDER BY cos DESC, cid ASC).
+    """
+    emb = embeddings.select(
+        "vec_id", "label", _to_double(F.col("embedding")).alias("e"))
+    cent_rows = (emb.filter(F.col("vec_id") < n_centroids)
+                 .select("vec_id", "e").collect())
+    cents = {int(r["vec_id"]): list(r["e"]) for r in cent_rows}
+    q_vec = emb.filter(F.col("vec_id") == query_vec_id).first()["e"]
+
+    def _cos_py(a, b):
+        # sequential fold, same accumulation order as F.aggregate/DuckDB
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return dot / ((na ** 0.5) * (nb ** 0.5))
+
+    probe_ids = [cid for cid, _ in sorted(
+        ((cid, _cos_py(q_vec, v)) for cid, v in cents.items()),
+        key=lambda t: (-t[1], t[0]))[:n_probe]]
+
+    def _cos_lit(vec):
+        lit = F.array(*[F.lit(float(v)) for v in vec])
+        return _dot(F.col("e"), lit) / (_norm(F.col("e")) * _norm(lit))
+
+    # per-row argmax over centroids: greatest() on (cos, -cid) structs —
+    # lexicographic struct compare gives max-cos, ties to smallest cid
+    assigned = F.greatest(*[
+        F.struct(_cos_lit(vec).alias("s"), F.lit(-cid).alias("n"))
+        for cid, vec in sorted(cents.items())
+    ])["n"] * -1
+    return (
+        emb.withColumn("cid", assigned.cast("int"))
+        .filter(F.col("cid").isin(probe_ids))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "label", _cos_lit(q_vec).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def _ivf_oracle(query_vec_id: int = 1, k: int = 10,
+                n_centroids: int = N_CENTROIDS,
+                n_probe: int = N_PROBE) -> str:
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM e WHERE vec_id < {n_centroids}),
+    q AS (SELECT e AS q FROM e WHERE vec_id = {query_vec_id}),
+    assigned AS (
+      SELECT e.vec_id, e.label, e.e, cent.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.e, cent.ce)
+                          / (sqrt(list_dot_product(e.e, e.e))
+                             * sqrt(list_dot_product(cent.ce, cent.ce))) DESC,
+                        cent.cid ASC) AS rn
+      FROM e CROSS JOIN cent
+    ),
+    probes AS (
+      SELECT cent.cid,
+             row_number() OVER (
+               ORDER BY list_dot_product(q.q, cent.ce)
+                          / (sqrt(list_dot_product(q.q, q.q))
+                             * sqrt(list_dot_product(cent.ce, cent.ce))) DESC,
+                        cent.cid ASC) AS prn
+      FROM cent CROSS JOIN q
+    )
+    SELECT a.vec_id, a.label,
+           list_dot_product(a.e, q.q)
+             / (sqrt(list_dot_product(a.e, a.e))
+                * sqrt(list_dot_product(q.q, q.q))) AS cosine_sim
+    FROM assigned a
+    JOIN probes p ON a.cid = p.cid AND p.prn <= {n_probe}
+    CROSS JOIN q
+    WHERE a.rn = 1 AND a.vec_id != {query_vec_id}
+    ORDER BY cosine_sim DESC, a.vec_id LIMIT {k}
+    """
+
+
+IVF_TOPK_ORACLE = _ivf_oracle()
+
+
 def lsh_near_duplicates(embeddings: DataFrame,
                         threshold: float = 0.3) -> DataFrame:
     """Sign-bucket LSH: pairs within a bucket with cosine >= threshold."""

@@ -193,6 +193,38 @@ def img_scene_stack(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# P8: label-based (.loc) selection — physical-coordinate range predicates
+# resolved through the coords dimension table (broadcast join per dim).
+# Physical steps: T interval 1.5 s, Y/X pixel size 0.5 um; bounds select
+# T in [1.5, 6.0] s (idx 1..4) and Y in [0.5, 1.5] um (idx 1..3).
+# --------------------------------------------------------------------------
+@register(
+    "img_loc_select",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL})
+    SELECT t, c, z, y, x, value FROM px
+    WHERE t * 1.5 >= 1.5 AND t * 1.5 <= 6.0
+      AND y * 0.5 >= 0.5 AND y * 0.5 <= 1.5
+    ORDER BY t, c, z, y, x
+    """,
+    doc="P8 .loc physical-coordinate selection via coords-table join",
+)
+def img_loc_select(spark, sf_dir):
+    from bioio_spark.dimensions import Dimensions
+    from bioio_spark.operators.loc import build_coords, loc_select
+    from bioio_spark.types import PhysicalPixelSizes
+
+    px = _gen_pixels(spark)
+    dims = Dimensions("TCZYX", (T, C, Z, Y, X))
+    coords = build_coords(
+        spark, dims,
+        physical_pixel_sizes=PhysicalPixelSizes(Z=2.0, Y=0.5, X=0.5),
+        time_interval=1.5)
+    return (loc_select(px, coords, {"T": (1.5, 6.0), "Y": (0.5, 1.5)})
+            .orderBy("t", "c", "z", "y", "x"))
+
+
+# --------------------------------------------------------------------------
 # C4/D8: resolution-level shape aggregation (dims answered relationally).
 # --------------------------------------------------------------------------
 @register(

@@ -17,6 +17,7 @@ from bioio_spark.functions.dedup import (
 )
 from bioio_spark.functions.similarity import (
     cosine_topk,
+    ivf_topk,
     lsh_near_duplicates,
 )
 from bioio_spark.functions.text import (
@@ -61,6 +62,12 @@ def l2c_ngram_jaccard(spark, sf_dir):
 def l3_cosine_topk(spark, sf_dir):
     return cosine_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0,
                        k=10)
+
+
+@register("l3c_ivf_topk", oracle=_sim.IVF_TOPK_ORACLE,
+          doc="L3 IVF-partitioned ANN cosine top-k (probe 2 of 8 lists)")
+def l3c_ivf_topk(spark, sf_dir):
+    return ivf_topk(load(spark, sf_dir, "embeddings"), query_vec_id=1, k=10)
 
 
 @register("l3b_lsh_near_dup", oracle=_sim.LSH_NEAR_DUP_ORACLE,
