@@ -8,5 +8,7 @@ from bioio_spark.queries import relational  # noqa: F401
 from bioio_spark.queries import llm  # noqa: F401
 from bioio_spark.queries import image  # noqa: F401
 from bioio_spark.queries import streaming_batch  # noqa: F401
+from bioio_spark.queries import meta  # noqa: F401
+from bioio_spark.queries import multimodal  # noqa: F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "load"]

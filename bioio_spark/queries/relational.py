@@ -518,3 +518,42 @@ def a11_scalar_functions(spark, sf_dir):
             F.length("event_type").alias("type_len"))
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# A1b: salted two-stage aggregation — the skew-mitigation pattern for hot
+# group keys. Stage 1 aggregates on (key, salt) so a skewed key's rows spread
+# over 16 reducers; stage 2 combines the 16 partials per key. At 100 TB a
+# single hot key (think one dominant language or returnflag) would otherwise
+# pin one reducer; salting caps per-task input at ~1/16th of the hot key.
+# Counts/sums compose exactly, so the result is identical to the unsalted
+# plan — which is exactly what the oracle checks.
+# --------------------------------------------------------------------------
+@register(
+    "a1b_salted_skew_agg",
+    oracle="""
+    SELECT l_returnflag,
+           sum(l_quantity) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_price,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="A1b salted two-stage aggregation (skew-safe, result-identical)",
+)
+def a1b_salted_skew_agg(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    salted = li.withColumn("salt", F.pmod(F.hash("l_orderkey"), F.lit(16)))
+    partial = (
+        salted.groupBy("l_returnflag", "salt")
+        .agg(F.sum("l_quantity").alias("p_qty"),
+             F.sum(_dec(F.col("l_extendedprice"))).alias("p_price"),
+             F.count(F.lit(1)).alias("p_cnt")))
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(F.sum("p_qty").alias("sum_qty"),
+             F.sum("p_price").cast("double").alias("sum_price"),
+             F.sum("p_cnt").alias("count_order"))
+        .orderBy("l_returnflag"))

@@ -116,3 +116,42 @@ def s3_first_event_dedup(spark, sf_dir):
              F.count(F.lit(1)).alias("n_events"))
         .orderBy("user_id", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Sliding window (10-minute window, 5-minute slide): each event lands in two
+# overlapping windows. Spark's window() emits both assignments natively; the
+# oracle unnests the two candidate window starts per event. Scale: in
+# streaming this doubles state size vs tumbling — watermark eviction bounds
+# it; in batch it's an explode + hash agg (no shuffle beyond the agg).
+# --------------------------------------------------------------------------
+@register(
+    "s4_sliding_window",
+    oracle="""
+    WITH assigned AS (
+      SELECT u.window_start, e.event_type, e.value
+      FROM events e,
+           unnest([time_bucket(INTERVAL '5 minutes', e.ts),
+                   time_bucket(INTERVAL '5 minutes', e.ts)
+                     - INTERVAL '5 minutes']) AS u(window_start)
+    )
+    SELECT window_start, event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+    FROM assigned
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+    doc="S sliding-window (10min/5min) counts over events",
+)
+def s4_sliding_window(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    win = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        e.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(10,2)"))
+             .cast("double").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "total_value")
+        .orderBy("window_start", "event_type")
+    )
