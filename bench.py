@@ -43,7 +43,16 @@ def main() -> None:
     from bioio_spark.session import get_session
 
     spark = get_session("bioio_spark_bench")
-    spark.range(1000).count()  # JVM warmup
+    # JVM + codegen warmup: touch the parquet reader and the decimal/window
+    # codegen paths once so the first timed query measures the query, not
+    # one-time JIT. No query results are cached (nothing calls .cache()).
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    spark.range(1000).count()
+    (spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(256)
+     .withColumn("rn", F.row_number().over(
+         Window.partitionBy("l_returnflag").orderBy("l_orderkey")))
+     .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)"))).collect())
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -249,31 +249,33 @@ JACCARD_THRESHOLD = 0.05
 
 
 def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
-    """Jaccard over distinct 3-gram shingles, blocked by (lang, source)."""
+    """Jaccard over distinct 3-gram shingles, blocked by (lang, source).
+
+    The shingle-set size rides along as a struct field through the explode
+    and the pair enumeration, so |A|/|B| are already on every pair row —
+    one pass over the shingle pipeline and zero size-lookup joins (the
+    previous plan shingled twice and shuffled twice more for the joins).
+    """
     docs = _shingled(documents, "lang", "source")
-    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
-    ex = docs.select("doc_id", "lang", "source",
-                     F.explode("sh").alias("shingle"))
+    ex = docs.select(
+        F.struct("doc_id", F.size("sh").alias("n_sh")).alias("doc"),
+        "lang", "source", F.explode("sh").alias("shingle"))
     # each (lang, source, shingle) bucket contributes 1 to the intersection
     # of every doc pair in it; shingles are distinct per doc, so counting
-    # pair occurrences across buckets = |A ∩ B|
-    inter = (
-        _bucket_pairs(ex, ["lang", "source", "shingle"], "doc_id")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"),
-                      F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"),
-                      F.col("n_sh").alias("n_b"))
+    # pair occurrences across buckets = |A ∩ B|. Structs sort by doc_id
+    # first, so pair order (doc_a < doc_b) is preserved.
+    pairs = _bucket_pairs(ex, ["lang", "source", "shingle"], "doc")
     return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .select(
+            F.col("doc_a.doc_id").alias("doc_a"),
+            F.col("doc_b.doc_id").alias("doc_b"),
+            "n_inter",
+            (F.col("n_inter")
+             / (F.col("doc_a.n_sh") + F.col("doc_b.n_sh")
+                - F.col("n_inter"))).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "n_inter", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
 

@@ -58,5 +58,45 @@ def load(spark: SparkSession, sf_dir: str, *names: str):
         if n == "events":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000")))
-        dfs.append(df)
+        dfs.append(_fan_out(spark, df, n))
     return dfs[0] if len(dfs) == 1 else tuple(dfs)
+
+
+# Hash-partitioning key per table for the small-input fan-out (primary key,
+# so the spread is uniform and retry-deterministic — round-robin repartition
+# would force an extra per-partition sort).
+_FAN_OUT_KEY = {
+    "region": "r_regionkey", "nation": "n_nationkey",
+    "customer": "c_custkey", "supplier": "s_suppkey", "part": "p_partkey",
+    "orders": "o_orderkey", "lineitem": "l_orderkey", "events": "event_id",
+    "documents": "doc_id", "embeddings": "vec_id",
+}
+
+# Tables small enough to always broadcast — fanning them out would only add
+# an exchange in front of a join that should stay broadcast.
+_NO_FAN_OUT = {"region", "nation"}
+
+
+def _fan_out(spark, df: DataFrame, name: str) -> DataFrame:
+    """Spread a low-parallelism scan across the cluster's cores.
+
+    Parquet cannot split below a row group, so a table written as one row
+    group (the test fixtures; also common for small dims in real lakes)
+    yields a single-task scan stage — and every narrow transform above it
+    (shingling, decimal partial aggregation, tokenization) runs on ONE core.
+    When the scan's parallelism is well below the cores available, one cheap
+    hash exchange on the primary key fans the narrow work out. At real scale
+    (many files / row groups) scan parallelism >= cores and this is a no-op,
+    so the 100 TB plan never pays the extra shuffle.
+    """
+    if name in _NO_FAN_OUT:
+        return df
+    try:
+        n_scan = df.rdd.getNumPartitions()
+        cores = spark.sparkContext.defaultParallelism
+    except Exception:
+        return df
+    if n_scan * 2 > cores:
+        return df
+    key = _FAN_OUT_KEY.get(name)
+    return df.repartition(cores, key) if key else df.repartition(cores)
