@@ -71,12 +71,27 @@ def apply_selectors(
                 plan = plan.drop(col)
         elif rs.kind == "fancy":
             idx = [int(i) for i in rs.indices]
-            plan = plan.filter(F.col(col).isin(idx))
-            # dense re-index in listed order; array_position is evaluated
-            # against a literal array -> stays in whole-stage codegen
-            arr = F.array(*[F.lit(i) for i in idx])
-            plan = plan.withColumn(
-                col, (F.array_position(arr, F.col(col)) - 1).cast("int"))
+            plan = plan.filter(F.col(col).isin(list(set(idx))))
+            if len(set(idx)) == len(idx):
+                # dense re-index in listed order; array_position against a
+                # literal array -> stays in whole-stage codegen
+                arr = F.array(*[F.lit(i) for i in idx])
+                plan = plan.withColumn(
+                    col, (F.array_position(arr, F.col(col)) - 1).cast("int"))
+            else:
+                # duplicated indices replicate their hyperplane (numpy fancy
+                # indexing semantics): explode the list positions matching
+                # this row's index — row multiplication without a join, and
+                # the isin() above still reaches the parquet scan.
+                positions = F.array(*[
+                    F.struct(F.lit(i).alias("old"),
+                             F.lit(pos).cast("int").alias("new"))
+                    for pos, i in enumerate(idx)])
+                matches = F.filter(
+                    positions, lambda s: s["old"] == F.col(col))
+                plan = (plan.withColumn("__fancy_pos", F.explode(matches))
+                        .withColumn(col, F.col("__fancy_pos.new"))
+                        .drop("__fancy_pos"))
             if in_out:
                 out_shape[letter] = len(idx)
             else:
