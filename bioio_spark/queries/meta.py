@@ -233,3 +233,68 @@ def d4_channel_names(spark, sf_dir):
     return (ch.groupBy("scene_idx")
             .agg(ordered.alias("channel_names"))
             .orderBy("scene_idx"))
+
+
+# --------------------------------------------------------------------------
+# D2: ome_metadata — raw per-scene XML parsed into a nested struct with
+# from_xml (attributes, nested Channel array), then flattened to the
+# StandardMetadata scalars (ref bio_image.py:1021-1036; metadata tiers
+# SURVEY §1.1). The oracle extracts the same fields from the same literal
+# XML with regexes — a parser-independent cross-check.
+# --------------------------------------------------------------------------
+def _ome_xml(i: int) -> str:
+    chans = "".join(
+        f'<Channel ID="Channel:{i}:{c}" Name="Ch{i}-{c}"/>'
+        for c in range(2 + i % 2))
+    return (f'<Image ID="Image:{i}" Name="scene{i}">'
+            f'<Pixels SizeX="{32 * (i + 1)}" SizeY="{16 * (i + 1)}" '
+            f'SizeC="{2 + i % 2}" PhysicalSizeX="0.{25 + i}">'
+            f'{chans}</Pixels></Image>')
+
+
+_D2_N = 3
+_D2_XML_VALUES = ", ".join(
+    f"({i}, '{_ome_xml(i)}')" for i in range(_D2_N))
+
+_OME_SCHEMA = (
+    "STRUCT<_ID: STRING, _Name: STRING, Pixels: STRUCT<"
+    "_SizeX: INT, _SizeY: INT, _SizeC: INT, _PhysicalSizeX: DOUBLE, "
+    "Channel: ARRAY<STRUCT<_ID: STRING, _Name: STRING>>>>")
+
+
+@register(
+    "d2_ome_metadata",
+    oracle=f"""
+    WITH raw(scene_idx, xml) AS (VALUES {_D2_XML_VALUES})
+    SELECT scene_idx,
+           regexp_extract(xml, 'Name="([^"]+)"', 1) AS image_name,
+           CAST(regexp_extract(xml, 'SizeX="(\\d+)"', 1) AS INTEGER)
+             AS size_x,
+           CAST(regexp_extract(xml, 'SizeY="(\\d+)"', 1) AS INTEGER)
+             AS size_y,
+           CAST(regexp_extract(xml, 'SizeC="(\\d+)"', 1) AS INTEGER)
+             AS size_c,
+           CAST(regexp_extract(xml, 'PhysicalSizeX="([0-9.]+)"', 1)
+                AS DOUBLE) AS physical_size_x,
+           regexp_extract_all(xml, '<Channel[^>]*Name="([^"]+)"', 1)
+             AS channel_names
+    FROM raw ORDER BY scene_idx
+    """,
+    doc="D2 OME-XML metadata parse to nested struct + flat scalars",
+)
+def d2_ome_metadata(spark, sf_dir):
+    raw = spark.createDataFrame(
+        [(i, _ome_xml(i)) for i in range(_D2_N)],
+        "scene_idx int, xml string")
+    ome = F.from_xml("xml", _OME_SCHEMA)
+    return (raw.select("scene_idx", ome.alias("ome"))
+            .select(
+                "scene_idx",
+                F.col("ome._Name").alias("image_name"),
+                F.col("ome.Pixels._SizeX").alias("size_x"),
+                F.col("ome.Pixels._SizeY").alias("size_y"),
+                F.col("ome.Pixels._SizeC").alias("size_c"),
+                F.col("ome.Pixels._PhysicalSizeX").alias("physical_size_x"),
+                F.transform(F.col("ome.Pixels.Channel"),
+                            lambda c: c["_Name"]).alias("channel_names"))
+            .orderBy("scene_idx"))

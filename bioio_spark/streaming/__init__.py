@@ -5,6 +5,7 @@ from bioio_spark.streaming.events import (
     streaming_dedup,
     run_stream_to_memory,
 )
+from bioio_spark.streaming.stateful import stateful_user_totals
 
 __all__ = [
     "read_event_stream",
@@ -12,4 +13,5 @@ __all__ = [
     "streaming_session_windows",
     "streaming_dedup",
     "run_stream_to_memory",
+    "stateful_user_totals",
 ]

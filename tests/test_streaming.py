@@ -65,3 +65,38 @@ def test_streaming_dedup_one_row_per_key(spark, stream_dir):
     rows = result.groupBy("user_id", "event_type").count()
     assert rows.filter(F.col("count") > 1).count() == 0
     assert result.count() == rows.count()
+
+
+def test_stateful_user_totals_across_microbatches(
+        spark, sf_dir, tmp_path_factory):
+    """applyInPandasWithState: split events into two files -> two
+    micro-batches; per-user state must carry across triggers so the LAST
+    emission per user equals the batch groupBy aggregate."""
+    import pandas as pd
+
+    from bioio_spark.streaming import stateful_user_totals
+
+    d = tmp_path_factory.mktemp("stateful_stream")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    half = batch.count() // 2
+    pdf = batch.toPandas().sort_values("event_id")
+    pdf.iloc[:half].to_parquet(d / "part-000.parquet", index=False)
+    pdf.iloc[half:].to_parquet(d / "part-001.parquet", index=False)
+
+    stream = read_event_stream(spark, str(d), max_files_per_trigger=1)
+    result = run_stream_to_memory(
+        stateful_user_totals(stream), "t_stateful", "update").toPandas()
+    # update mode emits once per (user, batch); the final emission is the
+    # one with the largest running count (monotone across batches —
+    # memory-sink row order is not guaranteed)
+    final = (result.sort_values("n_events").groupby("user_id").last()
+             .sort_index())
+
+    want = (batch.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("total_value"))
+            .toPandas().set_index("user_id").sort_index())
+    assert (final["n_events"] == want["n_events"]).all()
+    pd.testing.assert_series_equal(
+        final["total_value"], want["total_value"],
+        rtol=1e-9, check_names=False)
