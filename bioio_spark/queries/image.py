@@ -259,3 +259,57 @@ def img_res_level_dims(spark, sf_dir):
                  (F.max("x") + 1).alias("size_x"),
                  F.count(F.lit(1)).alias("n_pixels"))
             .orderBy("res_level"))
+
+
+# --------------------------------------------------------------------------
+# Chunked plane representation (SURVEY §1.3 / §7): pixels -> dense row-major
+# YX tiles -> pixels must be the identity, hash-checked against the same
+# generator SQL the pixel fixture uses. This pins the 100 TB layout's
+# correctness (tile keying, ragged edges, row-major packing).
+# --------------------------------------------------------------------------
+@register(
+    "img_planes_roundtrip",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL})
+    SELECT t, c, z, y, x, value FROM px ORDER BY t, c, z, y, x
+    """,
+    doc="planes layout roundtrip: pixels -> 2x3 tiles -> pixels identity",
+)
+def img_planes_roundtrip(spark, sf_dir):
+    from bioio_spark.operators.planes import (pixels_to_planes,
+                                              planes_to_pixels)
+
+    px = _gen_pixels(spark)
+    planes = pixels_to_planes(px, tile_h=2, tile_w=3)
+    return (planes_to_pixels(planes)
+            .select("t", "c", "z", "y", "x", "value")
+            .orderBy("t", "c", "z", "y", "x"))
+
+
+# --------------------------------------------------------------------------
+# Tile-pruned YX window selection over the plane layout: only tiles
+# overlapping the window are read; per-(t,c) window means must equal the
+# direct pixel-space SQL.
+# --------------------------------------------------------------------------
+@register(
+    "img_plane_window",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL})
+    SELECT t, c, avg(value) AS window_mean, count(*) AS n_px
+    FROM px
+    WHERE y BETWEEN 1 AND 2 AND x BETWEEN 1 AND 3
+    GROUP BY t, c ORDER BY t, c
+    """,
+    doc="tile-pruned YX window aggregation over the plane layout",
+)
+def img_plane_window(spark, sf_dir):
+    from bioio_spark.operators.planes import (pixels_to_planes,
+                                              select_window)
+
+    px = _gen_pixels(spark)
+    planes = pixels_to_planes(px, tile_h=2, tile_w=3)
+    win = select_window(planes, y_lo=1, y_hi=2, x_lo=1, x_hi=3)
+    return (win.groupBy("t", "c")
+            .agg(F.avg("value").alias("window_mean"),
+                 F.count(F.lit(1)).alias("n_px"))
+            .orderBy("t", "c"))

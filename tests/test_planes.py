@@ -1,0 +1,56 @@
+"""Chunked plane layout: roundtrip, window pruning, ndarray assembly."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from bioio_spark.operators.planes import (
+    assemble_ndarray,
+    pixels_to_planes,
+    planes_to_pixels,
+    select_window,
+)
+
+
+def _pixels(spark, arr):
+    t, c, y, x = arr.shape
+    rows = [(int(ti), int(ci), int(yi), int(xi), float(arr[ti, ci, yi, xi]))
+            for ti in range(t) for ci in range(c)
+            for yi in range(y) for xi in range(x)]
+    return spark.createDataFrame(
+        rows, "t int, c int, y int, x int, value double")
+
+
+def test_roundtrip_ragged_tiles(spark):
+    arr = np.arange(2 * 2 * 5 * 7, dtype=np.float64).reshape(2, 2, 5, 7)
+    px = _pixels(spark, arr)
+    planes = pixels_to_planes(px, tile_h=2, tile_w=3)
+    # 5 rows -> tiles of h 2,2,1; 7 cols -> w 3,3,1
+    hw = {(r["h"], r["w"]) for r in planes.collect()}
+    assert hw == {(2, 3), (2, 1), (1, 3), (1, 1)}
+    back = planes_to_pixels(planes)
+    got = {(r["t"], r["c"], r["y"], r["x"]): r["value"]
+           for r in back.collect()}
+    assert len(got) == arr.size
+    for k, v in got.items():
+        assert arr[k] == v
+
+
+def test_assemble_matches_numpy(spark):
+    arr = np.arange(3 * 2 * 6 * 4, dtype=np.float64).reshape(3, 2, 6, 4)
+    px = _pixels(spark, arr)
+    planes = pixels_to_planes(px, tile_h=4, tile_w=4)
+    out = assemble_ndarray(planes, "TC", arr.shape)
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_window_prunes_tiles(spark):
+    arr = np.arange(1 * 1 * 8 * 8, dtype=np.float64).reshape(1, 1, 8, 8)
+    px = _pixels(spark, arr)
+    planes = pixels_to_planes(px, tile_h=4, tile_w=4).cache()
+    win = select_window(planes, y_lo=0, y_hi=2, x_lo=5, x_hi=7)
+    rows = win.collect()
+    assert len(rows) == 3 * 3
+    np.testing.assert_array_equal(
+        sorted(r["value"] for r in rows),
+        sorted(arr[0, 0, 0:3, 5:8].ravel()))
+    planes.unpersist()
