@@ -199,3 +199,36 @@ SELECT doc_id,
          (acc, h) -> (acc * 31 + h) % {MOD}) AS fingerprint
 FROM documents ORDER BY doc_id
 """
+
+
+# -- BPE-ish subword token counting ---------------------------------------
+
+# GPT-2-style pre-tokenizer classes, restricted to RE2-compatible syntax
+# (no lookahead) so Spark's Java regex and DuckDB's RE2 match identically:
+# optional leading space + (letters | digits | other-non-space run).
+_BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_stats(documents: DataFrame) -> DataFrame:
+    """Subword-style token counts: the scheduling unit for LLM training-data
+    budgets (whitespace words over-count CJK/punct, under-count numbers).
+    Pure regexp projection — whole-stage codegen, no shuffle."""
+    toks = F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)
+    return (
+        documents.select(
+            "doc_id",
+            F.size(toks).alias("n_bpe_tokens"),
+            (F.length("text") / F.size(toks)).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BPE_TOKEN_ORACLE = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS n_bpe_tokens,
+       length(text)
+         / CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS DOUBLE)
+         AS chars_per_token
+FROM documents ORDER BY doc_id
+"""

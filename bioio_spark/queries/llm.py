@@ -99,3 +99,10 @@ def l4c_quality_score(spark, sf_dir):
           doc="L4 rolling-hash document fingerprint")
 def l4d_fingerprint(spark, sf_dir):
     return rolling_fingerprint(load(spark, sf_dir, "documents"))
+
+
+@register("l4e_bpe_tokens", oracle=_text.BPE_TOKEN_ORACLE,
+          doc="L4 BPE-ish regex subword token counting")
+def l4e_bpe_tokens(spark, sf_dir):
+    from bioio_spark.functions.text import bpe_token_stats
+    return bpe_token_stats(load(spark, sf_dir, "documents"))

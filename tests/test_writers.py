@@ -1,0 +1,43 @@
+"""S10 writer surface: scene-partitioned parquet sink roundtrip + the
+OME-TIFF stub contract (real registry, gated encode)."""
+
+import numpy as np
+import pytest
+
+from bioio_spark.bio_image import BioImage
+from bioio_spark.writers import WRITER_REGISTRY, OmeTiffWriter, save_parquet
+
+
+def test_save_parquet_roundtrip(spark, tmp_path):
+    a = np.arange(24, dtype=np.float64).reshape(2, 3, 4)
+    b = np.arange(24, 48, dtype=np.float64).reshape(2, 3, 4)
+    img = BioImage([a, b], dim_order="CYX", spark=spark)
+    uri = str(tmp_path / "img.parquet")
+    save_parquet(img, uri)
+
+    back = spark.read.parquet(uri)
+    assert back.count() == 48
+    # partition values preserved per scene
+    assert {r["scene_idx"] for r in
+            back.select("scene_idx").distinct().collect()} == {0, 1}
+    got = (back.filter("scene_idx = 1").orderBy("c", "y", "x")
+           .select("value").toPandas()["value"].to_numpy())
+    np.testing.assert_array_equal(got, b.ravel())
+
+
+def test_save_parquet_scene_selection(spark, tmp_path):
+    a = np.zeros((1, 2, 2))
+    b = np.ones((1, 2, 2))
+    img = BioImage([a, b], dim_order="CYX", spark=spark)
+    uri = str(tmp_path / "sel.parquet")
+    save_parquet(img, uri, select_scenes=[1])
+    back = spark.read.parquet(uri)
+    assert back.select("scene_idx").distinct().collect()[0][0] == 1
+    # save must not disturb the handle's current scene
+    assert img.current_scene_index == 0
+
+
+def test_ome_tiff_writer_is_registered_and_gated():
+    assert WRITER_REGISTRY["OmeTiffWriter"] is OmeTiffWriter
+    with pytest.raises(NotImplementedError):
+        OmeTiffWriter.save(data=[], uri="/tmp/x.ome.tiff")
