@@ -62,19 +62,21 @@ def load(spark: SparkSession, sf_dir: str, *names: str):
     return dfs[0] if len(dfs) == 1 else tuple(dfs)
 
 
-# Hash-partitioning key per table for the small-input fan-out (primary key,
-# so the spread is uniform and retry-deterministic — round-robin repartition
-# would force an extra per-partition sort).
+# Hash-partitioning key per table for the small-input fan-out. Keys are
+# chosen for downstream exchange reuse, not just uniformity: lineitem/orders
+# fan out on the join key the A8 queries co-partition on; events on user_id,
+# which satisfies the clustered distribution of the per-user session/dedup
+# aggregations (a hash partitioning on a subset of the grouping keys is
+# reusable). Keyed repartition also avoids round-robin's per-partition sort.
 _FAN_OUT_KEY = {
-    "region": "r_regionkey", "nation": "n_nationkey",
-    "customer": "c_custkey", "supplier": "s_suppkey", "part": "p_partkey",
-    "orders": "o_orderkey", "lineitem": "l_orderkey", "events": "event_id",
+    "orders": "o_orderkey", "lineitem": "l_orderkey", "events": "user_id",
     "documents": "doc_id", "embeddings": "vec_id",
 }
 
-# Tables small enough to always broadcast — fanning them out would only add
-# an exchange in front of a join that should stay broadcast.
-_NO_FAN_OUT = {"region", "nation"}
+# Dimension tables are broadcast on the build side of every join they appear
+# in — fanning them out would add an exchange that feeds a broadcast, pure
+# waste; their narrow map work is trivial anyway.
+_NO_FAN_OUT = {"region", "nation", "customer", "supplier", "part"}
 
 
 def _fan_out(spark, df: DataFrame, name: str) -> DataFrame:
