@@ -239,6 +239,28 @@ class BioImage:
         plan, out_dims = apply_selectors(px, dims, order, selectors)
         return to_ndarray(plan, out_dims)
 
+    def loc(self, **bounds) -> DataFrame:
+        """P8 label-based selection: physical-coordinate ranges instead of
+        indices (analog of xarray `.loc`, ref docs/OVERVIEW.md:337-354).
+
+        Bounds are per-dim (lo, hi) tuples in physical units — seconds on T,
+        micrometers on Z/Y/X — inclusive both ends like pandas/xarray loc
+        slices: ``img.loc(T=(1.5, 6.0), Y=(0.0, 10.0))``.
+        """
+        from bioio_spark.operators.loc import build_coords, loc_select
+
+        unknown = set(bounds) - set("TZYX")
+        if unknown:
+            raise ValueError(
+                f"loc bounds only apply to physical dims TZYX: "
+                f"{sorted(unknown)}")
+        px, dims = self._standard_pixels()
+        coords = build_coords(
+            self._spark, dims,
+            physical_pixel_sizes=self.physical_pixel_sizes,
+            time_interval=self.time_interval)
+        return loc_select(px, coords, dict(bounds))
+
     @property
     def data(self) -> np.ndarray:
         """Standardized eager array, memoized (ref bio_image.py:700-727)."""

@@ -313,3 +313,39 @@ def img_plane_window(spark, sf_dir):
             .agg(F.avg("value").alias("window_mean"),
                  F.count(F.lit(1)).alias("n_px"))
             .orderBy("t", "c"))
+
+
+# --------------------------------------------------------------------------
+# C4 producer side: resolution-pyramid generation — level k+1 = 2x2 block
+# mean of level k. The oracle recomputes both levels from the generator with
+# nested block-mean SQL (level 2 from level 1, not from level 0, exactly as
+# the operator chains).
+# --------------------------------------------------------------------------
+@register(
+    "img_pyramid",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL}),
+    l1 AS (
+      SELECT t, c, z, CAST(y // 2 AS INTEGER) AS y,
+             CAST(x // 2 AS INTEGER) AS x, avg(value) AS value
+      FROM px GROUP BY t, c, z, y // 2, x // 2
+    ),
+    l2 AS (
+      SELECT t, c, z, CAST(y // 2 AS INTEGER) AS y,
+             CAST(x // 2 AS INTEGER) AS x, avg(value) AS value
+      FROM l1 GROUP BY t, c, z, y // 2, x // 2
+    )
+    SELECT 0 AS res_level, t, c, z, y, x, value FROM px
+    UNION ALL SELECT 1, t, c, z, y, x, value FROM l1
+    UNION ALL SELECT 2, t, c, z, y, x, value FROM l2
+    ORDER BY res_level, t, c, z, y, x
+    """,
+    doc="C4 resolution-pyramid generation via chained 2x2 block means",
+)
+def img_pyramid(spark, sf_dir):
+    from bioio_spark.operators.pyramid import build_pyramid
+
+    px = _gen_pixels(spark)
+    return (build_pyramid(px, n_levels=3)
+            .select("res_level", "t", "c", "z", "y", "x", "value")
+            .orderBy("res_level", "t", "c", "z", "y", "x"))

@@ -557,3 +557,65 @@ def a1b_salted_skew_agg(spark, sf_dir):
              F.sum("p_price").cast("double").alias("sum_price"),
              F.sum("p_cnt").alias("count_order"))
         .orderBy("l_returnflag"))
+
+
+# --------------------------------------------------------------------------
+# A3b: cube — all 2^k grouping-set combinations in one pass (Catalyst
+# expands to a single Expand + hash aggregate; no per-set rescan).
+# --------------------------------------------------------------------------
+@register(
+    "a3b_cube_status",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    doc="A3b cube over order status x priority",
+)
+def a3b_cube_status(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum(_dec(F.col("o_totalprice"), 14, 2)).cast("double")
+             .alias("revenue"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(),
+                 F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+# --------------------------------------------------------------------------
+# A2b: HLL approximate count-distinct — the 100 TB path for cardinality
+# (constant memory per group vs a full distinct shuffle). Approximation has
+# no exact oracle; instead BOTH engines' approximate counts are checked to
+# be within rsd bounds of the exact count, and the exact count itself is
+# the hash-checked column.
+# --------------------------------------------------------------------------
+@register(
+    "a2b_approx_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS exact_custs
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="A2b HLL approx_count_distinct sanity-bounded against exact",
+)
+def a2b_approx_distinct(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    both = (
+        o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("exact_custs"),
+             F.approx_count_distinct("o_custkey", rsd=0.02)
+             .alias("approx_custs"))
+    )
+    # the approximate column is asserted in-plan (within 5 x rsd of exact)
+    # and then dropped so the hashed result is deterministic
+    checked = both.filter(
+        (F.col("approx_custs") >= F.col("exact_custs") * 0.9)
+        & (F.col("approx_custs") <= F.col("exact_custs") * 1.1))
+    return checked.select("o_orderstatus", "exact_custs").orderBy(
+        "o_orderstatus")

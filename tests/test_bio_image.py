@@ -136,3 +136,21 @@ def test_dims_metadata_only_no_job(spark, rng):
     # dims/shape/dtype must come from the catalog, not a Spark job
     assert img.dims.order == "TCZYX"
     assert img.dtype == np.dtype("float64")
+
+
+def test_loc_physical_selection(spark, rng):
+    from bioio_spark.types import PhysicalPixelSizes
+
+    from bioio_spark.bio_image import BioImage
+
+    arr = rng.random((4, 1, 1, 6, 5))
+    img = BioImage(arr, dim_order="TCZYX", spark=spark,
+                   physical_pixel_sizes=PhysicalPixelSizes(Z=1.0, Y=0.5,
+                                                           X=2.0))
+    # Y physical = idx * 0.5 -> [0.5, 1.5] selects y in {1, 2, 3}
+    out = img.loc(Y=(0.5, 1.5)).select("y").distinct().collect()
+    assert {r["y"] for r in out} == {1, 2, 3}
+    # unknown dim rejected
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        img.loc(C=(0, 1))
