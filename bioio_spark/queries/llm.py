@@ -106,3 +106,72 @@ def l4d_fingerprint(spark, sf_dir):
 def l4e_bpe_tokens(spark, sf_dir):
     from bioio_spark.functions.text import bpe_token_stats
     return bpe_token_stats(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# L5 composed pipeline: the end-to-end training-data preparation shape —
+# exact dedup (one hash-partitioned window) -> quality gate (narrow
+# projection) -> per-language token budget (hash agg). Three stages, two
+# shuffles total; every intermediate stays in whole-stage codegen. This is
+# the query a 100 TB corpus run actually executes, so it is pinned as one
+# oracle-checked unit rather than only as parts.
+# --------------------------------------------------------------------------
+_PIPE_ORACLE = r"""
+WITH dd AS (
+  SELECT doc_id, lang, text, n_chars FROM (
+    SELECT doc_id, lang, text, n_chars,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+),
+kept AS (
+  SELECT * FROM (
+    SELECT doc_id, lang, text, n_chars,
+           least(n_chars / 400.0, 1.0) * 0.4
+             + (len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    w -> list_contains(['the','a','or','of','and','to','in'],
+                                       w)))
+                / CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                       AS DOUBLE)) * 0.3
+             + least((length(regexp_replace(text, '\s+', '', 'g'))
+                      / CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                             AS DOUBLE)) / 6.0, 1.0) * 0.3 AS q
+    FROM dd) WHERE q >= 0.5
+)
+SELECT lang, count(*) AS n_docs,
+       sum(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')))
+         AS total_bpe_tokens,
+       sum(n_chars) AS total_chars
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
+@register("l5_training_pipeline", oracle=_PIPE_ORACLE,
+          doc="L5 composed pipeline: dedup -> quality gate -> token budget")
+def l5_training_pipeline(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from bioio_spark.functions.text import STOPWORDS, _WS
+    from bioio_spark.functions.text import _BPE_PATTERN
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dd = (docs.withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") == 1)
+          .select("doc_id", "lang", "text", "n_chars"))
+
+    words = F.split(F.trim(F.col("text")), _WS)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(words)
+    n_stop = F.size(F.filter(words, lambda x: F.array_contains(stop_arr, x)))
+    nospace_len = F.length(F.regexp_replace("text", _WS, ""))
+    q = (F.least(F.col("n_chars") / 400.0, F.lit(1.0)) * 0.4
+         + (n_stop / n_tokens) * 0.3
+         + F.least((nospace_len / n_tokens) / 6.0, F.lit(1.0)) * 0.3)
+    kept = dd.filter(q >= 0.5)
+
+    toks = F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0))
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(toks).alias("total_bpe_tokens"),
+                 F.sum("n_chars").alias("total_chars"))
+            .orderBy("lang"))

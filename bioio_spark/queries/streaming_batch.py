@@ -155,3 +155,46 @@ def s4_sliding_window(spark, sf_dir):
                 "n_events", "total_value")
         .orderBy("window_start", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-stream interval join (batch equivalent): each purchase joined to
+# the same user's clicks in the preceding 10 minutes. In streaming this is
+# the watermarked stream-stream join (both sides buffer state bounded by
+# the watermark + interval); in batch it's an equi-join on user_id with a
+# time-band condition. Scale: the band predicate rides the user_id shuffle,
+# so state/shuffle is per-user, never a cross join.
+# --------------------------------------------------------------------------
+@register(
+    "s5_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_sec
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL '10 minutes' AND c.ts <= p.ts
+    ORDER BY purchase_id, click_id
+    """,
+    doc="S stream-stream interval join batch equivalent (purchase<-clicks)",
+)
+def s5_interval_join(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    p = (e.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id"), F.col("ts").alias("p_ts")))
+    c = (e.filter(F.col("event_type") == "click")
+         .select(F.col("event_id").alias("click_id"),
+                 F.col("user_id").alias("c_user"),
+                 F.col("ts").alias("c_ts")))
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")))
+    return (joined.select(
+        "purchase_id", "click_id", "user_id",
+        ((F.unix_micros("p_ts") - F.unix_micros("c_ts")) / 1_000_000)
+        .cast("long").alias("gap_sec"))
+        .orderBy("purchase_id", "click_id"))

@@ -1,4 +1,5 @@
 from bioio_spark.streaming.events import (
+    streaming_interval_join,
     read_event_stream,
     streaming_tumbling_counts,
     streaming_session_windows,
@@ -8,6 +9,7 @@ from bioio_spark.streaming.events import (
 from bioio_spark.streaming.stateful import stateful_user_totals
 
 __all__ = [
+    "streaming_interval_join",
     "read_event_stream",
     "streaming_tumbling_counts",
     "streaming_session_windows",

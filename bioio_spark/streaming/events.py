@@ -97,3 +97,29 @@ def run_stream_to_memory(df: DataFrame, query_name: str,
          .start())
     q.awaitTermination(timeout_sec)
     return df.sparkSession.table(query_name)
+
+
+def streaming_interval_join(purchases: DataFrame, clicks: DataFrame,
+                            watermark: str = "1 hour") -> DataFrame:
+    """Watermarked stream-stream interval join: purchases matched to the
+    same user's clicks in the preceding 10 minutes.
+
+    Both sides buffer state keyed by user_id; the watermark plus the time
+    band lets Spark evict click state older than watermark + 10 min, so
+    state is bounded regardless of stream length.
+    """
+    p = (purchases.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"), "user_id",
+                 F.col("ts").alias("p_ts"))
+         .withWatermark("p_ts", watermark))
+    c = (clicks.filter(F.col("event_type") == "click")
+         .select(F.col("event_id").alias("click_id"),
+                 F.col("user_id").alias("c_user"),
+                 F.col("ts").alias("c_ts"))
+         .withWatermark("c_ts", watermark))
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "click_id", "user_id")

@@ -100,3 +100,18 @@ def test_stateful_user_totals_across_microbatches(
     pd.testing.assert_series_equal(
         final["total_value"], want["total_value"],
         rtol=1e-9, check_names=False)
+
+
+def test_stream_stream_interval_join(spark, sf_dir, stream_dir):
+    """Watermarked stream-stream join result must equal the batch interval
+    join (s5) on (purchase, click) pairs."""
+    from bioio_spark.streaming import streaming_interval_join
+
+    left = read_event_stream(spark, stream_dir)
+    right = read_event_stream(spark, stream_dir)
+    joined = streaming_interval_join(left, right)
+    result = run_stream_to_memory(joined, "t_interval_join", "append")
+    got = {(r["purchase_id"], r["click_id"]) for r in result.collect()}
+    want = {(r["purchase_id"], r["click_id"]) for r in
+            REGISTRY["s5_interval_join"].fn(spark, sf_dir).collect()}
+    assert got == want
