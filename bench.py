@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     # image + streaming-batch
     "img_selectors", "img_mosaic_stitch", "s1_tumbling_window",
     "s2_session_windows", "s3_first_event_dedup", "s4_sliding_window",
+    "s5_interval_join", "l5_training_pipeline", "a3b_cube_status",
+    "a2b_approx_distinct",
 ]
 
 

@@ -349,3 +349,24 @@ def img_pyramid(spark, sf_dir):
     return (build_pyramid(px, n_levels=3)
             .select("res_level", "t", "c", "z", "y", "x", "value")
             .orderBy("res_level", "t", "c", "z", "y", "x"))
+
+
+# --------------------------------------------------------------------------
+# M2/M3: mosaic tile position lookups over the tiles dimension table.
+# --------------------------------------------------------------------------
+@register(
+    "img_tile_positions",
+    oracle=f"""
+    WITH tiles(m, y_off, x_off) AS (VALUES
+      {", ".join(f"({m}, {yo}, {xo})" for m, yo, xo in _TILE_OFFSETS)})
+    SELECT m, y_off AS top, x_off AS left_px FROM tiles ORDER BY m
+    """,
+    doc="M2/M3 per-tile (top, left) position lookup",
+)
+def img_tile_positions(spark, sf_dir):
+    tiles = spark.createDataFrame(
+        [(m, yo, xo) for m, yo, xo in _TILE_OFFSETS],
+        "m int, y_off int, x_off int")
+    return (tiles.select("m", F.col("y_off").alias("top"),
+                         F.col("x_off").alias("left_px"))
+            .orderBy("m"))

@@ -609,11 +609,12 @@ def a2b_approx_distinct(spark, sf_dir):
     both = (
         o.groupBy("o_orderstatus")
         .agg(F.countDistinct("o_custkey").alias("exact_custs"),
-             F.approx_count_distinct("o_custkey", rsd=0.02)
+             F.approx_count_distinct("o_custkey", rsd=0.05)
              .alias("approx_custs"))
     )
-    # the approximate column is asserted in-plan (within 5 x rsd of exact)
-    # and then dropped so the hashed result is deterministic
+    # the approximate column is asserted in-plan (within 2 x rsd of exact;
+    # HLL is deterministic for fixed data) and then dropped so the hashed
+    # result is exact-deterministic
     checked = both.filter(
         (F.col("approx_custs") >= F.col("exact_custs") * 0.9)
         & (F.col("approx_custs") <= F.col("exact_custs") * 1.1))
