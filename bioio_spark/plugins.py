@@ -132,14 +132,53 @@ def path_has_extension(path: str, ext: str) -> bool:
     return p.endswith(e) or p.split("?", 1)[0].endswith(e)
 
 
-def determine_reader(image, readers: Optional[list] = None):
-    """S4/S6 routing (ref bio_image.py:158-369).
+def determine_reader(image, readers: Optional[list] = None,
+                     fs_kwargs: Optional[dict] = None):
+    """S4/S6/S7 routing (ref bio_image.py:158-369, :397-410).
 
     Array-likes -> ArrayLikeReader. Paths -> first plugin (in registry
     priority order over matching extensions) whose probe accepts the file.
     Explicit `readers` list bypasses discovery: first success wins, all
     failure messages aggregated on total failure (ref bio_image.py:306-369).
+    S7: when selection fails for an s3:// path without anonymous
+    credentials, the whole selection retries once with ``anon=True``
+    (ref bio_image.py:397-410) — the Spark-cluster analog is switching the
+    S3A credentials provider to anonymous, see ``anon_s3a_conf``.
     """
+    from bioio_spark.bio_image import UnsupportedFileFormatError
+
+    try:
+        return _determine_reader_once(image, readers, fs_kwargs)
+    except UnsupportedFileFormatError:
+        if (isinstance(image, str) and image.startswith("s3://")
+                and not (fs_kwargs or {}).get("anon")):
+            return _determine_reader_once(
+                image, readers, {**(fs_kwargs or {}), "anon": True})
+        raise
+
+
+def anon_s3a_conf() -> dict[str, str]:
+    """Hadoop-S3A settings equivalent to fsspec ``anon=True`` — what a
+    cluster session applies when the S7 retry selects anonymous access."""
+    return {
+        "spark.hadoop.fs.s3a.aws.credentials.provider":
+            "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider",
+    }
+
+
+def _probe(entry: PluginEntry, image, fs_kwargs: Optional[dict]) -> bool:
+    """Call a plugin probe, forwarding fs kwargs when the probe accepts
+    them (plugins predating the fs_kwargs contract take only the image)."""
+    if fs_kwargs:
+        try:
+            return bool(entry.is_supported_image(image, **fs_kwargs))
+        except TypeError:
+            pass
+    return bool(entry.is_supported_image(image))
+
+
+def _determine_reader_once(image, readers: Optional[list] = None,
+                           fs_kwargs: Optional[dict] = None):
     from bioio_spark.bio_image import UnsupportedFileFormatError
     from bioio_spark.sources.array_like import ArrayLikeReader
 
@@ -162,7 +201,7 @@ def determine_reader(image, readers: Optional[list] = None):
                 continue
             for entry in entries:
                 try:
-                    if entry.is_supported_image(image):
+                    if _probe(entry, image, fs_kwargs):
                         return entry.reader
                 except FileNotFoundError:
                     raise

@@ -90,3 +90,36 @@ def test_feasibility_report():
 def test_parse_version_range():
     assert P.parse_version_range(">=1.2,<2") == ((1, 2, 0), (2, 0, 0))
     assert P.parse_version_range("==1.0.3") == ((1, 0, 3), (1, 0, 3))
+
+
+def test_s3_anon_retry(clean_registry):
+    """S7 (ref bio_image.py:397-410, tests/test_bio_image.py:73-99): a
+    failed selection for an s3:// path retries the whole selection with
+    anon=True; non-s3 paths do not retry."""
+    import pytest as _pt
+
+    from bioio_spark.bio_image import UnsupportedFileFormatError
+    from bioio_spark.plugins import (PluginEntry, anon_s3a_conf,
+                                     determine_reader, register_plugin)
+
+    seen = []
+
+    def probe(image, **fs_kwargs):
+        seen.append(dict(fs_kwargs))
+        return fs_kwargs.get("anon", False)
+
+    register_plugin(PluginEntry(
+        name="anonreader", reader=object, extensions=[".czi"],
+        is_supported_image=probe))
+
+    rd = determine_reader("s3://bucket/img.czi")
+    assert rd is object
+    assert seen == [{}, {"anon": True}]
+
+    seen.clear()
+    with _pt.raises(UnsupportedFileFormatError):
+        determine_reader("/local/img.czi")
+    assert seen == [{}]
+
+    assert "AnonymousAWSCredentialsProvider" in list(
+        anon_s3a_conf().values())[0]
