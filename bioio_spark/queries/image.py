@@ -370,3 +370,44 @@ def img_tile_positions(spark, sf_dir):
     return (tiles.select("m", F.col("y_off").alias("top"),
                          F.col("x_off").alias("left_px"))
             .orderBy("m"))
+
+
+# --------------------------------------------------------------------------
+# §2.9 grouped-map surface: per-(t,c) plane z-score normalization via
+# applyInPandas — the reference's per-scene transform plugin pattern
+# (SNIPPETS §[1] grouped-map). The oracle computes the same normalization
+# with window aggregates; population std (ddof=0) on both sides.
+# --------------------------------------------------------------------------
+@register(
+    "img_channel_zscore",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL}),
+    stats AS (
+      SELECT t, c, z, y, x, value,
+             avg(value) OVER (PARTITION BY t, c) AS mu,
+             stddev_pop(value) OVER (PARTITION BY t, c) AS sigma
+      FROM px
+    )
+    SELECT t, c, z, y, x,
+           (value - mu) / sigma AS zscore
+    FROM stats ORDER BY t, c, z, y, x
+    """,
+    doc="grouped-map applyInPandas per-(t,c) z-score normalization",
+)
+def img_channel_zscore(spark, sf_dir):
+    import pandas as pd
+
+    px = _gen_pixels(spark)
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sigma = pdf["value"].std(ddof=0)
+        out = pdf[["t", "c", "z", "y", "x"]].copy()
+        out["zscore"] = (pdf["value"] - mu) / sigma
+        return out
+
+    return (px.groupBy("t", "c")
+            .applyInPandas(normalize,
+                           schema="t int, c int, z int, y int, x int, "
+                                  "zscore double")
+            .orderBy("t", "c", "z", "y", "x"))

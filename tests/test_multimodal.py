@@ -93,3 +93,30 @@ def test_audio_window_energy(media):
     want = local.reshape(-1)[:100].astype(np.float64).mean()
     got = [r["energy"] for r in e if r["media_id"] == 1 and r["window_idx"] == 0]
     assert got[0] == pytest.approx(want)
+
+
+def test_binary_file_source_roundtrip(spark, tmp_path):
+    """S9: write FakeCodec files, scan with binaryFile (glob-filtered),
+    decode via mapInPandas; features must match direct in-memory decode."""
+    import numpy as np
+
+    from bioio_spark.functions.multimodal import FakeCodec
+    from bioio_spark.sources.binary_media import (decode_media_files,
+                                                  read_media_dir)
+
+    for i in range(8):
+        payload = FakeCodec.encode(i, "image", 8 + i, 6, 1)
+        (tmp_path / f"{i}.fkc").write_bytes(payload)
+    (tmp_path / "ignored.txt").write_text("not media")
+
+    binary = read_media_dir(spark, str(tmp_path))
+    assert binary.count() == 8  # glob filter excluded the .txt
+
+    feats = {r["media_id"]: r for r in
+             decode_media_files(binary).collect()}
+    assert set(feats) == set(range(8))
+    for i in range(8):
+        arr = FakeCodec.decode(FakeCodec.encode(i, "image", 8 + i, 6, 1))
+        assert feats[i]["width"] == 8 + i
+        assert feats[i]["height"] == 6
+        np.testing.assert_allclose(feats[i]["mean_value"], arr.mean())
