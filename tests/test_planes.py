@@ -54,3 +54,30 @@ def test_window_prunes_tiles(spark):
         sorted(r["value"] for r in rows),
         sorted(arr[0, 0, 0:3, 5:8].ravel()))
     planes.unpersist()
+
+
+def test_selector_predicates_reach_parquet_scan(spark, tmp_path):
+    """Scale regression guard: point/strided selectors must appear as
+    PushedFilters in the parquet scan, and column pruning must drop unused
+    columns from ReadSchema."""
+    import numpy as np
+
+    from bioio_spark.dimensions import Dimensions
+    from bioio_spark.operators.selectors import apply_selectors
+
+    arr = np.arange(2 * 3 * 4 * 5, dtype=np.float64).reshape(2, 3, 4, 5)
+    rows = [(t, c, y, x, float(arr[t, c, y, x]))
+            for t in range(2) for c in range(3)
+            for y in range(4) for x in range(5)]
+    path = str(tmp_path / "px.parquet")
+    (spark.createDataFrame(rows, "t int, c int, y int, x int, value double")
+     .write.parquet(path))
+
+    px = spark.read.parquet(path)
+    plan, _ = apply_selectors(
+        px, Dimensions("TCYX", (2, 3, 4, 5)), "YX", {"T": 1, "C": 2})
+    physical = plan._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in physical.splitlines() if "PushedFilters" in l)
+    assert "EqualTo(t,1)" in scan and "EqualTo(c,2)" in scan, scan
+    # y/x/value survive; t/c are filter-only and pruned after pushdown
+    assert "value:double" in scan
