@@ -137,6 +137,37 @@ class BioImage:
             self._current_resolution_level = level
             self._invalidate()
 
+    @property
+    def resolution_level_dims(self) -> dict[int, tuple[int, ...]]:
+        """Per-level shapes (ref bio_image.py:548-604): level k halves Y/X
+        with ceil division (ceil(ceil(s/2)/2) == ceil(s/4), so the closed
+        form is exact). Answered from the catalog — no job."""
+        saved = self._current_resolution_level
+        out = {}
+        try:
+            for lvl in self.resolution_levels:
+                self._current_resolution_level = lvl
+                out[lvl] = self.dims.shape
+        finally:
+            self._current_resolution_level = saved
+        return out
+
+    def materialize_pyramid(self, n_levels: int) -> "BioImage":
+        """C4 producer: derive resolution levels 1..n_levels-1 from level 0
+        by chained 2x2 block means (operators.pyramid) and re-bind the
+        handle's pixel plan to the stacked pyramid. Lazy — nothing computes
+        until a level is read."""
+        from bioio_spark.operators.pyramid import build_pyramid
+        from bioio_spark.sources.array_like import PIXEL_COLUMNS
+
+        base = self._dataset.pixels.filter(F.col("res_level") == 0)
+        pyr = build_pyramid(base, n_levels).select(*PIXEL_COLUMNS)
+        self._dataset.pixels = pyr
+        self._dataset.scenes["res_levels"] = [
+            list(range(n_levels))] * len(self._dataset.scenes)
+        self._invalidate()
+        return self
+
     # -- catalog helpers --------------------------------------------------
     def _scene_catalog_row(self) -> dict:
         cat = self._dataset.scenes
@@ -168,8 +199,18 @@ class BioImage:
                 order = dims.order.replace("M", "")
                 shape = [h if d == "Y" else w if d == "X" else dims[d][0]
                          for d in order]
-                return Dimensions(order, tuple(shape))
-        return dims
+                return self._apply_res_level(Dimensions(order, tuple(shape)))
+        return self._apply_res_level(dims)
+
+    def _apply_res_level(self, dims: Dimensions) -> Dimensions:
+        """Level k halves Y/X k times with ceil division (catalog stores
+        level-0 sizes only)."""
+        lvl = self._current_resolution_level
+        if lvl == 0:
+            return dims
+        shape = tuple(-(-s // (2 ** lvl)) if d in "YX" else s
+                      for d, s in dims.items)
+        return Dimensions(dims.order, shape)
 
     @property
     def shape(self) -> tuple[int, ...]:
@@ -205,7 +246,7 @@ class BioImage:
             shape = tuple(h if d == "Y" else w if d == "X" else dims[d][0]
                           for d in order)
             dims = Dimensions(order, shape)
-        return px, dims
+        return px, self._apply_res_level(dims)
 
     def _stitched_yx_size(self) -> Optional[tuple[int, int]]:
         if self._dataset.tiles is None:

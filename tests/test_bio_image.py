@@ -154,3 +154,33 @@ def test_loc_physical_selection(spark, rng):
     import pytest as _pt
     with _pt.raises(ValueError):
         img.loc(C=(0, 1))
+
+
+def test_materialize_pyramid(spark):
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+
+    arr = np.arange(8 * 6, dtype=np.float64).reshape(8, 6)
+    img = BioImage(arr, dim_order="YX", spark=spark)
+    img.materialize_pyramid(3)
+    assert img.resolution_levels == (0, 1, 2)
+    assert img.resolution_level_dims == {
+        0: (1, 1, 1, 8, 6), 1: (1, 1, 1, 4, 3), 2: (1, 1, 1, 2, 2)}
+
+    # level 0 untouched
+    np.testing.assert_array_equal(img.data[0, 0, 0], arr)
+
+    img.set_resolution_level(1)
+    want1 = arr.reshape(4, 2, 3, 2).mean(axis=(1, 3))
+    np.testing.assert_array_equal(img.data[0, 0, 0], want1)
+
+    img.set_resolution_level(2)
+    assert img.shape == (1, 1, 1, 2, 2)
+    # ragged col edge: last column block is 1-wide
+    got2 = img.data[0, 0, 0]
+    want2 = np.array([
+        [want1[0:2, 0:2].mean(), want1[0:2, 2:3].mean()],
+        [want1[2:4, 0:2].mean(), want1[2:4, 2:3].mean()],
+    ])
+    np.testing.assert_allclose(got2, want2)
