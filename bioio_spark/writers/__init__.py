@@ -60,3 +60,62 @@ class OmeTiffWriter:
 
 
 register_writer("OmeTiffWriter", OmeTiffWriter)
+
+
+def read_parquet_image(spark, uri: str, image_id: str = "img"):
+    """Load a save_parquet() sink back into an ImageDataset (the native
+    format's reader; inverse of save_parquet).
+
+    The catalog is rebuilt relationally — shapes via max(dim)+1 aggregation
+    (the D8 path, one small job over the dim columns only; value column is
+    pruned from that scan), scene ids regenerated as Image:{scene_idx},
+    channel names per the ome_utils guarantee.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bioio_spark.ome_utils import (generate_ome_image_id,
+                                       resolve_channel_names)
+    from bioio_spark.sources.array_like import PIXEL_COLUMNS, ImageDataset
+
+    df = spark.read.parquet(uri)
+    dim_cols = [c for c in ("t", "c", "z", "y", "x", "m", "s")
+                if c in df.columns]
+    order = "".join(d.upper() for d in dim_cols)
+
+    shapes = (df.groupBy("scene_idx")
+              .agg(*[(F.max(d) + 1).alias(f"size_{d}") for d in dim_cols])
+              .orderBy("scene_idx").collect())
+
+    scene_rows, channel_rows = [], []
+    for row in shapes:
+        idx = int(row["scene_idx"])
+        scene = generate_ome_image_id(idx)
+        size_c = int(row["size_c"]) if "c" in dim_cols else None
+        for ci, name in enumerate(
+                resolve_channel_names(None, size_c, idx)):
+            channel_rows.append({"image_id": image_id, "scene": scene,
+                                 "c": ci, "channel_name": name})
+        scene_rows.append({
+            "image_id": image_id, "scene": scene, "scene_idx": idx,
+            "dim_order": order,
+            **{f"size_{d.lower()}":
+               (int(row[f"size_{d.lower()}"]) if d.lower() in dim_cols
+                else None) for d in "TCZYXMS"},
+            "dtype": "float64", "ome_pixel_type": "double",
+            "pps_z": None, "pps_y": None, "pps_x": None,
+            "time_interval": None, "metadata": None,
+        })
+
+    scene_expr = F.concat(F.lit("Image:"), F.col("scene_idx").cast("string"))
+    px = df.select(
+        F.lit(image_id).alias("image_id"), scene_expr.alias("scene"),
+        F.lit(0).alias("res_level"),
+        *[(F.col(d).cast("int") if d in dim_cols
+           else F.lit(-1).cast("int")).alias(d)
+          for d in ("t", "c", "z", "y", "x", "m", "s")],
+        F.col("value").cast("double").alias("value"),
+    ).select(*PIXEL_COLUMNS)
+
+    return ImageDataset(pixels=px, scenes=pd.DataFrame(scene_rows),
+                        channels=pd.DataFrame(channel_rows))

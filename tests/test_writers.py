@@ -41,3 +41,26 @@ def test_ome_tiff_writer_is_registered_and_gated():
     assert WRITER_REGISTRY["OmeTiffWriter"] is OmeTiffWriter
     with pytest.raises(NotImplementedError):
         OmeTiffWriter.save(data=[], uri="/tmp/x.ome.tiff")
+
+
+def test_parquet_image_full_roundtrip(spark, tmp_path):
+    """save_parquet -> read_parquet_image -> BioImage: scenes, dims, and
+    pixel values all survive the native sink."""
+    import numpy as np
+
+    from bioio_spark.writers import read_parquet_image
+
+    a = np.arange(24, dtype=np.float64).reshape(2, 3, 4)
+    b = np.arange(24, 48, dtype=np.float64).reshape(2, 3, 4)
+    img = BioImage([a, b], dim_order="CYX", spark=spark)
+    uri = str(tmp_path / "rt.parquet")
+    save_parquet(img, uri)
+
+    back = BioImage(read_parquet_image(spark, uri), spark=spark)
+    # the sink stores the standardized TCZYX frame, so the reload is 5D
+    assert back.scenes == ("Image:0", "Image:1")
+    assert back.shape == (1, 2, 1, 3, 4)
+    assert back.channel_names == ["Channel:0:0", "Channel:0:1"]
+    np.testing.assert_array_equal(back.data[0, :, 0], a)
+    back.set_scene(1)
+    np.testing.assert_array_equal(back.data[0, :, 0], b)
