@@ -442,10 +442,14 @@ class BioImage:
 
 
 def _route(image):
-    """S4 routing: arrays -> ArrayLikeReader; everything else raises
-    (path-based plugin routing lives in bioio_spark.plugins)."""
+    """S4 routing: arrays -> ArrayLikeReader; *.parquet -> the native-format
+    reader (built-in tier, like the reference's ArrayLikeReader,
+    ref bio_image.py:264-276); other paths -> plugin registry."""
     from bioio_spark.plugins import determine_reader
+    from bioio_spark.sources.parquet_image import ParquetImageReader
 
+    if ParquetImageReader.is_supported_image(image):
+        return ParquetImageReader
     return determine_reader(image)
 
 

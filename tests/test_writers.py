@@ -64,3 +64,20 @@ def test_parquet_image_full_roundtrip(spark, tmp_path):
     np.testing.assert_array_equal(back.data[0, :, 0], a)
     back.set_scene(1)
     np.testing.assert_array_equal(back.data[0, :, 0], b)
+
+
+def test_bioimage_routes_parquet_path(spark, tmp_path):
+    """BioImage('*.parquet') routes to the native-format reader."""
+    import numpy as np
+
+    a = np.arange(12, dtype=np.float64).reshape(3, 4)
+    img = BioImage(a, dim_order="YX", spark=spark)
+    uri = str(tmp_path / "route.parquet")
+    save_parquet(img, uri)
+
+    back = BioImage(uri, spark=spark)
+    assert back.shape == (1, 1, 1, 3, 4)
+    np.testing.assert_array_equal(back.data[0, 0, 0], a)
+    # imread entry point works on parquet too
+    from bioio_spark.bio_image import imread
+    np.testing.assert_array_equal(imread(uri)[0, 0, 0], a)
