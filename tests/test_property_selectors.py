@@ -96,3 +96,45 @@ def test_selectors_match_numpy(spark, case):
     got = img.get_image_data(out, **sel)
     assert got.shape == expected.shape, (shape, out, sel)
     np.testing.assert_array_equal(got, expected)
+
+
+@st.composite
+def plane_cases(draw):
+    t = draw(st.integers(1, 3))
+    c = draw(st.integers(1, 2))
+    h = draw(st.integers(1, 9))
+    w = draw(st.integers(1, 9))
+    tile_h = draw(st.integers(1, 5))
+    tile_w = draw(st.integers(1, 5))
+    return (t, c, h, w), (tile_h, tile_w)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(case=plane_cases())
+def test_planes_roundtrip_property(spark, case):
+    """pixels -> tiles -> pixels is the identity for every shape/tile-size
+    combination, including tiles larger than the image and ragged edges."""
+    from bioio_spark.operators.planes import (assemble_ndarray,
+                                              pixels_to_planes,
+                                              planes_to_pixels)
+
+    (t, c, h, w), (th, tw) = case
+    arr = np.arange(t * c * h * w, dtype=np.float64).reshape(t, c, h, w)
+    rows = [(ti, ci, yi, xi, float(arr[ti, ci, yi, xi]))
+            for ti in range(t) for ci in range(c)
+            for yi in range(h) for xi in range(w)]
+    px = spark.createDataFrame(
+        rows, "t int, c int, y int, x int, value double")
+    planes = pixels_to_planes(px, tile_h=th, tile_w=tw)
+
+    back = {(r["t"], r["c"], r["y"], r["x"]): r["value"]
+            for r in planes_to_pixels(planes).collect()}
+    assert len(back) == arr.size
+    for k, v in back.items():
+        assert arr[k] == v
+
+    out = assemble_ndarray(planes, "TC", arr.shape)
+    np.testing.assert_array_equal(out, arr)
