@@ -184,3 +184,22 @@ def test_materialize_pyramid(spark):
         [want1[2:4, 0:2].mean(), want1[2:4, 2:3].mean()],
     ])
     np.testing.assert_allclose(got2, want2)
+
+
+def test_scene_error_paths_and_repr(spark):
+    import numpy as np
+    import pytest as _pt
+
+    from bioio_spark.bio_image import BioImage
+
+    img = BioImage([np.zeros((2, 2)), np.ones((2, 2))], dim_order="YX",
+                   spark=spark)
+    with _pt.raises(IndexError):
+        img.set_scene("Image:99")
+    with _pt.raises(IndexError):
+        img.set_scene(5)
+    with _pt.raises(TypeError):
+        img.set_scene(1.5)
+    with _pt.raises(IndexError):
+        img.set_resolution_level(3)
+    assert "Image:0" in repr(img) and "Dimensions" in repr(img)
