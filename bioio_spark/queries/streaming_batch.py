@@ -193,8 +193,12 @@ def s5_interval_join(spark, sf_dir):
         (F.col("user_id") == F.col("c_user"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
         & (F.col("c_ts") <= F.col("p_ts")))
+    # second-BOUNDARY diff (truncate each side, then subtract) — the
+    # date_diff('second') semantics; diffing raw micros and flooring is off
+    # by one whenever the click's sub-second fraction exceeds the
+    # purchase's (caught by the sf0.1 parity run).
+    gap = (F.expr("unix_micros(p_ts) div 1000000")
+           - F.expr("unix_micros(c_ts) div 1000000"))
     return (joined.select(
-        "purchase_id", "click_id", "user_id",
-        ((F.unix_micros("p_ts") - F.unix_micros("c_ts")) / 1_000_000)
-        .cast("long").alias("gap_sec"))
+        "purchase_id", "click_id", "user_id", gap.alias("gap_sec"))
         .orderBy("purchase_id", "click_id"))
