@@ -9,14 +9,16 @@ are underdetermined in the reference, so we pin ours: **highest M wins**
 Spark shape: equi-join pixels⋈tiles on (image_id, scene, m) — the tiles table
 is tiny, so the join is an explicit `broadcast()` hash join with no shuffle of
 the pixel side — then global coordinates by projection, then overlap dedup via
-a window over the stitched coordinate. At scale the window partitions by
-(t, c, z, y_global) which is high-cardinality → no skew; AQE handles residual
-imbalance.
+`max_by(value, m)` grouped on the stitched coordinate. A hash aggregate beats
+the equivalent row_number window at scale: Catalyst plans a partial aggregate
+*before* the shuffle, so overlapping tile rows collapse map-side and only one
+row per global coordinate crosses the wire, with no per-partition sort. The
+group key (…, y_g, x_g) is high-cardinality → no skew.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -32,12 +34,11 @@ def stitch_mosaic(pixels: DataFrame, tiles: DataFrame) -> DataFrame:
         .withColumn("y_g", F.col("y") + F.col("y_off"))
         .withColumn("x_g", F.col("x") + F.col("x_off"))
     )
-    w = Window.partitionBy(
-        "image_id", "scene", "res_level", "t", "c", "z", "s", "y_g", "x_g"
-    ).orderBy(F.col("m").desc())
     return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        joined.groupBy(
+            "image_id", "scene", "res_level", "t", "c", "z", "s", "y_g", "x_g"
+        )
+        .agg(F.max_by("value", "m").alias("value"))
         .select(
             "image_id", "scene", "res_level", "t", "c", "z",
             F.col("y_g").alias("y"), F.col("x_g").alias("x"),
