@@ -24,7 +24,8 @@ BENCH_QUERIES = [
     "a4_topk_orders", "a5_window_rank", "a6_window_running",
     "a7_set_ops", "a8_join_revenue", "a8b_regional_revenue",
     "a8c_customers_without_orders", "a9_price_band_join", "a10_asof_join",
-    "a11_scalar_functions", "a1b_salted_skew_agg",
+    "a11_scalar_functions", "a1b_salted_skew_agg", "a3c_grouping_sets",
+    "a5b_ntile", "a6b_range_frame",
     # LLM pipeline
     "l1_exact_dedup", "l2_minhash_lsh", "l2b_simhash", "l2c_ngram_jaccard",
     "l3_cosine_topk", "l3b_lsh_near_dup", "l3c_ivf_topk", "l4_token_stats",

@@ -620,3 +620,96 @@ def a2b_approx_distinct(spark, sf_dir):
         & (F.col("approx_custs") <= F.col("exact_custs") * 1.1))
     return checked.select("o_orderstatus", "exact_custs").orderBy(
         "o_orderstatus")
+
+
+# --------------------------------------------------------------------------
+# A3c: explicit GROUPING SETS — arbitrary set list, not the rollup/cube
+# shorthand. Same physical shape as A3/A3b (one Expand + single hash
+# aggregate pass; no per-set rescan of orders).
+# --------------------------------------------------------------------------
+@register(
+    "a3c_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    doc="A3c explicit grouping sets: by-status, by-priority, grand total",
+)
+def a3c_grouping_sets(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum(_dec(F.col("o_totalprice"), 14, 2)).cast("double")
+             .alias("revenue"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(),
+                 F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+# --------------------------------------------------------------------------
+# A5b: ntile — equal-height bucketing per partition. Deterministic because
+# the window order (totalprice DESC, orderkey) is a total order.
+# --------------------------------------------------------------------------
+@register(
+    "a5b_ntile",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ntile(4) OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="A5b ntile(4) spend quartile per customer",
+)
+def a5b_ntile(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey",
+                 F.ntile(4).over(w).alias("quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# A6b: RANGE frame — trailing 1-hour rolling sum per user, frame bounded by
+# the ORDER BY *value* (epoch millis), not row position: peers at the same
+# timestamp are all included, and gaps in time shrink the frame. One shuffle
+# on user_id, then a single ordered pass per partition (Spark keeps a
+# sliding aggregate buffer; no per-row rescan). Decimal accumulator so both
+# engines sum exactly regardless of accumulation order.
+# --------------------------------------------------------------------------
+@register(
+    "a6b_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(14,4))) OVER (
+             PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_1h
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+    doc="A6b trailing 1h rolling sum per user via RANGE frame",
+)
+def a6b_range_frame(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.expr("unix_micros(ts) div 1000"))
+         .rangeBetween(-3600000, Window.currentRow))
+    return (
+        e.select(
+            "event_id", "user_id",
+            F.sum(_dec(F.col("value"), 14, 4)).over(w).cast("double")
+            .alias("rolling_1h"))
+        .orderBy("user_id", "event_id")
+    )
