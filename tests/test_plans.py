@@ -1,0 +1,110 @@
+"""Plan-shape regression guards (bioio_spark.plans).
+
+Each test pins a scale-critical physical-plan property of a headline query:
+results staying correct is not enough — the *plan* must stay the one that
+survives 100x data. sf0.001 is plenty: plan shape is data-independent for
+these static properties (AQE may improve them at runtime, never worsen)."""
+
+import pytest
+
+from bioio_spark.plans import (
+    broadcast_join_count,
+    codegen_span_count,
+    has_partial_aggregate,
+    physical_plan,
+    pushed_filters,
+    shuffle_count,
+)
+from bioio_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def q(spark, name):
+    return REGISTRY[name].fn(spark, SF)
+
+
+def test_a1_partial_aggregate_single_shuffle(spark):
+    """TPC-H Q1: map-side combine collapses 600k rows to ~6 groups before
+    the only data shuffle (the final orderBy adds a range exchange over the
+    handful of result groups, which is free)."""
+    df = q(spark, "a1_pricing_summary")
+    assert has_partial_aggregate(df)
+    assert shuffle_count(df) <= 3  # fan-out + agg + tiny result sort
+
+
+def test_a8b_dims_broadcast_not_shuffled(spark):
+    """TPC-H Q5-style chain: every dimension (region/nation/customer/
+    supplier) rides a broadcast — the fact table is never repartitioned for
+    a dim join."""
+    df = q(spark, "a8b_regional_revenue")
+    assert broadcast_join_count(df) >= 3
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_a9_band_join_broadcasts_bands(spark):
+    """Non-equi join: the tiny band table must be the broadcast side; a
+    non-equi sort-merge or nested loop over two shuffled sides would be
+    quadratic at scale."""
+    df = q(spark, "a9_price_band_join")
+    assert "BroadcastNestedLoopJoin" in physical_plan(df) \
+        or broadcast_join_count(df) >= 1
+
+
+def test_mosaic_stitch_partial_agg_before_shuffle(spark):
+    """Overlap dedup is a max_by hash aggregate: overlapping tile pixels
+    combine map-side, so the shuffle carries ~one row per output pixel."""
+    df = q(spark, "img_mosaic_stitch")
+    assert has_partial_aggregate(df)
+    assert broadcast_join_count(df) >= 1  # tiles table broadcast
+
+
+def test_l1_exact_dedup_partial_agg(spark):
+    df = q(spark, "l1_exact_dedup")
+    assert has_partial_aggregate(df)
+
+
+def test_topk_uses_take_ordered(spark):
+    """A4: ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    heaps), never a global sort of the full table."""
+    df = q(spark, "a4_topk_orders")
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_l3_cosine_topk_take_ordered_no_python(spark):
+    """Brute-force cosine: higher-order functions keep the dot product
+    JVM-side (no Python worker round trip) and top-k stays heap-based."""
+    df = q(spark, "l3_cosine_topk")
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize("name", ["a1_pricing_summary", "a8_join_revenue",
+                                  "l4_token_stats"])
+def test_headline_queries_have_codegen(spark, name):
+    """The hot path must sit inside WholeStageCodegen spans. AQE defers
+    codegen decisions to runtime, so the static plan is inspected with AQE
+    off — same operators, statically finalized."""
+    df = q(spark, name)  # load() re-asserts engine conf, so toggle after
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert codegen_span_count(df) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_scan_pushdown_on_partition_filter(spark, tmp_path):
+    """Filters on a parquet-backed pixel frame reach the scan."""
+    import numpy as np
+
+    from bioio_spark import BioImage
+
+    img = BioImage(np.random.default_rng(0).random((2, 3, 4, 5)))
+    path = str(tmp_path / "img.parquet")
+    from bioio_spark.writers import save_parquet
+    save_parquet(img, path)
+    px = spark.read.parquet(path).filter("t = 1")
+    joined = "; ".join(pushed_filters(px))
+    assert "EqualTo(t,1)" in joined, joined
