@@ -447,9 +447,12 @@ def _route(image):
     ref bio_image.py:264-276); other paths -> plugin registry."""
     from bioio_spark.plugins import determine_reader
     from bioio_spark.sources.parquet_image import ParquetImageReader
+    from bioio_spark.sources.raw_format import RawImageReader
 
     if ParquetImageReader.is_supported_image(image):
         return ParquetImageReader
+    if RawImageReader.is_supported_image(image):
+        return RawImageReader
     return determine_reader(image)
 
 

@@ -411,3 +411,52 @@ def img_channel_zscore(spark, sf_dir):
                            schema="t int, c int, z int, y int, x int, "
                                   "zscore double")
             .orderBy("t", "c", "z", "y", "x"))
+
+
+# --------------------------------------------------------------------------
+# S9b/§4-stretch: the bioio_raw Python DataSource under the oracle contract.
+# The Spark side reads the canonical fixture through the custom source
+# (plane-file partitions; t/c predicates prune plane files at planning time
+# via pushFilters before Spark re-applies them); the oracle regenerates the
+# identical pixels from the value formula. Hash-match proves the custom
+# scan path is byte-equivalent to the declarative generator.
+# --------------------------------------------------------------------------
+_RAW_FIXTURE = "/tmp/bioio_spark_fixture.braw"
+
+
+def _ensure_raw_fixture(path: str = _RAW_FIXTURE) -> str:
+    import os
+
+    if not os.path.exists(os.path.join(path, "manifest.json")):
+        from bioio_spark.sources.raw_format import write_raw
+
+        t, c, z, y, x = np.indices((T, C, Z, Y, X))
+        arr = (t * 10000 + c * 1000 + z * 100 + y * 10 + x).astype(
+            np.float64)
+        write_raw(arr, path)
+    return path
+
+
+@register(
+    "img_raw_source_scan",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL})
+    SELECT t, z, count(*) AS n_px, sum(value) AS sum_val
+    FROM px WHERE t >= 1 AND c = 1
+    GROUP BY t, z ORDER BY t, z
+    """,
+    doc="S9b custom Python DataSource scan with plane-partition pruning",
+)
+def img_raw_source_scan(spark, sf_dir):
+    from bioio_spark.sources.raw_format import register_raw_source
+
+    register_raw_source(spark)
+    path = _ensure_raw_fixture()
+    raw = spark.read.format("bioio_raw").option("path", path).load()
+    return (
+        raw.filter((F.col("t") >= 1) & (F.col("c") == 1))
+        .groupBy("t", "z")
+        .agg(F.count(F.lit(1)).alias("n_px"),
+             F.sum("value").alias("sum_val"))
+        .orderBy("t", "z")
+    )

@@ -21,6 +21,9 @@ _DEFAULTS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # opt-in for pushFilters on Python DataSources (the bioio_raw reader
+    # prunes plane-file partitions from pushed predicates)
+    "spark.sql.python.filterPushdown.enabled": "true",
     # InferFiltersFromGenerate re-derives `size(arr) > 0` filters ahead of
     # explode() and pushes them below projections with full expression
     # substitution — for computed arrays (shingles) that re-evaluates the
