@@ -1,0 +1,105 @@
+"""Near-duplicate cluster resolution: connected components over LSH
+candidate pairs (SURVEY §2.8, the step after L2 in a real dedup pipeline:
+candidate pairs -> duplicate *groups* -> one canonical doc per group).
+
+Spark side: iterative min-label propagation — each round joins the label
+frame to the (undirected) edge list, takes the min neighbor label, and
+stops when no label changes. The DuckDB oracle expresses the same fixpoint
+as a recursive CTE, so the result is hash-checkable despite being an
+iterative algorithm.
+
+Scale notes:
+- the edge list is localCheckpoint()ed once, truncating the expensive LSH
+  lineage so each round re-reads a materialized edge partition instead of
+  re-running shingle/minhash/banding per iteration.
+- each round is one shuffle join (edges x labels on dst) + one partial
+  aggregate (min per src) + one left join; rounds = component diameter.
+  LSH dedup clusters are near-cliques (diameter 1-3), so this converges in
+  2-4 rounds regardless of data volume. For adversarial long-chain graphs
+  at 100 TB, swap the propagation body for large-star/small-star
+  alternation (Kiveris et al., "Connected Components in MapReduce"),
+  which contracts chains in O(log n) rounds with the same join shape.
+- labels are localCheckpoint()ed per round: the plan would otherwise
+  double each iteration (label lineage feeds the next join on both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b", max_iter: int = 25) -> DataFrame:
+    """Resolve (src, dst) candidate pairs to components.
+
+    Returns (node, label) where label = min node id in the component.
+    Reference analog: none (bioio has no graph ops) — this is north-star
+    surface for the dedup pipeline.
+    """
+    und = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .union(edges.select(F.col(dst).alias("src"),
+                            F.col(src).alias("dst")))
+        .localCheckpoint()
+    )
+    labels = (und.select(F.col("src").alias("node")).distinct()
+              .select("node", F.col("node").alias("label"))
+              .localCheckpoint())
+    for _ in range(max_iter):
+        nmin = (und.join(labels, und["dst"] == labels["node"])
+                .groupBy("src").agg(F.min("label").alias("nmin")))
+        new = (labels.alias("l")
+               .join(nmin, F.col("l.node") == nmin["src"], "left")
+               .select(F.col("l.node").alias("node"),
+                       F.least(F.col("l.label"),
+                               F.coalesce("nmin", "l.label")).alias("label"))
+               .localCheckpoint())
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .count())
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(pairs: DataFrame) -> DataFrame:
+    """Per-doc cluster assignment + cluster size from candidate pairs.
+
+    Output: (doc_id, cluster_rep, cluster_size) for every doc that appears
+    in at least one candidate pair; cluster_rep is the min doc_id of the
+    component (the doc a dedup pass would keep).
+    """
+    cc = connected_components(pairs)
+    w = Window.partitionBy("cluster_rep")
+    return (cc.select(F.col("node").alias("doc_id"),
+                      F.col("label").alias("cluster_rep"))
+            .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+            .orderBy("doc_id"))
+
+
+def dedup_clusters_oracle(pairs_cte: str) -> str:
+    """Recursive-CTE oracle: same fixpoint as the Spark propagation loop.
+
+    `pairs_cte` must be a CTE chain (no WITH keyword) ending in a CTE named
+    `pairs` with columns (doc_a, doc_b).
+    """
+    return f"""
+    WITH RECURSIVE {pairs_cte},
+    und AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    walk(node, lab) AS (
+      SELECT DISTINCT src, src FROM und
+      UNION
+      SELECT u.dst, w.lab FROM walk w JOIN und u ON u.src = w.node
+    ),
+    cc AS (SELECT node, min(lab) AS cluster_rep FROM walk GROUP BY node)
+    SELECT node AS doc_id, cluster_rep,
+           count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+    FROM cc ORDER BY doc_id
+    """

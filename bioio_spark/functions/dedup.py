@@ -172,7 +172,9 @@ def _minhash_sql_core() -> str:
     )"""
 
 
-def _minhash_pairs_oracle() -> str:
+def minhash_pairs_cte() -> str:
+    """CTE chain (no WITH keyword) ending in pairs(doc_a, doc_b) — shared
+    by the pairs oracle and downstream consumers (cluster resolution)."""
     band_rows = []
     for b in range(N_BANDS):
         parts = " || ',' || ".join(
@@ -181,17 +183,18 @@ def _minhash_pairs_oracle() -> str:
         band_rows.append(
             f"SELECT doc_id, {b} AS band, md5({parts}) AS key FROM sig")
     banded = " UNION ALL ".join(band_rows)
-    return f"""
-    WITH {_minhash_sql_core()},
-    banded AS ({banded})
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM banded a JOIN banded b
-      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-    ORDER BY doc_a, doc_b
-    """
+    return f"""{_minhash_sql_core()},
+    banded AS ({banded}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )"""
 
 
-MINHASH_ORACLE = _minhash_pairs_oracle()
+MINHASH_ORACLE = (
+    f"WITH {minhash_pairs_cte()} "
+    "SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b")
 
 
 # -- L2 SimHash ------------------------------------------------------------

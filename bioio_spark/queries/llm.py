@@ -175,3 +175,113 @@ def l5_training_pipeline(spark, sf_dir):
                  F.sum(toks).alias("total_bpe_tokens"),
                  F.sum("n_chars").alias("total_chars"))
             .orderBy("lang"))
+
+
+# --------------------------------------------------------------------------
+# L6: near-dup cluster resolution — candidate pairs -> connected components
+# -> canonical doc per cluster. Spark: iterative min-label propagation
+# (functions/clusters.py); oracle: recursive CTE computing the same
+# fixpoint. This is the rare iterative algorithm that still hash-checks.
+# --------------------------------------------------------------------------
+from bioio_spark.functions.clusters import (  # noqa: E402
+    dedup_clusters,
+    dedup_clusters_oracle,
+)
+
+@register("l6_dedup_clusters",
+          oracle=dedup_clusters_oracle(_dedup.minhash_pairs_cte()),
+          doc="L6 connected-component dedup clusters over LSH pairs")
+def l6_dedup_clusters(spark, sf_dir):
+    pairs = minhash_candidate_pairs(load(spark, sf_dir, "documents"))
+    return dedup_clusters(pairs)
+
+
+# --------------------------------------------------------------------------
+# L6b: deterministic stratified sampling — the scale-correct way to sample
+# training data (hash of a stable key vs. per-stratum threshold; no RNG, no
+# seed coordination across executors, reproducible across engines/runs).
+# Narrow op: no shuffle at all — a scan + filter that prunes ~60% of rows.
+# --------------------------------------------------------------------------
+_SAMPLE_RATES = {"en": 250, "de": 500, "es": 500, "fr": 500, "zh": 800}
+
+def _sample_rate_sql() -> str:
+    whens = " ".join(f"WHEN lang = '{k}' THEN {v}"
+                     for k, v in _SAMPLE_RATES.items())
+    return f"CASE {whens} ELSE 0 END"
+
+
+from bioio_spark.functions.hashing import h32_sql as _h32_sql  # noqa: E402
+
+@register(
+    "l6b_hash_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_h32_sql("lang || ':' || CAST(doc_id AS VARCHAR)")} % 1000
+          < {_sample_rate_sql()}
+    ORDER BY doc_id
+    """,
+    doc="L6b deterministic per-stratum hash sampling of documents",
+)
+def l6b_hash_sample(spark, sf_dir):
+    from bioio_spark.functions.hashing import h32_col
+
+    docs = load(spark, sf_dir, "documents")
+    rate = F.lit(0)
+    for k, v in _SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    key = F.concat(F.col("lang"), F.lit(":"),
+                   F.col("doc_id").cast("string"))
+    return (docs.filter((h32_col(key) % 1000) < rate)
+            .select("doc_id", "lang")
+            .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# L4f: PII-style redaction. The fixture corpus has no PII, so the query
+# deterministically *injects* an email + numeric code per doc, then redacts
+# them back out with the same regexes in both engines — exercising the real
+# regexp_replace/regexp_count paths with verifiable counts and a content
+# hash of the redacted text. Patterns are restricted to the syntax subset
+# Java regex and RE2 share (character classes; no backrefs/lookaround).
+# --------------------------------------------------------------------------
+_EMAIL_PAT = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+_NUM_PAT = "[0-9]+"
+
+
+@register(
+    "l4f_pii_redaction",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com ref ' || CAST(doc_id * 7 + 13 AS VARCHAR)
+               AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_EMAIL_PAT}')) AS n_emails,
+           len(regexp_extract_all(
+             regexp_replace(t, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+             '{_NUM_PAT}')) AS n_nums,
+           md5(regexp_replace(
+             regexp_replace(t, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+             '{_NUM_PAT}', '<NUM>', 'g')) AS red_hash
+    FROM aug ORDER BY doc_id
+    """,
+    doc="L4f regex PII redaction with match counts and content hash",
+)
+def l4f_pii_redaction(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com ref "),
+        (F.col("doc_id") * 7 + 13).cast("string"))
+    no_email = F.regexp_replace(t, _EMAIL_PAT, "<EMAIL>")
+    return (docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(_EMAIL_PAT)).alias("n_emails"),
+        F.regexp_count(no_email, F.lit(_NUM_PAT)).alias("n_nums"),
+        F.md5(F.regexp_replace(no_email, _NUM_PAT, "<NUM>"))
+        .alias("red_hash"))
+        .orderBy("doc_id"))

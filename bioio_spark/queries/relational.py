@@ -713,3 +713,79 @@ def a6b_range_frame(spark, sf_dir):
             .alias("rolling_1h"))
         .orderBy("user_id", "event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# A12: statistical aggregates — stddev/variance/correlation/covariance and
+# an exact interpolated median. All single-pass partial+final aggregates in
+# Spark (Welford-style merge buffers) except percentile, which needs the
+# full value set per group; at 100 TB swap percentile for percentile_approx
+# (t-digest sketch, mergeable, bounded memory). Both sides round to 6
+# decimals *inside* the query: cross-engine float accumulation order
+# differs, and the harness's 9-sig-digit canon is tighter than the
+# associativity noise on corr/stddev.
+# --------------------------------------------------------------------------
+@register(
+    "a12_stats_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS std_qty,
+           round(var_samp(l_discount), 6) AS var_disc,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="A12 stats aggregates: stddev/var/corr/covar + exact percentiles",
+)
+def a12_stats_agg(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+            F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+            .alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6)
+            .alias("covar_qty_disc"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6)
+            .alias("median_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6)
+            .alias("p95_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# A13: pivot — wide conditional aggregation. With an explicit value list
+# Spark skips the extra distinct-values job and plans ONE hash aggregate
+# with 3 conditional sums (identical shuffle profile to a plain groupBy);
+# never pivot on an unbounded-cardinality column at scale.
+# --------------------------------------------------------------------------
+@register(
+    "a13_pivot",
+    oracle="""
+    SELECT year(l_shipdate) AS ship_year,
+           round(sum(l_extendedprice) FILTER (l_returnflag = 'A'), 2)
+             AS rev_a,
+           round(sum(l_extendedprice) FILTER (l_returnflag = 'N'), 2)
+             AS rev_n,
+           round(sum(l_extendedprice) FILTER (l_returnflag = 'R'), 2)
+             AS rev_r
+    FROM lineitem GROUP BY ship_year ORDER BY ship_year
+    """,
+    doc="A13 pivot: revenue by ship year x return flag (explicit values)",
+)
+def a13_pivot(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    piv = (li.withColumn("ship_year", F.year("l_shipdate"))
+           .groupBy("ship_year")
+           .pivot("l_returnflag", ["A", "N", "R"])
+           .agg(F.round(F.sum("l_extendedprice"), 2)))
+    return (piv.select("ship_year",
+                       F.col("A").alias("rev_a"),
+                       F.col("N").alias("rev_n"),
+                       F.col("R").alias("rev_r"))
+            .orderBy("ship_year"))

@@ -1,0 +1,49 @@
+"""Connected-component cluster resolution (functions/clusters.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bioio_spark.functions.clusters import connected_components, dedup_clusters
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+
+def test_two_components(spark):
+    # {1,2,3} via chain, {10,11} separate
+    edges = _edges(spark, [(1, 2), (2, 3), (10, 11)])
+    got = {(r.node, r.label)
+           for r in connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_long_chain_converges(spark):
+    # path graph 0-1-2-...-9: worst-case diameter for propagation
+    edges = _edges(spark, [(i, i + 1) for i in range(9)])
+    got = connected_components(edges)
+    assert {r.label for r in got.collect()} == {0}
+    assert got.count() == 10
+
+
+def test_cycle_and_min_label(spark):
+    # labels converge to the min id even when it enters mid-cycle
+    edges = _edges(spark, [(7, 5), (5, 9), (9, 7), (3, 9)])
+    got = {(r.node, r.label)
+           for r in connected_components(edges).collect()}
+    assert got == {(3, 3), (5, 3), (7, 3), (9, 3)}
+
+
+def test_dedup_clusters_sizes(spark):
+    edges = _edges(spark, [(1, 2), (2, 3), (10, 11)])
+    rows = dedup_clusters(edges).collect()
+    assert [(r.doc_id, r.cluster_rep, r.cluster_size) for r in rows] == [
+        (1, 1, 3), (2, 1, 3), (3, 1, 3), (10, 10, 2), (11, 10, 2)]
+
+
+def test_duplicate_and_self_pairs_are_harmless(spark):
+    edges = _edges(spark, [(1, 2), (1, 2), (2, 2)])
+    got = {(r.node, r.label)
+           for r in connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1)}
