@@ -133,8 +133,13 @@ def _bucket_pairs(df: DataFrame, bucket_cols: list[str],
                     F.col("p.doc_b").alias("doc_b")))
 
 
-def minhash_candidate_pairs(documents: DataFrame) -> DataFrame:
-    """LSH banding: docs sharing any band of the signature become a pair."""
+def minhash_candidate_pairs(documents: DataFrame,
+                            sort: bool = True) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become a pair.
+
+    sort=False skips the final range-partition exchange — downstream
+    consumers that re-shuffle anyway (cluster resolution) should not pay
+    for a global sort they immediately destroy."""
     sig = minhash_signatures(documents)
     band_cols = []
     for b in range(N_BANDS):
@@ -148,9 +153,8 @@ def minhash_candidate_pairs(documents: DataFrame) -> DataFrame:
         .select("doc_id", F.col("bk.band").alias("band"),
                 F.col("bk.key").alias("key"))
     )
-    return (_bucket_pairs(banded, ["band", "key"], "doc_id")
-            .distinct()
-            .orderBy("doc_a", "doc_b"))
+    pairs = _bucket_pairs(banded, ["band", "key"], "doc_id").distinct()
+    return pairs.orderBy("doc_a", "doc_b") if sort else pairs
 
 
 def _minhash_sql_core() -> str:

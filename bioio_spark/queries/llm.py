@@ -192,7 +192,8 @@ from bioio_spark.functions.clusters import (  # noqa: E402
           oracle=dedup_clusters_oracle(_dedup.minhash_pairs_cte()),
           doc="L6 connected-component dedup clusters over LSH pairs")
 def l6_dedup_clusters(spark, sf_dir):
-    pairs = minhash_candidate_pairs(load(spark, sf_dir, "documents"))
+    pairs = minhash_candidate_pairs(load(spark, sf_dir, "documents"),
+                                    sort=False)
     return dedup_clusters(pairs)
 
 

@@ -750,10 +750,14 @@ def a12_stats_agg(spark, sf_dir):
             .alias("corr_qty_price"),
             F.round(F.covar_samp("l_quantity", "l_discount"), 6)
             .alias("covar_qty_disc"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6)
-            .alias("median_price"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6)
-            .alias("p95_price"))
+            # one percentile buffer for both quantiles (array form), not
+            # two independent sort buffers over the same 600k values
+            F.percentile("l_extendedprice",
+                         F.array(F.lit(0.5), F.lit(0.95))).alias("pcts"))
+        .select("l_returnflag", "std_qty", "var_disc", "corr_qty_price",
+                "covar_qty_disc",
+                F.round(F.col("pcts")[0], 6).alias("median_price"),
+                F.round(F.col("pcts")[1], 6).alias("p95_price"))
         .orderBy("l_returnflag")
     )
 
