@@ -26,6 +26,11 @@ BENCH_QUERIES = [
     "a8c_customers_without_orders", "a9_price_band_join", "a10_asof_join",
     "a11_scalar_functions", "a1b_salted_skew_agg", "a3c_grouping_sets",
     "a5b_ntile", "a6b_range_frame",
+    # TPC-H-derived decision-support shapes
+    "a14_order_priority", "a15_promo_revenue", "a16_top_supplier",
+    "a17_supplier_variety", "a18_small_qty_revenue", "a19_large_orders",
+    "a20_disjunctive_revenue", "a21_excess_suppliers",
+    "a22_lonely_late_suppliers", "a23_dormant_customers",
     # LLM pipeline
     "l1_exact_dedup", "l2_minhash_lsh", "l2b_simhash", "l2c_ngram_jaccard",
     "l3_cosine_topk", "l3b_lsh_near_dup", "l3c_ivf_topk", "l4_token_stats",

@@ -5,6 +5,7 @@ from bioio_spark.queries.base import REGISTRY, QuerySpec, register, load
 
 # importing the modules populates REGISTRY
 from bioio_spark.queries import relational  # noqa: F401
+from bioio_spark.queries import tpch  # noqa: F401
 from bioio_spark.queries import llm  # noqa: F401
 from bioio_spark.queries import image  # noqa: F401
 from bioio_spark.queries import streaming_batch  # noqa: F401

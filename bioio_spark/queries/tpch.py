@@ -1,0 +1,456 @@
+"""A14-A22: TPC-H-derived decision-support shapes (SURVEY §2.7 extension).
+
+The reference has no relational engine (SURVEY §2.7: shape aggregates and
+orderings only, `bio_image.py:749-762`, `plugins.py:299-320`); these queries
+extend the declared north-star contract with the canonical TPC-H access
+patterns the a1-a13 suite doesn't yet exercise: correlated EXISTS (Q4),
+conditional aggregation (Q14), scalar-subquery max (Q15), NOT-IN anti join
+under a distinct aggregate (Q16), correlated scalar subquery (Q17),
+group-having semi join (Q18), disjunctive join residuals (Q19), nested
+semi join over an aggregate (Q20), the only-late-supplier double-EXISTS
+(Q21), and anti-join + global-average gate (Q22) — each adapted to the
+driver's fixture schema and hash-checked against DuckDB.
+
+Money math follows a1's rule: sum in DECIMAL (exact, order-independent),
+cast to DOUBLE at the end, so both engines land on identical bits.
+
+Scale notes accompany each query; the common frame: `part`/`supplier`/
+`customer`/`nation` are dimension tables (broadcast, never shuffled);
+`lineitem`/`orders` carry the data volume and only ever shuffle on their
+co-partitioned join key (l_orderkey = o_orderkey), which AQE coalesces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bioio_spark.queries.base import load, register
+
+
+def _dec(col, prec=12, scale=2):
+    return col.cast(f"decimal({prec},{scale})")
+
+
+def _disc_price():
+    return _dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"), 4, 2))
+
+
+# --------------------------------------------------------------------------
+# A14 (TPC-H Q4 shape): correlated EXISTS with an inequality on the outer
+# row -> left-semi join carrying a non-equi residual. Scale: the semi join
+# shuffles both sides on the order key once; the date filter on orders
+# pushes to the parquet scan and prunes before the shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "a14_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o.o_orderkey
+                    AND l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="A14 correlated-EXISTS priority count (TPC-H Q4 shape)",
+)
+def a14_order_priority(spark, sf_dir):
+    orders, li = load(spark, sf_dir, "orders", "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp")))
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# A15 (Q14 shape): conditional aggregation — promo revenue share. Scale: one
+# broadcast join (part is a dim) + one all-groups aggregate; the shipdate
+# window pushes down. The CASE lives inside the partial aggregate, so the
+# shuffle moves exactly two decimal buffers per partition.
+# --------------------------------------------------------------------------
+@register(
+    "a15_promo_revenue",
+    oracle="""
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                 ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             AS promo_revenue,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS total_revenue,
+           100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                 ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS promo_share_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-07-01 00:00:00'
+    """,
+    doc="A15 promo revenue share via conditional aggregation (Q14 shape)",
+)
+def a15_promo_revenue(spark, sf_dir):
+    li, part = load(spark, sf_dir, "lineitem", "part")
+    promo = F.when(F.col("p_type") == "PROMO",
+                   _disc_price()).otherwise(_dec(F.lit(0)))
+    j = (li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp")))
+         .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey")))
+    agg = j.agg(F.sum(promo).cast("double").alias("promo_revenue"),
+                F.sum(_disc_price()).cast("double").alias("total_revenue"))
+    return agg.select(
+        "promo_revenue", "total_revenue",
+        (100.0 * F.col("promo_revenue") / F.col("total_revenue"))
+        .alias("promo_share_pct"))
+
+
+# --------------------------------------------------------------------------
+# A16 (Q15 shape): top supplier by revenue — scalar-subquery max. Scale: the
+# per-supplier aggregate is tiny (|suppliers| rows); its max is a 1-row
+# broadcast joined back on exact DECIMAL equality (doubles would make
+# "== max" nondeterministic). No second scan of lineitem.
+# --------------------------------------------------------------------------
+@register(
+    "a16_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS r
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = suppkey
+    WHERE r = (SELECT max(r) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    doc="A16 max-revenue supplier via scalar subquery (Q15 shape)",
+)
+def a16_top_supplier(spark, sf_dir):
+    li, sup = load(spark, sf_dir, "lineitem", "supplier")
+    rev = (li.filter(
+              (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+              & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp")))
+           .groupBy(F.col("l_suppkey").alias("suppkey"))
+           .agg(F.sum(_disc_price()).alias("r")))
+    mx = rev.agg(F.max("r").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("r") == F.col("mx"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("suppkey"))
+        .select("s_suppkey", "s_name",
+                F.col("r").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# A17 (Q16 shape): supplier variety per (brand, type) with a NOT-IN
+# exclusion. Scale: the exclusion set (negative-balance suppliers) is a
+# broadcast anti join — NOT IN as a blacklist never shuffles the fact side;
+# count(DISTINCT) plans as Expand + two-phase aggregate on (brand, type).
+# --------------------------------------------------------------------------
+@register(
+    "a17_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 10, 15, 20, 25)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type
+    ORDER BY supplier_cnt DESC, p_brand, p_type
+    LIMIT 20
+    """,
+    doc="A17 distinct-supplier variety with NOT-IN exclusion (Q16 shape)",
+)
+def a17_supplier_variety(spark, sf_dir):
+    li, part, sup = load(spark, sf_dir, "lineitem", "part", "supplier")
+    bad = sup.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pf = part.filter((F.col("p_brand") != "Brand#1")
+                     & F.col("p_size").isin(1, 5, 10, 15, 20, 25))
+    return (
+        li.join(F.broadcast(bad),
+                F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(pf), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# A18 (Q17 shape): correlated scalar subquery — lines under 20% of their
+# part's average quantity. Scale: the subquery decorrelates into a per-part
+# aggregate; filtering lineitem through the broadcast brand dim FIRST means
+# the aggregate runs over only the brand's rows (~4% here), and both joins
+# broadcast — zero wide shuffles beyond the tiny per-part agg.
+# --------------------------------------------------------------------------
+@register(
+    "a18_small_qty_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = l.l_partkey)
+    """,
+    doc="A18 small-quantity revenue via correlated scalar subquery "
+        "(Q17 shape)",
+)
+def a18_small_qty_revenue(spark, sf_dir):
+    li, part = load(spark, sf_dir, "lineitem", "part")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#3") \
+        .select("p_partkey")
+    brand_lines = li.join(
+        F.broadcast(brand_parts), F.col("p_partkey") == F.col("l_partkey"))
+    # avg(l_quantity) over integer-valued doubles is exact: sum < 2^53
+    thresholds = (brand_lines.groupBy(F.col("l_partkey").alias("pk"))
+                  .agg((0.2 * F.avg("l_quantity")).alias("qty_cap")))
+    return (
+        brand_lines.join(F.broadcast(thresholds),
+                         F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg((F.sum(_dec(F.col("l_extendedprice"))).cast("double") / 7.0)
+             .alias("avg_yearly"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A19 (Q18 shape): large orders — group-having feeding a join. Scale: the
+# having-filtered aggregate and the orders join share the l_orderkey =
+# o_orderkey hash partitioning (one exchange, reused); customer stays a
+# broadcast dim. Top-k is TakeOrderedAndProject (per-partition heaps).
+# --------------------------------------------------------------------------
+@register(
+    "a19_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey AS okey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+    FROM big
+    JOIN orders ON o_orderkey = okey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    doc="A19 large-order customers via group-having semi join (Q18 shape)",
+)
+def a19_large_orders(spark, sf_dir):
+    li, orders, cust = load(spark, sf_dir, "lineitem", "orders", "customer")
+    big = (li.groupBy(F.col("l_orderkey").alias("okey"))
+           .agg(F.sum("l_quantity").alias("total_qty"))
+           .filter(F.col("total_qty") > 150))
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("okey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice",
+                "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# A20 (Q19 shape): disjunctive join residual. Scale: the equi key
+# (p_partkey = l_partkey) carries the broadcast join; the OR-of-ANDs is a
+# post-join residual evaluated in codegen — never a cross product. Catalyst
+# also extracts the common brand-membership predicate into the part scan.
+# --------------------------------------------------------------------------
+@register(
+    "a20_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#10' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+    doc="A20 disjunctive-predicate join revenue (Q19 shape)",
+)
+def a20_disjunctive_revenue(spark, sf_dir):
+    li, part = load(spark, sf_dir, "lineitem", "part")
+    q, sz, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    disj = (
+        ((br == "Brand#5") & sz.between(1, 15) & q.between(1, 20))
+        | ((br == "Brand#10") & sz.between(10, 30) & q.between(10, 35))
+        | ((br == "Brand#20") & sz.between(20, 50) & q.between(20, 50)))
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(disj)
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A21 (Q20 shape): suppliers with excess shipped quantity of PROMO parts —
+# a semi join over an aggregate-with-threshold. Scale: the (suppkey,
+# partkey) aggregate partial-combines map-side; the PROMO dim broadcast
+# prunes before the distinct; the final semi join broadcasts the small
+# qualifying-supplier set into the supplier dim.
+# --------------------------------------------------------------------------
+@register(
+    "a21_excess_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM (
+        SELECT l_suppkey, l_partkey, sum(l_quantity) AS q
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey) shipped
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO' AND q > 60)
+    ORDER BY s_suppkey
+    """,
+    doc="A21 excess-quantity suppliers via nested semi join (Q20 shape)",
+)
+def a21_excess_suppliers(spark, sf_dir):
+    li, part, sup = load(spark, sf_dir, "lineitem", "part", "supplier")
+    promo = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    shipped = (li.filter(
+                  (F.col("l_shipdate")
+                   >= F.lit("1998-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate")
+                     < F.lit("1999-01-01").cast("timestamp")))
+               .groupBy("l_suppkey", "l_partkey")
+               .agg(F.sum("l_quantity").alias("q")))
+    excess = (shipped
+              .join(F.broadcast(promo),
+                    F.col("p_partkey") == F.col("l_partkey"))
+              .filter(F.col("q") > 60)
+              .select("l_suppkey"))
+    return (
+        sup.join(excess, F.col("s_suppkey") == F.col("l_suppkey"),
+                 "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# A22 (Q21 shape): the only-late-supplier query — EXISTS + NOT EXISTS over
+# the same relation. Spark-first formulation: instead of two correlated
+# self-joins of lineitem, ONE join to orders and two collect_set windows
+# over l_orderkey (which reuses the join's hash partitioning — zero extra
+# exchanges). A line qualifies when it is late, its order has >1 supplier,
+# and the order's late-supplier set has size 1 (necessarily this one).
+# --------------------------------------------------------------------------
+@register(
+    "a22_lonely_late_suppliers",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders o
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    doc="A22 only-late-supplier wait counts (Q21 shape) via windowed sets",
+)
+def a22_lonely_late_suppliers(spark, sf_dir):
+    li, orders, sup = load(spark, sf_dir, "lineitem", "orders", "supplier")
+    j = li.join(orders.select("o_orderkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+    late = F.col("l_shipdate") > (F.col("o_orderdate")
+                                  + F.expr("INTERVAL 90 DAYS"))
+    w = Window.partitionBy("l_orderkey")
+    j = j.withColumn("is_late", late) \
+         .withColumn("n_sup", F.size(F.collect_set("l_suppkey").over(w))) \
+         .withColumn("late_sups", F.size(F.collect_set(
+             F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)))
+    return (
+        j.filter(F.col("is_late") & (F.col("n_sup") > 1)
+                 & (F.col("late_sups") == 1))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# A23 (Q22 shape): dormant rich customers — global-average gate + anti join.
+# Scale: the average is a 1-row broadcast (computed with an exact DECIMAL
+# sum so the ">" gate is deterministic across engines); "no recent orders"
+# is a shuffle anti join on the customer key; nation stays broadcast.
+# --------------------------------------------------------------------------
+@register(
+    "a23_dormant_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+               / count(*) AS ab
+      FROM customer WHERE c_acctbal > 0)
+    SELECT n_name AS nation, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+             AS totacctbal
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    CROSS JOIN avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY n_name ORDER BY n_name
+    """,
+    doc="A23 dormant high-balance customers per nation (Q22 shape)",
+)
+def a23_dormant_customers(spark, sf_dir):
+    cust, nation, orders = load(spark, sf_dir, "customer", "nation",
+                                "orders")
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0)
+               .agg((F.sum(_dec(F.col("c_acctbal"))).cast("double")
+                     / F.count(F.lit(1))).alias("ab")))
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .join(F.broadcast(nation),
+              F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.sum(_dec(F.col("c_acctbal"))).cast("double")
+             .alias("totacctbal"))
+        .orderBy("nation")
+    )

@@ -108,3 +108,28 @@ def test_scan_pushdown_on_partition_filter(spark, tmp_path):
     px = spark.read.parquet(path).filter("t = 1")
     joined = "; ".join(pushed_filters(px))
     assert "EqualTo(t,1)" in joined, joined
+
+
+@pytest.mark.parametrize("name", [
+    "a14_order_priority", "a15_promo_revenue", "a17_supplier_variety",
+    "a18_small_qty_revenue", "a19_large_orders", "a20_disjunctive_revenue",
+    "a21_excess_suppliers", "a22_lonely_late_suppliers",
+    "a23_dormant_customers",
+])
+def test_tpch_shapes_no_sort_merge_join(spark, name):
+    """TPC-H-derived queries: every dim join must broadcast (no sort-merge
+    join anywhere — the fact table is never repartitioned to meet a dim),
+    and every aggregate must partial-combine map-side."""
+    df = q(spark, name)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert broadcast_join_count(df) >= 1
+    assert has_partial_aggregate(df)
+
+
+def test_a22_single_fact_shuffle(spark):
+    """The windowed-set Q21 formulation exists to avoid the 3-shuffle
+    self-join form: the orders join and both collect_set windows must share
+    one l_orderkey exchange (plus fan-out and the final tiny agg)."""
+    df = q(spark, "a22_lonely_late_suppliers")
+    assert shuffle_count(df) <= 4
