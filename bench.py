@@ -37,7 +37,8 @@ BENCH_QUERIES = [
     "l4b_language_id", "l4c_quality_score", "l4d_fingerprint",
     "l4f_pii_redaction", "l6_dedup_clusters", "l6b_hash_sample",
     # image + streaming-batch
-    "img_selectors", "img_mosaic_stitch", "s1_tumbling_window",
+    "img_selectors", "img_mosaic_stitch", "img_max_projection",
+    "img_channel_histogram", "s1_tumbling_window",
     "s2_session_windows", "s3_first_event_dedup", "s4_sliding_window",
     "s5_interval_join", "l5_training_pipeline", "a3b_cube_status",
     "a2b_approx_distinct", "a12_stats_agg", "a13_pivot",

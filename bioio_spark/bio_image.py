@@ -280,6 +280,38 @@ class BioImage:
         plan, out_dims = apply_selectors(px, dims, order, selectors)
         return to_ndarray(plan, out_dims)
 
+    def project(self, dim: str = "Z", op: str = "max",
+                **selectors) -> DataFrame:
+        """Axis reduction as a lazy grouped aggregate — e.g. the
+        maximum-intensity projection users of the reference compute with
+        numpy after get_image_data (ref bio_image.py:841-917). Selectors
+        (same algebra as get_image_data) apply before the reduction.
+        """
+        from bioio_spark.operators.reductions import project as _project
+
+        px, dims = self._standard_pixels()
+        plan, out_dims = apply_selectors(px, dims, dims.order, selectors)
+        reduced, _ = _project(plan, out_dims, dim, op)
+        return reduced
+
+    def project_data(self, dim: str = "Z", op: str = "max",
+                     **selectors) -> np.ndarray:
+        """Eager ndarray twin of project()."""
+        from bioio_spark.operators.reductions import project as _project
+
+        px, dims = self._standard_pixels()
+        plan, out_dims = apply_selectors(px, dims, dims.order, selectors)
+        reduced, red_dims = _project(plan, out_dims, dim, op)
+        return to_ndarray(reduced, red_dims)
+
+    def channel_histogram(self, nbins: int = 16) -> DataFrame:
+        """Per-channel equal-width intensity histogram (c, bin, n_pixels)."""
+        from bioio_spark.operators.reductions import channel_histogram
+
+        px, dims = self._standard_pixels()
+        plan, _ = apply_selectors(px, dims, dims.order, {})
+        return channel_histogram(plan, nbins=nbins)
+
     def loc(self, **bounds) -> DataFrame:
         """P8 label-based selection: physical-coordinate ranges instead of
         indices (analog of xarray `.loc`, ref docs/OVERVIEW.md:337-354).

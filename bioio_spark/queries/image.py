@@ -460,3 +460,48 @@ def img_raw_source_scan(spark, sf_dir):
              F.sum("value").alias("sum_val"))
         .orderBy("t", "z")
     )
+
+
+# --------------------------------------------------------------------------
+# Reductions: maximum-intensity projection (the canonical microscopy
+# reduction the reference leaves to numpy after get_image_data) and the
+# per-channel intensity histogram. Both are partial-combining hash
+# aggregates — the shuffle carries one row per OUTPUT pixel / bin, so a
+# 100 TB MIP moves |T*C*Y*X| rows, not the input.
+# --------------------------------------------------------------------------
+@register(
+    "img_max_projection",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL})
+    SELECT t, c, y, x, max(value) AS value
+    FROM px GROUP BY t, c, y, x ORDER BY t, c, y, x
+    """,
+    doc="max-intensity projection over Z as a grouped aggregate",
+)
+def img_max_projection(spark, sf_dir):
+    from bioio_spark.dimensions import Dimensions
+    from bioio_spark.operators.reductions import project
+
+    px = _gen_pixels(spark)
+    plan, _ = project(px, Dimensions("TCZYX", (T, C, Z, Y, X)), "Z", "max")
+    return plan.orderBy("t", "c", "y", "x")
+
+
+@register(
+    "img_channel_histogram",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL}),
+    rng AS (SELECT c, min(value) AS mn, max(value) AS mx FROM px GROUP BY c)
+    SELECT px.c AS c,
+           CAST(least(floor((value - mn) * 16 / (mx - mn)), 15) AS INTEGER)
+             AS bin,
+           count(*) AS n_pixels
+    FROM px JOIN rng ON px.c = rng.c
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="per-channel 16-bin equal-width intensity histogram",
+)
+def img_channel_histogram(spark, sf_dir):
+    from bioio_spark.operators.reductions import channel_histogram
+
+    return channel_histogram(_gen_pixels(spark), nbins=16)

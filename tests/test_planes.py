@@ -81,3 +81,70 @@ def test_selector_predicates_reach_parquet_scan(spark, tmp_path):
     assert "EqualTo(t,1)" in scan and "EqualTo(c,2)" in scan, scan
     # y/x/value survive; t/c are filter-only and pruned after pushdown
     assert "value:double" in scan
+
+
+class TestReductions:
+    """project / channel_histogram vs numpy over the standardized array."""
+
+    def test_max_projection_matches_numpy(self, spark):
+        import numpy as np
+
+        from bioio_spark import BioImage
+
+        arr = np.random.default_rng(11).random((3, 2, 4, 5, 6))
+        img = BioImage(arr)
+        mip = img.project_data("Z", "max")
+        np.testing.assert_allclose(mip, arr.max(axis=2))
+
+    def test_mean_projection_with_selectors(self, spark):
+        import numpy as np
+
+        from bioio_spark import BioImage
+
+        arr = np.arange(2 * 2 * 3 * 4 * 5, dtype=np.float64).reshape(
+            (2, 2, 3, 4, 5))
+        img = BioImage(arr)
+        out = img.project_data("T", "mean", C=1)
+        # C=1 point select keeps a size-1 axis (the full TCZYX order is the
+        # requested output order, matching ref reshape_data semantics)
+        np.testing.assert_allclose(out, arr[:, [1]].mean(axis=0))
+
+    def test_project_unknown_dim_raises(self, spark):
+        import numpy as np
+        import pytest
+
+        from bioio_spark import BioImage
+
+        img = BioImage(np.zeros((2, 3)))
+        with pytest.raises(ValueError, match="not in image dims"):
+            img.project("M").collect()
+        with pytest.raises(ValueError, match="unknown projection op"):
+            img.project("Z", op="median").collect()
+
+    def test_channel_histogram_matches_numpy(self, spark):
+        import numpy as np
+
+        from bioio_spark import BioImage
+
+        arr = np.random.default_rng(5).random((1, 3, 2, 8, 8))
+        img = BioImage(arr)
+        rows = img.channel_histogram(nbins=8).collect()
+        for c in range(3):
+            vals = arr[0, c]
+            mn, mx = vals.min(), vals.max()
+            bins = np.minimum(
+                np.floor((vals - mn) * 8 / (mx - mn)), 7).astype(int)
+            expected = {b: int(n) for b, n in
+                        zip(*np.unique(bins, return_counts=True))}
+            got = {r["bin"]: r["n_pixels"] for r in rows if r["c"] == c}
+            assert got == expected
+
+    def test_flat_channel_single_bin(self, spark):
+        import numpy as np
+
+        from bioio_spark import BioImage
+
+        img = BioImage(np.full((1, 1, 1, 4, 4), 7.0))
+        rows = img.channel_histogram(nbins=16).collect()
+        assert len(rows) == 1
+        assert (rows[0]["bin"], rows[0]["n_pixels"]) == (0, 16)
