@@ -320,8 +320,10 @@ def a8_join_revenue(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 # A8b: broadcast dimension join chain (TPC-H Q5 shape) + semi/anti joins.
-# Scale: region/nation are broadcast explicitly — zero shuffle of the fact
-# side for dimension enrichment.
+# Scale: the fact side shuffles ONCE (the orderkey join); before the custkey
+# hop it re-aggregates to per-customer partials, so the second shuffle moves
+# |customers| rows instead of |lineitem| joined rows. customer/nation/region
+# are broadcast — dimension enrichment never repartitions the fact side.
 # --------------------------------------------------------------------------
 @register(
     "a8b_regional_revenue",
@@ -344,17 +346,21 @@ def a8_join_revenue(spark, sf_dir):
 def a8b_regional_revenue(spark, sf_dir):
     r, n, c, o, li = load(spark, sf_dir, "region", "nation", "customer",
                           "orders", "lineitem")
-    return (
+    per_cust = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(_dec(F.col("l_extendedprice"))
+                   * (1 - _dec(F.col("l_discount"), 4, 2))).alias("rev"),
+             F.count(F.lit(1)).alias("n_li")))
+    return (
+        per_cust
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"),
                  F.col("n_name").alias("nation"))
-        .agg(F.sum(_dec(F.col("l_extendedprice"))
-                   * (1 - _dec(F.col("l_discount"), 4, 2)))
-             .cast("double").alias("revenue"),
-             F.count(F.lit(1)).alias("n_lineitems"))
+        .agg(F.sum("rev").cast("double").alias("revenue"),
+             F.sum("n_li").alias("n_lineitems"))
         .orderBy("region", "nation")
     )
 
