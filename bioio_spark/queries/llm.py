@@ -286,3 +286,111 @@ def l4f_pii_redaction(spark, sf_dir):
         F.md5(F.regexp_replace(no_email, _NUM_PAT, "<NUM>"))
         .alias("red_hash"))
         .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# L7: sequence packing — concat-and-chunk documents into fixed-capacity
+# context windows (the standard pretraining packing strategy: concatenate
+# the stream, cut every CAP units; a document's bin is the chunk its first
+# unit lands in). Pure window arithmetic over a running sum: one shuffle on
+# the stream key. Scale: partitionBy(lang) stands in for the shard key —
+# real pipelines pack within shards, so parallelism = #shards and the
+# running-sum state is one number per stream.
+# --------------------------------------------------------------------------
+_PACK_CAP = 2048  # capacity per context window, in n_chars units
+
+
+@register(
+    "l7_sequence_packing",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, lang, n_chars,
+             COALESCE(sum(n_chars) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prev_chars
+      FROM documents)
+    SELECT doc_id, lang,
+           CAST(floor(prev_chars / {_PACK_CAP}) AS BIGINT) AS bin_id,
+           CAST(prev_chars % {_PACK_CAP} AS BIGINT) AS bin_offset
+    FROM c ORDER BY lang, doc_id
+    """,
+    doc="L7 concat-and-chunk sequence packing into fixed context windows",
+)
+def l7_sequence_packing(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prev = F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+    return (docs.select(
+        "doc_id", "lang",
+        F.floor(prev / _PACK_CAP).alias("bin_id"),
+        (prev % _PACK_CAP).alias("bin_offset"))
+        .orderBy("lang", "doc_id"))
+
+
+# --------------------------------------------------------------------------
+# L8: target-mix rebalancing — downsample each language to hit a declared
+# mix. T = the largest total the corpus supports (min over langs of
+# count/share); each lang keeps floor(share*T) docs, chosen by smallest
+# content-stable hash (deterministic "random" sample, reproducible across
+# engines, runs, and cluster layouts — same argument as l6b). Scale: the
+# per-lang counts are a tiny aggregate broadcast back; selection is one
+# row_number window per lang partition.
+# --------------------------------------------------------------------------
+_MIX_TARGET = {"en": 0.4, "zh": 0.15, "es": 0.15, "de": 0.15, "fr": 0.15}
+
+
+def _mix_share_sql() -> str:
+    whens = " ".join(f"WHEN lang = '{k}' THEN {v}"
+                     for k, v in _MIX_TARGET.items())
+    return f"CASE {whens} ELSE 0.0 END"
+
+
+@register(
+    "l8_mix_rebalance",
+    oracle=f"""
+    WITH shared AS (
+      SELECT doc_id, lang, {_mix_share_sql()} AS share,
+             {_h32_sql("'mix:' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents WHERE {_mix_share_sql()} > 0),
+    caps AS (
+      SELECT min(cnt / share) AS t FROM (
+        SELECT lang, share, count(*) AS cnt FROM shared
+        GROUP BY lang, share)),
+    ranked AS (
+      SELECT doc_id, lang, share,
+             row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+               AS rk
+      FROM shared)
+    SELECT doc_id, lang FROM ranked, caps
+    WHERE rk <= floor(share * t)
+    ORDER BY doc_id
+    """,
+    doc="L8 deterministic language-mix rebalancing to target shares",
+)
+def l8_mix_rebalance(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from bioio_spark.functions.hashing import h32_col
+
+    docs = load(spark, sf_dir, "documents")
+    share = F.lit(0.0)
+    for k, v in _MIX_TARGET.items():
+        share = F.when(F.col("lang") == k, F.lit(v)).otherwise(share)
+    shared = (docs.withColumn("share", share)
+              .filter(F.col("share") > 0)
+              .withColumn("h", h32_col(
+                  F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))))
+    caps = (shared.groupBy("lang", "share")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(F.min(F.col("cnt") / F.col("share")).alias("t")))
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy("h", "doc_id"))
+    return (shared.withColumn("rk", rk)
+            .crossJoin(F.broadcast(caps))
+            .filter(F.col("rk") <= F.floor(F.col("share") * F.col("t")))
+            .select("doc_id", "lang")
+            .orderBy("doc_id"))
