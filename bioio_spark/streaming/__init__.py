@@ -7,8 +7,18 @@ from bioio_spark.streaming.events import (
     run_stream_to_memory,
 )
 from bioio_spark.streaming.stateful import stateful_user_totals
+from bioio_spark.streaming.sink import (
+    idempotent_batch_sink,
+    read_batches,
+    upsert_batch_sink,
+    read_upserted,
+)
 
 __all__ = [
+    "idempotent_batch_sink",
+    "read_batches",
+    "upsert_batch_sink",
+    "read_upserted",
     "streaming_interval_join",
     "read_event_stream",
     "streaming_tumbling_counts",
