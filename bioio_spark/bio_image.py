@@ -312,6 +312,15 @@ class BioImage:
         plan, _ = apply_selectors(px, dims, dims.order, {})
         return channel_histogram(plan, nbins=nbins)
 
+    def contrast_stretch(self, lo_q: float = 0.01,
+                         hi_q: float = 0.99) -> DataFrame:
+        """Per-channel percentile contrast stretch to [0,1], clamped."""
+        from bioio_spark.operators.reductions import contrast_stretch
+
+        px, dims = self._standard_pixels()
+        plan, _ = apply_selectors(px, dims, dims.order, {})
+        return contrast_stretch(plan, lo_q=lo_q, hi_q=hi_q)
+
     def loc(self, **bounds) -> DataFrame:
         """P8 label-based selection: physical-coordinate ranges instead of
         indices (analog of xarray `.loc`, ref docs/OVERVIEW.md:337-354).

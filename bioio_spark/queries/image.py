@@ -505,3 +505,28 @@ def img_channel_histogram(spark, sf_dir):
     from bioio_spark.operators.reductions import channel_histogram
 
     return channel_histogram(_gen_pixels(spark), nbins=16)
+
+
+@register(
+    "img_contrast_stretch",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL}),
+    pct AS (
+      SELECT c, quantile_cont(value, 0.01) AS lo,
+             quantile_cont(value, 0.99) AS hi
+      FROM px GROUP BY c)
+    SELECT t, px.c AS c, z, y, x,
+           round(least(greatest((value - lo) / (hi - lo), 0.0), 1.0), 6)
+             AS value
+    FROM px JOIN pct ON px.c = pct.c
+    ORDER BY t, c, z, y, x
+    """,
+    doc="per-channel 1%/99% percentile contrast stretch to [0,1]",
+)
+def img_contrast_stretch(spark, sf_dir):
+    from bioio_spark.operators.reductions import contrast_stretch
+
+    out = contrast_stretch(_gen_pixels(spark), 0.01, 0.99)
+    return (out.select("t", "c", "z", "y", "x",
+                       F.round("value", 6).alias("value"))
+            .orderBy("t", "c", "z", "y", "x"))

@@ -148,3 +148,31 @@ class TestReductions:
         rows = img.channel_histogram(nbins=16).collect()
         assert len(rows) == 1
         assert (rows[0]["bin"], rows[0]["n_pixels"]) == (0, 16)
+
+    def test_contrast_stretch_matches_numpy(self, spark):
+        import numpy as np
+
+        from bioio_spark import BioImage
+
+        arr = np.random.default_rng(3).random((1, 2, 2, 6, 6))
+        img = BioImage(arr)
+        rows = img.contrast_stretch(0.1, 0.9).collect()
+        for c in range(2):
+            vals = arr[0, c]
+            lo, hi = np.quantile(vals, [0.1, 0.9])
+            want = np.clip((vals - lo) / (hi - lo), 0.0, 1.0)
+            for r in rows:
+                if r["c"] == c:
+                    np.testing.assert_allclose(
+                        r["value"], want[r["z"], r["y"], r["x"]],
+                        rtol=1e-9)
+
+    def test_contrast_stretch_bad_quantiles(self, spark):
+        import numpy as np
+        import pytest
+
+        from bioio_spark import BioImage
+
+        img = BioImage(np.zeros((2, 2)))
+        with pytest.raises(ValueError, match="lo_q < hi_q"):
+            img.contrast_stretch(0.9, 0.1).collect()
