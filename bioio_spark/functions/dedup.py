@@ -204,25 +204,28 @@ MINHASH_ORACLE = (
 # -- L2 SimHash ------------------------------------------------------------
 
 def simhash_signatures(documents: DataFrame) -> DataFrame:
-    """32-bit simhash over word hashes (with multiplicity)."""
+    """32-bit simhash over word hashes (with multiplicity).
+
+    Fully narrow: the word array never explodes — per-row higher-order
+    functions hash each word once and count per-bit majorities inside the
+    row, so the operator is a pure codegen projection with ZERO shuffles
+    (the explode + groupBy(doc_id) formulation pays a wide exchange for
+    what is row-local arithmetic).
+    """
     words = F.split(F.trim(F.col("text")), _WS)
-    exploded = documents.select(
-        "doc_id", F.explode(words).alias("w"))
-    exploded = exploded.select(
-        "doc_id", h32_col(F.col("w")).alias("h"))
-    bit_aggs = [
-        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)))
-        .alias(f"ones_{b}")
-        for b in range(32)
-    ]
-    counted = exploded.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"), *bit_aggs)
+    with_hs = documents.select(
+        "doc_id",
+        F.transform(words, lambda w: h32_col(w)).alias("hs"))
+    n = F.size(F.col("hs"))
     sig = None
     for b in range(32):
-        bit = F.when(F.col(f"ones_{b}") * 2 > F.col("n"),
-                     F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        ones = F.size(F.filter(
+            F.col("hs"),
+            lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1))
+        bit = F.when(ones * 2 > n, F.lit(2 ** b).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
         sig = bit if sig is None else sig + bit
-    return (counted.select("doc_id", sig.alias("simhash"))
+    return (with_hs.select("doc_id", sig.alias("simhash"))
             .orderBy("doc_id"))
 
 

@@ -133,3 +133,35 @@ def test_a22_single_fact_shuffle(spark):
     one l_orderkey exchange (plus fan-out and the final tiny agg)."""
     df = q(spark, "a22_lonely_late_suppliers")
     assert shuffle_count(df) <= 4
+
+
+def test_bucketed_join_skips_exchange(spark, tmp_path):
+    """Bucketing demo — the 100 TB co-located join strategy: both fact
+    tables written bucketed+sorted by the join key join with ZERO
+    exchanges (SortMergeJoin reads co-located buckets directly). This is
+    the storage-layout answer to repeated large-to-large joins that can't
+    broadcast."""
+    from bioio_spark.queries.base import load
+
+    sf = "/root/testdata/sf0.001"
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    try:
+        (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+         .option("path", str(tmp_path / "b_orders"))
+         .mode("overwrite").saveAsTable("b_orders"))
+        (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+         .option("path", str(tmp_path / "b_lineitem"))
+         .mode("overwrite").saveAsTable("b_lineitem"))
+        bo = spark.table("b_orders")
+        bl = spark.table("b_lineitem")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey) \
+            .select("o_orderkey", "l_quantity")
+        plan = physical_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == bl.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
