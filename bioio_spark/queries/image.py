@@ -530,3 +530,66 @@ def img_contrast_stretch(spark, sf_dir):
     return (out.select("t", "c", "z", "y", "x",
                        F.round("value", 6).alias("value"))
             .orderBy("t", "c", "z", "y", "x"))
+
+
+# --------------------------------------------------------------------------
+# Throughput-scale MIP: the same reduction as img_max_projection over a
+# ~786k-pixel generated volume (4x2x6x128x128), so the bench measures the
+# pixel path moving real data, not fixed job overhead. Values use a
+# wrapping formula (no monotone shortcut for max).
+# --------------------------------------------------------------------------
+_BT, _BC, _BZ, _BY, _BX = 4, 2, 6, 128, 128
+_BN = _BT * _BC * _BZ * _BY * _BX
+
+
+def _gen_big_pixels(spark):
+    df = spark.range(_BN)
+    t = (F.col("id") / (_BC * _BZ * _BY * _BX)).cast("long")
+    c = (F.col("id") / (_BZ * _BY * _BX)).cast("long") % _BC
+    z = (F.col("id") / (_BY * _BX)).cast("long") % _BZ
+    y = (F.col("id") / _BX).cast("long") % _BY
+    x = F.col("id") % _BX
+    value = ((F.col("id") * 2654435761) % 1000003).cast("double")
+    return df.select(
+        t.cast("int").alias("t"), c.cast("int").alias("c"),
+        z.cast("int").alias("z"), y.cast("int").alias("y"),
+        x.cast("int").alias("x"), value.alias("value"))
+
+
+_GEN_BIG_SQL = f"""
+  SELECT CAST(i // {_BC * _BZ * _BY * _BX} AS INTEGER) AS t,
+         CAST((i // {_BZ * _BY * _BX}) % {_BC} AS INTEGER) AS c,
+         CAST((i // {_BY * _BX}) % {_BZ} AS INTEGER) AS z,
+         CAST((i // {_BX}) % {_BY} AS INTEGER) AS y,
+         CAST(i % {_BX} AS INTEGER) AS x,
+         CAST((i * 2654435761) % 1000003 AS DOUBLE) AS value
+  FROM range({_BN}) r(i)
+"""
+
+
+@register(
+    "img_mip_large",
+    oracle=f"""
+    WITH px AS ({_GEN_BIG_SQL}),
+    mip AS (
+      SELECT t, c, y, x, max(value) AS value
+      FROM px GROUP BY t, c, y, x)
+    SELECT t, c, count(*) AS n_px, sum(value) AS sum_mip,
+           max(value) AS max_mip
+    FROM mip GROUP BY t, c ORDER BY t, c
+    """,
+    doc="throughput-scale max projection over a 786k-pixel volume "
+        "(checksummed per (t,c) so the oracle result stays small)",
+)
+def img_mip_large(spark, sf_dir):
+    from bioio_spark.dimensions import Dimensions
+    from bioio_spark.operators.reductions import project
+
+    px = _gen_big_pixels(spark)
+    mip, _ = project(px, Dimensions("TCZYX", (_BT, _BC, _BZ, _BY, _BX)),
+                     "Z", "max")
+    return (mip.groupBy("t", "c")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_mip"),
+                 F.max("value").alias("max_mip"))
+            .orderBy("t", "c"))

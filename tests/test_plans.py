@@ -165,3 +165,29 @@ def test_bucketed_join_skips_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_sql_api_equals_dataframe_api(spark):
+    """The engine is reachable through textual SQL too: registering the
+    fixture tables as temp views and running the TPC-H Q1 shape through
+    spark.sql produces the identical result (same Catalyst plan space)."""
+    from bioio_spark.queries.base import load
+
+    sf = "/root/testdata/sf0.001"
+    load(spark, sf, "lineitem").createOrReplaceTempView("v_lineitem")
+    try:
+        got = spark.sql("""
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   count(*) AS count_order
+            FROM v_lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""").collect()
+        want = [(r["l_returnflag"], r["l_linestatus"], r["sum_qty"],
+                 r["count_order"])
+                for r in REGISTRY["a1_pricing_summary"].fn(spark, sf)
+                .collect()]
+        assert [tuple(r) for r in got] == want
+    finally:
+        spark.catalog.dropTempView("v_lineitem")
