@@ -106,3 +106,41 @@ def assemble_ndarray(planes: DataFrame, dims_order: str,
         arr[idx + (slice(row["y0"], row["y0"] + row["h"]),
                    slice(row["x0"], row["x0"] + row["w"]))] = tile
     return arr
+
+
+def project_planes(planes: DataFrame, reduce_dim: str = "z",
+                   op: str = "max") -> DataFrame:
+    """Tile-level axis reduction: reduce `reduce_dim` away by combining
+    whole tile payloads elementwise (zip_with inside an array fold) —
+    the scale path for projections: no pixel-row explosion, the shuffle
+    carries one dense array per output tile, and the combine runs
+    vectorized over the payload.
+
+    Tiles at the same (y0, x0) share the image's tile grid, so payload
+    shapes align within a group by construction.
+    """
+    ops = {
+        "max": (lambda a, b: F.greatest(a, b), False),
+        "min": (lambda a, b: F.least(a, b), False),
+        "sum": (lambda a, b: a + b, True),
+    }
+    if op not in ops:
+        raise ValueError(f"unknown projection op {op!r}; "
+                         f"choose from {sorted(ops)}")
+    combine, needs_zero_init = ops[op]
+    if reduce_dim not in planes.columns:
+        raise ValueError(f"dim column {reduce_dim!r} not in plane frame")
+    key_cols = [c for c in PLANE_KEY_COLS
+                if c in planes.columns and c != reduce_dim]
+    grouped = (planes.groupBy(*key_cols, "y0", "x0", "h", "w")
+               .agg(F.collect_list("values").alias("chunks")))
+    first = F.element_at(F.col("chunks"), 1)
+    # max/min are idempotent, so re-folding the first chunk over itself is
+    # harmless; sum needs a zero init to avoid double-counting it
+    init = F.transform(first, lambda _: F.lit(0.0)) if needs_zero_init \
+        else first
+    merged = F.aggregate(
+        F.col("chunks"), init,
+        lambda acc, ch: F.zip_with(acc, ch, combine))
+    return grouped.select(*key_cols, "y0", "x0", "h", "w",
+                          merged.alias("values"))

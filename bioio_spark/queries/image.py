@@ -593,3 +593,30 @@ def img_mip_large(spark, sf_dir):
                  F.sum("value").alias("sum_mip"),
                  F.max("value").alias("max_mip"))
             .orderBy("t", "c"))
+
+
+# --------------------------------------------------------------------------
+# The same MIP through the chunked planes layout: pixels -> tiles ->
+# elementwise zip_with fold across z -> back to pixels. Hash-matching the
+# pixel-level SQL oracle proves the tile path (the layout actually used at
+# 100 TB) computes bit-identical projections.
+# --------------------------------------------------------------------------
+@register(
+    "img_planes_mip",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL})
+    SELECT t, c, y, x, max(value) AS value
+    FROM px GROUP BY t, c, y, x ORDER BY t, c, y, x
+    """,
+    doc="max projection computed tile-wise on the planes layout",
+)
+def img_planes_mip(spark, sf_dir):
+    from bioio_spark.operators.planes import (pixels_to_planes,
+                                              planes_to_pixels,
+                                              project_planes)
+
+    planes = pixels_to_planes(_gen_pixels(spark), tile_h=2, tile_w=3)
+    mip = project_planes(planes, reduce_dim="z", op="max")
+    return (planes_to_pixels(mip)
+            .select("t", "c", "y", "x", "value")
+            .orderBy("t", "c", "y", "x"))

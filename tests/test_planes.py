@@ -176,3 +176,39 @@ class TestReductions:
         img = BioImage(np.zeros((2, 2)))
         with pytest.raises(ValueError, match="lo_q < hi_q"):
             img.contrast_stretch(0.9, 0.1).collect()
+
+    def test_project_planes_matches_numpy(self, spark):
+        import numpy as np
+
+        from bioio_spark.operators.planes import (assemble_ndarray,
+                                                  pixels_to_planes,
+                                                  project_planes)
+
+        rng = np.random.default_rng(17)
+        arr = rng.random((2, 2, 3, 5, 7))
+        rows = [(t, c, z, y, x, float(arr[t, c, z, y, x]))
+                for t in range(2) for c in range(2) for z in range(3)
+                for y in range(5) for x in range(7)]
+        px = spark.createDataFrame(
+            rows, "t int, c int, z int, y int, x int, value double")
+        planes = pixels_to_planes(px, tile_h=2, tile_w=4)
+        for op, npop in [("max", np.max), ("min", np.min),
+                         ("sum", np.sum)]:
+            out = project_planes(planes, "z", op)
+            got = assemble_ndarray(out, "TC", (2, 2, 5, 7))
+            np.testing.assert_allclose(got, npop(arr, axis=2))
+
+    def test_project_planes_bad_args(self, spark):
+        import pytest
+
+        from bioio_spark.operators.planes import (pixels_to_planes,
+                                                  project_planes)
+
+        px = spark.createDataFrame(
+            [(0, 0, 0.0)], "t int, y int, value double")
+        px = px.withColumn("x", F.lit(0)).select("t", "y", "x", "value")
+        planes = pixels_to_planes(px, 2, 2)
+        with pytest.raises(ValueError, match="not in plane frame"):
+            project_planes(planes, "z")
+        with pytest.raises(ValueError, match="unknown projection op"):
+            project_planes(planes, "t", op="avg")
