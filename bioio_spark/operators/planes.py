@@ -144,3 +144,49 @@ def project_planes(planes: DataFrame, reduce_dim: str = "z",
         lambda acc, ch: F.zip_with(acc, ch, combine))
     return grouped.select(*key_cols, "y0", "x0", "h", "w",
                           merged.alias("values"))
+
+
+def downsample_planes(planes: DataFrame) -> DataFrame:
+    """Factor-2 bin-average downsample computed INSIDE tile payloads — the
+    pyramid-generation scale path: a pure narrow projection (zero shuffle),
+    each output tile derived from its own input tile's array.
+
+    Requires even tile offsets (the default power-of-two tile grid), so
+    2x2 pooling windows never span tiles. Ragged edge windows average the
+    cells that exist (matching a pixel-level floor(y/2)/floor(x/2) group
+    average). Summation order inside a window is fixed row-major, so
+    results are deterministic.
+    """
+    h2 = F.ceil(F.col("h") / 2).cast("int")
+    w2 = F.ceil(F.col("w") / 2).cast("int")
+
+    def pooled(k):
+        i, j = (k / F.col("w2")).cast("int"), k % F.col("w2")
+        cells = []
+        for di in (0, 1):
+            for dj in (0, 1):
+                y, x = 2 * i + di, 2 * j + dj
+                cells.append(
+                    F.when((y < F.col("h")) & (x < F.col("w")),
+                           F.element_at(F.col("values"),
+                                        (y * F.col("w") + x + 1)
+                                        .cast("int"))))
+        arr = F.array(*cells)
+        present = F.filter(arr, lambda v: v.isNotNull())
+        return (F.aggregate(present, F.lit(0.0), lambda a, v: a + v)
+                / F.size(present))
+
+    key_cols = [c for c in PLANE_KEY_COLS if c in planes.columns]
+    # pooling runs in its own projection step: renaming h2 -> h in the same
+    # select would shadow the lambda's references to the INPUT h/w
+    mid = (planes
+           .withColumn("h2", h2).withColumn("w2", w2)
+           .withColumn("pooled", F.transform(
+               F.sequence(F.lit(0), F.col("h2") * F.col("w2") - 1),
+               pooled)))
+    return mid.select(
+        *key_cols,
+        (F.col("y0") / 2).cast("int").alias("y0"),
+        (F.col("x0") / 2).cast("int").alias("x0"),
+        F.col("h2").alias("h"), F.col("w2").alias("w"),
+        F.col("pooled").alias("values"))

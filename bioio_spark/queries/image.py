@@ -620,3 +620,28 @@ def img_planes_mip(spark, sf_dir):
     return (planes_to_pixels(mip)
             .select("t", "c", "y", "x", "value")
             .orderBy("t", "c", "y", "x"))
+
+
+@register(
+    "img_planes_downsample",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL})
+    SELECT t, c, z,
+           CAST(y // 2 AS INTEGER) AS y, CAST(x // 2 AS INTEGER) AS x,
+           avg(value) AS value
+    FROM px GROUP BY t, c, z, y // 2, x // 2
+    ORDER BY t, c, z, y, x
+    """,
+    doc="factor-2 bin-average pyramid level computed inside tile payloads",
+)
+def img_planes_downsample(spark, sf_dir):
+    from bioio_spark.operators.planes import (downsample_planes,
+                                              pixels_to_planes,
+                                              planes_to_pixels)
+
+    # even tile dims so 2x2 pooling windows never span tiles
+    planes = pixels_to_planes(_gen_pixels(spark), tile_h=2, tile_w=4)
+    down = downsample_planes(planes)
+    return (planes_to_pixels(down)
+            .select("t", "c", "z", "y", "x", "value")
+            .orderBy("t", "c", "z", "y", "x"))

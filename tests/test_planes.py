@@ -212,3 +212,26 @@ class TestReductions:
             project_planes(planes, "z")
         with pytest.raises(ValueError, match="unknown projection op"):
             project_planes(planes, "t", op="avg")
+
+    def test_downsample_planes_matches_numpy(self, spark):
+        import numpy as np
+
+        from bioio_spark.operators.planes import (assemble_ndarray,
+                                                  downsample_planes,
+                                                  pixels_to_planes)
+
+        rng = np.random.default_rng(23)
+        arr = rng.random((2, 7, 9))  # ragged in both axes
+        rows = [(t, y, x, float(arr[t, y, x]))
+                for t in range(2) for y in range(7) for x in range(9)]
+        px = spark.createDataFrame(
+            rows, "t int, y int, x int, value double")
+        planes = pixels_to_planes(px, tile_h=4, tile_w=4)
+        down = downsample_planes(planes)
+        got = assemble_ndarray(down, "T", (2, 4, 5))
+        want = np.zeros((2, 4, 5))
+        for t in range(2):
+            for y in range(4):
+                for x in range(5):
+                    want[t, y, x] = arr[t, 2*y:2*y+2, 2*x:2*x+2].mean()
+        np.testing.assert_allclose(got, want, rtol=1e-12)
