@@ -235,3 +235,52 @@ class TestReductions:
                 for x in range(5):
                     want[t, y, x] = arr[t, 2*y:2*y+2, 2*x:2*x+2].mean()
         np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+class TestPlaneReductionProperties:
+    """Hypothesis sweep: tile-level reductions equal numpy for arbitrary
+    shapes, tile geometries, and ops."""
+
+    def test_projection_and_downsample_property(self, spark):
+        import numpy as np
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from bioio_spark.operators.planes import (assemble_ndarray,
+                                                  downsample_planes,
+                                                  pixels_to_planes,
+                                                  project_planes)
+
+        @settings(max_examples=12, deadline=None,
+                  suppress_health_check=[HealthCheck.function_scoped_fixture])
+        @given(
+            z=st.integers(1, 4), h=st.integers(1, 9), w=st.integers(1, 9),
+            tile=st.sampled_from([2, 4, 8]),
+            op=st.sampled_from(["max", "min", "sum"]),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def check(z, h, w, tile, op, seed):
+            arr = np.random.default_rng(seed).random((z, h, w))
+            rows = [(zi, y, x, float(arr[zi, y, x]))
+                    for zi in range(z) for y in range(h) for x in range(w)]
+            px = spark.createDataFrame(
+                rows, "z int, y int, x int, value double")
+            planes = pixels_to_planes(px, tile_h=tile, tile_w=tile)
+
+            proj = project_planes(planes, "z", op)
+            got = assemble_ndarray(proj, "", (h, w))
+            npop = {"max": np.max, "min": np.min, "sum": np.sum}[op]
+            np.testing.assert_allclose(got, npop(arr, axis=0), rtol=1e-12)
+
+            down = downsample_planes(planes)
+            h2, w2 = (h + 1) // 2, (w + 1) // 2
+            got_d = assemble_ndarray(down, "Z", (z, h2, w2))
+            want = np.zeros((z, h2, w2))
+            for zi in range(z):
+                for y in range(h2):
+                    for x in range(w2):
+                        want[zi, y, x] = arr[zi, 2*y:2*y+2,
+                                             2*x:2*x+2].mean()
+            np.testing.assert_allclose(got_d, want, rtol=1e-12)
+
+        check()
