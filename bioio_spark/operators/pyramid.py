@@ -9,6 +9,9 @@ Scale: each level is one shuffle of the level above, and level sizes decay
 4x per step, so the whole pyramid costs ~4/3 of one pass over level 0.
 Partial aggregation combines the 4 block pixels map-side when the layout
 keeps blocks within a partition (planes layout: always, for even tiles).
+The zero-shuffle production path over the chunked layout is
+`operators.planes.downsample_planes` (pooling inside tile payloads);
+both are hash-checked against the same avg-pool oracle semantics.
 """
 
 from __future__ import annotations

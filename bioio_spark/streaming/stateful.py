@@ -51,3 +51,54 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+from pyspark.sql.streaming import StatefulProcessor  # noqa: E402
+
+
+class UserTotalsProcessor(StatefulProcessor):
+    """StatefulProcessor for transformWithStateInPandas — the Spark 4
+    arbitrary-state API (typed state variables managed by the handle,
+    replacing applyInPandasWithState's single state tuple). Same semantics
+    as _user_totals_fn: per-user running (count, sum), one emission per
+    (user, micro-batch) in update mode."""
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                       StructType)
+
+        self._state = handle.getValueState(
+            "totals",
+            StructType([StructField("n", LongType()),
+                        StructField("total", DoubleType())]))
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, total = (self._state.get() if self._state.exists()
+                    else (0, 0.0))
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        self._state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas twin of stateful_user_totals: identical
+    output contract, new-API state management (value state + timers +
+    TTL available through the handle).
+
+    Requires protobuf at runtime (the API's state-server protocol);
+    environments without it should use stateful_user_totals."""
+    return (
+        events.groupBy("user_id")
+        .transformWithStateInPandas(
+            UserTotalsProcessor(),
+            outputStructType=USER_TOTALS_SCHEMA,
+            outputMode="update",
+            timeMode="None",
+        )
+    )

@@ -177,3 +177,39 @@ class TestForeachBatchSinks:
         got = {tuple(r) for r in read_upserted(spark, target, ["k"])
                .collect()}
         assert got == {(1, "a", 10.0), (2, "b2", 21.0), (3, "c", 30.0)}
+
+
+def test_transform_with_state_user_totals(spark, sf_dir, tmp_path_factory):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API): same
+    contract as the applyInPandasWithState test — state carries across
+    micro-batches, final emission equals the batch aggregate.
+
+    The API's state-server protocol needs protobuf, which this container
+    lacks — skipped here, runs anywhere protobuf is installed."""
+    pytest.importorskip("google.protobuf")
+    import pandas as pd
+
+    from bioio_spark.streaming.stateful import stateful_user_totals_tws
+
+    d = tmp_path_factory.mktemp("tws_stream")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    half = batch.count() // 2
+    pdf = batch.toPandas().sort_values("event_id")
+    pdf.iloc[:half].to_parquet(d / "part-000.parquet", index=False)
+    pdf.iloc[half:].to_parquet(d / "part-001.parquet", index=False)
+
+    stream = read_event_stream(spark, str(d), max_files_per_trigger=1)
+    result = run_stream_to_memory(
+        stateful_user_totals_tws(stream), "t_tws", "update").toPandas()
+    final = (result.sort_values("n_events").groupby("user_id").last()
+             .sort_index())
+
+    want = (batch.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("total_value"))
+            .toPandas().set_index("user_id").sort_index())
+    assert (final["n_events"] == want["n_events"]).all()
+    pd.testing.assert_series_equal(
+        final["total_value"], want["total_value"],
+        rtol=1e-9, check_names=False)
