@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "a17_supplier_variety", "a18_small_qty_revenue", "a19_large_orders",
     "a20_disjunctive_revenue", "a21_excess_suppliers",
     "a22_lonely_late_suppliers", "a23_dormant_customers",
+    "a24_full_outer_balance",
     # LLM pipeline
     "l1_exact_dedup", "l2_minhash_lsh", "l2b_simhash", "l2c_ngram_jaccard",
     "l3_cosine_topk", "l3b_lsh_near_dup", "l3c_ivf_topk", "l4_token_stats",

@@ -454,3 +454,42 @@ def a23_dormant_customers(spark, sf_dir):
              .alias("totacctbal"))
         .orderBy("nation")
     )
+
+
+# --------------------------------------------------------------------------
+# A24: FULL OUTER equi join — the remaining declared join type (SURVEY A8:
+# inner/left/right/full/semi/anti; semi and anti live in a8c/a14/a21).
+# Both inputs are tiny pre-aggregates here, but the plan is the general
+# one: a full outer hash join on the group key, null-completing both
+# sides. Thresholds are tuned so BOTH sides contribute unmatched rows at
+# every fixture SF (left-only and right-only null patterns exercised).
+# --------------------------------------------------------------------------
+@register(
+    "a24_full_outer_balance",
+    oracle="""
+    WITH hc AS (
+      SELECT c_nationkey AS nk, count(*) AS n_cust
+      FROM customer WHERE c_acctbal > 9800 GROUP BY c_nationkey),
+    hs AS (
+      SELECT s_nationkey AS nk, count(*) AS n_supp
+      FROM supplier WHERE s_acctbal > 3000 GROUP BY s_nationkey)
+    SELECT COALESCE(hc.nk, hs.nk) AS nationkey, n_cust, n_supp
+    FROM hc FULL OUTER JOIN hs ON hc.nk = hs.nk
+    ORDER BY nationkey
+    """,
+    doc="A24 full outer join of per-nation customer/supplier tallies",
+)
+def a24_full_outer_balance(spark, sf_dir):
+    cust, sup = load(spark, sf_dir, "customer", "supplier")
+    hc = (cust.filter(F.col("c_acctbal") > 9800)
+          .groupBy(F.col("c_nationkey").alias("nk_c"))
+          .agg(F.count(F.lit(1)).alias("n_cust")))
+    hs = (sup.filter(F.col("s_acctbal") > 3000)
+          .groupBy(F.col("s_nationkey").alias("nk_s"))
+          .agg(F.count(F.lit(1)).alias("n_supp")))
+    return (
+        hc.join(hs, F.col("nk_c") == F.col("nk_s"), "full_outer")
+        .select(F.coalesce(F.col("nk_c"), F.col("nk_s")).alias("nationkey"),
+                "n_cust", "n_supp")
+        .orderBy("nationkey")
+    )
