@@ -37,7 +37,7 @@ BENCH_QUERIES = [
     "l3_cosine_topk", "l3b_lsh_near_dup", "l3c_ivf_topk", "l4_token_stats",
     "l4b_language_id", "l4c_quality_score", "l4d_fingerprint",
     "l4f_pii_redaction", "l6_dedup_clusters", "l6b_hash_sample",
-    "l7_sequence_packing", "l8_mix_rebalance",
+    "l7_sequence_packing", "l8_mix_rebalance", "l9_decontamination",
     # image + streaming-batch
     "img_selectors", "img_mosaic_stitch", "img_max_projection",
     "img_channel_histogram", "img_contrast_stretch", "img_mip_large",

@@ -314,3 +314,48 @@ WHERE i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)
       >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b
 """
+
+
+# -- L9 train/eval decontamination ----------------------------------------
+
+def decontamination(documents: DataFrame, eval_mod: int = 10) -> DataFrame:
+    """Benchmark-decontamination check: which held-out (eval) documents
+    share word-3-gram shingles with the training split?
+
+    The split is content-stable hashing (doc_id -> eval iff h % eval_mod
+    == 0 — same reproducibility argument as hash sampling). The overlap is
+    an equi join on the shingle hash: train-side distinct shingles shuffle
+    once on the shingle key; contaminated eval docs aggregate shared-
+    shingle counts. At 100 TB the train shingle set is the big side and
+    stays hash-partitioned; no broadcasts of corpus-sized state.
+    """
+    from bioio_spark.functions.hashing import h32_col as _h
+
+    sh = _shingled(documents)
+    is_eval = (_h(F.concat(F.lit("split:"),
+                           F.col("doc_id").cast("string")))
+               % eval_mod) == 0
+    ex = (sh.withColumn("is_eval", is_eval)
+          .select("doc_id", "is_eval", F.explode("sh").alias("shingle")))
+    train = (ex.filter(~F.col("is_eval"))
+             .select("shingle").distinct())
+    return (ex.filter(F.col("is_eval"))
+            .join(train, "shingle")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("shingle").alias("n_shared_shingles"))
+            .orderBy("doc_id"))
+
+
+def decontamination_oracle(eval_mod: int = 10) -> str:
+    split = h32_sql("'split:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLE_SQL}) AS shingle FROM documents),
+    tagged AS (
+      SELECT doc_id, shingle, {split} % {eval_mod} = 0 AS is_eval
+      FROM sh),
+    train AS (SELECT DISTINCT shingle FROM tagged WHERE NOT is_eval)
+    SELECT t.doc_id, count(DISTINCT t.shingle) AS n_shared_shingles
+    FROM tagged t JOIN train USING (shingle)
+    WHERE t.is_eval GROUP BY t.doc_id ORDER BY t.doc_id
+    """

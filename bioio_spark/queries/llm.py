@@ -394,3 +394,20 @@ def l8_mix_rebalance(spark, sf_dir):
             .filter(F.col("rk") <= F.floor(F.col("share") * F.col("t")))
             .select("doc_id", "lang")
             .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# L9: benchmark decontamination — eval-split documents sharing 3-gram
+# shingles with the train split. The canonical pre-training hygiene check,
+# as a shingle-key equi join (no corpus-sized broadcasts).
+# --------------------------------------------------------------------------
+from bioio_spark.functions.dedup import (  # noqa: E402
+    decontamination,
+    decontamination_oracle,
+)
+
+
+@register("l9_decontamination", oracle=decontamination_oracle(),
+          doc="L9 train/eval shingle-overlap decontamination check")
+def l9_decontamination(spark, sf_dir):
+    return decontamination(load(spark, sf_dir, "documents"))
