@@ -239,13 +239,18 @@ class BioImage:
         px = self._scene_pixels()
         if (self._reconstruct_mosaic and "M" in dims.order
                 and self._dataset.tiles is not None):
-            tiles = self._spark.createDataFrame(self._dataset.tiles)
-            px = stitch_mosaic(px, tiles)
-            h, w = self._stitched_yx_size()
-            order = dims.order.replace("M", "")
-            shape = tuple(h if d == "Y" else w if d == "X" else dims[d][0]
-                          for d in order)
-            dims = Dimensions(order, shape)
+            # a tiles table with no rows for this scene -> no stitch info;
+            # fall through to the unstitched path (mirrors the dims() guard)
+            stitched = self._stitched_yx_size()
+            if stitched is not None:
+                h, w = stitched
+                tiles = self._spark.createDataFrame(self._dataset.tiles)
+                px = stitch_mosaic(px, tiles)
+                order = dims.order.replace("M", "")
+                shape = tuple(
+                    h if d == "Y" else w if d == "X" else dims[d][0]
+                    for d in order)
+                dims = Dimensions(order, shape)
         return px, self._apply_res_level(dims)
 
     def _stitched_yx_size(self) -> Optional[tuple[int, int]]:
@@ -278,7 +283,7 @@ class BioImage:
         px, dims = self._standard_pixels()
         order = dimension_order_out or dims.order
         plan, out_dims = apply_selectors(px, dims, order, selectors)
-        return to_ndarray(plan, out_dims)
+        return to_ndarray(plan, out_dims, dtype=self.dtype)
 
     def project(self, dim: str = "Z", op: str = "max",
                 **selectors) -> DataFrame:
@@ -296,13 +301,15 @@ class BioImage:
 
     def project_data(self, dim: str = "Z", op: str = "max",
                      **selectors) -> np.ndarray:
-        """Eager ndarray twin of project()."""
+        """Eager ndarray twin of project(). max/min preserve the native
+        dtype (numpy semantics); sum/mean promote to float64."""
         from bioio_spark.operators.reductions import project as _project
 
         px, dims = self._standard_pixels()
         plan, out_dims = apply_selectors(px, dims, dims.order, selectors)
         reduced, red_dims = _project(plan, out_dims, dim, op)
-        return to_ndarray(reduced, red_dims)
+        out_dtype = self.dtype if op in ("max", "min") else None
+        return to_ndarray(reduced, red_dims, dtype=out_dtype)
 
     def channel_histogram(self, nbins: int = 16) -> DataFrame:
         """Per-channel equal-width intensity histogram (c, bin, n_pixels)."""
@@ -349,7 +356,7 @@ class BioImage:
         if self._cached_array is None:
             px, dims = self._standard_pixels()
             plan, out_dims = apply_selectors(px, dims, dims.order, {})
-            self._cached_array = to_ndarray(plan, out_dims)
+            self._cached_array = to_ndarray(plan, out_dims, dtype=self.dtype)
         return self._cached_array
 
     @property
@@ -402,6 +409,13 @@ class BioImage:
 
     def get_mosaic_tile_position(self, mosaic_tile_index: int,
                                  **dims) -> tuple[int, int]:
+        if dims:
+            # tiles carry one (y_off, x_off) per M in this engine; dim
+            # selections would silently not apply — reject like the
+            # reference rejects unsupported kwargs (ref bio_image.py:1167)
+            raise NotImplementedError(
+                f"dim kwargs are not supported for tile positions: "
+                f"{sorted(dims)}")
         return mosaic_tile_position(self._scene_tiles(), mosaic_tile_index)
 
     def get_mosaic_tile_positions(self, **dims) -> list[tuple[int, int]]:
@@ -409,6 +423,10 @@ class BioImage:
             raise NotImplementedError(
                 "M kwarg cannot be combined with other dims "
                 "(ref bio_image.py:1167-1216)")
+        if dims:
+            raise NotImplementedError(
+                f"dim kwargs are not supported for tile positions: "
+                f"{sorted(dims)}")
         return mosaic_tile_positions(self._scene_tiles())
 
     @property

@@ -12,13 +12,20 @@ Scale notes:
 - the edge list is localCheckpoint()ed once, truncating the expensive LSH
   lineage so each round re-reads a materialized edge partition instead of
   re-running shingle/minhash/banding per iteration.
-- each round is one shuffle join (edges x labels on dst) + one partial
-  aggregate (min per src) + one left join; rounds = component diameter.
-  LSH dedup clusters are near-cliques (diameter 1-3), so this converges in
-  2-4 rounds regardless of data volume. For adversarial long-chain graphs
-  at 100 TB, swap the propagation body for large-star/small-star
-  alternation (Kiveris et al., "Connected Components in MapReduce"),
-  which contracts chains in O(log n) rounds with the same join shape.
+- each round is neighbor propagation (one shuffle join edges x labels on
+  dst + min partial aggregate) FOLLOWED BY pointer jumping (label(u) :=
+  min(label(u), label(label(u))) — one more join on the label frame).
+  Neighbor propagation alone needs diameter rounds; the pointer-jumping
+  step halves label-chain depth each round, so convergence is
+  O(log diameter) — a 1M-node path converges in ~20 rounds, not 1M
+  (same contraction guarantee as large-star/small-star, Kiveris et al.
+  "Connected Components in MapReduce and Beyond", with a simpler body).
+  LSH dedup clusters are near-cliques (diameter 1-3) and converge in 2-3.
+- the invariant pointer jumping preserves: label(u) is always the id of
+  some node in u's component, and labels only decrease — so the fixpoint
+  is exactly min-node-id per component, matching the recursive-CTE oracle.
+- exhausting max_iter without convergence RAISES rather than returning
+  partially-propagated labels (ADVICE r1: silent wrong components).
 - labels are localCheckpoint()ed per round: the plan would otherwise
   double each iteration (label lineage feeds the next join on both sides).
 """
@@ -47,13 +54,24 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
               .select("node", F.col("node").alias("label"))
               .localCheckpoint())
     for _ in range(max_iter):
+        # neighbor propagation: min label over the 1-hop neighborhood
         nmin = (und.join(labels, und["dst"] == labels["node"])
                 .groupBy("src").agg(F.min("label").alias("nmin")))
-        new = (labels.alias("l")
-               .join(nmin, F.col("l.node") == nmin["src"], "left")
-               .select(F.col("l.node").alias("node"),
-                       F.least(F.col("l.label"),
-                               F.coalesce("nmin", "l.label")).alias("label"))
+        prop = (labels.alias("l")
+                .join(nmin, F.col("l.node") == nmin["src"], "left")
+                .select(F.col("l.node").alias("node"),
+                        F.least(F.col("l.label"),
+                                F.coalesce("nmin", "l.label")).alias("label")))
+        # pointer jumping: label(u) := min(label(u), label(label(u)));
+        # halves chain depth per round => O(log diameter) total rounds
+        jump = prop.select(F.col("node").alias("jnode"),
+                           F.col("label").alias("jlabel"))
+        new = (prop.alias("p")
+               .join(jump, F.col("p.label") == jump["jnode"], "left")
+               .select(F.col("p.node").alias("node"),
+                       F.least(F.col("p.label"),
+                               F.coalesce("jlabel", "p.label"))
+                       .alias("label"))
                .localCheckpoint())
         changed = (new.alias("n")
                    .join(labels.alias("o"), "node")
@@ -61,8 +79,10 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
                    .count())
         labels = new
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        f"the graph has pathological structure — raise max_iter")
 
 
 def dedup_clusters(pairs: DataFrame) -> DataFrame:

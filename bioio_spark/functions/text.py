@@ -133,7 +133,10 @@ def quality_score(documents: DataFrame) -> DataFrame:
     length_score = F.least(F.col("n_chars") / F.lit(400.0), F.lit(1.0))
     stop_ratio = n_stop / n_tokens
     tok_score = F.least(mean_tok / F.lit(6.0), F.lit(1.0))
-    score = (length_score * 0.4 + stop_ratio * 0.3 + tok_score * 0.3)
+    # rounded to 9 decimals so the >= 0.5 gate falls on the same side in
+    # Spark and the DuckDB oracle for docs within an ulp of the threshold
+    score = F.round(
+        length_score * 0.4 + stop_ratio * 0.3 + tok_score * 0.3, 9)
     return (
         documents.select(
             "doc_id", "lang",
@@ -160,14 +163,15 @@ WITH scored AS (
 SELECT doc_id, lang, n_tokens,
        n_stop / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
        least(n_chars / 400.0, 1.0) AS length_score,
-       least(n_chars / 400.0, 1.0) * 0.4
+       round(least(n_chars / 400.0, 1.0) * 0.4
          + (n_stop / CAST(n_tokens AS DOUBLE)) * 0.3
-         + least((nospace_len / CAST(n_tokens AS DOUBLE)) / 6.0, 1.0) * 0.3
-         AS quality_score
+         + least((nospace_len / CAST(n_tokens AS DOUBLE)) / 6.0, 1.0) * 0.3,
+         9) AS quality_score
 FROM scored
-WHERE least(n_chars / 400.0, 1.0) * 0.4
+WHERE round(least(n_chars / 400.0, 1.0) * 0.4
         + (n_stop / CAST(n_tokens AS DOUBLE)) * 0.3
-        + least((nospace_len / CAST(n_tokens AS DOUBLE)) / 6.0, 1.0) * 0.3
+        + least((nospace_len / CAST(n_tokens AS DOUBLE)) / 6.0, 1.0) * 0.3,
+        9)
       >= 0.5
 ORDER BY doc_id
 """

@@ -124,13 +124,19 @@ def apply_selectors(
     return plan, out_dims
 
 
-def to_ndarray(plan: DataFrame, out_dims: Dimensions):
+def to_ndarray(plan: DataFrame, out_dims: Dimensions, dtype=None):
     """Materialize a selector plan into a dense ndarray (driver-side pivot).
 
     The Spark analog of the reference's eager `get_image_data`
     (ref bio_image.py:841-917): collect via Arrow and scatter into a dense
     block. Fine at fixture scale; the 100 TB path assembles per-chunk via
     mapInPandas instead (ImageDataset.planes, r2).
+
+    `dtype` is the scene's cataloged pixel dtype; the relational value
+    column is DOUBLE (OME pixel values round-trip exactly through float64
+    for all integer types up to 32 bits), so the assembled block is cast
+    back to the native dtype — the reference preserves the source dtype
+    end-to-end (ref bio_image.py:749-762 `dtype` from the lazy array).
     """
     import numpy as np
 
@@ -139,4 +145,6 @@ def to_ndarray(plan: DataFrame, out_dims: Dimensions):
     if len(pdf):
         cols = [DIM_COLUMNS[letter] for letter in out_dims.order]
         arr[tuple(pdf[c].to_numpy() for c in cols)] = pdf["value"].to_numpy()
+    if dtype is not None and np.dtype(dtype) != arr.dtype:
+        arr = arr.astype(dtype)
     return arr

@@ -126,7 +126,7 @@ WITH dd AS (
 kept AS (
   SELECT * FROM (
     SELECT doc_id, lang, text, n_chars,
-           least(n_chars / 400.0, 1.0) * 0.4
+           round(least(n_chars / 400.0, 1.0) * 0.4
              + (len(list_filter(regexp_split_to_array(trim(text), '\s+'),
                     w -> list_contains(['the','a','or','of','and','to','in'],
                                        w)))
@@ -134,7 +134,7 @@ kept AS (
                        AS DOUBLE)) * 0.3
              + least((length(regexp_replace(text, '\s+', '', 'g'))
                       / CAST(len(regexp_split_to_array(trim(text), '\s+'))
-                             AS DOUBLE)) / 6.0, 1.0) * 0.3 AS q
+                             AS DOUBLE)) / 6.0, 1.0) * 0.3, 9) AS q
     FROM dd) WHERE q >= 0.5
 )
 SELECT lang, count(*) AS n_docs,
@@ -164,9 +164,14 @@ def l5_training_pipeline(spark, sf_dir):
     n_tokens = F.size(words)
     n_stop = F.size(F.filter(words, lambda x: F.array_contains(stop_arr, x)))
     nospace_len = F.length(F.regexp_replace("text", _WS, ""))
-    q = (F.least(F.col("n_chars") / 400.0, F.lit(1.0)) * 0.4
-         + (n_stop / n_tokens) * 0.3
-         + F.least((nospace_len / n_tokens) / 6.0, F.lit(1.0)) * 0.3)
+    # the gate rounds q to 9 decimals on BOTH engines: a doc whose raw q
+    # sits within an ulp of 0.5 must fall on the same side of the
+    # threshold in Spark and in the oracle (driver r1 flagged a
+    # non-reproducible hash flip here)
+    q = F.round(
+        F.least(F.col("n_chars") / 400.0, F.lit(1.0)) * 0.4
+        + (n_stop / n_tokens) * 0.3
+        + F.least((nospace_len / n_tokens) / 6.0, F.lit(1.0)) * 0.3, 9)
     kept = dd.filter(q >= 0.5)
 
     toks = F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0))

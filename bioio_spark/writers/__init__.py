@@ -21,7 +21,15 @@ def register_writer(name: str, writer) -> None:
 
 def save_parquet(img, uri: str, select_scenes=None) -> None:
     """Scene-partitioned parquet sink (ref bio_image.py:1229-1301 loop:
-    scene order preserved, scene ids carried as partition values)."""
+    scene order preserved, scene ids carried as partition values).
+
+    Alongside the pixel data, the scene/channel catalogs are written as a
+    JSON sidecar under `{uri}/_catalog` (underscore-prefixed paths are
+    metadata by parquet convention, so a plain `spark.read.parquet(uri)`
+    on the pixels still works). The sidecar is what lets a reload recover
+    the cataloged dtype / pixel sizes instead of guessing."""
+    import json
+
     scenes = list(img.scenes)
     if select_scenes is not None:
         sel = [s if isinstance(s, str) else scenes[s] for s in select_scenes]
@@ -37,8 +45,65 @@ def save_parquet(img, uri: str, select_scenes=None) -> None:
            .write.mode("overwrite")
            .partitionBy("scene_idx")
            .parquet(uri))
+
+        # The written pixels are the *standardized* (stitched, TCZYX) frame,
+        # so the sidecar records the standardized per-scene dims — not the
+        # raw catalog row — plus the native dtype / physical sizes the
+        # relational layout cannot carry (value column is DOUBLE).
+        scene_rows, channel_rows = [], []
+        for s in scenes:
+            img.set_scene(s)
+            d = img.dims
+            base = img._scene_catalog_row()
+            scene_rows.append({
+                "image_id": base["image_id"], "scene": s,
+                "scene_idx": img.scenes.index(s),
+                "dim_order": d.order,
+                **{f"size_{c.lower()}":
+                   (d[c][0] if c in d.order else None) for c in "TCZYXMS"},
+                "dtype": base.get("dtype", "float64"),
+                "ome_pixel_type": base.get("ome_pixel_type"),
+                "pps_z": base.get("pps_z"), "pps_y": base.get("pps_y"),
+                "pps_x": base.get("pps_x"),
+                "time_interval": base.get("time_interval"),
+                "metadata": base.get("metadata"),
+            })
+            for ci, name in enumerate(img.channel_names):
+                channel_rows.append({
+                    "image_id": base["image_id"], "scene": s,
+                    "c": ci, "channel_name": name})
+        sidecar = json.dumps({
+            "scenes": [_jsonable_record(r) for r in scene_rows],
+            "channels": [_jsonable_record(r) for r in channel_rows],
+        })
+        spark = df.sparkSession
+        (spark.createDataFrame([(sidecar,)], "v string")
+         .coalesce(1).write.mode("overwrite").text(uri + "/_catalog"))
     finally:
         img.set_scene(current)
+
+
+def _jsonable_record(rec: dict) -> dict:
+    """numpy scalars / NaN -> plain JSON values for the catalog sidecar."""
+    import math
+
+    import numpy as np
+
+    def conv(v):
+        if v is None:
+            return None
+        if isinstance(v, np.integer):
+            return int(v)
+        if isinstance(v, (np.floating, float)):
+            f = float(v)
+            return None if math.isnan(f) else f
+        if isinstance(v, np.ndarray):
+            return [conv(x) for x in v.tolist()]
+        if isinstance(v, (list, tuple)):
+            return [conv(x) for x in v]
+        return v
+
+    return {k: conv(v) for k, v in rec.items()}
 
 
 class OmeTiffWriter:
@@ -66,11 +131,18 @@ def read_parquet_image(spark, uri: str, image_id: str = "img"):
     """Load a save_parquet() sink back into an ImageDataset (the native
     format's reader; inverse of save_parquet).
 
-    The catalog is rebuilt relationally — shapes via max(dim)+1 aggregation
+    If the `_catalog` sidecar exists, the scene/channel catalogs — dtype,
+    physical pixel sizes, original scene ids, channel names — are restored
+    from it exactly (the reference preserves scene ids through a save,
+    ref bio_image.py:1278-1291). Without it (pre-sidecar sinks), the
+    catalog is rebuilt relationally — shapes via max(dim)+1 aggregation
     (the D8 path, one small job over the dim columns only; value column is
     pruned from that scan), scene ids regenerated as Image:{scene_idx},
-    channel names per the ome_utils guarantee.
+    channel names per the ome_utils guarantee, dtype defaulting to the
+    value column's physical type (float64).
     """
+    import json
+
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -81,33 +153,49 @@ def read_parquet_image(spark, uri: str, image_id: str = "img"):
     df = spark.read.parquet(uri)
     dim_cols = [c for c in ("t", "c", "z", "y", "x", "m", "s")
                 if c in df.columns]
-    order = "".join(d.upper() for d in dim_cols)
 
-    shapes = (df.groupBy("scene_idx")
-              .agg(*[(F.max(d) + 1).alias(f"size_{d}") for d in dim_cols])
-              .orderBy("scene_idx").collect())
+    sidecar = None
+    try:
+        lines = spark.read.text(uri + "/_catalog").collect()
+        sidecar = json.loads("".join(r["value"] for r in lines))
+    except Exception:
+        sidecar = None
 
-    scene_rows, channel_rows = [], []
-    for row in shapes:
-        idx = int(row["scene_idx"])
-        scene = generate_ome_image_id(idx)
-        size_c = int(row["size_c"]) if "c" in dim_cols else None
-        for ci, name in enumerate(
-                resolve_channel_names(None, size_c, idx)):
-            channel_rows.append({"image_id": image_id, "scene": scene,
-                                 "c": ci, "channel_name": name})
-        scene_rows.append({
-            "image_id": image_id, "scene": scene, "scene_idx": idx,
-            "dim_order": order,
-            **{f"size_{d.lower()}":
-               (int(row[f"size_{d.lower()}"]) if d.lower() in dim_cols
-                else None) for d in "TCZYXMS"},
-            "dtype": "float64", "ome_pixel_type": "double",
-            "pps_z": None, "pps_y": None, "pps_x": None,
-            "time_interval": None, "metadata": None,
-        })
+    if sidecar is not None and sidecar.get("scenes"):
+        scene_rows = sidecar["scenes"]
+        channel_rows = sidecar["channels"]
+        idx_to_scene = {int(r["scene_idx"]): r["scene"] for r in scene_rows}
+        scene_expr = F.create_map(
+            *[F.lit(v) for kv in idx_to_scene.items() for v in kv]
+        )[F.col("scene_idx").cast("int")]
+    else:
+        order = "".join(d.upper() for d in dim_cols)
+        shapes = (df.groupBy("scene_idx")
+                  .agg(*[(F.max(d) + 1).alias(f"size_{d}")
+                         for d in dim_cols])
+                  .orderBy("scene_idx").collect())
+        scene_rows, channel_rows = [], []
+        for row in shapes:
+            idx = int(row["scene_idx"])
+            scene = generate_ome_image_id(idx)
+            size_c = int(row["size_c"]) if "c" in dim_cols else None
+            for ci, name in enumerate(
+                    resolve_channel_names(None, size_c, idx)):
+                channel_rows.append({"image_id": image_id, "scene": scene,
+                                     "c": ci, "channel_name": name})
+            scene_rows.append({
+                "image_id": image_id, "scene": scene, "scene_idx": idx,
+                "dim_order": order,
+                **{f"size_{d.lower()}":
+                   (int(row[f"size_{d.lower()}"]) if d.lower() in dim_cols
+                    else None) for d in "TCZYXMS"},
+                "dtype": "float64", "ome_pixel_type": "double",
+                "pps_z": None, "pps_y": None, "pps_x": None,
+                "time_interval": None, "metadata": None,
+            })
+        scene_expr = F.concat(F.lit("Image:"),
+                              F.col("scene_idx").cast("string"))
 
-    scene_expr = F.concat(F.lit("Image:"), F.col("scene_idx").cast("string"))
     px = df.select(
         F.lit(image_id).alias("image_id"), scene_expr.alias("scene"),
         F.lit(0).alias("res_level"),

@@ -47,3 +47,21 @@ def test_duplicate_and_self_pairs_are_harmless(spark):
     got = {(r.node, r.label)
            for r in connected_components(edges).collect()}
     assert got == {(1, 1), (2, 1)}
+
+
+def test_deep_chain_beyond_old_iteration_cap(spark):
+    """Path graph with diameter 60 — plain min-label propagation would need
+    60 rounds (and the old max_iter=25 silently returned wrong labels);
+    pointer jumping converges in O(log n) rounds."""
+    edges = _edges(spark, [(i, i + 1) for i in range(60)])
+    got = connected_components(edges, max_iter=12)
+    assert {r.label for r in got.collect()} == {0}
+    assert got.count() == 61
+
+
+def test_nonconvergence_raises_instead_of_wrong_labels(spark):
+    import pytest
+
+    edges = _edges(spark, [(i, i + 1) for i in range(20)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)

@@ -81,3 +81,39 @@ def test_bioimage_routes_parquet_path(spark, tmp_path):
     # imread entry point works on parquet too
     from bioio_spark.bio_image import imread
     np.testing.assert_array_equal(imread(uri)[0, 0, 0], a)
+
+
+def test_save_parquet_preserves_dtype_and_scene_ids(spark, tmp_path):
+    """The _catalog sidecar carries the native dtype and original scene
+    ids through a save/load roundtrip (ADVICE r1: reload must not
+    collapse everything to float64)."""
+    from bioio_spark.writers import read_parquet_image
+
+    a = np.arange(24, dtype=np.uint16).reshape(2, 3, 4)
+    img = BioImage(
+        [a], dim_order="CYX", channel_names=[["red", "green"]], spark=spark)
+    orig_scene = img.current_scene
+    uri = str(tmp_path / "dt.parquet")
+    save_parquet(img, uri)
+
+    back = BioImage(read_parquet_image(spark, uri), spark=spark)
+    assert back.dtype == np.dtype("uint16")
+    assert back.current_scene == orig_scene
+    assert back.channel_names == ["red", "green"]
+    arr = back.data
+    assert arr.dtype == np.dtype("uint16")
+    np.testing.assert_array_equal(arr, a.reshape(1, 2, 1, 3, 4))
+
+
+def test_get_image_data_preserves_native_dtype(spark):
+    """BioImage.data / get_image_data return the cataloged dtype, not the
+    relational DOUBLE carrier type."""
+    a = (np.arange(12, dtype=np.int32) - 6).reshape(3, 4)
+    img = BioImage(a, dim_order="YX", spark=spark)
+    assert img.data.dtype == np.dtype("int32")
+    sel = img.get_image_data("YX", Y=[0, 2])
+    assert sel.dtype == np.dtype("int32")
+    np.testing.assert_array_equal(sel, a[[0, 2]])
+    # max/min projections preserve dtype; mean promotes (numpy semantics)
+    assert img.project_data("Y", "max").dtype == np.dtype("int32")
+    assert img.project_data("Y", "mean").dtype == np.dtype("float64")
