@@ -31,13 +31,15 @@ BENCH_QUERIES = [
     "a17_supplier_variety", "a18_small_qty_revenue", "a19_large_orders",
     "a20_disjunctive_revenue", "a21_excess_suppliers",
     "a22_lonely_late_suppliers", "a23_dormant_customers",
-    "a24_full_outer_balance",
+    "a24_full_outer_balance", "a25_order_count_distribution",
+    "a26_nation_volume", "a27_market_share", "a28_returned_revenue",
     # LLM pipeline
     "l1_exact_dedup", "l2_minhash_lsh", "l2b_simhash", "l2c_ngram_jaccard",
     "l3_cosine_topk", "l3b_lsh_near_dup", "l3c_ivf_topk", "l4_token_stats",
     "l4b_language_id", "l4c_quality_score", "l4d_fingerprint",
     "l4f_pii_redaction", "l6_dedup_clusters", "l6b_hash_sample",
     "l7_sequence_packing", "l8_mix_rebalance", "l9_decontamination",
+    "l10_train_split",
     # image + streaming-batch
     "img_selectors", "img_mosaic_stitch", "img_max_projection",
     "img_channel_histogram", "img_contrast_stretch", "img_mip_large",

@@ -62,17 +62,21 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
                 .select(F.col("l.node").alias("node"),
                         F.least(F.col("l.label"),
                                 F.coalesce("nmin", "l.label")).alias("label")))
-        # pointer jumping: label(u) := min(label(u), label(label(u)));
-        # halves chain depth per round => O(log diameter) total rounds
-        jump = prop.select(F.col("node").alias("jnode"),
-                           F.col("label").alias("jlabel"))
+        # pointer jumping through the PREVIOUS round's (checkpointed)
+        # label map: label(u) := min(label(u), old_label(label(u))).
+        # Reach roughly doubles per round => O(log diameter) rounds; using
+        # the old map avoids a self-join that would recompute `prop` twice.
+        jump = labels.select(F.col("node").alias("jnode"),
+                             F.col("label").alias("jlabel"))
         new = (prop.alias("p")
                .join(jump, F.col("p.label") == jump["jnode"], "left")
                .select(F.col("p.node").alias("node"),
                        F.least(F.col("p.label"),
                                F.coalesce("jlabel", "p.label"))
                        .alias("label"))
-               .localCheckpoint())
+               .localCheckpoint(eager=False))
+        # the count below is the round's single job: it materializes the
+        # lazy checkpoint AND detects the fixpoint in one pass
         changed = (new.alias("n")
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.label") != F.col("o.label"))

@@ -94,36 +94,49 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 1, k: int = 10,
     """
     emb = embeddings.select(
         "vec_id", "label", _to_double(F.col("embedding")).alias("e"))
-    cent_rows = (emb.filter(F.col("vec_id") < n_centroids)
-                 .select("vec_id", "e").collect())
-    cents = {int(r["vec_id"]): list(r["e"]) for r in cent_rows}
-    q_vec = emb.filter(F.col("vec_id") == query_vec_id).first()["e"]
+    # one driver job fetches centroids AND the query vector together
+    index_rows = (emb.filter((F.col("vec_id") < n_centroids)
+                             | (F.col("vec_id") == query_vec_id))
+                  .select("vec_id", "e").collect())
+    by_id = {int(r["vec_id"]): list(r["e"]) for r in index_rows}
+    q_vec = by_id[query_vec_id]
+    cents = {cid: v for cid, v in by_id.items() if cid < n_centroids}
+
+    def _norm_py(a):
+        # sequential fold, same accumulation order as F.aggregate/DuckDB
+        na = 0.0
+        for x in a:
+            na += x * x
+        return na ** 0.5
 
     def _cos_py(a, b):
-        # sequential fold, same accumulation order as F.aggregate/DuckDB
-        dot = na = nb = 0.0
+        dot = 0.0
         for x, y in zip(a, b):
             dot += x * y
-            na += x * x
-            nb += y * y
-        return dot / ((na ** 0.5) * (nb ** 0.5))
+        return dot / (_norm_py(a) * _norm_py(b))
 
     probe_ids = [cid for cid, _ in sorted(
         ((cid, _cos_py(q_vec, v)) for cid, v in cents.items()),
         key=lambda t: (-t[1], t[0]))[:n_probe]]
 
+    # literal-side norms are constants: computed driver-side (identical
+    # fold order => identical bits) so the per-row expression carries one
+    # dot product per centroid, not a dot + two norm folds — roughly
+    # halves the codegen'd expression tree
     def _cos_lit(vec):
         lit = F.array(*[F.lit(float(v)) for v in vec])
-        return _dot(F.col("e"), lit) / (_norm(F.col("e")) * _norm(lit))
+        return _dot(F.col("e"), lit) / (F.col("ne") * F.lit(_norm_py(vec)))
 
     # per-row argmax over centroids: greatest() on (cos, -cid) structs —
-    # lexicographic struct compare gives max-cos, ties to smallest cid
+    # lexicographic struct compare gives max-cos, ties to smallest cid;
+    # the row's own norm is hoisted into a column computed once
     assigned = F.greatest(*[
         F.struct(_cos_lit(vec).alias("s"), F.lit(-cid).alias("n"))
         for cid, vec in sorted(cents.items())
     ])["n"] * -1
     return (
-        emb.withColumn("cid", assigned.cast("int"))
+        emb.withColumn("ne", _norm(F.col("e")))
+        .withColumn("cid", assigned.cast("int"))
         .filter(F.col("cid").isin(probe_ids))
         .filter(F.col("vec_id") != query_vec_id)
         .select("vec_id", "label", _cos_lit(q_vec).alias("cosine_sim"))

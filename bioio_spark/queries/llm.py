@@ -416,3 +416,43 @@ from bioio_spark.functions.dedup import (  # noqa: E402
           doc="L9 train/eval shingle-overlap decontamination check")
 def l9_decontamination(spark, sf_dir):
     return decontamination(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# L10: deterministic train/val/test split assignment — the companion to
+# l6b's sampling: every doc lands in exactly one split via a stable content
+# hash (no RNG, reproducible across engines, cluster layouts, and retries;
+# a re-run after adding new docs never reassigns existing ones). Narrow
+# assignment + one |langs x 3|-group aggregate; verified as per-stratum
+# counts + char totals so a single misassigned doc flips the hash.
+# --------------------------------------------------------------------------
+@register(
+    "l10_train_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT lang, n_chars,
+             CASE WHEN {_h32_sql("'split:' || CAST(doc_id AS VARCHAR)")}
+                       % 100 < 80 THEN 'train'
+                  WHEN {_h32_sql("'split:' || CAST(doc_id AS VARCHAR)")}
+                       % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT lang, split, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM assigned GROUP BY lang, split ORDER BY lang, split
+    """,
+    doc="L10 deterministic stratum-reported train/val/test split",
+)
+def l10_train_split(spark, sf_dir):
+    from bioio_spark.functions.hashing import h32_col
+
+    docs = load(spark, sf_dir, "documents")
+    h = h32_col(F.concat(F.lit("split:"),
+                         F.col("doc_id").cast("string"))) % 100
+    split = (F.when(h < 80, "train")
+             .when(h < 90, "val")
+             .otherwise("test"))
+    return (docs.select("lang", "n_chars", split.alias("split"))
+            .groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"))
+            .orderBy("lang", "split"))

@@ -493,3 +493,196 @@ def a24_full_outer_balance(spark, sf_dir):
                 "n_cust", "n_supp")
         .orderBy("nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# A25 (Q13 shape): customer order-count distribution — left outer join with
+# a predicate in the ON clause (orders filtered, customers kept) feeding a
+# DOUBLE aggregation (per-customer count, then histogram of counts).
+# Scale: the outer join shuffles on custkey once; the second aggregate's
+# input is |customers| rows and its output |distinct counts| — the classic
+# "aggregate of an aggregate" where stage 2 is negligible. The
+# orderpriority filter halves the orders side before the shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "a25_order_count_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="A25 customer order-count histogram via outer join (Q13 shape)",
+)
+def a25_order_count_distribution(spark, sf_dir):
+    cust, orders = load(spark, sf_dir, "customer", "orders")
+    o = orders.filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+# --------------------------------------------------------------------------
+# A26 (Q7 shape): bilateral nation-pair trade volume by year. Scale: the
+# one wide op is the lineitem->orders join on the co-partitioned orderkey;
+# supplier/customer/nation are broadcast dims, and the nation-pair
+# disjunction prunes rows right after the dim joins (Catalyst pushes each
+# equality into its broadcast probe). year() is a codegen projection.
+# --------------------------------------------------------------------------
+@register(
+    "a26_nation_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="A26 bilateral nation-pair trade volume by year (Q7 shape)",
+)
+def a26_nation_volume(spark, sf_dir):
+    li, sup, orders, cust, nation = load(
+        spark, sf_dir, "lineitem", "supplier", "orders", "customer",
+        "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("nk1"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("nk2"),
+                       F.col("n_name").alias("cust_nation"))
+    j = (li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+         .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+         .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+         .filter(((F.col("supp_nation") == "NATION_1")
+                  & (F.col("cust_nation") == "NATION_2"))
+                 | ((F.col("supp_nation") == "NATION_2")
+                    & (F.col("cust_nation") == "NATION_1"))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").alias("l_year"))
+            .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+# --------------------------------------------------------------------------
+# A27 (Q8 shape): market share of one supplying nation within a consuming
+# region, per year — conditional aggregation over a 5-way join. Scale: same
+# single-wide-join frame as a26; the share division happens on two already-
+# aggregated decimals per year (exact until the final double cast), so the
+# ratio is bit-stable across engines.
+# --------------------------------------------------------------------------
+@register(
+    "a27_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region    ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE')
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    doc="A27 nation market share within a region per year (Q8 shape)",
+)
+def a27_market_share(spark, sf_dir):
+    li, sup, orders, cust, nation, region = load(
+        spark, sf_dir, "lineitem", "supplier", "orders", "customer",
+        "nation", "region")
+    n1 = nation.select(F.col("n_nationkey").alias("nk1"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("nk2"),
+                       F.col("n_regionkey").alias("rk2"))
+    j = (li.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+         .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+         .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+               F.col("rk2") == F.col("r_regionkey")))
+    nation_vol = F.when(F.col("supp_nation") == "NATION_3",
+                        _disc_price()).otherwise(_dec(F.lit(0)))
+    return (j.groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg((F.sum(nation_vol).cast("double")
+                  / F.sum(_disc_price()).cast("double")).alias("mkt_share"))
+            .orderBy("o_year"))
+
+
+# --------------------------------------------------------------------------
+# A28 (Q10 shape): top customers by returned-item revenue. Scale: lineitem
+# filtered on returnflag before its one shuffle onto orderkey; customer and
+# nation broadcast; the final top-20 is TakeOrderedAndProject (per-partition
+# heaps, no global sort). Tie-break on custkey pins hash determinism.
+# --------------------------------------------------------------------------
+@register(
+    "a28_returned_revenue",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    doc="A28 top-20 customers by returned-item revenue (Q10 shape)",
+)
+def a28_returned_revenue(spark, sf_dir):
+    cust, orders, li, nation = load(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")))
+    r = li.filter(F.col("l_returnflag") == "R")
+    j = (r.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+         .join(F.broadcast(nation),
+               F.col("c_nationkey") == F.col("n_nationkey")))
+    return (j.groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+            .select("c_custkey", "c_name", "revenue", "n_name")
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+            .limit(20))
