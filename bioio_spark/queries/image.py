@@ -645,3 +645,62 @@ def img_planes_downsample(spark, sf_dir):
     return (planes_to_pixels(down)
             .select("t", "c", "z", "y", "x", "value")
             .orderBy("t", "c", "z", "y", "x"))
+
+
+# --------------------------------------------------------------------------
+# Stencil compute: 3x3 box blur, edge-clamped (mean over in-bounds
+# neighbors). Pixel level: each cell exploded to the 9 targets it feeds,
+# one shuffle onto the target key. Oracle: relational neighborhood
+# self-join (|dy|<=1 AND |dx|<=1) per plane.
+# --------------------------------------------------------------------------
+@register(
+    "img_box_blur",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL})
+    SELECT a.t, a.c, a.z, a.y, a.x, avg(b.value) AS value
+    FROM px a JOIN px b
+      ON a.t = b.t AND a.c = b.c AND a.z = b.z
+     AND abs(a.y - b.y) <= 1 AND abs(a.x - b.x) <= 1
+    GROUP BY a.t, a.c, a.z, a.y, a.x
+    ORDER BY a.t, a.c, a.z, a.y, a.x
+    """,
+    doc="3x3 edge-clamped box blur, pixel-level contribution explode",
+)
+def img_box_blur(spark, sf_dir):
+    from bioio_spark.operators.stencil import box_blur_pixels
+
+    return (box_blur_pixels(_gen_pixels(spark), Y, X)
+            .orderBy("t", "c", "z", "y", "x"))
+
+
+# --------------------------------------------------------------------------
+# The same blur through the planes layout with a real halo exchange: tiles
+# ship O(perimeter) border strips to grid neighbors, one shuffle, blur
+# computed vectorized inside the reassembled tile. Hash-matching the
+# pixel-level oracle proves the 100 TB path computes identical values —
+# including across tile seams and ragged edge tiles (2x3 pitch over a
+# 4x5 image exercises both).
+# --------------------------------------------------------------------------
+@register(
+    "img_planes_blur",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL})
+    SELECT a.t, a.c, a.z, a.y, a.x, avg(b.value) AS value
+    FROM px a JOIN px b
+      ON a.t = b.t AND a.c = b.c AND a.z = b.z
+     AND abs(a.y - b.y) <= 1 AND abs(a.x - b.x) <= 1
+    GROUP BY a.t, a.c, a.z, a.y, a.x
+    ORDER BY a.t, a.c, a.z, a.y, a.x
+    """,
+    doc="3x3 box blur computed tile-wise via halo exchange on planes",
+)
+def img_planes_blur(spark, sf_dir):
+    from bioio_spark.operators.planes import (pixels_to_planes,
+                                              planes_to_pixels)
+    from bioio_spark.operators.stencil import blur_planes
+
+    planes = pixels_to_planes(_gen_pixels(spark), tile_h=2, tile_w=3)
+    blurred = blur_planes(planes, tile_h=2, tile_w=3)
+    return (planes_to_pixels(blurred)
+            .select("t", "c", "z", "y", "x", "value")
+            .orderBy("t", "c", "z", "y", "x"))
