@@ -40,13 +40,16 @@ def load(spark: SparkSession, sf_dir: str, *names: str):
     """Load parquet tables with engine conf applied. Returns one DataFrame
     or a tuple in the order requested.
 
-    `events.ts` is stored as TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects; it is read as raw nanos (legacy nanosAsLong conf) and converted
-    to a microsecond TIMESTAMP with integer division (`div`, not `/` —
-    double division loses precision above 2^53), matching DuckDB's own
-    ns -> us truncation.
+    `events.ts` appears in two vintages of the fixtures: TIMESTAMP(NANOS)
+    (which Spark's parquet reader rejects — read as raw nanos via the legacy
+    nanosAsLong conf and converted with integer division; `div`, not `/`,
+    because double division loses precision above 2^53, matching DuckDB's
+    own ns -> us truncation) and plain TIMESTAMP(MICROS), which both engines
+    read natively. The conversion is applied only when the column actually
+    arrives as a long.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     from bioio_spark.session import ensure_engine_conf
 
@@ -56,8 +59,15 @@ def load(spark: SparkSession, sf_dir: str, *names: str):
     for n in names:
         df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
         if n == "events":
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+            dt = df.schema["ts"].dataType
+            if isinstance(dt, T.LongType):
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif isinstance(dt, T.TimestampNTZType):
+                # session tz is UTC, so NTZ -> TIMESTAMP is an identity
+                # relabel; downstream unix_micros/window code expects the
+                # tz-aware type (same as the nanos-long vintage produced)
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         dfs.append(_fan_out(spark, df, n))
     return dfs[0] if len(dfs) == 1 else tuple(dfs)
 

@@ -20,25 +20,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENT_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),        # raw nanos (see queries/base)
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+def _event_schema(spark: SparkSession, path: str) -> T.StructType:
+    """Streaming needs a static schema; take it from the files themselves so
+    both fixture vintages work (ts as raw nanos-long or native TIMESTAMP)."""
+    return spark.read.parquet(path).schema
 
 
 def read_event_stream(spark: SparkSession, path: str,
                       max_files_per_trigger: int = 1) -> DataFrame:
-    """File-source stream of event parquet files with ns->us conversion."""
+    """File-source stream of event parquet files; converts ts ns->us when the
+    files store TIMESTAMP(NANOS) (read as long via the legacy conf)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (spark.readStream
-           .schema(EVENT_SCHEMA)
+           .schema(_event_schema(spark, path))
            .option("maxFilesPerTrigger", max_files_per_trigger)
            .parquet(path))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dt = raw.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(dt, T.TimestampNTZType):
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def streaming_tumbling_counts(events: DataFrame,
