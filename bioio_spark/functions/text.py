@@ -133,18 +133,26 @@ def quality_score(documents: DataFrame) -> DataFrame:
     length_score = F.least(F.col("n_chars") / F.lit(400.0), F.lit(1.0))
     stop_ratio = n_stop / n_tokens
     tok_score = F.least(mean_tok / F.lit(6.0), F.lit(1.0))
-    # rounded to 9 decimals so the >= 0.5 gate falls on the same side in
-    # Spark and the DuckDB oracle for docs within an ulp of the threshold
     score = F.round(
         length_score * 0.4 + stop_ratio * 0.3 + tok_score * 0.3, 9)
+    # The reported score stays a rounded double, but the >= 0.5 KEEP gate is
+    # an exact integer inequality (the float form cross-multiplied by
+    # 2400*n_tokens) so the kept set is identical across engine builds.
+    nt, ns, nl = (n_tokens.cast("long"), n_stop.cast("long"),
+                  nospace_len.cast("long"))
+    gate = (
+        F.lit(24) * nt * F.least(F.col("n_chars").cast("long"), F.lit(400))
+        + F.lit(7200) * ns
+        + F.lit(1200) * F.least(nl, F.lit(6) * nt)
+    ) >= F.lit(12000) * nt
     return (
-        documents.select(
+        documents.filter(gate)
+        .select(
             "doc_id", "lang",
             n_tokens.alias("n_tokens"),
             stop_ratio.alias("stopword_ratio"),
             length_score.alias("length_score"),
             score.alias("quality_score"))
-        .filter(F.col("quality_score") >= 0.5)
         .orderBy("doc_id")
     )
 
@@ -168,11 +176,11 @@ SELECT doc_id, lang, n_tokens,
          + least((nospace_len / CAST(n_tokens AS DOUBLE)) / 6.0, 1.0) * 0.3,
          9) AS quality_score
 FROM scored
-WHERE round(least(n_chars / 400.0, 1.0) * 0.4
-        + (n_stop / CAST(n_tokens AS DOUBLE)) * 0.3
-        + least((nospace_len / CAST(n_tokens AS DOUBLE)) / 6.0, 1.0) * 0.3,
-        9)
-      >= 0.5
+WHERE 24 * CAST(n_tokens AS BIGINT) * least(CAST(n_chars AS BIGINT), 400)
+      + 7200 * CAST(n_stop AS BIGINT)
+      + 1200 * least(CAST(nospace_len AS BIGINT),
+                     6 * CAST(n_tokens AS BIGINT))
+      >= 12000 * CAST(n_tokens AS BIGINT)
 ORDER BY doc_id
 """
 

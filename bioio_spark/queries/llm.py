@@ -123,24 +123,29 @@ WITH dd AS (
            row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
     FROM documents) WHERE rn = 1
 ),
+feat AS (
+  SELECT doc_id, lang, text, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                w -> list_contains(['the','a','or','of','and','to','in'], w)))
+              AS BIGINT) AS n_stop,
+         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
+           AS nospace_len
+  FROM dd
+),
 kept AS (
-  SELECT * FROM (
-    SELECT doc_id, lang, text, n_chars,
-           round(least(n_chars / 400.0, 1.0) * 0.4
-             + (len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-                    w -> list_contains(['the','a','or','of','and','to','in'],
-                                       w)))
-                / CAST(len(regexp_split_to_array(trim(text), '\s+'))
-                       AS DOUBLE)) * 0.3
-             + least((length(regexp_replace(text, '\s+', '', 'g'))
-                      / CAST(len(regexp_split_to_array(trim(text), '\s+'))
-                             AS DOUBLE)) / 6.0, 1.0) * 0.3, 9) AS q
-    FROM dd) WHERE q >= 0.5
+  SELECT * FROM feat
+  WHERE 24 * n_tokens * least(n_chars, 400)
+        + 7200 * n_stop
+        + 1200 * least(nospace_len, 6 * n_tokens)
+        >= 12000 * n_tokens
 )
 SELECT lang, count(*) AS n_docs,
-       sum(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')))
+       CAST(sum(len(regexp_extract_all(text,
+            ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))) AS BIGINT)
          AS total_bpe_tokens,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM kept GROUP BY lang ORDER BY lang
 """
 
@@ -161,24 +166,30 @@ def l5_training_pipeline(spark, sf_dir):
 
     words = F.split(F.trim(F.col("text")), _WS)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_tokens = F.size(words)
-    n_stop = F.size(F.filter(words, lambda x: F.array_contains(stop_arr, x)))
-    nospace_len = F.length(F.regexp_replace("text", _WS, ""))
-    # the gate rounds q to 9 decimals on BOTH engines: a doc whose raw q
-    # sits within an ulp of 0.5 must fall on the same side of the
-    # threshold in Spark and in the oracle (driver r1 flagged a
-    # non-reproducible hash flip here)
-    q = F.round(
-        F.least(F.col("n_chars") / 400.0, F.lit(1.0)) * 0.4
-        + (n_stop / n_tokens) * 0.3
-        + F.least((nospace_len / n_tokens) / 6.0, F.lit(1.0)) * 0.3, 9)
-    kept = dd.filter(q >= 0.5)
+    n_tokens = F.size(words).cast("long")
+    n_stop = F.size(
+        F.filter(words, lambda x: F.array_contains(stop_arr, x))).cast("long")
+    nospace_len = F.length(F.regexp_replace("text", _WS, "")).cast("long")
+    n_chars = F.col("n_chars").cast("long")
+    # exact integer quality gate: the float form
+    #   0.4*min(n_chars/400,1) + 0.3*n_stop/n_tokens
+    #     + 0.3*min(nospace_len/(6*n_tokens),1) >= 0.5
+    # cross-multiplied by the common denominator 2400*n_tokens. All inputs
+    # are integers, so the kept set is identical in any engine build — no
+    # float rounding, no threshold-ulp sensitivity (driver r1/r2 flagged a
+    # hash flip on the earlier round(q,9) float gate).
+    gate = (
+        F.lit(24) * n_tokens * F.least(n_chars, F.lit(400))
+        + F.lit(7200) * n_stop
+        + F.lit(1200) * F.least(nospace_len, F.lit(6) * n_tokens)
+    ) >= F.lit(12000) * n_tokens
+    kept = dd.filter(gate)
 
     toks = F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0))
     return (kept.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum(toks).alias("total_bpe_tokens"),
-                 F.sum("n_chars").alias("total_chars"))
+                 F.sum(toks).cast("long").alias("total_bpe_tokens"),
+                 F.sum("n_chars").cast("long").alias("total_chars"))
             .orderBy("lang"))
 
 
@@ -437,7 +448,8 @@ def l9_decontamination(spark, sf_dir):
                        % 100 < 90 THEN 'val'
                   ELSE 'test' END AS split
       FROM documents)
-    SELECT lang, split, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT lang, split, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM assigned GROUP BY lang, split ORDER BY lang, split
     """,
     doc="L10 deterministic stratum-reported train/val/test split",
