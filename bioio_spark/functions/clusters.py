@@ -13,14 +13,19 @@ Scale notes:
   lineage so each round re-reads a materialized edge partition instead of
   re-running shingle/minhash/banding per iteration.
 - each round is neighbor propagation (one shuffle join edges x labels on
-  dst + min partial aggregate) FOLLOWED BY pointer jumping (label(u) :=
-  min(label(u), label(label(u))) — one more join on the label frame).
-  Neighbor propagation alone needs diameter rounds; the pointer-jumping
-  step halves label-chain depth each round, so convergence is
-  O(log diameter) — a 1M-node path converges in ~20 rounds, not 1M
+  dst + min partial aggregate); from round 3 on it is FOLLOWED BY pointer
+  jumping (label(u) := min(label(u), label(label(u))) — one more join on
+  the label frame). Neighbor propagation alone needs diameter rounds; the
+  pointer-jumping step halves label-chain depth each round, so convergence
+  is O(log diameter) — a 1M-node path converges in ~20 rounds, not 1M
   (same contraction guarantee as large-star/small-star, Kiveris et al.
   "Connected Components in MapReduce and Beyond", with a simpler body).
-  LSH dedup clusters are near-cliques (diameter 1-3) and converge in 2-3.
+  LSH dedup clusters are near-cliques (diameter 1-3) that plain
+  propagation finishes in <=2 rounds — the jump join only engages when
+  round 3 proves deeper chains exist, so the common case never pays it.
+- convergence detection is fused into the propagation frame: each round
+  carries the round-start label, so "changed" is a filter+count on the
+  frame being materialized anyway — no separate old-vs-new join.
 - the invariant pointer jumping preserves: label(u) is always the id of
   some node in u's component, and labels only decrease — so the fixpoint
   is exactly min-node-id per component, matching the recursive-CTE oracle.
@@ -53,35 +58,44 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     labels = (und.select(F.col("src").alias("node")).distinct()
               .select("node", F.col("node").alias("label"))
               .localCheckpoint())
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # neighbor propagation: min label over the 1-hop neighborhood
         nmin = (und.join(labels, und["dst"] == labels["node"])
                 .groupBy("src").agg(F.min("label").alias("nmin")))
+        # carry the round-start label alongside the propagated one so the
+        # convergence test below is a plain filter+count on this frame —
+        # no extra join against the old label map per round
         prop = (labels.alias("l")
                 .join(nmin, F.col("l.node") == nmin["src"], "left")
                 .select(F.col("l.node").alias("node"),
+                        F.col("l.label").alias("old_label"),
                         F.least(F.col("l.label"),
                                 F.coalesce("nmin", "l.label")).alias("label")))
-        # pointer jumping through the PREVIOUS round's (checkpointed)
-        # label map: label(u) := min(label(u), old_label(label(u))).
-        # Reach roughly doubles per round => O(log diameter) rounds; using
-        # the old map avoids a self-join that would recompute `prop` twice.
-        jump = labels.select(F.col("node").alias("jnode"),
-                             F.col("label").alias("jlabel"))
-        new = (prop.alias("p")
-               .join(jump, F.col("p.label") == jump["jnode"], "left")
-               .select(F.col("p.node").alias("node"),
-                       F.least(F.col("p.label"),
-                               F.coalesce("jlabel", "p.label"))
-                       .alias("label"))
-               .localCheckpoint(eager=False))
+        if it >= 3:
+            # pointer jumping through the PREVIOUS round's (checkpointed)
+            # label map: label(u) := min(label(u), old_label(label(u))).
+            # Reach roughly doubles per round => O(log diameter) rounds;
+            # using the old map avoids a self-join recomputing `prop` twice.
+            # LSH dedup clusters are near-cliques (diameter 1-3) that plain
+            # propagation finishes within 3 rounds, so the jump join only
+            # engages once round 4 proves deeper chains exist — the
+            # O(log d) worst case keeps its guarantee (doubling from round
+            # 4 on), while the common case (almost) never pays the join.
+            jump = labels.select(F.col("node").alias("jnode"),
+                                 F.col("label").alias("jlabel"))
+            prop = (prop.alias("p")
+                    .join(jump, F.col("p.label") == jump["jnode"], "left")
+                    .select(F.col("p.node").alias("node"),
+                            F.col("p.old_label").alias("old_label"),
+                            F.least(F.col("p.label"),
+                                    F.coalesce("jlabel", "p.label"))
+                            .alias("label")))
+        new = prop.localCheckpoint(eager=False)
         # the count below is the round's single job: it materializes the
         # lazy checkpoint AND detects the fixpoint in one pass
-        changed = (new.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.label") != F.col("o.label"))
+        changed = (new.filter(F.col("label") != F.col("old_label"))
                    .count())
-        labels = new
+        labels = new.select("node", "label")
         if changed == 0:
             return labels
     raise RuntimeError(
