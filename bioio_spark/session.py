@@ -31,6 +31,9 @@ _DEFAULTS = {
     "spark.sql.optimizer.excludedRules":
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # both fixture vintages of events.ts readable: TIMESTAMP(NANOS) arrives
+    # as a raw long (converted in queries/base.load), MICROS natively
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
@@ -57,12 +60,22 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
 
     The driver harness constructs its own SparkSession; queries route through
     this so timezone/AQE parity holds regardless of who built the session.
+    Memoized per session object: query hot paths (load, read_event_stream)
+    call this on every invocation, and repeated conf.set calls both cost RPC
+    round trips and can invalidate planner caches mid-session.
     """
+    if getattr(spark, "_bioio_conf_applied", False):
+        return spark
     for k in ("spark.sql.session.timeZone", "spark.sql.adaptive.enabled",
               "spark.sql.execution.arrow.pyspark.enabled",
-              "spark.sql.optimizer.excludedRules"):
+              "spark.sql.optimizer.excludedRules",
+              "spark.sql.legacy.parquet.nanosAsLong"):
         try:
             spark.conf.set(k, _DEFAULTS[k])
         except Exception:
             pass  # conf may be non-runtime-settable in some deployments
+    try:
+        spark._bioio_conf_applied = True
+    except Exception:
+        pass  # exotic session proxies may reject attributes; just re-apply
     return spark

@@ -20,17 +20,42 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Fallback stream schema for a directory that is still empty at stream
+# definition time (a normal file-source pattern: start the stream, files
+# arrive later). ts as raw nanos-long — the vintage the legacy conf yields.
+_STATIC_EVENT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
 def _event_schema(spark: SparkSession, path: str) -> T.StructType:
     """Streaming needs a static schema; take it from the files themselves so
-    both fixture vintages work (ts as raw nanos-long or native TIMESTAMP)."""
-    return spark.read.parquet(path).schema
+    both fixture vintages work (ts as raw nanos-long or native TIMESTAMP).
+    Falls back to the static nanos-long schema when the directory has no
+    files yet (batch inference raises AnalysisException on empty dirs)."""
+    try:
+        return spark.read.parquet(path).schema
+    except Exception:
+        return _STATIC_EVENT_SCHEMA
 
 
 def read_event_stream(spark: SparkSession, path: str,
                       max_files_per_trigger: int = 1) -> DataFrame:
     """File-source stream of event parquet files; converts ts ns->us when the
-    files store TIMESTAMP(NANOS) (read as long via the legacy conf)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    files store TIMESTAMP(NANOS) (read as long via the legacy conf).
+
+    Applies the engine conf (UTC session timezone in particular) first: the
+    NTZ -> timestamp relabel below is only an identity under UTC, and an
+    externally created non-UTC session would otherwise time-shift windows
+    and watermarks relative to the batch oracle."""
+    from bioio_spark.session import ensure_engine_conf
+
+    ensure_engine_conf(spark)
     raw = (spark.readStream
            .schema(_event_schema(spark, path))
            .option("maxFilesPerTrigger", max_files_per_trigger)
