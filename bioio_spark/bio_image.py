@@ -503,15 +503,20 @@ class BioImage:
 def _route(image):
     """S4 routing: arrays -> ArrayLikeReader; *.parquet -> the native-format
     reader (built-in tier, like the reference's ArrayLikeReader,
-    ref bio_image.py:264-276); other paths -> plugin registry."""
+    ref bio_image.py:264-276); *.tif(f) -> the baseline OME-TIFF reader;
+    other paths -> plugin registry."""
     from bioio_spark.plugins import determine_reader
     from bioio_spark.sources.parquet_image import ParquetImageReader
     from bioio_spark.sources.raw_format import RawImageReader
+    from bioio_spark.sources.tiff_image import TiffImageReader
 
     if ParquetImageReader.is_supported_image(image):
         return ParquetImageReader
     if RawImageReader.is_supported_image(image):
         return RawImageReader
+    if isinstance(image, str) and image.lower().endswith(
+            (".tif", ".tiff")):
+        return TiffImageReader
     return determine_reader(image)
 
 

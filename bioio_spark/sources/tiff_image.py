@@ -1,0 +1,164 @@
+"""OME-TIFF reader: the first *real-format* decode path (S4 routing tier).
+
+The reference's headline plugin is bioio-ome-tiff (ref bioio/plugins.py
+entry-point discovery; README.md:54-80); this module is its Spark-native
+analog over the in-repo baseline codec (bioio_spark.formats.tiff):
+
+- **Catalog (driver-side)**: only IFD0's ImageDescription is read per file
+  (seek-based, a few KB) — scene shape/dtype/channels/physical sizes come
+  from the OME-XML, so cataloging never touches pixel data (the D8
+  metadata-only contract, ref bio_image.py:91-96).
+- **Pixels (executor-side)**: `spark.read.format("binaryFile")` scans the
+  file set (any Hadoop-FS URI scheme), and an Arrow-batched `mapInPandas`
+  decodes pages to the long-form pixel schema. Decode parallelism = file
+  count (one scene per file, the save_ome_tiff layout); rows are emitted
+  per page, bounding executor memory to one plane regardless of scene
+  size.
+
+A directory produced by writers.save_ome_tiff (scene_*.ome.tiff) reads
+back as a multi-scene image with scene ids, channel names, dtype, and
+physical sizes restored from the embedded OME-XML.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+_TIFF_EXTS = (".tif", ".tiff", ".ome.tif", ".ome.tiff")
+
+
+def _tiff_paths(image: str) -> list[str]:
+    """Expand a file or directory path to the sorted TIFF file list."""
+    if os.path.isdir(image):
+        return sorted(
+            p for p in _glob.glob(os.path.join(image, "*"))
+            if p.lower().endswith(_TIFF_EXTS))
+    return [image]
+
+
+class TiffImageReader:
+    """BioImage reader over baseline OME-TIFF files (built-in tier)."""
+
+    @staticmethod
+    def is_supported_image(image) -> bool:
+        if not isinstance(image, str):
+            return False
+        if image.lower().endswith(_TIFF_EXTS):
+            return True
+        # a directory of scene_*.ome.tiff (save_ome_tiff layout)
+        return os.path.isdir(image) and bool(_tiff_paths(image))
+
+    def __init__(self, image: str, dim_order=None, channel_names=None,
+                 physical_pixel_sizes=None, image_id: str = "img",
+                 **_kwargs):
+        if dim_order is not None:
+            raise ValueError("OME-TIFF dimension order comes from the "
+                             "embedded OME-XML; dim_order is not accepted")
+        self._path = image
+        self._image_id = image_id
+        self._channel_names = channel_names
+        self._pps = physical_pixel_sizes
+
+    def to_dataset(self, spark: SparkSession):
+        from bioio_spark.formats.tiff import parse_ome_xml, read_ome_header
+        from bioio_spark.ome_utils import resolve_channel_names
+        from bioio_spark.sources.array_like import (PIXEL_COLUMNS,
+                                                    ImageDataset)
+        from bioio_spark.types import OME_TO_NUMPY_DTYPE
+
+        paths = _tiff_paths(self._path)
+        if not paths:
+            raise FileNotFoundError(f"No TIFF files under {self._path}")
+
+        scene_rows, channel_rows = [], []
+        path_to_scene: dict[str, str] = {}
+        for si, p in enumerate(sorted(paths)):
+            xml = read_ome_header(p)
+            if xml is None:
+                raise ValueError(f"{p}: no OME-XML ImageDescription")
+            h = parse_ome_xml(xml)
+            scene = h["image_id"] or f"Image:{si}"
+            path_to_scene[os.path.abspath(p)] = scene
+            names = resolve_channel_names(
+                self._channel_names or h["channel_names"], h["size_c"], si)
+            for ci, nm in enumerate(names):
+                channel_rows.append({
+                    "image_id": self._image_id, "scene": scene,
+                    "c": ci, "channel_name": nm})
+            pps = self._pps
+            scene_rows.append({
+                "image_id": self._image_id, "scene": scene,
+                "scene_idx": si, "dim_order": "TCZYX",
+                "size_t": h["size_t"], "size_c": h["size_c"],
+                "size_z": h["size_z"], "size_y": h["size_y"],
+                "size_x": h["size_x"], "size_m": None, "size_s": None,
+                "dtype": OME_TO_NUMPY_DTYPE[h["pixel_type"]],
+                "ome_pixel_type": h["pixel_type"],
+                "pps_z": pps.Z if pps else h["pps_z"],
+                "pps_y": pps.Y if pps else h["pps_y"],
+                "pps_x": pps.X if pps else h["pps_x"],
+                "time_interval": None, "metadata": xml,
+            })
+
+        px = decode_tiff_files(
+            spark, paths, path_to_scene).select(
+            F.lit(self._image_id).alias("image_id"), "scene",
+            F.lit(0).alias("res_level"), "t", "c", "z", "y", "x",
+            F.lit(-1).alias("m"), F.lit(-1).alias("s"), "value",
+        ).select(*PIXEL_COLUMNS)
+
+        return ImageDataset(pixels=px, scenes=pd.DataFrame(scene_rows),
+                            channels=pd.DataFrame(channel_rows))
+
+
+def decode_tiff_files(spark: SparkSession, paths: list[str],
+                      path_to_scene: Optional[dict] = None) -> DataFrame:
+    """binaryFile scan + mapInPandas page decode to long-form pixel rows.
+
+    Emits one pandas frame per TIFF page (plane), so executor memory is
+    bounded by one YX raster regardless of how many pages a file has."""
+    scene_of = dict(path_to_scene or {})
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from bioio_spark.formats.tiff import decode_tiff, parse_ome_xml
+
+        for pdf in it:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                local = path.split("://", 1)[-1] if "://" in path else path
+                planes, xml = decode_tiff(bytes(content))
+                h = parse_ome_xml(xml) if xml else {}
+                scene = (scene_of.get(local)
+                         or (h.get("image_id") if h else None)
+                         or "Image:0")
+                c_n = h.get("size_c") or 1
+                z_n = h.get("size_z") or 1
+                for i, plane in enumerate(planes):
+                    t, rem = divmod(i, c_n * z_n)
+                    c, z = divmod(rem, z_n)
+                    y_n, x_n = plane.shape
+                    yield pd.DataFrame({
+                        "scene": scene,
+                        "t": np.full(plane.size, t, dtype=np.int32),
+                        "c": np.full(plane.size, c, dtype=np.int32),
+                        "z": np.full(plane.size, z, dtype=np.int32),
+                        "y": np.repeat(np.arange(y_n, dtype=np.int32), x_n),
+                        "x": np.tile(np.arange(x_n, dtype=np.int32), y_n),
+                        "value": plane.ravel().astype(np.float64),
+                    })
+
+    binary = (spark.read.format("binaryFile")
+              .option("pathGlobFilter", "*.tif*")
+              .load([f"file://{os.path.abspath(p)}" for p in paths]))
+    return binary.select("path", "content").mapInPandas(
+        batches,
+        schema="scene string, t int, c int, z int, y int, x int, "
+               "value double")

@@ -1,0 +1,140 @@
+"""Baseline OME-TIFF codec + writer/reader roundtrips (S10 + real-format S4).
+
+The encode side mirrors the reference's OmeTiffWriter contract
+(ref bioio/writers/__init__.py:10-15, bio_image.py:1229-1301); decode
+verifies the bytes independently, and the BioImage roundtrip closes the
+loop through the plugin routing tier.
+"""
+
+import numpy as np
+import pytest
+
+from bioio_spark.formats.tiff import (build_ome_xml, decode_ome_tiff,
+                                      decode_tiff, encode_ome_tiff,
+                                      encode_tiff, parse_ome_xml,
+                                      read_ome_header)
+from bioio_spark.types import PhysicalPixelSizes
+
+
+@pytest.mark.parametrize("dtype", ["uint8", "uint16", "uint32", "int8",
+                                   "int16", "int32", "float32", "float64"])
+def test_codec_roundtrip_dtypes(dtype):
+    rng = np.random.default_rng(11)
+    if np.dtype(dtype).kind == "f":
+        block = rng.random((2, 3, 2, 5, 7)).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        block = rng.integers(info.min, info.max, (2, 3, 2, 5, 7),
+                             dtype=dtype)
+    data = encode_ome_tiff(block)
+    out, xml = decode_ome_tiff(data)
+    assert out.dtype == np.dtype(dtype)
+    np.testing.assert_array_equal(out, block)
+    h = parse_ome_xml(xml)
+    assert (h["size_t"], h["size_c"], h["size_z"],
+            h["size_y"], h["size_x"]) == block.shape
+
+
+def test_codec_rejects_unsupported():
+    with pytest.raises(ValueError, match="dtype"):
+        encode_tiff([np.zeros((2, 2), dtype=np.complex64)])
+    with pytest.raises(ValueError, match="2D"):
+        encode_tiff([np.zeros((2, 2, 2))])
+    with pytest.raises(ValueError, match="at least one"):
+        encode_tiff([])
+    with pytest.raises(ValueError, match="TIFF"):
+        decode_tiff(b"MM\x00\x2a garbage")
+
+
+def test_ome_xml_attrs():
+    xml = build_ome_xml(2, 3, 4, 5, 6, "uint16", image_id="Image:7",
+                        image_name='say "hi"',
+                        channel_names=["DAPI", "GFP", "RFP"],
+                        physical_pixel_sizes=PhysicalPixelSizes(
+                            Z=2.0, Y=0.5, X=0.5))
+    h = parse_ome_xml(xml)
+    assert h["image_id"] == "Image:7"
+    assert h["image_name"] == 'say "hi"'
+    assert h["pixel_type"] == "uint16"
+    assert h["channel_names"] == ["DAPI", "GFP", "RFP"]
+    assert (h["pps_z"], h["pps_y"], h["pps_x"]) == (2.0, 0.5, 0.5)
+    # one TiffData per plane, XYZCT page order (z fastest)
+    assert xml.count("<TiffData") == 2 * 3 * 4
+
+
+def test_writer_save_ndarray_guessed_order(tmp_path):
+    from bioio_spark.writers import OmeTiffWriter
+
+    a = (np.arange(2 * 4 * 6, dtype=np.uint16).reshape(2, 4, 6))
+    path = str(tmp_path / "img.ome.tiff")
+    OmeTiffWriter.save(a, path)  # 3D -> guessed ZYX -> TCZYX standardize
+    block, xml = decode_ome_tiff(open(path, "rb").read())
+    assert block.shape == (1, 1, 2, 4, 6)
+    np.testing.assert_array_equal(block[0, 0], a)
+    assert read_ome_header(path) == xml
+
+
+def test_writer_save_nonstandard_dims_coerced(tmp_path):
+    from bioio_spark.writers import OmeTiffWriter
+
+    # explicit non-standard dim Q is sliced at index 0 (BioImage coercion)
+    a = np.arange(3 * 2 * 4 * 5, dtype=np.float32).reshape(3, 2, 4, 5)
+    path = str(tmp_path / "q.tiff")
+    OmeTiffWriter.save(a, path, dim_order="QZYX")
+    block, _ = decode_ome_tiff(open(path, "rb").read())
+    assert block.shape == (1, 1, 2, 4, 5)
+    np.testing.assert_array_equal(block[0, 0], a[0])
+
+
+def test_distributed_save_and_bioimage_roundtrip(spark, tmp_path):
+    from bioio_spark import BioImage
+    from bioio_spark.sources.tiff_image import TiffImageReader
+    from bioio_spark.writers import save_ome_tiff
+
+    rng = np.random.default_rng(5)
+    scenes = [rng.integers(0, 4096, (2, 2, 3, 4, 5), dtype=np.uint16),
+              rng.integers(0, 4096, (1, 2, 2, 6, 3), dtype=np.uint16)]
+    img = BioImage(scenes, channel_names=["a", "b"], spark=spark,
+                   physical_pixel_sizes=PhysicalPixelSizes(1.0, 0.5, 0.5))
+    out = str(tmp_path / "export")
+    report = save_ome_tiff(img, out)
+    assert [r["scene_idx"] for r in report] == [0, 1]
+    assert all(r["n_bytes"] > 0 for r in report)
+
+    back = BioImage(out, reader=TiffImageReader, spark=spark)
+    assert back.scenes == img.scenes
+    assert back.dtype == np.dtype("uint16")
+    assert back.channel_names == ["a", "b"]
+    assert back.physical_pixel_sizes == PhysicalPixelSizes(1.0, 0.5, 0.5)
+    for i, arr in enumerate(scenes):
+        back.set_scene(i)
+        assert back.dims.order == "TCZYX"
+        np.testing.assert_array_equal(back.get_image_data(), arr)
+
+
+def test_single_file_suffix_routing(spark, tmp_path):
+    from bioio_spark import BioImage
+    from bioio_spark.writers import OmeTiffWriter
+
+    a = np.arange(2 * 3 * 4, dtype=np.int16).reshape(2, 3, 4)
+    path = str(tmp_path / "one.ome.tiff")
+    OmeTiffWriter.save(a, path, dim_order="ZYX",
+                       channel_names=None, image_name="one")
+    img = BioImage(path, spark=spark)  # no reader arg: suffix routes
+    assert img.dims.order == "TCZYX"
+    np.testing.assert_array_equal(img.get_image_data()[0, 0], a)
+
+
+def test_select_scenes_export(spark, tmp_path):
+    from bioio_spark import BioImage
+    from bioio_spark.sources.tiff_image import TiffImageReader
+    from bioio_spark.writers import save_ome_tiff
+
+    arrs = [np.full((1, 1, 1, 2, 2), i, dtype=np.uint8) for i in range(3)]
+    img = BioImage(arrs, spark=spark)
+    out = str(tmp_path / "sel")
+    report = save_ome_tiff(img, out, select_scenes=[2])
+    assert len(report) == 1 and report[0]["scene"] == "Image:2"
+    back = BioImage(out, reader=TiffImageReader, spark=spark)
+    assert back.scenes == ("Image:2",)
+    np.testing.assert_array_equal(back.get_image_data(), arrs[2])

@@ -37,10 +37,17 @@ def test_save_parquet_scene_selection(spark, tmp_path):
     assert img.current_scene_index == 0
 
 
-def test_ome_tiff_writer_is_registered_and_gated():
+def test_ome_tiff_writer_is_registered_and_real(tmp_path):
+    import numpy as np
+
+    from bioio_spark.formats.tiff import decode_ome_tiff
+
     assert WRITER_REGISTRY["OmeTiffWriter"] is OmeTiffWriter
-    with pytest.raises(NotImplementedError):
-        OmeTiffWriter.save(data=[], uri="/tmp/x.ome.tiff")
+    path = str(tmp_path / "x.ome.tiff")
+    OmeTiffWriter.save(np.ones((2, 3), dtype=np.uint8), uri=path)
+    block, xml = decode_ome_tiff(open(path, "rb").read())
+    assert block.shape == (1, 1, 1, 2, 3)
+    assert 'Type="uint8"' in xml
 
 
 def test_parquet_image_full_roundtrip(spark, tmp_path):
