@@ -7,9 +7,13 @@ hash primitive (functions/hashing.py) so both engines agree bit-for-bit.
 Scale notes:
 - exact dedup: one hash-shuffle on the content hash; partial agg map-side.
 - minhash: shingle explode is narrow; the signature groupBy shuffles once on
-  doc_id; band self-join shuffles on (band, key) — hot buckets are bounded
-  because identical signatures collapse before pairing; AQE skew-join covers
-  the rest.
+  doc_id; band self-join shuffles on (band, key). Hot buckets are bounded
+  two ways: (1) exact-duplicate texts collapse to one representative
+  BEFORE banding (_dedup_reps — mass-duplicated boilerplate, the dominant
+  real-corpus skew source, contributes one bucket member instead of k);
+  (2) a hard per-bucket width cap (MAX_BUCKET_WIDTH, keep-lowest-doc_id,
+  mirrored exactly in the oracle) bounds the residual worst case to
+  O(cap^2) pairs per bucket task. AQE skew-join covers the rest.
 - simhash: a single groupBy(doc_id) with 32 conditional sums — partial
   aggregation makes the shuffle tiny.
 - jaccard: shingle-equi-join restricted within (lang, source) blocks to
@@ -34,8 +38,19 @@ from bioio_spark.functions.hashing import (
 N_BANDS = 4
 ROWS_PER_BAND = NUM_MINHASH // N_BANDS
 
+# Hard per-bucket width cap for LSH pair enumeration: a bucket wider than
+# this keeps only its `cap` lowest doc_ids (deterministic, oracle-mirrored).
+# After exact-dup collapse a wider bucket means >cap DISTINCT texts agree on
+# a full band — at that point the band key carries no discriminating power
+# and enumerating O(k^2) pairs in one task is a liability, not recall.
+MAX_BUCKET_WIDTH = 256
+
 _SHINGLE_SPARK = None   # built lazily below
 _WS = r"\s+"
+
+import logging
+
+log = logging.getLogger(__name__)
 
 
 # -- L1 exact dedup --------------------------------------------------------
@@ -113,16 +128,37 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     return exploded.groupBy("doc_id").agg(*aggs)
 
 
-def _bucket_pairs(df: DataFrame, bucket_cols: list[str],
-                  id_col: str) -> DataFrame:
+def _dedup_reps(documents: DataFrame, *group_cols: str) -> DataFrame:
+    """Exact-duplicate collapse: one representative row (lowest doc_id) per
+    distinct text (within *group_cols blocks). min(text) is deterministic —
+    every text in a group is identical by construction."""
+    return (documents
+            .groupBy(*group_cols, F.md5("text").alias("_h"))
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.min("text").alias("text"))
+            .drop("_h"))
+
+
+def _bucket_pairs(df: DataFrame, bucket_cols: list[str], id_col: str,
+                  max_width: int | None = None) -> DataFrame:
     """All (a < b) id pairs within each bucket, pipeline computed ONCE.
 
     A self-join on the bucket key would recompute the (expensive) upstream
     plan for both join sides; instead: groupBy(bucket) -> sorted id list ->
     enumerate pairs with nested array transforms -> explode. Output columns:
-    doc_a, doc_b (one row per pair per bucket; caller dedups)."""
+    doc_a, doc_b (one row per pair per bucket; caller dedups).
+
+    max_width caps each bucket to its `max_width` lowest ids before pair
+    enumeration (the SQL mirror is row_number() OVER (PARTITION BY bucket
+    ORDER BY id) <= max_width), bounding per-task pair work to
+    O(max_width^2) however pathological the bucket."""
     ids = F.sort_array(F.collect_set(id_col)).alias("ids")
     grouped = df.groupBy(*bucket_cols).agg(ids).filter(F.size("ids") >= 2)
+    if max_width is not None:
+        log.info("bucket pair enumeration capped at %d ids/bucket",
+                 max_width)
+        grouped = grouped.withColumn(
+            "ids", F.slice("ids", 1, max_width))
     pairs = F.flatten(F.transform(
         "ids",
         lambda x, i: F.transform(
@@ -133,14 +169,8 @@ def _bucket_pairs(df: DataFrame, bucket_cols: list[str],
                     F.col("p.doc_b").alias("doc_b")))
 
 
-def minhash_candidate_pairs(documents: DataFrame,
-                            sort: bool = True) -> DataFrame:
-    """LSH banding: docs sharing any band of the signature become a pair.
-
-    sort=False skips the final range-partition exchange — downstream
-    consumers that re-shuffle anyway (cluster resolution) should not pay
-    for a global sort they immediately destroy."""
-    sig = minhash_signatures(documents)
+def _banded(sig: DataFrame) -> DataFrame:
+    """Signature frame -> (doc_id, band, key) LSH band rows."""
     band_cols = []
     for b in range(N_BANDS):
         parts = [F.col(f"s{b * ROWS_PER_BAND + r}").cast("string")
@@ -148,23 +178,48 @@ def minhash_candidate_pairs(documents: DataFrame,
         band_cols.append(
             F.struct(F.lit(b).alias("band"),
                      F.md5(F.concat_ws(",", *parts)).alias("key")))
-    banded = (
+    return (
         sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
         .select("doc_id", F.col("bk.band").alias("band"),
                 F.col("bk.key").alias("key"))
     )
-    pairs = _bucket_pairs(banded, ["band", "key"], "doc_id").distinct()
+
+
+def minhash_candidate_pairs(documents: DataFrame, sort: bool = True,
+                            max_bucket_width: int | None = MAX_BUCKET_WIDTH
+                            ) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become a pair.
+
+    Exact-duplicate texts are collapsed to one representative before
+    signing/banding (l1 composes BEFORE l2 in the dedup pipeline — exact
+    copies need no MinHash to be found, and a mass-duplicated document
+    would otherwise put k identical signatures in every band bucket and
+    build k^2/2 pairs in a single task). Bucket width is further hard-
+    capped at max_bucket_width (keep-lowest-doc_id, oracle-mirrored).
+
+    sort=False skips the final range-partition exchange — downstream
+    consumers that re-shuffle anyway (cluster resolution) should not pay
+    for a global sort they immediately destroy."""
+    reps = _dedup_reps(documents)
+    banded = _banded(minhash_signatures(reps))
+    pairs = _bucket_pairs(banded, ["band", "key"], "doc_id",
+                          max_width=max_bucket_width).distinct()
     return pairs.orderBy("doc_a", "doc_b") if sort else pairs
 
 
-def _minhash_sql_core() -> str:
+def _minhash_sql_core(source: str = "documents",
+                      dedup: bool = True) -> str:
     mins = ", ".join(
         f"min((hp * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MOD}) AS s{i}"
         for i in range(NUM_MINHASH))
+    dd = (f"SELECT min(doc_id) AS doc_id, min(text) AS text "
+          f"FROM {source} GROUP BY md5(text)"
+          if dedup else f"SELECT doc_id, text FROM {source}")
     return f"""
+    mh_dd AS ({dd}),
     shingled AS (
       SELECT doc_id, {_SHINGLE_SQL.strip()} AS sh
-      FROM documents
+      FROM mh_dd
     ),
     hashed AS (
       SELECT doc_id, {h32_sql('shingle')} % {MOD} AS hp
@@ -176,9 +231,8 @@ def _minhash_sql_core() -> str:
     )"""
 
 
-def minhash_pairs_cte() -> str:
-    """CTE chain (no WITH keyword) ending in pairs(doc_a, doc_b) — shared
-    by the pairs oracle and downstream consumers (cluster resolution)."""
+def _banded_sql() -> str:
+    """banded CTE body (requires a preceding `sig` CTE)."""
     band_rows = []
     for b in range(N_BANDS):
         parts = " || ',' || ".join(
@@ -186,12 +240,27 @@ def minhash_pairs_cte() -> str:
             for r in range(ROWS_PER_BAND))
         band_rows.append(
             f"SELECT doc_id, {b} AS band, md5({parts}) AS key FROM sig")
-    banded = " UNION ALL ".join(band_rows)
-    return f"""{_minhash_sql_core()},
-    banded AS ({banded}),
+    return " UNION ALL ".join(band_rows)
+
+
+def minhash_pairs_cte(source: str = "documents",
+                      cap: int = MAX_BUCKET_WIDTH) -> str:
+    """CTE chain (no WITH keyword) ending in pairs(doc_a, doc_b) — shared
+    by the pairs oracle and downstream consumers (cluster resolution).
+    Mirrors the Spark pipeline exactly: exact-dup collapse (mh_dd), band
+    keys, keep-lowest-doc_id bucket cap, pair enumeration."""
+    return f"""{_minhash_sql_core(source)},
+    banded AS ({_banded_sql()}),
+    capped AS (
+      SELECT doc_id, band, key FROM (
+        SELECT doc_id, band, key,
+               row_number() OVER (PARTITION BY band, key
+                                  ORDER BY doc_id) AS rn
+        FROM banded) WHERE rn <= {cap}
+    ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM banded a JOIN banded b
+      FROM capped a JOIN capped b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     )"""
 
@@ -265,8 +334,17 @@ def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
     and the pair enumeration, so |A|/|B| are already on every pair row —
     one pass over the shingle pipeline and zero size-lookup joins (the
     previous plan shingled twice and shuffled twice more for the joins).
+
+    Exact duplicates collapse per (lang, source) block before shingling —
+    identical texts have Jaccard 1 by definition and would otherwise
+    multiply every shingle bucket they touch. No width cap here: shingle
+    buckets feed intersection COUNTS (capping would bias similarity), and
+    the (lang, source) blocking plus dup collapse bound them.
     """
-    docs = _shingled(documents, "lang", "source")
+    reps = _dedup_reps(
+        documents.select("doc_id", "lang", "source", "text"),
+        "lang", "source")
+    docs = _shingled(reps, "lang", "source")
     ex = docs.select(
         F.struct("doc_id", F.size("sh").alias("n_sh")).alias("doc"),
         "lang", "source", F.explode("sh").alias("shingle"))
@@ -291,9 +369,13 @@ def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
 
 
 JACCARD_ORACLE = f"""
-WITH shingled AS (
+WITH jc_dd AS (
+  SELECT lang, source, min(doc_id) AS doc_id, min(text) AS text
+  FROM documents GROUP BY lang, source, md5(text)
+),
+shingled AS (
   SELECT doc_id, lang, source, {_SHINGLE_SQL.strip()} AS sh
-  FROM documents
+  FROM jc_dd
 ),
 docs AS (SELECT * FROM shingled WHERE len(sh) >= 1),
 sizes AS (SELECT doc_id, len(sh) AS n_sh FROM docs),

@@ -57,6 +57,91 @@ def l2c_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
 
 
+# --------------------------------------------------------------------------
+# L2d: hot-bucket bounding proof. Injects 60 exact copies of one document
+# (the mass-duplicated-boilerplate shape that melts naive LSH at corpus
+# scale) and verifies BOTH defenses end to end:
+#   - exact-dup collapse: max banded bucket width with dedup-first is a
+#     fraction of the raw width (61 copies -> 1 representative);
+#   - hard cap: pair enumeration over the RAW banded frame with
+#     max_width=16 keeps only the 16 lowest doc_ids per bucket, with the
+#     dropped-id count reported (the "logged drop count", made queryable).
+# The oracle mirrors every step, so the bound itself is hash-verified.
+# --------------------------------------------------------------------------
+_L2D_CAP = 16
+
+_BOUNDED_LSH_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT 1000000 + i AS doc_id, d.text
+  FROM range(60) r(i)
+  CROSS JOIN (SELECT text FROM documents WHERE doc_id = 1) d
+),
+{_dedup._minhash_sql_core('aug', dedup=False)},
+banded AS ({_dedup._banded_sql()}),
+wid AS (SELECT band, key, count(*) AS w FROM banded GROUP BY band, key),
+reps AS (SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)),
+dd_banded AS (SELECT b.* FROM banded b JOIN reps USING (doc_id)),
+dwid AS (SELECT band, key, count(*) AS w FROM dd_banded
+         GROUP BY band, key),
+capped AS (
+  SELECT doc_id, band, key FROM (
+    SELECT doc_id, band, key,
+           row_number() OVER (PARTITION BY band, key ORDER BY doc_id)
+             AS rn
+    FROM banded) WHERE rn <= {_L2D_CAP}),
+cpairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT
+  (SELECT CAST(max(w) AS BIGINT) FROM wid) AS max_raw_width,
+  (SELECT CAST(sum(greatest(w - {_L2D_CAP}, 0)) AS BIGINT) FROM wid)
+    AS n_dropped,
+  (SELECT CAST(max(w) AS BIGINT) FROM dwid) AS max_dedup_width,
+  (SELECT count(*) FROM cpairs) AS n_pairs_capped,
+  (SELECT count(*) FROM reps) AS n_reps
+"""
+
+
+@register("l2d_bounded_lsh", oracle=_BOUNDED_LSH_ORACLE,
+          doc="L2d hot-bucket bounding: dup collapse + width cap, verified")
+def l2d_bounded_lsh(spark, sf_dir):
+    from bioio_spark.functions.dedup import (_banded, _bucket_pairs,
+                                             _dedup_reps,
+                                             minhash_signatures)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") == 1).select("text")
+    copies = (spark.range(60)
+              .crossJoin(F.broadcast(base))
+              .select((F.col("id") + 1000000).alias("doc_id"), "text"))
+    aug = docs.unionByName(copies)
+
+    raw_banded = _banded(minhash_signatures(aug))
+    widths = (raw_banded.groupBy("band", "key")
+              .agg(F.count(F.lit(1)).alias("w")))
+    raw_stats = widths.agg(
+        F.max("w").cast("long").alias("max_raw_width"),
+        F.sum(F.greatest(F.col("w") - _L2D_CAP, F.lit(0)))
+        .cast("long").alias("n_dropped"))
+
+    reps = _dedup_reps(aug)
+    dd_stats = (_banded(minhash_signatures(reps))
+                .groupBy("band", "key").agg(F.count(F.lit(1)).alias("w"))
+                .agg(F.max("w").cast("long").alias("max_dedup_width")))
+
+    n_pairs = (_bucket_pairs(raw_banded, ["band", "key"], "doc_id",
+                             max_width=_L2D_CAP)
+               .distinct()
+               .agg(F.count(F.lit(1)).alias("n_pairs_capped")))
+    n_reps = reps.agg(F.count(F.lit(1)).alias("n_reps"))
+    return (raw_stats.crossJoin(F.broadcast(dd_stats))
+            .crossJoin(F.broadcast(n_pairs))
+            .crossJoin(F.broadcast(n_reps)))
+
+
 @register("l3_cosine_topk", oracle=_sim.COSINE_TOPK_ORACLE,
           doc="L3 brute-force cosine top-k against a query vector")
 def l3_cosine_topk(spark, sf_dir):
