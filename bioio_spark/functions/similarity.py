@@ -68,6 +68,27 @@ ORDER BY cosine_sim DESC, e.vec_id LIMIT 10
 
 N_CENTROIDS = 8
 N_PROBE = 2
+# fixed-point quantization scale for the k-means mean: element sums are
+# integers, so the reduction is exact and ORDER-INDEPENDENT — the same
+# centroid bits fall out of any partitioning, any engine (a raw double sum
+# would vary with Spark's partition-dependent reduction order and could
+# never hash-match DuckDB)
+_KMEANS_SCALE = float(1 << 20)
+
+
+def _norm_py(a):
+    # sequential fold, same accumulation order as F.aggregate/DuckDB
+    na = 0.0
+    for x in a:
+        na += x * x
+    return na ** 0.5
+
+
+def _cos_py(a, b):
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+    return dot / (_norm_py(a) * _norm_py(b))
 
 
 def ivf_topk(embeddings: DataFrame, query_vec_id: int = 1, k: int = 10,
@@ -75,49 +96,40 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 1, k: int = 10,
              ) -> DataFrame:
     """IVF-style ANN top-k: the scale path for similarity search.
 
-    Train: centroids = the first `n_centroids` vectors by vec_id
-    (deterministic stand-in for k-means — the *index structure* is what's
-    exercised; swapping in real k-means centroids changes no plan shape).
-    Assign: each vector to its max-cosine centroid, computed PER ROW against
-    broadcast literal centroids via higher-order functions — a narrow
-    projection, no shuffle, no 8x row duplication (vs the naive
+    Train: k-means with one Lloyd iteration — seeds are the first
+    `n_centroids` vectors by vec_id (deterministic seeding); every vector
+    is assigned to its max-cosine seed (narrow per-row argmax, below);
+    each centroid becomes the element-wise mean of its cluster, computed
+    as an INTEGER sum of floor(x * 2^20) fixed-point elements divided once
+    at the end. Integer partial aggregation is exact and associative, so
+    the trained centroids are bit-identical across engines and cluster
+    layouts — the property that lets an iterative float algorithm stay
+    hash-checkable. Empty clusters keep their seed.
+    Assign: each vector to its max-cosine trained centroid, computed PER
+    ROW against broadcast literal centroids via higher-order functions — a
+    narrow projection, no shuffle, no 8x row duplication (vs the naive
     crossJoin + window argmax).
     Probe: the query searches only the `n_probe` centroids nearest to it
     (picked driver-side at build time, like any ANN index probe); exact
     cosine + top-k within the probed inverted lists.
 
-    At 100 TB: assignment is embarrassingly parallel; the probed filter cuts
-    the candidate set by ~n_centroids/n_probe before the only wide op
-    (TakeOrderedAndProject top-k, which aggregates per-partition heaps).
-    Tie-break: equal cosine -> smallest centroid id (matches oracle's
-    ORDER BY cos DESC, cid ASC).
+    At 100 TB: training is one narrow assignment + one tiny shuffle
+    (n_centroids x dim integer partial sums); search assignment is
+    embarrassingly parallel; the probed filter cuts the candidate set by
+    ~n_centroids/n_probe before the only wide op (TakeOrderedAndProject
+    top-k, which aggregates per-partition heaps). Tie-break: equal cosine
+    -> smallest centroid id (matches oracle's ORDER BY cos DESC, cid ASC).
     """
     emb = embeddings.select(
         "vec_id", "label", _to_double(F.col("embedding")).alias("e"))
-    # one driver job fetches centroids AND the query vector together
+    # one driver job fetches seed centroids AND the query vector together
     index_rows = (emb.filter((F.col("vec_id") < n_centroids)
                              | (F.col("vec_id") == query_vec_id))
                   .select("vec_id", "e").collect())
     by_id = {int(r["vec_id"]): list(r["e"]) for r in index_rows}
     q_vec = by_id[query_vec_id]
-    cents = {cid: v for cid, v in by_id.items() if cid < n_centroids}
-
-    def _norm_py(a):
-        # sequential fold, same accumulation order as F.aggregate/DuckDB
-        na = 0.0
-        for x in a:
-            na += x * x
-        return na ** 0.5
-
-    def _cos_py(a, b):
-        dot = 0.0
-        for x, y in zip(a, b):
-            dot += x * y
-        return dot / (_norm_py(a) * _norm_py(b))
-
-    probe_ids = [cid for cid, _ in sorted(
-        ((cid, _cos_py(q_vec, v)) for cid, v in cents.items()),
-        key=lambda t: (-t[1], t[0]))[:n_probe]]
+    seeds = {cid: v for cid, v in by_id.items() if cid < n_centroids}
+    dim = len(q_vec)
 
     # literal-side norms are constants: computed driver-side (identical
     # fold order => identical bits) so the per-row expression carries one
@@ -130,13 +142,40 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 1, k: int = 10,
     # per-row argmax over centroids: greatest() on (cos, -cid) structs —
     # lexicographic struct compare gives max-cos, ties to smallest cid;
     # the row's own norm is hoisted into a column computed once
-    assigned = F.greatest(*[
-        F.struct(_cos_lit(vec).alias("s"), F.lit(-cid).alias("n"))
-        for cid, vec in sorted(cents.items())
-    ])["n"] * -1
+    def _assigned(cents):
+        return F.greatest(*[
+            F.struct(_cos_lit(vec).alias("s"), F.lit(-cid).alias("n"))
+            for cid, vec in sorted(cents.items())
+        ])["n"] * -1
+
+    # -- one Lloyd iteration (index build job #2) -------------------------
+    quant_sums = [
+        F.sum(F.floor(F.element_at("e", j + 1) * F.lit(_KMEANS_SCALE)))
+        .alias(f"p{j}")
+        for j in range(dim)
+    ]
+    cluster_rows = (
+        emb.withColumn("ne", _norm(F.col("e")))
+        .withColumn("cid", _assigned(seeds).cast("int"))
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("cnt"), *quant_sums)
+        .collect())
+    trained = dict(seeds)   # empty clusters keep their seed
+    for r in cluster_rows:
+        cnt = float(r["cnt"])
+        # float(s)/float(cnt) mirrors the oracle's CAST(s AS DOUBLE)/cnt
+        # bit-for-bit (Python int/int true division would round the exact
+        # rational instead once sums exceed 2^53)
+        trained[int(r["cid"])] = [
+            float(r[f"p{j}"]) / cnt / _KMEANS_SCALE for j in range(dim)]
+
+    probe_ids = [cid for cid, _ in sorted(
+        ((cid, _cos_py(q_vec, v)) for cid, v in trained.items()),
+        key=lambda t: (-t[1], t[0]))[:n_probe]]
+
     return (
         emb.withColumn("ne", _norm(F.col("e")))
-        .withColumn("cid", assigned.cast("int"))
+        .withColumn("cid", _assigned(trained).cast("int"))
         .filter(F.col("cid").isin(probe_ids))
         .filter(F.col("vec_id") != query_vec_id)
         .select("vec_id", "label", _cos_lit(q_vec).alias("cosine_sim"))
@@ -148,35 +187,58 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 1, k: int = 10,
 def _ivf_oracle(query_vec_id: int = 1, k: int = 10,
                 n_centroids: int = N_CENTROIDS,
                 n_probe: int = N_PROBE) -> str:
+    scale = int(_KMEANS_SCALE)
+    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+           " * sqrt(list_dot_product({b}, {b})))")
     return f"""
     WITH e AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     ),
-    cent AS (SELECT vec_id AS cid, e AS ce FROM e WHERE vec_id < {n_centroids}),
+    seeds AS (SELECT vec_id AS cid, e AS ce FROM e
+              WHERE vec_id < {n_centroids}),
     q AS (SELECT e AS q FROM e WHERE vec_id = {query_vec_id}),
+    assign0 AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT e.vec_id, e.e, s.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {cos.format(a='e.e', b='s.ce')} DESC,
+                          s.cid ASC) AS rn
+        FROM e CROSS JOIN seeds s) WHERE rn = 1
+    ),
+    dims AS (SELECT unnest(generate_series(
+               1, (SELECT max(len(e)) FROM e))) AS i),
+    tsum AS (
+      SELECT a.cid, d.i,
+             CAST(sum(CAST(floor(a.e[d.i] * {scale}.0) AS BIGINT))
+                  AS BIGINT) AS s,
+             count(*) AS cnt
+      FROM assign0 a CROSS JOIN dims d GROUP BY a.cid, d.i
+    ),
+    trained AS (
+      SELECT s.cid, COALESCE(t.ce, s.ce) AS ce
+      FROM seeds s LEFT JOIN (
+        SELECT cid,
+               list(CAST(s AS DOUBLE) / cnt / {scale}.0 ORDER BY i) AS ce
+        FROM tsum GROUP BY cid) t USING (cid)
+    ),
     assigned AS (
-      SELECT e.vec_id, e.label, e.e, cent.cid,
+      SELECT e.vec_id, e.label, e.e, c.cid,
              row_number() OVER (
                PARTITION BY e.vec_id
-               ORDER BY list_dot_product(e.e, cent.ce)
-                          / (sqrt(list_dot_product(e.e, e.e))
-                             * sqrt(list_dot_product(cent.ce, cent.ce))) DESC,
-                        cent.cid ASC) AS rn
-      FROM e CROSS JOIN cent
+               ORDER BY {cos.format(a='e.e', b='c.ce')} DESC,
+                        c.cid ASC) AS rn
+      FROM e CROSS JOIN trained c
     ),
     probes AS (
-      SELECT cent.cid,
+      SELECT c.cid,
              row_number() OVER (
-               ORDER BY list_dot_product(q.q, cent.ce)
-                          / (sqrt(list_dot_product(q.q, q.q))
-                             * sqrt(list_dot_product(cent.ce, cent.ce))) DESC,
-                        cent.cid ASC) AS prn
-      FROM cent CROSS JOIN q
+               ORDER BY {cos.format(a='q.q', b='c.ce')} DESC,
+                        c.cid ASC) AS prn
+      FROM trained c CROSS JOIN q
     )
     SELECT a.vec_id, a.label,
-           list_dot_product(a.e, q.q)
-             / (sqrt(list_dot_product(a.e, a.e))
-                * sqrt(list_dot_product(q.q, q.q))) AS cosine_sim
+           {cos.format(a='a.e', b='q.q')} AS cosine_sim
     FROM assigned a
     JOIN probes p ON a.cid = p.cid AND p.prn <= {n_probe}
     CROSS JOIN q
