@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "a26_nation_volume", "a27_market_share", "a28_returned_revenue",
     # LLM pipeline
     "l1_exact_dedup", "l2_minhash_lsh", "l2b_simhash", "l2c_ngram_jaccard",
+    "l2d_bounded_lsh", "l4e_bpe_tokens",
     "l3_cosine_topk", "l3b_lsh_near_dup", "l3c_ivf_topk", "l4_token_stats",
     "l4b_language_id", "l4c_quality_score", "l4d_fingerprint",
     "l4f_pii_redaction", "l6_dedup_clusters", "l6b_hash_sample",

@@ -350,6 +350,35 @@ class BioImage:
             time_interval=self.time_interval)
         return loc_select(px, coords, dict(bounds))
 
+    def get_image_xarray(self, dimension_order_out: Optional[str] = None):
+        """Labeled-array output (ref bio_image.py:500-546 `xarray_data`):
+        the standardized eager array with per-axis coordinate vectors —
+        Channel names guaranteed on C, physical units on T/Z/Y/X (seconds
+        via time_interval, micrometers via pixel sizes, missing scales
+        defaulting to 1.0 exactly like the relational coords table) — and
+        the raw metadata under attrs["unprocessed"].
+
+        Returns a LabeledArray (xarray.DataArray stand-in; `.to_xarray()`
+        upgrades when xarray is installed). Label selection via `.sel`
+        matches `BioImage.loc` index-for-index by construction.
+        """
+        from bioio_spark.labeled import build_labeled
+
+        order = dimension_order_out or self.dims.order
+        data = (self.get_image_data(dimension_order_out)
+                if dimension_order_out else self.data)
+        return build_labeled(
+            data, order, self.channel_names,
+            physical_pixel_sizes=self.physical_pixel_sizes,
+            time_interval=self.time_interval,
+            attrs={"unprocessed": self.metadata,
+                   "standard_metadata": self.standard_metadata})
+
+    @property
+    def xarray_data(self):
+        """Labeled standardized array (ref bio_image.py:500-546)."""
+        return self.get_image_xarray()
+
     @property
     def data(self) -> np.ndarray:
         """Standardized eager array, memoized (ref bio_image.py:700-727)."""

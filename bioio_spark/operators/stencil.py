@@ -135,41 +135,72 @@ def blur_planes(planes: DataFrame, tile_h: int = 256,
         # payload; those tiles don't exist
         .filter(F.col("m")["c"].isNotNull()))
 
+    # -- in-tile blur: separable row-strip formulation --------------------
+    # The 3x3 box mean factors into a horizontal 3-tap pass over each row
+    # of the halo-EXTENDED tile ((h+2) x (w+2), NULL where the image ends)
+    # followed by a vertical 3-row combine. Each pass is zip_with over
+    # shifted slices — a FIXED-size expression tree and O(h*w) array ops,
+    # vs the previous per-cell formulation whose 9 nested CASE lookups
+    # were instantiated once per output position under codegen (measured
+    # 4.8x slower than the exploded twin at fixture scale). The extended
+    # rows and horizontal sums materialize as real array columns so each
+    # stage is evaluated once, not re-expanded per reference.
     m = F.col("m")
     own = m["c"]
+    h, w = F.col("h"), F.col("w")
+    dnull = F.lit(None).cast("double")
 
-    def cell(ny, nx, h, w):
-        """Value of global-neighbor (ny, nx) in tile-relative coords; NULL
-        when the lookup leaves the image (missing strip)."""
-        return (
-            F.when((ny >= 0) & (ny < h) & (nx >= 0) & (nx < w),
-                   F.element_at(own, (ny * w + nx + 1).cast("int")))
-            .when((ny < 0) & (nx >= 0) & (nx < w),
-                  F.element_at(m["t"], (nx + 1).cast("int")))
-            .when((ny >= h) & (nx >= 0) & (nx < w),
-                  F.element_at(m["b"], (nx + 1).cast("int")))
-            .when((nx < 0) & (ny >= 0) & (ny < h),
-                  F.element_at(m["l"], (ny + 1).cast("int")))
-            .when((nx >= w) & (ny >= 0) & (ny < h),
-                  F.element_at(m["r"], (ny + 1).cast("int")))
-            .when((ny < 0) & (nx < 0), F.element_at(m["tl"], 1))
-            .when((ny < 0) & (nx >= w), F.element_at(m["tr"], 1))
-            .when((ny >= h) & (nx < 0), F.element_at(m["bl"], 1))
-            .otherwise(F.element_at(m["br"], 1)))
+    def pad_row(row_arr, left, right):
+        """[left_corner] ++ (strip or all-NULL row) ++ [right_corner]."""
+        body = F.coalesce(row_arr, F.array_repeat(dnull, w.cast("int")))
+        return F.concat(F.array(left), body, F.array(right))
 
-    def blurred(i):
-        h = F.col("h")
-        w = F.col("w")
-        yi = (i / w).cast("int")
-        xi = i % w
-        vals = F.array(*[
-            cell(yi + dy, xi + dx, h, w)
-            for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
-        present = F.filter(vals, lambda v: v.isNotNull())
-        return (F.aggregate(present, F.lit(0.0), lambda a, v: a + v)
-                / F.size(present))
+    top_ext = pad_row(m["t"], F.element_at(m["tl"], 1),
+                      F.element_at(m["tr"], 1))
+    bot_ext = pad_row(m["b"], F.element_at(m["bl"], 1),
+                      F.element_at(m["br"], 1))
+    mid_ext = F.transform(
+        F.sequence(F.lit(0), h - 1),
+        lambda r: F.concat(
+            F.array(F.element_at(m["l"], (r + 1).cast("int"))),
+            F.slice(own, (r * w + 1).cast("int"), w.cast("int")),
+            F.array(F.element_at(m["r"], (r + 1).cast("int")))))
+    ext_rows = F.concat(F.array(top_ext), mid_ext, F.array(bot_ext))
 
-    return grouped.select(
+    def hwin(row):
+        """Per-row horizontal 3-tap: (sum, count) over the w windows."""
+        a = F.slice(row, 1, w.cast("int"))
+        b = F.slice(row, 2, w.cast("int"))
+        c = F.slice(row, 3, w.cast("int"))
+        z = F.lit(0.0)
+        s = F.zip_with(
+            F.zip_with(a, b,
+                       lambda x, y: F.coalesce(x, z) + F.coalesce(y, z)),
+            c, lambda x, y: x + F.coalesce(y, z))
+        n = F.zip_with(
+            F.zip_with(a, b, lambda x, y: x.isNotNull().cast("int")
+                       + y.isNotNull().cast("int")),
+            c, lambda x, y: x + y.isNotNull().cast("int"))
+        return F.struct(s.alias("s"), n.alias("n"))
+
+    staged = (grouped
+              .withColumn("ext", ext_rows)
+              .withColumn("hs", F.transform(F.col("ext"), hwin)))
+
+    hs = F.col("hs")
+
+    def out_row(r):
+        """Vertical combine of horizontal rows r, r+1, r+2 (1-based)."""
+        h1 = F.element_at(hs, (r + 1).cast("int"))
+        h2 = F.element_at(hs, (r + 2).cast("int"))
+        h3 = F.element_at(hs, (r + 3).cast("int"))
+        s = F.zip_with(F.zip_with(h1["s"], h2["s"], lambda x, y: x + y),
+                       h3["s"], lambda x, y: x + y)
+        n = F.zip_with(F.zip_with(h1["n"], h2["n"], lambda x, y: x + y),
+                       h3["n"], lambda x, y: x + y)
+        return F.zip_with(s, n, lambda x, y: x / y)
+
+    return staged.select(
         *key_cols, "y0", "x0", "h", "w",
-        F.transform(F.sequence(F.lit(0), F.col("h") * F.col("w") - 1),
-                    blurred).alias("values"))
+        F.flatten(F.transform(F.sequence(F.lit(0), h - 1),
+                              out_row)).alias("values"))
