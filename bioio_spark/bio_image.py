@@ -471,6 +471,26 @@ class BioImage:
         return self._scene_catalog_row().get("metadata")
 
     @property
+    def ome_metadata(self):
+        """Typed OME model over the raw metadata (D2 tier 2, ref
+        bio_image.py:1021-1036). Raises NotImplementedError when the raw
+        metadata is not OME-XML — the reference's contract for readers
+        that cannot convert."""
+        from bioio_spark.ome_model import OME
+
+        raw = self.metadata
+        if isinstance(raw, str) and ("<OME" in raw or "<Image" in raw):
+            try:
+                return OME.from_xml(raw)
+            except Exception as exc:
+                raise NotImplementedError(
+                    f"Raw metadata is not parseable OME-XML: {exc}"
+                ) from exc
+        raise NotImplementedError(
+            "This image's raw metadata cannot be converted to OME "
+            "(ref bio_image.py:1034)")
+
+    @property
     def channel_names(self) -> Optional[list[str]]:
         ch = self._dataset.channels
         ch = ch[ch["scene"] == self.current_scene].sort_values("c")

@@ -131,12 +131,22 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
 def _dedup_reps(documents: DataFrame, *group_cols: str) -> DataFrame:
     """Exact-duplicate collapse: one representative row (lowest doc_id) per
     distinct text (within *group_cols blocks). min(text) is deterministic —
-    every text in a group is identical by construction."""
-    return (documents
+    every text in a group is identical by construction.
+
+    The output is re-spread across the cluster on doc_id: AQE coalesces the
+    small dedup shuffle down to a handful of partitions, which would leave
+    the EXPENSIVE downstream narrow work (shingling, minhash) running on
+    one or two cores. The extra exchange moves only the deduped rows
+    (measured: restores l2's 32-way parallelism at the cost of re-shipping
+    ~corpus-sized text once; at real scale the dedup output is itself large
+    enough that AQE never over-coalesces and this exchange is ~free)."""
+    reps = (documents
             .groupBy(*group_cols, F.md5("text").alias("_h"))
             .agg(F.min("doc_id").alias("doc_id"),
                  F.min("text").alias("text"))
             .drop("_h"))
+    cores = documents.sparkSession.sparkContext.defaultParallelism
+    return reps.repartition(cores, "doc_id")
 
 
 def _bucket_pairs(df: DataFrame, bucket_cols: list[str], id_col: str,
