@@ -64,9 +64,8 @@ def _column_strip(first: bool):
         lambda i: F.element_at(F.col("values"), idx(i).cast("int")))
 
 
-def blur_planes(planes: DataFrame, tile_h: int = 256,
-                tile_w: int = 256) -> DataFrame:
-    """3x3 box mean on the planes layout via halo exchange.
+def _halo_grouped(planes: DataFrame, tile_h: int, tile_w: int):
+    """Shared halo exchange for 3x3 stencils on the planes layout.
 
     tile_h/tile_w are the GRID PITCH (the y0/x0 spacing used by
     pixels_to_planes); edge tiles may be ragged (h < tile_h, w < tile_w),
@@ -76,9 +75,9 @@ def blur_planes(planes: DataFrame, tile_h: int = 256,
     O(edge) halo strips to its grid neighbors, keyed by where the strip
     sits relative to the RECEIVER ('t' = the row just above the receiver,
     etc.). After one groupBy on the receiving tile, the strips become a
-    dir -> cells map and the blur is a single `transform` over output
-    positions with element_at lookups — strips missing at image borders
-    yield NULL lookups, which the mean simply excludes (edge clamping).
+    dir -> cells map; strips missing at image borders yield NULL lookups,
+    which every stencil op here simply excludes (edge clamping).
+    Returns (grouped frame, key_cols).
     """
     key_cols = [c for c in PLANE_KEY_COLS if c in planes.columns]
 
@@ -134,17 +133,12 @@ def blur_planes(planes: DataFrame, tile_h: int = 256,
         # strips shipped past the image edge form groups with no own
         # payload; those tiles don't exist
         .filter(F.col("m")["c"].isNotNull()))
+    return grouped, key_cols
 
-    # -- in-tile blur: separable row-strip formulation --------------------
-    # The 3x3 box mean factors into a horizontal 3-tap pass over each row
-    # of the halo-EXTENDED tile ((h+2) x (w+2), NULL where the image ends)
-    # followed by a vertical 3-row combine. Each pass is zip_with over
-    # shifted slices — a FIXED-size expression tree and O(h*w) array ops,
-    # vs the previous per-cell formulation whose 9 nested CASE lookups
-    # were instantiated once per output position under codegen (measured
-    # 4.8x slower than the exploded twin at fixture scale). The extended
-    # rows and horizontal sums materialize as real array columns so each
-    # stage is evaluated once, not re-expanded per reference.
+
+def _ext_rows():
+    """Halo-extended rows ((h+2) x (w+2), NULL where the image ends) as an
+    array-of-rows expression over a _halo_grouped frame."""
     m = F.col("m")
     own = m["c"]
     h, w = F.col("h"), F.col("w")
@@ -165,7 +159,26 @@ def blur_planes(planes: DataFrame, tile_h: int = 256,
             F.array(F.element_at(m["l"], (r + 1).cast("int"))),
             F.slice(own, (r * w + 1).cast("int"), w.cast("int")),
             F.array(F.element_at(m["r"], (r + 1).cast("int")))))
-    ext_rows = F.concat(F.array(top_ext), mid_ext, F.array(bot_ext))
+    return F.concat(F.array(top_ext), mid_ext, F.array(bot_ext))
+
+
+def blur_planes(planes: DataFrame, tile_h: int = 256,
+                tile_w: int = 256) -> DataFrame:
+    """3x3 box mean on the planes layout via halo exchange
+    (see _halo_grouped for the exchange mechanics)."""
+    grouped, key_cols = _halo_grouped(planes, tile_h, tile_w)
+
+    # -- in-tile blur: separable row-strip formulation --------------------
+    # The 3x3 box mean factors into a horizontal 3-tap pass over each row
+    # of the halo-EXTENDED tile (_ext_rows) followed by a vertical 3-row
+    # combine. Each pass is zip_with over shifted slices — a FIXED-size
+    # expression tree and O(h*w) array ops, vs the previous per-cell
+    # formulation whose 9 nested CASE lookups were instantiated once per
+    # output position under codegen (measured 4.8x slower than the
+    # exploded twin at fixture scale). The extended rows and horizontal
+    # sums materialize as real array columns so each stage is evaluated
+    # once, not re-expanded per reference.
+    h, w = F.col("h"), F.col("w")
 
     def hwin(row):
         """Per-row horizontal 3-tap: (sum, count) over the w windows."""
@@ -184,7 +197,7 @@ def blur_planes(planes: DataFrame, tile_h: int = 256,
         return F.struct(s.alias("s"), n.alias("n"))
 
     staged = (grouped
-              .withColumn("ext", ext_rows)
+              .withColumn("ext", _ext_rows())
               .withColumn("hs", F.transform(F.col("ext"), hwin)))
 
     hs = F.col("hs")
@@ -199,6 +212,67 @@ def blur_planes(planes: DataFrame, tile_h: int = 256,
         n = F.zip_with(F.zip_with(h1["n"], h2["n"], lambda x, y: x + y),
                        h3["n"], lambda x, y: x + y)
         return F.zip_with(s, n, lambda x, y: x / y)
+
+    return staged.select(
+        *key_cols, "y0", "x0", "h", "w",
+        F.flatten(F.transform(F.sequence(F.lit(0), h - 1),
+                              out_row)).alias("values"))
+
+
+def morph_pixels(pixels: DataFrame, height: int, width: int, op: str,
+                 plane_cols=("t", "c", "z")) -> DataFrame:
+    """3x3 grayscale morphology per YX plane, edge-clamped: erosion
+    (op='min') / dilation (op='max') — the structuring-element workloads
+    that follow blur in a segmentation pipeline. Same contribution-explode
+    shape as box_blur_pixels (the correctness representation)."""
+    if op not in ("min", "max"):
+        raise ValueError(f"op must be 'min' or 'max', got {op!r}")
+    offsets = F.array(*[
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+    keep = [c for c in plane_cols if c in pixels.columns]
+    ex = pixels.select(*keep, "y", "x", "value",
+                       F.explode(offsets).alias("o"))
+    ny = (F.col("y") + F.col("o.dy")).alias("y")
+    nx = (F.col("x") + F.col("o.dx")).alias("x")
+    agg = F.min("value") if op == "min" else F.max("value")
+    return (ex.select(*keep, ny, nx, "value")
+            .filter((F.col("y") >= 0) & (F.col("y") < height)
+                    & (F.col("x") >= 0) & (F.col("x") < width))
+            .groupBy(*keep, "y", "x")
+            .agg(agg.alias("value")))
+
+
+def morph_planes(planes: DataFrame, op: str, tile_h: int = 256,
+                 tile_w: int = 256) -> DataFrame:
+    """3x3 morphology (erosion/dilation) on the planes layout via the same
+    halo exchange as blur_planes. least/greatest skip NULLs, so missing
+    border strips clamp for free; the separable min/max passes need no
+    counts, making this the cheapest of the stencils."""
+    if op not in ("min", "max"):
+        raise ValueError(f"op must be 'min' or 'max', got {op!r}")
+    pick = F.least if op == "min" else F.greatest
+    grouped, key_cols = _halo_grouped(planes, tile_h, tile_w)
+    h, w = F.col("h"), F.col("w")
+
+    def hwin(row):
+        a = F.slice(row, 1, w.cast("int"))
+        b = F.slice(row, 2, w.cast("int"))
+        c = F.slice(row, 3, w.cast("int"))
+        return F.zip_with(F.zip_with(a, b, lambda x, y: pick(x, y)),
+                          c, lambda x, y: pick(x, y))
+
+    staged = (grouped
+              .withColumn("ext", _ext_rows())
+              .withColumn("hm", F.transform(F.col("ext"), hwin)))
+    hm = F.col("hm")
+
+    def out_row(r):
+        h1 = F.element_at(hm, (r + 1).cast("int"))
+        h2 = F.element_at(hm, (r + 2).cast("int"))
+        h3 = F.element_at(hm, (r + 3).cast("int"))
+        return F.zip_with(F.zip_with(h1, h2, lambda x, y: pick(x, y)),
+                          h3, lambda x, y: pick(x, y))
 
     return staged.select(
         *key_cols, "y0", "x0", "h", "w",

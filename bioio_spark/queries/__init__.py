@@ -36,10 +36,10 @@ _PREFIX_ORDER = [
     "l10_train_split",
     # image pipeline (selection, stitch, pyramid, UDF tier, stencils)
     "img_selectors", "img_standardize", "img_mosaic_stitch",
-    "img_scene_stack", "img_loc_select", "img_res_level_dims",
+    "img_scene_stack", "img_loc_select",
     "img_planes_roundtrip", "img_plane_window", "img_pyramid",
     "img_tile_positions", "img_channel_zscore", "img_box_blur",
-    "img_planes_blur",
+    "img_planes_blur", "img_ome_tiff_roundtrip",
     # streaming batch twins
     "s1_tumbling_window", "s2_session_windows", "s3_first_event_dedup",
     "s4_sliding_window", "s5_interval_join",

@@ -681,6 +681,115 @@ def img_box_blur(spark, sf_dir):
 # including across tile seams and ragged edge tiles (2x3 pitch over a
 # 4x5 image exercises both).
 # --------------------------------------------------------------------------
+# --------------------------------------------------------------------------
+# 3x3 grayscale morphology (erosion via the halo-exchange planes path,
+# dilation via the pixel-explode path) — the structuring-element workloads
+# that follow blur in a segmentation pipeline. Oracle: min/max self-join
+# within the 3x3 neighborhood, edge-clamped.
+# --------------------------------------------------------------------------
+@register(
+    "img_erosion",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL})
+    SELECT a.t, a.c, a.z, a.y, a.x, min(b.value) AS value
+    FROM px a JOIN px b
+      ON a.t = b.t AND a.c = b.c AND a.z = b.z
+     AND abs(a.y - b.y) <= 1 AND abs(a.x - b.x) <= 1
+    GROUP BY a.t, a.c, a.z, a.y, a.x
+    ORDER BY a.t, a.c, a.z, a.y, a.x
+    """,
+    doc="3x3 grayscale erosion, tile-wise via halo exchange on planes",
+)
+def img_erosion(spark, sf_dir):
+    from bioio_spark.operators.planes import (pixels_to_planes,
+                                              planes_to_pixels)
+    from bioio_spark.operators.stencil import morph_planes
+
+    planes = pixels_to_planes(_gen_pixels(spark), tile_h=2, tile_w=3)
+    eroded = morph_planes(planes, op="min", tile_h=2, tile_w=3)
+    return (planes_to_pixels(eroded)
+            .select("t", "c", "z", "y", "x", "value")
+            .orderBy("t", "c", "z", "y", "x"))
+
+
+@register(
+    "img_dilation",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL})
+    SELECT a.t, a.c, a.z, a.y, a.x, max(b.value) AS value
+    FROM px a JOIN px b
+      ON a.t = b.t AND a.c = b.c AND a.z = b.z
+     AND abs(a.y - b.y) <= 1 AND abs(a.x - b.x) <= 1
+    GROUP BY a.t, a.c, a.z, a.y, a.x
+    ORDER BY a.t, a.c, a.z, a.y, a.x
+    """,
+    doc="3x3 grayscale dilation, pixel-level contribution explode",
+)
+def img_dilation(spark, sf_dir):
+    from bioio_spark.operators.stencil import morph_pixels
+
+    return (morph_pixels(_gen_pixels(spark), Y, X, op="max")
+            .orderBy("t", "c", "z", "y", "x"))
+
+
+# --------------------------------------------------------------------------
+# OME-TIFF sink+source roundtrip as a driver-checked query: deterministic
+# pixels -> distributed save_ome_tiff (applyInPandas encode, baseline TIFF
+# codec) -> TiffImageReader (binaryFile + mapInPandas decode) -> aggregate.
+# The oracle regenerates the same pixels from the closed-form value
+# formula, so a bit flip anywhere in the encode/decode/catalog chain
+# breaks the hash. Files land under the repo-local .scratch dir.
+# --------------------------------------------------------------------------
+_RT_SHAPE = (2, 2, 2, 4, 5)  # T C Z Y X
+
+
+@register(
+    "img_ome_tiff_roundtrip",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {2 * 2 * 4 * 5} AS INTEGER) AS t,
+             CAST((i // {2 * 4 * 5}) % 2 AS INTEGER) AS c,
+             CAST((i // {4 * 5}) % 2 AS INTEGER) AS z,
+             CAST((i // 5) % 4 AS INTEGER) AS y,
+             CAST(i % 5 AS INTEGER) AS x,
+             CAST((i // {2 * 2 * 4 * 5}) * 10000
+                  + ((i // {2 * 4 * 5}) % 2) * 1000
+                  + ((i // {4 * 5}) % 2) * 100
+                  + ((i // 5) % 4) * 10 + (i % 5) AS DOUBLE) AS value
+      FROM range({2 * 2 * 2 * 4 * 5}) r(i))
+    SELECT t, c, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY t, c ORDER BY t, c
+    """,
+    doc="S10 OME-TIFF save -> reread roundtrip, value-checked end to end",
+)
+def img_ome_tiff_roundtrip(spark, sf_dir):
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.sources.tiff_image import TiffImageReader
+    from bioio_spark.writers import save_ome_tiff
+
+    idx = np.indices(_RT_SHAPE)
+    block = (idx[0] * 10000 + idx[1] * 1000 + idx[2] * 100
+             + idx[3] * 10 + idx[4]).astype(np.float64)
+    img = BioImage(block, spark=spark)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "ome_roundtrip")
+    shutil.rmtree(out, ignore_errors=True)
+    save_ome_tiff(img, out)
+    back = BioImage(out, reader=TiffImageReader, spark=spark)
+    return (back.get_image_dataframe()
+            .groupBy("t", "c")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("t", "c"))
+
+
 @register(
     "img_planes_blur",
     oracle=f"""
