@@ -12,9 +12,31 @@ DataFrame plan, so it is lazy, Catalyst-optimized, and oracle-checkable.
 from bioio_spark.session import get_session
 from bioio_spark.dimensions import Dimensions, DEFAULT_DIMENSION_ORDER
 from bioio_spark.types import PhysicalPixelSizes, TimeInterval, Scale
-from bioio_spark.bio_image import BioImage, imread, imread_df
+from bioio_spark.bio_image import BioImage, imread, imread_df, imread_xarray
 
 __version__ = "0.1.0"
+
+
+def _register_builtin_plugins() -> None:
+    """Expose the built-in OME-TIFF reader through the plugin registry so
+    S11/S12 diagnostics (feasibility report, dump) list it alongside any
+    user plugins — the analog of the reference's bioio-ome-tiff entry
+    point (ref README.md:54-80). Routing itself also works without this
+    (built-in tier in bio_image._route), so tests that clear the registry
+    lose only the listing, not the capability."""
+    from bioio_spark.plugins import PluginEntry, register_plugin
+    from bioio_spark.sources.tiff_image import TiffImageReader
+
+    register_plugin(PluginEntry(
+        name="bioio-ome-tiff-baseline",
+        reader=TiffImageReader,
+        extensions=[".ome.tiff", ".ome.tif", ".tiff", ".tif"],
+        is_supported_image=TiffImageReader.is_supported_image,
+        version=__version__,
+    ))
+
+
+_register_builtin_plugins()
 
 __all__ = [
     "get_session",

@@ -582,3 +582,12 @@ def imread_df(image, scene_id=None, **kwargs) -> DataFrame:
     if scene_id is not None:
         img.set_scene(scene_id)
     return img.dataframe
+
+
+def imread_xarray(image, scene_id=None, **kwargs):
+    """E2: labeled-array convenience twin (ref imread_xarray,
+    bio_image.py:1340-1419) — returns a LabeledArray with coords/attrs."""
+    img = BioImage(image, **kwargs)
+    if scene_id is not None:
+        img.set_scene(scene_id)
+    return img.get_image_xarray()

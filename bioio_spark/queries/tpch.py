@@ -686,3 +686,77 @@ def a28_returned_revenue(spark, sf_dir):
             .select("c_custkey", "c_name", "revenue", "n_name")
             .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
             .limit(20))
+
+
+# --------------------------------------------------------------------------
+# A29 (Q3 shape): shipping-priority — segment-filtered 3-way join, grouped
+# revenue, top-10. Scale: customer broadcast (segment filter prunes it
+# first), lineitem x orders shuffle once on the co-partitioned order key,
+# top-k = TakeOrderedAndProject per-partition heaps. Both date predicates
+# push to the scans.
+# --------------------------------------------------------------------------
+@register(
+    "a29_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+    """,
+    doc="A29 shipping-priority top-10 unshipped revenue (TPC-H Q3 shape)",
+)
+def a29_shipping_priority(spark, sf_dir):
+    cust, orders, li = load(spark, sf_dir, "customer", "orders", "lineitem")
+    c = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    o = orders.filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp"))
+    l = li.filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp"))
+    j = (l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey")))
+    return (j.groupBy("l_orderkey", "o_orderdate")
+            .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+            .select("l_orderkey", "revenue", "o_orderdate")
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+            .limit(10))
+
+
+# --------------------------------------------------------------------------
+# A13b: unpivot/melt — the inverse of a13's pivot: wide per-flag metric
+# columns back to (flag, metric, value) long form. Scale: Expand node, one
+# row per (input row x metric) — a projection, no shuffle beyond the
+# upstream aggregate's.
+# --------------------------------------------------------------------------
+@register(
+    "a13b_unpivot",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_price
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, metric, CAST(value AS DOUBLE) AS value
+    FROM m UNPIVOT (value FOR metric IN (sum_qty, sum_price))
+    ORDER BY l_returnflag, metric
+    """,
+    doc="A13b unpivot wide metrics to long form (melt)",
+)
+def a13b_unpivot(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    m = (li.groupBy("l_returnflag")
+         .agg(F.sum("l_quantity").cast("double").alias("sum_qty"),
+              F.sum(_dec(F.col("l_extendedprice"))).cast("double")
+              .alias("sum_price")))
+    return (m.unpivot(["l_returnflag"], ["sum_qty", "sum_price"],
+                      "metric", "value")
+            .orderBy("l_returnflag", "metric"))
