@@ -25,6 +25,7 @@ def _register_builtin_plugins() -> None:
     (built-in tier in bio_image._route), so tests that clear the registry
     lose only the listing, not the capability."""
     from bioio_spark.plugins import PluginEntry, register_plugin
+    from bioio_spark.sources.png_image import PngImageReader
     from bioio_spark.sources.tiff_image import TiffImageReader
 
     register_plugin(PluginEntry(
@@ -32,6 +33,13 @@ def _register_builtin_plugins() -> None:
         reader=TiffImageReader,
         extensions=[".ome.tiff", ".ome.tif", ".tiff", ".tif"],
         is_supported_image=TiffImageReader.is_supported_image,
+        version=__version__,
+    ))
+    register_plugin(PluginEntry(
+        name="bioio-png-baseline",
+        reader=PngImageReader,
+        extensions=[".png"],
+        is_supported_image=PngImageReader.is_supported_image,
         version=__version__,
     ))
 

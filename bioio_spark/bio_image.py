@@ -566,6 +566,10 @@ def _route(image):
     if isinstance(image, str) and image.lower().endswith(
             (".tif", ".tiff")):
         return TiffImageReader
+    if isinstance(image, str) and image.lower().endswith(".png"):
+        from bioio_spark.sources.png_image import PngImageReader
+
+        return PngImageReader
     return determine_reader(image)
 
 

@@ -1,0 +1,113 @@
+"""Pure-Python baseline PNG codec (grayscale 8/16-bit, stdlib zlib only).
+
+Second real format after TIFF (the reference delegates PNG/JPEG to the
+bioio-imageio plugin, ref README.md:54-80). Scope: greyscale color type 0,
+bit depth 8 or 16, no interlace — the microscopy-plane subset. The decoder
+reconstructs ALL five scanline filters (None/Sub/Up/Average/Paeth), so
+files from standard writers decode; the encoder emits filter 0 rows.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def encode_png(plane: np.ndarray) -> bytes:
+    """Encode a 2D uint8/uint16 plane as grayscale PNG."""
+    a = np.asarray(plane)
+    if a.ndim != 2:
+        raise ValueError(f"encode_png expects a 2D plane, got {a.ndim}D")
+    if a.dtype == np.uint8:
+        depth, payload = 8, a
+    elif a.dtype == np.uint16:
+        depth, payload = 16, a.astype(">u2")
+    else:
+        raise ValueError(
+            f"PNG baseline supports uint8/uint16 grayscale, got {a.dtype}")
+    h, w = a.shape
+    raw = bytearray()
+    rows = payload.tobytes()
+    stride = w * (depth // 8)
+    for r in range(h):
+        raw.append(0)                      # filter type 0 (None)
+        raw += rows[r * stride:(r + 1) * stride]
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+    return (_SIGNATURE + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + _chunk(b"IEND", b""))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a grayscale PNG -> 2D numpy array (uint8 or uint16)."""
+    if data[:8] != _SIGNATURE:
+        raise ValueError("not a PNG file")
+    pos = 8
+    width = height = depth = color = interlace = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if color != 0:
+        raise ValueError(f"only grayscale (color type 0) supported, "
+                         f"got color type {color}")
+    if depth not in (8, 16):
+        raise ValueError(f"only bit depth 8/16 supported, got {depth}")
+    if interlace:
+        raise ValueError("interlaced PNG not supported")
+    raw = zlib.decompress(bytes(idat))
+    bpp = depth // 8
+    stride = width * bpp
+    out = bytearray(height * stride)
+    prior = bytes(stride)
+    for r in range(height):
+        ftype = raw[r * (stride + 1)]
+        line = bytearray(raw[r * (stride + 1) + 1:(r + 1) * (stride + 1)])
+        if ftype == 1:      # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:    # Up
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif ftype == 3:    # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prior[i]) >> 1)) & 0xFF
+        elif ftype == 4:    # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prior[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prior[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[r * stride:(r + 1) * stride] = line
+        prior = bytes(line)
+    dt = np.dtype(">u2") if depth == 16 else np.dtype("u1")
+    return (np.frombuffer(bytes(out), dtype=dt)
+            .reshape(height, width).astype(dt.newbyteorder("=")))

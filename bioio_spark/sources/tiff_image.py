@@ -36,6 +36,20 @@ from pyspark.sql import functions as F
 _TIFF_EXTS = (".tif", ".tiff", ".ome.tif", ".ome.tiff")
 
 
+def local_path(path: str) -> str:
+    """Hadoop-FS URI -> local filesystem path. binaryFile reports paths as
+    `file:/abs/path` (sometimes `file:///abs/path`); strip the scheme and
+    collapse leading slashes so dict lookups keyed by os.path.abspath
+    match."""
+    import re
+
+    if path.startswith("file:"):
+        path = path[len("file:"):]
+    elif "://" in path:
+        path = path.split("://", 1)[-1]
+    return re.sub(r"^/+", "/", path)
+
+
 def _tiff_paths(image: str) -> list[str]:
     """Expand a file or directory path to the sorted TIFF file list."""
     if os.path.isdir(image):
@@ -133,7 +147,7 @@ def decode_tiff_files(spark: SparkSession, paths: list[str],
 
         for pdf in it:
             for path, content in zip(pdf["path"], pdf["content"]):
-                local = path.split("://", 1)[-1] if "://" in path else path
+                local = local_path(path)
                 planes, xml = decode_tiff(bytes(content))
                 h = parse_ome_xml(xml) if xml else {}
                 scene = (scene_of.get(local)

@@ -158,6 +158,29 @@ class OmeTiffWriter:
 register_writer("OmeTiffWriter", OmeTiffWriter)
 
 
+class PngWriter:
+    """Grayscale PNG writer over the baseline codec (formats/png.py):
+    one 2D uint8/uint16 plane per file. Higher-dim input is coerced the
+    BioImage way: non-YX standard dims sliced at index 0."""
+
+    @staticmethod
+    def save(data, uri: str, dim_order=None, **_kwargs) -> None:
+        import numpy as np
+
+        from bioio_spark.formats.png import encode_png
+
+        a = np.asarray(data)
+        while a.ndim > 2:
+            a = a[0]
+        if a.ndim != 2:
+            raise ValueError("PngWriter needs at least a 2D plane")
+        with open(uri, "wb") as f:
+            f.write(encode_png(a))
+
+
+register_writer("PngWriter", PngWriter)
+
+
 def save_ome_tiff(img, uri: str, select_scenes=None) -> list:
     """Distributed OME-TIFF export: one file per scene, encoded
     executor-side via applyInPandas (ref bio_image.py:1229-1301 semantics:

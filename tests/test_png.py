@@ -1,0 +1,115 @@
+"""Baseline PNG codec + reader/writer (second real-format plugin)."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from bioio_spark.formats.png import decode_png, encode_png
+
+
+@pytest.mark.parametrize("dtype", ["uint8", "uint16"])
+def test_codec_roundtrip(dtype):
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, np.iinfo(dtype).max, (13, 7), dtype=dtype)
+    out = decode_png(encode_png(a))
+    assert out.dtype == np.dtype(dtype)
+    np.testing.assert_array_equal(out, a)
+
+
+def test_decoder_handles_all_filters():
+    """Re-encode a gradient image with each filter type and verify the
+    decoder reconstructs it (files from standard writers use 1-4)."""
+    a = (np.add.outer(np.arange(9), np.arange(11)) * 7 % 251).astype(
+        np.uint8)
+    h, w = a.shape
+
+    def encode_with_filter(ftype):
+        raw = bytearray()
+        prior = bytes(w)
+        for r in range(h):
+            line = bytes(a[r])
+            enc = bytearray([ftype])
+            for i in range(w):
+                left = line[i - 1] if i else 0
+                ul = prior[i - 1] if i else 0
+                up = prior[i]
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = left
+                elif ftype == 2:
+                    pred = up
+                elif ftype == 3:
+                    pred = (left + up) >> 1
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = (abs(p - left), abs(p - up), abs(p - ul))
+                    pred = (left if pa <= pb and pa <= pc
+                            else up if pb <= pc else ul)
+                enc.append((line[i] - pred) & 0xFF)
+            raw += enc
+            prior = line
+        sig = b"\x89PNG\r\n\x1a\n"
+
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (sig + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    for ftype in range(5):
+        np.testing.assert_array_equal(
+            decode_png(encode_with_filter(ftype)), a,
+            err_msg=f"filter {ftype}")
+
+
+def test_codec_rejects():
+    with pytest.raises(ValueError, match="2D"):
+        encode_png(np.zeros((2, 2, 2), dtype=np.uint8))
+    with pytest.raises(ValueError, match="uint8/uint16"):
+        encode_png(np.zeros((2, 2), dtype=np.float32))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"nope")
+
+
+def test_bioimage_png_roundtrip(spark, tmp_path):
+    from bioio_spark import BioImage
+    from bioio_spark.writers import WRITER_REGISTRY, PngWriter
+
+    assert WRITER_REGISTRY["PngWriter"] is PngWriter
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 65535, (6, 8), dtype=np.uint16)
+    path = str(tmp_path / "p.png")
+    PngWriter.save(a, path)
+
+    img = BioImage(path, spark=spark)   # suffix routes to PngImageReader
+    assert img.dims.order == "TCZYX"
+    assert img.shape == (1, 1, 1, 6, 8)
+    assert img.dtype == np.dtype("uint16")
+    np.testing.assert_array_equal(img.get_image_data()[0, 0, 0], a)
+
+
+def test_png_directory_multiscene(spark, tmp_path):
+    from bioio_spark import BioImage
+    from bioio_spark.sources.png_image import PngImageReader
+    from bioio_spark.writers import PngWriter
+
+    planes = [np.full((3, 4), i * 10, dtype=np.uint8) for i in range(3)]
+    for i, p in enumerate(planes):
+        PngWriter.save(p, str(tmp_path / f"s{i}.png"))
+    img = BioImage(str(tmp_path), reader=PngImageReader, spark=spark)
+    assert img.scenes == ("Image:0", "Image:1", "Image:2")
+    for i, p in enumerate(planes):
+        img.set_scene(i)
+        np.testing.assert_array_equal(img.get_image_data()[0, 0, 0], p)
+
+
+def test_png_plugin_listed():
+    from bioio_spark.plugins import dump_plugins
+
+    assert "bioio-png-baseline" in dump_plugins()
