@@ -46,7 +46,8 @@ BENCH_QUERIES = [
     "img_selectors", "img_mosaic_stitch", "img_max_projection",
     "img_channel_histogram", "img_contrast_stretch", "img_mip_large",
     "img_planes_mip", "img_planes_downsample", "img_box_blur",
-    "img_planes_blur", "img_erosion", "img_dilation", "s1_tumbling_window",
+    "img_planes_blur", "img_erosion", "img_dilation",
+    "img_label_components", "s1_tumbling_window",
     "s2_session_windows", "s3_first_event_dedup", "s4_sliding_window",
     "s5_interval_join", "l5_training_pipeline", "a3b_cube_status",
     "a2b_approx_distinct", "a12_stats_agg", "a13_pivot",

@@ -733,6 +733,83 @@ def img_dilation(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Connected-component labeling over a thresholded mask — segmentation
+# labeling, the step after blur/threshold in every bioimage pipeline
+# (the reference's users run scipy.ndimage.label on get_image_data
+# output). 4-neighbor adjacency edges within each (t,c,z) plane feed the
+# SAME scalable pointer-jumping CC used for dedup clusters
+# (functions/clusters.py), so an image op and an LLM op share one
+# distributed-algorithm core. Node id = flattened global pixel index;
+# planes can never merge because edges only connect same-plane pixels.
+# Components of a single isolated pixel carry no edge and are not listed
+# (same contract as the dedup clusters op; counting them is a narrow
+# anti-join away).
+# Scale: edges come from two equi self-joins on the (plane, y, x) key —
+# shuffle on the composite key, O(pixels) edges; the CC loop is
+# O(log diameter) rounds over |mask| nodes.
+# --------------------------------------------------------------------------
+_CC_NODE_SQL = (f"(((CAST(t AS BIGINT) * {C} + c) * {Z} + z) * {Y * X}"
+                f" + y * {X} + x)")
+
+
+def _cc_pairs_cte() -> str:
+    return f"""px AS ({_GEN_SQL}),
+    mask AS (
+      SELECT t, c, z, y, x, {_CC_NODE_SQL} AS node
+      FROM px WHERE CAST(value AS BIGINT) % 7 < 4),
+    pairs AS (
+      SELECT a.node AS doc_a, b.node AS doc_b
+      FROM mask a JOIN mask b
+        ON a.t = b.t AND a.c = b.c AND a.z = b.z
+       AND ((b.y = a.y AND b.x = a.x + 1)
+            OR (b.y = a.y + 1 AND b.x = a.x))
+    )"""
+
+
+def _cc_oracle() -> str:
+    from bioio_spark.functions.clusters import dedup_clusters_oracle
+
+    return dedup_clusters_oracle(_cc_pairs_cte()).replace(
+        "SELECT node AS doc_id, cluster_rep,",
+        "SELECT node, cluster_rep AS component,").replace(
+        "count(*) OVER (PARTITION BY cluster_rep) AS cluster_size",
+        "count(*) OVER (PARTITION BY cluster_rep) AS component_size"
+    ).replace(
+        "FROM cc ORDER BY doc_id", "FROM cc ORDER BY node")
+
+
+@register(
+    "img_label_components",
+    oracle=_cc_oracle(),
+    doc="connected-component labeling of a thresholded pixel mask",
+)
+def img_label_components(spark, sf_dir):
+    from bioio_spark.functions.clusters import dedup_clusters
+
+    px = _gen_pixels(spark)
+    node = (((F.col("t").cast("long") * C + F.col("c")) * Z
+             + F.col("z")) * (Y * X)
+            + F.col("y") * X + F.col("x")).alias("node")
+    mask = (px.filter(F.col("value").cast("long") % 7 < 4)
+            .select("t", "c", "z", "y", "x", node))
+    a, b = mask.alias("a"), mask.alias("b")
+    plane = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in ("t", "c", "z")]
+    right = a.join(b, plane + [F.col("b.y") == F.col("a.y"),
+                               F.col("b.x") == F.col("a.x") + 1])
+    down = a.join(b, plane + [F.col("b.y") == F.col("a.y") + 1,
+                              F.col("b.x") == F.col("a.x")])
+    pairs = (right.select(F.col("a.node").alias("doc_a"),
+                          F.col("b.node").alias("doc_b"))
+             .unionByName(down.select(F.col("a.node").alias("doc_a"),
+                                      F.col("b.node").alias("doc_b"))))
+    return (dedup_clusters(pairs)
+            .select(F.col("doc_id").alias("node"),
+                    F.col("cluster_rep").alias("component"),
+                    F.col("cluster_size").alias("component_size"))
+            .orderBy("node"))
+
+
+# --------------------------------------------------------------------------
 # OME-TIFF sink+source roundtrip as a driver-checked query: deterministic
 # pixels -> distributed save_ome_tiff (applyInPandas encode, baseline TIFF
 # codec) -> TiffImageReader (binaryFile + mapInPandas decode) -> aggregate.
