@@ -221,3 +221,25 @@ def test_registry_prefix_covers_all_families():
     # the composed-pipeline fix and the new bounded-LSH proof stay sampled
     assert "l5_training_pipeline" in first50
     assert "l2d_bounded_lsh" in first50
+
+
+def test_a29_topk_heaps_and_pushdown(spark):
+    """Q3 shape: top-10 must plan as TakeOrderedAndProject (per-partition
+    heaps, no global sort) and both date predicates must reach the scans."""
+    df = q(spark, "a29_shipping_priority")
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    filters = pushed_filters(df)
+    assert any("l_shipdate" in f for f in filters), filters
+    assert any("o_orderdate" in f for f in filters), filters
+
+
+def test_l2_dedup_feeds_parallel_shingling(spark):
+    """The exact-dup collapse ahead of LSH must re-spread its output: a
+    repartition exchange sits between the dedup aggregate and the shingle
+    pipeline so AQE's coalesce of the tiny shuffle cannot strand the
+    expensive narrow work on one core."""
+    df = q(spark, "l2_minhash_lsh")
+    plan = physical_plan(df)
+    assert "hashpartitioning(doc_id" in plan, \
+        "dedup output no longer re-spread on doc_id"
