@@ -49,7 +49,8 @@ BENCH_QUERIES = [
     "img_planes_blur", "img_erosion", "img_dilation",
     "img_label_components", "s1_tumbling_window",
     "s2_session_windows", "s3_first_event_dedup", "s4_sliding_window",
-    "s5_interval_join", "l5_training_pipeline", "a3b_cube_status",
+    "s5_interval_join", "s6_stream_static_enrich",
+    "l5_training_pipeline", "a3b_cube_status",
     "a2b_approx_distinct", "a12_stats_agg", "a13_pivot",
 ]
 

@@ -202,3 +202,37 @@ def s5_interval_join(spark, sf_dir):
     return (joined.select(
         "purchase_id", "click_id", "user_id", gap.alias("gap_sec"))
         .orderBy("purchase_id", "click_id"))
+
+
+# --------------------------------------------------------------------------
+# s6: stream-static enrichment join — the standard "enrich events with a
+# dimension table" streaming pattern. Static side (customer -> nation)
+# broadcasts to every micro-batch; the stream side never shuffles for the
+# join, and per-nation aggregation state is |nations|-sized. Batch twin
+# below; true-streaming execution pytest-verified (streaming/events.py
+# streaming_static_enrichment).
+# --------------------------------------------------------------------------
+@register(
+    "s6_stream_static_enrich",
+    oracle="""
+    SELECT n.n_name, count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(10,2))) AS DOUBLE)
+             AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+    doc="S stream-static dimension enrichment join batch equivalent",
+)
+def s6_stream_static_enrich(spark, sf_dir):
+    e, cust, nation = load(spark, sf_dir, "events", "customer", "nation")
+    j = (e.join(F.broadcast(cust),
+                F.col("user_id") == F.col("c_custkey"))
+         .join(F.broadcast(nation),
+               F.col("c_nationkey") == F.col("n_nationkey")))
+    return (j.groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(10,2)"))
+                 .cast("double").alias("total_value"))
+            .orderBy("n_name"))

@@ -151,3 +151,20 @@ def streaming_interval_join(purchases: DataFrame, clicks: DataFrame,
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
         & (F.col("c_ts") <= F.col("p_ts")),
     ).select("purchase_id", "click_id", "user_id")
+
+
+def streaming_static_enrichment(events: DataFrame, customer: DataFrame,
+                                nation: DataFrame) -> DataFrame:
+    """Stream-static enrichment: events joined to broadcast dimension
+    tables (customer -> nation), aggregated per nation. The static side is
+    re-broadcast per micro-batch (Spark re-plans the batch side each
+    trigger); stream state is the |nations|-sized running aggregate —
+    complete output mode, no watermark needed for a global aggregate."""
+    j = (events.join(F.broadcast(customer),
+                     events["user_id"] == customer["c_custkey"])
+         .join(F.broadcast(nation),
+               customer["c_nationkey"] == nation["n_nationkey"]))
+    return (j.groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(10,2)"))
+                 .cast("double").alias("total_value")))

@@ -213,3 +213,21 @@ def test_transform_with_state_user_totals(spark, sf_dir, tmp_path_factory):
     pd.testing.assert_series_equal(
         final["total_value"], want["total_value"],
         rtol=1e-9, check_names=False)
+
+
+def test_streaming_static_enrichment_equals_batch(spark, sf_dir, stream_dir):
+    """Stream-static join: the full-stream complete-mode result equals the
+    batch twin exactly (no watermark withholding for global aggregates)."""
+    from bioio_spark.queries.base import load
+    from bioio_spark.streaming.events import streaming_static_enrichment
+
+    cust, nation = load(spark, sf_dir, "customer", "nation")
+    stream = read_event_stream(spark, stream_dir)
+    result = run_stream_to_memory(
+        streaming_static_enrichment(stream, cust, nation),
+        "t_enrich", "complete")
+    got = {tuple(r) for r in result.collect()}
+    want = {tuple(r) for r in
+            REGISTRY["s6_stream_static_enrich"].fn(spark, sf_dir)
+            .collect()}
+    assert got == want
