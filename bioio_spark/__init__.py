@@ -24,10 +24,13 @@ def _register_builtin_plugins() -> None:
     point (ref README.md:54-80). Routing itself also works without this
     (built-in tier in bio_image._route), so tests that clear the registry
     lose only the listing, not the capability."""
-    from bioio_spark.plugins import PluginEntry, register_plugin
+    from bioio_spark.plugins import (PluginEntry, _REGISTRY,
+                                     register_plugin)
     from bioio_spark.sources.png_image import PngImageReader
     from bioio_spark.sources.tiff_image import TiffImageReader
 
+    if any(e.name.startswith("bioio-") for e in _REGISTRY):
+        return  # idempotent: already registered this session
     register_plugin(PluginEntry(
         name="bioio-ome-tiff-baseline",
         reader=TiffImageReader,

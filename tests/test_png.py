@@ -110,6 +110,10 @@ def test_png_directory_multiscene(spark, tmp_path):
 
 
 def test_png_plugin_listed():
+    import bioio_spark
     from bioio_spark.plugins import dump_plugins
 
+    # other test modules clear the registry; re-registration is idempotent
+    bioio_spark._register_builtin_plugins()
     assert "bioio-png-baseline" in dump_plugins()
+    assert "bioio-ome-tiff-baseline" in dump_plugins()
