@@ -37,7 +37,8 @@ BENCH_QUERIES = [
     # LLM pipeline
     "l1_exact_dedup", "l2_minhash_lsh", "l2b_simhash", "l2c_ngram_jaccard",
     "l2d_bounded_lsh", "l4e_bpe_tokens",
-    "l3_cosine_topk", "l3b_lsh_near_dup", "l3c_ivf_topk", "l4_token_stats",
+    "l3_cosine_topk", "l3b_lsh_near_dup", "l3c_ivf_topk", "l3d_ivf_recall",
+    "l4_token_stats",
     "l4b_language_id", "l4c_quality_score", "l4d_fingerprint",
     "l4f_pii_redaction", "l6_dedup_clusters", "l6b_hash_sample",
     "l7_sequence_packing", "l8_mix_rebalance", "l9_decontamination",

@@ -553,3 +553,44 @@ def l10_train_split(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_chars").alias("total_chars"))
             .orderBy("lang", "split"))
+
+
+# --------------------------------------------------------------------------
+# L3d: ANN recall measurement — the standard quality metric for an ANN
+# index: |IVF top-k ∩ brute-force top-k| / k. Both lists are computed by
+# already-oracle-checked operators; this query pins the recall itself so
+# an index regression (bad centroids, wrong probe pick) shows up as a
+# value change, not just a latency change.
+# --------------------------------------------------------------------------
+_RECALL_Q, _RECALL_K = 1, 10
+
+
+@register(
+    "l3d_ivf_recall",
+    oracle=f"""
+    WITH ivf AS ({_sim._ivf_oracle(_RECALL_Q, _RECALL_K)}),
+    bf AS (
+      SELECT e.vec_id
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings) e,
+           (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings
+            WHERE vec_id = {_RECALL_Q}) q
+      WHERE e.vec_id != {_RECALL_Q}
+      ORDER BY list_dot_product(e.e, q.q)
+                 / (sqrt(list_dot_product(e.e, e.e))
+                    * sqrt(list_dot_product(q.q, q.q))) DESC, e.vec_id
+      LIMIT {_RECALL_K})
+    SELECT {_RECALL_K} AS k, count(*) AS n_common
+    FROM ivf JOIN bf USING (vec_id)
+    """,
+    doc="L3d ANN quality: IVF top-k recall against brute-force top-k",
+)
+def l3d_ivf_recall(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    ivf = ivf_topk(emb, query_vec_id=_RECALL_Q, k=_RECALL_K) \
+        .select("vec_id")
+    bf = cosine_topk(emb, query_vec_id=_RECALL_Q, k=_RECALL_K) \
+        .select("vec_id")
+    return (ivf.join(bf, "vec_id")
+            .agg(F.lit(_RECALL_K).alias("k"),
+                 F.count(F.lit(1)).alias("n_common")))
