@@ -42,12 +42,19 @@ from pyspark.sql import functions as F
 
 
 def connected_components(edges: DataFrame, src: str = "doc_a",
-                         dst: str = "doc_b", max_iter: int = 25) -> DataFrame:
+                         dst: str = "doc_b", max_iter: int = 25,
+                         jump_from: int = 3) -> DataFrame:
     """Resolve (src, dst) candidate pairs to components.
 
     Returns (node, label) where label = min node id in the component.
     Reference analog: none (bioio has no graph ops) — this is north-star
     surface for the dedup pipeline.
+
+    jump_from: first round (0-based) that adds the pointer-jumping join.
+    Near-clique graphs (LSH dedup buckets, diameter 1-3) converge under
+    plain propagation and should never pay it (default 3); long-chain
+    graphs (pixel masks, diameter ~sqrt(n)) want it early (1) since each
+    jump round doubles reach.
     """
     und = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -71,7 +78,7 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
                         F.col("l.label").alias("old_label"),
                         F.least(F.col("l.label"),
                                 F.coalesce("nmin", "l.label")).alias("label")))
-        if it >= 3:
+        if it >= jump_from:
             # pointer jumping through the PREVIOUS round's (checkpointed)
             # label map: label(u) := min(label(u), old_label(label(u))).
             # Reach roughly doubles per round => O(log diameter) rounds;
@@ -103,14 +110,14 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         f"the graph has pathological structure — raise max_iter")
 
 
-def dedup_clusters(pairs: DataFrame) -> DataFrame:
+def dedup_clusters(pairs: DataFrame, jump_from: int = 3) -> DataFrame:
     """Per-doc cluster assignment + cluster size from candidate pairs.
 
     Output: (doc_id, cluster_rep, cluster_size) for every doc that appears
     in at least one candidate pair; cluster_rep is the min doc_id of the
     component (the doc a dedup pass would keep).
     """
-    cc = connected_components(pairs)
+    cc = connected_components(pairs, jump_from=jump_from)
     w = Window.partitionBy("cluster_rep")
     return (cc.select(F.col("node").alias("doc_id"),
                       F.col("label").alias("cluster_rep"))

@@ -792,16 +792,24 @@ def img_label_components(spark, sf_dir):
             + F.col("y") * X + F.col("x")).alias("node")
     mask = (px.filter(F.col("value").cast("long") % 7 < 4)
             .select("t", "c", "z", "y", "x", node))
-    a, b = mask.alias("a"), mask.alias("b")
-    plane = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in ("t", "c", "z")]
-    right = a.join(b, plane + [F.col("b.y") == F.col("a.y"),
-                               F.col("b.x") == F.col("a.x") + 1])
-    down = a.join(b, plane + [F.col("b.y") == F.col("a.y") + 1,
-                              F.col("b.x") == F.col("a.x")])
-    pairs = (right.select(F.col("a.node").alias("doc_a"),
-                          F.col("b.node").alias("doc_b"))
-             .unionByName(down.select(F.col("a.node").alias("doc_a"),
-                                      F.col("b.node").alias("doc_b"))))
+    # each pixel probes its right + down neighbor through ONE equi join
+    # (explode 2 offsets), not two mask self-joins
+    probes = (mask.select(
+        "t", "c", "z", F.col("node").alias("doc_a"),
+        F.explode(F.array(
+            F.struct(F.col("y").alias("y"), (F.col("x") + 1).alias("x")),
+            F.struct((F.col("y") + 1).alias("y"),
+                     F.col("x").alias("x")))).alias("n"))
+        .select("t", "c", "z", "doc_a",
+                F.col("n.y").alias("y"), F.col("n.x").alias("x")))
+    pairs = (probes.join(
+        mask.select("t", "c", "z", "y", "x",
+                    F.col("node").alias("doc_b")),
+        ["t", "c", "z", "y", "x"])
+        .select("doc_a", "doc_b"))
+    # fixture mask components are compact blobs (diameter <= 3), so the
+    # default late pointer jumping is right (measured: jump_from=1 only
+    # adds join cost here); pass jump_from=1 for snake-like masks
     return (dedup_clusters(pairs)
             .select(F.col("doc_id").alias("node"),
                     F.col("cluster_rep").alias("component"),
