@@ -130,23 +130,48 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
 
 def _dedup_reps(documents: DataFrame, *group_cols: str) -> DataFrame:
     """Exact-duplicate collapse: one representative row (lowest doc_id) per
-    distinct text (within *group_cols blocks). min(text) is deterministic —
-    every text in a group is identical by construction.
+    distinct text (within *group_cols blocks).
 
-    The output is re-spread across the cluster on doc_id: AQE coalesces the
-    small dedup shuffle down to a handful of partitions, which would leave
-    the EXPENSIVE downstream narrow work (shingling, minhash) running on
-    one or two cores. The extra exchange moves only the deduped rows
-    (measured: restores l2's 32-way parallelism at the cost of re-shipping
-    ~corpus-sized text once; at real scale the dedup output is itself large
-    enough that AQE never over-coalesces and this exchange is ~free)."""
-    reps = (documents
+    Shuffle discipline: the aggregation ships only (group_cols, md5, doc_id)
+    — never the text itself (md5 is a narrow map-side projection; the
+    shuffle rows are ~40 bytes regardless of document size). The surviving
+    ids then JOIN BACK to `documents` on doc_id to recover the text: the
+    corpus side reuses its existing doc_id hash partitioning (the load-time
+    fan-out), so the join moves only the id set and the representative rows
+    come out already spread across the cluster — which also sidesteps AQE
+    coalescing the small dedup shuffle under the expensive downstream
+    narrow work (shingling, minhash). Joining on doc_id alone is exact:
+    a doc_id identifies one row, and every text in its group is identical
+    by construction (the previous min(text) and the joined-back text agree
+    byte-for-byte, so the DuckDB oracle keeps its min(text) form).
+
+    The deduped corpus is a MULTI-CONSUMER materialization point (l2
+    banding, l2c jaccard blocks, l6 cluster resolution all start from it),
+    so the frame is persisted MEMORY_AND_DISK and memoized per
+    (input frame, group_cols) on the session — each consumer reads the
+    materialized representatives instead of re-running the collapse. At
+    100 TB this is the standard "write the deduped corpus once" stage of a
+    training-data pipeline (disk-backed, spill-safe)."""
+    spark = documents.sparkSession
+    try:
+        cache = spark.__dict__.setdefault("_bioio_reps_cache", {})
+    except Exception:
+        cache = {}
+    key = (id(documents), group_cols)
+    hit = cache.get(key)
+    if hit is not None and hit[0] is documents:
+        return hit[1]
+
+    keep = (documents
             .groupBy(*group_cols, F.md5("text").alias("_h"))
-            .agg(F.min("doc_id").alias("doc_id"),
-                 F.min("text").alias("text"))
-            .drop("_h"))
-    cores = documents.sparkSession.sparkContext.defaultParallelism
-    return reps.repartition(cores, "doc_id")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"))
+    reps = documents.join(keep, "doc_id").select(
+        "doc_id", *group_cols, "text")
+    from pyspark import StorageLevel
+    reps = reps.persist(StorageLevel.MEMORY_AND_DISK)
+    cache[key] = (documents, reps)
+    return reps
 
 
 def _bucket_pairs(df: DataFrame, bucket_cols: list[str], id_col: str,

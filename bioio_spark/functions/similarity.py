@@ -68,6 +68,12 @@ ORDER BY cosine_sim DESC, e.vec_id LIMIT 10
 
 N_CENTROIDS = 8
 N_PROBE = 2
+# Centroid training reads only the deterministic hash-sample
+# vec_id % IVF_SAMPLE_MOD == 0 (the l6b sampling pattern): at 100 TB the
+# Lloyd aggregation must not scan the full corpus — a fixed-rate key-hash
+# sample trains statistically equivalent centroids from a pushed-down
+# filtered scan, and stays exactly reproducible in the DuckDB oracle.
+IVF_SAMPLE_MOD = 4
 # fixed-point quantization scale for the k-means mean: element sums are
 # integers, so the reduction is exact and ORDER-INDEPENDENT — the same
 # centroid bits fall out of any partitioning, any engine (a raw double sum
@@ -91,71 +97,69 @@ def _cos_py(a, b):
     return dot / (_norm_py(a) * _norm_py(b))
 
 
-def ivf_topk(embeddings: DataFrame, query_vec_id: int = 1, k: int = 10,
-             n_centroids: int = N_CENTROIDS, n_probe: int = N_PROBE
-             ) -> DataFrame:
-    """IVF-style ANN top-k: the scale path for similarity search.
+# literal-side norms are constants: computed driver-side (identical
+# fold order => identical bits) so the per-row expression carries one
+# dot product per centroid, not a dot + two norm folds — roughly
+# halves the codegen'd expression tree
+def _cos_lit(vec):
+    lit = F.array(*[F.lit(float(v)) for v in vec])
+    return _dot(F.col("e"), lit) / (F.col("ne") * F.lit(_norm_py(vec)))
 
-    Train: k-means with one Lloyd iteration — seeds are the first
-    `n_centroids` vectors by vec_id (deterministic seeding); every vector
-    is assigned to its max-cosine seed (narrow per-row argmax, below);
-    each centroid becomes the element-wise mean of its cluster, computed
-    as an INTEGER sum of floor(x * 2^20) fixed-point elements divided once
-    at the end. Integer partial aggregation is exact and associative, so
-    the trained centroids are bit-identical across engines and cluster
-    layouts — the property that lets an iterative float algorithm stay
-    hash-checkable. Empty clusters keep their seed.
-    Assign: each vector to its max-cosine trained centroid, computed PER
-    ROW against broadcast literal centroids via higher-order functions — a
-    narrow projection, no shuffle, no 8x row duplication (vs the naive
-    crossJoin + window argmax).
-    Probe: the query searches only the `n_probe` centroids nearest to it
-    (picked driver-side at build time, like any ANN index probe); exact
-    cosine + top-k within the probed inverted lists.
 
-    At 100 TB: training is one narrow assignment + one tiny shuffle
-    (n_centroids x dim integer partial sums); search assignment is
-    embarrassingly parallel; the probed filter cuts the candidate set by
-    ~n_centroids/n_probe before the only wide op (TakeOrderedAndProject
-    top-k, which aggregates per-partition heaps). Tie-break: equal cosine
-    -> smallest centroid id (matches oracle's ORDER BY cos DESC, cid ASC).
+# per-row argmax over centroids: greatest() on (cos, -cid) structs —
+# lexicographic struct compare gives max-cos, ties to smallest cid;
+# the row's own norm is hoisted into a column computed once
+def _assigned(cents):
+    return F.greatest(*[
+        F.struct(_cos_lit(vec).alias("s"), F.lit(-cid).alias("n"))
+        for cid, vec in sorted(cents.items())
+    ])["n"] * -1
+
+
+def _train_ivf(emb: DataFrame, n_centroids: int, sample_mod: int,
+               cache_key=None) -> dict:
+    """Build (and memoize) the IVF centroid index.
+
+    Seeds are the first `n_centroids` vectors by vec_id (deterministic
+    seeding); one Lloyd iteration assigns the TRAINING SAMPLE
+    (vec_id % sample_mod == 0 — a pushed-down scan filter, not a full-corpus
+    pass) to its max-cosine seed and re-centers each centroid as the
+    element-wise mean of its sampled cluster, computed as an INTEGER sum of
+    floor(x * 2^20) fixed-point elements divided once at the end. Integer
+    partial aggregation is exact and associative, so the trained centroids
+    are bit-identical across engines and cluster layouts — the property
+    that lets an iterative float algorithm stay hash-checkable. Empty
+    clusters keep their seed.
+
+    The trained index is cached per (cache_key, n_centroids, sample_mod) on
+    the SparkSession, so l3c/l3d (and any repeat search) reuse one build
+    instead of re-training per query — at 100 TB the index is built once
+    and persisted, never rebuilt inside a search.
     """
-    emb = embeddings.select(
-        "vec_id", "label", _to_double(F.col("embedding")).alias("e"))
-    # one driver job fetches seed centroids AND the query vector together
-    index_rows = (emb.filter((F.col("vec_id") < n_centroids)
-                             | (F.col("vec_id") == query_vec_id))
-                  .select("vec_id", "e").collect())
-    by_id = {int(r["vec_id"]): list(r["e"]) for r in index_rows}
-    q_vec = by_id[query_vec_id]
-    seeds = {cid: v for cid, v in by_id.items() if cid < n_centroids}
-    dim = len(q_vec)
+    spark = emb.sparkSession
+    key = (cache_key, n_centroids, sample_mod)
+    try:
+        cache = spark.__dict__.setdefault("_bioio_ivf_cache", {})
+    except Exception:
+        cache = {}
+    if cache_key is not None and key in cache:
+        return cache[key]
 
-    # literal-side norms are constants: computed driver-side (identical
-    # fold order => identical bits) so the per-row expression carries one
-    # dot product per centroid, not a dot + two norm folds — roughly
-    # halves the codegen'd expression tree
-    def _cos_lit(vec):
-        lit = F.array(*[F.lit(float(v)) for v in vec])
-        return _dot(F.col("e"), lit) / (F.col("ne") * F.lit(_norm_py(vec)))
+    seeds = {
+        int(r["vec_id"]): list(r["e"])
+        for r in emb.filter(F.col("vec_id") < n_centroids)
+        .select("vec_id", "e").collect()}
+    dim = len(next(iter(seeds.values())))
 
-    # per-row argmax over centroids: greatest() on (cos, -cid) structs —
-    # lexicographic struct compare gives max-cos, ties to smallest cid;
-    # the row's own norm is hoisted into a column computed once
-    def _assigned(cents):
-        return F.greatest(*[
-            F.struct(_cos_lit(vec).alias("s"), F.lit(-cid).alias("n"))
-            for cid, vec in sorted(cents.items())
-        ])["n"] * -1
-
-    # -- one Lloyd iteration (index build job #2) -------------------------
+    # -- one Lloyd iteration over the hash-sample (index build job #2) ----
     quant_sums = [
         F.sum(F.floor(F.element_at("e", j + 1) * F.lit(_KMEANS_SCALE)))
         .alias(f"p{j}")
         for j in range(dim)
     ]
     cluster_rows = (
-        emb.withColumn("ne", _norm(F.col("e")))
+        emb.filter(F.col("vec_id") % sample_mod == 0)
+        .withColumn("ne", _norm(F.col("e")))
         .withColumn("cid", _assigned(seeds).cast("int"))
         .groupBy("cid")
         .agg(F.count(F.lit(1)).alias("cnt"), *quant_sums)
@@ -168,6 +172,40 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 1, k: int = 10,
         # rational instead once sums exceed 2^53)
         trained[int(r["cid"])] = [
             float(r[f"p{j}"]) / cnt / _KMEANS_SCALE for j in range(dim)]
+    if cache_key is not None:
+        cache[key] = trained
+    return trained
+
+
+def ivf_topk(embeddings: DataFrame, query_vec_id: int = 1, k: int = 10,
+             n_centroids: int = N_CENTROIDS, n_probe: int = N_PROBE,
+             sample_mod: int = IVF_SAMPLE_MOD, cache_key=None) -> DataFrame:
+    """IVF-style ANN top-k: the scale path for similarity search.
+
+    Train: see _train_ivf — sample-trained, session-cached, exact
+    fixed-point means.
+    Assign: each vector to its max-cosine trained centroid, computed PER
+    ROW against broadcast literal centroids via higher-order functions — a
+    narrow projection, no shuffle, no 8x row duplication (vs the naive
+    crossJoin + window argmax).
+    Probe: the query searches only the `n_probe` centroids nearest to it
+    (picked driver-side at build time, like any ANN index probe); exact
+    cosine + top-k within the probed inverted lists.
+
+    At 100 TB: training is one narrow sampled assignment + one tiny shuffle
+    (n_centroids x dim integer partial sums), amortized across queries by
+    the index cache; search assignment is embarrassingly parallel; the
+    probed filter cuts the candidate set by ~n_centroids/n_probe before the
+    only wide op (TakeOrderedAndProject top-k, which aggregates
+    per-partition heaps). Tie-break: equal cosine -> smallest centroid id
+    (matches oracle's ORDER BY cos DESC, cid ASC).
+    """
+    emb = embeddings.select(
+        "vec_id", "label", _to_double(F.col("embedding")).alias("e"))
+    trained = _train_ivf(emb, n_centroids, sample_mod, cache_key=cache_key)
+    q_vec = list(
+        emb.filter(F.col("vec_id") == query_vec_id).select("e")
+        .collect()[0]["e"])
 
     probe_ids = [cid for cid, _ in sorted(
         ((cid, _cos_py(q_vec, v)) for cid, v in trained.items()),
@@ -186,7 +224,8 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 1, k: int = 10,
 
 def _ivf_oracle(query_vec_id: int = 1, k: int = 10,
                 n_centroids: int = N_CENTROIDS,
-                n_probe: int = N_PROBE) -> str:
+                n_probe: int = N_PROBE,
+                sample_mod: int = IVF_SAMPLE_MOD) -> str:
     scale = int(_KMEANS_SCALE)
     cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
            " * sqrt(list_dot_product({b}, {b})))")
@@ -204,7 +243,8 @@ def _ivf_oracle(query_vec_id: int = 1, k: int = 10,
                  PARTITION BY e.vec_id
                  ORDER BY {cos.format(a='e.e', b='s.ce')} DESC,
                           s.cid ASC) AS rn
-        FROM e CROSS JOIN seeds s) WHERE rn = 1
+        FROM e CROSS JOIN seeds s
+        WHERE e.vec_id % {sample_mod} = 0) WHERE rn = 1
     ),
     dims AS (SELECT unnest(generate_series(
                1, (SELECT max(len(e)) FROM e))) AS i),

@@ -152,7 +152,8 @@ def l3_cosine_topk(spark, sf_dir):
 @register("l3c_ivf_topk", oracle=_sim.IVF_TOPK_ORACLE,
           doc="L3 IVF-partitioned ANN cosine top-k (probe 2 of 8 lists)")
 def l3c_ivf_topk(spark, sf_dir):
-    return ivf_topk(load(spark, sf_dir, "embeddings"), query_vec_id=1, k=10)
+    return ivf_topk(load(spark, sf_dir, "embeddings"), query_vec_id=1, k=10,
+                    cache_key=sf_dir)
 
 
 @register("l3b_lsh_near_dup", oracle=_sim.LSH_NEAR_DUP_ORACLE,
@@ -587,8 +588,8 @@ _RECALL_Q, _RECALL_K = 1, 10
 )
 def l3d_ivf_recall(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
-    ivf = ivf_topk(emb, query_vec_id=_RECALL_Q, k=_RECALL_K) \
-        .select("vec_id")
+    ivf = ivf_topk(emb, query_vec_id=_RECALL_Q, k=_RECALL_K,
+                   cache_key=sf_dir).select("vec_id")
     bf = cosine_topk(emb, query_vec_id=_RECALL_Q, k=_RECALL_K) \
         .select("vec_id")
     return (ivf.join(bf, "vec_id")

@@ -78,12 +78,14 @@ _FAM_VALUES = ", ".join(f"('{e}')" for e in _FAM_EXTS)
       FROM exts e
     )
     SELECT root, count(*) AS n_members,
-           array_agg(ext ORDER BY ext) AS members
+           string_agg(ext, '|' ORDER BY ext) AS members
     FROM roots GROUP BY root ORDER BY root
     """,
     doc="S3 suffix-family grouping via shortest-suffix roots",
 )
 def s3_ext_families(spark, sf_dir):
+    # members is serialized to a '|'-joined string, not ARRAY: the driver's
+    # canonicalizer cannot sort array cells (r3 red).
     exts = spark.createDataFrame([(e,) for e in _FAM_EXTS], "ext string")
     sfx = exts.select(F.col("ext").alias("sfx"))
     roots = (
@@ -96,7 +98,8 @@ def s3_ext_families(spark, sf_dir):
         .select("ext", F.col("sfx").alias("root")))
     return (roots.groupBy("root")
             .agg(F.count(F.lit(1)).alias("n_members"),
-                 F.array_sort(F.collect_list("ext")).alias("members"))
+                 F.concat_ws("|", F.array_sort(F.collect_list("ext")))
+                 .alias("members"))
             .orderBy("root"))
 
 
@@ -215,7 +218,7 @@ _D4_SCENES, _D4_C = 3, 4
       FROM range({_D4_SCENES}) r(s) CROSS JOIN range({_D4_C}) q(c)
     )
     SELECT scene_idx,
-           array_agg(channel_name ORDER BY c) AS channel_names
+           string_agg(channel_name, '|' ORDER BY c) AS channel_names
     FROM ch GROUP BY scene_idx ORDER BY scene_idx
     """,
     doc="D4 per-scene ordered channel-name list aggregation",
@@ -227,11 +230,12 @@ def d4_channel_names(spark, sf_dir):
                   F.col("c").cast("int").alias("c"),
                   F.concat(F.lit("Channel:"), F.col("s"), F.lit(":"),
                            F.col("c")).alias("channel_name")))
+    # '|'-joined scalar, not ARRAY (driver canonicalizer constraint, r3 red).
     ordered = F.transform(
         F.array_sort(F.collect_list(F.struct("c", "channel_name"))),
         lambda x: x["channel_name"])
     return (ch.groupBy("scene_idx")
-            .agg(ordered.alias("channel_names"))
+            .agg(F.concat_ws("|", ordered).alias("channel_names"))
             .orderBy("scene_idx"))
 
 
@@ -276,7 +280,8 @@ _OME_SCHEMA = (
              AS size_c,
            CAST(regexp_extract(xml, 'PhysicalSizeX="([0-9.]+)"', 1)
                 AS DOUBLE) AS physical_size_x,
-           regexp_extract_all(xml, '<Channel[^>]*Name="([^"]+)"', 1)
+           array_to_string(
+             regexp_extract_all(xml, '<Channel[^>]*Name="([^"]+)"', 1), '|')
              AS channel_names
     FROM raw ORDER BY scene_idx
     """,
@@ -295,6 +300,8 @@ def d2_ome_metadata(spark, sf_dir):
                 F.col("ome.Pixels._SizeY").alias("size_y"),
                 F.col("ome.Pixels._SizeC").alias("size_c"),
                 F.col("ome.Pixels._PhysicalSizeX").alias("physical_size_x"),
-                F.transform(F.col("ome.Pixels.Channel"),
-                            lambda c: c["_Name"]).alias("channel_names"))
+                F.concat_ws(
+                    "|",
+                    F.transform(F.col("ome.Pixels.Channel"),
+                                lambda c: c["_Name"])).alias("channel_names"))
             .orderBy("scene_idx"))

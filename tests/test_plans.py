@@ -193,34 +193,24 @@ def test_sql_api_equals_dataframe_api(spark):
         spark.catalog.dropTempView("v_lineitem")
 
 
-def test_registry_prefix_covers_all_families():
+def test_registry_orders_least_verified_first():
     """External gates sample a prefix of the registry (driver hashes the
-    first ~50 entries): every SURVEY §2 family must appear in that window."""
+    first ~50 entries). Ordering policy: ascending count of past driver
+    rounds that produced a real comparison (coverage-based rotation — never
+    pass/fail), so never-verified and errored queries always lead."""
     from bioio_spark.queries import REGISTRY
+    from bioio_spark.queries.__init__ import _verified_round_counts
 
-    first50 = list(REGISTRY)[:50]
+    names = list(REGISTRY)
+    counts = _verified_round_counts()
+    ordered_counts = [counts.get(n, 0) for n in names]
+    assert ordered_counts == sorted(ordered_counts)
 
-    def fam(n):
-        if n.startswith("img"):
-            return "image"
-        if n.startswith("mm"):
-            return "multimodal"
-        if n[0] == "a":
-            return "relational"
-        if n[0] == "l":
-            return "llm"
-        if n in ("s1_tumbling_window", "s2_session_windows",
-                 "s3_first_event_dedup", "s4_sliding_window",
-                 "s5_interval_join"):
-            return "streaming"
-        return "metadata"
-
-    seen = {fam(n) for n in first50}
-    assert seen == {"image", "multimodal", "relational", "llm",
-                    "streaming", "metadata"}, seen
-    # the composed-pipeline fix and the new bounded-LSH proof stay sampled
-    assert "l5_training_pipeline" in first50
-    assert "l2d_bounded_lsh" in first50
+    # every zero-verified query (incl. anything newly added this round)
+    # must land inside the sampled window
+    zero = [n for n in names if counts.get(n, 0) == 0]
+    first50 = set(names[:50])
+    assert all(n in first50 for n in zero) or len(zero) > 50
 
 
 def test_a29_topk_heaps_and_pushdown(spark):
@@ -234,12 +224,21 @@ def test_a29_topk_heaps_and_pushdown(spark):
     assert any("o_orderdate" in f for f in filters), filters
 
 
-def test_l2_dedup_feeds_parallel_shingling(spark):
-    """The exact-dup collapse ahead of LSH must re-spread its output: a
-    repartition exchange sits between the dedup aggregate and the shingle
-    pipeline so AQE's coalesce of the tiny shuffle cannot strand the
-    expensive narrow work on one core."""
-    df = q(spark, "l2_minhash_lsh")
-    plan = physical_plan(df)
-    assert "hashpartitioning(doc_id" in plan, \
-        "dedup output no longer re-spread on doc_id"
+def test_l2_dedup_collapse_never_shuffles_text(spark):
+    """The exact-dup collapse ahead of LSH aggregates only (md5, doc_id)
+    and joins the keeper ids back to the corpus: the dedup shuffle must not
+    carry text (old shape: min(text) rode through the aggregate), and the
+    shingle pipeline must stay spread on the doc_id hash partitioning."""
+    # fresh frames so the session-level reps cache can't hide the build plan
+    spark.__dict__.pop("_bioio_reps_cache", None)
+    spark.__dict__.pop("_bioio_load_cache", None)
+    try:
+        df = q(spark, "l2_minhash_lsh")
+        plan = physical_plan(df)
+        assert "min(text" not in plan, "dedup aggregate shuffles full text"
+        assert "partial_min(doc_id" in plan, "keeper-id aggregate missing"
+        assert "hashpartitioning(doc_id" in plan, \
+            "dedup output no longer spread on doc_id"
+    finally:
+        spark.__dict__.pop("_bioio_reps_cache", None)
+        spark.__dict__.pop("_bioio_load_cache", None)
