@@ -84,30 +84,48 @@ def decode_png(data: bytes) -> np.ndarray:
     raw = zlib.decompress(bytes(idat))
     bpp = depth // 8
     stride = width * bpp
-    out = bytearray(height * stride)
-    prior = bytes(stride)
+    # unfiltering is numpy-vectorized per row: None is a copy, Up is one
+    # wrapping uint8 add against the prior row, Sub is a per-byte-lane
+    # cumulative sum mod 256 (x[i] = sum of raw deltas — modular addition
+    # distributes over the prefix sum). Only Average and Paeth keep a
+    # sequential per-byte loop (their recurrences read the just-
+    # reconstructed left neighbor through a non-linear op). A 2k x 2k
+    # 16-bit plane of None/Up/Sub rows therefore costs numpy ops, not
+    # ~8M interpreted iterations.
+    rows = (np.frombuffer(raw, dtype=np.uint8)
+            .reshape(height, stride + 1))
+    ftypes = rows[:, 0]
+    bad = set(np.unique(ftypes)) - {0, 1, 2, 3, 4}
+    if bad:
+        raise ValueError(f"unknown PNG filter type {min(bad)}")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
     for r in range(height):
-        ftype = raw[r * (stride + 1)]
-        line = bytearray(raw[r * (stride + 1) + 1:(r + 1) * (stride + 1)])
-        if ftype == 1:      # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif ftype == 2:    # Up
-            for i in range(stride):
-                line[i] = (line[i] + prior[i]) & 0xFF
-        elif ftype == 3:    # Average
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + ((left + prior[i]) >> 1)) & 0xFF
-        elif ftype == 4:    # Paeth
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                ul = prior[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + _paeth(left, prior[i], ul)) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"unknown PNG filter type {ftype}")
-        out[r * stride:(r + 1) * stride] = line
-        prior = bytes(line)
+        ftype = ftypes[r]
+        line = rows[r, 1:]
+        if ftype == 0:      # None
+            rec = line.copy()
+        elif ftype == 1:    # Sub: per-lane prefix sum mod 256
+            lanes = line.reshape(width, bpp).astype(np.int64)
+            rec = (lanes.cumsum(axis=0) & 0xFF).astype(
+                np.uint8).reshape(stride)
+        elif ftype == 2:    # Up: wrapping add against prior row
+            rec = line + prior
+        else:
+            rec = np.empty(stride, dtype=np.uint8)
+            if ftype == 3:      # Average
+                for i in range(stride):
+                    left = rec[i - bpp] if i >= bpp else 0
+                    rec[i] = (line[i] + ((int(left) + int(prior[i])) >> 1)
+                              ) & 0xFF
+            else:               # Paeth
+                for i in range(stride):
+                    left = int(rec[i - bpp]) if i >= bpp else 0
+                    ul = int(prior[i - bpp]) if i >= bpp else 0
+                    rec[i] = (line[i] + _paeth(left, int(prior[i]), ul)
+                              ) & 0xFF
+        out[r] = rec
+        prior = rec
     dt = np.dtype(">u2") if depth == 16 else np.dtype("u1")
-    return (np.frombuffer(bytes(out), dtype=dt)
+    return (np.frombuffer(out.tobytes(), dtype=dt)
             .reshape(height, width).astype(dt.newbyteorder("=")))

@@ -1,12 +1,15 @@
-"""Pure-Python baseline TIFF + OME-XML codec (uncompressed grayscale planes).
+"""Pure-Python baseline TIFF + OME-XML codec.
 
 The reference's headline sink is OME-TIFF via tifffile
 (ref bioio/bio_image.py:1229-1301, writers/__init__.py:10-15); no TIFF
-library ships in this container, so this module implements the baseline
-subset the OME-TIFF spec actually requires for uncompressed multi-page
-grayscale: little-endian classic TIFF, one IFD per 2D plane, one strip per
-plane, SampleFormat/BitsPerSample for the full OME integer/float pixel-type
-set, and the OME-XML block in IFD0's ImageDescription.
+library ships in this container, so this module implements the subset the
+OME-TIFF spec actually requires for multi-page scientific imagery:
+little-endian classic TIFF, one IFD per plane, one strip per plane,
+SampleFormat/BitsPerSample for the full OME integer/float pixel-type set,
+Compression 1 (none) and 8 (Adobe Deflate, via zlib — decode also accepts
+the legacy 32946 Deflate code), interleaved SamplesPerPixel > 1 pages (the
+S dimension of the reference's TCZYX+S standard order, ref
+bio_image.py:500-546), and the OME-XML block in IFD0's ImageDescription.
 
 Both directions are implemented (encode_ome_tiff / decode_tiff) so a
 save -> reread roundtrip is verifiable without any third-party dependency.
@@ -37,7 +40,12 @@ _STRIP_OFFSETS = 273
 _SAMPLES_PER_PIXEL = 277
 _ROWS_PER_STRIP = 278
 _STRIP_BYTE_COUNTS = 279
+_PLANAR_CONFIG = 284
 _SAMPLE_FORMAT = 339
+
+_COMPRESSION_NONE = 1
+_COMPRESSION_DEFLATE = 8          # Adobe Deflate (TIFF spec supplement 2)
+_COMPRESSION_DEFLATE_OLD = 32946  # legacy Deflate code, decode-only
 
 _TYPE_SHORT = 3   # uint16
 _TYPE_LONG = 4    # uint32
@@ -58,13 +66,18 @@ def build_ome_xml(size_t: int, size_c: int, size_z: int, size_y: int,
                   image_id: str = "Image:0",
                   image_name: Optional[str] = None,
                   channel_names: Optional[Sequence[str]] = None,
-                  physical_pixel_sizes=None) -> str:
+                  physical_pixel_sizes=None, size_s: int = 1) -> str:
     """Minimal OME-XML (2016-06 schema) for one Image/Pixels block.
 
     Plane order in the companion TIFF is XYZCT (Z fastest among pages:
     IFD index = t*size_c*size_z + c*size_z + z), declared via
     DimensionOrder and per-plane TiffData elements — the same structure the
-    reference's writer produces for a single-scene save."""
+    reference's writer produces for a single-scene save. `size_c` counts
+    PLANE channels (Channel elements); with size_s > 1 (interleaved RGB &
+    co — the S of the reference's TCZYX+S standard order) each Channel
+    carries SamplesPerPixel=size_s and the OME SizeC attribute is
+    size_c * size_s, per the OME data-model rule that SizeC totals channel
+    samples."""
     idx = image_id.split(":")[-1]
     pps = physical_pixel_sizes
     phys = ""
@@ -74,13 +87,16 @@ def build_ome_xml(size_t: int, size_c: int, size_z: int, size_y: int,
                           ("PhysicalSizeZ", getattr(pps, "Z", None))):
             if val is not None:
                 phys += f' {attr}="{float(val)}"'
+    if size_s > 1:
+        phys += ' Interleaved="true"'
     channels = []
     for c in range(size_c):
         cid = generate_ome_channel_id(idx, c)
         name = (escape(str(channel_names[c]), {'"': "&quot;"})
                 if channel_names is not None else cid)
         channels.append(
-            f'<Channel ID="{cid}" Name="{name}" SamplesPerPixel="1"/>')
+            f'<Channel ID="{cid}" Name="{name}" '
+            f'SamplesPerPixel="{size_s}"/>')
     tiffdata = []
     ifd = 0
     for t in range(size_t):
@@ -98,30 +114,59 @@ def build_ome_xml(size_t: int, size_c: int, size_z: int, size_y: int,
         f'<Image ID="{image_id}"{name_attr}>'
         f'<Pixels ID="Pixels:{idx}" DimensionOrder="XYZCT" '
         f'Type="{pixel_type}" BigEndian="false" '
-        f'SizeT="{size_t}" SizeC="{size_c}" SizeZ="{size_z}" '
+        f'SizeT="{size_t}" SizeC="{size_c * size_s}" SizeZ="{size_z}" '
         f'SizeY="{size_y}" SizeX="{size_x}"{phys}>'
         + "".join(channels) + "".join(tiffdata) +
         "</Pixels></Image></OME>"
     )
 
 
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
 def _ifd_entry(tag: int, typ: int, count: int, value: int) -> bytes:
-    """One 12-byte IFD entry with an inline (<=4 byte) value."""
-    if typ == _TYPE_SHORT:
+    """One 12-byte IFD entry. `value` is the inline value when the payload
+    fits in 4 bytes, else the file offset of the out-of-line data (the
+    offset is always packed as a 4-byte LONG, whatever the entry type)."""
+    if _TYPE_SIZES[typ] * count > 4:
+        packed = struct.pack("<I", value)     # out-of-line offset
+    elif typ == _TYPE_SHORT:
         packed = struct.pack("<HH", value, 0)
     else:
         packed = struct.pack("<I", value)
     return struct.pack("<HHI", tag, typ, count) + packed
 
 
-def encode_tiff(planes: Sequence[np.ndarray],
-                description: Optional[str] = None) -> bytes:
-    """Encode 2D planes as a multi-page uncompressed little-endian TIFF.
+def _ifd_entry_shorts(tag: int, values: Sequence[int], off: int) -> bytes:
+    """A SHORT-array IFD entry: values inline when they fit in 4 bytes
+    (count <= 2), else the offset of the out-of-line array at `off`."""
+    count = len(values)
+    if count * 2 <= 4:
+        packed = struct.pack("<HH", values[0],
+                             values[1] if count > 1 else 0)
+    else:
+        packed = struct.pack("<I", off)
+    return struct.pack("<HHI", tag, _TYPE_SHORT, count) + packed
 
-    One IFD + one strip per plane; `description` (OME-XML) lands in IFD0's
-    ImageDescription, which is where OME-TIFF readers look for it."""
+
+def encode_tiff(planes: Sequence[np.ndarray],
+                description: Optional[str] = None,
+                compression: int = _COMPRESSION_NONE) -> bytes:
+    """Encode planes as a multi-page little-endian TIFF.
+
+    Planes are 2D (YX, grayscale) or 3D (YXS, interleaved samples — RGB &
+    co; PlanarConfiguration=1, Photometric=RGB when S==3). One IFD + one
+    strip per plane; `compression` 1 writes raw strips, 8 Deflates each
+    strip with zlib (whole-strip compression is what tifffile and the OME
+    reference stack emit for Compression=8). `description` (OME-XML) lands
+    in IFD0's ImageDescription, which is where OME-TIFF readers look."""
+    import zlib
+
     if not planes:
         raise ValueError("encode_tiff requires at least one plane")
+    if compression not in (_COMPRESSION_NONE, _COMPRESSION_DEFLATE):
+        raise ValueError(f"unsupported compression {compression}; "
+                         "supported: 1 (none), 8 (deflate)")
     arrs = [np.ascontiguousarray(p) for p in planes]
     dt = arrs[0].dtype
     if dt.name not in SUPPORTED_DTYPES:
@@ -130,8 +175,11 @@ def encode_tiff(planes: Sequence[np.ndarray],
             f"supported: {SUPPORTED_DTYPES}")
     if any(a.dtype != dt for a in arrs):
         raise ValueError("all planes must share one dtype")
-    if any(a.ndim != 2 for a in arrs):
-        raise ValueError("planes must be 2D (YX)")
+    if any(a.ndim not in (2, 3) for a in arrs):
+        raise ValueError("planes must be 2D (YX) or 3D (YXS)")
+    s_n = arrs[0].shape[2] if arrs[0].ndim == 3 else 1
+    if any((a.shape[2] if a.ndim == 3 else 1) != s_n for a in arrs):
+        raise ValueError("all planes must share one sample count (S)")
     dt_le = dt.newbyteorder("<")
 
     desc_bytes = b""
@@ -140,16 +188,32 @@ def encode_tiff(planes: Sequence[np.ndarray],
         if len(desc_bytes) % 2:
             desc_bytes += b"\x00"
 
-    # layout: header | description | plane strips | IFD chain
+    strips = [a.astype(dt_le, copy=False).tobytes() for a in arrs]
+    if compression == _COMPRESSION_DEFLATE:
+        strips = [zlib.compress(s) for s in strips]
+
+    # multi-sample pages need out-of-line BitsPerSample / SampleFormat
+    # arrays (s_n shorts > 4 bytes); one shared block serves every IFD
+    extra_bytes = b""
+    if s_n > 1:
+        extra_bytes = (struct.pack(f"<{s_n}H", *([dt.itemsize * 8] * s_n))
+                       + struct.pack(
+                           f"<{s_n}H",
+                           *([_SAMPLE_FORMAT_OF_KIND[dt.kind]] * s_n)))
+
+    # layout: header | description | extras | plane strips | IFD chain
     pos = 8
     desc_off = pos
     pos += len(desc_bytes)
+    bits_off = pos
+    fmt_off = pos + 2 * s_n
+    pos += len(extra_bytes)
     strip_offs = []
-    for a in arrs:
+    for s in strips:
         if pos % 2:
             pos += 1
         strip_offs.append(pos)
-        pos += a.nbytes
+        pos += len(s)
     if pos % 2:
         pos += 1
     ifd0_off = pos
@@ -157,32 +221,46 @@ def encode_tiff(planes: Sequence[np.ndarray],
     out = bytearray()
     out += struct.pack("<2sHI", b"II", 42, ifd0_off)
     out += desc_bytes
-    for a, off in zip(arrs, strip_offs):
+    out += extra_bytes
+    for s, off in zip(strips, strip_offs):
         if len(out) != off:
             out += b"\x00" * (off - len(out))
-        out += a.astype(dt_le, copy=False).tobytes()
+        out += s
     if len(out) % 2:
         out += b"\x00"
 
     sample_format = _SAMPLE_FORMAT_OF_KIND[dt.kind]
-    for i, (a, off) in enumerate(zip(arrs, strip_offs)):
-        h, w = a.shape
+    photometric = 2 if s_n == 3 else 1
+    for i, (a, s, off) in enumerate(zip(arrs, strips, strip_offs)):
+        h, w = a.shape[0], a.shape[1]
         entries = [
             _ifd_entry(_IMAGE_WIDTH, _TYPE_LONG, 1, w),
             _ifd_entry(_IMAGE_LENGTH, _TYPE_LONG, 1, h),
-            _ifd_entry(_BITS_PER_SAMPLE, _TYPE_SHORT, 1, dt.itemsize * 8),
-            _ifd_entry(_COMPRESSION, _TYPE_SHORT, 1, 1),
-            _ifd_entry(_PHOTOMETRIC, _TYPE_SHORT, 1, 1),
+            _ifd_entry(_COMPRESSION, _TYPE_SHORT, 1, compression),
+            _ifd_entry(_PHOTOMETRIC, _TYPE_SHORT, 1, photometric),
         ]
+        if s_n == 1:
+            entries += [
+                _ifd_entry(_BITS_PER_SAMPLE, _TYPE_SHORT, 1,
+                           dt.itemsize * 8),
+                _ifd_entry(_SAMPLE_FORMAT, _TYPE_SHORT, 1, sample_format),
+            ]
+        else:
+            entries += [
+                _ifd_entry_shorts(_BITS_PER_SAMPLE,
+                                  [dt.itemsize * 8] * s_n, bits_off),
+                _ifd_entry_shorts(_SAMPLE_FORMAT,
+                                  [sample_format] * s_n, fmt_off),
+                _ifd_entry(_PLANAR_CONFIG, _TYPE_SHORT, 1, 1),
+            ]
         if i == 0 and desc_bytes:
             entries.append(_ifd_entry(_IMAGE_DESCRIPTION, _TYPE_ASCII,
                                       len(desc_bytes), desc_off))
         entries += [
             _ifd_entry(_STRIP_OFFSETS, _TYPE_LONG, 1, off),
-            _ifd_entry(_SAMPLES_PER_PIXEL, _TYPE_SHORT, 1, 1),
+            _ifd_entry(_SAMPLES_PER_PIXEL, _TYPE_SHORT, 1, s_n),
             _ifd_entry(_ROWS_PER_STRIP, _TYPE_LONG, 1, h),
-            _ifd_entry(_STRIP_BYTE_COUNTS, _TYPE_LONG, 1, a.nbytes),
-            _ifd_entry(_SAMPLE_FORMAT, _TYPE_SHORT, 1, sample_format),
+            _ifd_entry(_STRIP_BYTE_COUNTS, _TYPE_LONG, 1, len(s)),
         ]
         entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
         ifd_size = 2 + 12 * len(entries) + 4
@@ -196,20 +274,24 @@ def encode_tiff(planes: Sequence[np.ndarray],
 def encode_ome_tiff(block: np.ndarray, image_id: str = "Image:0",
                     image_name: Optional[str] = None,
                     channel_names: Optional[Sequence[str]] = None,
-                    physical_pixel_sizes=None) -> bytes:
-    """Encode a dense 5D TCZYX block as a single-scene OME-TIFF."""
+                    physical_pixel_sizes=None,
+                    compression: int = _COMPRESSION_NONE) -> bytes:
+    """Encode a dense 5D TCZYX (or 6D TCZYXS, interleaved-sample) block as
+    a single-scene OME-TIFF; compression 1 (none) or 8 (deflate)."""
     a = np.asarray(block)
-    if a.ndim != 5:
-        raise ValueError(f"encode_ome_tiff expects 5D TCZYX, got {a.ndim}D")
-    t_n, c_n, z_n, y_n, x_n = a.shape
+    if a.ndim not in (5, 6):
+        raise ValueError(
+            f"encode_ome_tiff expects 5D TCZYX or 6D TCZYXS, got {a.ndim}D")
+    t_n, c_n, z_n, y_n, x_n = a.shape[:5]
+    s_n = a.shape[5] if a.ndim == 6 else 1
     ome = build_ome_xml(
         t_n, c_n, z_n, y_n, x_n,
         NUMPY_DTYPE_TO_OME[a.dtype.name], image_id=image_id,
         image_name=image_name, channel_names=channel_names,
-        physical_pixel_sizes=physical_pixel_sizes)
+        physical_pixel_sizes=physical_pixel_sizes, size_s=s_n)
     planes = [a[t, c, z]
               for t in range(t_n) for c in range(c_n) for z in range(z_n)]
-    return encode_tiff(planes, description=ome)
+    return encode_tiff(planes, description=ome, compression=compression)
 
 
 def _read_tag_values(data: bytes, typ: int, count: int,
@@ -235,11 +317,15 @@ def _read_tag_values(data: bytes, typ: int, count: int,
 
 
 def decode_tiff(data: bytes):
-    """Decode an uncompressed grayscale TIFF -> (planes, description).
+    """Decode a TIFF -> (planes, description).
 
-    planes: list of 2D numpy arrays (one per IFD/page, native dtype
-    reconstructed from BitsPerSample + SampleFormat); description: IFD0's
+    planes: list of numpy arrays, one per IFD/page — 2D (YX) for grayscale
+    pages, 3D (YXS) when SamplesPerPixel > 1 (interleaved); native dtype
+    reconstructed from BitsPerSample + SampleFormat; Compression 1 / 8 /
+    32946 (both Deflate codes inflate with zlib); description: IFD0's
     ImageDescription string or None."""
+    import zlib
+
     if data[:2] != b"II" or struct.unpack("<H", data[2:4])[0] != 42:
         raise ValueError("not a little-endian classic TIFF")
     (ifd_off,) = struct.unpack("<I", data[4:8])
@@ -255,17 +341,28 @@ def decode_tiff(data: bytes):
         (next_off,) = struct.unpack(
             "<I", data[ifd_off + 2 + 12 * n_entries:
                        ifd_off + 6 + 12 * n_entries])
-        if tags.get(_COMPRESSION, [1])[0] != 1:
-            raise ValueError("only uncompressed TIFF is supported")
+        comp = tags.get(_COMPRESSION, [1])[0]
+        if comp not in (_COMPRESSION_NONE, _COMPRESSION_DEFLATE,
+                        _COMPRESSION_DEFLATE_OLD):
+            raise ValueError(f"unsupported TIFF compression {comp}; "
+                             "supported: 1 (none), 8/32946 (deflate)")
+        if tags.get(_PLANAR_CONFIG, [1])[0] != 1:
+            raise ValueError("only chunky (interleaved) planar config "
+                             "is supported")
         w = tags[_IMAGE_WIDTH][0]
         h = tags[_IMAGE_LENGTH][0]
+        spp = tags.get(_SAMPLES_PER_PIXEL, [1])[0]
         bits = tags.get(_BITS_PER_SAMPLE, [8])[0]
         kind = _KIND_OF_SAMPLE_FORMAT[tags.get(_SAMPLE_FORMAT, [1])[0]]
         dt = np.dtype(f"<{kind}{bits // 8}")
         offs = tags[_STRIP_OFFSETS]
         counts = tags[_STRIP_BYTE_COUNTS]
-        raw = b"".join(data[o:o + c] for o, c in zip(offs, counts))
-        planes.append(np.frombuffer(raw, dtype=dt).reshape(h, w)
+        chunks = [data[o:o + c] for o, c in zip(offs, counts)]
+        if comp in (_COMPRESSION_DEFLATE, _COMPRESSION_DEFLATE_OLD):
+            chunks = [zlib.decompress(c) for c in chunks]
+        raw = b"".join(chunks)
+        shape = (h, w) if spp == 1 else (h, w, spp)
+        planes.append(np.frombuffer(raw, dtype=dt).reshape(shape)
                       .astype(dt.newbyteorder("=")))
         if first:
             desc = tags.get(_IMAGE_DESCRIPTION)
@@ -326,16 +423,25 @@ def parse_ome_xml(ome_xml: str) -> dict:
     if pix is None:
         raise ValueError("OME-XML lacks a Pixels element")
     pixs = pix.group(0)
-    channels = [attr("Name", m.group(0))
-                for m in re.finditer(r"<Channel\b[^>]*/>", ome_xml)]
+    chan_elems = [m.group(0)
+                  for m in re.finditer(r"<Channel\b[^>]*/>", ome_xml)]
+    channels = [attr("Name", ce) for ce in chan_elems]
+    # OME SizeC totals channel SAMPLES; the plane-channel count is
+    # SizeC / SamplesPerPixel (size_s). Absent Channel elements -> s = 1.
+    size_s = (attr("SamplesPerPixel", chan_elems[0], int) or 1
+              if chan_elems else 1)
+    size_c_attr = attr("SizeC", pixs, int)
+    size_c = (size_c_attr // size_s
+              if size_c_attr is not None and size_s > 1 else size_c_attr)
     return {
         "image_id": attr("ID", img.group(0)) if img else None,
         "image_name": attr("Name", img.group(0)) if img else None,
         "size_t": attr("SizeT", pixs, int),
-        "size_c": attr("SizeC", pixs, int),
+        "size_c": size_c,
         "size_z": attr("SizeZ", pixs, int),
         "size_y": attr("SizeY", pixs, int),
         "size_x": attr("SizeX", pixs, int),
+        "size_s": size_s,
         "pixel_type": attr("Type", pixs),
         "channel_names": channels or None,
         "pps_x": attr("PhysicalSizeX", pixs, float),
@@ -345,7 +451,8 @@ def parse_ome_xml(ome_xml: str) -> dict:
 
 
 def decode_ome_tiff(data: bytes):
-    """Decode an encode_ome_tiff() file -> (block 5D TCZYX, ome_xml).
+    """Decode an encode_ome_tiff() file -> (block, ome_xml); the block is
+    5D TCZYX, or 6D TCZYXS when the pages carry interleaved samples.
 
     Page order is taken from the OME-XML TiffData map (falling back to
     XYZCT sequential order when absent)."""
@@ -354,13 +461,14 @@ def decode_ome_tiff(data: bytes):
     planes, ome_xml = decode_tiff(data)
     if ome_xml is None:
         raise ValueError("no OME-XML ImageDescription present")
-    m = re.search(
-        r'SizeT="(\d+)"\s+SizeC="(\d+)"\s+SizeZ="(\d+)"\s+'
-        r'SizeY="(\d+)"\s+SizeX="(\d+)"', ome_xml)
-    if not m:
+    h = parse_ome_xml(ome_xml)
+    if h["size_t"] is None or h["size_c"] is None or h["size_z"] is None:
         raise ValueError("OME-XML lacks Pixels Size attributes")
-    t_n, c_n, z_n, y_n, x_n = (int(g) for g in m.groups())
-    block = np.empty((t_n, c_n, z_n, y_n, x_n), dtype=planes[0].dtype)
+    t_n, c_n, z_n, y_n, x_n, s_n = (h["size_t"], h["size_c"], h["size_z"],
+                                    h["size_y"], h["size_x"], h["size_s"])
+    shape = ((t_n, c_n, z_n, y_n, x_n) if s_n == 1
+             else (t_n, c_n, z_n, y_n, x_n, s_n))
+    block = np.empty(shape, dtype=planes[0].dtype)
     placed = 0
     for td in re.finditer(
             r'<TiffData IFD="(\d+)" FirstT="(\d+)" FirstC="(\d+)" '

@@ -64,8 +64,45 @@ class FakeCodec:
         return arr.reshape(n_frames, height, width)
 
 
+class PngCodec:
+    """REAL image codec over the in-repo baseline PNG implementation
+    (formats/png.py — grayscale 8/16-bit, zlib): image payloads are actual
+    PNG files, decoded scanline-filter and all. Single-frame by nature
+    (PNG has no frame axis), so decode returns (1, h, w)."""
+
+    @staticmethod
+    def encode(media_id: int, kind: str, width: int, height: int,
+               n_frames: int) -> bytes:
+        from bioio_spark.formats.png import encode_png
+
+        if n_frames != 1:
+            raise ValueError("PNG is single-frame; use FakeCodec for video")
+        samples = ((np.arange(width * height, dtype=np.int64) * 31
+                    + media_id * 7) % 251).astype(np.uint8)
+        return encode_png(samples.reshape(height, width))
+
+    @staticmethod
+    def decode(payload: bytes) -> np.ndarray:
+        from bioio_spark.formats.png import decode_png
+
+        return decode_png(payload)[None, ...]
+
+
+class AutoCodec:
+    """Magic-byte dispatch decoder: PNG signatures route to the real PNG
+    codec, FKC1 to FakeCodec — the pattern a production pipeline uses for
+    mixed-container media columns (sniff, then decode)."""
+
+    @staticmethod
+    def decode(payload: bytes) -> np.ndarray:
+        if bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
+            return PngCodec.decode(payload)
+        return FakeCodec.decode(payload)
+
+
 class PillowCodec:
-    """Real image codec, gated on import (unavailable in this container)."""
+    """Third-party image codec, gated on import (unavailable in this
+    container; the in-repo real-codec path is PngCodec)."""
 
     @staticmethod
     def decode(payload: bytes) -> np.ndarray:
@@ -73,14 +110,17 @@ class PillowCodec:
             from PIL import Image  # noqa: F401
         except ImportError as exc:
             raise NotImplementedError(
-                "PIL is not installed in this environment; use FakeCodec "
-                "or install pillow on the cluster") from exc
+                "PIL is not installed in this environment; use PngCodec/"
+                "FakeCodec or install pillow on the cluster") from exc
         raise NotImplementedError("wire Image.open(BytesIO(payload)) here")
 
 
-def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
+def synth_media(spark: SparkSession, n: int = 64,
+                image_format: str = "fkc1") -> DataFrame:
     """Deterministic media table: images (1 frame), audio (1xN), video
-    (multi-frame), round-robin by media_id."""
+    (multi-frame), round-robin by media_id. image_format 'png' encodes the
+    image rows as real PNG payloads (same closed-form pixel content);
+    audio/video always use the FakeCodec container."""
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
@@ -89,8 +129,11 @@ def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
             "audio": (800, 1, 1, 8000),
             "video": (8, 8, 4 + (i // 3) % 3, 0),
         }[kind]
-        rows.append((i, kind, FakeCodec.encode(i, kind, w, h, fr),
-                     (w, h, fr, sr, "fkc1")))
+        if kind == "image" and image_format == "png":
+            payload, fmt = PngCodec.encode(i, kind, w, h, fr), "png"
+        else:
+            payload, fmt = FakeCodec.encode(i, kind, w, h, fr), "fkc1"
+        rows.append((i, kind, payload, (w, h, fr, sr, fmt)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

@@ -875,6 +875,65 @@ def img_ome_tiff_roundtrip(spark, sf_dir):
             .orderBy("t", "c"))
 
 
+# --------------------------------------------------------------------------
+# Deflate-compressed, multi-sample (TCZYXS) variant of the roundtrip:
+# Compression=8 pages through zlib, S=3 interleaved samples through the
+# reference's TCZYX+S standardization (ref bio_image.py:500-546), uint32
+# pixels. Grouping by (c, s) makes a sample-interleave bug (s <-> x swap,
+# wrong stride) change the hash, not just the total.
+# --------------------------------------------------------------------------
+_RTC_SHAPE = (1, 2, 2, 4, 5, 3)  # T C Z Y X S
+
+
+@register(
+    "img_ome_tiff_roundtrip_compressed",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST((i // {2 * 2 * 4 * 5 * 3}) % 1 AS INTEGER) AS t,
+             CAST((i // {2 * 4 * 5 * 3}) % 2 AS INTEGER) AS c,
+             CAST((i // {4 * 5 * 3}) % 2 AS INTEGER) AS z,
+             CAST((i // {5 * 3}) % 4 AS INTEGER) AS y,
+             CAST((i // 3) % 5 AS INTEGER) AS x,
+             CAST(i % 3 AS INTEGER) AS s,
+             CAST(((i // {2 * 2 * 4 * 5 * 3}) % 1) * 100000
+                  + ((i // {2 * 4 * 5 * 3}) % 2) * 10000
+                  + ((i // {4 * 5 * 3}) % 2) * 1000
+                  + ((i // {5 * 3}) % 4) * 100
+                  + ((i // 3) % 5) * 10 + (i % 3) AS DOUBLE) AS value
+      FROM range({1 * 2 * 2 * 4 * 5 * 3}) r(i))
+    SELECT c, s, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY c, s ORDER BY c, s
+    """,
+    doc="S10 Deflate-compressed TCZYXS OME-TIFF save -> reread roundtrip",
+)
+def img_ome_tiff_roundtrip_compressed(spark, sf_dir):
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.sources.tiff_image import TiffImageReader
+    from bioio_spark.writers import save_ome_tiff
+
+    idx = np.indices(_RTC_SHAPE)
+    block = (idx[0] * 100000 + idx[1] * 10000 + idx[2] * 1000
+             + idx[3] * 100 + idx[4] * 10 + idx[5]).astype(np.uint32)
+    img = BioImage(block, dim_order="TCZYXS", spark=spark)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "ome_roundtrip_deflate")
+    shutil.rmtree(out, ignore_errors=True)
+    save_ome_tiff(img, out, compression=8)
+    back = BioImage(out, reader=TiffImageReader, spark=spark)
+    return (back.get_image_dataframe()
+            .groupBy("c", "s")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("c", "s"))
+
+
 @register(
     "img_planes_blur",
     oracle=f"""

@@ -109,12 +109,15 @@ class TiffImageReader:
                     "image_id": self._image_id, "scene": scene,
                     "c": ci, "channel_name": nm})
             pps = self._pps
+            size_s = h.get("size_s") or 1
             scene_rows.append({
                 "image_id": self._image_id, "scene": scene,
-                "scene_idx": si, "dim_order": "TCZYX",
+                "scene_idx": si,
+                "dim_order": "TCZYXS" if size_s > 1 else "TCZYX",
                 "size_t": h["size_t"], "size_c": h["size_c"],
                 "size_z": h["size_z"], "size_y": h["size_y"],
-                "size_x": h["size_x"], "size_m": None, "size_s": None,
+                "size_x": h["size_x"], "size_m": None,
+                "size_s": size_s if size_s > 1 else None,
                 "dtype": OME_TO_NUMPY_DTYPE[h["pixel_type"]],
                 "ome_pixel_type": h["pixel_type"],
                 "pps_z": pps.Z if pps else h["pps_z"],
@@ -127,7 +130,7 @@ class TiffImageReader:
             spark, paths, path_to_scene).select(
             F.lit(self._image_id).alias("image_id"), "scene",
             F.lit(0).alias("res_level"), "t", "c", "z", "y", "x",
-            F.lit(-1).alias("m"), F.lit(-1).alias("s"), "value",
+            F.lit(-1).alias("m"), "s", "value",
         ).select(*PIXEL_COLUMNS)
 
         return ImageDataset(pixels=px, scenes=pd.DataFrame(scene_rows),
@@ -158,14 +161,24 @@ def decode_tiff_files(spark: SparkSession, paths: list[str],
                 for i, plane in enumerate(planes):
                     t, rem = divmod(i, c_n * z_n)
                     c, z = divmod(rem, z_n)
-                    y_n, x_n = plane.shape
+                    y_n, x_n = plane.shape[0], plane.shape[1]
+                    s_n = plane.shape[2] if plane.ndim == 3 else 1
+                    # s = -1 marks "no sample dim" (grayscale pages), the
+                    # catalog convention for absent dims
+                    s_col = (np.full(plane.size, -1, dtype=np.int32)
+                             if s_n == 1 else
+                             np.tile(np.arange(s_n, dtype=np.int32),
+                                     y_n * x_n))
                     yield pd.DataFrame({
                         "scene": scene,
                         "t": np.full(plane.size, t, dtype=np.int32),
                         "c": np.full(plane.size, c, dtype=np.int32),
                         "z": np.full(plane.size, z, dtype=np.int32),
-                        "y": np.repeat(np.arange(y_n, dtype=np.int32), x_n),
-                        "x": np.tile(np.arange(x_n, dtype=np.int32), y_n),
+                        "y": np.repeat(
+                            np.arange(y_n, dtype=np.int32), x_n * s_n),
+                        "x": np.tile(np.repeat(
+                            np.arange(x_n, dtype=np.int32), s_n), y_n),
+                        "s": s_col,
                         "value": plane.ravel().astype(np.float64),
                     })
 
@@ -174,5 +187,5 @@ def decode_tiff_files(spark: SparkSession, paths: list[str],
               .load([f"file://{os.path.abspath(p)}" for p in paths]))
     return binary.select("path", "content").mapInPandas(
         batches,
-        schema="scene string, t int, c int, z int, y int, x int, "
+        schema="scene string, t int, c int, z int, y int, x int, s int, "
                "value double")

@@ -122,7 +122,8 @@ class OmeTiffWriter:
 
     @staticmethod
     def save(data, uri: str, dim_order=None, channel_names=None,
-             image_name=None, physical_pixel_sizes=None) -> None:
+             image_name=None, physical_pixel_sizes=None,
+             compression: int = 1) -> None:
         import numpy as np
 
         from bioio_spark.dimensions import (guess_dim_order,
@@ -133,11 +134,12 @@ class OmeTiffWriter:
         a = np.asarray(data)
         order = (validate_dim_order(dim_order, a.shape) if dim_order
                  else guess_dim_order(a.shape))
-        # standardize to TCZYX: insert missing standard dims at size 1,
+        # standardize to TCZYX(+S): insert missing standard dims at size 1,
         # drop non-standard dims at index 0 (the BioImage-tier coercion,
-        # ref tests/test_array_like_reader.py:1028-1047)
+        # ref tests/test_array_like_reader.py:1028-1047; S rides along as
+        # the trailing interleaved-sample dim, ref bio_image.py:500-546)
         for d in order:
-            if d not in "TCZYX":
+            if d not in "TCZYXS":
                 a = a.take([0], axis=order.index(d)).squeeze(
                     axis=order.index(d))
                 order = order.replace(d, "")
@@ -145,12 +147,14 @@ class OmeTiffWriter:
             if d not in order:
                 a = np.expand_dims(a, 0)
                 order = d + order
-        a = np.transpose(a, [order.index(d) for d in "TCZYX"])
+        target = "TCZYX" + ("S" if "S" in order else "")
+        a = np.transpose(a, [order.index(d) for d in target])
         names = resolve_channel_names(channel_names, a.shape[1], 0) or None
         payload = encode_ome_tiff(
             a, image_id="Image:0", image_name=image_name,
             channel_names=names,
-            physical_pixel_sizes=physical_pixel_sizes)
+            physical_pixel_sizes=physical_pixel_sizes,
+            compression=compression)
         with open(uri, "wb") as f:
             f.write(payload)
 
@@ -181,7 +185,8 @@ class PngWriter:
 register_writer("PngWriter", PngWriter)
 
 
-def save_ome_tiff(img, uri: str, select_scenes=None) -> list:
+def save_ome_tiff(img, uri: str, select_scenes=None,
+                  compression: int = 1) -> list:
     """Distributed OME-TIFF export: one file per scene, encoded
     executor-side via applyInPandas (ref bio_image.py:1229-1301 semantics:
     scene order preserved, scene ids embedded in the OME-XML).
@@ -197,6 +202,10 @@ def save_ome_tiff(img, uri: str, select_scenes=None) -> list:
     one scene cannot be split — the same memory shape as the reference,
     which also assembles whole scenes. Returns the export report rows
     (scene_idx, scene, path, n_pages, n_bytes).
+
+    `compression` 1 writes raw strips, 8 Deflates each page (zlib).
+    Scenes with an S dim (TCZYXS standard order) encode as interleaved
+    multi-sample pages.
     """
     import os
 
@@ -217,9 +226,10 @@ def save_ome_tiff(img, uri: str, select_scenes=None) -> list:
             img.set_scene(s)
             d = img.dims
             base = img._scene_catalog_row()
+            dims_order = "TCZYX" + ("S" if "S" in d.order else "")
             meta[img.scenes.index(s)] = {
                 "scene": s,
-                "shape": tuple(int(d[c][0]) for c in "TCZYX"),
+                "shape": tuple(int(d[c][0]) for c in dims_order),
                 "dtype": str(img.dtype),
                 "channel_names": img.channel_names,
                 "image_name": base.get("image_id"),
@@ -241,17 +251,20 @@ def save_ome_tiff(img, uri: str, select_scenes=None) -> list:
 
         idx = int(pdf["scene_idx"].iloc[0])
         m = meta[idx]
-        t_n, c_n, z_n, y_n, x_n = m["shape"]
-        block = np.empty((t_n, c_n, z_n, y_n, x_n), dtype=m["dtype"])
+        t_n, c_n, z_n, y_n, x_n = m["shape"][:5]
+        s_n = m["shape"][5] if len(m["shape"]) == 6 else 1
+        block = np.empty(m["shape"], dtype=m["dtype"])
         flat = (pdf["t"].to_numpy() * (c_n * z_n * y_n * x_n)
                 + pdf["c"].to_numpy() * (z_n * y_n * x_n)
                 + pdf["z"].to_numpy() * (y_n * x_n)
                 + pdf["y"].to_numpy() * x_n + pdf["x"].to_numpy())
+        if s_n > 1:
+            flat = flat * s_n + pdf["s"].to_numpy()
         block.ravel()[flat] = pdf["value"].to_numpy()
         payload = encode_ome_tiff(
             block, image_id=generate_ome_image_id(idx),
             image_name=m["image_name"], channel_names=m["channel_names"],
-            physical_pixel_sizes=m["pps"])
+            physical_pixel_sizes=m["pps"], compression=compression)
         path = os.path.join(uri, f"scene_{idx}.ome.tiff")
         with open(path, "wb") as f:
             f.write(payload)

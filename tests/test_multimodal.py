@@ -120,3 +120,42 @@ def test_binary_file_source_roundtrip(spark, tmp_path):
         assert feats[i]["width"] == 8 + i
         assert feats[i]["height"] == 6
         np.testing.assert_allclose(feats[i]["mean_value"], arr.mean())
+
+
+def test_png_codec_media_roundtrip():
+    """PngCodec payloads are genuine PNG files; AutoCodec dispatches on
+    magic bytes between PNG and FKC1 containers."""
+    import numpy as np
+
+    from bioio_spark.formats.png import decode_png
+    from bioio_spark.functions.multimodal import (AutoCodec, FakeCodec,
+                                                  PngCodec)
+
+    payload = PngCodec.encode(5, "image", 16, 12, 1)
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    # the PNG content is the same closed-form samples FakeCodec carries
+    want = ((np.arange(16 * 12, dtype=np.int64) * 31 + 5 * 7) % 251
+            ).astype(np.uint8).reshape(12, 16)
+    np.testing.assert_array_equal(decode_png(payload), want)
+    np.testing.assert_array_equal(AutoCodec.decode(payload), want[None])
+    fkc = FakeCodec.encode(5, "image", 16, 12, 1)
+    np.testing.assert_array_equal(AutoCodec.decode(fkc), want[None])
+
+
+def test_decode_features_mixed_codecs(spark):
+    from bioio_spark.functions.multimodal import (AutoCodec,
+                                                  decode_features,
+                                                  synth_media)
+
+    media = synth_media(spark, 12, image_format="png")
+    fmts = {r["media_id"]: r["meta"]["format"] for r in media.collect()}
+    assert all(v == "png" for k, v in fmts.items() if k % 3 == 0)
+    assert all(v == "fkc1" for k, v in fmts.items() if k % 3 != 0)
+    feats = decode_features(media, codec=AutoCodec).collect()
+    assert len(feats) == 12
+    base = {r["media_id"]: r for r in
+            decode_features(synth_media(spark, 12)).collect()}
+    for r in feats:  # PNG vs FKC1 containers, identical decoded stats
+        b = base[r["media_id"]]
+        assert (r["mean_value"], r["max_value"]) == \
+            (b["mean_value"], b["max_value"])

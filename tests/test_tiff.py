@@ -39,11 +39,88 @@ def test_codec_rejects_unsupported():
     with pytest.raises(ValueError, match="dtype"):
         encode_tiff([np.zeros((2, 2), dtype=np.complex64)])
     with pytest.raises(ValueError, match="2D"):
-        encode_tiff([np.zeros((2, 2, 2))])
+        encode_tiff([np.zeros((2, 2, 2, 2))])
+    with pytest.raises(ValueError, match="sample count"):
+        encode_tiff([np.zeros((2, 2, 3)), np.zeros((2, 2, 2))])
     with pytest.raises(ValueError, match="at least one"):
         encode_tiff([])
+    with pytest.raises(ValueError, match="compression"):
+        encode_tiff([np.zeros((2, 2), dtype=np.uint8)], compression=5)
     with pytest.raises(ValueError, match="TIFF"):
         decode_tiff(b"MM\x00\x2a garbage")
+
+
+@pytest.mark.parametrize("dtype", ["uint8", "uint16", "float64"])
+def test_codec_deflate_roundtrip(dtype):
+    rng = np.random.default_rng(3)
+    if np.dtype(dtype).kind == "f":
+        block = rng.random((2, 1, 2, 6, 7)).astype(dtype)
+    else:
+        block = rng.integers(0, 50, (2, 1, 2, 6, 7), dtype=dtype)
+    packed = encode_ome_tiff(block, compression=8)
+    out, _ = decode_ome_tiff(packed)
+    np.testing.assert_array_equal(out, block)
+
+
+def test_codec_deflate_shrinks_low_entropy():
+    zeros = np.zeros((1, 1, 1, 64, 64), dtype=np.uint16)
+    assert (len(encode_ome_tiff(zeros, compression=8))
+            < len(encode_ome_tiff(zeros)) / 4)
+
+
+def test_codec_deflate_legacy_code_decodes():
+    """Compression=32946 (old Deflate code) decodes like 8."""
+    import struct
+
+    block = np.arange(2 * 3 * 4, dtype=np.uint16).reshape(1, 1, 2, 3, 4)
+    data = bytearray(encode_ome_tiff(block, compression=8))
+    # patch the Compression SHORT value 8 -> 32946 in every IFD entry
+    needle = struct.pack("<HHIHH", 259, 3, 1, 8, 0)
+    repl = struct.pack("<HHIHH", 259, 3, 1, 32946, 0)
+    patched = bytes(data).replace(needle, repl)
+    assert patched != bytes(data)
+    out, _ = decode_ome_tiff(patched)
+    np.testing.assert_array_equal(out, block)
+
+
+def test_codec_multisample_roundtrip():
+    """TCZYXS (interleaved RGB-style) pages: S in the XML, PHOTOMETRIC=RGB,
+    out-of-line BitsPerSample/SampleFormat arrays."""
+    rng = np.random.default_rng(9)
+    block = rng.integers(0, 65535, (2, 2, 1, 4, 5, 3), dtype=np.uint16)
+    for comp in (1, 8):
+        data = encode_ome_tiff(block, compression=comp)
+        out, xml = decode_ome_tiff(data)
+        assert out.shape == block.shape
+        np.testing.assert_array_equal(out, block)
+        h = parse_ome_xml(xml)
+        assert h["size_s"] == 3
+        assert h["size_c"] == 2  # plane channels, not channel samples
+        assert 'SizeC="6"' in xml  # OME SizeC totals channel samples
+        assert 'Interleaved="true"' in xml
+
+
+def test_codec_multisample_pages_via_decode_tiff():
+    planes = [np.arange(4 * 5 * 2, dtype=np.uint8).reshape(4, 5, 2)]
+    out, _ = decode_tiff(encode_tiff(planes))
+    assert out[0].shape == (4, 5, 2)
+    np.testing.assert_array_equal(out[0], planes[0])
+
+
+def test_distributed_save_compressed_multisample(spark, tmp_path):
+    from bioio_spark import BioImage
+    from bioio_spark.sources.tiff_image import TiffImageReader
+    from bioio_spark.writers import save_ome_tiff
+
+    rng = np.random.default_rng(21)
+    arr = rng.integers(0, 255, (1, 2, 2, 4, 5, 3), dtype=np.uint8)
+    img = BioImage(arr, dim_order="TCZYXS", spark=spark)
+    out = str(tmp_path / "deflate")
+    report = save_ome_tiff(img, out, compression=8)
+    assert report[0]["n_bytes"] > 0
+    back = BioImage(out, reader=TiffImageReader, spark=spark)
+    assert back.dims.order == "TCZYXS"
+    np.testing.assert_array_equal(back.get_image_data(), arr)
 
 
 def test_ome_xml_attrs():
