@@ -107,13 +107,17 @@ def main() -> None:
                 timings[name] = dt
 
     total = round(sum(timings.values()), 3)
+    # The driver records only the LAST ~2KB of stdout; keep the line compact
+    # (separators, 2-decimal per-query times) and put the suite totals at
+    # the END of the object so they survive even if the head is clipped.
+    timings = {k: round(v, 2) for k, v in timings.items()}
     print(json.dumps({
-        "metric": "headline query suite wall time",
-        "value": total,
-        "unit": "sec",
         "queries": timings,
+        "metric": "headline query suite wall time",
+        "unit": "sec",
         "sf": sf,
-    }))
+        "value": total,
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -66,7 +66,10 @@ def build_ome_xml(size_t: int, size_c: int, size_z: int, size_y: int,
                   image_id: str = "Image:0",
                   image_name: Optional[str] = None,
                   channel_names: Optional[Sequence[str]] = None,
-                  physical_pixel_sizes=None, size_s: int = 1) -> str:
+                  physical_pixel_sizes=None, size_s: int = 1,
+                  physical_size_units: Optional[str] = None,
+                  planes: bool = False,
+                  acquisition_date: Optional[str] = None) -> str:
     """Minimal OME-XML (2016-06 schema) for one Image/Pixels block.
 
     Plane order in the companion TIFF is XYZCT (Z fastest among pages:
@@ -82,11 +85,14 @@ def build_ome_xml(size_t: int, size_c: int, size_z: int, size_y: int,
     pps = physical_pixel_sizes
     phys = ""
     if pps is not None:
+        # value first, then its unit attribute — parse_ome_xml's literal
+        # `PhysicalSizeX="` regex depends on this order being stable
+        unit = physical_size_units or "µm"  # OME default micron
         for attr, val in (("PhysicalSizeX", getattr(pps, "X", None)),
                           ("PhysicalSizeY", getattr(pps, "Y", None)),
                           ("PhysicalSizeZ", getattr(pps, "Z", None))):
             if val is not None:
-                phys += f' {attr}="{float(val)}"'
+                phys += f' {attr}="{float(val)}" {attr}Unit="{unit}"'
     if size_s > 1:
         phys += ' Interleaved="true"'
     channels = []
@@ -97,7 +103,7 @@ def build_ome_xml(size_t: int, size_c: int, size_z: int, size_y: int,
         channels.append(
             f'<Channel ID="{cid}" Name="{name}" '
             f'SamplesPerPixel="{size_s}"/>')
-    tiffdata = []
+    tiffdata, plane_els = [], []
     ifd = 0
     for t in range(size_t):
         for c in range(size_c):
@@ -105,18 +111,23 @@ def build_ome_xml(size_t: int, size_c: int, size_z: int, size_y: int,
                 tiffdata.append(
                     f'<TiffData IFD="{ifd}" FirstT="{t}" FirstC="{c}" '
                     f'FirstZ="{z}" PlaneCount="1"/>')
+                if planes:
+                    plane_els.append(
+                        f'<Plane TheT="{t}" TheC="{c}" TheZ="{z}"/>')
                 ifd += 1
     name_attr = (f' Name="{escape(str(image_name), {chr(34): "&quot;"})}"'
                  if image_name else "")
+    acq = (f'<AcquisitionDate>{escape(str(acquisition_date))}'
+           '</AcquisitionDate>' if acquisition_date else "")
     return (
         '<?xml version="1.0" encoding="UTF-8"?>'
         '<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">'
-        f'<Image ID="{image_id}"{name_attr}>'
+        f'<Image ID="{image_id}"{name_attr}>{acq}'
         f'<Pixels ID="Pixels:{idx}" DimensionOrder="XYZCT" '
         f'Type="{pixel_type}" BigEndian="false" '
         f'SizeT="{size_t}" SizeC="{size_c * size_s}" SizeZ="{size_z}" '
         f'SizeY="{size_y}" SizeX="{size_x}"{phys}>'
-        + "".join(channels) + "".join(tiffdata) +
+        + "".join(channels) + "".join(tiffdata) + "".join(plane_els) +
         "</Pixels></Image></OME>"
     )
 

@@ -140,19 +140,25 @@ def quality_score(documents: DataFrame) -> DataFrame:
     # 2400*n_tokens) so the kept set is identical across engine builds.
     nt, ns, nl = (n_tokens.cast("long"), n_stop.cast("long"),
                   nospace_len.cast("long"))
-    gate = (
+    # gate_margin = 2400*n_tokens*(raw_score - 0.5) as an exact integer;
+    # kept iff margin >= 0. Emitted alongside the rounded display score so
+    # a consumer can reproduce the keep decision even where the rounded
+    # score reads exactly 0.500000000 but the raw score is below 1/2.
+    margin = (
         F.lit(24) * nt * F.least(F.col("n_chars").cast("long"), F.lit(400))
         + F.lit(7200) * ns
         + F.lit(1200) * F.least(nl, F.lit(6) * nt)
-    ) >= F.lit(12000) * nt
+        - F.lit(12000) * nt
+    )
     return (
-        documents.filter(gate)
+        documents.filter(margin >= 0)
         .select(
             "doc_id", "lang",
             n_tokens.alias("n_tokens"),
             stop_ratio.alias("stopword_ratio"),
             length_score.alias("length_score"),
-            score.alias("quality_score"))
+            score.alias("quality_score"),
+            margin.alias("gate_margin"))
         .orderBy("doc_id")
     )
 
@@ -174,7 +180,12 @@ SELECT doc_id, lang, n_tokens,
        round(least(n_chars / 400.0, 1.0) * 0.4
          + (n_stop / CAST(n_tokens AS DOUBLE)) * 0.3
          + least((nospace_len / CAST(n_tokens AS DOUBLE)) / 6.0, 1.0) * 0.3,
-         9) AS quality_score
+         9) AS quality_score,
+       24 * CAST(n_tokens AS BIGINT) * least(CAST(n_chars AS BIGINT), 400)
+         + 7200 * CAST(n_stop AS BIGINT)
+         + 1200 * least(CAST(nospace_len AS BIGINT),
+                        6 * CAST(n_tokens AS BIGINT))
+         - 12000 * CAST(n_tokens AS BIGINT) AS gate_margin
 FROM scored
 WHERE 24 * CAST(n_tokens AS BIGINT) * least(CAST(n_chars AS BIGINT), 400)
       + 7200 * CAST(n_stop AS BIGINT)

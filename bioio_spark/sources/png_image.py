@@ -105,11 +105,18 @@ class PngImageReader:
             for pdf in it:
                 for path, content in zip(pdf["path"], pdf["content"]):
                     local = local_path(path)
+                    if local not in scene_of:
+                        # every path was catalogued; a miss means the
+                        # binaryFile path didn't round-trip (encoding,
+                        # symlink) — fail loudly, never mislabel as Image:0
+                        raise KeyError(
+                            f"PngImageReader: {path!r} (local {local!r}) "
+                            f"not in the catalog scene map")
                     plane = decode_png(bytes(content))
                     y_n, x_n = plane.shape
                     zero = np.zeros(plane.size, dtype=np.int32)
                     yield pd.DataFrame({
-                        "scene": scene_of.get(local, "Image:0"),
+                        "scene": scene_of[local],
                         "t": zero, "c": zero, "z": zero,
                         "y": np.repeat(np.arange(y_n, dtype=np.int32),
                                        x_n),

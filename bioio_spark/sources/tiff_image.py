@@ -38,16 +38,17 @@ _TIFF_EXTS = (".tif", ".tiff", ".ome.tif", ".ome.tiff")
 
 def local_path(path: str) -> str:
     """Hadoop-FS URI -> local filesystem path. binaryFile reports paths as
-    `file:/abs/path` (sometimes `file:///abs/path`); strip the scheme and
-    collapse leading slashes so dict lookups keyed by os.path.abspath
-    match."""
+    `file:/abs/path` (sometimes `file:///abs/path`); strip the scheme,
+    percent-decode (Hadoop URI-encodes spaces etc.), and collapse leading
+    slashes so dict lookups keyed by os.path.abspath match."""
     import re
+    from urllib.parse import unquote
 
     if path.startswith("file:"):
         path = path[len("file:"):]
     elif "://" in path:
         path = path.split("://", 1)[-1]
-    return re.sub(r"^/+", "/", path)
+    return re.sub(r"^/+", "/", unquote(path))
 
 
 def _tiff_paths(image: str) -> list[str]:
@@ -95,12 +96,22 @@ class TiffImageReader:
 
         scene_rows, channel_rows = [], []
         path_to_scene: dict[str, str] = {}
+        seen_scenes: set[str] = set()
         for si, p in enumerate(sorted(paths)):
             xml = read_ome_header(p)
             if xml is None:
                 raise ValueError(f"{p}: no OME-XML ImageDescription")
             h = parse_ome_xml(xml)
             scene = h["image_id"] or f"Image:{si}"
+            # save_ome_tiff (and most writers) embed image_id "Image:0" in
+            # every standalone file, so a directory of individually-saved
+            # TIFFs would collide into one scene and silently merge pixel
+            # rows; fall back to the positional id on duplicates.
+            if scene in seen_scenes:
+                scene = f"Image:{si}"
+                if scene in seen_scenes:  # positional id also embedded
+                    scene = f"Image:{si}@{si}"
+            seen_scenes.add(scene)
             path_to_scene[os.path.abspath(p)] = scene
             names = resolve_channel_names(
                 self._channel_names or h["channel_names"], h["size_c"], si)
@@ -153,9 +164,18 @@ def decode_tiff_files(spark: SparkSession, paths: list[str],
                 local = local_path(path)
                 planes, xml = decode_tiff(bytes(content))
                 h = parse_ome_xml(xml) if xml else {}
-                scene = (scene_of.get(local)
-                         or (h.get("image_id") if h else None)
-                         or "Image:0")
+                if scene_of:
+                    if local not in scene_of:
+                        # the catalog mapped every path; a miss means the
+                        # binaryFile-reported path didn't round-trip — fail
+                        # loudly rather than mislabel pixels
+                        raise KeyError(
+                            f"decode_tiff_files: {path!r} (local {local!r}) "
+                            f"not in the catalog scene map "
+                            f"({sorted(scene_of)[:3]}...)")
+                    scene = scene_of[local]
+                else:
+                    scene = (h.get("image_id") if h else None) or "Image:0"
                 c_n = h.get("size_c") or 1
                 z_n = h.get("size_z") or 1
                 for i, plane in enumerate(planes):

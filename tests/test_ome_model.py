@@ -67,3 +67,56 @@ def test_bioimage_ome_metadata_roundtrip(spark, tmp_path):
     arr_img = BioImage(np.zeros((2, 2)), spark=spark)
     with pytest.raises(NotImplementedError):
         arr_img.ome_metadata
+
+
+def test_planes_units_and_acquisition_date():
+    """Tier-2 depth (ref bio_image.py:1021-1036 exposes the full ome_types
+    tree): Plane grid, physical-size units, AcquisitionDate."""
+    xml = build_ome_xml(2, 1, 3, 4, 4, "uint8", image_id="Image:0",
+                        physical_pixel_sizes=PhysicalPixelSizes(
+                            Z=1.5, Y=0.25, X=0.25),
+                        planes=True, acquisition_date="2024-01-02T03:04:05")
+    ome = OME.from_xml(xml)
+    img = ome.images[0]
+    assert img.acquisition_date == "2024-01-02T03:04:05"
+    px = img.pixels
+    assert px.physical_size_x_unit == "µm"
+    assert px.physical_size_z_unit == "µm"
+    assert len(px.planes) == 2 * 1 * 3
+    # XYZCT page order: z fastest
+    assert (px.planes[0].the_t, px.planes[0].the_c,
+            px.planes[0].the_z) == (0, 0, 0)
+    assert (px.planes[4].the_t, px.planes[4].the_c,
+            px.planes[4].the_z) == (1, 0, 1)
+
+
+def test_instrument_and_stage_positions():
+    doc = (
+        '<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">'
+        '<Instrument ID="Instrument:0">'
+        '<Microscope Model="SpinningDisk"/>'
+        '<Objective ID="Objective:0" Model="60x/1.4"'
+        ' NominalMagnification="60.0" LensNA="1.4"/>'
+        '</Instrument>'
+        '<Image ID="Image:0"><InstrumentRef ID="Instrument:0"/>'
+        '<Pixels ID="Pixels:0" Type="uint16" SizeT="1" SizeC="1"'
+        ' SizeZ="1" SizeY="2" SizeX="2" PhysicalSizeX="0.1"'
+        ' PhysicalSizeXUnit="nm" Interleaved="false">'
+        '<Plane TheT="0" TheC="0" TheZ="0" PositionX="12.5"'
+        ' PositionY="-3.25" PositionZ="0.5" PositionXUnit="µm"'
+        ' DeltaT="0.75" ExposureTime="0.02"/>'
+        '</Pixels></Image></OME>')
+    ome = OME.from_xml(doc)
+    assert len(ome.instruments) == 1
+    inst = ome.instruments[0]
+    assert inst.microscope_model == "SpinningDisk"
+    assert inst.objectives[0].nominal_magnification == 60.0
+    assert inst.objectives[0].lens_na == 1.4
+    img = ome.images[0]
+    assert img.instrument_ref == "Instrument:0"
+    px = img.pixels
+    assert px.physical_size_x_unit == "nm" and px.interleaved is False
+    p = px.planes[0]
+    assert (p.position_x, p.position_y, p.position_z) == (12.5, -3.25, 0.5)
+    assert p.position_x_unit == "µm"
+    assert p.delta_t == 0.75 and p.exposure_time == 0.02

@@ -215,3 +215,27 @@ def test_select_scenes_export(spark, tmp_path):
     back = BioImage(out, reader=TiffImageReader, spark=spark)
     assert back.scenes == ("Image:2",)
     np.testing.assert_array_equal(back.get_image_data(), arrs[2])
+
+
+def test_directory_of_individually_saved_files_keeps_scenes_distinct(
+        spark, tmp_path):
+    """Each standalone OmeTiffWriter.save embeds image_id 'Image:0'; a
+    directory of such files must still read back as distinct scenes
+    (positional fallback), not silently merge pixel rows."""
+    from bioio_spark import BioImage
+    from bioio_spark.sources.tiff_image import TiffImageReader
+    from bioio_spark.writers import OmeTiffWriter
+
+    d = tmp_path / "many"
+    d.mkdir()
+    arrs = [np.full((2, 3), 10 * i + 1, dtype=np.uint8) for i in range(3)]
+    for i, a in enumerate(arrs):
+        OmeTiffWriter.save(a, str(d / f"f{i}.ome.tiff"), dim_order="YX")
+
+    img = BioImage(str(d), reader=TiffImageReader, spark=spark)
+    assert len(img.scenes) == 3
+    assert len(set(img.scenes)) == 3  # no duplicate scene ids
+    for i in range(3):
+        img.set_scene(i)
+        np.testing.assert_array_equal(
+            img.get_image_data()[0, 0, 0], arrs[i])
