@@ -45,6 +45,15 @@ def _register_builtin_plugins() -> None:
         is_supported_image=PngImageReader.is_supported_image,
         version=__version__,
     ))
+    from bioio_spark.sources.zarr_image import ZarrImageReader
+
+    register_plugin(PluginEntry(
+        name="bioio-ome-zarr-baseline",
+        reader=ZarrImageReader,
+        extensions=[".zarr", ".ome.zarr"],
+        is_supported_image=ZarrImageReader.is_supported_image,
+        version=__version__,
+    ))
 
 
 _register_builtin_plugins()

@@ -603,6 +603,11 @@ def _route(image):
         from bioio_spark.sources.png_image import PngImageReader
 
         return PngImageReader
+    if isinstance(image, str) and image.rstrip("/").lower().endswith(
+            (".zarr", ".ome.zarr")):
+        from bioio_spark.sources.zarr_image import ZarrImageReader
+
+        return ZarrImageReader
     return determine_reader(image)
 
 

@@ -934,6 +934,64 @@ def img_ome_tiff_roundtrip_compressed(spark, sf_dir):
             .orderBy("c", "s"))
 
 
+# --------------------------------------------------------------------------
+# OME-Zarr (NGFF 0.4 / Zarr v2) roundtrip — the reference's bioio-ome-zarr
+# surface (ref README.md:66,81). Chunks (1,1,2,3,4) do NOT divide the
+# (2,2,3,5,6) shape, so edge-chunk fill padding and trim are on the hashed
+# path; zlib chunk compression exercised both directions. Grouping by
+# (z, y) makes a chunk-offset bug (grid*chunk arithmetic) move values
+# between groups and change the hash.
+# --------------------------------------------------------------------------
+_RTZ_SHAPE = (2, 2, 3, 5, 6)  # T C Z Y X
+
+
+@register(
+    "img_ome_zarr_roundtrip",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {2 * 3 * 5 * 6} AS INTEGER) AS t,
+             CAST((i // {3 * 5 * 6}) % 2 AS INTEGER) AS c,
+             CAST((i // {5 * 6}) % 3 AS INTEGER) AS z,
+             CAST((i // 6) % 5 AS INTEGER) AS y,
+             CAST(i % 6 AS INTEGER) AS x,
+             CAST((i // {2 * 3 * 5 * 6}) * 100000
+                  + ((i // {3 * 5 * 6}) % 2) * 10000
+                  + ((i // {5 * 6}) % 3) * 1000
+                  + ((i // 6) % 5) * 10 + (i % 6) AS DOUBLE) AS value
+      FROM range({2 * 2 * 3 * 5 * 6}) r(i))
+    SELECT z, y, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY z, y ORDER BY z, y
+    """,
+    doc="OME-Zarr chunked save -> reread roundtrip (NGFF 0.4, zlib chunks)",
+)
+def img_ome_zarr_roundtrip(spark, sf_dir):
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.sources.zarr_image import ZarrImageReader
+    from bioio_spark.writers import save_ome_zarr
+
+    idx = np.indices(_RTZ_SHAPE)
+    block = (idx[0] * 100000 + idx[1] * 10000 + idx[2] * 1000
+             + idx[3] * 10 + idx[4]).astype(np.uint32)
+    img = BioImage(block, spark=spark)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "zarr_roundtrip")
+    shutil.rmtree(out, ignore_errors=True)
+    save_ome_zarr(img, out, chunks=(1, 1, 2, 3, 4))
+    back = BioImage(out, reader=ZarrImageReader, spark=spark)
+    return (back.get_image_dataframe()
+            .groupBy("z", "y")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("z", "y"))
+
+
 @register(
     "img_planes_blur",
     oracle=f"""

@@ -1,0 +1,219 @@
+"""OME-Zarr reader (third real-format plugin; S4 routing tier).
+
+The reference's bioio-ome-zarr plugin reads `.zarr` stores (ref
+README.md:66); this is its Spark-native analog over the in-repo Zarr v2
+codec (bioio_spark.formats.zarr):
+
+- **Catalog (driver-side)**: only the `.zattrs` / `.zarray` JSON documents
+  are read per scene — shape/dtype/chunking/channel labels/physical sizes
+  without touching chunk data (the D8 metadata-only contract).
+- **Pixels (executor-side)**: `binaryFile` scans the CHUNK FILES (Hadoop's
+  hidden-file filter skips the dot-prefixed metadata documents for free)
+  and an Arrow-batched `mapInPandas` decodes each chunk to long-form pixel
+  rows. Decode parallelism is the CHUNK COUNT — for a 100 TB store that is
+  tens of millions of independent tasks, the property that makes Zarr the
+  scale-native format of the reference's plugin pair.
+
+Supports Zarr v2 stores with C order, zlib or no compressor, "." or "/"
+dimension separators, any subset of the tczyx NGFF axes (absent axes read
+as size-1), and trims edge-chunk fill padding to the array bounds.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _scene_roots(image: str) -> list[str]:
+    """A `.zarr` group dir is one scene; a directory of `scene_*.zarr`
+    groups (the save_ome_zarr layout) is a multi-scene image."""
+    if image.rstrip("/").lower().endswith(".zarr"):
+        return [image.rstrip("/")]
+    if os.path.isdir(image):
+        return sorted(
+            p for p in _glob.glob(os.path.join(image, "*.zarr"))
+            if os.path.isdir(p))
+    return []
+
+
+def _read_doc(root: str, name: str) -> Optional[str]:
+    p = os.path.join(root, name)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return f.read()
+
+
+class ZarrImageReader:
+    """BioImage reader over OME-NGFF 0.4 / Zarr v2 stores (plugin tier)."""
+
+    @staticmethod
+    def is_supported_image(image) -> bool:
+        if not isinstance(image, str):
+            return False
+        roots = _scene_roots(image)
+        return bool(roots) and all(
+            _read_doc(r, ".zattrs") is not None
+            or _read_doc(os.path.join(r, "0"), ".zarray") is not None
+            or _read_doc(r, ".zarray") is not None
+            for r in roots)
+
+    def __init__(self, image: str, dim_order=None, channel_names=None,
+                 physical_pixel_sizes=None, image_id: str = "img",
+                 **_kwargs):
+        if dim_order is not None:
+            raise ValueError("OME-Zarr dimension order comes from the "
+                             "NGFF axes metadata; dim_order not accepted")
+        self._path = image
+        self._image_id = image_id
+        self._channel_names = channel_names
+        self._pps = physical_pixel_sizes
+
+    def to_dataset(self, spark: SparkSession):
+        from bioio_spark.formats.zarr import parse_ngff_attrs, parse_zarray
+        from bioio_spark.ome_utils import resolve_channel_names
+        from bioio_spark.sources.array_like import (PIXEL_COLUMNS,
+                                                    ImageDataset)
+        from bioio_spark.types import PhysicalPixelSizes
+
+        roots = _scene_roots(self._path)
+        if not roots:
+            raise FileNotFoundError(f"No .zarr stores under {self._path}")
+
+        scene_rows, channel_rows = [], []
+        arrays: dict[str, dict] = {}   # abs array dir -> decode info
+        for si, root in enumerate(roots):
+            attrs_doc = _read_doc(root, ".zattrs")
+            attrs = (parse_ngff_attrs(attrs_doc) if attrs_doc
+                     else {"name": None, "axes": None, "level_paths": ["0"],
+                           "scale": None, "channel_names": None})
+            level = attrs["level_paths"][0]
+            arr_dir = os.path.join(root, level)
+            zdoc = _read_doc(arr_dir, ".zarray")
+            if zdoc is None:            # bare array store (no group level)
+                arr_dir, zdoc = root, _read_doc(root, ".zarray")
+            if zdoc is None:
+                raise ValueError(f"{root}: no .zarray document")
+            za = parse_zarray(zdoc)
+            axes = attrs["axes"] or "tczyx"[-len(za["shape"]):]
+            if len(axes) != len(za["shape"]):
+                raise ValueError(
+                    f"{root}: axes {axes!r} vs shape {za['shape']}")
+            size = {d: 1 for d in "tczyx"}
+            size.update(dict(zip(axes, za["shape"])))
+
+            scene = f"Image:{si}"
+            pps = self._pps
+            if pps is None and attrs["scale"]:
+                by_ax = dict(zip(axes, attrs["scale"]))
+                vals = {d: float(by_ax.get(d, 1.0)) for d in "zyx"}
+                if any(v != 1.0 for v in vals.values()):
+                    pps = PhysicalPixelSizes(
+                        Z=vals["z"], Y=vals["y"], X=vals["x"])
+            names = resolve_channel_names(
+                self._channel_names or attrs["channel_names"],
+                size["c"], si)
+            for ci, nm in enumerate(names):
+                channel_rows.append({
+                    "image_id": self._image_id, "scene": scene,
+                    "c": ci, "channel_name": nm})
+            scene_rows.append({
+                "image_id": self._image_id, "scene": scene,
+                "scene_idx": si, "dim_order": "TCZYX",
+                "size_t": size["t"], "size_c": size["c"],
+                "size_z": size["z"], "size_y": size["y"],
+                "size_x": size["x"], "size_m": None, "size_s": None,
+                "dtype": str(za["dtype"]),
+                "ome_pixel_type": str(za["dtype"]),
+                "pps_z": pps.Z if pps else None,
+                "pps_y": pps.Y if pps else None,
+                "pps_x": pps.X if pps else None,
+                "time_interval": None,
+                "metadata": attrs_doc,
+            })
+            arrays[os.path.abspath(arr_dir)] = {
+                "scene": scene, "axes": axes,
+                "shape": za["shape"], "chunks": za["chunks"],
+                "dtype": str(za["dtype"]),
+                "compressor": za["compressor"],
+            }
+
+        px = decode_zarr_chunks(spark, arrays).select(
+            F.lit(self._image_id).alias("image_id"), "scene",
+            F.lit(0).alias("res_level"), "t", "c", "z", "y", "x",
+            F.lit(-1).alias("m"), F.lit(-1).alias("s"), "value",
+        ).select(*PIXEL_COLUMNS)
+
+        return ImageDataset(pixels=px, scenes=pd.DataFrame(scene_rows),
+                            channels=pd.DataFrame(channel_rows))
+
+
+def decode_zarr_chunks(spark: SparkSession,
+                       arrays: dict[str, dict]) -> DataFrame:
+    """binaryFile scan over chunk files + mapInPandas chunk decode.
+
+    One pandas frame per chunk bounds executor memory to a single chunk;
+    edge chunks are trimmed to the array bounds (Zarr v2 stores them
+    full-shape, fill-padded)."""
+    from bioio_spark.sources.tiff_image import local_path
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from bioio_spark.formats.zarr import decode_chunk
+
+        for pdf in it:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                local = local_path(path)
+                info = None
+                for arr_dir, cand in arrays.items():
+                    if local.startswith(arr_dir + os.sep):
+                        info = cand
+                        rel = os.path.relpath(local, arr_dir)
+                        break
+                if info is None:
+                    raise KeyError(
+                        f"decode_zarr_chunks: {path!r} not under any "
+                        f"catalogued array root")
+                # "." separator -> flat name "t.c.z.y.x"; "/" separator
+                # -> nested dirs; both normalize through relpath
+                grid = [int(p) for p in
+                        rel.replace(os.sep, ".").split(".")]
+                shape, chunks = info["shape"], info["chunks"]
+                if len(grid) != len(shape):
+                    raise ValueError(
+                        f"{rel}: chunk key rank {len(grid)} vs array "
+                        f"rank {len(shape)}")
+                block = decode_chunk(bytes(content), info["dtype"],
+                                     chunks, info["compressor"])
+                # trim fill padding on edge chunks
+                valid = tuple(
+                    min(c, s - g * c)
+                    for g, s, c in zip(grid, shape, chunks))
+                block = block[tuple(slice(0, v) for v in valid)]
+                coords = {d: np.zeros(block.size, dtype=np.int32)
+                          for d in "tczyx"}
+                idx = np.indices(valid, dtype=np.int32)
+                for ai, d in enumerate(info["axes"]):
+                    coords[d] = (idx[ai].ravel()
+                                 + np.int32(grid[ai] * chunks[ai]))
+                yield pd.DataFrame({
+                    "scene": info["scene"],
+                    "t": coords["t"], "c": coords["c"],
+                    "z": coords["z"], "y": coords["y"], "x": coords["x"],
+                    "value": block.ravel().astype(np.float64),
+                })
+
+    binary = (spark.read.format("binaryFile")
+              .option("recursiveFileLookup", "true")
+              .load([f"file://{d}" for d in arrays]))
+    return binary.select("path", "content").mapInPandas(
+        batches,
+        schema="scene string, t int, c int, z int, y int, x int, "
+               "value double")

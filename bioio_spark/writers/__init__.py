@@ -280,6 +280,136 @@ def save_ome_tiff(img, uri: str, select_scenes=None,
     return report.collect()
 
 
+def _default_zarr_chunks(shape) -> tuple:
+    """One YX tile per chunk, capped at 256x256 — the NGFF-conventional
+    chunking that keeps a chunk a few hundred KB and makes the chunk grid
+    (not the file count) the unit of parallelism."""
+    t, c, z, y, x = shape
+    return (1, 1, 1, min(int(y), 256), min(int(x), 256))
+
+
+def save_ome_zarr(img, uri: str, select_scenes=None, chunks=None,
+                  compressor: str = "zlib") -> list:
+    """Distributed OME-Zarr export (the reference's OMEZarrWriter surface,
+    ref README.md:81 — OME-NGFF; this writes NGFF 0.4 over Zarr v2).
+
+    Unlike the OME-TIFF sink (a sequential container: one scene = one task),
+    Zarr is chunk-parallel: the stack frame is bucketed by chunk-grid
+    indices and `applyInPandas` encodes + writes ONE CHUNK per group, so
+    write parallelism is the total chunk count across scenes. At 100 TB
+    this is the sink that saturates a 1000-executor cluster; edge chunks
+    are padded to full chunk shape with fill_value per the Zarr v2 spec.
+
+    Layout: `{uri}/scene_{i}.zarr/` group per scene — `.zgroup`, `.zattrs`
+    (NGFF multiscales + omero channel labels), and array `0/` with
+    `.zarray` + `t.c.z.y.x` chunk files. Returns report rows
+    (scene_idx, scene, path, n_chunks, n_bytes).
+    """
+    import os
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bioio_spark.formats.zarr import (ZGROUP, build_ngff_attrs,
+                                          build_zarray, chunk_key,
+                                          encode_chunk)
+
+    os.makedirs(uri, exist_ok=True)
+    scenes = list(img.scenes)
+    if select_scenes is not None:
+        sel = [s if isinstance(s, str) else scenes[s] for s in select_scenes]
+        scenes = [s for s in scenes if s in sel]
+
+    meta: dict[int, dict] = {}
+    current = img.current_scene_index
+    try:
+        for s in scenes:
+            img.set_scene(s)
+            d = img.dims
+            if "S" in d.order:
+                raise ValueError(
+                    "OME-Zarr scenes are TCZYX; fold the S dim into C "
+                    "before saving (the OME SizeC rule)")
+            shape = tuple(int(d[c][0]) for c in "TCZYX")
+            meta[img.scenes.index(s)] = {
+                "scene": s,
+                "shape": shape,
+                "chunks": tuple(chunks) if chunks
+                else _default_zarr_chunks(shape),
+                "dtype": str(img.dtype),
+                "channel_names": img.channel_names,
+                "pps": img.physical_pixel_sizes,
+            }
+    finally:
+        img.set_scene(current)
+
+    # group metadata is driver-written (tiny JSON documents); pixel chunks
+    # are executor-written
+    for idx, m in meta.items():
+        root = os.path.join(uri, f"scene_{idx}.zarr")
+        os.makedirs(os.path.join(root, "0"), exist_ok=True)
+        with open(os.path.join(root, ".zgroup"), "w") as f:
+            f.write(ZGROUP)
+        with open(os.path.join(root, ".zattrs"), "w") as f:
+            f.write(build_ngff_attrs(m["scene"], m["channel_names"],
+                                     m["pps"]))
+        with open(os.path.join(root, "0", ".zarray"), "w") as f:
+            f.write(build_zarray(m["shape"], m["chunks"], m["dtype"],
+                                 compressor=compressor))
+
+    # chunk-grid bucketing: per-scene chunk sizes via a literal map (a few
+    # scenes; stays a codegen projection, no extra shuffle beyond the
+    # groupBy on the grid key)
+    def _chunk_col(dim: str, pos: int):
+        pairs = []
+        for idx, m in meta.items():
+            pairs += [F.lit(idx), F.lit(m["chunks"][pos])]
+        return (F.col(dim) / F.create_map(*pairs)[F.col("scene_idx")]
+                ).cast("int")
+
+    df = (img.get_stack_dataframe()
+          .filter(F.col("scene_idx").isin(list(meta)))
+          .withColumn("ct", _chunk_col("t", 0))
+          .withColumn("cc", _chunk_col("c", 1))
+          .withColumn("cz", _chunk_col("z", 2))
+          .withColumn("cy", _chunk_col("y", 3))
+          .withColumn("cx", _chunk_col("x", 4)))
+
+    def encode_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        idx = int(pdf["scene_idx"].iloc[0])
+        m = meta[idx]
+        cs = m["chunks"]
+        grid = tuple(int(pdf[k].iloc[0]) for k in
+                     ("ct", "cc", "cz", "cy", "cx"))
+        off = tuple(g * c for g, c in zip(grid, cs))
+        block = np.zeros(cs, dtype=m["dtype"])  # fill_value 0 padding
+        flat = ((pdf["t"].to_numpy() - off[0]) * (cs[1] * cs[2] * cs[3] * cs[4])
+                + (pdf["c"].to_numpy() - off[1]) * (cs[2] * cs[3] * cs[4])
+                + (pdf["z"].to_numpy() - off[2]) * (cs[3] * cs[4])
+                + (pdf["y"].to_numpy() - off[3]) * cs[4]
+                + (pdf["x"].to_numpy() - off[4]))
+        block.ravel()[flat] = pdf["value"].to_numpy()
+        payload = encode_chunk(block, compressor=compressor)
+        path = os.path.join(uri, f"scene_{idx}.zarr", "0", chunk_key(grid))
+        with open(path, "wb") as f:
+            f.write(payload)
+        return pd.DataFrame({"scene_idx": [idx], "n_bytes": [len(payload)]})
+
+    per_chunk = (df.groupBy("scene_idx", "ct", "cc", "cz", "cy", "cx")
+                 .applyInPandas(encode_one, "scene_idx int, n_bytes long")
+                 .groupBy("scene_idx")
+                 .agg(F.count(F.lit(1)).alias("n_chunks"),
+                      F.sum("n_bytes").alias("n_bytes"))
+                 .orderBy("scene_idx")
+                 .collect())
+    return [{"scene_idx": r["scene_idx"],
+             "scene": meta[r["scene_idx"]]["scene"],
+             "path": os.path.join(uri, f"scene_{r['scene_idx']}.zarr"),
+             "n_chunks": r["n_chunks"], "n_bytes": r["n_bytes"]}
+            for r in per_chunk]
+
+
 def read_parquet_image(spark, uri: str, image_id: str = "img"):
     """Load a save_parquet() sink back into an ImageDataset (the native
     format's reader; inverse of save_parquet).

@@ -1,0 +1,142 @@
+"""Zarr v2 codec + OME-NGFF writer/reader roundtrips (the reference's
+bioio-ome-zarr plugin surface, ref README.md:66,81)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from bioio_spark.formats.zarr import (build_ngff_attrs, build_zarray,
+                                      decode_chunk, encode_chunk,
+                                      parse_ngff_attrs, parse_zarray)
+from bioio_spark.types import PhysicalPixelSizes
+
+
+@pytest.mark.parametrize("compressor", ["zlib", None])
+def test_chunk_codec_roundtrip(compressor):
+    rng = np.random.default_rng(3)
+    block = rng.integers(0, 65535, (1, 1, 2, 4, 5), dtype=np.uint16)
+    data = encode_chunk(block, compressor=compressor)
+    back = decode_chunk(data, block.dtype, block.shape,
+                        compressor=compressor)
+    np.testing.assert_array_equal(back, block)
+
+
+def test_zarray_document_roundtrip():
+    doc = build_zarray((2, 3, 4, 16, 20), (1, 1, 2, 8, 8), "uint16")
+    za = parse_zarray(doc)
+    assert za["shape"] == (2, 3, 4, 16, 20)
+    assert za["chunks"] == (1, 1, 2, 8, 8)
+    assert za["dtype"] == np.dtype("uint16")
+    assert za["compressor"] == "zlib"
+    assert za["dimension_separator"] == "."
+
+
+def test_zarray_rejects_unsupported():
+    bad = json.loads(build_zarray((2, 2), (1, 1), "uint8"))
+    bad["compressor"] = {"id": "blosc"}
+    with pytest.raises(ValueError, match="compressor"):
+        parse_zarray(json.dumps(bad))
+    bad2 = json.loads(build_zarray((2, 2), (1, 1), "uint8"))
+    bad2["order"] = "F"
+    with pytest.raises(ValueError, match="C-order"):
+        parse_zarray(json.dumps(bad2))
+
+
+def test_ngff_attrs_roundtrip():
+    doc = build_ngff_attrs("demo", ["DAPI", "GFP"],
+                           PhysicalPixelSizes(Z=2.0, Y=0.5, X=0.5))
+    a = parse_ngff_attrs(doc)
+    assert a["name"] == "demo"
+    assert a["axes"] == "tczyx"
+    assert a["level_paths"] == ["0"]
+    assert a["scale"] == [1.0, 1.0, 2.0, 0.5, 0.5]
+    assert a["channel_names"] == ["DAPI", "GFP"]
+
+
+def test_save_and_bioimage_roundtrip(spark, tmp_path):
+    """Full chain: BioImage -> chunked NGFF store -> BioImage; chunk grid
+    does NOT divide the shape evenly, so edge-trim and fill-padding are on
+    the path."""
+    from bioio_spark import BioImage
+    from bioio_spark.sources.zarr_image import ZarrImageReader
+    from bioio_spark.writers import save_ome_zarr
+
+    rng = np.random.default_rng(11)
+    scenes = [rng.integers(0, 4096, (2, 2, 3, 5, 7), dtype=np.uint16),
+              rng.integers(0, 4096, (1, 2, 2, 4, 6), dtype=np.uint16)]
+    img = BioImage(scenes, channel_names=["a", "b"], spark=spark,
+                   physical_pixel_sizes=PhysicalPixelSizes(1.0, 0.25, 0.25))
+    out = str(tmp_path / "export")
+    report = save_ome_zarr(img, out, chunks=(1, 1, 2, 3, 4))
+    assert [r["scene_idx"] for r in report] == [0, 1]
+    # scene 0 grid: 2*2*ceil(3/2)*ceil(5/3)*ceil(7/4) = 2*2*2*2*2 = 32
+    assert report[0]["n_chunks"] == 32
+    assert all(r["n_bytes"] > 0 for r in report)
+    assert os.path.exists(
+        os.path.join(out, "scene_0.zarr", "0", "0.0.0.0.0"))
+
+    back = BioImage(out, reader=ZarrImageReader, spark=spark)
+    assert len(back.scenes) == 2
+    assert back.dtype == np.dtype("uint16")
+    assert back.physical_pixel_sizes == PhysicalPixelSizes(1.0, 0.25, 0.25)
+    for i, arr in enumerate(scenes):
+        back.set_scene(i)
+        assert back.dims.order == "TCZYX"
+        np.testing.assert_array_equal(back.get_image_data(), arr)
+
+
+def test_single_store_suffix_routing(spark, tmp_path):
+    """A path ending in .zarr routes without an explicit reader."""
+    from bioio_spark import BioImage
+    from bioio_spark.writers import save_ome_zarr
+
+    a = np.arange(2 * 3 * 4, dtype=np.float32).reshape(1, 1, 2, 3, 4)
+    img = BioImage(a, spark=spark, channel_names=["ch"])
+    out = str(tmp_path / "one")
+    save_ome_zarr(img, out)
+    store = os.path.join(out, "scene_0.zarr")
+    back = BioImage(store, spark=spark)  # suffix routing
+    assert back.scenes == ("Image:0",)
+    assert back.channel_names == ["ch"]
+    assert back.dtype == np.dtype("float32")
+    np.testing.assert_array_equal(back.get_image_data(), a)
+
+
+def test_reads_foreign_store_slash_separator_zyx(spark, tmp_path):
+    """Stores written by other tools: '/'-separated chunk keys, a bare
+    zyx axes subset, no compressor."""
+    root = tmp_path / "foreign.zarr"
+    arr_dir = root / "0"
+    shape, chunks = (3, 4, 5), (2, 3, 4)
+    rng = np.random.default_rng(7)
+    full = rng.integers(0, 255, shape, dtype=np.uint8)
+    os.makedirs(arr_dir)
+    (root / ".zgroup").write_text(json.dumps({"zarr_format": 2}))
+    (root / ".zattrs").write_text(json.dumps({"multiscales": [{
+        "version": "0.4",
+        "axes": [{"name": n, "type": "space"} for n in "zyx"],
+        "datasets": [{"path": "0"}]}]}))
+    zdoc = json.loads(build_zarray(shape, chunks, "uint8",
+                                   compressor=None))
+    zdoc["dimension_separator"] = "/"
+    (arr_dir / ".zarray").write_text(json.dumps(zdoc))
+    import math
+    for gz in range(math.ceil(shape[0] / chunks[0])):
+        for gy in range(math.ceil(shape[1] / chunks[1])):
+            for gx in range(math.ceil(shape[2] / chunks[2])):
+                block = np.zeros(chunks, dtype=np.uint8)
+                sl = tuple(slice(g * c, min((g + 1) * c, s))
+                           for g, c, s in zip((gz, gy, gx), chunks, shape))
+                ext = tuple(s.stop - s.start for s in sl)
+                block[tuple(slice(0, e) for e in ext)] = full[sl]
+                d = arr_dir / str(gz) / str(gy)
+                os.makedirs(d, exist_ok=True)
+                (d / str(gx)).write_bytes(
+                    encode_chunk(block, compressor=None))
+
+    from bioio_spark import BioImage
+    img = BioImage(str(root), spark=spark)
+    assert img.dims["ZYX"] == shape
+    np.testing.assert_array_equal(img.get_image_data()[0, 0], full)
