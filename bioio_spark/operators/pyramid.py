@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_KEYS = ["image_id", "scene", "t", "c", "z", "m", "s"]
+_KEYS = ["image_id", "scene", "scene_idx", "t", "c", "z", "m", "s"]
 
 
 def downsample_2x(pixels: DataFrame) -> DataFrame:

@@ -103,6 +103,15 @@ class ZarrImageReader:
             if zdoc is None:
                 raise ValueError(f"{root}: no .zarray document")
             za = parse_zarray(zdoc)
+            # multiscale levels beyond the first (C4: every NGFF dataset
+            # path is a selectable resolution level)
+            extra_levels = []
+            if arr_dir != root:
+                for lv, lp in enumerate(attrs["level_paths"][1:], start=1):
+                    ld = os.path.join(root, lp)
+                    lzdoc = _read_doc(ld, ".zarray")
+                    if lzdoc is not None:
+                        extra_levels.append((lv, ld, parse_zarray(lzdoc)))
             axes = attrs["axes"] or "tczyx"[-len(za["shape"]):]
             if len(axes) != len(za["shape"]):
                 raise ValueError(
@@ -131,6 +140,7 @@ class ZarrImageReader:
                 "size_t": size["t"], "size_c": size["c"],
                 "size_z": size["z"], "size_y": size["y"],
                 "size_x": size["x"], "size_m": None, "size_s": None,
+                "res_levels": [0] + [lv for lv, _, _ in extra_levels],
                 "dtype": str(za["dtype"]),
                 "ome_pixel_type": str(za["dtype"]),
                 "pps_z": pps.Z if pps else None,
@@ -140,15 +150,22 @@ class ZarrImageReader:
                 "metadata": attrs_doc,
             })
             arrays[os.path.abspath(arr_dir)] = {
-                "scene": scene, "axes": axes,
+                "scene": scene, "axes": axes, "res_level": 0,
                 "shape": za["shape"], "chunks": za["chunks"],
                 "dtype": str(za["dtype"]),
                 "compressor": za["compressor"],
             }
+            for lv, ld, lza in extra_levels:
+                arrays[os.path.abspath(ld)] = {
+                    "scene": scene, "axes": axes, "res_level": lv,
+                    "shape": lza["shape"], "chunks": lza["chunks"],
+                    "dtype": str(lza["dtype"]),
+                    "compressor": lza["compressor"],
+                }
 
         px = decode_zarr_chunks(spark, arrays).select(
             F.lit(self._image_id).alias("image_id"), "scene",
-            F.lit(0).alias("res_level"), "t", "c", "z", "y", "x",
+            "res_level", "t", "c", "z", "y", "x",
             F.lit(-1).alias("m"), F.lit(-1).alias("s"), "value",
         ).select(*PIXEL_COLUMNS)
 
@@ -205,6 +222,7 @@ def decode_zarr_chunks(spark: SparkSession,
                                  + np.int32(grid[ai] * chunks[ai]))
                 yield pd.DataFrame({
                     "scene": info["scene"],
+                    "res_level": np.int32(info.get("res_level", 0)),
                     "t": coords["t"], "c": coords["c"],
                     "z": coords["z"], "y": coords["y"], "x": coords["x"],
                     "value": block.ravel().astype(np.float64),
@@ -215,5 +233,5 @@ def decode_zarr_chunks(spark: SparkSession,
               .load([f"file://{d}" for d in arrays]))
     return binary.select("path", "content").mapInPandas(
         batches,
-        schema="scene string, t int, c int, z int, y int, x int, "
-               "value double")
+        schema="scene string, res_level int, t int, c int, z int, y int, "
+               "x int, value double")

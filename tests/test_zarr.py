@@ -140,3 +140,52 @@ def test_reads_foreign_store_slash_separator_zyx(spark, tmp_path):
     img = BioImage(str(root), spark=spark)
     assert img.dims["ZYX"] == shape
     np.testing.assert_array_equal(img.get_image_data()[0, 0], full)
+
+
+def test_multiscale_pyramid_roundtrip(spark, tmp_path):
+    """n_levels>1 writes the NGFF multiscale pyramid (C4 producer inline);
+    the reader exposes every dataset path as a selectable res level."""
+    from bioio_spark import BioImage
+    from bioio_spark.writers import save_ome_zarr
+
+    # deterministic ramp so 2x2 block means are exact .25-grid values
+    a = (np.arange(1 * 1 * 1 * 6 * 8, dtype=np.float64)
+         .reshape(1, 1, 1, 6, 8))
+    img = BioImage(a, spark=spark)
+    out = str(tmp_path / "pyr")
+    save_ome_zarr(img, out, chunks=(1, 1, 1, 4, 4), n_levels=3)
+    store = os.path.join(out, "scene_0.zarr")
+    attrs = json.loads(open(os.path.join(store, ".zattrs")).read())
+    assert [d["path"] for d in
+            attrs["multiscales"][0]["datasets"]] == ["0", "1", "2"]
+    # level scale doubles y/x per level
+    assert attrs["multiscales"][0]["datasets"][2][
+        "coordinateTransformations"][0]["scale"][-1] == 4.0
+
+    back = BioImage(store, spark=spark)
+    assert back.resolution_levels == (0, 1, 2)
+    assert back.resolution_level_dims[1][-2:] == (3, 4)
+    assert back.resolution_level_dims[2][-2:] == (2, 2)
+    np.testing.assert_array_equal(back.get_image_data(), a)
+    back.set_resolution_level(1)
+    expect1 = a.reshape(1, 1, 1, 3, 2, 4, 2).mean(axis=(4, 6))
+    np.testing.assert_array_equal(back.get_image_data(), expect1)
+    back.set_resolution_level(2)
+    # ragged edge: level-2 x = ceil(4/2) = 2
+    assert back.get_image_data().shape == (1, 1, 1, 2, 2)
+
+
+def test_multiscale_integer_dtype_rounds(spark, tmp_path):
+    from bioio_spark import BioImage
+    from bioio_spark.writers import save_ome_zarr
+
+    a = np.array([[0, 1], [2, 4]], dtype=np.uint8).reshape(1, 1, 1, 2, 2)
+    img = BioImage(a, spark=spark)
+    out = str(tmp_path / "ri")
+    save_ome_zarr(img, out, chunks=(1, 1, 1, 2, 2), n_levels=2)
+    back = BioImage(os.path.join(out, "scene_0.zarr"), spark=spark)
+    back.set_resolution_level(1)
+    # mean 1.75 -> rint -> 2, stored back in uint8
+    np.testing.assert_array_equal(
+        back.get_image_data(), np.array([[[[[2]]]]], dtype=np.uint8))
+    assert back.dtype == np.dtype("uint8")
