@@ -6,8 +6,10 @@ library ships in this container, so this module implements the subset the
 OME-TIFF spec actually requires for multi-page scientific imagery:
 little-endian classic TIFF, one IFD per plane, one strip per plane,
 SampleFormat/BitsPerSample for the full OME integer/float pixel-type set,
-Compression 1 (none) and 8 (Adobe Deflate, via zlib — decode also accepts
-the legacy 32946 Deflate code), interleaved SamplesPerPixel > 1 pages (the
+Compression 1 (none), 5 (TIFF 6.0 LZW with EarlyChange, both directions),
+and 8 (Adobe Deflate, via zlib — decode also accepts the legacy 32946
+Deflate code), Predictor 2 horizontal differencing (the common wild
+LZW pairing), interleaved SamplesPerPixel > 1 pages (the
 S dimension of the reference's TCZYX+S standard order, ref
 bio_image.py:500-546), and the OME-XML block in IFD0's ImageDescription.
 
@@ -44,8 +46,10 @@ _PLANAR_CONFIG = 284
 _SAMPLE_FORMAT = 339
 
 _COMPRESSION_NONE = 1
+_COMPRESSION_LZW = 5              # TIFF 6.0 §13 LZW (MSB-first, EarlyChange)
 _COMPRESSION_DEFLATE = 8          # Adobe Deflate (TIFF spec supplement 2)
 _COMPRESSION_DEFLATE_OLD = 32946  # legacy Deflate code, decode-only
+_PREDICTOR = 317                  # 1 = none, 2 = horizontal differencing
 
 _TYPE_SHORT = 3   # uint16
 _TYPE_LONG = 4    # uint32
@@ -162,7 +166,8 @@ def _ifd_entry_shorts(tag: int, values: Sequence[int], off: int) -> bytes:
 
 def encode_tiff(planes: Sequence[np.ndarray],
                 description: Optional[str] = None,
-                compression: int = _COMPRESSION_NONE) -> bytes:
+                compression: int = _COMPRESSION_NONE,
+                predictor: int = 1) -> bytes:
     """Encode planes as a multi-page little-endian TIFF.
 
     Planes are 2D (YX, grayscale) or 3D (YXS, interleaved samples — RGB &
@@ -175,9 +180,10 @@ def encode_tiff(planes: Sequence[np.ndarray],
 
     if not planes:
         raise ValueError("encode_tiff requires at least one plane")
-    if compression not in (_COMPRESSION_NONE, _COMPRESSION_DEFLATE):
+    if compression not in (_COMPRESSION_NONE, _COMPRESSION_LZW,
+                           _COMPRESSION_DEFLATE):
         raise ValueError(f"unsupported compression {compression}; "
-                         "supported: 1 (none), 8 (deflate)")
+                         "supported: 1 (none), 5 (LZW), 8 (deflate)")
     arrs = [np.ascontiguousarray(p) for p in planes]
     dt = arrs[0].dtype
     if dt.name not in SUPPORTED_DTYPES:
@@ -199,9 +205,23 @@ def encode_tiff(planes: Sequence[np.ndarray],
         if len(desc_bytes) % 2:
             desc_bytes += b"\x00"
 
+    if predictor == 2:
+        if not np.issubdtype(dt, np.integer):
+            raise ValueError("horizontal predictor is integer-only")
+        diffed = []
+        for a in arrs:
+            d = a.copy()
+            d[:, 1:] = a[:, 1:] - a[:, :-1]   # wraps in the sample dtype
+            diffed.append(d)
+        arrs = diffed
+    elif predictor != 1:
+        raise ValueError(f"unsupported predictor {predictor}")
+
     strips = [a.astype(dt_le, copy=False).tobytes() for a in arrs]
     if compression == _COMPRESSION_DEFLATE:
         strips = [zlib.compress(s) for s in strips]
+    elif compression == _COMPRESSION_LZW:
+        strips = [lzw_encode(s) for s in strips]
 
     # multi-sample pages need out-of-line BitsPerSample / SampleFormat
     # arrays (s_n shorts > 4 bytes); one shared block serves every IFD
@@ -273,6 +293,9 @@ def encode_tiff(planes: Sequence[np.ndarray],
             _ifd_entry(_ROWS_PER_STRIP, _TYPE_LONG, 1, h),
             _ifd_entry(_STRIP_BYTE_COUNTS, _TYPE_LONG, 1, len(s)),
         ]
+        if predictor == 2:
+            entries.append(
+                _ifd_entry(_PREDICTOR, _TYPE_SHORT, 1, 2))
         entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
         ifd_size = 2 + 12 * len(entries) + 4
         next_off = (len(out) + ifd_size) if i + 1 < len(arrs) else 0
@@ -327,6 +350,100 @@ def _read_tag_values(data: bytes, typ: int, count: int,
     return [buf]
 
 
+def lzw_decode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first variable-width codes 9->12 bits,
+    ClearCode 256 / EOI 257, EarlyChange width bumps at table sizes
+    511/1023/2047 (the libtiff convention). Wild OME-TIFFs are mostly
+    LZW-compressed, so the decode side is the interop-critical half."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    bitpos, nbits, width = 0, len(data) * 8, 9
+    table: list[bytes] = []
+    prev: Optional[bytes] = None
+    while bitpos + width <= nbits:
+        byte0 = bitpos >> 3
+        chunk = int.from_bytes(data[byte0:byte0 + 3].ljust(3, b"\0"),
+                               "big")
+        code = (chunk >> (24 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width, prev = 9, None
+            continue
+        if not table:
+            raise ValueError("LZW stream must start with a ClearCode")
+        if prev is None:
+            entry = table[code]
+        else:
+            entry = (table[code] if code < len(table)
+                     else prev + prev[:1])     # the KwKwK case
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1                      # EarlyChange
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """Encoder twin of lzw_decode (same EarlyChange schedule; emits a
+    Clear + table reset when the 12-bit space fills, leaving room for
+    EOI per the spec)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = acc_bits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, acc_bits
+        acc = (acc << width) | code
+        acc_bits += width
+        while acc_bits >= 8:
+            acc_bits -= 8
+            out.append((acc >> acc_bits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(CLEAR, width)
+    w = b""
+    for b in data:
+        ch = bytes([b])
+        wc = w + ch
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # the decoder appends one code BEHIND the encoder's registration,
+        # so its EarlyChange bump at len == (1<<w)-1 pairs with an encoder
+        # bump at next_code == 1<<w: both sides read/write the next code
+        # at the wider size
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        elif next_code == 4094:                 # 12-bit space nearly full
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = ch
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if acc_bits:
+        out.append((acc << (8 - acc_bits)) & 0xFF)
+    return bytes(out)
+
+
+def _undo_horizontal_predictor(plane: np.ndarray) -> np.ndarray:
+    """Predictor=2: each sample stores the difference from its left
+    neighbor; invert with a wrapping cumulative sum along x (per sample
+    channel for interleaved pages)."""
+    if not np.issubdtype(plane.dtype, np.integer):
+        raise ValueError("horizontal predictor is integer-only")
+    return np.cumsum(plane, axis=1, dtype=plane.dtype)
+
+
 def decode_tiff(data: bytes):
     """Decode a TIFF -> (planes, description).
 
@@ -353,10 +470,11 @@ def decode_tiff(data: bytes):
             "<I", data[ifd_off + 2 + 12 * n_entries:
                        ifd_off + 6 + 12 * n_entries])
         comp = tags.get(_COMPRESSION, [1])[0]
-        if comp not in (_COMPRESSION_NONE, _COMPRESSION_DEFLATE,
-                        _COMPRESSION_DEFLATE_OLD):
+        if comp not in (_COMPRESSION_NONE, _COMPRESSION_LZW,
+                        _COMPRESSION_DEFLATE, _COMPRESSION_DEFLATE_OLD):
             raise ValueError(f"unsupported TIFF compression {comp}; "
-                             "supported: 1 (none), 8/32946 (deflate)")
+                             "supported: 1 (none), 5 (LZW), "
+                             "8/32946 (deflate)")
         if tags.get(_PLANAR_CONFIG, [1])[0] != 1:
             raise ValueError("only chunky (interleaved) planar config "
                              "is supported")
@@ -371,10 +489,18 @@ def decode_tiff(data: bytes):
         chunks = [data[o:o + c] for o, c in zip(offs, counts)]
         if comp in (_COMPRESSION_DEFLATE, _COMPRESSION_DEFLATE_OLD):
             chunks = [zlib.decompress(c) for c in chunks]
+        elif comp == _COMPRESSION_LZW:
+            chunks = [lzw_decode(c) for c in chunks]
         raw = b"".join(chunks)
         shape = (h, w) if spp == 1 else (h, w, spp)
-        planes.append(np.frombuffer(raw, dtype=dt).reshape(shape)
-                      .astype(dt.newbyteorder("=")))
+        plane = (np.frombuffer(raw, dtype=dt).reshape(shape)
+                 .astype(dt.newbyteorder("=")))
+        pred = tags.get(_PREDICTOR, [1])[0]
+        if pred == 2:
+            plane = _undo_horizontal_predictor(plane)
+        elif pred != 1:
+            raise ValueError(f"unsupported TIFF predictor {pred}")
+        planes.append(plane)
         if first:
             desc = tags.get(_IMAGE_DESCRIPTION)
             description = desc[0] if desc else None

@@ -45,7 +45,11 @@ def test_codec_rejects_unsupported():
     with pytest.raises(ValueError, match="at least one"):
         encode_tiff([])
     with pytest.raises(ValueError, match="compression"):
-        encode_tiff([np.zeros((2, 2), dtype=np.uint8)], compression=5)
+        encode_tiff([np.zeros((2, 2), dtype=np.uint8)], compression=7)
+    with pytest.raises(ValueError, match="predictor"):
+        encode_tiff([np.zeros((2, 2), dtype=np.uint8)], predictor=3)
+    with pytest.raises(ValueError, match="integer-only"):
+        encode_tiff([np.zeros((2, 2), dtype=np.float32)], predictor=2)
     with pytest.raises(ValueError, match="TIFF"):
         decode_tiff(b"MM\x00\x2a garbage")
 
@@ -239,3 +243,80 @@ def test_directory_of_individually_saved_files_keeps_scenes_distinct(
         img.set_scene(i)
         np.testing.assert_array_equal(
             img.get_image_data()[0, 0, 0], arrs[i])
+
+
+# -- LZW (Compression=5) + horizontal predictor ---------------------------
+
+def test_lzw_tiny_bitstream_pinned():
+    """encode(b'A') = Clear(256), 'A'(65), EOI(257) in 9-bit MSB-first
+    packing — pins the bit order against the TIFF 6.0 S13 layout."""
+    from bioio_spark.formats.tiff import lzw_decode, lzw_encode
+
+    assert lzw_encode(b"A") == bytes([0x80, 0x10, 0x60, 0x20])
+    assert lzw_decode(bytes([0x80, 0x10, 0x60, 0x20])) == b"A"
+
+
+@pytest.mark.parametrize("payload", [
+    b"",
+    b"ABABABABABABABAB" * 40,          # high-redundancy, KwKwK cases
+    bytes(range(256)) * 8,              # full alphabet
+    np.random.default_rng(5).integers(0, 256, 40000,
+                                      dtype=np.uint8).tobytes(),
+    # random data grows ~1 entry per 2 bytes: 40k forces 9->12-bit widths
+    # and at least one table reset at 4094
+])
+def test_lzw_roundtrip(payload):
+    from bioio_spark.formats.tiff import lzw_decode, lzw_encode
+
+    assert lzw_decode(lzw_encode(payload)) == payload
+
+
+def test_lzw_width_transitions_roundtrip():
+    """Data sized to sit exactly around the 511/1023/2047 EarlyChange
+    boundaries (each new 2-byte pair adds one table entry)."""
+    from bioio_spark.formats.tiff import lzw_decode, lzw_encode
+
+    rng = np.random.default_rng(9)
+    for n in (500, 512, 1020, 1030, 2040, 2050, 4200):
+        payload = rng.integers(0, 256, n * 2, dtype=np.uint8).tobytes()
+        assert lzw_decode(lzw_encode(payload)) == payload
+
+
+def test_codec_lzw_roundtrip_and_predictor():
+    from bioio_spark.formats.tiff import (_undo_horizontal_predictor,
+                                          decode_tiff, encode_tiff)
+
+    rng = np.random.default_rng(13)
+    planes = [rng.integers(0, 65535, (17, 23), dtype=np.uint16)
+              for _ in range(3)]
+    # LZW alone
+    back, _ = decode_tiff(encode_tiff(planes, compression=5))
+    for a, b in zip(planes, back):
+        np.testing.assert_array_equal(a, b)
+    # LZW + horizontal differencing (the common wild combo)
+    back2, _ = decode_tiff(encode_tiff(planes, compression=5, predictor=2))
+    for a, b in zip(planes, back2):
+        np.testing.assert_array_equal(a, b)
+    # predictor inversion is a wrapping cumsum
+    d = planes[0].copy()
+    d[:, 1:] = planes[0][:, 1:] - planes[0][:, :-1]
+    np.testing.assert_array_equal(
+        _undo_horizontal_predictor(d), planes[0])
+
+
+def test_codec_lzw_multisample_predictor():
+    from bioio_spark.formats.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(17)
+    rgb = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    back, _ = decode_tiff(encode_tiff([rgb], compression=5, predictor=2))
+    np.testing.assert_array_equal(back[0], rgb)
+
+
+def test_codec_lzw_shrinks_low_entropy():
+    from bioio_spark.formats.tiff import encode_tiff
+
+    flat = np.zeros((64, 64), dtype=np.uint8)
+    raw = len(encode_tiff([flat]))
+    lzw = len(encode_tiff([flat], compression=5))
+    assert lzw < raw / 4
