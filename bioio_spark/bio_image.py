@@ -571,11 +571,21 @@ class BioImage:
 
     # -- sink (S10) --------------------------------------------------------
     def save(self, uri: str, select_scenes=None) -> None:
-        """Native sink: scene-partitioned parquet
-        (ref bio_image.py:1229-1301; OME-TIFF export lives in writers/)."""
-        from bioio_spark.writers import save_parquet
+        """Sink routing by suffix (ref bio_image.py:1229-1301 saves
+        OME-TIFF; the plugin ecosystem adds OME-Zarr): `.zarr`/`.ome.zarr`
+        -> chunk-parallel NGFF store, `.tif(f)`/`.ome.tif(f)` -> per-scene
+        OME-TIFF directory, anything else -> the native scene-partitioned
+        parquet sink."""
+        from bioio_spark.writers import (save_ome_tiff, save_ome_zarr,
+                                         save_parquet)
 
-        save_parquet(self, uri, select_scenes=select_scenes)
+        low = uri.rstrip("/").lower()
+        if low.endswith((".zarr", ".ome.zarr")):
+            save_ome_zarr(self, uri, select_scenes=select_scenes)
+        elif low.endswith((".tif", ".tiff", ".ome.tif", ".ome.tiff")):
+            save_ome_tiff(self, uri, select_scenes=select_scenes)
+        else:
+            save_parquet(self, uri, select_scenes=select_scenes)
 
     def __repr__(self) -> str:
         return (f"<BioImage [scene={self.current_scene!r}, "

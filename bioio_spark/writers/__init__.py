@@ -162,6 +162,70 @@ class OmeTiffWriter:
 register_writer("OmeTiffWriter", OmeTiffWriter)
 
 
+class OmeZarrWriter:
+    """OME-Zarr writer (the reference ecosystem's OMEZarrWriter,
+    ref README.md:81 — OME-NGFF over Zarr v2).
+
+    `save` takes an ndarray and writes a single-image NGFF 0.4 store
+    driver-side (every chunk through the in-repo Zarr v2 codec); the
+    distributed chunk-parallel path for BioImage/DataFrame-backed images
+    is save_ome_zarr() below."""
+
+    @staticmethod
+    def save(data, uri: str, dim_order=None, channel_names=None,
+             image_name=None, physical_pixel_sizes=None,
+             chunks=None, compressor: str = "zlib") -> None:
+        import math
+        import os
+
+        import numpy as np
+
+        from bioio_spark.dimensions import (guess_dim_order,
+                                            validate_dim_order)
+        from bioio_spark.formats.zarr import (ZGROUP, build_ngff_attrs,
+                                              build_zarray, chunk_key,
+                                              encode_chunk)
+        from bioio_spark.ome_utils import resolve_channel_names
+
+        a = np.asarray(data)
+        order = (validate_dim_order(dim_order, a.shape) if dim_order
+                 else guess_dim_order(a.shape))
+        for d in order:
+            if d not in "TCZYX":
+                a = a.take([0], axis=order.index(d)).squeeze(
+                    axis=order.index(d))
+                order = order.replace(d, "")
+        for d in "TCZYX":
+            if d not in order:
+                a = np.expand_dims(a, 0)
+                order = d + order
+        a = np.transpose(a, [order.index(d) for d in "TCZYX"])
+        cs = tuple(chunks) if chunks else _default_zarr_chunks(a.shape)
+        names = resolve_channel_names(channel_names, a.shape[1], 0) or None
+
+        os.makedirs(os.path.join(uri, "0"), exist_ok=True)
+        with open(os.path.join(uri, ".zgroup"), "w") as f:
+            f.write(ZGROUP)
+        with open(os.path.join(uri, ".zattrs"), "w") as f:
+            f.write(build_ngff_attrs(image_name or "Image:0", names,
+                                     physical_pixel_sizes))
+        with open(os.path.join(uri, "0", ".zarray"), "w") as f:
+            f.write(build_zarray(a.shape, cs, a.dtype,
+                                 compressor=compressor))
+        grid = [math.ceil(s / c) for s, c in zip(a.shape, cs)]
+        for idx in np.ndindex(*grid):
+            block = np.zeros(cs, dtype=a.dtype)
+            sl = tuple(slice(g * c, min((g + 1) * c, s))
+                       for g, c, s in zip(idx, cs, a.shape))
+            ext = tuple(s.stop - s.start for s in sl)
+            block[tuple(slice(0, e) for e in ext)] = a[sl]
+            with open(os.path.join(uri, "0", chunk_key(idx)), "wb") as f:
+                f.write(encode_chunk(block, compressor=compressor))
+
+
+register_writer("OmeZarrWriter", OmeZarrWriter)
+
+
 class PngWriter:
     """Grayscale PNG writer over the baseline codec (formats/png.py):
     one 2D uint8/uint16 plane per file. Higher-dim input is coerced the

@@ -189,3 +189,25 @@ def test_multiscale_integer_dtype_rounds(spark, tmp_path):
     np.testing.assert_array_equal(
         back.get_image_data(), np.array([[[[[2]]]]], dtype=np.uint8))
     assert back.dtype == np.dtype("uint8")
+
+
+def test_ome_zarr_writer_class_and_save_routing(spark, tmp_path):
+    """Registry OmeZarrWriter (ndarray, driver-side) + BioImage.save
+    suffix routing to the chunked NGFF sink."""
+    from bioio_spark import BioImage
+    from bioio_spark.writers import WRITER_REGISTRY, OmeZarrWriter
+
+    assert WRITER_REGISTRY["OmeZarrWriter"] is OmeZarrWriter
+    a = np.arange(3 * 4 * 5, dtype=np.uint16).reshape(3, 4, 5)
+    store = str(tmp_path / "w.zarr")
+    OmeZarrWriter.save(a, store, dim_order="ZYX", channel_names=["c0"],
+                       chunks=(1, 1, 2, 3, 4))
+    back = BioImage(store, spark=spark)
+    assert back.channel_names == ["c0"]
+    np.testing.assert_array_equal(back.get_image_data()[0, 0], a)
+
+    img = BioImage(a, dim_order="ZYX", spark=spark)
+    out = str(tmp_path / "routed.ome.zarr")
+    img.save(out)   # suffix-routed to save_ome_zarr
+    back2 = BioImage(os.path.join(out, "scene_0.zarr"), spark=spark)
+    np.testing.assert_array_equal(back2.get_image_data()[0, 0], a)
