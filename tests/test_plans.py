@@ -242,3 +242,41 @@ def test_l2_dedup_collapse_never_shuffles_text(spark):
     finally:
         spark.__dict__.pop("_bioio_reps_cache", None)
         spark.__dict__.pop("_bioio_load_cache", None)
+
+
+def test_zarr_reader_narrow_decode(spark, tmp_path):
+    """Zarr source: the pixel plan is a pure scan + mapInPandas chain —
+    ZERO exchanges. Decode parallelism comes from the chunk-file count, so
+    at 100 TB the plan stays embarrassingly parallel."""
+    import numpy as np
+
+    from bioio_spark import BioImage
+    from bioio_spark.writers import save_ome_zarr
+
+    a = np.arange(2 * 4 * 6, dtype=np.uint16).reshape(1, 1, 2, 4, 6)
+    img = BioImage(a, spark=spark)
+    out = str(tmp_path / "p")
+    save_ome_zarr(img, out, chunks=(1, 1, 1, 2, 3))
+    back = BioImage(out + "/scene_0.zarr", spark=spark)
+    px = back.get_image_dataframe()
+    assert shuffle_count(px) == 0
+    assert "mapInPandas" in physical_plan(px) \
+        or "MapInPandas" in physical_plan(px)
+
+
+def test_zarr_sink_single_shuffle(spark):
+    """Zarr sink: the chunk-grid grouping is the ONE exchange; every
+    chunk then encodes/writes independently (applyInPandas)."""
+    import numpy as np
+
+    from bioio_spark import BioImage
+    from pyspark.sql import functions as F
+
+    a = np.arange(2 * 4 * 6, dtype=np.uint16).reshape(1, 1, 2, 4, 6)
+    img = BioImage(a, spark=spark)
+    df = (img.get_stack_dataframe()
+          .withColumn("cy", (F.col("y") / 2).cast("int"))
+          .withColumn("cx", (F.col("x") / 3).cast("int"))
+          .groupBy("scene_idx", "cy", "cx")
+          .agg(F.count(F.lit(1)).alias("n")))
+    assert shuffle_count(df) <= 1
