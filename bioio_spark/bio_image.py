@@ -62,15 +62,17 @@ class BioImage:
 
         if isinstance(image, ImageDataset):
             self._dataset = image
+            self._reader = None
         else:
             reader_cls = reader or _route(image)
-            self._dataset = reader_cls(
+            self._reader = reader_cls(
                 image,
                 dim_order=dim_order,
                 channel_names=channel_names,
                 physical_pixel_sizes=physical_pixel_sizes,
                 image_id=image_id,
-            ).to_dataset(self._spark)
+            )
+            self._dataset = self._reader.to_dataset(self._spark)
 
         self._scene_ids = self._dataset.scene_ids()
         if not self._scene_ids:
@@ -83,6 +85,16 @@ class BioImage:
     def _invalidate(self) -> None:
         self._cached_df: Optional[DataFrame] = None
         self._cached_array: Optional[np.ndarray] = None
+
+    @property
+    def reader(self):
+        """The reader instance backing this image (ref bio_image.py:
+        420-431). ImageDataset-constructed handles have no reader."""
+        if self._reader is None:
+            raise AttributeError(
+                "this BioImage was built from an ImageDataset directly "
+                "and has no reader")
+        return self._reader
 
     # -- scenes (C1, C2) --------------------------------------------------
     @property
@@ -379,6 +391,111 @@ class BioImage:
         """Labeled standardized array (ref bio_image.py:500-546)."""
         return self.get_image_xarray()
 
+    # -- dask tier (ref bio_image.py:606-714, 764-839) --------------------
+    # The reference's deferred-IO tier is dask; this engine's native lazy
+    # tier is the DataFrame plan (get_image_dataframe). When dask is
+    # installed, the dask twins stay genuinely lazy: output shape/dtype
+    # come from the catalog (metadata-only, no job), and the Spark job
+    # runs only at .compute().
+    def _require_dask(self):
+        try:
+            import dask
+            import dask.array as da
+        except ImportError as e:
+            raise NotImplementedError(
+                "dask is not installed in this environment; the "
+                "engine-native lazy tier is get_image_dataframe() / "
+                "get_image_xarray()") from e
+        return dask, da
+
+    def get_image_dask_data(self, dimension_order_out: Optional[str] = None,
+                            **selectors):
+        """Lazy dask twin of get_image_data (ref bio_image.py:764-839)."""
+        dask, da = self._require_dask()
+        px, dims = self._standard_pixels()
+        order = dimension_order_out or dims.order
+        _, out_dims = apply_selectors(px, dims, order, selectors)
+        delayed = dask.delayed(self.get_image_data)(order, **selectors)
+        return da.from_delayed(delayed, shape=out_dims.shape,
+                               dtype=self.dtype)
+
+    @property
+    def dask_data(self):
+        """Lazy standardized array (ref bio_image.py:701-713)."""
+        return self.get_image_dask_data()
+
+    @property
+    def xarray_dask_data(self):
+        """Labeled lazy array (ref bio_image.py:606-648): dask-backed
+        values with the same coords/attrs as xarray_data."""
+        from bioio_spark.labeled import build_labeled
+
+        return build_labeled(
+            self.dask_data, self.dims.order, self.channel_names,
+            physical_pixel_sizes=self.physical_pixel_sizes,
+            time_interval=self.time_interval,
+            attrs={"unprocessed": self.metadata,
+                   "standard_metadata": self.standard_metadata})
+
+    def get_dask_stack(self, **selectors):
+        """Lazy scene stack (ref bio_image.py:939-957)."""
+        dask, da = self._require_dask()
+        current = self._current_scene_index
+        arrays = []
+        try:
+            for i in range(len(self._scene_ids)):
+                self.set_scene(i)
+                px, dims = self._standard_pixels()
+                _, out_dims = apply_selectors(px, dims, dims.order,
+                                              selectors)
+                delayed = dask.delayed(
+                    lambda idx, sel: self._stack_scene_data(idx, sel)
+                )(i, dict(selectors))
+                arrays.append(da.from_delayed(
+                    delayed, shape=out_dims.shape, dtype=self.dtype))
+            return da.stack(arrays)
+        finally:
+            self.set_scene(current)
+
+    def _stack_scene_data(self, scene_index: int, selectors: dict):
+        current = self._current_scene_index
+        try:
+            self.set_scene(scene_index)
+            return (self.get_image_data(**selectors)
+                    if selectors else self.data)
+        finally:
+            self.set_scene(current)
+
+    def get_xarray_dask_stack(self, **selectors):
+        """Labeled lazy scene stack (ref bio_image.py:984-1007). Coords
+        depend only on catalogs (build_labeled reads shapes, never
+        values), so labeling stays compute-free."""
+        from bioio_spark.labeled import LabeledArray, build_labeled
+
+        data = self.get_dask_stack(**selectors)
+        current = self._current_scene_index
+        try:
+            self.set_scene(0)
+            if selectors:
+                px, sdims = self._standard_pixels()
+                _, out_dims = apply_selectors(px, sdims, sdims.order,
+                                              selectors)
+                order, coords0 = out_dims.order, {}
+            else:
+                order = self.dims.order
+                coords0 = build_labeled(
+                    data[0], order, self.channel_names,
+                    physical_pixel_sizes=self.physical_pixel_sizes,
+                    time_interval=self.time_interval).coords
+            attrs = {"unprocessed": self.metadata,
+                     "standard_metadata": self.standard_metadata}
+        finally:
+            self.set_scene(current)
+        coords = {"I": np.asarray(self._scene_ids, dtype=object)}
+        coords.update(coords0)
+        return LabeledArray(data=data, dims="I" + order,
+                            coords=coords, attrs=attrs)
+
     @property
     def data(self) -> np.ndarray:
         """Standardized eager array, memoized (ref bio_image.py:700-727)."""
@@ -546,6 +663,40 @@ class BioImage:
     def scale(self) -> Scale:
         pps = self.physical_pixel_sizes
         return Scale(T=self.time_interval, C=None, Z=pps.Z, Y=pps.Y, X=pps.X)
+
+    @property
+    def dimension_properties(self) -> dict:
+        """Per-dimension (value, type, unit) triples (ref bio_image.py:
+        1083-1093; bioio-base's DimensionProperties struct). Spatial dims
+        carry micrometer units when pixel sizes are known; T carries
+        seconds when the time interval is known."""
+        from bioio_spark.types import DimensionProperties
+
+        pps = self.physical_pixel_sizes
+        ti = self.time_interval
+        spatial = {"Z": pps.Z, "Y": pps.Y, "X": pps.X}
+        out: dict = {}
+        for d in self.dims.order:
+            if d == "T":
+                out[d] = DimensionProperties(
+                    value=float(ti) if ti is not None else None,
+                    type="time", unit="s" if ti is not None else None)
+            elif d == "C":
+                out[d] = DimensionProperties(
+                    value=None, type="channel", unit=None)
+            elif d in spatial:
+                v = spatial[d]
+                out[d] = DimensionProperties(
+                    value=float(v) if v is not None else None,
+                    type="space",
+                    unit="micrometer" if v is not None else None)
+            elif d == "S":
+                out[d] = DimensionProperties(
+                    value=None, type="samples", unit=None)
+            elif d == "M":
+                out[d] = DimensionProperties(
+                    value=None, type="mosaic", unit=None)
+        return out
 
     @property
     def standard_metadata(self) -> dict:

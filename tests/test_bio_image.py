@@ -203,3 +203,37 @@ def test_scene_error_paths_and_repr(spark):
     with _pt.raises(IndexError):
         img.set_resolution_level(3)
     assert "Image:0" in repr(img) and "Dimensions" in repr(img)
+
+
+def test_reader_property_and_dimension_properties(spark):
+    from bioio_spark.sources.array_like import ArrayLikeReader
+    from bioio_spark.types import PhysicalPixelSizes, TimeInterval
+
+    img = BioImage(np.zeros((2, 1, 2, 3, 4), dtype=np.uint8), spark=spark,
+                   physical_pixel_sizes=PhysicalPixelSizes(2.0, 0.5, 0.5))
+    assert isinstance(img.reader, ArrayLikeReader)
+    dp = img.dimension_properties
+    assert set(dp) == set("TCZYX")
+    assert dp["Z"].value == 2.0 and dp["Z"].unit == "micrometer"
+    assert dp["C"].type == "channel"
+    assert dp["T"].type == "time" and dp["T"].unit is None
+
+
+def test_dask_tier_raises_without_dask(spark):
+    """dask absent in this container: the dask twins point the user at
+    the engine-native lazy tier instead of failing obscurely."""
+    img = BioImage(np.zeros((2, 2)), spark=spark)
+    try:
+        import dask  # noqa: F401
+        has_dask = True
+    except ImportError:
+        has_dask = False
+    if has_dask:
+        arr = img.get_image_dask_data()
+        assert arr.shape == img.shape
+        np.testing.assert_array_equal(np.asarray(arr), img.data)
+    else:
+        with pytest.raises(NotImplementedError, match="dataframe"):
+            img.get_image_dask_data()
+        with pytest.raises(NotImplementedError, match="dataframe"):
+            _ = img.dask_data
