@@ -211,3 +211,44 @@ def test_ome_zarr_writer_class_and_save_routing(spark, tmp_path):
     img.save(out)   # suffix-routed to save_ome_zarr
     back2 = BioImage(os.path.join(out, "scene_0.zarr"), spark=spark)
     np.testing.assert_array_equal(back2.get_image_data()[0, 0], a)
+
+
+def test_window_chunk_keys_arithmetic():
+    """Pruning planner is pure arithmetic: the file count a windowed read
+    touches is O(window/chunk), independent of store size."""
+    from bioio_spark.sources.zarr_image import window_chunk_keys
+
+    shape, chunks = (4, 2, 10, 100, 100), (1, 1, 2, 32, 32)
+    # one z-plane window in a corner
+    keys = window_chunk_keys(
+        shape, chunks, [(1, 2), (0, 1), (4, 5), (0, 40), (0, 40)])
+    assert len(keys) == 1 * 1 * 1 * 2 * 2
+    assert keys[0] == (1, 0, 2, 0, 0)
+    # full-store window = full grid
+    full = window_chunk_keys(
+        shape, chunks, [(0, 4), (0, 2), (0, 10), (0, 100), (0, 100)])
+    assert len(full) == 4 * 2 * 5 * 4 * 4
+
+
+def test_read_zarr_window_prunes_and_matches(spark, tmp_path):
+    from bioio_spark import BioImage
+    from bioio_spark.sources.zarr_image import read_zarr_window
+    from bioio_spark.writers import save_ome_zarr
+
+    rng = np.random.default_rng(23)
+    a = rng.integers(0, 1000, (2, 2, 4, 8, 9), dtype=np.uint16)
+    img = BioImage(a, spark=spark)
+    out = str(tmp_path / "w")
+    save_ome_zarr(img, out, chunks=(1, 1, 2, 3, 4))
+    store = os.path.join(out, "scene_0.zarr")
+
+    df = read_zarr_window(spark, store, t=1, z=(1, 3), y=range(2, 7),
+                          x=(0, 9)).toPandas()
+    want = a[1, :, 1:3, 2:7, :]
+    assert len(df) == want.size
+    got = np.zeros_like(want)
+    got[df["c"], df["z"] - 1, df["y"] - 2, df["x"]] = df["value"]
+    np.testing.assert_array_equal(got, want)
+    # single-pixel probe
+    one = read_zarr_window(spark, store, t=0, c=1, z=3, y=7, x=8).toPandas()
+    assert len(one) == 1 and one["value"].iloc[0] == a[0, 1, 3, 7, 8]
