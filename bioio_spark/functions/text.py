@@ -255,3 +255,77 @@ SELECT doc_id,
          AS chars_per_token
 FROM documents ORDER BY doc_id
 """
+
+
+# -- repetition filtering (Gopher-style) -----------------------------------
+
+def repetition_filter(documents: DataFrame) -> DataFrame:
+    """Within-document repetition metrics (the Gopher quality-rule family,
+    Rae et al. 2021 §A1.1: fraction of duplicate words, fraction of
+    occurrences claimed by the most common 2-gram) and the keep gate.
+
+    All metrics are EXACT INTEGER counts; the keep decision is integer
+    cross-multiplied (dup_words*10 <= n_words*3 AND top2*5 <= n_2grams),
+    so the kept set is bit-stable across engines. Word dedup is a narrow
+    array expression; the top-2-gram count is a two-level hash aggregate
+    (partial map-side combine on (doc_id, gram)) — both scale-safe.
+    """
+    words = _words(F.col("text"))
+    base = documents.select(
+        "doc_id", "lang",
+        F.size(words).alias("n_words"),
+        (F.size(words) - F.size(F.array_distinct(words)))
+        .alias("dup_words"),
+        words.alias("w"))
+    grams = (base
+             .select("doc_id",
+                     F.expr("CASE WHEN size(w) >= 2 THEN "
+                            "transform(sequence(0, size(w) - 2), "
+                            "i -> concat(w[i], ' ', w[i + 1])) "
+                            "ELSE array() END")
+                     .alias("grams"))
+             .select("doc_id", F.explode("grams").alias("gram")))
+    top2 = (grams.groupBy("doc_id", "gram").count()
+            .groupBy("doc_id")
+            .agg(F.max("count").alias("top2_count"),
+                 F.sum("count").alias("n_2grams")))
+    return (base.select("doc_id", "lang", "n_words", "dup_words")
+            .join(top2, "doc_id", "left")
+            .fillna({"top2_count": 0, "n_2grams": 0})
+            .filter((F.col("dup_words") * 10 <= F.col("n_words") * 3)
+                    & (F.col("top2_count") * 5 <= F.col("n_2grams")))
+            .select("doc_id", "lang", "n_words", "dup_words",
+                    "top2_count", "n_2grams")
+            .orderBy("doc_id"))
+
+
+REPETITION_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents
+), base AS (
+  SELECT doc_id, lang, len(words) AS n_words,
+         len(words) - len(list_distinct(words)) AS dup_words,
+         words
+  FROM w
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words)),
+                               i -> words[i] || ' ' || words[i + 1]))
+           AS gram
+  FROM base
+), top2 AS (
+  SELECT doc_id, max(cnt) AS top2_count, sum(cnt) AS n_2grams
+  FROM (SELECT doc_id, gram, count(*) AS cnt
+        FROM grams GROUP BY doc_id, gram)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, b.lang, b.n_words, b.dup_words,
+       coalesce(t.top2_count, 0) AS top2_count,
+       coalesce(t.n_2grams, 0) AS n_2grams
+FROM base b LEFT JOIN top2 t USING (doc_id)
+WHERE b.dup_words * 10 <= b.n_words * 3
+  AND coalesce(t.top2_count, 0) * 5 <= coalesce(t.n_2grams, 0)
+ORDER BY b.doc_id
+"""

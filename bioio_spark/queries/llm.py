@@ -194,6 +194,45 @@ def l4e_bpe_tokens(spark, sf_dir):
     return bpe_token_stats(load(spark, sf_dir, "documents"))
 
 
+@register("l4g_repetition_filter", oracle=_text.REPETITION_ORACLE,
+          doc="L4 Gopher-style within-doc repetition metrics + keep gate")
+def l4g_repetition_filter(spark, sf_dir):
+    from bioio_spark.functions.text import repetition_filter
+    return repetition_filter(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# L8b per-source cap: keep at most K documents per source, deterministic
+# priority (lowest doc_id) — the C4/RefinedWeb-style per-domain cap that
+# stops one crawl domain from dominating the mix. One shuffle on source;
+# at real scale a skewed source is bounded by the same top-K-per-group
+# TakeOrdered pattern (cap << group size), never a full sort.
+# --------------------------------------------------------------------------
+@register(
+    "l8b_source_cap",
+    oracle="""
+    SELECT source, doc_id
+    FROM (SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                   AS rk
+          FROM documents)
+    WHERE rk <= 50
+    ORDER BY source, doc_id
+    """,
+    doc="L8b per-source document cap (keep lowest-50 doc_ids per source)",
+)
+def l8b_source_cap(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (docs.select("source", "doc_id",
+                        F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= 50)
+            .select("source", "doc_id")
+            .orderBy("source", "doc_id"))
+
+
 # --------------------------------------------------------------------------
 # L5 composed pipeline: the end-to-end training-data preparation shape —
 # exact dedup (one hash-partitioned window) -> quality gate (narrow
