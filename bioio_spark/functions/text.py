@@ -266,9 +266,13 @@ def repetition_filter(documents: DataFrame) -> DataFrame:
 
     All metrics are EXACT INTEGER counts; the keep decision is integer
     cross-multiplied (dup_words*10 <= n_words*3 AND top2*5 <= n_2grams),
-    so the kept set is bit-stable across engines. Word dedup is a narrow
-    array expression; the top-2-gram count is a two-level hash aggregate
-    (partial map-side combine on (doc_id, gram)) — both scale-safe.
+    so the kept set is bit-stable across engines.
+
+    ZERO-SHUFFLE: the most-common-2-gram count is the longest run of the
+    SORTED per-doc gram array, computed with the `aggregate` higher-order
+    function — a codegen projection. The obvious explode -> groupBy
+    (doc_id, gram) formulation shuffles every gram of the corpus; this
+    one shuffles nothing (the final orderBy is presentation-only).
     """
     words = _words(F.col("text"))
     base = documents.select(
@@ -276,26 +280,29 @@ def repetition_filter(documents: DataFrame) -> DataFrame:
         F.size(words).alias("n_words"),
         (F.size(words) - F.size(F.array_distinct(words)))
         .alias("dup_words"),
-        words.alias("w"))
-    grams = (base
-             .select("doc_id",
-                     F.expr("CASE WHEN size(w) >= 2 THEN "
-                            "transform(sequence(0, size(w) - 2), "
-                            "i -> concat(w[i], ' ', w[i + 1])) "
-                            "ELSE array() END")
-                     .alias("grams"))
-             .select("doc_id", F.explode("grams").alias("gram")))
-    top2 = (grams.groupBy("doc_id", "gram").count()
-            .groupBy("doc_id")
-            .agg(F.max("count").alias("top2_count"),
-                 F.sum("count").alias("n_2grams")))
-    return (base.select("doc_id", "lang", "n_words", "dup_words")
-            .join(top2, "doc_id", "left")
-            .fillna({"top2_count": 0, "n_2grams": 0})
+        F.expr("CASE WHEN size(split(trim(text), '\\\\s+')) >= 2 THEN "
+               "array_sort(transform("
+               "  sequence(0, size(split(trim(text), '\\\\s+')) - 2), "
+               "  i -> concat(split(trim(text), '\\\\s+')[i], ' ', "
+               "              split(trim(text), '\\\\s+')[i + 1]))) "
+               "ELSE array() END").alias("grams"))
+    # longest run in the sorted array = max multiplicity
+    top2 = F.expr(
+        "aggregate(grams, "
+        " struct(CAST('' AS STRING) AS prev, CAST(0 AS BIGINT) AS run, "
+        "        CAST(0 AS BIGINT) AS best), "
+        " (acc, g) -> struct(g AS prev, "
+        "   CASE WHEN g = acc.prev THEN acc.run + 1 ELSE CAST(1 AS BIGINT) "
+        "   END AS run, "
+        "   greatest(acc.best, CASE WHEN g = acc.prev THEN acc.run + 1 "
+        "   ELSE CAST(1 AS BIGINT) END) AS best), "
+        " acc -> acc.best)")
+    return (base.select(
+                "doc_id", "lang", "n_words", "dup_words",
+                top2.alias("top2_count"),
+                F.size("grams").cast("long").alias("n_2grams"))
             .filter((F.col("dup_words") * 10 <= F.col("n_words") * 3)
                     & (F.col("top2_count") * 5 <= F.col("n_2grams")))
-            .select("doc_id", "lang", "n_words", "dup_words",
-                    "top2_count", "n_2grams")
             .orderBy("doc_id"))
 
 

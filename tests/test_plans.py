@@ -280,3 +280,14 @@ def test_zarr_sink_single_shuffle(spark):
           .groupBy("scene_idx", "cy", "cx")
           .agg(F.count(F.lit(1)).alias("n")))
     assert shuffle_count(df) <= 1
+
+
+def test_l4g_repetition_zero_operator_shuffles(spark):
+    """Gopher repetition metrics stay a codegen projection: the top-2-gram
+    count is a longest-run aggregate over the sorted per-doc gram array,
+    so the only exchanges are the shared loader repartition and the
+    presentation sort — no gram-cardinality shuffle."""
+    df = q(spark, "l4g_repetition_filter")
+    assert shuffle_count(df) <= 2
+    plan = physical_plan(df)
+    assert "HashAggregate" not in plan
