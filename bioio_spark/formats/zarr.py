@@ -99,6 +99,62 @@ def parse_zarray(doc: str) -> dict:
 ZGROUP = json.dumps({"zarr_format": 2})
 
 
+def parse_zarr3_array(doc: str) -> dict:
+    """Zarr v3 array `zarr.json` -> the same decode-info dict as
+    parse_zarray. Supported codec chains: [bytes] and [bytes, gzip]
+    (the v3 spec's required core codecs); chunk keys use the "default"
+    encoding ("c" prefix + "/" or "." separator)."""
+    z = json.loads(doc)
+    if z.get("zarr_format") != 3 or z.get("node_type") != "array":
+        raise ValueError("not a zarr v3 array document")
+    grid = z.get("chunk_grid", {})
+    if grid.get("name", "regular") != "regular":
+        raise ValueError("only regular chunk grids supported")
+    chunks = tuple(grid.get("configuration", {}).get("chunk_shape", ()))
+    codecs = z.get("codecs") or [{"name": "bytes"}]
+    names = [c.get("name") for c in codecs]
+    endian = "little"
+    compressor = None
+    if names == ["bytes"]:
+        pass
+    elif names == ["bytes", "gzip"]:
+        compressor = "zlib"     # gzip member decodes via zlib (wbits auto)
+    else:
+        raise ValueError(f"unsupported zarr v3 codec chain {names}")
+    for c in codecs:
+        if c.get("name") == "bytes":
+            endian = c.get("configuration", {}).get("endian", "little")
+    dt = np.dtype(z["data_type"])
+    if endian == "big":
+        dt = dt.newbyteorder(">")
+    enc = z.get("chunk_key_encoding",
+                {"name": "default", "configuration": {"separator": "/"}})
+    if enc.get("name", "default") != "default":
+        raise ValueError("only the default chunk-key encoding supported")
+    sep = enc.get("configuration", {}).get("separator", "/")
+    return {
+        "shape": tuple(z["shape"]),
+        "chunks": chunks,
+        "dtype": dt,
+        "compressor": compressor,
+        "fill_value": z.get("fill_value", 0),
+        "dimension_separator": sep,
+        "key_prefix": "c",      # v3 "default" encoding chunk prefix
+        "gzip_member": compressor == "zlib",
+    }
+
+
+def decode_chunk_v3(data: bytes, dtype, chunk_shape,
+                    compressor: Optional[str]) -> np.ndarray:
+    """v3 twin of decode_chunk: gzip member instead of raw zlib stream."""
+    if compressor == "zlib":
+        data = zlib.decompress(data, wbits=zlib.MAX_WBITS | 32)  # gzip/zlib
+    elif compressor is not None:
+        raise ValueError(f"unsupported compressor {compressor!r}")
+    return np.frombuffer(data, dtype=np.dtype(dtype)).reshape(
+        tuple(chunk_shape))
+
+
 # -- OME-NGFF 0.4 attributes ----------------------------------------------
 
 _AXIS_TYPES = {"t": "time", "c": "channel", "z": "space", "y": "space",
@@ -144,8 +200,14 @@ def build_ngff_attrs(image_name: Optional[str],
 
 def parse_ngff_attrs(doc: str) -> dict:
     """Extract image name, axes order, level paths, per-axis scale, and
-    channel labels from an NGFF 0.4 `.zattrs` document."""
+    channel labels from an NGFF `.zattrs` document — 0.4 (top-level
+    `multiscales`) or 0.5 (wrapped under `attributes.ome` in the group's
+    zarr.json, or passed here as the `ome` sub-object)."""
     a = json.loads(doc)
+    if "attributes" in a and "ome" in a.get("attributes", {}):
+        a = a["attributes"]["ome"]          # v3 group zarr.json document
+    elif "ome" in a and "multiscales" not in a:
+        a = a["ome"]                         # bare NGFF 0.5 attributes
     ms = (a.get("multiscales") or [{}])[0]
     axes = "".join(ax["name"] for ax in ms.get("axes", [])) or "tczyx"
     datasets = ms.get("datasets") or [{"path": "0"}]

@@ -64,6 +64,7 @@ class ZarrImageReader:
             _read_doc(r, ".zattrs") is not None
             or _read_doc(os.path.join(r, "0"), ".zarray") is not None
             or _read_doc(r, ".zarray") is not None
+            or _read_doc(r, "zarr.json") is not None
             for r in roots)
 
     def __init__(self, image: str, dim_order=None, channel_names=None,
@@ -91,27 +92,63 @@ class ZarrImageReader:
         scene_rows, channel_rows = [], []
         arrays: dict[str, dict] = {}   # abs array dir -> decode info
         for si, root in enumerate(roots):
-            attrs_doc = _read_doc(root, ".zattrs")
-            attrs = (parse_ngff_attrs(attrs_doc) if attrs_doc
-                     else {"name": None, "axes": None, "level_paths": ["0"],
-                           "scale": None, "channel_names": None})
-            level = attrs["level_paths"][0]
-            arr_dir = os.path.join(root, level)
-            zdoc = _read_doc(arr_dir, ".zarray")
-            if zdoc is None:            # bare array store (no group level)
-                arr_dir, zdoc = root, _read_doc(root, ".zarray")
-            if zdoc is None:
-                raise ValueError(f"{root}: no .zarray document")
-            za = parse_zarray(zdoc)
-            # multiscale levels beyond the first (C4: every NGFF dataset
-            # path is a selectable resolution level)
-            extra_levels = []
-            if arr_dir != root:
-                for lv, lp in enumerate(attrs["level_paths"][1:], start=1):
-                    ld = os.path.join(root, lp)
-                    lzdoc = _read_doc(ld, ".zarray")
-                    if lzdoc is not None:
-                        extra_levels.append((lv, ld, parse_zarray(lzdoc)))
+            v3_doc = _read_doc(root, "zarr.json")
+            if v3_doc is not None:
+                # Zarr v3 store (NGFF 0.5): group zarr.json carries the
+                # ome attributes; each level dir has its own array doc
+                import json as _json
+
+                from bioio_spark.formats.zarr import parse_zarr3_array
+
+                top = _json.loads(v3_doc)
+                if top.get("node_type") == "array":
+                    attrs_doc = None
+                    attrs = {"name": None, "axes": None,
+                             "level_paths": ["0"], "scale": None,
+                             "channel_names": None}
+                    arr_dir, za = root, parse_zarr3_array(v3_doc)
+                    extra_levels = []
+                else:
+                    attrs_doc = v3_doc
+                    attrs = parse_ngff_attrs(v3_doc)
+                    level = attrs["level_paths"][0]
+                    arr_dir = os.path.join(root, level)
+                    adoc = _read_doc(arr_dir, "zarr.json")
+                    if adoc is None:
+                        raise ValueError(f"{arr_dir}: no zarr.json")
+                    za = parse_zarr3_array(adoc)
+                    extra_levels = []
+                    for lv, lp in enumerate(attrs["level_paths"][1:],
+                                            start=1):
+                        ld = os.path.join(root, lp)
+                        ldoc = _read_doc(ld, "zarr.json")
+                        if ldoc is not None:
+                            extra_levels.append(
+                                (lv, ld, parse_zarr3_array(ldoc)))
+            else:
+                attrs_doc = _read_doc(root, ".zattrs")
+                attrs = (parse_ngff_attrs(attrs_doc) if attrs_doc
+                         else {"name": None, "axes": None,
+                               "level_paths": ["0"],
+                               "scale": None, "channel_names": None})
+                level = attrs["level_paths"][0]
+                arr_dir = os.path.join(root, level)
+                zdoc = _read_doc(arr_dir, ".zarray")
+                if zdoc is None:        # bare array store (no group level)
+                    arr_dir, zdoc = root, _read_doc(root, ".zarray")
+                if zdoc is None:
+                    raise ValueError(f"{root}: no .zarray document")
+                za = parse_zarray(zdoc)
+                # multiscale levels beyond the first (C4: every NGFF
+                # dataset path is a selectable resolution level)
+                extra_levels = []
+                if arr_dir != root:
+                    for lv, lp in enumerate(attrs["level_paths"][1:],
+                                            start=1):
+                        ld = os.path.join(root, lp)
+                        lzdoc = _read_doc(ld, ".zarray")
+                        if lzdoc is not None:
+                            extra_levels.append((lv, ld, parse_zarray(lzdoc)))
             axes = attrs["axes"] or "tczyx"[-len(za["shape"]):]
             if len(axes) != len(za["shape"]):
                 raise ValueError(
@@ -141,8 +178,8 @@ class ZarrImageReader:
                 "size_z": size["z"], "size_y": size["y"],
                 "size_x": size["x"], "size_m": None, "size_s": None,
                 "res_levels": [0] + [lv for lv, _, _ in extra_levels],
-                "dtype": str(za["dtype"]),
-                "ome_pixel_type": str(za["dtype"]),
+                "dtype": np.dtype(za["dtype"]).name,
+                "ome_pixel_type": np.dtype(za["dtype"]).name,
                 "pps_z": pps.Z if pps else None,
                 "pps_y": pps.Y if pps else None,
                 "pps_x": pps.X if pps else None,
@@ -152,15 +189,19 @@ class ZarrImageReader:
             arrays[os.path.abspath(arr_dir)] = {
                 "scene": scene, "axes": axes, "res_level": 0,
                 "shape": za["shape"], "chunks": za["chunks"],
-                "dtype": str(za["dtype"]),
+                "dtype": np.dtype(za["dtype"]).str,
                 "compressor": za["compressor"],
+                "key_prefix": za.get("key_prefix"),
+                "gzip_member": za.get("gzip_member", False),
             }
             for lv, ld, lza in extra_levels:
                 arrays[os.path.abspath(ld)] = {
                     "scene": scene, "axes": axes, "res_level": lv,
                     "shape": lza["shape"], "chunks": lza["chunks"],
-                    "dtype": str(lza["dtype"]),
+                    "dtype": np.dtype(lza["dtype"]).str,
                     "compressor": lza["compressor"],
+                    "key_prefix": lza.get("key_prefix"),
+                    "gzip_member": lza.get("gzip_member", False),
                 }
 
         px = decode_zarr_chunks(spark, arrays).select(
@@ -186,11 +227,13 @@ def decode_zarr_chunks(spark: SparkSession,
     from bioio_spark.sources.tiff_image import local_path
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from bioio_spark.formats.zarr import decode_chunk
+        from bioio_spark.formats.zarr import decode_chunk, decode_chunk_v3
 
         for pdf in it:
             for path, content in zip(pdf["path"], pdf["content"]):
                 local = local_path(path)
+                if os.path.basename(local) == "zarr.json":
+                    continue    # v3 metadata doc, not hidden-file-filtered
                 info = None
                 for arr_dir, cand in arrays.items():
                     if local.startswith(arr_dir + os.sep):
@@ -202,16 +245,23 @@ def decode_zarr_chunks(spark: SparkSession,
                         f"decode_zarr_chunks: {path!r} not under any "
                         f"catalogued array root")
                 # "." separator -> flat name "t.c.z.y.x"; "/" separator
-                # -> nested dirs; both normalize through relpath
-                grid = [int(p) for p in
-                        rel.replace(os.sep, ".").split(".")]
+                # -> nested dirs; both normalize through relpath. v3
+                # "default" keys lead with a "c" component.
+                parts = rel.replace(os.sep, ".").split(".")
+                if info.get("key_prefix") and parts[0] == info["key_prefix"]:
+                    parts = parts[1:]
+                grid = [int(p) for p in parts]
                 shape, chunks = info["shape"], info["chunks"]
                 if len(grid) != len(shape):
                     raise ValueError(
                         f"{rel}: chunk key rank {len(grid)} vs array "
                         f"rank {len(shape)}")
-                block = decode_chunk(bytes(content), info["dtype"],
-                                     chunks, info["compressor"])
+                if info.get("gzip_member"):
+                    block = decode_chunk_v3(bytes(content), info["dtype"],
+                                            chunks, info["compressor"])
+                else:
+                    block = decode_chunk(bytes(content), info["dtype"],
+                                         chunks, info["compressor"])
                 # trim fill padding on edge chunks
                 valid = tuple(
                     min(c, s - g * c)
@@ -288,36 +338,52 @@ def read_zarr_window(spark: SparkSession, store: str,
     (ref bio_image.py:764-839 lazy selection); Spark-side it is listing-
     level pruning, the same lever as parquet partition pruning.
     """
-    from bioio_spark.formats.zarr import parse_ngff_attrs, parse_zarray
+    import numpy as _np
+
+    from bioio_spark.formats.zarr import (parse_ngff_attrs, parse_zarr3_array,
+                                          parse_zarray)
 
     root = store.rstrip("/")
-    attrs_doc = _read_doc(root, ".zattrs")
-    attrs = (parse_ngff_attrs(attrs_doc) if attrs_doc
-             else {"axes": None, "level_paths": ["0"]})
-    arr_dir = os.path.join(root, str(level))
-    zdoc = _read_doc(arr_dir, ".zarray")
-    if zdoc is None:
-        arr_dir, zdoc = root, _read_doc(root, ".zarray")
-    if zdoc is None:
-        raise ValueError(f"{store}: no .zarray document")
-    za = parse_zarray(zdoc)
+    v3_doc = _read_doc(root, "zarr.json")
+    if v3_doc is not None:
+        attrs = parse_ngff_attrs(v3_doc)
+        arr_dir = os.path.join(root, str(level))
+        adoc = _read_doc(arr_dir, "zarr.json")
+        if adoc is None:
+            arr_dir, adoc = root, v3_doc
+        za = parse_zarr3_array(adoc)
+    else:
+        attrs_doc = _read_doc(root, ".zattrs")
+        attrs = (parse_ngff_attrs(attrs_doc) if attrs_doc
+                 else {"axes": None, "level_paths": ["0"]})
+        arr_dir = os.path.join(root, str(level))
+        zdoc = _read_doc(arr_dir, ".zarray")
+        if zdoc is None:
+            arr_dir, zdoc = root, _read_doc(root, ".zarray")
+        if zdoc is None:
+            raise ValueError(f"{store}: no .zarray document")
+        za = parse_zarray(zdoc)
     axes = attrs["axes"] or "tczyx"[-len(za["shape"]):]
     sel_of = {"t": t, "c": c, "z": z, "y": y, "x": x}
     window = [_norm_window(sel_of.get(d), s)
               for d, s in zip(axes, za["shape"])]
     keys = window_chunk_keys(za["shape"], za["chunks"], window)
     sep = za["dimension_separator"]
+    prefix = za.get("key_prefix")
     files = []
     for k in keys:
-        name = sep.join(str(i) for i in k)
-        p = os.path.join(arr_dir, *name.split("/")) if sep == "/" \
-            else os.path.join(arr_dir, name)
+        comps = ([prefix] if prefix else []) + [str(i) for i in k]
+        p = (os.path.join(arr_dir, *comps) if sep == "/"
+             else os.path.join(arr_dir, sep.join(comps)))
         if os.path.exists(p):       # absent chunk = all fill_value
             files.append(p)
     arrays = {os.path.abspath(arr_dir): {
         "scene": "Image:0", "axes": axes, "res_level": 0,
         "shape": za["shape"], "chunks": za["chunks"],
-        "dtype": str(za["dtype"]), "compressor": za["compressor"],
+        "dtype": _np.dtype(za["dtype"]).str,
+        "compressor": za["compressor"],
+        "key_prefix": prefix,
+        "gzip_member": za.get("gzip_member", False),
     }}
     schema = ("scene string, res_level int, t int, c int, z int, y int, "
               "x int, value double")

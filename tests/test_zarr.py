@@ -252,3 +252,79 @@ def test_read_zarr_window_prunes_and_matches(spark, tmp_path):
     # single-pixel probe
     one = read_zarr_window(spark, store, t=0, c=1, z=3, y=7, x=8).toPandas()
     assert len(one) == 1 and one["value"].iloc[0] == a[0, 1, 3, 7, 8]
+
+
+def _write_v3_store(root, full, chunks, gzip_codec=True):
+    """Hand-built Zarr v3 / NGFF 0.5 store: group zarr.json with
+    attributes.ome, array zarr.json, chunks under the 'c/' default
+    key encoding."""
+    import gzip as _gzip
+    import math
+
+    arr_dir = root / "0"
+    os.makedirs(arr_dir)
+    (root / "zarr.json").write_text(json.dumps({
+        "zarr_format": 3, "node_type": "group",
+        "attributes": {"ome": {"version": "0.5", "multiscales": [{
+            "axes": [{"name": n, "type": "space"} for n in "zyx"],
+            "datasets": [{"path": "0", "coordinateTransformations":
+                          [{"type": "scale", "scale": [1.0, 0.5, 0.5]}]}],
+        }], "omero": {"channels": [{"label": "c0"}]}}}}))
+    codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
+    if gzip_codec:
+        codecs.append({"name": "gzip", "configuration": {"level": 1}})
+    (arr_dir / "zarr.json").write_text(json.dumps({
+        "zarr_format": 3, "node_type": "array",
+        "shape": list(full.shape), "data_type": str(full.dtype),
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": list(chunks)}},
+        "chunk_key_encoding": {"name": "default",
+                               "configuration": {"separator": "/"}},
+        "fill_value": 0, "codecs": codecs}))
+    grid = [math.ceil(s / c) for s, c in zip(full.shape, chunks)]
+    for idx in np.ndindex(*grid):
+        block = np.zeros(chunks, dtype=full.dtype)
+        sl = tuple(slice(g * c, min((g + 1) * c, s))
+                   for g, c, s in zip(idx, chunks, full.shape))
+        ext = tuple(s.stop - s.start for s in sl)
+        block[tuple(slice(0, e) for e in ext)] = full[sl]
+        d = arr_dir / "c" / "/".join(str(i) for i in idx[:-1])
+        os.makedirs(d, exist_ok=True)
+        raw = block.tobytes()
+        (d / str(idx[-1])).write_bytes(
+            _gzip.compress(raw, 1) if gzip_codec else raw)
+
+
+def test_reads_zarr_v3_ngff05_store(spark, tmp_path):
+    """Zarr v3 (NGFF 0.5): zarr.json metadata, 'c/'-prefixed keys, gzip
+    codec chain — the reference's OMEZarrWriter 0.5 output shape."""
+    from bioio_spark import BioImage
+    from bioio_spark.types import PhysicalPixelSizes
+
+    rng = np.random.default_rng(31)
+    full = rng.integers(0, 4096, (3, 5, 7), dtype=np.uint16)
+    root = tmp_path / "v3.zarr"
+    _write_v3_store(root, full, (2, 3, 4))
+
+    img = BioImage(str(root), spark=spark)
+    assert img.dims["ZYX"] == full.shape
+    assert img.channel_names == ["c0"]
+    assert img.physical_pixel_sizes == PhysicalPixelSizes(1.0, 0.5, 0.5)
+    np.testing.assert_array_equal(img.get_image_data()[0, 0], full)
+
+
+def test_zarr_v3_window_read(spark, tmp_path):
+    from bioio_spark.sources.zarr_image import read_zarr_window
+
+    rng = np.random.default_rng(37)
+    full = rng.integers(0, 255, (4, 6, 8), dtype=np.uint8)
+    root = tmp_path / "v3w.zarr"
+    _write_v3_store(root, full, (2, 2, 3), gzip_codec=False)
+
+    df = read_zarr_window(spark, str(root), z=(1, 3), y=2,
+                          x=(3, 7)).toPandas()
+    want = full[1:3, 2, 3:7]
+    assert len(df) == want.size
+    got = np.zeros_like(want)
+    got[df["z"] - 1, df["x"] - 3] = df["value"]
+    np.testing.assert_array_equal(got, want)
