@@ -231,3 +231,59 @@ def test_streaming_static_enrichment_equals_batch(spark, sf_dir, stream_dir):
             REGISTRY["s6_stream_static_enrich"].fn(spark, sf_dir)
             .collect()}
     assert got == want
+
+
+def test_watermark_drops_late_rows(spark, tmp_path_factory):
+    """Late-data semantics end to end: a row arriving behind the watermark
+    is DROPPED — the already-emitted window is neither updated nor
+    re-emitted (append mode finality)."""
+    import datetime
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("late_stream")
+
+    def write_events(name, minute_value_pairs):
+        base = datetime.datetime(2024, 1, 1)
+        pdf = pd.DataFrame({
+            "event_id": range(len(minute_value_pairs)),
+            "ts": [base + datetime.timedelta(minutes=m)
+                   for m, _ in minute_value_pairs],
+            "user_id": [1] * len(minute_value_pairs),
+            "event_type": ["click"] * len(minute_value_pairs),
+            "value": [float(v) for _, v in minute_value_pairs],
+            "props": [""] * len(minute_value_pairs),
+        })
+        pq.write_table(pa.Table.from_pandas(pdf), str(d / name))
+
+    from bioio_spark.streaming import (read_event_stream,
+                                       streaming_tumbling_counts)
+
+    # batch 1: 3 events in [00:00, 00:10) + one at 00:30 that advances the
+    # watermark to 00:20 and finalizes the first window
+    write_events("f1.parquet", [(0, 1), (1, 1), (2, 1), (30, 1)])
+    counts = streaming_tumbling_counts(
+        read_event_stream(spark, str(d)), watermark="10 minutes")
+    q = (counts.writeStream.format("memory").queryName("t_late")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        first = {(r["window_start"].minute, r["n_events"])
+                 for r in spark.table("t_late").collect()}
+        assert (0, 3) in first
+
+        # batch 2: one LATE row at 00:01 (behind the 00:20 watermark ->
+        # dropped) + one at 00:50 (finalizes the 00:30 window)
+        write_events("f2.parquet", [(1, 99), (50, 1)])
+        q.processAllAvailable()
+        final = [(r["window_start"].minute, r["n_events"])
+                 for r in spark.table("t_late").collect()]
+    finally:
+        q.stop()
+    # first window emitted exactly once, still with 3 events (late row
+    # dropped); the 00:30 window closed with its single event
+    assert final.count((0, 3)) == 1
+    assert (0, 4) not in final
+    assert (30, 1) in final
