@@ -40,6 +40,10 @@ _PHOTOMETRIC = 262
 _IMAGE_DESCRIPTION = 270
 _STRIP_OFFSETS = 273
 _SAMPLES_PER_PIXEL = 277
+_TILE_WIDTH = 322
+_TILE_LENGTH = 323
+_TILE_OFFSETS = 324
+_TILE_BYTE_COUNTS = 325
 _ROWS_PER_STRIP = 278
 _STRIP_BYTE_COUNTS = 279
 _PLANAR_CONFIG = 284
@@ -329,22 +333,23 @@ def encode_ome_tiff(block: np.ndarray, image_id: str = "Image:0",
 
 
 def _read_tag_values(data: bytes, typ: int, count: int,
-                     raw: bytes) -> list:
-    """Decode an IFD entry's value(s), following the offset when needed."""
+                     raw: bytes, bo: str = "<") -> list:
+    """Decode an IFD entry's value(s), following the offset when needed.
+    `bo` is the file byte order ("<" little / ">" big)."""
     sizes = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
     fmt = {1: "B", 3: "H", 4: "I"}
     total = sizes.get(typ, 1) * count
     if total > 4:
-        (off,) = struct.unpack("<I", raw)
+        (off,) = struct.unpack(f"{bo}I", raw)
         buf = data[off:off + total]
     else:
         buf = raw[:total]
     if typ == _TYPE_ASCII:
         return [buf.rstrip(b"\x00").decode("utf-8", errors="replace")]
     if typ in fmt:
-        return list(struct.unpack(f"<{count}{fmt[typ]}", buf))
+        return list(struct.unpack(f"{bo}{count}{fmt[typ]}", buf))
     if typ == 5:  # RATIONAL
-        vals = struct.unpack(f"<{2 * count}I", buf)
+        vals = struct.unpack(f"{bo}{2 * count}I", buf)
         return [vals[i] / vals[i + 1] if vals[i + 1] else float("nan")
                 for i in range(0, len(vals), 2)]
     return [buf]
@@ -449,26 +454,36 @@ def decode_tiff(data: bytes):
 
     planes: list of numpy arrays, one per IFD/page — 2D (YX) for grayscale
     pages, 3D (YXS) when SamplesPerPixel > 1 (interleaved); native dtype
-    reconstructed from BitsPerSample + SampleFormat; Compression 1 / 8 /
-    32946 (both Deflate codes inflate with zlib); description: IFD0's
-    ImageDescription string or None."""
+    reconstructed from BitsPerSample + SampleFormat; Compression 1 / 5 /
+    8 / 32946; strip AND tile layouts; II and MM byte orders;
+    description: IFD0's ImageDescription string or None."""
     import zlib
 
-    if data[:2] != b"II" or struct.unpack("<H", data[2:4])[0] != 42:
-        raise ValueError("not a little-endian classic TIFF")
-    (ifd_off,) = struct.unpack("<I", data[4:8])
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a classic TIFF (bad byte-order mark)")
+    if struct.unpack(f"{bo}H", data[2:4])[0] != 42:
+        raise ValueError("not a classic TIFF (bad magic)")
+    (ifd_off,) = struct.unpack(f"{bo}I", data[4:8])
     planes, description = [], None
     first = True
     while ifd_off:
-        (n_entries,) = struct.unpack("<H", data[ifd_off:ifd_off + 2])
+        if ifd_off + 2 > len(data):
+            raise ValueError("truncated TIFF: IFD offset out of range")
+        (n_entries,) = struct.unpack(f"{bo}H", data[ifd_off:ifd_off + 2])
+        if ifd_off + 6 + 12 * n_entries > len(data):
+            raise ValueError("truncated TIFF: IFD table out of range")
         tags = {}
         for i in range(n_entries):
             ent = data[ifd_off + 2 + 12 * i: ifd_off + 2 + 12 * (i + 1)]
-            tag, typ, count = struct.unpack("<HHI", ent[:8])
-            tags[tag] = _read_tag_values(data, typ, count, ent[8:12])
+            tag, typ, count = struct.unpack(f"{bo}HHI", ent[:8])
+            tags[tag] = _read_tag_values(data, typ, count, ent[8:12], bo)
         (next_off,) = struct.unpack(
-            "<I", data[ifd_off + 2 + 12 * n_entries:
-                       ifd_off + 6 + 12 * n_entries])
+            f"{bo}I", data[ifd_off + 2 + 12 * n_entries:
+                           ifd_off + 6 + 12 * n_entries])
         comp = tags.get(_COMPRESSION, [1])[0]
         if comp not in (_COMPRESSION_NONE, _COMPRESSION_LZW,
                         _COMPRESSION_DEFLATE, _COMPRESSION_DEFLATE_OLD):
@@ -483,23 +498,53 @@ def decode_tiff(data: bytes):
         spp = tags.get(_SAMPLES_PER_PIXEL, [1])[0]
         bits = tags.get(_BITS_PER_SAMPLE, [8])[0]
         kind = _KIND_OF_SAMPLE_FORMAT[tags.get(_SAMPLE_FORMAT, [1])[0]]
-        dt = np.dtype(f"<{kind}{bits // 8}")
-        offs = tags[_STRIP_OFFSETS]
-        counts = tags[_STRIP_BYTE_COUNTS]
-        chunks = [data[o:o + c] for o, c in zip(offs, counts)]
-        if comp in (_COMPRESSION_DEFLATE, _COMPRESSION_DEFLATE_OLD):
-            chunks = [zlib.decompress(c) for c in chunks]
-        elif comp == _COMPRESSION_LZW:
-            chunks = [lzw_decode(c) for c in chunks]
-        raw = b"".join(chunks)
-        shape = (h, w) if spp == 1 else (h, w, spp)
-        plane = (np.frombuffer(raw, dtype=dt).reshape(shape)
-                 .astype(dt.newbyteorder("=")))
+        dt = np.dtype(f"{bo}{kind}{bits // 8}")
         pred = tags.get(_PREDICTOR, [1])[0]
-        if pred == 2:
-            plane = _undo_horizontal_predictor(plane)
-        elif pred != 1:
+        if pred not in (1, 2):
             raise ValueError(f"unsupported TIFF predictor {pred}")
+
+        def decompress(c: bytes) -> bytes:
+            if comp in (_COMPRESSION_DEFLATE, _COMPRESSION_DEFLATE_OLD):
+                return zlib.decompress(c)
+            if comp == _COMPRESSION_LZW:
+                return lzw_decode(c)
+            return c
+
+        if _TILE_OFFSETS in tags:
+            # tiled layout (TIFF 6.0 §15): fixed-size tiles, row-major,
+            # edge tiles stored full-size and cropped here. The common
+            # layout of wild pyramidal OME-TIFFs.
+            tw = tags[_TILE_WIDTH][0]
+            th = tags[_TILE_LENGTH][0]
+            offs = tags[_TILE_OFFSETS]
+            counts = tags[_TILE_BYTE_COUNTS]
+            across = -(-w // tw)
+            down = -(-h // th)
+            if len(offs) != across * down:
+                raise ValueError(
+                    f"tile count {len(offs)} != grid {down}x{across}")
+            tshape = (th, tw) if spp == 1 else (th, tw, spp)
+            raster = np.zeros(
+                (down * th, across * tw) + ((spp,) if spp > 1 else ()),
+                dtype=dt)
+            for ti, (o, c) in enumerate(zip(offs, counts)):
+                tile = (np.frombuffer(decompress(data[o:o + c]), dtype=dt)
+                        .reshape(tshape))
+                if pred == 2:   # predictor resets per tile row
+                    tile = _undo_horizontal_predictor(tile)
+                ty, tx = divmod(ti, across)
+                raster[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw] = tile
+            plane = raster[:h, :w].astype(dt.newbyteorder("="))
+        else:
+            offs = tags[_STRIP_OFFSETS]
+            counts = tags[_STRIP_BYTE_COUNTS]
+            raw = b"".join(decompress(data[o:o + c])
+                           for o, c in zip(offs, counts))
+            shape = (h, w) if spp == 1 else (h, w, spp)
+            plane = (np.frombuffer(raw, dtype=dt).reshape(shape)
+                     .astype(dt.newbyteorder("=")))
+            if pred == 2:
+                plane = _undo_horizontal_predictor(plane)
         planes.append(plane)
         if first:
             desc = tags.get(_IMAGE_DESCRIPTION)

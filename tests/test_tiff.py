@@ -320,3 +320,140 @@ def test_codec_lzw_shrinks_low_entropy():
     raw = len(encode_tiff([flat]))
     lzw = len(encode_tiff([flat], compression=5))
     assert lzw < raw / 4
+
+
+# -- tiled layout + big-endian decode -------------------------------------
+
+def _build_tiff(bo, entries_fn, body):
+    """Minimal hand-rolled single-IFD TIFF: header | body | IFD."""
+    import struct
+
+    header = struct.pack(f"{bo}2sHI", b"II" if bo == "<" else b"MM", 42,
+                         8 + len(body))
+    entries = entries_fn(8)  # body starts at offset 8
+    ifd = struct.pack(f"{bo}H", len(entries)) + b"".join(
+        struct.pack(f"{bo}HHI", t, typ, cnt) + val
+        for t, typ, cnt, val in entries) + struct.pack(f"{bo}I", 0)
+    return header + body + ifd
+
+
+def test_decode_tiled_layout():
+    """TIFF 6.0 S15 tiles: 3x2 grid of 4x4 tiles over a 10x7 image, edge
+    tiles stored full-size; reassembly + crop must reproduce the image."""
+    import struct
+
+    from bioio_spark.formats.tiff import decode_tiff
+
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 255, (10, 7), dtype=np.uint8)
+    th = tw = 4
+    tiles, offs, counts = [], [], []
+    body = b""
+    for ty in range(3):
+        for tx in range(2):
+            block = np.zeros((th, tw), dtype=np.uint8)
+            sl = img[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+            block[:sl.shape[0], :sl.shape[1]] = sl
+            tiles.append(block.tobytes())
+    for t in tiles:
+        offs.append(8 + len(body))
+        counts.append(len(t))
+        body += t
+
+    def entries(base):
+        import struct as s
+        off_blob_at = 8 + len(body)
+        return [
+            (256, 4, 1, s.pack("<I", 7)),      # ImageWidth
+            (257, 4, 1, s.pack("<I", 10)),     # ImageLength
+            (258, 3, 1, s.pack("<HH", 8, 0)),  # BitsPerSample
+            (259, 3, 1, s.pack("<HH", 1, 0)),  # Compression none
+            (277, 3, 1, s.pack("<HH", 1, 0)),  # SamplesPerPixel
+            (322, 4, 1, s.pack("<I", tw)),     # TileWidth
+            (323, 4, 1, s.pack("<I", th)),     # TileLength
+            (324, 4, 6, s.pack("<I", off_blob_at)),          # TileOffsets
+            (325, 4, 6, s.pack("<I", off_blob_at + 24)),     # ByteCounts
+        ]
+
+    # out-of-line offset/count arrays appended after tile data
+    blob = (struct.pack("<6I", *offs) + struct.pack("<6I", *counts))
+    data = _build_tiff("<", entries, body + blob)
+    planes, _ = decode_tiff(data)
+    np.testing.assert_array_equal(planes[0], img)
+
+
+def test_decode_big_endian():
+    """MM byte order: big-endian offsets, tags, and uint16 pixel data."""
+    import struct
+
+    from bioio_spark.formats.tiff import decode_tiff
+
+    # .astype last: numpy ufuncs return NATIVE-endian, so the multiply
+    # must happen before the big-endian cast
+    img = (np.arange(6).reshape(2, 3) * 1000).astype(">u2")
+    body = img.tobytes()
+
+    def entries(base):
+        import struct as s
+        return [
+            (256, 4, 1, s.pack(">I", 3)),
+            (257, 4, 1, s.pack(">I", 2)),
+            (258, 3, 1, s.pack(">HH", 16, 0)),
+            (259, 3, 1, s.pack(">HH", 1, 0)),
+            (273, 4, 1, s.pack(">I", base)),       # StripOffsets
+            (277, 3, 1, s.pack(">HH", 1, 0)),
+            (278, 4, 1, s.pack(">I", 2)),          # RowsPerStrip
+            (279, 4, 1, s.pack(">I", len(body))),  # StripByteCounts
+        ]
+
+    data = _build_tiff(">", entries, body)
+    planes, _ = decode_tiff(data)
+    assert planes[0].dtype == np.dtype("uint16").newbyteorder("=")
+    np.testing.assert_array_equal(planes[0], img.astype("=u2"))
+
+
+def test_decode_tiled_lzw_predictor():
+    """Tiles + LZW + Predictor 2 together (the wild pyramidal combo):
+    predictor must be undone PER TILE before reassembly."""
+    import struct
+
+    from bioio_spark.formats.tiff import decode_tiff, lzw_encode
+
+    rng = np.random.default_rng(43)
+    img = rng.integers(0, 255, (5, 6), dtype=np.uint8)
+    th, tw = 3, 4
+    payloads, offs, counts = [], [], []
+    body = b""
+    for ty in range(2):
+        for tx in range(2):
+            block = np.zeros((th, tw), dtype=np.uint8)
+            sl = img[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+            block[:sl.shape[0], :sl.shape[1]] = sl
+            d = block.copy()
+            d[:, 1:] = block[:, 1:] - block[:, :-1]   # per-tile predictor
+            payloads.append(lzw_encode(d.tobytes()))
+    for p in payloads:
+        offs.append(8 + len(body))
+        counts.append(len(p))
+        body += p
+
+    def entries(base):
+        import struct as s
+        blob_at = 8 + len(body)
+        return [
+            (256, 4, 1, s.pack("<I", 6)),
+            (257, 4, 1, s.pack("<I", 5)),
+            (258, 3, 1, s.pack("<HH", 8, 0)),
+            (259, 3, 1, s.pack("<HH", 5, 0)),   # LZW
+            (277, 3, 1, s.pack("<HH", 1, 0)),
+            (317, 3, 1, s.pack("<HH", 2, 0)),   # Predictor 2
+            (322, 4, 1, s.pack("<I", tw)),
+            (323, 4, 1, s.pack("<I", th)),
+            (324, 4, 4, s.pack("<I", blob_at)),
+            (325, 4, 4, s.pack("<I", blob_at + 16)),
+        ]
+
+    blob = struct.pack("<4I", *offs) + struct.pack("<4I", *counts)
+    data = _build_tiff("<", entries, body + blob)
+    planes, _ = decode_tiff(data)
+    np.testing.assert_array_equal(planes[0], img)
