@@ -1,10 +1,11 @@
-"""Pure-Python baseline PNG codec (grayscale 8/16-bit, stdlib zlib only).
+"""Pure-Python baseline PNG codec (stdlib zlib only).
 
 Second real format after TIFF (the reference delegates PNG/JPEG to the
-bioio-imageio plugin, ref README.md:54-80). Scope: greyscale color type 0,
-bit depth 8 or 16, no interlace — the microscopy-plane subset. The decoder
-reconstructs ALL five scanline filters (None/Sub/Up/Average/Paeth), so
-files from standard writers decode; the encoder emits filter 0 rows.
+bioio-imageio plugin, ref README.md:54-80). Scope: color types 0
+(grayscale), 2 (RGB), 4 (gray+alpha), 6 (RGBA); bit depth 8 or 16; no
+interlace. The decoder reconstructs ALL five scanline filters
+(None/Sub/Up/Average/Paeth), so files from standard writers decode; the
+encoder emits filter 0 rows (types 0 and 2).
 """
 
 from __future__ import annotations
@@ -23,25 +24,32 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
 
 
 def encode_png(plane: np.ndarray) -> bytes:
-    """Encode a 2D uint8/uint16 plane as grayscale PNG."""
+    """Encode a 2D uint8/uint16 plane as grayscale PNG, or an (H, W, 3)
+    array as RGB (color type 2)."""
     a = np.asarray(plane)
-    if a.ndim != 2:
-        raise ValueError(f"encode_png expects a 2D plane, got {a.ndim}D")
+    if a.ndim == 2:
+        color, samples = 0, 1
+    elif a.ndim == 3 and a.shape[2] == 3:
+        color, samples = 2, 3
+    else:
+        raise ValueError(
+            f"encode_png expects 2D (grayscale) or (H, W, 3) RGB, got "
+            f"shape {a.shape}")
     if a.dtype == np.uint8:
         depth, payload = 8, a
     elif a.dtype == np.uint16:
         depth, payload = 16, a.astype(">u2")
     else:
         raise ValueError(
-            f"PNG baseline supports uint8/uint16 grayscale, got {a.dtype}")
-    h, w = a.shape
+            f"PNG baseline supports uint8/uint16, got {a.dtype}")
+    h, w = a.shape[0], a.shape[1]
     raw = bytearray()
     rows = payload.tobytes()
-    stride = w * (depth // 8)
+    stride = w * samples * (depth // 8)
     for r in range(h):
         raw.append(0)                      # filter type 0 (None)
         raw += rows[r * stride:(r + 1) * stride]
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
     return (_SIGNATURE + _chunk(b"IHDR", ihdr)
             + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
             + _chunk(b"IEND", b""))
@@ -55,8 +63,12 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+_SAMPLES_OF_COLOR_TYPE = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode a grayscale PNG -> 2D numpy array (uint8 or uint16)."""
+    """Decode a PNG -> numpy array: 2D (H, W) for grayscale, 3D
+    (H, W, samples) for RGB / gray+alpha / RGBA; uint8 or uint16."""
     if data[:8] != _SIGNATURE:
         raise ValueError("not a PNG file")
     pos = 8
@@ -74,15 +86,16 @@ def decode_png(data: bytes) -> np.ndarray:
             idat += body
         elif ctype == b"IEND":
             break
-    if color != 0:
-        raise ValueError(f"only grayscale (color type 0) supported, "
-                         f"got color type {color}")
+    if color not in _SAMPLES_OF_COLOR_TYPE:
+        raise ValueError(f"unsupported PNG color type {color} "
+                         f"(supported: 0, 2, 4, 6)")
     if depth not in (8, 16):
         raise ValueError(f"only bit depth 8/16 supported, got {depth}")
     if interlace:
         raise ValueError("interlaced PNG not supported")
+    samples = _SAMPLES_OF_COLOR_TYPE[color]
     raw = zlib.decompress(bytes(idat))
-    bpp = depth // 8
+    bpp = samples * depth // 8       # filter distance = bytes per pixel
     stride = width * bpp
     # unfiltering is numpy-vectorized per row: None is a copy, Up is one
     # wrapping uint8 add against the prior row, Sub is a per-byte-lane
@@ -127,5 +140,6 @@ def decode_png(data: bytes) -> np.ndarray:
         out[r] = rec
         prior = rec
     dt = np.dtype(">u2") if depth == 16 else np.dtype("u1")
+    shape = (height, width) if samples == 1 else (height, width, samples)
     return (np.frombuffer(out.tobytes(), dtype=dt)
-            .reshape(height, width).astype(dt.newbyteorder("=")))
+            .reshape(shape).astype(dt.newbyteorder("=")))

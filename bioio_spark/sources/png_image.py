@@ -24,16 +24,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _read_png_header(path: str) -> tuple[int, int, int]:
-    """(height, width, bit_depth) from the IHDR without reading pixels."""
+def _read_png_header(path: str) -> tuple[int, int, int, int]:
+    """(height, width, bit_depth, samples) from the IHDR without reading
+    pixels."""
+    from bioio_spark.formats.png import _SAMPLES_OF_COLOR_TYPE
+
     with open(path, "rb") as f:
         head = f.read(33)
     if head[:8] != b"\x89PNG\r\n\x1a\n" or head[12:16] != b"IHDR":
         raise ValueError(f"{path}: not a PNG file")
     w, h, depth, color = struct.unpack(">IIBB", head[16:26])
-    if color != 0:
-        raise ValueError(f"{path}: only grayscale PNG supported")
-    return h, w, depth
+    if color not in _SAMPLES_OF_COLOR_TYPE:
+        raise ValueError(f"{path}: unsupported PNG color type {color}")
+    return h, w, depth, _SAMPLES_OF_COLOR_TYPE[color]
 
 
 def _png_paths(image: str) -> list[str]:
@@ -76,7 +79,7 @@ class PngImageReader:
         scene_rows, channel_rows = [], []
         scene_of: dict[str, str] = {}
         for si, p in enumerate(sorted(paths)):
-            h, w, depth = _read_png_header(p)
+            h, w, depth, samples = _read_png_header(p)
             scene = f"Image:{si}"
             scene_of[os.path.abspath(p)] = scene
             for ci, nm in enumerate(resolve_channel_names(
@@ -87,9 +90,11 @@ class PngImageReader:
             pps = self._pps
             scene_rows.append({
                 "image_id": self._image_id, "scene": scene,
-                "scene_idx": si, "dim_order": "TCZYX",
+                "scene_idx": si,
+                "dim_order": "TCZYXS" if samples > 1 else "TCZYX",
                 "size_t": 1, "size_c": 1, "size_z": 1,
-                "size_y": h, "size_x": w, "size_m": None, "size_s": None,
+                "size_y": h, "size_x": w, "size_m": None,
+                "size_s": samples if samples > 1 else None,
                 "dtype": "uint16" if depth == 16 else "uint8",
                 "ome_pixel_type": "uint16" if depth == 16 else "uint8",
                 "pps_z": pps.Z if pps else None,
@@ -113,14 +118,21 @@ class PngImageReader:
                             f"PngImageReader: {path!r} (local {local!r}) "
                             f"not in the catalog scene map")
                     plane = decode_png(bytes(content))
-                    y_n, x_n = plane.shape
+                    y_n, x_n = plane.shape[0], plane.shape[1]
+                    s_n = plane.shape[2] if plane.ndim == 3 else 1
                     zero = np.zeros(plane.size, dtype=np.int32)
+                    s_col = (np.full(plane.size, -1, dtype=np.int32)
+                             if s_n == 1 else
+                             np.tile(np.arange(s_n, dtype=np.int32),
+                                     y_n * x_n))
                     yield pd.DataFrame({
                         "scene": scene_of[local],
                         "t": zero, "c": zero, "z": zero,
                         "y": np.repeat(np.arange(y_n, dtype=np.int32),
-                                       x_n),
-                        "x": np.tile(np.arange(x_n, dtype=np.int32), y_n),
+                                       x_n * s_n),
+                        "x": np.tile(np.repeat(
+                            np.arange(x_n, dtype=np.int32), s_n), y_n),
+                        "s": s_col,
                         "value": plane.ravel().astype(np.float64),
                     })
 
@@ -130,11 +142,11 @@ class PngImageReader:
         px = (binary.select("path", "content")
               .mapInPandas(batches,
                            schema="scene string, t int, c int, z int, "
-                                  "y int, x int, value double")
+                                  "y int, x int, s int, value double")
               .select(
                   F.lit(self._image_id).alias("image_id"), "scene",
                   F.lit(0).alias("res_level"), "t", "c", "z", "y", "x",
-                  F.lit(-1).alias("m"), F.lit(-1).alias("s"), "value")
+                  F.lit(-1).alias("m"), "s", "value")
               .select(*PIXEL_COLUMNS))
 
         return ImageDataset(pixels=px, scenes=pd.DataFrame(scene_rows),

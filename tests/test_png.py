@@ -117,3 +117,75 @@ def test_png_plugin_listed():
     bioio_spark._register_builtin_plugins()
     assert "bioio-png-baseline" in dump_plugins()
     assert "bioio-ome-tiff-baseline" in dump_plugins()
+
+
+def test_rgb_roundtrip():
+    from bioio_spark.formats.png import decode_png, encode_png
+
+    rng = np.random.default_rng(47)
+    rgb = rng.integers(0, 255, (7, 5, 3), dtype=np.uint8)
+    back = decode_png(encode_png(rgb))
+    assert back.shape == (7, 5, 3)
+    np.testing.assert_array_equal(back, rgb)
+    rgb16 = rng.integers(0, 65535, (4, 6, 3), dtype=np.uint16)
+    np.testing.assert_array_equal(decode_png(encode_png(rgb16)), rgb16)
+
+
+def test_rgb_filters_sub_up_paeth():
+    """Foreign-writer RGB rows: apply each filter FORWARD in the test with
+    the 3-byte pixel distance, assert the decoder inverts it."""
+    import struct
+    import zlib
+
+    from bioio_spark.formats.png import _chunk, _SIGNATURE, decode_png
+
+    rng = np.random.default_rng(53)
+    img = rng.integers(0, 255, (4, 5, 3), dtype=np.uint8)
+    h, w, bpp = 4, 5, 3
+    stride = w * bpp
+    flat = img.reshape(h, stride).astype(np.int64)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    filters = [1, 2, 3, 4]  # Sub, Up, Average, Paeth
+    for r, ft in enumerate(filters):
+        raw.append(ft)
+        prior = flat[r - 1] if r else np.zeros(stride, dtype=np.int64)
+        for i in range(stride):
+            x = flat[r, i]
+            left = flat[r, i - bpp] if i >= bpp else 0
+            up = prior[i]
+            ul = prior[i - bpp] if i >= bpp else 0
+            if ft == 1:
+                v = x - left
+            elif ft == 2:
+                v = x - up
+            elif ft == 3:
+                v = x - ((left + up) >> 1)
+            else:
+                v = x - paeth(left, up, ul)
+            raw.append(v & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (_SIGNATURE + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+    np.testing.assert_array_equal(decode_png(data), img)
+
+
+def test_rgb_png_reader_s_dim(spark, tmp_path):
+    """A color PNG reads as a TCZYXS scene with the sample dim."""
+    from bioio_spark import BioImage
+    from bioio_spark.formats.png import encode_png
+
+    rng = np.random.default_rng(59)
+    rgb = rng.integers(0, 255, (6, 4, 3), dtype=np.uint8)
+    p = tmp_path / "c.png"
+    p.write_bytes(encode_png(rgb))
+    img = BioImage(str(p), spark=spark)
+    assert img.dims.order == "TCZYXS"
+    assert img.dims["S"] == (3,)
+    np.testing.assert_array_equal(img.get_image_data()[0, 0, 0], rgb)
