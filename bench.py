@@ -33,7 +33,9 @@ BENCH_QUERIES = [
     "a22_lonely_late_suppliers", "a23_dormant_customers",
     "a24_full_outer_balance", "a25_order_count_distribution",
     "a26_nation_volume", "a27_market_share", "a28_returned_revenue",
-    "a29_shipping_priority", "a13b_unpivot",
+    "a29_shipping_priority", "a13b_unpivot", "a30_forecast_revenue",
+    "a31_min_cost_supplier", "a32_product_type_profit",
+    "a33_important_stock", "a34_returnflag_priority",
     # LLM pipeline
     "l1_exact_dedup", "l2_minhash_lsh", "l2b_simhash", "l2c_ngram_jaccard",
     "l2d_bounded_lsh", "l4e_bpe_tokens",

@@ -760,3 +760,216 @@ def a13b_unpivot(spark, sf_dir):
     return (m.unpivot(["l_returnflag"], ["sum_qty", "sum_price"],
                       "metric", "value")
             .orderBy("l_returnflag", "metric"))
+
+
+# --------------------------------------------------------------------------
+# A30 (TPC-H Q6 shape): the pure-scan aggregate — every predicate (date
+# range, discount band, quantity cap) pushes to the parquet scan, then ONE
+# partial+final aggregate over the survivors. Scale: zero joins, zero wide
+# columns; at 100 TB this is bandwidth-bound and nothing else.
+# --------------------------------------------------------------------------
+@register(
+    "a30_forecast_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="A30 (Q6): forecast revenue — scan-only filtered aggregate",
+)
+def a30_forecast_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24))
+    return f.agg(
+        (F.sum(_dec(F.col("l_extendedprice")) * _dec(F.col("l_discount"),
+                                                     4, 2)))
+        .cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"))
+
+
+# --------------------------------------------------------------------------
+# A31 (TPC-H Q2 shape): correlated scalar-MIN subquery over a join chain,
+# matched back by equality. Adapted to the fixture schema (no partsupp):
+# for each SMALL-type part sold into a region, find the line(s) at the
+# MINIMUM extended price. Scale: the min-per-part aggregates map-side
+# before its shuffle; dims (part/supplier/nation/region) broadcast; the
+# back-match is the same-keyed join AQE reuses.
+# --------------------------------------------------------------------------
+@register(
+    "a31_min_cost_supplier",
+    oracle="""
+    WITH priced AS (
+      SELECT l.l_partkey, l.l_extendedprice, s.s_name, s.s_acctbal
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'REGION_0' AND p.p_type = 'SMALL'
+    )
+    SELECT p.l_partkey AS partkey, p.s_name,
+           CAST(p.s_acctbal AS DOUBLE) AS s_acctbal,
+           CAST(p.l_extendedprice AS DOUBLE) AS min_price
+    FROM priced p
+    WHERE p.l_extendedprice = (
+      SELECT min(p2.l_extendedprice) FROM priced p2
+      WHERE p2.l_partkey = p.l_partkey)
+    ORDER BY s_acctbal DESC, partkey, s_name
+    LIMIT 100
+    """,
+    doc="A31 (Q2): min-price supplier per part within a region",
+)
+def a31_min_cost_supplier(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    su = load(spark, sf_dir, "supplier")
+    na = load(spark, sf_dir, "nation")
+    re = load(spark, sf_dir, "region")
+    pa = load(spark, sf_dir, "part")
+    priced = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re.filter(F.col("r_name") == "REGION_0")),
+              na.n_regionkey == re.r_regionkey)
+        .join(F.broadcast(pa.filter(F.col("p_type") == "SMALL")),
+              li.l_partkey == pa.p_partkey)
+        .select("l_partkey", "l_extendedprice", "s_name", "s_acctbal"))
+    mins = (priced.groupBy("l_partkey")
+            .agg(F.min("l_extendedprice").alias("min_price")))
+    return (priced.join(mins, "l_partkey")
+            .filter(F.col("l_extendedprice") == F.col("min_price"))
+            .select(F.col("l_partkey").alias("partkey"), "s_name",
+                    F.col("s_acctbal").cast("double").alias("s_acctbal"),
+                    F.col("min_price").cast("double").alias("min_price"))
+            .orderBy(F.desc("s_acctbal"), "partkey", "s_name")
+            .limit(100))
+
+
+# --------------------------------------------------------------------------
+# A32 (TPC-H Q9 shape): profit by nation x order-year through a 4-way
+# join. Cost proxy = 10% of retail price per unit (the fixture has no
+# partsupp.ps_supplycost); all money math in DECIMAL so both engines land
+# on identical bits. Scale: part/supplier/nation broadcast; lineitem
+# shuffles once for the (nation, year) aggregate, combined map-side.
+# --------------------------------------------------------------------------
+@register(
+    "a32_product_type_profit",
+    oracle="""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                    - CAST(0.1 AS DECIMAL(3,1))
+                      * CAST(p.p_retailprice AS DECIMAL(12,2))
+                      * CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             AS profit
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%al%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="A32 (Q9): profit by nation x year, cost proxied from retail price",
+)
+def a32_product_type_profit(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    pa = load(spark, sf_dir, "part")
+    su = load(spark, sf_dir, "supplier")
+    na = load(spark, sf_dir, "nation")
+    profit = (
+        _dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"),
+                                                   4, 2))
+        - F.lit("0.1").cast("decimal(3,1)")
+        * _dec(F.col("p_retailprice")) * _dec(F.col("l_quantity")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(pa.filter(F.col("p_name").like("%al%"))),
+              li.l_partkey == pa.p_partkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("profit"))
+        .orderBy("nation", F.desc("o_year")))
+
+
+# --------------------------------------------------------------------------
+# A33 (TPC-H Q11 shape): per-group value vs a GLOBAL scalar threshold —
+# keep parts whose sold value exceeds 0.05% of total sold value. The gate
+# is an exact DECIMAL cross-multiplication (value * 10000 > total * 5),
+# no float thresholds. Scale: two aggregates over the same shuffle key
+# + a broadcast of the 1-row total; never a cartesian.
+# --------------------------------------------------------------------------
+@register(
+    "a33_important_stock",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS value
+      FROM lineitem GROUP BY l_partkey
+    ), tot AS (SELECT sum(value) AS total FROM pv)
+    SELECT pv.l_partkey AS partkey, CAST(pv.value AS DOUBLE) AS value
+    FROM pv, tot
+    WHERE pv.value * 10000 > tot.total * 5
+    ORDER BY value DESC, partkey
+    """,
+    doc="A33 (Q11): parts above a global value-share threshold",
+)
+def a33_important_stock(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    pv = (li.groupBy("l_partkey")
+          .agg(F.sum(_disc_price()).alias("value")))
+    tot = pv.agg(F.sum("value").alias("total"))
+    return (pv.crossJoin(F.broadcast(tot))
+            .filter(F.col("value") * 10000 > F.col("total") * 5)
+            .select(F.col("l_partkey").alias("partkey"),
+                    F.col("value").cast("double").alias("value"))
+            .orderBy(F.desc("value"), "partkey"))
+
+
+# --------------------------------------------------------------------------
+# A34 (TPC-H Q12 shape): join + two-way conditional counts per line
+# attribute (return flag stands in for the fixture's missing shipmode).
+# Scale: the orders join is the one shuffle (same key as every orders
+# join — exchange reuse); the priority split is a codegen CASE aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "a34_returnflag_priority",
+    oracle="""
+    SELECT l.l_returnflag,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+    doc="A34 (Q12): two-way priority split per line attribute",
+)
+def a34_returnflag_priority(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter((F.col("l_shipdate") >= "1997-01-01")
+                  & (F.col("l_shipdate") < "1998-01-01"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"))
+        .orderBy("l_returnflag"))

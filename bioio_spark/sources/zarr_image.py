@@ -324,26 +324,14 @@ def window_chunk_keys(shape, chunks, window) -> list[tuple[int, ...]]:
     return [tuple(g) for g in itertools.product(*ranges)]
 
 
-def read_zarr_window(spark: SparkSession, store: str,
-                     t=None, c=None, z=None, y=None, x=None,
-                     level: str | int = 0) -> DataFrame:
-    """Chunk-pruned windowed read of one `.zarr` store: selectors are
-    turned into the exact set of intersecting chunk FILES driver-side
-    (catalog arithmetic only), and the binaryFile scan lists just those —
-    reading one plane of a 100 TB store touches O(plane/chunk) files, not
-    the whole store. The residual trim to exact window bounds is a codegen
-    row filter after decode.
+def _array_of(root: str, level: str | int = 0) -> tuple[str, dict, str]:
+    """(array_dir, decode-info dict, axes) for one store at one level —
+    shared by the windowed and planes read paths; handles Zarr v2 group,
+    v2 bare array, and v3 (group or bare) layouts."""
+    from bioio_spark.formats.zarr import (parse_ngff_attrs,
+                                          parse_zarr3_array, parse_zarray)
 
-    This is the pushdown the reference gets from tifffile/zarr slicing
-    (ref bio_image.py:764-839 lazy selection); Spark-side it is listing-
-    level pruning, the same lever as parquet partition pruning.
-    """
-    import numpy as _np
-
-    from bioio_spark.formats.zarr import (parse_ngff_attrs, parse_zarr3_array,
-                                          parse_zarray)
-
-    root = store.rstrip("/")
+    root = root.rstrip("/")
     v3_doc = _read_doc(root, "zarr.json")
     if v3_doc is not None:
         attrs = parse_ngff_attrs(v3_doc)
@@ -361,9 +349,134 @@ def read_zarr_window(spark: SparkSession, store: str,
         if zdoc is None:
             arr_dir, zdoc = root, _read_doc(root, ".zarray")
         if zdoc is None:
-            raise ValueError(f"{store}: no .zarray document")
+            raise ValueError(f"{root}: no .zarray document")
         za = parse_zarray(zdoc)
     axes = attrs["axes"] or "tczyx"[-len(za["shape"]):]
+    return arr_dir, za, axes
+
+
+def read_zarr_planes(spark: SparkSession, store: str,
+                     level: str | int = 0,
+                     image_id: str = "img") -> DataFrame:
+    """ZERO-SHUFFLE chunk -> planes-layout read: each Zarr chunk decodes
+    DIRECTLY to tile rows (one row per (t,c,z) slab: y0/x0/h/w + dense
+    row-major `values` payload) — the scale path for big images. The
+    long-form reader emits one row per PIXEL (8x+ amplification before
+    any pruning); converting long-form to planes costs a full groupBy
+    shuffle (pixels_to_planes). This path gets the chunked layout straight
+    off the binaryFile scan: tile pruning, payload-sliced windows, and
+    vectorized assembly (operators/planes.py) with no exchange at all.
+    """
+    import numpy as np
+
+    from bioio_spark.sources.tiff_image import local_path as local_path_of
+
+    arr_dir, za, axes = _array_of(store, level)
+    info = {
+        "axes": axes, "shape": za["shape"], "chunks": za["chunks"],
+        "dtype": np.dtype(za["dtype"]).str,
+        "compressor": za["compressor"],
+        "key_prefix": za.get("key_prefix"),
+        "gzip_member": za.get("gzip_member", False),
+    }
+    arr_abs = os.path.abspath(arr_dir)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from bioio_spark.formats.zarr import decode_chunk, decode_chunk_v3
+
+        for pdf in it:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                local = local_path_of(path)
+                if os.path.basename(local) == "zarr.json":
+                    continue
+                rel = os.path.relpath(local, arr_abs)
+                parts = rel.replace(os.sep, ".").split(".")
+                if info["key_prefix"] and parts[0] == info["key_prefix"]:
+                    parts = parts[1:]
+                grid = [int(p) for p in parts]
+                shape, chunks = info["shape"], info["chunks"]
+                dec = decode_chunk_v3 if info["gzip_member"] else \
+                    decode_chunk
+                block = dec(bytes(content), info["dtype"], chunks,
+                            info["compressor"])
+                valid = tuple(min(c, s - g * c)
+                              for g, s, c in zip(grid, shape, chunks))
+                block = block[tuple(slice(0, v) for v in valid)]
+                # axes -> tczyx positions; leading dims iterate, trailing
+                # (y, x) become the tile payload
+                pos = {d: i for i, d in enumerate(info["axes"])}
+                if "y" not in pos or "x" not in pos:
+                    raise ValueError("planes read needs y and x axes")
+                lead_axes = [d for d in info["axes"] if d not in "yx"]
+                off = {d: grid[pos[d]] * chunks[pos[d]]
+                       for d in info["axes"]}
+                h, w = (valid[pos["y"]], valid[pos["x"]])
+                rows: dict = {k: [] for k in
+                              ("t", "c", "z", "y0", "x0", "values")}
+                lead_shape = tuple(valid[pos[d]] for d in lead_axes)
+                for lead in np.ndindex(*lead_shape) if lead_shape \
+                        else [()]:
+                    idx = [0] * len(info["axes"])
+                    for d, v in zip(lead_axes, lead):
+                        idx[pos[d]] = v
+                    sl = tuple(
+                        slice(None) if d in "yx" else idx[pos[d]]
+                        for d in info["axes"])
+                    coords = {d: off.get(d, 0) for d in "tcz"}
+                    for d, v in zip(lead_axes, lead):
+                        coords[d] = off[d] + v
+                    rows["t"].append(coords.get("t", 0))
+                    rows["c"].append(coords.get("c", 0))
+                    rows["z"].append(coords.get("z", 0))
+                    rows["y0"].append(off["y"])
+                    rows["x0"].append(off["x"])
+                    rows["values"].append(
+                        block[sl].astype(np.float64).ravel())
+                n = len(rows["t"])
+                yield pd.DataFrame({
+                    "image_id": [image_id] * n,
+                    "scene": ["Image:0"] * n,
+                    "res_level": np.full(n, int(level) if str(level)
+                                         .isdigit() else 0, np.int32),
+                    "t": np.asarray(rows["t"], np.int32),
+                    "c": np.asarray(rows["c"], np.int32),
+                    "z": np.asarray(rows["z"], np.int32),
+                    "m": np.full(n, -1, np.int32),
+                    "s": np.full(n, -1, np.int32),
+                    "y0": np.asarray(rows["y0"], np.int32),
+                    "x0": np.asarray(rows["x0"], np.int32),
+                    "h": np.full(n, h, np.int32),
+                    "w": np.full(n, w, np.int32),
+                    "values": rows["values"],
+                })
+
+    binary = (spark.read.format("binaryFile")
+              .option("recursiveFileLookup", "true")
+              .load([f"file://{arr_abs}"]))
+    return binary.select("path", "content").mapInPandas(
+        batches,
+        schema="image_id string, scene string, res_level int, t int, "
+               "c int, z int, m int, s int, y0 int, x0 int, h int, "
+               "w int, values array<double>")
+
+
+def read_zarr_window(spark: SparkSession, store: str,
+                     t=None, c=None, z=None, y=None, x=None,
+                     level: str | int = 0) -> DataFrame:
+    """Chunk-pruned windowed read of one `.zarr` store: selectors are
+    turned into the exact set of intersecting chunk FILES driver-side
+    (catalog arithmetic only), and the binaryFile scan lists just those —
+    reading one plane of a 100 TB store touches O(plane/chunk) files, not
+    the whole store. The residual trim to exact window bounds is a codegen
+    row filter after decode.
+
+    This is the pushdown the reference gets from tifffile/zarr slicing
+    (ref bio_image.py:764-839 lazy selection); Spark-side it is listing-
+    level pruning, the same lever as parquet partition pruning.
+    """
+    import numpy as _np
+
+    arr_dir, za, axes = _array_of(store, level)
     sel_of = {"t": t, "c": c, "z": z, "y": y, "x": x}
     window = [_norm_window(sel_of.get(d), s)
               for d, s in zip(axes, za["shape"])]

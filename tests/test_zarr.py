@@ -328,3 +328,48 @@ def test_zarr_v3_window_read(spark, tmp_path):
     got = np.zeros_like(want)
     got[df["z"] - 1, df["x"] - 3] = df["value"]
     np.testing.assert_array_equal(got, want)
+
+
+def test_read_zarr_planes_zero_shuffle_equivalence(spark, tmp_path):
+    """Chunk -> planes-layout read: ZERO exchanges in the plan, and
+    planes_to_pixels over the result equals the long-form reader."""
+    from bioio_spark import BioImage
+    from bioio_spark.operators.planes import planes_to_pixels
+    from bioio_spark.plans import physical_plan, shuffle_count
+    from bioio_spark.sources.zarr_image import read_zarr_planes
+    from bioio_spark.writers import save_ome_zarr
+
+    rng = np.random.default_rng(61)
+    a = rng.integers(0, 4096, (2, 2, 3, 5, 7), dtype=np.uint16)
+    img = BioImage(a, spark=spark)
+    out = str(tmp_path / "pl")
+    save_ome_zarr(img, out, chunks=(1, 2, 2, 3, 4))
+    store = os.path.join(out, "scene_0.zarr")
+
+    planes = read_zarr_planes(spark, store)
+    assert shuffle_count(planes) == 0
+    # chunk (1,2,2,...) -> each chunk carries up to 1*2*2 = 4 tile rows
+    n_tiles = planes.count()
+    # total tile rows = t*c*z * ceil(5/3)*ceil(7/4) = 12 * 2 * 2
+    assert n_tiles == 2 * 2 * 3 * 2 * 2
+
+    px = planes_to_pixels(planes).select("t", "c", "z", "y", "x", "value")
+    got = {tuple(r) for r in px.collect()}
+    want_df = BioImage(store, spark=spark).get_image_dataframe()
+    want = {tuple(r) for r in
+            want_df.select("t", "c", "z", "y", "x", "value").collect()}
+    assert got == want
+
+
+def test_read_zarr_planes_v3(spark, tmp_path):
+    from bioio_spark.operators.planes import planes_to_pixels
+    from bioio_spark.sources.zarr_image import read_zarr_planes
+
+    rng = np.random.default_rng(67)
+    full = rng.integers(0, 255, (4, 6, 8), dtype=np.uint8)  # zyx
+    root = tmp_path / "v3p.zarr"
+    _write_v3_store(root, full, (2, 3, 4))
+    px = planes_to_pixels(read_zarr_planes(spark, str(root))).toPandas()
+    got = np.zeros_like(full)
+    got[px["z"], px["y"], px["x"]] = px["value"]
+    np.testing.assert_array_equal(got, full)
