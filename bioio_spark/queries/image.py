@@ -463,6 +463,64 @@ def img_raw_source_scan(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# bioio_zarr DataSource twin of the raw-source scan: the same window
+# predicates arrive via Catalyst pushFilters and prune CHUNK files at
+# planning time (listing-level pushdown decided by the optimizer). Uses
+# the roundtrip ramp store; grouped per (z, y) so chunk-offset bugs move
+# values between groups.
+# --------------------------------------------------------------------------
+@register(
+    "img_zarr_source_pushdown",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {2 * 3 * 5 * 6} AS INTEGER) AS t,
+             CAST((i // {3 * 5 * 6}) % 2 AS INTEGER) AS c,
+             CAST((i // {5 * 6}) % 3 AS INTEGER) AS z,
+             CAST((i // 6) % 5 AS INTEGER) AS y,
+             CAST(i % 6 AS INTEGER) AS x,
+             CAST((i // {2 * 3 * 5 * 6}) * 100000
+                  + ((i // {3 * 5 * 6}) % 2) * 10000
+                  + ((i // {5 * 6}) % 3) * 1000
+                  + ((i // 6) % 5) * 10 + (i % 6) AS DOUBLE) AS value
+      FROM range({2 * 2 * 3 * 5 * 6}) r(i))
+    SELECT z, y, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val
+    FROM px
+    WHERE t = 0 AND z >= 1 AND y < 4
+    GROUP BY z, y ORDER BY z, y
+    """,
+    doc="bioio_zarr DataSource scan with Catalyst-pushed chunk pruning",
+)
+def img_zarr_source_pushdown(spark, sf_dir):
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.sources.zarr_source import register_zarr_source
+    from bioio_spark.writers import save_ome_zarr
+
+    idx = np.indices(_RTZ_SHAPE)
+    block = (idx[0] * 100000 + idx[1] * 10000 + idx[2] * 1000
+             + idx[3] * 10 + idx[4]).astype(np.uint32)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "zarr_source")
+    store = os.path.join(out, "scene_0.zarr")
+    if not os.path.exists(os.path.join(store, "0", ".zarray")):
+        shutil.rmtree(out, ignore_errors=True)
+        save_ome_zarr(BioImage(block, spark=spark), out,
+                      chunks=(1, 1, 2, 3, 4))
+    register_zarr_source(spark)
+    px = (spark.read.format("bioio_zarr").option("path", store).load()
+          .filter((F.col("t") == 0) & (F.col("z") >= 1)
+                  & (F.col("y") < 4)))
+    return (px.groupBy("z", "y")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"))
+            .orderBy("z", "y"))
+
+
+# --------------------------------------------------------------------------
 # Reductions: maximum-intensity projection (the canonical microscopy
 # reduction the reference leaves to numpy after get_image_data) and the
 # per-channel intensity histogram. Both are partial-combining hash
