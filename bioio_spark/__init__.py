@@ -12,7 +12,9 @@ DataFrame plan, so it is lazy, Catalyst-optimized, and oracle-checkable.
 from bioio_spark.session import get_session
 from bioio_spark.dimensions import Dimensions, DEFAULT_DIMENSION_ORDER
 from bioio_spark.types import PhysicalPixelSizes, TimeInterval, Scale
-from bioio_spark.bio_image import BioImage, imread, imread_df, imread_xarray
+from bioio_spark.bio_image import (BioImage, imread, imread_dask,
+                                   imread_df, imread_xarray,
+                                   imread_xarray_dask)
 
 __version__ = "0.1.0"
 
@@ -67,5 +69,8 @@ __all__ = [
     "Scale",
     "BioImage",
     "imread",
+    "imread_dask",
     "imread_df",
+    "imread_xarray",
+    "imread_xarray_dask",
 ]

@@ -789,8 +789,26 @@ def imread_df(image, scene_id=None, **kwargs) -> DataFrame:
 
 def imread_xarray(image, scene_id=None, **kwargs):
     """E2: labeled-array convenience twin (ref imread_xarray,
-    bio_image.py:1340-1419) — returns a LabeledArray with coords/attrs."""
+    bio_image.py:1395-1419) — returns a LabeledArray with coords/attrs."""
     img = BioImage(image, **kwargs)
     if scene_id is not None:
         img.set_scene(scene_id)
     return img.get_image_xarray()
+
+
+def imread_dask(image, scene_id=None, **kwargs):
+    """Lazy convenience twin (ref imread_dask, bio_image.py:1367-1393):
+    a dask array whose Spark job fires at .compute()."""
+    img = BioImage(image, **kwargs)
+    if scene_id is not None:
+        img.set_scene(scene_id)
+    return img.dask_data
+
+
+def imread_xarray_dask(image, scene_id=None, **kwargs):
+    """Labeled lazy convenience twin (ref imread_xarray_dask,
+    bio_image.py:1340-1365)."""
+    img = BioImage(image, **kwargs)
+    if scene_id is not None:
+        img.set_scene(scene_id)
+    return img.xarray_dask_data

@@ -237,3 +237,21 @@ def test_dask_tier_raises_without_dask(spark):
             img.get_image_dask_data()
         with pytest.raises(NotImplementedError, match="dataframe"):
             _ = img.dask_data
+
+
+def test_imread_dask_entry_points(spark):
+    """Module-level dask twins (ref bio_image.py:1340-1393): present and
+    honest about a missing dask."""
+    from bioio_spark import imread_dask, imread_xarray_dask
+
+    try:
+        import dask  # noqa: F401
+        arr = imread_dask(np.ones((2, 3)), spark=spark)
+        assert arr.shape == (1, 1, 1, 2, 3)
+        lab = imread_xarray_dask(np.ones((2, 3)), spark=spark)
+        assert lab.dims == "TCZYX"
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            imread_dask(np.ones((2, 3)), spark=spark)
+        with pytest.raises(NotImplementedError):
+            imread_xarray_dask(np.ones((2, 3)), spark=spark)
