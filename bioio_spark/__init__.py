@@ -56,6 +56,15 @@ def _register_builtin_plugins() -> None:
         is_supported_image=ZarrImageReader.is_supported_image,
         version=__version__,
     ))
+    from bioio_spark.sources.jpeg_image import JpegImageReader
+
+    register_plugin(PluginEntry(
+        name="bioio-jpeg-baseline",
+        reader=JpegImageReader,
+        extensions=[".jpg", ".jpeg"],
+        is_supported_image=JpegImageReader.is_supported_image,
+        version=__version__,
+    ))
 
 
 _register_builtin_plugins()

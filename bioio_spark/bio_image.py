@@ -769,6 +769,11 @@ def _route(image):
         from bioio_spark.sources.zarr_image import ZarrImageReader
 
         return ZarrImageReader
+    if isinstance(image, str) and image.lower().endswith(
+            (".jpg", ".jpeg")):
+        from bioio_spark.sources.jpeg_image import JpegImageReader
+
+        return JpegImageReader
     return determine_reader(image)
 
 

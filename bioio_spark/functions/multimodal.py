@@ -88,15 +88,29 @@ class PngCodec:
         return decode_png(payload)[None, ...]
 
 
-class AutoCodec:
-    """Magic-byte dispatch decoder: PNG signatures route to the real PNG
-    codec, FKC1 to FakeCodec — the pattern a production pipeline uses for
-    mixed-container media columns (sniff, then decode)."""
+class JpegCodec:
+    """In-repo baseline JPEG codec (formats/jpeg.py)."""
 
     @staticmethod
     def decode(payload: bytes) -> np.ndarray:
-        if bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
+        from bioio_spark.formats.jpeg import decode_jpeg
+
+        return decode_jpeg(bytes(payload))
+
+
+class AutoCodec:
+    """Magic-byte dispatch decoder: PNG / JPEG signatures route to the
+    real in-repo codecs, FKC1 to FakeCodec — the pattern a production
+    pipeline uses for mixed-container media columns (sniff, then
+    decode)."""
+
+    @staticmethod
+    def decode(payload: bytes) -> np.ndarray:
+        head = bytes(payload[:8])
+        if head == b"\x89PNG\r\n\x1a\n":
             return PngCodec.decode(payload)
+        if head[:2] == b"\xFF\xD8":
+            return JpegCodec.decode(payload)
         return FakeCodec.decode(payload)
 
 

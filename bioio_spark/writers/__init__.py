@@ -249,6 +249,29 @@ class PngWriter:
 register_writer("PngWriter", PngWriter)
 
 
+class JpegWriter:
+    """Baseline JPEG writer over the in-repo codec (formats/jpeg.py):
+    2D uint8 grayscale or (H, W, 3) uint8 RGB planes."""
+
+    @staticmethod
+    def save(data, uri: str, quality: int = 90,
+             subsampling: str = "444", **_kwargs) -> None:
+        import numpy as np
+
+        from bioio_spark.formats.jpeg import encode_jpeg
+
+        a = np.asarray(data)
+        a = a.reshape(a.shape[-3:]) if a.ndim > 3 else a
+        if a.ndim == 3 and a.shape[2] != 3:
+            a = a.reshape(a.shape[-2:])
+        with open(uri, "wb") as f:
+            f.write(encode_jpeg(a.astype(np.uint8), quality=quality,
+                                subsampling=subsampling))
+
+
+register_writer("JpegWriter", JpegWriter)
+
+
 def save_ome_tiff(img, uri: str, select_scenes=None,
                   compression: int = 1) -> list:
     """Distributed OME-TIFF export: one file per scene, encoded

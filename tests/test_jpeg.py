@@ -1,0 +1,94 @@
+"""Baseline JPEG codec + reader/writer (4th real format; the reference
+delegates JPEG to bioio-imageio, ref README.md:54-80)."""
+
+import numpy as np
+import pytest
+
+from bioio_spark.formats.jpeg import decode_jpeg, encode_jpeg
+
+
+def _psnr(a, b):
+    err = (a.astype(float) - b.astype(float)) ** 2
+    return 10 * np.log10(255 ** 2 / max(1e-12, err.mean()))
+
+
+def test_flat_image_exact():
+    flat = np.full((16, 24), 128, dtype=np.uint8)
+    np.testing.assert_array_equal(decode_jpeg(encode_jpeg(flat)), flat)
+
+
+def test_gray_gradient_high_psnr():
+    g = np.clip(np.add.outer(np.arange(33) * 3, np.arange(41) * 2),
+                0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quality=90))
+    assert out.shape == g.shape and out.dtype == np.uint8
+    assert _psnr(out, g) > 40
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+def test_rgb_roundtrip_psnr(subsampling):
+    rng = np.random.default_rng(5)
+    base = rng.integers(40, 215, (4, 5, 3)).astype(np.float64)
+    rgb = np.kron(base, np.ones((8, 8, 1))).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(rgb, quality=92,
+                                  subsampling=subsampling))
+    assert out.shape == rgb.shape
+    assert _psnr(out, rgb) > (90 if subsampling == "444" else 35)
+
+
+def test_odd_dims_and_noise():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (19, 23, 3), dtype=np.uint8)
+    for sub in ("444", "420"):
+        out = decode_jpeg(encode_jpeg(img, quality=95, subsampling=sub))
+        assert out.shape == img.shape
+        assert _psnr(out, img) > (30 if sub == "444" else 12)
+
+
+def test_rejects_progressive_and_garbage():
+    g = np.zeros((8, 8), dtype=np.uint8)
+    data = bytearray(encode_jpeg(g))
+    i = data.find(b"\xFF\xC0")
+    data[i + 1] = 0xC2                     # rewrite SOF0 -> SOF2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(data))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    with pytest.raises(ValueError, match="uint8"):
+        encode_jpeg(np.zeros((4, 4), dtype=np.uint16))
+
+
+def test_autocodec_sniffs_jpeg():
+    from bioio_spark.functions.multimodal import AutoCodec
+
+    g = np.clip(np.add.outer(np.arange(16) * 8, np.arange(16) * 8),
+                0, 255).astype(np.uint8)
+    out = AutoCodec.decode(encode_jpeg(g, quality=95))
+    assert out.shape == g.shape
+    assert _psnr(out, g) > 35
+
+
+def test_reader_writer_roundtrip(spark, tmp_path):
+    from bioio_spark import BioImage
+    from bioio_spark.writers import JpegWriter
+
+    g = np.clip(np.add.outer(np.arange(24) * 5, np.arange(32) * 3),
+                0, 255).astype(np.uint8)
+    p = str(tmp_path / "g.jpg")
+    JpegWriter.save(g, p, quality=95)
+    img = BioImage(p, spark=spark)            # suffix routing
+    assert img.dims.order == "TCZYX"
+    got = img.get_image_data()[0, 0, 0]
+    assert got.shape == g.shape
+    assert _psnr(got, g) > 40
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(40, 215, (3, 4, 3)).astype(np.float64)
+    rgb = np.kron(base, np.ones((8, 8, 1))).astype(np.uint8)
+    pc = str(tmp_path / "c.jpeg")
+    JpegWriter.save(rgb, pc, quality=95)
+    cimg = BioImage(pc, spark=spark)
+    assert cimg.dims.order == "TCZYXS"
+    assert cimg.dims["S"] == (3,)
+    got = cimg.get_image_data()[0, 0, 0]
+    assert _psnr(got, rgb) > 40
