@@ -463,6 +463,60 @@ def img_raw_source_scan(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# JPEG roundtrip on 8x8-blocky content: constant blocks carry only DC
+# energy, and the DC quantization error at q=95 is < 0.5 gray levels, so
+# the lossy codec decodes this fixture EXACTLY (asserted by maxerr-0
+# tests) — making a hash-checkable oracle possible for a lossy format.
+# 4 files through the reader (parallelism = file count).
+# --------------------------------------------------------------------------
+@register(
+    "img_jpeg_roundtrip",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {24 * 32} AS INTEGER) AS scene_i,
+             CAST((i // 32) % 24 AS INTEGER) AS y,
+             CAST(i % 32 AS INTEGER) AS x,
+             CAST(((i // {24 * 32}) * 37
+                   + ((i // 32) % 24 // 8) * 3
+                   + (i % 32 // 8) * 5) % 200 + 20 AS DOUBLE) AS value
+      FROM range({4 * 24 * 32}) r(i))
+    SELECT scene_i, count(*) AS n_px, CAST(sum(value) AS DOUBLE)
+             AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY scene_i ORDER BY scene_i
+    """,
+    doc="Baseline JPEG save -> reread, exact on DC-only blocky content",
+)
+def img_jpeg_roundtrip(spark, sf_dir):
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.jpeg import encode_jpeg
+    from bioio_spark.sources.jpeg_image import JpegImageReader
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "jpeg_roundtrip")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    for si in range(4):
+        yy, xx = np.indices((24, 32))
+        img = ((si * 37 + (yy // 8) * 3 + (xx // 8) * 5) % 200 + 20
+               ).astype(np.uint8)
+        with open(os.path.join(out, f"s{si}.jpg"), "wb") as f:
+            f.write(encode_jpeg(img, quality=95))
+    back = BioImage(out, reader=JpegImageReader, spark=spark)
+    return (back.get_stack_dataframe()
+            .groupBy(F.col("scene_idx").alias("scene_i"))
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("scene_i"))
+
+
+# --------------------------------------------------------------------------
 # bioio_zarr DataSource twin of the raw-source scan: the same window
 # predicates arrive via Catalyst pushFilters and prune CHUNK files at
 # planning time (listing-level pushdown decided by the optimizer). Uses
