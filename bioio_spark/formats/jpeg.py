@@ -328,10 +328,10 @@ class _BitReader:
                 if nxt == 0x00:
                     self.pos += 1           # stuffed byte
                 else:
-                    # marker (RSTn handled by caller via sync()); treat
-                    # as end of current entropy run — pad with 1s
+                    # marker ahead (RSTn handled by the caller via
+                    # sync_restart): stop consuming and 1-pad — the
+                    # entropy run for this interval has ended
                     self.pos -= 1
-                    b = 0xFF if False else None
                     self.acc = (self.acc << 8) | 0xFF
                     self.nbits += 8
                     continue
