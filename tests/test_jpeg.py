@@ -92,3 +92,41 @@ def test_reader_writer_roundtrip(spark, tmp_path):
     assert cimg.dims["S"] == (3,)
     got = cimg.get_image_data()[0, 0, 0]
     assert _psnr(got, rgb) > 40
+
+
+_WILD_JPEGS = [
+    "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/"
+    "test/imghdrdata/python.jpg",
+    "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/"
+    "site-packages/IPython/core/tests/2x2.jpg",
+]
+_WILD_PNGS = [
+    "/mnt/sandboxing/model_tools_env/v1/python/install/share/jupyter/"
+    "kernels/python3/logo-64x64.png",
+]
+
+
+@pytest.mark.parametrize("path", _WILD_JPEGS)
+def test_decodes_wild_jpegs(path):
+    """Interop: files produced by independent encoders (CPython/IPython
+    test assets present in this environment) decode without error to
+    plausible rasters. Skipped where the assets are absent."""
+    import os
+
+    if not os.path.exists(path):
+        pytest.skip("wild sample not present")
+    img = decode_jpeg(open(path, "rb").read())
+    assert img.dtype == np.uint8
+    assert img.ndim in (2, 3) and img.shape[0] > 0 and img.shape[1] > 0
+
+
+@pytest.mark.parametrize("path", _WILD_PNGS)
+def test_decodes_wild_pngs(path):
+    import os
+
+    from bioio_spark.formats.png import decode_png
+
+    if not os.path.exists(path):
+        pytest.skip("wild sample not present")
+    img = decode_png(open(path, "rb").read())
+    assert img.dtype == np.uint8 and img.shape[2] == 4  # RGBA
