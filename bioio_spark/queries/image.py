@@ -14,6 +14,7 @@ value = t*10000 + c*1000 + z*100 + y*10 + x.
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from bioio_spark.queries.base import register
@@ -926,6 +927,121 @@ def img_label_components(spark, sf_dir):
             .select(F.col("doc_id").alias("node"),
                     F.col("cluster_rep").alias("component"),
                     F.col("cluster_size").alias("component_size"))
+            .orderBy("node"))
+
+
+# --------------------------------------------------------------------------
+# Two-level component labeling — the 100 TB shape of the same problem:
+# (1) LOCAL union-find inside each YX tile (applyInPandas, zero
+# cross-partition traffic), (2) the global pointer-jumping CC runs ONLY
+# on the tile-BOUNDARY label graph, so per-round shuffle volume is
+# proportional to tile perimeter * #tiles, not mask area. Same oracle as
+# the flat labeling — the two formulations must agree bit-for-bit.
+# --------------------------------------------------------------------------
+_CC_TH, _CC_TW = 2, 3
+
+
+@register(
+    "img_label_components_tiled",
+    oracle=_cc_oracle(),
+    doc="two-level CC labeling: per-tile union-find + boundary-graph merge",
+)
+def img_label_components_tiled(spark, sf_dir):
+    import pandas as pd
+
+    from bioio_spark.functions.clusters import connected_components
+
+    TH, TW = _CC_TH, _CC_TW
+    px = _gen_pixels(spark)
+    node = (((F.col("t").cast("long") * C + F.col("c")) * Z
+             + F.col("z")) * (Y * X)
+            + F.col("y") * X + F.col("x")).alias("node")
+    mask = (px.filter(F.col("value").cast("long") % 7 < 4)
+            .select("t", "c", "z", "y", "x", node))
+
+    def label_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        idx = {(y, x): i for i, (y, x) in
+               enumerate(zip(pdf["y"], pdf["x"]))}
+        parent = list(range(len(pdf)))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        linked = [False] * len(pdf)
+        for (y, x), i in idx.items():
+            for ny, nx in ((y, x + 1), (y + 1, x)):
+                j = idx.get((ny, nx))
+                if j is not None:
+                    linked[i] = linked[j] = True
+                    ra, rb = find(i), find(j)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        roots = [find(i) for i in range(len(pdf))]
+        nodes = pdf["node"].to_numpy()
+        min_node: dict = {}
+        for i, r in enumerate(roots):
+            m = min_node.get(r)
+            if m is None or nodes[i] < m:
+                min_node[r] = nodes[i]
+        return pd.DataFrame({
+            "node": nodes,
+            "local_label": [min_node[r] for r in roots],
+            "has_nb": linked,
+        })
+
+    local = (mask
+             .withColumn("ty", F.floor(F.col("y") / TH))
+             .withColumn("tx", F.floor(F.col("x") / TW))
+             .groupBy("t", "c", "z", "ty", "tx")
+             .applyInPandas(label_tile,
+                            "node long, local_label long, has_nb boolean"))
+
+    # cross-tile adjacency: only tile-edge pixels probe across the border
+    right = (mask.filter((F.col("x") + 1) % TW == 0)
+             .select("t", "c", "z", F.col("node").alias("a"),
+                     F.col("y").alias("py"),
+                     (F.col("x") + 1).alias("px_")))
+    down = (mask.filter((F.col("y") + 1) % TH == 0)
+            .select("t", "c", "z", F.col("node").alias("a"),
+                    (F.col("y") + 1).alias("py"),
+                    F.col("x").alias("px_")))
+    probes = right.unionByName(down)
+    nbr = mask.select("t", "c", "z", F.col("y").alias("py"),
+                      F.col("x").alias("px_"),
+                      F.col("node").alias("b"))
+    bpairs = probes.join(nbr, ["t", "c", "z", "py", "px_"]).select("a", "b")
+
+    lab = local.select(F.col("node").alias("lnode"),
+                       F.col("local_label").alias("llabel"))
+    lpairs = (bpairs
+              .join(lab, bpairs["a"] == lab["lnode"])
+              .select(F.col("llabel").alias("doc_a"), "b")
+              .join(lab, F.col("b") == lab["lnode"])
+              .select("doc_a", F.col("llabel").alias("doc_b"))
+              .filter(F.col("doc_a") != F.col("doc_b"))
+              .distinct())
+    cc = (connected_components(lpairs, jump_from=1)
+          .select(F.col("node").alias("cnode"),
+                  F.col("label").alias("clabel")))
+
+    bnodes = (bpairs.select(F.col("a").alias("bn"))
+              .unionByName(bpairs.select(F.col("b").alias("bn")))
+              .distinct())
+    in_graph = (local
+                .join(bnodes, local["node"] == bnodes["bn"], "left")
+                .filter(F.col("has_nb") | F.col("bn").isNotNull())
+                .select("node", "local_label"))
+    final = (in_graph
+             .join(cc, in_graph["local_label"] == cc["cnode"], "left")
+             .select("node",
+                     F.coalesce("clabel", "local_label")
+                     .alias("component")))
+    w = Window.partitionBy("component")
+    return (final
+            .withColumn("component_size", F.count(F.lit(1)).over(w))
             .orderBy("node"))
 
 
