@@ -98,6 +98,29 @@ class JpegCodec:
         return decode_jpeg(bytes(payload))
 
 
+class WavCodec:
+    """REAL audio codec over the in-repo RIFF/WAVE PCM implementation
+    (formats/wav.py): audio payloads are actual WAV files. Decode keeps
+    the media frame contract — (1, channels, n_samples)."""
+
+    @staticmethod
+    def encode(media_id: int, kind: str, width: int, height: int,
+               n_frames: int, sample_rate: int = 8000) -> bytes:
+        from bioio_spark.formats.wav import encode_wav
+
+        n = width * height * n_frames
+        samples = ((np.arange(n, dtype=np.int64) * 31 + media_id * 7)
+                   % 251).astype(np.uint8)
+        return encode_wav(samples, sample_rate=sample_rate)
+
+    @staticmethod
+    def decode(payload: bytes) -> np.ndarray:
+        from bioio_spark.formats.wav import decode_wav
+
+        samples, _rate = decode_wav(bytes(payload))
+        return samples[None, ...]          # (1, channels, n)
+
+
 class AutoCodec:
     """Magic-byte dispatch decoder: PNG / JPEG signatures route to the
     real in-repo codecs, FKC1 to FakeCodec — the pattern a production
@@ -106,11 +129,13 @@ class AutoCodec:
 
     @staticmethod
     def decode(payload: bytes) -> np.ndarray:
-        head = bytes(payload[:8])
-        if head == b"\x89PNG\r\n\x1a\n":
+        head = bytes(payload[:12])
+        if head[:8] == b"\x89PNG\r\n\x1a\n":
             return PngCodec.decode(payload)
         if head[:2] == b"\xFF\xD8":
             return JpegCodec.decode(payload)
+        if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+            return WavCodec.decode(payload)
         return FakeCodec.decode(payload)
 
 
@@ -130,11 +155,13 @@ class PillowCodec:
 
 
 def synth_media(spark: SparkSession, n: int = 64,
-                image_format: str = "fkc1") -> DataFrame:
+                image_format: str = "fkc1",
+                audio_format: str = "fkc1") -> DataFrame:
     """Deterministic media table: images (1 frame), audio (1xN), video
-    (multi-frame), round-robin by media_id. image_format 'png' encodes the
-    image rows as real PNG payloads (same closed-form pixel content);
-    audio/video always use the FakeCodec container."""
+    (multi-frame), round-robin by media_id. image_format 'png' encodes
+    the image rows as real PNG payloads, audio_format 'wav' the audio
+    rows as real RIFF/WAVE PCM (same closed-form sample content either
+    way); video always uses the FakeCodec container."""
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
@@ -145,6 +172,9 @@ def synth_media(spark: SparkSession, n: int = 64,
         }[kind]
         if kind == "image" and image_format == "png":
             payload, fmt = PngCodec.encode(i, kind, w, h, fr), "png"
+        elif kind == "audio" and audio_format == "wav":
+            payload, fmt = WavCodec.encode(i, kind, w, h, fr,
+                                           sample_rate=sr), "wav"
         else:
             payload, fmt = FakeCodec.encode(i, kind, w, h, fr), "fkc1"
         rows.append((i, kind, payload, (w, h, fr, sr, fmt)))
