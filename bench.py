@@ -42,7 +42,8 @@ BENCH_QUERIES = [
     "l3_cosine_topk", "l3b_lsh_near_dup", "l3c_ivf_topk", "l3d_ivf_recall",
     "l4_token_stats",
     "l4b_language_id", "l4c_quality_score", "l4d_fingerprint",
-    "l4f_pii_redaction", "l4g_repetition_filter", "l8b_source_cap",
+    "l4f_pii_redaction", "l4g_repetition_filter", "l4h_word_df_score",
+    "l8b_source_cap",
     "l6_dedup_clusters", "l6b_hash_sample",
     "l7_sequence_packing", "l8_mix_rebalance", "l9_decontamination",
     "l10_train_split",

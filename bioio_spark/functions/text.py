@@ -336,3 +336,47 @@ WHERE b.dup_words * 10 <= b.n_words * 3
   AND coalesce(t.top2_count, 0) * 5 <= coalesce(t.n_2grams, 0)
 ORDER BY b.doc_id
 """
+
+
+# -- corpus-statistics quality scoring (CCNet-style proxy) -----------------
+
+def word_df_score(documents: DataFrame) -> DataFrame:
+    """Common-word-density scoring: the CCNet-style LM-quality proxy with
+    the LM replaced by corpus statistics — a word's document frequency
+    stands in for its probability, so a doc of corpus-typical words
+    scores high and one of rare/garbled tokens scores low.
+
+    Two aggregates: (1) per-word document frequency over distinct
+    (doc, word) pairs — partial-combining hash agg on the word key;
+    (2) per-doc sum of its distinct words' DFs. ALL-INTEGER outputs
+    (df_sum, n_distinct) — the mean-DF ratio is left to the consumer, so
+    engine parity is exact. At 100 TB the word-key shuffle is the cost;
+    both sides combine map-side and no per-doc state exceeds its
+    vocabulary.
+    """
+    words = _words(F.col("text"))
+    doc_words = (documents
+                 .select("doc_id",
+                         F.explode(F.array_distinct(words)).alias("word")))
+    df_of = (doc_words.groupBy("word")
+             .agg(F.count(F.lit(1)).alias("df")))
+    return (doc_words.join(df_of, "word")
+            .groupBy("doc_id")
+            .agg(F.sum("df").alias("df_sum"),
+                 F.count(F.lit(1)).alias("n_distinct"))
+            .orderBy("doc_id"))
+
+
+WORD_DF_ORACLE = r"""
+WITH dw AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+           AS word
+  FROM documents
+), dfs AS (
+  SELECT word, count(*) AS df FROM dw GROUP BY word
+)
+SELECT dw.doc_id, sum(dfs.df) AS df_sum, count(*) AS n_distinct
+FROM dw JOIN dfs USING (word)
+GROUP BY dw.doc_id ORDER BY dw.doc_id
+"""

@@ -194,6 +194,13 @@ def l4e_bpe_tokens(spark, sf_dir):
     return bpe_token_stats(load(spark, sf_dir, "documents"))
 
 
+@register("l4h_word_df_score", oracle=_text.WORD_DF_ORACLE,
+          doc="L4 corpus-DF quality proxy (CCNet-style, exact integers)")
+def l4h_word_df_score(spark, sf_dir):
+    from bioio_spark.functions.text import word_df_score
+    return word_df_score(load(spark, sf_dir, "documents"))
+
+
 @register("l4g_repetition_filter", oracle=_text.REPETITION_ORACLE,
           doc="L4 Gopher-style within-doc repetition metrics + keep gate")
 def l4g_repetition_filter(spark, sf_dir):
