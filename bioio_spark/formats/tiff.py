@@ -562,19 +562,25 @@ def read_ome_header(path: str) -> Optional[str]:
     file costs a few KB of reads."""
     with open(path, "rb") as f:
         head = f.read(8)
-        if head[:2] != b"II" or struct.unpack("<H", head[2:4])[0] != 42:
-            raise ValueError(f"{path}: not a little-endian classic TIFF")
-        (ifd_off,) = struct.unpack("<I", head[4:8])
+        if head[:2] == b"II":
+            bo = "<"
+        elif head[:2] == b"MM":
+            bo = ">"
+        else:
+            raise ValueError(f"{path}: not a classic TIFF")
+        if struct.unpack(f"{bo}H", head[2:4])[0] != 42:
+            raise ValueError(f"{path}: not a classic TIFF (bad magic)")
+        (ifd_off,) = struct.unpack(f"{bo}I", head[4:8])
         f.seek(ifd_off)
-        (n_entries,) = struct.unpack("<H", f.read(2))
+        (n_entries,) = struct.unpack(f"{bo}H", f.read(2))
         table = f.read(12 * n_entries)
         for i in range(n_entries):
             ent = table[12 * i: 12 * (i + 1)]
-            tag, typ, count = struct.unpack("<HHI", ent[:8])
+            tag, typ, count = struct.unpack(f"{bo}HHI", ent[:8])
             if tag != _IMAGE_DESCRIPTION:
                 continue
             if count > 4:
-                (off,) = struct.unpack("<I", ent[8:12])
+                (off,) = struct.unpack(f"{bo}I", ent[8:12])
                 f.seek(off)
                 buf = f.read(count)
             else:

@@ -457,3 +457,32 @@ def test_decode_tiled_lzw_predictor():
     data = _build_tiff("<", entries, body + blob)
     planes, _ = decode_tiff(data)
     np.testing.assert_array_equal(planes[0], img)
+
+
+def test_read_ome_header_big_endian(tmp_path):
+    """The catalog-side header reader honors MM byte order like the
+    full decoder."""
+    import struct
+
+    desc = b"<OME><Image ID=\"Image:9\"/></OME>\x00"
+    body = bytes(8) + desc    # 8 pixel bytes then the description
+
+    def entries(base):
+        import struct as s
+        return [
+            (256, 4, 1, s.pack(">I", 4)),
+            (257, 4, 1, s.pack(">I", 2)),
+            (258, 3, 1, s.pack(">HH", 8, 0)),
+            (259, 3, 1, s.pack(">HH", 1, 0)),
+            (270, 2, len(desc), s.pack(">I", base + 8)),  # description
+            (273, 4, 1, s.pack(">I", base)),
+            (277, 3, 1, s.pack(">HH", 1, 0)),
+            (278, 4, 1, s.pack(">I", 2)),
+            (279, 4, 1, s.pack(">I", 8)),
+        ]
+
+    data = _build_tiff(">", entries, body)
+    p = tmp_path / "be.tiff"
+    p.write_bytes(data)
+    xml = read_ome_header(str(p))
+    assert xml == '<OME><Image ID="Image:9"/></OME>'
