@@ -236,3 +236,46 @@ def s6_stream_static_enrich(spark, sf_dir):
                  F.sum(F.col("value").cast("decimal(10,2)"))
                  .cast("double").alias("total_value"))
             .orderBy("n_name"))
+
+
+# --------------------------------------------------------------------------
+# s7: LEFT OUTER stream-stream interval join — the batch twin of
+# streaming_interval_join_outer. The semantics inner joins never
+# exercise: a purchase with NO qualifying click still emits, NULL-
+# completed (in streaming, that row appears only once the watermark
+# proves no match can arrive — state-expiry-driven emission). At scale
+# the state bound is watermark + band per key, identical to s5.
+# --------------------------------------------------------------------------
+@register(
+    "s7_outer_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+           CASE WHEN c.event_id IS NULL THEN 0 ELSE 1 END AS matched
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '10 minutes' AND c.ts <= p.ts
+    ORDER BY purchase_id, click_id
+    """,
+    doc="S7 left-outer stream-stream interval join batch equivalent",
+)
+def s7_outer_interval_join(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    p = (e.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id"), F.col("ts").alias("p_ts")))
+    c = (e.filter(F.col("event_type") == "click")
+         .select(F.col("event_id").alias("click_id"),
+                 F.col("user_id").alias("c_user"),
+                 F.col("ts").alias("c_ts")))
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left")
+    return (joined.select(
+        "purchase_id", "click_id", "user_id",
+        F.when(F.col("click_id").isNull(), 0).otherwise(1)
+        .alias("matched"))
+        .orderBy("purchase_id", "click_id"))

@@ -1,5 +1,6 @@
 from bioio_spark.streaming.events import (
     streaming_interval_join,
+    streaming_interval_join_outer,
     read_event_stream,
     streaming_tumbling_counts,
     streaming_session_windows,
@@ -20,6 +21,7 @@ __all__ = [
     "upsert_batch_sink",
     "read_upserted",
     "streaming_interval_join",
+    "streaming_interval_join_outer",
     "read_event_stream",
     "streaming_tumbling_counts",
     "streaming_session_windows",

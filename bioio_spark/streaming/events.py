@@ -153,6 +153,32 @@ def streaming_interval_join(purchases: DataFrame, clicks: DataFrame,
     ).select("purchase_id", "click_id", "user_id")
 
 
+def streaming_interval_join_outer(purchases: DataFrame, clicks: DataFrame,
+                                  watermark: str = "1 hour") -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase emits —
+    matched rows as clicks arrive, and a NULL-completed row once the
+    watermark proves no click can still match (state expiry drives the
+    null emission, the semantics inner joins never exercise). Both sides
+    need the watermark; click state is evicted past watermark + 10 min,
+    so state stays bounded."""
+    p = (purchases.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"), "user_id",
+                 F.col("ts").alias("p_ts"))
+         .withWatermark("p_ts", watermark))
+    c = (clicks.filter(F.col("event_type") == "click")
+         .select(F.col("event_id").alias("click_id"),
+                 F.col("user_id").alias("c_user"),
+                 F.col("ts").alias("c_ts"))
+         .withWatermark("c_ts", watermark))
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "leftOuter",
+    ).select("purchase_id", "click_id", "user_id")
+
+
 def streaming_static_enrichment(events: DataFrame, customer: DataFrame,
                                 nation: DataFrame) -> DataFrame:
     """Stream-static enrichment: events joined to broadcast dimension

@@ -287,3 +287,30 @@ def test_watermark_drops_late_rows(spark, tmp_path_factory):
     assert final.count((0, 3)) == 1
     assert (0, 4) not in final
     assert (30, 1) in final
+
+
+def test_stream_stream_outer_join(spark, sf_dir, stream_dir):
+    """LEFT OUTER stream-stream join: matched pairs equal the batch inner
+    join; NULL-completed rows appear only for purchases whose join state
+    expired (watermark-driven emission), and each is a purchase the batch
+    left join also leaves unmatched."""
+    from bioio_spark.streaming import streaming_interval_join_outer
+
+    left = read_event_stream(spark, stream_dir)
+    right = read_event_stream(spark, stream_dir)
+    joined = streaming_interval_join_outer(left, right)
+    result = run_stream_to_memory(joined, "t_outer_join", "append")
+    got_matched = {(r["purchase_id"], r["click_id"])
+                   for r in result.collect() if r["click_id"] is not None}
+    got_null = {r["purchase_id"] for r in result.collect()
+                if r["click_id"] is None}
+
+    want = REGISTRY["s7_outer_interval_join"].fn(spark, sf_dir).collect()
+    want_matched = {(r["purchase_id"], r["click_id"]) for r in want
+                    if r["matched"] == 1}
+    want_null = {r["purchase_id"] for r in want if r["matched"] == 0}
+
+    assert got_matched == want_matched
+    # null completion waits for state expiry: emitted nulls must be
+    # genuine no-match purchases; trailing ones are legitimately withheld
+    assert got_null <= want_null
