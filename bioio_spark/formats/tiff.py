@@ -333,14 +333,17 @@ def encode_ome_tiff(block: np.ndarray, image_id: str = "Image:0",
 
 
 def _read_tag_values(data: bytes, typ: int, count: int,
-                     raw: bytes, bo: str = "<") -> list:
+                     raw: bytes, bo: str = "<",
+                     big: bool = False) -> list:
     """Decode an IFD entry's value(s), following the offset when needed.
-    `bo` is the file byte order ("<" little / ">" big)."""
-    sizes = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
-    fmt = {1: "B", 3: "H", 4: "I"}
+    `bo` is the file byte order; `big` selects the BigTIFF entry layout
+    (8-byte inline field and offsets, LONG8 type 16)."""
+    sizes = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 16: 8}
+    fmt = {1: "B", 3: "H", 4: "I", 16: "Q"}
     total = sizes.get(typ, 1) * count
-    if total > 4:
-        (off,) = struct.unpack(f"{bo}I", raw)
+    inline = 8 if big else 4
+    if total > inline:
+        (off,) = struct.unpack(f"{bo}{'Q' if big else 'I'}", raw)
         buf = data[off:off + total]
     else:
         buf = raw[:total]
@@ -455,7 +458,9 @@ def decode_tiff(data: bytes):
     planes: list of numpy arrays, one per IFD/page — 2D (YX) for grayscale
     pages, 3D (YXS) when SamplesPerPixel > 1 (interleaved); native dtype
     reconstructed from BitsPerSample + SampleFormat; Compression 1 / 5 /
-    8 / 32946; strip AND tile layouts; II and MM byte orders;
+    8 / 32946; strip AND tile layouts; II and MM byte orders; classic
+    (version 42) and BigTIFF (version 43: 64-bit offsets/counts, 20-byte
+    IFD entries — how wild >4 GB microscopy files ship);
     description: IFD0's ImageDescription string or None."""
     import zlib
 
@@ -464,26 +469,47 @@ def decode_tiff(data: bytes):
     elif data[:2] == b"MM":
         bo = ">"
     else:
-        raise ValueError("not a classic TIFF (bad byte-order mark)")
-    if struct.unpack(f"{bo}H", data[2:4])[0] != 42:
-        raise ValueError("not a classic TIFF (bad magic)")
-    (ifd_off,) = struct.unpack(f"{bo}I", data[4:8])
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    version = struct.unpack(f"{bo}H", data[2:4])[0]
+    if version == 42:
+        big = False
+        (ifd_off,) = struct.unpack(f"{bo}I", data[4:8])
+        ent_sz, cnt_fmt, off_fmt, cnt_sz = 12, "H", "I", 2
+    elif version == 43:
+        big = True
+        offsize, zero = struct.unpack(f"{bo}HH", data[4:8])
+        if offsize != 8 or zero != 0:
+            raise ValueError("malformed BigTIFF header")
+        (ifd_off,) = struct.unpack(f"{bo}Q", data[8:16])
+        ent_sz, cnt_fmt, off_fmt, cnt_sz = 20, "Q", "Q", 8
+    else:
+        raise ValueError(f"not a TIFF (bad magic {version})")
+    off_sz = 8 if big else 4
     planes, description = [], None
     first = True
     while ifd_off:
-        if ifd_off + 2 > len(data):
+        if ifd_off + cnt_sz > len(data):
             raise ValueError("truncated TIFF: IFD offset out of range")
-        (n_entries,) = struct.unpack(f"{bo}H", data[ifd_off:ifd_off + 2])
-        if ifd_off + 6 + 12 * n_entries > len(data):
+        (n_entries,) = struct.unpack(
+            f"{bo}{cnt_fmt}", data[ifd_off:ifd_off + cnt_sz])
+        table_end = ifd_off + cnt_sz + ent_sz * n_entries + off_sz
+        if table_end > len(data):
             raise ValueError("truncated TIFF: IFD table out of range")
         tags = {}
         for i in range(n_entries):
-            ent = data[ifd_off + 2 + 12 * i: ifd_off + 2 + 12 * (i + 1)]
-            tag, typ, count = struct.unpack(f"{bo}HHI", ent[:8])
-            tags[tag] = _read_tag_values(data, typ, count, ent[8:12], bo)
+            ent = data[ifd_off + cnt_sz + ent_sz * i:
+                       ifd_off + cnt_sz + ent_sz * (i + 1)]
+            tag, typ = struct.unpack(f"{bo}HH", ent[:4])
+            if big:
+                (count,) = struct.unpack(f"{bo}Q", ent[4:12])
+                raw = ent[12:20]
+            else:
+                (count,) = struct.unpack(f"{bo}I", ent[4:8])
+                raw = ent[8:12]
+            tags[tag] = _read_tag_values(data, typ, count, raw, bo,
+                                         big=big)
         (next_off,) = struct.unpack(
-            f"{bo}I", data[ifd_off + 2 + 12 * n_entries:
-                           ifd_off + 6 + 12 * n_entries])
+            f"{bo}{off_fmt}", data[table_end - off_sz:table_end])
         comp = tags.get(_COMPRESSION, [1])[0]
         if comp not in (_COMPRESSION_NONE, _COMPRESSION_LZW,
                         _COMPRESSION_DEFLATE, _COMPRESSION_DEFLATE_OLD):
@@ -561,30 +587,46 @@ def read_ome_header(path: str) -> Optional[str]:
     bytes — no pixel data touches the driver, so cataloging a multi-GB
     file costs a few KB of reads."""
     with open(path, "rb") as f:
-        head = f.read(8)
+        head = f.read(16)
         if head[:2] == b"II":
             bo = "<"
         elif head[:2] == b"MM":
             bo = ">"
         else:
-            raise ValueError(f"{path}: not a classic TIFF")
-        if struct.unpack(f"{bo}H", head[2:4])[0] != 42:
-            raise ValueError(f"{path}: not a classic TIFF (bad magic)")
-        (ifd_off,) = struct.unpack(f"{bo}I", head[4:8])
+            raise ValueError(f"{path}: not a TIFF")
+        version = struct.unpack(f"{bo}H", head[2:4])[0]
+        if version == 42:
+            big = False
+            (ifd_off,) = struct.unpack(f"{bo}I", head[4:8])
+        elif version == 43:
+            big = True
+            (ifd_off,) = struct.unpack(f"{bo}Q", head[8:16])
+        else:
+            raise ValueError(f"{path}: not a TIFF (bad magic {version})")
+        ent_sz = 20 if big else 12
         f.seek(ifd_off)
-        (n_entries,) = struct.unpack(f"{bo}H", f.read(2))
-        table = f.read(12 * n_entries)
+        if big:
+            (n_entries,) = struct.unpack(f"{bo}Q", f.read(8))
+        else:
+            (n_entries,) = struct.unpack(f"{bo}H", f.read(2))
+        table = f.read(ent_sz * n_entries)
         for i in range(n_entries):
-            ent = table[12 * i: 12 * (i + 1)]
-            tag, typ, count = struct.unpack(f"{bo}HHI", ent[:8])
+            ent = table[ent_sz * i: ent_sz * (i + 1)]
+            tag, typ = struct.unpack(f"{bo}HH", ent[:4])
             if tag != _IMAGE_DESCRIPTION:
                 continue
-            if count > 4:
-                (off,) = struct.unpack(f"{bo}I", ent[8:12])
+            if big:
+                (count,) = struct.unpack(f"{bo}Q", ent[4:12])
+                raw, inline = ent[12:20], 8
+            else:
+                (count,) = struct.unpack(f"{bo}I", ent[4:8])
+                raw, inline = ent[8:12], 4
+            if count > inline:
+                (off,) = struct.unpack(f"{bo}{'Q' if big else 'I'}", raw)
                 f.seek(off)
                 buf = f.read(count)
             else:
-                buf = ent[8:8 + count]
+                buf = raw[:count]
             return buf.rstrip(b"\x00").decode("utf-8", errors="replace")
     return None
 

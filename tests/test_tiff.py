@@ -486,3 +486,45 @@ def test_read_ome_header_big_endian(tmp_path):
     p.write_bytes(data)
     xml = read_ome_header(str(p))
     assert xml == '<OME><Image ID="Image:9"/></OME>'
+
+
+def test_decode_bigtiff(tmp_path):
+    """BigTIFF (version 43): 64-bit offsets, 8-byte counts, 20-byte IFD
+    entries, LONG8 strip offsets — how wild >4 GB files ship. Hand-built
+    single-page fixture; both the full decoder and the catalog header
+    reader must handle it."""
+    import struct
+
+    img = (np.arange(12, dtype=np.uint16) * 99).astype("<u2").reshape(3, 4)
+    desc = b'<OME><Image ID="Image:7"/></OME>\x00'
+    body = img.tobytes() + desc            # pixels at 16, desc at 16+24
+    pix_off, desc_off = 16, 16 + len(img.tobytes())
+
+    def entry(tag, typ, count, raw8):
+        return (struct.pack("<HHQ", tag, typ, count)
+                + raw8.ljust(8, b"\x00"))
+
+    entries = [
+        entry(256, 4, 1, struct.pack("<I", 4)),      # ImageWidth
+        entry(257, 4, 1, struct.pack("<I", 3)),      # ImageLength
+        entry(258, 3, 1, struct.pack("<H", 16)),
+        entry(259, 3, 1, struct.pack("<H", 1)),
+        entry(270, 2, len(desc), struct.pack("<Q", desc_off)),
+        entry(273, 16, 1, struct.pack("<Q", pix_off)),   # LONG8 offsets
+        entry(277, 3, 1, struct.pack("<H", 1)),
+        entry(278, 4, 1, struct.pack("<I", 3)),
+        entry(279, 16, 1, struct.pack("<Q", len(img.tobytes()))),
+    ]
+    ifd_off = 16 + len(body)
+    data = (struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_off)
+            + body
+            + struct.pack("<Q", len(entries)) + b"".join(entries)
+            + struct.pack("<Q", 0))
+
+    planes, description = decode_tiff(data)
+    np.testing.assert_array_equal(planes[0], img.astype("=u2"))
+    assert description == '<OME><Image ID="Image:7"/></OME>'
+
+    p = tmp_path / "big.tiff"
+    p.write_bytes(data)
+    assert read_ome_header(str(p)) == '<OME><Image ID="Image:7"/></OME>'
