@@ -57,6 +57,7 @@ _PREDICTOR = 317                  # 1 = none, 2 = horizontal differencing
 
 _TYPE_SHORT = 3   # uint16
 _TYPE_LONG = 4    # uint32
+_TYPE_LONG8 = 16  # uint64 (BigTIFF)
 _TYPE_ASCII = 2
 
 # numpy kind -> TIFF SampleFormat
@@ -140,7 +141,7 @@ def build_ome_xml(size_t: int, size_c: int, size_z: int, size_y: int,
     )
 
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 16: 8}
 
 
 def _ifd_entry(tag: int, typ: int, count: int, value: int) -> bytes:
@@ -168,10 +169,34 @@ def _ifd_entry_shorts(tag: int, values: Sequence[int], off: int) -> bytes:
     return struct.pack("<HHI", tag, _TYPE_SHORT, count) + packed
 
 
+def _ifd_entry_big(tag: int, typ: int, count: int, value: int) -> bytes:
+    """One 20-byte BigTIFF IFD entry (8-byte count + 8-byte inline/offset
+    field; offsets pack as LONG8 whatever the entry type)."""
+    if _TYPE_SIZES[typ] * count > 8:
+        packed = struct.pack("<Q", value)     # out-of-line offset
+    elif typ == _TYPE_SHORT and count == 1:
+        packed = struct.pack("<HHHH", value, 0, 0, 0)
+    else:
+        packed = struct.pack("<Q", value)
+    return struct.pack("<HHQ", tag, typ, count) + packed
+
+
+def _ifd_entry_shorts_big(tag: int, values: Sequence[int],
+                          off: int) -> bytes:
+    count = len(values)
+    if count * 2 <= 8:
+        vals = list(values) + [0] * (4 - count)
+        packed = struct.pack("<4H", *vals)
+    else:
+        packed = struct.pack("<Q", off)
+    return struct.pack("<HHQ", tag, _TYPE_SHORT, count) + packed
+
+
 def encode_tiff(planes: Sequence[np.ndarray],
                 description: Optional[str] = None,
                 compression: int = _COMPRESSION_NONE,
-                predictor: int = 1) -> bytes:
+                predictor: int = 1,
+                bigtiff: bool = False) -> bytes:
     """Encode planes as a multi-page little-endian TIFF.
 
     Planes are 2D (YX, grayscale) or 3D (YXS, interleaved samples — RGB &
@@ -208,6 +233,11 @@ def encode_tiff(planes: Sequence[np.ndarray],
         desc_bytes = description.encode("utf-8") + b"\x00"
         if len(desc_bytes) % 2:
             desc_bytes += b"\x00"
+        if bigtiff and len(desc_bytes) <= 8:
+            # the entry builders emit offsets, not inline bytes; keep the
+            # description past BigTIFF's 8-byte inline threshold (trailing
+            # NULs are stripped on decode)
+            desc_bytes += b"\x00" * (10 - len(desc_bytes))
 
     if predictor == 2:
         if not np.issubdtype(dt, np.integer):
@@ -236,8 +266,11 @@ def encode_tiff(planes: Sequence[np.ndarray],
                            f"<{s_n}H",
                            *([_SAMPLE_FORMAT_OF_KIND[dt.kind]] * s_n)))
 
-    # layout: header | description | extras | plane strips | IFD chain
-    pos = 8
+    # layout: header | description | extras | plane strips | IFD chain.
+    # bigtiff switches to the version-43 layout: 16-byte header, 8-byte
+    # IFD counts/offsets, 20-byte entries (required once any offset
+    # exceeds 4 GB; callers exporting scenes that big must set it).
+    pos = 16 if bigtiff else 8
     desc_off = pos
     pos += len(desc_bytes)
     bits_off = pos
@@ -254,7 +287,10 @@ def encode_tiff(planes: Sequence[np.ndarray],
     ifd0_off = pos
 
     out = bytearray()
-    out += struct.pack("<2sHI", b"II", 42, ifd0_off)
+    if bigtiff:
+        out += struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd0_off)
+    else:
+        out += struct.pack("<2sHI", b"II", 42, ifd0_off)
     out += desc_bytes
     out += extra_bytes
     for s, off in zip(strips, strip_offs):
@@ -266,46 +302,49 @@ def encode_tiff(planes: Sequence[np.ndarray],
 
     sample_format = _SAMPLE_FORMAT_OF_KIND[dt.kind]
     photometric = 2 if s_n == 3 else 1
+    ent = _ifd_entry_big if bigtiff else _ifd_entry
+    ent_shorts = _ifd_entry_shorts_big if bigtiff else _ifd_entry_shorts
+    ent_sz, cnt_sz, off_sz = (20, 8, 8) if bigtiff else (12, 2, 4)
     for i, (a, s, off) in enumerate(zip(arrs, strips, strip_offs)):
         h, w = a.shape[0], a.shape[1]
         entries = [
-            _ifd_entry(_IMAGE_WIDTH, _TYPE_LONG, 1, w),
-            _ifd_entry(_IMAGE_LENGTH, _TYPE_LONG, 1, h),
-            _ifd_entry(_COMPRESSION, _TYPE_SHORT, 1, compression),
-            _ifd_entry(_PHOTOMETRIC, _TYPE_SHORT, 1, photometric),
+            ent(_IMAGE_WIDTH, _TYPE_LONG, 1, w),
+            ent(_IMAGE_LENGTH, _TYPE_LONG, 1, h),
+            ent(_COMPRESSION, _TYPE_SHORT, 1, compression),
+            ent(_PHOTOMETRIC, _TYPE_SHORT, 1, photometric),
         ]
         if s_n == 1:
             entries += [
-                _ifd_entry(_BITS_PER_SAMPLE, _TYPE_SHORT, 1,
-                           dt.itemsize * 8),
-                _ifd_entry(_SAMPLE_FORMAT, _TYPE_SHORT, 1, sample_format),
+                ent(_BITS_PER_SAMPLE, _TYPE_SHORT, 1, dt.itemsize * 8),
+                ent(_SAMPLE_FORMAT, _TYPE_SHORT, 1, sample_format),
             ]
         else:
             entries += [
-                _ifd_entry_shorts(_BITS_PER_SAMPLE,
-                                  [dt.itemsize * 8] * s_n, bits_off),
-                _ifd_entry_shorts(_SAMPLE_FORMAT,
-                                  [sample_format] * s_n, fmt_off),
-                _ifd_entry(_PLANAR_CONFIG, _TYPE_SHORT, 1, 1),
+                ent_shorts(_BITS_PER_SAMPLE,
+                           [dt.itemsize * 8] * s_n, bits_off),
+                ent_shorts(_SAMPLE_FORMAT,
+                           [sample_format] * s_n, fmt_off),
+                ent(_PLANAR_CONFIG, _TYPE_SHORT, 1, 1),
             ]
         if i == 0 and desc_bytes:
-            entries.append(_ifd_entry(_IMAGE_DESCRIPTION, _TYPE_ASCII,
-                                      len(desc_bytes), desc_off))
+            entries.append(ent(_IMAGE_DESCRIPTION, _TYPE_ASCII,
+                               len(desc_bytes), desc_off))
         entries += [
-            _ifd_entry(_STRIP_OFFSETS, _TYPE_LONG, 1, off),
-            _ifd_entry(_SAMPLES_PER_PIXEL, _TYPE_SHORT, 1, s_n),
-            _ifd_entry(_ROWS_PER_STRIP, _TYPE_LONG, 1, h),
-            _ifd_entry(_STRIP_BYTE_COUNTS, _TYPE_LONG, 1, len(s)),
+            ent(_STRIP_OFFSETS, _TYPE_LONG8 if bigtiff else _TYPE_LONG,
+                1, off),
+            ent(_SAMPLES_PER_PIXEL, _TYPE_SHORT, 1, s_n),
+            ent(_ROWS_PER_STRIP, _TYPE_LONG, 1, h),
+            ent(_STRIP_BYTE_COUNTS,
+                _TYPE_LONG8 if bigtiff else _TYPE_LONG, 1, len(s)),
         ]
         if predictor == 2:
-            entries.append(
-                _ifd_entry(_PREDICTOR, _TYPE_SHORT, 1, 2))
+            entries.append(ent(_PREDICTOR, _TYPE_SHORT, 1, 2))
         entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
-        ifd_size = 2 + 12 * len(entries) + 4
+        ifd_size = cnt_sz + ent_sz * len(entries) + off_sz
         next_off = (len(out) + ifd_size) if i + 1 < len(arrs) else 0
-        out += struct.pack("<H", len(entries))
+        out += struct.pack("<Q" if bigtiff else "<H", len(entries))
         out += b"".join(entries)
-        out += struct.pack("<I", next_off)
+        out += struct.pack("<Q" if bigtiff else "<I", next_off)
     return bytes(out)
 
 

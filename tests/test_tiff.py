@@ -528,3 +528,22 @@ def test_decode_bigtiff(tmp_path):
     p = tmp_path / "big.tiff"
     p.write_bytes(data)
     assert read_ome_header(str(p)) == '<OME><Image ID="Image:7"/></OME>'
+
+
+def test_encode_bigtiff_roundtrip():
+    """bigtiff=True emits the version-43 layout; our decoder reads it
+    back bit-for-bit (multi-page, deflate, description)."""
+    rng = np.random.default_rng(71)
+    planes = [rng.integers(0, 65535, (6, 7), dtype=np.uint16)
+              for _ in range(3)]
+    data = encode_tiff(planes, description="<OME/>", compression=8,
+                       bigtiff=True)
+    assert data[:4] == b"II\x2b\x00"      # version 43
+    out, desc = decode_tiff(data)
+    assert desc == "<OME/>"
+    for a, b in zip(planes, out):
+        np.testing.assert_array_equal(a, b)
+    # multisample page through the BigTIFF path (out-of-line shorts)
+    rgb = [rng.integers(0, 255, (4, 5, 3), dtype=np.uint8)]
+    out2, _ = decode_tiff(encode_tiff(rgb, bigtiff=True))
+    np.testing.assert_array_equal(out2[0], rgb[0])
