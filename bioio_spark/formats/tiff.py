@@ -352,9 +352,11 @@ def encode_ome_tiff(block: np.ndarray, image_id: str = "Image:0",
                     image_name: Optional[str] = None,
                     channel_names: Optional[Sequence[str]] = None,
                     physical_pixel_sizes=None,
-                    compression: int = _COMPRESSION_NONE) -> bytes:
+                    compression: int = _COMPRESSION_NONE,
+                    bigtiff: bool = False) -> bytes:
     """Encode a dense 5D TCZYX (or 6D TCZYXS, interleaved-sample) block as
-    a single-scene OME-TIFF; compression 1 (none) or 8 (deflate)."""
+    a single-scene OME-TIFF; compression 1 (none), 5 (LZW), 8 (deflate);
+    bigtiff for scenes past the classic 4 GB offset ceiling."""
     a = np.asarray(block)
     if a.ndim not in (5, 6):
         raise ValueError(
@@ -368,7 +370,8 @@ def encode_ome_tiff(block: np.ndarray, image_id: str = "Image:0",
         physical_pixel_sizes=physical_pixel_sizes, size_s=s_n)
     planes = [a[t, c, z]
               for t in range(t_n) for c in range(c_n) for z in range(z_n)]
-    return encode_tiff(planes, description=ome, compression=compression)
+    return encode_tiff(planes, description=ome, compression=compression,
+                       bigtiff=bigtiff)
 
 
 def _read_tag_values(data: bytes, typ: int, count: int,

@@ -273,7 +273,7 @@ register_writer("JpegWriter", JpegWriter)
 
 
 def save_ome_tiff(img, uri: str, select_scenes=None,
-                  compression: int = 1) -> list:
+                  compression: int = 1, bigtiff: bool = False) -> list:
     """Distributed OME-TIFF export: one file per scene, encoded
     executor-side via applyInPandas (ref bio_image.py:1229-1301 semantics:
     scene order preserved, scene ids embedded in the OME-XML).
@@ -351,7 +351,8 @@ def save_ome_tiff(img, uri: str, select_scenes=None,
         payload = encode_ome_tiff(
             block, image_id=generate_ome_image_id(idx),
             image_name=m["image_name"], channel_names=m["channel_names"],
-            physical_pixel_sizes=m["pps"], compression=compression)
+            physical_pixel_sizes=m["pps"], compression=compression,
+            bigtiff=bigtiff)
         path = os.path.join(uri, f"scene_{idx}.ome.tiff")
         with open(path, "wb") as f:
             f.write(payload)

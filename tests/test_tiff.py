@@ -547,3 +547,18 @@ def test_encode_bigtiff_roundtrip():
     rgb = [rng.integers(0, 255, (4, 5, 3), dtype=np.uint8)]
     out2, _ = decode_tiff(encode_tiff(rgb, bigtiff=True))
     np.testing.assert_array_equal(out2[0], rgb[0])
+
+
+def test_distributed_save_bigtiff(spark, tmp_path):
+    from bioio_spark import BioImage
+    from bioio_spark.sources.tiff_image import TiffImageReader
+    from bioio_spark.writers import save_ome_tiff
+
+    a = np.arange(2 * 3 * 4, dtype=np.uint16).reshape(1, 1, 2, 3, 4)
+    img = BioImage(a, spark=spark)
+    out = str(tmp_path / "big")
+    save_ome_tiff(img, out, bigtiff=True)
+    raw = open(f"{out}/scene_0.ome.tiff", "rb").read()
+    assert raw[:4] == b"II\x2b\x00"
+    back = BioImage(out, reader=TiffImageReader, spark=spark)
+    np.testing.assert_array_equal(back.get_image_data(), a)
