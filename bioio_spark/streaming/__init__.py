@@ -7,6 +7,11 @@ from bioio_spark.streaming.events import (
     streaming_dedup,
     run_stream_to_memory,
 )
+from bioio_spark.streaming.ingest import (
+    read_image_stream,
+    streaming_decode_pixels,
+    streaming_scene_stats,
+)
 from bioio_spark.streaming.stateful import stateful_user_totals
 from bioio_spark.streaming.sink import (
     idempotent_batch_sink,
@@ -28,4 +33,7 @@ __all__ = [
     "streaming_dedup",
     "run_stream_to_memory",
     "stateful_user_totals",
+    "read_image_stream",
+    "streaming_decode_pixels",
+    "streaming_scene_stats",
 ]

@@ -314,3 +314,41 @@ def test_stream_stream_outer_join(spark, sf_dir, stream_dir):
     # null completion waits for state expiry: emitted nulls must be
     # genuine no-match purchases; trailing ones are legitimately withheld
     assert got_null <= want_null
+
+
+def test_streaming_image_ingest(spark, tmp_path_factory):
+    """Live-acquisition ingest: files landing in a watched directory
+    surface as decoded pixel rows within one trigger; per-scene stats
+    accumulate across micro-batches with exactly-once file processing."""
+    import numpy as np
+
+    from bioio_spark.streaming import (read_image_stream,
+                                       streaming_decode_pixels,
+                                       streaming_scene_stats)
+    from bioio_spark.writers import OmeTiffWriter
+
+    d = tmp_path_factory.mktemp("acq")
+    a0 = np.arange(12, dtype=np.uint16).reshape(3, 4)
+    OmeTiffWriter.save(a0, str(d / "scan0.ome.tiff"), dim_order="YX")
+
+    stats = streaming_scene_stats(
+        streaming_decode_pixels(read_image_stream(spark, str(d))))
+    q = (stats.writeStream.format("memory").queryName("t_acq")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        rows = {r["scene"]: r for r in spark.table("t_acq").collect()}
+        assert rows["scan0"]["n_px"] == 12
+        assert rows["scan0"]["sum_val"] == float(a0.sum())
+
+        # the instrument writes a second (multi-page) file
+        a1 = np.arange(24, dtype=np.uint16).reshape(2, 3, 4) + 100
+        OmeTiffWriter.save(a1, str(d / "scan1.ome.tiff"), dim_order="ZYX")
+        q.processAllAvailable()
+        rows = {r["scene"]: r for r in spark.table("t_acq").collect()}
+        assert rows["scan0"]["n_px"] == 12          # not reprocessed
+        assert rows["scan1"]["n_px"] == 24
+        assert rows["scan1"]["sum_val"] == float(a1.sum())
+        assert rows["scan1"]["max_val"] == float(a1.max())
+    finally:
+        q.stop()
