@@ -33,8 +33,10 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
-    """PushedFilters lists from every parquet scan in the plan."""
-    return re.findall(r"PushedFilters: \[([^\]]*)\]", physical_plan(df))
+    """PushedFilters lists from every parquet scan in the plan. Long
+    lists are TRUNCATED by Spark's plan printer ("...", no closing
+    bracket), so the capture stops at either boundary."""
+    return re.findall(r"PushedFilters: \[([^\]\n]*)", physical_plan(df))
 
 
 def scan_read_schemas(df: DataFrame) -> list[str]:

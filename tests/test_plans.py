@@ -291,3 +291,20 @@ def test_l4g_repetition_zero_operator_shuffles(spark):
     assert shuffle_count(df) <= 2
     plan = physical_plan(df)
     assert "HashAggregate" not in plan
+
+
+def test_a30_filters_reach_the_scan(spark):
+    """Q6 shape: every predicate must push to the parquet scan — the
+    whole query is bandwidth-bound at scale only if the scan prunes."""
+    df = q(spark, "a30_forecast_revenue")
+    pf = pushed_filters(df)
+    assert pf and any("l_shipdate" in f for f in pf)
+    assert has_partial_aggregate(df)
+
+
+def test_l4h_partial_combined_aggregates(spark):
+    """Corpus-DF scoring: both the word-frequency and per-doc aggregates
+    must combine map-side; the word-key exchange is the only wide cost."""
+    df = q(spark, "l4h_word_df_score")
+    assert has_partial_aggregate(df)
+    assert shuffle_count(df) <= 5  # loader + word agg + join + doc agg + sort
