@@ -323,14 +323,14 @@ WITH w AS (
            AS gram
   FROM base
 ), top2 AS (
-  SELECT doc_id, max(cnt) AS top2_count, sum(cnt) AS n_2grams
+  SELECT doc_id, max(cnt) AS top2_count, CAST(sum(cnt) AS BIGINT) AS n_2grams
   FROM (SELECT doc_id, gram, count(*) AS cnt
         FROM grams GROUP BY doc_id, gram)
   GROUP BY doc_id
 )
 SELECT b.doc_id, b.lang, b.n_words, b.dup_words,
-       coalesce(t.top2_count, 0) AS top2_count,
-       coalesce(t.n_2grams, 0) AS n_2grams
+       CAST(coalesce(t.top2_count, 0) AS BIGINT) AS top2_count,
+       CAST(coalesce(t.n_2grams, 0) AS BIGINT) AS n_2grams
 FROM base b LEFT JOIN top2 t USING (doc_id)
 WHERE b.dup_words * 10 <= b.n_words * 3
   AND coalesce(t.top2_count, 0) * 5 <= coalesce(t.n_2grams, 0)
@@ -376,7 +376,8 @@ WITH dw AS (
 ), dfs AS (
   SELECT word, count(*) AS df FROM dw GROUP BY word
 )
-SELECT dw.doc_id, sum(dfs.df) AS df_sum, count(*) AS n_distinct
+SELECT dw.doc_id, CAST(sum(dfs.df) AS BIGINT) AS df_sum,
+       count(*) AS n_distinct
 FROM dw JOIN dfs USING (word)
 GROUP BY dw.doc_id ORDER BY dw.doc_id
 """

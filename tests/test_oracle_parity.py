@@ -30,6 +30,33 @@ def _canon(val):
     return val
 
 
+def _num_kind(val):
+    """'int' / 'float' bucket for the driver's stringify-then-hash gate:
+    Spark bigint 1085 vs DuckDB HUGEINT-promoted 1085.0 hash differently
+    even though == compares equal.  Decimal counts as float (same string
+    form after rounding)."""
+    import decimal
+
+    if isinstance(val, bool) or val is None:
+        return None
+    if isinstance(val, int):
+        return "int"
+    if isinstance(val, (float, decimal.Decimal)):
+        return "float"
+    if isinstance(val, (list, tuple)):
+        kinds = {_num_kind(v) for v in val} - {None}
+        return tuple(sorted(kinds)) or None
+    return None
+
+
+def _col_kinds(rows, columns):
+    out = {}
+    for i, c in enumerate(columns):
+        kinds = {_num_kind(r[i]) for r in rows} - {None}
+        out[c] = kinds
+    return out
+
+
 def _canon_rows(rows, columns):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     out = [tuple(_canon(r[i]) for i in order) for r in rows]
@@ -60,6 +87,14 @@ def test_oracle_parity(spark, sf_dir, duck, name):
         f"{name}: column mismatch {scols} vs {dcols}")
     assert len(srows) == len(ddf), (
         f"{name}: row count {len(srows)} vs {len(ddf)}")
+    skinds = _col_kinds(srows, scols)
+    dkinds = _col_kinds(ddf, dcols)
+    kind_diff = {c: (skinds[c], dkinds[c]) for c in skinds
+                 if skinds[c] != dkinds[c]}
+    assert not kind_diff, (
+        f"{name}: numeric-kind mismatch (driver hash would fail): "
+        f"{kind_diff} — cast the oracle column (e.g. CAST(sum(x) AS "
+        f"BIGINT)) to match Spark's type")
     left = _canon_rows(srows, scols)
     right = _canon_rows(ddf, dcols)
     mismatches = [(l, r) for l, r in zip(left, right) if l != r]
