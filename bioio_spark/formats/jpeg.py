@@ -150,6 +150,7 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)       # byte stuffing
+        self.acc &= (1 << self.nbits) - 1   # keep the int bounded
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -337,6 +338,7 @@ class _BitReader:
                     continue
             self.acc = (self.acc << 8) | b
             self.nbits += 8
+        self.acc &= (1 << self.nbits) - 1   # keep the int bounded
 
     def read_bit(self) -> int:
         if self.nbits == 0:

@@ -402,9 +402,11 @@ def _read_tag_values(data: bytes, typ: int, count: int,
 
 def lzw_decode(data: bytes) -> bytes:
     """TIFF 6.0 §13 LZW: MSB-first variable-width codes 9->12 bits,
-    ClearCode 256 / EOI 257, EarlyChange width bumps at table sizes
-    511/1023/2047 (the libtiff convention). Wild OME-TIFFs are mostly
-    LZW-compressed, so the decode side is the interop-critical half."""
+    ClearCode 256 / EOI 257, EarlyChange width bumps at decoder table
+    sizes 510/1022/2046 (one registration behind the encoder's
+    511/1023/2047 switch — the libtiff convention). Wild OME-TIFFs are
+    mostly LZW-compressed, so the decode side is the interop-critical
+    half."""
     CLEAR, EOI = 256, 257
     out = bytearray()
     bitpos, nbits, width = 0, len(data) * 8, 9
@@ -430,7 +432,7 @@ def lzw_decode(data: bytes) -> bytes:
             entry = (table[code] if code < len(table)
                      else prev + prev[:1])     # the KwKwK case
             table.append(prev + entry[:1])
-            if len(table) == (1 << width) - 1 and width < 12:
+            if len(table) == (1 << width) - 2 and width < 12:
                 width += 1                      # EarlyChange
         out += entry
         prev = entry
@@ -452,6 +454,7 @@ def lzw_encode(data: bytes) -> bytes:
         while acc_bits >= 8:
             acc_bits -= 8
             out.append((acc >> acc_bits) & 0xFF)
+        acc &= (1 << acc_bits) - 1      # keep the int bounded (linear time)
 
     table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
     next_code, width = 258, 9
@@ -466,11 +469,11 @@ def lzw_encode(data: bytes) -> bytes:
         emit(table[w], width)
         table[wc] = next_code
         next_code += 1
-        # the decoder appends one code BEHIND the encoder's registration,
-        # so its EarlyChange bump at len == (1<<w)-1 pairs with an encoder
-        # bump at next_code == 1<<w: both sides read/write the next code
-        # at the wider size
-        if next_code == (1 << width) and width < 12:
+        # TIFF 6.0 / libtiff EarlyChange: the encoder widens when the NEXT
+        # code to register would be (1<<w)-1 (511/1023/2047); the decoder's
+        # table runs one registration behind, so it widens at table size
+        # (1<<w)-2 (510/1022/2046).
+        if next_code == (1 << width) - 1 and width < 12:
             width += 1
         elif next_code == 4094:                 # 12-bit space nearly full
             emit(CLEAR, width)

@@ -271,6 +271,75 @@ def test_lzw_roundtrip(payload):
     assert lzw_decode(lzw_encode(payload)) == payload
 
 
+def _spec_lzw_decode(data: bytes) -> bytes:
+    """Independent TIFF 6.0 §13 decoder written straight from the spec
+    prose (MSB-first bit reader + string table), used to cross-check
+    lzw_encode's EarlyChange schedule with a second implementation."""
+    CLEAR, EOI = 256, 257
+    pos, total = 0, len(data) * 8
+
+    def take(w):
+        nonlocal pos
+        v = 0
+        for _ in range(w):
+            v = (v << 1) | ((data[pos >> 3] >> (7 - (pos & 7))) & 1)
+            pos += 1
+        return v
+
+    out, table, prev, width = bytearray(), [], None, 9
+    while pos + width <= total:
+        code = take(width)
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            prev, width = None, 9
+            continue
+        if prev is None:
+            entry = table[code]
+        else:
+            entry = table[code] if code < len(table) else prev + prev[:1]
+            table.append(prev + entry[:1])
+            # EarlyChange: decoder widens one registration before the
+            # encoder's 511/1023/2047 switch lands in its table
+            if len(table) in (510, 1022, 2046):
+                width += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def test_lzw_earlychange_schedule_pinned():
+    """TIFF 6.0 / libtiff EarlyChange: for bytes(range(256))*2 the code
+    stream is Clear + 384 emissions + EOI, where emissions 1–253 are
+    9-bit and everything after (first widened code = emission #254) is
+    10-bit: 9*254 + 10*132 = 3606 bits = 451 bytes. The old late-change
+    schedule emitted one extra 9-bit code (450 bytes) and desyncs
+    against libtiff-compatible readers."""
+    from bioio_spark.formats.tiff import lzw_decode, lzw_encode
+
+    data = bytes(range(256)) * 2
+    enc = lzw_encode(data)
+    assert len(enc) == (9 * 254 + 10 * 132 + 7) // 8 == 451
+    assert lzw_decode(enc) == data
+    assert _spec_lzw_decode(enc) == data
+    import hashlib
+
+    assert hashlib.sha256(enc).hexdigest() == (
+        "e57402fc586671f50a3463fe57bf64a0ab6193b61d429799a4c0dc7e919c8bea")
+
+
+def test_lzw_spec_decoder_agrees_on_random_and_reset():
+    from bioio_spark.formats.tiff import lzw_encode
+
+    rng = np.random.default_rng(11)
+    for n in (300, 1100, 2100, 9000):   # spans 9->10->11->12 + 4094 reset
+        payload = rng.integers(0, 256, n * 2, dtype=np.uint8).tobytes()
+        assert _spec_lzw_decode(lzw_encode(payload)) == payload
+    payload = b"abcabd" * 4000
+    assert _spec_lzw_decode(lzw_encode(payload)) == payload
+
+
 def test_lzw_width_transitions_roundtrip():
     """Data sized to sit exactly around the 511/1023/2047 EarlyChange
     boundaries (each new 2-byte pair adds one table entry)."""
