@@ -209,7 +209,11 @@ def parse_ngff_attrs(doc: str) -> dict:
     elif "ome" in a and "multiscales" not in a:
         a = a["ome"]                         # bare NGFF 0.5 attributes
     ms = (a.get("multiscales") or [{}])[0]
-    axes = "".join(ax["name"] for ax in ms.get("axes", [])) or "tczyx"
+    # No explicit axes (bare-array doc, or a pre-0.4 multiscales block):
+    # return None and let the caller derive 'tczyx'[-rank:] from the
+    # array's real shape — defaulting to 5 axes here mis-binds selectors
+    # on lower-rank bare stores.
+    axes = "".join(ax["name"] for ax in ms.get("axes", [])) or None
     datasets = ms.get("datasets") or [{"path": "0"}]
     scale = None
     ct = (datasets[0].get("coordinateTransformations") or [])

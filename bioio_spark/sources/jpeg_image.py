@@ -27,28 +27,42 @@ _JPEG_EXTS = (".jpg", ".jpeg")
 
 
 def _read_jpeg_header(path: str) -> tuple[int, int, int]:
-    """(height, width, n_components) from the SOF0 segment — a bounded
-    marker walk, no entropy data read."""
+    """(height, width, n_components) from the SOF0 segment — a streamed
+    marker walk against the file handle (seek past each segment by its
+    length), no entropy data read. Segments can individually exceed any
+    fixed prefix — EXIF thumbnails and ICC profiles over 64 KB are
+    common — so no prefix cap applies."""
     with open(path, "rb") as f:
-        head = f.read(64 * 1024)
-    if head[:2] != b"\xFF\xD8":
-        raise ValueError(f"{path}: not a JPEG file")
-    pos = 2
-    while pos < len(head) - 1:
-        if head[pos] != 0xFF:
-            pos += 1
-            continue
-        marker = head[pos + 1]
-        pos += 2
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-            continue
-        if marker in (0xC0, 0xC1):
-            _, h, w, nc = struct.unpack(">BHHB", head[pos + 2:pos + 8])
-            return h, w, nc
-        if marker == 0xDA or marker == 0xD9:
-            break
-        (ln,) = struct.unpack(">H", head[pos:pos + 2])
-        pos += ln
+        if f.read(2) != b"\xFF\xD8":
+            raise ValueError(f"{path}: not a JPEG file")
+        while True:
+            b = f.read(1)
+            if not b:
+                break
+            if b != b"\xFF":
+                continue
+            # consume fill bytes (0xFF padding before a marker)
+            marker = f.read(1)
+            while marker == b"\xFF":
+                marker = f.read(1)
+            if not marker:
+                break
+            m = marker[0]
+            if m in (0xD8, 0x01, 0x00) or 0xD0 <= m <= 0xD7:
+                continue                    # no length field
+            if m in (0xC0, 0xC1):
+                seg = f.read(8)
+                if len(seg) < 8:
+                    raise ValueError(f"{path}: truncated SOF segment")
+                _ln, _prec, h, w, nc = struct.unpack(">HBHHB", seg)
+                return h, w, nc
+            if m in (0xDA, 0xD9):
+                break                       # entropy data / EOI: give up
+            ln_bytes = f.read(2)
+            if len(ln_bytes) < 2:
+                break
+            (ln,) = struct.unpack(">H", ln_bytes)
+            f.seek(max(ln - 2, 0), os.SEEK_CUR)
     raise ValueError(f"{path}: no baseline SOF segment found")
 
 

@@ -94,6 +94,28 @@ def test_reader_writer_roundtrip(spark, tmp_path):
     assert _psnr(got, rgb) > 40
 
 
+def test_header_walk_streams_past_large_app_segments(tmp_path):
+    """EXIF thumbnails / ICC profiles routinely exceed 64 KB; the catalog
+    header walk must seek past them rather than scan a fixed prefix."""
+    from bioio_spark.formats.jpeg import encode_jpeg
+    from bioio_spark.sources.jpeg_image import _read_jpeg_header
+
+    g = np.clip(np.add.outer(np.arange(24) * 5, np.arange(32) * 3),
+                0, 255).astype(np.uint8)
+    enc = encode_jpeg(g)
+    assert enc[:2] == b"\xFF\xD8"
+    # splice three maximum-size APP segments (~192 KB total — the
+    # multi-segment ICC/EXIF shape) right after SOI; each APPn length
+    # field is 16-bit so big profiles span several segments
+    payload = b"ICC_PROFILE\x00" + b"\xAB" * 65520
+    seg = (len(payload) + 2).to_bytes(2, "big") + payload
+    apps = b"\xFF\xE1" + seg + b"\xFF\xE2" + seg + b"\xFF\xE2" + seg
+    p = tmp_path / "bigapp.jpg"
+    p.write_bytes(enc[:2] + apps + enc[2:])
+    h, w, nc = _read_jpeg_header(str(p))
+    assert (h, w, nc) == (24, 32, 1)
+
+
 _WILD_JPEGS = [
     "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/"
     "test/imghdrdata/python.jpg",

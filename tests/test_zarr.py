@@ -330,6 +330,61 @@ def test_zarr_v3_window_read(spark, tmp_path):
     np.testing.assert_array_equal(got, want)
 
 
+def _write_v3_bare_array(root, full, chunks):
+    """Zarr v3 bare ARRAY store: zarr.json with node_type=array at the
+    root, no group / multiscales wrapper — the layout zarr-python writes
+    for `zarr.save_array`."""
+    import math
+
+    os.makedirs(root)
+    (root / "zarr.json").write_text(json.dumps({
+        "zarr_format": 3, "node_type": "array",
+        "shape": list(full.shape), "data_type": str(full.dtype),
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": list(chunks)}},
+        "chunk_key_encoding": {"name": "default",
+                               "configuration": {"separator": "/"}},
+        "fill_value": 0,
+        "codecs": [{"name": "bytes",
+                    "configuration": {"endian": "little"}}]}))
+    grid = [math.ceil(s / c) for s, c in zip(full.shape, chunks)]
+    for idx in np.ndindex(*grid):
+        block = np.zeros(chunks, dtype=full.dtype)
+        sl = tuple(slice(g * c, min((g + 1) * c, s))
+                   for g, c, s in zip(idx, chunks, full.shape))
+        ext = tuple(s.stop - s.start for s in sl)
+        block[tuple(slice(0, e) for e in ext)] = full[sl]
+        d = root / "c" / "/".join(str(i) for i in idx[:-1])
+        os.makedirs(d, exist_ok=True)
+        (d / str(idx[-1])).write_bytes(block.tobytes())
+
+
+def test_zarr_v3_bare_array_low_rank(spark, tmp_path):
+    """Regression: a bare v3 array store of rank < 5 must derive axes
+    from the array's real shape ('tczyx'[-rank:]), not default to 5D —
+    the 5D default mis-bound z/y/x selectors to t/c/z and the chunk
+    enumerator raised IndexError."""
+    from bioio_spark import BioImage
+    from bioio_spark.sources.zarr_image import read_zarr_window
+
+    rng = np.random.default_rng(41)
+    full = rng.integers(0, 255, (4, 6, 8), dtype=np.uint8)
+    root = tmp_path / "bare3.zarr"
+    _write_v3_bare_array(root, full, (2, 3, 3))
+
+    df = read_zarr_window(spark, str(root), z=(1, 3), y=2,
+                          x=(3, 7)).toPandas()
+    want = full[1:3, 2, 3:7]
+    assert len(df) == want.size
+    got = np.zeros_like(want)
+    got[df["z"] - 1, df["x"] - 3] = df["value"]
+    np.testing.assert_array_equal(got, want)
+
+    img = BioImage(str(root), spark=spark)
+    assert img.dims["ZYX"] == full.shape
+    np.testing.assert_array_equal(img.get_image_data()[0, 0], full)
+
+
 def test_read_zarr_planes_zero_shuffle_equivalence(spark, tmp_path):
     """Chunk -> planes-layout read: ZERO exchanges in the plan, and
     planes_to_pixels over the result equals the long-form reader."""
