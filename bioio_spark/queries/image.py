@@ -1163,6 +1163,65 @@ def img_ome_tiff_roundtrip_compressed(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Float-pixel (SampleFormat=3) LZW roundtrip: float32 pages with negative
+# and fractional values through the distributed sink and back — covers the
+# float half of the reference's OME dtype map (ref ome_utils.py:66-137)
+# that the integer roundtrips above don't touch. Values are quarters
+# (exact in float32), so the sums hash exactly. Compression=5 exercises
+# LZW over a float byte stream (no predictor — integer-only).
+# --------------------------------------------------------------------------
+_RTF_SHAPE = (2, 2, 2, 4, 5)  # T C Z Y X
+
+
+@register(
+    "img_ome_tiff_roundtrip_float",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {2 * 2 * 4 * 5} AS INTEGER) AS t,
+             CAST((i // {2 * 4 * 5}) % 2 AS INTEGER) AS c,
+             CAST(((i // {2 * 2 * 4 * 5}) * 10000
+                  + ((i // {2 * 4 * 5}) % 2) * 1000
+                  + ((i // {4 * 5}) % 2) * 100
+                  + ((i // 5) % 4) * 10 + (i % 5)) / 4.0 - 100.0
+                  AS DOUBLE) AS value
+      FROM range({2 * 2 * 2 * 4 * 5}) r(i))
+    SELECT t, c, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(min(value) AS DOUBLE) AS min_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY t, c ORDER BY t, c
+    """,
+    doc="S10 float32 (SampleFormat=3) LZW OME-TIFF save -> reread "
+        "roundtrip, value-checked end to end",
+)
+def img_ome_tiff_roundtrip_float(spark, sf_dir):
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.sources.tiff_image import TiffImageReader
+    from bioio_spark.writers import save_ome_tiff
+
+    idx = np.indices(_RTF_SHAPE)
+    block = ((idx[0] * 10000 + idx[1] * 1000 + idx[2] * 100
+              + idx[3] * 10 + idx[4]) / 4.0 - 100.0).astype(np.float32)
+    img = BioImage(block, spark=spark)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "ome_roundtrip_float")
+    shutil.rmtree(out, ignore_errors=True)
+    save_ome_tiff(img, out, compression=5)
+    back = BioImage(out, reader=TiffImageReader, spark=spark)
+    return (back.get_image_dataframe()
+            .groupBy("t", "c")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.min("value").alias("min_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("t", "c"))
+
+
+# --------------------------------------------------------------------------
 # OME-Zarr (NGFF 0.4 / Zarr v2) roundtrip — the reference's bioio-ome-zarr
 # surface (ref README.md:66,81). Chunks (1,1,2,3,4) do NOT divide the
 # (2,2,3,5,6) shape, so edge-chunk fill padding and trim are on the hashed

@@ -66,6 +66,19 @@ def test_codec_deflate_roundtrip(dtype):
     np.testing.assert_array_equal(out, block)
 
 
+@pytest.mark.parametrize("dtype", ["float32", "float64"])
+@pytest.mark.parametrize("comp", [1, 5, 8])
+def test_codec_float_special_values(dtype, comp):
+    """SampleFormat=3 pages must roundtrip negatives, NaN and inf bit-
+    exactly under every compression (no predictor on the float path)."""
+    a = ((np.arange(80, dtype=dtype).reshape(8, 10) / 4.0) - 3.5)
+    a[0, 0], a[1, 1], a[2, 2] = np.nan, np.inf, -np.inf
+    planes, _desc = decode_tiff(encode_tiff([a], compression=comp))
+    out = planes[0]
+    assert out.dtype == np.dtype(dtype)
+    np.testing.assert_array_equal(out, a)
+
+
 def test_codec_deflate_shrinks_low_entropy():
     zeros = np.zeros((1, 1, 1, 64, 64), dtype=np.uint16)
     assert (len(encode_ome_tiff(zeros, compression=8))
