@@ -257,6 +257,89 @@ def dump_plugins() -> str:
     return "\n".join(lines)
 
 
+ENTRY_POINT_GROUP = "bioio_spark.readers"
+CORE_DIST_NAME = "bioio-spark"
+
+
+def _core_version_tuple() -> tuple:
+    from bioio_spark import __version__
+
+    parts = [int(p) for p in __version__.split(".") if p.isdigit()]
+    while len(parts) < 3:
+        parts.append(0)
+    return tuple(parts[:3])
+
+
+def plugin_core_requirement(dist_name: str) -> tuple[tuple, Optional[tuple]]:
+    """(min, max) core-version range a distribution declares for
+    ``bioio-spark`` via its Requires-Dist metadata — the reference reads
+    the same range for ``bioio-base`` from each plugin distribution
+    (ref plugins.py:113-164). No declared dependency -> unbounded."""
+    from importlib import metadata as _md
+
+    try:
+        reqs = _md.requires(dist_name) or []
+    except _md.PackageNotFoundError:
+        return (0, 0, 0), None
+    for dep in reqs:
+        head = dep.replace("_", "-").lower()
+        if not head.startswith(CORE_DIST_NAME):
+            continue
+        spec = dep[len(CORE_DIST_NAME):]
+        spec = spec.strip().strip("()").strip()
+        if not spec:
+            return (0, 0, 0), None
+        return parse_version_range(spec)
+    return (0, 0, 0), None
+
+
+def discover_plugins(group: str = ENTRY_POINT_GROUP) -> list[PluginEntry]:
+    """S1 discovery across a real package boundary: load readers
+    advertised through importlib.metadata entry points — the reference's
+    ``bioio.readers`` group mechanism (ref plugins.py:230-300) under our
+    group name. Each entry point resolves to an object (usually a module)
+    exposing ``ReaderMetadata`` with ``get_supported_extensions()`` and
+    ``get_reader()``.
+
+    S13 compat filter (ref plugins.py:268-279): a plugin whose declared
+    ``bioio-spark`` range excludes the running core version is skipped
+    with a warning, not registered. Already-registered names are skipped
+    (idempotent rediscovery). Returns the entries registered this call."""
+    from importlib import metadata as _md
+
+    core = _core_version_tuple()
+    registered: list[PluginEntry] = []
+    for ep in _md.entry_points(group=group):
+        dist = getattr(ep, "dist", None)
+        dist_name = getattr(dist, "name", None) or ep.name
+        lo, hi = plugin_core_requirement(dist_name)
+        if core < lo or (hi is not None and core > hi):
+            log.warning(
+                "Plugin %s requires %s in [%s, %s]; running %s — skipped",
+                dist_name, CORE_DIST_NAME, lo, hi, core)
+            continue
+        if any(e.name == dist_name for e in _REGISTRY):
+            continue
+        try:
+            obj = ep.load()
+        except Exception as exc:
+            log.warning("Plugin %s failed to load: %s", dist_name, exc)
+            continue
+        meta = getattr(obj, "ReaderMetadata", obj)
+        reader = meta.get_reader()
+        entry = PluginEntry(
+            name=dist_name,
+            reader=reader,
+            extensions=list(meta.get_supported_extensions()),
+            is_supported_image=getattr(
+                reader, "is_supported_image", lambda image: True),
+            version=getattr(dist, "version", None) or "0.0.0",
+        )
+        register_plugin(entry)
+        registered.append(entry)
+    return registered
+
+
 def parse_version_range(requirement: str) -> tuple[tuple, Optional[tuple]]:
     """S13 (ref plugins.py:113-164): parse '>=x.y,<a.b' style requirement
     into (min, max) version tuples, padding partial versions to x.y.z."""

@@ -123,3 +123,105 @@ def test_s3_anon_retry(clean_registry):
 
     assert "AnonymousAWSCredentialsProvider" in list(
         anon_s3a_conf().values())[0]
+
+
+# -- S1 across a package boundary: entry-point discovery -------------------
+# The reference discovers readers from the `bioio.readers` entry-point
+# group of INSTALLED distributions (ref plugins.py:230-300) and its test
+# suite fakes such packages (ref tests/helpers/mock_reader.py:101-160).
+# Here we build a real on-disk distribution (module + dist-info metadata)
+# and let importlib.metadata find it — a true package boundary.
+
+_MOCK_MODULE = '''
+class MockReader:
+    """Third-party-shaped reader: participates in selection only."""
+
+    @staticmethod
+    def is_supported_image(image, **_fs):
+        return isinstance(image, str) and "unsupported" not in image
+
+
+class ReaderMetadata:
+    @staticmethod
+    def get_supported_extensions():
+        return [".mock", ".mock.tiff"]
+
+    @staticmethod
+    def get_reader():
+        return MockReader
+'''
+
+
+def _install_dist(base, dist_name, module_name, version, requires_core,
+                  module_src=_MOCK_MODULE):
+    pkg = base / module_name
+    (base / f"{module_name}.py").write_text(module_src)
+    di = base / f"{module_name}-{version}.dist-info"
+    di.mkdir()
+    (di / "METADATA").write_text(
+        f"Metadata-Version: 2.1\nName: {dist_name}\nVersion: {version}\n"
+        f"Requires-Dist: bioio-spark ({requires_core})\n")
+    (di / "entry_points.txt").write_text(
+        f"[{P.ENTRY_POINT_GROUP}]\n{dist_name} = {module_name}\n")
+    (di / "RECORD").write_text("")
+    return pkg
+
+
+@pytest.fixture
+def dist_path(tmp_path, monkeypatch):
+    import importlib
+
+    monkeypatch.syspath_prepend(str(tmp_path))
+    importlib.invalidate_caches()
+    yield tmp_path
+
+
+def test_entry_point_discovery_registers_and_routes(dist_path):
+    """An external package advertising our entry-point group is found,
+    version-checked, registered with dist metadata, ordered by the S1
+    rules, and routed by determine_reader — end to end across the
+    package boundary."""
+    _install_dist(dist_path, "bioio-mock-reader", "bioio_mock_reader",
+                  "1.2.3", ">=0.1,<2")
+    got = P.discover_plugins()
+    assert [e.name for e in got] == ["bioio-mock-reader"]
+    assert got[0].version == "1.2.3"
+    assert got[0].extensions == [".mock", ".mock.tiff"]
+
+    by_ext = P.get_plugins()
+    assert ".mock" in by_ext and ".mock.tiff" in by_ext
+    # most-specific extension key first (S1 key ordering)
+    keys = list(by_ext)
+    assert keys.index(".mock.tiff") < keys.index(".mock")
+
+    rd = P.determine_reader("/data/img.mock")
+    assert rd.__name__ == "MockReader"
+
+    # rediscovery is idempotent: no duplicate registration
+    assert P.discover_plugins() == []
+    assert sum(e.name == "bioio-mock-reader" for e in P._REGISTRY) == 1
+
+
+def test_entry_point_discovery_version_compat_filter(dist_path):
+    """S13 (ref plugins.py:268-279): a plugin whose declared bioio-spark
+    range excludes the running core version is skipped."""
+    _install_dist(dist_path, "bioio-old-reader", "bioio_old_reader",
+                  "0.9.0", "<0.0.1")
+    assert P.discover_plugins() == []
+    assert not any(e.name == "bioio-old-reader" for e in P._REGISTRY)
+
+
+def test_entry_point_plugin_priority_vs_builtin(dist_path):
+    """Ordering against an in-proc plugin on a SHARED extension follows
+    the S1 rule (family count desc, raw ext count desc, name asc) — an
+    external package slots into the same ordering, not ahead of it."""
+    _install_dist(dist_path, "bioio-mock-reader", "bioio_mock_reader",
+                  "1.2.3", ">=0.1,<2")
+    P.discover_plugins()
+    # the external plugin spans two families (.mock / .mock.tiff are not
+    # suffixes of each other); the in-proc reader claims one family of
+    # one extension -> lower family count -> sorts after
+    P.register_plugin(P.PluginEntry(
+        name="zz-builtin", reader=object, extensions=[".mock.tiff"]))
+    order = [e.name for e in P.get_plugins()[".mock.tiff"]]
+    assert order == ["bioio-mock-reader", "zz-builtin"]
