@@ -139,12 +139,25 @@ def to_ndarray(plan: DataFrame, out_dims: Dimensions, dtype=None):
     end-to-end (ref bio_image.py:749-762 `dtype` from the lazy array).
     """
     import numpy as np
+    from pyspark.sql.types import StructType as _StructType
 
+    is_complex = isinstance(plan.schema["value"].dataType, _StructType)
     pdf = plan.toPandas()
-    arr = np.zeros(out_dims.shape, dtype=np.float64)
+    arr = np.zeros(out_dims.shape,
+                   dtype=np.complex128 if is_complex else np.float64)
     if len(pdf):
         cols = [DIM_COLUMNS[letter] for letter in out_dims.order]
-        arr[tuple(pdf[c].to_numpy() for c in cols)] = pdf["value"].to_numpy()
+        idx = tuple(pdf[c].to_numpy() for c in cols)
+        if is_complex:
+            # struct<re,im> rows come back as Row/dict objects
+            n = len(pdf)
+            re = np.fromiter((v["re"] for v in pdf["value"]),
+                             dtype=np.float64, count=n)
+            im = np.fromiter((v["im"] for v in pdf["value"]),
+                             dtype=np.float64, count=n)
+            arr[idx] = re + 1j * im
+        else:
+            arr[idx] = pdf["value"].to_numpy()
     if dtype is not None and np.dtype(dtype) != arr.dtype:
         arr = arr.astype(dtype)
     return arr

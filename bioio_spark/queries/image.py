@@ -1163,6 +1163,55 @@ def img_ome_tiff_roundtrip_compressed(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Complex pixel type end-to-end (SURVEY §1.2/§1.3: complex64 -> struct
+# <re,im>): a complex64 ArrayLike fixture through BioImage ingest and a
+# window selector, hashed as separate re/im DOUBLE columns — the
+# canonicalization the harness note (SURVEY "What's hard" #5) prescribes.
+# Component values are quarters (exact in float32), so the hash is exact.
+# --------------------------------------------------------------------------
+_CPLX_SHAPE = (2, 2, 3, 4, 5)  # T C Z Y X
+
+
+@register(
+    "img_complex_pixels",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {2 * 3 * 4 * 5} AS INTEGER) AS t,
+             CAST((i // {3 * 4 * 5}) % 2 AS INTEGER) AS c,
+             CAST((i // {4 * 5}) % 3 AS INTEGER) AS z,
+             CAST((i // 5) % 4 AS INTEGER) AS y,
+             CAST(i % 5 AS INTEGER) AS x,
+             CAST((i // {2 * 3 * 4 * 5}) * 10000
+                  + ((i // {3 * 4 * 5}) % 2) * 1000
+                  + ((i // {4 * 5}) % 3) * 100
+                  + ((i // 5) % 4) * 10 + (i % 5) AS DOUBLE) AS base
+      FROM range({2 * 2 * 3 * 4 * 5}) r(i))
+    SELECT t, c, z, y, x, base AS re, -base / 4.0 AS im
+    FROM px WHERE z < 2 AND x >= 1
+    ORDER BY t, c, z, y, x
+    """,
+    doc="complex64 pixels (struct<re,im>) through ingest + window "
+        "selector, re/im canonicalized to DOUBLE columns",
+)
+def img_complex_pixels(spark, sf_dir):
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+
+    idx = np.indices(_CPLX_SHAPE)
+    base = (idx[0] * 10000 + idx[1] * 1000 + idx[2] * 100
+            + idx[3] * 10 + idx[4]).astype(np.float32)
+    block = (base - 1j * (base / 4.0)).astype(np.complex64)
+    img = BioImage(block, spark=spark)
+    return (img.get_image_dataframe()
+            .filter((F.col("z") < 2) & (F.col("x") >= 1))
+            .select("t", "c", "z", "y", "x",
+                    F.col("value.re").alias("re"),
+                    F.col("value.im").alias("im"))
+            .orderBy("t", "c", "z", "y", "x"))
+
+
+# --------------------------------------------------------------------------
 # Float-pixel (SampleFormat=3) LZW roundtrip: float32 pages with negative
 # and fractional values through the distributed sink and back — covers the
 # float half of the reference's OME dtype map (ref ome_utils.py:66-137)

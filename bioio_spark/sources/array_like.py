@@ -136,13 +136,25 @@ class ArrayLikeReader:
             })
 
         pdf = pd.concat(pixel_frames, ignore_index=True)
-        pixels = spark.createDataFrame(pdf[PIXEL_COLUMNS])
-        # cast dim indexes to int and value to double for a stable schema
-        pixels = pixels.select(
+        has_complex = "value_re" in pdf.columns
+        if has_complex and "value" in pdf.columns:
+            raise ValueError(
+                "multi-scene images must be all-complex or all-real")
+        # cast dim indexes to int and value to double for a stable schema;
+        # complex pixels become one struct<re,im> column (SURVEY §1.3)
+        value_cols = (["value_re", "value_im"] if has_complex
+                      else ["value"])
+        base = pdf[[c for c in PIXEL_COLUMNS if c != "value"] + value_cols]
+        value_expr = (
+            F.struct(F.col("value_re").cast("double").alias("re"),
+                     F.col("value_im").cast("double").alias("im"))
+            .alias("value") if has_complex
+            else F.col("value").cast("double").alias("value"))
+        pixels = spark.createDataFrame(base).select(
             "image_id", "scene",
             F.col("res_level").cast("int").alias("res_level"),
             *[F.col(d).cast("int").alias(d) for d in PIXEL_DIM_COLS],
-            F.col("value").cast("double").alias("value"),
+            value_expr,
         )
         scenes = pd.DataFrame(scene_rows)
         channels = pd.DataFrame(
@@ -173,9 +185,13 @@ def _array_to_long_form(arr: np.ndarray, order: str, image_id: str,
     pdf = pd.DataFrame(data)
     vals = arr.reshape(-1)
     if np.iscomplexobj(vals):
-        raise NotImplementedError(
-            "complex pixel values use the struct<re,im> planes path (r2)")
-    pdf["value"] = vals.astype(np.float64)
+        # complex64/128 -> struct<re,im> (SURVEY §1.3): carried as two
+        # float64 component columns here, assembled into one struct column
+        # in to_dataset (the catalog dtype restores complex on assembly)
+        pdf["value_re"] = vals.real.astype(np.float64)
+        pdf["value_im"] = vals.imag.astype(np.float64)
+    else:
+        pdf["value"] = vals.astype(np.float64)
     for d in PIXEL_DIM_COLS:
         if d not in pdf.columns:
             pdf[d] = -1 if d in ("m", "s") else 0

@@ -255,3 +255,36 @@ def test_imread_dask_entry_points(spark):
             imread_dask(np.ones((2, 3)), spark=spark)
         with pytest.raises(NotImplementedError):
             imread_xarray_dask(np.ones((2, 3)), spark=spark)
+
+
+def test_complex64_pixels_end_to_end(spark):
+    """SURVEY §1.2/§1.3: complex64 -> struct<re,im> value column; ingest,
+    selectors, and assembly preserve values and restore the native
+    complex dtype (ref ome_utils.py:66-137 includes complex64/128)."""
+    idx = np.indices((2, 2, 3, 4, 5))
+    base = (idx[0] * 10000 + idx[1] * 1000 + idx[2] * 100
+            + idx[3] * 10 + idx[4]).astype(np.float32)
+    block = (base - 1j * (base / 4.0)).astype(np.complex64)
+
+    img = BioImage(block, spark=spark)
+    assert img.dtype == np.dtype("complex64")
+
+    value_type = dict(img.get_image_dataframe().dtypes)["value"]
+    assert value_type == "struct<re:double,im:double>"
+
+    np.testing.assert_array_equal(img.data, block)
+    assert img.data.dtype == np.dtype("complex64")
+    sel = img.get_image_data("ZYX", T=1, C=0)
+    np.testing.assert_array_equal(sel, block[1, 0])
+    assert sel.dtype == np.dtype("complex64")
+
+    c128 = BioImage(block.astype(np.complex128), spark=spark)
+    assert c128.dtype == np.dtype("complex128")
+    np.testing.assert_array_equal(c128.data, block.astype(np.complex128))
+
+
+def test_mixed_complex_real_scenes_rejected(spark):
+    with pytest.raises(ValueError, match="all-complex or all-real"):
+        BioImage([np.ones((2, 2), dtype=np.complex64),
+                  np.ones((2, 2), dtype=np.float32)],
+                 spark=spark).get_image_dataframe()
