@@ -865,6 +865,17 @@ _CC_NODE_SQL = (f"(((CAST(t AS BIGINT) * {C} + c) * {Z} + z) * {Y * X}"
                 f" + y * {X} + x)")
 
 
+def _cc_mask(spark):
+    """Thresholded fixture mask in the label_mask_components input shape
+    (t, c, z, y, x, node)."""
+    px = _gen_pixels(spark)
+    node = (((F.col("t").cast("long") * C + F.col("c")) * Z
+             + F.col("z")) * (Y * X)
+            + F.col("y") * X + F.col("x")).alias("node")
+    return (px.filter(F.col("value").cast("long") % 7 < 4)
+            .select("t", "c", "z", "y", "x", node))
+
+
 def _cc_pairs_cte() -> str:
     return f"""px AS ({_GEN_SQL}),
     mask AS (
@@ -897,37 +908,16 @@ def _cc_oracle() -> str:
     doc="connected-component labeling of a thresholded pixel mask",
 )
 def img_label_components(spark, sf_dir):
-    from bioio_spark.functions.clusters import dedup_clusters
+    from bioio_spark.operators.labeling import label_mask_components
 
-    px = _gen_pixels(spark)
-    node = (((F.col("t").cast("long") * C + F.col("c")) * Z
-             + F.col("z")) * (Y * X)
-            + F.col("y") * X + F.col("x")).alias("node")
-    mask = (px.filter(F.col("value").cast("long") % 7 < 4)
-            .select("t", "c", "z", "y", "x", node))
-    # each pixel probes its right + down neighbor through ONE equi join
-    # (explode 2 offsets), not two mask self-joins
-    probes = (mask.select(
-        "t", "c", "z", F.col("node").alias("doc_a"),
-        F.explode(F.array(
-            F.struct(F.col("y").alias("y"), (F.col("x") + 1).alias("x")),
-            F.struct((F.col("y") + 1).alias("y"),
-                     F.col("x").alias("x")))).alias("n"))
-        .select("t", "c", "z", "doc_a",
-                F.col("n.y").alias("y"), F.col("n.x").alias("x")))
-    pairs = (probes.join(
-        mask.select("t", "c", "z", "y", "x",
-                    F.col("node").alias("doc_b")),
-        ["t", "c", "z", "y", "x"])
-        .select("doc_a", "doc_b"))
-    # fixture mask components are compact blobs (diameter <= 3), so the
+    mask = _cc_mask(spark)
+    # auto-dispatch with the catalog size hint: the fixture mask is far
+    # below TILE_THRESHOLD, so this resolves to the flat formulation.
+    # Fixture components are compact blobs (diameter <= 3), so the
     # default late pointer jumping is right (measured: jump_from=1 only
-    # adds join cost here); pass jump_from=1 for snake-like masks
-    return (dedup_clusters(pairs)
-            .select(F.col("doc_id").alias("node"),
-                    F.col("cluster_rep").alias("component"),
-                    F.col("cluster_size").alias("component_size"))
-            .orderBy("node"))
+    # adds join cost here); pass jump_from=1 for snake-like masks.
+    return label_mask_components(
+        mask, approx_size=T * C * Z * Y * X).orderBy("node")
 
 
 # --------------------------------------------------------------------------
@@ -947,102 +937,14 @@ _CC_TH, _CC_TW = 2, 3
     doc="two-level CC labeling: per-tile union-find + boundary-graph merge",
 )
 def img_label_components_tiled(spark, sf_dir):
-    import pandas as pd
+    from bioio_spark.operators.labeling import label_mask_components
 
-    from bioio_spark.functions.clusters import connected_components
-
-    TH, TW = _CC_TH, _CC_TW
-    px = _gen_pixels(spark)
-    node = (((F.col("t").cast("long") * C + F.col("c")) * Z
-             + F.col("z")) * (Y * X)
-            + F.col("y") * X + F.col("x")).alias("node")
-    mask = (px.filter(F.col("value").cast("long") % 7 < 4)
-            .select("t", "c", "z", "y", "x", node))
-
-    def label_tile(pdf: pd.DataFrame) -> pd.DataFrame:
-        idx = {(y, x): i for i, (y, x) in
-               enumerate(zip(pdf["y"], pdf["x"]))}
-        parent = list(range(len(pdf)))
-
-        def find(a):
-            while parent[a] != a:
-                parent[a] = parent[parent[a]]
-                a = parent[a]
-            return a
-
-        linked = [False] * len(pdf)
-        for (y, x), i in idx.items():
-            for ny, nx in ((y, x + 1), (y + 1, x)):
-                j = idx.get((ny, nx))
-                if j is not None:
-                    linked[i] = linked[j] = True
-                    ra, rb = find(i), find(j)
-                    if ra != rb:
-                        parent[max(ra, rb)] = min(ra, rb)
-        roots = [find(i) for i in range(len(pdf))]
-        nodes = pdf["node"].to_numpy()
-        min_node: dict = {}
-        for i, r in enumerate(roots):
-            m = min_node.get(r)
-            if m is None or nodes[i] < m:
-                min_node[r] = nodes[i]
-        return pd.DataFrame({
-            "node": nodes,
-            "local_label": [min_node[r] for r in roots],
-            "has_nb": linked,
-        })
-
-    local = (mask
-             .withColumn("ty", F.floor(F.col("y") / TH))
-             .withColumn("tx", F.floor(F.col("x") / TW))
-             .groupBy("t", "c", "z", "ty", "tx")
-             .applyInPandas(label_tile,
-                            "node long, local_label long, has_nb boolean"))
-
-    # cross-tile adjacency: only tile-edge pixels probe across the border
-    right = (mask.filter((F.col("x") + 1) % TW == 0)
-             .select("t", "c", "z", F.col("node").alias("a"),
-                     F.col("y").alias("py"),
-                     (F.col("x") + 1).alias("px_")))
-    down = (mask.filter((F.col("y") + 1) % TH == 0)
-            .select("t", "c", "z", F.col("node").alias("a"),
-                    (F.col("y") + 1).alias("py"),
-                    F.col("x").alias("px_")))
-    probes = right.unionByName(down)
-    nbr = mask.select("t", "c", "z", F.col("y").alias("py"),
-                      F.col("x").alias("px_"),
-                      F.col("node").alias("b"))
-    bpairs = probes.join(nbr, ["t", "c", "z", "py", "px_"]).select("a", "b")
-
-    lab = local.select(F.col("node").alias("lnode"),
-                       F.col("local_label").alias("llabel"))
-    lpairs = (bpairs
-              .join(lab, bpairs["a"] == lab["lnode"])
-              .select(F.col("llabel").alias("doc_a"), "b")
-              .join(lab, F.col("b") == lab["lnode"])
-              .select("doc_a", F.col("llabel").alias("doc_b"))
-              .filter(F.col("doc_a") != F.col("doc_b"))
-              .distinct())
-    cc = (connected_components(lpairs, jump_from=1)
-          .select(F.col("node").alias("cnode"),
-                  F.col("label").alias("clabel")))
-
-    bnodes = (bpairs.select(F.col("a").alias("bn"))
-              .unionByName(bpairs.select(F.col("b").alias("bn")))
-              .distinct())
-    in_graph = (local
-                .join(bnodes, local["node"] == bnodes["bn"], "left")
-                .filter(F.col("has_nb") | F.col("bn").isNotNull())
-                .select("node", "local_label"))
-    final = (in_graph
-             .join(cc, in_graph["local_label"] == cc["cnode"], "left")
-             .select("node",
-                     F.coalesce("clabel", "local_label")
-                     .alias("component")))
-    w = Window.partitionBy("component")
-    return (final
-            .withColumn("component_size", F.count(F.lit(1)).over(w))
-            .orderBy("node"))
+    # forced tiled strategy with fixture-scale (2,3) tiles so both
+    # formulations run against the SAME oracle at sf scale; at 100 TB the
+    # auto dispatch picks this path with DEFAULT_TILE
+    return label_mask_components(
+        _cc_mask(spark), strategy="tiled",
+        tile=(_CC_TH, _CC_TW)).orderBy("node")
 
 
 # --------------------------------------------------------------------------

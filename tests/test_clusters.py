@@ -65,3 +65,46 @@ def test_nonconvergence_raises_instead_of_wrong_labels(spark):
     edges = _edges(spark, [(i, i + 1) for i in range(20)])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=1)
+
+
+def test_label_mask_components_strategies_agree(spark):
+    """One API, two physical strategies: flat and tiled labeling must
+    agree row-for-row; auto dispatches by mask size (hint or count)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bioio_spark.operators.labeling import label_mask_components
+
+    rng = np.random.default_rng(19)
+    H, W = 17, 23
+    m = rng.random((H, W)) < 0.55
+    ys, xs = np.nonzero(m)
+    pdf = pd.DataFrame({
+        "t": 0, "c": 0, "z": 0,
+        "y": ys.astype("int64"), "x": xs.astype("int64"),
+        "node": (ys * W + xs).astype("int64")})
+    mask = spark.createDataFrame(pdf).select(
+        F.col("t").cast("int"), F.col("c").cast("int"),
+        F.col("z").cast("int"), F.col("y").cast("int"),
+        F.col("x").cast("int"), "node")
+
+    def rows(df):
+        return sorted(map(tuple, df.select(
+            "node", "component", "component_size").collect()))
+
+    flat = rows(label_mask_components(mask, strategy="flat"))
+    tiled = rows(label_mask_components(mask, strategy="tiled",
+                                       tile=(4, 5)))
+    assert flat == tiled and len(flat) > 0
+
+    # auto: size hint below threshold -> flat; forced-low threshold ->
+    # tiled; both identical
+    auto_small = rows(label_mask_components(mask, approx_size=len(pdf)))
+    auto_big = rows(label_mask_components(mask, tile_threshold=10,
+                                          tile=(4, 5)))
+    assert auto_small == flat and auto_big == tiled
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="strategy"):
+        label_mask_components(mask, strategy="nope")
