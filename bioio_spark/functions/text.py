@@ -381,3 +381,70 @@ SELECT dw.doc_id, CAST(sum(dfs.df) AS BIGINT) AS df_sum,
 FROM dw JOIN dfs USING (word)
 GROUP BY dw.doc_id ORDER BY dw.doc_id
 """
+
+
+# -- line-level (pseudo-paragraph) dedup -----------------------------------
+
+LINE_SEG = 3          # words per pseudo-line (corpus has no newlines)
+LINE_DF_MAX = 3       # a line in more docs than this is boilerplate
+
+
+def line_dedup(documents: DataFrame) -> DataFrame:
+    """RefinedWeb/CCNet-style line-level dedup: split each document into
+    pseudo-lines (consecutive LINE_SEG-word segments — the fixture corpus
+    has no newlines), count each line's document frequency corpus-wide,
+    and mark lines shared by more than LINE_DF_MAX docs as boilerplate to
+    drop. Returns per-doc integer counts (n_lines, n_dropped, n_kept) so
+    engine parity is exact.
+
+    Scale: the only wide ops are the line-key hash aggregate (partial
+    map-side combine; key cardinality ~ corpus distinct lines) and the
+    join back on the same key — the standard shape of fleet-scale line
+    dedup. Segmentation is pure codegen (sequence/transform/slice), no
+    Python.
+    """
+    words = _words(F.col("text"))
+    nseg = F.ceil(F.size(words) / F.lit(float(LINE_SEG))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * LINE_SEG + 1, LINE_SEG), " "))
+    doc_lines = (documents
+                 .select("doc_id", F.explode(segs).alias("line")))
+    line_df = (doc_lines.distinct()
+               .groupBy("line")
+               .agg(F.count(F.lit(1)).alias("line_df")))
+    dropped = F.when(F.col("line_df") > LINE_DF_MAX, 1).otherwise(0)
+    return (doc_lines.join(line_df, "line")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_lines"),
+                 F.sum(dropped).cast("long").alias("n_dropped"))
+            .withColumn("n_kept", F.col("n_lines") - F.col("n_dropped"))
+            .orderBy("doc_id"))
+
+
+LINE_DEDUP_ORACLE = rf"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents
+), segs AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(0, CAST(ceil(len(words) / {LINE_SEG}.0) AS INT)),
+             i -> array_to_string(
+                 list_slice(words, i * {LINE_SEG} + 1,
+                            i * {LINE_SEG} + {LINE_SEG}), ' '))) AS line
+  FROM w
+), df AS (
+  SELECT line, count(*) AS line_df
+  FROM (SELECT DISTINCT doc_id, line FROM segs) GROUP BY line
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN d.line_df > {LINE_DF_MAX} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       CAST(count(*) - sum(CASE WHEN d.line_df > {LINE_DF_MAX}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM segs s JOIN df d USING (line)
+GROUP BY s.doc_id ORDER BY s.doc_id
+"""

@@ -208,6 +208,14 @@ def l4g_repetition_filter(spark, sf_dir):
     return repetition_filter(load(spark, sf_dir, "documents"))
 
 
+@register("l4i_line_dedup", oracle=_text.LINE_DEDUP_ORACLE,
+          doc="L4 RefinedWeb/CCNet-style line-level boilerplate dedup "
+              "(pseudo-line DF counts, integer keep/drop per doc)")
+def l4i_line_dedup(spark, sf_dir):
+    from bioio_spark.functions.text import line_dedup
+    return line_dedup(load(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # L8b per-source cap: keep at most K documents per source, deterministic
 # priority (lowest doc_id) — the C4/RefinedWeb-style per-domain cap that
