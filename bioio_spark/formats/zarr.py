@@ -161,13 +161,12 @@ _AXIS_TYPES = {"t": "time", "c": "channel", "z": "space", "y": "space",
                "x": "space"}
 
 
-def build_ngff_attrs(image_name: Optional[str],
+def _ngff_attrs_dict(image_name: Optional[str],
                      channel_names: Optional[Sequence[str]],
                      physical_pixel_sizes=None,
                      n_levels: int = 1,
-                     level_scale: int = 2) -> str:
-    """`.zattrs` for one image group: NGFF 0.4 `multiscales` (TCZYX axes,
-    per-level scale transforms) + `omero.channels` labels."""
+                     level_scale: int = 2,
+                     version: str = "0.4") -> dict:
     pps = physical_pixel_sizes
     base = [1.0, 1.0,
             float(getattr(pps, "Z", None) or 1.0) if pps else 1.0,
@@ -187,7 +186,7 @@ def build_ngff_attrs(image_name: Optional[str],
                 "scale": base[:3] + [base[3] * f, base[4] * f]}],
         })
     attrs: dict = {"multiscales": [{
-        "version": "0.4",
+        "version": version,
         "name": image_name or "",
         "axes": axes,
         "datasets": datasets,
@@ -195,7 +194,78 @@ def build_ngff_attrs(image_name: Optional[str],
     if channel_names is not None:
         attrs["omero"] = {
             "channels": [{"label": str(n)} for n in channel_names]}
-    return json.dumps(attrs)
+    return attrs
+
+
+def build_ngff_attrs(image_name: Optional[str],
+                     channel_names: Optional[Sequence[str]],
+                     physical_pixel_sizes=None,
+                     n_levels: int = 1,
+                     level_scale: int = 2) -> str:
+    """`.zattrs` for one image group: NGFF 0.4 `multiscales` (TCZYX axes,
+    per-level scale transforms) + `omero.channels` labels."""
+    return json.dumps(_ngff_attrs_dict(
+        image_name, channel_names, physical_pixel_sizes,
+        n_levels=n_levels, level_scale=level_scale, version="0.4"))
+
+
+def build_zarr3_group(image_name: Optional[str],
+                      channel_names: Optional[Sequence[str]],
+                      physical_pixel_sizes=None,
+                      n_levels: int = 1,
+                      level_scale: int = 2) -> str:
+    """Group `zarr.json` for NGFF 0.5 over Zarr v3: the same multiscales
+    + omero attributes wrapped under `attributes.ome` (the 0.5 layout
+    parse_ngff_attrs already reads)."""
+    attrs = _ngff_attrs_dict(
+        image_name, channel_names, physical_pixel_sizes,
+        n_levels=n_levels, level_scale=level_scale, version="0.5")
+    return json.dumps({
+        "zarr_format": 3, "node_type": "group",
+        "attributes": {"ome": {"version": "0.5", **attrs}}})
+
+
+def build_zarr3_array(shape: Sequence[int], chunks: Sequence[int],
+                      dtype: str | np.dtype,
+                      compressor: Optional[str] = "zlib",
+                      fill_value=0) -> str:
+    """Array `zarr.json` (Zarr v3): little-endian `bytes` codec plus an
+    optional `gzip` compressor, regular chunk grid, default '/'-separated
+    chunk-key encoding — exactly the chain parse_zarr3_array accepts."""
+    codecs: list = [{"name": "bytes",
+                     "configuration": {"endian": "little"}}]
+    if compressor == "zlib":
+        codecs.append({"name": "gzip", "configuration": {"level": 1}})
+    elif compressor is not None:
+        raise ValueError(f"unsupported compressor {compressor!r}")
+    return json.dumps({
+        "zarr_format": 3, "node_type": "array",
+        "shape": [int(s) for s in shape],
+        "data_type": np.dtype(dtype).name,
+        "chunk_grid": {"name": "regular",
+                       "configuration": {
+                           "chunk_shape": [int(c) for c in chunks]}},
+        "chunk_key_encoding": {"name": "default",
+                               "configuration": {"separator": "/"}},
+        "fill_value": fill_value,
+        "codecs": codecs,
+    })
+
+
+def encode_chunk_v3(block: np.ndarray,
+                    compressor: Optional[str] = "zlib",
+                    level: int = 1) -> bytes:
+    """v3 twin of encode_chunk: little-endian C-order bytes through the
+    v3 gzip codec (a real gzip member, not a raw zlib stream)."""
+    import gzip as _gzip
+
+    le = np.dtype(block.dtype).newbyteorder("<")
+    raw = np.ascontiguousarray(block.astype(le, copy=False)).tobytes()
+    if compressor == "zlib":
+        return _gzip.compress(raw, level)
+    if compressor is None:
+        return raw
+    raise ValueError(f"unsupported compressor {compressor!r}")
 
 
 def parse_ngff_attrs(doc: str) -> dict:

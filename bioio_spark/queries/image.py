@@ -1231,6 +1231,60 @@ def img_ome_zarr_roundtrip(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# NGFF 0.5 / Zarr v3 WRITE roundtrip: the same ramp through the v3 sink
+# (group + array zarr.json, attributes.ome, 'c/'-prefixed '/'-separated
+# chunk keys, bytes+gzip codec chain) and back through the v3 read path.
+# Grouping by (c, x) — different keys than the 0.4 roundtrip — so a
+# v3-specific chunk-key or codec bug moves values between groups.
+# --------------------------------------------------------------------------
+@register(
+    "img_ome_zarr_roundtrip_v3",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {2 * 3 * 5 * 6} AS INTEGER) AS t,
+             CAST((i // {3 * 5 * 6}) % 2 AS INTEGER) AS c,
+             CAST((i // {5 * 6}) % 3 AS INTEGER) AS z,
+             CAST((i // 6) % 5 AS INTEGER) AS y,
+             CAST(i % 6 AS INTEGER) AS x,
+             CAST((i // {2 * 3 * 5 * 6}) * 100000
+                  + ((i // {3 * 5 * 6}) % 2) * 10000
+                  + ((i // {5 * 6}) % 3) * 1000
+                  + ((i // 6) % 5) * 10 + (i % 6) AS DOUBLE) AS value
+      FROM range({2 * 2 * 3 * 5 * 6}) r(i))
+    SELECT c, x, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY c, x ORDER BY c, x
+    """,
+    doc="OME-Zarr v3 (NGFF 0.5) chunked save -> reread roundtrip",
+)
+def img_ome_zarr_roundtrip_v3(spark, sf_dir):
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.sources.zarr_image import ZarrImageReader
+    from bioio_spark.writers import save_ome_zarr
+
+    idx = np.indices(_RTZ_SHAPE)
+    block = (idx[0] * 100000 + idx[1] * 10000 + idx[2] * 1000
+             + idx[3] * 10 + idx[4]).astype(np.uint32)
+    img = BioImage(block, spark=spark)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "zarr_roundtrip_v3")
+    shutil.rmtree(out, ignore_errors=True)
+    save_ome_zarr(img, out, chunks=(1, 1, 2, 3, 4), ngff_version="0.5")
+    back = BioImage(out, reader=ZarrImageReader, spark=spark)
+    return (back.get_image_dataframe()
+            .groupBy("c", "x")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("c", "x"))
+
+
+# --------------------------------------------------------------------------
 # Chunk-pruned windowed Zarr read: the scan lists ONLY the chunk files the
 # window intersects (driver-side catalog arithmetic — the zarr analog of
 # parquet partition pruning), then a codegen row filter trims to exact

@@ -377,9 +377,14 @@ def _default_zarr_chunks(shape) -> tuple:
 
 
 def save_ome_zarr(img, uri: str, select_scenes=None, chunks=None,
-                  compressor: str = "zlib", n_levels: int = 1) -> list:
+                  compressor: str = "zlib", n_levels: int = 1,
+                  ngff_version: str = "0.4") -> list:
     """Distributed OME-Zarr export (the reference's OMEZarrWriter surface,
-    ref README.md:81 — OME-NGFF; this writes NGFF 0.4 over Zarr v2).
+    ref README.md:81 — OME-NGFF). `ngff_version` selects the container:
+    "0.4" writes NGFF 0.4 over Zarr v2 (`.zgroup`/`.zattrs`/`.zarray`,
+    '.'-separated chunk keys); "0.5" writes NGFF 0.5 over Zarr v3
+    (group + array `zarr.json`, `attributes.ome`, 'c/'-prefixed
+    '/'-separated chunk keys, bytes+gzip codec chain).
 
     Unlike the OME-TIFF sink (a sequential container: one scene = one task),
     Zarr is chunk-parallel: the stack frame is bucketed by chunk-grid
@@ -407,9 +412,15 @@ def save_ome_zarr(img, uri: str, select_scenes=None, chunks=None,
     from pyspark.sql import functions as F
 
     from bioio_spark.formats.zarr import (ZGROUP, build_ngff_attrs,
-                                          build_zarray, chunk_key,
-                                          encode_chunk)
+                                          build_zarr3_array,
+                                          build_zarr3_group, build_zarray,
+                                          chunk_key, encode_chunk,
+                                          encode_chunk_v3)
 
+    if ngff_version not in ("0.4", "0.5"):
+        raise ValueError(f"unsupported NGFF version {ngff_version!r}; "
+                         "supported: '0.4' (Zarr v2), '0.5' (Zarr v3)")
+    v3 = ngff_version == "0.5"
     os.makedirs(uri, exist_ok=True)
     scenes = list(img.scenes)
     if select_scenes is not None:
@@ -449,17 +460,30 @@ def save_ome_zarr(img, uri: str, select_scenes=None, chunks=None,
     for idx, m in meta.items():
         root = os.path.join(uri, f"scene_{idx}.zarr")
         os.makedirs(root, exist_ok=True)
-        with open(os.path.join(root, ".zgroup"), "w") as f:
-            f.write(ZGROUP)
-        with open(os.path.join(root, ".zattrs"), "w") as f:
-            f.write(build_ngff_attrs(m["scene"], m["channel_names"],
-                                     m["pps"], n_levels=n_levels))
+        if v3:
+            with open(os.path.join(root, "zarr.json"), "w") as f:
+                f.write(build_zarr3_group(m["scene"], m["channel_names"],
+                                          m["pps"], n_levels=n_levels))
+        else:
+            with open(os.path.join(root, ".zgroup"), "w") as f:
+                f.write(ZGROUP)
+            with open(os.path.join(root, ".zattrs"), "w") as f:
+                f.write(build_ngff_attrs(m["scene"], m["channel_names"],
+                                         m["pps"], n_levels=n_levels))
         for lv in range(n_levels):
             os.makedirs(os.path.join(root, str(lv)), exist_ok=True)
-            with open(os.path.join(root, str(lv), ".zarray"), "w") as f:
-                f.write(build_zarray(_level_shape(m["shape"], lv),
-                                     m["chunks"], m["dtype"],
-                                     compressor=compressor))
+            if v3:
+                with open(os.path.join(root, str(lv), "zarr.json"),
+                          "w") as f:
+                    f.write(build_zarr3_array(
+                        _level_shape(m["shape"], lv), m["chunks"],
+                        m["dtype"], compressor=compressor))
+            else:
+                with open(os.path.join(root, str(lv), ".zarray"),
+                          "w") as f:
+                    f.write(build_zarray(_level_shape(m["shape"], lv),
+                                         m["chunks"], m["dtype"],
+                                         compressor=compressor))
 
     # chunk-grid bucketing: per-scene chunk sizes via a literal map (a few
     # scenes; stays a codegen projection, no extra shuffle beyond the
@@ -504,9 +528,16 @@ def save_ome_zarr(img, uri: str, select_scenes=None, chunks=None,
         if lv > 0 and not np.issubdtype(np.dtype(m["dtype"]), np.floating):
             vals = np.rint(vals)   # block means back to the scene dtype
         block.ravel()[flat] = vals
-        path = os.path.join(uri, f"scene_{idx}.zarr", str(lv),
-                            chunk_key(grid))
-        payload = encode_chunk(block, compressor=compressor)
+        if v3:
+            # v3 "default" chunk-key encoding: c/<i0>/<i1>/... nested dirs
+            path = os.path.join(uri, f"scene_{idx}.zarr", str(lv), "c",
+                                *[str(int(g)) for g in grid])
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            payload = encode_chunk_v3(block, compressor=compressor)
+        else:
+            path = os.path.join(uri, f"scene_{idx}.zarr", str(lv),
+                                chunk_key(grid))
+            payload = encode_chunk(block, compressor=compressor)
         with open(path, "wb") as f:
             f.write(payload)
         return pd.DataFrame({"scene_idx": [idx], "n_bytes": [len(payload)]})

@@ -428,3 +428,44 @@ def test_read_zarr_planes_v3(spark, tmp_path):
     got = np.zeros_like(full)
     got[px["z"], px["y"], px["x"]] = px["value"]
     np.testing.assert_array_equal(got, full)
+
+
+def test_save_ome_zarr_v3_ngff05_roundtrip(spark, tmp_path):
+    """NGFF 0.5 / Zarr v3 WRITE: group + array zarr.json, attributes.ome,
+    'c/'-prefixed '/'-separated chunk keys, bytes+gzip codecs — read back
+    through the v3 source path with pyramid, channels and pixel sizes
+    intact."""
+    from bioio_spark import BioImage
+    from bioio_spark.types import PhysicalPixelSizes
+    from bioio_spark.writers import save_ome_zarr
+
+    rng = np.random.default_rng(43)
+    arr = rng.integers(0, 60000, (2, 2, 3, 5, 6), dtype=np.uint16)
+    img = BioImage(arr, channel_names=["DAPI", "GFP"],
+                   physical_pixel_sizes=PhysicalPixelSizes(2.0, 0.5, 0.5))
+    out = tmp_path / "v3out.ome.zarr"
+    rep = save_ome_zarr(img, str(out), chunks=(1, 1, 2, 3, 4),
+                        ngff_version="0.5", n_levels=2)
+    assert rep[0]["n_chunks"] > 0
+
+    scene = out / "scene_0.zarr"
+    top = json.loads((scene / "zarr.json").read_text())
+    assert top["node_type"] == "group"
+    ome = top["attributes"]["ome"]
+    assert ome["version"] == "0.5"
+    assert [d["path"] for d in ome["multiscales"][0]["datasets"]] == \
+        ["0", "1"]
+    arr_doc = json.loads((scene / "0" / "zarr.json").read_text())
+    assert [c["name"] for c in arr_doc["codecs"]] == ["bytes", "gzip"]
+    assert (scene / "0" / "c" / "0" / "0" / "0" / "0" / "0").exists()
+    assert not (scene / ".zgroup").exists()
+
+    back = BioImage(str(scene), spark=spark)
+    np.testing.assert_array_equal(back.data, arr)
+    assert back.channel_names == ["DAPI", "GFP"]
+    assert back.physical_pixel_sizes == PhysicalPixelSizes(2.0, 0.5, 0.5)
+    back.set_resolution_level(1)
+    assert back.dims["YX"] == (3, 3)
+
+    with pytest.raises(ValueError, match="NGFF version"):
+        save_ome_zarr(img, str(tmp_path / "bad"), ngff_version="0.6")
