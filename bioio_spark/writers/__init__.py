@@ -15,10 +15,48 @@ from typing import Optional
 
 WRITER_REGISTRY: dict[str, object] = {}
 
+#: entry-point group external writer packages advertise (the reference's
+#: ``bioio.writers`` group, ref writers/__init__.py:10-15)
+WRITER_ENTRY_POINT_GROUP = "bioio_spark.writers"
+
 
 def register_writer(name: str, writer) -> None:
     """Entry-point-style registry (ref writers/__init__.py:10-15)."""
     WRITER_REGISTRY[name] = writer
+
+
+def discover_writers(group: str = WRITER_ENTRY_POINT_GROUP) -> list[str]:
+    """Load writers advertised through importlib.metadata entry points of
+    installed distributions — the writer twin of plugins.discover_plugins
+    (same S13 core-version compat filter). Each entry point resolves to a
+    writer object (or a module exposing ``Writer``). Returns the names
+    registered this call; already-registered names are skipped."""
+    from importlib import metadata as _md
+
+    from bioio_spark.plugins import (_core_version_tuple, log,
+                                     plugin_core_requirement)
+
+    core = _core_version_tuple()
+    registered: list[str] = []
+    for ep in _md.entry_points(group=group):
+        dist = getattr(ep, "dist", None)
+        dist_name = getattr(dist, "name", None) or ep.name
+        lo, hi = plugin_core_requirement(dist_name)
+        if core < lo or (hi is not None and core > hi):
+            log.warning(
+                "Writer %s requires bioio-spark in [%s, %s]; running %s "
+                "— skipped", dist_name, lo, hi, core)
+            continue
+        if dist_name in WRITER_REGISTRY:
+            continue
+        try:
+            obj = ep.load()
+        except Exception as exc:
+            log.warning("Writer %s failed to load: %s", dist_name, exc)
+            continue
+        register_writer(dist_name, getattr(obj, "Writer", obj))
+        registered.append(dist_name)
+    return registered
 
 
 def save_parquet(img, uri: str, select_scenes=None) -> None:

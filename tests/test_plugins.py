@@ -225,3 +225,55 @@ def test_entry_point_plugin_priority_vs_builtin(dist_path):
         name="zz-builtin", reader=object, extensions=[".mock.tiff"]))
     order = [e.name for e in P.get_plugins()[".mock.tiff"]]
     assert order == ["bioio-mock-reader", "zz-builtin"]
+
+
+_MOCK_WRITER_MODULE = '''
+class Writer:
+    """Third-party-shaped writer package."""
+
+    @staticmethod
+    def save(data, uri, **kwargs):
+        return ("saved", uri)
+'''
+
+
+def test_writer_entry_point_discovery(dist_path):
+    """The writer twin of reader discovery: an external distribution
+    advertising bioio_spark.writers registers into WRITER_REGISTRY; an
+    incompatible one is version-filtered out."""
+    from bioio_spark import writers as W
+
+    base = dist_path
+    (base / "bioio_mock_writer.py").write_text(_MOCK_WRITER_MODULE)
+    di = base / "bioio_mock_writer-2.0.0.dist-info"
+    di.mkdir()
+    (di / "METADATA").write_text(
+        "Metadata-Version: 2.1\nName: bioio-mock-writer\nVersion: 2.0.0\n"
+        "Requires-Dist: bioio-spark (>=0.1,<2)\n")
+    (di / "entry_points.txt").write_text(
+        f"[{W.WRITER_ENTRY_POINT_GROUP}]\n"
+        "bioio-mock-writer = bioio_mock_writer\n")
+    (di / "RECORD").write_text("")
+
+    (base / "bioio_old_writer.py").write_text(_MOCK_WRITER_MODULE)
+    di2 = base / "bioio_old_writer-0.1.0.dist-info"
+    di2.mkdir()
+    (di2 / "METADATA").write_text(
+        "Metadata-Version: 2.1\nName: bioio-old-writer\nVersion: 0.1.0\n"
+        "Requires-Dist: bioio-spark (<0.0.1)\n")
+    (di2 / "entry_points.txt").write_text(
+        f"[{W.WRITER_ENTRY_POINT_GROUP}]\n"
+        "bioio-old-writer = bioio_old_writer\n")
+    (di2 / "RECORD").write_text("")
+
+    import importlib
+    importlib.invalidate_caches()
+    try:
+        got = W.discover_writers()
+        assert got == ["bioio-mock-writer"]
+        assert "bioio-old-writer" not in W.WRITER_REGISTRY
+        w = W.WRITER_REGISTRY["bioio-mock-writer"]
+        assert w.save(None, "/x")[0] == "saved"
+        assert W.discover_writers() == []     # idempotent
+    finally:
+        W.WRITER_REGISTRY.pop("bioio-mock-writer", None)
