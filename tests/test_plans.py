@@ -308,3 +308,15 @@ def test_l4h_partial_combined_aggregates(spark):
     df = q(spark, "l4h_word_df_score")
     assert has_partial_aggregate(df)
     assert shuffle_count(df) <= 5  # loader + word agg + join + doc agg + sort
+
+
+def test_l4i_line_dedup_broadcast_df_partial_agg(spark):
+    """Line-level dedup: the line-DF table (distinct lines) aggregates
+    with map-side combine and rides a BROADCAST back onto the exploded
+    doc-lines side — the big side is never repartitioned for the join;
+    the per-doc count agg also combines map-side."""
+    df = q(spark, "l4i_line_dedup")
+    assert has_partial_aggregate(df)
+    assert broadcast_join_count(df) >= 1
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan
