@@ -10,8 +10,13 @@ DataFrame plan, so it is lazy, Catalyst-optimized, and oracle-checkable.
 """
 
 from bioio_spark.session import get_session
-from bioio_spark.dimensions import Dimensions, DEFAULT_DIMENSION_ORDER
-from bioio_spark.types import PhysicalPixelSizes, TimeInterval, Scale
+from bioio_spark.dimensions import (Dimensions, DimensionNames,
+                                    DEFAULT_DIMENSION_ORDER)
+from bioio_spark.types import (ArrayLike, DimensionProperties, ImageLike,
+                               MetaArrayLike, PathLike, PhysicalPixelSizes,
+                               Scale, StandardMetadata, TimeInterval)
+from bioio_spark.plugins import plugin_feasibility_report
+from bioio_spark.writers import Writer
 from bioio_spark.bio_image import (BioImage, imread, imread_dask,
                                    imread_df, imread_xarray,
                                    imread_xarray_dask)

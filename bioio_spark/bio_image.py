@@ -699,26 +699,30 @@ class BioImage:
         return out
 
     @property
-    def standard_metadata(self) -> dict:
+    def standard_metadata(self) -> "StandardMetadata":
         """Flat metadata with image sizes overridden from actual dims
-        (ref bio_image.py:1110-1133 `dataclasses.replace` overlay)."""
+        (ref bio_image.py:1110-1133 `dataclasses.replace` overlay).
+        Returns the StandardMetadata dataclass (attribute access like the
+        reference; mapping-style access kept for relational consumers)."""
+        from bioio_spark.types import StandardMetadata
+
         row = self._scene_catalog_row()
         d = self.dims
-        return {
-            "image_id": row["image_id"],
-            "scene": row["scene"],
-            "dtype": row["dtype"],
-            "ome_pixel_type": row.get("ome_pixel_type"),
-            "image_size_t": d.T if "T" in d.order else 1,
-            "image_size_c": d.C if "C" in d.order else 1,
-            "image_size_z": d.Z if "Z" in d.order else 1,
-            "image_size_y": d.Y if "Y" in d.order else 1,
-            "image_size_x": d.X if "X" in d.order else 1,
-            "pixel_size_z": row.get("pps_z"),
-            "pixel_size_y": row.get("pps_y"),
-            "pixel_size_x": row.get("pps_x"),
-            "time_interval": row.get("time_interval"),
-        }
+        return StandardMetadata(
+            image_id=row["image_id"],
+            scene=row["scene"],
+            dtype=row["dtype"],
+            ome_pixel_type=row.get("ome_pixel_type"),
+            image_size_t=d.T if "T" in d.order else 1,
+            image_size_c=d.C if "C" in d.order else 1,
+            image_size_z=d.Z if "Z" in d.order else 1,
+            image_size_y=d.Y if "Y" in d.order else 1,
+            image_size_x=d.X if "X" in d.order else 1,
+            pixel_size_z=row.get("pps_z"),
+            pixel_size_y=row.get("pps_y"),
+            pixel_size_x=row.get("pps_x"),
+            time_interval=row.get("time_interval"),
+        )
 
     # -- sink (S10) --------------------------------------------------------
     def save(self, uri: str, select_scenes=None, **sink_kwargs) -> None:

@@ -32,6 +32,19 @@ SPATIAL_X = "X"
 MOSAIC_TILE = "M"
 SAMPLES = "S"
 
+
+class DimensionNames:
+    """Dimension-name constants (the reference's
+    bioio_base.dimensions.DimensionNames surface, ref __init__.py:8)."""
+
+    Time = TIME
+    Channel = CHANNEL
+    SpatialZ = SPATIAL_Z
+    SpatialY = SPATIAL_Y
+    SpatialX = SPATIAL_X
+    MosaicTile = MOSAIC_TILE
+    Samples = SAMPLES
+
 DEFAULT_DIMENSION_ORDER = "TCZYX"                 # ref bio_image.py:500-546
 DIMENSION_ORDER_WITH_SAMPLES = "TCZYXS"
 DIMENSION_ORDER_WITH_MOSAIC = "MTCZYX"

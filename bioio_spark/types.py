@@ -45,6 +45,54 @@ class Scale:
     X: Optional[float]
 
 
+@dataclass(frozen=True)
+class StandardMetadata:
+    """Flat standardized metadata tier (D2 tier 3; the reference's
+    bioio_base StandardMetadata dataclass — ref bio_image.py:1110-1133
+    overlays image sizes from actual dims via dataclasses.replace; our
+    builder does the same from the catalog + dims). Supports both
+    attribute and mapping-style access so relational consumers can treat
+    it as a row."""
+
+    image_id: Optional[str] = None
+    scene: Optional[str] = None
+    dtype: Optional[str] = None
+    ome_pixel_type: Optional[str] = None
+    image_size_t: Optional[int] = None
+    image_size_c: Optional[int] = None
+    image_size_z: Optional[int] = None
+    image_size_y: Optional[int] = None
+    image_size_x: Optional[int] = None
+    pixel_size_z: Optional[float] = None
+    pixel_size_y: Optional[float] = None
+    pixel_size_x: Optional[float] = None
+    time_interval: Optional[float] = None
+
+    def __getitem__(self, key: str):
+        return getattr(self, key)
+
+    def get(self, key: str, default=None):
+        return getattr(self, key, default)
+
+    def to_dict(self) -> dict:
+        from dataclasses import asdict
+
+        return asdict(self)
+
+
+# type aliases mirroring the reference's top-level exports
+# (ref __init__.py:10-19; bioio_base.types)
+try:
+    import numpy as _np
+
+    ArrayLike = _np.ndarray
+except ImportError:  # pragma: no cover
+    ArrayLike = object
+MetaArrayLike = ArrayLike     # dask/xarray tiers share the ndarray shape
+PathLike = str
+ImageLike = object            # PathLike | ArrayLike | list of either
+
+
 # OME PixelType string <-> numpy dtype name (ref ome_utils.py:85-96).
 OME_TO_NUMPY_DTYPE = {
     "int8": "int8",

@@ -13,6 +13,18 @@ from __future__ import annotations
 
 from typing import Optional
 
+class Writer:
+    """Writer base contract (the reference's bioio_base.writer.Writer
+    surface, ref __init__.py:20): implementations provide a static
+    ``save(data, uri, dim_order=None, **kwargs)``."""
+
+    @staticmethod
+    def save(data, uri: str, dim_order: Optional[str] = None,
+             **kwargs) -> None:
+        raise NotImplementedError(
+            "Writer subclasses must implement save()")
+
+
 WRITER_REGISTRY: dict[str, object] = {}
 
 #: entry-point group external writer packages advertise (the reference's

@@ -288,3 +288,22 @@ def test_mixed_complex_real_scenes_rejected(spark):
         BioImage([np.ones((2, 2), dtype=np.complex64),
                   np.ones((2, 2), dtype=np.float32)],
                  spark=spark).get_image_dataframe()
+
+
+def test_top_level_export_parity():
+    """Every name in the reference's __all__ (ref __init__.py:51-66) is
+    importable from the package top level."""
+    import bioio_spark as b
+
+    for name in ("ArrayLike", "BioImage", "DimensionNames",
+                 "DimensionProperties", "Dimensions", "ImageLike",
+                 "MetaArrayLike", "PathLike", "PhysicalPixelSizes",
+                 "Scale", "StandardMetadata", "TimeInterval", "Writer",
+                 "plugin_feasibility_report"):
+        assert hasattr(b, name), name
+    assert b.DimensionNames.Channel == "C"
+    md = b.StandardMetadata(image_size_t=4, dtype="uint8")
+    assert md.image_size_t == 4 and md["dtype"] == "uint8"
+    assert md.to_dict()["image_size_t"] == 4
+    with pytest.raises(NotImplementedError):
+        b.Writer.save(None, "/x")
