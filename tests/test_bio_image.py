@@ -307,3 +307,17 @@ def test_top_level_export_parity():
     assert md.to_dict()["image_size_t"] == 4
     with pytest.raises(NotImplementedError):
         b.Writer.save(None, "/x")
+
+
+def test_bioimage_with_text_and_missing_file(spark, tmp_path):
+    """ref tests/test_bio_image.py:19-28: a non-image text file and a
+    missing path both raise UnsupportedFileFormatError at construction."""
+    from bioio_spark.bio_image import UnsupportedFileFormatError
+
+    txt = tmp_path / "notes.txt"
+    txt.write_text("hello\n")
+    with pytest.raises(UnsupportedFileFormatError):
+        BioImage(str(txt), spark=spark)
+
+    with pytest.raises(UnsupportedFileFormatError):
+        BioImage(str(tmp_path / "does-not-exist-xyz.bad"), spark=spark)
