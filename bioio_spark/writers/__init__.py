@@ -27,6 +27,11 @@ class Writer:
 
 WRITER_REGISTRY: dict[str, object] = {}
 
+__all__ = ["Writer", "WRITER_REGISTRY", "register_writer",
+           "discover_writers", "save_parquet", "save_ome_tiff",
+           "save_ome_zarr", "read_parquet_image", "OmeTiffWriter",
+           "OmeZarrWriter", "PngWriter", "JpegWriter"]
+
 #: entry-point group external writer packages advertise (the reference's
 #: ``bioio.writers`` group, ref writers/__init__.py:10-15)
 WRITER_ENTRY_POINT_GROUP = "bioio_spark.writers"
@@ -66,7 +71,19 @@ def discover_writers(group: str = WRITER_ENTRY_POINT_GROUP) -> list[str]:
         except Exception as exc:
             log.warning("Writer %s failed to load: %s", dist_name, exc)
             continue
-        register_writer(dist_name, getattr(obj, "Writer", obj))
+        writer = getattr(obj, "Writer", obj)
+        register_writer(dist_name, writer)
+        # the reference also exposes discovered writers as module
+        # attributes (`from bioio.writers import DummyWriter`, ref
+        # tests/test_writer.py:29-36); mirror that when the entry-point
+        # name is a valid identifier
+        if ep.name.isidentifier():
+            import sys as _sys
+
+            mod = _sys.modules[__name__]
+            setattr(mod, ep.name, writer)
+            if ep.name not in __all__:
+                __all__.append(ep.name)
         registered.append(dist_name)
     return registered
 

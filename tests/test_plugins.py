@@ -266,14 +266,34 @@ def test_writer_entry_point_discovery(dist_path):
         "bioio-old-writer = bioio_old_writer\n")
     (di2 / "RECORD").write_text("")
 
+    # identifier-named entry point: exposed as a module attribute like
+    # the reference (`from bioio.writers import DummyWriter`)
+    (base / "bioio_dummy_writer.py").write_text(_MOCK_WRITER_MODULE)
+    di3 = base / "bioio_dummy_writer-1.0.0.dist-info"
+    di3.mkdir()
+    (di3 / "METADATA").write_text(
+        "Metadata-Version: 2.1\nName: bioio-dummy-writer\n"
+        "Version: 1.0.0\nRequires-Dist: bioio-spark (>=0.1,<2)\n")
+    (di3 / "entry_points.txt").write_text(
+        f"[{W.WRITER_ENTRY_POINT_GROUP}]\n"
+        "DummyWriter = bioio_dummy_writer\n")
+    (di3 / "RECORD").write_text("")
+
     import importlib
     importlib.invalidate_caches()
     try:
         got = W.discover_writers()
-        assert got == ["bioio-mock-writer"]
+        assert sorted(got) == ["bioio-dummy-writer", "bioio-mock-writer"]
         assert "bioio-old-writer" not in W.WRITER_REGISTRY
         w = W.WRITER_REGISTRY["bioio-mock-writer"]
         assert w.save(None, "/x")[0] == "saved"
         assert W.discover_writers() == []     # idempotent
+        from bioio_spark.writers import DummyWriter  # module attribute
+        assert DummyWriter.save(None, "/y")[0] == "saved"
+        assert "DummyWriter" in W.__all__
     finally:
         W.WRITER_REGISTRY.pop("bioio-mock-writer", None)
+        W.WRITER_REGISTRY.pop("bioio-dummy-writer", None)
+        W.__all__[:] = [n for n in W.__all__ if n != "DummyWriter"]
+        if hasattr(W, "DummyWriter"):
+            delattr(W, "DummyWriter")
