@@ -279,3 +279,72 @@ def s7_outer_interval_join(spark, sf_dir):
         F.when(F.col("click_id").isNull(), 0).otherwise(1)
         .alias("matched"))
         .orderBy("purchase_id", "click_id"))
+
+
+# --------------------------------------------------------------------------
+# S8: TRUE streaming execution in the correctness gate — the only s*
+# query that actually runs readStream -> mapInPandas decode -> stateful
+# agg -> sink rather than a batch twin. A deterministic acquisition
+# directory (6 single-digit-stem TIFFs, 3 pages of 16x20 uint16 each,
+# closed-form pixel values) is ingested with the live file source; the
+# oracle recomputes the per-scene stats from the value formula, so a bug
+# anywhere in the streaming decode chain breaks the hash.
+# --------------------------------------------------------------------------
+_S8_FILES, _S8_PAGES, _S8_H, _S8_W = 6, 3, 16, 20
+
+
+def _s8_fixture_dir() -> str:
+    import os
+
+    import numpy as np
+
+    from bioio_spark.formats.tiff import encode_tiff
+
+    base = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "stream_ingest_fixture")
+    if os.path.isdir(base) and len(os.listdir(base)) == _S8_FILES:
+        return base
+    os.makedirs(base, exist_ok=True)
+    yy, xx = np.indices((_S8_H, _S8_W))
+    for i in range(_S8_FILES):
+        pages = [(i * 9000 + p * 2500 + yy * _S8_W + xx).astype(np.uint16)
+                 for p in range(_S8_PAGES)]
+        with open(os.path.join(base, f"scan{i}.tif"), "wb") as f:
+            f.write(encode_tiff(pages))
+    return base
+
+
+@register(
+    "s8_stream_ingest_stats",
+    oracle=f"""
+    WITH px AS (
+      SELECT i, CAST(i * 9000 + p * 2500 + y * {_S8_W} + x AS DOUBLE)
+               AS value
+      FROM range({_S8_FILES}) r(i), range({_S8_PAGES}) s(p),
+           range({_S8_H}) t(y), range({_S8_W}) u(x))
+    SELECT 'scan' || i AS scene, count(*) AS n_px,
+           CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY i ORDER BY scene
+    """,
+    doc="S8 true-streaming acquisition ingest: readStream + decode + "
+        "stateful per-scene stats, hash-checked",
+)
+def s8_stream_ingest_stats(spark, sf_dir):
+    import time
+
+    from bioio_spark.streaming import (read_image_stream,
+                                       streaming_decode_pixels,
+                                       streaming_scene_stats)
+
+    stats = streaming_scene_stats(
+        streaming_decode_pixels(read_image_stream(
+            spark, _s8_fixture_dir(), max_files_per_trigger=2)))
+    name = f"s8_ingest_{int(time.time() * 1000) % 1_000_000}"
+    q = (stats.writeStream.format("memory").queryName(name)
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("scene")
