@@ -115,13 +115,14 @@ def main() -> None:
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     acq_dir = _build_acq_dir(os.path.join(repo_dir, ".scratch"))
 
-    # Two timed passes, per-query min: single measurements on a shared
-    # local[32] box swing 2-3x with GC/compilation interference (observed
-    # a12 at 1.5s and 4.1s in back-to-back runs); min-of-2 reports the
-    # query's actual cost rather than the noisiest co-tenancy.
+    # Three timed passes, per-query min: single measurements on a shared
+    # local[32] box swing 2-3x with GC/compilation/ambient-host
+    # interference (observed a12 at 1.5s and 4.1s back-to-back, and whole
+    # runs shifted ~1.3x by host load); min-of-3 reports the query's
+    # actual cost rather than the noisiest co-tenancy.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in bench_queries:
             if name in errors:
                 continue
@@ -137,7 +138,7 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
-        # streaming-ingest micro-bench rides the same min-of-2 protocol
+        # streaming-ingest micro-bench rides the same min-of-N protocol
         try:
             dt = _bench_stream_ingest(spark, acq_dir)
             prev = timings.get("stream_ingest_files")
