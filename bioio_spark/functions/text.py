@@ -409,16 +409,26 @@ def line_dedup(documents: DataFrame) -> DataFrame:
         F.sequence(F.lit(0), nseg - 1),
         lambda i: F.array_join(
             F.slice(words, i * LINE_SEG + 1, LINE_SEG), " "))
-    doc_lines = (documents
-                 .select("doc_id", F.explode(segs).alias("line")))
-    line_df = (doc_lines.distinct()
-               .groupBy("line")
-               .agg(F.count(F.lit(1)).alias("line_df")))
-    dropped = F.when(F.col("line_df") > LINE_DF_MAX, 1).otherwise(0)
-    return (doc_lines.join(line_df, "line")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_lines"),
-                 F.sum(dropped).cast("long").alias("n_dropped"))
+    base = documents.select("doc_id", segs.alias("lines"))
+    doc_lines = base.select("doc_id", F.explode("lines").alias("line"))
+    # only the BOILERPLATE set (lines with df > LINE_DF_MAX) joins back —
+    # its size is bounded by total_lines / LINE_DF_MAX and shrinks as the
+    # threshold grows, so the join side stays small and the optimizer
+    # broadcasts it; n_lines needs no second pass (array size, narrow)
+    boiler = (doc_lines.distinct()
+              .groupBy("line")
+              .agg(F.count(F.lit(1)).alias("line_df"))
+              .filter(F.col("line_df") > LINE_DF_MAX)
+              .select("line"))
+    dropped = (doc_lines.join(boiler, "line")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("dropped")))
+    return (base.select("doc_id",
+                        F.size("lines").cast("long").alias("n_lines"))
+            .join(dropped, "doc_id", "left")
+            .select("doc_id", "n_lines",
+                    F.coalesce(F.col("dropped"), F.lit(0)).cast("long")
+                    .alias("n_dropped"))
             .withColumn("n_kept", F.col("n_lines") - F.col("n_dropped"))
             .orderBy("doc_id"))
 

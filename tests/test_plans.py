@@ -311,10 +311,11 @@ def test_l4h_partial_combined_aggregates(spark):
 
 
 def test_l4i_line_dedup_broadcast_df_partial_agg(spark):
-    """Line-level dedup: the line-DF table (distinct lines) aggregates
-    with map-side combine and rides a BROADCAST back onto the exploded
-    doc-lines side — the big side is never repartitioned for the join;
-    the per-doc count agg also combines map-side."""
+    """Line-level dedup: only the tiny BOILERPLATE line set (df >
+    threshold) joins back onto the exploded doc-lines side, riding a
+    broadcast — the big side is never repartitioned for the join;
+    n_lines comes from the narrow array size (no second explode), and
+    both aggregates combine map-side."""
     df = q(spark, "l4i_line_dedup")
     assert has_partial_aggregate(df)
     assert broadcast_join_count(df) >= 1
