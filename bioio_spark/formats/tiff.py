@@ -625,6 +625,137 @@ def decode_tiff(data: bytes):
     return planes, description
 
 
+def _read_tag_values_fh(f, typ: int, count: int, raw: bytes, bo: str,
+                        big: bool) -> list:
+    """Seek-based twin of _read_tag_values: follows out-of-line value
+    offsets through the file handle instead of a memory buffer."""
+    sizes = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 16: 8}
+    fmt = {1: "B", 3: "H", 4: "I", 16: "Q"}
+    total = sizes.get(typ, 1) * count
+    inline = 8 if big else 4
+    if total > inline:
+        (off,) = struct.unpack(f"{bo}{'Q' if big else 'I'}", raw)
+        pos = f.tell()
+        f.seek(off)
+        buf = f.read(total)
+        f.seek(pos)
+    else:
+        buf = raw[:total]
+    if typ == _TYPE_ASCII:
+        return [buf.rstrip(b"\x00").decode("utf-8", errors="replace")]
+    if typ in fmt:
+        return list(struct.unpack(f"{bo}{count}{fmt[typ]}", buf))
+    if typ == 5:
+        vals = struct.unpack(f"{bo}{2 * count}I", buf)
+        return [vals[i] / vals[i + 1] if vals[i + 1] else float("nan")
+                for i in range(0, len(vals), 2)]
+    return [buf]
+
+
+def iter_tiff_chunks(path: str) -> list[dict]:
+    """Seek-based IFD walk returning the strip/tile layout of every page
+    WITHOUT touching pixel data — the planning input for window-pruned
+    reads (a few KB of IFD reads even on a multi-GB file).
+
+    One dict per page: ``{page, w, h, spp, dtype, comp, pred,
+    description, chunks}`` where each chunk is ``{offset, nbytes, y0,
+    x0, h, w}`` in page coordinates — strips span the full width with
+    their actual row count; tiles carry the stored (full) tile shape,
+    edge trim happens at decode."""
+    out: list[dict] = []
+    with open(path, "rb") as f:
+        head = f.read(16)
+        if head[:2] == b"II":
+            bo = "<"
+        elif head[:2] == b"MM":
+            bo = ">"
+        else:
+            raise ValueError(f"{path}: not a TIFF")
+        version = struct.unpack(f"{bo}H", head[2:4])[0]
+        if version == 42:
+            big = False
+            (ifd_off,) = struct.unpack(f"{bo}I", head[4:8])
+            ent_sz, cnt_fmt, off_fmt, cnt_sz = 12, "H", "I", 2
+        elif version == 43:
+            big = True
+            (ifd_off,) = struct.unpack(f"{bo}Q", head[8:16])
+            ent_sz, cnt_fmt, off_fmt, cnt_sz = 20, "Q", "Q", 8
+        else:
+            raise ValueError(f"{path}: not a TIFF (bad magic {version})")
+        off_sz = 8 if big else 4
+        page = 0
+        description = None
+        while ifd_off:
+            f.seek(ifd_off)
+            (n_entries,) = struct.unpack(f"{bo}{cnt_fmt}", f.read(cnt_sz))
+            table = f.read(ent_sz * n_entries + off_sz)
+            tags: dict = {}
+            for i in range(n_entries):
+                ent = table[ent_sz * i:ent_sz * (i + 1)]
+                tag, typ = struct.unpack(f"{bo}HH", ent[:4])
+                if big:
+                    (count,) = struct.unpack(f"{bo}Q", ent[4:12])
+                    raw = ent[12:20]
+                else:
+                    (count,) = struct.unpack(f"{bo}I", ent[4:8])
+                    raw = ent[8:12]
+                tags[tag] = _read_tag_values_fh(f, typ, count, raw, bo,
+                                                big)
+            (ifd_off,) = struct.unpack(
+                f"{bo}{off_fmt}", table[-off_sz:])
+            w = tags[_IMAGE_WIDTH][0]
+            h = tags[_IMAGE_LENGTH][0]
+            spp = tags.get(_SAMPLES_PER_PIXEL, [1])[0]
+            bits = tags.get(_BITS_PER_SAMPLE, [8])[0]
+            kind = _KIND_OF_SAMPLE_FORMAT[
+                tags.get(_SAMPLE_FORMAT, [1])[0]]
+            if page == 0:
+                desc = tags.get(_IMAGE_DESCRIPTION)
+                description = desc[0] if desc else None
+            chunks = []
+            if _TILE_OFFSETS in tags:
+                tw, th = tags[_TILE_WIDTH][0], tags[_TILE_LENGTH][0]
+                across = -(-w // tw)
+                for ti, (o, c) in enumerate(zip(tags[_TILE_OFFSETS],
+                                                tags[_TILE_BYTE_COUNTS])):
+                    ty, tx = divmod(ti, across)
+                    chunks.append({"offset": o, "nbytes": c,
+                                   "y0": ty * th, "x0": tx * tw,
+                                   "h": th, "w": tw})
+            else:
+                rps = tags.get(_ROWS_PER_STRIP, [h])[0]
+                for si, (o, c) in enumerate(zip(tags[_STRIP_OFFSETS],
+                                                tags[_STRIP_BYTE_COUNTS])):
+                    y0 = si * rps
+                    chunks.append({"offset": o, "nbytes": c,
+                                   "y0": y0, "x0": 0,
+                                   "h": min(rps, h - y0), "w": w})
+            out.append({
+                "page": page, "w": w, "h": h, "spp": spp,
+                "dtype": f"{bo}{kind}{bits // 8}",
+                "comp": tags.get(_COMPRESSION, [1])[0],
+                "pred": tags.get(_PREDICTOR, [1])[0],
+                "tiled": _TILE_OFFSETS in tags,
+                "description": description if page == 0 else None,
+                "chunks": chunks,
+            })
+            page += 1
+    return out
+
+
+def decompress_tiff_chunk(data: bytes, comp: int) -> bytes:
+    """One strip/tile payload -> raw bytes (executor-side decode step)."""
+    import zlib
+
+    if comp in (_COMPRESSION_DEFLATE, _COMPRESSION_DEFLATE_OLD):
+        return zlib.decompress(data)
+    if comp == _COMPRESSION_LZW:
+        return lzw_decode(data)
+    if comp == _COMPRESSION_NONE:
+        return data
+    raise ValueError(f"unsupported TIFF compression {comp}")
+
+
 def read_ome_header(path: str) -> Optional[str]:
     """Read ONLY IFD0's ImageDescription (the OME-XML) from a TIFF file.
 

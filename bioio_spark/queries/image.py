@@ -1285,6 +1285,60 @@ def img_ome_zarr_roundtrip_v3(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Page/strip-pruned windowed TIFF read — the TIFF twin of the Zarr window
+# read: the driver's seek-based IFD walk selects only the pages (t,c,z)
+# and strips/tiles the window intersects, executors fetch just those byte
+# ranges. Window (t=1, z in [1,3), y in [2,5), x full) over the ramp;
+# per-(z,y) aggregation so offset bugs move values between groups.
+# --------------------------------------------------------------------------
+@register(
+    "img_tiff_window_read",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {2 * 3 * 5 * 6} AS INTEGER) AS t,
+             CAST((i // {3 * 5 * 6}) % 2 AS INTEGER) AS c,
+             CAST((i // {5 * 6}) % 3 AS INTEGER) AS z,
+             CAST((i // 6) % 5 AS INTEGER) AS y,
+             CAST(i % 6 AS INTEGER) AS x,
+             CAST((i // {2 * 3 * 5 * 6}) * 100000
+                  + ((i // {3 * 5 * 6}) % 2) * 10000
+                  + ((i // {5 * 6}) % 3) * 1000
+                  + ((i // 6) % 5) * 10 + (i % 6) AS DOUBLE) AS value
+      FROM range({2 * 2 * 3 * 5 * 6}) r(i))
+    SELECT z, y, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val
+    FROM px
+    WHERE t = 1 AND z >= 1 AND z < 3 AND y >= 2 AND y < 5
+    GROUP BY z, y ORDER BY z, y
+    """,
+    doc="Page/strip-pruned windowed TIFF read (seek-based IFD planning)",
+)
+def img_tiff_window_read(spark, sf_dir):
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.sources.tiff_image import read_tiff_window
+    from bioio_spark.writers import save_ome_tiff
+
+    idx = np.indices(_RTZ_SHAPE)
+    block = (idx[0] * 100000 + idx[1] * 10000 + idx[2] * 1000
+             + idx[3] * 10 + idx[4]).astype(np.uint32)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "tiff_window")
+    path = os.path.join(out, "scene_0.ome.tiff")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        save_ome_tiff(BioImage(block, spark=spark), out, compression=5)
+    px = read_tiff_window(spark, path, t=1, z=(1, 3), y=(2, 5))
+    return (px.groupBy("z", "y")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"))
+            .orderBy("z", "y"))
+
+
+# --------------------------------------------------------------------------
 # Chunk-pruned windowed Zarr read: the scan lists ONLY the chunk files the
 # window intersects (driver-side catalog arithmetic — the zarr analog of
 # parquet partition pruning), then a codegen row filter trims to exact

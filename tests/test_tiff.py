@@ -644,3 +644,100 @@ def test_distributed_save_bigtiff(spark, tmp_path):
     assert raw[:4] == b"II\x2b\x00"
     back = BioImage(out, reader=TiffImageReader, spark=spark)
     np.testing.assert_array_equal(back.get_image_data(), a)
+
+
+# -- window-pruned reads (read_tiff_window) --------------------------------
+
+def test_read_tiff_window_page_pruning(spark, tmp_path):
+    """Selectors prune to the exact page set via the seek-based IFD walk;
+    values and coordinates match the source block."""
+    from bioio_spark import BioImage
+    from bioio_spark.formats.tiff import iter_tiff_chunks
+    from bioio_spark.sources.tiff_image import read_tiff_window
+    from bioio_spark.writers import save_ome_tiff
+
+    idx = np.indices((2, 2, 3, 6, 8))
+    block = (idx[0] * 100000 + idx[1] * 10000 + idx[2] * 1000
+             + idx[3] * 10 + idx[4]).astype(np.uint32)
+    img = BioImage(block, spark=spark)
+    out = tmp_path / "w"
+    save_ome_tiff(img, str(out), compression=5)
+    path = str(out / "scene_0.ome.tiff")
+
+    layout = iter_tiff_chunks(path)
+    assert len(layout) == 2 * 2 * 3          # one page per (t, c, z)
+    assert all(len(pg["chunks"]) == 1 for pg in layout)
+
+    pdf = read_tiff_window(spark, path, t=1, z=(1, 3), y=range(2, 5),
+                           x=3).toPandas()
+    want = block[1, :, 1:3, 2:5, 3]
+    assert len(pdf) == want.size
+    got = np.zeros_like(want)
+    got[pdf["c"], pdf["z"] - 1, pdf["y"] - 2] = \
+        pdf["value"].astype(np.uint32)
+    np.testing.assert_array_equal(got, want)
+
+    full = read_tiff_window(spark, path)
+    assert full.count() == block.size
+
+
+def test_read_tiff_window_tile_pruning(spark, tmp_path):
+    """A tiled page prunes in BOTH y and x: only intersecting tiles are
+    fetched (checked via the planner's task count) and edge-tile overhang
+    is trimmed."""
+    import struct
+
+    from bioio_spark.formats.tiff import iter_tiff_chunks
+    from bioio_spark.sources.tiff_image import read_tiff_window
+
+    rng = np.random.default_rng(47)
+    img = rng.integers(0, 255, (10, 7), dtype=np.uint8)
+    th = tw = 4
+    tiles, offs, counts = [], [], []
+    body = b""
+    for ty in range(3):
+        for tx in range(2):
+            blockt = np.zeros((th, tw), dtype=np.uint8)
+            sl = img[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+            blockt[:sl.shape[0], :sl.shape[1]] = sl
+            tiles.append(blockt.tobytes())
+    for t_ in tiles:
+        offs.append(8 + len(body))
+        counts.append(len(t_))
+        body += t_
+
+    def entries(base):
+        import struct as s
+        off_blob_at = 8 + len(body)
+        return [
+            (256, 4, 1, s.pack("<I", 7)),
+            (257, 4, 1, s.pack("<I", 10)),
+            (258, 3, 1, s.pack("<HH", 8, 0)),
+            (259, 3, 1, s.pack("<HH", 1, 0)),
+            (277, 3, 1, s.pack("<HH", 1, 0)),
+            (322, 4, 1, s.pack("<I", tw)),
+            (323, 4, 1, s.pack("<I", th)),
+            (324, 4, 6, s.pack("<I", off_blob_at)),
+            (325, 4, 6, s.pack("<I", off_blob_at + 24)),
+        ]
+
+    blob = struct.pack("<6I", *offs) + struct.pack("<6I", *counts)
+    data = _build_tiff("<", entries, body + blob)
+    p = tmp_path / "tiled.tif"
+    p.write_bytes(data)
+
+    layout = iter_tiff_chunks(str(p))
+    assert layout[0]["tiled"] and len(layout[0]["chunks"]) == 6
+
+    # window (y in [5,9), x in [5,7)) intersects tiles (1,1) and (2,1)
+    pdf = (read_tiff_window(spark, str(p), y=(5, 9), x=(5, 7))
+           .toPandas().sort_values(["y", "x"]))
+    want = img[5:9, 5:7]
+    assert len(pdf) == want.size
+    got = np.zeros_like(want)
+    got[pdf["y"] - 5, pdf["x"] - 5] = pdf["value"].astype(np.uint8)
+    np.testing.assert_array_equal(got, want)
+
+    # no-OME file: pages read as (1, 1, n_pages); whole read matches
+    full = read_tiff_window(spark, str(p)).toPandas()
+    assert len(full) == img.size
