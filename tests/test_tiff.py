@@ -741,3 +741,52 @@ def test_read_tiff_window_tile_pruning(spark, tmp_path):
     # no-OME file: pages read as (1, 1, n_pages); whole read matches
     full = read_tiff_window(spark, str(p)).toPandas()
     assert len(full) == img.size
+
+
+def test_read_tiff_window_big_endian_multistrip(spark, tmp_path):
+    """MM byte order + RowsPerStrip=2 over a 6x3 uint16 page: the window
+    planner prunes to the intersecting strips only, and the big-endian
+    strip bytes decode to native values."""
+    import struct
+
+    from bioio_spark.formats.tiff import iter_tiff_chunks
+    from bioio_spark.sources.tiff_image import read_tiff_window
+
+    img = (np.arange(18).reshape(6, 3) * 1000).astype(">u2")
+    strips = [img[0:2].tobytes(), img[2:4].tobytes(), img[4:6].tobytes()]
+    body = b"".join(strips)
+    offs = [8, 8 + len(strips[0]), 8 + len(strips[0]) + len(strips[1])]
+
+    def entries(base):
+        import struct as s
+        blob_at = 8 + len(body)
+        return [
+            (256, 4, 1, s.pack(">I", 3)),
+            (257, 4, 1, s.pack(">I", 6)),
+            (258, 3, 1, s.pack(">HH", 16, 0)),
+            (259, 3, 1, s.pack(">HH", 1, 0)),
+            (273, 4, 3, s.pack(">I", blob_at)),        # StripOffsets
+            (277, 3, 1, s.pack(">HH", 1, 0)),
+            (278, 4, 1, s.pack(">I", 2)),              # RowsPerStrip
+            (279, 4, 3, s.pack(">I", blob_at + 12)),   # ByteCounts
+        ]
+
+    blob = struct.pack(">3I", *offs) + struct.pack(
+        ">3I", *[len(s_) for s_ in strips])
+    data = _build_tiff(">", entries, body + blob)
+    p = tmp_path / "mm.tif"
+    p.write_bytes(data)
+
+    layout = iter_tiff_chunks(str(p))
+    assert len(layout[0]["chunks"]) == 3
+    assert layout[0]["chunks"][1] == {
+        "offset": offs[1], "nbytes": len(strips[1]),
+        "y0": 2, "x0": 0, "h": 2, "w": 3}
+
+    # y in [3,5) intersects strips 1 and 2 only
+    pdf = read_tiff_window(spark, str(p), y=(3, 5)).toPandas()
+    want = img.astype("=u2")[3:5]
+    assert len(pdf) == want.size
+    got = np.zeros_like(want)
+    got[pdf["y"] - 3, pdf["x"]] = pdf["value"].astype(np.uint16)
+    np.testing.assert_array_equal(got, want)
