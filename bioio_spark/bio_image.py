@@ -286,6 +286,55 @@ class BioImage:
         plan, _ = apply_selectors(px, dims, order, selectors)
         return plan
 
+    def read_window(self, t=None, c=None, z=None, y=None,
+                    x=None) -> DataFrame:
+        """Source-pruned window read: when the current scene is backed by
+        a single TIFF file or Zarr store, the selectors push down to the
+        SOURCE — only intersecting pages/strips/tiles (TIFF) or chunk
+        files (Zarr) are read, the Spark analog of the reference's lazy
+        dask slicing actually skipping chunks (ref bio_image.py:764-839).
+        Other sources (arrays, parquet, directories) fall back to a
+        Catalyst filter over the standardized pixel frame — same result,
+        scan-level pruning only where the format supports it. Returns the
+        long-form ``(t, c, z, y, x, value)`` frame for the window."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        reader = self._reader
+        path = getattr(reader, "_path", None)
+        if isinstance(path, str):
+            from bioio_spark.sources.tiff_image import (TiffImageReader,
+                                                        read_tiff_window)
+            from bioio_spark.sources.zarr_image import (ZarrImageReader,
+                                                        read_zarr_window)
+
+            if isinstance(reader, TiffImageReader) and os.path.isfile(
+                    path) and len(self.scenes) == 1:
+                return read_tiff_window(self._spark, path,
+                                        t=t, c=c, z=z, y=y, x=x)
+            if isinstance(reader, ZarrImageReader) and len(
+                    self.scenes) == 1 and any(
+                    os.path.exists(os.path.join(path, f))
+                    for f in ("zarr.json", ".zgroup", ".zarray")):
+                return read_zarr_window(
+                    self._spark, path, t=t, c=c, z=z, y=y, x=x,
+                    level=self._current_resolution_level).select(
+                    "t", "c", "z", "y", "x", "value")
+
+        from bioio_spark.sources.zarr_image import _norm_window
+
+        px, dims = self._standard_pixels()
+        cond = F.lit(True)
+        for name, sel in (("t", t), ("c", c), ("z", z), ("y", y),
+                          ("x", x)):
+            if sel is None:
+                continue
+            size = dims[name.upper()][0]
+            lo, hi = _norm_window(sel, size)
+            cond = cond & (F.col(name) >= lo) & (F.col(name) < hi)
+        return px.filter(cond).select("t", "c", "z", "y", "x", "value")
+
     def get_image_data(self, dimension_order_out: Optional[str] = None,
                        **selectors) -> np.ndarray:
         """Eager ndarray (analog of get_image_data, ref bio_image.py:841-917).

@@ -321,3 +321,33 @@ def test_bioimage_with_text_and_missing_file(spark, tmp_path):
 
     with pytest.raises(UnsupportedFileFormatError):
         BioImage(str(tmp_path / "does-not-exist-xyz.bad"), spark=spark)
+
+
+def test_read_window_source_pushdown_and_fallback(spark, tmp_path):
+    """BioImage.read_window routes to the source-pruned readers for
+    single TIFF files / Zarr stores and falls back to a Catalyst filter
+    elsewhere — all three paths return identical windows."""
+    from bioio_spark.writers import save_ome_tiff, save_ome_zarr
+
+    idx = np.indices((2, 2, 3, 6, 8))
+    block = (idx[0] * 100000 + idx[1] * 10000 + idx[2] * 1000
+             + idx[3] * 10 + idx[4]).astype(np.uint32)
+    src = BioImage(block, spark=spark)
+    tdir = tmp_path / "t"
+    save_ome_tiff(src, str(tdir), compression=5)
+    zdir = tmp_path / "z"
+    save_ome_zarr(src, str(zdir), chunks=(1, 1, 2, 3, 4))
+
+    def rows(df):
+        return sorted(map(tuple, df.select(
+            "t", "c", "z", "y", "x", "value").collect()))
+
+    win = dict(t=1, z=(1, 3), y=range(2, 5))
+    want = rows(BioImage(block, spark=spark).read_window(**win))
+    assert len(want) == 2 * 2 * 3 * 8
+
+    tiff_img = BioImage(str(tdir / "scene_0.ome.tiff"), spark=spark)
+    assert rows(tiff_img.read_window(**win)) == want
+
+    zarr_img = BioImage(str(zdir / "scene_0.zarr"), spark=spark)
+    assert rows(zarr_img.read_window(**win)) == want
