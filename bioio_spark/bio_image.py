@@ -773,6 +773,18 @@ class BioImage:
             time_interval=row.get("time_interval"),
         )
 
+    @staticmethod
+    def determine_plugin(image, fs_kwargs: Optional[dict] = None,
+                         use_plugin_cache: bool = False):
+        """The PluginEntry that would read `image`
+        (ref bio_image.py:158-262): array-likes return the built-in
+        ArrayLike entry, paths probe candidates in registry priority
+        order, no match raises UnsupportedFileFormatError."""
+        from bioio_spark.plugins import determine_plugin
+
+        return determine_plugin(image, fs_kwargs=fs_kwargs,
+                                use_plugin_cache=use_plugin_cache)
+
     # -- sink (S10) --------------------------------------------------------
     def save(self, uri: str, select_scenes=None, **sink_kwargs) -> None:
         """Sink routing by suffix (ref bio_image.py:1229-1301 saves

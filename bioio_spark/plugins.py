@@ -215,6 +215,47 @@ def _determine_reader_once(image, readers: Optional[list] = None,
         f"Unsupported image type: {type(image)!r}")
 
 
+def get_array_like_plugin() -> PluginEntry:
+    """PluginEntry wrapping the built-in ArrayLike reader
+    (ref plugins.py:100-110)."""
+    from bioio_spark.sources.array_like import ArrayLikeReader
+
+    return PluginEntry(
+        name="ArrayLikeReader", reader=ArrayLikeReader, extensions=[],
+        is_supported_image=lambda image: isinstance(
+            image, (np.ndarray, list, tuple)))
+
+
+def determine_plugin(image, fs_kwargs: Optional[dict] = None,
+                     use_plugin_cache: bool = False) -> PluginEntry:
+    """The PluginEntry (not just the reader class) that would read
+    `image` — ref bio_image.py:158-262 `BioImage.determine_plugin`.
+    Array-likes return the built-in ArrayLike entry; paths probe
+    candidates in registry priority order; no match raises
+    UnsupportedFileFormatError."""
+    from bioio_spark.bio_image import UnsupportedFileFormatError
+
+    if isinstance(image, (np.ndarray, list, tuple)):
+        return get_array_like_plugin()
+    if isinstance(image, str):
+        for ext, entries in get_plugins(use_cache=use_plugin_cache).items():
+            if not path_has_extension(image, ext):
+                continue
+            for entry in entries:
+                try:
+                    if _probe(entry, image, fs_kwargs):
+                        return entry
+                except FileNotFoundError:
+                    raise
+                except Exception as exc:
+                    log.warning("Plugin %s probe failed on %s: %s",
+                                entry.name, image, exc)
+        raise UnsupportedFileFormatError(
+            f"No plugin supports image: {image!r}")
+    raise UnsupportedFileFormatError(
+        f"Unsupported image type: {type(image)!r}")
+
+
 @dataclass
 class PluginSupport:
     supported: bool

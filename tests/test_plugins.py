@@ -297,3 +297,21 @@ def test_writer_entry_point_discovery(dist_path):
         W.__all__[:] = [n for n in W.__all__ if n != "DummyWriter"]
         if hasattr(W, "DummyWriter"):
             delattr(W, "DummyWriter")
+
+
+def test_determine_plugin_returns_entry():
+    """ref bio_image.py:158-262: determine_plugin returns the ENTRY (not
+    just the reader class); arrays get the built-in ArrayLike entry."""
+    from bioio_spark.bio_image import BioImage
+
+    P.register_plugin(_entry("tiffy", [".tif"]))
+    e = BioImage.determine_plugin("img.tif")
+    assert e.name == "tiffy" and e.reader is ArrayLikeReader
+
+    arr_entry = BioImage.determine_plugin(np.zeros((2, 2)))
+    assert arr_entry.name == "ArrayLikeReader"
+
+    with pytest.raises(UnsupportedFileFormatError):
+        BioImage.determine_plugin("nope.unknown")
+    with pytest.raises(UnsupportedFileFormatError):
+        BioImage.determine_plugin(12345)
