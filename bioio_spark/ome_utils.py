@@ -48,3 +48,9 @@ def resolve_channel_names(
     if size_c is None:
         return []
     return [generate_ome_channel_id(scene_index, c) for c in range(size_c)]
+
+
+# re-exported here for reference-parity (ref ome_utils.py:101-137 defines
+# the dtype<->OME map in this module; ours lives in types.py)
+from bioio_spark.types import (dtype_to_ome_type,  # noqa: E402,F401
+                               ome_to_numpy_dtype)

@@ -402,3 +402,15 @@ def parse_version_range(requirement: str) -> tuple[tuple, Optional[tuple]]:
         elif clause.startswith("=="):
             lo = hi = pad(clause[2:])
     return lo, hi
+
+
+def get_dependency_version_range_for_distribution(
+        distribution_name: str,
+        dependency_name: str = CORE_DIST_NAME) -> tuple:
+    """(min, max) version strings a distribution declares for a
+    dependency (ref plugins.py:113-164 signature); None = unbounded.
+    The tuple form used internally comes from plugin_core_requirement."""
+    lo, hi = plugin_core_requirement(distribution_name)
+    lo_s = ".".join(map(str, lo)) if lo != (0, 0, 0) else None
+    hi_s = ".".join(map(str, hi)) if hi is not None else None
+    return lo_s, hi_s
