@@ -74,17 +74,39 @@ def _register_builtin_plugins() -> None:
 
 _register_builtin_plugins()
 
+# External packages advertising the bioio_spark.readers / .writers
+# entry-point groups register at import, like the reference's
+# entry-point enumeration (ref plugins.py:230-300). A failure in a
+# third-party dist must not break the core import.
+try:
+    from bioio_spark.plugins import discover_plugins as _dp
+    from bioio_spark.writers import discover_writers as _dw
+
+    _dp()
+    _dw()
+except Exception:  # pragma: no cover - defensive
+    pass
+
 __all__ = [
     "get_session",
-    "Dimensions",
-    "DEFAULT_DIMENSION_ORDER",
-    "PhysicalPixelSizes",
-    "TimeInterval",
-    "Scale",
+    "ArrayLike",
     "BioImage",
+    "DEFAULT_DIMENSION_ORDER",
+    "DimensionNames",
+    "DimensionProperties",
+    "Dimensions",
+    "ImageLike",
+    "MetaArrayLike",
+    "PathLike",
+    "PhysicalPixelSizes",
+    "Scale",
+    "StandardMetadata",
+    "TimeInterval",
+    "Writer",
     "imread",
     "imread_dask",
     "imread_df",
     "imread_xarray",
     "imread_xarray_dask",
+    "plugin_feasibility_report",
 ]
