@@ -21,6 +21,7 @@ no per-pixel Python.
 
 from __future__ import annotations
 
+import re
 import struct
 from typing import Optional, Sequence
 from xml.sax.saxutils import escape
@@ -78,7 +79,8 @@ def build_ome_xml(size_t: int, size_c: int, size_z: int, size_y: int,
                   physical_pixel_sizes=None, size_s: int = 1,
                   physical_size_units: Optional[str] = None,
                   planes: bool = False,
-                  acquisition_date: Optional[str] = None) -> str:
+                  acquisition_date: Optional[str] = None,
+                  first_ifd: int = 0) -> str:
     """Minimal OME-XML (2016-06 schema) for one Image/Pixels block.
 
     Plane order in the companion TIFF is XYZCT (Z fastest among pages:
@@ -113,7 +115,7 @@ def build_ome_xml(size_t: int, size_c: int, size_z: int, size_y: int,
             f'<Channel ID="{cid}" Name="{name}" '
             f'SamplesPerPixel="{size_s}"/>')
     tiffdata, plane_els = [], []
-    ifd = 0
+    ifd = first_ifd      # multi-scene files offset each scene's pages
     for t in range(size_t):
         for c in range(size_c):
             for z in range(size_z):
@@ -372,6 +374,67 @@ def encode_ome_tiff(block: np.ndarray, image_id: str = "Image:0",
               for t in range(t_n) for c in range(c_n) for z in range(z_n)]
     return encode_tiff(planes, description=ome, compression=compression,
                        bigtiff=bigtiff)
+
+
+def encode_multiscene_ome_tiff(blocks: Sequence[np.ndarray],
+                               image_ids: Optional[Sequence[str]] = None,
+                               image_names: Optional[Sequence] = None,
+                               channel_names: Optional[Sequence] = None,
+                               physical_pixel_sizes=None,
+                               compression: int = _COMPRESSION_NONE,
+                               bigtiff: bool = False) -> bytes:
+    """Encode several TCZYX(S) scene blocks into ONE OME-TIFF: the OME
+    document carries one <Image> element per scene with TiffData IFD
+    indices offset so each scene's pages map to its slice of the page
+    sequence — the multi-scene single-file layout the reference's
+    ecosystem readers expose through `scenes`/`set_scene`
+    (ref bio_image.py:433-498). All scenes must share one dtype (one
+    SampleFormat per page sequence is a codec constraint, not OME's)."""
+    arrs = [np.asarray(b) for b in blocks]
+    if not arrs:
+        raise ValueError("encode_multiscene_ome_tiff requires >= 1 scene")
+    if any(a.ndim not in (5, 6) for a in arrs):
+        raise ValueError("scene blocks must be 5D TCZYX or 6D TCZYXS")
+    if len({a.dtype for a in arrs}) != 1:
+        raise ValueError("all scenes must share one dtype")
+    from bioio_spark.ome_utils import generate_ome_image_id
+
+    image_els, pages = [], []
+    first_ifd = 0
+    for i, a in enumerate(arrs):
+        t_n, c_n, z_n = a.shape[:3]
+        s_n = a.shape[5] if a.ndim == 6 else 1
+        doc = build_ome_xml(
+            t_n, c_n, z_n, a.shape[3], a.shape[4],
+            NUMPY_DTYPE_TO_OME[a.dtype.name],
+            image_id=(image_ids[i] if image_ids
+                      else generate_ome_image_id(i)),
+            image_name=image_names[i] if image_names else None,
+            channel_names=channel_names[i] if channel_names else None,
+            physical_pixel_sizes=physical_pixel_sizes, size_s=s_n,
+            first_ifd=first_ifd)
+        m = re.search(r"<Image\b.*</Image>", doc, re.S)
+        image_els.append(m.group(0))
+        pages += [a[t, c, z] for t in range(t_n)
+                  for c in range(c_n) for z in range(z_n)]
+        first_ifd += t_n * c_n * z_n
+    ome = ('<?xml version="1.0" encoding="UTF-8"?>'
+           '<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/'
+           '2016-06">' + "".join(image_els) + "</OME>")
+    return encode_tiff(pages, description=ome, compression=compression,
+                       bigtiff=bigtiff)
+
+
+def parse_ome_xml_scenes(ome_xml: str) -> list:
+    """Per-scene catalog facts from a (possibly multi-Image) OME-XML
+    document: one parse_ome_xml-shaped dict per <Image> element, in
+    document order — the page sequence assigns each scene the next
+    size_t*size_c*size_z pages."""
+    starts = [m.start() for m in re.finditer(r"<Image\b", ome_xml)]
+    if len(starts) <= 1:
+        return [parse_ome_xml(ome_xml)]
+    segs = [ome_xml[s:e] for s, e in zip(starts, starts[1:] + [len(ome_xml)])]
+    return [parse_ome_xml(seg) for seg in segs]
 
 
 def _read_tag_values(data: bytes, typ: int, count: int,

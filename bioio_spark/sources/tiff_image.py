@@ -84,7 +84,8 @@ class TiffImageReader:
         self._pps = physical_pixel_sizes
 
     def to_dataset(self, spark: SparkSession):
-        from bioio_spark.formats.tiff import parse_ome_xml, read_ome_header
+        from bioio_spark.formats.tiff import (parse_ome_xml_scenes,
+                                              read_ome_header)
         from bioio_spark.ome_utils import resolve_channel_names
         from bioio_spark.sources.array_like import (PIXEL_COLUMNS,
                                                     ImageDataset)
@@ -95,47 +96,57 @@ class TiffImageReader:
             raise FileNotFoundError(f"No TIFF files under {self._path}")
 
         scene_rows, channel_rows = [], []
-        path_to_scene: dict[str, str] = {}
+        # path -> ordered scene-name list; a file with several <Image>
+        # elements (multi-scene single-file OME-TIFF, ref bio_image.py:
+        # 433-498 scene model) contributes one entry per Image, pages
+        # assigned sequentially
+        path_to_scene: dict[str, list] = {}
         seen_scenes: set[str] = set()
-        for si, p in enumerate(sorted(paths)):
+        si = 0
+        for p in sorted(paths):
             xml = read_ome_header(p)
             if xml is None:
                 raise ValueError(f"{p}: no OME-XML ImageDescription")
-            h = parse_ome_xml(xml)
-            scene = h["image_id"] or f"Image:{si}"
-            # save_ome_tiff (and most writers) embed image_id "Image:0" in
-            # every standalone file, so a directory of individually-saved
-            # TIFFs would collide into one scene and silently merge pixel
-            # rows; fall back to the positional id on duplicates.
-            if scene in seen_scenes:
-                scene = f"Image:{si}"
-                if scene in seen_scenes:  # positional id also embedded
-                    scene = f"Image:{si}@{si}"
-            seen_scenes.add(scene)
-            path_to_scene[os.path.abspath(p)] = scene
-            names = resolve_channel_names(
-                self._channel_names or h["channel_names"], h["size_c"], si)
-            for ci, nm in enumerate(names):
-                channel_rows.append({
+            file_scene_names: list[str] = []
+            for h in parse_ome_xml_scenes(xml):
+                scene = h["image_id"] or f"Image:{si}"
+                # save_ome_tiff (and most writers) embed image_id
+                # "Image:0" in every standalone file, so a directory of
+                # individually-saved TIFFs would collide into one scene
+                # and silently merge pixel rows; fall back to the
+                # positional id on duplicates.
+                if scene in seen_scenes:
+                    scene = f"Image:{si}"
+                    if scene in seen_scenes:  # positional id also embedded
+                        scene = f"Image:{si}@{si}"
+                seen_scenes.add(scene)
+                file_scene_names.append(scene)
+                names = resolve_channel_names(
+                    self._channel_names or h["channel_names"],
+                    h["size_c"], si)
+                for ci, nm in enumerate(names):
+                    channel_rows.append({
+                        "image_id": self._image_id, "scene": scene,
+                        "c": ci, "channel_name": nm})
+                pps = self._pps
+                size_s = h.get("size_s") or 1
+                scene_rows.append({
                     "image_id": self._image_id, "scene": scene,
-                    "c": ci, "channel_name": nm})
-            pps = self._pps
-            size_s = h.get("size_s") or 1
-            scene_rows.append({
-                "image_id": self._image_id, "scene": scene,
-                "scene_idx": si,
-                "dim_order": "TCZYXS" if size_s > 1 else "TCZYX",
-                "size_t": h["size_t"], "size_c": h["size_c"],
-                "size_z": h["size_z"], "size_y": h["size_y"],
-                "size_x": h["size_x"], "size_m": None,
-                "size_s": size_s if size_s > 1 else None,
-                "dtype": OME_TO_NUMPY_DTYPE[h["pixel_type"]],
-                "ome_pixel_type": h["pixel_type"],
-                "pps_z": pps.Z if pps else h["pps_z"],
-                "pps_y": pps.Y if pps else h["pps_y"],
-                "pps_x": pps.X if pps else h["pps_x"],
-                "time_interval": None, "metadata": xml,
-            })
+                    "scene_idx": si,
+                    "dim_order": "TCZYXS" if size_s > 1 else "TCZYX",
+                    "size_t": h["size_t"], "size_c": h["size_c"],
+                    "size_z": h["size_z"], "size_y": h["size_y"],
+                    "size_x": h["size_x"], "size_m": None,
+                    "size_s": size_s if size_s > 1 else None,
+                    "dtype": OME_TO_NUMPY_DTYPE[h["pixel_type"]],
+                    "ome_pixel_type": h["pixel_type"],
+                    "pps_z": pps.Z if pps else h["pps_z"],
+                    "pps_y": pps.Y if pps else h["pps_y"],
+                    "pps_x": pps.X if pps else h["pps_x"],
+                    "time_interval": None, "metadata": xml,
+                })
+                si += 1
+            path_to_scene[os.path.abspath(p)] = file_scene_names
 
         px = decode_tiff_files(
             spark, paths, path_to_scene).select(
@@ -153,17 +164,22 @@ def decode_tiff_files(spark: SparkSession, paths: list[str],
     """binaryFile scan + mapInPandas page decode to long-form pixel rows.
 
     Emits one pandas frame per TIFF page (plane), so executor memory is
-    bounded by one YX raster regardless of how many pages a file has."""
+    bounded by one YX raster regardless of how many pages a file has.
+    A file whose OME-XML declares several <Image> elements yields one
+    scene per element, pages assigned sequentially; `path_to_scene`
+    values may be a single name or an ordered per-Image name list."""
     scene_of = dict(path_to_scene or {})
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from bioio_spark.formats.tiff import decode_tiff, parse_ome_xml
+        from bioio_spark.formats.tiff import (decode_tiff,
+                                              parse_ome_xml_scenes)
 
         for pdf in it:
             for path, content in zip(pdf["path"], pdf["content"]):
                 local = local_path(path)
                 planes, xml = decode_tiff(bytes(content))
-                h = parse_ome_xml(xml) if xml else {}
+                metas = parse_ome_xml_scenes(xml) if xml else [{}]
+                names = None
                 if scene_of:
                     if local not in scene_of:
                         # the catalog mapped every path; a miss means the
@@ -173,34 +189,46 @@ def decode_tiff_files(spark: SparkSession, paths: list[str],
                             f"decode_tiff_files: {path!r} (local {local!r}) "
                             f"not in the catalog scene map "
                             f"({sorted(scene_of)[:3]}...)")
-                    scene = scene_of[local]
-                else:
-                    scene = (h.get("image_id") if h else None) or "Image:0"
-                c_n = h.get("size_c") or 1
-                z_n = h.get("size_z") or 1
-                for i, plane in enumerate(planes):
-                    t, rem = divmod(i, c_n * z_n)
-                    c, z = divmod(rem, z_n)
-                    y_n, x_n = plane.shape[0], plane.shape[1]
-                    s_n = plane.shape[2] if plane.ndim == 3 else 1
-                    # s = -1 marks "no sample dim" (grayscale pages), the
-                    # catalog convention for absent dims
-                    s_col = (np.full(plane.size, -1, dtype=np.int32)
-                             if s_n == 1 else
-                             np.tile(np.arange(s_n, dtype=np.int32),
-                                     y_n * x_n))
-                    yield pd.DataFrame({
-                        "scene": scene,
-                        "t": np.full(plane.size, t, dtype=np.int32),
-                        "c": np.full(plane.size, c, dtype=np.int32),
-                        "z": np.full(plane.size, z, dtype=np.int32),
-                        "y": np.repeat(
-                            np.arange(y_n, dtype=np.int32), x_n * s_n),
-                        "x": np.tile(np.repeat(
-                            np.arange(x_n, dtype=np.int32), s_n), y_n),
-                        "s": s_col,
-                        "value": plane.ravel().astype(np.float64),
-                    })
+                    v = scene_of[local]
+                    names = [v] if isinstance(v, str) else list(v)
+                    if len(names) != len(metas):
+                        raise ValueError(
+                            f"{path}: catalog maps {len(names)} scenes "
+                            f"but the OME-XML declares {len(metas)}")
+                page0 = 0
+                for k, h in enumerate(metas):
+                    c_n = h.get("size_c") or 1
+                    z_n = h.get("size_z") or 1
+                    n_k = ((h.get("size_t") or 0) * c_n * z_n
+                           or len(planes) - page0)
+                    scene = (names[k] if names
+                             else (h.get("image_id") or f"Image:{k}"))
+                    for i, plane in enumerate(planes[page0:page0 + n_k]):
+                        t, rem = divmod(i, c_n * z_n)
+                        c, z = divmod(rem, z_n)
+                        y_n, x_n = plane.shape[0], plane.shape[1]
+                        s_n = plane.shape[2] if plane.ndim == 3 else 1
+                        # s = -1 marks "no sample dim" (grayscale pages),
+                        # the catalog convention for absent dims
+                        s_col = (np.full(plane.size, -1, dtype=np.int32)
+                                 if s_n == 1 else
+                                 np.tile(np.arange(s_n, dtype=np.int32),
+                                         y_n * x_n))
+                        yield pd.DataFrame({
+                            "scene": scene,
+                            "t": np.full(plane.size, t, dtype=np.int32),
+                            "c": np.full(plane.size, c, dtype=np.int32),
+                            "z": np.full(plane.size, z, dtype=np.int32),
+                            "y": np.repeat(
+                                np.arange(y_n, dtype=np.int32),
+                                x_n * s_n),
+                            "x": np.tile(np.repeat(
+                                np.arange(x_n, dtype=np.int32), s_n),
+                                y_n),
+                            "s": s_col,
+                            "value": plane.ravel().astype(np.float64),
+                        })
+                    page0 += n_k
 
     binary = (spark.read.format("binaryFile")
               .option("pathGlobFilter", "*.tif*")
@@ -240,7 +268,14 @@ def read_tiff_window(spark: SparkSession, path: str,
         raise ValueError("read_tiff_window supports single-sample pages")
     desc = pages[0]["description"]
     if desc and "<OME" in desc:
-        h = parse_ome_xml(desc)
+        from bioio_spark.formats.tiff import parse_ome_xml_scenes
+
+        metas = parse_ome_xml_scenes(desc)
+        if len(metas) > 1:
+            raise ValueError(
+                "read_tiff_window reads single-scene files; route "
+                "multi-scene files through BioImage/set_scene")
+        h = metas[0]
         size_t, size_c, size_z = h["size_t"], h["size_c"], h["size_z"]
     else:
         size_t, size_c, size_z = 1, 1, len(pages)

@@ -29,7 +29,8 @@ WRITER_REGISTRY: dict[str, object] = {}
 
 __all__ = ["Writer", "WRITER_REGISTRY", "register_writer",
            "discover_writers", "save_parquet", "save_ome_tiff",
-           "save_ome_zarr", "read_parquet_image", "OmeTiffWriter",
+           "save_ome_tiff_single_file", "save_ome_zarr",
+           "read_parquet_image", "OmeTiffWriter",
            "OmeZarrWriter", "PngWriter", "JpegWriter"]
 
 #: entry-point group external writer packages advertise (the reference's
@@ -433,6 +434,57 @@ def save_ome_tiff(img, uri: str, select_scenes=None,
                              "n_pages int, n_bytes long")
               .orderBy("scene_idx"))
     return report.collect()
+
+
+def save_ome_tiff_single_file(img, uri: str, select_scenes=None,
+                              compression: int = 1,
+                              bigtiff: bool = False) -> dict:
+    """All selected scenes into ONE multi-Image OME-TIFF (the in-file
+    scene layout TiffImageReader and the reference's scene model read
+    back, ref bio_image.py:433-498). OME-TIFF is a sequential container,
+    so the whole file is one encode task holding every scene's block —
+    the same memory shape as the reference's writer; use the per-scene
+    directory sink (save_ome_tiff) or the chunk-parallel Zarr sink when
+    scenes don't fit one task."""
+    import os
+
+    import numpy as np
+
+    from bioio_spark.formats.tiff import encode_multiscene_ome_tiff
+    from bioio_spark.ome_utils import generate_ome_image_id
+
+    scenes = list(img.scenes)
+    if select_scenes is not None:
+        sel = [s if isinstance(s, str) else scenes[s] for s in select_scenes]
+        scenes = [s for s in scenes if s in sel]
+
+    blocks, ids, names, chans = [], [], [], []
+    current = img.current_scene_index
+    try:
+        for i, s in enumerate(scenes):
+            img.set_scene(s)
+            if "S" in img.dims.order:
+                raise ValueError("single-file export is TCZYX-only; "
+                                 "save S-dim scenes per-scene")
+            blocks.append(np.asarray(img.data))
+            ids.append(generate_ome_image_id(i))
+            names.append(img._scene_catalog_row().get("image_id"))
+            chans.append(img.channel_names)
+    finally:
+        img.set_scene(current)
+
+    payload = encode_multiscene_ome_tiff(
+        blocks, image_ids=ids, image_names=names, channel_names=chans,
+        physical_pixel_sizes=img.physical_pixel_sizes,
+        compression=compression, bigtiff=bigtiff)
+    os.makedirs(os.path.dirname(os.path.abspath(uri)) or ".",
+                exist_ok=True)
+    with open(uri, "wb") as f:
+        f.write(payload)
+    return {"path": uri, "n_scenes": len(blocks),
+            "n_pages": sum(b.shape[0] * b.shape[1] * b.shape[2]
+                           for b in blocks),
+            "n_bytes": len(payload)}
 
 
 def _default_zarr_chunks(shape) -> tuple:

@@ -790,3 +790,43 @@ def test_read_tiff_window_big_endian_multistrip(spark, tmp_path):
     got = np.zeros_like(want)
     got[pdf["y"] - 3, pdf["x"]] = pdf["value"].astype(np.uint16)
     np.testing.assert_array_equal(got, want)
+
+
+def test_multiscene_single_file(spark, tmp_path):
+    """One OME-TIFF with two <Image> elements: scenes surface through the
+    reference scene model (C1-C3) with per-scene dims, channel names and
+    values; TiffData IFD indices offset per scene."""
+    from bioio_spark import BioImage
+    from bioio_spark.formats.tiff import (encode_multiscene_ome_tiff,
+                                          parse_ome_xml_scenes)
+
+    rng = np.random.default_rng(53)
+    a = rng.integers(0, 4096, (2, 1, 2, 3, 4), dtype=np.uint16)
+    b = rng.integers(0, 4096, (1, 2, 1, 3, 4), dtype=np.uint16)
+    data = encode_multiscene_ome_tiff(
+        [a, b], channel_names=[["mono"], ["red", "green"]])
+    p = tmp_path / "multi.ome.tiff"
+    p.write_bytes(data)
+
+    img = BioImage(str(p), spark=spark)
+    assert img.scenes == ("Image:0", "Image:1")
+    assert img.channel_names == ["mono"]
+    assert img.dims["TCZ"] == (2, 1, 2)
+    np.testing.assert_array_equal(img.data, a)
+
+    img.set_scene("Image:1")
+    assert img.channel_names == ["red", "green"]
+    assert img.dims["TCZ"] == (1, 2, 1)
+    np.testing.assert_array_equal(img.data, b)
+
+    # scene stack across the in-file scenes
+    assert img.get_stack_dataframe().count() == a.size + b.size
+
+    # window read refuses multi-scene files with a pointer to BioImage
+    from bioio_spark.sources.tiff_image import read_tiff_window
+    with pytest.raises(ValueError, match="multi-scene"):
+        read_tiff_window(spark, str(p), t=0)
+
+    xml = read_ome_header(str(p))
+    assert len(parse_ome_xml_scenes(xml)) == 2
+    assert 'IFD="4"' in xml and 'IFD="5"' in xml

@@ -124,3 +124,36 @@ def test_get_image_data_preserves_native_dtype(spark):
     # max/min projections preserve dtype; mean promotes (numpy semantics)
     assert img.project_data("Y", "max").dtype == np.dtype("int32")
     assert img.project_data("Y", "mean").dtype == np.dtype("float64")
+
+
+def test_save_ome_tiff_single_file_multiscene(spark, tmp_path):
+    """Multi-scene single-file export -> one OME-TIFF with two <Image>
+    elements -> BioImage reads both scenes back identically."""
+    import numpy as np
+
+    from bioio_spark import BioImage
+    from bioio_spark.writers import save_ome_tiff_single_file
+
+    rng = np.random.default_rng(59)
+    a = rng.integers(0, 4096, (2, 1, 3, 4), dtype=np.uint16)   # CZYX
+    b = rng.integers(0, 4096, (1, 2, 3, 4), dtype=np.uint16)
+    img = BioImage([a, b], dim_order="CZYX", spark=spark,
+                   channel_names=[["m0", "m1"], ["solo"]])
+    p = str(tmp_path / "all.ome.tiff")
+    rep = save_ome_tiff_single_file(img, p, compression=8)
+    assert rep["n_scenes"] == 2 and rep["n_pages"] == 2 + 2
+
+    back = BioImage(p, spark=spark)
+    assert back.scenes == ("Image:0", "Image:1")
+    assert back.channel_names == ["m0", "m1"]
+    np.testing.assert_array_equal(back.data[0], a)
+    back.set_scene(1)
+    assert back.channel_names == ["solo"]
+    np.testing.assert_array_equal(back.data[0], b)
+
+    # scene selection mirrors save(select_scenes=...)
+    one = str(tmp_path / "one.ome.tiff")
+    save_ome_tiff_single_file(img, one, select_scenes=[1])
+    only = BioImage(one, spark=spark)
+    assert len(only.scenes) == 1
+    np.testing.assert_array_equal(only.data[0], b)
