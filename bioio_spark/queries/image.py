@@ -1285,6 +1285,67 @@ def img_ome_zarr_roundtrip_v3(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Multi-scene SINGLE-FILE OME-TIFF roundtrip: two deterministic scenes
+# (different shapes) through save_ome_tiff_single_file -> one file with
+# two <Image> elements -> BioImage scene stack -> per-(scene, c)
+# aggregate. A page-range mis-assignment moves whole planes between
+# scenes and breaks the hash. (C1-C3 scene model over in-file scenes.)
+# --------------------------------------------------------------------------
+@register(
+    "img_multiscene_file_roundtrip",
+    oracle=f"""
+    WITH s0 AS (
+      SELECT 0 AS scene_idx, CAST((i // {3 * 4 * 5}) % 2 AS INTEGER) AS c,
+             CAST(i // {4 * 5} % 3 * 100 + (i // 5) % 4 * 10 + i % 5
+                  + ((i // {3 * 4 * 5}) % 2) * 1000 AS DOUBLE) AS value
+      FROM range({2 * 3 * 4 * 5}) r(i)),
+    s1 AS (
+      SELECT 1 AS scene_idx, CAST((i // {2 * 4 * 5}) % 3 AS INTEGER) AS c,
+             CAST(50000 + (i // {4 * 5}) % 2 * 100 + (i // 5) % 4 * 10
+                  + i % 5 + ((i // {2 * 4 * 5}) % 3) * 1000 AS DOUBLE)
+               AS value
+      FROM range({3 * 2 * 4 * 5}) r(i)),
+    px AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1)
+    SELECT scene_idx, c, count(*) AS n_px,
+           CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY scene_idx, c ORDER BY scene_idx, c
+    """,
+    doc="multi-scene single-file OME-TIFF save -> scene-stack reread",
+)
+def img_multiscene_file_roundtrip(spark, sf_dir):
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.writers import save_ome_tiff_single_file
+
+    i0 = np.indices((2, 3, 4, 5))        # C Z Y X
+    a = (i0[0] * 1000 + i0[1] * 100 + i0[2] * 10 + i0[3]).astype(
+        np.uint16)
+    i1 = np.indices((3, 2, 4, 5))
+    b = (50000 + i1[0] * 1000 + i1[1] * 100 + i1[2] * 10
+         + i1[3]).astype(np.uint16)
+    src = BioImage([a, b], dim_order="CZYX", spark=spark)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "multiscene")
+    path = os.path.join(out, "all.ome.tiff")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        save_ome_tiff_single_file(src, path, compression=8)
+    back = BioImage(path, spark=spark)
+    return (back.get_stack_dataframe()
+            .groupBy("scene_idx", "c")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("scene_idx", "c"))
+
+
+# --------------------------------------------------------------------------
 # Page/strip-pruned windowed TIFF read — the TIFF twin of the Zarr window
 # read: the driver's seek-based IFD walk selects only the pages (t,c,z)
 # and strips/tiles the window intersects, executors fetch just those byte
