@@ -2,8 +2,9 @@
 
 Second real format after TIFF (the reference delegates PNG/JPEG to the
 bioio-imageio plugin, ref README.md:54-80). Scope: color types 0
-(grayscale), 2 (RGB), 4 (gray+alpha), 6 (RGBA); bit depth 8 or 16; no
-interlace. The decoder reconstructs ALL five scanline filters
+(grayscale), 2 (RGB), 4 (gray+alpha), 6 (RGBA); bit depth 8 or 16;
+progressive (Adam7-interlaced) files decode, the encoder writes
+non-interlaced. The decoder reconstructs ALL five scanline filters
 (None/Sub/Up/Average/Paeth), so files from standard writers decode; the
 encoder emits filter 0 rows (types 0 and 2).
 """
@@ -91,22 +92,57 @@ def decode_png(data: bytes) -> np.ndarray:
                          f"(supported: 0, 2, 4, 6)")
     if depth not in (8, 16):
         raise ValueError(f"only bit depth 8/16 supported, got {depth}")
-    if interlace:
-        raise ValueError("interlaced PNG not supported")
     samples = _SAMPLES_OF_COLOR_TYPE[color]
     raw = zlib.decompress(bytes(idat))
     bpp = samples * depth // 8       # filter distance = bytes per pixel
+    dt = np.dtype(">u2") if depth == 16 else np.dtype("u1")
+    if not interlace:
+        out = _defilter(np.frombuffer(raw, dtype=np.uint8),
+                        height, width, bpp)
+        shape = ((height, width) if samples == 1
+                 else (height, width, samples))
+        return (np.frombuffer(out.tobytes(), dtype=dt)
+                .reshape(shape).astype(dt.newbyteorder("=")))
+    # Adam7 (interlace method 1): seven independently-filtered
+    # sub-images concatenated in the zlib stream; each pass scatters
+    # onto its (y0::ys, x0::xs) lattice of the full image.
+    full = np.zeros((height, width, samples),
+                    dtype=dt.newbyteorder("="))
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    pos = 0
+    for (x0, y0, xs, ys) in _ADAM7_PASSES:
+        w_p = -(-(width - x0) // xs) if width > x0 else 0
+        h_p = -(-(height - y0) // ys) if height > y0 else 0
+        if w_p == 0 or h_p == 0:
+            continue
+        n = h_p * (1 + w_p * bpp)
+        sub = _defilter(buf[pos:pos + n], h_p, w_p, bpp)
+        pos += n
+        sub_px = (np.frombuffer(sub.tobytes(), dtype=dt)
+                  .reshape(h_p, w_p, samples)
+                  .astype(dt.newbyteorder("=")))
+        full[y0::ys, x0::xs] = sub_px
+    return full[:, :, 0] if samples == 1 else full
+
+
+#: Adam7 pass lattice: (x_start, y_start, x_step, y_step)
+_ADAM7_PASSES = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                 (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _defilter(raw: np.ndarray, height: int, width: int,
+              bpp: int) -> np.ndarray:
+    """Undo per-scanline filtering of one (sub-)image -> (h, stride)
+    uint8 array. Unfiltering is numpy-vectorized per row: None is a
+    copy, Up is one wrapping uint8 add against the prior row, Sub is a
+    per-byte-lane cumulative sum mod 256 (x[i] = sum of raw deltas —
+    modular addition distributes over the prefix sum). Only Average and
+    Paeth keep a sequential per-byte loop (their recurrences read the
+    just-reconstructed left neighbor through a non-linear op). A 2k x 2k
+    16-bit plane of None/Up/Sub rows therefore costs numpy ops, not ~8M
+    interpreted iterations."""
     stride = width * bpp
-    # unfiltering is numpy-vectorized per row: None is a copy, Up is one
-    # wrapping uint8 add against the prior row, Sub is a per-byte-lane
-    # cumulative sum mod 256 (x[i] = sum of raw deltas — modular addition
-    # distributes over the prefix sum). Only Average and Paeth keep a
-    # sequential per-byte loop (their recurrences read the just-
-    # reconstructed left neighbor through a non-linear op). A 2k x 2k
-    # 16-bit plane of None/Up/Sub rows therefore costs numpy ops, not
-    # ~8M interpreted iterations.
-    rows = (np.frombuffer(raw, dtype=np.uint8)
-            .reshape(height, stride + 1))
+    rows = raw[:height * (stride + 1)].reshape(height, stride + 1)
     ftypes = rows[:, 0]
     bad = set(np.unique(ftypes)) - {0, 1, 2, 3, 4}
     if bad:
@@ -139,7 +175,4 @@ def decode_png(data: bytes) -> np.ndarray:
                               ) & 0xFF
         out[r] = rec
         prior = rec
-    dt = np.dtype(">u2") if depth == 16 else np.dtype("u1")
-    shape = (height, width) if samples == 1 else (height, width, samples)
-    return (np.frombuffer(out.tobytes(), dtype=dt)
-            .reshape(shape).astype(dt.newbyteorder("=")))
+    return out

@@ -189,3 +189,56 @@ def test_rgb_png_reader_s_dim(spark, tmp_path):
     assert img.dims.order == "TCZYXS"
     assert img.dims["S"] == (3,)
     np.testing.assert_array_equal(img.get_image_data()[0, 0, 0], rgb)
+
+
+def _encode_adam7(img: np.ndarray) -> bytes:
+    """Test-side Adam7 interlaced encoder (filter-0 rows): seven passes,
+    each an independently-filtered sub-image, per the PNG spec lattice."""
+    import struct
+    import zlib
+
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+              (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    h, w = img.shape[:2]
+    samples = 1 if img.ndim == 2 else img.shape[2]
+    depth = 16 if img.dtype.itemsize == 2 else 8
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[samples]
+    stream = bytearray()
+    be = img.astype(np.dtype(f">u{depth // 8}"))
+    if be.ndim == 2:
+        be = be[:, :, None]
+    for (x0, y0, xs, ys) in passes:
+        sub = be[y0::ys, x0::xs]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            stream.append(0)
+            stream += row.tobytes()
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("shape,dtype", [
+    ((10, 7), np.uint8),          # empty passes on the narrow axis
+    ((16, 16), np.uint8),
+    ((5, 3), np.uint8),           # smaller than one 8x8 macro-block
+    ((9, 11, 3), np.uint8),       # RGB
+    ((12, 6), np.uint16),         # 16-bit
+    ((1, 1), np.uint8),           # single pixel: only pass 1 non-empty
+])
+def test_decode_adam7_interlaced(shape, dtype):
+    from bioio_spark.formats.png import decode_png
+
+    rng = np.random.default_rng(61)
+    hi = 65535 if dtype == np.uint16 else 255
+    img = rng.integers(0, hi, shape).astype(dtype)
+    out = decode_png(_encode_adam7(img))
+    assert out.dtype == np.dtype(dtype)
+    np.testing.assert_array_equal(out, img)
