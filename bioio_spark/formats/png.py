@@ -2,7 +2,8 @@
 
 Second real format after TIFF (the reference delegates PNG/JPEG to the
 bioio-imageio plugin, ref README.md:54-80). Scope: color types 0
-(grayscale), 2 (RGB), 4 (gray+alpha), 6 (RGBA); bit depth 8 or 16;
+(grayscale), 2 (RGB), 3 (paletted, bit depth 1/2/4/8, optional tRNS
+alpha), 4 (gray+alpha), 6 (RGBA); bit depth 8 or 16 for non-paletted;
 progressive (Adam7-interlaced) files decode, the encoder writes
 non-interlaced. The decoder reconstructs ALL five scanline filters
 (None/Sub/Up/Average/Paeth), so files from standard writers decode; the
@@ -74,6 +75,7 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("not a PNG file")
     pos = 8
     width = height = depth = color = interlace = None
+    plte = trns = None
     idat = bytearray()
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos:pos + 4])
@@ -83,17 +85,25 @@ def decode_png(data: bytes) -> np.ndarray:
         if ctype == b"IHDR":
             width, height, depth, color, _comp, _filt, interlace = \
                 struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = bytes(body)
+        elif ctype == b"tRNS":
+            trns = bytes(body)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
             break
+    raw_all = zlib.decompress(bytes(idat))
+    if color == 3:
+        return _decode_paletted(raw_all, width, height, depth,
+                                interlace, plte, trns)
     if color not in _SAMPLES_OF_COLOR_TYPE:
         raise ValueError(f"unsupported PNG color type {color} "
-                         f"(supported: 0, 2, 4, 6)")
+                         f"(supported: 0, 2, 3, 4, 6)")
     if depth not in (8, 16):
         raise ValueError(f"only bit depth 8/16 supported, got {depth}")
     samples = _SAMPLES_OF_COLOR_TYPE[color]
-    raw = zlib.decompress(bytes(idat))
+    raw = raw_all
     bpp = samples * depth // 8       # filter distance = bytes per pixel
     dt = np.dtype(">u2") if depth == 16 else np.dtype("u1")
     if not interlace:
@@ -130,7 +140,7 @@ _ADAM7_PASSES = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
                  (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
 
-def _defilter(raw: np.ndarray, height: int, width: int,
+def _defilter(raw: np.ndarray, height: int, n_units: int,
               bpp: int) -> np.ndarray:
     """Undo per-scanline filtering of one (sub-)image -> (h, stride)
     uint8 array. Unfiltering is numpy-vectorized per row: None is a
@@ -141,7 +151,7 @@ def _defilter(raw: np.ndarray, height: int, width: int,
     just-reconstructed left neighbor through a non-linear op). A 2k x 2k
     16-bit plane of None/Up/Sub rows therefore costs numpy ops, not ~8M
     interpreted iterations."""
-    stride = width * bpp
+    stride = n_units * bpp
     rows = raw[:height * (stride + 1)].reshape(height, stride + 1)
     ftypes = rows[:, 0]
     bad = set(np.unique(ftypes)) - {0, 1, 2, 3, 4}
@@ -155,7 +165,7 @@ def _defilter(raw: np.ndarray, height: int, width: int,
         if ftype == 0:      # None
             rec = line.copy()
         elif ftype == 1:    # Sub: per-lane prefix sum mod 256
-            lanes = line.reshape(width, bpp).astype(np.int64)
+            lanes = line.reshape(n_units, bpp).astype(np.int64)
             rec = (lanes.cumsum(axis=0) & 0xFF).astype(
                 np.uint8).reshape(stride)
         elif ftype == 2:    # Up: wrapping add against prior row
@@ -176,3 +186,57 @@ def _defilter(raw: np.ndarray, height: int, width: int,
         out[r] = rec
         prior = rec
     return out
+
+
+def _unpack_indices(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """(h, stride_bytes) defiltered palette scanlines -> (h, w) uint8
+    index plane for bit depth 1/2/4/8 (big-endian bit order per spec)."""
+    if depth == 8:
+        return rows[:, :w]
+    bits = np.unpackbits(rows, axis=1)
+    vals = bits.reshape(rows.shape[0], -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    return (vals * weights).sum(axis=2)[:, :w].astype(np.uint8)
+
+
+def _decode_paletted(raw: bytes, width: int, height: int, depth: int,
+                     interlace: int, plte, trns) -> np.ndarray:
+    """Color type 3: defilter the packed index plane (filter unit = one
+    byte for depth < 8 per spec), unpack bit-depth-1/2/4/8 indices, and
+    map through PLTE -> (H, W, 3) RGB, or (H, W, 4) RGBA when a tRNS
+    chunk carries per-index alpha."""
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"palette bit depth {depth} unsupported")
+    if plte is None:
+        raise ValueError("paletted PNG missing its PLTE chunk")
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    alpha = None
+    if trns is not None:
+        alpha = np.full(len(pal), 255, dtype=np.uint8)
+        a = np.frombuffer(trns, dtype=np.uint8)
+        alpha[:len(a)] = a
+
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    idx = np.zeros((height, width), dtype=np.uint8)
+    if not interlace:
+        stride = (width * depth + 7) // 8
+        idx[:] = _unpack_indices(_defilter(buf, height, stride, 1),
+                                 width, depth)
+    else:
+        pos = 0
+        for (x0, y0, xs, ys) in _ADAM7_PASSES:
+            w_p = -(-(width - x0) // xs) if width > x0 else 0
+            h_p = -(-(height - y0) // ys) if height > y0 else 0
+            if w_p == 0 or h_p == 0:
+                continue
+            stride = (w_p * depth + 7) // 8
+            n = h_p * (1 + stride)
+            idx[y0::ys, x0::xs] = _unpack_indices(
+                _defilter(buf[pos:pos + n], h_p, stride, 1), w_p, depth)
+            pos += n
+    if np.any(idx >= len(pal)):
+        raise ValueError("palette index out of range")
+    rgb = pal[idx]
+    if alpha is None:
+        return rgb
+    return np.dstack([rgb, alpha[idx]])

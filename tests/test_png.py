@@ -242,3 +242,75 @@ def test_decode_adam7_interlaced(shape, dtype):
     out = decode_png(_encode_adam7(img))
     assert out.dtype == np.dtype(dtype)
     np.testing.assert_array_equal(out, img)
+
+
+def _encode_paletted(idx: np.ndarray, pal: np.ndarray, depth: int,
+                     trns=None, interlace=0) -> bytes:
+    """Test-side paletted encoder: packed big-endian indices, filter-0
+    rows, optional tRNS, optional Adam7."""
+    import struct
+    import zlib
+
+    h, w = idx.shape
+
+    def pack_rows(sub):
+        out = bytearray()
+        for row in sub:
+            out.append(0)
+            bits = np.unpackbits(
+                row.astype(np.uint8)[:, None], axis=1)[:, 8 - depth:]
+            out += np.packbits(bits.ravel()).tobytes()
+        return out
+
+    stream = bytearray()
+    if interlace:
+        for (x0, y0, xs, ys) in [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                                 (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                                 (0, 1, 1, 2)]:
+            sub = idx[y0::ys, x0::xs]
+            if sub.size:
+                stream += pack_rows(sub)
+    else:
+        stream += pack_rows(idx)
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    out += chunk(b"PLTE", pal.astype(np.uint8).tobytes())
+    if trns is not None:
+        out += chunk(b"tRNS", bytes(trns))
+    return (out + chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+@pytest.mark.parametrize("interlace", [0, 1])
+def test_decode_paletted(depth, interlace):
+    from bioio_spark.formats.png import decode_png
+
+    rng = np.random.default_rng(67)
+    n_pal = 1 << depth
+    pal = rng.integers(0, 255, (n_pal, 3)).astype(np.uint8)
+    idx = rng.integers(0, n_pal, (11, 7)).astype(np.uint8)
+    out = decode_png(_encode_paletted(idx, pal, depth,
+                                      interlace=interlace))
+    assert out.shape == (11, 7, 3)
+    np.testing.assert_array_equal(out, pal[idx])
+
+
+def test_decode_paletted_trns_alpha():
+    from bioio_spark.formats.png import decode_png
+
+    rng = np.random.default_rng(71)
+    pal = rng.integers(0, 255, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (6, 9)).astype(np.uint8)
+    trns = bytes(range(0, 48, 12))      # alpha for first 4 entries
+    out = decode_png(_encode_paletted(idx, pal, 4, trns=trns))
+    assert out.shape == (6, 9, 4)
+    np.testing.assert_array_equal(out[:, :, :3], pal[idx])
+    alpha = np.full(16, 255, np.uint8)
+    alpha[:4] = list(trns)
+    np.testing.assert_array_equal(out[:, :, 3], alpha[idx])
