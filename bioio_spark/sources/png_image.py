@@ -26,14 +26,33 @@ from pyspark.sql import functions as F
 
 def _read_png_header(path: str) -> tuple[int, int, int, int]:
     """(height, width, bit_depth, samples) from the IHDR without reading
-    pixels."""
+    pixels. Paletted files (color type 3) decode to RGB — or RGBA when a
+    tRNS chunk is present — so their sample count comes from a bounded
+    chunk walk that stops at IDAT."""
     from bioio_spark.formats.png import _SAMPLES_OF_COLOR_TYPE
 
     with open(path, "rb") as f:
         head = f.read(33)
-    if head[:8] != b"\x89PNG\r\n\x1a\n" or head[12:16] != b"IHDR":
-        raise ValueError(f"{path}: not a PNG file")
-    w, h, depth, color = struct.unpack(">IIBB", head[16:26])
+        if head[:8] != b"\x89PNG\r\n\x1a\n" or head[12:16] != b"IHDR":
+            raise ValueError(f"{path}: not a PNG file")
+        w, h, depth, color = struct.unpack(">IIBB", head[16:26])
+        if color == 3:
+            f.seek(8 + 12 + 13)          # past signature + IHDR chunk
+            samples = 3
+            while True:
+                hdr = f.read(8)
+                if len(hdr) < 8:
+                    break
+                (length,) = struct.unpack(">I", hdr[:4])
+                ctype = hdr[4:8]
+                if ctype == b"tRNS":
+                    samples = 4
+                    break
+                if ctype in (b"IDAT", b"IEND"):
+                    break
+                f.seek(length + 4, os.SEEK_CUR)
+            # paletted pixels decode through PLTE to 8-bit channels
+            return h, w, 8, samples
     if color not in _SAMPLES_OF_COLOR_TYPE:
         raise ValueError(f"{path}: unsupported PNG color type {color}")
     return h, w, depth, _SAMPLES_OF_COLOR_TYPE[color]

@@ -314,3 +314,25 @@ def test_decode_paletted_trns_alpha():
     alpha = np.full(16, 255, np.uint8)
     alpha[:4] = list(trns)
     np.testing.assert_array_equal(out[:, :, 3], alpha[idx])
+
+
+def test_paletted_png_through_bioimage(spark, tmp_path):
+    """A paletted wild-style PNG catalogs (samples from PLTE/tRNS) and
+    reads through the full BioImage plugin route."""
+    from bioio_spark import BioImage
+
+    rng = np.random.default_rng(73)
+    pal = rng.integers(0, 255, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (8, 10)).astype(np.uint8)
+    p = tmp_path / "icon.png"
+    p.write_bytes(_encode_paletted(idx, pal, 4))
+
+    img = BioImage(str(p), spark=spark)
+    assert img.dims.order == "TCZYXS"
+    assert img.dims["S"] == (3,)
+    np.testing.assert_array_equal(img.get_image_data()[0, 0, 0], pal[idx])
+
+    p2 = tmp_path / "icon_a.png"
+    p2.write_bytes(_encode_paletted(idx, pal, 4, trns=bytes([7] * 16)))
+    img2 = BioImage(str(p2), spark=spark)
+    assert img2.dims["S"] == (4,)
