@@ -1285,6 +1285,61 @@ def img_ome_zarr_roundtrip_v3(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# bioio_tiff DataSource scan with Catalyst-pushed page/strip pruning —
+# the TIFF twin of img_zarr_source_pushdown: the optimizer's pushFilters
+# prune to intersecting pages at PLANNING time via the seek-based IFD
+# walk; Spark re-applies the filters for the exact residual trim.
+# --------------------------------------------------------------------------
+@register(
+    "img_tiff_source_pushdown",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {2 * 3 * 5 * 6} AS INTEGER) AS t,
+             CAST((i // {3 * 5 * 6}) % 2 AS INTEGER) AS c,
+             CAST((i // {5 * 6}) % 3 AS INTEGER) AS z,
+             CAST((i // 6) % 5 AS INTEGER) AS y,
+             CAST(i % 6 AS INTEGER) AS x,
+             CAST((i // {2 * 3 * 5 * 6}) * 100000
+                  + ((i // {3 * 5 * 6}) % 2) * 10000
+                  + ((i // {5 * 6}) % 3) * 1000
+                  + ((i // 6) % 5) * 10 + (i % 6) AS DOUBLE) AS value
+      FROM range({2 * 2 * 3 * 5 * 6}) r(i))
+    SELECT c, z, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val
+    FROM px
+    WHERE t = 1 AND z < 2 AND y >= 1
+    GROUP BY c, z ORDER BY c, z
+    """,
+    doc="bioio_tiff DataSource scan with Catalyst-pushed page pruning",
+)
+def img_tiff_source_pushdown(spark, sf_dir):
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.sources.tiff_source import register_tiff_source
+    from bioio_spark.writers import save_ome_tiff
+
+    idx = np.indices(_RTZ_SHAPE)
+    block = (idx[0] * 100000 + idx[1] * 10000 + idx[2] * 1000
+             + idx[3] * 10 + idx[4]).astype(np.uint32)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "tiff_source")
+    path = os.path.join(out, "scene_0.ome.tiff")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        save_ome_tiff(BioImage(block, spark=spark), out, compression=5)
+    register_tiff_source(spark)
+    px = (spark.read.format("bioio_tiff").option("path", path).load()
+          .filter("t = 1 AND z < 2 AND y >= 1"))
+    return (px.groupBy("c", "z")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"))
+            .orderBy("c", "z"))
+
+
+# --------------------------------------------------------------------------
 # Multi-scene SINGLE-FILE OME-TIFF roundtrip: two deterministic scenes
 # (different shapes) through save_ome_tiff_single_file -> one file with
 # two <Image> elements -> BioImage scene stack -> per-(scene, c)
