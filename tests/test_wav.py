@@ -41,13 +41,13 @@ def test_rejects_non_pcm_and_garbage():
     s = np.zeros(4, dtype=np.uint8)
     data = bytearray(encode_wav(s))
     i = data.find(b"fmt ") + 8
-    data[i:i + 2] = struct.pack("<H", 3)      # IEEE float tag
-    with pytest.raises(ValueError, match="PCM"):
+    data[i:i + 2] = struct.pack("<H", 2)      # ADPCM: out of scope
+    with pytest.raises(ValueError, match="format tag"):
         decode_wav(bytes(data))
     with pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"not a wav")
     with pytest.raises(ValueError, match="uint8/int16"):
-        encode_wav(np.zeros(4, dtype=np.float32))
+        encode_wav(np.zeros(4, dtype=np.complex64))
 
 
 def test_autocodec_sniffs_wav():
@@ -58,3 +58,55 @@ def test_autocodec_sniffs_wav():
     assert out.shape == (1, 1, 800)
     want = ((np.arange(800, dtype=np.int64) * 31 + 35) % 251)
     np.testing.assert_array_equal(out[0, 0], want.astype(np.uint8))
+
+
+@pytest.mark.parametrize("dtype", [np.int32, np.float32, np.float64])
+def test_wide_pcm_and_float_roundtrip(dtype):
+    from bioio_spark.formats.wav import decode_wav, encode_wav
+
+    rng = np.random.default_rng(89)
+    if dtype == np.int32:
+        a = rng.integers(-2**31, 2**31 - 1, (2, 300)).astype(dtype)
+    else:
+        a = (rng.random((2, 300)) * 2 - 1).astype(dtype)
+    out, rate = decode_wav(encode_wav(a, 44100))
+    assert rate == 44100 and out.dtype == np.dtype(dtype)
+    np.testing.assert_array_equal(out, a)
+
+
+def test_24bit_pcm_decode():
+    """24-bit PCM (the studio-standard depth): hand-packed 3-byte LE
+    samples incl. negatives widen to sign-extended int32."""
+    import struct
+
+    from bioio_spark.formats.wav import decode_wav
+
+    vals = [0, 1, -1, 8388607, -8388608, 123456, -654321]
+    raw = b"".join(struct.pack("<i", v)[:3] for v in vals)
+    fmt = struct.pack("<HHIIHH", 1, 1, 48000, 48000 * 3, 3, 24)
+    data = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(raw))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(raw)) + raw
+            + (b"\x00" if len(raw) % 2 else b""))
+    out, rate = decode_wav(data)
+    assert rate == 48000
+    np.testing.assert_array_equal(out[0], np.array(vals, np.int32))
+
+
+def test_extensible_header_decodes():
+    """WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) with a PCM SubFormat — how
+    pro-audio tools write >2-channel or >16-bit files."""
+    import struct
+
+    from bioio_spark.formats.wav import decode_wav
+
+    a = np.array([[100, -200, 300, -400]], np.int16)
+    raw = a.T.astype("<i2").tobytes()
+    sub = struct.pack("<H", 1) + bytes(14)       # PCM GUID head
+    fmt = (struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+           + struct.pack("<HHI", 22, 16, 0x4) + sub)
+    data = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(raw))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(raw)) + raw)
+    out, rate = decode_wav(data)
+    np.testing.assert_array_equal(out, a)
