@@ -787,23 +787,27 @@ class BioImage:
 
     # -- sink (S10) --------------------------------------------------------
     def save(self, uri: str, select_scenes=None, **sink_kwargs) -> None:
-        """Sink routing by suffix (ref bio_image.py:1229-1301 saves
-        OME-TIFF; the plugin ecosystem adds OME-Zarr): `.zarr`/`.ome.zarr`
-        -> chunk-parallel NGFF store, `.tif(f)`/`.ome.tif(f)` -> per-scene
-        OME-TIFF directory, anything else -> the native scene-partitioned
+        """Sink routing by suffix (ref bio_image.py:1229-1301 saves ONE
+        OME-TIFF file holding every selected scene; the plugin ecosystem
+        adds OME-Zarr): `.zarr`/`.ome.zarr` -> chunk-parallel NGFF store,
+        `.tif(f)`/`.ome.tif(f)` -> a single multi-Image OME-TIFF file
+        (the reference's semantics — use writers.save_ome_tiff for the
+        distributed per-scene directory sink when scenes don't fit one
+        encode task), anything else -> the native scene-partitioned
         parquet sink. Extra kwargs go to the sink (e.g. ``compression=5``
         for LZW / ``bigtiff=True`` on the TIFF path, ``chunks=`` on
         Zarr)."""
-        from bioio_spark.writers import (save_ome_tiff, save_ome_zarr,
-                                         save_parquet)
+        from bioio_spark.writers import (save_ome_tiff_single_file,
+                                         save_ome_zarr, save_parquet)
 
         low = uri.rstrip("/").lower()
         if low.endswith((".zarr", ".ome.zarr")):
             save_ome_zarr(self, uri, select_scenes=select_scenes,
                           **sink_kwargs)
         elif low.endswith((".tif", ".tiff", ".ome.tif", ".ome.tiff")):
-            save_ome_tiff(self, uri, select_scenes=select_scenes,
-                          **sink_kwargs)
+            save_ome_tiff_single_file(self, uri,
+                                      select_scenes=select_scenes,
+                                      **sink_kwargs)
         else:
             save_parquet(self, uri, select_scenes=select_scenes,
                          **sink_kwargs)

@@ -157,3 +157,31 @@ def test_save_ome_tiff_single_file_multiscene(spark, tmp_path):
     only = BioImage(one, spark=spark)
     assert len(only.scenes) == 1
     np.testing.assert_array_equal(only.data[0], b)
+
+
+def test_bioimage_save_tiff_writes_one_file(spark, tmp_path):
+    """ref bio_image.py:1229-1301: BioImage.save(uri) writes ONE OME-TIFF
+    holding every selected scene — a real file, not a directory."""
+    import os
+
+    import numpy as np
+
+    from bioio_spark import BioImage
+
+    a = np.arange(2 * 3 * 4, dtype=np.uint16).reshape(2, 3, 4)
+    b = (np.arange(2 * 3 * 4, dtype=np.uint16) + 100).reshape(2, 3, 4)
+    img = BioImage([a, b], dim_order="ZYX", spark=spark)
+    p = str(tmp_path / "all.ome.tiff")
+    img.save(p)
+    assert os.path.isfile(p)
+    back = BioImage(p, spark=spark)
+    assert back.scenes == ("Image:0", "Image:1")
+    np.testing.assert_array_equal(back.data[0, 0], a)
+    back.set_scene(1)
+    np.testing.assert_array_equal(back.data[0, 0], b)
+
+    one = str(tmp_path / "one.tiff")
+    img.save(one, select_scenes=["Image:1"])
+    only = BioImage(one, spark=spark)
+    assert len(only.scenes) == 1
+    np.testing.assert_array_equal(only.data[0, 0], b)
