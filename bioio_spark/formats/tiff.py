@@ -715,16 +715,80 @@ def _read_tag_values_fh(f, typ: int, count: int, raw: bytes, bo: str,
     return [buf]
 
 
+_SUB_IFDS = 330
+
+
+def _parse_one_ifd(f, ifd_off: int, bo: str, big: bool) -> tuple:
+    """Parse the IFD at `ifd_off` through the file handle -> (page dict
+    without index/description, next-IFD offset). Shared by the main
+    chain and SubIFD (tag 330) pyramid levels."""
+    ent_sz, cnt_fmt, off_fmt, cnt_sz = ((20, "Q", "Q", 8) if big
+                                        else (12, "H", "I", 2))
+    off_sz = 8 if big else 4
+    f.seek(ifd_off)
+    (n_entries,) = struct.unpack(f"{bo}{cnt_fmt}", f.read(cnt_sz))
+    table = f.read(ent_sz * n_entries + off_sz)
+    tags: dict = {}
+    for i in range(n_entries):
+        ent = table[ent_sz * i:ent_sz * (i + 1)]
+        tag, typ = struct.unpack(f"{bo}HH", ent[:4])
+        if big:
+            (count,) = struct.unpack(f"{bo}Q", ent[4:12])
+            raw = ent[12:20]
+        else:
+            (count,) = struct.unpack(f"{bo}I", ent[4:8])
+            raw = ent[8:12]
+        tags[tag] = _read_tag_values_fh(f, typ, count, raw, bo, big)
+    (next_off,) = struct.unpack(f"{bo}{off_fmt}", table[-off_sz:])
+    w = tags[_IMAGE_WIDTH][0]
+    h = tags[_IMAGE_LENGTH][0]
+    spp = tags.get(_SAMPLES_PER_PIXEL, [1])[0]
+    bits = tags.get(_BITS_PER_SAMPLE, [8])[0]
+    kind = _KIND_OF_SAMPLE_FORMAT[tags.get(_SAMPLE_FORMAT, [1])[0]]
+    chunks = []
+    if _TILE_OFFSETS in tags:
+        tw, th = tags[_TILE_WIDTH][0], tags[_TILE_LENGTH][0]
+        across = -(-w // tw)
+        for ti, (o, c) in enumerate(zip(tags[_TILE_OFFSETS],
+                                        tags[_TILE_BYTE_COUNTS])):
+            ty, tx = divmod(ti, across)
+            chunks.append({"offset": o, "nbytes": c,
+                           "y0": ty * th, "x0": tx * tw,
+                           "h": th, "w": tw})
+    else:
+        rps = tags.get(_ROWS_PER_STRIP, [h])[0]
+        for si, (o, c) in enumerate(zip(tags[_STRIP_OFFSETS],
+                                        tags[_STRIP_BYTE_COUNTS])):
+            y0 = si * rps
+            chunks.append({"offset": o, "nbytes": c,
+                           "y0": y0, "x0": 0,
+                           "h": min(rps, h - y0), "w": w})
+    desc = tags.get(_IMAGE_DESCRIPTION)
+    page = {
+        "w": w, "h": h, "spp": spp,
+        "dtype": f"{bo}{kind}{bits // 8}",
+        "comp": tags.get(_COMPRESSION, [1])[0],
+        "pred": tags.get(_PREDICTOR, [1])[0],
+        "tiled": _TILE_OFFSETS in tags,
+        "chunks": chunks,
+        "_desc": desc[0] if desc else None,
+        "_sub_offs": list(tags.get(_SUB_IFDS, [])),
+    }
+    return page, next_off
+
+
 def iter_tiff_chunks(path: str) -> list[dict]:
     """Seek-based IFD walk returning the strip/tile layout of every page
     WITHOUT touching pixel data — the planning input for window-pruned
     reads (a few KB of IFD reads even on a multi-GB file).
 
     One dict per page: ``{page, w, h, spp, dtype, comp, pred,
-    description, chunks}`` where each chunk is ``{offset, nbytes, y0,
-    x0, h, w}`` in page coordinates — strips span the full width with
-    their actual row count; tiles carry the stored (full) tile shape,
-    edge trim happens at decode."""
+    description, chunks, subifds}`` where each chunk is ``{offset,
+    nbytes, y0, x0, h, w}`` in page coordinates — strips span the full
+    width with their actual row count; tiles carry the stored (full)
+    tile shape, edge trim happens at decode. ``subifds`` holds the
+    page's SubIFD (tag 330) children in order — the pyramid levels of
+    wild tiled OME-TIFFs — each the same page-dict shape."""
     out: list[dict] = []
     with open(path, "rb") as f:
         head = f.read(16)
@@ -738,70 +802,31 @@ def iter_tiff_chunks(path: str) -> list[dict]:
         if version == 42:
             big = False
             (ifd_off,) = struct.unpack(f"{bo}I", head[4:8])
-            ent_sz, cnt_fmt, off_fmt, cnt_sz = 12, "H", "I", 2
         elif version == 43:
             big = True
             (ifd_off,) = struct.unpack(f"{bo}Q", head[8:16])
-            ent_sz, cnt_fmt, off_fmt, cnt_sz = 20, "Q", "Q", 8
         else:
             raise ValueError(f"{path}: not a TIFF (bad magic {version})")
-        off_sz = 8 if big else 4
         page = 0
         description = None
         while ifd_off:
-            f.seek(ifd_off)
-            (n_entries,) = struct.unpack(f"{bo}{cnt_fmt}", f.read(cnt_sz))
-            table = f.read(ent_sz * n_entries + off_sz)
-            tags: dict = {}
-            for i in range(n_entries):
-                ent = table[ent_sz * i:ent_sz * (i + 1)]
-                tag, typ = struct.unpack(f"{bo}HH", ent[:4])
-                if big:
-                    (count,) = struct.unpack(f"{bo}Q", ent[4:12])
-                    raw = ent[12:20]
-                else:
-                    (count,) = struct.unpack(f"{bo}I", ent[4:8])
-                    raw = ent[8:12]
-                tags[tag] = _read_tag_values_fh(f, typ, count, raw, bo,
-                                                big)
-            (ifd_off,) = struct.unpack(
-                f"{bo}{off_fmt}", table[-off_sz:])
-            w = tags[_IMAGE_WIDTH][0]
-            h = tags[_IMAGE_LENGTH][0]
-            spp = tags.get(_SAMPLES_PER_PIXEL, [1])[0]
-            bits = tags.get(_BITS_PER_SAMPLE, [8])[0]
-            kind = _KIND_OF_SAMPLE_FORMAT[
-                tags.get(_SAMPLE_FORMAT, [1])[0]]
+            pg, ifd_off = _parse_one_ifd(f, ifd_off, bo, big)
             if page == 0:
-                desc = tags.get(_IMAGE_DESCRIPTION)
-                description = desc[0] if desc else None
-            chunks = []
-            if _TILE_OFFSETS in tags:
-                tw, th = tags[_TILE_WIDTH][0], tags[_TILE_LENGTH][0]
-                across = -(-w // tw)
-                for ti, (o, c) in enumerate(zip(tags[_TILE_OFFSETS],
-                                                tags[_TILE_BYTE_COUNTS])):
-                    ty, tx = divmod(ti, across)
-                    chunks.append({"offset": o, "nbytes": c,
-                                   "y0": ty * th, "x0": tx * tw,
-                                   "h": th, "w": tw})
-            else:
-                rps = tags.get(_ROWS_PER_STRIP, [h])[0]
-                for si, (o, c) in enumerate(zip(tags[_STRIP_OFFSETS],
-                                                tags[_STRIP_BYTE_COUNTS])):
-                    y0 = si * rps
-                    chunks.append({"offset": o, "nbytes": c,
-                                   "y0": y0, "x0": 0,
-                                   "h": min(rps, h - y0), "w": w})
-            out.append({
-                "page": page, "w": w, "h": h, "spp": spp,
-                "dtype": f"{bo}{kind}{bits // 8}",
-                "comp": tags.get(_COMPRESSION, [1])[0],
-                "pred": tags.get(_PREDICTOR, [1])[0],
-                "tiled": _TILE_OFFSETS in tags,
+                description = pg["_desc"]
+            subs = []
+            for so in pg.pop("_sub_offs"):
+                sub, _ = _parse_one_ifd(f, so, bo, big)
+                sub.pop("_sub_offs")
+                sub.pop("_desc")
+                sub["description"] = None
+                subs.append(sub)
+            pg.pop("_desc")
+            pg.update({
+                "page": page,
                 "description": description if page == 0 else None,
-                "chunks": chunks,
+                "subifds": subs,
             })
+            out.append(pg)
             page += 1
     return out
 

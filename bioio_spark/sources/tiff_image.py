@@ -240,7 +240,8 @@ def decode_tiff_files(spark: SparkSession, paths: list[str],
 
 
 def read_tiff_window(spark: SparkSession, path: str,
-                     t=None, c=None, z=None, y=None, x=None) -> DataFrame:
+                     t=None, c=None, z=None, y=None, x=None,
+                     level: int = 0) -> DataFrame:
     """Chunk-pruned windowed read of ONE TIFF file — the TIFF twin of
     read_zarr_window: the driver turns selectors into the exact set of
     intersecting pages and strips/tiles via a seek-based IFD walk (a few
@@ -251,8 +252,11 @@ def read_tiff_window(spark: SparkSession, path: str,
 
     Pages map to (t, c, z) in the OME page order (t-major, as the
     reference's OME writers emit); a TIFF without OME metadata reads as
-    (1, 1, n_pages). Multi-sample (S>1) pages are not supported on this
-    path — use the full reader.
+    (1, 1, n_pages). ``level`` > 0 selects each page's SubIFD (tag 330)
+    pyramid child of that index — the wild pyramidal-OME-TIFF layout —
+    with the same pruning applied to the level's own strip/tile grid.
+    Multi-sample (S>1) pages are not supported on this path — use the
+    full reader.
     """
     import numpy as np
 
@@ -264,6 +268,20 @@ def read_tiff_window(spark: SparkSession, path: str,
     pages = iter_tiff_chunks(p)
     if not pages:
         raise ValueError(f"{p}: no TIFF pages")
+    if level:
+        swapped = []
+        for pg in pages:
+            if level > len(pg["subifds"]):
+                raise IndexError(
+                    f"{p}: page {pg['page']} has "
+                    f"{len(pg['subifds'])} pyramid level(s); "
+                    f"requested level {level}")
+            sub = dict(pg["subifds"][level - 1])
+            sub["page"] = pg["page"]
+            sub["description"] = pg["description"]
+            sub["subifds"] = []
+            swapped.append(sub)
+        pages = swapped
     if any(pg["spp"] != 1 for pg in pages):
         raise ValueError("read_tiff_window supports single-sample pages")
     desc = pages[0]["description"]

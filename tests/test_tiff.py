@@ -830,3 +830,62 @@ def test_multiscene_single_file(spark, tmp_path):
     xml = read_ome_header(str(p))
     assert len(parse_ome_xml_scenes(xml)) == 2
     assert 'IFD="4"' in xml and 'IFD="5"' in xml
+
+
+def test_subifd_pyramid_levels(spark, tmp_path):
+    """SubIFD (tag 330) pyramid levels — the wild pyramidal-OME-TIFF
+    layout: iter_tiff_chunks exposes each page's children and
+    read_tiff_window(level=k) reads only that level's chunks."""
+    import struct
+
+    from bioio_spark.formats.tiff import iter_tiff_chunks
+    from bioio_spark.sources.tiff_image import read_tiff_window
+
+    lvl0 = np.arange(24, dtype=np.uint8).reshape(6, 4)
+    lvl1 = (np.arange(6, dtype=np.uint8) * 10 + 3).reshape(3, 2)
+    body = lvl0.tobytes() + lvl1.tobytes()          # strips at 8 and 32
+    ifd0_off = 8 + len(body)
+    n0 = 9
+    sub_off = ifd0_off + 2 + n0 * 12 + 4
+
+    def ent(tag, typ, cnt, val):
+        return struct.pack("<HHII", tag, typ, cnt, val)
+
+    ifd0 = struct.pack("<H", n0) + b"".join([
+        ent(256, 4, 1, 4), ent(257, 4, 1, 6),
+        ent(258, 3, 1, 8), ent(259, 3, 1, 1),
+        ent(273, 4, 1, 8), ent(277, 3, 1, 1),
+        ent(278, 4, 1, 6), ent(279, 4, 1, 24),
+        ent(330, 4, 1, sub_off),
+    ]) + struct.pack("<I", 0)
+    n1 = 8
+    sub = struct.pack("<H", n1) + b"".join([
+        ent(256, 4, 1, 2), ent(257, 4, 1, 3),
+        ent(258, 3, 1, 8), ent(259, 3, 1, 1),
+        ent(273, 4, 1, 32), ent(277, 3, 1, 1),
+        ent(278, 4, 1, 3), ent(279, 4, 1, 6),
+    ]) + struct.pack("<I", 0)
+    data = struct.pack("<2sHI", b"II", 42, ifd0_off) + body + ifd0 + sub
+    p = tmp_path / "pyr.tif"
+    p.write_bytes(data)
+
+    layout = iter_tiff_chunks(str(p))
+    assert len(layout) == 1
+    assert len(layout[0]["subifds"]) == 1
+    assert (layout[0]["subifds"][0]["h"],
+            layout[0]["subifds"][0]["w"]) == (3, 2)
+
+    full = read_tiff_window(spark, str(p)).toPandas()
+    assert len(full) == 24
+
+    l1 = read_tiff_window(spark, str(p), level=1).toPandas()
+    got = np.zeros_like(lvl1)
+    got[l1["y"], l1["x"]] = l1["value"].astype(np.uint8)
+    np.testing.assert_array_equal(got, lvl1)
+
+    # window pruning applies to the level's own grid
+    win = read_tiff_window(spark, str(p), level=1, y=(1, 3)).toPandas()
+    assert len(win) == 4
+
+    with pytest.raises(IndexError, match="pyramid"):
+        read_tiff_window(spark, str(p), level=2)
