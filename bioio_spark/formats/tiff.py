@@ -7,8 +7,9 @@ OME-TIFF spec actually requires for multi-page scientific imagery:
 little-endian classic TIFF, one IFD per plane, one strip per plane,
 SampleFormat/BitsPerSample for the full OME integer/float pixel-type set,
 Compression 1 (none), 5 (TIFF 6.0 LZW with EarlyChange, both directions),
-and 8 (Adobe Deflate, via zlib — decode also accepts the legacy 32946
-Deflate code), Predictor 2 horizontal differencing (the common wild
+8 (Adobe Deflate, via zlib — decode also accepts the legacy 32946
+Deflate code), and 32773 (PackBits RLE, TIFF 6.0 §9, both directions),
+Predictor 2 horizontal differencing (the common wild
 LZW pairing), interleaved SamplesPerPixel > 1 pages (the
 S dimension of the reference's TCZYX+S standard order, ref
 bio_image.py:500-546), and the OME-XML block in IFD0's ImageDescription.
@@ -54,6 +55,7 @@ _COMPRESSION_NONE = 1
 _COMPRESSION_LZW = 5              # TIFF 6.0 §13 LZW (MSB-first, EarlyChange)
 _COMPRESSION_DEFLATE = 8          # Adobe Deflate (TIFF spec supplement 2)
 _COMPRESSION_DEFLATE_OLD = 32946  # legacy Deflate code, decode-only
+_COMPRESSION_PACKBITS = 32773     # TIFF 6.0 §9 PackBits RLE
 _PREDICTOR = 317                  # 1 = none, 2 = horizontal differencing
 
 _TYPE_SHORT = 3   # uint16
@@ -212,9 +214,10 @@ def encode_tiff(planes: Sequence[np.ndarray],
     if not planes:
         raise ValueError("encode_tiff requires at least one plane")
     if compression not in (_COMPRESSION_NONE, _COMPRESSION_LZW,
-                           _COMPRESSION_DEFLATE):
+                           _COMPRESSION_DEFLATE, _COMPRESSION_PACKBITS):
         raise ValueError(f"unsupported compression {compression}; "
-                         "supported: 1 (none), 5 (LZW), 8 (deflate)")
+                         "supported: 1 (none), 5 (LZW), 8 (deflate), "
+                         "32773 (PackBits)")
     arrs = [np.ascontiguousarray(p) for p in planes]
     dt = arrs[0].dtype
     if dt.name not in SUPPORTED_DTYPES:
@@ -258,6 +261,10 @@ def encode_tiff(planes: Sequence[np.ndarray],
         strips = [zlib.compress(s) for s in strips]
     elif compression == _COMPRESSION_LZW:
         strips = [lzw_encode(s) for s in strips]
+    elif compression == _COMPRESSION_PACKBITS:
+        strips = [packbits_encode(s, row_bytes=a.shape[1] * s_n
+                                  * dt.itemsize)
+                  for a, s in zip(arrs, strips)]
 
     # multi-sample pages need out-of-line BitsPerSample / SampleFormat
     # arrays (s_n shorts > 4 bytes); one shared block serves every IFD
@@ -551,6 +558,58 @@ def lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def packbits_decode(data: bytes) -> bytes:
+    """TIFF 6.0 §9 PackBits RLE (the Macintosh-era byte-oriented scheme
+    still common in wild scanner TIFFs): header byte n in 0..127 copies
+    the next n+1 literal bytes, n in 129..255 repeats the next byte
+    257-n times, n == 128 is a no-op."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h < 128:              # literal run of h+1 bytes
+            out += data[i:i + h + 1]
+            i += h + 1
+        elif h > 128:            # replicate run of 257-h copies
+            out += data[i:i + 1] * (257 - h)
+            i += 1
+        # h == 128: no-op per spec
+    return bytes(out)
+
+
+def packbits_encode(data: bytes, row_bytes: Optional[int] = None) -> bytes:
+    """Encoder twin of packbits_decode. Packs each `row_bytes`-sized row
+    independently (runs never cross row boundaries, per the TIFF 6.0 §9
+    note that each scanline is compressed separately); replicate runs
+    are emitted for 3+ equal bytes, shorter repeats ride in literals."""
+    if not data:
+        return b""
+    rb = row_bytes or len(data)
+    out = bytearray()
+    for r0 in range(0, len(data), rb):
+        row = data[r0:r0 + rb]
+        i, n = 0, len(row)
+        while i < n:
+            j = i + 1
+            while j < n and j - i < 128 and row[j] == row[i]:
+                j += 1
+            if j - i >= 3:
+                out.append(257 - (j - i))
+                out.append(row[i])
+                i = j
+                continue
+            k = i
+            while k < n and k - i < 128:
+                if k + 2 < n and row[k] == row[k + 1] == row[k + 2]:
+                    break
+                k += 1
+            out.append(k - i - 1)
+            out += row[i:k]
+            i = k
+    return bytes(out)
+
+
 def _undo_horizontal_predictor(plane: np.ndarray) -> np.ndarray:
     """Predictor=2: each sample stores the difference from its left
     neighbor; invert with a wrapping cumulative sum along x (per sample
@@ -620,10 +679,11 @@ def decode_tiff(data: bytes):
             f"{bo}{off_fmt}", data[table_end - off_sz:table_end])
         comp = tags.get(_COMPRESSION, [1])[0]
         if comp not in (_COMPRESSION_NONE, _COMPRESSION_LZW,
-                        _COMPRESSION_DEFLATE, _COMPRESSION_DEFLATE_OLD):
+                        _COMPRESSION_DEFLATE, _COMPRESSION_DEFLATE_OLD,
+                        _COMPRESSION_PACKBITS):
             raise ValueError(f"unsupported TIFF compression {comp}; "
                              "supported: 1 (none), 5 (LZW), "
-                             "8/32946 (deflate)")
+                             "8/32946 (deflate), 32773 (PackBits)")
         if tags.get(_PLANAR_CONFIG, [1])[0] != 1:
             raise ValueError("only chunky (interleaved) planar config "
                              "is supported")
@@ -642,6 +702,8 @@ def decode_tiff(data: bytes):
                 return zlib.decompress(c)
             if comp == _COMPRESSION_LZW:
                 return lzw_decode(c)
+            if comp == _COMPRESSION_PACKBITS:
+                return packbits_decode(c)
             return c
 
         if _TILE_OFFSETS in tags:
@@ -839,6 +901,8 @@ def decompress_tiff_chunk(data: bytes, comp: int) -> bytes:
         return zlib.decompress(data)
     if comp == _COMPRESSION_LZW:
         return lzw_decode(data)
+    if comp == _COMPRESSION_PACKBITS:
+        return packbits_decode(data)
     if comp == _COMPRESSION_NONE:
         return data
     raise ValueError(f"unsupported TIFF compression {comp}")

@@ -889,3 +889,101 @@ def test_subifd_pyramid_levels(spark, tmp_path):
 
     with pytest.raises(IndexError, match="pyramid"):
         read_tiff_window(spark, str(p), level=2)
+
+
+# -- PackBits (Compression=32773) ------------------------------------------
+
+def test_packbits_spec_vector_pinned():
+    """The TIFF 6.0 §9 worked example, byte for byte in both directions."""
+    from bioio_spark.formats.tiff import packbits_decode, packbits_encode
+
+    unpacked = bytes.fromhex(
+        "AAAAAA80002AAAAAAAAA80002A22AAAAAAAAAAAAAAAAAAAA")
+    packed = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    assert packbits_encode(unpacked) == packed
+    assert packbits_decode(packed) == unpacked
+
+
+def test_packbits_decode_noop_header():
+    from bioio_spark.formats.tiff import packbits_decode
+
+    # 0x80 headers are skipped per spec
+    assert packbits_decode(bytes([0x80, 0x00, 0x41, 0x80])) == b"A"
+
+
+@pytest.mark.parametrize("payload", [
+    b"",
+    b"\x00" * 1000,                      # max-length replicate runs
+    bytes(range(256)),                   # pure literal
+    b"AB" * 200,                         # 2-cycles stay literal
+    np.random.default_rng(7).integers(0, 4, 5000,
+                                      dtype=np.uint8).tobytes(),
+])
+def test_packbits_roundtrip(payload):
+    from bioio_spark.formats.tiff import packbits_decode, packbits_encode
+
+    assert packbits_decode(packbits_encode(payload)) == payload
+    # runs restart at row boundaries but decode is row-agnostic
+    assert packbits_decode(packbits_encode(payload, row_bytes=37)) == payload
+
+
+def test_packbits_rows_never_cross():
+    """A replicate run spanning two rows must be emitted per-row."""
+    from bioio_spark.formats.tiff import packbits_encode
+
+    # 8 equal bytes, rows of 4 -> two independent 4-byte replicate runs
+    assert packbits_encode(b"\x55" * 8, row_bytes=4) == bytes(
+        [253, 0x55, 253, 0x55])
+
+
+@pytest.mark.parametrize("dtype", ["uint8", "uint16", "float32"])
+def test_codec_packbits_roundtrip(dtype):
+    from bioio_spark.formats.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(11)
+    if dtype == "float32":
+        planes = [rng.normal(size=(9, 7)).astype(dtype) for _ in range(3)]
+    else:
+        # low-cardinality data so RLE actually engages
+        planes = [rng.integers(0, 3, (9, 7)).astype(dtype)
+                  for _ in range(3)]
+    blob = encode_tiff(planes, compression=32773)
+    back, _ = decode_tiff(blob)
+    assert len(back) == 3
+    for a, b in zip(planes, back):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_codec_packbits_predictor_multisample():
+    from bioio_spark.formats.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(12)
+    planes = [np.cumsum(rng.integers(0, 2, (6, 5, 3)), axis=1)
+              .astype(np.uint16)]
+    blob = encode_tiff(planes, compression=32773, predictor=2)
+    back, _ = decode_tiff(blob)
+    np.testing.assert_array_equal(back[0], planes[0])
+
+
+def test_codec_packbits_shrinks_low_entropy():
+    from bioio_spark.formats.tiff import encode_tiff
+
+    flat = [np.zeros((64, 64), dtype=np.uint8)]
+    raw = len(encode_tiff(flat, compression=1))
+    packed = len(encode_tiff(flat, compression=32773))
+    assert packed < raw / 10
+
+
+def test_packbits_window_read(spark, tmp_path):
+    """decompress_tiff_chunk handles PackBits in the pruned-read path."""
+    from bioio_spark.formats.tiff import encode_tiff
+    from bioio_spark.sources.tiff_image import read_tiff_window
+
+    plane = np.arange(20 * 12, dtype=np.uint8).reshape(20, 12) % 5
+    p = tmp_path / "pb.tif"
+    p.write_bytes(encode_tiff([plane], compression=32773))
+    got = read_tiff_window(spark, str(p), y=(4, 9), x=(2, 6)).toPandas()
+    win = np.zeros((20, 12), dtype=np.uint8)
+    win[got["y"], got["x"]] = got["value"].astype(np.uint8)
+    np.testing.assert_array_equal(win[4:9, 2:6], plane[4:9, 2:6])
+    assert len(got) == 5 * 4
