@@ -362,10 +362,12 @@ def encode_ome_tiff(block: np.ndarray, image_id: str = "Image:0",
                     channel_names: Optional[Sequence[str]] = None,
                     physical_pixel_sizes=None,
                     compression: int = _COMPRESSION_NONE,
-                    bigtiff: bool = False) -> bytes:
+                    bigtiff: bool = False,
+                    predictor: int = 1) -> bytes:
     """Encode a dense 5D TCZYX (or 6D TCZYXS, interleaved-sample) block as
-    a single-scene OME-TIFF; compression 1 (none), 5 (LZW), 8 (deflate);
-    bigtiff for scenes past the classic 4 GB offset ceiling."""
+    a single-scene OME-TIFF; compression 1 (none), 5 (LZW), 8 (deflate),
+    32773 (PackBits); predictor 2 for horizontal differencing on integer
+    pixels; bigtiff for scenes past the classic 4 GB offset ceiling."""
     a = np.asarray(block)
     if a.ndim not in (5, 6):
         raise ValueError(
@@ -380,7 +382,7 @@ def encode_ome_tiff(block: np.ndarray, image_id: str = "Image:0",
     planes = [a[t, c, z]
               for t in range(t_n) for c in range(c_n) for z in range(z_n)]
     return encode_tiff(planes, description=ome, compression=compression,
-                       bigtiff=bigtiff)
+                       bigtiff=bigtiff, predictor=predictor)
 
 
 def encode_multiscene_ome_tiff(blocks: Sequence[np.ndarray],

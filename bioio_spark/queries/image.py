@@ -1064,6 +1064,57 @@ def img_ome_tiff_roundtrip_compressed(spark, sf_dir):
             .orderBy("c", "s"))
 
 
+@register(
+    "img_ome_tiff_roundtrip_packbits",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST((i // {2 * 2 * 4 * 5 * 3}) % 1 AS INTEGER) AS t,
+             CAST((i // {2 * 4 * 5 * 3}) % 2 AS INTEGER) AS c,
+             CAST((i // {4 * 5 * 3}) % 2 AS INTEGER) AS z,
+             CAST((i // {5 * 3}) % 4 AS INTEGER) AS y,
+             CAST((i // 3) % 5 AS INTEGER) AS x,
+             CAST(i % 3 AS INTEGER) AS s,
+             CAST(((i // {4 * 5 * 3}) % 2) * 7
+                  + ((i // {5 * 3}) % 4) % 3 AS DOUBLE) AS value
+      FROM range({1 * 2 * 2 * 4 * 5 * 3}) r(i))
+    SELECT z, s, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY z, s ORDER BY z, s
+    """,
+    doc="S10/S15 PackBits(32773)+predictor OME-TIFF save -> reread "
+        "roundtrip (TIFF 6.0 §9 RLE; low-cardinality data so runs engage)",
+)
+def img_ome_tiff_roundtrip_packbits(spark, sf_dir):
+    """PackBits save→reread, hash-checked. RLE-friendly payload
+    (values depend only on z and y%3, constant along x) so the strip
+    bytes actually contain replicate runs; predictor=2 layers the
+    horizontal-differencing path on top (ref bioio OmeTiffWriter
+    compression kwarg surface, writers/ome_tiff_writer.py)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.sources.tiff_image import TiffImageReader
+    from bioio_spark.writers import save_ome_tiff
+
+    idx = np.indices(_RTC_SHAPE)
+    block = (idx[2] * 7 + idx[3] % 3).astype(np.uint16)
+    img = BioImage(block, dim_order="TCZYXS", spark=spark)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "ome_roundtrip_packbits")
+    shutil.rmtree(out, ignore_errors=True)
+    save_ome_tiff(img, out, compression=32773, predictor=2)
+    back = BioImage(out, reader=TiffImageReader, spark=spark)
+    return (back.get_image_dataframe()
+            .groupBy("z", "s")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("z", "s"))
+
+
 # --------------------------------------------------------------------------
 # Complex pixel type end-to-end (SURVEY §1.2/§1.3: complex64 -> struct
 # <re,im>): a complex64 ArrayLike fixture through BioImage ingest and a

@@ -341,7 +341,8 @@ register_writer("JpegWriter", JpegWriter)
 
 
 def save_ome_tiff(img, uri: str, select_scenes=None,
-                  compression: int = 1, bigtiff: bool = False) -> list:
+                  compression: int = 1, bigtiff: bool = False,
+                  predictor: int = 1) -> list:
     """Distributed OME-TIFF export: one file per scene, encoded
     executor-side via applyInPandas (ref bio_image.py:1229-1301 semantics:
     scene order preserved, scene ids embedded in the OME-XML).
@@ -358,7 +359,9 @@ def save_ome_tiff(img, uri: str, select_scenes=None,
     which also assembles whole scenes. Returns the export report rows
     (scene_idx, scene, path, n_pages, n_bytes).
 
-    `compression` 1 writes raw strips, 8 Deflates each page (zlib).
+    `compression` 1 writes raw strips, 5 LZW-packs, 8 Deflates (zlib),
+    32773 PackBits-RLEs each page; `predictor` 2 applies horizontal
+    differencing before LZW/Deflate/PackBits (integer pixels only).
     Scenes with an S dim (TCZYXS standard order) encode as interleaved
     multi-sample pages.
     """
@@ -420,7 +423,7 @@ def save_ome_tiff(img, uri: str, select_scenes=None,
             block, image_id=generate_ome_image_id(idx),
             image_name=m["image_name"], channel_names=m["channel_names"],
             physical_pixel_sizes=m["pps"], compression=compression,
-            bigtiff=bigtiff)
+            bigtiff=bigtiff, predictor=predictor)
         path = os.path.join(uri, f"scene_{idx}.ome.tiff")
         with open(path, "wb") as f:
             f.write(payload)
