@@ -101,9 +101,13 @@ ZGROUP = json.dumps({"zarr_format": 2})
 
 def parse_zarr3_array(doc: str) -> dict:
     """Zarr v3 array `zarr.json` -> the same decode-info dict as
-    parse_zarray. Supported codec chains: [bytes] and [bytes, gzip]
-    (the v3 spec's required core codecs); chunk keys use the "default"
-    encoding ("c" prefix + "/" or "." separator)."""
+    parse_zarray. Supported codec chains: [bytes], [bytes, gzip], and
+    [sharding_indexed] wrapping either (the v3 spec's core codecs plus
+    the sharding storage transformer); chunk keys use the "default"
+    encoding ("c" prefix + "/" or "." separator). For sharded arrays
+    `chunks` is the SHARD shape (the stored-object granularity) and the
+    returned `shard` dict carries the inner chunk shape + index layout
+    for iter_decoded_blocks."""
     z = json.loads(doc)
     if z.get("zarr_format") != 3 or z.get("node_type") != "array":
         raise ValueError("not a zarr v3 array document")
@@ -113,6 +117,29 @@ def parse_zarr3_array(doc: str) -> dict:
     chunks = tuple(grid.get("configuration", {}).get("chunk_shape", ()))
     codecs = z.get("codecs") or [{"name": "bytes"}]
     names = [c.get("name") for c in codecs]
+    shard = None
+    if names == ["sharding_indexed"]:
+        # sharding: chunk_grid's chunk_shape is the SHARD (stored-object)
+        # shape; the codec's configuration carries the inner chunk shape
+        # and the inner codec chain the payloads are encoded with
+        cfg = codecs[0].get("configuration", {})
+        inner = tuple(cfg.get("chunk_shape", ()))
+        if len(inner) != len(chunks):
+            raise ValueError("sharding inner chunk rank != array rank")
+        _inner_grid_shape(chunks, inner)
+        idx_names = [c.get("name")
+                     for c in (cfg.get("index_codecs")
+                               or [{"name": "bytes"}, {"name": "crc32c"}])]
+        if idx_names not in (["bytes"], ["bytes", "crc32c"]):
+            raise ValueError(
+                f"unsupported shard index codecs {idx_names}")
+        shard = {
+            "inner_chunks": inner,
+            "crc": idx_names == ["bytes", "crc32c"],
+            "index_location": cfg.get("index_location", "end"),
+        }
+        codecs = cfg.get("codecs") or [{"name": "bytes"}]
+        names = [c.get("name") for c in codecs]
     endian = "little"
     compressor = None
     if names == ["bytes"]:
@@ -141,6 +168,7 @@ def parse_zarr3_array(doc: str) -> dict:
         "dimension_separator": sep,
         "key_prefix": "c",      # v3 "default" encoding chunk prefix
         "gzip_member": compressor == "zlib",
+        "shard": shard,
     }
 
 
@@ -153,6 +181,164 @@ def decode_chunk_v3(data: bytes, dtype, chunk_shape,
         raise ValueError(f"unsupported compressor {compressor!r}")
     return np.frombuffer(data, dtype=np.dtype(dtype)).reshape(
         tuple(chunk_shape))
+
+
+# -- Zarr v3 sharding_indexed codec ---------------------------------------
+#
+# The 100 TB lever of the v3 spec: a shard is ONE stored object packing a
+# grid of inner chunks plus a fixed-size byte-range index, so object count
+# scales with shard count while read granularity stays one inner chunk.
+# On an object store a windowed read is (1) one ranged GET for the index,
+# (2) one ranged GET per needed inner chunk — never the whole shard.
+# Index: for each inner chunk in C-order, (offset: uint64 LE, nbytes:
+# uint64 LE); 2^64-1 pairs mark missing (all-fill) chunks; the index is
+# itself encoded with index_codecs — bytes [+ crc32c] — and lives at
+# index_location "end" (default) or "start" of the shard.
+
+_MISSING = 0xFFFFFFFFFFFFFFFF
+
+_CRC32C_TABLE = None
+
+
+def crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, reflected poly 0x82F63B78) — the checksum of
+    the zarr v3 `crc32c` codec (also iSCSI/ext4). Table-driven; pinned
+    against the published check value crc32c(b'123456789')=0xE3069283."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        tbl = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            tbl.append(c)
+        _CRC32C_TABLE = tbl
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+def _inner_grid_shape(shard_shape: Sequence[int],
+                      inner: Sequence[int]) -> tuple[int, ...]:
+    for s, c in zip(shard_shape, inner):
+        if s % c:
+            raise ValueError(
+                f"shard shape {tuple(shard_shape)} not divisible by "
+                f"inner chunk shape {tuple(inner)}")
+    return tuple(s // c for s, c in zip(shard_shape, inner))
+
+
+def parse_shard_index(data: bytes, n_inner: int, crc: bool = True,
+                      index_location: str = "end") -> np.ndarray:
+    """Shard bytes -> (n_inner, 2) uint64 array of (offset, nbytes)
+    pairs in inner-grid C-order; verifies the crc32c footer when the
+    index_codecs chain declares one."""
+    isize = 16 * n_inner + (4 if crc else 0)
+    if len(data) < isize:
+        raise ValueError(
+            f"shard of {len(data)} bytes too small for its "
+            f"{isize}-byte index")
+    raw = data[-isize:] if index_location == "end" else data[:isize]
+    if crc:
+        (want,) = np.frombuffer(raw[-4:], dtype="<u4")
+        got = crc32c(raw[:-4])
+        if got != int(want):
+            raise ValueError(
+                f"shard index crc32c mismatch: {got:#x} != {int(want):#x}")
+        raw = raw[:-4]
+    return np.frombuffer(raw, dtype="<u8").reshape(n_inner, 2)
+
+
+def encode_shard(block: np.ndarray, inner: Sequence[int],
+                 compressor: Optional[str] = "zlib",
+                 crc: bool = True,
+                 index_location: str = "end") -> bytes:
+    """Encode one full-shape shard block: split into inner chunks
+    (C-order), encode each through the v3 inner chain (bytes [+ gzip]),
+    concatenate, and attach the byte-range index. All-fill_value(0) inner
+    chunks are elided with the 2^64-1 sentinel — the sparse-shard layout
+    readers must handle anyway."""
+    igrid = _inner_grid_shape(block.shape, inner)
+    n = int(np.prod(igrid))
+    index = np.full((n, 2), _MISSING, dtype="<u8")
+    payloads = []
+    isize = 16 * n + (4 if crc else 0)
+    pos = isize if index_location == "start" else 0
+    for li, gi in enumerate(np.ndindex(*igrid)):
+        sl = tuple(slice(g * c, (g + 1) * c) for g, c in zip(gi, inner))
+        sub = block[sl]
+        if not sub.any():
+            continue            # all-fill inner chunk: sentinel entry
+        enc = encode_chunk_v3(sub, compressor=compressor)
+        index[li] = (pos, len(enc))
+        payloads.append(enc)
+        pos += len(enc)
+    raw = index.tobytes()
+    if crc:
+        raw += np.array([crc32c(raw)], dtype="<u4").tobytes()
+    body = b"".join(payloads)
+    return raw + body if index_location == "start" else body + raw
+
+
+def iter_decoded_blocks(content: bytes, info: dict,
+                        grid: Sequence[int]):
+    """Decode ONE stored object -> (origin, block) pairs.
+
+    `info` is the decode-info dict of the owning array (shape, chunks,
+    dtype, compressor, gzip_member, optional `shard`, optional `window`);
+    `grid` the object's chunk-grid indices. Plain arrays yield a single
+    pair; sharded arrays yield one per present inner chunk, skipping
+    inner chunks outside `window` (axes-ordered [start, stop) bounds)
+    without decompressing them — the in-process analog of the ranged
+    GETs a windowed object-store read issues. Blocks are trimmed to the
+    array bounds (edge chunks are stored full-shape, fill-padded)."""
+    shape, chunks = info["shape"], info["chunks"]
+    window = info.get("window")
+
+    def trim(origin, block):
+        valid = tuple(min(c, s - o)
+                      for o, s, c in zip(origin, shape, block.shape))
+        return block[tuple(slice(0, v) for v in valid)]
+
+    def in_window(origin, bshape):
+        if window is None:
+            return True
+        return all(o < stop and o + c > start
+                   for o, c, (start, stop) in zip(origin, bshape, window))
+
+    shard = info.get("shard")
+    if not shard:
+        dec = decode_chunk_v3 if info.get("gzip_member") else decode_chunk
+        origin = tuple(g * c for g, c in zip(grid, chunks))
+        block = dec(content, info["dtype"], chunks, info["compressor"])
+        if in_window(origin, chunks):
+            yield origin, trim(origin, block)
+        return
+
+    inner = tuple(shard["inner_chunks"])
+    igrid = _inner_grid_shape(chunks, inner)
+    n = int(np.prod(igrid))
+    index = parse_shard_index(content, n,
+                              crc=shard.get("crc", True),
+                              index_location=shard.get("index_location",
+                                                       "end"))
+    shard_origin = tuple(g * c for g, c in zip(grid, chunks))
+    for li, gi in enumerate(np.ndindex(*igrid)):
+        off, nbytes = int(index[li, 0]), int(index[li, 1])
+        origin = tuple(so + g * c
+                       for so, g, c in zip(shard_origin, gi, inner))
+        if any(o >= s for o, s in zip(origin, shape)):
+            continue            # inner chunk wholly past the array edge
+        if not in_window(origin, inner):
+            continue            # pruned: its bytes are never inflated
+        if off == _MISSING:
+            block = np.zeros(inner, dtype=np.dtype(info["dtype"]))
+        else:
+            block = decode_chunk_v3(content[off:off + nbytes],
+                                    info["dtype"], inner,
+                                    info["compressor"])
+        yield origin, trim(origin, block)
 
 
 # -- OME-NGFF 0.4 attributes ----------------------------------------------
@@ -228,16 +414,33 @@ def build_zarr3_group(image_name: Optional[str],
 def build_zarr3_array(shape: Sequence[int], chunks: Sequence[int],
                       dtype: str | np.dtype,
                       compressor: Optional[str] = "zlib",
-                      fill_value=0) -> str:
+                      fill_value=0,
+                      shard_shape: Optional[Sequence[int]] = None) -> str:
     """Array `zarr.json` (Zarr v3): little-endian `bytes` codec plus an
     optional `gzip` compressor, regular chunk grid, default '/'-separated
-    chunk-key encoding — exactly the chain parse_zarr3_array accepts."""
+    chunk-key encoding — exactly the chain parse_zarr3_array accepts.
+
+    With `shard_shape` the codec chain becomes `sharding_indexed`:
+    chunk_grid = shard_shape (the stored-object grid), `chunks` the inner
+    chunk shape, index bytes+crc32c at the shard end — the layout
+    zarr-python 3 writes."""
     codecs: list = [{"name": "bytes",
                      "configuration": {"endian": "little"}}]
     if compressor == "zlib":
         codecs.append({"name": "gzip", "configuration": {"level": 1}})
     elif compressor is not None:
         raise ValueError(f"unsupported compressor {compressor!r}")
+    if shard_shape is not None:
+        _inner_grid_shape(shard_shape, chunks)
+        codecs = [{"name": "sharding_indexed", "configuration": {
+            "chunk_shape": [int(c) for c in chunks],
+            "codecs": codecs,
+            "index_codecs": [{"name": "bytes",
+                              "configuration": {"endian": "little"}},
+                             {"name": "crc32c"}],
+            "index_location": "end",
+        }}]
+        chunks = shard_shape
     return json.dumps({
         "zarr_format": 3, "node_type": "array",
         "shape": [int(s) for s in shape],

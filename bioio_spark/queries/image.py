@@ -1335,6 +1335,60 @@ def img_ome_zarr_roundtrip_v3(spark, sf_dir):
             .orderBy("c", "x"))
 
 
+@register(
+    "img_ome_zarr_roundtrip_sharded",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {2 * 3 * 5 * 6} AS INTEGER) AS t,
+             CAST((i // {3 * 5 * 6}) % 2 AS INTEGER) AS c,
+             CAST((i // {5 * 6}) % 3 AS INTEGER) AS z,
+             CAST((i // 6) % 5 AS INTEGER) AS y,
+             CAST(i % 6 AS INTEGER) AS x,
+             CAST((i // {2 * 3 * 5 * 6}) * 100000
+                  + ((i // {3 * 5 * 6}) % 2) * 10000
+                  + ((i // {5 * 6}) % 3) * 1000
+                  + ((i // 6) % 5) * 10 + (i % 6) AS DOUBLE) AS value
+      FROM range({2 * 2 * 3 * 5 * 6}) r(i))
+    SELECT z, y, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY z, y ORDER BY z, y
+    """,
+    doc="Zarr v3 sharding_indexed save -> reread roundtrip (inner-chunk "
+        "index + crc32c; the 100 TB object-count layout of NGFF 0.5)",
+)
+def img_ome_zarr_roundtrip_sharded(spark, sf_dir):
+    """Sharded NGFF 0.5 roundtrip: shards (1,2,3,5,6) over inner chunks
+    (1,1,1,5,3) — 2 t-shards per scene, each packing 2*3*2 = 12 inner
+    chunks behind one bytes+crc32c byte-range index. The read side
+    (decode_zarr_chunks -> iter_decoded_blocks) decodes per inner chunk,
+    so a hash match pins the whole index/offset/crc chain."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.sources.zarr_image import ZarrImageReader
+    from bioio_spark.writers import save_ome_zarr
+
+    idx = np.indices(_RTZ_SHAPE)
+    block = (idx[0] * 100000 + idx[1] * 10000 + idx[2] * 1000
+             + idx[3] * 10 + idx[4]).astype(np.uint32)
+    img = BioImage(block, spark=spark)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "zarr_roundtrip_sharded")
+    shutil.rmtree(out, ignore_errors=True)
+    save_ome_zarr(img, out, chunks=(1, 1, 1, 5, 3),
+                  shards=(1, 2, 3, 5, 6), ngff_version="0.5")
+    back = BioImage(out, reader=ZarrImageReader, spark=spark)
+    return (back.get_image_dataframe()
+            .groupBy("z", "y")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("z", "y"))
+
+
 # --------------------------------------------------------------------------
 # bioio_tiff DataSource scan with Catalyst-pushed page/strip pruning —
 # the TIFF twin of img_zarr_source_pushdown: the optimizer's pushFilters

@@ -193,6 +193,7 @@ class ZarrImageReader:
                 "compressor": za["compressor"],
                 "key_prefix": za.get("key_prefix"),
                 "gzip_member": za.get("gzip_member", False),
+                "shard": za.get("shard"),
             }
             for lv, ld, lza in extra_levels:
                 arrays[os.path.abspath(ld)] = {
@@ -202,6 +203,7 @@ class ZarrImageReader:
                     "compressor": lza["compressor"],
                     "key_prefix": lza.get("key_prefix"),
                     "gzip_member": lza.get("gzip_member", False),
+                    "shard": lza.get("shard"),
                 }
 
         px = decode_zarr_chunks(spark, arrays).select(
@@ -227,7 +229,7 @@ def decode_zarr_chunks(spark: SparkSession,
     from bioio_spark.sources.tiff_image import local_path
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from bioio_spark.formats.zarr import decode_chunk, decode_chunk_v3
+        from bioio_spark.formats.zarr import iter_decoded_blocks
 
         for pdf in it:
             for path, content in zip(pdf["path"], pdf["content"]):
@@ -251,35 +253,26 @@ def decode_zarr_chunks(spark: SparkSession,
                 if info.get("key_prefix") and parts[0] == info["key_prefix"]:
                     parts = parts[1:]
                 grid = [int(p) for p in parts]
-                shape, chunks = info["shape"], info["chunks"]
-                if len(grid) != len(shape):
+                if len(grid) != len(info["shape"]):
                     raise ValueError(
                         f"{rel}: chunk key rank {len(grid)} vs array "
-                        f"rank {len(shape)}")
-                if info.get("gzip_member"):
-                    block = decode_chunk_v3(bytes(content), info["dtype"],
-                                            chunks, info["compressor"])
-                else:
-                    block = decode_chunk(bytes(content), info["dtype"],
-                                         chunks, info["compressor"])
-                # trim fill padding on edge chunks
-                valid = tuple(
-                    min(c, s - g * c)
-                    for g, s, c in zip(grid, shape, chunks))
-                block = block[tuple(slice(0, v) for v in valid)]
-                coords = {d: np.zeros(block.size, dtype=np.int32)
-                          for d in "tczyx"}
-                idx = np.indices(valid, dtype=np.int32)
-                for ai, d in enumerate(info["axes"]):
-                    coords[d] = (idx[ai].ravel()
-                                 + np.int32(grid[ai] * chunks[ai]))
-                yield pd.DataFrame({
-                    "scene": info["scene"],
-                    "res_level": np.int32(info.get("res_level", 0)),
-                    "t": coords["t"], "c": coords["c"],
-                    "z": coords["z"], "y": coords["y"], "x": coords["x"],
-                    "value": block.ravel().astype(np.float64),
-                })
+                        f"rank {len(info['shape'])}")
+                for origin, block in iter_decoded_blocks(
+                        bytes(content), info, grid):
+                    coords = {d: np.zeros(block.size, dtype=np.int32)
+                              for d in "tczyx"}
+                    idx = np.indices(block.shape, dtype=np.int32)
+                    for ai, d in enumerate(info["axes"]):
+                        coords[d] = (idx[ai].ravel()
+                                     + np.int32(origin[ai]))
+                    yield pd.DataFrame({
+                        "scene": info["scene"],
+                        "res_level": np.int32(info.get("res_level", 0)),
+                        "t": coords["t"], "c": coords["c"],
+                        "z": coords["z"], "y": coords["y"],
+                        "x": coords["x"],
+                        "value": block.ravel().astype(np.float64),
+                    })
 
     paths = ([f"file://{os.path.abspath(f)}" for f in files]
              if files is not None else [f"file://{d}" for d in arrays])
@@ -378,11 +371,12 @@ def read_zarr_planes(spark: SparkSession, store: str,
         "compressor": za["compressor"],
         "key_prefix": za.get("key_prefix"),
         "gzip_member": za.get("gzip_member", False),
+        "shard": za.get("shard"),
     }
     arr_abs = os.path.abspath(arr_dir)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from bioio_spark.formats.zarr import decode_chunk, decode_chunk_v3
+        from bioio_spark.formats.zarr import iter_decoded_blocks
 
         for pdf in it:
             for path, content in zip(pdf["path"], pdf["content"]):
@@ -394,44 +388,41 @@ def read_zarr_planes(spark: SparkSession, store: str,
                 if info["key_prefix"] and parts[0] == info["key_prefix"]:
                     parts = parts[1:]
                 grid = [int(p) for p in parts]
-                shape, chunks = info["shape"], info["chunks"]
-                dec = decode_chunk_v3 if info["gzip_member"] else \
-                    decode_chunk
-                block = dec(bytes(content), info["dtype"], chunks,
-                            info["compressor"])
-                valid = tuple(min(c, s - g * c)
-                              for g, s, c in zip(grid, shape, chunks))
-                block = block[tuple(slice(0, v) for v in valid)]
                 # axes -> tczyx positions; leading dims iterate, trailing
                 # (y, x) become the tile payload
                 pos = {d: i for i, d in enumerate(info["axes"])}
                 if "y" not in pos or "x" not in pos:
                     raise ValueError("planes read needs y and x axes")
                 lead_axes = [d for d in info["axes"] if d not in "yx"]
-                off = {d: grid[pos[d]] * chunks[pos[d]]
-                       for d in info["axes"]}
-                h, w = (valid[pos["y"]], valid[pos["x"]])
                 rows: dict = {k: [] for k in
-                              ("t", "c", "z", "y0", "x0", "values")}
-                lead_shape = tuple(valid[pos[d]] for d in lead_axes)
-                for lead in np.ndindex(*lead_shape) if lead_shape \
-                        else [()]:
-                    idx = [0] * len(info["axes"])
-                    for d, v in zip(lead_axes, lead):
-                        idx[pos[d]] = v
-                    sl = tuple(
-                        slice(None) if d in "yx" else idx[pos[d]]
-                        for d in info["axes"])
-                    coords = {d: off.get(d, 0) for d in "tcz"}
-                    for d, v in zip(lead_axes, lead):
-                        coords[d] = off[d] + v
-                    rows["t"].append(coords.get("t", 0))
-                    rows["c"].append(coords.get("c", 0))
-                    rows["z"].append(coords.get("z", 0))
-                    rows["y0"].append(off["y"])
-                    rows["x0"].append(off["x"])
-                    rows["values"].append(
-                        block[sl].astype(np.float64).ravel())
+                              ("t", "c", "z", "y0", "x0", "h", "w",
+                               "values")}
+                for origin, block in iter_decoded_blocks(
+                        bytes(content), info, grid):
+                    off = {d: origin[pos[d]] for d in info["axes"]}
+                    h, w = (block.shape[pos["y"]], block.shape[pos["x"]])
+                    lead_shape = tuple(block.shape[pos[d]]
+                                       for d in lead_axes)
+                    for lead in np.ndindex(*lead_shape) if lead_shape \
+                            else [()]:
+                        idx = [0] * len(info["axes"])
+                        for d, v in zip(lead_axes, lead):
+                            idx[pos[d]] = v
+                        sl = tuple(
+                            slice(None) if d in "yx" else idx[pos[d]]
+                            for d in info["axes"])
+                        coords = {d: off.get(d, 0) for d in "tcz"}
+                        for d, v in zip(lead_axes, lead):
+                            coords[d] = off[d] + v
+                        rows["t"].append(coords.get("t", 0))
+                        rows["c"].append(coords.get("c", 0))
+                        rows["z"].append(coords.get("z", 0))
+                        rows["y0"].append(off["y"])
+                        rows["x0"].append(off["x"])
+                        rows["h"].append(h)
+                        rows["w"].append(w)
+                        rows["values"].append(
+                            block[sl].astype(np.float64).ravel())
                 n = len(rows["t"])
                 yield pd.DataFrame({
                     "image_id": [image_id] * n,
@@ -445,8 +436,8 @@ def read_zarr_planes(spark: SparkSession, store: str,
                     "s": np.full(n, -1, np.int32),
                     "y0": np.asarray(rows["y0"], np.int32),
                     "x0": np.asarray(rows["x0"], np.int32),
-                    "h": np.full(n, h, np.int32),
-                    "w": np.full(n, w, np.int32),
+                    "h": np.asarray(rows["h"], np.int32),
+                    "w": np.asarray(rows["w"], np.int32),
                     "values": rows["values"],
                 })
 
@@ -497,6 +488,10 @@ def read_zarr_window(spark: SparkSession, store: str,
         "compressor": za["compressor"],
         "key_prefix": prefix,
         "gzip_member": za.get("gzip_member", False),
+        "shard": za.get("shard"),
+        # inner-chunk pruning inside shards: decode only inner chunks
+        # intersecting the window (the local analog of ranged GETs)
+        "window": [tuple(w) for w in window],
     }}
     schema = ("scene string, res_level int, t int, c int, z int, y int, "
               "x int, value double")

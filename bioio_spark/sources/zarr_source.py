@@ -57,6 +57,8 @@ class ChunkPartition(InputPartition):
     compressor: object
     gzip_member: bool = False
     res_level: int = 0
+    shard: object = None        # sharding_indexed inner-chunk layout
+    window: object = None       # filter-derived bounds for inner pruning
 
 
 class BioioZarrReader(DataSourceReader):
@@ -158,37 +160,66 @@ class BioioZarrReader(DataSourceReader):
                     axes=axes, dtype=np.dtype(za["dtype"]).str,
                     compressor=za["compressor"],
                     gzip_member=za.get("gzip_member", False),
-                    res_level=arr["level"]))
+                    res_level=arr["level"],
+                    shard=za.get("shard"),
+                    window=self._axis_bounds(axes, shape)))
         return parts
+
+    def _axis_bounds(self, axes: str, shape) -> list:
+        """Per-axis [lo, hi) bounds implied by the pushed range filters —
+        the inner-chunk pruning input for sharded arrays (a shard that
+        intersects the window may still contain inner chunks that do
+        not; those are skipped without decompression)."""
+        bounds = []
+        for ai, d in enumerate(axes):
+            lo, hi = 0, int(shape[ai])
+            for f in self._filters:
+                if f.attribute[0] != d:
+                    continue
+                if isinstance(f, EqualTo):
+                    lo, hi = max(lo, f.value), min(hi, f.value + 1)
+                elif isinstance(f, In):
+                    lo = max(lo, min(f.value))
+                    hi = min(hi, max(f.value) + 1)
+                elif isinstance(f, GreaterThan):
+                    lo = max(lo, f.value + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    lo = max(lo, f.value)
+                elif isinstance(f, LessThan):
+                    hi = min(hi, f.value)
+                elif isinstance(f, LessThanOrEqual):
+                    hi = min(hi, f.value + 1)
+            bounds.append((lo, hi))
+        return bounds
 
     # -- executor-side chunk decode --------------------------------------
     def read(self, partition: ChunkPartition):
         import pyarrow as pa
 
-        from bioio_spark.formats.zarr import decode_chunk, decode_chunk_v3
+        from bioio_spark.formats.zarr import iter_decoded_blocks
 
         p = partition
         with open(p.path, "rb") as f:
             data = f.read()
-        dec = decode_chunk_v3 if p.gzip_member else decode_chunk
-        block = dec(data, p.dtype, p.chunks, p.compressor)
-        valid = tuple(min(c, s - g * c)
-                      for g, s, c in zip(p.grid, p.shape, p.chunks))
-        block = block[tuple(slice(0, v) for v in valid)]
-        coords = {d: np.zeros(block.size, dtype=np.int32) for d in "tczyx"}
-        idx = np.indices(valid, dtype=np.int32)
-        for ai, d in enumerate(p.axes):
-            coords[d] = (idx[ai].ravel()
-                         + np.int32(p.grid[ai] * p.chunks[ai]))
-        n = block.size
-        yield pa.record_batch([
-            pa.array([p.scene] * n, type=pa.string()),
-            pa.array(np.full(n, p.res_level, dtype=np.int32)),
-            pa.array(coords["t"]), pa.array(coords["c"]),
-            pa.array(coords["z"]), pa.array(coords["y"]),
-            pa.array(coords["x"]),
-            pa.array(block.ravel().astype(np.float64)),
-        ], names=["scene", "res_level", "t", "c", "z", "y", "x", "value"])
+        info = {"shape": p.shape, "chunks": p.chunks, "dtype": p.dtype,
+                "compressor": p.compressor, "gzip_member": p.gzip_member,
+                "shard": p.shard, "window": p.window}
+        for origin, block in iter_decoded_blocks(data, info, p.grid):
+            coords = {d: np.zeros(block.size, dtype=np.int32)
+                      for d in "tczyx"}
+            idx = np.indices(block.shape, dtype=np.int32)
+            for ai, d in enumerate(p.axes):
+                coords[d] = idx[ai].ravel() + np.int32(origin[ai])
+            n = block.size
+            yield pa.record_batch([
+                pa.array([p.scene] * n, type=pa.string()),
+                pa.array(np.full(n, p.res_level, dtype=np.int32)),
+                pa.array(coords["t"]), pa.array(coords["c"]),
+                pa.array(coords["z"]), pa.array(coords["y"]),
+                pa.array(coords["x"]),
+                pa.array(block.ravel().astype(np.float64)),
+            ], names=["scene", "res_level", "t", "c", "z", "y", "x",
+                      "value"])
 
 
 class BioioZarrDataSource(DataSource):

@@ -469,3 +469,139 @@ def test_save_ome_zarr_v3_ngff05_roundtrip(spark, tmp_path):
 
     with pytest.raises(ValueError, match="NGFF version"):
         save_ome_zarr(img, str(tmp_path / "bad"), ngff_version="0.6")
+
+
+# -- Zarr v3 sharding_indexed ----------------------------------------------
+
+def test_crc32c_pinned():
+    """Published CRC-32C check value + empty-input identity."""
+    from bioio_spark.formats.zarr import crc32c
+
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+
+
+def test_shard_encode_parse_index():
+    from bioio_spark.formats.zarr import encode_shard, parse_shard_index
+
+    rng = np.random.default_rng(3)
+    block = rng.integers(1, 100, (4, 6)).astype(np.uint16)
+    block[0:2, 0:3] = 0          # all-fill inner chunk -> elided
+    data = encode_shard(block, (2, 3), compressor="zlib")
+    idx = parse_shard_index(data, 4)
+    assert idx.shape == (4, 2)
+    missing = 0xFFFFFFFFFFFFFFFF
+    assert tuple(idx[0]) == (missing, missing)
+    assert all(int(idx[i, 0]) != missing for i in (1, 2, 3))
+    # offsets are contiguous ascending within the body
+    assert int(idx[1, 0]) == 0
+    assert int(idx[2, 0]) == int(idx[1, 0]) + int(idx[1, 1])
+
+
+def test_shard_index_crc_guard():
+    from bioio_spark.formats.zarr import encode_shard, parse_shard_index
+
+    data = bytearray(encode_shard(np.ones((2, 2), np.uint8), (1, 2)))
+    data[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="crc32c"):
+        parse_shard_index(bytes(data), 2)
+
+
+@pytest.mark.parametrize("crc,loc", [(True, "end"), (False, "start")])
+def test_shard_block_roundtrip(crc, loc):
+    from bioio_spark.formats.zarr import encode_shard, iter_decoded_blocks
+
+    rng = np.random.default_rng(5)
+    block = rng.integers(0, 9, (4, 6, 8)).astype(np.int32)
+    data = encode_shard(block, (2, 3, 4), compressor="zlib",
+                        crc=crc, index_location=loc)
+    info = {"shape": (4, 6, 8), "chunks": (4, 6, 8), "dtype": "<i4",
+            "compressor": "zlib", "gzip_member": True,
+            "shard": {"inner_chunks": (2, 3, 4), "crc": crc,
+                      "index_location": loc}}
+    out = np.full((4, 6, 8), -1, np.int32)
+    for origin, b in iter_decoded_blocks(data, info, (0, 0, 0)):
+        sl = tuple(slice(o, o + n) for o, n in zip(origin, b.shape))
+        out[sl] = b
+    np.testing.assert_array_equal(out, block)
+
+
+def test_shard_window_prunes_inner_chunks():
+    """Inner chunks outside the window are never inflated (their index
+    entries are skipped), and edge-overhanging inner chunks trim."""
+    from bioio_spark.formats.zarr import encode_shard, iter_decoded_blocks
+
+    block = np.zeros((4, 6), np.uint8)
+    block[:] = np.arange(6)[None, :] + 1
+    data = encode_shard(block, (2, 3), compressor=None)
+    info = {"shape": (3, 6), "chunks": (4, 6), "dtype": "|u1",
+            "compressor": None, "gzip_member": False,
+            "shard": {"inner_chunks": (2, 3), "crc": True,
+                      "index_location": "end"},
+            "window": [(0, 2), (3, 6)]}
+    got = list(iter_decoded_blocks(data, info, (0, 0)))
+    assert [o for o, _ in got] == [(0, 3)]
+    np.testing.assert_array_equal(got[0][1], block[0:2, 3:6])
+    # rows 2.. of the shard trim to the 3-row array: window over row 2
+    info["window"] = [(2, 3), (0, 6)]
+    got = list(iter_decoded_blocks(data, info, (0, 0)))
+    assert sorted(o for o, _ in got) == [(2, 0), (2, 3)]
+    assert all(b.shape == (1, 3) for _, b in got)
+
+
+def test_zarr3_array_doc_sharded_roundtrip():
+    from bioio_spark.formats.zarr import build_zarr3_array, parse_zarr3_array
+
+    doc = build_zarr3_array((8, 12), (2, 3), "uint16", shard_shape=(4, 6))
+    d = json.loads(doc)
+    assert d["codecs"][0]["name"] == "sharding_indexed"
+    assert d["chunk_grid"]["configuration"]["chunk_shape"] == [4, 6]
+    za = parse_zarr3_array(doc)
+    assert za["chunks"] == (4, 6)            # stored-object granularity
+    assert za["shard"]["inner_chunks"] == (2, 3)
+    assert za["shard"]["crc"] and za["shard"]["index_location"] == "end"
+    with pytest.raises(ValueError, match="divisible"):
+        build_zarr3_array((8, 12), (3, 3), "uint16", shard_shape=(4, 6))
+
+
+def test_save_ome_zarr_sharded_roundtrip(spark, tmp_path):
+    """NGFF 0.5 sharded save -> BioImage read, window read, and the
+    stored-object count: shards, not chunks."""
+    import shutil
+
+    from bioio_spark import BioImage
+    from bioio_spark.sources.zarr_image import (ZarrImageReader,
+                                                read_zarr_window)
+    from bioio_spark.writers import save_ome_zarr
+
+    idx = np.indices((2, 2, 2, 8, 12))
+    block = (idx[0] * 10000 + idx[1] * 1000 + idx[2] * 100
+             + idx[3] * 10 + idx[4]).astype(np.uint32)
+    out = str(tmp_path / "sharded")
+    rep = save_ome_zarr(BioImage(block, spark=spark), out,
+                        chunks=(1, 1, 1, 4, 4), shards=(2, 2, 2, 8, 8),
+                        ngff_version="0.5")
+    store = os.path.join(out, "scene_0.zarr")
+    objs = [f for r, _, fs in os.walk(os.path.join(store, "0", "c"))
+            for f in fs]
+    assert len(objs) == 2                    # 12/8 -> 2 x-shards
+    assert rep[0]["n_chunks"] == 2
+    back = BioImage(store, reader=ZarrImageReader, spark=spark)
+    np.testing.assert_array_equal(
+        back.get_image_data("TCZYX").astype(np.uint32), block)
+    w = read_zarr_window(spark, store, t=1, c=0, z=(0, 2),
+                         y=(2, 6), x=(3, 9)).toPandas()
+    exp = block[1, 0, 0:2, 2:6, 3:9]
+    win = np.zeros_like(exp)
+    win[w["z"], w["y"] - 2, w["x"] - 3] = w["value"].astype(np.uint32)
+    np.testing.assert_array_equal(win, exp)
+
+
+def test_save_ome_zarr_sharded_requires_v3(spark):
+    from bioio_spark import BioImage
+    from bioio_spark.writers import save_ome_zarr
+
+    with pytest.raises(ValueError, match="0.5"):
+        save_ome_zarr(BioImage(np.zeros((1, 1, 1, 4, 4)), spark=spark),
+                      "/tmp/never", shards=(1, 1, 1, 4, 4),
+                      ngff_version="0.4")
