@@ -71,6 +71,18 @@ def _register_builtin_plugins() -> None:
         version=__version__,
     ))
 
+    from bioio_spark.sources.tiff_glob import TiffGlobReader
+
+    # no extensions: glob patterns aren't routable by suffix — like the
+    # reference's bioio-tiff-glob, callers select it with reader=
+    register_plugin(PluginEntry(
+        name="bioio-tiff-glob-baseline",
+        reader=TiffGlobReader,
+        extensions=[],
+        is_supported_image=TiffGlobReader.is_supported_image,
+        version=__version__,
+    ))
+
 
 _register_builtin_plugins()
 

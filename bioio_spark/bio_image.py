@@ -54,6 +54,7 @@ class BioImage:
         reconstruct_mosaic: bool = True,
         spark: Optional[SparkSession] = None,
         image_id: str = "img",
+        **reader_kwargs,
     ):
         from bioio_spark.session import get_session
 
@@ -65,12 +66,16 @@ class BioImage:
             self._reader = None
         else:
             reader_cls = reader or _route(image)
+            # extra kwargs forward to the reader, the reference's
+            # plugin-specific passthrough (ref bio_image.py:105-119:
+            # chunk_dims and co reach the selected Reader)
             self._reader = reader_cls(
                 image,
                 dim_order=dim_order,
                 channel_names=channel_names,
                 physical_pixel_sizes=physical_pixel_sizes,
                 image_id=image_id,
+                **reader_kwargs,
             )
             self._dataset = self._reader.to_dataset(self._spark)
 

@@ -1336,6 +1336,64 @@ def img_ome_zarr_roundtrip_v3(spark, sf_dir):
 
 
 @register(
+    "img_tiff_glob_series",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {2 * 3 * 4 * 5} AS INTEGER) AS t,
+             CAST((i // {3 * 4 * 5}) % 2 AS INTEGER) AS c,
+             CAST((i // {4 * 5}) % 3 AS INTEGER) AS z,
+             CAST((i // 5) % 4 AS INTEGER) AS y,
+             CAST(i % 5 AS INTEGER) AS x,
+             CAST((i // {2 * 3 * 4 * 5}) * 10000
+                  + ((i // {3 * 4 * 5}) % 2) * 1000
+                  + ((i // {4 * 5}) % 3) * 100
+                  + ((i // 5) % 4) * 10 + (i % 5) AS DOUBLE) AS value
+      FROM range({2 * 2 * 3 * 4 * 5}) r(i))
+    SELECT t, z, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY t, z ORDER BY t, z
+    """,
+    doc="TIFF glob series (bioio-tiff-glob tier): filename-indexed "
+        "single-plane files assembled into TCZYX stacks, one file per "
+        "task off the binaryFile scan",
+)
+def img_tiff_glob_series(spark, sf_dir):
+    """Write a t{t}_c{c}_z{z} single-plane series into .scratch, read it
+    back through TiffGlobReader (default last-four-integers indexer),
+    aggregate per (t, z). Ref README.md:69 (bioio-tiff-glob)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.tiff import encode_tiff
+    from bioio_spark.sources.tiff_glob import TiffGlobReader
+
+    idx = np.indices((2, 2, 3, 4, 5))
+    block = (idx[0] * 10000 + idx[1] * 1000 + idx[2] * 100
+             + idx[3] * 10 + idx[4]).astype(np.uint16)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "tiff_glob_series")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    for t in range(2):
+        for c in range(2):
+            for z in range(3):
+                with open(os.path.join(
+                        out, f"acq_t{t}_c{c}_z{z}.tif"), "wb") as f:
+                    f.write(encode_tiff([block[t, c, z]]))
+    img = BioImage(os.path.join(out, "acq_*.tif"),
+                   reader=TiffGlobReader, spark=spark)
+    return (img.get_image_dataframe()
+            .groupBy("t", "z")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("t", "z"))
+
+
+@register(
     "img_ome_zarr_roundtrip_sharded",
     oracle=f"""
     WITH px AS (
