@@ -71,6 +71,16 @@ def _register_builtin_plugins() -> None:
         version=__version__,
     ))
 
+    from bioio_spark.sources.dv_image import DvImageReader
+
+    register_plugin(PluginEntry(
+        name="bioio-dv-baseline",
+        reader=DvImageReader,
+        extensions=[".dv", ".r3d"],
+        is_supported_image=DvImageReader.is_supported_image,
+        version=__version__,
+    ))
+
     from bioio_spark.sources.tiff_glob import TiffGlobReader
 
     # no extensions: glob patterns aren't routable by suffix — like the

@@ -1336,6 +1336,60 @@ def img_ome_zarr_roundtrip_v3(spark, sf_dir):
 
 
 @register(
+    "img_dv_roundtrip",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {3 * 4 * 5 * 6} AS INTEGER) AS t,
+             CAST((i // {4 * 5 * 6}) % 3 AS INTEGER) AS c,
+             CAST((i // {5 * 6}) % 4 AS INTEGER) AS z,
+             CAST((i // 6) % 5 AS INTEGER) AS y,
+             CAST(i % 6 AS INTEGER) AS x,
+             CAST((i // {3 * 4 * 5 * 6}) * 10000
+                  + ((i // {4 * 5 * 6}) % 3) * 1000
+                  + ((i // {5 * 6}) % 4) * 100
+                  + ((i // 6) % 5) * 10 + (i % 6) AS DOUBLE) AS value
+      FROM range({2 * 3 * 4 * 5 * 6}) r(i))
+    SELECT t, c, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY t, c ORDER BY t, c
+    """,
+    doc="DeltaVision .dv encode -> BioImage reread (bioio-dv tier: MRC "
+        "header, WZT section order, per-section seek-planned read)",
+)
+def img_dv_roundtrip(spark, sf_dir):
+    """DV roundtrip through the non-default WZT section order, so the
+    hash pins the ImgSequence offset arithmetic, wavelength->channel
+    mapping, and the planned per-section reads. Ref README.md:60
+    (bioio-dv)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.dv import encode_dv
+
+    idx = np.indices((2, 3, 4, 5, 6))
+    block = (idx[0] * 10000 + idx[1] * 1000 + idx[2] * 100
+             + idx[3] * 10 + idx[4]).astype(np.uint16)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "dv_roundtrip")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    path = os.path.join(out, "cells.dv")
+    with open(path, "wb") as f:
+        f.write(encode_dv(block, pixel_sizes=(0.3, 0.1, 0.1),
+                          waves=[435, 525, 595], img_sequence=1))
+    img = BioImage(path, spark=spark)       # .dv extension routing
+    return (img.get_image_dataframe()
+            .groupBy("t", "c")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("t", "c"))
+
+
+@register(
     "img_tiff_glob_series",
     oracle=f"""
     WITH px AS (
