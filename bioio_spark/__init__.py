@@ -71,6 +71,16 @@ def _register_builtin_plugins() -> None:
         version=__version__,
     ))
 
+    from bioio_spark.sources.sldy_image import SldyImageReader
+
+    register_plugin(PluginEntry(
+        name="bioio-sldy-baseline",
+        reader=SldyImageReader,
+        extensions=[".sldy", ".dir"],
+        is_supported_image=SldyImageReader.is_supported_image,
+        version=__version__,
+    ))
+
     from bioio_spark.sources.dv_image import DvImageReader
 
     register_plugin(PluginEntry(

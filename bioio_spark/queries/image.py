@@ -1336,6 +1336,61 @@ def img_ome_zarr_roundtrip_v3(spark, sf_dir):
 
 
 @register(
+    "img_sldy_roundtrip",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {2 * 3 * 4 * 5} AS INTEGER) AS t,
+             CAST((i // {3 * 4 * 5}) % 2 AS INTEGER) AS c,
+             CAST((i // {4 * 5}) % 3 AS INTEGER) AS z,
+             CAST((i // 5) % 4 AS INTEGER) AS y,
+             CAST(i % 5 AS INTEGER) AS x,
+             CAST((i // {2 * 3 * 4 * 5}) * 10000
+                  + ((i // {3 * 4 * 5}) % 2) * 1000
+                  + ((i // {4 * 5}) % 3) * 100
+                  + ((i // 5) % 4) * 10 + (i % 5) AS DOUBLE) AS value
+      FROM range({2 * 2 * 3 * 4 * 5}) r(i))
+    SELECT c, y, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY c, y ORDER BY c, y
+    """,
+    doc="SlideBook .sldy npy-directory read (bioio-sldy tier: per-(T,C) "
+        "npy ZYX stacks + yaml records, one npy per task)",
+)
+def img_sldy_roundtrip(spark, sf_dir):
+    """Write a SlideBook-style npy export into .scratch, read it back
+    through the extension-routed SldyImageReader, aggregate per (c, y).
+    Ref README.md:67 (bioio-sldy)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+
+    idx = np.indices((2, 2, 3, 4, 5))
+    block = (idx[0] * 10000 + idx[1] * 1000 + idx[2] * 100
+             + idx[3] * 10 + idx[4]).astype(np.uint16)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "sldy_roundtrip",
+        "capture.sldy")
+    shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    os.makedirs(os.path.join(out, "ImageData"))
+    for t in range(2):
+        for c in range(2):
+            np.save(os.path.join(out, "ImageData", f"T{t}_C{c}.npy"),
+                    block[t, c])
+    with open(os.path.join(out, "ImageRecord.yaml"), "w") as f:
+        f.write("name: capture\nmicrons_per_pixel: 0.16\n")
+    img = BioImage(out, spark=spark)        # .sldy extension routing
+    return (img.get_image_dataframe()
+            .groupBy("c", "y")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("c", "y"))
+
+
+@register(
     "img_dv_roundtrip",
     oracle=f"""
     WITH px AS (

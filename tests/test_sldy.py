@@ -1,0 +1,113 @@
+"""SlideBook (.sldy/.dir) npy-directory reader — the reference's
+bioio-sldy plugin tier (ref README.md:67)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from bioio_spark import BioImage
+from bioio_spark.sources.sldy_image import (SldyImageReader,
+                                            parse_flat_yaml,
+                                            read_npy_header)
+
+
+def _export(tmp_path, block, name="capture.sldy", yaml=True):
+    """Write a TCZYX block as a SlideBook-style npy export."""
+    d = tmp_path / name
+    (d / "ImageData").mkdir(parents=True)
+    t_n, c_n = block.shape[:2]
+    for t in range(t_n):
+        for c in range(c_n):
+            np.save(d / "ImageData" / f"T{t}_C{c}.npy", block[t, c])
+    if yaml:
+        (d / "ImageRecord.yaml").write_text(
+            "name: capture\nmicrons_per_pixel: 0.16\n"
+            "microns_per_pixel_z: 0.5\n")
+        (d / "ChannelRecord.yaml").write_text(
+            "channel_names: [DAPI, GFP]\n")
+    return str(d)
+
+
+def _block():
+    idx = np.indices((2, 2, 3, 4, 5))
+    return (idx[0] * 10000 + idx[1] * 1000 + idx[2] * 100
+            + idx[3] * 10 + idx[4]).astype(np.uint16)
+
+
+def test_parse_flat_yaml():
+    got = parse_flat_yaml(
+        "name: hello  # comment\nnum: 3\nrate: 0.5\n"
+        "channel_names: [DAPI, GFP]\nempty:\n  nested: skipped\n")
+    assert got == {"name": "hello", "num": 3, "rate": 0.5,
+                   "channel_names": ["DAPI", "GFP"]}
+
+
+def test_read_npy_header(tmp_path):
+    p = tmp_path / "a.npy"
+    np.save(p, np.zeros((3, 4, 5), np.uint16))
+    shape, dtype = read_npy_header(str(p))
+    assert shape == (3, 4, 5) and dtype == np.uint16
+
+
+def test_sldy_roundtrip_extension_routed(spark, tmp_path):
+    block = _block()
+    d = _export(tmp_path, block)
+    img = BioImage(d, spark=spark)
+    assert type(img.reader).__name__ == "SldyImageReader"
+    assert (img.dims.T, img.dims.C, img.dims.Z) == (2, 2, 3)
+    assert img.channel_names == ["DAPI", "GFP"]
+    assert img.physical_pixel_sizes.X == pytest.approx(0.16)
+    assert img.physical_pixel_sizes.Z == pytest.approx(0.5)
+    np.testing.assert_array_equal(
+        img.get_image_data("TCZYX").astype(np.uint16), block)
+    assert "capture" in (img.metadata or "")
+
+
+def test_sldy_without_yaml_defaults(spark, tmp_path):
+    block = _block()[:1, :1]
+    d = _export(tmp_path, block, name="bare.dir", yaml=False)
+    img = BioImage(d, reader=SldyImageReader, spark=spark)
+    assert img.channel_names == ["Channel:0:0"]
+    np.testing.assert_array_equal(
+        img.get_image_data("TCZYX").astype(np.uint16), block)
+
+
+def test_sldy_2d_planes_are_z1(spark, tmp_path):
+    d = tmp_path / "flat.sldy"
+    (d / "ImageData").mkdir(parents=True)
+    plane = np.arange(12, dtype=np.float32).reshape(3, 4)
+    np.save(d / "ImageData" / "T0_C0.npy", plane)
+    img = BioImage(str(d), reader=SldyImageReader, spark=spark)
+    assert (img.dims.Z, img.dims.Y, img.dims.X) == (1, 3, 4)
+    np.testing.assert_array_equal(
+        img.get_image_data("YX").astype(np.float32), plane)
+
+
+def test_sldy_slide_of_images_multiscene(spark, tmp_path):
+    b = _block()
+    slide = tmp_path / "slide.sldy"
+    for i in range(2):
+        d = slide / f"img_{i}"
+        (d / "ImageData").mkdir(parents=True)
+        np.save(d / "ImageData" / "T0_C0.npy", b[i, 0] + i)
+    img = BioImage(str(slide), reader=SldyImageReader, spark=spark)
+    assert img.scenes == ("Image:0", "Image:1")
+    img.set_scene(1)
+    np.testing.assert_array_equal(
+        img.get_image_data("ZYX").astype(np.uint16), b[1, 0] + 1)
+
+
+def test_sldy_incomplete_grid_raises(spark, tmp_path):
+    d = tmp_path / "gap.sldy"
+    (d / "ImageData").mkdir(parents=True)
+    np.save(d / "ImageData" / "T0_C0.npy", np.zeros((2, 2), np.uint8))
+    np.save(d / "ImageData" / "T1_C1.npy", np.zeros((2, 2), np.uint8))
+    with pytest.raises(ValueError, match="grid"):
+        BioImage(str(d), reader=SldyImageReader, spark=spark).dims
+
+
+def test_sldy_plugin_registered():
+    from bioio_spark.plugins import _REGISTRY
+
+    assert any(e.name == "bioio-sldy-baseline" for e in _REGISTRY)
