@@ -13,7 +13,12 @@ from bioio_spark.sources.array_like import ArrayLikeReader
 def clean_registry():
     P.clear_plugins()
     yield
+    # restore the builtin plugins for later test modules that exercise
+    # registry-based extension routing (.dv, .sldy, ...)
     P.clear_plugins()
+    import bioio_spark
+
+    bioio_spark._register_builtin_plugins()
 
 
 def test_normalize_extensions():
