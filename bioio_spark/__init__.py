@@ -41,7 +41,8 @@ def _register_builtin_plugins() -> None:
     register_plugin(PluginEntry(
         name="bioio-ome-tiff-baseline",
         reader=TiffImageReader,
-        extensions=[".ome.tiff", ".ome.tif", ".tiff", ".tif"],
+        extensions=[".ome.tiff", ".ome.tif", ".tiles.ome.tif",
+                    ".tiff", ".tif"],
         is_supported_image=TiffImageReader.is_supported_image,
         version=__version__,
     ))
@@ -68,6 +69,16 @@ def _register_builtin_plugins() -> None:
         reader=JpegImageReader,
         extensions=[".jpg", ".jpeg"],
         is_supported_image=JpegImageReader.is_supported_image,
+        version=__version__,
+    ))
+
+    from bioio_spark.sources.bmp_image import BmpImageReader
+
+    register_plugin(PluginEntry(
+        name="bioio-bmp-baseline",
+        reader=BmpImageReader,
+        extensions=[".bmp"],
+        is_supported_image=BmpImageReader.is_supported_image,
         version=__version__,
     ))
 

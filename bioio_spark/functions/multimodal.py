@@ -98,6 +98,29 @@ class JpegCodec:
         return decode_jpeg(bytes(payload))
 
 
+class BmpCodec:
+    """In-repo baseline BMP codec (formats/bmp.py): 8-bit paletted
+    grayscale / 24-bit BGR, BI_RGB. Single-frame, decode -> (1, h, w)
+    or (1, h, w, 3)."""
+
+    @staticmethod
+    def encode(media_id: int, kind: str, width: int, height: int,
+               n_frames: int) -> bytes:
+        from bioio_spark.formats.bmp import encode_bmp
+
+        if n_frames != 1:
+            raise ValueError("BMP is single-frame; use FakeCodec for video")
+        samples = ((np.arange(width * height, dtype=np.int64) * 31
+                    + media_id * 7) % 251).astype(np.uint8)
+        return encode_bmp(samples.reshape(height, width))
+
+    @staticmethod
+    def decode(payload: bytes) -> np.ndarray:
+        from bioio_spark.formats.bmp import decode_bmp
+
+        return decode_bmp(bytes(payload))[None, ...]
+
+
 class WavCodec:
     """REAL audio codec over the in-repo RIFF/WAVE PCM implementation
     (formats/wav.py): audio payloads are actual WAV files. Decode keeps
@@ -136,6 +159,8 @@ class AutoCodec:
             return JpegCodec.decode(payload)
         if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
             return WavCodec.decode(payload)
+        if head[:2] == b"BM":
+            return BmpCodec.decode(payload)
         return FakeCodec.decode(payload)
 
 
@@ -158,10 +183,10 @@ def synth_media(spark: SparkSession, n: int = 64,
                 image_format: str = "fkc1",
                 audio_format: str = "fkc1") -> DataFrame:
     """Deterministic media table: images (1 frame), audio (1xN), video
-    (multi-frame), round-robin by media_id. image_format 'png' encodes
-    the image rows as real PNG payloads, audio_format 'wav' the audio
-    rows as real RIFF/WAVE PCM (same closed-form sample content either
-    way); video always uses the FakeCodec container."""
+    (multi-frame), round-robin by media_id. image_format 'png' / 'bmp'
+    encodes the image rows as real PNG / BMP payloads, audio_format
+    'wav' the audio rows as real RIFF/WAVE PCM (same closed-form sample
+    content either way); video always uses the FakeCodec container."""
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
@@ -172,6 +197,8 @@ def synth_media(spark: SparkSession, n: int = 64,
         }[kind]
         if kind == "image" and image_format == "png":
             payload, fmt = PngCodec.encode(i, kind, w, h, fr), "png"
+        elif kind == "image" and image_format == "bmp":
+            payload, fmt = BmpCodec.encode(i, kind, w, h, fr), "bmp"
         elif kind == "audio" and audio_format == "wav":
             payload, fmt = WavCodec.encode(i, kind, w, h, fr,
                                            sample_rate=sr), "wav"
