@@ -72,6 +72,16 @@ def _register_builtin_plugins() -> None:
         version=__version__,
     ))
 
+    from bioio_spark.sources.gif_image import GifImageReader
+
+    register_plugin(PluginEntry(
+        name="bioio-gif-baseline",
+        reader=GifImageReader,
+        extensions=[".gif"],
+        is_supported_image=GifImageReader.is_supported_image,
+        version=__version__,
+    ))
+
     from bioio_spark.sources.bmp_image import BmpImageReader
 
     register_plugin(PluginEntry(

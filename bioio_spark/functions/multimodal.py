@@ -98,6 +98,30 @@ class JpegCodec:
         return decode_jpeg(bytes(payload))
 
 
+class GifCodec:
+    """In-repo baseline GIF codec (formats/gif.py): the one real-file
+    container with a frame axis, so VIDEO rows can carry actual files.
+    Decode -> (n_frames, h, w)."""
+
+    @staticmethod
+    def encode(media_id: int, kind: str, width: int, height: int,
+               n_frames: int) -> bytes:
+        from bioio_spark.formats.gif import encode_gif
+
+        n = width * height * n_frames
+        samples = ((np.arange(n, dtype=np.int64) * 31 + media_id * 7)
+                   % 251).astype(np.uint8)
+        return encode_gif(samples.reshape(n_frames, height, width),
+                          delays=[4] * n_frames)
+
+    @staticmethod
+    def decode(payload: bytes) -> np.ndarray:
+        from bioio_spark.formats.gif import decode_gif
+
+        frames, _delays = decode_gif(bytes(payload))
+        return frames
+
+
 class BmpCodec:
     """In-repo baseline BMP codec (formats/bmp.py): 8-bit paletted
     grayscale / 24-bit BGR, BI_RGB. Single-frame, decode -> (1, h, w)
@@ -161,6 +185,8 @@ class AutoCodec:
             return WavCodec.decode(payload)
         if head[:2] == b"BM":
             return BmpCodec.decode(payload)
+        if head[:6] in (b"GIF87a", b"GIF89a"):
+            return GifCodec.decode(payload)
         return FakeCodec.decode(payload)
 
 
@@ -181,12 +207,14 @@ class PillowCodec:
 
 def synth_media(spark: SparkSession, n: int = 64,
                 image_format: str = "fkc1",
-                audio_format: str = "fkc1") -> DataFrame:
+                audio_format: str = "fkc1",
+                video_format: str = "fkc1") -> DataFrame:
     """Deterministic media table: images (1 frame), audio (1xN), video
     (multi-frame), round-robin by media_id. image_format 'png' / 'bmp'
     encodes the image rows as real PNG / BMP payloads, audio_format
-    'wav' the audio rows as real RIFF/WAVE PCM (same closed-form sample
-    content either way); video always uses the FakeCodec container."""
+    'wav' the audio rows as real RIFF/WAVE PCM, video_format 'gif' the
+    video rows as real multi-frame GIF89a animations (same closed-form
+    sample content in every container)."""
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
@@ -202,6 +230,8 @@ def synth_media(spark: SparkSession, n: int = 64,
         elif kind == "audio" and audio_format == "wav":
             payload, fmt = WavCodec.encode(i, kind, w, h, fr,
                                            sample_rate=sr), "wav"
+        elif kind == "video" and video_format == "gif":
+            payload, fmt = GifCodec.encode(i, kind, w, h, fr), "gif"
         else:
             payload, fmt = FakeCodec.encode(i, kind, w, h, fr), "fkc1"
         rows.append((i, kind, payload, (w, h, fr, sr, fmt)))
