@@ -72,6 +72,16 @@ def _register_builtin_plugins() -> None:
         version=__version__,
     ))
 
+    from bioio_spark.sources.pnm_image import PnmImageReader
+
+    register_plugin(PluginEntry(
+        name="bioio-pnm-baseline",
+        reader=PnmImageReader,
+        extensions=[".pgm", ".ppm", ".pnm"],
+        is_supported_image=PnmImageReader.is_supported_image,
+        version=__version__,
+    ))
+
     from bioio_spark.sources.gif_image import GifImageReader
 
     register_plugin(PluginEntry(
