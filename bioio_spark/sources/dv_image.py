@@ -46,6 +46,69 @@ def _read_header(path: str) -> dict:
         return parse_dv_header(f.read(HEADER_SIZE))
 
 
+def read_dv_window(spark: SparkSession, path: str,
+                   t=None, c=None, z=None, y=None, x=None):
+    """Window-pruned DV read: selectors prune whole SECTIONS (t/c/z are
+    section coordinates) and the y window narrows each surviving
+    section's read to its contiguous row range (DV rows are contiguous
+    within a plane, so a y-window is a byte range — at object-store
+    scale, one ranged GET per section of exactly the needed rows).
+    The x trim is a residual codegen filter after decode.
+
+    Selector forms match read_tiff_window/read_zarr_window: None (all),
+    int (one index), (start, stop) / slice (half-open window)."""
+    from bioio_spark.formats.dv import HEADER_SIZE, iter_dv_sections, \
+        parse_dv_header
+    from bioio_spark.sources.zarr_image import _norm_window
+
+    with open(path, "rb") as f:
+        h = parse_dv_header(f.read(HEADER_SIZE))
+    t0, t1 = _norm_window(t, h["num_times"])
+    c0, c1 = _norm_window(c, h["num_waves"])
+    z0, z1 = _norm_window(z, h["num_z"])
+    y0, y1 = _norm_window(y, h["ny"])
+    x0, x1 = _norm_window(x, h["nx"])
+    row_bytes = h["nx"] * h["dtype"].itemsize
+    plan = [
+        {"path": os.path.abspath(path), "t": s["t"], "c": s["w"],
+         "z": s["z"],
+         "offset": s["offset"] + y0 * row_bytes,
+         "nbytes": (y1 - y0) * row_bytes,
+         "y0": y0, "ny": y1 - y0, "nx": h["nx"]}
+        for s in iter_dv_sections(h)
+        if t0 <= s["t"] < t1 and c0 <= s["w"] < c1 and z0 <= s["z"] < z1
+    ]
+    dtype_str = h["dtype"].str
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for r in pdf.itertuples():
+                with open(r.path, "rb") as f:
+                    f.seek(r.offset)
+                    buf = f.read(r.nbytes)
+                plane = np.frombuffer(
+                    buf, dtype=np.dtype(dtype_str)).reshape(r.ny, r.nx)
+                vals = (plane.real if np.issubdtype(
+                    plane.dtype, np.complexfloating) else plane)
+                yield pd.DataFrame({
+                    "t": np.full(plane.size, r.t, np.int32),
+                    "c": np.full(plane.size, r.c, np.int32),
+                    "z": np.full(plane.size, r.z, np.int32),
+                    "y": np.repeat(np.arange(
+                        r.y0, r.y0 + r.ny, dtype=np.int32), r.nx),
+                    "x": np.tile(np.arange(r.nx, dtype=np.int32), r.ny),
+                    "value": vals.ravel().astype(np.float64),
+                })
+
+    schema = "t int, c int, z int, y int, x int, value double"
+    if not plan:
+        return spark.createDataFrame([], schema)
+    plan_df = spark.createDataFrame(pd.DataFrame(plan)).repartition(
+        min(len(plan), spark.sparkContext.defaultParallelism))
+    px = plan_df.mapInPandas(batches, schema=schema)
+    return px.filter((F.col("x") >= x0) & (F.col("x") < x1))
+
+
 class DvImageReader:
     """BioImage reader over DeltaVision files (plugin tier)."""
 
