@@ -327,6 +327,14 @@ class BioImage:
                     level=self._current_resolution_level).select(
                     "t", "c", "z", "y", "x", "value")
 
+            from bioio_spark.sources.dv_image import (DvImageReader,
+                                                      read_dv_window)
+
+            if isinstance(reader, DvImageReader) and os.path.isfile(
+                    path) and len(self.scenes) == 1:
+                return read_dv_window(self._spark, path,
+                                      t=t, c=c, z=z, y=y, x=x)
+
         from bioio_spark.sources.zarr_image import _norm_window
 
         px, dims = self._standard_pixels()

@@ -145,3 +145,16 @@ def test_read_dv_window_empty_selection(spark, tmp_path):
     p.write_bytes(encode_dv(_block()[:1, :1]))
     with pytest.raises(IndexError):
         read_dv_window(spark, str(p), t=5)
+
+
+def test_bioimage_read_window_dispatches_to_dv(spark, tmp_path):
+    block = _block()
+    p = tmp_path / "rw.dv"
+    p.write_bytes(encode_dv(block))
+    img = BioImage(str(p), spark=spark)
+    w = img.read_window(t=0, c=2, z=(1, 3), y=(0, 2)).toPandas()
+    exp = block[0, 2, 1:3, 0:2, :]
+    assert len(w) == exp.size
+    got = np.zeros_like(exp)
+    got[w["z"] - 1, w["y"], w["x"]] = w["value"].astype(np.uint16)
+    np.testing.assert_array_equal(got, exp)
