@@ -72,6 +72,16 @@ def _register_builtin_plugins() -> None:
         version=__version__,
     ))
 
+    from bioio_spark.sources.czi_image import CziImageReader
+
+    register_plugin(PluginEntry(
+        name="bioio-czi-baseline",
+        reader=CziImageReader,
+        extensions=[".czi"],
+        is_supported_image=CziImageReader.is_supported_image,
+        version=__version__,
+    ))
+
     from bioio_spark.sources.pnm_image import PnmImageReader
 
     register_plugin(PluginEntry(

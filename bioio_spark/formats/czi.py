@@ -1,0 +1,251 @@
+"""Pure-Python CZI (Zeiss ZISRAW) baseline codec — the reference's
+headline vendor plugin is bioio-czi (ref README.md:59). ZISRAW is
+publicly documented (Zeiss "ZISRAW (CZI) File Format" specification;
+open-source readers czifile/aicspylibczi mirror it); this module
+implements the uncompressed subset that carries the format's
+structure:
+
+- SEGMENT stream: 16-byte ASCII id + int64 AllocatedSize + int64
+  UsedSize, payloads 32-byte aligned ("ZISRAWFILE" header,
+  "ZISRAWMETADATA" XML, "ZISRAWSUBBLOCK" pixel blocks,
+  "ZISRAWDIRECTORY" the subblock index).
+- File header: version, GUIDs, FilePart, DirectoryPosition,
+  MetadataPosition, AttachmentDirectoryPosition.
+- DirectoryEntryDV: "DV" schema, PixelType, FilePosition, Compression,
+  PyramidType, DimensionCount x DimensionEntryDV1 (4-char dimension
+  id, Start, Size, StartCoordinate, StoredSize) — the dimension system
+  (S scene, T, C, Z, M mosaic tile, B block, Y, X) that makes CZI a
+  chunk-grid container like Zarr: every subblock is independently
+  addressable, so read planning is directory arithmetic.
+- SubBlock segment: MetadataSize/AttachmentSize/DataSize fixed part +
+  its own directory entry, metadata at offset max(256, fixed part),
+  then pixel data.
+
+Supported pixel types (numeric ids per the spec): Gray8 (0), Gray16
+(1), Gray32Float (2), Bgr24 (3, decodes to S=3 RGB), Gray32 (12),
+Gray64 (13). Compression 0 (uncompressed) only — JPEG-XR/zstd blocks
+raise. Both directions are implemented so roundtrips need no
+third-party dependency; mosaic (M) subblocks carry their X/Y starts,
+the stitch itself is the engine's M1 operator."""
+
+from __future__ import annotations
+
+import struct
+from typing import Optional, Sequence
+
+import numpy as np
+
+SEGMENT_HEADER = 32              # 16-byte id + 2 int64 sizes
+_ALIGN = 32
+
+#: PixelType id -> (numpy dtype, samples)
+DTYPE_OF_PIXEL_TYPE = {
+    0: ("u1", 1),    # Gray8
+    1: ("<u2", 1),   # Gray16
+    2: ("<f4", 1),   # Gray32Float
+    3: ("u1", 3),    # Bgr24
+    12: ("<i4", 1),  # Gray32
+    13: ("<f8", 1),  # Gray64
+}
+PIXEL_TYPE_OF_DTYPE = {("uint8", 1): 0, ("uint16", 1): 1,
+                       ("float32", 1): 2, ("uint8", 3): 3,
+                       ("int32", 1): 12, ("float64", 1): 13}
+
+
+def _segment(sid: bytes, payload: bytes,
+             alloc: Optional[int] = None) -> bytes:
+    used = len(payload)
+    alloc = alloc if alloc is not None else -(-used // _ALIGN) * _ALIGN
+    return (sid.ljust(16, b"\x00")
+            + struct.pack("<qq", alloc, used)
+            + payload.ljust(alloc, b"\x00"))
+
+
+def _pack_entry_dv(pixel_type: int, file_position: int,
+                   dims: Sequence[tuple]) -> bytes:
+    """dims: [(name, start, size, stored_size), ...]."""
+    out = struct.pack("<2siqiiB5xi", b"DV", pixel_type, file_position,
+                      0, 0, 0, len(dims))
+    for name, start, size, stored in dims:
+        out += struct.pack("<4siifi", name.encode("ascii"), start,
+                           size, 0.0, stored)
+    return out
+
+
+def _parse_entry_dv(buf: bytes, pos: int):
+    """-> (entry dict, next offset)."""
+    schema, pixel_type, file_pos, _part, compression, pyramid = \
+        struct.unpack_from("<2siqiiB", buf, pos)
+    if schema != b"DV":
+        raise ValueError(f"unsupported CZI schema {schema!r}")
+    (dim_count,) = struct.unpack_from("<i", buf, pos + 28)
+    pos += 32
+    dims = {}
+    for _ in range(dim_count):
+        name, start, size, _coord, stored = struct.unpack_from(
+            "<4siifi", buf, pos)
+        dims[name.rstrip(b"\x00").decode("ascii")] = {
+            "start": start, "size": size, "stored": stored}
+        pos += 20
+    return {"pixel_type": pixel_type, "file_position": file_pos,
+            "compression": compression, "pyramid": pyramid,
+            "dims": dims}, pos
+
+
+def encode_czi(subblocks: Sequence[dict],
+               metadata_xml: Optional[str] = None) -> bytes:
+    """subblocks: [{"data": 2D YX (or 3D YXS for Bgr24) ndarray,
+    "dims": {"S": s, "T": t, "C": c, "Z": z, "M": m,
+             "X": x_start, "Y": y_start}}, ...] -> CZI bytes.
+    Every non-XY dim is optional (absent = not written); X/Y entries
+    carry the tile start plus the stored plane shape."""
+    parts = []
+    entries = []
+    pos = 512 + SEGMENT_HEADER       # file header first
+
+    sub_payloads = []
+    for sb in subblocks:
+        a = np.ascontiguousarray(sb["data"])
+        samples = a.shape[2] if a.ndim == 3 else 1
+        key = (a.dtype.name, samples)
+        if key not in PIXEL_TYPE_OF_DTYPE:
+            raise ValueError(f"CZI cannot store dtype/samples {key}")
+        ptype = PIXEL_TYPE_OF_DTYPE[key]
+        if ptype == 3:
+            a = a[:, :, ::-1]        # RGB -> stored BGR
+        d = sb.get("dims", {})
+        dim_list = []
+        for name in ("S", "T", "C", "Z", "M", "B"):
+            if name in d:
+                dim_list.append((name, int(d[name]), 1, 1))
+        dim_list.append(("Y", int(d.get("Y", 0)), a.shape[0],
+                         a.shape[0]))
+        dim_list.append(("X", int(d.get("X", 0)), a.shape[1],
+                         a.shape[1]))
+        data = a.tobytes()
+        entry = _pack_entry_dv(ptype, pos, dim_list)
+        fixed = struct.pack("<iiq", 0, 0, len(data)) + entry
+        payload = fixed.ljust(max(256, len(fixed)), b"\x00") + data
+        sub_payloads.append(payload)
+        entries.append((ptype, pos, dim_list))
+        alloc = -(-len(payload) // _ALIGN) * _ALIGN
+        pos += SEGMENT_HEADER + alloc
+
+    meta_pos = pos
+    xml = (metadata_xml or "<ImageDocument><Metadata/></ImageDocument>"
+           ).encode("utf-8")
+    meta_payload = struct.pack("<ii", len(xml), 0).ljust(256, b"\x00") \
+        + xml
+    meta_alloc = -(-len(meta_payload) // _ALIGN) * _ALIGN
+    dir_pos = meta_pos + SEGMENT_HEADER + meta_alloc
+
+    dir_body = struct.pack("<i", len(entries)) + b"\x00" * 124
+    for ptype, fpos, dim_list in entries:
+        dir_body += _pack_entry_dv(ptype, fpos, dim_list)
+
+    header = struct.pack(
+        "<iiii16s16siqqiq",
+        1, 0, 0, 0, b"\x00" * 16, b"\x00" * 16, 0,
+        dir_pos, meta_pos, 0, 0)
+    parts.append(_segment(b"ZISRAWFILE", header, alloc=512))
+    parts += [_segment(b"ZISRAWSUBBLOCK", p) for p in sub_payloads]
+    parts.append(_segment(b"ZISRAWMETADATA", meta_payload,
+                          alloc=meta_alloc))
+    parts.append(_segment(b"ZISRAWDIRECTORY", dir_body))
+    return b"".join(parts)
+
+
+def parse_czi_header(head: bytes) -> dict:
+    if head[:10] != b"ZISRAWFILE":
+        raise ValueError("not a CZI file (missing ZISRAWFILE segment)")
+    payload = head[SEGMENT_HEADER:]
+    (major, minor, _r1, _r2, _pg, _fg, _part, dir_pos, meta_pos,
+     _upd, att_pos) = struct.unpack_from("<iiii16s16siqqiq", payload)
+    return {"major": major, "minor": minor,
+            "directory_position": dir_pos,
+            "metadata_position": meta_pos,
+            "attachment_position": att_pos}
+
+
+def _read_segment_at(f, pos: int):
+    f.seek(pos)
+    head = f.read(SEGMENT_HEADER)
+    sid = head[:16].rstrip(b"\x00")
+    alloc, used = struct.unpack("<qq", head[16:32])
+    return sid, alloc, used
+
+
+def read_czi_directory(path: str) -> list[dict]:
+    """Seek-based directory walk -> one entry dict per subblock
+    ({pixel_type, file_position, compression, dims}) WITHOUT touching
+    pixel data — the planning input for distributed reads (a few KB of
+    IO on a multi-GB file, like the TIFF IFD walk)."""
+    with open(path, "rb") as f:
+        h = parse_czi_header(f.read(SEGMENT_HEADER + 512))
+        sid, alloc, used = _read_segment_at(f, h["directory_position"])
+        if sid != b"ZISRAWDIRECTORY":
+            raise ValueError(
+                f"directory position points at {sid!r}, not "
+                f"ZISRAWDIRECTORY")
+        body = f.read(used)
+    (count,) = struct.unpack_from("<i", body, 0)
+    pos = 128
+    out = []
+    for _ in range(count):
+        entry, pos = _parse_entry_dv(body, pos)
+        out.append(entry)
+    return out
+
+
+def read_czi_metadata(path: str) -> Optional[str]:
+    """The metadata segment's XML document (driver-side, header-only
+    IO)."""
+    with open(path, "rb") as f:
+        h = parse_czi_header(f.read(SEGMENT_HEADER + 512))
+        if not h["metadata_position"]:
+            return None
+        sid, alloc, used = _read_segment_at(f, h["metadata_position"])
+        if sid != b"ZISRAWMETADATA":
+            raise ValueError(
+                f"metadata position points at {sid!r}")
+        fixed = f.read(256)
+        (xml_size, _att) = struct.unpack_from("<ii", fixed, 0)
+        return f.read(xml_size).decode("utf-8", errors="replace")
+
+
+def read_czi_subblock(path: str, entry: dict) -> np.ndarray:
+    """One directory entry -> its decoded plane (YX, or YXS RGB for
+    Bgr24). Seek-based: reads only this subblock's bytes — the
+    executor-side step of a planned read (one ranged GET at
+    object-store scale)."""
+    if entry["compression"] != 0:
+        raise ValueError(
+            f"unsupported CZI compression {entry['compression']}; "
+            "only uncompressed (0) subblocks")
+    if entry["pixel_type"] not in DTYPE_OF_PIXEL_TYPE:
+        raise ValueError(
+            f"unsupported CZI pixel type {entry['pixel_type']}")
+    dt, samples = DTYPE_OF_PIXEL_TYPE[entry["pixel_type"]]
+    dims = entry["dims"]
+    h = dims["Y"]["stored"] or dims["Y"]["size"]
+    w = dims["X"]["stored"] or dims["X"]["size"]
+    with open(path, "rb") as f:
+        sid, alloc, used = _read_segment_at(f, entry["file_position"])
+        if sid != b"ZISRAWSUBBLOCK":
+            raise ValueError(
+                f"directory entry points at {sid!r}, not a subblock")
+        buf = f.read(256)
+        meta_size, _att, data_size = struct.unpack_from("<iiq", buf, 0)
+        # pixel data begins at max(256, fixed part incl. the embedded
+        # directory entry) + subblock metadata, per the spec
+        (dim_count,) = struct.unpack_from("<i", buf, 16 + 28)
+        fixed_len = 16 + 32 + 20 * dim_count
+        data_off = max(256, fixed_len) + meta_size
+        f.seek(entry["file_position"] + SEGMENT_HEADER + data_off)
+        data = f.read(data_size)
+    shape = (h, w) if samples == 1 else (h, w, samples)
+    a = np.frombuffer(data, dtype=np.dtype(dt)).reshape(shape)
+    a = a.astype(np.dtype(dt).newbyteorder("="), copy=False)
+    if entry["pixel_type"] == 3:
+        a = a[:, :, ::-1]                # stored BGR -> RGB
+    return a

@@ -1336,6 +1336,61 @@ def img_ome_zarr_roundtrip_v3(spark, sf_dir):
 
 
 @register(
+    "img_czi_mosaic_roundtrip",
+    oracle="""
+    WITH tile AS (
+      SELECT CAST(i // 4 AS INTEGER) AS ty, CAST(i % 4 AS INTEGER) AS tx,
+             i FROM range(12) r(i)),
+    px AS (
+      SELECT m, ty AS yy, CAST(m * 4 + tx AS INTEGER) AS xx,
+             CAST(m * 1000 + ty * 10 + tx AS DOUBLE) AS value
+      FROM tile CROSS JOIN (SELECT CAST(j AS INTEGER) AS m
+                            FROM range(3) s(j)))
+    SELECT yy AS y, count(*) AS n_px,
+           CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY yy ORDER BY yy
+    """,
+    doc="CZI (ZISRAW) mosaic: encode M-tiled subblocks, read through "
+        "the directory-planned CziImageReader, M1-stitch, aggregate",
+)
+def img_czi_mosaic_roundtrip(spark, sf_dir):
+    """Three 3x4 uint16 tiles at x offsets 0/4/8 written as ZISRAW
+    M-subblocks -> BioImage (.czi routing) -> default mosaic stitch ->
+    per-row aggregate. The hash pins the segment/directory walk,
+    subblock seek reads, tile-offset extraction, and the stitch join.
+    Ref README.md:59 (bioio-czi)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.czi import encode_czi
+
+    idx = np.indices((3, 4))
+    subs = []
+    for m in range(3):
+        tile = (m * 1000 + idx[0] * 10 + idx[1]).astype(np.uint16)
+        subs.append({"data": tile,
+                     "dims": {"S": 0, "M": m, "X": m * 4, "Y": 0}})
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "czi_roundtrip")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    path = os.path.join(out, "mosaic.czi")
+    with open(path, "wb") as f:
+        f.write(encode_czi(subs))
+    img = BioImage(path, spark=spark)
+    return (img.get_image_dataframe()
+            .groupBy("y")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("y"))
+
+
+@register(
     "img_sldy_roundtrip",
     oracle=f"""
     WITH px AS (

@@ -1,0 +1,155 @@
+"""CZI (ZISRAW) codec + reader — the reference's bioio-czi plugin tier
+(ref README.md:59); segment/directory layout per the public ZISRAW
+specification."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from bioio_spark import BioImage
+from bioio_spark.formats.czi import (encode_czi, parse_czi_header,
+                                     read_czi_directory,
+                                     read_czi_metadata,
+                                     read_czi_subblock)
+from bioio_spark.sources.czi_image import CziImageReader
+
+_XML = ('<ImageDocument><Metadata><Information><Image><Dimensions>'
+        '<Channels><Channel Id="Channel:0" Name="DAPI"/>'
+        '<Channel Id="Channel:1" Name="GFP"/></Channels></Dimensions>'
+        '</Image></Information><Scaling><Items>'
+        '<Distance Id="X"><Value>6.5e-07</Value></Distance>'
+        '<Distance Id="Y"><Value>6.5e-07</Value></Distance>'
+        '<Distance Id="Z"><Value>1e-06</Value></Distance>'
+        '</Items></Scaling></Metadata></ImageDocument>')
+
+
+def _block():
+    idx = np.indices((2, 2, 2, 4, 5))
+    return (idx[0] * 10000 + idx[1] * 1000 + idx[2] * 100
+            + idx[3] * 10 + idx[4]).astype(np.uint16)
+
+
+def _grid_subblocks(block):
+    return [{"data": block[t, c, z], "dims": {"T": t, "C": c, "Z": z}}
+            for t in range(block.shape[0])
+            for c in range(block.shape[1])
+            for z in range(block.shape[2])]
+
+
+def test_segment_layout_pinned(tmp_path):
+    """ZISRAWFILE magic, 32-byte segment headers, directory/metadata
+    positions resolvable — the spec's container shape."""
+    data = encode_czi(_grid_subblocks(_block()), metadata_xml=_XML)
+    assert data[:10] == b"ZISRAWFILE"
+    alloc, used = struct.unpack_from("<qq", data, 16)
+    assert alloc == 512
+    h = parse_czi_header(data[:544])
+    assert data[h["directory_position"]:
+                h["directory_position"] + 15] == b"ZISRAWDIRECTORY"
+    assert data[h["metadata_position"]:
+                h["metadata_position"] + 14] == b"ZISRAWMETADATA"
+
+
+def test_directory_and_subblocks_roundtrip(tmp_path):
+    block = _block()
+    p = tmp_path / "a.czi"
+    p.write_bytes(encode_czi(_grid_subblocks(block), metadata_xml=_XML))
+    entries = read_czi_directory(str(p))
+    assert len(entries) == 8
+    for e in entries:
+        d = e["dims"]
+        got = read_czi_subblock(str(p), e)
+        np.testing.assert_array_equal(
+            got, block[d["T"]["start"], d["C"]["start"],
+                       d["Z"]["start"]])
+    assert "DAPI" in read_czi_metadata(str(p))
+
+
+@pytest.mark.parametrize("dtype", ["uint8", "uint16", "float32",
+                                   "int32", "float64"])
+def test_pixel_types(dtype, tmp_path):
+    a = (np.arange(20).reshape(4, 5) % 7).astype(dtype)
+    p = tmp_path / "t.czi"
+    p.write_bytes(encode_czi([{"data": a, "dims": {}}]))
+    (e,) = read_czi_directory(str(p))
+    np.testing.assert_array_equal(read_czi_subblock(str(p), e), a)
+
+
+def test_bgr24_stored_bgr_decoded_rgb(tmp_path):
+    rgb = np.zeros((2, 2, 3), np.uint8)
+    rgb[0, 0] = (10, 20, 30)
+    p = tmp_path / "rgb.czi"
+    p.write_bytes(encode_czi([{"data": rgb, "dims": {}}]))
+    (e,) = read_czi_directory(str(p))
+    assert e["pixel_type"] == 3
+    np.testing.assert_array_equal(read_czi_subblock(str(p), e), rgb)
+
+
+def test_rejects_non_czi():
+    with pytest.raises(ValueError, match="ZISRAWFILE"):
+        parse_czi_header(b"\x00" * 544)
+
+
+def test_compressed_subblock_raises(tmp_path):
+    p = tmp_path / "c.czi"
+    p.write_bytes(encode_czi(
+        [{"data": np.zeros((2, 2), np.uint8), "dims": {}}]))
+    (e,) = read_czi_directory(str(p))
+    e["compression"] = 4        # JpgXr
+    with pytest.raises(ValueError, match="compression"):
+        read_czi_subblock(str(p), e)
+
+
+def test_bioimage_czi_roundtrip(spark, tmp_path):
+    block = _block()
+    p = tmp_path / "cells.czi"
+    p.write_bytes(encode_czi(_grid_subblocks(block), metadata_xml=_XML))
+    img = BioImage(str(p), spark=spark)      # extension-routed
+    assert type(img.reader).__name__ == "CziImageReader"
+    assert (img.dims.T, img.dims.C, img.dims.Z) == (2, 2, 2)
+    assert img.channel_names == ["DAPI", "GFP"]
+    assert img.physical_pixel_sizes.X == pytest.approx(0.65)
+    assert img.physical_pixel_sizes.Z == pytest.approx(1.0)
+    np.testing.assert_array_equal(
+        img.get_image_data("TCZYX").astype(np.uint16), block)
+
+
+def test_bioimage_czi_mosaic_stitches(spark, tmp_path):
+    rng = np.random.default_rng(5)
+    tiles = [rng.integers(0, 65535, (4, 5)).astype(np.uint16)
+             for _ in range(2)]
+    subs = [{"data": tiles[m],
+             "dims": {"S": 0, "M": m, "X": m * 5, "Y": 0}}
+            for m in range(2)]
+    p = tmp_path / "mosaic.czi"
+    p.write_bytes(encode_czi(subs))
+    img = BioImage(str(p), spark=spark)
+    assert img.dims.order == "TCZYX"         # M absorbed by the stitch
+    assert (img.dims.Y, img.dims.X) == (4, 10)
+    np.testing.assert_array_equal(
+        img.get_image_data("YX").astype(np.uint16),
+        np.concatenate(tiles, axis=1))
+    assert img.get_mosaic_tile_positions() == [(0, 0), (0, 5)]
+    # reconstruct_mosaic=False keeps tile-local coordinates + M
+    raw = BioImage(str(p), reconstruct_mosaic=False, spark=spark)
+    assert "M" in raw.dims.order
+    np.testing.assert_array_equal(
+        raw.get_image_data("MYX").astype(np.uint16), np.stack(tiles))
+
+
+def test_bioimage_czi_multiscene(spark, tmp_path):
+    b = _block()
+    subs = ([{"data": b[0, 0, z], "dims": {"S": 0, "Z": z}}
+             for z in range(2)]
+            + [{"data": b[1, 1, z] * 2, "dims": {"S": 1, "Z": z}}
+               for z in range(2)])
+    p = tmp_path / "scenes.czi"
+    p.write_bytes(encode_czi(subs))
+    img = BioImage(str(p), spark=spark)
+    assert img.scenes == ("Image:0", "Image:1")
+    np.testing.assert_array_equal(
+        img.get_image_data("ZYX").astype(np.uint16), b[0, 0])
+    img.set_scene(1)
+    np.testing.assert_array_equal(
+        img.get_image_data("ZYX").astype(np.uint16), b[1, 1] * 2)
