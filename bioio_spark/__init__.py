@@ -72,6 +72,16 @@ def _register_builtin_plugins() -> None:
         version=__version__,
     ))
 
+    from bioio_spark.sources.lif_image import LifImageReader
+
+    register_plugin(PluginEntry(
+        name="bioio-lif-baseline",
+        reader=LifImageReader,
+        extensions=[".lif"],
+        is_supported_image=LifImageReader.is_supported_image,
+        version=__version__,
+    ))
+
     from bioio_spark.sources.czi_image import CziImageReader
 
     register_plugin(PluginEntry(

@@ -1336,6 +1336,59 @@ def img_ome_zarr_roundtrip_v3(spark, sf_dir):
 
 
 @register(
+    "img_lif_roundtrip",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {3 * 4 * 5 * 6} AS INTEGER) AS t,
+             CAST((i // {4 * 5 * 6}) % 3 AS INTEGER) AS c,
+             CAST((i // {5 * 6}) % 4 AS INTEGER) AS z,
+             CAST((i // 6) % 5 AS INTEGER) AS y,
+             CAST(i % 6 AS INTEGER) AS x,
+             CAST((i // {3 * 4 * 5 * 6}) * 10000
+                  + ((i // {4 * 5 * 6}) % 3) * 1000
+                  + ((i // {5 * 6}) % 4) * 100
+                  + ((i // 6) % 5) * 10 + (i % 6) AS DOUBLE) AS value
+      FROM range({2 * 3 * 4 * 5 * 6}) r(i))
+    SELECT c, z, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY c, z ORDER BY c, z
+    """,
+    doc="LIF (Leica) encode -> BioImage reread (bioio-lif tier: block "
+        "walk + XML strides, per-plane planned reads)",
+)
+def img_lif_roundtrip(spark, sf_dir):
+    """LIF roundtrip: version-2 blocks, UTF-16 XML, BytesInc stride
+    decode, plane-planned distributed read. Ref README.md:62
+    (bioio-lif)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.lif import encode_lif
+
+    idx = np.indices((2, 3, 4, 5, 6))
+    block = (idx[0] * 10000 + idx[1] * 1000 + idx[2] * 100
+             + idx[3] * 10 + idx[4]).astype(np.uint16)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "lif_roundtrip")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    path = os.path.join(out, "cells.lif")
+    with open(path, "wb") as f:
+        f.write(encode_lif([{"name": "SeriesA", "data": block,
+                             "pps": (0.5, 0.2, 0.2)}]))
+    img = BioImage(path, spark=spark)       # .lif extension routing
+    return (img.get_image_dataframe()
+            .groupBy("c", "z")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("c", "z"))
+
+
+@register(
     "img_czi_mosaic_roundtrip",
     oracle="""
     WITH tile AS (

@@ -1,0 +1,149 @@
+"""LIF reader (.lif) — the reference's bioio-lif plugin tier (ref
+README.md:62), over the in-repo pure-Python Leica block+XML codec
+(bioio_spark.formats.lif).
+
+- **Catalog (driver-side)**: one block walk + the settings XML —
+  scene names, shapes, dtypes, channel strides, and physical pixel
+  sizes (dimension Length metres -> µm), no pixel IO.
+- **Pixels (executor-side)**: one plan row per (scene, t, c, z)
+  PLANE; each task seek-reads its plane through the stride arithmetic
+  (`read_lif_plane`) — parallelism = plane count, zero shuffle, one
+  ranged GET per plane at object-store scale (the same planned-read
+  shape as the DV and CZI tiers)."""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _lif_paths(image: str) -> list[str]:
+    if os.path.isdir(image):
+        return sorted(p for p in _glob.glob(os.path.join(image, "*"))
+                      if p.lower().endswith(".lif"))
+    return [image]
+
+
+class LifImageReader:
+    """BioImage reader over baseline LIF files (plugin tier)."""
+
+    @staticmethod
+    def is_supported_image(image) -> bool:
+        if not isinstance(image, str) or not \
+                image.lower().endswith(".lif"):
+            return False
+        try:
+            import struct
+
+            with open(image, "rb") as f:
+                head = f.read(8)
+            return len(head) == 8 and \
+                struct.unpack("<i", head[:4])[0] == 0x70
+        except OSError:
+            return False
+
+    def __init__(self, image: str, dim_order=None, channel_names=None,
+                 physical_pixel_sizes=None, image_id: str = "img",
+                 **_kwargs):
+        if dim_order is not None:
+            raise ValueError(
+                "LIF dimensions come from the settings XML")
+        self._path = image
+        self._image_id = image_id
+        self._channel_names = channel_names
+        self._pps = physical_pixel_sizes
+
+    def to_dataset(self, spark: SparkSession):
+        from bioio_spark.formats.lif import parse_lif_header
+        from bioio_spark.ome_utils import resolve_channel_names
+        from bioio_spark.sources.array_like import (PIXEL_COLUMNS,
+                                                    ImageDataset)
+        from bioio_spark.types import PhysicalPixelSizes
+
+        paths = _lif_paths(self._path)
+        if len(paths) != 1:
+            raise ValueError("LifImageReader reads one .lif file")
+        path = os.path.abspath(paths[0])
+        header = parse_lif_header(path)
+        if not header["scenes"]:
+            raise ValueError(f"{path}: LIF holds no images")
+
+        scene_rows, channel_rows, plan = [], [], []
+        for si, sc in enumerate(header["scenes"]):
+            t_n, c_n, z_n, y_n, x_n = sc["shape"]
+            scene = f"Image:{si}"
+            for ci, nm in enumerate(resolve_channel_names(
+                    self._channel_names, c_n, si)):
+                channel_rows.append({
+                    "image_id": self._image_id, "scene": scene,
+                    "c": ci, "channel_name": nm})
+            pps = self._pps
+            if pps is None and sc["pps"]:
+                pz, py, px_ = sc["pps"]
+                pps = PhysicalPixelSizes(Z=pz, Y=py, X=px_)
+            scene_rows.append({
+                "image_id": self._image_id, "scene": scene,
+                "scene_idx": si, "dim_order": "TCZYX",
+                "size_t": t_n, "size_c": c_n, "size_z": z_n,
+                "size_y": y_n, "size_x": x_n,
+                "size_m": None, "size_s": None,
+                "dtype": sc["dtype"], "ome_pixel_type": sc["dtype"],
+                "pps_z": pps.Z if pps else None,
+                "pps_y": pps.Y if pps else None,
+                "pps_x": pps.X if pps else None,
+                "time_interval": None,
+                "metadata": header["xml"],
+            })
+            for t in range(t_n):
+                for c in range(c_n):
+                    for z in range(z_n):
+                        plan.append({"path": path, "scene": scene,
+                                     "scene_i": si,
+                                     "t": t, "c": c, "z": z})
+
+        def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from bioio_spark.formats.lif import (parse_lif_header,
+                                                 read_lif_plane)
+
+            hdr_cache: dict = {}
+            for pdf in it:
+                for r in pdf.itertuples():
+                    if r.path not in hdr_cache:
+                        hdr_cache[r.path] = parse_lif_header(r.path)
+                    plane = read_lif_plane(
+                        r.path, hdr_cache[r.path], r.scene_i,
+                        r.t, r.c, r.z)
+                    y_n, x_n = plane.shape
+                    yield pd.DataFrame({
+                        "scene": r.scene,
+                        "t": np.full(plane.size, r.t, np.int32),
+                        "c": np.full(plane.size, r.c, np.int32),
+                        "z": np.full(plane.size, r.z, np.int32),
+                        "y": np.repeat(
+                            np.arange(y_n, dtype=np.int32), x_n),
+                        "x": np.tile(
+                            np.arange(x_n, dtype=np.int32), y_n),
+                        "value": plane.ravel().astype(np.float64),
+                    })
+
+        plan_df = spark.createDataFrame(pd.DataFrame(plan)).repartition(
+            min(len(plan), spark.sparkContext.defaultParallelism))
+        px = (plan_df.mapInPandas(
+                  batches,
+                  schema="scene string, t int, c int, z int, y int, "
+                         "x int, value double")
+              .select(
+                  F.lit(self._image_id).alias("image_id"), "scene",
+                  F.lit(0).alias("res_level"), "t", "c", "z", "y", "x",
+                  F.lit(-1).alias("m"), F.lit(-1).alias("s"), "value")
+              .select(*PIXEL_COLUMNS))
+
+        return ImageDataset(pixels=px, scenes=pd.DataFrame(scene_rows),
+                            channels=pd.DataFrame(channel_rows))
