@@ -72,6 +72,16 @@ def _register_builtin_plugins() -> None:
         version=__version__,
     ))
 
+    from bioio_spark.sources.nd2_image import Nd2ImageReader
+
+    register_plugin(PluginEntry(
+        name="bioio-nd2-baseline",
+        reader=Nd2ImageReader,
+        extensions=[".nd2"],
+        is_supported_image=Nd2ImageReader.is_supported_image,
+        version=__version__,
+    ))
+
     from bioio_spark.sources.lif_image import LifImageReader
 
     register_plugin(PluginEntry(

@@ -1336,6 +1336,57 @@ def img_ome_zarr_roundtrip_v3(spark, sf_dir):
 
 
 @register(
+    "img_nd2_roundtrip",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {2 * 4 * 5} AS INTEGER) AS t,
+             CAST(i % 2 AS INTEGER) AS c,
+             CAST((i // {2 * 5}) % 4 AS INTEGER) AS y,
+             CAST((i // 2) % 5 AS INTEGER) AS x,
+             CAST((i // {2 * 4 * 5}) * 10000 + (i % 2) * 1000
+                  + ((i // {2 * 5}) % 4) * 10
+                  + ((i // 2) % 5) AS DOUBLE) AS value
+      FROM range({3 * 2 * 4 * 5}) r(i))
+    SELECT t, c, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY t, c ORDER BY t, c
+    """,
+    doc="ND2 (Nikon) encode -> BioImage reread (bioio-nd2 tier: "
+        "chunk-map tail seek, LV attributes, component de-interleave)",
+)
+def img_nd2_roundtrip(spark, sf_dir):
+    """ND2 roundtrip: component-INTERLEAVED frames (x fastest, then
+    component) so the hash pins the de-interleave, the chunk-map walk,
+    and the LV attribute decode. Ref README.md:63 (bioio-nd2)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.nd2 import encode_nd2
+
+    idx = np.indices((3, 4, 5, 2))         # T Y X C interleaved
+    frames = (idx[0] * 10000 + idx[3] * 1000 + idx[1] * 10
+              + idx[2]).astype(np.uint16)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "nd2_roundtrip")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    path = os.path.join(out, "cells.nd2")
+    with open(path, "wb") as f:
+        f.write(encode_nd2(frames, pixel_um=0.16,
+                           channel_names=["DAPI", "GFP"]))
+    img = BioImage(path, spark=spark)       # .nd2 extension routing
+    return (img.get_image_dataframe()
+            .groupBy("t", "c")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("t", "c"))
+
+
+@register(
     "img_lif_roundtrip",
     oracle=f"""
     WITH px AS (

@@ -1,0 +1,160 @@
+"""ND2 reader (.nd2) — the reference's bioio-nd2 plugin tier (ref
+README.md:63), over the in-repo pure-Python chunk-map codec
+(bioio_spark.formats.nd2).
+
+- **Catalog (driver-side)**: tail-seek the chunk map, decode the
+  ImageAttributesLV tree (width/height/components/bit depth/sequence
+  count) and ImageTextInfoLV channel names — a few KB of IO.
+- **Pixels (executor-side)**: one plan row per ImageDataSeq FRAME
+  (chunk offset + geometry from the map); each task seek-reads its
+  frame and de-interleaves components into the c column — parallelism
+  = frame count, zero shuffle, one ranged GET per frame at
+  object-store scale.
+
+Baseline limitation (documented in formats/nd2.py): the SLxExperiment
+loop structure is not parsed, so frames always map to T (Z = 1)."""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+class Nd2ImageReader:
+    """BioImage reader over baseline ND2 files (plugin tier)."""
+
+    @staticmethod
+    def is_supported_image(image) -> bool:
+        import struct
+
+        if not isinstance(image, str) or not \
+                image.lower().endswith(".nd2"):
+            return False
+        try:
+            with open(image, "rb") as f:
+                head = f.read(4)
+            return len(head) == 4 and struct.unpack(
+                "<I", head)[0] == 0x0ABECEDA
+        except OSError:
+            return False
+
+    def __init__(self, image: str, dim_order=None, channel_names=None,
+                 physical_pixel_sizes=None, image_id: str = "img",
+                 **_kwargs):
+        if dim_order is not None:
+            raise ValueError(
+                "ND2 dimensions come from the attribute chunks")
+        self._path = image
+        self._image_id = image_id
+        self._channel_names = channel_names
+        self._pps = physical_pixel_sizes
+
+    def to_dataset(self, spark: SparkSession):
+        from bioio_spark.formats.nd2 import (decode_lv,
+                                             read_nd2_attributes,
+                                             read_nd2_chunk,
+                                             read_nd2_chunkmap)
+        from bioio_spark.ome_utils import resolve_channel_names
+        from bioio_spark.sources.array_like import (PIXEL_COLUMNS,
+                                                    ImageDataset)
+        from bioio_spark.types import PhysicalPixelSizes
+
+        path = os.path.abspath(self._path)
+        attrs = read_nd2_attributes(path)
+        cmap = read_nd2_chunkmap(path)
+        t_n = attrs["uiSequenceCount"]
+        c_n = attrs["uiComp"]
+        y_n, x_n = attrs["uiHeight"], attrs["uiWidth"]
+        dtype = "uint8" if attrs["uiBpcInMemory"] == 8 else "uint16"
+
+        names = self._channel_names
+        if names is None and "ImageTextInfoLV!" in cmap:
+            ti = decode_lv(read_nd2_chunk(
+                path, "ImageTextInfoLV!", *cmap["ImageTextInfoLV!"]))
+            items = ti.get("SLxImageTextInfo", {})
+            got = [items[k] for k in sorted(items)
+                   if k.startswith("TextInfoItem_")]
+            if len(got) == c_n:
+                names = got
+        pps = self._pps
+        if pps is None and attrs.get("dCalibration"):
+            cal = float(attrs["dCalibration"])
+            pps = PhysicalPixelSizes(Z=None, Y=cal, X=cal)
+
+        scene = "Image:0"
+        channel_rows = [
+            {"image_id": self._image_id, "scene": scene, "c": ci,
+             "channel_name": nm}
+            for ci, nm in enumerate(resolve_channel_names(
+                names, c_n, 0))]
+        scene_rows = [{
+            "image_id": self._image_id, "scene": scene,
+            "scene_idx": 0, "dim_order": "TCZYX",
+            "size_t": t_n, "size_c": c_n, "size_z": 1,
+            "size_y": y_n, "size_x": x_n,
+            "size_m": None, "size_s": None,
+            "dtype": dtype, "ome_pixel_type": dtype,
+            "pps_z": pps.Z if pps else None,
+            "pps_y": pps.Y if pps else None,
+            "pps_x": pps.X if pps else None,
+            "time_interval": None, "metadata": None,
+        }]
+        plan = []
+        for t in range(t_n):
+            name = f"ImageDataSeq|{t}!"
+            if name not in cmap:
+                raise KeyError(f"{path}: missing frame chunk {name}")
+            off, size = cmap[name]
+            plan.append({"path": path, "t": t, "offset": off,
+                         "size": size})
+        n_comp, height, width, dt_name = c_n, y_n, x_n, dtype
+
+        def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from bioio_spark.formats.nd2 import read_nd2_chunk
+
+            for pdf in it:
+                for r in pdf.itertuples():
+                    data = read_nd2_chunk(
+                        r.path, f"ImageDataSeq|{r.t}!",
+                        int(r.offset), int(r.size))
+                    dt = np.dtype("u1" if dt_name == "uint8"
+                                  else "<u2")
+                    a = np.frombuffer(
+                        data, dtype=dt, offset=8,
+                        count=width * height * n_comp)
+                    # component-interleaved -> (c, y, x)
+                    frame = (a.reshape(height, width, n_comp)
+                             .transpose(2, 0, 1))
+                    for c in range(n_comp):
+                        plane = frame[c]
+                        yield pd.DataFrame({
+                            "t": np.full(plane.size, r.t, np.int32),
+                            "c": np.full(plane.size, c, np.int32),
+                            "y": np.repeat(np.arange(
+                                height, dtype=np.int32), width),
+                            "x": np.tile(np.arange(
+                                width, dtype=np.int32), height),
+                            "value": plane.ravel().astype(np.float64),
+                        })
+
+        plan_df = spark.createDataFrame(pd.DataFrame(plan)).repartition(
+            min(len(plan), spark.sparkContext.defaultParallelism))
+        px = (plan_df.mapInPandas(
+                  batches,
+                  schema="t int, c int, y int, x int, value double")
+              .select(
+                  F.lit(self._image_id).alias("image_id"),
+                  F.lit(scene).alias("scene"),
+                  F.lit(0).alias("res_level"), "t", "c",
+                  F.lit(0).alias("z"), "y", "x",
+                  F.lit(-1).alias("m"), F.lit(-1).alias("s"), "value")
+              .select(*PIXEL_COLUMNS))
+
+        return ImageDataset(pixels=px, scenes=pd.DataFrame(scene_rows),
+                            channels=pd.DataFrame(channel_rows))
