@@ -82,3 +82,86 @@ def streaming_scene_stats(pixels: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_px"),
                  F.sum("value").alias("sum_val"),
                  F.max("value").alias("max_val")))
+
+
+def streaming_ngff_sink(pixels: DataFrame, store: str,
+                        shape: tuple, chunks: tuple,
+                        dtype: str = "float64",
+                        checkpoint: str = None,
+                        image_name: str = "live"):
+    """Live acquisition -> OME-Zarr: stream long-form pixel rows
+    (t, c, z, y, x, value) into an NGFF 0.4 store, chunk by chunk.
+
+    The store's metadata (.zgroup/.zattrs/.zarray) is written ONCE,
+    driver-side, from the declared final `shape` — NGFF has no append
+    metadata, so a live store declares its full extent up front and
+    chunks materialize as data arrives (readers see fill_value where
+    nothing has landed yet, the standard sparse-Zarr semantics).
+
+    Exactly-once WITHOUT a transaction log: a chunk's filename is a
+    pure function of its grid position, and each foreachBatch call
+    rewrites its chunks from the batch's full row set — so a replayed
+    micro-batch (post-crash re-run from the file-source checkpoint)
+    overwrites identical bytes instead of duplicating. The invariant a
+    caller must keep is chunk-batch ALIGNMENT: every pixel of a chunk
+    arrives in one micro-batch (acquisition convention: chunks no
+    larger than one file's plane set — e.g. chunks=(1,1,1,Y,X) when
+    each arriving file is one plane). Misaligned chunks would be
+    half-written; align chunk geometry to the per-file unit.
+
+    Returns the StreamingQuery (caller awaits/stops)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bioio_spark.formats.zarr import (ZGROUP, build_ngff_attrs,
+                                          build_zarray, chunk_key,
+                                          encode_chunk)
+
+    t_n, c_n, z_n, y_n, x_n = shape
+    root = store
+    os.makedirs(os.path.join(root, "0"), exist_ok=True)
+    with open(os.path.join(root, ".zgroup"), "w") as f:
+        f.write(ZGROUP)
+    with open(os.path.join(root, ".zattrs"), "w") as f:
+        f.write(build_ngff_attrs(image_name, None))
+    with open(os.path.join(root, "0", ".zarray"), "w") as f:
+        f.write(build_zarray(shape, chunks, dtype))
+
+    cs = tuple(int(c) for c in chunks)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import numpy as np
+        import pandas as pd
+
+        grid_cols = [(F.col(d) / cs[i]).cast("int").alias(f"g{d}")
+                     for i, d in enumerate("tczyx")]
+
+        def encode_one(pdf: pd.DataFrame) -> pd.DataFrame:
+            grid = tuple(int(pdf[f"g{d}"].iloc[0]) for d in "tczyx")
+            off = tuple(g * c for g, c in zip(grid, cs))
+            block = np.zeros(cs, dtype=dtype)
+            flat = ((pdf["t"].to_numpy() - off[0])
+                    * (cs[1] * cs[2] * cs[3] * cs[4])
+                    + (pdf["c"].to_numpy() - off[1])
+                    * (cs[2] * cs[3] * cs[4])
+                    + (pdf["z"].to_numpy() - off[2]) * (cs[3] * cs[4])
+                    + (pdf["y"].to_numpy() - off[3]) * cs[4]
+                    + (pdf["x"].to_numpy() - off[4]))
+            block.ravel()[flat] = pdf["value"].to_numpy()
+            path = os.path.join(root, "0", chunk_key(grid))
+            with open(path, "wb") as f:
+                f.write(encode_chunk(block))
+            return pd.DataFrame({"n": [len(pdf)]})
+
+        (batch_df.select("t", "c", "z", "y", "x", "value", *grid_cols)
+         .groupBy(*[f"g{d}" for d in "tczyx"])
+         .applyInPandas(encode_one, "n long")
+         .count())
+
+    return (pixels.writeStream
+            .foreachBatch(write_batch)
+            .option("checkpointLocation",
+                    checkpoint or os.path.join(root, "_checkpoint"))
+            .trigger(availableNow=True)
+            .start())

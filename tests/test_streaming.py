@@ -352,3 +352,67 @@ def test_streaming_image_ingest(spark, tmp_path_factory):
         assert rows["scan1"]["max_val"] == float(a1.max())
     finally:
         q.stop()
+
+
+def test_streaming_ngff_sink_exactly_once(spark, tmp_path):
+    """Live acquisition -> NGFF store: arriving one-plane TIFFs become
+    Zarr chunks; a restart from the same checkpoint re-processes
+    nothing, and late-arriving files extend the store in place."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bioio_spark.formats.tiff import encode_tiff
+    from bioio_spark.sources.zarr_image import ZarrImageReader
+    from bioio_spark.streaming.ingest import (read_image_stream,
+                                              streaming_decode_pixels,
+                                              streaming_ngff_sink)
+
+    acq = tmp_path / "acq"
+    acq.mkdir()
+    rng = np.random.default_rng(11)
+    planes = rng.random((4, 6, 8))
+    for t in range(2):               # first two timepoints arrive
+        (acq / f"t{t}.tif").write_bytes(
+            encode_tiff([planes[t].astype(np.float64)]))
+
+    store = str(tmp_path / "live.zarr")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = read_image_stream(spark, str(acq),
+                                   max_files_per_trigger=1)
+        px = (streaming_decode_pixels(stream)
+              .select(F.regexp_extract("scene", r"t(\d+)", 1)
+                      .cast("int").alias("t"),
+                      F.lit(0).alias("c"), F.col("page").alias("z"),
+                      "y", "x", "value"))
+        q = streaming_ngff_sink(px, store, shape=(4, 1, 1, 6, 8),
+                                chunks=(1, 1, 1, 6, 8),
+                                checkpoint=ckpt)
+        q.awaitTermination(60)
+
+    run_once()
+    from bioio_spark import BioImage
+
+    img = BioImage(store, reader=ZarrImageReader, spark=spark)
+    got = img.get_image_data("TYX")
+    np.testing.assert_allclose(got[:2], planes[:2])
+    assert (got[2:] == 0).all()          # undelivered -> fill_value
+
+    # replay with the SAME checkpoint: nothing reprocessed, store
+    # unchanged (exactly-once)
+    import os
+    mtimes = {f: os.path.getmtime(os.path.join(store, "0", f))
+              for f in os.listdir(os.path.join(store, "0"))
+              if not f.startswith(".")}
+    run_once()
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(store, "0", f)) == m
+
+    # the rest of the acquisition lands; only the NEW files process
+    for t in range(2, 4):
+        (acq / f"t{t}.tif").write_bytes(
+            encode_tiff([planes[t].astype(np.float64)]))
+    run_once()
+    img2 = BioImage(store, reader=ZarrImageReader, spark=spark)
+    np.testing.assert_allclose(img2.get_image_data("TYX"), planes)
