@@ -348,3 +348,63 @@ def s8_stream_ingest_stats(spark, sf_dir):
     finally:
         q.stop()
     return spark.table(name).orderBy("scene")
+
+
+@register(
+    "s9_stream_ngff_sink",
+    oracle=f"""
+    WITH px AS (
+      SELECT i AS t, p AS z, y, x,
+             CAST(i * 9000 + p * 2500 + y * {_S8_W} + x AS DOUBLE)
+               AS value
+      FROM range({_S8_FILES}) r(i), range({_S8_PAGES}) s(p),
+           range({_S8_H}) t(y), range({_S8_W}) u(x))
+    SELECT CAST(t AS INTEGER) AS t, CAST(z AS INTEGER) AS z,
+           count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY t, z ORDER BY t, z
+    """,
+    doc="S9 live-acquisition NGFF sink: readStream TIFFs -> "
+        "foreachBatch Zarr chunk writes (exactly-once via "
+        "deterministic chunk paths) -> reread, hash-checked",
+)
+def s9_stream_ngff_sink(spark, sf_dir):
+    """Streams the s8 acquisition fixture into an OME-Zarr store via
+    streaming_ngff_sink (chunk = one file's plane set so every chunk
+    completes within one micro-batch), then reads the store back with
+    the batch Zarr reader — the hash pins the full stream->store->scan
+    chain. Streaming sinks are not SQL-expressible, but the SINK OUTPUT
+    is deterministic, so the oracle checks the store contents."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.sources.zarr_image import ZarrImageReader
+    from bioio_spark.streaming import (read_image_stream,
+                                       streaming_decode_pixels)
+    from bioio_spark.streaming.ingest import streaming_ngff_sink
+
+    base = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "stream_ngff_sink")
+    shutil.rmtree(base, ignore_errors=True)
+    store = os.path.join(base, "live.zarr")
+    px = (streaming_decode_pixels(read_image_stream(
+              spark, _s8_fixture_dir(), max_files_per_trigger=2))
+          .select(F.regexp_extract("scene", r"scan(\d+)", 1)
+                  .cast("int").alias("t"),
+                  F.lit(0).alias("c"), F.col("page").alias("z"),
+                  "y", "x", "value"))
+    q = streaming_ngff_sink(
+        px, store, shape=(_S8_FILES, 1, _S8_PAGES, _S8_H, _S8_W),
+        chunks=(1, 1, _S8_PAGES, _S8_H, _S8_W),
+        checkpoint=os.path.join(base, "ckpt"))
+    q.awaitTermination(120)
+    img = BioImage(store, reader=ZarrImageReader, spark=spark)
+    return (img.get_image_dataframe()
+            .groupBy("t", "z")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("t", "z"))
