@@ -62,10 +62,14 @@ def _segment(sid: bytes, payload: bytes,
 
 
 def _pack_entry_dv(pixel_type: int, file_position: int,
-                   dims: Sequence[tuple]) -> bytes:
-    """dims: [(name, start, size, stored_size), ...]."""
+                   dims: Sequence[tuple],
+                   pyramid: int = 0) -> bytes:
+    """dims: [(name, start, size, stored_size), ...]. `pyramid` is the
+    PyramidType byte (0 none, 1 single, 2 multi) of downsampled
+    subblocks — for those, Size covers the full-resolution extent
+    while StoredSize is the downsampled pixel count."""
     out = struct.pack("<2siqiiB5xi", b"DV", pixel_type, file_position,
-                      0, 0, 0, len(dims))
+                      0, 0, pyramid, len(dims))
     for name, start, size, stored in dims:
         out += struct.pack("<4siifi", name.encode("ascii"), start,
                            size, 0.0, stored)
@@ -114,20 +118,23 @@ def encode_czi(subblocks: Sequence[dict],
         if ptype == 3:
             a = a[:, :, ::-1]        # RGB -> stored BGR
         d = sb.get("dims", {})
+        scale = int(sb.get("scale", 1))   # >1 = pyramid subblock
         dim_list = []
         for name in ("S", "T", "C", "Z", "M", "B"):
             if name in d:
                 dim_list.append((name, int(d[name]), 1, 1))
-        dim_list.append(("Y", int(d.get("Y", 0)), a.shape[0],
-                         a.shape[0]))
-        dim_list.append(("X", int(d.get("X", 0)), a.shape[1],
-                         a.shape[1]))
+        dim_list.append(("Y", int(d.get("Y", 0)),
+                         a.shape[0] * scale, a.shape[0]))
+        dim_list.append(("X", int(d.get("X", 0)),
+                         a.shape[1] * scale, a.shape[1]))
         data = a.tobytes()
-        entry = _pack_entry_dv(ptype, pos, dim_list)
+        entry = _pack_entry_dv(ptype, pos, dim_list,
+                               pyramid=1 if scale > 1 else 0)
         fixed = struct.pack("<iiq", 0, 0, len(data)) + entry
         payload = fixed.ljust(max(256, len(fixed)), b"\x00") + data
         sub_payloads.append(payload)
-        entries.append((ptype, pos, dim_list))
+        entries.append((ptype, pos, dim_list,
+                        1 if scale > 1 else 0))
         alloc = -(-len(payload) // _ALIGN) * _ALIGN
         pos += SEGMENT_HEADER + alloc
 
@@ -140,8 +147,8 @@ def encode_czi(subblocks: Sequence[dict],
     dir_pos = meta_pos + SEGMENT_HEADER + meta_alloc
 
     dir_body = struct.pack("<i", len(entries)) + b"\x00" * 124
-    for ptype, fpos, dim_list in entries:
-        dir_body += _pack_entry_dv(ptype, fpos, dim_list)
+    for ptype, fpos, dim_list, pyr in entries:
+        dir_body += _pack_entry_dv(ptype, fpos, dim_list, pyramid=pyr)
 
     header = struct.pack(
         "<iiii16s16siqqiq",

@@ -108,9 +108,21 @@ class CziImageReader:
             raise ValueError(f"{path}: CZI directory has no subblocks")
         xml = read_czi_metadata(path)
 
+        # pyramid level from the stored/size ratio (PyramidType
+        # subblocks store downsampled pixels over a full-res extent)
+        import math
+
+        def _level(e) -> int:
+            dy = e["dims"]["Y"]
+            if not e.get("pyramid") and dy["stored"] in (0, dy["size"]):
+                return 0
+            ratio = dy["size"] / max(dy["stored"], 1)
+            return max(0, round(math.log2(ratio)))
+
         # group subblocks by scene (S start; absent -> scene 0)
         by_scene: dict[int, list] = {}
         for e in entries:
+            e["level"] = _level(e)
             by_scene.setdefault(_start(e["dims"], "S"), []).append(e)
         scene_order = sorted(by_scene)
         if scene_order != list(range(len(scene_order))):
@@ -127,10 +139,17 @@ class CziImageReader:
 
         scene_rows, channel_rows, tile_rows, plan = [], [], [], []
         for si in scene_order:
-            subs = by_scene[si]
+            all_subs = by_scene[si]
+            levels = sorted({e["level"] for e in all_subs})
+            # catalog dims from the FULL-RESOLUTION level; pyramid
+            # levels ride along as res_level > 0 planes
+            subs = [e for e in all_subs if e["level"] == 0]
+            if not subs:
+                raise ValueError(
+                    f"{path}: scene {si} has no level-0 subblocks")
             scene = f"Image:{si}"
             pt = subs[0]["pixel_type"]
-            if any(e["pixel_type"] != pt for e in subs):
+            if any(e["pixel_type"] != pt for e in all_subs):
                 raise ValueError(
                     f"{path}: mixed pixel types within scene {si}")
             dt, samples = DTYPE_OF_PIXEL_TYPE[pt]
@@ -175,6 +194,7 @@ class CziImageReader:
                 "size_y": h, "size_x": w,
                 "size_m": m_n,
                 "size_s": samples if samples > 1 else None,
+                "res_levels": levels,
                 "dtype": dtype, "ome_pixel_type": dtype,
                 "pps_z": pps.Z if pps else None,
                 "pps_y": pps.Y if pps else None,
@@ -182,10 +202,11 @@ class CziImageReader:
                 "time_interval": None,
                 "metadata": xml,
             })
-            for e in subs:
+            for e in all_subs:
                 d = e["dims"]
                 plan.append({
                     "path": path, "scene": scene,
+                    "res_level": e["level"],
                     "t": _start(d, "T"), "c": _start(d, "C"),
                     "z": _start(d, "Z"),
                     "m": _start(d, "M") if "M" in d else -1,
@@ -219,6 +240,8 @@ class CziImageReader:
                                      y_n * x_n))
                     yield pd.DataFrame({
                         "scene": r.scene,
+                        "res_level": np.full(plane.size, r.res_level,
+                                             np.int32),
                         "t": np.full(plane.size, r.t, np.int32),
                         "c": np.full(plane.size, r.c, np.int32),
                         "z": np.full(plane.size, r.z, np.int32),
@@ -235,11 +258,12 @@ class CziImageReader:
             min(len(plan), spark.sparkContext.defaultParallelism))
         px = (plan_df.mapInPandas(
                   batches,
-                  schema="scene string, t int, c int, z int, m int, "
-                         "y int, x int, s int, value double")
+                  schema="scene string, res_level int, t int, c int, "
+                         "z int, m int, y int, x int, s int, "
+                         "value double")
               .select(
                   F.lit(self._image_id).alias("image_id"), "scene",
-                  F.lit(0).alias("res_level"), "t", "c", "z", "y", "x",
+                  "res_level", "t", "c", "z", "y", "x",
                   "m", "s", "value")
               .select(*PIXEL_COLUMNS))
 

@@ -153,3 +153,24 @@ def test_bioimage_czi_multiscene(spark, tmp_path):
     img.set_scene(1)
     np.testing.assert_array_equal(
         img.get_image_data("ZYX").astype(np.uint16), b[1, 1] * 2)
+
+
+def test_bioimage_czi_pyramid_levels(spark, tmp_path):
+    """PyramidType subblocks (StoredSize < Size) become res_levels;
+    level 0 dims stay full-resolution and levels never double-count."""
+    rng = np.random.default_rng(9)
+    full = rng.integers(0, 65535, (8, 10)).astype(np.uint16)
+    half = full[::2, ::2].copy()
+    p = tmp_path / "pyr.czi"
+    p.write_bytes(encode_czi([
+        {"data": full, "dims": {"S": 0}},
+        {"data": half, "dims": {"S": 0}, "scale": 2},
+    ]))
+    img = BioImage(str(p), spark=spark)
+    assert (img.dims.Y, img.dims.X) == (8, 10)
+    assert img.resolution_levels == (0, 1)
+    np.testing.assert_array_equal(
+        img.get_image_data("YX").astype(np.uint16), full)
+    img.set_resolution_level(1)
+    np.testing.assert_array_equal(
+        img.get_image_data("YX").astype(np.uint16), half)
