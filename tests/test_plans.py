@@ -321,3 +321,35 @@ def test_l4i_line_dedup_broadcast_df_partial_agg(spark):
     assert broadcast_join_count(df) >= 1
     plan = physical_plan(df)
     assert "SortMergeJoin" not in plan
+
+
+def test_planned_read_sources_no_shuffle(spark, tmp_path):
+    """DV / CZI / LIF / ND2 pixel scans are planned reads: the driver
+    distributes (section/subblock/plane/frame -> byte-range) plan rows
+    and tasks seek-read independently — the PIXEL side of the plan must
+    stay shuffle-free (one round-robin repartition of the tiny plan
+    frame is allowed; no hash/range exchange of pixel rows)."""
+    import numpy as np
+
+    from bioio_spark import BioImage
+    from bioio_spark.formats.czi import encode_czi
+    from bioio_spark.formats.dv import encode_dv
+    from bioio_spark.formats.lif import encode_lif
+    from bioio_spark.formats.nd2 import encode_nd2
+
+    block = np.zeros((2, 2, 2, 4, 5), np.uint16)
+    files = {
+        "a.dv": encode_dv(block),
+        "a.czi": encode_czi(
+            [{"data": block[t, c, z], "dims": {"T": t, "C": c, "Z": z}}
+             for t in range(2) for c in range(2) for z in range(2)]),
+        "a.lif": encode_lif([{"name": "S", "data": block}]),
+        "a.nd2": encode_nd2(np.zeros((3, 4, 5), np.uint8)),
+    }
+    for name, payload in files.items():
+        p = tmp_path / name
+        p.write_bytes(payload)
+        df = BioImage(str(p), spark=spark).get_image_dataframe()
+        plan = physical_plan(df)
+        hash_exchanges = plan.count("Exchange hashpartitioning")
+        assert hash_exchanges == 0, f"{name}: pixel-side shuffle\n{plan}"
