@@ -4,7 +4,8 @@ The reference's headline sink is OME-TIFF via tifffile
 (ref bioio/bio_image.py:1229-1301, writers/__init__.py:10-15); no TIFF
 library ships in this container, so this module implements the subset the
 OME-TIFF spec actually requires for multi-page scientific imagery:
-little-endian classic TIFF, one IFD per plane, one strip per plane,
+little-endian classic TIFF, one IFD per plane, one strip per plane (or
+the TIFF 6.0 §15 tiled layout via ``tile=(th, tw)``),
 SampleFormat/BitsPerSample for the full OME integer/float pixel-type set,
 Compression 1 (none), 5 (TIFF 6.0 LZW with EarlyChange, both directions),
 8 (Adobe Deflate, via zlib — decode also accepts the legacy 32946
@@ -200,7 +201,8 @@ def encode_tiff(planes: Sequence[np.ndarray],
                 description: Optional[str] = None,
                 compression: int = _COMPRESSION_NONE,
                 predictor: int = 1,
-                bigtiff: bool = False) -> bytes:
+                bigtiff: bool = False,
+                tile: Optional[tuple] = None) -> bytes:
     """Encode planes as a multi-page little-endian TIFF.
 
     Planes are 2D (YX, grayscale) or 3D (YXS, interleaved samples — RGB &
@@ -208,7 +210,14 @@ def encode_tiff(planes: Sequence[np.ndarray],
     strip per plane; `compression` 1 writes raw strips, 8 Deflates each
     strip with zlib (whole-strip compression is what tifffile and the OME
     reference stack emit for Compression=8). `description` (OME-XML) lands
-    in IFD0's ImageDescription, which is where OME-TIFF readers look."""
+    in IFD0's ImageDescription, which is where OME-TIFF readers look.
+
+    `tile=(th, tw)` writes the TIFF 6.0 §15 TILED layout instead of
+    strips: fixed-size tiles row-major, edge tiles stored FULL SIZE and
+    zero-padded, each tile independently compressed (predictor applied
+    per tile) — the layout of wild pyramidal `.tiles.ome.tif` files and
+    the one that makes windowed reads O(window/tile). Tile dims must be
+    multiples of 16 per the spec."""
     import zlib
 
     if not planes:
@@ -244,27 +253,51 @@ def encode_tiff(planes: Sequence[np.ndarray],
             # NULs are stripped on decode)
             desc_bytes += b"\x00" * (10 - len(desc_bytes))
 
-    if predictor == 2:
-        if not np.issubdtype(dt, np.integer):
-            raise ValueError("horizontal predictor is integer-only")
-        diffed = []
-        for a in arrs:
-            d = a.copy()
-            d[:, 1:] = a[:, 1:] - a[:, :-1]   # wraps in the sample dtype
-            diffed.append(d)
-        arrs = diffed
-    elif predictor != 1:
+    if predictor == 2 and not np.issubdtype(dt, np.integer):
+        raise ValueError("horizontal predictor is integer-only")
+    if predictor not in (1, 2):
         raise ValueError(f"unsupported predictor {predictor}")
+    if tile is not None:
+        th, tw = int(tile[0]), int(tile[1])
+        if th % 16 or tw % 16:
+            raise ValueError(
+                f"TIFF tile dims must be multiples of 16, got {tile}")
 
-    strips = [a.astype(dt_le, copy=False).tobytes() for a in arrs]
-    if compression == _COMPRESSION_DEFLATE:
-        strips = [zlib.compress(s) for s in strips]
-    elif compression == _COMPRESSION_LZW:
-        strips = [lzw_encode(s) for s in strips]
-    elif compression == _COMPRESSION_PACKBITS:
-        strips = [packbits_encode(s, row_bytes=a.shape[1] * s_n
-                                  * dt.itemsize)
-                  for a, s in zip(arrs, strips)]
+    def _diff(a: np.ndarray) -> np.ndarray:
+        if predictor != 2:
+            return a
+        d = a.copy()
+        d[:, 1:] = a[:, 1:] - a[:, :-1]   # wraps in the sample dtype
+        return d
+
+    def _pack(a: np.ndarray) -> bytes:
+        raw = _diff(a).astype(dt_le, copy=False).tobytes()
+        if compression == _COMPRESSION_DEFLATE:
+            return zlib.compress(raw)
+        if compression == _COMPRESSION_LZW:
+            return lzw_encode(raw)
+        if compression == _COMPRESSION_PACKBITS:
+            return packbits_encode(
+                raw, row_bytes=a.shape[1] * s_n * dt.itemsize)
+        return raw
+
+    # chunks[i]: the encoded payloads of plane i — one strip, or the
+    # row-major tile sequence (edge tiles zero-padded to full size)
+    chunks: list[list[bytes]] = []
+    for a in arrs:
+        if tile is None:
+            chunks.append([_pack(a)])
+            continue
+        h0, w0 = a.shape[0], a.shape[1]
+        padded_shape = (-(-h0 // th) * th, -(-w0 // tw) * tw) \
+            + ((s_n,) if a.ndim == 3 else ())
+        padded = np.zeros(padded_shape, dtype=a.dtype)
+        padded[:h0, :w0] = a
+        tiles = []
+        for ty in range(0, padded.shape[0], th):
+            for tx in range(0, padded.shape[1], tw):
+                tiles.append(_pack(padded[ty:ty + th, tx:tx + tw]))
+        chunks.append(tiles)
 
     # multi-sample pages need out-of-line BitsPerSample / SampleFormat
     # arrays (s_n shorts > 4 bytes); one shared block serves every IFD
@@ -279,18 +312,35 @@ def encode_tiff(planes: Sequence[np.ndarray],
     # bigtiff switches to the version-43 layout: 16-byte header, 8-byte
     # IFD counts/offsets, 20-byte entries (required once any offset
     # exceeds 4 GB; callers exporting scenes that big must set it).
+    off_item = 8 if bigtiff else 4
     pos = 16 if bigtiff else 8
     desc_off = pos
     pos += len(desc_bytes)
     bits_off = pos
     fmt_off = pos + 2 * s_n
     pos += len(extra_bytes)
-    strip_offs = []
-    for s in strips:
+    chunk_offs: list[list[int]] = []
+    for cs in chunks:
+        offs = []
+        for c in cs:
+            if pos % 2:
+                pos += 1
+            offs.append(pos)
+            pos += len(c)
+        chunk_offs.append(offs)
+    # out-of-line offset/count arrays for multi-chunk (tiled) planes
+    arr_offs: list[Optional[tuple]] = []
+    for cs in chunks:
+        if len(cs) <= 1:
+            arr_offs.append(None)
+            continue
         if pos % 2:
             pos += 1
-        strip_offs.append(pos)
-        pos += len(s)
+        o_pos = pos
+        pos += off_item * len(cs)
+        c_pos = pos
+        pos += off_item * len(cs)   # counts LONG8 in BigTIFF, LONG else
+        arr_offs.append((o_pos, c_pos))
     if pos % 2:
         pos += 1
     ifd0_off = pos
@@ -302,10 +352,20 @@ def encode_tiff(planes: Sequence[np.ndarray],
         out += struct.pack("<2sHI", b"II", 42, ifd0_off)
     out += desc_bytes
     out += extra_bytes
-    for s, off in zip(strips, strip_offs):
-        if len(out) != off:
-            out += b"\x00" * (off - len(out))
-        out += s
+    for cs, offs in zip(chunks, chunk_offs):
+        for c, off in zip(cs, offs):
+            if len(out) != off:
+                out += b"\x00" * (off - len(out))
+            out += c
+    for cs, offs, ao in zip(chunks, chunk_offs, arr_offs):
+        if ao is None:
+            continue
+        o_pos, c_pos = ao
+        if len(out) != o_pos:
+            out += b"\x00" * (o_pos - len(out))
+        fmt = "Q" if bigtiff else "I"
+        out += struct.pack(f"<{len(offs)}{fmt}", *offs)
+        out += struct.pack(f"<{len(cs)}{fmt}", *[len(c) for c in cs])
     if len(out) % 2:
         out += b"\x00"
 
@@ -314,7 +374,8 @@ def encode_tiff(planes: Sequence[np.ndarray],
     ent = _ifd_entry_big if bigtiff else _ifd_entry
     ent_shorts = _ifd_entry_shorts_big if bigtiff else _ifd_entry_shorts
     ent_sz, cnt_sz, off_sz = (20, 8, 8) if bigtiff else (12, 2, 4)
-    for i, (a, s, off) in enumerate(zip(arrs, strips, strip_offs)):
+    for i, (a, cs, offs, ao) in enumerate(
+            zip(arrs, chunks, chunk_offs, arr_offs)):
         h, w = a.shape[0], a.shape[1]
         entries = [
             ent(_IMAGE_WIDTH, _TYPE_LONG, 1, w),
@@ -338,14 +399,25 @@ def encode_tiff(planes: Sequence[np.ndarray],
         if i == 0 and desc_bytes:
             entries.append(ent(_IMAGE_DESCRIPTION, _TYPE_ASCII,
                                len(desc_bytes), desc_off))
-        entries += [
-            ent(_STRIP_OFFSETS, _TYPE_LONG8 if bigtiff else _TYPE_LONG,
-                1, off),
-            ent(_SAMPLES_PER_PIXEL, _TYPE_SHORT, 1, s_n),
-            ent(_ROWS_PER_STRIP, _TYPE_LONG, 1, h),
-            ent(_STRIP_BYTE_COUNTS,
-                _TYPE_LONG8 if bigtiff else _TYPE_LONG, 1, len(s)),
-        ]
+        off_type = _TYPE_LONG8 if bigtiff else _TYPE_LONG
+        entries.append(ent(_SAMPLES_PER_PIXEL, _TYPE_SHORT, 1, s_n))
+        if tile is None:
+            entries += [
+                ent(_STRIP_OFFSETS, off_type, 1, offs[0]),
+                ent(_ROWS_PER_STRIP, _TYPE_LONG, 1, h),
+                ent(_STRIP_BYTE_COUNTS, off_type, 1, len(cs[0])),
+            ]
+        else:
+            n = len(cs)
+            o_pos, c_pos = ao if ao else (offs[0], len(cs[0]))
+            entries += [
+                ent(_TILE_WIDTH, _TYPE_LONG, 1, tw),
+                ent(_TILE_LENGTH, _TYPE_LONG, 1, th),
+                ent(_TILE_OFFSETS, off_type, n,
+                    o_pos if n > 1 else offs[0]),
+                ent(_TILE_BYTE_COUNTS, off_type, n,
+                    c_pos if n > 1 else len(cs[0])),
+            ]
         if predictor == 2:
             entries.append(ent(_PREDICTOR, _TYPE_SHORT, 1, 2))
         entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
@@ -363,11 +435,13 @@ def encode_ome_tiff(block: np.ndarray, image_id: str = "Image:0",
                     physical_pixel_sizes=None,
                     compression: int = _COMPRESSION_NONE,
                     bigtiff: bool = False,
-                    predictor: int = 1) -> bytes:
+                    predictor: int = 1,
+                    tile: Optional[tuple] = None) -> bytes:
     """Encode a dense 5D TCZYX (or 6D TCZYXS, interleaved-sample) block as
     a single-scene OME-TIFF; compression 1 (none), 5 (LZW), 8 (deflate),
     32773 (PackBits); predictor 2 for horizontal differencing on integer
-    pixels; bigtiff for scenes past the classic 4 GB offset ceiling."""
+    pixels; bigtiff for scenes past the classic 4 GB offset ceiling;
+    tile=(th, tw) for the tiled page layout (.tiles.ome.tif tier)."""
     a = np.asarray(block)
     if a.ndim not in (5, 6):
         raise ValueError(
@@ -382,7 +456,7 @@ def encode_ome_tiff(block: np.ndarray, image_id: str = "Image:0",
     planes = [a[t, c, z]
               for t in range(t_n) for c in range(c_n) for z in range(z_n)]
     return encode_tiff(planes, description=ome, compression=compression,
-                       bigtiff=bigtiff, predictor=predictor)
+                       bigtiff=bigtiff, predictor=predictor, tile=tile)
 
 
 def encode_multiscene_ome_tiff(blocks: Sequence[np.ndarray],

@@ -342,7 +342,7 @@ register_writer("JpegWriter", JpegWriter)
 
 def save_ome_tiff(img, uri: str, select_scenes=None,
                   compression: int = 1, bigtiff: bool = False,
-                  predictor: int = 1) -> list:
+                  predictor: int = 1, tile=None) -> list:
     """Distributed OME-TIFF export: one file per scene, encoded
     executor-side via applyInPandas (ref bio_image.py:1229-1301 semantics:
     scene order preserved, scene ids embedded in the OME-XML).
@@ -361,7 +361,10 @@ def save_ome_tiff(img, uri: str, select_scenes=None,
 
     `compression` 1 writes raw strips, 5 LZW-packs, 8 Deflates (zlib),
     32773 PackBits-RLEs each page; `predictor` 2 applies horizontal
-    differencing before LZW/Deflate/PackBits (integer pixels only).
+    differencing before LZW/Deflate/PackBits (integer pixels only);
+    `tile=(th, tw)` writes the tiled page layout (multiples of 16 — the
+    wild pyramidal / .tiles.ome.tif convention, and what makes
+    read_tiff_window prune at tile granularity on the way back in).
     Scenes with an S dim (TCZYXS standard order) encode as interleaved
     multi-sample pages.
     """
@@ -423,7 +426,7 @@ def save_ome_tiff(img, uri: str, select_scenes=None,
             block, image_id=generate_ome_image_id(idx),
             image_name=m["image_name"], channel_names=m["channel_names"],
             physical_pixel_sizes=m["pps"], compression=compression,
-            bigtiff=bigtiff, predictor=predictor)
+            bigtiff=bigtiff, predictor=predictor, tile=tile)
         path = os.path.join(uri, f"scene_{idx}.ome.tiff")
         with open(path, "wb") as f:
             f.write(payload)

@@ -987,3 +987,88 @@ def test_packbits_window_read(spark, tmp_path):
     win[got["y"], got["x"]] = got["value"].astype(np.uint8)
     np.testing.assert_array_equal(win[4:9, 2:6], plane[4:9, 2:6])
     assert len(got) == 5 * 4
+
+
+# -- tiled WRITE path (the .tiles.ome.tif tier) ----------------------------
+
+@pytest.mark.parametrize("comp", [1, 5, 8, 32773])
+def test_encode_tiled_roundtrip(comp):
+    from bioio_spark.formats.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(21)
+    planes = [rng.integers(0, 50, (37, 45)).astype(np.uint16)
+              for _ in range(2)]
+    back, _ = decode_tiff(encode_tiff(planes, compression=comp,
+                                      tile=(16, 32)))
+    for a, b in zip(planes, back):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_encode_tiled_predictor_and_rgb():
+    from bioio_spark.formats.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(22)
+    grad = [np.cumsum(rng.integers(0, 3, (40, 33)), axis=1)
+            .astype(np.uint16)]
+    back, _ = decode_tiff(encode_tiff(grad, compression=5, predictor=2,
+                                      tile=(16, 16)))
+    np.testing.assert_array_equal(back[0], grad[0])
+    rgb = [rng.integers(0, 255, (20, 25, 3)).astype(np.uint8)]
+    back, _ = decode_tiff(encode_tiff(rgb, tile=(16, 16)))
+    np.testing.assert_array_equal(back[0], rgb[0])
+
+
+def test_encode_tiled_bigtiff_two_tiles():
+    """n==2 exercises the BigTIFF inline-vs-offset entry edge (LONG8
+    arrays keep 2-element offset/count arrays out of line)."""
+    from bioio_spark.formats.tiff import decode_tiff, encode_tiff
+
+    plane = np.arange(16 * 30, dtype=np.uint8).reshape(16, 30)
+    back, _ = decode_tiff(encode_tiff([plane], tile=(16, 16),
+                                      bigtiff=True))
+    np.testing.assert_array_equal(back[0], plane)
+
+
+def test_encode_tiled_guards():
+    from bioio_spark.formats.tiff import encode_tiff
+
+    with pytest.raises(ValueError, match="16"):
+        encode_tiff([np.zeros((4, 4), np.uint8)], tile=(10, 16))
+
+
+def test_tiled_write_window_read_prunes(spark, tmp_path):
+    """Our own tiled output feeds read_tiff_window's tile pruning: a
+    window touching one tile plans exactly one chunk."""
+    from bioio_spark.formats.tiff import encode_tiff, iter_tiff_chunks
+    from bioio_spark.sources.tiff_image import read_tiff_window
+
+    rng = np.random.default_rng(23)
+    plane = rng.integers(0, 9999, (48, 64)).astype(np.uint16)
+    p = tmp_path / "tiled.tif"
+    p.write_bytes(encode_tiff([plane], compression=8, tile=(16, 16)))
+    lay = iter_tiff_chunks(str(p))
+    assert lay[0]["tiled"] and len(lay[0]["chunks"]) == 3 * 4
+    w = read_tiff_window(spark, str(p), y=(17, 30), x=(18, 30)).toPandas()
+    got = np.zeros((13, 12), dtype=np.uint16)
+    got[w["y"] - 17, w["x"] - 18] = w["value"].astype(np.uint16)
+    np.testing.assert_array_equal(got, plane[17:30, 18:30])
+
+
+def test_save_ome_tiff_tiled(spark, tmp_path):
+    from bioio_spark import BioImage
+    from bioio_spark.formats.tiff import iter_tiff_chunks
+    from bioio_spark.sources.tiff_image import TiffImageReader
+    from bioio_spark.writers import save_ome_tiff
+
+    rng = np.random.default_rng(24)
+    block = rng.integers(0, 9999, (1, 2, 1, 40, 48)).astype(np.uint16)
+    out = str(tmp_path / "tiled_scene")
+    save_ome_tiff(BioImage(block, spark=spark), out,
+                  compression=5, tile=(16, 16))
+    import os
+
+    f = os.path.join(out, "scene_0.ome.tiff")
+    assert iter_tiff_chunks(f)[0]["tiled"]
+    back = BioImage(f, reader=TiffImageReader, spark=spark)
+    np.testing.assert_array_equal(
+        back.get_image_data("TCZYX").astype(np.uint16), block)
