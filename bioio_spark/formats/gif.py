@@ -158,8 +158,8 @@ def decode_gif(data: bytes):
 
     all_gray = gct is None or _gray(gct)
     canvas = np.zeros((H, W, 3), np.uint8)
-    covered = np.zeros((H, W), bool)
     delay, transp, disposal = 0, None, 0
+    prev_disposal, prev_region = 0, None
     while pos < len(data):
         b = data[pos]
         pos += 1
@@ -206,16 +206,20 @@ def decode_gif(data: bytes):
             dtype=np.uint8).reshape(h, w)
         if ipacked & 0x40:
             idx = _deinterlace(idx)
-        if disposal == 2:
-            canvas[:] = 0
-            covered[:] = False
+        # a GCE's disposal applies AFTER its own frame renders, i.e.
+        # before the NEXT frame draws — so the clear for disposal 2
+        # happens here, keyed to the PREVIOUS frame's setting, over the
+        # previous frame's region
+        if prev_disposal == 2 and prev_region is not None:
+            py, px_, ph, pw = prev_region
+            canvas[py:py + ph, px_:px_ + pw] = 0
         region = canvas[y0:y0 + h, x0:x0 + w]
         opaque = (np.ones((h, w), bool) if transp is None
                   else idx != transp)
         region[opaque] = pal[idx[opaque]]
-        covered[y0:y0 + h, x0:x0 + w] |= opaque
         frames.append(canvas.copy())
         delays.append(delay)
+        prev_disposal, prev_region = disposal, (y0, x0, h, w)
         transp, disposal = None, 0
     if not frames:
         raise ValueError("GIF contains no image frames")

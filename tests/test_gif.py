@@ -116,3 +116,46 @@ def test_autocodec_sniffs_gif():
     payload = GifCodec.encode(3, "video", 6, 4, 5)
     out = AutoCodec.decode(payload)
     assert out.shape == (5, 4, 6)
+
+
+def test_disposal_2_clears_after_its_own_frame():
+    """The GCE disposal applies AFTER its frame renders: frame 1 (with
+    disposal 2) composites over frame 0's pixels; frame 2 then sees
+    frame 1's region restored to background."""
+    import struct
+
+    from bioio_spark.formats.gif import lzw_encode_gif
+
+    def gce(disposal):
+        return struct.pack("<BBBBHBB", 0x21, 0xF9, 4, disposal << 2,
+                           0, 0, 0)
+
+    def img_block(idx_plane, x0=0, y0=0):
+        h, w = idx_plane.shape
+        out = bytearray(struct.pack("<BHHHHB", 0x2C, x0, y0, w, h, 0))
+        out.append(8)
+        lzw = lzw_encode_gif(idx_plane.tobytes(), 8)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+        return bytes(out)
+
+    pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, 1)
+    head = (b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0xF7, 0, 0)
+            + pal.tobytes())
+    f0 = np.full((2, 2), 10, np.uint8)
+    f1 = np.full((1, 1), 20, np.uint8)      # 1x1 overlay, disposal 2
+    f2 = np.full((1, 1), 30, np.uint8)      # drawn at (1,1)
+    data = (head
+            + gce(0) + img_block(f0)
+            + gce(2) + img_block(f1)        # dispose AFTER rendering
+            + gce(0) + img_block(f2, x0=1, y0=1)
+            + b"\x3b")
+    frames, _ = decode_gif(data)
+    assert frames[0][0, 0] == 10
+    assert frames[1][0, 0] == 20            # overlay visible in frame 1
+    assert frames[2][0, 0] == 0             # restored to bg in frame 2
+    assert frames[2][1, 1] == 30
+    assert frames[2][0, 1] == 10            # untouched region persists
