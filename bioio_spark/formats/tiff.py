@@ -202,7 +202,9 @@ def encode_tiff(planes: Sequence[np.ndarray],
                 compression: int = _COMPRESSION_NONE,
                 predictor: int = 1,
                 bigtiff: bool = False,
-                tile: Optional[tuple] = None) -> bytes:
+                tile: Optional[tuple] = None,
+                sub_levels: Optional[Sequence[Sequence[np.ndarray]]]
+                = None) -> bytes:
     """Encode planes as a multi-page little-endian TIFF.
 
     Planes are 2D (YX, grayscale) or 3D (YXS, interleaved samples — RGB &
@@ -217,7 +219,13 @@ def encode_tiff(planes: Sequence[np.ndarray],
     zero-padded, each tile independently compressed (predictor applied
     per tile) — the layout of wild pyramidal `.tiles.ome.tif` files and
     the one that makes windowed reads O(window/tile). Tile dims must be
-    multiples of 16 per the spec."""
+    multiples of 16 per the spec.
+
+    `sub_levels[i]` attaches PYRAMID levels to main page i as SubIFD
+    (tag 330) children — one standalone IFD per level, offsets in the
+    parent's SubIFDs entry, the layout tifffile/QuPath-tier pyramidal
+    OME-TIFFs use (and iter_tiff_chunks / read_tiff_window(level=)
+    already consume)."""
     import zlib
 
     if not planes:
@@ -281,23 +289,40 @@ def encode_tiff(planes: Sequence[np.ndarray],
                 raw, row_bytes=a.shape[1] * s_n * dt.itemsize)
         return raw
 
-    # chunks[i]: the encoded payloads of plane i — one strip, or the
-    # row-major tile sequence (edge tiles zero-padded to full size)
-    chunks: list[list[bytes]] = []
-    for a in arrs:
+    def _chunked(a: np.ndarray) -> list[bytes]:
+        """One plane -> its encoded payloads (one strip, or the
+        row-major tile sequence, edge tiles zero-padded full size)."""
         if tile is None:
-            chunks.append([_pack(a)])
-            continue
+            return [_pack(a)]
         h0, w0 = a.shape[0], a.shape[1]
         padded_shape = (-(-h0 // th) * th, -(-w0 // tw) * tw) \
             + ((s_n,) if a.ndim == 3 else ())
         padded = np.zeros(padded_shape, dtype=a.dtype)
         padded[:h0, :w0] = a
-        tiles = []
-        for ty in range(0, padded.shape[0], th):
-            for tx in range(0, padded.shape[1], tw):
-                tiles.append(_pack(padded[ty:ty + th, tx:tx + tw]))
-        chunks.append(tiles)
+        return [_pack(padded[ty:ty + th, tx:tx + tw])
+                for ty in range(0, padded.shape[0], th)
+                for tx in range(0, padded.shape[1], tw)]
+
+    subs: list[list[np.ndarray]] = []
+    if sub_levels is not None:
+        if len(sub_levels) != len(arrs):
+            raise ValueError(
+                f"sub_levels has {len(sub_levels)} entries for "
+                f"{len(arrs)} main pages")
+        for lv_planes in sub_levels:
+            svs = [np.ascontiguousarray(p) for p in lv_planes]
+            if any(sv.dtype != dt for sv in svs):
+                raise ValueError("pyramid levels must share the dtype")
+            if any((sv.shape[2] if sv.ndim == 3 else 1) != s_n
+                   for sv in svs):
+                raise ValueError("pyramid levels must share S")
+            subs.append(svs)
+    else:
+        subs = [[] for _ in arrs]
+
+    chunks: list[list[bytes]] = [_chunked(a) for a in arrs]
+    sub_chunks: list[list[list[bytes]]] = [
+        [_chunked(sa) for sa in svs] for svs in subs]
 
     # multi-sample pages need out-of-line BitsPerSample / SampleFormat
     # arrays (s_n shorts > 4 bytes); one shared block serves every IFD
@@ -329,18 +354,62 @@ def encode_tiff(planes: Sequence[np.ndarray],
             pos += len(c)
         chunk_offs.append(offs)
     # out-of-line offset/count arrays for multi-chunk (tiled) planes
-    arr_offs: list[Optional[tuple]] = []
-    for cs in chunks:
-        if len(cs) <= 1:
-            arr_offs.append(None)
-            continue
-        if pos % 2:
-            pos += 1
-        o_pos = pos
-        pos += off_item * len(cs)
-        c_pos = pos
-        pos += off_item * len(cs)   # counts LONG8 in BigTIFF, LONG else
-        arr_offs.append((o_pos, c_pos))
+    def _lay_arrays(chunk_lists):
+        nonlocal pos
+        out = []
+        for cs in chunk_lists:
+            if len(cs) <= 1:
+                out.append(None)
+                continue
+            if pos % 2:
+                pos += 1
+            o_pos = pos
+            pos += off_item * len(cs)
+            c_pos = pos
+            pos += off_item * len(cs)   # counts LONG8 in BigTIFF
+            out.append((o_pos, c_pos))
+        return out
+
+    arr_offs: list[Optional[tuple]] = _lay_arrays(chunks)
+    # pyramid-level payloads + their arrays + their standalone IFDs
+    sub_chunk_offs: list[list[list[int]]] = []
+    for scs in sub_chunks:
+        per_page = []
+        for cs in scs:
+            offs = []
+            for c in cs:
+                if pos % 2:
+                    pos += 1
+                offs.append(pos)
+                pos += len(c)
+            per_page.append(offs)
+        sub_chunk_offs.append(per_page)
+    sub_arr_offs = [_lay_arrays(scs) for scs in sub_chunks]
+    ent_sz, cnt_sz, off_sz = (20, 8, 8) if bigtiff else (12, 2, 4)
+    sub_count = (4 + (2 if s_n == 1 else 3) + 1
+                 + (3 if tile is None else 4)
+                 + (1 if predictor == 2 else 0))
+    sub_ifd_size = cnt_sz + ent_sz * sub_count + off_sz
+    sub_ifd_pos: list[list[int]] = []
+    for svs in subs:
+        per_page = []
+        for _ in svs:
+            if pos % 2:
+                pos += 1
+            per_page.append(pos)
+            pos += sub_ifd_size
+        sub_ifd_pos.append(per_page)
+    # SubIFDs entry value arrays (count > 1 goes out of line)
+    sub_list_pos: list[Optional[int]] = []
+    for per_page in sub_ifd_pos:
+        n = len(per_page)
+        if n * off_item > (8 if bigtiff else 4):
+            if pos % 2:
+                pos += 1
+            sub_list_pos.append(pos)
+            pos += off_item * n
+        else:
+            sub_list_pos.append(None)
     if pos % 2:
         pos += 1
     ifd0_off = pos
@@ -357,25 +426,37 @@ def encode_tiff(planes: Sequence[np.ndarray],
             if len(out) != off:
                 out += b"\x00" * (off - len(out))
             out += c
-    for cs, offs, ao in zip(chunks, chunk_offs, arr_offs):
-        if ao is None:
-            continue
-        o_pos, c_pos = ao
-        if len(out) != o_pos:
-            out += b"\x00" * (o_pos - len(out))
-        fmt = "Q" if bigtiff else "I"
-        out += struct.pack(f"<{len(offs)}{fmt}", *offs)
-        out += struct.pack(f"<{len(cs)}{fmt}", *[len(c) for c in cs])
-    if len(out) % 2:
-        out += b"\x00"
+    def _write_arrays(chunk_lists, chunk_off_lists, arr_off_list):
+        for cs, offs, ao in zip(chunk_lists, chunk_off_lists,
+                                arr_off_list):
+            if ao is None:
+                continue
+            o_pos, c_pos = ao
+            if len(out) != o_pos:
+                out.extend(b"\x00" * (o_pos - len(out)))
+            fmt = "Q" if bigtiff else "I"
+            out.extend(struct.pack(f"<{len(offs)}{fmt}", *offs))
+            out.extend(struct.pack(f"<{len(cs)}{fmt}",
+                                   *[len(c) for c in cs]))
+
+    _write_arrays(chunks, chunk_offs, arr_offs)
+    for scs, soffs in zip(sub_chunks, sub_chunk_offs):
+        for cs, offs in zip(scs, soffs):
+            for c, off in zip(cs, offs):
+                if len(out) != off:
+                    out += b"\x00" * (off - len(out))
+                out += c
+    for scs, soffs, saos in zip(sub_chunks, sub_chunk_offs,
+                                sub_arr_offs):
+        _write_arrays(scs, soffs, saos)
 
     sample_format = _SAMPLE_FORMAT_OF_KIND[dt.kind]
     photometric = 2 if s_n == 3 else 1
     ent = _ifd_entry_big if bigtiff else _ifd_entry
     ent_shorts = _ifd_entry_shorts_big if bigtiff else _ifd_entry_shorts
-    ent_sz, cnt_sz, off_sz = (20, 8, 8) if bigtiff else (12, 2, 4)
-    for i, (a, cs, offs, ao) in enumerate(
-            zip(arrs, chunks, chunk_offs, arr_offs)):
+    off_type = _TYPE_LONG8 if bigtiff else _TYPE_LONG
+
+    def _page_entries(a, cs, offs, ao) -> list:
         h, w = a.shape[0], a.shape[1]
         entries = [
             ent(_IMAGE_WIDTH, _TYPE_LONG, 1, w),
@@ -396,10 +477,6 @@ def encode_tiff(planes: Sequence[np.ndarray],
                            [sample_format] * s_n, fmt_off),
                 ent(_PLANAR_CONFIG, _TYPE_SHORT, 1, 1),
             ]
-        if i == 0 and desc_bytes:
-            entries.append(ent(_IMAGE_DESCRIPTION, _TYPE_ASCII,
-                               len(desc_bytes), desc_off))
-        off_type = _TYPE_LONG8 if bigtiff else _TYPE_LONG
         entries.append(ent(_SAMPLES_PER_PIXEL, _TYPE_SHORT, 1, s_n))
         if tile is None:
             entries += [
@@ -420,12 +497,48 @@ def encode_tiff(planes: Sequence[np.ndarray],
             ]
         if predictor == 2:
             entries.append(ent(_PREDICTOR, _TYPE_SHORT, 1, 2))
+        return entries
+
+    def _emit_ifd(entries, next_off):
         entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
+        out.extend(struct.pack("<Q" if bigtiff else "<H", len(entries)))
+        out.extend(b"".join(entries))
+        out.extend(struct.pack("<Q" if bigtiff else "<I", next_off))
+
+    # pyramid-level IFDs (standalone: next = 0), at their planned slots
+    for svs, scs, soffs, saos, spos in zip(
+            subs, sub_chunks, sub_chunk_offs, sub_arr_offs,
+            sub_ifd_pos):
+        for sa, cs, offs, ao, p in zip(svs, scs, soffs, saos, spos):
+            if len(out) % 2:
+                out += b"\x00"
+            assert len(out) == p, "sub-IFD layout drift"
+            _emit_ifd(_page_entries(sa, cs, offs, ao), 0)
+    for per_page, lp in zip(sub_ifd_pos, sub_list_pos):
+        if lp is None:
+            continue
+        if len(out) != lp:
+            out += b"\x00" * (lp - len(out))
+        out += struct.pack(f"<{len(per_page)}{'Q' if bigtiff else 'I'}",
+                           *per_page)
+    if len(out) % 2:
+        out += b"\x00"
+
+    for i, (a, cs, offs, ao) in enumerate(
+            zip(arrs, chunks, chunk_offs, arr_offs)):
+        entries = _page_entries(a, cs, offs, ao)
+        if i == 0 and desc_bytes:
+            entries.append(ent(_IMAGE_DESCRIPTION, _TYPE_ASCII,
+                               len(desc_bytes), desc_off))
+        if subs[i]:
+            n = len(subs[i])
+            entries.append(ent(
+                _SUB_IFDS, off_type, n,
+                sub_list_pos[i] if sub_list_pos[i] is not None
+                else sub_ifd_pos[i][0]))
         ifd_size = cnt_sz + ent_sz * len(entries) + off_sz
         next_off = (len(out) + ifd_size) if i + 1 < len(arrs) else 0
-        out += struct.pack("<Q" if bigtiff else "<H", len(entries))
-        out += b"".join(entries)
-        out += struct.pack("<Q" if bigtiff else "<I", next_off)
+        _emit_ifd(entries, next_off)
     return bytes(out)
 
 

@@ -1072,3 +1072,55 @@ def test_save_ome_tiff_tiled(spark, tmp_path):
     back = BioImage(f, reader=TiffImageReader, spark=spark)
     np.testing.assert_array_equal(
         back.get_image_data("TCZYX").astype(np.uint16), block)
+
+
+# -- pyramidal SubIFD WRITE ------------------------------------------------
+
+def test_encode_pyramidal_subifds(spark, tmp_path):
+    """sub_levels= writes tifffile-style pyramids: standalone SubIFD
+    children per main page, readable back through the window path's
+    level selector with tile pruning intact."""
+    from bioio_spark.formats.tiff import (decode_tiff, encode_tiff,
+                                          iter_tiff_chunks)
+    from bioio_spark.sources.tiff_image import read_tiff_window
+
+    rng = np.random.default_rng(31)
+    mains = [rng.integers(0, 999, (64, 80)).astype(np.uint16)
+             for _ in range(2)]
+    levels = [[m[::2, ::2].copy(), m[::4, ::4].copy()] for m in mains]
+    p = tmp_path / "pyr.tif"
+    p.write_bytes(encode_tiff(mains, compression=8, tile=(16, 16),
+                              sub_levels=levels))
+    lay = iter_tiff_chunks(str(p))
+    assert [len(pg["subifds"]) for pg in lay] == [2, 2]
+    assert (lay[0]["subifds"][0]["h"],
+            lay[0]["subifds"][0]["w"]) == (32, 40)
+    # the main chain decodes without seeing sub pages
+    back, _ = decode_tiff(p.read_bytes())
+    assert len(back) == 2
+    np.testing.assert_array_equal(back[0], mains[0])
+    np.testing.assert_array_equal(back[1], mains[1])
+    # level-1 read through the pruned window path (no OME description:
+    # pages map to z)
+    l1 = read_tiff_window(spark, str(p), level=1).toPandas()
+    for z in sorted(l1["z"].unique()):
+        sub = l1[l1["z"] == z]
+        got = np.zeros((32, 40), np.uint16)
+        got[sub["y"], sub["x"]] = sub["value"].astype(np.uint16)
+        np.testing.assert_array_equal(got, levels[z][0])
+    # windowed level-2 read trims to the window
+    win = read_tiff_window(spark, str(p), level=2, z=0, y=(0, 8),
+                           x=(4, 12)).toPandas()
+    got = np.zeros((8, 8), np.uint16)
+    got[win["y"], win["x"] - 4] = win["value"].astype(np.uint16)
+    np.testing.assert_array_equal(got, levels[0][1][0:8, 4:12])
+
+
+def test_encode_pyramidal_validation():
+    from bioio_spark.formats.tiff import encode_tiff
+
+    with pytest.raises(ValueError, match="sub_levels"):
+        encode_tiff([np.zeros((4, 4), np.uint8)], sub_levels=[[], []])
+    with pytest.raises(ValueError, match="dtype"):
+        encode_tiff([np.zeros((4, 4), np.uint8)],
+                    sub_levels=[[np.zeros((2, 2), np.uint16)]])
