@@ -549,12 +549,16 @@ def encode_ome_tiff(block: np.ndarray, image_id: str = "Image:0",
                     compression: int = _COMPRESSION_NONE,
                     bigtiff: bool = False,
                     predictor: int = 1,
-                    tile: Optional[tuple] = None) -> bytes:
+                    tile: Optional[tuple] = None,
+                    sub_levels: Optional[Sequence[np.ndarray]]
+                    = None) -> bytes:
     """Encode a dense 5D TCZYX (or 6D TCZYXS, interleaved-sample) block as
     a single-scene OME-TIFF; compression 1 (none), 5 (LZW), 8 (deflate),
     32773 (PackBits); predictor 2 for horizontal differencing on integer
     pixels; bigtiff for scenes past the classic 4 GB offset ceiling;
-    tile=(th, tw) for the tiled page layout (.tiles.ome.tif tier)."""
+    tile=(th, tw) for the tiled page layout (.tiles.ome.tif tier);
+    `sub_levels` = downsampled TCZYX(S) blocks (same T/C/Z, halved-ish
+    Y/X per level) written as each page's SubIFD pyramid children."""
     a = np.asarray(block)
     if a.ndim not in (5, 6):
         raise ValueError(
@@ -568,8 +572,19 @@ def encode_ome_tiff(block: np.ndarray, image_id: str = "Image:0",
         physical_pixel_sizes=physical_pixel_sizes, size_s=s_n)
     planes = [a[t, c, z]
               for t in range(t_n) for c in range(c_n) for z in range(z_n)]
+    per_page_subs = None
+    if sub_levels:
+        lvls = [np.asarray(b) for b in sub_levels]
+        for b in lvls:
+            if b.shape[:3] != (t_n, c_n, z_n):
+                raise ValueError(
+                    "pyramid level blocks must share T/C/Z with level 0")
+        per_page_subs = [
+            [b[t, c, z] for b in lvls]
+            for t in range(t_n) for c in range(c_n) for z in range(z_n)]
     return encode_tiff(planes, description=ome, compression=compression,
-                       bigtiff=bigtiff, predictor=predictor, tile=tile)
+                       bigtiff=bigtiff, predictor=predictor, tile=tile,
+                       sub_levels=per_page_subs)
 
 
 def encode_multiscene_ome_tiff(blocks: Sequence[np.ndarray],

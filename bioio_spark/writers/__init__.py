@@ -342,7 +342,8 @@ register_writer("JpegWriter", JpegWriter)
 
 def save_ome_tiff(img, uri: str, select_scenes=None,
                   compression: int = 1, bigtiff: bool = False,
-                  predictor: int = 1, tile=None) -> list:
+                  predictor: int = 1, tile=None,
+                  n_levels: int = 1) -> list:
     """Distributed OME-TIFF export: one file per scene, encoded
     executor-side via applyInPandas (ref bio_image.py:1229-1301 semantics:
     scene order preserved, scene ids embedded in the OME-XML).
@@ -364,7 +365,10 @@ def save_ome_tiff(img, uri: str, select_scenes=None,
     differencing before LZW/Deflate/PackBits (integer pixels only);
     `tile=(th, tw)` writes the tiled page layout (multiples of 16 — the
     wild pyramidal / .tiles.ome.tif convention, and what makes
-    read_tiff_window prune at tile granularity on the way back in).
+    read_tiff_window prune at tile granularity on the way back in);
+    `n_levels` > 1 adds SubIFD pyramid children per page (2x2 block-mean
+    levels, the same convention as the Zarr sink's multiscales), read
+    back via read_tiff_window(level=) / BioImage resolution levels.
     Scenes with an S dim (TCZYXS standard order) encode as interleaved
     multi-sample pages.
     """
@@ -422,11 +426,32 @@ def save_ome_tiff(img, uri: str, select_scenes=None,
         if s_n > 1:
             flat = flat * s_n + pdf["s"].to_numpy()
         block.ravel()[flat] = pdf["value"].to_numpy()
+        sub_blocks = []
+        lvl = block
+        for _ in range(1, n_levels):
+            t_, c_, z_, y_, x_ = lvl.shape[:5]
+            pady, padx = -(-y_ // 2) * 2, -(-x_ // 2) * 2
+            pad = np.zeros(lvl.shape[:3] + (pady, padx) + lvl.shape[5:],
+                           dtype=np.float64)
+            pad[:, :, :, :y_, :x_] = lvl
+            # edge replication keeps block means unbiased at odd edges
+            if pady > y_:
+                pad[:, :, :, y_:, :x_] = lvl[:, :, :, y_ - 1:y_, :]
+            if padx > x_:
+                pad[:, :, :, :, x_:] = pad[:, :, :, :, x_ - 1:x_]
+            down = (pad[:, :, :, 0::2, 0::2] + pad[:, :, :, 1::2, 0::2]
+                    + pad[:, :, :, 0::2, 1::2]
+                    + pad[:, :, :, 1::2, 1::2]) / 4.0
+            if not np.issubdtype(np.dtype(m["dtype"]), np.floating):
+                down = np.rint(down)
+            lvl = down.astype(m["dtype"])
+            sub_blocks.append(lvl)
         payload = encode_ome_tiff(
             block, image_id=generate_ome_image_id(idx),
             image_name=m["image_name"], channel_names=m["channel_names"],
             physical_pixel_sizes=m["pps"], compression=compression,
-            bigtiff=bigtiff, predictor=predictor, tile=tile)
+            bigtiff=bigtiff, predictor=predictor, tile=tile,
+            sub_levels=sub_blocks or None)
         path = os.path.join(uri, f"scene_{idx}.ome.tiff")
         with open(path, "wb") as f:
             f.write(payload)

@@ -1124,3 +1124,39 @@ def test_encode_pyramidal_validation():
     with pytest.raises(ValueError, match="dtype"):
         encode_tiff([np.zeros((4, 4), np.uint8)],
                     sub_levels=[[np.zeros((2, 2), np.uint16)]])
+
+
+def test_save_ome_tiff_pyramidal(spark, tmp_path):
+    """n_levels > 1: the distributed sink writes SubIFD pyramids whose
+    levels are the 2x2 block means (Zarr-sink convention), readable
+    through the window path's level selector."""
+    import os
+
+    from bioio_spark import BioImage
+    from bioio_spark.formats.tiff import iter_tiff_chunks
+    from bioio_spark.sources.tiff_image import (TiffImageReader,
+                                                read_tiff_window)
+    from bioio_spark.writers import save_ome_tiff
+
+    rng = np.random.default_rng(33)
+    block = rng.integers(0, 999, (1, 1, 2, 32, 40)).astype(np.uint16)
+    out = str(tmp_path / "pyr_scene")
+    save_ome_tiff(BioImage(block, spark=spark), out,
+                  compression=8, tile=(16, 16), n_levels=3)
+    f = os.path.join(out, "scene_0.ome.tiff")
+    lay = iter_tiff_chunks(f)
+    assert [len(pg["subifds"]) for pg in lay] == [2, 2]
+    back = BioImage(f, reader=TiffImageReader, spark=spark)
+    np.testing.assert_array_equal(
+        back.get_image_data("TCZYX").astype(np.uint16), block)
+    # level 1 = rint of the 2x2 block mean
+    l1 = read_tiff_window(spark, f, level=1, z=0).toPandas()
+    got = np.zeros((16, 20), np.uint16)
+    got[l1["y"], l1["x"]] = l1["value"].astype(np.uint16)
+    exp = np.rint((block[0, 0, 0, 0::2, 0::2].astype(np.float64)
+                   + block[0, 0, 0, 1::2, 0::2]
+                   + block[0, 0, 0, 0::2, 1::2]
+                   + block[0, 0, 0, 1::2, 1::2]) / 4.0).astype(np.uint16)
+    np.testing.assert_array_equal(got, exp)
+    assert (lay[0]["subifds"][1]["h"], lay[0]["subifds"][1]["w"]) \
+        == (8, 10)
