@@ -1336,6 +1336,61 @@ def img_ome_zarr_roundtrip_v3(spark, sf_dir):
 
 
 @register(
+    "img_ome_tiff_pyramid",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {16 * 24} AS INTEGER) AS z,
+             CAST((i // 24) % 16 AS INTEGER) AS y,
+             CAST(i % 24 AS INTEGER) AS x,
+             CAST(((i // 24) % 16) * 16 + (i % 24) * 2
+                  + (i // {16 * 24}) * 200 AS DOUBLE) AS value
+      FROM range({2 * 16 * 24}) r(i)),
+    lvl1 AS (
+      SELECT z, CAST(y // 2 AS INTEGER) AS ly,
+             CAST(x // 2 AS INTEGER) AS lx,
+             round(avg(value)) AS value
+      FROM px GROUP BY z, y // 2, x // 2)
+    SELECT z, ly AS y, count(*) AS n_px,
+           CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM lvl1 GROUP BY z, ly ORDER BY z, y
+    """,
+    doc="pyramidal tiled OME-TIFF sink (SubIFD levels) -> level-1 "
+        "window read; hash pins the 2x2 block-mean + SubIFD chain",
+)
+def img_ome_tiff_pyramid(spark, sf_dir):
+    """save_ome_tiff(n_levels=2, tile=) writes SubIFD pyramid children;
+    read_tiff_window(level=1) reads them back through the pruned path.
+    The linear fixture makes every 2x2 mean exact, so round() matches
+    numpy rint bit-for-bit."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.sources.tiff_image import read_tiff_window
+    from bioio_spark.writers import save_ome_tiff
+
+    idx = np.indices((1, 1, 2, 16, 24))
+    # 2x the x term keeps every 2x2 block mean integral, so SQL round()
+    # and numpy rint agree exactly (no half-to-even vs half-away skew)
+    block = (idx[3] * 16 + idx[4] * 2 + idx[2] * 200).astype(np.uint16)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "ome_tiff_pyramid")
+    shutil.rmtree(out, ignore_errors=True)
+    save_ome_tiff(BioImage(block, spark=spark), out,
+                  compression=8, tile=(16, 16), n_levels=2)
+    f = os.path.join(out, "scene_0.ome.tiff")
+    return (read_tiff_window(spark, f, level=1)
+            .groupBy("z", "y")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("z", "y"))
+
+
+@register(
     "img_nd2_roundtrip",
     oracle=f"""
     WITH px AS (
