@@ -823,7 +823,7 @@ def _undo_horizontal_predictor(plane: np.ndarray) -> np.ndarray:
     return np.cumsum(plane, axis=1, dtype=plane.dtype)
 
 
-def decode_tiff(data: bytes):
+def decode_tiff(data: bytes, include_levels: bool = False):
     """Decode a TIFF -> (planes, description).
 
     planes: list of numpy arrays, one per IFD/page — 2D (YX) for grayscale
@@ -832,9 +832,9 @@ def decode_tiff(data: bytes):
     8 / 32946; strip AND tile layouts; II and MM byte orders; classic
     (version 42) and BigTIFF (version 43: 64-bit offsets/counts, 20-byte
     IFD entries — how wild >4 GB microscopy files ship);
-    description: IFD0's ImageDescription string or None."""
-    import zlib
-
+    description: IFD0's ImageDescription string or None. With
+    `include_levels` a third element carries each page's decoded SubIFD
+    pyramid planes (see decode_tiff_levels)."""
     if data[:2] == b"II":
         bo = "<"
     elif data[:2] == b"MM":
@@ -856,9 +856,11 @@ def decode_tiff(data: bytes):
     else:
         raise ValueError(f"not a TIFF (bad magic {version})")
     off_sz = 8 if big else 4
-    planes, description = [], None
-    first = True
-    while ifd_off:
+
+    def _decode_ifd_at(ifd_off: int):
+        """Decode the IFD at `ifd_off` -> (plane, tags, next_off)."""
+        import zlib
+
         if ifd_off + cnt_sz > len(data):
             raise ValueError("truncated TIFF: IFD offset out of range")
         (n_entries,) = struct.unpack(
@@ -945,13 +947,35 @@ def decode_tiff(data: bytes):
                      .astype(dt.newbyteorder("=")))
             if pred == 2:
                 plane = _undo_horizontal_predictor(plane)
+        return plane, tags, next_off
+
+    planes, description = [], None
+    sub_planes: list[list[np.ndarray]] = []
+    first = True
+    while ifd_off:
+        plane, tags, next_off = _decode_ifd_at(ifd_off)
         planes.append(plane)
+        if include_levels:
+            subs = []
+            for so in tags.get(_SUB_IFDS, []):
+                sp, _stags, _ = _decode_ifd_at(int(so))
+                subs.append(sp)
+            sub_planes.append(subs)
         if first:
             desc = tags.get(_IMAGE_DESCRIPTION)
             description = desc[0] if desc else None
             first = False
         ifd_off = next_off
+    if include_levels:
+        return planes, description, sub_planes
     return planes, description
+
+
+def decode_tiff_levels(data: bytes):
+    """decode_tiff plus each page's SubIFD pyramid planes ->
+    (planes, description, sub_planes) with sub_planes[i] the decoded
+    level-1..L planes of page i (empty list when the page has none)."""
+    return decode_tiff(data, include_levels=True)
 
 
 def _read_tag_values_fh(f, typ: int, count: int, raw: bytes, bo: str,

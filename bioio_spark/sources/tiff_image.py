@@ -107,6 +107,11 @@ class TiffImageReader:
             xml = read_ome_header(p)
             if xml is None:
                 raise ValueError(f"{p}: no OME-XML ImageDescription")
+            # SubIFD pyramid depth shared by every page of the file
+            # (seek-based IFD walk, a few KB) -> the scene's res_levels
+            from bioio_spark.formats.tiff import iter_tiff_chunks
+
+            n_sub = min(len(pg["subifds"]) for pg in iter_tiff_chunks(p))
             file_scene_names: list[str] = []
             for h in parse_ome_xml_scenes(xml):
                 scene = h["image_id"] or f"Image:{si}"
@@ -140,6 +145,7 @@ class TiffImageReader:
                     "size_s": size_s if size_s > 1 else None,
                     "dtype": OME_TO_NUMPY_DTYPE[h["pixel_type"]],
                     "ome_pixel_type": h["pixel_type"],
+                    "res_levels": list(range(n_sub + 1)),
                     "pps_z": pps.Z if pps else h["pps_z"],
                     "pps_y": pps.Y if pps else h["pps_y"],
                     "pps_x": pps.X if pps else h["pps_x"],
@@ -151,7 +157,7 @@ class TiffImageReader:
         px = decode_tiff_files(
             spark, paths, path_to_scene).select(
             F.lit(self._image_id).alias("image_id"), "scene",
-            F.lit(0).alias("res_level"), "t", "c", "z", "y", "x",
+            "res_level", "t", "c", "z", "y", "x",
             F.lit(-1).alias("m"), "s", "value",
         ).select(*PIXEL_COLUMNS)
 
@@ -171,13 +177,14 @@ def decode_tiff_files(spark: SparkSession, paths: list[str],
     scene_of = dict(path_to_scene or {})
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from bioio_spark.formats.tiff import (decode_tiff,
+        from bioio_spark.formats.tiff import (decode_tiff_levels,
                                               parse_ome_xml_scenes)
 
         for pdf in it:
             for path, content in zip(pdf["path"], pdf["content"]):
                 local = local_path(path)
-                planes, xml = decode_tiff(bytes(content))
+                planes, xml, sub_planes = decode_tiff_levels(
+                    bytes(content))
                 metas = parse_ome_xml_scenes(xml) if xml else [{}]
                 names = None
                 if scene_of:
@@ -203,31 +210,46 @@ def decode_tiff_files(spark: SparkSession, paths: list[str],
                            or len(planes) - page0)
                     scene = (names[k] if names
                              else (h.get("image_id") or f"Image:{k}"))
-                    for i, plane in enumerate(planes[page0:page0 + n_k]):
+                    for i in range(n_k):
                         t, rem = divmod(i, c_n * z_n)
                         c, z = divmod(rem, z_n)
-                        y_n, x_n = plane.shape[0], plane.shape[1]
-                        s_n = plane.shape[2] if plane.ndim == 3 else 1
-                        # s = -1 marks "no sample dim" (grayscale pages),
-                        # the catalog convention for absent dims
-                        s_col = (np.full(plane.size, -1, dtype=np.int32)
-                                 if s_n == 1 else
-                                 np.tile(np.arange(s_n, dtype=np.int32),
-                                         y_n * x_n))
-                        yield pd.DataFrame({
-                            "scene": scene,
-                            "t": np.full(plane.size, t, dtype=np.int32),
-                            "c": np.full(plane.size, c, dtype=np.int32),
-                            "z": np.full(plane.size, z, dtype=np.int32),
-                            "y": np.repeat(
-                                np.arange(y_n, dtype=np.int32),
-                                x_n * s_n),
-                            "x": np.tile(np.repeat(
-                                np.arange(x_n, dtype=np.int32), s_n),
-                                y_n),
-                            "s": s_col,
-                            "value": plane.ravel().astype(np.float64),
-                        })
+                        # page's SubIFD pyramid children ride along as
+                        # res_level > 0 rows (wild pyramidal OME-TIFFs)
+                        page_levels = [(0, planes[page0 + i])] + [
+                            (lv + 1, sp) for lv, sp in
+                            enumerate(sub_planes[page0 + i])]
+                        for lv, plane in page_levels:
+                            y_n, x_n = plane.shape[0], plane.shape[1]
+                            s_n = plane.shape[2] if plane.ndim == 3 \
+                                else 1
+                            # s = -1 marks "no sample dim" (grayscale),
+                            # the catalog convention for absent dims
+                            s_col = (np.full(plane.size, -1,
+                                             dtype=np.int32)
+                                     if s_n == 1 else
+                                     np.tile(np.arange(s_n,
+                                                       dtype=np.int32),
+                                             y_n * x_n))
+                            yield pd.DataFrame({
+                                "scene": scene,
+                                "res_level": np.full(plane.size, lv,
+                                                     np.int32),
+                                "t": np.full(plane.size, t,
+                                             dtype=np.int32),
+                                "c": np.full(plane.size, c,
+                                             dtype=np.int32),
+                                "z": np.full(plane.size, z,
+                                             dtype=np.int32),
+                                "y": np.repeat(
+                                    np.arange(y_n, dtype=np.int32),
+                                    x_n * s_n),
+                                "x": np.tile(np.repeat(
+                                    np.arange(x_n, dtype=np.int32),
+                                    s_n), y_n),
+                                "s": s_col,
+                                "value": plane.ravel().astype(
+                                    np.float64),
+                            })
                     page0 += n_k
 
     binary = (spark.read.format("binaryFile")
@@ -235,8 +257,8 @@ def decode_tiff_files(spark: SparkSession, paths: list[str],
               .load([f"file://{os.path.abspath(p)}" for p in paths]))
     return binary.select("path", "content").mapInPandas(
         batches,
-        schema="scene string, t int, c int, z int, y int, x int, s int, "
-               "value double")
+        schema="scene string, res_level int, t int, c int, z int, "
+               "y int, x int, s int, value double")
 
 
 def read_tiff_window(spark: SparkSession, path: str,

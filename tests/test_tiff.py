@@ -1160,3 +1160,31 @@ def test_save_ome_tiff_pyramidal(spark, tmp_path):
     np.testing.assert_array_equal(got, exp)
     assert (lay[0]["subifds"][1]["h"], lay[0]["subifds"][1]["w"]) \
         == (8, 10)
+
+
+def test_bioimage_tiff_pyramid_resolution_levels(spark, tmp_path):
+    """The standard reader catalogs SubIFD depth as res_levels and
+    set_resolution_level reads the level planes — full C4 parity on
+    pyramidal TIFFs, same surface as the Zarr/CZI tiers."""
+    import os
+
+    from bioio_spark import BioImage
+    from bioio_spark.writers import save_ome_tiff
+
+    rng = np.random.default_rng(35)
+    block = rng.integers(0, 999, (1, 1, 2, 32, 40)).astype(np.uint16)
+    out = str(tmp_path / "pyr")
+    save_ome_tiff(BioImage(block, spark=spark), out,
+                  tile=(16, 16), n_levels=3)
+    img = BioImage(os.path.join(out, "scene_0.ome.tiff"), spark=spark)
+    assert img.resolution_levels == (0, 1, 2)
+    np.testing.assert_array_equal(
+        img.get_image_data("TCZYX").astype(np.uint16), block)
+    img.set_resolution_level(1)
+    exp = np.rint((block[..., 0::2, 0::2].astype(np.float64)
+                   + block[..., 1::2, 0::2] + block[..., 0::2, 1::2]
+                   + block[..., 1::2, 1::2]) / 4.0)
+    np.testing.assert_array_equal(
+        img.get_image_data("TCZYX").astype(np.float64), exp)
+    img.set_resolution_level(2)
+    assert img.get_image_data("TCZYX").shape == (1, 1, 2, 8, 10)
