@@ -223,15 +223,24 @@ def read_lif_plane(path: str, header: dict, scene_idx: int,
             f.seek(blk["offset"] + base)
             buf = f.read(by * y_n)
             return np.frombuffer(buf, dtype=dt).reshape(y_n, x_n)
-        # non-contiguous strides: row-by-row gather
+        # non-contiguous strides: row-by-row gather; each sample is the
+        # first `itemsize` bytes of its `bx`-wide slot
         rows = []
+        # the final slot may be truncated to just its sample bytes (the
+        # memory block ends at the last sample), so read exactly what
+        # the row needs and zero-pad the slot grid
+        need = bx * (x_n - 1) + dt.itemsize
         for y in range(y_n):
             f.seek(blk["offset"] + base + y * by)
-            buf = f.read(bx * x_n)
-            rows.append(np.frombuffer(buf, dtype=dt, count=x_n)
-                        if bx == dt.itemsize else
-                        np.frombuffer(buf, dtype=np.uint8)
-                        [::bx].view(dt)[:x_n])
+            buf = f.read(need)
+            if bx == dt.itemsize:
+                rows.append(np.frombuffer(buf, dtype=dt, count=x_n))
+            else:
+                raw = np.zeros(bx * x_n, np.uint8)
+                raw[:len(buf)] = np.frombuffer(buf, np.uint8)
+                rows.append(np.ascontiguousarray(
+                    raw.reshape(x_n, bx)[:, :dt.itemsize])
+                    .view(dt).ravel())
         return np.stack(rows)
 
 

@@ -116,3 +116,36 @@ def test_bioimage_lif_multiscene(spark, tmp_path):
     img.set_scene(1)
     np.testing.assert_array_equal(
         img.get_image_data("TCZYX").astype(np.uint16), b[1:, 2:] * 2)
+
+
+def test_interleaved_strides_uint16(tmp_path):
+    """Channel-interleaved uint16 (X BytesInc = 4) decodes through the
+    multi-byte stride gather."""
+    import struct as _s
+
+    a = (np.arange(2 * 2 * 3, dtype=np.uint16) * 1000).reshape(2, 2, 3)
+    inter = np.ascontiguousarray(a.transpose(1, 2, 0))  # y,x,c on disk
+    xml = ('<LMSDataContainerHeader Version="2"><Element Name="LifFile">'
+           '<Children><Element Name="I" UniqueID="0"><Data><Image>'
+           '<ImageDescription><Channels>'
+           '<ChannelDescription Resolution="16" BytesInc="0"/>'
+           '<ChannelDescription Resolution="16" BytesInc="2"/>'
+           '</Channels><Dimensions>'
+           '<DimensionDescription DimID="1" NumberOfElements="3" '
+           'Length="0" BytesInc="4"/>'
+           '<DimensionDescription DimID="2" NumberOfElements="2" '
+           'Length="0" BytesInc="12"/>'
+           '</Dimensions></ImageDescription></Image></Data>'
+           '<Memory Size="24" MemoryBlockID="MemBlock_0"/>'
+           '</Element></Children></Element></LMSDataContainerHeader>')
+    u = xml.encode("utf-16-le")
+    head = (_s.pack("<iI", 0x70, 5 + len(u)) + b"\x2a"
+            + _s.pack("<I", len(xml)) + u)
+    bid = "MemBlock_0".encode("utf-16-le")
+    blk = (_s.pack("<iI", 0x70, 14 + len(bid)) + b"\x2a"
+           + _s.pack("<Q", 24) + b"\x2a"
+           + _s.pack("<I", 10) + bid + inter.tobytes())
+    p = tmp_path / "inter16.lif"
+    p.write_bytes(head + blk)
+    (name, got), = decode_lif(str(p))
+    np.testing.assert_array_equal(got[0, :, 0], a)
