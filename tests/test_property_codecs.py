@@ -90,3 +90,117 @@ def test_zarr_chunk_roundtrip(rank, comp, seed):
     back = decode_chunk(encode_chunk(block, compressor=comp),
                         block.dtype, shape, compressor=comp)
     np.testing.assert_array_equal(back, block)
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(min_size=0, max_size=4096),
+       rb=st.integers(1, 64))
+def test_packbits_roundtrip_any_bytes(data, rb):
+    from bioio_spark.formats.tiff import packbits_decode, packbits_encode
+
+    assert packbits_decode(packbits_encode(data, row_bytes=rb)) == data
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(min_size=0, max_size=4096),
+       mcs=st.integers(2, 8))
+def test_gif_lzw_roundtrip_any_bytes(data, mcs):
+    from bioio_spark.formats.gif import lzw_decode_gif, lzw_encode_gif
+
+    data = bytes(b % (1 << mcs) for b in data)   # codes must fit
+    assert lzw_decode_gif(lzw_encode_gif(data, mcs), mcs) == data
+
+
+@settings(max_examples=25, deadline=None)
+@given(h=st.integers(1, 20), w=st.integers(1, 20),
+       n=st.integers(1, 4), rgb=st.booleans(),
+       interlace=st.booleans(), seed=st.integers(0, 2 ** 16))
+def test_gif_roundtrip(h, w, n, rgb, interlace, seed):
+    from bioio_spark.formats.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    if rgb:
+        # bounded palette: channel values from a 4-element set
+        frames = rng.choice([0, 85, 170, 255],
+                            (n, h, w, 3)).astype(np.uint8)
+        # gray coincidences collapse the output; force one color px
+        frames[0, 0, 0] = (85, 0, 255)
+    else:
+        frames = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+    out, delays = decode_gif(encode_gif(frames, interlace=interlace))
+    np.testing.assert_array_equal(out, frames)
+
+
+@settings(max_examples=25, deadline=None)
+@given(h=st.integers(1, 20), w=st.integers(1, 20),
+       rgb=st.booleans(), seed=st.integers(0, 2 ** 16))
+def test_bmp_roundtrip(h, w, rgb, seed):
+    from bioio_spark.formats.bmp import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    np.testing.assert_array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(h=st.integers(1, 16), w=st.integers(1, 16),
+       rgb=st.booleans(), wide=st.booleans(),
+       ascii_form=st.booleans(), seed=st.integers(0, 2 ** 16))
+def test_pnm_roundtrip(h, w, rgb, wide, ascii_form, seed):
+    from bioio_spark.formats.pnm import decode_pnm, encode_pnm
+
+    rng = np.random.default_rng(seed)
+    dtype = np.uint16 if wide else np.uint8
+    shape = (h, w, 3) if rgb else (h, w)
+    img = rng.integers(0, np.iinfo(dtype).max + 1, shape).astype(dtype)
+    np.testing.assert_array_equal(
+        decode_pnm(encode_pnm(img, ascii_form=ascii_form)), img)
+
+
+@settings(max_examples=20, deadline=None)
+@given(t=st.integers(1, 3), w_n=st.integers(1, 4), z=st.integers(1, 3),
+       h=st.integers(1, 10), w=st.integers(1, 10),
+       seq=st.sampled_from([0, 1, 2]),
+       dtype=st.sampled_from(["uint8", "uint16", "int16", "float32"]),
+       seed=st.integers(0, 2 ** 16))
+def test_dv_roundtrip(t, w_n, z, h, w, seq, dtype, seed):
+    from bioio_spark.formats.dv import decode_dv, encode_dv
+
+    rng = np.random.default_rng(seed)
+    if np.dtype(dtype).kind == "f":
+        block = rng.random((t, w_n, z, h, w)).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        block = rng.integers(info.min, info.max,
+                             (t, w_n, z, h, w)).astype(dtype)
+    out, _ = decode_dv(encode_dv(block, img_sequence=seq))
+    np.testing.assert_array_equal(out, block)
+
+
+@settings(max_examples=20, deadline=None)
+@given(shape=st.tuples(st.integers(1, 6), st.integers(1, 8),
+                       st.integers(1, 8)),
+       inner=st.tuples(st.integers(1, 3), st.integers(1, 4),
+                       st.integers(1, 4)),
+       seed=st.integers(0, 2 ** 16))
+def test_zarr_shard_roundtrip(shape, inner, seed):
+    from bioio_spark.formats.zarr import encode_shard, iter_decoded_blocks
+
+    # shard shape = smallest multiple of inner covering `shape`
+    shard = tuple(-(-s // i) * i for s, i in zip(shape, inner))
+    rng = np.random.default_rng(seed)
+    block = np.zeros(shard, np.uint16)
+    block[tuple(slice(0, s) for s in shape)] = rng.integers(
+        1, 999, shape)
+    data = encode_shard(block, inner, compressor="zlib")
+    info = {"shape": shape, "chunks": shard, "dtype": "<u2",
+            "compressor": "zlib", "gzip_member": True,
+            "shard": {"inner_chunks": inner, "crc": True,
+                      "index_location": "end"}}
+    out = np.zeros(shape, np.uint16)
+    for origin, b in iter_decoded_blocks(data, info, (0, 0, 0)):
+        sl = tuple(slice(o, o + n) for o, n in zip(origin, b.shape))
+        out[sl] = b
+    np.testing.assert_array_equal(
+        out, block[tuple(slice(0, s) for s in shape)])
