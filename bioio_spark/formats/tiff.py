@@ -593,7 +593,9 @@ def encode_multiscene_ome_tiff(blocks: Sequence[np.ndarray],
                                channel_names: Optional[Sequence] = None,
                                physical_pixel_sizes=None,
                                compression: int = _COMPRESSION_NONE,
-                               bigtiff: bool = False) -> bytes:
+                               bigtiff: bool = False,
+                               tile: Optional[tuple] = None,
+                               predictor: int = 1) -> bytes:
     """Encode several TCZYX(S) scene blocks into ONE OME-TIFF: the OME
     document carries one <Image> element per scene with TiffData IFD
     indices offset so each scene's pages map to its slice of the page
@@ -633,7 +635,7 @@ def encode_multiscene_ome_tiff(blocks: Sequence[np.ndarray],
            '<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/'
            '2016-06">' + "".join(image_els) + "</OME>")
     return encode_tiff(pages, description=ome, compression=compression,
-                       bigtiff=bigtiff)
+                       bigtiff=bigtiff, tile=tile, predictor=predictor)
 
 
 def parse_ome_xml_scenes(ome_xml: str) -> list:

@@ -469,7 +469,8 @@ def save_ome_tiff(img, uri: str, select_scenes=None,
 
 def save_ome_tiff_single_file(img, uri: str, select_scenes=None,
                               compression: int = 1,
-                              bigtiff: bool = False) -> dict:
+                              bigtiff: bool = False,
+                              tile=None, predictor: int = 1) -> dict:
     """All selected scenes into ONE multi-Image OME-TIFF (the in-file
     scene layout TiffImageReader and the reference's scene model read
     back, ref bio_image.py:433-498). OME-TIFF is a sequential container,
@@ -507,7 +508,8 @@ def save_ome_tiff_single_file(img, uri: str, select_scenes=None,
     payload = encode_multiscene_ome_tiff(
         blocks, image_ids=ids, image_names=names, channel_names=chans,
         physical_pixel_sizes=img.physical_pixel_sizes,
-        compression=compression, bigtiff=bigtiff)
+        compression=compression, bigtiff=bigtiff, tile=tile,
+        predictor=predictor)
     os.makedirs(os.path.dirname(os.path.abspath(uri)) or ".",
                 exist_ok=True)
     with open(uri, "wb") as f:

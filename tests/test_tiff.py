@@ -1188,3 +1188,21 @@ def test_bioimage_tiff_pyramid_resolution_levels(spark, tmp_path):
         img.get_image_data("TCZYX").astype(np.float64), exp)
     img.set_resolution_level(2)
     assert img.get_image_data("TCZYX").shape == (1, 1, 2, 8, 10)
+
+
+def test_single_file_save_tiled(spark, tmp_path):
+    """BioImage.save forwards tile=/predictor= to the single-file sink;
+    the tiled multi-Image file reads back scene-faithful."""
+    from bioio_spark import BioImage
+    from bioio_spark.formats.tiff import iter_tiff_chunks
+
+    rng = np.random.default_rng(37)
+    block = rng.integers(0, 999, (1, 1, 2, 32, 40)).astype(np.uint16)
+    p = str(tmp_path / "multi.ome.tiff")
+    BioImage(block, spark=spark).save(p, compression=5, tile=(16, 16),
+                                      predictor=2)
+    lay = iter_tiff_chunks(p)
+    assert all(pg["tiled"] for pg in lay)
+    back = BioImage(p, spark=spark)
+    np.testing.assert_array_equal(
+        back.get_image_data("TCZYX").astype(np.uint16), block)
