@@ -85,8 +85,12 @@ def read_npy_header(path: str):
     Python-literal dict with descr/fortran_order/shape. No data IO."""
     with open(path, "rb") as f:
         version = np.lib.format.read_magic(f)
-        shape, fortran, dtype = np.lib.format._read_array_header(
-            f, version)
+        readers = {(1, 0): np.lib.format.read_array_header_1_0,
+                   (2, 0): np.lib.format.read_array_header_2_0}
+        reader = readers.get(tuple(version))
+        if reader is None:               # 3.0 adds utf8 field names only
+            reader = np.lib.format.read_array_header_2_0
+        shape, fortran, dtype = reader(f)
         if fortran:
             raise ValueError(f"{path}: fortran-order npy not supported")
         return shape, dtype
