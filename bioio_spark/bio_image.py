@@ -335,6 +335,16 @@ class BioImage:
                 return read_dv_window(self._spark, path,
                                       t=t, c=c, z=z, y=y, x=x)
 
+            from bioio_spark.sources.czi_image import (CziImageReader,
+                                                       read_czi_window)
+
+            if isinstance(reader, CziImageReader) and os.path.isfile(
+                    path):
+                return read_czi_window(
+                    self._spark, path, t=t, c=c, z=z, y=y, x=x,
+                    scene=self._current_scene_index).select(
+                    "t", "c", "z", "y", "x", "value")
+
         from bioio_spark.sources.zarr_image import _norm_window
 
         px, dims = self._standard_pixels()

@@ -59,6 +59,104 @@ def _start(dims: dict, name: str, default: int = 0) -> int:
     return dims[name]["start"] if name in dims else default
 
 
+def read_czi_window(spark: SparkSession, path: str,
+                    t=None, c=None, z=None, y=None, x=None,
+                    scene: int = 0):
+    """Window-pruned CZI read: the subblock DIRECTORY (a few KB of
+    seek reads) turns selectors into the exact set of intersecting
+    subblocks — t/c/z prune whole blocks, the y/x window prunes mosaic
+    tiles by their stored extents; executors seek-read only surviving
+    blocks and a codegen filter trims the residual. Mosaic coordinates
+    come out GLOBAL (tile start + in-tile offset), so the window frame
+    composes directly with stitching semantics.
+
+    Selector forms match the other window readers: None, int, or
+    (start, stop)/slice half-open windows."""
+    from bioio_spark.formats.czi import read_czi_directory
+    from bioio_spark.sources.zarr_image import _norm_window
+
+    path = os.path.abspath(path)
+    entries = [e for e in read_czi_directory(path)
+               if _start(e["dims"], "S") == scene]
+    if not entries:
+        raise IndexError(f"{path}: no subblocks for scene {scene}")
+    entries = [e for e in entries
+               if e["dims"]["Y"]["stored"] in
+               (0, e["dims"]["Y"]["size"]) and not e.get("pyramid")]
+    t_n = max(_start(e["dims"], "T") for e in entries) + 1
+    c_n = max(_start(e["dims"], "C") for e in entries) + 1
+    z_n = max(_start(e["dims"], "Z") for e in entries) + 1
+    y_min = min(_start(e["dims"], "Y") for e in entries)
+    x_min = min(_start(e["dims"], "X") for e in entries)
+    y_max = max(_start(e["dims"], "Y") + e["dims"]["Y"]["size"]
+                for e in entries) - y_min
+    x_max = max(_start(e["dims"], "X") + e["dims"]["X"]["size"]
+                for e in entries) - x_min
+    t0, t1 = _norm_window(t, t_n)
+    c0, c1 = _norm_window(c, c_n)
+    z0, z1 = _norm_window(z, z_n)
+    y0, y1 = _norm_window(y, y_max)
+    x0, x1 = _norm_window(x, x_max)
+    plan = []
+    for e in entries:
+        d = e["dims"]
+        ty0 = _start(d, "Y") - y_min
+        tx0 = _start(d, "X") - x_min
+        h = d["Y"]["stored"] or d["Y"]["size"]
+        w = d["X"]["stored"] or d["X"]["size"]
+        if not (t0 <= _start(d, "T") < t1 and c0 <= _start(d, "C") < c1
+                and z0 <= _start(d, "Z") < z1
+                and ty0 < y1 and ty0 + h > y0
+                and tx0 < x1 and tx0 + w > x0):
+            continue
+        plan.append({"path": path, "t": _start(d, "T"),
+                     "c": _start(d, "C"), "z": _start(d, "Z"),
+                     "m": _start(d, "M") if "M" in d else -1,
+                     "file_position": e["file_position"],
+                     "pixel_type": e["pixel_type"],
+                     "compression": e["compression"],
+                     "y0": ty0, "x0": tx0, "h": h, "w": w})
+
+    schema = ("t int, c int, z int, m int, y int, x int, value double")
+    if not plan:
+        return spark.createDataFrame([], schema)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from bioio_spark.formats.czi import read_czi_subblock
+
+        for pdf in it:
+            for r in pdf.itertuples():
+                entry = {"file_position": int(r.file_position),
+                         "pixel_type": int(r.pixel_type),
+                         "compression": int(r.compression),
+                         "dims": {"Y": {"stored": int(r.h),
+                                        "size": int(r.h)},
+                                  "X": {"stored": int(r.w),
+                                        "size": int(r.w)}}}
+                plane = read_czi_subblock(r.path, entry)
+                if plane.ndim == 3:
+                    plane = plane[:, :, 0]   # window path is gray-only
+                yield pd.DataFrame({
+                    "t": np.full(plane.size, r.t, np.int32),
+                    "c": np.full(plane.size, r.c, np.int32),
+                    "z": np.full(plane.size, r.z, np.int32),
+                    "m": np.full(plane.size, r.m, np.int32),
+                    "y": np.repeat(np.arange(
+                        r.y0, r.y0 + int(r.h), dtype=np.int32),
+                        int(r.w)),
+                    "x": np.tile(np.arange(
+                        r.x0, r.x0 + int(r.w), dtype=np.int32),
+                        int(r.h)),
+                    "value": plane.ravel().astype(np.float64),
+                })
+
+    plan_df = spark.createDataFrame(pd.DataFrame(plan)).repartition(
+        min(len(plan), spark.sparkContext.defaultParallelism))
+    px = plan_df.mapInPandas(batches, schema=schema)
+    return px.filter((F.col("y") >= y0) & (F.col("y") < y1)
+                     & (F.col("x") >= x0) & (F.col("x") < x1))
+
+
 class CziImageReader:
     """BioImage reader over baseline (uncompressed) ZISRAW files."""
 

@@ -174,3 +174,53 @@ def test_bioimage_czi_pyramid_levels(spark, tmp_path):
     img.set_resolution_level(1)
     np.testing.assert_array_equal(
         img.get_image_data("YX").astype(np.uint16), half)
+
+
+def test_read_czi_window_prunes_subblocks(spark, tmp_path):
+    """t/c/z prune whole subblocks; mosaic tiles prune by extent; the
+    residual trims to exact bounds with GLOBAL mosaic coordinates."""
+    from bioio_spark.sources.czi_image import read_czi_window
+
+    block = _block()
+    p = tmp_path / "win.czi"
+    p.write_bytes(encode_czi(_grid_subblocks(block)))
+    w = read_czi_window(spark, str(p), t=1, c=(0, 2), z=0,
+                        y=(1, 3), x=(2, 5)).toPandas()
+    exp = block[1, 0:2, 0, 1:3, 2:5]
+    assert len(w) == exp.size
+    got = np.zeros_like(exp)
+    got[w["c"], w["y"] - 1, w["x"] - 2] = w["value"].astype(np.uint16)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_read_czi_window_mosaic_tiles(spark, tmp_path):
+    from bioio_spark.sources.czi_image import read_czi_window
+
+    rng = np.random.default_rng(41)
+    tiles = [rng.integers(0, 65535, (4, 5)).astype(np.uint16)
+             for _ in range(3)]
+    subs = [{"data": tiles[m],
+             "dims": {"S": 0, "M": m, "X": m * 5, "Y": 0}}
+            for m in range(3)]
+    p = tmp_path / "mwin.czi"
+    p.write_bytes(encode_czi(subs))
+    # the window covers only tiles 1 and 2
+    w = read_czi_window(spark, str(p), x=(6, 12)).toPandas()
+    assert set(w["m"]) == {1, 2}
+    canvas = np.concatenate(tiles, axis=1)
+    got = np.zeros((4, 6), np.uint16)
+    got[w["y"], w["x"] - 6] = w["value"].astype(np.uint16)
+    np.testing.assert_array_equal(got, canvas[:, 6:12])
+
+
+def test_bioimage_read_window_dispatches_to_czi(spark, tmp_path):
+    block = _block()
+    p = tmp_path / "rw.czi"
+    p.write_bytes(encode_czi(_grid_subblocks(block)))
+    img = BioImage(str(p), spark=spark)
+    w = img.read_window(t=0, c=1, z=(0, 2), y=(1, 3)).toPandas()
+    exp = block[0, 1, 0:2, 1:3, :]
+    assert len(w) == exp.size
+    got = np.zeros_like(exp)
+    got[w["z"], w["y"] - 1, w["x"]] = w["value"].astype(np.uint16)
+    np.testing.assert_array_equal(got, exp)
