@@ -18,7 +18,9 @@ package mirrors it):
   that carries the pixels. BytesInc values are byte STRIDES, so any
   interleaving decodes with as_strided-style arithmetic.
 
-Scope: grayscale 8/16-bit channels (Resolution 8/16), dims X/Y/Z/T,
+Scope: grayscale 8/16-bit channels (Resolution 8/16), dims X/Y/Z/T/M
+(DimID 10 = Leica tile scans, stage positions from the TileScanInfo
+attachment),
 multi-scene files (one Element per scene). Encode writes version-2
 blocks with C-order strides (x fastest, then y, z, t; channels
 outermost) — the layout Leica exports for non-RGB scans."""
@@ -34,7 +36,7 @@ import numpy as np
 _MAGIC = 0x70
 _TEST = 0x2A
 
-_DIM_ID = {"X": 1, "Y": 2, "Z": 3, "T": 4}
+_DIM_ID = {"X": 1, "Y": 2, "Z": 3, "T": 4, "M": 10}
 _DIM_OF_ID = {v: k for k, v in _DIM_ID.items()}
 
 
@@ -47,25 +49,32 @@ def _u16(s: str) -> bytes:
 
 
 def encode_lif(scenes: Sequence[dict]) -> bytes:
-    """scenes: [{"name": str, "data": TCZYX ndarray (uint8/uint16),
-    "pps": optional (z_um, y_um, x_um)}] -> LIF bytes (version 2)."""
+    """scenes: [{"name": str, "data": TCZYX (or MTCZYX tile-scan)
+    ndarray (uint8/uint16), "pps": optional (z_um, y_um, x_um),
+    "tiles": optional [(pos_y_um, pos_x_um), ...] per M}] -> LIF bytes
+    (version 2). Mosaic scenes write DimID 10 (the Leica tile
+    dimension) plus a TileScanInfo attachment with stage positions."""
     elements = []
     blocks = []
     for si, sc in enumerate(scenes):
         a = np.ascontiguousarray(sc["data"])
-        if a.ndim != 5:
-            raise ValueError("encode_lif expects 5D TCZYX scenes")
+        if a.ndim == 5:
+            a = a[None]
+        if a.ndim != 6:
+            raise ValueError(
+                "encode_lif expects 5D TCZYX or 6D MTCZYX scenes")
         if a.dtype not in (np.uint8, np.uint16):
             raise ValueError(
                 f"LIF baseline stores uint8/uint16, got {a.dtype}")
-        t_n, c_n, z_n, y_n, x_n = a.shape
+        m_n, t_n, c_n, z_n, y_n, x_n = a.shape
         res = 8 * a.itemsize
-        # strides (BytesInc): x fastest, channels outermost
+        # strides (BytesInc): x fastest, then y/z/t/m, channels outermost
         bx = a.itemsize
         by = bx * x_n
         bz = by * y_n
         bt = bz * z_n
-        bc = bt * t_n
+        bm = bt * t_n
+        bc = bm * m_n
         chans = "".join(
             f'<ChannelDescription DataType="0" ChannelTag="0" '
             f'Resolution="{res}" NameOfMeasuredQuantity="" Min="0" '
@@ -75,8 +84,9 @@ def encode_lif(scenes: Sequence[dict]) -> bytes:
         pps = sc.get("pps")
         dims = ""
         for name, n, inc in (("X", x_n, bx), ("Y", y_n, by),
-                             ("Z", z_n, bz), ("T", t_n, bt)):
-            if name in ("Z", "T") and n == 1:
+                             ("Z", z_n, bz), ("T", t_n, bt),
+                             ("M", m_n, bm)):
+            if name in ("Z", "T", "M") and n == 1:
                 continue
             # Length: physical extent in METERS (the Leica unit)
             length = 0.0
@@ -87,15 +97,25 @@ def encode_lif(scenes: Sequence[dict]) -> bytes:
                      f'NumberOfElements="{n}" Origin="0" '
                      f'Length="{length}" Unit="m" '
                      f'BytesInc="{inc}" BitInc="0"/>')
+        tiles_xml = ""
+        tiles = sc.get("tiles")
+        if tiles is not None:
+            if len(tiles) != m_n:
+                raise ValueError(
+                    f"{len(tiles)} tile positions for {m_n} tiles")
+            tiles_xml = ('<Attachment Name="TileScanInfo">' + "".join(
+                f'<Tile FieldX="0" FieldY="0" '
+                f'PosX="{px_ * 1e-6}" PosY="{py_ * 1e-6}"/>'
+                for py_, px_ in tiles) + "</Attachment>")
         block_id = f"MemBlock_{si}"
-        data = a.transpose(1, 0, 2, 3, 4).tobytes()  # channels outermost
+        data = a.transpose(2, 0, 1, 3, 4, 5).tobytes()  # c, m, t, z, y, x
         elements.append(
             f'<Element Name="{sc.get("name") or f"Series{si:03d}"}" '
             f'Visibility="1" CopyOption="1" UniqueID="{si}">'
             f'<Data><Image TextDescription="">'
             f'<ImageDescription><Channels>{chans}</Channels>'
             f'<Dimensions>{dims}</Dimensions></ImageDescription>'
-            f'</Image></Data>'
+            f'{tiles_xml}</Image></Data>'
             f'<Memory Size="{len(data)}" MemoryBlockID="{block_id}"/>'
             f'</Element>')
         desc = _u16(block_id)
@@ -190,10 +210,22 @@ def parse_lif_header(path: str) -> dict:
                 vals[d] = pps_len[d] * 1e6 / n
         if vals:
             pps = (vals.get("Z"), vals.get("Y"), vals.get("X"))
+        tiles = None
+        att = re.search(
+            r'<Attachment Name="TileScanInfo">(.*?)</Attachment>',
+            seg, re.S)
+        if att:
+            tiles = [(float(m.group("py")) * 1e6,
+                      float(m.group("px")) * 1e6)
+                     for m in re.finditer(
+                         r'<Tile[^>]*PosX="(?P<px>[^"]+)"'
+                         r'[^>]*PosY="(?P<py>[^"]+)"', att.group(1))]
         scenes.append({
             "name": name_m.group(1) if name_m else None,
             "shape": (shape["T"], shape["C"], shape["Z"],
                       shape["Y"], shape["X"]),
+            "m_n": dims.get("M", {"n": 1})["n"],
+            "tiles_um": tiles,       # per-M (PosY, PosX) stage µm
             "dtype": "uint16" if res == 16 else "uint8",
             "strides": {d: dims[d]["inc"] for d in dims},
             "channel_incs": chan_incs or [0],
@@ -204,7 +236,7 @@ def parse_lif_header(path: str) -> dict:
 
 
 def read_lif_plane(path: str, header: dict, scene_idx: int,
-                   t: int, c: int, z: int) -> np.ndarray:
+                   t: int, c: int, z: int, m: int = 0) -> np.ndarray:
     """One YX plane via stride arithmetic — seek-based, reads only the
     plane's rows (contiguous when BytesInc(X) == itemsize, the Leica
     export layout)."""
@@ -215,7 +247,8 @@ def read_lif_plane(path: str, header: dict, scene_idx: int,
     st = sc["strides"]
     base = (sc["channel_incs"][c]
             + t * (st.get("T") or 0)
-            + z * (st.get("Z") or 0))
+            + z * (st.get("Z") or 0)
+            + m * (st.get("M") or 0))
     bx = st.get("X") or dt.itemsize
     by = st.get("Y") or bx * x_n
     with open(path, "rb") as f:
@@ -252,10 +285,13 @@ def decode_lif(path: str):
     out = []
     for si, sc in enumerate(h["scenes"]):
         t_n, c_n, z_n, y_n, x_n = sc["shape"]
-        a = np.empty(sc["shape"], dtype=sc["dtype"])
-        for t in range(t_n):
-            for c in range(c_n):
-                for z in range(z_n):
-                    a[t, c, z] = read_lif_plane(path, h, si, t, c, z)
-        out.append((sc["name"], a))
+        m_n = sc.get("m_n", 1)
+        a = np.empty((m_n,) + sc["shape"], dtype=sc["dtype"])
+        for m in range(m_n):
+            for t in range(t_n):
+                for c in range(c_n):
+                    for z in range(z_n):
+                        a[m, t, c, z] = read_lif_plane(
+                            path, h, si, t, c, z, m=m)
+        out.append((sc["name"], a[0] if m_n == 1 else a))
     return out

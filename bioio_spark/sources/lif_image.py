@@ -75,9 +75,10 @@ class LifImageReader:
         if not header["scenes"]:
             raise ValueError(f"{path}: LIF holds no images")
 
-        scene_rows, channel_rows, plan = [], [], []
+        scene_rows, channel_rows, tile_rows, plan = [], [], [], []
         for si, sc in enumerate(header["scenes"]):
             t_n, c_n, z_n, y_n, x_n = sc["shape"]
+            m_n = sc.get("m_n", 1)
             scene = f"Image:{si}"
             for ci, nm in enumerate(resolve_channel_names(
                     self._channel_names, c_n, si)):
@@ -88,12 +89,25 @@ class LifImageReader:
             if pps is None and sc["pps"]:
                 pz, py, px_ = sc["pps"]
                 pps = PhysicalPixelSizes(Z=pz, Y=py, X=px_)
+            # tile-scan stage positions (µm) -> pixel offsets for the
+            # M1 stitch, via the scene's pixel size
+            if m_n > 1 and sc.get("tiles_um") and pps and pps.Y \
+                    and pps.X:
+                ys = [p_[0] for p_ in sc["tiles_um"]]
+                xs = [p_[1] for p_ in sc["tiles_um"]]
+                for m, (py_, px2) in enumerate(sc["tiles_um"]):
+                    tile_rows.append({
+                        "image_id": self._image_id, "scene": scene,
+                        "m": m,
+                        "y_off": int(round((py_ - min(ys)) / pps.Y)),
+                        "x_off": int(round((px2 - min(xs)) / pps.X))})
             scene_rows.append({
                 "image_id": self._image_id, "scene": scene,
-                "scene_idx": si, "dim_order": "TCZYX",
+                "scene_idx": si,
+                "dim_order": ("M" if m_n > 1 else "") + "TCZYX",
                 "size_t": t_n, "size_c": c_n, "size_z": z_n,
                 "size_y": y_n, "size_x": x_n,
-                "size_m": None, "size_s": None,
+                "size_m": m_n if m_n > 1 else None, "size_s": None,
                 "dtype": sc["dtype"], "ome_pixel_type": sc["dtype"],
                 "pps_z": pps.Z if pps else None,
                 "pps_y": pps.Y if pps else None,
@@ -101,12 +115,15 @@ class LifImageReader:
                 "time_interval": None,
                 "metadata": header["xml"],
             })
-            for t in range(t_n):
-                for c in range(c_n):
-                    for z in range(z_n):
-                        plan.append({"path": path, "scene": scene,
-                                     "scene_i": si,
-                                     "t": t, "c": c, "z": z})
+            for m in range(m_n):
+                for t in range(t_n):
+                    for c in range(c_n):
+                        for z in range(z_n):
+                            plan.append({
+                                "path": path, "scene": scene,
+                                "scene_i": si,
+                                "m": m if m_n > 1 else -1,
+                                "t": t, "c": c, "z": z})
 
         def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from bioio_spark.formats.lif import (parse_lif_header,
@@ -119,10 +136,11 @@ class LifImageReader:
                         hdr_cache[r.path] = parse_lif_header(r.path)
                     plane = read_lif_plane(
                         r.path, hdr_cache[r.path], r.scene_i,
-                        r.t, r.c, r.z)
+                        r.t, r.c, r.z, m=max(r.m, 0))
                     y_n, x_n = plane.shape
                     yield pd.DataFrame({
                         "scene": r.scene,
+                        "m": np.full(plane.size, r.m, np.int32),
                         "t": np.full(plane.size, r.t, np.int32),
                         "c": np.full(plane.size, r.c, np.int32),
                         "z": np.full(plane.size, r.z, np.int32),
@@ -137,13 +155,15 @@ class LifImageReader:
             min(len(plan), spark.sparkContext.defaultParallelism))
         px = (plan_df.mapInPandas(
                   batches,
-                  schema="scene string, t int, c int, z int, y int, "
-                         "x int, value double")
+                  schema="scene string, m int, t int, c int, z int, "
+                         "y int, x int, value double")
               .select(
                   F.lit(self._image_id).alias("image_id"), "scene",
                   F.lit(0).alias("res_level"), "t", "c", "z", "y", "x",
-                  F.lit(-1).alias("m"), F.lit(-1).alias("s"), "value")
+                  "m", F.lit(-1).alias("s"), "value")
               .select(*PIXEL_COLUMNS))
 
-        return ImageDataset(pixels=px, scenes=pd.DataFrame(scene_rows),
-                            channels=pd.DataFrame(channel_rows))
+        return ImageDataset(
+            pixels=px, scenes=pd.DataFrame(scene_rows),
+            channels=pd.DataFrame(channel_rows),
+            tiles=pd.DataFrame(tile_rows) if tile_rows else None)

@@ -149,3 +149,28 @@ def test_interleaved_strides_uint16(tmp_path):
     p.write_bytes(head + blk)
     (name, got), = decode_lif(str(p))
     np.testing.assert_array_equal(got[0, :, 0], a)
+
+
+def test_lif_tile_scan_mosaic_stitches(spark, tmp_path):
+    """DimID 10 tile scans: M dim + TileScanInfo stage positions feed
+    the M1 stitch (positions µm -> pixel offsets via the pixel size)."""
+    rng = np.random.default_rng(43)
+    tiles = rng.integers(0, 999, (2, 1, 1, 1, 4, 5)).astype(np.uint16)
+    p = tmp_path / "scan.lif"
+    # 0.5 µm pixels; tile 1 sits 2.5 µm right of tile 0 = 5 px
+    p.write_bytes(encode_lif([{
+        "name": "TileScan", "data": tiles,
+        "pps": (1.0, 0.5, 0.5),
+        "tiles": [(0.0, 0.0), (0.0, 2.5)]}]))
+    img = BioImage(str(p), spark=spark)
+    assert img.dims.order == "TCZYX"        # M absorbed by the stitch
+    assert (img.dims.Y, img.dims.X) == (4, 10)
+    np.testing.assert_array_equal(
+        img.get_image_data("YX").astype(np.uint16),
+        np.concatenate([tiles[0, 0, 0, 0], tiles[1, 0, 0, 0]], axis=1))
+    assert img.get_mosaic_tile_positions() == [(0, 0), (0, 5)]
+    raw = BioImage(str(p), reconstruct_mosaic=False, spark=spark)
+    assert "M" in raw.dims.order
+    np.testing.assert_array_equal(
+        raw.get_image_data("MYX").astype(np.uint16),
+        tiles[:, 0, 0, 0])
