@@ -1495,6 +1495,62 @@ def img_lif_roundtrip(spark, sf_dir):
 
 
 @register(
+    "img_lif_tilescan",
+    oracle="""
+    WITH tile AS (
+      SELECT CAST(i // 5 AS INTEGER) AS ty, CAST(i % 5 AS INTEGER) AS tx,
+             i FROM range(20) r(i)),
+    px AS (
+      SELECT m, ty AS yy, CAST(m * 5 + tx AS INTEGER) AS xx,
+             CAST(m * 1000 + ty * 10 + tx AS DOUBLE) AS value
+      FROM tile CROSS JOIN (SELECT CAST(j AS INTEGER) AS m
+                            FROM range(2) s(j)))
+    SELECT yy AS y, count(*) AS n_px,
+           CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY yy ORDER BY yy
+    """,
+    doc="LIF tile scan (DimID 10 + TileScanInfo stage positions) -> "
+        "M1 stitch; hash pins the stride decode, position->pixel "
+        "conversion, and the stitch join",
+)
+def img_lif_tilescan(spark, sf_dir):
+    """Two 4x5 tiles at stage positions 0 / 2.5 µm with 0.5 µm pixels
+    (= 5 px apart) written as a Leica tile scan, read through the
+    extension-routed LifImageReader and default mosaic reconstruction.
+    Ref README.md:62 (bioio-lif)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.lif import encode_lif
+
+    idx = np.indices((4, 5))
+    tiles = np.stack([(m * 1000 + idx[0] * 10 + idx[1])
+                      for m in range(2)]).astype(np.uint16)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "lif_tilescan")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    path = os.path.join(out, "scan.lif")
+    with open(path, "wb") as f:
+        f.write(encode_lif([{
+            "name": "TileScan",
+            "data": tiles[:, None, None, None],
+            "pps": (1.0, 0.5, 0.5),
+            "tiles": [(0.0, 0.0), (0.0, 2.5)]}]))
+    img = BioImage(path, spark=spark)
+    return (img.get_image_dataframe()
+            .groupBy("y")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("y"))
+
+
+@register(
     "img_czi_mosaic_roundtrip",
     oracle="""
     WITH tile AS (
