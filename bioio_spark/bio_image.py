@@ -316,8 +316,9 @@ class BioImage:
 
             if isinstance(reader, TiffImageReader) and os.path.isfile(
                     path) and len(self.scenes) == 1:
-                return read_tiff_window(self._spark, path,
-                                        t=t, c=c, z=z, y=y, x=x)
+                return read_tiff_window(
+                    self._spark, path, t=t, c=c, z=z, y=y, x=x,
+                    level=self._current_resolution_level)
             if isinstance(reader, ZarrImageReader) and len(
                     self.scenes) == 1 and any(
                     os.path.exists(os.path.join(path, f))
@@ -338,8 +339,12 @@ class BioImage:
             from bioio_spark.sources.czi_image import (CziImageReader,
                                                        read_czi_window)
 
+            # the CZI window planner reads level-0 subblocks only, so a
+            # non-zero resolution level falls through to the Catalyst
+            # filter over standardized pixels (which honors the level)
+            # instead of silently returning full-res data
             if isinstance(reader, CziImageReader) and os.path.isfile(
-                    path):
+                    path) and self._current_resolution_level == 0:
                 return read_czi_window(
                     self._spark, path, t=t, c=c, z=z, y=y, x=x,
                     scene=self._current_scene_index).select(

@@ -159,7 +159,7 @@ def decode_gif(data: bytes):
     all_gray = gct is None or _gray(gct)
     canvas = np.zeros((H, W, 3), np.uint8)
     delay, transp, disposal = 0, None, 0
-    prev_disposal, prev_region = 0, None
+    prev_disposal, prev_region, prev_snapshot = 0, None, None
     while pos < len(data):
         b = data[pos]
         pos += 1
@@ -208,18 +208,26 @@ def decode_gif(data: bytes):
             idx = _deinterlace(idx)
         # a GCE's disposal applies AFTER its own frame renders, i.e.
         # before the NEXT frame draws — so the clear for disposal 2
-        # happens here, keyed to the PREVIOUS frame's setting, over the
-        # previous frame's region
+        # (restore to background) and the revert for disposal 3
+        # (restore to previous) happen here, keyed to the PREVIOUS
+        # frame's setting, over the previous frame's region
         if prev_disposal == 2 and prev_region is not None:
             py, px_, ph, pw = prev_region
             canvas[py:py + ph, px_:px_ + pw] = 0
+        elif prev_disposal == 3 and prev_region is not None:
+            py, px_, ph, pw = prev_region
+            canvas[py:py + ph, px_:px_ + pw] = prev_snapshot
         region = canvas[y0:y0 + h, x0:x0 + w]
+        # snapshot the covered pixels BEFORE drawing so disposal 3 can
+        # revert them when the next frame arrives
+        snapshot = region.copy() if disposal == 3 else None
         opaque = (np.ones((h, w), bool) if transp is None
                   else idx != transp)
         region[opaque] = pal[idx[opaque]]
         frames.append(canvas.copy())
         delays.append(delay)
         prev_disposal, prev_region = disposal, (y0, x0, h, w)
+        prev_snapshot = snapshot
         transp, disposal = None, 0
     if not frames:
         raise ValueError("GIF contains no image frames")

@@ -311,17 +311,19 @@ def _core_version_tuple() -> tuple:
     return tuple(parts[:3])
 
 
-def plugin_core_requirement(dist_name: str) -> tuple[tuple, Optional[tuple]]:
-    """(min, max) core-version range a distribution declares for
-    ``bioio-spark`` via its Requires-Dist metadata — the reference reads
-    the same range for ``bioio-base`` from each plugin distribution
-    (ref plugins.py:113-164). No declared dependency -> unbounded."""
+def plugin_core_requirement(
+        dist_name: str) -> tuple[tuple, Optional[tuple], bool]:
+    """(min, max, max_inclusive) core-version range a distribution
+    declares for ``bioio-spark`` via its Requires-Dist metadata — the
+    reference reads the same range for ``bioio-base`` from each plugin
+    distribution (ref plugins.py:113-164). No declared dependency ->
+    unbounded."""
     from importlib import metadata as _md
 
     try:
         reqs = _md.requires(dist_name) or []
     except _md.PackageNotFoundError:
-        return (0, 0, 0), None
+        return (0, 0, 0), None, True
     for dep in reqs:
         head = dep.replace("_", "-").lower()
         if not head.startswith(CORE_DIST_NAME):
@@ -329,9 +331,9 @@ def plugin_core_requirement(dist_name: str) -> tuple[tuple, Optional[tuple]]:
         spec = dep[len(CORE_DIST_NAME):]
         spec = spec.strip().strip("()").strip()
         if not spec:
-            return (0, 0, 0), None
+            return (0, 0, 0), None, True
         return parse_version_range(spec)
-    return (0, 0, 0), None
+    return (0, 0, 0), None, True
 
 
 def discover_plugins(group: str = ENTRY_POINT_GROUP) -> list[PluginEntry]:
@@ -353,8 +355,9 @@ def discover_plugins(group: str = ENTRY_POINT_GROUP) -> list[PluginEntry]:
     for ep in _md.entry_points(group=group):
         dist = getattr(ep, "dist", None)
         dist_name = getattr(dist, "name", None) or ep.name
-        lo, hi = plugin_core_requirement(dist_name)
-        if core < lo or (hi is not None and core > hi):
+        lo, hi, hi_incl = plugin_core_requirement(dist_name)
+        if core < lo or (hi is not None
+                         and (core > hi or (not hi_incl and core == hi))):
             log.warning(
                 "Plugin %s requires %s in [%s, %s]; running %s — skipped",
                 dist_name, CORE_DIST_NAME, lo, hi, core)
@@ -381,27 +384,31 @@ def discover_plugins(group: str = ENTRY_POINT_GROUP) -> list[PluginEntry]:
     return registered
 
 
-def parse_version_range(requirement: str) -> tuple[tuple, Optional[tuple]]:
+def parse_version_range(
+        requirement: str) -> tuple[tuple, Optional[tuple], bool]:
     """S13 (ref plugins.py:113-164): parse '>=x.y,<a.b' style requirement
-    into (min, max) version tuples, padding partial versions to x.y.z."""
+    into (min, max, max_inclusive), padding partial versions to x.y.z.
+    An exclusive '<a.b' bound sets max_inclusive=False so a core version
+    exactly equal to the bound is rejected."""
     def pad(v: str) -> tuple:
         parts = [int(p) for p in v.strip().split(".") if p.isdigit()]
         while len(parts) < 3:
             parts.append(0)
         return tuple(parts[:3])
 
-    lo, hi = (0, 0, 0), None
+    lo, hi, hi_inclusive = (0, 0, 0), None, True
     for clause in requirement.split(","):
         clause = clause.strip()
         if clause.startswith(">="):
             lo = pad(clause[2:])
         elif clause.startswith("<="):
-            hi = pad(clause[2:])
+            hi, hi_inclusive = pad(clause[2:]), True
         elif clause.startswith("<"):
-            hi = pad(clause[1:])
+            hi, hi_inclusive = pad(clause[1:]), False
         elif clause.startswith("=="):
-            lo = hi = pad(clause[2:])
-    return lo, hi
+            lo = pad(clause[2:])
+            hi, hi_inclusive = lo, True
+    return lo, hi, hi_inclusive
 
 
 def get_dependency_version_range_for_distribution(
@@ -410,7 +417,7 @@ def get_dependency_version_range_for_distribution(
     """(min, max) version strings a distribution declares for a
     dependency (ref plugins.py:113-164 signature); None = unbounded.
     The tuple form used internally comes from plugin_core_requirement."""
-    lo, hi = plugin_core_requirement(distribution_name)
+    lo, hi, _hi_incl = plugin_core_requirement(distribution_name)
     lo_s = ".".join(map(str, lo)) if lo != (0, 0, 0) else None
     hi_s = ".".join(map(str, hi)) if hi is not None else None
     return lo_s, hi_s

@@ -111,7 +111,17 @@ class TiffImageReader:
             # (seek-based IFD walk, a few KB) -> the scene's res_levels
             from bioio_spark.formats.tiff import iter_tiff_chunks
 
-            n_sub = min(len(pg["subifds"]) for pg in iter_tiff_chunks(p))
+            # the pyramid depth must be uniform across pages: the decode
+            # path emits res_level rows for EVERY page's SubIFD planes,
+            # so an uneven file would yield rows beyond the advertised
+            # res_levels — reject at catalog time instead
+            sub_counts = {len(pg["subifds"]) for pg in iter_tiff_chunks(p)}
+            if len(sub_counts) > 1:
+                raise ValueError(
+                    f"{p}: pages declare uneven SubIFD pyramid depths "
+                    f"{sorted(sub_counts)}; res_levels requires one "
+                    f"depth shared by every page")
+            n_sub = sub_counts.pop()
             file_scene_names: list[str] = []
             for h in parse_ome_xml_scenes(xml):
                 scene = h["image_id"] or f"Image:{si}"
@@ -372,7 +382,12 @@ def read_tiff_window(spark: SparkSession, path: str,
                     raw = decompress_tiff_chunk(f.read(row.nbytes),
                                                 row.comp)
                     dt = np.dtype(row.dtype)
-                    block = np.frombuffer(raw, dtype=dt).reshape(
+                    # count= tolerates writers that pad the final strip
+                    # of a compressed file to full rows_per_strip — the
+                    # decoded bytes may exceed the strip's true extent
+                    block = np.frombuffer(
+                        raw, dtype=dt,
+                        count=row.ch * row.cw).reshape(
                         (row.ch, row.cw))
                     if row.pred == 2:
                         block = _undo_horizontal_predictor(block)

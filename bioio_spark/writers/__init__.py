@@ -59,8 +59,9 @@ def discover_writers(group: str = WRITER_ENTRY_POINT_GROUP) -> list[str]:
     for ep in _md.entry_points(group=group):
         dist = getattr(ep, "dist", None)
         dist_name = getattr(dist, "name", None) or ep.name
-        lo, hi = plugin_core_requirement(dist_name)
-        if core < lo or (hi is not None and core > hi):
+        lo, hi, hi_incl = plugin_core_requirement(dist_name)
+        if core < lo or (hi is not None
+                         and (core > hi or (not hi_incl and core == hi))):
             log.warning(
                 "Writer %s requires bioio-spark in [%s, %s]; running %s "
                 "— skipped", dist_name, lo, hi, core)

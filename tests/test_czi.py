@@ -224,3 +224,30 @@ def test_bioimage_read_window_dispatches_to_czi(spark, tmp_path):
     got = np.zeros_like(exp)
     got[w["z"], w["y"] - 1, w["x"]] = w["value"].astype(np.uint16)
     np.testing.assert_array_equal(got, exp)
+
+
+def test_read_window_honors_czi_resolution_level(spark, tmp_path):
+    """read_window after set_resolution_level(1) on a pyramidal CZI
+    returns the LEVEL'S pixels (via the standardized fallback), not the
+    level-0 subblocks the window planner would read."""
+    rng = np.random.default_rng(19)
+    full = rng.integers(0, 65535, (8, 10)).astype(np.uint16)
+    half = full[::2, ::2].copy()
+    p = tmp_path / "pyr_rw.czi"
+    p.write_bytes(encode_czi([
+        {"data": full, "dims": {"S": 0}},
+        {"data": half, "dims": {"S": 0}, "scale": 2},
+    ]))
+    img = BioImage(str(p), spark=spark)
+    img.set_resolution_level(1)
+    w = img.read_window(y=(0, 2), x=(0, 3)).toPandas()
+    assert len(w) == 6
+    got = np.zeros((2, 3), np.uint16)
+    got[w["y"], w["x"]] = w["value"].astype(np.uint16)
+    np.testing.assert_array_equal(got, half[0:2, 0:3])
+    # level 0 still routes through the pruned subblock planner
+    img.set_resolution_level(0)
+    w0 = img.read_window(y=(0, 2), x=(0, 3)).toPandas()
+    got0 = np.zeros((2, 3), np.uint16)
+    got0[w0["y"], w0["x"]] = w0["value"].astype(np.uint16)
+    np.testing.assert_array_equal(got0, full[0:2, 0:3])

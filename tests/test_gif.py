@@ -159,3 +159,45 @@ def test_disposal_2_clears_after_its_own_frame():
     assert frames[2][0, 0] == 0             # restored to bg in frame 2
     assert frames[2][1, 1] == 30
     assert frames[2][0, 1] == 10            # untouched region persists
+
+
+def test_gif_disposal_restore_previous():
+    """Disposal 3 (restore to previous): pixels covered by a frame are
+    reverted — not carried — once the next frame draws."""
+    import struct
+
+    from bioio_spark.formats.gif import lzw_encode_gif
+
+    def gce(disposal):
+        return struct.pack("<BBBBHBB", 0x21, 0xF9, 4, disposal << 2,
+                           0, 0, 0)
+
+    def img_block(idx_plane, x0=0, y0=0):
+        h, w = idx_plane.shape
+        out = bytearray(struct.pack("<BHHHHB", 0x2C, x0, y0, w, h, 0))
+        out.append(8)
+        lzw = lzw_encode_gif(idx_plane.tobytes(), 8)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+        return bytes(out)
+
+    pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, 1)
+    head = (b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0xF7, 0, 0)
+            + pal.tobytes())
+    f0 = np.full((2, 2), 10, np.uint8)
+    f1 = np.full((1, 1), 20, np.uint8)      # 1x1 overlay, disposal 3
+    f2 = np.full((1, 1), 30, np.uint8)      # drawn at (1,1)
+    data = (head
+            + gce(0) + img_block(f0)
+            + gce(3) + img_block(f1)        # revert AFTER rendering
+            + gce(0) + img_block(f2, x0=1, y0=1)
+            + b"\x3b")
+    frames, _ = decode_gif(data)
+    assert frames[0][0, 0] == 10
+    assert frames[1][0, 0] == 20            # overlay visible in frame 1
+    assert frames[2][0, 0] == 10            # REVERTED (not 20, not 0)
+    assert frames[2][1, 1] == 30
+    assert frames[2][0, 1] == 10

@@ -93,8 +93,49 @@ def test_feasibility_report():
 
 
 def test_parse_version_range():
-    assert P.parse_version_range(">=1.2,<2") == ((1, 2, 0), (2, 0, 0))
-    assert P.parse_version_range("==1.0.3") == ((1, 0, 3), (1, 0, 3))
+    assert P.parse_version_range(">=1.2,<2") == (
+        (1, 2, 0), (2, 0, 0), False)
+    assert P.parse_version_range("==1.0.3") == (
+        (1, 0, 3), (1, 0, 3), True)
+    assert P.parse_version_range(">=1,<=2.1") == (
+        (1, 0, 0), (2, 1, 0), True)
+
+
+def test_exclusive_upper_bound_rejects_equal_core(clean_registry,
+                                                  monkeypatch):
+    """A plugin declaring '<2.0' must be skipped when the core is
+    exactly 2.0.0 — the bound is exclusive."""
+    class _EP:
+        name = "fake-strict"
+        dist = None
+
+        @staticmethod
+        def load():
+            raise AssertionError("must be filtered before load")
+
+    monkeypatch.setattr(P, "_core_version_tuple", lambda: (2, 0, 0))
+    monkeypatch.setattr(
+        P, "plugin_core_requirement",
+        lambda name: ((0, 0, 0), (2, 0, 0), False))
+    from importlib import metadata as _md
+    monkeypatch.setattr(_md, "entry_points", lambda group: [_EP()])
+    assert P.discover_plugins() == []
+    # inclusive '<=2.0' at the same core version registers (load fails
+    # harmlessly -> still no entry, but it must be ATTEMPTED)
+    attempted = []
+
+    class _EP2(_EP):
+        @staticmethod
+        def load():
+            attempted.append(1)
+            raise RuntimeError("stop here")
+
+    monkeypatch.setattr(
+        P, "plugin_core_requirement",
+        lambda name: ((0, 0, 0), (2, 0, 0), True))
+    monkeypatch.setattr(_md, "entry_points", lambda group: [_EP2()])
+    P.discover_plugins()
+    assert attempted
 
 
 def test_s3_anon_retry(clean_registry):

@@ -1206,3 +1206,87 @@ def test_single_file_save_tiled(spark, tmp_path):
     back = BioImage(p, spark=spark)
     np.testing.assert_array_equal(
         back.get_image_data("TCZYX").astype(np.uint16), block)
+
+
+def test_read_window_honors_resolution_level(spark, tmp_path):
+    """BioImage.read_window after set_resolution_level must return the
+    LEVEL'S pixels through the pruned TIFF path, matching the
+    standardized (Catalyst) path for the same level."""
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.writers import save_ome_tiff
+
+    rng = np.random.default_rng(63)
+    a = rng.integers(0, 255, (32, 48)).astype(np.uint8)
+    out = tmp_path / "pyr_rw"
+    save_ome_tiff(BioImage(a, dim_order="YX", spark=spark), str(out),
+                  tile=(16, 16), n_levels=2)
+    path = str(out / "scene_0.ome.tiff")
+    img = BioImage(path, spark=spark)
+    img.set_resolution_level(1)
+    want = img.get_image_data("YX")[:4, :6]
+    w = img.read_window(y=(0, 4), x=(0, 6)).toPandas()
+    assert len(w) == want.size
+    got = np.zeros_like(want)
+    got[w["y"], w["x"]] = w["value"].astype(want.dtype)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_read_tiff_window_padded_final_strip(spark, tmp_path):
+    """Wild writers pad the final strip of a compressed file to full
+    rows_per_strip; the decoder must slice to the strip's true extent
+    instead of raising on reshape."""
+    import struct
+    import zlib
+
+    from bioio_spark.sources.tiff_image import read_tiff_window
+
+    a = np.arange(20, dtype=np.uint8).reshape(5, 4)
+    strip0 = zlib.compress(a[0:3].tobytes())
+    # final strip covers 2 rows but is PADDED to 3 before compression
+    strip1 = zlib.compress(a[3:5].tobytes() + b"\x00" * 4)
+    off0 = 8
+    off1 = off0 + len(strip0)
+    arrays_off = off1 + len(strip1)
+    ifd_off = arrays_off + 16
+
+    def ent(tag, typ, cnt, val):
+        return struct.pack("<HHII", tag, typ, cnt, val)
+
+    n = 8
+    ifd = struct.pack("<H", n) + b"".join([
+        ent(256, 4, 1, 4), ent(257, 4, 1, 5),
+        ent(258, 3, 1, 8), ent(259, 3, 1, 8),       # deflate
+        ent(273, 4, 2, arrays_off), ent(277, 3, 1, 1),
+        ent(278, 4, 1, 3), ent(279, 4, 2, arrays_off + 8),
+    ]) + struct.pack("<I", 0)
+    data = (struct.pack("<2sHI", b"II", 42, ifd_off)
+            + strip0 + strip1
+            + struct.pack("<II", off0, off1)
+            + struct.pack("<II", len(strip0), len(strip1))
+            + ifd)
+    p = tmp_path / "padded.tif"
+    p.write_bytes(data)
+
+    pdf = read_tiff_window(spark, str(p)).toPandas()
+    assert len(pdf) == 20
+    got = np.zeros_like(a)
+    got[pdf["y"], pdf["x"]] = pdf["value"].astype(np.uint8)
+    np.testing.assert_array_equal(got, a)
+
+
+def test_uneven_subifd_depth_rejected(spark, tmp_path):
+    """Pages with differing SubIFD pyramid depths would emit res_level
+    rows beyond the advertised res_levels — the catalog rejects them."""
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.tiff import build_ome_xml, encode_tiff
+
+    rng = np.random.default_rng(64)
+    mains = [rng.integers(0, 255, (8, 8)).astype(np.uint8)
+             for _ in range(2)]
+    xml = build_ome_xml(1, 1, 2, 8, 8, "uint8")
+    p = tmp_path / "uneven.ome.tiff"
+    p.write_bytes(encode_tiff(
+        mains, description=xml,
+        sub_levels=[[mains[0][::2, ::2].copy()], []]))
+    with pytest.raises(ValueError, match="uneven SubIFD"):
+        BioImage(str(p), spark=spark).get_image_dataframe()
