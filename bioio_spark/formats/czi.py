@@ -23,10 +23,20 @@ structure:
 
 Supported pixel types (numeric ids per the spec): Gray8 (0), Gray16
 (1), Gray32Float (2), Bgr24 (3, decodes to S=3 RGB), Gray32 (12),
-Gray64 (13). Compression 0 (uncompressed) only — JPEG-XR/zstd blocks
-raise. Both directions are implemented so roundtrips need no
-third-party dependency; mosaic (M) subblocks carry their X/Y starts,
-the stitch itself is the engine's M1 operator."""
+Gray64 (13).
+
+Compression: 0 (uncompressed), 5 (zstd0: a raw zstd stream — the
+common compression of modern Zeiss acquisitions) and 6 (zstd1: a
+small header, optionally flagging hi/lo byte-plane packing of 16-bit
+samples, then the zstd stream) are supported BOTH directions; the
+zstd1 header/packing layout follows the public libCZI documentation
+(documentation/czi-compression.md: size byte, chunk type 1 =
+hiLoPack, flags bit0). JPEG (1) / JPEG-XR (4) blocks raise. The zstd
+bytes themselves go through pyarrow's bundled zstd codec —
+executor-side, per subblock, so a compressed mosaic decodes with the
+same zero-shuffle planned-read parallelism as raw blocks. Mosaic (M)
+subblocks carry their X/Y starts, the stitch itself is the engine's
+M1 operator."""
 
 from __future__ import annotations
 
@@ -51,6 +61,78 @@ PIXEL_TYPE_OF_DTYPE = {("uint8", 1): 0, ("uint16", 1): 1,
                        ("float32", 1): 2, ("uint8", 3): 3,
                        ("int32", 1): 12, ("float64", 1): 13}
 
+#: ZISRAW Compression field values
+COMP_UNCOMPRESSED = 0
+COMP_ZSTD0 = 5          # raw zstd stream
+COMP_ZSTD1 = 6          # header (+ optional hi/lo packing) + zstd stream
+
+
+def _zstd_codec():
+    """pyarrow's bundled zstd codec (no standalone zstd dependency)."""
+    try:
+        import pyarrow as pa
+        return pa.Codec("zstd")
+    except Exception as exc:                 # pragma: no cover
+        raise RuntimeError(
+            "zstd-compressed CZI subblocks require pyarrow's bundled "
+            "zstd codec") from exc
+
+
+def _hilo_pack(raw: bytes) -> bytes:
+    """zstd1 hi/lo preprocessing for 16-bit samples: all low bytes,
+    then all high bytes (byte-plane split compresses better)."""
+    a = np.frombuffer(raw, np.uint8).reshape(-1, 2)
+    return a[:, 0].tobytes() + a[:, 1].tobytes()
+
+
+def _hilo_unpack(raw: bytes) -> bytes:
+    half = len(raw) // 2
+    b = np.frombuffer(raw, np.uint8)
+    out = np.empty((half, 2), np.uint8)
+    out[:, 0] = b[:half]
+    out[:, 1] = b[half:]
+    return out.tobytes()
+
+
+def _compress_subblock(data: bytes, compression: int,
+                       itemsize: int) -> bytes:
+    if compression == COMP_UNCOMPRESSED:
+        return data
+    if compression == COMP_ZSTD0:
+        return _zstd_codec().compress(data, asbytes=True)
+    if compression == COMP_ZSTD1:
+        hilo = itemsize == 2
+        header = bytes([3, 1, 1 if hilo else 0])
+        payload = _hilo_pack(data) if hilo else data
+        return header + _zstd_codec().compress(payload, asbytes=True)
+    raise ValueError(f"unsupported CZI compression {compression} "
+                     "(supported: 0 uncompressed, 5 zstd0, 6 zstd1)")
+
+
+def _decompress_subblock(data: bytes, compression: int,
+                         expected: int) -> bytes:
+    if compression == COMP_UNCOMPRESSED:
+        return data
+    if compression == COMP_ZSTD0:
+        return _zstd_codec().decompress(
+            data, decompressed_size=expected, asbytes=True)
+    if compression == COMP_ZSTD1:
+        hsize = data[0]
+        if hsize < 1:
+            raise ValueError("zstd1 subblock header size < 1")
+        hilo = False
+        pos = 1
+        while pos + 1 < hsize:               # chunk walk within header
+            if data[pos] == 1:               # hiLoPack chunk
+                hilo = bool(data[pos + 1] & 1)
+            pos += 2
+        raw = _zstd_codec().decompress(
+            data[hsize:], decompressed_size=expected, asbytes=True)
+        return _hilo_unpack(raw) if hilo else raw
+    raise ValueError(
+        f"unsupported CZI compression {compression}; supported: "
+        "0 (uncompressed), 5 (zstd0), 6 (zstd1)")
+
 
 def _segment(sid: bytes, payload: bytes,
              alloc: Optional[int] = None) -> bytes:
@@ -63,13 +145,13 @@ def _segment(sid: bytes, payload: bytes,
 
 def _pack_entry_dv(pixel_type: int, file_position: int,
                    dims: Sequence[tuple],
-                   pyramid: int = 0) -> bytes:
+                   pyramid: int = 0, compression: int = 0) -> bytes:
     """dims: [(name, start, size, stored_size), ...]. `pyramid` is the
     PyramidType byte (0 none, 1 single, 2 multi) of downsampled
     subblocks — for those, Size covers the full-resolution extent
     while StoredSize is the downsampled pixel count."""
     out = struct.pack("<2siqiiB5xi", b"DV", pixel_type, file_position,
-                      0, 0, pyramid, len(dims))
+                      0, compression, pyramid, len(dims))
     for name, start, size, stored in dims:
         out += struct.pack("<4siifi", name.encode("ascii"), start,
                            size, 0.0, stored)
@@ -97,12 +179,16 @@ def _parse_entry_dv(buf: bytes, pos: int):
 
 
 def encode_czi(subblocks: Sequence[dict],
-               metadata_xml: Optional[str] = None) -> bytes:
+               metadata_xml: Optional[str] = None,
+               compression: int = 0) -> bytes:
     """subblocks: [{"data": 2D YX (or 3D YXS for Bgr24) ndarray,
     "dims": {"S": s, "T": t, "C": c, "Z": z, "M": m,
              "X": x_start, "Y": y_start}}, ...] -> CZI bytes.
     Every non-XY dim is optional (absent = not written); X/Y entries
-    carry the tile start plus the stored plane shape."""
+    carry the tile start plus the stored plane shape. `compression`
+    (overridable per-subblock via a "compression" key) writes zstd
+    blocks: 5 = zstd0 raw stream, 6 = zstd1 with hi/lo byte packing
+    for 16-bit samples."""
     parts = []
     entries = []
     pos = 512 + SEGMENT_HEADER       # file header first
@@ -119,6 +205,7 @@ def encode_czi(subblocks: Sequence[dict],
             a = a[:, :, ::-1]        # RGB -> stored BGR
         d = sb.get("dims", {})
         scale = int(sb.get("scale", 1))   # >1 = pyramid subblock
+        comp = int(sb.get("compression", compression))
         dim_list = []
         for name in ("S", "T", "C", "Z", "M", "B"):
             if name in d:
@@ -127,14 +214,15 @@ def encode_czi(subblocks: Sequence[dict],
                          a.shape[0] * scale, a.shape[0]))
         dim_list.append(("X", int(d.get("X", 0)),
                          a.shape[1] * scale, a.shape[1]))
-        data = a.tobytes()
+        data = _compress_subblock(a.tobytes(), comp, a.itemsize)
         entry = _pack_entry_dv(ptype, pos, dim_list,
-                               pyramid=1 if scale > 1 else 0)
+                               pyramid=1 if scale > 1 else 0,
+                               compression=comp)
         fixed = struct.pack("<iiq", 0, 0, len(data)) + entry
         payload = fixed.ljust(max(256, len(fixed)), b"\x00") + data
         sub_payloads.append(payload)
         entries.append((ptype, pos, dim_list,
-                        1 if scale > 1 else 0))
+                        1 if scale > 1 else 0, comp))
         alloc = -(-len(payload) // _ALIGN) * _ALIGN
         pos += SEGMENT_HEADER + alloc
 
@@ -147,8 +235,9 @@ def encode_czi(subblocks: Sequence[dict],
     dir_pos = meta_pos + SEGMENT_HEADER + meta_alloc
 
     dir_body = struct.pack("<i", len(entries)) + b"\x00" * 124
-    for ptype, fpos, dim_list, pyr in entries:
-        dir_body += _pack_entry_dv(ptype, fpos, dim_list, pyramid=pyr)
+    for ptype, fpos, dim_list, pyr, comp in entries:
+        dir_body += _pack_entry_dv(ptype, fpos, dim_list, pyramid=pyr,
+                                   compression=comp)
 
     header = struct.pack(
         "<iiii16s16siqqiq",
@@ -224,11 +313,8 @@ def read_czi_subblock(path: str, entry: dict) -> np.ndarray:
     """One directory entry -> its decoded plane (YX, or YXS RGB for
     Bgr24). Seek-based: reads only this subblock's bytes — the
     executor-side step of a planned read (one ranged GET at
-    object-store scale)."""
-    if entry["compression"] != 0:
-        raise ValueError(
-            f"unsupported CZI compression {entry['compression']}; "
-            "only uncompressed (0) subblocks")
+    object-store scale). zstd0/zstd1 blocks decompress here, in the
+    task that read them."""
     if entry["pixel_type"] not in DTYPE_OF_PIXEL_TYPE:
         raise ValueError(
             f"unsupported CZI pixel type {entry['pixel_type']}")
@@ -250,6 +336,8 @@ def read_czi_subblock(path: str, entry: dict) -> np.ndarray:
         data_off = max(256, fixed_len) + meta_size
         f.seek(entry["file_position"] + SEGMENT_HEADER + data_off)
         data = f.read(data_size)
+    expected = h * w * samples * np.dtype(dt).itemsize
+    data = _decompress_subblock(data, entry["compression"], expected)
     shape = (h, w) if samples == 1 else (h, w, samples)
     a = np.frombuffer(data, dtype=np.dtype(dt)).reshape(shape)
     a = a.astype(np.dtype(dt).newbyteorder("="), copy=False)

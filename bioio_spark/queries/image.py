@@ -2073,3 +2073,60 @@ def img_planes_blur(spark, sf_dir):
     return (planes_to_pixels(blurred)
             .select("t", "c", "z", "y", "x", "value")
             .orderBy("t", "c", "z", "y", "x"))
+
+
+@register(
+    "img_czi_zstd_roundtrip",
+    oracle="""
+    WITH tile AS (
+      SELECT CAST(i // 4 AS INTEGER) AS ty, CAST(i % 4 AS INTEGER) AS tx,
+             i FROM range(12) r(i)),
+    px AS (
+      SELECT m, ty AS yy, CAST(m * 4 + tx AS INTEGER) AS xx,
+             CAST(m * 2000 + ty * 10 + tx AS DOUBLE) AS value
+      FROM tile CROSS JOIN (SELECT CAST(j AS INTEGER) AS m
+                            FROM range(3) s(j)))
+    SELECT yy AS y, count(*) AS n_px,
+           CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY yy ORDER BY yy
+    """,
+    doc="CZI zstd-compressed mosaic: zstd0/zstd1(hi-lo)/raw subblocks "
+        "in one file, directory-planned read + executor-side "
+        "decompress, M1 stitch, aggregate",
+)
+def img_czi_zstd_roundtrip(spark, sf_dir):
+    """Real-world Zeiss acquisitions compress subblocks with zstd
+    (libCZI compression ids 5/6); this pins the executor-side
+    decompress inside the planned read: three 3x4 uint16 mosaic tiles
+    written one-each as zstd1 (hi/lo packed), zstd0, and raw, read
+    through BioImage (.czi routing), stitched, aggregated per row.
+    Ref README.md:59 (bioio-czi); zstd1 layout per public libCZI docs."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.czi import encode_czi
+
+    idx = np.indices((3, 4))
+    subs = []
+    for m, comp in enumerate((6, 5, 0)):
+        tile = (m * 2000 + idx[0] * 10 + idx[1]).astype(np.uint16)
+        subs.append({"data": tile, "compression": comp,
+                     "dims": {"S": 0, "M": m, "X": m * 4, "Y": 0}})
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "czi_zstd_roundtrip")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    path = os.path.join(out, "mosaic_zstd.czi")
+    with open(path, "wb") as f:
+        f.write(encode_czi(subs))
+    img = BioImage(path, spark=spark)
+    return (img.get_image_dataframe()
+            .groupBy("y")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("y"))

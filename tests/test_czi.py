@@ -251,3 +251,90 @@ def test_read_window_honors_czi_resolution_level(spark, tmp_path):
     got0 = np.zeros((2, 3), np.uint16)
     got0[w0["y"], w0["x"]] = w0["value"].astype(np.uint16)
     np.testing.assert_array_equal(got0, full[0:2, 0:3])
+
+
+def test_zstd_subblock_roundtrips(tmp_path):
+    """Compression 5 (zstd0) and 6 (zstd1, hi/lo packed for 16-bit)
+    roundtrip bit-exact through pyarrow's bundled zstd codec, and the
+    directory entries carry the compression id."""
+    from bioio_spark.formats.czi import (read_czi_directory,
+                                         read_czi_subblock)
+
+    rng = np.random.default_rng(23)
+    planes = [rng.integers(0, 65535, (7, 9)).astype(np.uint16),
+              rng.integers(0, 255, (7, 9)).astype(np.uint8),
+              rng.random((7, 9)).astype(np.float32)]
+    for comp in (5, 6):
+        p = tmp_path / f"z{comp}.czi"
+        p.write_bytes(encode_czi(
+            [{"data": a, "dims": {"C": i}}
+             for i, a in enumerate(planes)], compression=comp))
+        entries = read_czi_directory(str(p))
+        assert [e["compression"] for e in entries] == [comp] * 3
+        for e, a in zip(entries, planes):
+            np.testing.assert_array_equal(
+                read_czi_subblock(str(p), e), a)
+
+
+def test_zstd_compresses_smaller(tmp_path):
+    smooth = np.tile(np.arange(128, dtype=np.uint16), (128, 1))
+    raw = encode_czi([{"data": smooth}])
+    z1 = encode_czi([{"data": smooth}], compression=6)
+    assert len(z1) < len(raw) // 2
+
+
+def test_unsupported_compression_raises(tmp_path):
+    p = tmp_path / "bad.czi"
+    with pytest.raises(ValueError, match="compression"):
+        encode_czi([{"data": np.zeros((2, 2), np.uint16),
+                     "compression": 4}])
+    # decode side: patch a raw file's directory entry to JPEG-XR (4)
+    from bioio_spark.formats.czi import (read_czi_directory,
+                                         read_czi_subblock)
+    p.write_bytes(encode_czi([{"data": np.zeros((2, 2), np.uint16)}]))
+    e = read_czi_directory(str(p))[0]
+    e["compression"] = 4
+    with pytest.raises(ValueError, match="unsupported CZI compression"):
+        read_czi_subblock(str(p), e)
+
+
+def test_bioimage_mosaic_stitch_zstd(spark, tmp_path):
+    """Mixed-compression mosaic (zstd1 + zstd0 + raw tiles in ONE
+    file) stitches identically to the uncompressed fixture."""
+    rng = np.random.default_rng(29)
+    tiles = [rng.integers(0, 65535, (3, 4)).astype(np.uint16)
+             for _ in range(3)]
+    subs_raw, subs_z = [], []
+    for m, t in enumerate(tiles):
+        dims = {"S": 0, "M": m, "X": m * 4, "Y": 0}
+        subs_raw.append({"data": t, "dims": dict(dims)})
+        subs_z.append({"data": t, "dims": dict(dims),
+                       "compression": (6, 5, 0)[m]})
+    p_raw = tmp_path / "m_raw.czi"
+    p_z = tmp_path / "m_z.czi"
+    p_raw.write_bytes(encode_czi(subs_raw))
+    p_z.write_bytes(encode_czi(subs_z))
+    a = BioImage(str(p_raw), spark=spark).get_image_data("YX")
+    b = BioImage(str(p_z), spark=spark).get_image_data("YX")
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(
+        b.astype(np.uint16), np.hstack(tiles))
+
+
+def test_read_czi_window_zstd(spark, tmp_path):
+    """Window-pruned reads decode compressed subblocks executor-side."""
+    from bioio_spark.sources.czi_image import read_czi_window
+
+    rng = np.random.default_rng(31)
+    planes = rng.integers(0, 65535, (4, 6, 8)).astype(np.uint16)
+    p = tmp_path / "zwin.czi"
+    p.write_bytes(encode_czi(
+        [{"data": planes[z], "dims": {"Z": z}} for z in range(4)],
+        compression=6))
+    w = read_czi_window(spark, str(p), z=(1, 3), y=(2, 5),
+                        x=(3, 7)).toPandas()
+    exp = planes[1:3, 2:5, 3:7]
+    assert len(w) == exp.size
+    got = np.zeros_like(exp)
+    got[w["z"] - 1, w["y"] - 2, w["x"] - 3] = w["value"].astype(np.uint16)
+    np.testing.assert_array_equal(got, exp)
