@@ -21,10 +21,18 @@ packages:
   then children). The SLxImageAttributes level carries uiWidth /
   uiHeight / uiComp / uiBpcInMemory / uiSequenceCount.
 
-Baseline scope (documented limitation): frames map to T and channels
-to the interleaved components; the SLxExperiment loop structure that
-factorizes a sequence into T x Z x positions is NOT parsed — wild
-multi-loop files read as a flat T series. Pixels: uint8/uint16."""
+Experiment loops: the ``ImageMetadataLV!`` chunk carries an
+``SLxExperiment`` tree whose nested levels describe the acquisition
+loop structure — each level has ``eType`` (public nd2-package
+LoopType values: 1 TimeLoop, 2 XYPosLoop, 4 ZStackLoop, 8
+NETimeLoop), ``uLoopPars`` (a level with ``uiCount``), and
+``ppNextLevelEx`` (a level holding the next inner loop). Frames
+unroll with the INNERMOST loop fastest, so a TimeLoop(3) over
+ZStackLoop(4) stores frame seq = t*4 + z — the common Z-stack x
+timelapse shape. ``read_nd2_experiment`` returns the outer-to-inner
+(eType, count) list; files without the chunk (or with loop types
+outside the TimeLoop/ZStackLoop subset) read as a flat T series, the
+documented fallback. Pixels: uint8/uint16."""
 
 from __future__ import annotations
 
@@ -36,6 +44,15 @@ import numpy as np
 CHUNK_MAGIC = 0x0ABECEDA
 SIG_NAME = b"ND2 FILE SIGNATURE CHUNK NAME01!"
 MAP_NAME = b"ND2 CHUNK MAP SIGNATURE 0000001!"
+
+#: SLxExperiment eType values (public nd2-package LoopType enum)
+LOOP_TIME = 1
+LOOP_XYPOS = 2
+LOOP_ZSTACK = 4
+LOOP_NETIME = 8
+_LOOP_NAME_TO_TYPE = {"TimeLoop": LOOP_TIME, "XYPosLoop": LOOP_XYPOS,
+                      "ZStackLoop": LOOP_ZSTACK,
+                      "NETimeLoop": LOOP_NETIME}
 
 
 def _chunk(name: bytes, data: bytes) -> bytes:
@@ -109,12 +126,31 @@ def decode_lv(data: bytes) -> dict:
 
 # -- container -------------------------------------------------------------
 
+def _encode_experiment(loops: Sequence[tuple]) -> dict:
+    """Outer-to-inner [(loop_name_or_etype, count), ...] ->
+    SLxExperiment LV tree (eType / uLoopPars.uiCount / ppNextLevelEx
+    nesting, mirroring the public nd2-package structure)."""
+    exp: Optional[dict] = None
+    for name, count in reversed(list(loops)):
+        etype = (_LOOP_NAME_TO_TYPE[name]
+                 if isinstance(name, str) else int(name))
+        level = {"eType": etype, "uLoopPars": {"uiCount": int(count)}}
+        if exp is not None:
+            level["ppNextLevelEx"] = {"i0000000000": exp}
+        exp = level
+    return {"SLxExperiment": exp or {}}
+
+
 def encode_nd2(frames: np.ndarray,
                n_components: int = 1,
                pixel_um: Optional[float] = None,
-               channel_names: Optional[Sequence[str]] = None) -> bytes:
+               channel_names: Optional[Sequence[str]] = None,
+               loops: Optional[Sequence[tuple]] = None) -> bytes:
     """frames: (T, Y, X) gray or (T, Y, X, C) component-interleaved,
-    uint8/uint16 -> ND2 bytes."""
+    uint8/uint16 -> ND2 bytes. `loops` (outer-to-inner
+    [("TimeLoop", t), ("ZStackLoop", z)] pairs) writes the
+    SLxExperiment chunk; their count product must equal the frame
+    count, and frames are assumed stored inner-loop-fastest."""
     a = np.ascontiguousarray(frames)
     if a.ndim == 3:
         a = a[..., None]
@@ -146,6 +182,17 @@ def encode_nd2(frames: np.ndarray,
         pos = len(out)
         out += _chunk(b"ImageTextInfoLV!", text)
         chunk_map.append((b"ImageTextInfoLV!", pos, len(text)))
+    if loops:
+        import math
+
+        if math.prod(int(c) for _, c in loops) != t_n:
+            raise ValueError(
+                f"loop counts {[c for _, c in loops]} do not factor "
+                f"the {t_n} frames")
+        meta = encode_lv(_encode_experiment(loops))
+        pos = len(out)
+        out += _chunk(b"ImageMetadataLV!", meta)
+        chunk_map.append((b"ImageMetadataLV!", pos, len(meta)))
     for t in range(t_n):
         name = f"ImageDataSeq|{t}!".encode("ascii")
         data = struct.pack("<d", float(t)) + a[t].tobytes()
@@ -204,6 +251,62 @@ def read_nd2_chunk(path: str, name: str, offset: int,
             raise ValueError(f"chunk at {offset} is {got!r}, "
                              f"expected {name!r}")
         return f.read(dlen)
+
+
+def read_nd2_experiment(path: str) -> list[tuple[int, int]]:
+    """SLxExperiment loop structure, outer-to-inner [(eType, count),
+    ...]; [] when the file has no ImageMetadataLV! chunk (flat T
+    series). A few KB of IO: chunk-map tail seek + one chunk read."""
+    cmap = read_nd2_chunkmap(path)
+    if "ImageMetadataLV!" not in cmap:
+        return []
+    lv = decode_lv(read_nd2_chunk(path, "ImageMetadataLV!",
+                                  *cmap["ImageMetadataLV!"]))
+    exp = lv.get("SLxExperiment")
+    out: list[tuple[int, int]] = []
+    while isinstance(exp, dict) and "eType" in exp:
+        pars = exp.get("uLoopPars", {})
+        count = pars.get("uiCount", 0) if isinstance(pars, dict) else 0
+        out.append((int(exp["eType"]), int(count)))
+        nxt = exp.get("ppNextLevelEx")
+        exp = (next(iter(nxt.values()), None)
+               if isinstance(nxt, dict) and nxt else None)
+    return out
+
+
+def factor_nd2_loops(loops: Sequence[tuple[int, int]],
+                     n_frames: int) -> Optional[tuple[int, int, bool]]:
+    """(size_t, size_z, z_inner) when `loops` is a TimeLoop/ZStackLoop
+    factorization of n_frames; None -> caller falls back to flat T.
+    `z_inner` says whether Z varies fastest across the frame sequence
+    (ZStackLoop is the inner loop — the common Z-stack-per-timepoint
+    acquisition)."""
+    if not loops:
+        return None
+    t_n = z_n = 1
+    kinds = []
+    for etype, count in loops:
+        if count < 1:
+            return None
+        if etype in (LOOP_TIME, LOOP_NETIME):
+            t_n *= count
+            kinds.append("t")
+        elif etype == LOOP_ZSTACK:
+            z_n *= count
+            kinds.append("z")
+        else:                      # XYPos / custom loops: not factored
+            return None
+    if t_n * z_n != n_frames:
+        return None
+    # the (t, z) split assumes each kind forms ONE contiguous run in
+    # the nesting (t..t,z..z or z..z,t..t); interleavings like t,z,t
+    # don't unroll to a plain product and fall back
+    runs = [k for i, k in enumerate(kinds)
+            if i == 0 or kinds[i - 1] != k]
+    if len(runs) > 2:
+        return None
+    z_inner = kinds[-1] == "z" if "z" in kinds else False
+    return t_n, z_n, z_inner
 
 
 def read_nd2_attributes(path: str) -> dict:

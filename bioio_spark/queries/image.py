@@ -2130,3 +2130,55 @@ def img_czi_zstd_roundtrip(spark, sf_dir):
                  F.sum("value").alias("sum_val"),
                  F.max("value").alias("max_val"))
             .orderBy("y"))
+
+
+@register(
+    "img_nd2_loops",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {4 * 4 * 5} AS INTEGER) AS t,
+             CAST((i // {4 * 5}) % 4 AS INTEGER) AS z,
+             CAST((i // 5) % 4 AS INTEGER) AS y,
+             CAST(i % 5 AS INTEGER) AS x,
+             CAST((i // {4 * 4 * 5}) * 10000
+                  + ((i // {4 * 5}) % 4) * 100
+                  + ((i // 5) % 4) * 10 + (i % 5) AS DOUBLE) AS value
+      FROM range({3 * 4 * 4 * 5}) r(i))
+    SELECT t, z, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY t, z ORDER BY t, z
+    """,
+    doc="ND2 SLxExperiment loops: TimeLoop(3) x ZStackLoop(4) frames "
+        "factorize to a (T,Z) stack instead of flat T",
+)
+def img_nd2_loops(spark, sf_dir):
+    """Multi-loop ND2 (the common Z-stack x timelapse acquisition):
+    the ImageMetadataLV! SLxExperiment chunk maps frame seq = t*4 + z;
+    the hash pins the (T, Z) assignment per pixel. Ref README.md:63
+    (bioio-nd2); loop eType values per the public nd2 package."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.nd2 import encode_nd2
+
+    idx = np.indices((3, 4, 4, 5))         # t z y x
+    frames = (idx[0] * 10000 + idx[1] * 100 + idx[2] * 10
+              + idx[3]).astype(np.uint16).reshape(12, 4, 5)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "nd2_loops")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    path = os.path.join(out, "tz.nd2")
+    with open(path, "wb") as f:
+        f.write(encode_nd2(
+            frames, loops=[("TimeLoop", 3), ("ZStackLoop", 4)]))
+    img = BioImage(path, spark=spark)
+    return (img.get_image_dataframe()
+            .groupBy("t", "z")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("t", "z"))

@@ -11,8 +11,11 @@ README.md:63), over the in-repo pure-Python chunk-map codec
   = frame count, zero shuffle, one ranged GET per frame at
   object-store scale.
 
-Baseline limitation (documented in formats/nd2.py): the SLxExperiment
-loop structure is not parsed, so frames always map to T (Z = 1)."""
+The SLxExperiment loop structure (ImageMetadataLV!) factorizes the
+frame sequence into (T, Z) when the loops are TimeLoop/NETimeLoop x
+ZStackLoop — the common Z-stack-per-timepoint acquisition; position
+or custom loops (and files without the chunk) fall back to the flat
+T series, documented in formats/nd2.py."""
 
 from __future__ import annotations
 
@@ -57,9 +60,11 @@ class Nd2ImageReader:
 
     def to_dataset(self, spark: SparkSession):
         from bioio_spark.formats.nd2 import (decode_lv,
+                                             factor_nd2_loops,
                                              read_nd2_attributes,
                                              read_nd2_chunk,
-                                             read_nd2_chunkmap)
+                                             read_nd2_chunkmap,
+                                             read_nd2_experiment)
         from bioio_spark.ome_utils import resolve_channel_names
         from bioio_spark.sources.array_like import (PIXEL_COLUMNS,
                                                     ImageDataset)
@@ -68,10 +73,18 @@ class Nd2ImageReader:
         path = os.path.abspath(self._path)
         attrs = read_nd2_attributes(path)
         cmap = read_nd2_chunkmap(path)
-        t_n = attrs["uiSequenceCount"]
+        seq_n = attrs["uiSequenceCount"]
         c_n = attrs["uiComp"]
         y_n, x_n = attrs["uiHeight"], attrs["uiWidth"]
         dtype = "uint8" if attrs["uiBpcInMemory"] == 8 else "uint16"
+
+        # SLxExperiment factorization: TimeLoop x ZStackLoop -> (T, Z);
+        # anything else keeps the flat-T fallback
+        factored = factor_nd2_loops(read_nd2_experiment(path), seq_n)
+        if factored is not None:
+            t_n, z_n, z_inner = factored
+        else:
+            t_n, z_n, z_inner = seq_n, 1, True
 
         names = self._channel_names
         if names is None and "ImageTextInfoLV!" in cmap:
@@ -96,7 +109,7 @@ class Nd2ImageReader:
         scene_rows = [{
             "image_id": self._image_id, "scene": scene,
             "scene_idx": 0, "dim_order": "TCZYX",
-            "size_t": t_n, "size_c": c_n, "size_z": 1,
+            "size_t": t_n, "size_c": c_n, "size_z": z_n,
             "size_y": y_n, "size_x": x_n,
             "size_m": None, "size_s": None,
             "dtype": dtype, "ome_pixel_type": dtype,
@@ -106,13 +119,18 @@ class Nd2ImageReader:
             "time_interval": None, "metadata": None,
         }]
         plan = []
-        for t in range(t_n):
-            name = f"ImageDataSeq|{t}!"
+        for seq in range(seq_n):
+            name = f"ImageDataSeq|{seq}!"
             if name not in cmap:
                 raise KeyError(f"{path}: missing frame chunk {name}")
             off, size = cmap[name]
-            plan.append({"path": path, "t": t, "offset": off,
-                         "size": size})
+            # inner loop varies fastest across the stored sequence
+            if z_inner:
+                t, z = divmod(seq, z_n)
+            else:
+                z, t = divmod(seq, t_n)
+            plan.append({"path": path, "seq": seq, "t": t, "z": z,
+                         "offset": off, "size": size})
         n_comp, height, width, dt_name = c_n, y_n, x_n, dtype
 
         def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -121,7 +139,7 @@ class Nd2ImageReader:
             for pdf in it:
                 for r in pdf.itertuples():
                     data = read_nd2_chunk(
-                        r.path, f"ImageDataSeq|{r.t}!",
+                        r.path, f"ImageDataSeq|{r.seq}!",
                         int(r.offset), int(r.size))
                     dt = np.dtype("u1" if dt_name == "uint8"
                                   else "<u2")
@@ -136,6 +154,7 @@ class Nd2ImageReader:
                         yield pd.DataFrame({
                             "t": np.full(plane.size, r.t, np.int32),
                             "c": np.full(plane.size, c, np.int32),
+                            "z": np.full(plane.size, r.z, np.int32),
                             "y": np.repeat(np.arange(
                                 height, dtype=np.int32), width),
                             "x": np.tile(np.arange(
@@ -147,12 +166,12 @@ class Nd2ImageReader:
             min(len(plan), spark.sparkContext.defaultParallelism))
         px = (plan_df.mapInPandas(
                   batches,
-                  schema="t int, c int, y int, x int, value double")
+                  schema="t int, c int, z int, y int, x int, "
+                         "value double")
               .select(
                   F.lit(self._image_id).alias("image_id"),
                   F.lit(scene).alias("scene"),
-                  F.lit(0).alias("res_level"), "t", "c",
-                  F.lit(0).alias("z"), "y", "x",
+                  F.lit(0).alias("res_level"), "t", "c", "z", "y", "x",
                   F.lit(-1).alias("m"), F.lit(-1).alias("s"), "value")
               .select(*PIXEL_COLUMNS))
 

@@ -85,3 +85,99 @@ def test_bioimage_nd2_roundtrip(spark, tmp_path):
     assert img.physical_pixel_sizes.X == pytest.approx(0.16)
     got = img.get_image_data("TCYX").astype(np.uint16)
     np.testing.assert_array_equal(got, fc.transpose(0, 3, 1, 2))
+
+
+# -- SLxExperiment loop factorization --------------------------------------
+
+def test_experiment_chunk_roundtrip(tmp_path):
+    from bioio_spark.formats.nd2 import (encode_nd2, factor_nd2_loops,
+                                         read_nd2_experiment)
+
+    frames = np.zeros((12, 2, 3), np.uint16)
+    p = tmp_path / "loops.nd2"
+    p.write_bytes(encode_nd2(
+        frames, loops=[("TimeLoop", 3), ("ZStackLoop", 4)]))
+    loops = read_nd2_experiment(str(p))
+    assert loops == [(1, 3), (4, 4)]
+    assert factor_nd2_loops(loops, 12) == (3, 4, True)
+    # no chunk -> []
+    p2 = tmp_path / "flat.nd2"
+    p2.write_bytes(encode_nd2(frames))
+    assert read_nd2_experiment(str(p2)) == []
+
+
+def test_factor_nd2_loops_edge_cases():
+    from bioio_spark.formats.nd2 import factor_nd2_loops
+
+    assert factor_nd2_loops([], 5) is None
+    # Z outer, T inner
+    assert factor_nd2_loops([(4, 2), (1, 3)], 6) == (3, 2, False)
+    # NETimeLoop counts as T
+    assert factor_nd2_loops([(8, 2), (4, 3)], 6) == (2, 3, True)
+    # XYPos loop -> fallback
+    assert factor_nd2_loops([(2, 4), (1, 3)], 12) is None
+    # count mismatch -> fallback
+    assert factor_nd2_loops([(1, 3), (4, 4)], 11) is None
+    # interleaved t,z,t nesting -> fallback
+    assert factor_nd2_loops([(1, 2), (4, 2), (1, 2)], 8) is None
+    # single loops
+    assert factor_nd2_loops([(1, 7)], 7) == (7, 1, False)
+    assert factor_nd2_loops([(4, 7)], 7) == (1, 7, True)
+
+
+def test_encode_loop_count_mismatch(tmp_path):
+    from bioio_spark.formats.nd2 import encode_nd2
+
+    with pytest.raises(ValueError, match="loop counts"):
+        encode_nd2(np.zeros((5, 2, 2), np.uint8),
+                   loops=[("TimeLoop", 2), ("ZStackLoop", 2)])
+
+
+def test_bioimage_nd2_tz_factorization(spark, tmp_path):
+    """TimeLoop(2) x ZStackLoop(3): frames stored z-fastest read back
+    as a (T=2, Z=3) stack, not a flat T=6 series."""
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.nd2 import encode_nd2
+
+    idx = np.indices((2, 3, 4, 5))       # t z y x
+    vol = (idx[0] * 1000 + idx[1] * 100 + idx[2] * 10
+           + idx[3]).astype(np.uint16)
+    frames = vol.reshape(6, 4, 5)        # seq = t*3 + z
+    p = tmp_path / "tz.nd2"
+    p.write_bytes(encode_nd2(
+        frames, loops=[("TimeLoop", 2), ("ZStackLoop", 3)]))
+    img = BioImage(str(p), spark=spark)
+    assert (img.dims.T, img.dims.Z) == (2, 3)
+    got = img.get_image_data("TZYX")[:, :, :, :].astype(np.uint16)
+    np.testing.assert_array_equal(got, vol)
+
+
+def test_bioimage_nd2_z_outer(spark, tmp_path):
+    """ZStackLoop(3) OVER TimeLoop(2): t varies fastest in storage."""
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.nd2 import encode_nd2
+
+    idx = np.indices((3, 2, 2, 2))       # z t y x storage order
+    vol = (idx[0] * 100 + idx[1] * 1000 + idx[2] * 10
+           + idx[3]).astype(np.uint16)
+    frames = vol.reshape(6, 2, 2)        # seq = z*2 + t
+    p = tmp_path / "zt.nd2"
+    p.write_bytes(encode_nd2(
+        frames, loops=[("ZStackLoop", 3), ("TimeLoop", 2)]))
+    img = BioImage(str(p), spark=spark)
+    assert (img.dims.T, img.dims.Z) == (2, 3)
+    got = img.get_image_data("ZTYX").astype(np.uint16)
+    np.testing.assert_array_equal(got, vol)
+
+
+def test_bioimage_nd2_pos_loop_flat_fallback(spark, tmp_path):
+    """An XYPosLoop keeps the documented flat-T fallback."""
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.nd2 import encode_nd2
+
+    frames = np.arange(4 * 2 * 3, dtype=np.uint16).reshape(4, 2, 3)
+    p = tmp_path / "pos.nd2"
+    p.write_bytes(encode_nd2(
+        frames, loops=[("XYPosLoop", 2), ("TimeLoop", 2)]))
+    img = BioImage(str(p), spark=spark)
+    assert (img.dims.T, img.dims.Z) == (4, 1)
