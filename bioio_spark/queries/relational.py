@@ -769,6 +769,56 @@ def a12_stats_agg(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# A12b: the 100 TB percentile — percentile_approx is Spark's mergeable
+# KLL-style quantile sketch: bounded memory per group, partial+final
+# combine, no full-value buffering (the scale twin of a12's exact
+# F.percentile, per SCALING.md). The sketch value itself is not bit-stable
+# across engines, so the oracle-checkable output is an INTEGER GATE (the
+# l3d recall-gauge pattern): re-rank the approx result against the actual
+# data and assert its rank fraction sits within ±0.01 of the target
+# quantile — far looser than the sketch's 1/accuracy = 1e-4 rank-error
+# bound, so the gate is deterministic, yet tight enough that a broken
+# sketch or a wrong quantile mapping fails it. DuckDB's side reduces to
+# literal 1s per group.
+# --------------------------------------------------------------------------
+@register(
+    "a12b_approx_percentile",
+    oracle="""
+    SELECT l_returnflag, CAST(1 AS BIGINT) AS p50_ok,
+           CAST(1 AS BIGINT) AS p95_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="A12b mergeable approx-percentile sketch + exact rank gate",
+)
+def a12b_approx_percentile(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    approx = (
+        li.groupBy("l_returnflag")
+        .agg(F.percentile_approx(
+            "l_extendedprice",
+            F.array(F.lit(0.5), F.lit(0.95)), 10000).alias("ap")))
+    # rank the sketch outputs against the data: tiny per-group frame
+    # broadcast back, one partial-combining re-aggregation
+    joined = li.join(F.broadcast(approx), "l_returnflag")
+    gates = (
+        joined.groupBy("l_returnflag")
+        .agg(
+            (F.sum((F.col("l_extendedprice") <= F.col("ap")[0])
+                   .cast("long")) / F.count(F.lit(1))).alias("fr50"),
+            (F.sum((F.col("l_extendedprice") <= F.col("ap")[1])
+                   .cast("long")) / F.count(F.lit(1))).alias("fr95")))
+    return (
+        gates.select(
+            "l_returnflag",
+            (F.abs(F.col("fr50") - 0.5) <= 0.01)
+            .cast("bigint").alias("p50_ok"),
+            (F.abs(F.col("fr95") - 0.95) <= 0.01)
+            .cast("bigint").alias("p95_ok"))
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
 # A13: pivot — wide conditional aggregation. With an explicit value list
 # Spark skips the extra distinct-values job and plans ONE hash aggregate
 # with 3 conditional sums (identical shuffle profile to a plain groupBy);

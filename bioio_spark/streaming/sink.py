@@ -25,8 +25,6 @@ one partial-combining max_by aggregate on the key.
 
 from __future__ import annotations
 
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -34,13 +32,17 @@ from pyspark.sql import functions as F
 def idempotent_batch_sink(stream_df: DataFrame, target_dir: str,
                           checkpoint_dir: str, query_name: str):
     """Start a foreachBatch writer where each batch overwrites its own
-    batch_id partition — replays are no-ops. Returns the StreamingQuery."""
+    batch_id partition — replays are no-ops. Returns the StreamingQuery.
+
+    The clobber is mode("overwrite") on the batch's own directory —
+    Spark's committer handles the replace through the Hadoop FileSystem
+    API, so the sink works identically on an object store (the 100 TB
+    deployment target has no driver-local path to rmtree)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # overwrite-by-directory: a replayed batch_id clobbers its own
         # previous (possibly partial) output and nothing else
         out = f"{target_dir}/batch_id={batch_id}"
-        shutil.rmtree(out, ignore_errors=True)
         batch_df.write.mode("overwrite").parquet(out)
 
     return (stream_df.writeStream
@@ -67,7 +69,6 @@ def upsert_batch_sink(stream_df: DataFrame, key_cols: list[str],
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = f"{target_dir}/batch_id={batch_id}"
-        shutil.rmtree(out, ignore_errors=True)
         batch_df.write.mode("overwrite").parquet(out)
 
     return (stream_df.writeStream

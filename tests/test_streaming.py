@@ -143,9 +143,9 @@ class TestForeachBatchSinks:
 
     def test_replayed_batch_is_noop(self, spark, sf_dir, tmp_path):
         """Simulate at-least-once delivery: running the same batch_id
-        twice must leave the target byte-identical (no duplicates)."""
-        import shutil as _sh
-
+        twice must leave the target byte-identical (no duplicates) —
+        mode('overwrite') alone does the clobber (object-store-safe,
+        no driver-side local-fs deletes)."""
         from bioio_spark.queries.base import load
         from bioio_spark.streaming import read_batches
 
@@ -155,7 +155,6 @@ class TestForeachBatchSinks:
 
         def write_batch(batch_df, batch_id):
             out = f"{target}/batch_id={batch_id}"
-            _sh.rmtree(out, ignore_errors=True)
             batch_df.write.mode("overwrite").parquet(out)
 
         write_batch(events, 0)
@@ -163,6 +162,43 @@ class TestForeachBatchSinks:
         write_batch(events, 0)  # replay
         n2 = read_batches(spark, target).count()
         assert n1 == n2 == events.count()
+
+    def test_sink_never_touches_local_fs_target(self, spark, sf_dir,
+                                                stream_dir, tmp_path,
+                                                monkeypatch):
+        """Object-store safety: the sink must go through Spark's
+        FileSystem-API write path only — any driver-side Python
+        local-fs mutation of the target (shutil.rmtree / os.remove /
+        os.rmdir, which don't exist for s3://) fails this test."""
+        import os as _os
+        import shutil as _sh
+
+        from bioio_spark.streaming import (idempotent_batch_sink,
+                                           read_batches,
+                                           read_event_stream)
+
+        target = str(tmp_path / "out")
+        touched = []
+
+        def _guard(orig):
+            def inner(path, *a, **k):
+                if str(path).startswith(target):
+                    touched.append(str(path))
+                return orig(path, *a, **k)
+            return inner
+
+        monkeypatch.setattr(_sh, "rmtree", _guard(_sh.rmtree))
+        monkeypatch.setattr(_os, "remove", _guard(_os.remove))
+        monkeypatch.setattr(_os, "rmdir", _guard(_os.rmdir))
+        monkeypatch.setattr(_os, "unlink", _guard(_os.unlink))
+
+        stream = read_event_stream(spark, stream_dir)
+        proj = stream.select("event_id", "event_type")
+        q = idempotent_batch_sink(
+            proj, target, str(tmp_path / "ckpt"), "t_sink_objsafe")
+        q.awaitTermination(120)
+        assert read_batches(spark, target).count() > 0
+        assert touched == []
 
     def test_upsert_sink_latest_wins(self, spark, tmp_path):
         from bioio_spark.streaming import read_upserted
