@@ -36,6 +36,41 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
     return deco
 
 
+#: DuckDB output types whose stringification differs from the Spark
+#: column they pair with under the driver's value canonicalization —
+#: the round-4 red class (uncast integer sum() -> HUGEINT renders
+#: 1085.0 against Spark's 1085 and fails the hash).
+_UNSTABLE_ORACLE_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def lint_oracle_output_types(sf_dir: str,
+                             registry: Optional[dict] = None) -> dict:
+    """Registry-wide oracle dtype lint: DESCRIBE every registered
+    oracle SQL in DuckDB (type inference only — no data scan) and
+    return {query_name: [(column, bad_type), ...]} for any output
+    column of a driver-hash-unstable type. Empty dict = clean. Every
+    such column needs an explicit CAST (e.g. CAST(sum(x) AS BIGINT))
+    to match Spark's type; tests/test_oracle_lint.py gates this at 0
+    violations so a new query can't reintroduce the class."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    bad: dict = {}
+    for name, spec in (registry or REGISTRY).items():
+        if not spec.oracle:
+            continue
+        desc = con.execute(f"DESCRIBE {spec.oracle}").fetchall()
+        hits = [(col, typ) for col, typ, *_ in desc
+                if typ.upper().split("(")[0] in _UNSTABLE_ORACLE_TYPES]
+        if hits:
+            bad[name] = hits
+    con.close()
+    return bad
+
+
 def load(spark: SparkSession, sf_dir: str, *names: str):
     """Load parquet tables with engine conf applied. Returns one DataFrame
     or a tuple in the order requested.
