@@ -2182,3 +2182,113 @@ def img_nd2_loops(spark, sf_dir):
                  F.sum("value").alias("sum_val"),
                  F.max("value").alias("max_val"))
             .orderBy("t", "z"))
+
+
+# --------------------------------------------------------------------------
+# Vendor-tier decode THROUGHPUT row: the planned CZI read is pinned
+# zero-shuffle (tests/test_plans.py), but plan shape isn't speed — this
+# generates a 16-subblock, 12.3M-pixel zstd1-compressed CZI (the
+# realistic compressed Zeiss shape) and times the full distributed
+# decode: directory walk -> 16 parallel seek+decompress tasks ->
+# long-form pixels -> aggregate. The fixture is deterministic and cached
+# on disk across bench passes (min-of-3 reruns skip regeneration).
+# --------------------------------------------------------------------------
+_CZL_Z, _CZL_C, _CZL_H, _CZL_W = 8, 2, 1000, 768
+_CZL_N = _CZL_Z * _CZL_C * _CZL_H * _CZL_W
+
+
+def _czi_large_fixture() -> str:
+    """Deterministic 16-subblock zstd1 CZI, cached on disk (reruns in
+    the min-of-3 bench loop skip regeneration)."""
+    import os
+
+    import numpy as np
+
+    from bioio_spark.formats.czi import encode_czi
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "czi_large")
+    path = os.path.join(out, "large.czi")
+    if not os.path.exists(path):
+        os.makedirs(out, exist_ok=True)
+        subs = []
+        for z in range(_CZL_Z):
+            for c in range(_CZL_C):
+                base = ((z * _CZL_C + c) * _CZL_H * _CZL_W)
+                i = base + np.arange(_CZL_H * _CZL_W, dtype=np.int64)
+                plane = ((i * 37) % 9973).astype(np.uint16).reshape(
+                    _CZL_H, _CZL_W)
+                subs.append({"data": plane,
+                             "dims": {"S": 0, "T": 0, "C": c, "Z": z}})
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(encode_czi(subs, compression=6))
+        os.replace(tmp, path)
+    return path
+
+
+@register(
+    "img_czi_large",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {_CZL_C * _CZL_H * _CZL_W} AS INTEGER) AS z,
+             CAST((i // {_CZL_H * _CZL_W}) % {_CZL_C} AS INTEGER) AS c,
+             CAST((i * 37) % 9973 AS DOUBLE) AS value
+      FROM range({_CZL_N}) r(i))
+    SELECT c, z, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY c, z ORDER BY c, z
+    """,
+    doc="CZI decode throughput: 12.3M-pixel zstd1 file, 16 parallel "
+        "subblock decode tasks, per-(c,z) checksum",
+)
+def img_czi_large(spark, sf_dir):
+    """Decode-throughput gauge for the vendor tier (MB/s tracked in
+    SCALING.md). Ref README.md:59 (bioio-czi)."""
+    from bioio_spark.bio_image import BioImage
+
+    img = BioImage(_czi_large_fixture(), spark=spark)
+    return (img.get_image_dataframe()
+            .groupBy("c", "z")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("c", "z"))
+
+
+@register(
+    "img_czi_large_planes",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {_CZL_C * _CZL_H * _CZL_W} AS INTEGER) AS z,
+             CAST((i // {_CZL_H * _CZL_W}) % {_CZL_C} AS INTEGER) AS c,
+             CAST((i * 37) % 9973 AS DOUBLE) AS value
+      FROM range({_CZL_N}) r(i))
+    SELECT c, z, CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY c, z ORDER BY c, z
+    """,
+    doc="CZI decode throughput, PLANES layout: same 12.3M-pixel zstd1 "
+        "file decoded subblock->payload rows (no per-pixel "
+        "amplification), reduced JVM-side",
+)
+def img_czi_large_planes(spark, sf_dir):
+    """The scale-path twin of img_czi_large: read_czi_planes emits one
+    row per subblock with the dense payload; per-row higher-order
+    reduction + a 16-row groupBy replace 12.3M long-form rows. Same
+    oracle — hash-equality proves the two decode paths agree."""
+    from bioio_spark.sources.czi_image import read_czi_planes
+
+    planes = read_czi_planes(spark, _czi_large_fixture())
+    per_row = planes.select(
+        "c", "z",
+        F.size("values").alias("n"),
+        F.aggregate("values", F.lit(0.0),
+                    lambda acc, x: acc + x).alias("s"),
+        F.array_max("values").alias("mx"))
+    return (per_row.groupBy("c", "z")
+            .agg(F.sum("n").cast("bigint").alias("n_px"),
+                 F.sum("s").alias("sum_val"),
+                 F.max("mx").alias("max_val"))
+            .orderBy("c", "z"))

@@ -27,7 +27,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -155,6 +155,73 @@ def read_czi_window(spark: SparkSession, path: str,
     px = plan_df.mapInPandas(batches, schema=schema)
     return px.filter((F.col("y") >= y0) & (F.col("y") < y1)
                      & (F.col("x") >= x0) & (F.col("x") < x1))
+
+
+def read_czi_planes(spark: SparkSession, path: str,
+                    scene: int = 0) -> DataFrame:
+    """ZERO-SHUFFLE subblock -> planes-layout read (the CZI twin of
+    read_zarr_planes): one row per level-0 subblock carrying
+    (t, c, z, m, y0, x0, h, w) and the dense row-major ``values``
+    payload — no per-pixel row amplification, so decode throughput is
+    bounded by the codec, not by long-form materialization. Compose
+    with operators/planes.py (window slice, project, downsample) or
+    reduce payloads JVM-side with higher-order functions."""
+    from bioio_spark.formats.czi import read_czi_directory
+
+    path = os.path.abspath(path)
+    entries = [e for e in read_czi_directory(path)
+               if _start(e["dims"], "S") == scene]
+    entries = [e for e in entries
+               if e["dims"]["Y"]["stored"] in
+               (0, e["dims"]["Y"]["size"]) and not e.get("pyramid")]
+    if not entries:
+        raise IndexError(f"{path}: no level-0 subblocks for scene "
+                         f"{scene}")
+    y_min = min(_start(e["dims"], "Y") for e in entries)
+    x_min = min(_start(e["dims"], "X") for e in entries)
+    plan = []
+    for e in entries:
+        d = e["dims"]
+        plan.append({"path": path, "t": _start(d, "T"),
+                     "c": _start(d, "C"), "z": _start(d, "Z"),
+                     "m": _start(d, "M") if "M" in d else -1,
+                     "file_position": e["file_position"],
+                     "pixel_type": e["pixel_type"],
+                     "compression": e["compression"],
+                     "y0": _start(d, "Y") - y_min,
+                     "x0": _start(d, "X") - x_min,
+                     "h": d["Y"]["stored"] or d["Y"]["size"],
+                     "w": d["X"]["stored"] or d["X"]["size"]})
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from bioio_spark.formats.czi import read_czi_subblock
+
+        for pdf in it:
+            for r in pdf.itertuples():
+                entry = {"file_position": int(r.file_position),
+                         "pixel_type": int(r.pixel_type),
+                         "compression": int(r.compression),
+                         "dims": {"Y": {"stored": int(r.h),
+                                        "size": int(r.h)},
+                                  "X": {"stored": int(r.w),
+                                        "size": int(r.w)}}}
+                plane = read_czi_subblock(r.path, entry)
+                if plane.ndim == 3:
+                    plane = plane[:, :, 0]   # planes path is gray-only
+                yield pd.DataFrame({
+                    "t": [int(r.t)], "c": [int(r.c)], "z": [int(r.z)],
+                    "m": [int(r.m)], "y0": [int(r.y0)],
+                    "x0": [int(r.x0)], "h": [int(r.h)],
+                    "w": [int(r.w)],
+                    "values": [plane.ravel().astype(np.float64)],
+                })
+
+    plan_df = spark.createDataFrame(pd.DataFrame(plan)).repartition(
+        min(len(plan), spark.sparkContext.defaultParallelism))
+    return plan_df.mapInPandas(
+        batches,
+        schema="t int, c int, z int, m int, y0 int, x0 int, h int, "
+               "w int, values array<double>")
 
 
 class CziImageReader:

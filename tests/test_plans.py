@@ -353,3 +353,23 @@ def test_planned_read_sources_no_shuffle(spark, tmp_path):
         plan = physical_plan(df)
         hash_exchanges = plan.count("Exchange hashpartitioning")
         assert hash_exchanges == 0, f"{name}: pixel-side shuffle\n{plan}"
+
+
+def test_czi_planes_read_no_shuffle(spark, tmp_path):
+    """read_czi_planes (subblock -> payload rows) must plan with zero
+    hash exchanges — decode parallelism comes from the plan-row
+    round-robin, the payload never shuffles."""
+    import numpy as np
+
+    from bioio_spark.formats.czi import encode_czi
+    from bioio_spark.sources.czi_image import read_czi_planes
+
+    p = tmp_path / "pl.czi"
+    p.write_bytes(encode_czi(
+        [{"data": np.zeros((4, 5), np.uint16), "dims": {"Z": z}}
+         for z in range(4)], compression=6))
+    df = read_czi_planes(spark, str(p))
+    plan = physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    pdf = df.toPandas()
+    assert len(pdf) == 4 and all(len(v) == 20 for v in pdf["values"])
