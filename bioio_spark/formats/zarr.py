@@ -6,8 +6,10 @@ implements the public Zarr v2 storage spec (zarr-specs v2: `.zarray` /
 `.zgroup` JSON documents, C-order chunks, same-stored-shape edge chunks
 padded with fill_value, `dimension_separator` "." or "/") and the OME-NGFF
 0.4 `multiscales` / `omero` attribute layout — from the published specs
-only, with zlib as the compressor (blosc is not in this container; zlib is
-a registered numcodecs id).
+only. Compressors: zlib (a registered numcodecs id; the v3 `gzip`
+codec) and zstd (numcodecs `zstd` raw frames / the v3 `zstd` codec —
+what zarr-python 3 writes by default — via pyarrow's bundled zstd, no
+standalone dependency; blosc is not in this container).
 
 Zarr is the scale-native format of the pair: a TCZYX array is a CHUNK GRID,
 so read/write parallelism is the number of chunks, not the number of files
@@ -25,15 +27,34 @@ import numpy as np
 
 # -- chunk codec -----------------------------------------------------------
 
+def _zstd_compress(raw: bytes, level: int = 1) -> bytes:
+    import pyarrow as pa
+    return pa.Codec("zstd", compression_level=level).compress(
+        raw, asbytes=True)
+
+
+def _zstd_decompress(data: bytes, expected: int) -> bytes:
+    import pyarrow as pa
+    return pa.Codec("zstd").decompress(
+        data, decompressed_size=expected, asbytes=True)
+
+
+def _expected_nbytes(dtype, chunk_shape: Sequence[int]) -> int:
+    return int(np.prod(tuple(chunk_shape))) * np.dtype(dtype).itemsize
+
+
 def encode_chunk(block: np.ndarray, compressor: Optional[str] = "zlib",
                  level: int = 1) -> bytes:
-    """C-order raw bytes of one FULL-SHAPE chunk, optionally zlib-deflated.
+    """C-order raw bytes of one FULL-SHAPE chunk, optionally compressed
+    (zlib deflate or a numcodecs-style raw zstd frame).
 
     Zarr v2 stores every chunk with the same shape; callers pad edge
     chunks with fill_value before encoding."""
     raw = np.ascontiguousarray(block).tobytes()
     if compressor == "zlib":
         return zlib.compress(raw, level)
+    if compressor == "zstd":
+        return _zstd_compress(raw, level)
     if compressor is None:
         return raw
     raise ValueError(f"unsupported compressor {compressor!r}")
@@ -44,6 +65,8 @@ def decode_chunk(data: bytes, dtype: str | np.dtype,
                  compressor: Optional[str] = "zlib") -> np.ndarray:
     if compressor == "zlib":
         data = zlib.decompress(data)
+    elif compressor == "zstd":
+        data = _zstd_decompress(data, _expected_nbytes(dtype, chunk_shape))
     elif compressor is not None:
         raise ValueError(f"unsupported compressor {compressor!r}")
     return np.frombuffer(data, dtype=np.dtype(dtype)).reshape(
@@ -57,7 +80,8 @@ def build_zarray(shape: Sequence[int], chunks: Sequence[int],
                  compressor: Optional[str] = "zlib",
                  fill_value=0,
                  dimension_separator: str = ".") -> str:
-    comp = ({"id": "zlib", "level": 1} if compressor == "zlib" else None)
+    comp = ({"id": compressor, "level": 1}
+            if compressor in ("zlib", "zstd") else None)
     return json.dumps({
         "zarr_format": 2,
         "shape": list(int(s) for s in shape),
@@ -82,8 +106,8 @@ def parse_zarray(doc: str) -> dict:
     comp = z.get("compressor")
     if comp is None:
         comp_id = None
-    elif isinstance(comp, dict) and comp.get("id") == "zlib":
-        comp_id = "zlib"
+    elif isinstance(comp, dict) and comp.get("id") in ("zlib", "zstd"):
+        comp_id = comp["id"]
     else:
         raise ValueError(f"unsupported compressor {comp!r}")
     return {
@@ -146,6 +170,8 @@ def parse_zarr3_array(doc: str) -> dict:
         pass
     elif names == ["bytes", "gzip"]:
         compressor = "zlib"     # gzip member decodes via zlib (wbits auto)
+    elif names == ["bytes", "zstd"]:
+        compressor = "zstd"     # raw zstd frames (zarr-python 3 default)
     else:
         raise ValueError(f"unsupported zarr v3 codec chain {names}")
     for c in codecs:
@@ -167,16 +193,21 @@ def parse_zarr3_array(doc: str) -> dict:
         "fill_value": z.get("fill_value", 0),
         "dimension_separator": sep,
         "key_prefix": "c",      # v3 "default" encoding chunk prefix
-        "gzip_member": compressor == "zlib",
+        # "use the v3 decoder" flag: gzip members for zlib, raw zstd
+        # frames for zstd — either way the v2 raw-zlib path is wrong
+        "gzip_member": compressor is not None,
         "shard": shard,
     }
 
 
 def decode_chunk_v3(data: bytes, dtype, chunk_shape,
                     compressor: Optional[str]) -> np.ndarray:
-    """v3 twin of decode_chunk: gzip member instead of raw zlib stream."""
+    """v3 twin of decode_chunk: gzip member instead of raw zlib stream;
+    zstd frames decode identically in both versions."""
     if compressor == "zlib":
         data = zlib.decompress(data, wbits=zlib.MAX_WBITS | 32)  # gzip/zlib
+    elif compressor == "zstd":
+        data = _zstd_decompress(data, _expected_nbytes(dtype, chunk_shape))
     elif compressor is not None:
         raise ValueError(f"unsupported compressor {compressor!r}")
     return np.frombuffer(data, dtype=np.dtype(dtype)).reshape(
@@ -428,6 +459,10 @@ def build_zarr3_array(shape: Sequence[int], chunks: Sequence[int],
                      "configuration": {"endian": "little"}}]
     if compressor == "zlib":
         codecs.append({"name": "gzip", "configuration": {"level": 1}})
+    elif compressor == "zstd":
+        codecs.append({"name": "zstd",
+                       "configuration": {"level": 1,
+                                         "checksum": False}})
     elif compressor is not None:
         raise ValueError(f"unsupported compressor {compressor!r}")
     if shard_shape is not None:
@@ -466,6 +501,8 @@ def encode_chunk_v3(block: np.ndarray,
     raw = np.ascontiguousarray(block.astype(le, copy=False)).tobytes()
     if compressor == "zlib":
         return _gzip.compress(raw, level)
+    if compressor == "zstd":
+        return _zstd_compress(raw, level)
     if compressor is None:
         return raw
     raise ValueError(f"unsupported compressor {compressor!r}")

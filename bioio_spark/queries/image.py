@@ -2292,3 +2292,57 @@ def img_czi_large_planes(spark, sf_dir):
                  F.sum("s").alias("sum_val"),
                  F.max("mx").alias("max_val"))
             .orderBy("c", "z"))
+
+
+@register(
+    "img_ome_zarr_roundtrip_zstd",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {2 * 3 * 5 * 6} AS INTEGER) AS t,
+             CAST((i // {3 * 5 * 6}) % 2 AS INTEGER) AS c,
+             CAST((i // {5 * 6}) % 3 AS INTEGER) AS z,
+             CAST((i // 6) % 5 AS INTEGER) AS y,
+             CAST(i % 6 AS INTEGER) AS x,
+             CAST((i // {2 * 3 * 5 * 6}) * 100000
+                  + ((i // {3 * 5 * 6}) % 2) * 10000
+                  + ((i // {5 * 6}) % 3) * 1000
+                  + ((i // 6) % 5) * 10 + (i % 6) AS DOUBLE) AS value
+      FROM range({2 * 2 * 3 * 5 * 6}) r(i))
+    SELECT t, z, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY t, z ORDER BY t, z
+    """,
+    doc="OME-Zarr v3 zstd-codec save -> reread (zarr-python 3's default "
+        "compressor; raw zstd frames via pyarrow)",
+)
+def img_ome_zarr_roundtrip_zstd(spark, sf_dir):
+    """NGFF 0.5 / Zarr v3 with the ['bytes','zstd'] codec chain — what
+    zarr-python 3 writes by default, so real stores land here first.
+    Hash pins encode_chunk_v3/decode_chunk_v3 zstd frames end-to-end
+    through the chunk-parallel sink and planned read.
+    Ref README.md:66 (bioio-ome-zarr)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.sources.zarr_image import ZarrImageReader
+    from bioio_spark.writers import save_ome_zarr
+
+    idx = np.indices(_RTZ_SHAPE)
+    block = (idx[0] * 100000 + idx[1] * 10000 + idx[2] * 1000
+             + idx[3] * 10 + idx[4]).astype(np.uint32)
+    img = BioImage(block, spark=spark)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "zarr_roundtrip_zstd")
+    shutil.rmtree(out, ignore_errors=True)
+    save_ome_zarr(img, out, chunks=(1, 1, 2, 3, 4), ngff_version="0.5",
+                  compressor="zstd")
+    back = BioImage(out, reader=ZarrImageReader, spark=spark)
+    return (back.get_image_dataframe()
+            .groupBy("t", "z")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("t", "z"))

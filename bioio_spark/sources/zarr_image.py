@@ -14,7 +14,7 @@ codec (bioio_spark.formats.zarr):
   tens of millions of independent tasks, the property that makes Zarr the
   scale-native format of the reference's plugin pair.
 
-Supports Zarr v2 stores with C order, zlib or no compressor, "." or "/"
+Supports Zarr v2 stores with C order, zlib/zstd or no compressor, "." or "/"
 dimension separators, any subset of the tczyx NGFF axes (absent axes read
 as size-1), and trims edge-chunk fill padding to the array bounds.
 """

@@ -605,3 +605,75 @@ def test_save_ome_zarr_sharded_requires_v3(spark):
         save_ome_zarr(BioImage(np.zeros((1, 1, 1, 4, 4)), spark=spark),
                       "/tmp/never", shards=(1, 1, 1, 4, 4),
                       ngff_version="0.4")
+
+
+# -- zstd compressor (v2 numcodecs id + v3 codec) --------------------------
+
+def test_chunk_codec_zstd_roundtrip():
+    from bioio_spark.formats.zarr import (decode_chunk, decode_chunk_v3,
+                                          encode_chunk, encode_chunk_v3)
+
+    rng = np.random.default_rng(11)
+    block = rng.integers(0, 65535, (3, 4, 5)).astype(np.uint16)
+    v2 = encode_chunk(block, compressor="zstd")
+    np.testing.assert_array_equal(
+        decode_chunk(v2, block.dtype, block.shape, "zstd"), block)
+    v3 = encode_chunk_v3(block, compressor="zstd")
+    np.testing.assert_array_equal(
+        decode_chunk_v3(v3, block.dtype, block.shape, "zstd"), block)
+    # v2 and v3 zstd frames are the same wire format (raw frames)
+    np.testing.assert_array_equal(
+        decode_chunk_v3(v2, block.dtype, block.shape, "zstd"), block)
+
+
+def test_zarray_zstd_documents():
+    from bioio_spark.formats.zarr import (build_zarr3_array, build_zarray,
+                                          parse_zarr3_array, parse_zarray)
+
+    za = parse_zarray(build_zarray((4, 4), (2, 2), "u2",
+                                   compressor="zstd"))
+    assert za["compressor"] == "zstd"
+    z3 = parse_zarr3_array(build_zarr3_array((4, 4), (2, 2), "uint16",
+                                             compressor="zstd"))
+    assert z3["compressor"] == "zstd"
+    assert z3["gzip_member"] is True   # "use the v3 decoder" flag
+
+
+def test_zarr_v2_zstd_store_roundtrip(spark, tmp_path):
+    """A v2 store written with the numcodecs zstd id reads back through
+    the full BioImage path."""
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.sources.zarr_image import ZarrImageReader
+    from bioio_spark.writers import save_ome_zarr
+
+    rng = np.random.default_rng(13)
+    block = rng.integers(0, 65535, (1, 2, 2, 6, 8)).astype(np.uint16)
+    out = str(tmp_path / "v2zstd_out")
+    save_ome_zarr(BioImage(block, spark=spark), out,
+                  chunks=(1, 1, 1, 4, 4), compressor="zstd")
+    import json
+    import os
+    zarray = json.loads(
+        open(os.path.join(out, "scene_0.zarr", "0", ".zarray")).read())
+    assert zarray["compressor"]["id"] == "zstd"
+    back = BioImage(out, reader=ZarrImageReader, spark=spark)
+    np.testing.assert_array_equal(
+        back.get_image_data("TCZYX").astype(np.uint16), block)
+
+
+def test_zarr_v3_sharded_zstd_roundtrip(spark, tmp_path):
+    """sharding_indexed with zstd inner codecs (the zarr-python 3
+    sharded default): inner chunks are raw zstd frames inside shards."""
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.sources.zarr_image import ZarrImageReader
+    from bioio_spark.writers import save_ome_zarr
+
+    rng = np.random.default_rng(17)
+    block = rng.integers(0, 65535, (1, 1, 2, 8, 8)).astype(np.uint16)
+    out = str(tmp_path / "v3szstd_out")
+    save_ome_zarr(BioImage(block, spark=spark), out,
+                  chunks=(1, 1, 1, 4, 4), shards=(1, 1, 2, 8, 8),
+                  ngff_version="0.5", compressor="zstd")
+    back = BioImage(out, reader=ZarrImageReader, spark=spark)
+    np.testing.assert_array_equal(
+        back.get_image_data("TCZYX").astype(np.uint16), block)
