@@ -309,6 +309,51 @@ def factor_nd2_loops(loops: Sequence[tuple[int, int]],
     return t_n, z_n, z_inner
 
 
+#: eType -> axis kind for loop resolution: time loops -> t, Z stacks
+#: -> z, stage positions -> p (scenes, the reference's bioio-nd2
+#: mapping of multi-position acquisitions)
+_LOOP_KIND = {LOOP_TIME: "t", LOOP_NETIME: "t", LOOP_ZSTACK: "z",
+              LOOP_XYPOS: "p"}
+
+
+def resolve_nd2_loops(loops: Sequence[tuple[int, int]],
+                      n_frames: int) -> Optional[list[tuple[str, int]]]:
+    """Outer-to-inner [(eType, count)] -> [("t"|"z"|"p", count)] when
+    every loop is a TimeLoop/NETimeLoop/ZStackLoop/XYPosLoop
+    factorization of n_frames; None -> flat-T fallback. Unlike the
+    (t_n, z_n) collapse of factor_nd2_loops, the kind list supports ANY
+    nesting: frame seq decomposes by mixed radix (inner loop fastest)
+    and each kind's combined index comes from its loops in nesting
+    order (nd2_seq_coords)."""
+    if not loops:
+        return None
+    out = []
+    total = 1
+    for etype, count in loops:
+        kind = _LOOP_KIND.get(etype)
+        if kind is None or count < 1:
+            return None
+        out.append((kind, int(count)))
+        total *= int(count)
+    return out if total == n_frames else None
+
+
+def nd2_seq_coords(kinds: Sequence[tuple[str, int]],
+                   seq: int) -> dict[str, int]:
+    """Frame sequence index -> {"t": i, "z": j, "p": k} under the
+    resolved loop list (outer-to-inner; innermost varies fastest)."""
+    idx = []
+    rem = seq
+    for _, count in reversed(list(kinds)):
+        idx.append(rem % count)
+        rem //= count
+    idx.reverse()
+    coords = {"t": 0, "z": 0, "p": 0}
+    for (kind, count), i in zip(kinds, idx):
+        coords[kind] = coords[kind] * count + i
+    return coords
+
+
 def read_nd2_attributes(path: str) -> dict:
     cmap = read_nd2_chunkmap(path)
     off, size = cmap["ImageAttributesLV!"]

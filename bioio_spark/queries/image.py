@@ -2346,3 +2346,57 @@ def img_ome_zarr_roundtrip_zstd(spark, sf_dir):
                  F.sum("value").alias("sum_val"),
                  F.max("value").alias("max_val"))
             .orderBy("t", "z"))
+
+
+@register(
+    "img_nd2_positions",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {2 * 4 * 5} AS INTEGER) AS p,
+             CAST((i // {4 * 5}) % 2 AS INTEGER) AS z,
+             CAST((i // 5) % 4 AS INTEGER) AS y,
+             CAST(i % 5 AS INTEGER) AS x,
+             CAST((i // {2 * 4 * 5}) * 10000
+                  + ((i // {4 * 5}) % 2) * 100
+                  + ((i // 5) % 4) * 10 + (i % 5) AS DOUBLE) AS value
+      FROM range({3 * 2 * 4 * 5}) r(i))
+    SELECT p AS scene_idx, z, count(*) AS n_px,
+           CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY p, z ORDER BY p, z
+    """,
+    doc="ND2 XYPosLoop: stage positions map to scenes "
+        "(bioio-nd2 multi-position semantics), scene-stacked aggregate",
+)
+def img_nd2_positions(spark, sf_dir):
+    """Multi-position ND2: XYPosLoop(3) x ZStackLoop(2) frames read as
+    three scenes of (T=1, Z=2); the hash pins the per-position scene
+    split AND the per-frame (scene, z) assignment via the scene stack.
+    Ref README.md:63 (bioio-nd2); loop types per the public nd2
+    package."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.nd2 import encode_nd2
+
+    idx = np.indices((3, 2, 4, 5))         # p z y x
+    frames = (idx[0] * 10000 + idx[1] * 100 + idx[2] * 10
+              + idx[3]).astype(np.uint16).reshape(6, 4, 5)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "nd2_positions")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    path = os.path.join(out, "pos.nd2")
+    with open(path, "wb") as f:
+        f.write(encode_nd2(
+            frames, loops=[("XYPosLoop", 3), ("ZStackLoop", 2)]))
+    img = BioImage(path, spark=spark)
+    return (img.get_stack_dataframe()
+            .groupBy("scene_idx", "z")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("scene_idx", "z"))

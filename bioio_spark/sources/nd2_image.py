@@ -12,10 +12,11 @@ README.md:63), over the in-repo pure-Python chunk-map codec
   object-store scale.
 
 The SLxExperiment loop structure (ImageMetadataLV!) factorizes the
-frame sequence into (T, Z) when the loops are TimeLoop/NETimeLoop x
-ZStackLoop — the common Z-stack-per-timepoint acquisition; position
-or custom loops (and files without the chunk) fall back to the flat
-T series, documented in formats/nd2.py."""
+frame sequence: TimeLoop/NETimeLoop -> T, ZStackLoop -> Z, and
+XYPosLoop -> one SCENE per stage position (the reference's bioio-nd2
+multi-position mapping), any nesting order. Custom/unknown loop types
+(and files without the chunk) fall back to the flat T series,
+documented in formats/nd2.py."""
 
 from __future__ import annotations
 
@@ -59,12 +60,12 @@ class Nd2ImageReader:
         self._pps = physical_pixel_sizes
 
     def to_dataset(self, spark: SparkSession):
-        from bioio_spark.formats.nd2 import (decode_lv,
-                                             factor_nd2_loops,
+        from bioio_spark.formats.nd2 import (decode_lv, nd2_seq_coords,
                                              read_nd2_attributes,
                                              read_nd2_chunk,
                                              read_nd2_chunkmap,
-                                             read_nd2_experiment)
+                                             read_nd2_experiment,
+                                             resolve_nd2_loops)
         from bioio_spark.ome_utils import resolve_channel_names
         from bioio_spark.sources.array_like import (PIXEL_COLUMNS,
                                                     ImageDataset)
@@ -78,13 +79,21 @@ class Nd2ImageReader:
         y_n, x_n = attrs["uiHeight"], attrs["uiWidth"]
         dtype = "uint8" if attrs["uiBpcInMemory"] == 8 else "uint16"
 
-        # SLxExperiment factorization: TimeLoop x ZStackLoop -> (T, Z);
-        # anything else keeps the flat-T fallback
-        factored = factor_nd2_loops(read_nd2_experiment(path), seq_n)
-        if factored is not None:
-            t_n, z_n, z_inner = factored
-        else:
-            t_n, z_n, z_inner = seq_n, 1, True
+        # SLxExperiment resolution: TimeLoop/NETimeLoop -> T, ZStackLoop
+        # -> Z, XYPosLoop -> SCENES (the reference's bioio-nd2 maps
+        # multi-position acquisitions to one scene per stage position);
+        # unknown loop types keep the flat-T fallback
+        kinds = resolve_nd2_loops(read_nd2_experiment(path), seq_n)
+        if kinds is None:
+            kinds = [("t", seq_n)]
+        t_n = z_n = p_n = 1
+        for kind, count in kinds:
+            if kind == "t":
+                t_n *= count
+            elif kind == "z":
+                z_n *= count
+            else:
+                p_n *= count
 
         names = self._channel_names
         if names is None and "ImageTextInfoLV!" in cmap:
@@ -100,36 +109,36 @@ class Nd2ImageReader:
             cal = float(attrs["dCalibration"])
             pps = PhysicalPixelSizes(Z=None, Y=cal, X=cal)
 
-        scene = "Image:0"
-        channel_rows = [
-            {"image_id": self._image_id, "scene": scene, "c": ci,
-             "channel_name": nm}
-            for ci, nm in enumerate(resolve_channel_names(
-                names, c_n, 0))]
-        scene_rows = [{
-            "image_id": self._image_id, "scene": scene,
-            "scene_idx": 0, "dim_order": "TCZYX",
-            "size_t": t_n, "size_c": c_n, "size_z": z_n,
-            "size_y": y_n, "size_x": x_n,
-            "size_m": None, "size_s": None,
-            "dtype": dtype, "ome_pixel_type": dtype,
-            "pps_z": pps.Z if pps else None,
-            "pps_y": pps.Y if pps else None,
-            "pps_x": pps.X if pps else None,
-            "time_interval": None, "metadata": None,
-        }]
+        scenes = [f"Image:{p}" for p in range(p_n)]
+        channel_rows, scene_rows = [], []
+        for p, scene in enumerate(scenes):
+            channel_rows += [
+                {"image_id": self._image_id, "scene": scene, "c": ci,
+                 "channel_name": nm}
+                for ci, nm in enumerate(resolve_channel_names(
+                    names, c_n, p))]
+            scene_rows.append({
+                "image_id": self._image_id, "scene": scene,
+                "scene_idx": p, "dim_order": "TCZYX",
+                "size_t": t_n, "size_c": c_n, "size_z": z_n,
+                "size_y": y_n, "size_x": x_n,
+                "size_m": None, "size_s": None,
+                "dtype": dtype, "ome_pixel_type": dtype,
+                "pps_z": pps.Z if pps else None,
+                "pps_y": pps.Y if pps else None,
+                "pps_x": pps.X if pps else None,
+                "time_interval": None, "metadata": None,
+            })
         plan = []
         for seq in range(seq_n):
             name = f"ImageDataSeq|{seq}!"
             if name not in cmap:
                 raise KeyError(f"{path}: missing frame chunk {name}")
             off, size = cmap[name]
-            # inner loop varies fastest across the stored sequence
-            if z_inner:
-                t, z = divmod(seq, z_n)
-            else:
-                z, t = divmod(seq, t_n)
-            plan.append({"path": path, "seq": seq, "t": t, "z": z,
+            # mixed-radix decomposition, innermost loop fastest
+            co = nd2_seq_coords(kinds, seq)
+            plan.append({"path": path, "seq": seq, "t": co["t"],
+                         "z": co["z"], "scene": scenes[co["p"]],
                          "offset": off, "size": size})
         n_comp, height, width, dt_name = c_n, y_n, x_n, dtype
 
@@ -152,6 +161,7 @@ class Nd2ImageReader:
                     for c in range(n_comp):
                         plane = frame[c]
                         yield pd.DataFrame({
+                            "scene": r.scene,
                             "t": np.full(plane.size, r.t, np.int32),
                             "c": np.full(plane.size, c, np.int32),
                             "z": np.full(plane.size, r.z, np.int32),
@@ -166,11 +176,10 @@ class Nd2ImageReader:
             min(len(plan), spark.sparkContext.defaultParallelism))
         px = (plan_df.mapInPandas(
                   batches,
-                  schema="t int, c int, z int, y int, x int, "
-                         "value double")
+                  schema="scene string, t int, c int, z int, y int, "
+                         "x int, value double")
               .select(
-                  F.lit(self._image_id).alias("image_id"),
-                  F.lit(scene).alias("scene"),
+                  F.lit(self._image_id).alias("image_id"), "scene",
                   F.lit(0).alias("res_level"), "t", "c", "z", "y", "x",
                   F.lit(-1).alias("m"), F.lit(-1).alias("s"), "value")
               .select(*PIXEL_COLUMNS))

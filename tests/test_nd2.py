@@ -170,14 +170,57 @@ def test_bioimage_nd2_z_outer(spark, tmp_path):
     np.testing.assert_array_equal(got, vol)
 
 
-def test_bioimage_nd2_pos_loop_flat_fallback(spark, tmp_path):
-    """An XYPosLoop keeps the documented flat-T fallback."""
+def test_bioimage_nd2_positions_become_scenes(spark, tmp_path):
+    """XYPosLoop(2) over TimeLoop(2): each stage position reads as its
+    own scene (the reference's bioio-nd2 multi-position mapping)."""
     from bioio_spark.bio_image import BioImage
     from bioio_spark.formats.nd2 import encode_nd2
 
-    frames = np.arange(4 * 2 * 3, dtype=np.uint16).reshape(4, 2, 3)
+    idx = np.indices((2, 2, 2, 3))       # p t y x storage order
+    vol = (idx[0] * 1000 + idx[1] * 100 + idx[2] * 10
+           + idx[3]).astype(np.uint16)
+    frames = vol.reshape(4, 2, 3)        # seq = p*2 + t
     p = tmp_path / "pos.nd2"
     p.write_bytes(encode_nd2(
         frames, loops=[("XYPosLoop", 2), ("TimeLoop", 2)]))
     img = BioImage(str(p), spark=spark)
+    assert img.scenes == ("Image:0", "Image:1")
+    assert (img.dims.T, img.dims.Z) == (2, 1)
+    np.testing.assert_array_equal(
+        img.get_image_data("TYX").astype(np.uint16), vol[0])
+    img.set_scene(1)
+    np.testing.assert_array_equal(
+        img.get_image_data("TYX").astype(np.uint16), vol[1])
+
+
+def test_bioimage_nd2_custom_loop_flat_fallback(spark, tmp_path):
+    """An unknown loop type keeps the documented flat-T fallback."""
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.nd2 import encode_nd2
+
+    frames = np.arange(4 * 2 * 3, dtype=np.uint16).reshape(4, 2, 3)
+    p = tmp_path / "custom.nd2"
+    p.write_bytes(encode_nd2(
+        frames, loops=[(7, 2), ("TimeLoop", 2)]))   # 7 = CustomLoop
+    img = BioImage(str(p), spark=spark)
+    assert img.scenes == ("Image:0",)
     assert (img.dims.T, img.dims.Z) == (4, 1)
+
+
+def test_resolve_and_seq_coords():
+    from bioio_spark.formats.nd2 import nd2_seq_coords, resolve_nd2_loops
+
+    # XYPos over Time over ZStack
+    kinds = resolve_nd2_loops([(2, 2), (1, 3), (4, 2)], 12)
+    assert kinds == [("p", 2), ("t", 3), ("z", 2)]
+    # seq 11 = p1, t2, z1 (inner fastest)
+    assert nd2_seq_coords(kinds, 11) == {"p": 1, "t": 2, "z": 1}
+    assert nd2_seq_coords(kinds, 0) == {"p": 0, "t": 0, "z": 0}
+    assert nd2_seq_coords(kinds, 6) == {"p": 1, "t": 0, "z": 0}
+    # non-contiguous t runs still decompose (t combined by nesting)
+    kinds2 = resolve_nd2_loops([(1, 2), (4, 2), (8, 2)], 8)
+    assert kinds2 == [("t", 2), ("z", 2), ("t", 2)]
+    assert nd2_seq_coords(kinds2, 7) == {"p": 0, "t": 3, "z": 1}
+    # unknown type -> None
+    assert resolve_nd2_loops([(7, 2)], 2) is None
+    assert resolve_nd2_loops([(1, 3)], 4) is None
