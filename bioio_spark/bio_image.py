@@ -350,6 +350,27 @@ class BioImage:
                     scene=self._current_scene_index).select(
                     "t", "c", "z", "y", "x", "value")
 
+            from bioio_spark.sources.nd2_image import (Nd2ImageReader,
+                                                       read_nd2_window)
+
+            if isinstance(reader, Nd2ImageReader) and os.path.isfile(
+                    path):
+                return read_nd2_window(
+                    self._spark, path, t=t, c=c, z=z, y=y, x=x,
+                    scene=self._current_scene_index)
+
+            from bioio_spark.sources.lif_image import (LifImageReader,
+                                                       read_lif_window)
+
+            # tile-scan scenes (M > 1) need mosaic/global coordinates —
+            # those fall through to the standardized-pixels filter
+            if isinstance(reader, LifImageReader) and os.path.isfile(
+                    path) and self.dims is not None and \
+                    "M" not in self.dims.order:
+                return read_lif_window(
+                    self._spark, path, t=t, c=c, z=z, y=y, x=x,
+                    scene=self._current_scene_index)
+
         from bioio_spark.sources.zarr_image import _norm_window
 
         px, dims = self._standard_pixels()

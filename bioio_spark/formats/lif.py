@@ -236,13 +236,20 @@ def parse_lif_header(path: str) -> dict:
 
 
 def read_lif_plane(path: str, header: dict, scene_idx: int,
-                   t: int, c: int, z: int, m: int = 0) -> np.ndarray:
+                   t: int, c: int, z: int, m: int = 0,
+                   y0: int = 0, y1: Optional[int] = None) -> np.ndarray:
     """One YX plane via stride arithmetic — seek-based, reads only the
     plane's rows (contiguous when BytesInc(X) == itemsize, the Leica
-    export layout)."""
+    export layout). ``y0``/``y1`` restrict the read to a half-open row
+    window: the seek starts at row y0 and only (y1-y0) rows' bytes are
+    fetched — the ranged-GET shape of a windowed read."""
     sc = header["scenes"][scene_idx]
     blk = header["blocks"][sc["block_id"]]
     t_n, c_n, z_n, y_n, x_n = sc["shape"]
+    if y1 is None:
+        y1 = y_n
+    if not (0 <= y0 < y1 <= y_n):
+        raise ValueError(f"bad row window [{y0}, {y1}) for {y_n} rows")
     dt = np.dtype(sc["dtype"])
     st = sc["strides"]
     base = (sc["channel_incs"][c]
@@ -251,11 +258,12 @@ def read_lif_plane(path: str, header: dict, scene_idx: int,
             + m * (st.get("M") or 0))
     bx = st.get("X") or dt.itemsize
     by = st.get("Y") or bx * x_n
+    n_rows = y1 - y0
     with open(path, "rb") as f:
         if bx == dt.itemsize and by == bx * x_n:
-            f.seek(blk["offset"] + base)
-            buf = f.read(by * y_n)
-            return np.frombuffer(buf, dtype=dt).reshape(y_n, x_n)
+            f.seek(blk["offset"] + base + y0 * by)
+            buf = f.read(by * n_rows)
+            return np.frombuffer(buf, dtype=dt).reshape(n_rows, x_n)
         # non-contiguous strides: row-by-row gather; each sample is the
         # first `itemsize` bytes of its `bx`-wide slot
         rows = []
@@ -263,7 +271,7 @@ def read_lif_plane(path: str, header: dict, scene_idx: int,
         # memory block ends at the last sample), so read exactly what
         # the row needs and zero-pad the slot grid
         need = bx * (x_n - 1) + dt.itemsize
-        for y in range(y_n):
+        for y in range(y0, y1):
             f.seek(blk["offset"] + base + y * by)
             buf = f.read(need)
             if bx == dt.itemsize:

@@ -253,6 +253,28 @@ def read_nd2_chunk(path: str, name: str, offset: int,
         return f.read(dlen)
 
 
+def read_nd2_chunk_slice(path: str, name: str, offset: int,
+                         start: int, nbytes: int) -> bytes:
+    """A byte RANGE of one chunk's data — the windowed-read primitive:
+    only `nbytes` of pixel data move (one ranged GET at object-store
+    scale), not the whole frame."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        magic, nlen, dlen = struct.unpack("<IIQ", f.read(16))
+        if magic != CHUNK_MAGIC:
+            raise ValueError(f"bad chunk magic for {name!r}")
+        got = f.read(nlen)
+        if got != name.encode("ascii"):
+            raise ValueError(f"chunk at {offset} is {got!r}, "
+                             f"expected {name!r}")
+        if start + nbytes > dlen:
+            raise ValueError(
+                f"slice [{start}, {start + nbytes}) beyond chunk "
+                f"data of {dlen} bytes")
+        f.seek(offset + 16 + nlen + start)
+        return f.read(nbytes)
+
+
 def read_nd2_experiment(path: str) -> list[tuple[int, int]]:
     """SLxExperiment loop structure, outer-to-inner [(eType, count),
     ...]; [] when the file has no ImageMetadataLV! chunk (flat T

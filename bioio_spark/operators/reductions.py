@@ -69,20 +69,27 @@ def channel_histogram(px: DataFrame, nbins: int = 16) -> DataFrame:
 
 
 def contrast_stretch(px: DataFrame, lo_q: float = 0.01,
-                     hi_q: float = 0.99) -> DataFrame:
+                     hi_q: float = 0.99, approx: bool = False,
+                     accuracy: int = 10000) -> DataFrame:
     """Per-channel percentile contrast stretch: rescale each channel's
     intensities to [0,1] between its lo_q/hi_q percentiles, clamped.
 
     The per-channel percentile pair is a |C|-row aggregate broadcast back
-    onto the scan; the rescale itself is a narrow codegen projection. Exact
-    interpolated percentiles buffer per-group values — at 100 TB swap in
-    percentile_approx (t-digest, mergeable) for the same plan shape.
+    onto the scan; the rescale itself is a narrow codegen projection.
+    ``approx=False`` uses exact interpolated percentiles (buffers per-group
+    values — fine for catalog-scale channels); ``approx=True`` is the
+    100 TB form: percentile_approx's mergeable quantile sketch, bounded
+    memory per channel, identical plan shape (rank error <= 1/accuracy;
+    img_contrast_stretch_approx gates it against exact clamp mass).
     """
     if not (0.0 <= lo_q < hi_q <= 1.0):
         raise ValueError("need 0 <= lo_q < hi_q <= 1")
-    pct = px.groupBy("c").agg(
-        F.percentile("value", F.array(F.lit(lo_q), F.lit(hi_q)))
-        .alias("pcts"))
+    pct_fn = (F.percentile_approx("value",
+                                  F.array(F.lit(lo_q), F.lit(hi_q)),
+                                  accuracy)
+              if approx else
+              F.percentile("value", F.array(F.lit(lo_q), F.lit(hi_q))))
+    pct = px.groupBy("c").agg(pct_fn.alias("pcts"))
     pct = pct.select("c", F.col("pcts")[0].alias("lo"),
                      F.col("pcts")[1].alias("hi"))
     span = F.col("hi") - F.col("lo")

@@ -2400,3 +2400,91 @@ def img_nd2_positions(spark, sf_dir):
                  F.sum("value").alias("sum_val"),
                  F.max("value").alias("max_val"))
             .orderBy("scene_idx", "z"))
+
+
+@register(
+    "img_contrast_stretch_approx",
+    oracle="""
+    SELECT CAST(i AS INTEGER) AS c, CAST(1 AS BIGINT) AS lo_clamp_ok,
+           CAST(1 AS BIGINT) AS hi_clamp_ok
+    FROM range(2) r(i) ORDER BY c
+    """,
+    doc="contrast stretch via percentile_approx sketch + exact "
+        "clamp-mass integer gate (the 100 TB percentile form)",
+)
+def img_contrast_stretch_approx(spark, sf_dir):
+    """The a12b pattern applied to the image tier: stretch with the
+    mergeable percentile_approx sketch (approx=True), then gate the
+    result against exact clamp mass — per channel, the fraction of
+    pixels clamped to 0.0 must sit within 0.05 of lo_q and the fraction
+    clamped to 1.0 within 0.05 of 1-hi_q (sketch rank error is 1e-4, so
+    the gate is deterministic). DuckDB reduces to literal 1s."""
+    from bioio_spark.operators.reductions import contrast_stretch
+
+    out = contrast_stretch(_gen_pixels(spark), 0.25, 0.75, approx=True)
+    gates = (out.groupBy("c")
+             .agg((F.sum((F.col("value") <= F.lit(0.0)).cast("long"))
+                   / F.count(F.lit(1))).alias("fr_lo"),
+                  (F.sum((F.col("value") >= F.lit(1.0)).cast("long"))
+                   / F.count(F.lit(1))).alias("fr_hi")))
+    return (gates.select(
+                F.col("c").cast("int").alias("c"),
+                (F.abs(F.col("fr_lo") - 0.25) <= 0.05)
+                .cast("bigint").alias("lo_clamp_ok"),
+                (F.abs(F.col("fr_hi") - 0.25) <= 0.05)
+                .cast("bigint").alias("hi_clamp_ok"))
+            .orderBy("c"))
+
+
+@register(
+    "img_nd2_window_read",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {4 * 2 * 5 * 6} AS INTEGER) AS t,
+             CAST((i // {2 * 5 * 6}) % 4 AS INTEGER) AS z,
+             CAST((i // {2 * 6}) % 5 AS INTEGER) AS y,
+             CAST((i // 2) % 6 AS INTEGER) AS x,
+             CAST(i % 2 AS INTEGER) AS c,
+             CAST((i // {4 * 2 * 5 * 6}) * 10000
+                  + ((i // {2 * 5 * 6}) % 4) * 1000 + (i % 2) * 500
+                  + ((i // {2 * 6}) % 5) * 10
+                  + ((i // 2) % 6) AS DOUBLE) AS value
+      FROM range({3 * 4 * 2 * 5 * 6}) r(i))
+    SELECT z, y, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val
+    FROM px
+    WHERE t = 1 AND z >= 1 AND z < 3 AND c = 1 AND y >= 2 AND y < 4
+    GROUP BY z, y ORDER BY z, y
+    """,
+    doc="Chunk-pruned windowed ND2 read: t/z prune frame chunks via "
+        "the loop map, y is a byte range inside each chunk",
+)
+def img_nd2_window_read(spark, sf_dir):
+    """The ND2 twin of img_tiff_window_read: only 2 of 12 frame chunks
+    are touched, and each task reads just the 2-row byte range (+8-byte
+    timestamp skip). Ref README.md:63 (bioio-nd2)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.formats.nd2 import encode_nd2
+    from bioio_spark.sources.nd2_image import read_nd2_window
+
+    idx = np.indices((3, 4, 5, 6, 2))    # t z y x c interleaved
+    vol = (idx[0] * 10000 + idx[1] * 1000 + idx[4] * 500
+           + idx[2] * 10 + idx[3]).astype(np.uint16)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "nd2_window")
+    path = os.path.join(out, "win.nd2")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        with open(path, "wb") as f:
+            f.write(encode_nd2(
+                vol.reshape(12, 5, 6, 2),
+                loops=[("TimeLoop", 3), ("ZStackLoop", 4)]))
+    px = read_nd2_window(spark, path, t=1, z=(1, 3), c=1, y=(2, 4))
+    return (px.groupBy("z", "y")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"))
+            .orderBy("z", "y"))

@@ -31,6 +31,73 @@ def _lif_paths(image: str) -> list[str]:
     return [image]
 
 
+def read_lif_window(spark: SparkSession, path: str,
+                    t=None, c=None, z=None, y=None, x=None,
+                    scene: int = 0):
+    """Window-pruned LIF read: t/c/z selectors prune whole PLANES via
+    the block walk + XML strides (driver-side, header-only IO), and the
+    y window becomes a row-range seek inside each surviving plane
+    (read_lif_plane y0/y1 — only the window's rows' bytes move); the x
+    window prunes in numpy after the stride gather. Tile-scan (M > 1)
+    scenes are not routed here — their global mosaic coordinates come
+    from the stitch operator, so BioImage.read_window falls back to the
+    standardized path for them."""
+    from bioio_spark.formats.lif import parse_lif_header
+    from bioio_spark.sources.zarr_image import _norm_window
+
+    path = os.path.abspath(path)
+    header = parse_lif_header(path)
+    if not (0 <= scene < len(header["scenes"])):
+        raise IndexError(f"{path}: no scene {scene}")
+    sc = header["scenes"][scene]
+    if sc.get("m_n", 1) > 1:
+        raise ValueError(
+            "read_lif_window reads single-tile scenes; tile scans "
+            "route through BioImage/mosaic semantics")
+    t_n, c_n, z_n, y_n, x_n = sc["shape"]
+    t0, t1 = _norm_window(t, t_n)
+    c0, c1 = _norm_window(c, c_n)
+    z0, z1 = _norm_window(z, z_n)
+    y0, y1 = _norm_window(y, y_n)
+    x0, x1 = _norm_window(x, x_n)
+    plan = [{"path": path, "scene_i": scene, "t": ti, "c": ci, "z": zi}
+            for ti in range(t0, t1)
+            for ci in range(c0, c1)
+            for zi in range(z0, z1)]
+
+    schema = "t int, c int, z int, y int, x int, value double"
+    if not plan or y0 >= y1 or x0 >= x1:
+        return spark.createDataFrame([], schema)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from bioio_spark.formats.lif import (parse_lif_header,
+                                             read_lif_plane)
+
+        hdr_cache: dict = {}
+        for pdf in it:
+            for r in pdf.itertuples():
+                if r.path not in hdr_cache:
+                    hdr_cache[r.path] = parse_lif_header(r.path)
+                rows = read_lif_plane(
+                    r.path, hdr_cache[r.path], r.scene_i,
+                    r.t, r.c, r.z, y0=y0, y1=y1)
+                plane = rows[:, x0:x1]               # exact numpy prune
+                yield pd.DataFrame({
+                    "t": np.full(plane.size, r.t, np.int32),
+                    "c": np.full(plane.size, r.c, np.int32),
+                    "z": np.full(plane.size, r.z, np.int32),
+                    "y": np.repeat(np.arange(
+                        y0, y1, dtype=np.int32), x1 - x0),
+                    "x": np.tile(np.arange(
+                        x0, x1, dtype=np.int32), y1 - y0),
+                    "value": plane.ravel().astype(np.float64),
+                })
+
+    plan_df = spark.createDataFrame(pd.DataFrame(plan)).repartition(
+        min(len(plan), spark.sparkContext.defaultParallelism))
+    return plan_df.mapInPandas(batches, schema=schema)
+
+
 class LifImageReader:
     """BioImage reader over baseline LIF files (plugin tier)."""
 

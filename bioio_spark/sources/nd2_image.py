@@ -30,6 +30,99 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
+def read_nd2_window(spark: SparkSession, path: str,
+                    t=None, c=None, z=None, y=None, x=None,
+                    scene: int = 0):
+    """Window-pruned ND2 read: t/z selectors prune whole frame CHUNKS
+    via the chunk map + loop factorization (driver-side, a few KB of
+    IO), and the y window turns into a BYTE RANGE inside each surviving
+    chunk (rows are stored contiguously, so only the window's rows'
+    bytes are read — one ranged GET per frame at object-store scale);
+    c/x prune in numpy on the de-interleave, no residual filter needed.
+    ``scene`` selects the XYPosLoop stage position for multi-position
+    files. Selector forms match the other window readers: None, int, or
+    (start, stop)/slice half-open windows."""
+    from bioio_spark.formats.nd2 import (nd2_seq_coords,
+                                         read_nd2_attributes,
+                                         read_nd2_chunkmap,
+                                         read_nd2_experiment,
+                                         resolve_nd2_loops)
+    from bioio_spark.sources.zarr_image import _norm_window
+
+    path = os.path.abspath(path)
+    attrs = read_nd2_attributes(path)
+    cmap = read_nd2_chunkmap(path)
+    seq_n = attrs["uiSequenceCount"]
+    c_n = attrs["uiComp"]
+    y_n, x_n = attrs["uiHeight"], attrs["uiWidth"]
+    itemsize = 1 if attrs["uiBpcInMemory"] == 8 else 2
+    kinds = resolve_nd2_loops(read_nd2_experiment(path), seq_n)
+    if kinds is None:
+        kinds = [("t", seq_n)]
+    t_n = z_n = p_n = 1
+    for kind, count in kinds:
+        t_n, z_n, p_n = (t_n * count if kind == "t" else t_n,
+                         z_n * count if kind == "z" else z_n,
+                         p_n * count if kind == "p" else p_n)
+    if not (0 <= scene < p_n):
+        raise IndexError(f"{path}: no position {scene} "
+                         f"({p_n} position(s))")
+    t0, t1 = _norm_window(t, t_n)
+    c0, c1 = _norm_window(c, c_n)
+    z0, z1 = _norm_window(z, z_n)
+    y0, y1 = _norm_window(y, y_n)
+    x0, x1 = _norm_window(x, x_n)
+    row_bytes = x_n * c_n * itemsize
+    plan = []
+    for seq in range(seq_n):
+        co = nd2_seq_coords(kinds, seq)
+        if co["p"] != scene or not (t0 <= co["t"] < t1
+                                    and z0 <= co["z"] < z1):
+            continue
+        name = f"ImageDataSeq|{seq}!"
+        if name not in cmap:
+            raise KeyError(f"{path}: missing frame chunk {name}")
+        off, _size = cmap[name]
+        plan.append({"path": path, "seq": seq, "t": co["t"],
+                     "z": co["z"], "offset": off,
+                     # +8 skips the frame's timestamp double
+                     "start": 8 + y0 * row_bytes,
+                     "nbytes": (y1 - y0) * row_bytes})
+
+    schema = "t int, c int, z int, y int, x int, value double"
+    if not plan:
+        return spark.createDataFrame([], schema)
+    dt_name = "u1" if itemsize == 1 else "<u2"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from bioio_spark.formats.nd2 import read_nd2_chunk_slice
+
+        for pdf in it:
+            for r in pdf.itertuples():
+                data = read_nd2_chunk_slice(
+                    r.path, f"ImageDataSeq|{r.seq}!", int(r.offset),
+                    int(r.start), int(r.nbytes))
+                rows = (np.frombuffer(data, dtype=np.dtype(dt_name))
+                        .reshape(y1 - y0, x_n, c_n))
+                win = rows[:, x0:x1, c0:c1]          # exact numpy prune
+                for ci in range(c1 - c0):
+                    plane = win[:, :, ci]
+                    yield pd.DataFrame({
+                        "t": np.full(plane.size, r.t, np.int32),
+                        "c": np.full(plane.size, c0 + ci, np.int32),
+                        "z": np.full(plane.size, r.z, np.int32),
+                        "y": np.repeat(np.arange(
+                            y0, y1, dtype=np.int32), x1 - x0),
+                        "x": np.tile(np.arange(
+                            x0, x1, dtype=np.int32), y1 - y0),
+                        "value": plane.ravel().astype(np.float64),
+                    })
+
+    plan_df = spark.createDataFrame(pd.DataFrame(plan)).repartition(
+        min(len(plan), spark.sparkContext.defaultParallelism))
+    return plan_df.mapInPandas(batches, schema=schema)
+
+
 class Nd2ImageReader:
     """BioImage reader over baseline ND2 files (plugin tier)."""
 

@@ -174,3 +174,53 @@ def test_lif_tile_scan_mosaic_stitches(spark, tmp_path):
     np.testing.assert_array_equal(
         raw.get_image_data("MYX").astype(np.uint16),
         tiles[:, 0, 0, 0])
+
+
+def test_read_lif_window_prunes(spark, tmp_path):
+    """t/c/z windows prune whole planes; the y window is a row-range
+    seek; x prunes in numpy after the stride gather."""
+    from bioio_spark.sources.lif_image import read_lif_window
+
+    idx = np.indices((2, 3, 4, 5, 6))    # t c z y x
+    vol = (idx[0] * 10000 + idx[1] * 1000 + idx[2] * 100
+           + idx[3] * 10 + idx[4]).astype(np.uint16)
+    p = tmp_path / "win.lif"
+    p.write_bytes(encode_lif([{"name": "S", "data": vol}]))
+    w = read_lif_window(spark, str(p), t=1, c=(1, 3), z=2,
+                        y=(1, 3), x=(2, 5)).toPandas()
+    exp = vol[1, 1:3, 2, 1:3, 2:5]
+    assert len(w) == exp.size
+    got = np.zeros_like(exp)
+    got[w["c"] - 1, w["y"] - 1, w["x"] - 2] = \
+        w["value"].astype(np.uint16)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_read_lif_window_second_scene(spark, tmp_path):
+    from bioio_spark.sources.lif_image import read_lif_window
+
+    a = np.arange(2 * 3 * 4, dtype=np.uint16).reshape(1, 1, 2, 3, 4)
+    b = (a * 3).astype(np.uint16)
+    p = tmp_path / "two.lif"
+    p.write_bytes(encode_lif([{"name": "A", "data": a},
+                              {"name": "B", "data": b}]))
+    w = read_lif_window(spark, str(p), scene=1, z=1).toPandas()
+    exp = b[0, 0, 1]
+    got = np.zeros_like(exp)
+    got[w["y"], w["x"]] = w["value"].astype(np.uint16)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_bioimage_read_window_routes_lif(spark, tmp_path):
+    idx = np.indices((1, 2, 3, 4, 5))
+    vol = (idx[1] * 1000 + idx[2] * 100 + idx[3] * 10
+           + idx[4]).astype(np.uint16)
+    p = tmp_path / "route.lif"
+    p.write_bytes(encode_lif([{"name": "S", "data": vol}]))
+    img = BioImage(str(p), spark=spark)
+    w = img.read_window(c=1, z=(1, 3), y=(0, 2)).toPandas()
+    exp = vol[0, 1, 1:3, 0:2, :]
+    assert len(w) == exp.size
+    got = np.zeros_like(exp)
+    got[w["z"] - 1, w["y"], w["x"]] = w["value"].astype(np.uint16)
+    np.testing.assert_array_equal(got, exp)
