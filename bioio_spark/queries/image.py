@@ -2488,3 +2488,55 @@ def img_nd2_window_read(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_px"),
                  F.sum("value").alias("sum_val"))
             .orderBy("z", "y"))
+
+
+@register(
+    "img_lif_window_read",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {3 * 4 * 5 * 6} AS INTEGER) AS t,
+             CAST((i // {4 * 5 * 6}) % 3 AS INTEGER) AS c,
+             CAST((i // {5 * 6}) % 4 AS INTEGER) AS z,
+             CAST((i // 6) % 5 AS INTEGER) AS y,
+             CAST(i % 6 AS INTEGER) AS x,
+             CAST((i // {3 * 4 * 5 * 6}) * 10000
+                  + ((i // {4 * 5 * 6}) % 3) * 1000
+                  + ((i // {5 * 6}) % 4) * 100
+                  + ((i // 6) % 5) * 10 + (i % 6) AS DOUBLE) AS value
+      FROM range({2 * 3 * 4 * 5 * 6}) r(i))
+    SELECT c, z, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val
+    FROM px
+    WHERE t = 1 AND c >= 1 AND c < 3 AND z = 2 AND y >= 1 AND y < 3
+    GROUP BY c, z ORDER BY c, z
+    """,
+    doc="Plane-pruned windowed LIF read: t/c/z prune planes via the "
+        "stride map, y is a row-range seek",
+)
+def img_lif_window_read(spark, sf_dir):
+    """The LIF twin of img_nd2_window_read: 2 of 24 planes touched,
+    each task seek-reads only the 2-row range through the BytesInc
+    stride arithmetic. Ref README.md:62 (bioio-lif)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.formats.lif import encode_lif
+    from bioio_spark.sources.lif_image import read_lif_window
+
+    idx = np.indices((2, 3, 4, 5, 6))    # t c z y x
+    vol = (idx[0] * 10000 + idx[1] * 1000 + idx[2] * 100
+           + idx[3] * 10 + idx[4]).astype(np.uint16)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "lif_window")
+    path = os.path.join(out, "win.lif")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        with open(path, "wb") as f:
+            f.write(encode_lif([{"name": "S", "data": vol}]))
+    px = read_lif_window(spark, path, t=1, c=(1, 3), z=2, y=(1, 3))
+    return (px.groupBy("c", "z")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"))
+            .orderBy("c", "z"))
