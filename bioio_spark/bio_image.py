@@ -291,6 +291,52 @@ class BioImage:
         plan, _ = apply_selectors(px, dims, order, selectors)
         return plan
 
+    def get_planes_dataframe(self, tile_h: int = 256,
+                             tile_w: int = 256) -> DataFrame:
+        """The current scene in the chunked PLANES layout — one row per
+        YX tile: (t, c, z, y0, x0, h, w, values dense row-major
+        array<double>) — the scale representation (no per-pixel row
+        amplification; compose with operators/planes.py).
+
+        Zarr- and non-mosaic-CZI-backed scenes decode STRAIGHT to
+        payload rows with zero shuffle (read_zarr_planes /
+        read_czi_planes, tile geometry = the store's own chunk/subblock
+        grid, so tile_h/tile_w are ignored); every other source falls
+        back to pixels_to_planes over the standardized frame (one
+        groupBy shuffle, honest and documented)."""
+        import os
+
+        from bioio_spark.operators.planes import pixels_to_planes
+
+        reader = self._reader
+        path = getattr(reader, "_path", None)
+        cols = ["t", "c", "z", "y0", "x0", "h", "w", "values"]
+        if isinstance(path, str):
+            from bioio_spark.sources.czi_image import (CziImageReader,
+                                                       read_czi_planes)
+            from bioio_spark.sources.zarr_image import (ZarrImageReader,
+                                                        _scene_roots)
+
+            if isinstance(reader, ZarrImageReader):
+                from bioio_spark.sources.zarr_image import \
+                    read_zarr_planes
+
+                roots = _scene_roots(path)
+                if 0 <= self._current_scene_index < len(roots):
+                    return read_zarr_planes(
+                        self._spark, roots[self._current_scene_index],
+                        level=self._current_resolution_level,
+                    ).select(*cols)
+            if isinstance(reader, CziImageReader) and os.path.isfile(
+                    path) and self._current_resolution_level == 0 \
+                    and "M" not in self.dims.order:
+                return read_czi_planes(
+                    self._spark, path,
+                    scene=self._current_scene_index).select(*cols)
+        px, _dims = self._standard_pixels()
+        return pixels_to_planes(px, tile_h=tile_h,
+                                tile_w=tile_w).select(*cols)
+
     def read_window(self, t=None, c=None, z=None, y=None,
                     x=None) -> DataFrame:
         """Source-pruned window read: when the current scene is backed by

@@ -284,3 +284,73 @@ class TestPlaneReductionProperties:
             np.testing.assert_allclose(got_d, want, rtol=1e-12)
 
         check()
+
+
+# -- BioImage.get_planes_dataframe dispatch --------------------------------
+
+def test_get_planes_dataframe_zarr_fast_path(spark, tmp_path):
+    """Zarr-backed scenes produce planes rows with ZERO hash exchanges
+    (the store's own chunk grid), equal to the shuffle fallback."""
+    import numpy as np
+
+    from bioio_spark import BioImage
+    from bioio_spark.writers import save_ome_zarr
+
+    rng = np.random.default_rng(41)
+    block = rng.integers(0, 4096, (1, 2, 2, 6, 8)).astype(np.uint16)
+    out = str(tmp_path / "st")
+    save_ome_zarr(BioImage(block, spark=spark), out,
+                  chunks=(1, 1, 1, 4, 4))
+    from bioio_spark.sources.zarr_image import ZarrImageReader
+    img = BioImage(out, reader=ZarrImageReader, spark=spark)
+    pl = img.get_planes_dataframe()
+    plan = pl._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    pdf = pl.toPandas()
+    # chunk grid: 2c * 2z * ceil(6/4) * ceil(8/4) = 2*2*2*2 = 16 tiles
+    assert len(pdf) == 16
+    total = sum(len(v) for v in pdf["values"])
+    assert total == block.size
+    # values agree with the ndarray
+    row = pdf[(pdf.c == 1) & (pdf.z == 1) & (pdf.y0 == 4)
+              & (pdf.x0 == 4)].iloc[0]
+    want = block[0, 1, 1, 4:6, 4:8].astype(np.float64).ravel()
+    np.testing.assert_array_equal(np.array(row["values"]), want)
+
+
+def test_get_planes_dataframe_czi_fast_path(spark, tmp_path):
+    import numpy as np
+
+    from bioio_spark import BioImage
+    from bioio_spark.formats.czi import encode_czi
+
+    rng = np.random.default_rng(43)
+    planes = rng.integers(0, 65535, (3, 4, 5)).astype(np.uint16)
+    p = tmp_path / "pl.czi"
+    p.write_bytes(encode_czi(
+        [{"data": planes[z], "dims": {"Z": z}} for z in range(3)],
+        compression=6))
+    img = BioImage(str(p), spark=spark)
+    pl = img.get_planes_dataframe()
+    plan = pl._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    pdf = pl.toPandas().sort_values("z")
+    assert list(pdf["z"]) == [0, 1, 2]
+    np.testing.assert_array_equal(
+        np.array(pdf.iloc[1]["values"]),
+        planes[1].astype(np.float64).ravel())
+
+
+def test_get_planes_dataframe_fallback(spark):
+    """ArrayLike scenes fall back to pixels_to_planes (one shuffle) —
+    same schema, same data."""
+    import numpy as np
+
+    from bioio_spark import BioImage
+
+    block = np.arange(2 * 6 * 8, dtype=np.float64).reshape(1, 1, 2, 6, 8)
+    img = BioImage(block, spark=spark)
+    pdf = img.get_planes_dataframe(tile_h=4, tile_w=4).toPandas()
+    assert set(pdf.columns) == {"t", "c", "z", "y0", "x0", "h", "w",
+                                "values"}
+    assert sum(len(v) for v in pdf["values"]) == block.size
