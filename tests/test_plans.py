@@ -373,3 +373,28 @@ def test_czi_planes_read_no_shuffle(spark, tmp_path):
     assert plan.count("Exchange hashpartitioning") == 0, plan
     pdf = df.toPandas()
     assert len(pdf) == 4 and all(len(v) == 20 for v in pdf["values"])
+
+
+def test_nd2_lif_window_reads_no_shuffle(spark, tmp_path):
+    """The new windowed ND2/LIF planned reads keep the pixel side
+    shuffle-free, like every other planned-read source."""
+    import numpy as np
+
+    from bioio_spark.formats.lif import encode_lif
+    from bioio_spark.formats.nd2 import encode_nd2
+    from bioio_spark.sources.lif_image import read_lif_window
+    from bioio_spark.sources.nd2_image import read_nd2_window
+
+    pn = tmp_path / "w.nd2"
+    pn.write_bytes(encode_nd2(
+        np.zeros((6, 4, 5), np.uint16),
+        loops=[("TimeLoop", 3), ("ZStackLoop", 2)]))
+    dfn = read_nd2_window(spark, str(pn), t=(0, 2), y=(1, 3))
+    assert physical_plan(dfn).count("Exchange hashpartitioning") == 0
+
+    pl = tmp_path / "w.lif"
+    pl.write_bytes(encode_lif(
+        [{"name": "S",
+          "data": np.zeros((2, 2, 2, 4, 5), np.uint16)}]))
+    dfl = read_lif_window(spark, str(pl), c=1, y=(1, 3))
+    assert physical_plan(dfl).count("Exchange hashpartitioning") == 0
