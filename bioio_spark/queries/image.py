@@ -2479,10 +2479,12 @@ def img_nd2_window_read(spark, sf_dir):
     if not os.path.exists(path):
         shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out)
-        with open(path, "wb") as f:
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
             f.write(encode_nd2(
                 vol.reshape(12, 5, 6, 2),
                 loops=[("TimeLoop", 3), ("ZStackLoop", 4)]))
+        os.replace(tmp, path)
     px = read_nd2_window(spark, path, t=1, z=(1, 3), c=1, y=(2, 4))
     return (px.groupBy("z", "y")
             .agg(F.count(F.lit(1)).alias("n_px"),
@@ -2533,9 +2535,128 @@ def img_lif_window_read(spark, sf_dir):
     if not os.path.exists(path):
         shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out)
-        with open(path, "wb") as f:
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
             f.write(encode_lif([{"name": "S", "data": vol}]))
+        os.replace(tmp, path)
     px = read_lif_window(spark, path, t=1, c=(1, 3), z=2, y=(1, 3))
+    return (px.groupBy("c", "z")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"))
+            .orderBy("c", "z"))
+
+
+@register(
+    "img_czi_window_read",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {2 * 3 * 5 * 6} AS INTEGER) AS t,
+             CAST((i // {3 * 5 * 6}) % 2 AS INTEGER) AS c,
+             CAST((i // {5 * 6}) % 3 AS INTEGER) AS z,
+             CAST((i // 6) % 5 AS INTEGER) AS y,
+             CAST(i % 6 AS INTEGER) AS x,
+             CAST((i // {2 * 3 * 5 * 6}) * 100000
+                  + ((i // {3 * 5 * 6}) % 2) * 10000
+                  + ((i // {5 * 6}) % 3) * 1000
+                  + ((i // 6) % 5) * 10 + (i % 6) AS DOUBLE) AS value
+      FROM range({2 * 2 * 3 * 5 * 6}) r(i))
+    SELECT z, y, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val
+    FROM px
+    WHERE t = 1 AND c = 0 AND z >= 1 AND z < 3 AND y >= 2 AND y < 5
+          AND x >= 1 AND x < 4
+    GROUP BY z, y ORDER BY z, y
+    """,
+    doc="Subblock-pruned windowed CZI read over a zstd1-compressed "
+        "file (directory arithmetic -> surviving blocks only)",
+)
+def img_czi_window_read(spark, sf_dir):
+    """The CZI member of the window-read family: t/c/z prune whole
+    subblocks via the directory; surviving (zstd-compressed) blocks
+    seek-read + decompress executor-side; y/x trim is a codegen
+    residual. Ref README.md:59 (bioio-czi)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.formats.czi import encode_czi
+    from bioio_spark.sources.czi_image import read_czi_window
+
+    idx = np.indices(_RTZ_SHAPE)
+    block = (idx[0] * 100000 + idx[1] * 10000 + idx[2] * 1000
+             + idx[3] * 10 + idx[4]).astype(np.int32)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "czi_window")
+    path = os.path.join(out, "win.czi")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        subs = [{"data": block[t, c, z],
+                 "dims": {"S": 0, "T": t, "C": c, "Z": z}}
+                for t in range(block.shape[0])
+                for c in range(block.shape[1])
+                for z in range(block.shape[2])]
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(encode_czi(subs, compression=6))
+        os.replace(tmp, path)
+    px = read_czi_window(spark, path, t=1, c=0, z=(1, 3), y=(2, 5),
+                         x=(1, 4))
+    return (px.groupBy("z", "y")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"))
+            .orderBy("z", "y"))
+
+
+@register(
+    "img_dv_window_read",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {2 * 3 * 5 * 6} AS INTEGER) AS t,
+             CAST((i // {3 * 5 * 6}) % 2 AS INTEGER) AS c,
+             CAST((i // {5 * 6}) % 3 AS INTEGER) AS z,
+             CAST((i // 6) % 5 AS INTEGER) AS y,
+             CAST(i % 6 AS INTEGER) AS x,
+             CAST((i // {2 * 3 * 5 * 6}) * 10000
+                  + ((i // {3 * 5 * 6}) % 2) * 1000
+                  + ((i // {5 * 6}) % 3) * 100
+                  + ((i // 6) % 5) * 10 + (i % 6) AS DOUBLE) AS value
+      FROM range({2 * 2 * 3 * 5 * 6}) r(i))
+    SELECT c, z, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val
+    FROM px
+    WHERE t = 0 AND z >= 1 AND y >= 1 AND y < 4 AND x >= 2 AND x < 6
+    GROUP BY c, z ORDER BY c, z
+    """,
+    doc="Section-pruned windowed DV read (y window = byte range per "
+        "section)",
+)
+def img_dv_window_read(spark, sf_dir):
+    """The DV member of the window-read family: t/c/z prune whole
+    sections, the y window narrows each section read to its contiguous
+    row byte range. Ref README.md:60 (bioio-dv)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.formats.dv import encode_dv
+    from bioio_spark.sources.dv_image import read_dv_window
+
+    idx = np.indices(_RTZ_SHAPE)
+    block = (idx[0] * 10000 + idx[1] * 1000 + idx[2] * 100
+             + idx[3] * 10 + idx[4]).astype(np.uint16)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "dv_window")
+    path = os.path.join(out, "win.dv")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(encode_dv(block))
+        os.replace(tmp, path)
+    px = read_dv_window(spark, path, t=0, z=(1, 3), y=(1, 4),
+                        x=(2, 6))
     return (px.groupBy("c", "z")
             .agg(F.count(F.lit(1)).alias("n_px"),
                  F.sum("value").alias("sum_val"))
