@@ -127,14 +127,19 @@ def decode_lv(data: bytes) -> dict:
 # -- container -------------------------------------------------------------
 
 def _encode_experiment(loops: Sequence[tuple]) -> dict:
-    """Outer-to-inner [(loop_name_or_etype, count), ...] ->
+    """Outer-to-inner [(loop_name_or_etype, count[, pars]), ...] ->
     SLxExperiment LV tree (eType / uLoopPars.uiCount / ppNextLevelEx
-    nesting, mirroring the public nd2-package structure)."""
+    nesting, mirroring the public nd2-package structure). The optional
+    third element merges extra uLoopPars entries — e.g.
+    ``{"dPeriod": 500.0}`` (ms) on a TimeLoop."""
     exp: Optional[dict] = None
-    for name, count in reversed(list(loops)):
+    for loop in reversed(list(loops)):
+        name, count = loop[0], loop[1]
+        pars = dict(loop[2]) if len(loop) > 2 else {}
         etype = (_LOOP_NAME_TO_TYPE[name]
                  if isinstance(name, str) else int(name))
-        level = {"eType": etype, "uLoopPars": {"uiCount": int(count)}}
+        pars["uiCount"] = int(count)
+        level = {"eType": etype, "uLoopPars": pars}
         if exp is not None:
             level["ppNextLevelEx"] = {"i0000000000": exp}
         exp = level
@@ -185,9 +190,9 @@ def encode_nd2(frames: np.ndarray,
     if loops:
         import math
 
-        if math.prod(int(c) for _, c in loops) != t_n:
+        if math.prod(int(lp[1]) for lp in loops) != t_n:
             raise ValueError(
-                f"loop counts {[c for _, c in loops]} do not factor "
+                f"loop counts {[lp[1] for lp in loops]} do not factor "
                 f"the {t_n} frames")
         meta = encode_lv(_encode_experiment(loops))
         pos = len(out)
@@ -358,6 +363,28 @@ def resolve_nd2_loops(loops: Sequence[tuple[int, int]],
         out.append((kind, int(count)))
         total *= int(count)
     return out if total == n_frames else None
+
+
+def read_nd2_time_interval(path: str) -> Optional[float]:
+    """The outermost TimeLoop/NETimeLoop's uLoopPars.dPeriod
+    (milliseconds, the NIS acquisition interval) -> SECONDS, or None
+    when no time loop declares a period — feeds the reader's
+    time_interval metadata (ref bio_image.py:1066-1077 semantics)."""
+    cmap = read_nd2_chunkmap(path)
+    if "ImageMetadataLV!" not in cmap:
+        return None
+    lv = decode_lv(read_nd2_chunk(path, "ImageMetadataLV!",
+                                  *cmap["ImageMetadataLV!"]))
+    exp = lv.get("SLxExperiment")
+    while isinstance(exp, dict) and "eType" in exp:
+        pars = exp.get("uLoopPars", {})
+        if exp["eType"] in (LOOP_TIME, LOOP_NETIME) and \
+                isinstance(pars, dict) and pars.get("dPeriod"):
+            return float(pars["dPeriod"]) / 1000.0
+        nxt = exp.get("ppNextLevelEx")
+        exp = (next(iter(nxt.values()), None)
+               if isinstance(nxt, dict) and nxt else None)
+    return None
 
 
 def nd2_seq_coords(kinds: Sequence[tuple[str, int]],

@@ -158,6 +158,7 @@ class Nd2ImageReader:
                                              read_nd2_chunk,
                                              read_nd2_chunkmap,
                                              read_nd2_experiment,
+                                             read_nd2_time_interval,
                                              resolve_nd2_loops)
         from bioio_spark.ome_utils import resolve_channel_names
         from bioio_spark.sources.array_like import (PIXEL_COLUMNS,
@@ -201,6 +202,7 @@ class Nd2ImageReader:
         if pps is None and attrs.get("dCalibration"):
             cal = float(attrs["dCalibration"])
             pps = PhysicalPixelSizes(Z=None, Y=cal, X=cal)
+        time_interval = read_nd2_time_interval(path)
 
         scenes = [f"Image:{p}" for p in range(p_n)]
         channel_rows, scene_rows = [], []
@@ -220,7 +222,7 @@ class Nd2ImageReader:
                 "pps_z": pps.Z if pps else None,
                 "pps_y": pps.Y if pps else None,
                 "pps_x": pps.X if pps else None,
-                "time_interval": None, "metadata": None,
+                "time_interval": time_interval, "metadata": None,
             })
         plan = []
         for seq in range(seq_n):

@@ -283,3 +283,23 @@ def test_bioimage_read_window_routes_nd2(spark, tmp_path):
     got = np.zeros_like(exp)
     got[w["t"] - 1, w["y"] - 1, w["x"]] = w["value"].astype(np.uint16)
     np.testing.assert_array_equal(got, exp)
+
+
+def test_time_interval_from_dperiod(spark, tmp_path):
+    """TimeLoop dPeriod (ms) surfaces as BioImage.time_interval (s)."""
+    from bioio_spark.formats.nd2 import (encode_nd2,
+                                         read_nd2_time_interval)
+
+    frames = np.zeros((6, 2, 3), np.uint16)
+    p = tmp_path / "ti.nd2"
+    p.write_bytes(encode_nd2(
+        frames, loops=[("TimeLoop", 3, {"dPeriod": 500.0}),
+                       ("ZStackLoop", 2)]))
+    assert read_nd2_time_interval(str(p)) == pytest.approx(0.5)
+    img = BioImage(str(p), spark=spark)
+    assert img.time_interval == pytest.approx(0.5)
+    assert img.scale.T == pytest.approx(0.5)
+    # no period declared -> None
+    p2 = tmp_path / "np.nd2"
+    p2.write_bytes(encode_nd2(frames, loops=[("TimeLoop", 6)]))
+    assert read_nd2_time_interval(str(p2)) is None

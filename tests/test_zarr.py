@@ -677,3 +677,79 @@ def test_zarr_v3_sharded_zstd_roundtrip(spark, tmp_path):
     back = BioImage(out, reader=ZarrImageReader, spark=spark)
     np.testing.assert_array_equal(
         back.get_image_data("TCZYX").astype(np.uint16), block)
+
+
+def test_wild_zarr_python3_document_and_store(spark, tmp_path):
+    """A v3 store laid out exactly as zarr-python 3 writes it (array
+    zarr.json field order/defaults, zstd codec with level+checksum
+    config, 'c/' chunk keys) decodes through the full reader path —
+    pins the parser against the wild producer, not just our own
+    writer."""
+    import json
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.zarr import encode_chunk_v3
+    from bioio_spark.sources.zarr_image import ZarrImageReader
+
+    root = tmp_path / "wild.zarr"
+    (root / "0").mkdir(parents=True)
+    # group zarr.json: NGFF 0.5 attributes under attributes.ome
+    (root / "zarr.json").write_text(json.dumps({
+        "attributes": {"ome": {
+            "version": "0.5",
+            "multiscales": [{
+                "axes": [
+                    {"name": "z", "type": "space", "unit": "micrometer"},
+                    {"name": "y", "type": "space", "unit": "micrometer"},
+                    {"name": "x", "type": "space", "unit": "micrometer"},
+                ],
+                "datasets": [{
+                    "path": "0",
+                    "coordinateTransformations": [
+                        {"scale": [1.0, 0.5, 0.5], "type": "scale"}],
+                }],
+            }],
+        }},
+        "zarr_format": 3, "node_type": "group", "consolidated_metadata":
+        None}))
+    # array zarr.json in zarr-python 3's own field order and codec form
+    (root / "0" / "zarr.json").write_text(json.dumps({
+        "shape": [3, 4, 5],
+        "data_type": "uint16",
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": [2, 2, 3]}},
+        "chunk_key_encoding": {"name": "default",
+                               "configuration": {"separator": "/"}},
+        "fill_value": 0,
+        "codecs": [
+            {"name": "bytes", "configuration": {"endian": "little"}},
+            {"name": "zstd",
+             "configuration": {"level": 0, "checksum": False}},
+        ],
+        "attributes": {},
+        "zarr_format": 3,
+        "node_type": "array",
+        "storage_transformers": [],
+    }))
+    rng = np.random.default_rng(47)
+    full = rng.integers(0, 65535, (3, 4, 5)).astype(np.uint16)
+    import math
+    for gz in range(math.ceil(3 / 2)):
+        for gy in range(math.ceil(4 / 2)):
+            for gx in range(math.ceil(5 / 3)):
+                block = np.zeros((2, 2, 3), np.uint16)
+                sl = tuple(slice(g * c, min((g + 1) * c, s))
+                           for g, c, s in zip((gz, gy, gx), (2, 2, 3),
+                                              (3, 4, 5)))
+                ext = tuple(x.stop - x.start for x in sl)
+                block[tuple(slice(0, e) for e in ext)] = full[sl]
+                d = root / "0" / "c" / str(gz) / str(gy)
+                d.mkdir(parents=True, exist_ok=True)
+                (d / str(gx)).write_bytes(
+                    encode_chunk_v3(block, compressor="zstd"))
+
+    img = BioImage(str(root), reader=ZarrImageReader, spark=spark)
+    assert img.dims["ZYX"] == (3, 4, 5)
+    assert img.physical_pixel_sizes.Y == 0.5
+    np.testing.assert_array_equal(
+        img.get_image_data("ZYX").astype(np.uint16), full)
