@@ -204,3 +204,70 @@ def test_zarr_shard_roundtrip(shape, inner, seed):
         out[sl] = b
     np.testing.assert_array_equal(
         out, block[tuple(slice(0, s) for s in shape)])
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 24), w=st.integers(1, 24),
+    dtype=st.sampled_from(["uint8", "uint16", "float32", "int32",
+                           "float64"]),
+    comp=st.sampled_from([0, 5, 6]),
+    seed=st.integers(0, 2 ** 16),
+)
+def test_czi_subblock_roundtrip_any(h, w, dtype, comp, seed):
+    """Any plane x any supported compression (raw/zstd0/zstd1) survives
+    the ZISRAW encode -> directory walk -> subblock decode bit-exact."""
+    import os
+    import tempfile
+
+    from bioio_spark.formats.czi import (encode_czi, read_czi_directory,
+                                         read_czi_subblock)
+
+    rng = np.random.default_rng(seed)
+    if np.dtype(dtype).kind == "f":
+        plane = rng.random((h, w)).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        plane = rng.integers(info.min, info.max, (h, w)).astype(dtype)
+    data = encode_czi([{"data": plane}], compression=comp)
+    fd, p = tempfile.mkstemp(suffix=".czi")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        e = read_czi_directory(p)[0]
+        assert e["compression"] == comp
+        np.testing.assert_array_equal(read_czi_subblock(p, e), plane)
+    finally:
+        os.unlink(p)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    loops=st.lists(
+        st.tuples(st.sampled_from([1, 4, 2, 8]), st.integers(1, 4)),
+        min_size=1, max_size=3),
+    seed=st.integers(0, 2 ** 16),
+)
+def test_nd2_seq_coords_bijective(loops, seed):
+    """Mixed-radix frame decomposition is a bijection: every sequence
+    index maps to a unique (p, t, z) and the per-kind sizes multiply
+    back to the frame count."""
+    import math
+
+    from bioio_spark.formats.nd2 import (nd2_seq_coords,
+                                         resolve_nd2_loops)
+
+    n = math.prod(c for _, c in loops)
+    kinds = resolve_nd2_loops(loops, n)
+    assert kinds is not None
+    sizes = {"t": 1, "z": 1, "p": 1}
+    for kind, count in kinds:
+        sizes[kind] *= count
+    seen = set()
+    for seq in range(n):
+        co = nd2_seq_coords(kinds, seq)
+        assert 0 <= co["t"] < sizes["t"]
+        assert 0 <= co["z"] < sizes["z"]
+        assert 0 <= co["p"] < sizes["p"]
+        seen.add((co["p"], co["t"], co["z"]))
+    assert len(seen) == n
