@@ -314,9 +314,17 @@ class BioImage:
         if isinstance(path, str):
             from bioio_spark.sources.czi_image import (CziImageReader,
                                                        read_czi_planes)
+            from bioio_spark.sources.tiff_image import (TiffImageReader,
+                                                        read_tiff_planes)
             from bioio_spark.sources.zarr_image import (ZarrImageReader,
                                                         _scene_roots)
 
+            if isinstance(reader, TiffImageReader) and os.path.isfile(
+                    path) and len(self.scenes) == 1 and \
+                    "S" not in self.dims.order:
+                return read_tiff_planes(
+                    self._spark, path,
+                    level=self._current_resolution_level).select(*cols)
             if isinstance(reader, ZarrImageReader):
                 from bioio_spark.sources.zarr_image import \
                     read_zarr_planes

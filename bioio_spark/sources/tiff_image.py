@@ -271,6 +271,104 @@ def decode_tiff_files(spark: SparkSession, paths: list[str],
                "y int, x int, s int, value double")
 
 
+def read_tiff_planes(spark: SparkSession, path: str,
+                     level: int = 0) -> DataFrame:
+    """ZERO-SHUFFLE strip/tile -> planes-layout read of ONE
+    single-scene TIFF (the TIFF member of the planes family, with
+    read_zarr_planes / read_czi_planes): the seek-based IFD walk plans
+    one row per stored chunk; each task reads exactly its byte range
+    and emits (t, c, z, y0, x0, h, w, values) payload rows — no
+    per-pixel amplification, tile geometry = the file's own strip/tile
+    grid. ``level`` selects the SubIFD pyramid child. Multi-sample
+    (S>1) and multi-scene files route through the full reader."""
+    from bioio_spark.formats.tiff import iter_tiff_chunks
+
+    p = local_path(path)
+    pages = iter_tiff_chunks(p)
+    if not pages:
+        raise ValueError(f"{p}: no TIFF pages")
+    if level:
+        swapped = []
+        for pg in pages:
+            if level > len(pg["subifds"]):
+                raise IndexError(
+                    f"{p}: page {pg['page']} has "
+                    f"{len(pg['subifds'])} pyramid level(s)")
+            sub = dict(pg["subifds"][level - 1])
+            sub["page"] = pg["page"]
+            sub["description"] = pg["description"]
+            swapped.append(sub)
+        pages = swapped
+    if any(pg["spp"] != 1 for pg in pages):
+        raise ValueError("read_tiff_planes supports single-sample "
+                         "pages; use the full reader")
+    desc = pages[0]["description"]
+    size_t = size_c = 1
+    size_z = len(pages)
+    if desc and "<OME" in desc:
+        from bioio_spark.formats.tiff import parse_ome_xml_scenes
+
+        metas = parse_ome_xml_scenes(desc)
+        if len(metas) > 1:
+            raise ValueError(
+                "read_tiff_planes reads single-scene files; route "
+                "multi-scene files through BioImage")
+        h = metas[0]
+        size_t, size_c, size_z = h["size_t"], h["size_c"], h["size_z"]
+    tasks = []
+    for pg in pages:
+        ti, rem = divmod(pg["page"], size_c * size_z)
+        ci, zi = divmod(rem, size_z)
+        for ch in pg["chunks"]:
+            tasks.append((ti, ci, zi, ch["offset"], ch["nbytes"],
+                          ch["y0"], ch["x0"], ch["h"], ch["w"],
+                          pg["dtype"], pg["comp"], pg["pred"],
+                          pg["h"], pg["w"]))
+    task_df = spark.createDataFrame(
+        tasks,
+        "t int, c int, z int, offset long, nbytes long, y0 int, "
+        "x0 int, ch int, cw int, dtype string, comp int, pred int, "
+        "page_h int, page_w int",
+    ).repartition(min(len(tasks),
+                      spark.sparkContext.defaultParallelism))
+
+    def decode(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from bioio_spark.formats.tiff import (_undo_horizontal_predictor,
+                                              decompress_tiff_chunk)
+
+        with open(p, "rb") as f:
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    f.seek(row.offset)
+                    raw = decompress_tiff_chunk(f.read(row.nbytes),
+                                                row.comp)
+                    dt = _np.dtype(row.dtype)
+                    block = _np.frombuffer(
+                        raw, dtype=dt,
+                        count=row.ch * row.cw).reshape(
+                        (row.ch, row.cw))
+                    if row.pred == 2:
+                        block = _undo_horizontal_predictor(block)
+                    vh = min(row.ch, row.page_h - row.y0)
+                    vw = min(row.cw, row.page_w - row.x0)
+                    block = block[:vh, :vw]
+                    yield _pd.DataFrame({
+                        "t": [int(row.t)], "c": [int(row.c)],
+                        "z": [int(row.z)], "y0": [int(row.y0)],
+                        "x0": [int(row.x0)], "h": [int(vh)],
+                        "w": [int(vw)],
+                        "values": [block.astype(_np.float64).ravel()],
+                    })
+
+    return task_df.mapInPandas(
+        decode,
+        schema="t int, c int, z int, y0 int, x0 int, h int, w int, "
+               "values array<double>")
+
+
 def read_tiff_window(spark: SparkSession, path: str,
                      t=None, c=None, z=None, y=None, x=None,
                      level: int = 0) -> DataFrame:

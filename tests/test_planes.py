@@ -354,3 +354,33 @@ def test_get_planes_dataframe_fallback(spark):
     assert set(pdf.columns) == {"t", "c", "z", "y0", "x0", "h", "w",
                                 "values"}
     assert sum(len(v) for v in pdf["values"]) == block.size
+
+
+def test_get_planes_dataframe_tiff_fast_path(spark, tmp_path):
+    """Tiled-TIFF-backed scenes produce planes rows zero-shuffle from
+    the file's own tile grid, honoring the current resolution level."""
+    import numpy as np
+
+    from bioio_spark import BioImage
+    from bioio_spark.writers import save_ome_tiff
+
+    rng = np.random.default_rng(53)
+    a = rng.integers(0, 255, (32, 48)).astype(np.uint8)
+    out = tmp_path / "tp"
+    save_ome_tiff(BioImage(a, dim_order="YX", spark=spark), str(out),
+                  tile=(16, 16), n_levels=2, compression=8)
+    img = BioImage(str(out / "scene_0.ome.tiff"), spark=spark)
+    pl = img.get_planes_dataframe()
+    plan = pl._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    pdf = pl.toPandas()
+    assert len(pdf) == (32 // 16) * (48 // 16)          # 6 tiles
+    row = pdf[(pdf.y0 == 16) & (pdf.x0 == 32)].iloc[0]
+    np.testing.assert_array_equal(
+        np.array(row["values"]),
+        a[16:32, 32:48].astype(np.float64).ravel())
+    # level 1 planes come from the SubIFD grid
+    img.set_resolution_level(1)
+    want = img.get_image_data("YX")
+    pdf1 = img.get_planes_dataframe().toPandas()
+    assert sum(len(v) for v in pdf1["values"]) == want.size
