@@ -2661,3 +2661,60 @@ def img_dv_window_read(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_px"),
                  F.sum("value").alias("sum_val"))
             .orderBy("c", "z"))
+
+
+@register(
+    "img_tiff_planes_read",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {2 * 3 * 5 * 6} AS INTEGER) AS t,
+             CAST((i // {3 * 5 * 6}) % 2 AS INTEGER) AS c,
+             CAST((i // {5 * 6}) % 3 AS INTEGER) AS z,
+             CAST((i // {2 * 3 * 5 * 6}) * 100000
+                  + ((i // {3 * 5 * 6}) % 2) * 10000
+                  + ((i // {5 * 6}) % 3) * 1000
+                  + ((i // 6) % 5) * 10 + (i % 6) AS DOUBLE) AS value
+      FROM range({2 * 2 * 3 * 5 * 6}) r(i))
+    SELECT t, c, z, CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY t, c, z ORDER BY t, c, z
+    """,
+    doc="Zero-shuffle TIFF planes read: one payload row per stored "
+        "strip, reduced JVM-side (the planes-family TIFF member)",
+)
+def img_tiff_planes_read(spark, sf_dir):
+    """read_tiff_planes emits strip/tile payload rows straight off the
+    IFD plan (no per-pixel amplification, no exchange — pinned in
+    tests); per-page reduction via higher-order functions, hash-equal
+    to the long-form oracle."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.sources.tiff_image import read_tiff_planes
+    from bioio_spark.writers import save_ome_tiff
+
+    idx = np.indices(_RTZ_SHAPE)
+    block = (idx[0] * 100000 + idx[1] * 10000 + idx[2] * 1000
+             + idx[3] * 10 + idx[4]).astype(np.uint32)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "tiff_planes")
+    path = os.path.join(out, "scene_0.ome.tiff")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        save_ome_tiff(BioImage(block, spark=spark), out, compression=8)
+    planes = read_tiff_planes(spark, path)
+    per_row = planes.select(
+        "t", "c", "z",
+        F.size("values").alias("n"),
+        F.aggregate("values", F.lit(0.0),
+                    lambda acc, x: acc + x).alias("s"),
+        F.array_max("values").alias("mx"))
+    return (per_row.groupBy("t", "c", "z")
+            .agg(F.sum("n").cast("bigint").alias("n_px"),
+                 F.sum("s").alias("sum_val"),
+                 F.max("mx").alias("max_val"))
+            .orderBy("t", "c", "z"))
