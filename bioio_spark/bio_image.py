@@ -341,6 +341,27 @@ class BioImage:
                 return read_czi_planes(
                     self._spark, path,
                     scene=self._current_scene_index).select(*cols)
+
+            from bioio_spark.sources.dv_image import (DvImageReader,
+                                                      read_dv_planes)
+            from bioio_spark.sources.lif_image import (LifImageReader,
+                                                       read_lif_planes)
+            from bioio_spark.sources.nd2_image import (Nd2ImageReader,
+                                                       read_nd2_planes)
+
+            if isinstance(reader, DvImageReader) and os.path.isfile(
+                    path) and len(self.scenes) == 1:
+                return read_dv_planes(self._spark, path).select(*cols)
+            if isinstance(reader, Nd2ImageReader) and os.path.isfile(
+                    path):
+                return read_nd2_planes(
+                    self._spark, path,
+                    scene=self._current_scene_index).select(*cols)
+            if isinstance(reader, LifImageReader) and os.path.isfile(
+                    path) and "M" not in self.dims.order:
+                return read_lif_planes(
+                    self._spark, path,
+                    scene=self._current_scene_index).select(*cols)
         px, _dims = self._standard_pixels()
         return pixels_to_planes(px, tile_h=tile_h,
                                 tile_w=tile_w).select(*cols)

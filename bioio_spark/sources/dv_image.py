@@ -109,6 +109,47 @@ def read_dv_window(spark: SparkSession, path: str,
     return px.filter((F.col("x") >= x0) & (F.col("x") < x1))
 
 
+def read_dv_planes(spark: SparkSession, path: str):
+    """ZERO-SHUFFLE section -> planes-layout read: one payload row per
+    DV section (a contiguous YX plane), the DV member of the planes
+    family. Complex modes carry the real part, matching the long-form
+    reader."""
+    from bioio_spark.formats.dv import HEADER_SIZE, iter_dv_sections, \
+        parse_dv_header
+
+    path = os.path.abspath(path)
+    with open(path, "rb") as f:
+        h = parse_dv_header(f.read(HEADER_SIZE))
+    plan = [{"path": path, "t": s["t"], "c": s["w"], "z": s["z"],
+             "offset": s["offset"]} for s in iter_dv_sections(h)]
+    ny, nx = h["ny"], h["nx"]
+    dtype_str = h["dtype"].str
+    nbytes = ny * nx * h["dtype"].itemsize
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for r in pdf.itertuples():
+                with open(r.path, "rb") as f:
+                    f.seek(r.offset)
+                    buf = f.read(nbytes)
+                plane = np.frombuffer(
+                    buf, dtype=np.dtype(dtype_str)).reshape(ny, nx)
+                vals = (plane.real if np.issubdtype(
+                    plane.dtype, np.complexfloating) else plane)
+                yield pd.DataFrame({
+                    "t": [int(r.t)], "c": [int(r.c)], "z": [int(r.z)],
+                    "y0": [0], "x0": [0], "h": [ny], "w": [nx],
+                    "values": [vals.ravel().astype(np.float64)],
+                })
+
+    plan_df = spark.createDataFrame(pd.DataFrame(plan)).repartition(
+        min(len(plan), spark.sparkContext.defaultParallelism))
+    return plan_df.mapInPandas(
+        batches,
+        schema="t int, c int, z int, y0 int, x0 int, h int, w int, "
+               "values array<double>")
+
+
 class DvImageReader:
     """BioImage reader over DeltaVision files (plugin tier)."""
 

@@ -98,6 +98,53 @@ def read_lif_window(spark: SparkSession, path: str,
     return plan_df.mapInPandas(batches, schema=schema)
 
 
+def read_lif_planes(spark: SparkSession, path: str, scene: int = 0):
+    """ZERO-SHUFFLE plane -> planes-layout read (the LIF member of the
+    planes family): one payload row per (t, c, z) plane via the stride
+    arithmetic. Tile-scan scenes route through BioImage/mosaic."""
+    from bioio_spark.formats.lif import parse_lif_header
+
+    path = os.path.abspath(path)
+    header = parse_lif_header(path)
+    if not (0 <= scene < len(header["scenes"])):
+        raise IndexError(f"{path}: no scene {scene}")
+    sc = header["scenes"][scene]
+    if sc.get("m_n", 1) > 1:
+        raise ValueError(
+            "read_lif_planes reads single-tile scenes; tile scans "
+            "route through BioImage/mosaic semantics")
+    t_n, c_n, z_n, y_n, x_n = sc["shape"]
+    plan = [{"path": path, "scene_i": scene, "t": t, "c": c, "z": z}
+            for t in range(t_n) for c in range(c_n)
+            for z in range(z_n)]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from bioio_spark.formats.lif import (parse_lif_header,
+                                             read_lif_plane)
+
+        hdr_cache: dict = {}
+        for pdf in it:
+            for r in pdf.itertuples():
+                if r.path not in hdr_cache:
+                    hdr_cache[r.path] = parse_lif_header(r.path)
+                plane = read_lif_plane(
+                    r.path, hdr_cache[r.path], r.scene_i,
+                    r.t, r.c, r.z)
+                yield pd.DataFrame({
+                    "t": [int(r.t)], "c": [int(r.c)], "z": [int(r.z)],
+                    "y0": [0], "x0": [0],
+                    "h": [plane.shape[0]], "w": [plane.shape[1]],
+                    "values": [plane.ravel().astype(np.float64)],
+                })
+
+    plan_df = spark.createDataFrame(pd.DataFrame(plan)).repartition(
+        min(len(plan), spark.sparkContext.defaultParallelism))
+    return plan_df.mapInPandas(
+        batches,
+        schema="t int, c int, z int, y0 int, x0 int, h int, w int, "
+               "values array<double>")
+
+
 class LifImageReader:
     """BioImage reader over baseline LIF files (plugin tier)."""
 

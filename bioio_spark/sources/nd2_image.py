@@ -123,6 +123,71 @@ def read_nd2_window(spark: SparkSession, path: str,
     return plan_df.mapInPandas(batches, schema=schema)
 
 
+def read_nd2_planes(spark: SparkSession, path: str, scene: int = 0):
+    """ZERO-SHUFFLE frame -> planes-layout read (the ND2 member of the
+    planes family): one payload row per (frame, component) plane,
+    de-interleaved executor-side. ``scene`` = XYPosLoop stage
+    position."""
+    from bioio_spark.formats.nd2 import (nd2_seq_coords,
+                                         read_nd2_attributes,
+                                         read_nd2_chunkmap,
+                                         read_nd2_experiment,
+                                         resolve_nd2_loops)
+
+    path = os.path.abspath(path)
+    attrs = read_nd2_attributes(path)
+    cmap = read_nd2_chunkmap(path)
+    seq_n = attrs["uiSequenceCount"]
+    c_n = attrs["uiComp"]
+    y_n, x_n = attrs["uiHeight"], attrs["uiWidth"]
+    dt_name = "u1" if attrs["uiBpcInMemory"] == 8 else "<u2"
+    kinds = resolve_nd2_loops(read_nd2_experiment(path), seq_n)
+    if kinds is None:
+        kinds = [("t", seq_n)]
+    p_n = 1
+    for kind, count in kinds:
+        if kind == "p":
+            p_n *= count
+    if not (0 <= scene < p_n):
+        raise IndexError(f"{path}: no position {scene}")
+    plan = []
+    for seq in range(seq_n):
+        co = nd2_seq_coords(kinds, seq)
+        if co["p"] != scene:
+            continue
+        off, size = cmap[f"ImageDataSeq|{seq}!"]
+        plan.append({"path": path, "seq": seq, "t": co["t"],
+                     "z": co["z"], "offset": off, "size": size})
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from bioio_spark.formats.nd2 import read_nd2_chunk
+
+        for pdf in it:
+            for r in pdf.itertuples():
+                data = read_nd2_chunk(
+                    r.path, f"ImageDataSeq|{r.seq}!",
+                    int(r.offset), int(r.size))
+                a = np.frombuffer(
+                    data, dtype=np.dtype(dt_name), offset=8,
+                    count=y_n * x_n * c_n)
+                frame = (a.reshape(y_n, x_n, c_n)
+                         .transpose(2, 0, 1))
+                for c in range(c_n):
+                    yield pd.DataFrame({
+                        "t": [int(r.t)], "c": [c], "z": [int(r.z)],
+                        "y0": [0], "x0": [0], "h": [y_n], "w": [x_n],
+                        "values": [frame[c].ravel()
+                                   .astype(np.float64)],
+                    })
+
+    plan_df = spark.createDataFrame(pd.DataFrame(plan)).repartition(
+        min(len(plan), spark.sparkContext.defaultParallelism))
+    return plan_df.mapInPandas(
+        batches,
+        schema="t int, c int, z int, y0 int, x0 int, h int, w int, "
+               "values array<double>")
+
+
 class Nd2ImageReader:
     """BioImage reader over baseline ND2 files (plugin tier)."""
 

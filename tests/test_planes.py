@@ -384,3 +384,40 @@ def test_get_planes_dataframe_tiff_fast_path(spark, tmp_path):
     want = img.get_image_data("YX")
     pdf1 = img.get_planes_dataframe().toPandas()
     assert sum(len(v) for v in pdf1["values"]) == want.size
+
+
+def test_get_planes_dataframe_vendor_fast_paths(spark, tmp_path):
+    """DV, ND2, and LIF scenes all decode to planes rows zero-shuffle
+    — every planned source now has a planes fast path."""
+    import numpy as np
+
+    from bioio_spark import BioImage
+    from bioio_spark.formats.dv import encode_dv
+    from bioio_spark.formats.lif import encode_lif
+    from bioio_spark.formats.nd2 import encode_nd2
+
+    rng = np.random.default_rng(59)
+    block = rng.integers(0, 65535, (2, 2, 2, 4, 5)).astype(np.uint16)
+    files = {
+        "a.dv": encode_dv(block),
+        "a.lif": encode_lif([{"name": "S", "data": block}]),
+        "a.nd2": encode_nd2(
+            block[:, 0, :, :, :].reshape(4, 4, 5),
+            loops=[("TimeLoop", 2), ("ZStackLoop", 2)]),
+    }
+    for name, payload in files.items():
+        p = tmp_path / name
+        p.write_bytes(payload)
+        img = BioImage(str(p), spark=spark)
+        pl = img.get_planes_dataframe()
+        plan = pl._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, name
+        pdf = pl.toPandas()
+        n_expected = (block.size if name != "a.nd2"
+                      else block[:, 0].size)
+        assert sum(len(v) for v in pdf["values"]) == n_expected, name
+        # spot-check one plane's payload
+        row = pdf[(pdf.t == 1) & (pdf.c == 0) & (pdf.z == 1)].iloc[0]
+        want = (block[1, 0, 1] if name != "a.nd2"
+                else block[1, 0, 1]).astype(np.float64).ravel()
+        np.testing.assert_array_equal(np.array(row["values"]), want)
