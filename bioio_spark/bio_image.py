@@ -362,6 +362,14 @@ class BioImage:
                 return read_lif_planes(
                     self._spark, path,
                     scene=self._current_scene_index).select(*cols)
+
+            from bioio_spark.sources.sldy_image import (SldyImageReader,
+                                                        read_sldy_planes)
+
+            if isinstance(reader, SldyImageReader):
+                return read_sldy_planes(
+                    self._spark, path,
+                    scene=self._current_scene_index).select(*cols)
         px, _dims = self._standard_pixels()
         return pixels_to_planes(px, tile_h=tile_h,
                                 tile_w=tile_w).select(*cols)

@@ -96,6 +96,46 @@ def read_npy_header(path: str):
         return shape, dtype
 
 
+def read_sldy_planes(spark: SparkSession, path: str, scene: int = 0):
+    """ZERO-SHUFFLE npy -> planes-layout read (the SLDY member of the
+    planes family): each T{t}_C{c}.npy stack yields one payload row per
+    Z plane — npy-per-task parallelism with no per-pixel rows."""
+    dirs = _scene_dirs(path)
+    if not (0 <= scene < len(dirs)):
+        raise IndexError(f"{path}: no scene {scene}")
+    d = dirs[scene]
+    plan = []
+    for p in _glob.glob(os.path.join(d, "ImageData", "*.npy")):
+        m = _NPY_RE.search(os.path.basename(p))
+        if m:
+            plan.append({"path": os.path.abspath(p),
+                         "t": int(m.group(1)), "c": int(m.group(2))})
+    if not plan:
+        raise FileNotFoundError(f"{d}: no T*_C*.npy stacks")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for r in pdf.itertuples():
+                stack = np.load(r.path)
+                if stack.ndim == 2:
+                    stack = stack[None]
+                for z in range(stack.shape[0]):
+                    yield pd.DataFrame({
+                        "t": [int(r.t)], "c": [int(r.c)], "z": [z],
+                        "y0": [0], "x0": [0],
+                        "h": [stack.shape[1]], "w": [stack.shape[2]],
+                        "values": [stack[z].ravel()
+                                   .astype(np.float64)],
+                    })
+
+    plan_df = spark.createDataFrame(pd.DataFrame(plan)).repartition(
+        min(len(plan), spark.sparkContext.defaultParallelism))
+    return plan_df.mapInPandas(
+        batches,
+        schema="t int, c int, z int, y0 int, x0 int, h int, w int, "
+               "values array<double>")
+
+
 class SldyImageReader:
     """BioImage reader over SlideBook npy-export directories."""
 

@@ -111,3 +111,21 @@ def test_sldy_plugin_registered():
     from bioio_spark.plugins import _REGISTRY
 
     assert any(e.name == "bioio-sldy-baseline" for e in _REGISTRY)
+
+
+def test_get_planes_dataframe_sldy_fast_path(spark, tmp_path):
+    """SLDY scenes decode to planes rows zero-shuffle (one payload row
+    per Z plane of each npy stack)."""
+    block = _block()
+    d = _export(tmp_path, block)
+    img = BioImage(d, spark=spark)
+    pl = img.get_planes_dataframe()
+    plan = pl._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    pdf = pl.toPandas()
+    assert len(pdf) == 2 * 2 * 3                 # t*c*z plane rows
+    assert sum(len(v) for v in pdf["values"]) == block.size
+    row = pdf[(pdf.t == 1) & (pdf.c == 0) & (pdf.z == 2)].iloc[0]
+    np.testing.assert_array_equal(
+        np.array(row["values"]),
+        block[1, 0, 2].astype(np.float64).ravel())
