@@ -100,3 +100,27 @@ def test_read_window_matches_filtered_frame(spark, tmp_path, fmt):
             np.testing.assert_array_equal(
                 got[col].to_numpy(), want[col].to_numpy(),
                 err_msg=f"{fmt} {win} {col}")
+
+
+@pytest.mark.parametrize("fmt", ["tiff", "zarr", "dv", "czi", "nd2",
+                                 "lif"])
+def test_planes_fast_path_matches_pixels(spark, tmp_path, fmt):
+    """get_planes_dataframe's zero-shuffle fast path, exploded back to
+    pixels, equals the standardized long-form frame — the planes
+    layout loses nothing for any source."""
+    from bioio_spark.operators.planes import planes_to_pixels
+
+    vol = _vol()
+    path = _write_fixture(fmt, vol, tmp_path, spark)
+    img = BioImage(path, spark=spark)
+    got = (planes_to_pixels(img.get_planes_dataframe())
+           .select("t", "c", "z", "y", "x", "value")
+           .orderBy("t", "c", "z", "y", "x").toPandas())
+    want = (img.get_image_dataframe()
+            .select("t", "c", "z", "y", "x", "value")
+            .orderBy("t", "c", "z", "y", "x").toPandas())
+    assert len(got) == len(want) == vol.size
+    for col in ("t", "c", "z", "y", "x", "value"):
+        np.testing.assert_array_equal(
+            got[col].to_numpy(), want[col].to_numpy(),
+            err_msg=f"{fmt} {col}")
