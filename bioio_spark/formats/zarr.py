@@ -43,10 +43,13 @@ def _expected_nbytes(dtype, chunk_shape: Sequence[int]) -> int:
     return int(np.prod(tuple(chunk_shape))) * np.dtype(dtype).itemsize
 
 
-def encode_chunk(block: np.ndarray, compressor: Optional[str] = "zlib",
+def encode_chunk(block: np.ndarray, compressor="zlib",
                  level: int = 1) -> bytes:
-    """C-order raw bytes of one FULL-SHAPE chunk, optionally compressed
-    (zlib deflate or a numcodecs-style raw zstd frame).
+    """C-order raw bytes of one FULL-SHAPE chunk, optionally compressed.
+    ``compressor``: "zlib" (raw deflate stream), "zstd" (numcodecs-style
+    raw frame), a numcodecs-style blosc dict
+    ``{"id": "blosc", "cname": ..., "clevel": ..., "shuffle": ...}``
+    (the zarr-python 2 DEFAULT compressor family), or None.
 
     Zarr v2 stores every chunk with the same shape; callers pad edge
     chunks with fill_value before encoding."""
@@ -55,6 +58,13 @@ def encode_chunk(block: np.ndarray, compressor: Optional[str] = "zlib",
         return zlib.compress(raw, level)
     if compressor == "zstd":
         return _zstd_compress(raw, level)
+    if isinstance(compressor, dict) and compressor.get("id") == "blosc":
+        from bioio_spark.formats.blosc import blosc_encode
+        return blosc_encode(
+            raw, typesize=np.dtype(block.dtype).itemsize,
+            cname=compressor.get("cname", "lz4"),
+            clevel=int(compressor.get("clevel", 5)),
+            shuffle=int(compressor.get("shuffle", 1)))
     if compressor is None:
         return raw
     raise ValueError(f"unsupported compressor {compressor!r}")
@@ -62,11 +72,16 @@ def encode_chunk(block: np.ndarray, compressor: Optional[str] = "zlib",
 
 def decode_chunk(data: bytes, dtype: str | np.dtype,
                  chunk_shape: Sequence[int],
-                 compressor: Optional[str] = "zlib") -> np.ndarray:
+                 compressor="zlib") -> np.ndarray:
     if compressor == "zlib":
         data = zlib.decompress(data)
     elif compressor == "zstd":
         data = _zstd_decompress(data, _expected_nbytes(dtype, chunk_shape))
+    elif compressor == "blosc" or (isinstance(compressor, dict)
+                                   and compressor.get("id") == "blosc"):
+        # the blosc frame self-describes its inner codec/shuffle
+        from bioio_spark.formats.blosc import blosc_decode
+        data = blosc_decode(data)
     elif compressor is not None:
         raise ValueError(f"unsupported compressor {compressor!r}")
     return np.frombuffer(data, dtype=np.dtype(dtype)).reshape(
@@ -80,8 +95,11 @@ def build_zarray(shape: Sequence[int], chunks: Sequence[int],
                  compressor: Optional[str] = "zlib",
                  fill_value=0,
                  dimension_separator: str = ".") -> str:
-    comp = ({"id": compressor, "level": 1}
-            if compressor in ("zlib", "zstd") else None)
+    if isinstance(compressor, dict):
+        comp = compressor                   # e.g. numcodecs blosc config
+    else:
+        comp = ({"id": compressor, "level": 1}
+                if compressor in ("zlib", "zstd") else None)
     return json.dumps({
         "zarr_format": 2,
         "shape": list(int(s) for s in shape),
@@ -108,6 +126,10 @@ def parse_zarray(doc: str) -> dict:
         comp_id = None
     elif isinstance(comp, dict) and comp.get("id") in ("zlib", "zstd"):
         comp_id = comp["id"]
+    elif isinstance(comp, dict) and comp.get("id") == "blosc":
+        # decode side only needs the family marker — the Blosc frame
+        # header self-describes cname/shuffle/blocksize per chunk
+        comp_id = "blosc"
     else:
         raise ValueError(f"unsupported compressor {comp!r}")
     return {

@@ -2718,3 +2718,58 @@ def img_tiff_planes_read(spark, sf_dir):
                  F.sum("s").alias("sum_val"),
                  F.max("mx").alias("max_val"))
             .orderBy("t", "c", "z"))
+
+
+@register(
+    "img_ome_zarr_roundtrip_blosc",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {2 * 3 * 5 * 6} AS INTEGER) AS t,
+             CAST((i // {3 * 5 * 6}) % 2 AS INTEGER) AS c,
+             CAST((i // {5 * 6}) % 3 AS INTEGER) AS z,
+             CAST((i // 6) % 5 AS INTEGER) AS y,
+             CAST(i % 6 AS INTEGER) AS x,
+             CAST((i // {2 * 3 * 5 * 6}) * 100000
+                  + ((i // {3 * 5 * 6}) % 2) * 10000
+                  + ((i // {5 * 6}) % 3) * 1000
+                  + ((i // 6) % 5) * 10 + (i % 6) AS DOUBLE) AS value
+      FROM range({2 * 2 * 3 * 5 * 6}) r(i))
+    SELECT c, y, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY c, y ORDER BY c, y
+    """,
+    doc="OME-Zarr v2 with the numcodecs Blosc compressor (lz4 + "
+        "byte-shuffle — zarr-python 2's default) save -> reread",
+)
+def img_ome_zarr_roundtrip_blosc(spark, sf_dir):
+    """Wild OME-NGFF 0.4 stores are blosc-compressed by default; this
+    pins the Blosc1 frame codec (header/flags/bstarts/splits/shuffle,
+    lz4 inner blocks via pyarrow) end-to-end through the chunk-parallel
+    sink and the planned read. Ref README.md:66 (bioio-ome-zarr);
+    format per the public c-blosc header spec."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.sources.zarr_image import ZarrImageReader
+    from bioio_spark.writers import save_ome_zarr
+
+    idx = np.indices(_RTZ_SHAPE)
+    block = (idx[0] * 100000 + idx[1] * 10000 + idx[2] * 1000
+             + idx[3] * 10 + idx[4]).astype(np.uint32)
+    img = BioImage(block, spark=spark)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "zarr_roundtrip_blosc")
+    shutil.rmtree(out, ignore_errors=True)
+    save_ome_zarr(img, out, chunks=(1, 1, 2, 3, 4),
+                  compressor={"id": "blosc", "cname": "lz4",
+                              "clevel": 5, "shuffle": 1})
+    back = BioImage(out, reader=ZarrImageReader, spark=spark)
+    return (back.get_image_dataframe()
+            .groupBy("c", "y")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("c", "y"))

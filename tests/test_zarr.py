@@ -35,7 +35,7 @@ def test_zarray_document_roundtrip():
 
 def test_zarray_rejects_unsupported():
     bad = json.loads(build_zarray((2, 2), (1, 1), "uint8"))
-    bad["compressor"] = {"id": "blosc"}
+    bad["compressor"] = {"id": "lzma"}
     with pytest.raises(ValueError, match="compressor"):
         parse_zarray(json.dumps(bad))
     bad2 = json.loads(build_zarray((2, 2), (1, 1), "uint8"))
