@@ -387,6 +387,27 @@ def read_nd2_time_interval(path: str) -> Optional[float]:
     return None
 
 
+def read_nd2_z_step(path: str) -> Optional[float]:
+    """The ZStackLoop's uLoopPars.dZStep (µm per Z plane) — feeds the
+    reader's PhysicalPixelSizes.Z, the same source the reference's
+    bioio-nd2 reads Z spacing from."""
+    cmap = read_nd2_chunkmap(path)
+    if "ImageMetadataLV!" not in cmap:
+        return None
+    lv = decode_lv(read_nd2_chunk(path, "ImageMetadataLV!",
+                                  *cmap["ImageMetadataLV!"]))
+    exp = lv.get("SLxExperiment")
+    while isinstance(exp, dict) and "eType" in exp:
+        pars = exp.get("uLoopPars", {})
+        if exp["eType"] == LOOP_ZSTACK and isinstance(pars, dict) \
+                and pars.get("dZStep"):
+            return float(pars["dZStep"])
+        nxt = exp.get("ppNextLevelEx")
+        exp = (next(iter(nxt.values()), None)
+               if isinstance(nxt, dict) and nxt else None)
+    return None
+
+
 def nd2_seq_coords(kinds: Sequence[tuple[str, int]],
                    seq: int) -> dict[str, int]:
     """Frame sequence index -> {"t": i, "z": j, "p": k} under the

@@ -265,8 +265,11 @@ class Nd2ImageReader:
                 names = got
         pps = self._pps
         if pps is None and attrs.get("dCalibration"):
+            from bioio_spark.formats.nd2 import read_nd2_z_step
+
             cal = float(attrs["dCalibration"])
-            pps = PhysicalPixelSizes(Z=None, Y=cal, X=cal)
+            pps = PhysicalPixelSizes(Z=read_nd2_z_step(path),
+                                     Y=cal, X=cal)
         time_interval = read_nd2_time_interval(path)
 
         scenes = [f"Image:{p}" for p in range(p_n)]

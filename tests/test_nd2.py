@@ -303,3 +303,17 @@ def test_time_interval_from_dperiod(spark, tmp_path):
     p2 = tmp_path / "np.nd2"
     p2.write_bytes(encode_nd2(frames, loops=[("TimeLoop", 6)]))
     assert read_nd2_time_interval(str(p2)) is None
+
+
+def test_z_step_feeds_physical_pixel_sizes(spark, tmp_path):
+    from bioio_spark.formats.nd2 import encode_nd2, read_nd2_z_step
+
+    frames = np.zeros((6, 2, 3), np.uint16)
+    p = tmp_path / "zs.nd2"
+    p.write_bytes(encode_nd2(
+        frames, pixel_um=0.16,
+        loops=[("TimeLoop", 2), ("ZStackLoop", 3, {"dZStep": 0.7})]))
+    assert read_nd2_z_step(str(p)) == pytest.approx(0.7)
+    img = BioImage(str(p), spark=spark)
+    assert img.physical_pixel_sizes.Z == pytest.approx(0.7)
+    assert img.physical_pixel_sizes.X == pytest.approx(0.16)
