@@ -7,9 +7,12 @@ implements the public Zarr v2 storage spec (zarr-specs v2: `.zarray` /
 padded with fill_value, `dimension_separator` "." or "/") and the OME-NGFF
 0.4 `multiscales` / `omero` attribute layout — from the published specs
 only. Compressors: zlib (a registered numcodecs id; the v3 `gzip`
-codec) and zstd (numcodecs `zstd` raw frames / the v3 `zstd` codec —
+codec), zstd (numcodecs `zstd` raw frames / the v3 `zstd` codec —
 what zarr-python 3 writes by default — via pyarrow's bundled zstd, no
-standalone dependency; blosc is not in this container).
+standalone dependency), and the numcodecs Blosc1 container
+(bioio_spark.formats.blosc — zarr-python 2's DEFAULT compressor
+family, lz4/zstd/zlib/snappy inner blocks + byte-shuffle), so wild v2
+stores decode as-written.
 
 Zarr is the scale-native format of the pair: a TCZYX array is a CHUNK GRID,
 so read/write parallelism is the number of chunks, not the number of files
