@@ -30,9 +30,13 @@ NETimeLoop), ``uLoopPars`` (a level with ``uiCount``), and
 unroll with the INNERMOST loop fastest, so a TimeLoop(3) over
 ZStackLoop(4) stores frame seq = t*4 + z — the common Z-stack x
 timelapse shape. ``read_nd2_experiment`` returns the outer-to-inner
-(eType, count) list; files without the chunk (or with loop types
-outside the TimeLoop/ZStackLoop subset) read as a flat T series, the
-documented fallback. Pixels: uint8/uint16."""
+(eType, count) list; ``resolve_nd2_loops`` classifies time loops -> T,
+Z stacks -> Z, and XYPos loops -> P (one scene per stage position),
+with ``nd2_seq_coords`` mixed-radix-decomposing any nesting.
+``dPeriod``/``dZStep`` in ``uLoopPars`` surface as time_interval /
+PhysicalPixelSizes.Z. Files without the chunk (or with custom loop
+types) read as a flat T series, the documented fallback. Pixels:
+uint8/uint16."""
 
 from __future__ import annotations
 
