@@ -54,10 +54,29 @@ _SAMPLE_FORMAT = 339
 
 _COMPRESSION_NONE = 1
 _COMPRESSION_LZW = 5              # TIFF 6.0 §13 LZW (MSB-first, EarlyChange)
+_COMPRESSION_JPEG = 7             # TIFF TechNote 2 "new-style" JPEG
 _COMPRESSION_DEFLATE = 8          # Adobe Deflate (TIFF spec supplement 2)
 _COMPRESSION_DEFLATE_OLD = 32946  # legacy Deflate code, decode-only
 _COMPRESSION_PACKBITS = 32773     # TIFF 6.0 §9 PackBits RLE
 _PREDICTOR = 317                  # 1 = none, 2 = horizontal differencing
+_JPEG_TABLES = 347                # shared DQT/DHT tables (TechNote 2)
+
+
+def _merge_jpeg_tables(tables, stream: bytes) -> bytes:
+    """TIFF TechNote 2 abbreviated streams: the JPEGTables tag holds
+    ``SOI + shared DQT/DHT segments + EOI``; each strip/tile holds an
+    (often table-less) ``SOI + frame``. Splice the shared tables right
+    after the chunk's SOI — duplicate definitions in the chunk simply
+    overwrite, matching libjpeg's tables-first decode order."""
+    if not tables or len(tables) < 4 or tables[:2] != b"\xFF\xD8":
+        return stream
+    return stream[:2] + bytes(tables[2:-2]) + stream[2:]
+
+
+def _decode_jpeg_chunk(payload: bytes, tables) -> np.ndarray:
+    from bioio_spark.formats.jpeg import decode_jpeg
+
+    return decode_jpeg(_merge_jpeg_tables(tables, payload))
 
 _TYPE_SHORT = 3   # uint16
 _TYPE_LONG = 4    # uint32
@@ -231,10 +250,11 @@ def encode_tiff(planes: Sequence[np.ndarray],
     if not planes:
         raise ValueError("encode_tiff requires at least one plane")
     if compression not in (_COMPRESSION_NONE, _COMPRESSION_LZW,
+                           _COMPRESSION_JPEG,
                            _COMPRESSION_DEFLATE, _COMPRESSION_PACKBITS):
         raise ValueError(f"unsupported compression {compression}; "
-                         "supported: 1 (none), 5 (LZW), 8 (deflate), "
-                         "32773 (PackBits)")
+                         "supported: 1 (none), 5 (LZW), 7 (JPEG), "
+                         "8 (deflate), 32773 (PackBits)")
     arrs = [np.ascontiguousarray(p) for p in planes]
     dt = arrs[0].dtype
     if dt.name not in SUPPORTED_DTYPES:
@@ -265,6 +285,14 @@ def encode_tiff(planes: Sequence[np.ndarray],
         raise ValueError("horizontal predictor is integer-only")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported predictor {predictor}")
+    if compression == _COMPRESSION_JPEG:
+        # lossy baseline JPEG chunks (the whole-slide bright-field
+        # layout): uint8 gray or RGB, no predictor
+        if dt != np.uint8 or s_n not in (1, 3):
+            raise ValueError(
+                "JPEG-compressed TIFF encodes uint8 gray or RGB")
+        if predictor != 1:
+            raise ValueError("JPEG compression takes no predictor")
     if tile is not None:
         th, tw = int(tile[0]), int(tile[1])
         if th % 16 or tw % 16:
@@ -279,6 +307,11 @@ def encode_tiff(planes: Sequence[np.ndarray],
         return d
 
     def _pack(a: np.ndarray) -> bytes:
+        if compression == _COMPRESSION_JPEG:
+            from bioio_spark.formats.jpeg import encode_jpeg
+
+            return encode_jpeg(np.ascontiguousarray(a), quality=95,
+                               subsampling="444")
         raw = _diff(a).astype(dt_le, copy=False).tobytes()
         if compression == _COMPRESSION_DEFLATE:
             return zlib.compress(raw)
@@ -451,7 +484,10 @@ def encode_tiff(planes: Sequence[np.ndarray],
         _write_arrays(scs, soffs, saos)
 
     sample_format = _SAMPLE_FORMAT_OF_KIND[dt.kind]
-    photometric = 2 if s_n == 3 else 1
+    # JPEG RGB chunks are stored as YCbCr streams (JFIF), declared via
+    # Photometric 6 per TechNote 2; decode converts back to RGB
+    photometric = (6 if compression == _COMPRESSION_JPEG and s_n == 3
+                   else 2 if s_n == 3 else 1)
     ent = _ifd_entry_big if bigtiff else _ifd_entry
     ent_shorts = _ifd_entry_shorts_big if bigtiff else _ifd_entry_shorts
     off_type = _TYPE_LONG8 if bigtiff else _TYPE_LONG
@@ -887,11 +923,18 @@ def decode_tiff(data: bytes, include_levels: bool = False):
             f"{bo}{off_fmt}", data[table_end - off_sz:table_end])
         comp = tags.get(_COMPRESSION, [1])[0]
         if comp not in (_COMPRESSION_NONE, _COMPRESSION_LZW,
+                        _COMPRESSION_JPEG,
                         _COMPRESSION_DEFLATE, _COMPRESSION_DEFLATE_OLD,
                         _COMPRESSION_PACKBITS):
             raise ValueError(f"unsupported TIFF compression {comp}; "
-                             "supported: 1 (none), 5 (LZW), "
+                             "supported: 1 (none), 5 (LZW), 7 (JPEG), "
                              "8/32946 (deflate), 32773 (PackBits)")
+        if comp == _COMPRESSION_JPEG:
+            phot = tags.get(_PHOTOMETRIC, [1])[0]
+            if phot not in (0, 1, 6):
+                raise ValueError(
+                    f"JPEG-compressed TIFF with Photometric {phot} not "
+                    "supported (expect grayscale or 6 = YCbCr)")
         if tags.get(_PLANAR_CONFIG, [1])[0] != 1:
             raise ValueError("only chunky (interleaved) planar config "
                              "is supported")
@@ -914,6 +957,32 @@ def decode_tiff(data: bytes, include_levels: bool = False):
                 return packbits_decode(c)
             return c
 
+        jpeg_tables = (tags.get(_JPEG_TABLES, [None])[0]
+                       if comp == _COMPRESSION_JPEG else None)
+
+        def chunk_array(payload: bytes, ch: int, cw: int) -> np.ndarray:
+            """One chunk payload -> its (ch, cw[, spp]) array; JPEG
+            chunks decode through the in-repo baseline codec, the rest
+            through frombuffer."""
+            if comp == _COMPRESSION_JPEG:
+                img = _decode_jpeg_chunk(payload, jpeg_tables)
+                got_spp = img.shape[2] if img.ndim == 3 else 1
+                if got_spp != spp:
+                    raise ValueError(
+                        f"JPEG chunk has {got_spp} component(s), page "
+                        f"declares {spp}")
+                if img.shape[0] < ch or img.shape[1] < cw:
+                    # lenient: pad short edge chunks to declared size
+                    pad = np.zeros(
+                        (ch, cw) + ((spp,) if spp > 1 else ()),
+                        np.uint8)
+                    pad[:img.shape[0], :img.shape[1]] = img
+                    img = pad
+                return img[:ch, :cw].astype(dt)
+            cshape = (ch, cw) if spp == 1 else (ch, cw, spp)
+            return (np.frombuffer(decompress(payload), dtype=dt,
+                                  count=ch * cw * spp).reshape(cshape))
+
         if _TILE_OFFSETS in tags:
             # tiled layout (TIFF 6.0 §15): fixed-size tiles, row-major,
             # edge tiles stored full-size and cropped here. The common
@@ -927,13 +996,11 @@ def decode_tiff(data: bytes, include_levels: bool = False):
             if len(offs) != across * down:
                 raise ValueError(
                     f"tile count {len(offs)} != grid {down}x{across}")
-            tshape = (th, tw) if spp == 1 else (th, tw, spp)
             raster = np.zeros(
                 (down * th, across * tw) + ((spp,) if spp > 1 else ()),
                 dtype=dt)
             for ti, (o, c) in enumerate(zip(offs, counts)):
-                tile = (np.frombuffer(decompress(data[o:o + c]), dtype=dt)
-                        .reshape(tshape))
+                tile = chunk_array(data[o:o + c], th, tw)
                 if pred == 2:   # predictor resets per tile row
                     tile = _undo_horizontal_predictor(tile)
                 ty, tx = divmod(ti, across)
@@ -942,10 +1009,12 @@ def decode_tiff(data: bytes, include_levels: bool = False):
         else:
             offs = tags[_STRIP_OFFSETS]
             counts = tags[_STRIP_BYTE_COUNTS]
-            raw = b"".join(decompress(data[o:o + c])
-                           for o, c in zip(offs, counts))
-            shape = (h, w) if spp == 1 else (h, w, spp)
-            plane = (np.frombuffer(raw, dtype=dt).reshape(shape)
+            rps = tags.get(_ROWS_PER_STRIP, [h])[0]
+            strips = [
+                chunk_array(data[o:o + c],
+                            min(rps, h - si * rps), w)
+                for si, (o, c) in enumerate(zip(offs, counts))]
+            plane = (np.concatenate(strips, axis=0)[:h]
                      .astype(dt.newbyteorder("=")))
             if pred == 2:
                 plane = _undo_horizontal_predictor(plane)
@@ -1056,12 +1125,14 @@ def _parse_one_ifd(f, ifd_off: int, bo: str, big: bool) -> tuple:
                            "y0": y0, "x0": 0,
                            "h": min(rps, h - y0), "w": w})
     desc = tags.get(_IMAGE_DESCRIPTION)
+    jt = tags.get(_JPEG_TABLES, [None])[0]
     page = {
         "w": w, "h": h, "spp": spp,
         "dtype": f"{bo}{kind}{bits // 8}",
         "comp": tags.get(_COMPRESSION, [1])[0],
         "pred": tags.get(_PREDICTOR, [1])[0],
         "tiled": _TILE_OFFSETS in tags,
+        "jpeg_tables": bytes(jt) if jt else None,
         "chunks": chunks,
         "_desc": desc[0] if desc else None,
         "_sub_offs": list(tags.get(_SUB_IFDS, [])),

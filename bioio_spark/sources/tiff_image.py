@@ -323,12 +323,12 @@ def read_tiff_planes(spark: SparkSession, path: str,
             tasks.append((ti, ci, zi, ch["offset"], ch["nbytes"],
                           ch["y0"], ch["x0"], ch["h"], ch["w"],
                           pg["dtype"], pg["comp"], pg["pred"],
-                          pg["h"], pg["w"]))
+                          pg["h"], pg["w"], pg.get("jpeg_tables")))
     task_df = spark.createDataFrame(
         tasks,
         "t int, c int, z int, offset long, nbytes long, y0 int, "
         "x0 int, ch int, cw int, dtype string, comp int, pred int, "
-        "page_h int, page_w int",
+        "page_h int, page_w int, jpeg_tables binary",
     ).repartition(min(len(tasks),
                       spark.sparkContext.defaultParallelism))
 
@@ -336,20 +336,34 @@ def read_tiff_planes(spark: SparkSession, path: str,
         import numpy as _np
         import pandas as _pd
 
-        from bioio_spark.formats.tiff import (_undo_horizontal_predictor,
+        from bioio_spark.formats.tiff import (_decode_jpeg_chunk,
+                                              _undo_horizontal_predictor,
                                               decompress_tiff_chunk)
 
         with open(p, "rb") as f:
             for pdf in batches:
                 for row in pdf.itertuples(index=False):
                     f.seek(row.offset)
-                    raw = decompress_tiff_chunk(f.read(row.nbytes),
-                                                row.comp)
+                    payload = f.read(row.nbytes)
                     dt = _np.dtype(row.dtype)
-                    block = _np.frombuffer(
-                        raw, dtype=dt,
-                        count=row.ch * row.cw).reshape(
-                        (row.ch, row.cw))
+                    if row.comp == 7:      # TechNote 2 JPEG chunk
+                        tables = (bytes(row.jpeg_tables)
+                                  if row.jpeg_tables is not None
+                                  else None)
+                        img = _decode_jpeg_chunk(payload, tables)
+                        if img.ndim == 3:
+                            raise ValueError(
+                                "planes read supports gray JPEG "
+                                "chunks; use the full reader for RGB")
+                        block = _np.zeros((row.ch, row.cw), dt)
+                        block[:img.shape[0], :img.shape[1]] = \
+                            img[:row.ch, :row.cw]
+                    else:
+                        raw = decompress_tiff_chunk(payload, row.comp)
+                        block = _np.frombuffer(
+                            raw, dtype=dt,
+                            count=row.ch * row.cw).reshape(
+                            (row.ch, row.cw))
                     if row.pred == 2:
                         block = _undo_horizontal_predictor(block)
                     vh = min(row.ch, row.page_h - row.y0)
@@ -454,7 +468,8 @@ def read_tiff_window(spark: SparkSession, path: str,
             tasks.append((ti, ci, zi, ch["offset"], ch["nbytes"],
                           ch["y0"], ch["x0"], ch["h"], ch["w"],
                           pg["dtype"], pg["comp"], pg["pred"],
-                          pg["h"], pg["w"], bool(pg["tiled"])))
+                          pg["h"], pg["w"], bool(pg["tiled"]),
+                          pg.get("jpeg_tables")))
 
     schema = ("t int, c int, z int, y int, x int, value double")
     if not tasks:
@@ -464,29 +479,43 @@ def read_tiff_window(spark: SparkSession, path: str,
         tasks,
         "t int, c int, z int, offset long, nbytes long, y0 int, x0 int, "
         "ch int, cw int, dtype string, comp int, pred int, "
-        "page_h int, page_w int, tiled boolean",
+        "page_h int, page_w int, tiled boolean, jpeg_tables binary",
     ).repartition(min(len(tasks),
                       spark.sparkContext.defaultParallelism))
 
     def decode(batches):
         import pandas as _pd
 
-        from bioio_spark.formats.tiff import _undo_horizontal_predictor
+        from bioio_spark.formats.tiff import (_decode_jpeg_chunk,
+                                              _undo_horizontal_predictor)
 
         with open(p, "rb") as f:
             for pdf in batches:
                 for row in pdf.itertuples(index=False):
                     f.seek(row.offset)
-                    raw = decompress_tiff_chunk(f.read(row.nbytes),
-                                                row.comp)
+                    payload = f.read(row.nbytes)
                     dt = np.dtype(row.dtype)
-                    # count= tolerates writers that pad the final strip
-                    # of a compressed file to full rows_per_strip — the
-                    # decoded bytes may exceed the strip's true extent
-                    block = np.frombuffer(
-                        raw, dtype=dt,
-                        count=row.ch * row.cw).reshape(
-                        (row.ch, row.cw))
+                    if row.comp == 7:      # TechNote 2 JPEG chunk
+                        tables = (bytes(row.jpeg_tables)
+                                  if row.jpeg_tables is not None
+                                  else None)
+                        img = _decode_jpeg_chunk(payload, tables)
+                        if img.ndim == 3:
+                            raise ValueError(
+                                "windowed read supports gray JPEG "
+                                "chunks; use the full reader for RGB")
+                        block = np.zeros((row.ch, row.cw), dt)
+                        block[:img.shape[0], :img.shape[1]] =                             img[:row.ch, :row.cw]
+                    else:
+                        raw = decompress_tiff_chunk(payload, row.comp)
+                        # count= tolerates writers that pad the final
+                        # strip of a compressed file to full
+                        # rows_per_strip — the decoded bytes may exceed
+                        # the strip's true extent
+                        block = np.frombuffer(
+                            raw, dtype=dt,
+                            count=row.ch * row.cw).reshape(
+                            (row.ch, row.cw))
                     if row.pred == 2:
                         block = _undo_horizontal_predictor(block)
                     # tiles are stored full-size; trim edge overhang

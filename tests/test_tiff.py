@@ -45,7 +45,9 @@ def test_codec_rejects_unsupported():
     with pytest.raises(ValueError, match="at least one"):
         encode_tiff([])
     with pytest.raises(ValueError, match="compression"):
-        encode_tiff([np.zeros((2, 2), dtype=np.uint8)], compression=7)
+        encode_tiff([np.zeros((2, 2), dtype=np.uint8)], compression=6)
+    with pytest.raises(ValueError, match="uint8"):
+        encode_tiff([np.zeros((2, 2), dtype=np.uint16)], compression=7)
     with pytest.raises(ValueError, match="predictor"):
         encode_tiff([np.zeros((2, 2), dtype=np.uint8)], predictor=3)
     with pytest.raises(ValueError, match="integer-only"):
@@ -1290,3 +1292,148 @@ def test_uneven_subifd_depth_rejected(spark, tmp_path):
         sub_levels=[[mains[0][::2, ::2].copy()], []]))
     with pytest.raises(ValueError, match="uneven SubIFD"):
         BioImage(str(p), spark=spark).get_image_dataframe()
+
+
+# -- JPEG-compressed TIFF (compression 7, TechNote 2) ----------------------
+
+def test_jpeg_tiff_gray_roundtrip():
+    """Compression 7 strips: whole-slide bright-field layout. Lossy —
+    compare with JPEG-grade tolerance on a smooth ramp."""
+    from bioio_spark.formats.tiff import decode_tiff, encode_tiff
+
+    yy, xx = np.mgrid[0:32, 0:40]
+    a = ((yy * 3 + xx * 2) % 200 + 20).astype(np.uint8)
+    planes, _ = decode_tiff(encode_tiff([a], compression=7))
+    assert planes[0].shape == a.shape
+    assert np.abs(planes[0].astype(int) - a.astype(int)).mean() < 4
+
+
+def test_jpeg_tiff_rgb_tiled_roundtrip():
+    """Tiled RGB JPEG pages (Photometric 6 YCbCr streams) decode back
+    to RGB within JPEG tolerance."""
+    from bioio_spark.formats.tiff import decode_tiff, encode_tiff
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    rgb = np.stack([(yy * 4) % 256, (xx * 3) % 256,
+                    ((yy + xx) * 2) % 256], axis=2).astype(np.uint8)
+    data = encode_tiff([rgb], compression=7, tile=(16, 16))
+    planes, _ = decode_tiff(data)
+    assert planes[0].shape == rgb.shape
+    assert np.abs(planes[0].astype(int) - rgb.astype(int)).mean() < 8
+    # photometric declared as 6 (YCbCr) per TechNote 2
+    from bioio_spark.formats.tiff import iter_tiff_chunks
+    import struct as _st
+    # decode path via file for chunk metadata
+    p = "/tmp/_jt_rgb.tif"
+    with open(p, "wb") as f:
+        f.write(data)
+    lay = iter_tiff_chunks(p)
+    assert lay[0]["comp"] == 7 and lay[0]["spp"] == 3
+
+
+def test_jpeg_tiff_abbreviated_tables_stream():
+    """The JPEGTables form: shared DQT/DHT in tag 347, table-less
+    SOI+frame chunks — the layout scanner vendors write. Built by
+    splitting our own encoder's stream into tables + abbreviated
+    parts, so the merge path is exercised for real."""
+    import struct as _st
+
+    from bioio_spark.formats.jpeg import decode_jpeg, encode_jpeg
+    from bioio_spark.formats.tiff import (_merge_jpeg_tables,
+                                          decode_tiff, encode_tiff)
+
+    yy, xx = np.mgrid[0:24, 0:24]
+    a = ((yy * 5 + xx * 3) % 220).astype(np.uint8)
+    full = encode_jpeg(a, quality=95, subsampling="444")
+
+    # split: DQT(FFDB)/DHT(FFC4) segments -> tables; rest -> frame
+    def segments(buf):
+        pos = 2
+        out = []
+        while pos < len(buf):
+            assert buf[pos] == 0xFF
+            marker = buf[pos + 1]
+            if marker == 0xD9:            # EOI
+                out.append((marker, buf[pos:pos + 2]))
+                break
+            if marker == 0xDA:            # SOS: rest is entropy data
+                out.append((marker, buf[pos:]))
+                break
+            (ln,) = _st.unpack(">H", buf[pos + 2:pos + 4])
+            out.append((marker, buf[pos:pos + 2 + ln]))
+            pos += 2 + ln
+        return out
+
+    segs = segments(full)
+    tables = b"\xFF\xD8" + b"".join(
+        s for m, s in segs if m in (0xDB, 0xC4)) + b"\xFF\xD9"
+    frame = b"\xFF\xD8" + b"".join(
+        s for m, s in segs if m not in (0xDB, 0xC4))
+    # abbreviated stream alone must fail, merged must decode
+    with np.testing.assert_raises(Exception):
+        decode_jpeg(frame)
+    merged = _merge_jpeg_tables(tables, frame)
+    np.testing.assert_array_equal(decode_jpeg(merged), decode_jpeg(full))
+
+    # hand-assemble a comp-7 TIFF with tag 347 + the abbreviated strip
+    def ent(tag, typ, cnt, val):
+        return _st.pack("<HHII", tag, typ, cnt, val)
+
+    strip_off = 8
+    tables_off = strip_off + len(frame)
+    ifd_off = tables_off + len(tables)
+    n = 10
+    ifd = _st.pack("<H", n) + b"".join([
+        ent(256, 4, 1, 24), ent(257, 4, 1, 24),
+        ent(258, 3, 1, 8), ent(259, 3, 1, 7),
+        ent(262, 3, 1, 1),
+        ent(273, 4, 1, strip_off), ent(277, 3, 1, 1),
+        ent(278, 4, 1, 24), ent(279, 4, 1, len(frame)),
+        ent(347, 7, len(tables), tables_off),
+    ]) + _st.pack("<I", 0)
+    data = (_st.pack("<2sHI", b"II", 42, ifd_off) + frame + tables
+            + ifd)
+    planes, _ = decode_tiff(data)
+    np.testing.assert_array_equal(planes[0], decode_jpeg(full))
+
+
+def test_jpeg_tiff_window_and_planes_paths(spark, tmp_path):
+    """The pruned window read and the planes read decode gray JPEG
+    tiles (tables merged executor-side)."""
+    from bioio_spark.formats.tiff import decode_tiff, encode_tiff
+    from bioio_spark.sources.tiff_image import (read_tiff_planes,
+                                                read_tiff_window)
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    a = ((yy * 2 + xx) % 250).astype(np.uint8)
+    p = tmp_path / "j.tif"
+    p.write_bytes(encode_tiff([a], compression=7, tile=(16, 16)))
+    want, _ = decode_tiff(p.read_bytes())     # codec ground truth
+
+    w = read_tiff_window(spark, str(p), y=(4, 12), x=(20, 30)).toPandas()
+    got = np.zeros((8, 10), np.uint8)
+    got[w["y"] - 4, w["x"] - 20] = w["value"].astype(np.uint8)
+    np.testing.assert_array_equal(got, want[0][4:12, 20:30])
+
+    pl = read_tiff_planes(spark, str(p)).toPandas()
+    assert len(pl) == 4
+    row = pl[(pl.y0 == 16) & (pl.x0 == 0)].iloc[0]
+    np.testing.assert_array_equal(
+        np.array(row["values"]).reshape(16, 16),
+        want[0][16:32, 0:16].astype(np.float64))
+
+
+def test_bioimage_jpeg_tiff_end_to_end(spark, tmp_path):
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.tiff import (build_ome_xml, decode_tiff,
+                                          encode_tiff)
+
+    yy, xx = np.mgrid[0:24, 0:30]
+    a = ((yy * 3 + xx * 2) % 230).astype(np.uint8)
+    xml = build_ome_xml(1, 1, 1, 24, 30, "uint8")
+    p = tmp_path / "jo.ome.tiff"
+    p.write_bytes(encode_tiff([a], description=xml, compression=7))
+    want, _ = decode_tiff(p.read_bytes())
+    img = BioImage(str(p), spark=spark)
+    np.testing.assert_array_equal(
+        img.get_image_data("YX").astype(np.uint8), want[0])
