@@ -2773,3 +2773,56 @@ def img_ome_zarr_roundtrip_blosc(spark, sf_dir):
                  F.sum("value").alias("sum_val"),
                  F.max("value").alias("max_val"))
             .orderBy("c", "y"))
+
+
+@register(
+    "img_jpeg_tiff_roundtrip",
+    oracle="""
+    SELECT CAST(i AS INTEGER) AS band, CAST(1 AS BIGINT) AS mae_ok,
+           CAST(1 AS BIGINT) AS extent_ok
+    FROM range(4) r(i) ORDER BY band
+    """,
+    doc="JPEG-compressed TIFF (compression 7 + JPEGTables): decode "
+        "gated on per-band mean-absolute-error vs the source ramp "
+        "(lossy codec -> integer gate, the a12b pattern)",
+)
+def img_jpeg_tiff_roundtrip(spark, sf_dir):
+    """Whole-slide layout: tiled gray JPEG chunks. The decoded pixels
+    re-derive the source formula in-Spark; per-y-band gates assert
+    MAE < 4 grey levels and exact pixel counts — deterministic because
+    the in-repo T.81 codec is, without the oracle needing to run JPEG.
+    Ref README.md:65 (bioio-tifffile tier); layout per TIFF TechNote 2."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.tiff import build_ome_xml, encode_tiff
+
+    H, W = 64, 64
+    yy, xx = np.mgrid[0:H, 0:W]
+    a = ((yy * 3 + xx * 2) % 200 + 20).astype(np.uint8)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "jpeg_tiff")
+    path = os.path.join(out, "slide.ome.tiff")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        xml = build_ome_xml(1, 1, 1, H, W, "uint8")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(encode_tiff([a], description=xml, compression=7,
+                                tile=(16, 16)))
+        os.replace(tmp, path)
+    img = BioImage(path, spark=spark)
+    px = img.get_image_dataframe().select("y", "x", "value")
+    src = ((F.col("y") * 3 + F.col("x") * 2) % 200 + 20).cast("double")
+    gates = (px.groupBy((F.col("y") / 16).cast("int").alias("band"))
+             .agg(F.avg(F.abs(F.col("value") - src)).alias("mae"),
+                  F.count(F.lit(1)).alias("n")))
+    return (gates.select(
+                "band",
+                (F.col("mae") < 4.0).cast("bigint").alias("mae_ok"),
+                (F.col("n") == 16 * W).cast("bigint").alias("extent_ok"))
+            .orderBy("band"))
