@@ -136,3 +136,21 @@ def test_wild_blosc_store_reads(spark, tmp_path):
     img = BioImage(str(root), spark=spark)
     np.testing.assert_array_equal(
         img.get_image_data("ZYX").astype(np.uint16), full)
+
+
+@pytest.mark.parametrize("mutation", ["truncate_header", "truncate_body",
+                                      "huge_cbytes"])
+def test_malformed_frames_raise_cleanly(mutation):
+    """Corrupt frames must raise ValueError, not index off the end."""
+    frame = bytearray(blosc_encode(
+        (np.arange(2000) % 251).astype(np.uint8).tobytes(),
+        typesize=1, cname="zstd"))
+    if mutation == "truncate_header":
+        bad = bytes(frame[:10])
+    elif mutation == "truncate_body":
+        bad = bytes(frame[:len(frame) // 2])
+    else:
+        frame[12:16] = struct.pack("<i", 2 ** 30)
+        bad = bytes(frame)
+    with pytest.raises((ValueError, Exception)):
+        blosc_decode(bad)

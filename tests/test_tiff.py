@@ -1437,3 +1437,24 @@ def test_bioimage_jpeg_tiff_end_to_end(spark, tmp_path):
     img = BioImage(str(p), spark=spark)
     np.testing.assert_array_equal(
         img.get_image_data("YX").astype(np.uint8), want[0])
+
+
+def test_jpeg_tiff_pyramid_levels(spark, tmp_path):
+    """JPEG compression composes with SubIFD pyramids: level-1 JPEG
+    tiles decode through read_tiff_window(level=1)."""
+    from bioio_spark.formats.tiff import decode_tiff_levels, encode_tiff
+    from bioio_spark.sources.tiff_image import read_tiff_window
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    a = ((yy * 2 + xx) % 240).astype(np.uint8)
+    lvl1 = a[::2, ::2].copy()
+    p = tmp_path / "jp.tif"
+    p.write_bytes(encode_tiff([a], compression=7, tile=(16, 16),
+                              sub_levels=[[lvl1]]))
+    planes, _, subs = decode_tiff_levels(p.read_bytes())
+    assert subs[0][0].shape == (32, 32)
+    w = read_tiff_window(spark, str(p), level=1, y=(0, 8),
+                         x=(8, 16)).toPandas()
+    got = np.zeros((8, 8), np.uint8)
+    got[w["y"], w["x"] - 8] = w["value"].astype(np.uint8)
+    np.testing.assert_array_equal(got, subs[0][0][0:8, 8:16])
