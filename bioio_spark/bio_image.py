@@ -454,6 +454,14 @@ class BioImage:
                     self._spark, path, t=t, c=c, z=z, y=y, x=x,
                     scene=self._current_scene_index)
 
+        from bioio_spark.sources.sldy_image import (SldyImageReader,
+                                                    read_sldy_window)
+
+        if isinstance(reader, SldyImageReader) and isinstance(path, str):
+            return read_sldy_window(
+                self._spark, path, t=t, c=c, z=z, y=y, x=x,
+                scene=self._current_scene_index)
+
         from bioio_spark.sources.zarr_image import _norm_window
 
         px, dims = self._standard_pixels()

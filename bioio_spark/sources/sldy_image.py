@@ -96,6 +96,95 @@ def read_npy_header(path: str):
         return shape, dtype
 
 
+def _npy_layout(path: str):
+    """(shape, dtype, data_offset): like read_npy_header plus the byte
+    offset where the C-order payload starts — the seek base for
+    byte-range windowed reads."""
+    with open(path, "rb") as f:
+        version = np.lib.format.read_magic(f)
+        readers = {(1, 0): np.lib.format.read_array_header_1_0,
+                   (2, 0): np.lib.format.read_array_header_2_0}
+        reader = readers.get(tuple(version),
+                             np.lib.format.read_array_header_2_0)
+        shape, fortran, dtype = reader(f)
+        if fortran:
+            raise ValueError(f"{path}: fortran-order npy not supported")
+        return shape, dtype, f.tell()
+
+
+def read_sldy_window(spark: SparkSession, path: str,
+                     t=None, c=None, z=None, y=None, x=None,
+                     scene: int = 0):
+    """Window-pruned SLDY read: t/c selectors prune whole npy FILES
+    (driver-side directory arithmetic), and because npy payloads are
+    C-order ZYX, the (z, y) window of each surviving stack is ONE
+    CONTIGUOUS BYTE RANGE per (z, y-run) — each task seek-reads exactly
+    the window's rows; x prunes in numpy. Selector forms match the
+    other window readers."""
+    from bioio_spark.sources.zarr_image import _norm_window
+
+    dirs = _scene_dirs(path)
+    if not (0 <= scene < len(dirs)):
+        raise IndexError(f"{path}: no scene {scene}")
+    d = dirs[scene]
+    files = {}
+    for p in _glob.glob(os.path.join(d, "ImageData", "*.npy")):
+        m = _NPY_RE.search(os.path.basename(p))
+        if m:
+            files[(int(m.group(1)), int(m.group(2)))] = os.path.abspath(p)
+    if not files:
+        raise FileNotFoundError(f"{d}: no T*_C*.npy stacks")
+    t_n = max(t_ for t_, _ in files) + 1
+    c_n = max(c_ for _, c_ in files) + 1
+    shape, dtype, off0 = _npy_layout(files[(0, 0)])
+    if len(shape) == 2:
+        z_n, (y_n, x_n) = 1, shape
+    else:
+        z_n, y_n, x_n = shape
+    t0, t1 = _norm_window(t, t_n)
+    c0, c1 = _norm_window(c, c_n)
+    z0, z1 = _norm_window(z, z_n)
+    y0, y1 = _norm_window(y, y_n)
+    x0, x1 = _norm_window(x, x_n)
+    row_bytes = x_n * dtype.itemsize
+    plan = [{"path": files[(ti, ci)], "t": ti, "c": ci, "z": zi,
+             # one contiguous row range per (z, y-window)
+             "start": off0 + (zi * y_n + y0) * row_bytes,
+             "nbytes": (y1 - y0) * row_bytes}
+            for ti in range(t0, t1) for ci in range(c0, c1)
+            for zi in range(z0, z1)]
+
+    schema = "t int, c int, z int, y int, x int, value double"
+    if not plan or y0 >= y1 or x0 >= x1:
+        return spark.createDataFrame([], schema)
+    dtype_str = dtype.str
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for r in pdf.itertuples():
+                with open(r.path, "rb") as f:
+                    f.seek(r.start)
+                    buf = f.read(r.nbytes)
+                rows = np.frombuffer(
+                    buf, dtype=np.dtype(dtype_str)).reshape(
+                    y1 - y0, x_n)
+                plane = rows[:, x0:x1]           # exact numpy prune
+                yield pd.DataFrame({
+                    "t": np.full(plane.size, r.t, np.int32),
+                    "c": np.full(plane.size, r.c, np.int32),
+                    "z": np.full(plane.size, r.z, np.int32),
+                    "y": np.repeat(np.arange(
+                        y0, y1, dtype=np.int32), x1 - x0),
+                    "x": np.tile(np.arange(
+                        x0, x1, dtype=np.int32), y1 - y0),
+                    "value": plane.ravel().astype(np.float64),
+                })
+
+    plan_df = spark.createDataFrame(pd.DataFrame(plan)).repartition(
+        min(len(plan), spark.sparkContext.defaultParallelism))
+    return plan_df.mapInPandas(batches, schema=schema)
+
+
 def read_sldy_planes(spark: SparkSession, path: str, scene: int = 0):
     """ZERO-SHUFFLE npy -> planes-layout read (the SLDY member of the
     planes family): each T{t}_C{c}.npy stack yields one payload row per

@@ -129,3 +129,27 @@ def test_get_planes_dataframe_sldy_fast_path(spark, tmp_path):
     np.testing.assert_array_equal(
         np.array(row["values"]),
         block[1, 0, 2].astype(np.float64).ravel())
+
+
+def test_read_sldy_window_prunes(spark, tmp_path):
+    """t/c prune whole npy files; (z, y) windows become contiguous
+    byte-range seeks inside each C-order stack; x prunes in numpy."""
+    from bioio_spark.sources.sldy_image import read_sldy_window
+
+    block = _block()                    # (2, 2, 3, 4, 5) TCZYX
+    d = _export(tmp_path, block)
+    w = read_sldy_window(spark, d, t=1, c=(0, 2), z=(1, 3),
+                         y=(1, 3), x=(2, 5)).toPandas()
+    exp = block[1, 0:2, 1:3, 1:3, 2:5]
+    assert len(w) == exp.size
+    got = np.zeros_like(exp)
+    got[w["c"], w["z"] - 1, w["y"] - 1, w["x"] - 2] = \
+        w["value"].astype(np.uint16)
+    np.testing.assert_array_equal(got, exp)
+    # BioImage routing
+    img = BioImage(d, spark=spark)
+    w2 = img.read_window(t=0, c=1, z=2, y=(0, 2)).toPandas()
+    exp2 = block[0, 1, 2, 0:2, :]
+    got2 = np.zeros_like(exp2)
+    got2[w2["y"], w2["x"]] = w2["value"].astype(np.uint16)
+    np.testing.assert_array_equal(got2, exp2)
