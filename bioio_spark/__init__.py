@@ -152,6 +152,16 @@ def _register_builtin_plugins() -> None:
         version=__version__,
     ))
 
+    from bioio_spark.sources.lsm_image import LsmImageReader
+
+    register_plugin(PluginEntry(
+        name="bioio-lsm-baseline",
+        reader=LsmImageReader,
+        extensions=[".lsm"],
+        is_supported_image=LsmImageReader.is_supported_image,
+        version=__version__,
+    ))
+
     from bioio_spark.sources.tiff_glob import TiffGlobReader
 
     # no extensions: glob patterns aren't routable by suffix — like the

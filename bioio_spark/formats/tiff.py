@@ -35,6 +35,7 @@ from bioio_spark.ome_utils import (generate_ome_channel_id,
 from bioio_spark.types import NUMPY_DTYPE_TO_OME
 
 # TIFF tag ids (TIFF 6.0 baseline)
+_NEW_SUBFILE_TYPE = 254       # bit 0 = reduced-resolution (thumbnail) page
 _IMAGE_WIDTH = 256
 _IMAGE_LENGTH = 257
 _BITS_PER_SAMPLE = 258
@@ -1079,10 +1080,13 @@ def _read_tag_values_fh(f, typ: int, count: int, raw: bytes, bo: str,
 _SUB_IFDS = 330
 
 
-def _parse_one_ifd(f, ifd_off: int, bo: str, big: bool) -> tuple:
+def _parse_one_ifd(f, ifd_off: int, bo: str, big: bool,
+                   keep_tags: Sequence[int] = ()) -> tuple:
     """Parse the IFD at `ifd_off` through the file handle -> (page dict
     without index/description, next-IFD offset). Shared by the main
-    chain and SubIFD (tag 330) pyramid levels."""
+    chain and SubIFD (tag 330) pyramid levels. `keep_tags` requests raw
+    values of extra (vendor) tags into the page's ``vendor`` dict — the
+    hook the TIFF-container dialect readers (LSM/STK/SVS/SCN) use."""
     ent_sz, cnt_fmt, off_fmt, cnt_sz = ((20, "Q", "Q", 8) if big
                                         else (12, "H", "I", 2))
     off_sz = 8 if big else 4
@@ -1118,12 +1122,21 @@ def _parse_one_ifd(f, ifd_off: int, bo: str, big: bool) -> tuple:
                            "h": th, "w": tw})
     else:
         rps = tags.get(_ROWS_PER_STRIP, [h])[0]
+        # PlanarConfiguration=2 (LSM channel planes): strips come in spp
+        # groups of ceil(h/rps); strip index -> (sample, y0) instead of
+        # a straight y walk (TIFF 6.0 §3 planar layout)
+        planar2 = tags.get(_PLANAR_CONFIG, [1])[0] == 2
+        per_sample = -(-h // rps) if planar2 else 0
         for si, (o, c) in enumerate(zip(tags[_STRIP_OFFSETS],
                                         tags[_STRIP_BYTE_COUNTS])):
-            y0 = si * rps
+            if planar2:
+                samp, y0 = divmod(si, per_sample)
+                y0 *= rps
+            else:
+                samp, y0 = 0, si * rps
             chunks.append({"offset": o, "nbytes": c,
                            "y0": y0, "x0": 0,
-                           "h": min(rps, h - y0), "w": w})
+                           "h": min(rps, h - y0), "w": w, "s": samp})
     desc = tags.get(_IMAGE_DESCRIPTION)
     jt = tags.get(_JPEG_TABLES, [None])[0]
     page = {
@@ -1132,15 +1145,20 @@ def _parse_one_ifd(f, ifd_off: int, bo: str, big: bool) -> tuple:
         "comp": tags.get(_COMPRESSION, [1])[0],
         "pred": tags.get(_PREDICTOR, [1])[0],
         "tiled": _TILE_OFFSETS in tags,
+        "planar": tags.get(_PLANAR_CONFIG, [1])[0],
+        "subfile": tags.get(_NEW_SUBFILE_TYPE, [0])[0],
+        "rows_per_strip": tags.get(_ROWS_PER_STRIP, [h])[0],
         "jpeg_tables": bytes(jt) if jt else None,
         "chunks": chunks,
+        "vendor": {t: tags[t] for t in keep_tags if t in tags},
         "_desc": desc[0] if desc else None,
         "_sub_offs": list(tags.get(_SUB_IFDS, [])),
     }
     return page, next_off
 
 
-def iter_tiff_chunks(path: str) -> list[dict]:
+def iter_tiff_chunks(path: str,
+                     keep_tags: Sequence[int] = ()) -> list[dict]:
     """Seek-based IFD walk returning the strip/tile layout of every page
     WITHOUT touching pixel data — the planning input for window-pruned
     reads (a few KB of IFD reads even on a multi-GB file).
@@ -1151,7 +1169,15 @@ def iter_tiff_chunks(path: str) -> list[dict]:
     width with their actual row count; tiles carry the stored (full)
     tile shape, edge trim happens at decode. ``subifds`` holds the
     page's SubIFD (tag 330) children in order — the pyramid levels of
-    wild tiled OME-TIFFs — each the same page-dict shape."""
+    wild tiled OME-TIFFs — each the same page-dict shape.
+
+    Vendor-dialect hooks (LSM/STK/SVS/SCN readers): ``keep_tags``
+    surfaces the raw values of those private tags per page under
+    ``vendor``; every page also carries its OWN ImageDescription as
+    ``page_desc`` (``description`` stays IFD0-only for the OME-TIFF
+    contract), its PlanarConfiguration as ``planar``, NewSubfileType
+    as ``subfile``, and ``rows_per_strip`` (planar=2 strip geometry is
+    reconstructed by the dialect readers from strip index)."""
     out: list[dict] = []
     with open(path, "rb") as f:
         head = f.read(16)
@@ -1173,7 +1199,7 @@ def iter_tiff_chunks(path: str) -> list[dict]:
         page = 0
         description = None
         while ifd_off:
-            pg, ifd_off = _parse_one_ifd(f, ifd_off, bo, big)
+            pg, ifd_off = _parse_one_ifd(f, ifd_off, bo, big, keep_tags)
             if page == 0:
                 description = pg["_desc"]
             subs = []
@@ -1183,10 +1209,11 @@ def iter_tiff_chunks(path: str) -> list[dict]:
                 sub.pop("_desc")
                 sub["description"] = None
                 subs.append(sub)
-            pg.pop("_desc")
+            own_desc = pg.pop("_desc")
             pg.update({
                 "page": page,
                 "description": description if page == 0 else None,
+                "page_desc": own_desc,
                 "subifds": subs,
             })
             out.append(pg)

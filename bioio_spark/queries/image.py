@@ -2826,3 +2826,119 @@ def img_jpeg_tiff_roundtrip(spark, sf_dir):
                 (F.col("mae") < 4.0).cast("bigint").alias("mae_ok"),
                 (F.col("n") == 16 * W).cast("bigint").alias("extent_ok"))
             .orderBy("band"))
+
+
+@register(
+    "img_lsm_roundtrip",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {3 * 4 * 5 * 6} AS INTEGER) AS t,
+             CAST((i // {4 * 5 * 6}) % 3 AS INTEGER) AS c,
+             CAST((i // {5 * 6}) % 4 AS INTEGER) AS z,
+             CAST((i // 6) % 5 AS INTEGER) AS y,
+             CAST(i % 6 AS INTEGER) AS x,
+             CAST((i // {3 * 4 * 5 * 6}) * 10000
+                  + ((i // {4 * 5 * 6}) % 3) * 1000
+                  + ((i // {5 * 6}) % 4) * 100
+                  + ((i // 6) % 5) * 10 + (i % 6) AS DOUBLE) AS value
+      FROM range({2 * 3 * 4 * 5 * 6}) r(i))
+    SELECT c, z, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY c, z ORDER BY c, z
+    """,
+    doc="Zeiss LSM encode -> BioImage reread (native .lsm coverage of "
+        "the Bio-Formats long tail: CZ_LSMINFO, planar-2 channel "
+        "strips, thumbnail-page skip, per-strip planned reads)",
+)
+def img_lsm_roundtrip(spark, sf_dir):
+    """LSM roundtrip with interleaved thumbnail pages, so the hash pins
+    the NewSubfileType skip, the (t, z) page mapping, and the planar-2
+    strip->channel assignment. Ref README.md:74 (bioio-bioformats
+    routes .lsm; this is the native Spark-planned replacement)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.lsm import encode_lsm
+
+    idx = np.indices((2, 3, 4, 5, 6))
+    block = (idx[0] * 10000 + idx[1] * 1000 + idx[2] * 100
+             + idx[3] * 10 + idx[4]).astype(np.uint16)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "lsm_roundtrip")
+    path = os.path.join(out, "confocal.lsm")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(encode_lsm(block,
+                               channel_names=["DAPI", "GFP", "mCherry"],
+                               voxel_xyz_m=(0.2e-6, 0.2e-6, 1.0e-6),
+                               time_interval_s=2.5))
+        os.replace(tmp, path)
+    img = BioImage(path, spark=spark)       # .lsm extension routing
+    return (img.get_image_dataframe()
+            .groupBy("c", "z")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("c", "z"))
+
+
+@register(
+    "img_lsm_window_read",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {3 * 4 * 5 * 6} AS INTEGER) AS t,
+             CAST((i // {4 * 5 * 6}) % 3 AS INTEGER) AS c,
+             CAST((i // {5 * 6}) % 4 AS INTEGER) AS z,
+             CAST((i // 6) % 5 AS INTEGER) AS y,
+             CAST(i % 6 AS INTEGER) AS x,
+             CAST((i // {3 * 4 * 5 * 6}) * 10000
+                  + ((i // {4 * 5 * 6}) % 3) * 1000
+                  + ((i // {5 * 6}) % 4) * 100
+                  + ((i // 6) % 5) * 10 + (i % 6) AS DOUBLE) AS value
+      FROM range({2 * 3 * 4 * 5 * 6}) r(i))
+    SELECT c, z, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val
+    FROM px
+    WHERE t = 1 AND c < 2 AND z >= 1 AND z < 3
+      AND y >= 1 AND y < 4 AND x >= 2 AND x < 5
+    GROUP BY c, z ORDER BY c, z
+    """,
+    doc="Page/strip-pruned windowed LSM read (t/z prune pages, c prunes "
+        "channel strips, y window = byte range per strip)",
+)
+def img_lsm_window_read(spark, sf_dir):
+    """The LSM member of the window-read family: the (t, z) selectors
+    prune whole pages, c prunes whole planar-2 strips, and the y window
+    narrows each surviving strip to its contiguous row byte range."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.formats.lsm import encode_lsm
+    from bioio_spark.sources.lsm_image import read_lsm_window
+
+    idx = np.indices((2, 3, 4, 5, 6))
+    block = (idx[0] * 10000 + idx[1] * 1000 + idx[2] * 100
+             + idx[3] * 10 + idx[4]).astype(np.uint16)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "lsm_window")
+    path = os.path.join(out, "win.lsm")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(encode_lsm(block, thumbnails=False))
+        os.replace(tmp, path)
+    px = read_lsm_window(spark, path, t=1, c=(0, 2), z=(1, 3),
+                         y=(1, 4), x=(2, 5))
+    return (px.groupBy("c", "z")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"))
+            .orderBy("c", "z"))

@@ -783,7 +783,7 @@ def test_read_tiff_window_big_endian_multistrip(spark, tmp_path):
     assert len(layout[0]["chunks"]) == 3
     assert layout[0]["chunks"][1] == {
         "offset": offs[1], "nbytes": len(strips[1]),
-        "y0": 2, "x0": 0, "h": 2, "w": 3}
+        "y0": 2, "x0": 0, "h": 2, "w": 3, "s": 0}
 
     # y in [3,5) intersects strips 1 and 2 only
     pdf = read_tiff_window(spark, str(p), y=(3, 5)).toPandas()
