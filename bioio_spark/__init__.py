@@ -162,6 +162,16 @@ def _register_builtin_plugins() -> None:
         version=__version__,
     ))
 
+    from bioio_spark.sources.stk_image import StkImageReader
+
+    register_plugin(PluginEntry(
+        name="bioio-stk-baseline",
+        reader=StkImageReader,
+        extensions=[".stk"],
+        is_supported_image=StkImageReader.is_supported_image,
+        version=__version__,
+    ))
+
     from bioio_spark.sources.tiff_glob import TiffGlobReader
 
     # no extensions: glob patterns aren't routable by suffix — like the

@@ -202,9 +202,15 @@ def compose_tiff(pages: Sequence[PageSpec]) -> tuple[bytes, list[dict]]:
                 (_PLANAR_CONFIG, _TYPE_SHORT,
                  [2 if p.planar2 else 1], None),
             ]
-        for tag, typ, values in p.extra_tags:
+        for ext in p.extra_tags:
+            tag, typ, values = ext[0], ext[1], ext[2]
             payload = _pack_values(typ, values)
-            if isinstance(values, (bytes, bytearray)):
+            if len(ext) > 3:
+                # explicit declared count — the MetaMorph STK quirk:
+                # UIC2 declares count = n_planes while carrying 6*N
+                # LONGs of per-plane records at the offset
+                count = ext[3]
+            elif isinstance(values, (bytes, bytearray)):
                 count = len(values) if typ in (1, _TYPE_ASCII) else \
                     len(values) // _TYPE_SIZES[typ]
             elif typ == _TYPE_ASCII:
@@ -221,7 +227,7 @@ def compose_tiff(pages: Sequence[PageSpec]) -> tuple[bytes, list[dict]]:
             count = ent[4] if len(ent) > 4 else (
                 len(payload) if typ == _TYPE_ASCII else len(values))
             nbytes = _TYPE_SIZES[typ] * count
-            if payload is not None and nbytes > 4:
+            if payload is not None and (nbytes > 4 or len(payload) > 4):
                 if len(out) % 2:
                     out.append(0)
                 off = len(out)

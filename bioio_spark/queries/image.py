@@ -2942,3 +2942,56 @@ def img_lsm_window_read(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_px"),
                  F.sum("value").alias("sum_val"))
             .orderBy("c", "z"))
+
+
+@register(
+    "img_stk_roundtrip",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {5 * 6} AS INTEGER) AS z,
+             CAST((i // 6) % 5 AS INTEGER) AS y,
+             CAST(i % 6 AS INTEGER) AS x,
+             CAST((i // {5 * 6}) * 100
+                  + ((i // 6) % 5) * 10 + (i % 6) AS DOUBLE) AS value
+      FROM range({4 * 5 * 6}) r(i))
+    SELECT z, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY z ORDER BY z
+    """,
+    doc="MetaMorph STK encode -> BioImage reread (native .stk coverage "
+        "of the Bio-Formats long tail: one-IFD contiguous plane stack, "
+        "UIC2 declared-count quirk, Z-vs-T axis rule, per-plane "
+        "planned reads)",
+)
+def img_stk_roundtrip(spark, sf_dir):
+    """STK roundtrip as a Z series (nonzero UIC2 z-distance), so the
+    hash pins the plane-stacking offset arithmetic and the axis rule.
+    Ref README.md:74 (bioio-bioformats routes .stk; this is the native
+    Spark-planned replacement)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.stk import encode_stk
+
+    idx = np.indices((4, 5, 6))
+    stack = (idx[0] * 100 + idx[1] * 10 + idx[2]).astype(np.uint16)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "stk_roundtrip")
+    path = os.path.join(out, "zstack.stk")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(encode_stk(stack, z_distance=0.5, wavelength=488))
+        os.replace(tmp, path)
+    img = BioImage(path, spark=spark)       # .stk extension routing
+    return (img.get_image_dataframe()
+            .groupBy("z")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("z"))
