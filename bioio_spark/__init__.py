@@ -172,6 +172,16 @@ def _register_builtin_plugins() -> None:
         version=__version__,
     ))
 
+    from bioio_spark.sources.svs_image import SvsImageReader
+
+    register_plugin(PluginEntry(
+        name="bioio-svs-baseline",
+        reader=SvsImageReader,
+        extensions=[".svs"],
+        is_supported_image=SvsImageReader.is_supported_image,
+        version=__version__,
+    ))
+
     from bioio_spark.sources.tiff_glob import TiffGlobReader
 
     # no extensions: glob patterns aren't routable by suffix — like the

@@ -119,7 +119,7 @@ def _page_chunks(p: PageSpec) -> list[bytes]:
     if p.jpeg:
         from bioio_spark.formats.jpeg import encode_jpeg
         return [encode_jpeg(np.ascontiguousarray(c), quality=95,
-                            subsampling="4:4:4") for c in arrs]
+                            subsampling="444") for c in arrs]
     le = a.dtype.newbyteorder("<")
     return [c.astype(le, copy=False).tobytes() for c in arrs]
 

@@ -2995,3 +2995,76 @@ def img_stk_roundtrip(spark, sf_dir):
                  F.sum("value").alias("sum_val"),
                  F.max("value").alias("max_val"))
             .orderBy("z"))
+
+
+@register(
+    "img_svs_pyramid",
+    oracle="""
+    WITH l0 AS (
+      SELECT 0 AS res_level, CAST(s.s AS INTEGER) AS s,
+             CAST(((y.y // 4) * 7 + (x.x // 4) * 3 + s.s * 5) % 251
+                  AS DOUBLE) AS value
+      FROM range(16) y(y), range(24) x(x), range(3) s(s)),
+    l1 AS (
+      SELECT 1 AS res_level, CAST(s.s AS INTEGER) AS s,
+             CAST(((y.y // 2) * 7 + (x.x // 2) * 3 + s.s * 5) % 251
+                  AS DOUBLE) AS value
+      FROM range(8) y(y), range(12) x(x), range(3) s(s)),
+    l2 AS (
+      SELECT 2 AS res_level, CAST(s.s AS INTEGER) AS s,
+             CAST((y.y * 7 + x.x * 3 + s.s * 5) % 251
+                  AS DOUBLE) AS value
+      FROM range(4) y(y), range(6) x(x), range(3) s(s)),
+    px AS (SELECT * FROM l0 UNION ALL SELECT * FROM l1
+           UNION ALL SELECT * FROM l2)
+    SELECT res_level, s, count(*) AS n_px,
+           CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY res_level, s ORDER BY res_level, s
+    """,
+    doc="Aperio SVS whole-slide pyramid read (native .svs coverage of "
+        "the Bio-Formats long tail: tiled pages as res_levels, pipe "
+        "metadata, striped label/macro scenes, per-tile planned reads)",
+)
+def img_svs_pyramid(spark, sf_dir):
+    """SVS roundtrip across all three pyramid levels. The fixture is
+    constant per 4x4 block so the 2x2 block-mean levels are EXACT and
+    the hash pins the tiled-page -> res_level mapping, the RGB sample
+    column, and the edge-tile trim. Ref README.md:74 (bioio-bioformats
+    routes .svs; this is the native Spark-planned replacement)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.svs import encode_svs
+
+    yy, xx, ss = np.indices((16, 24, 3))
+    img = (((yy // 4) * 7 + (xx // 4) * 3 + ss * 5) % 251).astype(
+        np.uint8)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "svs_pyramid")
+    path = os.path.join(out, "slide.svs")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(encode_svs(img, n_levels=3, mpp=0.25, app_mag=40,
+                               tile=(16, 16), thumbnail=False))
+        os.replace(tmp, path)
+    b = BioImage(path, spark=spark)         # .svs extension routing
+    parts = []
+    for lvl in b.resolution_levels:
+        b.set_resolution_level(lvl)
+        parts.append(b.get_image_dataframe()
+                     .select(F.lit(lvl).alias("res_level"), "s", "value"))
+    allpx = parts[0]
+    for p in parts[1:]:
+        allpx = allpx.unionAll(p)
+    return (allpx.groupBy("res_level", "s")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("res_level", "s"))
