@@ -182,6 +182,16 @@ def _register_builtin_plugins() -> None:
         version=__version__,
     ))
 
+    from bioio_spark.sources.scn_image import ScnImageReader
+
+    register_plugin(PluginEntry(
+        name="bioio-scn-baseline",
+        reader=ScnImageReader,
+        extensions=[".scn"],
+        is_supported_image=ScnImageReader.is_supported_image,
+        version=__version__,
+    ))
+
     from bioio_spark.sources.tiff_glob import TiffGlobReader
 
     # no extensions: glob patterns aren't routable by suffix — like the

@@ -3068,3 +3068,76 @@ def img_svs_pyramid(spark, sf_dir):
                  F.sum("value").alias("sum_val"),
                  F.max("value").alias("max_val"))
             .orderBy("res_level", "s"))
+
+
+@register(
+    "img_scn_collection",
+    oracle="""
+    WITH l0 AS (
+      SELECT 0 AS res_level, CAST(z.z AS INTEGER) AS z,
+             CAST((z.z * 11 + (y.y // 4) * 7 + (x.x // 4) * 3) % 251
+                  AS DOUBLE) AS value
+      FROM range(2) z(z), range(16) y(y), range(24) x(x)),
+    l1 AS (
+      SELECT 1 AS res_level, CAST(z.z AS INTEGER) AS z,
+             CAST((z.z * 11 + (y.y // 2) * 7 + (x.x // 2) * 3) % 251
+                  AS DOUBLE) AS value
+      FROM range(2) z(z), range(8) y(y), range(12) x(x)),
+    px AS (SELECT * FROM l0 UNION ALL SELECT * FROM l1)
+    SELECT res_level, z, count(*) AS n_px,
+           CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY res_level, z ORDER BY res_level, z
+    """,
+    doc="Leica SCN collection read (native .scn coverage of the "
+        "Bio-Formats long tail: collection XML maps (image, r, z) to "
+        "tiled IFDs; scenes = images, res_levels = r, focal planes = "
+        "z; per-tile planned reads)",
+)
+def img_scn_collection(spark, sf_dir):
+    """SCN roundtrip of a 2-image collection (macro + z-stack region),
+    aggregating the region across both pyramid levels and focal
+    planes. The fixture is constant per 4x4 block so level means are
+    EXACT; the hash pins the XML (r, z)->IFD mapping. Ref
+    README.md:74 (bioio-bioformats routes .scn; this is the native
+    Spark-planned replacement)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.scn import encode_scn
+
+    zz, yy, xx = np.indices((2, 16, 24))
+    region = ((zz * 11 + (yy // 4) * 7 + (xx // 4) * 3) % 251).astype(
+        np.uint8)
+    macro = np.full((8, 12, 3), 9, np.uint8)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "scn_collection")
+    path = os.path.join(out, "slide.scn")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(encode_scn([
+                {"name": "macro", "array": macro, "n_levels": 1},
+                {"name": "region", "array": region, "n_levels": 2},
+            ], tile=(16, 16)))
+        os.replace(tmp, path)
+    b = BioImage(path, spark=spark)         # .scn extension routing
+    b.set_scene("Image:1")
+    parts = []
+    for lvl in b.resolution_levels:
+        b.set_resolution_level(lvl)
+        parts.append(b.get_image_dataframe()
+                     .select(F.lit(lvl).alias("res_level"), "z", "value"))
+    allpx = parts[0]
+    for p in parts[1:]:
+        allpx = allpx.unionAll(p)
+    return (allpx.groupBy("res_level", "z")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("res_level", "z"))
