@@ -192,6 +192,16 @@ def _register_builtin_plugins() -> None:
         version=__version__,
     ))
 
+    from bioio_spark.sources.oif_image import OifImageReader
+
+    register_plugin(PluginEntry(
+        name="bioio-oif-baseline",
+        reader=OifImageReader,
+        extensions=[".oif"],
+        is_supported_image=OifImageReader.is_supported_image,
+        version=__version__,
+    ))
+
     from bioio_spark.sources.tiff_glob import TiffGlobReader
 
     # no extensions: glob patterns aren't routable by suffix — like the

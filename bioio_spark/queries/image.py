@@ -3141,3 +3141,58 @@ def img_scn_collection(spark, sf_dir):
                  F.sum("value").alias("sum_val"),
                  F.max("value").alias("max_val"))
             .orderBy("res_level", "z"))
+
+
+@register(
+    "img_oif_roundtrip",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {2 * 3 * 4 * 5} AS INTEGER) AS t,
+             CAST((i // {3 * 4 * 5}) % 2 AS INTEGER) AS c,
+             CAST((i // {4 * 5}) % 3 AS INTEGER) AS z,
+             CAST((i // 5) % 4 AS INTEGER) AS y,
+             CAST(i % 5 AS INTEGER) AS x,
+             CAST((i // {2 * 3 * 4 * 5}) * 10000
+                  + ((i // {3 * 4 * 5}) % 2) * 1000
+                  + ((i // {4 * 5}) % 3) * 100
+                  + ((i // 5) % 4) * 10 + (i % 5) AS DOUBLE) AS value
+      FROM range({2 * 2 * 3 * 4 * 5}) r(i))
+    SELECT t, z, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY t, z ORDER BY t, z
+    """,
+    doc="Olympus OIF encode -> BioImage reread (native .oif coverage "
+        "of the Bio-Formats long tail: UTF-16 INI catalog + one TIFF "
+        "per plane, plane-file-per-task planned reads)",
+)
+def img_oif_roundtrip(spark, sf_dir):
+    """OIF roundtrip: axis sizes from the INI's Axis sections, dye
+    names -> channels, per-plane s_CxxxZxxxTxxx.tif decode. Ref
+    README.md:74 (bioio-bioformats routes .oif; this is the native
+    Spark-planned replacement)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.oif import encode_oif
+
+    idx = np.indices((2, 2, 3, 4, 5))
+    block = (idx[0] * 10000 + idx[1] * 1000 + idx[2] * 100
+             + idx[3] * 10 + idx[4]).astype(np.uint16)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "oif_roundtrip")
+    path = os.path.join(out, "scan.oif")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        encode_oif(block, out, name="scan",
+                   channel_names=["CFP", "YFP"], um_per_px=0.21)
+    img = BioImage(path, spark=spark)       # .oif extension routing
+    return (img.get_image_dataframe()
+            .groupBy("t", "z")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("t", "z"))
