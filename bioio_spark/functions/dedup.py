@@ -476,3 +476,85 @@ def decontamination_oracle(eval_mod: int = 10) -> str:
     FROM tagged t JOIN train USING (shingle)
     WHERE t.is_eval GROUP BY t.doc_id ORDER BY t.doc_id
     """
+
+
+# --------------------------------------------------------------------------
+# L2e: embedding-cosine near-duplicate DEDUP — the decision layer over the
+# hyperplane-LSH candidate pairs (similarity.lsh_near_duplicates finds the
+# pairs; this keeps one representative per near-dup set). Greedy
+# keep-lowest-id: a vector survives iff NO lower-id vector in its sign
+# bucket has cosine >= threshold — single-pass, deterministic under task
+# retries, and the rule SemDeDup-style embedding dedup pipelines use.
+#
+# Scale shape: the only wide op is the bucket self-join, which inherits the
+# l3b machinery (sign buckets bound candidates; AQE handles bucket skew);
+# the decision is a partial-combining count per vec — no iteration, no
+# transitive closure, no driver-side state at any size.
+# --------------------------------------------------------------------------
+def embedding_near_dup_dedup(embeddings: DataFrame,
+                             threshold: float = 0.3) -> DataFrame:
+    """Per vec_id: the number of LOWER-ID near-duplicates in its sign
+    bucket and the keep decision (keep iff that count is 0).
+
+    Returns (vec_id, n_dup_lower, keep) sorted by vec_id.
+    """
+    from bioio_spark.functions.similarity import (N_SIGN_BITS, _dot,
+                                                  _norm, _to_double)
+
+    emb = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("e"))
+    bucket = None
+    for b in range(N_SIGN_BITS):
+        bit = F.when(F.element_at(F.col("e"), b + 1) >= 0,
+                     F.lit(2 ** b)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    emb = emb.withColumn("bucket", bucket.cast("int"))
+    a, b_ = emb.alias("a"), emb.alias("b")
+    sim = _dot(F.col("a.e"), F.col("b.e")) / (
+        _norm(F.col("a.e")) * _norm(F.col("b.e")))
+    dup_counts = (
+        a.join(b_, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(sim >= threshold)
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("n_dup_lower")))
+    return (emb.select("vec_id")
+            .join(dup_counts, "vec_id", "left")
+            .select("vec_id",
+                    F.coalesce(F.col("n_dup_lower"),
+                               F.lit(0)).cast("bigint")
+                    .alias("n_dup_lower"))
+            .withColumn("keep",
+                        (F.col("n_dup_lower") == 0).cast("bigint"))
+            .orderBy("vec_id"))
+
+
+def _embedding_dedup_oracle(threshold: float = 0.3) -> str:
+    from bioio_spark.functions.similarity import N_SIGN_BITS
+
+    bits = " + ".join(
+        f"CASE WHEN e[{b + 1}] >= 0 THEN {2 ** b} ELSE 0 END"
+        for b in range(N_SIGN_BITS))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    bucketed AS (SELECT vec_id, e, CAST({bits} AS INTEGER) AS bucket
+                 FROM e),
+    dups AS (
+      SELECT b.vec_id, count(*) AS n_dup_lower
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e))) >= {threshold}
+      GROUP BY b.vec_id)
+    SELECT e.vec_id,
+           CAST(coalesce(d.n_dup_lower, 0) AS BIGINT) AS n_dup_lower,
+           CAST(coalesce(d.n_dup_lower, 0) = 0 AS BIGINT) AS keep
+    FROM e LEFT JOIN dups d ON e.vec_id = d.vec_id
+    ORDER BY e.vec_id
+    """
+
+
+EMBEDDING_DEDUP_ORACLE = _embedding_dedup_oracle()

@@ -649,3 +649,22 @@ def l3d_ivf_recall(spark, sf_dir):
     return (ivf.join(bf, "vec_id")
             .agg(F.lit(_RECALL_K).alias("k"),
                  F.count(F.lit(1)).alias("n_common")))
+
+
+# --------------------------------------------------------------------------
+# L2e embedding-cosine near-duplicate dedup: the SemDeDup-style decision
+# layer over hyperplane-LSH buckets — keep a vector iff no lower-id vector
+# in its sign bucket clears the cosine threshold. Completes the dedup
+# family (exact l1 / MinHash l2 / SimHash l2b / n-gram Jaccard l2c /
+# embedding-cosine l2e).
+# --------------------------------------------------------------------------
+from bioio_spark.functions.dedup import (  # noqa: E402
+    EMBEDDING_DEDUP_ORACLE, embedding_near_dup_dedup)
+
+
+@register("l2e_embedding_dedup", oracle=EMBEDDING_DEDUP_ORACLE,
+          doc="L2e embedding-cosine near-dup dedup (keep-lowest-id over "
+              "LSH sign buckets)")
+def l2e_embedding_dedup(spark, sf_dir):
+    return embedding_near_dup_dedup(load(spark, sf_dir, "embeddings"),
+                                    threshold=0.3)

@@ -1,0 +1,50 @@
+"""L2e embedding-cosine near-dup dedup — keep-lowest-id over LSH sign
+buckets (the SemDeDup-style decision layer; pairs machinery shared with
+l3b lsh_near_duplicates)."""
+
+import numpy as np
+import pytest
+
+from bioio_spark.functions.dedup import embedding_near_dup_dedup
+from bioio_spark.functions.similarity import N_SIGN_BITS
+
+
+def _df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(v) for v in vec]) for i, vec in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+
+
+def test_keeps_lowest_id_per_near_dup_set(spark):
+    dim = max(N_SIGN_BITS, 8)
+    base = np.zeros(dim); base[0] = 1.0
+    nearly = base.copy(); nearly[1] = 0.05       # cosine ~0.999
+    far = np.zeros(dim); far[0] = -1.0           # different sign bucket
+    out = {r["vec_id"]: r for r in
+           embedding_near_dup_dedup(
+               _df(spark, [base, nearly, far]), threshold=0.9)
+           .collect()}
+    assert out[0]["keep"] == 1 and out[0]["n_dup_lower"] == 0
+    assert out[1]["keep"] == 0 and out[1]["n_dup_lower"] == 1
+    assert out[2]["keep"] == 1                   # bucket-isolated
+
+
+def test_below_threshold_pairs_survive(spark):
+    dim = max(N_SIGN_BITS, 8)
+    a = np.ones(dim)
+    b = np.ones(dim); b[:dim // 2] = 0.01        # same bucket, low cosine?
+    out = {r["vec_id"]: r["keep"] for r in
+           embedding_near_dup_dedup(
+               _df(spark, [a, b]), threshold=0.999).collect()}
+    assert out[0] == 1
+    # cosine(a, b) < 0.999 -> both kept
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos < 0.999
+    assert out[1] == 1
+
+
+def test_every_vector_gets_a_row(spark):
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(20, max(N_SIGN_BITS, 8)))
+    rows = embedding_near_dup_dedup(_df(spark, vecs)).collect()
+    assert sorted(r["vec_id"] for r in rows) == list(range(20))
