@@ -3196,3 +3196,60 @@ def img_oif_roundtrip(spark, sf_dir):
                  F.sum("value").alias("sum_val"),
                  F.max("value").alias("max_val"))
             .orderBy("t", "z"))
+
+
+_SVL_H, _SVL_W = 3072, 2560            # 7.9M px, 120 tiles of 256x256
+
+
+def _svs_large_fixture() -> str:
+    """Deterministic 120-tile raw SVS slide, cached on disk (reruns in
+    the min-of-3 bench loop skip regeneration)."""
+    import os
+
+    import numpy as np
+
+    from bioio_spark.formats.svs import encode_svs
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "svs_large")
+    path = os.path.join(out, "large.svs")
+    if not os.path.exists(path):
+        os.makedirs(out, exist_ok=True)
+        i = np.arange(_SVL_H * _SVL_W, dtype=np.int64)
+        img = ((i * 37) % 251).astype(np.uint8).reshape(_SVL_H, _SVL_W)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(encode_svs(img, n_levels=1, tile=(256, 256),
+                               thumbnail=False))
+        os.replace(tmp, path)
+    return path
+
+
+@register(
+    "img_svs_large",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // ({_SVL_W} * 256) AS INTEGER) AS band,
+             CAST((i * 37) % 251 AS DOUBLE) AS value
+      FROM range({_SVL_H * _SVL_W}) r(i))
+    SELECT band, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY band ORDER BY band
+    """,
+    doc="SVS decode throughput: 7.9M-pixel 120-tile slide, per-tile "
+        "planned reads, per-tile-band checksum (whole-slide images "
+        "are the canonical 100 TB-shaped input)",
+)
+def img_svs_large(spark, sf_dir):
+    """Decode-throughput gauge for the whole-slide tier (MB/s tracked
+    in SCALING.md): one ranged read + decode per 256x256 tile, 120
+    parallel tasks."""
+    from bioio_spark.bio_image import BioImage
+
+    img = BioImage(_svs_large_fixture(), spark=spark)
+    return (img.get_image_dataframe()
+            .groupBy((F.col("y") / 256).cast("int").alias("band"))
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("band"))

@@ -398,3 +398,41 @@ def test_nd2_lif_window_reads_no_shuffle(spark, tmp_path):
           "data": np.zeros((2, 2, 2, 4, 5), np.uint16)}]))
     dfl = read_lif_window(spark, str(pl), c=1, y=(1, 3))
     assert physical_plan(dfl).count("Exchange hashpartitioning") == 0
+
+
+def test_vendor_tiff_dialects_no_shuffle(spark, tmp_path):
+    """LSM / STK / SVS / SCN / OIF pixel scans are planned reads like
+    the rest of the vendor tier: plan rows distribute, tasks seek-read
+    their strips/planes/tiles — zero hash exchanges on the pixel side."""
+    import numpy as np
+
+    from bioio_spark import BioImage
+    from bioio_spark.formats.lsm import encode_lsm
+    from bioio_spark.formats.oif import encode_oif
+    from bioio_spark.formats.scn import encode_scn
+    from bioio_spark.formats.stk import encode_stk
+    from bioio_spark.formats.svs import encode_svs
+
+    block = np.zeros((2, 2, 2, 4, 5), np.uint16)
+    files = {
+        "a.lsm": encode_lsm(block),
+        "a.stk": encode_stk(np.zeros((3, 4, 5), np.uint16),
+                            z_distance=0.5),
+        "a.svs": encode_svs(np.zeros((40, 48, 3), np.uint8),
+                            n_levels=2, tile=(16, 16)),
+        "a.scn": encode_scn([{"name": "r",
+                              "array": np.zeros((32, 48), np.uint8),
+                              "n_levels": 2}], tile=(16, 16)),
+    }
+    for name, payload in files.items():
+        p = tmp_path / name
+        p.write_bytes(payload)
+        df = BioImage(str(p), spark=spark).get_image_dataframe()
+        plan = physical_plan(df)
+        assert plan.count("Exchange hashpartitioning") == 0, \
+            f"{name}: pixel-side shuffle\n{plan}"
+    oif = encode_oif(block, str(tmp_path), name="a")
+    df = BioImage(oif, spark=spark).get_image_dataframe()
+    plan = physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 0, \
+        f"a.oif: pixel-side shuffle\n{plan}"
