@@ -202,6 +202,16 @@ def _register_builtin_plugins() -> None:
         version=__version__,
     ))
 
+    from bioio_spark.sources.oib_image import OibImageReader
+
+    register_plugin(PluginEntry(
+        name="bioio-oib-baseline",
+        reader=OibImageReader,
+        extensions=[".oib"],
+        is_supported_image=OibImageReader.is_supported_image,
+        version=__version__,
+    ))
+
     from bioio_spark.sources.tiff_glob import TiffGlobReader
 
     # no extensions: glob patterns aren't routable by suffix — like the

@@ -3253,3 +3253,62 @@ def img_svs_large(spark, sf_dir):
                  F.sum("value").alias("sum_val"),
                  F.max("value").alias("max_val"))
             .orderBy("band"))
+
+
+@register(
+    "img_oib_roundtrip",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {2 * 3 * 4 * 5} AS INTEGER) AS t,
+             CAST((i // {3 * 4 * 5}) % 2 AS INTEGER) AS c,
+             CAST((i // {4 * 5}) % 3 AS INTEGER) AS z,
+             CAST((i // 5) % 4 AS INTEGER) AS y,
+             CAST(i % 5 AS INTEGER) AS x,
+             CAST((i // {2 * 3 * 4 * 5}) * 10000
+                  + ((i // {3 * 4 * 5}) % 2) * 1000
+                  + ((i // {4 * 5}) % 3) * 100
+                  + ((i // 5) % 4) * 10 + (i % 5) AS DOUBLE) AS value
+      FROM range({2 * 2 * 3 * 4 * 5}) r(i))
+    SELECT c, z, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY c, z ORDER BY c, z
+    """,
+    doc="Olympus OIB encode -> BioImage reread (native .oib coverage "
+        "of the Bio-Formats long tail: MS-CFB compound container, "
+        "OibInfo stream map, sector-extent planned plane reads)",
+)
+def img_oib_roundtrip(spark, sf_dir):
+    """OIB roundtrip: the CFB directory + OibInfo.txt resolve each
+    plane stream to byte extents driver-side; executors seek-read
+    their extents and decode the embedded TIFF. Ref README.md:74
+    (bioio-bioformats routes .oib; this is the native Spark-planned
+    replacement)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.oib import encode_oib
+
+    idx = np.indices((2, 2, 3, 4, 5))
+    block = (idx[0] * 10000 + idx[1] * 1000 + idx[2] * 100
+             + idx[3] * 10 + idx[4]).astype(np.uint16)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "oib_roundtrip")
+    path = os.path.join(out, "scan.oib")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(encode_oib(block, channel_names=["CFP", "YFP"],
+                               um_per_px=0.21))
+        os.replace(tmp, path)
+    img = BioImage(path, spark=spark)       # .oib extension routing
+    return (img.get_image_dataframe()
+            .groupBy("c", "z")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("c", "z"))
