@@ -212,6 +212,26 @@ def _register_builtin_plugins() -> None:
         version=__version__,
     ))
 
+    from bioio_spark.sources.ndpi_image import NdpiImageReader
+
+    register_plugin(PluginEntry(
+        name="bioio-ndpi-baseline",
+        reader=NdpiImageReader,
+        extensions=[".ndpi"],
+        is_supported_image=NdpiImageReader.is_supported_image,
+        version=__version__,
+    ))
+
+    from bioio_spark.sources.qptiff_image import QptiffImageReader
+
+    register_plugin(PluginEntry(
+        name="bioio-qptiff-baseline",
+        reader=QptiffImageReader,
+        extensions=[".qptiff"],
+        is_supported_image=QptiffImageReader.is_supported_image,
+        version=__version__,
+    ))
+
     from bioio_spark.sources.tiff_glob import TiffGlobReader
 
     # no extensions: glob patterns aren't routable by suffix — like the

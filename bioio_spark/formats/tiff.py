@@ -166,7 +166,7 @@ def build_ome_xml(size_t: int, size_c: int, size_z: int, size_y: int,
     )
 
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 16: 8}
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8, 16: 8}
 
 
 def _ifd_entry(tag: int, typ: int, count: int, value: int) -> bytes:
@@ -693,8 +693,8 @@ def _read_tag_values(data: bytes, typ: int, count: int,
     """Decode an IFD entry's value(s), following the offset when needed.
     `bo` is the file byte order; `big` selects the BigTIFF entry layout
     (8-byte inline field and offsets, LONG8 type 16)."""
-    sizes = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 16: 8}
-    fmt = {1: "B", 3: "H", 4: "I", 16: "Q"}
+    sizes = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8, 16: 8}
+    fmt = {1: "B", 3: "H", 4: "I", 11: "f", 12: "d", 16: "Q"}
     total = sizes.get(typ, 1) * count
     inline = 8 if big else 4
     if total > inline:
@@ -1054,8 +1054,8 @@ def _read_tag_values_fh(f, typ: int, count: int, raw: bytes, bo: str,
                         big: bool) -> list:
     """Seek-based twin of _read_tag_values: follows out-of-line value
     offsets through the file handle instead of a memory buffer."""
-    sizes = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 16: 8}
-    fmt = {1: "B", 3: "H", 4: "I", 16: "Q"}
+    sizes = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8, 16: 8}
+    fmt = {1: "B", 3: "H", 4: "I", 11: "f", 12: "d", 16: "Q"}
     total = sizes.get(typ, 1) * count
     inline = 8 if big else 4
     if total > inline:

@@ -47,7 +47,8 @@ def _pack_values(typ: int, values) -> bytes:
         for num, den in values:
             out += struct.pack("<II", num, den)
         return out
-    fmt = {1: "B", _TYPE_SHORT: "H", _TYPE_LONG: "I"}[typ]
+    fmt = {1: "B", _TYPE_SHORT: "H", _TYPE_LONG: "I",
+           11: "f", 12: "d"}[typ]
     return struct.pack(f"<{len(values)}{fmt}", *values)
 
 

@@ -3312,3 +3312,136 @@ def img_oib_roundtrip(spark, sf_dir):
                  F.sum("value").alias("sum_val"),
                  F.max("value").alias("max_val"))
             .orderBy("c", "z"))
+
+
+@register(
+    "img_ndpi_pyramid",
+    oracle="""
+    WITH l0 AS (
+      SELECT 0 AS res_level, CAST(s.s AS INTEGER) AS s,
+             CAST(((y.y // 4) * 13 + (x.x // 4) * 5 + s.s * 3) % 241
+                  AS DOUBLE) AS value
+      FROM range(16) y(y), range(24) x(x), range(3) s(s)),
+    l1 AS (
+      SELECT 1 AS res_level, CAST(s.s AS INTEGER) AS s,
+             CAST(((y.y // 2) * 13 + (x.x // 2) * 5 + s.s * 3) % 241
+                  AS DOUBLE) AS value
+      FROM range(8) y(y), range(12) x(x), range(3) s(s)),
+    px AS (SELECT * FROM l0 UNION ALL SELECT * FROM l1)
+    SELECT res_level, s, count(*) AS n_px,
+           CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY res_level, s ORDER BY res_level, s
+    """,
+    doc="Hamamatsu NDPI whole-slide read (native .ndpi coverage of the "
+        "Bio-Formats long tail: SourceLens tag 65420 classification, "
+        "striped pyramid pages, cm-unit resolution, macro/map scenes)",
+)
+def img_ndpi_pyramid(spark, sf_dir):
+    """NDPI roundtrip across both pyramid levels (fixture constant per
+    4x4 block so level means are exact); the hash pins the SourceLens
+    page classification and strip decode. Ref README.md:74."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.ndpi import encode_ndpi
+
+    yy, xx, ss = np.indices((16, 24, 3))
+    img = (((yy // 4) * 13 + (xx // 4) * 5 + ss * 3) % 241).astype(
+        np.uint8)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "ndpi_pyramid")
+    path = os.path.join(out, "slide.ndpi")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(encode_ndpi(img, n_levels=2, source_lens=20.0,
+                                um_per_px=0.46))
+        os.replace(tmp, path)
+    b = BioImage(path, spark=spark)         # .ndpi extension routing
+    parts = []
+    for lvl in b.resolution_levels:
+        b.set_resolution_level(lvl)
+        parts.append(b.get_image_dataframe()
+                     .select(F.lit(lvl).alias("res_level"), "s", "value"))
+    allpx = parts[0]
+    for p in parts[1:]:
+        allpx = allpx.unionAll(p)
+    return (allpx.groupBy("res_level", "s")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("res_level", "s"))
+
+
+@register(
+    "img_qptiff_multiplex",
+    oracle="""
+    WITH l0 AS (
+      SELECT 0 AS res_level, CAST(c.c AS INTEGER) AS c,
+             CAST((c.c * 17 + (y.y // 4) * 7 + (x.x // 4) * 3) % 257
+                  AS DOUBLE) AS value
+      FROM range(3) c(c), range(16) y(y), range(24) x(x)),
+    l1 AS (
+      SELECT 1 AS res_level, CAST(c.c AS INTEGER) AS c,
+             CAST((c.c * 17 + (y.y // 2) * 7 + (x.x // 2) * 3) % 257
+                  AS DOUBLE) AS value
+      FROM range(3) c(c), range(8) y(y), range(12) x(x)),
+    px AS (SELECT * FROM l0 UNION ALL SELECT * FROM l1)
+    SELECT res_level, c, count(*) AS n_px,
+           CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY res_level, c ORDER BY res_level, c
+    """,
+    doc="Vectra QPTIFF multiplexed-fluorescence read (native .qptiff "
+        "coverage of the Bio-Formats long tail: one page per channel "
+        "per level via QPI XML, real C axis, per-tile planned reads)",
+)
+def img_qptiff_multiplex(spark, sf_dir):
+    """QPTIFF roundtrip across channels and both levels (fixture
+    constant per 4x4 block); the hash pins the page->channel grouping
+    and the XML channel names' order. Ref README.md:74."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.qptiff import encode_qptiff
+
+    cc, yy, xx = np.indices((3, 16, 24))
+    stack = ((cc * 17 + (yy // 4) * 7 + (xx // 4) * 3) % 257).astype(
+        np.uint16)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "qptiff_multiplex")
+    path = os.path.join(out, "mx.qptiff")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(encode_qptiff(stack,
+                                  channel_names=["DAPI", "Opal520",
+                                                 "Opal690"],
+                                  n_levels=2, tile=(16, 16),
+                                  thumbnail=False))
+        os.replace(tmp, path)
+    b = BioImage(path, spark=spark)         # .qptiff extension routing
+    parts = []
+    for lvl in b.resolution_levels:
+        b.set_resolution_level(lvl)
+        parts.append(b.get_image_dataframe()
+                     .select(F.lit(lvl).alias("res_level"), "c", "value"))
+    allpx = parts[0]
+    for p in parts[1:]:
+        allpx = allpx.unionAll(p)
+    return (allpx.groupBy("res_level", "c")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("res_level", "c"))

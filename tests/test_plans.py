@@ -436,3 +436,22 @@ def test_vendor_tiff_dialects_no_shuffle(spark, tmp_path):
     plan = physical_plan(df)
     assert plan.count("Exchange hashpartitioning") == 0, \
         f"a.oif: pixel-side shuffle\n{plan}"
+    from bioio_spark.formats.ndpi import encode_ndpi
+    from bioio_spark.formats.oib import encode_oib
+    from bioio_spark.formats.qptiff import encode_qptiff
+
+    more = {
+        "a.ndpi": encode_ndpi(np.zeros((32, 48, 3), np.uint8),
+                              n_levels=2),
+        "a.qptiff": encode_qptiff(np.zeros((2, 32, 48), np.uint16),
+                                  n_levels=1, tile=(16, 16),
+                                  thumbnail=False),
+        "a.oib": encode_oib(block),
+    }
+    for name, payload in more.items():
+        p = tmp_path / name
+        p.write_bytes(payload)
+        df = BioImage(str(p), spark=spark).get_image_dataframe()
+        plan = physical_plan(df)
+        assert plan.count("Exchange hashpartitioning") == 0, \
+            f"{name}: pixel-side shuffle\n{plan}"
