@@ -232,6 +232,16 @@ def _register_builtin_plugins() -> None:
         version=__version__,
     ))
 
+    from bioio_spark.sources.ims_image import ImsImageReader
+
+    register_plugin(PluginEntry(
+        name="bioio-ims-baseline",
+        reader=ImsImageReader,
+        extensions=[".ims"],
+        is_supported_image=ImsImageReader.is_supported_image,
+        version=__version__,
+    ))
+
     from bioio_spark.sources.tiff_glob import TiffGlobReader
 
     # no extensions: glob patterns aren't routable by suffix — like the

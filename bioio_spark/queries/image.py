@@ -3445,3 +3445,64 @@ def img_qptiff_multiplex(spark, sf_dir):
                  F.sum("value").alias("sum_val"),
                  F.max("value").alias("max_val"))
             .orderBy("res_level", "c"))
+
+
+@register(
+    "img_ims_roundtrip",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {3 * 4 * 5 * 6} AS INTEGER) AS t,
+             CAST((i // {4 * 5 * 6}) % 3 AS INTEGER) AS c,
+             CAST((i // {5 * 6}) % 4 AS INTEGER) AS z,
+             CAST((i // 6) % 5 AS INTEGER) AS y,
+             CAST(i % 6 AS INTEGER) AS x,
+             CAST((i // {3 * 4 * 5 * 6}) * 10000
+                  + ((i // {4 * 5 * 6}) % 3) * 1000
+                  + ((i // {5 * 6}) % 4) * 100
+                  + ((i // 6) % 5) * 10 + (i % 6) AS DOUBLE) AS value
+      FROM range({2 * 3 * 4 * 5 * 6}) r(i))
+    SELECT t, c, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY t, c ORDER BY t, c
+    """,
+    doc="Imaris IMS encode -> BioImage reread over the NATIVE HDF5 "
+        "subset codec (no h5py/libhdf5): chunked+deflate Data "
+        "datasets, /DataSetInfo attrs, per-chunk planned reads",
+)
+def img_ims_roundtrip(spark, sf_dir):
+    """IMS roundtrip through the WILD layout (chunked + gzip Data
+    datasets), so the hash pins the HDF5 chunk-B-tree walk, the
+    deflate filter, the edge-chunk trim, and the /DataSetInfo axis
+    catalog. Ref README.md:74 (bioio-bioformats routes .ims; this is
+    the native Spark-planned replacement)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.ims import encode_ims
+
+    idx = np.indices((2, 3, 4, 5, 6))
+    block = (idx[0] * 10000 + idx[1] * 1000 + idx[2] * 100
+             + idx[3] * 10 + idx[4]).astype(np.uint16)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "ims_roundtrip")
+    path = os.path.join(out, "cells.ims")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(encode_ims(block,
+                               channel_names=["DAPI", "GFP", "RFP"],
+                               pps_zyx_um=(0.5, 0.1, 0.1),
+                               chunks=(2, 4, 4), gzip=True))
+        os.replace(tmp, path)
+    img = BioImage(path, spark=spark)       # .ims extension routing
+    return (img.get_image_dataframe()
+            .groupBy("t", "c")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("t", "c"))

@@ -1,0 +1,229 @@
+"""Imaris IMS (.ims) reader — native coverage for the HDF5-based
+format the reference can only reach through the bioio-bioformats Java
+bridge (ref README.md:74 routes .ims). Runs on the in-repo native
+HDF5 subset codec — no h5py/libhdf5 — via the public Imaris 5.5
+layout (bioio_spark.formats.ims).
+
+- **Catalog (driver-side)**: /DataSetInfo attributes + HDF5 layout
+  messages only (D8 contract): sizes, channel names, physical extents
+  -> µm pixel sizes, and per-(level, t, c) dataset byte extents.
+- **Pixels (executor-side)**: contiguous Data datasets make each Z
+  plane ONE contiguous byte range — the driver plans one row per
+  (level, t, c, z) and tasks seek-read exactly their plane (one
+  ranged GET at object-store scale, zero shuffle). Gzip-chunked wild
+  files plan one row per chunk through the same codec.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+_IMS_EXTS = (".ims",)
+
+
+def _plan_rows(path: str, cat: dict) -> list[dict]:
+    """One plan row per (level, t, c, z) plane (contiguous datasets)
+    or per chunk (chunked datasets)."""
+    ap = os.path.abspath(path)
+    plan = []
+    for (lv, t, c), di in cat["datasets"].items():
+        z_n, y_n, x_n = di["shape"]
+        isz = di["dtype"].itemsize
+        if di["kind"] == "contiguous":
+            base = di["extents"][0][0] if di["extents"] else None
+            plane = y_n * x_n * isz
+            for z in range(z_n):
+                plan.append({
+                    "path": ap, "kind": "plane", "res_level": lv,
+                    "t": t, "c": c, "z": z, "z0": z, "y0": 0, "x0": 0,
+                    "offset": base + z * plane, "nbytes": plane,
+                    "sh_z": 1, "sh_y": y_n, "sh_x": x_n,
+                    "full_y": y_n, "full_x": x_n,
+                    "dtype": di["dtype"].str, "gzip": False,
+                })
+        elif di["kind"] == "chunked":
+            cz, cy, cx = di["chunk_shape"]
+            for ch in di["chunks"]:
+                z0, y0, x0 = ch["coords"]
+                plan.append({
+                    "path": ap, "kind": "chunk", "res_level": lv,
+                    "t": t, "c": c, "z": int(z0),
+                    "z0": int(z0), "y0": int(y0), "x0": int(x0),
+                    "offset": ch["offset"], "nbytes": ch["nbytes"],
+                    "sh_z": cz, "sh_y": cy, "sh_x": cx,
+                    "full_y": y_n, "full_x": x_n,
+                    "dtype": di["dtype"].str,
+                    "gzip": bool(di.get("gzip")),
+                })
+        else:
+            raise ValueError(f"{path}: dataset layout {di['kind']} "
+                             f"not supported")
+    return plan
+
+
+def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        for r in pdf.itertuples():
+            with open(r.path, "rb") as f:
+                f.seek(r.offset)
+                raw = f.read(r.nbytes)
+            if r.gzip:
+                raw = zlib.decompress(raw)
+            block = np.frombuffer(
+                raw, dtype=np.dtype(r.dtype),
+                count=r.sh_z * r.sh_y * r.sh_x).reshape(
+                r.sh_z, r.sh_y, r.sh_x)
+            # chunked edge blocks overhang the logical extent
+            vz = block.shape[0]
+            vy = min(r.sh_y, r.full_y - r.y0)
+            vx = min(r.sh_x, r.full_x - r.x0)
+            block = block[:vz, :vy, :vx]
+            zz, yy, xx = np.indices(block.shape)
+            yield pd.DataFrame({
+                "res_level": np.full(block.size, r.res_level, np.int32),
+                "t": np.full(block.size, r.t, np.int32),
+                "c": np.full(block.size, r.c, np.int32),
+                "z": (zz.ravel() + r.z0).astype(np.int32),
+                "y": (yy.ravel() + r.y0).astype(np.int32),
+                "x": (xx.ravel() + r.x0).astype(np.int32),
+                "value": block.ravel().astype(np.float64),
+            })
+
+
+def read_ims_window(spark: SparkSession, path: str,
+                    t=None, c=None, z=None, y=None, x=None):
+    """Window-pruned IMS read (level 0): t/c prune whole DATASETS, z
+    prunes planes/chunks, and on contiguous datasets the y window
+    narrows each plane read to its contiguous row range. The x trim is
+    a residual codegen filter."""
+    from bioio_spark.formats.ims import read_ims_catalog
+    from bioio_spark.sources.zarr_image import _norm_window
+
+    cat = read_ims_catalog(path)
+    t0, t1 = _norm_window(t, cat["size_t"])
+    c0, c1 = _norm_window(c, cat["size_c"])
+    z0, z1 = _norm_window(z, cat["size_z"])
+    y0, y1 = _norm_window(y, cat["size_y"])
+    x0, x1 = _norm_window(x, cat["size_x"])
+    rows = []
+    for r in _plan_rows(path, cat):
+        if r["res_level"] != 0:
+            continue
+        if not (t0 <= r["t"] < t1 and c0 <= r["c"] < c1):
+            continue
+        if r["z0"] + r["sh_z"] <= z0 or r["z0"] >= z1:
+            continue
+        if r["y0"] + r["sh_y"] <= y0 or r["y0"] >= y1:
+            continue
+        if r["x0"] + r["sh_x"] <= x0 or r["x0"] >= x1:
+            continue
+        if r["kind"] == "plane":
+            ry0, ry1 = max(r["y0"], y0), min(r["y0"] + r["sh_y"], y1)
+            row_bytes = r["nbytes"] // r["sh_y"]
+            rows.append({**r,
+                         "offset": r["offset"] + (ry0 - r["y0"])
+                         * row_bytes,
+                         "nbytes": (ry1 - ry0) * row_bytes,
+                         "y0": ry0, "sh_y": ry1 - ry0,
+                         "full_y": ry1})
+        else:
+            rows.append(r)
+    schema = ("res_level int, t int, c int, z int, y int, x int, "
+              "value double")
+    if not rows:
+        return spark.createDataFrame([], schema)
+    plan_df = spark.createDataFrame(pd.DataFrame(rows)).repartition(
+        min(len(rows), spark.sparkContext.defaultParallelism))
+    px = plan_df.mapInPandas(_decode_batches, schema=schema)
+    return px.filter(
+        (F.col("z") >= z0) & (F.col("z") < z1)
+        & (F.col("y") >= y0) & (F.col("y") < y1)
+        & (F.col("x") >= x0) & (F.col("x") < x1)).drop("res_level")
+
+
+class ImsImageReader:
+    """BioImage reader over Imaris IMS (HDF5) files."""
+
+    @staticmethod
+    def is_supported_image(image) -> bool:
+        if not isinstance(image, str):
+            return False
+        if not image.lower().endswith(_IMS_EXTS):
+            return False
+        try:
+            from bioio_spark.formats.ims import read_ims_catalog
+            read_ims_catalog(image)
+            return True
+        except Exception:
+            return False
+
+    def __init__(self, image: str, dim_order=None, channel_names=None,
+                 physical_pixel_sizes=None, image_id: str = "img",
+                 **_kwargs):
+        if dim_order is not None:
+            raise ValueError("IMS dimensions come from /DataSetInfo")
+        self._path = image
+        self._image_id = image_id
+        self._channel_names = channel_names
+        self._pps = physical_pixel_sizes
+
+    def to_dataset(self, spark: SparkSession):
+        from bioio_spark.formats.ims import read_ims_catalog
+        from bioio_spark.ome_utils import resolve_channel_names
+        from bioio_spark.sources.array_like import (PIXEL_COLUMNS,
+                                                    ImageDataset)
+        from bioio_spark.types import PhysicalPixelSizes
+
+        cat = read_ims_catalog(self._path)
+        scene = "Image:0"
+        names = self._channel_names or cat["channel_names"]
+        channel_rows = [
+            {"image_id": self._image_id, "scene": scene,
+             "c": ci, "channel_name": nm}
+            for ci, nm in enumerate(resolve_channel_names(
+                names, cat["size_c"], 0))]
+        pps = self._pps
+        if pps is None and cat["pps_zyx"]:
+            pz, py, px_ = cat["pps_zyx"]
+            pps = PhysicalPixelSizes(Z=pz, Y=py, X=px_)
+        dt = next(iter(cat["datasets"].values()))["dtype"]
+        dt = np.dtype(dt).newbyteorder("=")
+        scene_rows = [{
+            "image_id": self._image_id, "scene": scene,
+            "scene_idx": 0, "dim_order": "TCZYX",
+            "size_t": cat["size_t"], "size_c": cat["size_c"],
+            "size_z": cat["size_z"],
+            "size_y": cat["size_y"], "size_x": cat["size_x"],
+            "size_m": None, "size_s": None,
+            "dtype": dt.name, "ome_pixel_type": dt.name,
+            "res_levels": list(range(cat["n_levels"])),
+            "pps_z": pps.Z if pps else None,
+            "pps_y": pps.Y if pps else None,
+            "pps_x": pps.X if pps else None,
+            "time_interval": None,
+            "metadata": "Imaris 5.5 (native HDF5 reader)",
+        }]
+        plan = _plan_rows(self._path, cat)
+        plan_df = spark.createDataFrame(pd.DataFrame(plan)).repartition(
+            min(len(plan), spark.sparkContext.defaultParallelism))
+        px = (plan_df.mapInPandas(
+                  _decode_batches,
+                  schema="res_level int, t int, c int, z int, y int, "
+                         "x int, value double")
+              .select(
+                  F.lit(self._image_id).alias("image_id"),
+                  F.lit(scene).alias("scene"),
+                  "res_level", "t", "c", "z", "y", "x",
+                  F.lit(-1).alias("m"), F.lit(-1).alias("s"), "value")
+              .select(*PIXEL_COLUMNS))
+
+        return ImageDataset(pixels=px, scenes=pd.DataFrame(scene_rows),
+                            channels=pd.DataFrame(channel_rows))
