@@ -436,11 +436,13 @@ def test_vendor_tiff_dialects_no_shuffle(spark, tmp_path):
     plan = physical_plan(df)
     assert plan.count("Exchange hashpartitioning") == 0, \
         f"a.oif: pixel-side shuffle\n{plan}"
+    from bioio_spark.formats.ims import encode_ims
     from bioio_spark.formats.ndpi import encode_ndpi
     from bioio_spark.formats.oib import encode_oib
     from bioio_spark.formats.qptiff import encode_qptiff
 
     more = {
+        "a.ims": encode_ims(block, chunks=(1, 4, 5), gzip=True),
         "a.ndpi": encode_ndpi(np.zeros((32, 48, 3), np.uint8),
                               n_levels=2),
         "a.qptiff": encode_qptiff(np.zeros((2, 32, 48), np.uint16),
