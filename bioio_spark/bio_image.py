@@ -462,6 +462,31 @@ class BioImage:
                 self._spark, path, t=t, c=c, z=z, y=y, x=x,
                 scene=self._current_scene_index)
 
+        # round-7 vendor dialects with plain single-scene TCZYX windows
+        # (strip/plane/stream/chunk pruning + y byte ranges); S-carrying
+        # pyramids (SVS/SCN/NDPI/QPTIFF) keep their own read_*_window
+        # entry points and fall through to the Catalyst filter here
+        if isinstance(path, str) and self._current_resolution_level == 0:
+            from bioio_spark.sources.ims_image import (ImsImageReader,
+                                                       read_ims_window)
+            from bioio_spark.sources.lsm_image import (LsmImageReader,
+                                                       read_lsm_window)
+            from bioio_spark.sources.oib_image import (OibImageReader,
+                                                       read_oib_window)
+            from bioio_spark.sources.oif_image import (OifImageReader,
+                                                       read_oif_window)
+            from bioio_spark.sources.stk_image import (StkImageReader,
+                                                       read_stk_window)
+
+            for cls, fn in ((LsmImageReader, read_lsm_window),
+                            (StkImageReader, read_stk_window),
+                            (OifImageReader, read_oif_window),
+                            (OibImageReader, read_oib_window),
+                            (ImsImageReader, read_ims_window)):
+                if isinstance(reader, cls):
+                    return fn(self._spark, path,
+                              t=t, c=c, z=z, y=y, x=x)
+
         from bioio_spark.sources.zarr_image import _norm_window
 
         px, dims = self._standard_pixels()

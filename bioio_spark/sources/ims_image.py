@@ -46,7 +46,7 @@ def _plan_rows(path: str, cat: dict) -> list[dict]:
                     "t": t, "c": c, "z": z, "z0": z, "y0": 0, "x0": 0,
                     "offset": base + z * plane, "nbytes": plane,
                     "sh_z": 1, "sh_y": y_n, "sh_x": x_n,
-                    "full_y": y_n, "full_x": x_n,
+                    "full_z": z_n, "full_y": y_n, "full_x": x_n,
                     "dtype": di["dtype"].str, "gzip": False,
                 })
         elif di["kind"] == "chunked":
@@ -59,7 +59,7 @@ def _plan_rows(path: str, cat: dict) -> list[dict]:
                     "z0": int(z0), "y0": int(y0), "x0": int(x0),
                     "offset": ch["offset"], "nbytes": ch["nbytes"],
                     "sh_z": cz, "sh_y": cy, "sh_x": cx,
-                    "full_y": y_n, "full_x": x_n,
+                    "full_z": z_n, "full_y": y_n, "full_x": x_n,
                     "dtype": di["dtype"].str,
                     "gzip": bool(di.get("gzip")),
                 })
@@ -82,7 +82,7 @@ def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 count=r.sh_z * r.sh_y * r.sh_x).reshape(
                 r.sh_z, r.sh_y, r.sh_x)
             # chunked edge blocks overhang the logical extent
-            vz = block.shape[0]
+            vz = min(r.sh_z, r.full_z - r.z0)
             vy = min(r.sh_y, r.full_y - r.y0)
             vx = min(r.sh_x, r.full_x - r.x0)
             block = block[:vz, :vy, :vx]

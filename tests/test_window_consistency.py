@@ -61,6 +61,28 @@ def _write_fixture(fmt, vol, tmp_path, spark):
         p = tmp_path / "w.lif"
         p.write_bytes(encode_lif([{"name": "S", "data": vol}]))
         return str(p)
+    if fmt == "lsm":
+        from bioio_spark.formats.lsm import encode_lsm
+
+        p = tmp_path / "w.lsm"
+        p.write_bytes(encode_lsm(vol))
+        return str(p)
+    if fmt == "oif":
+        from bioio_spark.formats.oif import encode_oif
+
+        return encode_oif(vol, str(tmp_path), name="w")
+    if fmt == "oib":
+        from bioio_spark.formats.oib import encode_oib
+
+        p = tmp_path / "w.oib"
+        p.write_bytes(encode_oib(vol))
+        return str(p)
+    if fmt == "ims":
+        from bioio_spark.formats.ims import encode_ims
+
+        p = tmp_path / "w.ims"
+        p.write_bytes(encode_ims(vol, chunks=(2, 3, 4), gzip=True))
+        return str(p)
     raise AssertionError(fmt)
 
 
@@ -72,7 +94,7 @@ WINDOWS = [
 
 
 @pytest.mark.parametrize("fmt", ["tiff", "zarr", "dv", "czi", "nd2",
-                                 "lif"])
+                                 "lif", "lsm", "oif", "oib", "ims"])
 def test_read_window_matches_filtered_frame(spark, tmp_path, fmt):
     vol = _vol()
     path = _write_fixture(fmt, vol, tmp_path, spark)
