@@ -135,11 +135,13 @@ def encode_lsm(block: np.ndarray,
                voxel_xyz_m: tuple = (1e-6, 1e-6, 1e-6),
                time_interval_s: float = 0.0,
                thumbnails: bool = True,
-               scan_type: int = 0) -> bytes:
+               scan_type: int = 0,
+               lzw: bool = False) -> bytes:
     """TCZYX block -> .lsm bytes (image pages in t-major (t, z) order,
     channels as planar-2 strips, optional 32x32-capped thumbnail pages
     interleaved after each image page, CZ_LSMINFO + ChannelColors on
-    IFD0)."""
+    IFD0). ``lzw=True`` LZW-compresses the channel strips — the wild
+    Zeiss acquisition layout."""
     from bioio_spark.formats.tiff_pages import PageSpec, compose_tiff
 
     if block.ndim != 5:
@@ -174,9 +176,9 @@ def encode_lsm(block: np.ndarray,
                     extra = [(CZ_LSMINFO_TAG, 1, info)]
                     pages.append(PageSpec(
                         yxs, planar2=True, extra_tags=extra,
-                        extra_data=colors_block))
+                        extra_data=colors_block, lzw=lzw))
                 else:
-                    pages.append(PageSpec(yxs, planar2=True))
+                    pages.append(PageSpec(yxs, planar2=True, lzw=lzw))
                 if thumbnails:
                     thumb = np.ascontiguousarray(
                         yxs[:ty, :tx])

@@ -68,6 +68,8 @@ class PageSpec:
         records where it landed
     jpeg: compress each strip/tile as a baseline JPEG chunk
         (compression 7, uint8 gray/RGB — the Aperio layout)
+    lzw: compress each strip/tile with TIFF 6.0 §13 LZW (compression
+        5 — the wild Zeiss LSM layout)
     """
 
     def __init__(self, array: np.ndarray,
@@ -77,7 +79,8 @@ class PageSpec:
                  subfile_type: Optional[int] = None,
                  extra_tags: Sequence[tuple] = (),
                  extra_data: bytes = b"",
-                 jpeg: bool = False):
+                 jpeg: bool = False,
+                 lzw: bool = False):
         self.array = np.ascontiguousarray(array)
         self.description = description
         self.tile = tile
@@ -86,12 +89,15 @@ class PageSpec:
         self.extra_tags = list(extra_tags)
         self.extra_data = extra_data
         self.jpeg = jpeg
+        self.lzw = lzw
         if planar2 and (self.array.ndim != 3 or tile is not None):
             raise ValueError("planar2 pages are striped YXS arrays")
         if tile is not None and (tile[0] % 16 or tile[1] % 16):
             raise ValueError(f"tile dims must be multiples of 16: {tile}")
         if jpeg and self.array.dtype != np.uint8:
             raise ValueError("jpeg pages are uint8")
+        if jpeg and lzw:
+            raise ValueError("pick one compression")
 
 
 def _page_chunks(p: PageSpec) -> list[bytes]:
@@ -122,6 +128,10 @@ def _page_chunks(p: PageSpec) -> list[bytes]:
         return [encode_jpeg(np.ascontiguousarray(c), quality=95,
                             subsampling="444") for c in arrs]
     le = a.dtype.newbyteorder("<")
+    if p.lzw:
+        from bioio_spark.formats.tiff import lzw_encode
+        return [lzw_encode(c.astype(le, copy=False).tobytes())
+                for c in arrs]
     return [c.astype(le, copy=False).tobytes() for c in arrs]
 
 
@@ -169,7 +179,8 @@ def compose_tiff(pages: Sequence[PageSpec]) -> tuple[bytes, list[dict]]:
             (_IMAGE_LENGTH, _TYPE_LONG, [h], None),
             (_BITS_PER_SAMPLE, _TYPE_SHORT, [bits] * spp,
              _pack_values(_TYPE_SHORT, [bits] * spp)),
-            (_COMPRESSION, _TYPE_SHORT, [7 if p.jpeg else 1], None),
+            (_COMPRESSION, _TYPE_SHORT,
+             [7 if p.jpeg else 5 if p.lzw else 1], None),
             (_PHOTOMETRIC, _TYPE_SHORT, [2 if spp == 3 else 1], None),
             (_SAMPLES_PER_PIXEL, _TYPE_SHORT, [spp], None),
             (_SAMPLE_FORMAT, _TYPE_SHORT, [kind] * spp,

@@ -43,30 +43,41 @@ def _plan_strips(path: str):
     plan = []
     for p_idx, pg in enumerate(pages):
         t, z = divmod(p_idx, z_n)
-        if pg["comp"] != 1:
+        if pg["comp"] not in (1, 5):
             raise ValueError(
                 f"{path}: LSM page compression {pg['comp']} not "
-                f"supported (LSM writes raw or LZW; raw only here)")
+                f"supported (LSM writes raw or LZW)")
         for ch in pg["chunks"]:
             plan.append({
                 "path": ap, "t": t, "z": z, "c": ch["s"],
                 "offset": ch["offset"], "nbytes": ch["nbytes"],
                 "y0": ch["y0"], "ny": ch["h"], "nx": pg["w"],
-                "dtype": pg["dtype"],
+                "dtype": pg["dtype"], "comp": pg["comp"],
+                "pred": pg["pred"],
             })
     return info, cat["channel_names"], plan
 
 
 def _strip_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Seek-read one uncompressed channel-plane strip per plan row."""
+    """Seek-read one channel-plane strip per plan row (raw bytes, or
+    whole-strip LZW decode for wild compressed acquisitions — TIFF 6.0
+    §13, optionally with the horizontal predictor)."""
+    from bioio_spark.formats.tiff import (_undo_horizontal_predictor,
+                                          decompress_tiff_chunk)
+
     for pdf in it:
         for r in pdf.itertuples():
             with open(r.path, "rb") as f:
                 f.seek(r.offset)
                 buf = f.read(r.nbytes)
+            comp = getattr(r, "comp", 1)
+            if comp != 1:
+                buf = decompress_tiff_chunk(buf, comp)
             plane = np.frombuffer(
                 buf, dtype=np.dtype(r.dtype),
                 count=r.ny * r.nx).reshape(r.ny, r.nx)
+            if getattr(r, "pred", 1) == 2:
+                plane = _undo_horizontal_predictor(plane)
             yield pd.DataFrame({
                 "t": np.full(plane.size, r.t, np.int32),
                 "c": np.full(plane.size, r.c, np.int32),
@@ -102,18 +113,26 @@ def read_lsm_window(spark: SparkSession, path: str,
         ry0, ry1 = max(r["y0"], y0), min(r["y0"] + r["ny"], y1)
         if ry0 >= ry1:
             continue
-        row_bytes = r["nbytes"] // r["ny"]
-        pruned.append({**r,
-                       "offset": r["offset"] + (ry0 - r["y0"]) * row_bytes,
-                       "nbytes": (ry1 - ry0) * row_bytes,
-                       "y0": ry0, "ny": ry1 - ry0})
+        if r["comp"] == 1:
+            # raw strips: the y window is a byte range
+            row_bytes = r["nbytes"] // r["ny"]
+            pruned.append({**r,
+                           "offset": r["offset"]
+                           + (ry0 - r["y0"]) * row_bytes,
+                           "nbytes": (ry1 - ry0) * row_bytes,
+                           "y0": ry0, "ny": ry1 - ry0})
+        else:
+            # LZW strips decode whole; y trims in the residual filter
+            pruned.append(r)
     schema = "t int, c int, z int, y int, x int, value double"
     if not pruned or x0 >= x1:
         return spark.createDataFrame([], schema)
     plan_df = spark.createDataFrame(pd.DataFrame(pruned)).repartition(
         min(len(pruned), spark.sparkContext.defaultParallelism))
     px = plan_df.mapInPandas(_strip_batches, schema=schema)
-    return px.filter((F.col("x") >= x0) & (F.col("x") < x1))
+    return px.filter(
+        (F.col("x") >= x0) & (F.col("x") < x1)
+        & (F.col("y") >= y0) & (F.col("y") < y1))
 
 
 def read_lsm_planes(spark: SparkSession, path: str):
@@ -123,14 +142,21 @@ def read_lsm_planes(spark: SparkSession, path: str):
     _info, _names, plan = _plan_strips(path)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from bioio_spark.formats.tiff import (
+            _undo_horizontal_predictor, decompress_tiff_chunk)
+
         for pdf in it:
             for r in pdf.itertuples():
                 with open(r.path, "rb") as f:
                     f.seek(r.offset)
                     buf = f.read(r.nbytes)
+                if getattr(r, "comp", 1) != 1:
+                    buf = decompress_tiff_chunk(buf, r.comp)
                 plane = np.frombuffer(
                     buf, dtype=np.dtype(r.dtype),
                     count=r.ny * r.nx).reshape(r.ny, r.nx)
+                if getattr(r, "pred", 1) == 2:
+                    plane = _undo_horizontal_predictor(plane)
                 yield pd.DataFrame({
                     "t": [int(r.t)], "c": [int(r.c)], "z": [int(r.z)],
                     "y0": [int(r.y0)], "x0": [0],

@@ -152,9 +152,9 @@ def test_planes_read_layout(spark, tmp_path):
         np.asarray(row["values"]).reshape(5, 6), block[1, 2, 3])
 
 
-def test_compressed_page_rejected(tmp_path):
-    """The planner refuses compression it cannot byte-range (honest
-    failure instead of wrong pixels)."""
+def test_unsupported_compression_rejected(tmp_path):
+    """The planner refuses compression outside the LSM vocabulary
+    (raw / LZW) — honest failure instead of wrong pixels."""
     from bioio_spark.sources.lsm_image import _plan_strips
 
     p = _write(tmp_path)
@@ -164,7 +164,26 @@ def test_compressed_page_rejected(tmp_path):
     pat = _s.pack("<HHI", 259, 3, 1) + _s.pack("<HH", 1, 0)
     pos = data.find(pat)
     assert pos > 0
-    data[pos + 8:pos + 10] = _s.pack("<H", 5)
-    (tmp_path / "lzw.lsm").write_bytes(bytes(data))
+    data[pos + 8:pos + 10] = _s.pack("<H", 8)   # Deflate: not LSM's
+    (tmp_path / "defl.lsm").write_bytes(bytes(data))
     with pytest.raises(ValueError, match="compression"):
-        _plan_strips(str(tmp_path / "lzw.lsm"))
+        _plan_strips(str(tmp_path / "defl.lsm"))
+
+
+def test_lzw_compressed_roundtrip(spark, tmp_path):
+    """Wild Zeiss acquisitions LZW-compress the channel strips
+    (TIFF 6.0 §13): the reader decodes whole strips executor-side and
+    the y window falls back to a residual filter."""
+    block = _block()
+    p = _write(tmp_path, name="lzw.lsm", lzw=True, thumbnails=False)
+    img = BioImage(p, spark=spark)
+    np.testing.assert_array_equal(img.data, block)
+    got = read_lsm_window(spark, p, t=1, c=(1, 3), z=2,
+                          y=(1, 4), x=(2, 5)).toPandas()
+    sub = block[1, 1:3, 2, 1:4, 2:5]
+    got = got.sort_values(["c", "y", "x"])["value"].to_numpy()
+    np.testing.assert_allclose(got.reshape(sub.shape), sub)
+    pdf = read_lsm_planes(spark, p).toPandas()
+    row = pdf[(pdf.t == 1) & (pdf.c == 2) & (pdf.z == 3)].iloc[0]
+    np.testing.assert_allclose(
+        np.asarray(row["values"]).reshape(5, 6), block[1, 2, 3])
