@@ -242,6 +242,19 @@ def _register_builtin_plugins() -> None:
         version=__version__,
     ))
 
+    from bioio_spark.sources.ndtiff_image import NdtiffImageReader
+
+    # no extension: NDTiff datasets are directories selected by their
+    # NDTiff.index (probe-based routing, like the reference's dir-shaped
+    # plugins)
+    register_plugin(PluginEntry(
+        name="bioio-ndtiff-baseline",
+        reader=NdtiffImageReader,
+        extensions=[],
+        is_supported_image=NdtiffImageReader.is_supported_image,
+        version=__version__,
+    ))
+
     from bioio_spark.sources.tiff_glob import TiffGlobReader
 
     # no extensions: glob patterns aren't routable by suffix — like the

@@ -3506,3 +3506,57 @@ def img_ims_roundtrip(spark, sf_dir):
                  F.sum("value").alias("sum_val"),
                  F.max("value").alias("max_val"))
             .orderBy("t", "c"))
+
+
+@register(
+    "img_ndtiff_roundtrip",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {2 * 3 * 4 * 5} AS INTEGER) AS t,
+             CAST((i // {3 * 4 * 5}) % 2 AS INTEGER) AS c,
+             CAST((i // {4 * 5}) % 3 AS INTEGER) AS z,
+             CAST((i // 5) % 4 AS INTEGER) AS y,
+             CAST(i % 5 AS INTEGER) AS x,
+             CAST((i // {2 * 3 * 4 * 5}) * 10000
+                  + ((i // {3 * 4 * 5}) % 2) * 1000
+                  + ((i // {4 * 5}) % 3) * 100
+                  + ((i // 5) % 4) * 10 + (i % 5) AS DOUBLE) AS value
+      FROM range({2 * 2 * 3 * 4 * 5}) r(i))
+    SELECT t, c, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY t, c ORDER BY t, c
+    """,
+    doc="Micro-Manager NDTiff dataset read (native NDTiffStorage "
+        "coverage: binary index IS the read plan, positions -> "
+        "scenes, per-plane seek reads)",
+)
+def img_ndtiff_roundtrip(spark, sf_dir):
+    """NDTiff roundtrip: the index's (file, offset) entries plan every
+    plane read with zero TIFF parsing. Public spec:
+    micro-manager/NDTiffStorage."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.ndtiff import encode_ndtiff
+    from bioio_spark.sources.ndtiff_image import NdtiffImageReader
+
+    idx = np.indices((2, 2, 3, 4, 5))
+    block = (idx[0] * 10000 + idx[1] * 1000 + idx[2] * 100
+             + idx[3] * 10 + idx[4]).astype(np.uint16)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "ndtiff_roundtrip")
+    path = os.path.join(out, "acq")
+    if not os.path.exists(os.path.join(path, "NDTiff.index")):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        encode_ndtiff(block, path)
+    img = BioImage(path, spark=spark, reader=NdtiffImageReader)
+    return (img.get_image_dataframe()
+            .groupBy("t", "c")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("t", "c"))
