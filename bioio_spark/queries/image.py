@@ -3560,3 +3560,62 @@ def img_ndtiff_roundtrip(spark, sf_dir):
                  F.sum("value").alias("sum_val"),
                  F.max("value").alias("max_val"))
             .orderBy("t", "c"))
+
+
+_IML_Z, _IML_C, _IML_H, _IML_W = 8, 2, 1000, 768
+_IML_N = _IML_Z * _IML_C * _IML_H * _IML_W
+
+
+def _ims_large_fixture() -> str:
+    """Deterministic 12.3M-px chunked+gzip IMS, cached on disk (reruns
+    in the min-of-3 bench loop skip regeneration)."""
+    import os
+
+    import numpy as np
+
+    from bioio_spark.formats.ims import encode_ims
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "ims_large")
+    path = os.path.join(out, "large.ims")
+    if not os.path.exists(path):
+        os.makedirs(out, exist_ok=True)
+        i = np.arange(_IML_N, dtype=np.int64)
+        block = ((i * 37) % 9973).astype(np.uint16).reshape(
+            1, _IML_C, _IML_Z, _IML_H, _IML_W)
+        # c-major flattening: value index = ((c*Z)+z)*H*W + ...
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(encode_ims(block, chunks=(1, 250, _IML_W),
+                               gzip=True))
+        os.replace(tmp, path)
+    return path
+
+
+@register(
+    "img_ims_large",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {_IML_Z * _IML_H * _IML_W} AS INTEGER) AS c,
+             CAST((i // {_IML_H * _IML_W}) % {_IML_Z} AS INTEGER) AS z,
+             CAST((i * 37) % 9973 AS DOUBLE) AS value
+      FROM range({_IML_N}) r(i))
+    SELECT c, z, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY c, z ORDER BY c, z
+    """,
+    doc="IMS/HDF5 decode throughput: 12.3M-pixel chunked+gzip file, "
+        "64 parallel chunk-decode tasks, per-(c,z) checksum",
+)
+def img_ims_large(spark, sf_dir):
+    """Decode-throughput gauge for the native-HDF5 tier (MB/s tracked
+    in SCALING.md): one ranged read + zlib inflate per chunk."""
+    from bioio_spark.bio_image import BioImage
+
+    img = BioImage(_ims_large_fixture(), spark=spark)
+    return (img.get_image_dataframe()
+            .groupBy("c", "z")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("c", "z"))
