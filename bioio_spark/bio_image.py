@@ -370,6 +370,13 @@ class BioImage:
                 return read_sldy_planes(
                     self._spark, path,
                     scene=self._current_scene_index).select(*cols)
+
+            from bioio_spark.sources.lsm_image import (LsmImageReader,
+                                                       read_lsm_planes)
+
+            if isinstance(reader, LsmImageReader) and os.path.isfile(
+                    path):
+                return read_lsm_planes(self._spark, path).select(*cols)
         px, _dims = self._standard_pixels()
         return pixels_to_planes(px, tile_h=tile_h,
                                 tile_w=tile_w).select(*cols)

@@ -125,7 +125,7 @@ def test_read_window_matches_filtered_frame(spark, tmp_path, fmt):
 
 
 @pytest.mark.parametrize("fmt", ["tiff", "zarr", "dv", "czi", "nd2",
-                                 "lif"])
+                                 "lif", "lsm", "oif", "oib", "ims"])
 def test_planes_fast_path_matches_pixels(spark, tmp_path, fmt):
     """get_planes_dataframe's zero-shuffle fast path, exploded back to
     pixels, equals the standardized long-form frame — the planes
