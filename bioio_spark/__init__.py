@@ -255,6 +255,16 @@ def _register_builtin_plugins() -> None:
         version=__version__,
     ))
 
+    from bioio_spark.sources.dicom_image import DicomImageReader
+
+    register_plugin(PluginEntry(
+        name="bioio-dicom-baseline",
+        reader=DicomImageReader,
+        extensions=[".dcm", ".dicom"],
+        is_supported_image=DicomImageReader.is_supported_image,
+        version=__version__,
+    ))
+
     from bioio_spark.sources.tiff_glob import TiffGlobReader
 
     # no extensions: glob patterns aren't routable by suffix — like the

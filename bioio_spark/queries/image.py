@@ -3619,3 +3619,56 @@ def img_ims_large(spark, sf_dir):
                  F.sum("value").alias("sum_val"),
                  F.max("value").alias("max_val"))
             .orderBy("c", "z"))
+
+
+@register(
+    "img_dicom_roundtrip",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {5 * 6} AS INTEGER) AS z,
+             CAST((i // 6) % 5 AS INTEGER) AS y,
+             CAST(i % 6 AS INTEGER) AS x,
+             CAST((i // {5 * 6}) * 100
+                  + ((i // 6) % 5) * 10 + (i % 6) AS DOUBLE) AS value
+      FROM range({4 * 5 * 6}) r(i))
+    SELECT z, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY z ORDER BY z
+    """,
+    doc="DICOM Part-10 encode -> BioImage reread (native .dcm "
+        "coverage of the Bio-Formats long tail: Explicit VR LE "
+        "element walk seek-skipping PixelData, contiguous multi-frame "
+        "planes -> per-frame byte-range planned reads)",
+)
+def img_dicom_roundtrip(spark, sf_dir):
+    """DICOM roundtrip of a multi-frame volume (frames -> Z, mm
+    spacings -> µm pixel sizes). Public standard: NEMA PS3.10/PS3.5.
+    Ref README.md:74 (bioio-bioformats routes .dcm)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.dicom import encode_dicom
+
+    idx = np.indices((4, 5, 6))
+    vol = (idx[0] * 100 + idx[1] * 10 + idx[2]).astype(np.uint16)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "dicom_roundtrip")
+    path = os.path.join(out, "vol.dcm")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(encode_dicom(vol, pixel_spacing_mm=(0.5, 0.5),
+                                 slice_spacing_mm=1.0))
+        os.replace(tmp, path)
+    img = BioImage(path, spark=spark)       # .dcm extension routing
+    return (img.get_image_dataframe()
+            .groupBy("z")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("z"))
