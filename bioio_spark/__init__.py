@@ -265,6 +265,16 @@ def _register_builtin_plugins() -> None:
         version=__version__,
     ))
 
+    from bioio_spark.sources.lof_image import LofImageReader
+
+    register_plugin(PluginEntry(
+        name="bioio-lof-baseline",
+        reader=LofImageReader,
+        extensions=[".lof"],
+        is_supported_image=LofImageReader.is_supported_image,
+        version=__version__,
+    ))
+
     from bioio_spark.sources.tiff_glob import TiffGlobReader
 
     # no extensions: glob patterns aren't routable by suffix — like the

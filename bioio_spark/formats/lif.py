@@ -150,6 +150,13 @@ def parse_lif_header(path: str) -> dict:
             raise ValueError("not a LIF file (bad test byte)")
         (nc,) = struct.unpack_from("<I", payload, 1)
         xml = payload[5:5 + 2 * nc].decode("utf-16-le")
+        if xml == "LMS_Object_File":
+            # single-object LOF container: same block framing, XML at
+            # the TAIL — delegate (the returned dict shape is shared,
+            # so every LIF plane/window reader works unchanged)
+            from bioio_spark.formats.lof import parse_lof_header
+
+            return parse_lof_header(path)
         pos = 8 + size
         while True:
             f.seek(pos)
@@ -168,6 +175,15 @@ def parse_lif_header(path: str) -> dict:
             blocks[bid] = {"offset": pos + 8 + bsize, "size": mem_size}
             pos += 8 + bsize + mem_size
 
+    scenes = scenes_from_lif_xml(xml)
+    return {"xml": xml, "blocks": blocks, "scenes": scenes}
+
+
+def scenes_from_lif_xml(xml: str) -> list[dict]:
+    """The <Element>/<ImageDescription> vocabulary shared by LIF and
+    the single-object LOF files: dimensions (DimID/NumberOfElements/
+    BytesInc), channel strides, tile-scan attachments, physical
+    lengths."""
     scenes = []
     for el in re.finditer(
             r"<Element (?![^>]*Name=\"LifFile\")[^>]*>.*?</Element>",
@@ -232,7 +248,7 @@ def parse_lif_header(path: str) -> dict:
             "block_id": bid_m.group(1),
             "pps": pps,
         })
-    return {"xml": xml, "blocks": blocks, "scenes": scenes}
+    return scenes
 
 
 def read_lif_plane(path: str, header: dict, scene_idx: int,
