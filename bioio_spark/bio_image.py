@@ -322,9 +322,13 @@ class BioImage:
             if isinstance(reader, TiffImageReader) and os.path.isfile(
                     path) and len(self.scenes) == 1 and \
                     "S" not in self.dims.order:
-                return read_tiff_planes(
-                    self._spark, path,
-                    level=self._current_resolution_level).select(*cols)
+                try:
+                    return read_tiff_planes(
+                        self._spark, path,
+                        level=self._current_resolution_level,
+                    ).select(*cols)
+                except ValueError:
+                    pass  # dialect fallback (contiguous ImageJ etc.)
             if isinstance(reader, ZarrImageReader):
                 from bioio_spark.sources.zarr_image import \
                     read_zarr_planes
@@ -406,9 +410,16 @@ class BioImage:
 
             if isinstance(reader, TiffImageReader) and os.path.isfile(
                     path) and len(self.scenes) == 1:
-                return read_tiff_window(
-                    self._spark, path, t=t, c=c, z=z, y=y, x=x,
-                    level=self._current_resolution_level)
+                try:
+                    return read_tiff_window(
+                        self._spark, path, t=t, c=c, z=z, y=y, x=x,
+                        level=self._current_resolution_level)
+                except ValueError:
+                    # dialects the page planner can't window (e.g.
+                    # contiguous one-IFD ImageJ stacks) fall back to
+                    # the Catalyst filter below — same rows, scan-level
+                    # pruning only where the layout supports it
+                    pass
             if isinstance(reader, ZarrImageReader) and len(
                     self.scenes) == 1 and any(
                     os.path.exists(os.path.join(path, f))

@@ -1368,3 +1368,40 @@ def decode_ome_tiff(data: bytes):
             c, z = divmod(rem, z_n)
             block[t, c, z] = p
     return block, ome_xml
+
+
+def parse_imagej_description(desc: Optional[str]) -> Optional[dict]:
+    """ImageJ hyperstack ImageDescription ("ImageJ=1.53t\\nimages=N\\n
+    channels=C\\nslices=Z\\nframes=T\\nspacing=..\\nunit=..") -> dict, or
+    None when the description is not ImageJ's. The page order is
+    C-FASTEST (XYCZT): page i -> (t, z, c) = (i // (C*Z),
+    (i // C) % Z, i % C) — the opposite nesting of OME page order."""
+    if not desc or not desc.startswith("ImageJ="):
+        return None
+    out: dict = {}
+    for line in desc.splitlines():
+        if "=" not in line:
+            continue
+        k, v = line.split("=", 1)
+        k, v = k.strip(), v.strip()
+        try:
+            out[k] = int(v)
+        except ValueError:
+            try:
+                out[k] = float(v)
+            except ValueError:
+                out[k] = v
+    out.setdefault("images", 1)
+    out.setdefault("channels", 1)
+    out.setdefault("slices", 1)
+    out.setdefault("frames", 1)
+    if out["channels"] * out["slices"] * out["frames"] != out["images"]:
+        # ImageJ tolerates a bare "images=N" stack: map the extra to Z
+        if out["channels"] == out["slices"] == out["frames"] == 1:
+            out["slices"] = out["images"]
+        else:
+            raise ValueError(
+                f"ImageJ description images={out['images']} != "
+                f"channels*slices*frames "
+                f"{out['channels']}*{out['slices']}*{out['frames']}")
+    return out

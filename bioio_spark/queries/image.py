@@ -3728,3 +3728,63 @@ def img_lof_roundtrip(spark, sf_dir):
                  F.sum("value").alias("sum_val"),
                  F.max("value").alias("max_val"))
             .orderBy("t", "c"))
+
+
+@register(
+    "img_imagej_hyperstack",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {3 * 4 * 5 * 6} AS INTEGER) AS t,
+             CAST((i // {4 * 5 * 6}) % 3 AS INTEGER) AS c,
+             CAST((i // {5 * 6}) % 4 AS INTEGER) AS z,
+             CAST((i // 6) % 5 AS INTEGER) AS y,
+             CAST(i % 6 AS INTEGER) AS x,
+             CAST((i // {3 * 4 * 5 * 6}) * 10000
+                  + ((i // {4 * 5 * 6}) % 3) * 1000
+                  + ((i // {5 * 6}) % 4) * 100
+                  + ((i // 6) % 5) * 10 + (i % 6) AS DOUBLE) AS value
+      FROM range({2 * 3 * 4 * 5 * 6}) r(i))
+    SELECT t, c, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY t, c ORDER BY t, c
+    """,
+    doc="ImageJ hyperstack TIFF read (the bioio-tifffile wild tier: "
+        "C-fastest XYCZT page order from the ImageJ= description, "
+        "spacing -> Z pixel size)",
+)
+def img_imagej_hyperstack(spark, sf_dir):
+    """ImageJ hyperstack roundtrip — the hash pins the C-FASTEST page
+    mapping (the opposite nesting of OME page order; mislabeling c/z
+    would flip the per-(t, c) sums)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.tiff import encode_tiff
+
+    idx = np.indices((2, 3, 4, 5, 6))
+    block = (idx[0] * 10000 + idx[1] * 1000 + idx[2] * 100
+             + idx[3] * 10 + idx[4]).astype(np.uint16)
+    pages = [block[t, c, z]
+             for t in range(2) for z in range(4) for c in range(3)]
+    desc = ("ImageJ=1.53t\nimages=24\nchannels=3\nslices=4\n"
+            "frames=2\nspacing=0.7\nunit=micron\n")
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "imagej_hyperstack")
+    path = os.path.join(out, "hyper.tif")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(encode_tiff(pages, description=desc))
+        os.replace(tmp, path)
+    img = BioImage(path, spark=spark)       # .tif routing, ImageJ tier
+    return (img.get_image_dataframe()
+            .groupBy("t", "c")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("t", "c"))

@@ -95,6 +95,16 @@ class TiffImageReader:
         if not paths:
             raise FileNotFoundError(f"No TIFF files under {self._path}")
 
+        # the bioio-tifffile contract: a single TIFF without OME-XML
+        # still reads — ImageJ hyperstacks map the description's
+        # channels/slices/frames (C-fastest page order, incl. the
+        # one-IFD contiguous big-stack layout); bare TIFFs map pages
+        # to Z
+        if len(paths) == 1 and os.path.isfile(paths[0]):
+            xml0 = read_ome_header(paths[0])
+            if xml0 is None or "<OME" not in xml0:
+                return self._non_ome_dataset(spark, paths[0])
+
         scene_rows, channel_rows = [], []
         # path -> ordered scene-name list; a file with several <Image>
         # elements (multi-scene single-file OME-TIFF, ref bio_image.py:
@@ -170,6 +180,169 @@ class TiffImageReader:
             "res_level", "t", "c", "z", "y", "x",
             F.lit(-1).alias("m"), "s", "value",
         ).select(*PIXEL_COLUMNS)
+
+        return ImageDataset(pixels=px, scenes=pd.DataFrame(scene_rows),
+                            channels=pd.DataFrame(channel_rows))
+
+    def _non_ome_dataset(self, spark: SparkSession, path: str):
+        """ImageJ-hyperstack / bare TIFF tier (the wild files
+        bioio-tifffile reads): planned per-chunk seek reads, page ->
+        (t, z, c) via the ImageJ C-fastest rule or pages -> Z."""
+        from bioio_spark.formats.tiff import (iter_tiff_chunks,
+                                              parse_imagej_description)
+        from bioio_spark.ome_utils import resolve_channel_names
+        from bioio_spark.sources.array_like import (PIXEL_COLUMNS,
+                                                    ImageDataset)
+        from bioio_spark.types import PhysicalPixelSizes
+
+        path = os.path.abspath(path)
+        pages = iter_tiff_chunks(path)
+        desc = pages[0].get("description") or pages[0].get("page_desc")
+        ij = parse_imagej_description(desc)
+        pg0 = pages[0]
+        if any((pg["w"], pg["h"], pg["dtype"], pg["spp"]) !=
+               (pg0["w"], pg0["h"], pg0["dtype"], pg0["spp"])
+               for pg in pages):
+            raise ValueError(
+                f"{path}: mixed page geometry without OME-XML — "
+                f"route through a dialect reader")
+        spp = pg0["spp"]
+        dt = np.dtype(pg0["dtype"])
+        if ij:
+            c_n, z_n, t_n = (ij["channels"], ij["slices"],
+                             ij["frames"])
+            n_images = ij["images"]
+        else:
+            c_n, z_n, t_n = 1, len(pages), 1
+            n_images = len(pages)
+
+        contiguous = False
+        if len(pages) != n_images:
+            if len(pages) == 1 and n_images > 1:
+                # ImageJ's one-IFD contiguous big-stack layout: raw
+                # frames appended after the first (single raw strip)
+                if (pg0["comp"] != 1 or pg0["tiled"]
+                        or len(pg0["chunks"]) != 1):
+                    raise ValueError(
+                        f"{path}: contiguous ImageJ stacks need one "
+                        f"raw strip per frame")
+                contiguous = True
+            else:
+                raise ValueError(
+                    f"{path}: {len(pages)} pages != ImageJ "
+                    f"images={n_images}")
+
+        def tcz(i: int):
+            if ij:
+                # XYCZT: channel fastest, then slice, then frame
+                return (i // (c_n * z_n), (i // c_n) % z_n, i % c_n)
+            return (0, i, 0)
+
+        plan = []
+        frame_bytes = pg0["h"] * pg0["w"] * spp * dt.itemsize
+        for i in range(n_images):
+            t, z, c = tcz(i)
+            if contiguous:
+                base = pg0["chunks"][0]["offset"] + i * frame_bytes
+                plan.append({"path": path, "t": t, "c": c, "z": z,
+                             "offset": base, "nbytes": frame_bytes,
+                             "y0": 0, "ch": pg0["h"], "cw": pg0["w"],
+                             "page_h": pg0["h"], "page_w": pg0["w"],
+                             "comp": 1, "pred": 1, "spp": spp,
+                             "dtype": pg0["dtype"]})
+            else:
+                pg = pages[i]
+                for chk in pg["chunks"]:
+                    plan.append({
+                        "path": path, "t": t, "c": c, "z": z,
+                        "offset": chk["offset"],
+                        "nbytes": chk["nbytes"],
+                        "y0": chk["y0"], "ch": chk["h"],
+                        "cw": chk["w"],
+                        "page_h": pg["h"], "page_w": pg["w"],
+                        "comp": pg["comp"], "pred": pg["pred"],
+                        "spp": spp, "dtype": pg["dtype"]})
+
+        scene = "Image:0"
+        channel_rows = [
+            {"image_id": self._image_id, "scene": scene,
+             "c": ci, "channel_name": nm}
+            for ci, nm in enumerate(resolve_channel_names(
+                self._channel_names, c_n, 0))]
+        pps = self._pps
+        if pps is None and ij and ij.get("spacing") and \
+                str(ij.get("unit", "")).lower() in ("micron", "um",
+                                                    "µm"):
+            pps = PhysicalPixelSizes(Z=float(ij["spacing"]),
+                                     Y=None, X=None)
+        native = dt.newbyteorder("=")
+        scene_rows = [{
+            "image_id": self._image_id, "scene": scene,
+            "scene_idx": 0,
+            "dim_order": "TCZYXS" if spp > 1 else "TCZYX",
+            "size_t": t_n, "size_c": c_n, "size_z": z_n,
+            "size_y": pg0["h"], "size_x": pg0["w"],
+            "size_m": None, "size_s": spp if spp > 1 else None,
+            "dtype": native.name, "ome_pixel_type": native.name,
+            "pps_z": pps.Z if pps else None,
+            "pps_y": pps.Y if pps else None,
+            "pps_x": pps.X if pps else None,
+            "time_interval": None,
+            "metadata": desc,
+        }]
+
+        def batches(it: Iterator[pd.DataFrame]
+                    ) -> Iterator[pd.DataFrame]:
+            from bioio_spark.formats.tiff import (
+                _undo_horizontal_predictor, decompress_tiff_chunk)
+
+            for pdf in it:
+                for r in pdf.itertuples():
+                    with open(r.path, "rb") as f:
+                        f.seek(r.offset)
+                        payload = f.read(r.nbytes)
+                    raw = decompress_tiff_chunk(payload, r.comp)
+                    shape = ((r.ch, r.cw, r.spp) if r.spp > 1
+                             else (r.ch, r.cw))
+                    block = np.frombuffer(
+                        raw, dtype=np.dtype(r.dtype),
+                        count=r.ch * r.cw * r.spp).reshape(shape)
+                    if r.pred == 2:
+                        block = _undo_horizontal_predictor(block)
+                    vh = min(r.ch, r.page_h - r.y0)
+                    block = block[:vh]
+                    y_n, x_n = block.shape[:2]
+                    s_n = block.shape[2] if block.ndim == 3 else 1
+                    s_col = (np.full(block.size, -1, np.int32)
+                             if s_n == 1 else
+                             np.tile(np.arange(s_n, dtype=np.int32),
+                                     y_n * x_n))
+                    yield pd.DataFrame({
+                        "t": np.full(block.size, r.t, np.int32),
+                        "c": np.full(block.size, r.c, np.int32),
+                        "z": np.full(block.size, r.z, np.int32),
+                        "y": np.repeat(np.arange(
+                            r.y0, r.y0 + y_n, dtype=np.int32),
+                            x_n * s_n),
+                        "x": np.tile(np.repeat(np.arange(
+                            x_n, dtype=np.int32), s_n), y_n),
+                        "s": s_col,
+                        "value": block.ravel().astype(np.float64),
+                    })
+
+        plan_df = spark.createDataFrame(
+            pd.DataFrame(plan)).repartition(
+            min(len(plan), spark.sparkContext.defaultParallelism))
+        px = (plan_df.mapInPandas(
+                  batches,
+                  schema="t int, c int, z int, y int, x int, s int, "
+                         "value double")
+              .select(
+                  F.lit(self._image_id).alias("image_id"),
+                  F.lit(scene).alias("scene"),
+                  F.lit(0).alias("res_level"), "t", "c", "z", "y", "x",
+                  F.lit(-1).alias("m"), "s", "value")
+              .select(*PIXEL_COLUMNS))
 
         return ImageDataset(pixels=px, scenes=pd.DataFrame(scene_rows),
                             channels=pd.DataFrame(channel_rows))
@@ -305,6 +478,7 @@ def read_tiff_planes(spark: SparkSession, path: str,
     desc = pages[0]["description"]
     size_t = size_c = 1
     size_z = len(pages)
+    imagej_order = False
     if desc and "<OME" in desc:
         from bioio_spark.formats.tiff import parse_ome_xml_scenes
 
@@ -315,10 +489,26 @@ def read_tiff_planes(spark: SparkSession, path: str,
                 "multi-scene files through BioImage")
         h = metas[0]
         size_t, size_c, size_z = h["size_t"], h["size_c"], h["size_z"]
+    elif desc and desc.startswith("ImageJ="):
+        from bioio_spark.formats.tiff import parse_imagej_description
+
+        ij = parse_imagej_description(desc)
+        if len(pages) != ij["images"]:
+            raise ValueError(
+                f"{p}: contiguous one-IFD ImageJ stacks route "
+                f"through the full reader")
+        size_t, size_c, size_z = (ij["frames"], ij["channels"],
+                                  ij["slices"])
+        imagej_order = True
     tasks = []
     for pg in pages:
-        ti, rem = divmod(pg["page"], size_c * size_z)
-        ci, zi = divmod(rem, size_z)
+        if imagej_order:
+            ti = pg["page"] // (size_c * size_z)
+            zi = (pg["page"] // size_c) % size_z
+            ci = pg["page"] % size_c
+        else:
+            ti, rem = divmod(pg["page"], size_c * size_z)
+            ci, zi = divmod(rem, size_z)
         for ch in pg["chunks"]:
             tasks.append((ti, ci, zi, ch["offset"], ch["nbytes"],
                           ch["y0"], ch["x0"], ch["h"], ch["w"],
@@ -429,6 +619,7 @@ def read_tiff_window(spark: SparkSession, path: str,
     if any(pg["spp"] != 1 for pg in pages):
         raise ValueError("read_tiff_window supports single-sample pages")
     desc = pages[0]["description"]
+    imagej_order = False
     if desc and "<OME" in desc:
         from bioio_spark.formats.tiff import parse_ome_xml_scenes
 
@@ -439,6 +630,17 @@ def read_tiff_window(spark: SparkSession, path: str,
                 "multi-scene files through BioImage/set_scene")
         h = metas[0]
         size_t, size_c, size_z = h["size_t"], h["size_c"], h["size_z"]
+    elif desc and desc.startswith("ImageJ="):
+        from bioio_spark.formats.tiff import parse_imagej_description
+
+        ij = parse_imagej_description(desc)
+        if len(pages) != ij["images"]:
+            raise ValueError(
+                f"{p}: contiguous one-IFD ImageJ stacks are not "
+                f"windowable by page; use the full reader")
+        size_t, size_c, size_z = (ij["frames"], ij["channels"],
+                                  ij["slices"])
+        imagej_order = True          # XYCZT: channel-fastest pages
     else:
         size_t, size_c, size_z = 1, 1, len(pages)
     if size_t * size_c * size_z != len(pages):
@@ -455,8 +657,14 @@ def read_tiff_window(spark: SparkSession, path: str,
 
     tasks = []
     for pg in pages:
-        ti, rem = divmod(pg["page"], size_c * size_z)
-        ci, zi = divmod(rem, size_z)
+        if imagej_order:
+            # XYCZT: channel fastest, then slice, then frame
+            ti = pg["page"] // (size_c * size_z)
+            zi = (pg["page"] // size_c) % size_z
+            ci = pg["page"] % size_c
+        else:
+            ti, rem = divmod(pg["page"], size_c * size_z)
+            ci, zi = divmod(rem, size_z)
         if not (tw[0] <= ti < tw[1] and cw[0] <= ci < cw[1]
                 and zw[0] <= zi < zw[1]):
             continue
