@@ -275,6 +275,16 @@ def _register_builtin_plugins() -> None:
         version=__version__,
     ))
 
+    from bioio_spark.sources.mrc_image import MrcImageReader
+
+    register_plugin(PluginEntry(
+        name="bioio-mrc-baseline",
+        reader=MrcImageReader,
+        extensions=[".mrc", ".st", ".map", ".rec"],
+        is_supported_image=MrcImageReader.is_supported_image,
+        version=__version__,
+    ))
+
     from bioio_spark.sources.tiff_glob import TiffGlobReader
 
     # no extensions: glob patterns aren't routable by suffix — like the

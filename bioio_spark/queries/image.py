@@ -3788,3 +3788,54 @@ def img_imagej_hyperstack(spark, sf_dir):
                  F.sum("value").alias("sum_val"),
                  F.max("value").alias("max_val"))
             .orderBy("t", "c"))
+
+
+@register(
+    "img_mrc_roundtrip",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {5 * 6} AS INTEGER) AS z,
+             CAST((i // 6) % 5 AS INTEGER) AS y,
+             CAST(i % 6 AS INTEGER) AS x,
+             CAST((i // {5 * 6}) * 100
+                  + ((i // 6) % 5) * 10 + (i % 6) AS DOUBLE) AS value
+      FROM range({4 * 5 * 6}) r(i))
+    SELECT z, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY z ORDER BY z
+    """,
+    doc="MRC-2014 encode -> BioImage reread (native .mrc/.st coverage "
+        "of the Bio-Formats long tail: MAP stamp + machine-stamp byte "
+        "order, Å cell -> µm pixel sizes, per-section planned reads)",
+)
+def img_mrc_roundtrip(spark, sf_dir):
+    """MRC roundtrip of a float32 tomography-style volume. Public
+    spec: CCP-EM MRC-2014. Ref README.md:74 (bioio-bioformats routes
+    .mrc/.st)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.mrc import encode_mrc
+
+    idx = np.indices((4, 5, 6))
+    vol = (idx[0] * 100 + idx[1] * 10 + idx[2]).astype(np.float32)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "mrc_roundtrip")
+    path = os.path.join(out, "tomo.mrc")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(encode_mrc(vol, pixel_size_a=1.2))
+        os.replace(tmp, path)
+    img = BioImage(path, spark=spark)       # .mrc extension routing
+    return (img.get_image_dataframe()
+            .groupBy("z")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("z"))
