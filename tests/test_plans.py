@@ -441,8 +441,17 @@ def test_vendor_tiff_dialects_no_shuffle(spark, tmp_path):
     from bioio_spark.formats.oib import encode_oib
     from bioio_spark.formats.qptiff import encode_qptiff
 
+    from bioio_spark.formats.dicom import encode_dicom
+    from bioio_spark.formats.lof import encode_lof
+    from bioio_spark.formats.mrc import encode_mrc
+
     more = {
         "a.ims": encode_ims(block, chunks=(1, 4, 5), gzip=True),
+        "a.dcm": encode_dicom(np.zeros((3, 4, 5), np.uint16)),
+        "a.lof": encode_lof({"name": "S",
+                             "data": np.zeros((2, 2, 2, 4, 5),
+                                              np.uint16)}),
+        "a.mrc": encode_mrc(np.zeros((3, 4, 5), np.float32)),
         "a.ndpi": encode_ndpi(np.zeros((32, 48, 3), np.uint8),
                               n_levels=2),
         "a.qptiff": encode_qptiff(np.zeros((2, 32, 48), np.uint16),
