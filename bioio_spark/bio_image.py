@@ -496,12 +496,19 @@ class BioImage:
             from bioio_spark.sources.stk_image import (StkImageReader,
                                                        read_stk_window)
 
+            from bioio_spark.sources.dicom_image import (
+                DicomImageReader, read_dicom_window)
+            from bioio_spark.sources.mrc_image import (MrcImageReader,
+                                                       read_mrc_window)
+
             for cls, fn in ((LsmImageReader, read_lsm_window),
                             (StkImageReader, read_stk_window),
                             (OifImageReader, read_oif_window),
                             (OibImageReader, read_oib_window),
-                            (ImsImageReader, read_ims_window)):
-                if isinstance(reader, cls):
+                            (ImsImageReader, read_ims_window),
+                            (DicomImageReader, read_dicom_window),
+                            (MrcImageReader, read_mrc_window)):
+                if isinstance(reader, cls) and len(self.scenes) == 1:
                     return fn(self._spark, path,
                               t=t, c=c, z=z, y=y, x=x)
 
