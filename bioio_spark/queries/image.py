@@ -3839,3 +3839,38 @@ def img_mrc_roundtrip(spark, sf_dir):
                  F.sum("value").alias("sum_val"),
                  F.max("value").alias("max_val"))
             .orderBy("z"))
+
+
+@register(
+    "img_svs_large_window",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {_SVL_W} AS INTEGER) AS y,
+             CAST(i % {_SVL_W} AS INTEGER) AS x,
+             CAST((i * 37) % 251 AS DOUBLE) AS value
+      FROM range({_SVL_H * _SVL_W}) r(i)
+      WHERE (i // {_SVL_W}) >= 1000 AND (i // {_SVL_W}) < 1256
+        AND (i % {_SVL_W}) >= 1000 AND (i % {_SVL_W}) < 1256)
+    SELECT count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val,
+           CAST(min(y) AS BIGINT) AS y_min,
+           CAST(max(x) AS BIGINT) AS x_max
+    FROM px
+    """,
+    doc="Whole-slide window read: a 256x256 region of the 7.9M-px "
+        "slide decodes only its 4 intersecting tiles — the bench row "
+        "that proves windows cost O(tiles touched), not O(slide)",
+)
+def img_svs_large_window(spark, sf_dir):
+    """The pruning proof on the throughput fixture: compare this row's
+    time to img_svs_large (full decode) in BENCH_LOCAL."""
+    from bioio_spark.sources.svs_image import read_svs_window
+
+    px = read_svs_window(spark, _svs_large_fixture(),
+                         y=(1000, 1256), x=(1000, 1256))
+    return px.agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.sum("value").alias("sum_val"),
+        F.max("value").alias("max_val"),
+        F.min("y").cast("bigint").alias("y_min"),
+        F.max("x").cast("bigint").alias("x_max"))
