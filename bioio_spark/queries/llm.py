@@ -668,3 +668,59 @@ from bioio_spark.functions.dedup import (  # noqa: E402
 def l2e_embedding_dedup(spark, sf_dir):
     return embedding_near_dup_dedup(load(spark, sf_dir, "embeddings"),
                                     threshold=0.3)
+
+
+# --------------------------------------------------------------------------
+# L11 curriculum-stratified sampling: bucket the corpus into quality
+# deciles (length proxy, deterministic tie-break) and keep a per-decile
+# hash fraction that ramps up the curriculum — the data-mixing shape
+# "anneal on high-quality data" pipelines use, with no RNG anywhere
+# (stable under task retries and corpus growth, like l6b/l8/l10).
+# Scale: one window over a (value, id) sort for the decile assignment
+# (range-partitioned sort, no skew) + a narrow hash filter; the output
+# aggregate carries 10 rows.
+# --------------------------------------------------------------------------
+@register(
+    "l11_curriculum_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id,
+             ntile(10) OVER (ORDER BY length(text), doc_id) AS decile
+      FROM documents),
+    kept AS (
+      SELECT doc_id, decile,
+             CASE WHEN {_h32_sql("'cur:' || CAST(doc_id AS VARCHAR)")}
+                  % 1000 < 50 + (decile - 1) * 100
+                  THEN 1 ELSE 0 END AS keep
+      FROM ranked)
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(keep) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN keep = 1 THEN doc_id ELSE 0 END)
+                AS BIGINT) AS kept_id_sum
+    FROM kept GROUP BY decile ORDER BY decile
+    """,
+    doc="L11 curriculum-stratified sampling: quality deciles (length "
+        "proxy) with per-decile deterministic-hash keep rates ramping "
+        "50->950 per mille",
+)
+def l11_curriculum_sample(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from bioio_spark.functions.hashing import h32_col
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ranked = docs.select(
+        "doc_id",
+        F.ntile(10).over(
+            Window.orderBy(F.length("text"), "doc_id")).alias("decile"))
+    keep = (h32_col(F.concat(F.lit("cur:"),
+                             F.col("doc_id").cast("string")))
+            % 1000 < 50 + (F.col("decile") - 1) * 100).cast("int")
+    kept = ranked.withColumn("keep", keep)
+    return (kept.groupBy("decile")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("keep").cast("bigint").alias("n_kept"),
+                 F.sum(F.when(F.col("keep") == 1, F.col("doc_id"))
+                       .otherwise(F.lit(0)))
+                 .cast("bigint").alias("kept_id_sum"))
+            .orderBy("decile"))
