@@ -285,6 +285,18 @@ def _register_builtin_plugins() -> None:
         version=__version__,
     ))
 
+    from bioio_spark.sources.cellvoyager_image import \
+        CellVoyagerImageReader
+
+    # directory-probed (MeasurementData.mlf), like NDTiff datasets
+    register_plugin(PluginEntry(
+        name="bioio-cellvoyager-baseline",
+        reader=CellVoyagerImageReader,
+        extensions=[],
+        is_supported_image=CellVoyagerImageReader.is_supported_image,
+        version=__version__,
+    ))
+
     from bioio_spark.sources.tiff_glob import TiffGlobReader
 
     # no extensions: glob patterns aren't routable by suffix — like the

@@ -3874,3 +3874,68 @@ def img_svs_large_window(spark, sf_dir):
         F.max("value").alias("max_val"),
         F.min("y").cast("bigint").alias("y_min"),
         F.max("x").cast("bigint").alias("x_max"))
+
+
+@register(
+    "img_cellvoyager_plate",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST((i // {2 * 6 * 8}) % 4 AS INTEGER) AS f,
+             CAST(i // {4 * 2 * 6 * 8} AS INTEGER) AS t,
+             CAST((i // {6 * 8}) % 2 AS INTEGER) AS c,
+             CAST(((i // {2 * 6 * 8}) % 4) * 1000
+                  + (i // {4 * 2 * 6 * 8}) * 500
+                  + ((i // {6 * 8}) % 2) * 250
+                  + ((i // 8) % 6) * 10 + (i % 8) AS DOUBLE) AS value
+      FROM range({2 * 4 * 2 * 6 * 8}) r(i))
+    SELECT t, c, count(*) AS n_px, CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY t, c ORDER BY t, c
+    """,
+    doc="CellVoyager HCS plate read (native coverage of the "
+        "Bio-Formats long tail: mlf/mrf XML catalog, wells as scenes, "
+        "fields as mosaic tiles stitched via stage positions, one "
+        "plane file per task)",
+)
+def img_cellvoyager_plate(spark, sf_dir):
+    """HCS plate roundtrip: a 2x2-field well stitches on a
+    non-overlapping grid (stitch = relabel, so per-(t, c) sums equal
+    the raw field sums — layout-independent hash). The fixture's
+    second well pins multi-well scene separation. Ref README.md:74
+    (bioio-bioformats routes CellVoyager)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.cellvoyager import encode_cellvoyager
+    from bioio_spark.sources.cellvoyager_image import \
+        CellVoyagerImageReader
+
+    # t-major flattening: i = ((t*4 + f)*2 + c)*48 + y*8 + x
+    idx = np.indices((2, 4, 2, 6, 8))          # t f c y x
+    vals = (idx[1] * 1000 + idx[0] * 500 + idx[2] * 250
+            + idx[3] * 10 + idx[4]).astype(np.uint16)
+    well = vals.transpose(1, 0, 2, 3, 4)[:, :, :, None]  # F T C Z Y X
+    well = well.reshape(4, 2, 2, 1, 6, 8)
+    other = np.full((1, 1, 2, 1, 6, 8), 7, np.uint16)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "cellvoyager_plate")
+    path = os.path.join(out, "meas")
+    if not os.path.exists(os.path.join(path,
+                                       "MeasurementData.mlf")):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        encode_cellvoyager({(1, 1): well, (1, 2): other}, path,
+                           channel_names=["DAPI", "GFP"],
+                           um_per_px=0.5,
+                           field_grid_um=8 * 0.5)
+    img = BioImage(path, spark=spark, reader=CellVoyagerImageReader)
+    img.set_scene("Well R01C01")
+    return (img.get_image_dataframe()
+            .groupBy("t", "c")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("t", "c"))
