@@ -3939,3 +3939,53 @@ def img_cellvoyager_plate(spark, sf_dir):
                  F.sum("value").alias("sum_val"),
                  F.max("value").alias("max_val"))
             .orderBy("t", "c"))
+
+
+@register(
+    "img_cellvoyager_qc",
+    oracle=f"""
+    WITH w1 AS (
+      SELECT 0 AS scene_idx,
+             CAST((i // {6 * 8}) % 2 AS INTEGER) AS c,
+             CAST(((i // {2 * 6 * 8}) % 4) * 1000
+                  + (i // {4 * 2 * 6 * 8}) * 500
+                  + ((i // {6 * 8}) % 2) * 250
+                  + ((i // 8) % 6) * 10 + (i % 8) AS DOUBLE) AS value
+      FROM range({2 * 4 * 2 * 6 * 8}) r(i)),
+    w2 AS (
+      SELECT 1 AS scene_idx, CAST(c.c AS INTEGER) AS c,
+             CAST(7 AS DOUBLE) AS value
+      FROM range(2) c(c), range({6 * 8}) r(i)),
+    px AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2)
+    SELECT scene_idx, c, CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY scene_idx, c ORDER BY scene_idx, c
+    """,
+    doc="HCS plate QC: per-(well, channel) intensity aggregates over "
+        "the scene stack — the screening-pipeline query the plate "
+        "model exists for (stitched wells + the I-dim UNION ALL)",
+)
+def img_cellvoyager_qc(spark, sf_dir):
+    """The composed HCS analytic: get_stack_dataframe UNIONs every
+    well's standardized (stitched) frame; per-(scene_idx, c)
+    aggregates are the plate's QC table. Reuses the
+    img_cellvoyager_plate fixture."""
+    import os
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.queries.image import img_cellvoyager_plate
+    from bioio_spark.sources.cellvoyager_image import \
+        CellVoyagerImageReader
+
+    img_cellvoyager_plate(spark, sf_dir)     # materialize the fixture
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "cellvoyager_plate",
+        "meas")
+    img = BioImage(path, spark=spark, reader=CellVoyagerImageReader)
+    return (img.get_stack_dataframe()
+            .groupBy("scene_idx", "c")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("scene_idx", "c"))
