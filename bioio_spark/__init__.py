@@ -297,6 +297,16 @@ def _register_builtin_plugins() -> None:
         version=__version__,
     ))
 
+    from bioio_spark.sources.zvi_image import ZviImageReader
+
+    register_plugin(PluginEntry(
+        name="bioio-zvi-baseline",
+        reader=ZviImageReader,
+        extensions=[".zvi"],
+        is_supported_image=ZviImageReader.is_supported_image,
+        version=__version__,
+    ))
+
     from bioio_spark.sources.tiff_glob import TiffGlobReader
 
     # no extensions: glob patterns aren't routable by suffix — like the

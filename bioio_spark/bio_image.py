@@ -500,6 +500,8 @@ class BioImage:
                 DicomImageReader, read_dicom_window)
             from bioio_spark.sources.mrc_image import (MrcImageReader,
                                                        read_mrc_window)
+            from bioio_spark.sources.zvi_image import (ZviImageReader,
+                                                       read_zvi_window)
 
             for cls, fn in ((LsmImageReader, read_lsm_window),
                             (StkImageReader, read_stk_window),
@@ -507,7 +509,8 @@ class BioImage:
                             (OibImageReader, read_oib_window),
                             (ImsImageReader, read_ims_window),
                             (DicomImageReader, read_dicom_window),
-                            (MrcImageReader, read_mrc_window)):
+                            (MrcImageReader, read_mrc_window),
+                            (ZviImageReader, read_zvi_window)):
                 if isinstance(reader, cls) and len(self.scenes) == 1:
                     return fn(self._spark, path,
                               t=t, c=c, z=z, y=y, x=x)

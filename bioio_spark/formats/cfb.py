@@ -51,9 +51,11 @@ def _dir_entry(name: str, obj_type: int, start: int, size: int,
 
 
 def build_cfb(streams: Sequence[tuple]) -> bytes:
-    """streams: [(name, bytes)] -> a flat CFB document (all streams
-    directly under root; the root's child tree is a left-spine chain —
-    valid per MS-CFB, readers walk all reachable entries)."""
+    """streams: [(name, bytes)] -> a CFB document. ``name`` may contain
+    ``/`` separators: intermediate components become STORAGE entries
+    (type 1), the layout of hierarchical vendor containers (Zeiss ZVI's
+    ``Image/Item(N)/Contents``). Sibling sets are left-spine chains —
+    valid per MS-CFB, readers walk all reachable entries."""
     big_payloads: list[tuple] = []      # (idx, data)
     mini_payloads: list[tuple] = []
     for i, (_name, data) in enumerate(streams):
@@ -91,22 +93,48 @@ def build_cfb(streams: Sequence[tuple]) -> bytes:
     minifat_start = add_chain(minifat_data)
     n_minifat = -(-len(minifat_data) // SECT) if mini_fat else 0
 
-    # directory: root + one entry per stream, chained via left sids
-    entries = []
+    # directory: root + a tree of storage/stream entries; each sibling
+    # set is a left-spine chain, storages point at their first child
     sizes = {i: len(d) for i, (_n, d) in enumerate(streams)}
     starts = {}
     for i in range(len(streams)):
         starts[i] = (mini_start[i] if i in mini_start
                      else big_start.get(i, ENDOFCHAIN))
-    # left-spine: entry k's left sibling is entry k+1
-    root = _dir_entry("Root Entry", 5, mini_stream_start,
-                      len(mini_stream),
-                      child=1 if streams else FREESECT)
-    entries.append(root)
+
+    tree: dict = {}
     for i, (name, _d) in enumerate(streams):
-        left = i + 2 if i + 1 < len(streams) else FREESECT
-        entries.append(_dir_entry(name, 2, starts[i], sizes[i],
-                                  left=left))
+        parts = name.split("/")
+        node = tree
+        for p in parts[:-1]:
+            nxt = node.setdefault(p, {})
+            if not isinstance(nxt, dict):
+                raise ValueError(f"CFB path collision at {p!r} in "
+                                 f"{name!r}")
+            node = nxt
+        if parts[-1] in node:
+            raise ValueError(f"duplicate CFB entry {name!r}")
+        node[parts[-1]] = i
+
+    entries: list = [None]              # sid 0 = root, filled last
+
+    def emit(node: dict) -> int:
+        sids = []
+        for nm, val in node.items():
+            sids.append((len(entries), nm, val))
+            entries.append(None)
+        for k, (sid, nm, val) in enumerate(sids):
+            left = sids[k + 1][0] if k + 1 < len(sids) else FREESECT
+            if isinstance(val, dict):
+                entries[sid] = _dir_entry(nm, 1, 0, 0, left=left,
+                                          child=emit(val))
+            else:
+                entries[sid] = _dir_entry(nm, 2, starts[val],
+                                          sizes[val], left=left)
+        return sids[0][0] if sids else FREESECT
+
+    first_child = emit(tree)
+    entries[0] = _dir_entry("Root Entry", 5, mini_stream_start,
+                            len(mini_stream), child=first_child)
     dir_data = b"".join(entries)
     dir_start = add_chain(dir_data)
 
@@ -185,22 +213,52 @@ class CfbFile:
                     f"<{self.sect // 4}I", f.read(self.sect)))
             self.fat = fat
             dir_data = self._read_chain_fh(f, dir_start)
-            self.entries = []
+            raw: list = []              # sid-positional directory slots
             for off in range(0, len(dir_data), 128):
                 ent = dir_data[off:off + 128]
                 if len(ent) < 128:
                     break
                 (nlen,) = struct.unpack_from("<H", ent, 64)
                 if nlen < 2:
+                    raw.append(None)
                     continue
                 name = ent[:nlen - 2].decode("utf-16-le")
+                left, right, child = struct.unpack_from("<3I", ent, 68)
                 (start,) = struct.unpack_from("<I", ent, 116)
                 (size,) = struct.unpack_from("<Q", ent, 120)
-                self.entries.append({
+                raw.append({
                     "name": name, "type": ent[66],
                     "start": start, "size": size,
+                    "left": left, "right": right, "child": child,
                 })
-            root = next(e for e in self.entries if e["type"] == 5)
+            # path-qualify by walking the sibling (left/right) / child
+            # tree from the root: streams inside storages get
+            # "Storage/.../Name" names (Zeiss ZVI's Image/Item(N) tree);
+            # flat documents keep their bare names
+            root = next(e for e in raw if e and e["type"] == 5)
+            self.entries = []
+            seen: set = set()
+
+            def _walk(sid: int, prefix: str) -> None:
+                stack = [(sid, prefix)]
+                while stack:
+                    s, pre = stack.pop()
+                    if s in (FREESECT, ENDOFCHAIN) or s >= len(raw) \
+                            or s in seen or raw[s] is None:
+                        continue
+                    seen.add(s)
+                    e = raw[s]
+                    stack.append((e["left"], pre))
+                    stack.append((e["right"], pre))
+                    path = pre + e["name"]
+                    if e["type"] == 1:
+                        stack.append((e["child"], path + "/"))
+                        self.entries.append({**e, "name": path})
+                    elif e["type"] == 2:
+                        self.entries.append({**e, "name": path})
+
+            _walk(root["child"], "")
+            self.entries.append(dict(root))
             self.mini_stream = (
                 self._read_chain_fh(f, root["start"])[:root["size"]]
                 if root["size"] else b"")

@@ -1,0 +1,196 @@
+"""Zeiss ZVI (.zvi) reader — native coverage for a format the
+reference reaches only through the bioio-bioformats Java bridge (ref
+README.md:74 routes .zvi). A ZVI is an MS-CFB compound document whose
+``Image/Item(N)`` storages hold per-plane VARIANT-tagged streams
+(bioio_spark.formats.{cfb,zvi}).
+
+- **Catalog (driver-side)**: CFB directory walk + per-item header
+  prefixes + coordinate tag triples — no pixel IO (D8 contract).
+- **Pixels (executor-side)**: each item's raw pixel payload resolves
+  to SECTOR EXTENTS (byte runs) at catalog time; the driver plans one
+  row per item carrying its extents and a `mapInPandas` seek-reads
+  exactly those runs — raw bytes straight to ndarray (no entropy
+  decode), zero shuffle, one ranged GET per contiguously-written
+  stream at object-store scale. Interleaved BGR items de-interleave
+  executor-side into R,G,B(,A) channel rows.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+_ZVI_EXTS = (".zvi",)
+
+
+def _read_extents(path: str, offsets, lengths) -> bytes:
+    out = b""
+    with open(path, "rb") as f:
+        for off, n in zip(offsets, lengths):
+            f.seek(off)
+            out += f.read(n)
+    return out
+
+
+def _plane_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        for r in pdf.itertuples():
+            raw = _read_extents(r.path, r.offsets, r.lengths)
+            plane = np.frombuffer(raw, dtype=np.dtype(r.dtype))
+            h, w, samples = int(r.h), int(r.w), int(r.samples)
+            if samples > 1:
+                block = plane.reshape(h, w, samples)
+                for s in range(samples):
+                    c = (2 - s) if s < 3 else s   # BGR(A) -> RGB(A)
+                    vals = block[..., s]
+                    yield pd.DataFrame({
+                        "t": np.full(h * w, r.t, np.int32),
+                        "c": np.full(h * w, c, np.int32),
+                        "z": np.full(h * w, r.z, np.int32),
+                        "y": np.repeat(np.arange(h, dtype=np.int32),
+                                       w),
+                        "x": np.tile(np.arange(w, dtype=np.int32), h),
+                        "value": vals.ravel().astype(np.float64),
+                    })
+            else:
+                yield pd.DataFrame({
+                    "t": np.full(h * w, r.t, np.int32),
+                    "c": np.full(h * w, r.c, np.int32),
+                    "z": np.full(h * w, r.z, np.int32),
+                    "y": np.repeat(np.arange(h, dtype=np.int32), w),
+                    "x": np.tile(np.arange(w, dtype=np.int32), h),
+                    "value": plane.reshape(h, w).ravel().astype(
+                        np.float64),
+                })
+
+
+def _plan_rows(path: str, cat: dict) -> list:
+    ap = os.path.abspath(path)
+    return [{"path": ap, "t": t, "c": c, "z": z,
+             "h": cat["size_y"], "w": cat["size_x"],
+             "samples": cat["samples"], "dtype": cat["dtype"],
+             "offsets": [o for o, _ in ext],
+             "lengths": [n for _, n in ext]}
+            for (t, c, z), ext in sorted(cat["planes"].items())]
+
+
+_PLAN_SCHEMA = ("path string, t int, c int, z int, h int, w int, "
+                "samples int, dtype string, offsets array<long>, "
+                "lengths array<long>")
+
+
+def read_zvi_window(spark: SparkSession, path: str,
+                    t=None, c=None, z=None, y=None, x=None):
+    """Window-pruned ZVI read: t/z (and c for gray items) prune whole
+    item payloads driver-side over the catalog grid; interleaved BGR
+    items are the read granularity for any requested channel, with the
+    c/y/x trim a codegen filter after the de-interleave."""
+    from bioio_spark.formats.zvi import read_zvi_catalog
+    from bioio_spark.sources.zarr_image import _norm_window
+
+    cat = read_zvi_catalog(path)
+    t0, t1 = _norm_window(t, cat["size_t"])
+    c0, c1 = _norm_window(c, cat["size_c"])
+    z0, z1 = _norm_window(z, cat["size_z"])
+    y0, y1 = _norm_window(y, cat["size_y"])
+    x0, x1 = _norm_window(x, cat["size_x"])
+    rows = [r for r in _plan_rows(path, cat)
+            if t0 <= r["t"] < t1 and z0 <= r["z"] < z1
+            and (cat["bgr"] or c0 <= r["c"] < c1)]
+    schema = "t int, c int, z int, y int, x int, value double"
+    if not rows or y0 >= y1 or x0 >= x1 or c0 >= c1:
+        return spark.createDataFrame([], schema)
+    plan_df = spark.createDataFrame(
+        pd.DataFrame(rows), schema=_PLAN_SCHEMA).repartition(
+        min(len(rows), spark.sparkContext.defaultParallelism))
+    px = plan_df.mapInPandas(_plane_batches, schema=schema)
+    return px.filter(
+        (F.col("c") >= c0) & (F.col("c") < c1)
+        & (F.col("y") >= y0) & (F.col("y") < y1)
+        & (F.col("x") >= x0) & (F.col("x") < x1))
+
+
+class ZviImageReader:
+    """BioImage reader over Zeiss ZVI compound documents."""
+
+    @staticmethod
+    def is_supported_image(image) -> bool:
+        if not isinstance(image, str):
+            return False
+        if not image.lower().endswith(_ZVI_EXTS):
+            return False
+        try:
+            from bioio_spark.formats.zvi import read_zvi_catalog
+            read_zvi_catalog(image)
+            return True
+        except Exception:
+            return False
+
+    def __init__(self, image: str, dim_order=None, channel_names=None,
+                 physical_pixel_sizes=None, image_id: str = "img",
+                 **_kwargs):
+        if dim_order is not None:
+            raise ValueError("ZVI axis sizes come from the item "
+                             "coordinate tags")
+        self._path = image
+        self._image_id = image_id
+        self._channel_names = channel_names
+        self._pps = physical_pixel_sizes
+
+    def to_dataset(self, spark: SparkSession):
+        from bioio_spark.formats.zvi import read_zvi_catalog
+        from bioio_spark.ome_utils import resolve_channel_names
+        from bioio_spark.sources.array_like import (PIXEL_COLUMNS,
+                                                    ImageDataset)
+        from bioio_spark.types import PhysicalPixelSizes
+
+        cat = read_zvi_catalog(self._path)
+        scene = "Image:0"
+        channel_rows = [
+            {"image_id": self._image_id, "scene": scene,
+             "c": ci, "channel_name": nm}
+            for ci, nm in enumerate(resolve_channel_names(
+                self._channel_names, cat["size_c"], 0))]
+        pps = self._pps
+        if pps is None and (cat["um_per_px"] or cat["z_step_um"]):
+            pps = PhysicalPixelSizes(
+                Z=cat["z_step_um"] or None,
+                Y=cat["um_per_px"] or None,
+                X=cat["um_per_px"] or None)
+        scene_rows = [{
+            "image_id": self._image_id, "scene": scene,
+            "scene_idx": 0, "dim_order": "TCZYX",
+            "size_t": cat["size_t"], "size_c": cat["size_c"],
+            "size_z": cat["size_z"],
+            "size_y": cat["size_y"], "size_x": cat["size_x"],
+            "size_m": None, "size_s": None,
+            "dtype": cat["dtype"], "ome_pixel_type": cat["dtype"],
+            "pps_z": pps.Z if pps else None,
+            "pps_y": pps.Y if pps else None,
+            "pps_x": pps.X if pps else None,
+            "time_interval": None,
+            "metadata": cat["description"] or "Zeiss ZVI (MS-CFB)",
+        }]
+        rows = _plan_rows(self._path, cat)
+        plan_df = spark.createDataFrame(
+            pd.DataFrame(rows), schema=_PLAN_SCHEMA).repartition(
+            min(len(rows), spark.sparkContext.defaultParallelism))
+        px = (plan_df.mapInPandas(
+                  _plane_batches,
+                  schema="t int, c int, z int, y int, x int, "
+                         "value double")
+              .select(
+                  F.lit(self._image_id).alias("image_id"),
+                  F.lit(scene).alias("scene"),
+                  F.lit(0).alias("res_level"), "t", "c", "z", "y", "x",
+                  F.lit(-1).alias("m"), F.lit(-1).alias("s"), "value")
+              .select(*PIXEL_COLUMNS))
+
+        return ImageDataset(pixels=px, scenes=pd.DataFrame(scene_rows),
+                            channels=pd.DataFrame(channel_rows))
