@@ -297,6 +297,16 @@ def _register_builtin_plugins() -> None:
         version=__version__,
     ))
 
+    from bioio_spark.sources.pic_image import PicImageReader
+
+    register_plugin(PluginEntry(
+        name="bioio-biorad-pic-baseline",
+        reader=PicImageReader,
+        extensions=[".pic"],
+        is_supported_image=PicImageReader.is_supported_image,
+        version=__version__,
+    ))
+
     from bioio_spark.sources.zvi_image import ZviImageReader
 
     register_plugin(PluginEntry(

@@ -4099,3 +4099,55 @@ def img_zvi_bgr(spark, sf_dir):
                  F.sum("value").alias("sum_val"),
                  F.max("value").alias("max_val"))
             .orderBy("c"))
+
+
+@register(
+    "img_pic_roundtrip",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {5 * 6} AS INTEGER) AS z,
+             CAST((i // {5 * 6}) * 900 + ((i // 6) % 5) * 30
+                  + (i % 6) AS DOUBLE) AS value
+      FROM range({4 * 5 * 6}) r(i))
+    SELECT z, CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY z ORDER BY z
+    """,
+    doc="Bio-Rad PIC encode -> BioImage reread (native .pic coverage "
+        "of the Bio-Formats long tail: 76-byte magic-12345 header, "
+        "contiguous planes as byte ranges, AXIS_4 note Z-vs-T rule)",
+)
+def img_pic_roundtrip(spark, sf_dir):
+    """Bio-Rad PIC roundtrip: a Microns AXIS_4 note maps the plane
+    axis to Z; each plane is one planned byte range. Ref README.md:74
+    (bioio-bioformats routes .pic; this is the native replacement).
+    The per-z aggregate also pins the plane ordering."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.pic import encode_pic
+
+    idx = np.indices((4, 5, 6))
+    stack = (idx[0] * 900 + idx[1] * 30 + idx[2]).astype(np.uint16)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "pic_roundtrip")
+    path = os.path.join(out, "cells.pic")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(encode_pic(stack, axis4="z", step_um=0.3,
+                               z_step=1.2))
+        os.replace(tmp, path)
+    img = BioImage(path, spark=spark)       # .pic extension routing
+    return (img.get_image_dataframe()
+            .groupBy("z")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("z"))
