@@ -297,6 +297,16 @@ def _register_builtin_plugins() -> None:
         version=__version__,
     ))
 
+    from bioio_spark.sources.avi_image import AviImageReader
+
+    register_plugin(PluginEntry(
+        name="bioio-avi-baseline",
+        reader=AviImageReader,
+        extensions=[".avi"],
+        is_supported_image=AviImageReader.is_supported_image,
+        version=__version__,
+    ))
+
     from bioio_spark.sources.pic_image import PicImageReader
 
     register_plugin(PluginEntry(

@@ -500,6 +500,8 @@ class BioImage:
                 DicomImageReader, read_dicom_window)
             from bioio_spark.sources.mrc_image import (MrcImageReader,
                                                        read_mrc_window)
+            from bioio_spark.sources.avi_image import (AviImageReader,
+                                                       read_avi_window)
             from bioio_spark.sources.pic_image import (PicImageReader,
                                                        read_pic_window)
             from bioio_spark.sources.zvi_image import (ZviImageReader,
@@ -513,7 +515,8 @@ class BioImage:
                             (DicomImageReader, read_dicom_window),
                             (MrcImageReader, read_mrc_window),
                             (ZviImageReader, read_zvi_window),
-                            (PicImageReader, read_pic_window)):
+                            (PicImageReader, read_pic_window),
+                            (AviImageReader, read_avi_window)):
                 if isinstance(reader, cls) and len(self.scenes) == 1:
                     return fn(self._spark, path,
                               t=t, c=c, z=z, y=y, x=x)

@@ -4151,3 +4151,113 @@ def img_pic_roundtrip(spark, sf_dir):
                  F.sum("value").alias("sum_val"),
                  F.max("value").alias("max_val"))
             .orderBy("z"))
+
+
+@register(
+    "img_avi_roundtrip",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {3 * 6 * 8} AS INTEGER) AS t,
+             CAST((i // {6 * 8}) % 3 AS INTEGER) AS c,
+             CAST(((i // {3 * 6 * 8}) * 40 + ((i // {6 * 8}) % 3) * 60
+                   + ((i // 8) % 6) * 9 + (i % 8)) % 256
+                  AS DOUBLE) AS value
+      FROM range({4 * 3 * 6 * 8}) r(i))
+    SELECT t, c, CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY t, c ORDER BY t, c
+    """,
+    doc="RIFF/AVI encode -> BioImage reread (video-container row of "
+        "the imageio tier: idx1 index as the read plan, frames -> T, "
+        "bottom-up padded BGR DIB decode, BGR -> RGB channel map)",
+)
+def img_avi_roundtrip(spark, sf_dir):
+    """AVI roundtrip (BI_RGB DIB frames, bit-exact): idx1 resolves
+    each frame to an absolute byte range driver-side; executors
+    seek-read + bit-copy decode. Frames map to T, the GIF rule (ref
+    README.md:61,83 — bioio-imageio routes .avi)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.avi import encode_avi
+
+    idx = np.indices((4, 6, 8, 3))      # t y x c
+    frames = ((idx[0] * 40 + idx[3] * 60 + idx[1] * 9 + idx[2])
+              % 256).astype(np.uint8)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "avi_roundtrip")
+    path = os.path.join(out, "clip.avi")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(encode_avi(frames, codec="rgb", fps=10))
+        os.replace(tmp, path)
+    img = BioImage(path, spark=spark)       # .avi extension routing
+    return (img.get_image_dataframe()
+            .groupBy("t", "c")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("t", "c"))
+
+
+@register(
+    "img_avi_mjpg",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {3 * 16 * 24} AS INTEGER) AS t,
+             CAST((i // {16 * 24}) % 3 AS INTEGER) AS c,
+             CAST(((i // {3 * 16 * 24}) * 30
+                   + ((i // 24) % 16 // 8) * 25
+                   + ((i % 24) // 8) * 15
+                   + ((i // {16 * 24}) % 3) * 10) % 200 + 20
+                  AS DOUBLE) AS value
+      FROM range({2 * 3 * 16 * 24}) r(i))
+    SELECT t, c, CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY t, c ORDER BY t, c
+    """,
+    doc="AVI MJPG frames: per-frame baseline JFIF decode through the "
+        "in-repo JPEG codec, exact on DC-only blocky content (the "
+        "img_jpeg_roundtrip rule)",
+)
+def img_avi_mjpg(spark, sf_dir):
+    """MJPG AVI: each idx1 entry is one standalone baseline JPEG —
+    executors decode their frames with the in-repo codec. Content is
+    constant per 8x8 block so the DCT roundtrip is exact and the
+    oracle can pin values."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.avi import encode_avi
+
+    idx = np.indices((2, 16, 24, 3))    # t y x c
+    frames = ((idx[0] * 30 + (idx[1] // 8) * 25 + (idx[2] // 8) * 15
+               + idx[3] * 10) % 200 + 20).astype(np.uint8)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "avi_mjpg")
+    path = os.path.join(out, "clip.avi")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(encode_avi(frames, codec="mjpg", quality=95))
+        os.replace(tmp, path)
+    img = BioImage(path, spark=spark)
+    return (img.get_image_dataframe()
+            .groupBy("t", "c")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("t", "c"))

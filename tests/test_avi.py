@@ -1,0 +1,139 @@
+"""AVI (.avi) RIFF container codec + reader — the video-container row
+of the reference's imageio tier (ref README.md:61,83); layout per the
+public Microsoft RIFF/AVI specification (hdrl/movi/idx1)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from bioio_spark import BioImage
+from bioio_spark.formats.avi import (decode_avi, decode_avi_frame,
+                                     encode_avi, read_avi_catalog)
+from bioio_spark.sources.avi_image import AviImageReader, read_avi_window
+
+
+def _frames(t_n=4, h=6, w=8):
+    idx = np.indices((t_n, h, w, 3))
+    return ((idx[0] * 40 + idx[3] * 60 + idx[1] * 9 + idx[2])
+            % 256).astype(np.uint8)
+
+
+def _write(tmp_path, frames=None, name="clip.avi", **kw):
+    p = tmp_path / name
+    p.write_bytes(encode_avi(frames if frames is not None
+                             else _frames(), **kw))
+    return str(p)
+
+
+def test_avi_rgb_roundtrip_bit_exact():
+    fr = _frames()
+    import tempfile, os
+    p = tempfile.mktemp(suffix=".avi")
+    try:
+        open(p, "wb").write(encode_avi(fr, codec="rgb"))
+        np.testing.assert_array_equal(decode_avi(p), fr)
+    finally:
+        os.remove(p)
+
+
+def test_avi_rgb_row_padding(tmp_path):
+    """Width 13 -> 39-byte rows pad to 40; decode must strip it."""
+    rng = np.random.default_rng(9)
+    fr = (rng.random((2, 5, 13, 3)) * 255).astype(np.uint8)
+    p = _write(tmp_path, fr, codec="rgb")
+    np.testing.assert_array_equal(decode_avi(p), fr)
+
+
+def test_avi_mjpg_blocky_exact(tmp_path):
+    yy, xx, ss = np.indices((16, 24, 3))
+    blocky = (((yy // 8) * 30 + (xx // 8) * 20 + ss * 10) % 200
+              + 20).astype(np.uint8)
+    fr = np.stack([blocky, np.roll(blocky, 8, axis=1)])
+    p = _write(tmp_path, fr, codec="mjpg", quality=95)
+    np.testing.assert_array_equal(decode_avi(p), fr)
+    assert read_avi_catalog(p)["codec"] == "mjpg"
+
+
+def test_avi_catalog_metadata(tmp_path):
+    p = _write(tmp_path, fps=10)
+    cat = read_avi_catalog(p)
+    assert (cat["width"], cat["height"], cat["n_frames"]) == (8, 6, 4)
+    assert cat["codec"] == "rgb"
+    assert cat["time_interval"] == pytest.approx(0.1)
+    # absolute frame ranges point at real chunk payloads
+    with open(p, "rb") as f:
+        off, size = cat["frames"][0]
+        f.seek(off - 8)
+        assert f.read(4) == b"00db"
+
+
+def test_avi_absolute_idx1_offsets(tmp_path):
+    """Some muxers write absolute idx1 offsets; the parser detects
+    and accepts both."""
+    fr = _frames(2)
+    data = bytearray(encode_avi(fr, codec="rgb"))
+    # find idx1 and movi, rewrite offsets to absolute
+    idx_pos = bytes(data).index(b"idx1")
+    movi_pos = bytes(data).index(b"movi")
+    (idx_size,) = struct.unpack_from("<I", data, idx_pos + 4)
+    for i in range(idx_size // 16):
+        base = idx_pos + 8 + i * 16
+        (off,) = struct.unpack_from("<I", data, base + 8)
+        struct.pack_into("<I", data, base + 8, off + movi_pos)
+    p = tmp_path / "abs.avi"
+    p.write_bytes(bytes(data))
+    np.testing.assert_array_equal(decode_avi(str(p)), fr)
+
+
+def test_avi_rejects_non_avi(tmp_path):
+    p = tmp_path / "x.avi"
+    p.write_bytes(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        read_avi_catalog(str(p))
+    assert not AviImageReader.is_supported_image(str(p))
+
+
+def test_avi_unknown_codec_rejected(tmp_path):
+    data = bytearray(encode_avi(_frames(1), codec="rgb"))
+    strf_pos = bytes(data).index(b"strf")
+    struct.pack_into("<4s", data, strf_pos + 8 + 16, b"H264")
+    p = tmp_path / "h264.avi"
+    p.write_bytes(bytes(data))
+    with pytest.raises(ValueError, match="unsupported AVI codec"):
+        read_avi_catalog(str(p))
+
+
+def test_avi_bioimage_roundtrip(spark, tmp_path):
+    fr = _frames()
+    p = _write(tmp_path, fr, fps=10)
+    img = BioImage(p, spark=spark)
+    assert isinstance(img._reader, AviImageReader)
+    assert img.dims.shape == (4, 3, 1, 6, 8)
+    assert img.time_interval == pytest.approx(0.1)
+    assert img.channel_names == ["Red", "Green", "Blue"]
+    got = img.get_image_data("TCZYX")
+    exp = fr.transpose(0, 3, 1, 2)[:, :, None]
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_avi_window_prunes_frames(spark, tmp_path):
+    fr = _frames()
+    p = _write(tmp_path, fr)
+    w = read_avi_window(spark, p, t=slice(1, 3), c=0,
+                        y=slice(2, 5), x=slice(3, 7)).toPandas()
+    exp = fr[1:3, 2:5, 3:7, 0]
+    assert len(w) == exp.size
+    got = np.zeros_like(exp, dtype=float)
+    for r in w.itertuples():
+        got[r.t - 1, r.y - 2, r.x - 3] = r.value
+    np.testing.assert_array_equal(got, exp.astype(float))
+
+
+def test_avi_frame_decode_gray_mjpg_promotes_rgb():
+    from bioio_spark.formats.jpeg import encode_jpeg
+
+    g = (np.indices((8, 8)).sum(0) * 0 + 77).astype(np.uint8)
+    out = decode_avi_frame(encode_jpeg(g, quality=95), "mjpg", 8, 8)
+    assert out.shape == (8, 8, 3)
+    assert (out == 77).all()
