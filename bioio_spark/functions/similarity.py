@@ -338,3 +338,126 @@ def _lsh_oracle(threshold: float = 0.3) -> str:
 
 
 LSH_NEAR_DUP_ORACLE = _lsh_oracle()
+
+
+def semantic_dedup(embeddings: DataFrame, threshold: float = 0.3,
+                   n_centroids: int = N_CENTROIDS,
+                   sample_mod: int = IVF_SAMPLE_MOD,
+                   cache_key="semdedup") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate removal via embedding clustering — the
+    training-data curation step between exact/MinHash dedup (surface
+    text) and nothing (paraphrases survive l1/l2).
+
+    1. Cluster: the session-cached IVF centroid index (_train_ivf —
+       hash-sampled one-Lloyd training with exact fixed-point means,
+       bit-stable across engines).
+    2. Assign: per-row max-cosine centroid against broadcast literal
+       centroids — a narrow projection, no shuffle.
+    3. Pair WITHIN clusters only: self-join keyed on cid (never
+       all-pairs); a vector is a semantic duplicate if some
+       lower-vec_id vector in its cluster has cosine >= threshold
+       (the deterministic keep-lowest-id variant of the paper's
+       per-cluster dedup — no RNG, stable under task retries).
+    4. Survivors: left-anti join against the duplicate set.
+
+    Returns the per-cluster summary (cid, n_vecs, n_kept) — pins both
+    the assignment and the dedup decision.
+
+    At 100 TB: pairing cost is sum over clusters of |cluster|^2, the
+    paper's design point — n_centroids grows with the corpus so
+    clusters stay bounded (they use 11k clusters for LAION-440M); the
+    cid-keyed shuffle is AQE-skew-splittable, and the l2d
+    MAX_BUCKET_WIDTH cap pattern applies verbatim if a degenerate
+    embedding (all-zeros) floods one cluster."""
+    emb = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("e"))
+    trained = _train_ivf(emb, n_centroids, sample_mod,
+                         cache_key=cache_key)
+    assigned = (emb.withColumn("ne", _norm(F.col("e")))
+                .withColumn("cid", _assigned(trained).cast("int"))
+                .select("vec_id", "cid", "e", "ne"))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    sim = _dot(F.col("a.e"), F.col("b.e")) / (
+        F.col("a.ne") * F.col("b.ne"))
+    dups = (a.join(b, (F.col("a.cid") == F.col("b.cid"))
+                   & (F.col("a.vec_id") > F.col("b.vec_id")))
+            .filter(sim >= threshold)
+            .select(F.col("a.vec_id").alias("vec_id"))
+            .distinct())
+    kept = assigned.join(dups, "vec_id", "left_anti")
+    return (assigned.groupBy("cid")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+            .join(kept.groupBy("cid")
+                  .agg(F.count(F.lit(1)).cast("bigint")
+                       .alias("n_kept")), "cid", "left")
+            .select("cid", "n_vecs",
+                    F.coalesce("n_kept", F.lit(0)).cast("bigint")
+                    .alias("n_kept"))
+            .orderBy("cid"))
+
+
+def _semantic_dedup_oracle(threshold: float = 0.3,
+                           n_centroids: int = N_CENTROIDS,
+                           sample_mod: int = IVF_SAMPLE_MOD) -> str:
+    scale = int(_KMEANS_SCALE)
+    cos = ("list_dot_product({a}, {b}) / "
+           "(sqrt(list_dot_product({a}, {a}))"
+           " * sqrt(list_dot_product({b}, {b})))")
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    seeds AS (SELECT vec_id AS cid, e AS ce FROM e
+              WHERE vec_id < {n_centroids}),
+    assign0 AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT e.vec_id, e.e, s.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {cos.format(a='e.e', b='s.ce')} DESC,
+                          s.cid ASC) AS rn
+        FROM e CROSS JOIN seeds s
+        WHERE e.vec_id % {sample_mod} = 0) WHERE rn = 1
+    ),
+    dims AS (SELECT unnest(generate_series(
+               1, (SELECT max(len(e)) FROM e))) AS i),
+    tsum AS (
+      SELECT a.cid, d.i,
+             CAST(sum(CAST(floor(a.e[d.i] * {scale}.0) AS BIGINT))
+                  AS BIGINT) AS s,
+             count(*) AS cnt
+      FROM assign0 a CROSS JOIN dims d GROUP BY a.cid, d.i
+    ),
+    trained AS (
+      SELECT s.cid, COALESCE(t.ce, s.ce) AS ce
+      FROM seeds s LEFT JOIN (
+        SELECT cid,
+               list(CAST(s AS DOUBLE) / cnt / {scale}.0 ORDER BY i)
+                 AS ce
+        FROM tsum GROUP BY cid) t USING (cid)
+    ),
+    assigned AS (
+      SELECT vec_id, cid, e FROM (
+        SELECT e.vec_id, e.e, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {cos.format(a='e.e', b='c.ce')} DESC,
+                          c.cid ASC) AS rn
+        FROM e CROSS JOIN trained c) WHERE rn = 1
+    ),
+    dups AS (
+      SELECT DISTINCT a.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cid = b.cid AND a.vec_id > b.vec_id
+      WHERE {cos.format(a='a.e', b='b.e')} >= {threshold}
+    )
+    SELECT CAST(a.cid AS INTEGER) AS cid,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(*) FILTER (a.vec_id NOT IN
+                (SELECT vec_id FROM dups)) AS BIGINT) AS n_kept
+    FROM assigned a GROUP BY a.cid ORDER BY a.cid
+    """
+
+
+SEMANTIC_DEDUP_ORACLE = _semantic_dedup_oracle()

@@ -19,6 +19,7 @@ from bioio_spark.functions.similarity import (
     cosine_topk,
     ivf_topk,
     lsh_near_duplicates,
+    semantic_dedup,
 )
 from bioio_spark.functions.text import (
     language_id,
@@ -724,3 +725,18 @@ def l11_curriculum_sample(spark, sf_dir):
                        .otherwise(F.lit(0)))
                  .cast("bigint").alias("kept_id_sum"))
             .orderBy("decile"))
+
+
+# --------------------------------------------------------------------------
+# L12 SemDeDup: semantic near-duplicate removal over embedding
+# clusters (Abbas et al. 2023) — catches paraphrases that surface-text
+# dedup (l1/l2) misses. Cluster-bounded pairing (never all-pairs),
+# session-cached bit-stable IVF index, keep-lowest-id determinism.
+# --------------------------------------------------------------------------
+@register("l12_semantic_dedup",
+          oracle=_sim.SEMANTIC_DEDUP_ORACLE,
+          doc="L12 SemDeDup semantic dedup: per-cluster cosine "
+              "near-dup removal over the cached IVF assignment")
+def l12_semantic_dedup(spark, sf_dir):
+    return semantic_dedup(load(spark, sf_dir, "embeddings"),
+                          threshold=0.3)

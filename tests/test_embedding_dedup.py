@@ -48,3 +48,39 @@ def test_every_vector_gets_a_row(spark):
     vecs = rng.normal(size=(20, max(N_SIGN_BITS, 8)))
     rows = embedding_near_dup_dedup(_df(spark, vecs)).collect()
     assert sorted(r["vec_id"] for r in rows) == list(range(20))
+
+
+# -- L12 SemDeDup ----------------------------------------------------------
+def test_semantic_dedup_keep_lowest_id(spark):
+    """Two near-identical vectors in one cluster: the higher vec_id is
+    the duplicate; an orthogonal vector survives."""
+    import numpy as np
+
+    from bioio_spark.functions.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.0, 1.0, 0.0, 0.0], 0),
+        (5, [0.99, 0.01, 0.0, 0.0], 0),   # near-dup of vec 0
+        (7, [0.0, 0.0, 1.0, 0.0], 0),     # orthogonal, survives
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    out = semantic_dedup(emb, threshold=0.9, n_centroids=2,
+                         sample_mod=1, cache_key=None).toPandas()
+    assert out.n_vecs.sum() == 4
+    # exactly one vector dropped (vec 5, the higher id of the pair)
+    assert out.n_vecs.sum() - out.n_kept.sum() == 1
+    del np
+
+
+def test_semantic_dedup_join_is_cluster_keyed(spark):
+    """The pair join must key on cid (cluster-bounded), never a
+    cartesian product."""
+    from bioio_spark.functions.similarity import semantic_dedup
+    from tests.test_plans import physical_plan
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = physical_plan(semantic_dedup(emb, cache_key=None))
+    assert "CartesianProduct" not in plan
+    assert "cid" in plan
