@@ -20,6 +20,8 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
+from bioio_spark.fsio import read_range
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -31,9 +33,7 @@ def _frame_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     for pdf in it:
         for r in pdf.itertuples():
-            with open(r.path, "rb") as f:
-                f.seek(r.offset)
-                data = f.read(r.nbytes)
+            data = read_range(r.path, r.offset, r.nbytes)
             frame = decode_avi_frame(data, r.codec, r.w, r.h)
             h, w, _ = frame.shape
             n = h * w

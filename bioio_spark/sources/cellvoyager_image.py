@@ -23,6 +23,8 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
+from bioio_spark.fsio import read_bytes
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -32,8 +34,7 @@ def _plane_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     for pdf in it:
         for r in pdf.itertuples():
-            with open(r.path, "rb") as f:
-                planes, _desc = decode_tiff(f.read())
+            planes, _desc = decode_tiff(read_bytes(r.path))
             plane = planes[0]
             y_n, x_n = plane.shape
             yield pd.DataFrame({

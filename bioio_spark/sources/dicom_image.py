@@ -21,6 +21,8 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
+from bioio_spark.fsio import read_range
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -37,9 +39,7 @@ def _dcm_paths(image: str) -> list[str]:
 def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         for r in pdf.itertuples():
-            with open(r.path, "rb") as f:
-                f.seek(r.offset)
-                buf = f.read(r.nbytes)
+            buf = read_range(r.path, r.offset, r.nbytes)
             plane = np.frombuffer(
                 buf, dtype=np.dtype(r.dtype),
                 count=r.ny * r.nx).reshape(r.ny, r.nx)
@@ -84,9 +84,7 @@ def read_dicom_window(spark: SparkSession, path: str,
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             for r in pdf.itertuples():
-                with open(r.path, "rb") as f:
-                    f.seek(r.offset)
-                    buf = f.read(r.nbytes)
+                buf = read_range(r.path, r.offset, r.nbytes)
                 plane = np.frombuffer(
                     buf, dtype=np.dtype(r.dtype),
                     count=r.ny * r.nx).reshape(r.ny, r.nx)

@@ -26,6 +26,8 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
+from bioio_spark.fsio import read_range
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -83,9 +85,7 @@ def read_dv_window(spark: SparkSession, path: str,
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             for r in pdf.itertuples():
-                with open(r.path, "rb") as f:
-                    f.seek(r.offset)
-                    buf = f.read(r.nbytes)
+                buf = read_range(r.path, r.offset, r.nbytes)
                 plane = np.frombuffer(
                     buf, dtype=np.dtype(dtype_str)).reshape(r.ny, r.nx)
                 vals = (plane.real if np.issubdtype(
@@ -129,9 +129,7 @@ def read_dv_planes(spark: SparkSession, path: str):
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             for r in pdf.itertuples():
-                with open(r.path, "rb") as f:
-                    f.seek(r.offset)
-                    buf = f.read(nbytes)
+                buf = read_range(r.path, r.offset, nbytes)
                 plane = np.frombuffer(
                     buf, dtype=np.dtype(dtype_str)).reshape(ny, nx)
                 vals = (plane.real if np.issubdtype(
@@ -232,9 +230,7 @@ class DvImageReader:
         def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
                 for r in pdf.itertuples():
-                    with open(r.path, "rb") as f:
-                        f.seek(r.offset)
-                        buf = f.read(r.nbytes)
+                    buf = read_range(r.path, r.offset, r.nbytes)
                     plane = np.frombuffer(
                         buf, dtype=np.dtype(dtypes[r.path])).reshape(
                         r.ny, r.nx)

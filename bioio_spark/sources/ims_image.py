@@ -23,6 +23,8 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
+from bioio_spark.fsio import read_range
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -72,9 +74,7 @@ def _plan_rows(path: str, cat: dict) -> list[dict]:
 def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         for r in pdf.itertuples():
-            with open(r.path, "rb") as f:
-                f.seek(r.offset)
-                raw = f.read(r.nbytes)
+            raw = read_range(r.path, r.offset, r.nbytes)
             if r.gzip:
                 raw = zlib.decompress(raw)
             block = np.frombuffer(

@@ -25,6 +25,8 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
+from bioio_spark.fsio import read_range
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -67,9 +69,7 @@ def _strip_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     for pdf in it:
         for r in pdf.itertuples():
-            with open(r.path, "rb") as f:
-                f.seek(r.offset)
-                buf = f.read(r.nbytes)
+            buf = read_range(r.path, r.offset, r.nbytes)
             comp = getattr(r, "comp", 1)
             if comp != 1:
                 buf = decompress_tiff_chunk(buf, comp)
@@ -147,9 +147,7 @@ def read_lsm_planes(spark: SparkSession, path: str):
 
         for pdf in it:
             for r in pdf.itertuples():
-                with open(r.path, "rb") as f:
-                    f.seek(r.offset)
-                    buf = f.read(r.nbytes)
+                buf = read_range(r.path, r.offset, r.nbytes)
                 if getattr(r, "comp", 1) != 1:
                     buf = decompress_tiff_chunk(buf, r.comp)
                 plane = np.frombuffer(

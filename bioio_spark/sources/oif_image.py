@@ -19,6 +19,8 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
+from bioio_spark.fsio import read_bytes, read_range
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -30,8 +32,7 @@ def _plane_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     for pdf in it:
         for r in pdf.itertuples():
-            with open(r.path, "rb") as f:
-                planes, _desc = decode_tiff(f.read())
+            planes, _desc = decode_tiff(read_bytes(r.path))
             plane = planes[0]
             y_n, x_n = plane.shape
             yield pd.DataFrame({
@@ -93,9 +94,7 @@ def read_oif_window(spark: SparkSession, path: str,
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             for r in pdf.itertuples():
-                with open(r.path, "rb") as f:
-                    f.seek(r.offset)
-                    buf = f.read(r.nbytes)
+                buf = read_range(r.path, r.offset, r.nbytes)
                 plane = np.frombuffer(
                     buf, dtype=np.dtype(r.dtype),
                     count=r.ny * r.nx).reshape(r.ny, r.nx)

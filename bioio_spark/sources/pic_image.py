@@ -18,6 +18,8 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
+from bioio_spark.fsio import read_range
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -27,9 +29,7 @@ _PIC_EXTS = (".pic",)
 def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         for r in pdf.itertuples():
-            with open(r.path, "rb") as f:
-                f.seek(r.offset)
-                buf = f.read(r.nbytes)
+            buf = read_range(r.path, r.offset, r.nbytes)
             plane = np.frombuffer(
                 buf, dtype=np.dtype(r.dtype),
                 count=r.ny * r.nx).reshape(r.ny, r.nx)

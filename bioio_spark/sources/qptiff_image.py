@@ -21,6 +21,8 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
+from bioio_spark.fsio import read_range
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -64,9 +66,7 @@ def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     for pdf in it:
         for r in pdf.itertuples():
-            with open(r.path, "rb") as f:
-                f.seek(r.offset)
-                payload = f.read(r.nbytes)
+            payload = read_range(r.path, r.offset, r.nbytes)
             dt = np.dtype(r.dtype)
             if r.comp == 7:
                 tables = (bytes(r.jpeg_tables)

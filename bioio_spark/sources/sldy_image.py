@@ -31,6 +31,8 @@ from typing import Iterator, Optional
 import numpy as np
 import pandas as pd
 
+from bioio_spark.fsio import read_range
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -162,9 +164,7 @@ def read_sldy_window(spark: SparkSession, path: str,
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             for r in pdf.itertuples():
-                with open(r.path, "rb") as f:
-                    f.seek(r.start)
-                    buf = f.read(r.nbytes)
+                buf = read_range(r.path, r.start, r.nbytes)
                 rows = np.frombuffer(
                     buf, dtype=np.dtype(dtype_str)).reshape(
                     y1 - y0, x_n)

@@ -20,6 +20,8 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
+from bioio_spark.fsio import read_range
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -45,9 +47,7 @@ def _plan_planes(path: str):
 def _plane_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         for r in pdf.itertuples():
-            with open(r.path, "rb") as f:
-                f.seek(r.offset)
-                buf = f.read(r.nbytes)
+            buf = read_range(r.path, r.offset, r.nbytes)
             plane = np.frombuffer(
                 buf, dtype=np.dtype(r.dtype),
                 count=r.ny * r.nx).reshape(r.ny, r.nx)
@@ -94,9 +94,7 @@ def read_stk_window(spark: SparkSession, path: str,
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             for r in pdf.itertuples():
-                with open(r.path, "rb") as f:
-                    f.seek(r.offset)
-                    buf = f.read(r.nbytes)
+                buf = read_range(r.path, r.offset, r.nbytes)
                 plane = np.frombuffer(
                     buf, dtype=np.dtype(r.dtype),
                     count=r.ny * r.nx).reshape(r.ny, r.nx)

@@ -29,6 +29,8 @@ from typing import Iterator, Optional
 import numpy as np
 import pandas as pd
 
+from bioio_spark.fsio import read_range
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -298,9 +300,7 @@ class TiffImageReader:
 
             for pdf in it:
                 for r in pdf.itertuples():
-                    with open(r.path, "rb") as f:
-                        f.seek(r.offset)
-                        payload = f.read(r.nbytes)
+                    payload = read_range(r.path, r.offset, r.nbytes)
                     raw = decompress_tiff_chunk(payload, r.comp)
                     shape = ((r.ch, r.cw, r.spp) if r.spp > 1
                              else (r.ch, r.cw))

@@ -30,12 +30,9 @@ _ZVI_EXTS = (".zvi",)
 
 
 def _read_extents(path: str, offsets, lengths) -> bytes:
-    out = b""
-    with open(path, "rb") as f:
-        for off, n in zip(offsets, lengths):
-            f.seek(off)
-            out += f.read(n)
-    return out
+    from bioio_spark.fsio import ranged_read
+
+    return ranged_read(path, offsets, lengths)
 
 
 def _plane_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -341,6 +341,119 @@ class JpegWriter:
 register_writer("JpegWriter", JpegWriter)
 
 
+class TimeSeriesWriter:
+    """Animation writer — the reference's bioio-imageio
+    TimeSeriesWriter row (ref README.md:82 routes .gif/.mp4/.mkv
+    through ffmpeg). Native targets here: **.gif** (multi-frame GIF89a
+    via formats/gif.py) and **.avi** (RIFF container via
+    formats/avi.py, DIB bit-exact or MJPG). The ffmpeg-only codecs
+    (.mp4/.mkv/.mov) raise with a clear message — the same accepted
+    gap as the bioio-bioformats tail.
+
+    Input: (T, Y, X) uint8 gray or (T, Y, X, 3) uint8 RGB (the
+    reference writer's TYX/TYXS contract)."""
+
+    @staticmethod
+    def save(data, uri: str, dim_order=None, fps: int = 10,
+             codec: str = "rgb", **_kwargs) -> None:
+        import numpy as np
+
+        a = np.asarray(data)
+        if a.ndim not in (3, 4) or (a.ndim == 4 and a.shape[-1]
+                                    not in (3,)):
+            raise ValueError(
+                "TimeSeriesWriter takes (T, Y, X) or (T, Y, X, 3) "
+                f"uint8 data, got shape {a.shape}")
+        low = uri.lower()
+        if low.endswith(".gif"):
+            from bioio_spark.formats.gif import encode_gif
+
+            delay_cs = max(1, round(100 / fps))
+            with open(uri, "wb") as f:
+                f.write(encode_gif(a.astype(np.uint8),
+                                   delays=[delay_cs] * a.shape[0]))
+        elif low.endswith(".avi"):
+            from bioio_spark.formats.avi import encode_avi
+
+            if a.ndim == 3:
+                a = np.stack([a] * 3, axis=-1)
+            with open(uri, "wb") as f:
+                f.write(encode_avi(a.astype(np.uint8), codec=codec,
+                                   fps=fps))
+        elif low.endswith((".mp4", ".mkv", ".mov")):
+            raise NotImplementedError(
+                f"{uri}: MP4/MKV/MOV need an ffmpeg-tier codec — "
+                f"out of scope like the bioio-bioformats bridge; "
+                f"write .gif or .avi for a native container")
+        else:
+            raise ValueError(f"{uri}: TimeSeriesWriter writes "
+                             f".gif/.avi (native) or .mp4/.mkv "
+                             f"(unsupported)")
+
+
+register_writer("TimeSeriesWriter", TimeSeriesWriter)
+
+
+class TwoDWriter:
+    """One-frame raster writer — the reference's bioio-imageio
+    TwoDWriter row (ref README.md:83 routes .png/.bmp/.jpg and the
+    one-frame video containers). Native targets: .png, .bmp,
+    .jpg/.jpeg, .gif, and .avi (a one-frame RIFF container). Input:
+    (Y, X) gray or (Y, X, 3) RGB uint8 (uint16 allowed for PNG)."""
+
+    @staticmethod
+    def save(data, uri: str, dim_order=None, **kwargs) -> None:
+        import numpy as np
+
+        a = np.asarray(data)
+        if a.ndim not in (2, 3) or (a.ndim == 3
+                                    and a.shape[-1] != 3):
+            raise ValueError(
+                "TwoDWriter takes (Y, X) or (Y, X, 3) data, got "
+                f"shape {a.shape}")
+        low = uri.lower()
+        if low.endswith(".png"):
+            from bioio_spark.formats.png import encode_png
+
+            with open(uri, "wb") as f:
+                f.write(encode_png(a))
+        elif low.endswith(".bmp"):
+            from bioio_spark.formats.bmp import encode_bmp
+
+            with open(uri, "wb") as f:
+                f.write(encode_bmp(a.astype(np.uint8)))
+        elif low.endswith((".jpg", ".jpeg")):
+            from bioio_spark.formats.jpeg import encode_jpeg
+
+            with open(uri, "wb") as f:
+                f.write(encode_jpeg(a.astype(np.uint8),
+                                    quality=kwargs.get("quality", 90)))
+        elif low.endswith(".gif"):
+            from bioio_spark.formats.gif import encode_gif
+
+            with open(uri, "wb") as f:
+                f.write(encode_gif(a.astype(np.uint8)))
+        elif low.endswith(".avi"):
+            from bioio_spark.formats.avi import encode_avi
+
+            if a.ndim == 2:
+                a = np.stack([a] * 3, axis=-1)
+            with open(uri, "wb") as f:
+                f.write(encode_avi(a.astype(np.uint8)[None],
+                                   codec="rgb"))
+        elif low.endswith((".mov", ".mpg", ".mpeg", ".mp4", ".mkv",
+                           ".wmv", ".ogg")):
+            raise NotImplementedError(
+                f"{uri}: ffmpeg-tier container — out of scope; write "
+                f".png/.bmp/.jpg/.gif/.avi for a native format")
+        else:
+            raise ValueError(f"{uri}: TwoDWriter does not route this "
+                             f"extension")
+
+
+register_writer("TwoDWriter", TwoDWriter)
+
+
 def save_ome_tiff(img, uri: str, select_scenes=None,
                   compression: int = 1, bigtiff: bool = False,
                   predictor: int = 1, tile=None,

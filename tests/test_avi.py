@@ -137,3 +137,55 @@ def test_avi_frame_decode_gray_mjpg_promotes_rgb():
     out = decode_avi_frame(encode_jpeg(g, quality=95), "mjpg", 8, 8)
     assert out.shape == (8, 8, 3)
     assert (out == 77).all()
+
+
+# -- writer-registry parity (ref README.md:82-83) --------------------------
+def test_timeseries_writer_gif_and_avi(spark, tmp_path):
+    from bioio_spark.formats.avi import decode_avi
+    from bioio_spark.formats.gif import decode_gif
+    from bioio_spark.writers import WRITER_REGISTRY
+
+    w = WRITER_REGISTRY["TimeSeriesWriter"]
+    fr = _frames(3)
+    p_avi = str(tmp_path / "a.avi")
+    w.save(fr, p_avi, fps=5)
+    np.testing.assert_array_equal(decode_avi(p_avi), fr)
+    # gray TYX -> replicated channels in AVI
+    g = fr[..., 0]
+    p2 = str(tmp_path / "g.avi")
+    w.save(g, p2, fps=5)
+    np.testing.assert_array_equal(decode_avi(p2)[..., 1], g)
+    # animated gif (palette-sized content)
+    small = (np.indices((3, 5, 6)).sum(0) * 7 % 200).astype(np.uint8)
+    p_gif = str(tmp_path / "a.gif")
+    w.save(small, p_gif, fps=10)
+    frames, delays = decode_gif(open(p_gif, "rb").read())
+    assert len(frames) == 3 and delays[0] == 10
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        w.save(fr, str(tmp_path / "a.mp4"))
+
+
+def test_twod_writer_routes_extensions(tmp_path):
+    from bioio_spark.formats.avi import decode_avi
+    from bioio_spark.formats.bmp import decode_bmp
+    from bioio_spark.formats.png import decode_png
+    from bioio_spark.writers import WRITER_REGISTRY
+
+    w = WRITER_REGISTRY["TwoDWriter"]
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 255, (7, 9, 3), dtype=np.uint8)
+    p = str(tmp_path / "f.png")
+    w.save(img, p)
+    np.testing.assert_array_equal(decode_png(open(p, "rb").read()),
+                                  img)
+    p = str(tmp_path / "f.bmp")
+    w.save(img, p)
+    np.testing.assert_array_equal(decode_bmp(open(p, "rb").read()),
+                                  img)
+    p = str(tmp_path / "f.avi")
+    w.save(img, p)
+    np.testing.assert_array_equal(decode_avi(p)[0], img)
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        w.save(img, str(tmp_path / "f.mov"))
+    with pytest.raises(ValueError, match="extension"):
+        w.save(img, str(tmp_path / "f.xyz"))

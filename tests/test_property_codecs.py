@@ -271,3 +271,79 @@ def test_nd2_seq_coords_bijective(loops, seed):
         assert 0 <= co["p"] < sizes["p"]
         seen.add((co["p"], co["t"], co["z"]))
     assert len(seen) == n
+
+
+@settings(max_examples=20, deadline=None)
+@given(t=st.integers(1, 3), c=st.integers(1, 3), z=st.integers(1, 3),
+       h=st.integers(1, 12), w=st.integers(1, 12),
+       dtype=st.sampled_from(["uint8", "uint16", "int32", "float32",
+                              "float64"]),
+       seed=st.integers(0, 2 ** 16))
+def test_zvi_gray_roundtrip_property(t, c, z, h, w, dtype, seed):
+    import os
+    import tempfile
+
+    from bioio_spark.formats.zvi import decode_zvi, encode_zvi
+
+    rng = np.random.default_rng(seed)
+    if np.dtype(dtype).kind == "f":
+        block = rng.random((t, c, z, h, w)).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        block = rng.integers(info.min, info.max, (t, c, z, h, w),
+                             dtype=dtype)
+    np.testing.assert_array_equal(decode_zvi(encode_zvi(block)), block)
+    del os, tempfile
+
+
+@settings(max_examples=15, deadline=None)
+@given(pf=st.sampled_from([1, 2, 7]), t=st.integers(1, 3),
+       z=st.integers(1, 2), h=st.integers(1, 10), w=st.integers(1, 10),
+       seed=st.integers(0, 2 ** 16))
+def test_zvi_bgr_roundtrip_property(pf, t, z, h, w, seed):
+    from bioio_spark.formats.zvi import (PIXEL_FORMATS, decode_zvi,
+                                         encode_zvi)
+
+    dt, samples, _ = PIXEL_FORMATS[pf]
+    rng = np.random.default_rng(seed)
+    hi = np.iinfo(dt).max
+    block = rng.integers(0, hi, (t, samples, z, h, w), dtype=dt)
+    np.testing.assert_array_equal(
+        decode_zvi(encode_zvi(block, pixel_format=pf)), block)
+
+
+@settings(max_examples=20, deadline=None)
+@given(n=st.integers(1, 5), h=st.integers(1, 12), w=st.integers(1, 12),
+       wide=st.booleans(), axis_t=st.booleans(),
+       seed=st.integers(0, 2 ** 16))
+def test_pic_roundtrip_property(n, h, w, wide, axis_t, seed):
+    from bioio_spark.formats.pic import decode_pic, encode_pic
+
+    rng = np.random.default_rng(seed)
+    dt = np.uint16 if wide else np.uint8
+    stack = rng.integers(0, np.iinfo(dt).max, (n, h, w), dtype=dt)
+    data = encode_pic(stack, axis4="t" if axis_t else "z")
+    np.testing.assert_array_equal(decode_pic(data), stack)
+
+
+@settings(max_examples=20, deadline=None)
+@given(t=st.integers(1, 4), h=st.integers(1, 12), w=st.integers(1, 13),
+       fps=st.integers(1, 60), seed=st.integers(0, 2 ** 16))
+def test_avi_rgb_roundtrip_property(t, h, w, fps, seed):
+    """Any frame shape (incl. odd widths exercising row padding and
+    odd chunk sizes exercising word alignment) roundtrips bit-exact
+    through the DIB path."""
+    import os
+    import tempfile
+
+    from bioio_spark.formats.avi import decode_avi, encode_avi
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 255, (t, h, w, 3), dtype=np.uint8)
+    p = tempfile.mktemp(suffix=".avi")
+    try:
+        with open(p, "wb") as f:
+            f.write(encode_avi(frames, codec="rgb", fps=fps))
+        np.testing.assert_array_equal(decode_avi(p), frames)
+    finally:
+        os.remove(p)
