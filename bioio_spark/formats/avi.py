@@ -110,11 +110,33 @@ def read_avi_catalog(path: str) -> dict:
             raise ValueError(f"{path}: not a RIFF/AVI file")
         (riff_size,) = struct.unpack_from("<I", head, 4)
         avih = strh = strf = None
+        vid_stream_no = None            # index of the 'vids' strl
+        n_strl = 0
         movi_pos = None                 # offset of the 'movi' fourcc
         idx_raw = None
 
+        def walk_strl(start: int, end: int) -> None:
+            # one LIST('strl'): capture strh+strf ONLY from the first
+            # 'vids' stream — an audio strl before/after the video one
+            # must not leak its header (scale/rate) or format block
+            nonlocal strh, strf, vid_stream_no, n_strl
+            this_no, n_strl = n_strl, n_strl + 1
+            pos, s_strh, s_strf = start, None, None
+            while pos + 8 <= end:
+                f.seek(pos)
+                hdr = f.read(8)
+                (size,) = struct.unpack_from("<I", hdr, 4)
+                if hdr[:4] == b"strh":
+                    s_strh = f.read(size)
+                elif hdr[:4] == b"strf":
+                    s_strf = f.read(size)
+                pos += 8 + size + (size & 1)
+            if (vid_stream_no is None and s_strh is not None
+                    and s_strh[:4] == b"vids"):
+                strh, strf, vid_stream_no = s_strh, s_strf, this_no
+
         def walk(start: int, end: int) -> None:
-            nonlocal avih, strh, strf, movi_pos, idx_raw
+            nonlocal avih, movi_pos, idx_raw
             pos = start
             while pos + 8 <= end:
                 f.seek(pos)
@@ -125,21 +147,19 @@ def read_avi_catalog(path: str) -> dict:
                     ltype = f.read(4)
                     if ltype == b"movi":
                         movi_pos = pos + 8
+                    elif ltype == b"strl":
+                        walk_strl(pos + 12, pos + 8 + size)
                     else:
                         walk(pos + 12, pos + 8 + size)
                 elif fourcc == b"avih":
                     avih = f.read(size)
-                elif fourcc == b"strh":
-                    strh = f.read(size)
-                elif fourcc == b"strf" and strf is None:
-                    strf = f.read(size)
                 elif fourcc == b"idx1":
                     idx_raw = f.read(size)
                 pos += 8 + size + (size & 1)
 
         walk(12, 12 + riff_size - 4)
     if avih is None or strf is None or movi_pos is None:
-        raise ValueError(f"{path}: missing avih/strf/movi")
+        raise ValueError(f"{path}: missing avih/vids strl/movi")
     (_uspf, _mbps, _pad, _flags, total_frames, _init, _streams,
      _sbuf, width, height) = struct.unpack_from("<10I", avih, 0)
     (_bisize, bw, bh, _planes, bit_count,
@@ -158,6 +178,7 @@ def read_avi_catalog(path: str) -> dict:
     scale, rate = (1, 25)
     if strh is not None and len(strh) >= 28:
         scale, rate = struct.unpack_from("<II", strh, 20)
+    stream_prefix = b"%02d" % vid_stream_no
     frames = []
     if idx_raw:
         n = len(idx_raw) // 16
@@ -165,7 +186,10 @@ def read_avi_catalog(path: str) -> dict:
         for i in range(n):
             ckid, _fl, off, size = struct.unpack_from(
                 "<4s3I", idx_raw, i * 16)
-            if ckid[2:4] not in (b"db", b"dc"):
+            # only the video stream's chunks: an audio 'NNwb' entry,
+            # or another stream's 'NNdb/NNdc', is not a frame
+            if ckid[:2] != stream_prefix or ckid[2:4] not in (b"db",
+                                                              b"dc"):
                 continue
             frames.append((off, size))
         # offsets may be movi-relative (canonical) or absolute (some
@@ -173,9 +197,9 @@ def read_avi_catalog(path: str) -> dict:
         if frames:
             with open(path, "rb") as f:
                 f.seek(base + frames[0][0])
-                rel_ok = f.read(2) == b"00"
+                rel_ok = f.read(2) == stream_prefix
                 f.seek(frames[0][0])
-                abs_ok = f.read(2) == b"00"
+                abs_ok = f.read(2) == stream_prefix
             shift = base if rel_ok else (0 if abs_ok else None)
             if shift is None:
                 raise ValueError(f"{path}: idx1 offsets resolve "
@@ -189,16 +213,20 @@ def read_avi_catalog(path: str) -> dict:
     return {
         "width": int(bw or width), "height": int(abs(bh) or height),
         "n_frames": len(frames), "codec": codec,
+        # BI_RGB with biHeight < 0 is a TOP-DOWN DIB (rows already in
+        # raster order — decode must NOT mirror them)
+        "topdown": bool(bh < 0),
         "time_interval": (scale / rate) if rate else None,
         "frames": frames,               # absolute (offset, size)
     }
 
 
-def decode_avi_frame(data: bytes, codec: str, w: int,
-                     h: int) -> np.ndarray:
+def decode_avi_frame(data: bytes, codec: str, w: int, h: int,
+                     topdown: bool = False) -> np.ndarray:
     """One frame chunk payload -> (H, W, 3) uint8 RGB."""
     if codec == "rgb":
-        return _dib_decode(data, w, h)
+        img = _dib_decode(data, w, h)
+        return img[::-1] if topdown else img
     from bioio_spark.formats.jpeg import decode_jpeg
 
     img = decode_jpeg(data)
@@ -216,5 +244,6 @@ def decode_avi(path: str) -> np.ndarray:
         for t, (off, size) in enumerate(cat["frames"]):
             f.seek(off)
             out[t] = decode_avi_frame(f.read(size), cat["codec"],
-                                      cat["width"], cat["height"])
+                                      cat["width"], cat["height"],
+                                      cat["topdown"])
     return out

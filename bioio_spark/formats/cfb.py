@@ -313,8 +313,14 @@ class CfbFile:
             root = next(x for x in self.entries if x["type"] == 5)
             big = self._chain(root["start"])
             runs = []
-            s = e["start"]
+            s, seen = e["start"], set()
             while s not in (ENDOFCHAIN, FREESECT):
+                # cycle/range guard, mirroring _chain: a corrupt or
+                # crafted mini-FAT must fail the catalog, not hang it
+                if s in seen or s >= len(self.mini_fat):
+                    raise ValueError(
+                        f"{self.path}: corrupt mini-FAT chain")
+                seen.add(s)
                 byte0 = s * MINI_SECT
                 big_idx, within = divmod(byte0, self.sect)
                 off = SECT + big[big_idx] * self.sect + within

@@ -189,23 +189,28 @@ def encode_zvi(block: np.ndarray, pixel_format: Optional[int] = None,
         return _tags_stream(pairs)
 
     if bgr:
-        if c_n != samples:
+        if c_n % samples:
             raise ValueError(
                 f"pixel format {pixel_format} packs {samples} channels"
-                f"; block has C={c_n}")
+                f" per item; block has C={c_n}")
         for t in range(t_n):
-            for z in range(z_n):
-                # channels are R,G,B(,A) on the C axis; ZVI stores
-                # B,G,R(,A) interleaved
-                plane = np.stack(
-                    [block[t, 2 - s if s < 3 else s, z]
-                     for s in range(samples)], axis=-1)
-                data, _ = _item_contents(plane, pixel_format,
-                                         f"plane{idx}.bin")
-                streams.append((f"Image/Item({idx})/Contents", data))
-                streams.append((f"Image/Item({idx})/Tags/Contents",
-                                _tags(t, 0, z)))
-                idx += 1
+            for cb in range(c_n // samples):
+                for z in range(z_n):
+                    # channels are R,G,B(,A) on the C axis, item cb
+                    # owning channel block cb*samples..; ZVI stores
+                    # B,G,R(,A) interleaved within each item
+                    plane = np.stack(
+                        [block[t,
+                               cb * samples + (2 - s if s < 3 else s),
+                               z]
+                         for s in range(samples)], axis=-1)
+                    data, _ = _item_contents(plane, pixel_format,
+                                             f"plane{idx}.bin")
+                    streams.append(
+                        (f"Image/Item({idx})/Contents", data))
+                    streams.append((f"Image/Item({idx})/Tags/Contents",
+                                    _tags(t, cb, z)))
+                    idx += 1
     else:
         for t in range(t_n):
             for c in range(c_n):
@@ -432,8 +437,13 @@ def decode_zvi(path_or_bytes) -> np.ndarray:
             if cat["bgr"]:
                 plane = plane.reshape(cat["size_y"], cat["size_x"],
                                       samples)
+                # channel block c*samples..: a multi-channel BGR grid
+                # (c_base > 1) maps each item's samples to its OWN
+                # channel block — without the offset every item would
+                # collide on channels 0..samples-1
                 for s in range(samples):
-                    out[t, 2 - s if s < 3 else s, z] = plane[..., s]
+                    mapped = 2 - s if s < 3 else s
+                    out[t, c * samples + mapped, z] = plane[..., s]
             else:
                 out[t, c, z] = plane.reshape(cat["size_y"],
                                              cat["size_x"])

@@ -489,12 +489,20 @@ def decontamination_oracle(eval_mod: int = 10) -> str:
 # Scale shape: the only wide op is the bucket self-join, which inherits the
 # l3b machinery (sign buckets bound candidates; AQE handles bucket skew);
 # the decision is a partial-combining count per vec — no iteration, no
-# transitive closure, no driver-side state at any size.
+# transitive closure, no driver-side state at any size. A hard per-bucket
+# pairing cap (max_width, default MAX_BUCKET_WIDTH — the l2d pattern,
+# oracle-mirrored) bounds the worst task to O(max_width^2) pairs: only a
+# bucket's max_width lowest vec_ids enter the self-join, so a degenerate
+# bucket (near-identical embeddings — exactly what dedup corpora contain)
+# cannot go quadratic; rows beyond the cap are kept verbatim.
 # --------------------------------------------------------------------------
 def embedding_near_dup_dedup(embeddings: DataFrame,
-                             threshold: float = 0.3) -> DataFrame:
-    """Per vec_id: the number of LOWER-ID near-duplicates in its sign
-    bucket and the keep decision (keep iff that count is 0).
+                             threshold: float = 0.3,
+                             max_width: int = MAX_BUCKET_WIDTH
+                             ) -> DataFrame:
+    """Per vec_id: the number of LOWER-ID near-duplicates among the
+    `max_width` lowest vec_ids of its sign bucket, and the keep
+    decision (keep iff that count is 0).
 
     Returns (vec_id, n_dup_lower, keep) sorted by vec_id.
     """
@@ -509,7 +517,13 @@ def embedding_near_dup_dedup(embeddings: DataFrame,
                      F.lit(2 ** b)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     emb = emb.withColumn("bucket", bucket.cast("int"))
-    a, b_ = emb.alias("a"), emb.alias("b")
+    from pyspark.sql import Window
+    capped = (emb.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("bucket").orderBy("vec_id")))
+        .filter(F.col("rn") <= max_width)
+        .drop("rn"))
+    a, b_ = capped.alias("a"), capped.alias("b")
     sim = _dot(F.col("a.e"), F.col("b.e")) / (
         _norm(F.col("a.e")) * _norm(F.col("b.e")))
     dup_counts = (
@@ -529,7 +543,8 @@ def embedding_near_dup_dedup(embeddings: DataFrame,
             .orderBy("vec_id"))
 
 
-def _embedding_dedup_oracle(threshold: float = 0.3) -> str:
+def _embedding_dedup_oracle(threshold: float = 0.3,
+                            max_width: int = MAX_BUCKET_WIDTH) -> str:
     from bioio_spark.functions.similarity import N_SIGN_BITS
 
     bits = " + ".join(
@@ -541,9 +556,16 @@ def _embedding_dedup_oracle(threshold: float = 0.3) -> str:
     ),
     bucketed AS (SELECT vec_id, e, CAST({bits} AS INTEGER) AS bucket
                  FROM e),
+    capped AS (
+      SELECT vec_id, e, bucket FROM (
+        SELECT vec_id, e, bucket,
+               row_number() OVER (PARTITION BY bucket ORDER BY vec_id)
+                 AS rn
+        FROM bucketed) WHERE rn <= {max_width}
+    ),
     dups AS (
       SELECT b.vec_id, count(*) AS n_dup_lower
-      FROM bucketed a JOIN bucketed b
+      FROM capped a JOIN capped b
         ON a.bucket = b.bucket AND a.vec_id < b.vec_id
       WHERE list_dot_product(a.e, b.e)
               / (sqrt(list_dot_product(a.e, a.e))

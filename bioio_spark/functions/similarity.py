@@ -81,6 +81,16 @@ IVF_SAMPLE_MOD = 4
 # never hash-match DuckDB)
 _KMEANS_SCALE = float(1 << 20)
 
+# Hard per-cluster pairing width for SemDeDup: a cluster wider than this
+# pairs only its MAX_CLUSTER_WIDTH lowest vec_ids (deterministic,
+# oracle-mirrored — the l2d MAX_BUCKET_WIDTH pattern, functions/dedup.py).
+# A degenerate cluster (all-zero or templated embeddings) otherwise makes
+# one task O(n^2); with the cap the worst task is O(cap^2) pairs and
+# every vector beyond the cap is kept verbatim (no lower-id pairing
+# partner ever sees it). n_centroids growing with the corpus keeps real
+# clusters far below this; the cap is the adversarial-input backstop.
+MAX_CLUSTER_WIDTH = 256
+
 
 def _norm_py(a):
     # sequential fold, same accumulation order as F.aggregate/DuckDB
@@ -343,6 +353,7 @@ LSH_NEAR_DUP_ORACLE = _lsh_oracle()
 def semantic_dedup(embeddings: DataFrame, threshold: float = 0.3,
                    n_centroids: int = N_CENTROIDS,
                    sample_mod: int = IVF_SAMPLE_MOD,
+                   max_width: int = MAX_CLUSTER_WIDTH,
                    cache_key="semdedup") -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate removal via embedding clustering — the
@@ -367,9 +378,13 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.3,
     At 100 TB: pairing cost is sum over clusters of |cluster|^2, the
     paper's design point — n_centroids grows with the corpus so
     clusters stay bounded (they use 11k clusters for LAION-440M); the
-    cid-keyed shuffle is AQE-skew-splittable, and the l2d
-    MAX_BUCKET_WIDTH cap pattern applies verbatim if a degenerate
-    embedding (all-zeros) floods one cluster."""
+    cid-keyed shuffle is AQE-skew-splittable, and a hard per-cluster
+    pairing cap (max_width — the l2d MAX_BUCKET_WIDTH pattern,
+    oracle-mirrored) bounds the worst task to O(max_width^2) pairs
+    even when a degenerate embedding (all-zeros) floods one cluster:
+    only each cluster's max_width lowest vec_ids enter the pair join
+    (row_number per cid, a bounded-per-key window), so rows beyond the
+    cap are kept verbatim and never pair."""
     emb = embeddings.select(
         "vec_id", _to_double(F.col("embedding")).alias("e"))
     trained = _train_ivf(emb, n_centroids, sample_mod,
@@ -377,7 +392,13 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.3,
     assigned = (emb.withColumn("ne", _norm(F.col("e")))
                 .withColumn("cid", _assigned(trained).cast("int"))
                 .select("vec_id", "cid", "e", "ne"))
-    a, b = assigned.alias("a"), assigned.alias("b")
+    from pyspark.sql import Window
+    capped = (assigned.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("cid").orderBy("vec_id")))
+        .filter(F.col("rn") <= max_width)
+        .drop("rn"))
+    a, b = capped.alias("a"), capped.alias("b")
     sim = _dot(F.col("a.e"), F.col("b.e")) / (
         F.col("a.ne") * F.col("b.ne"))
     dups = (a.join(b, (F.col("a.cid") == F.col("b.cid"))
@@ -397,15 +418,19 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.3,
             .orderBy("cid"))
 
 
-def _semantic_dedup_oracle(threshold: float = 0.3,
-                           n_centroids: int = N_CENTROIDS,
-                           sample_mod: int = IVF_SAMPLE_MOD) -> str:
+_COS_SQL = ("list_dot_product({a}, {b}) / "
+            "(sqrt(list_dot_product({a}, {a}))"
+            " * sqrt(list_dot_product({b}, {b})))")
+
+
+def _semdedup_assign_sql(n_centroids: int, sample_mod: int,
+                         max_width: int) -> str:
+    """Shared CTE chain e -> seeds -> trained -> assigned -> capped:
+    the bit-stable IVF training + assignment + per-cluster pairing cap,
+    mirrored by semantic_dedup and semdedup_sweep oracles alike."""
     scale = int(_KMEANS_SCALE)
-    cos = ("list_dot_product({a}, {b}) / "
-           "(sqrt(list_dot_product({a}, {a}))"
-           " * sqrt(list_dot_product({b}, {b})))")
-    return f"""
-    WITH e AS (
+    cos = _COS_SQL
+    return f"""e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     ),
     seeds AS (SELECT vec_id AS cid, e AS ce FROM e
@@ -446,9 +471,26 @@ def _semantic_dedup_oracle(threshold: float = 0.3,
                           c.cid ASC) AS rn
         FROM e CROSS JOIN trained c) WHERE rn = 1
     ),
+    capped AS (
+      SELECT vec_id, cid, e FROM (
+        SELECT vec_id, cid, e,
+               row_number() OVER (PARTITION BY cid ORDER BY vec_id)
+                 AS rn
+        FROM assigned) WHERE rn <= {max_width}
+    )"""
+
+
+def _semantic_dedup_oracle(threshold: float = 0.3,
+                           n_centroids: int = N_CENTROIDS,
+                           sample_mod: int = IVF_SAMPLE_MOD,
+                           max_width: int = MAX_CLUSTER_WIDTH) -> str:
+    cos = _COS_SQL
+    prefix = _semdedup_assign_sql(n_centroids, sample_mod, max_width)
+    return f"""
+    WITH {prefix},
     dups AS (
       SELECT DISTINCT a.vec_id
-      FROM assigned a JOIN assigned b
+      FROM capped a JOIN capped b
         ON a.cid = b.cid AND a.vec_id > b.vec_id
       WHERE {cos.format(a='a.e', b='b.e')} >= {threshold}
     )
@@ -461,3 +503,109 @@ def _semantic_dedup_oracle(threshold: float = 0.3,
 
 
 SEMANTIC_DEDUP_ORACLE = _semantic_dedup_oracle()
+
+
+SWEEP_THRESHOLDS = (0.2, 0.3, 0.5)
+
+
+def semdedup_sweep(embeddings: DataFrame,
+                   thresholds=SWEEP_THRESHOLDS,
+                   n_centroids: int = N_CENTROIDS,
+                   sample_mod: int = IVF_SAMPLE_MOD,
+                   max_width: int = MAX_CLUSTER_WIDTH,
+                   cache_key="semdedup") -> DataFrame:
+    """L12b epsilon-sweep gauge for SemDeDup (the l3d recall-gauge
+    pattern): per threshold, how many vectors survive dedup under the
+    CAPPED pairing (production l12) vs the UNCAPPED pairing — pinning,
+    oracle-checked, that the max_width cap does not change survivors
+    at fixture scale (real clusters sit far below the cap; only the
+    adversarial degenerate cluster triggers it).
+
+    One assignment pass + two per-vec max-cosine aggregations feed
+    every threshold (conditional sums over broadcastable single-row
+    aggregates — the sweep adds no per-threshold scan).
+
+    Returns (threshold, n_vecs, n_kept_capped, n_kept_uncapped)
+    ordered by threshold."""
+    from pyspark.sql import Window
+
+    emb = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("e"))
+    trained = _train_ivf(emb, n_centroids, sample_mod,
+                         cache_key=cache_key)
+    assigned = (emb.withColumn("ne", _norm(F.col("e")))
+                .withColumn("cid", _assigned(trained).cast("int"))
+                .select("vec_id", "cid", "e", "ne"))
+    capped = (assigned.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("cid").orderBy("vec_id")))
+        .filter(F.col("rn") <= max_width)
+        .drop("rn"))
+
+    def max_sim_to_lower(src, out):
+        a, b = src.alias("a"), src.alias("b")
+        sim = _dot(F.col("a.e"), F.col("b.e")) / (
+            F.col("a.ne") * F.col("b.ne"))
+        return (a.join(b, (F.col("a.cid") == F.col("b.cid"))
+                       & (F.col("a.vec_id") > F.col("b.vec_id")))
+                .groupBy(F.col("a.vec_id").alias("vec_id"))
+                .agg(F.max(sim).alias(out)))
+
+    joined = (assigned.select("vec_id")
+              .join(max_sim_to_lower(capped, "ms_c"), "vec_id", "left")
+              .join(max_sim_to_lower(assigned, "ms_u"), "vec_id",
+                    "left"))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_vecs")]
+    for i, t in enumerate(thresholds):
+        for col, out in (("ms_c", f"c{i}"), ("ms_u", f"u{i}")):
+            kept = F.when(F.col(col).isNull()
+                          | (F.col(col) < F.lit(float(t))), 1).otherwise(0)
+            aggs.append(F.sum(kept).cast("bigint").alias(out))
+    row = joined.agg(*aggs)
+    per_t = F.array(*[
+        F.struct(F.lit(float(t)).alias("threshold"),
+                 F.col("n_vecs"),
+                 F.col(f"c{i}").alias("n_kept_capped"),
+                 F.col(f"u{i}").alias("n_kept_uncapped"))
+        for i, t in enumerate(thresholds)])
+    return (row.select(F.explode(per_t).alias("r"))
+            .select("r.threshold", "r.n_vecs", "r.n_kept_capped",
+                    "r.n_kept_uncapped")
+            .orderBy("threshold"))
+
+
+def _semdedup_sweep_oracle(thresholds=SWEEP_THRESHOLDS,
+                           n_centroids: int = N_CENTROIDS,
+                           sample_mod: int = IVF_SAMPLE_MOD,
+                           max_width: int = MAX_CLUSTER_WIDTH) -> str:
+    cos = _COS_SQL
+    prefix = _semdedup_assign_sql(n_centroids, sample_mod, max_width)
+    tvals = ", ".join(f"(CAST({float(t)} AS DOUBLE))"
+                      for t in thresholds)
+    return f"""
+    WITH {prefix},
+    msc AS (
+      SELECT a.vec_id, max({cos.format(a='a.e', b='b.e')}) AS ms
+      FROM capped a JOIN capped b
+        ON a.cid = b.cid AND a.vec_id > b.vec_id GROUP BY a.vec_id),
+    msu AS (
+      SELECT a.vec_id, max({cos.format(a='a.e', b='b.e')}) AS ms
+      FROM assigned a JOIN assigned b
+        ON a.cid = b.cid AND a.vec_id > b.vec_id GROUP BY a.vec_id),
+    j AS (
+      SELECT e.vec_id, msc.ms AS ms_c, msu.ms AS ms_u
+      FROM assigned e
+      LEFT JOIN msc ON e.vec_id = msc.vec_id
+      LEFT JOIN msu ON e.vec_id = msu.vec_id)
+    SELECT CAST(t.threshold AS DOUBLE) AS threshold,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN j.ms_c IS NULL OR j.ms_c < t.threshold
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_capped,
+           CAST(sum(CASE WHEN j.ms_u IS NULL OR j.ms_u < t.threshold
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_uncapped
+    FROM j CROSS JOIN (VALUES {tvals}) t(threshold)
+    GROUP BY t.threshold ORDER BY threshold
+    """
+
+
+SEMDEDUP_SWEEP_ORACLE = _semdedup_sweep_oracle()

@@ -673,21 +673,42 @@ def l2e_embedding_dedup(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 # L11 curriculum-stratified sampling: bucket the corpus into quality
-# deciles (length proxy, deterministic tie-break) and keep a per-decile
-# hash fraction that ramps up the curriculum — the data-mixing shape
-# "anneal on high-quality data" pipelines use, with no RNG anywhere
-# (stable under task retries and corpus growth, like l6b/l8/l10).
-# Scale: one window over a (value, id) sort for the decile assignment
-# (range-partitioned sort, no skew) + a narrow hash filter; the output
-# aggregate carries 10 rows.
+# deciles (length proxy) and keep a per-decile hash fraction that ramps
+# up the curriculum — the data-mixing shape "anneal on high-quality
+# data" pipelines use, with no RNG anywhere (stable under task retries
+# and corpus growth, like l6b/l8/l10).
+#
+# Scale: NO global sort. Decile boundaries are exact value-quantile cut
+# points computed from the length HISTOGRAM (groupBy(length) — a
+# bounded, partial-combining aggregate: at most max-doc-length distinct
+# keys regardless of corpus size, the same bounded-index-fetch class as
+# the IVF centroid collects). The 9 cut points are broadcast as
+# LITERALS and the decile is a narrow comparison projection —
+# decile(x) = 1 + #{i : x > cut_i}, cut_i = min len with
+# cum_count >= ceil(i*n/10). Ties in length land in one decile by
+# construction (a value-banded rule, not ntile's equal-count rule), so
+# the boundary-tie question disappears; the oracle computes the
+# identical cut points from the identical histogram. Replaces the r7
+# global unpartitioned ntile window (the one operator that could not
+# run at 100x — every row shuffled to ONE task for the sort).
 # --------------------------------------------------------------------------
 @register(
     "l11_curriculum_sample",
     oracle=f"""
-    WITH ranked AS (
-      SELECT doc_id,
-             ntile(10) OVER (ORDER BY length(text), doc_id) AS decile
-      FROM documents),
+    WITH lens AS (SELECT doc_id, length(text) AS len FROM documents),
+    n AS (SELECT count(*) AS n FROM lens),
+    hist AS (SELECT len, count(*) AS c FROM lens GROUP BY len),
+    cum AS (SELECT len, sum(c) OVER (ORDER BY len) AS cum FROM hist),
+    cuts AS (
+      SELECT g.i, min(cum.len) AS cut
+      FROM (SELECT unnest(generate_series(1, 9)) AS i) g, cum, n
+      WHERE cum.cum >= (g.i * n.n + 9) // 10
+      GROUP BY g.i),
+    ranked AS (
+      SELECT l.doc_id,
+             CAST(1 + (SELECT count(*) FROM cuts c WHERE l.len > c.cut)
+                  AS INTEGER) AS decile
+      FROM lens l),
     kept AS (
       SELECT doc_id, decile,
              CASE WHEN {_h32_sql("'cur:' || CAST(doc_id AS VARCHAR)")}
@@ -700,20 +721,30 @@ def l2e_embedding_dedup(spark, sf_dir):
                 AS BIGINT) AS kept_id_sum
     FROM kept GROUP BY decile ORDER BY decile
     """,
-    doc="L11 curriculum-stratified sampling: quality deciles (length "
-        "proxy) with per-decile deterministic-hash keep rates ramping "
-        "50->950 per mille",
+    doc="L11 curriculum-stratified sampling: exact value-quantile "
+        "decile bands (histogram cut points, no global sort) with "
+        "per-decile deterministic-hash keep rates ramping 50->950 "
+        "per mille",
 )
 def l11_curriculum_sample(spark, sf_dir):
-    from pyspark.sql import Window
-
     from bioio_spark.functions.hashing import h32_col
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    ranked = docs.select(
-        "doc_id",
-        F.ntile(10).over(
-            Window.orderBy(F.length("text"), "doc_id")).alias("decile"))
+    hist = sorted(
+        (r["len"], r["c"]) for r in
+        docs.select(F.length("text").alias("len"))
+            .groupBy("len").agg(F.count(F.lit(1)).alias("c")).collect())
+    n = sum(c for _, c in hist)
+    cuts, cum, i = [], 0, 1
+    for ln, c in hist:
+        cum += c
+        while i <= 9 and cum >= (i * n + 9) // 10:
+            cuts.append(ln)
+            i += 1
+    decile = F.lit(1)
+    for cut in cuts:
+        decile = decile + (F.length("text") > F.lit(cut)).cast("int")
+    ranked = docs.select("doc_id", decile.cast("int").alias("decile"))
     keep = (h32_col(F.concat(F.lit("cur:"),
                              F.col("doc_id").cast("string")))
             % 1000 < 50 + (F.col("decile") - 1) * 100).cast("int")
@@ -736,7 +767,19 @@ def l11_curriculum_sample(spark, sf_dir):
 @register("l12_semantic_dedup",
           oracle=_sim.SEMANTIC_DEDUP_ORACLE,
           doc="L12 SemDeDup semantic dedup: per-cluster cosine "
-              "near-dup removal over the cached IVF assignment")
+              "near-dup removal over the cached IVF assignment, "
+              "pairing capped at MAX_CLUSTER_WIDTH lowest ids")
 def l12_semantic_dedup(spark, sf_dir):
     return semantic_dedup(load(spark, sf_dir, "embeddings"),
                           threshold=0.3)
+
+
+@register("l12b_semdedup_sweep",
+          oracle=_sim.SEMDEDUP_SWEEP_ORACLE,
+          doc="L12b SemDeDup epsilon-sweep gauge: survivors per "
+              "threshold under capped vs uncapped pairing (pins the "
+              "MAX_CLUSTER_WIDTH cap as a no-op at fixture scale)")
+def l12b_semdedup_sweep(spark, sf_dir):
+    from bioio_spark.functions.similarity import semdedup_sweep
+
+    return semdedup_sweep(load(spark, sf_dir, "embeddings"))

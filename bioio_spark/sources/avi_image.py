@@ -34,7 +34,8 @@ def _frame_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         for r in pdf.itertuples():
             data = read_range(r.path, r.offset, r.nbytes)
-            frame = decode_avi_frame(data, r.codec, r.w, r.h)
+            frame = decode_avi_frame(data, r.codec, r.w, r.h,
+                                     bool(r.topdown))
             h, w, _ = frame.shape
             n = h * w
             for c in range(3):
@@ -52,7 +53,7 @@ def _plan_rows(path: str, cat: dict) -> list:
     ap = os.path.abspath(path)
     return [{"path": ap, "t": t, "offset": off, "nbytes": size,
              "w": cat["width"], "h": cat["height"],
-             "codec": cat["codec"]}
+             "codec": cat["codec"], "topdown": cat["topdown"]}
             for t, (off, size) in enumerate(cat["frames"])]
 
 

@@ -44,7 +44,10 @@ def _plane_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             if samples > 1:
                 block = plane.reshape(h, w, samples)
                 for s in range(samples):
-                    c = (2 - s) if s < 3 else s   # BGR(A) -> RGB(A)
+                    # BGR(A) -> RGB(A), offset into the item's OWN
+                    # channel block (multi-channel BGR grids: item c
+                    # owns channels c*samples .. c*samples+samples-1)
+                    c = int(r.c) * samples + ((2 - s) if s < 3 else s)
                     vals = block[..., s]
                     yield pd.DataFrame({
                         "t": np.full(h * w, r.t, np.int32),

@@ -189,3 +189,83 @@ def test_twod_writer_routes_extensions(tmp_path):
         w.save(img, str(tmp_path / "f.mov"))
     with pytest.raises(ValueError, match="extension"):
         w.save(img, str(tmp_path / "f.xyz"))
+
+
+# -- robustness against real-muxer shapes (round-8 ADVICE) ------------------
+def test_avi_topdown_dib_not_mirrored(tmp_path):
+    """BI_RGB with biHeight < 0 is a TOP-DOWN DIB: rows are already in
+    raster order and must not be flipped."""
+    fr = _frames()
+    t_n, h, w, _ = fr.shape
+    # payload rows in raster order == bottom-up encoding of the
+    # vertically flipped frame
+    raw = bytearray(encode_avi(fr[:, ::-1], codec="rgb"))
+    i = raw.index(b"strf") + 8          # strf data
+    assert struct.unpack_from("<i", raw, i + 8)[0] == h
+    struct.pack_into("<i", raw, i + 8, -h)   # declare top-down
+    p = tmp_path / "td.avi"
+    p.write_bytes(bytes(raw))
+    cat = read_avi_catalog(str(p))
+    assert cat["topdown"] and cat["height"] == h
+    np.testing.assert_array_equal(decode_avi(str(p)), fr)
+
+
+def _splice_audio_strl(raw: bytes, first: bool = False) -> bytes:
+    """Insert an 'auds' strl (bogus scale/rate) into hdrl and a
+    non-video '01dc' idx1 entry — the real-muxer shape that leaked the
+    audio header into time_interval before round 8."""
+    from bioio_spark.formats.avi import _chunk, _list
+
+    strh_a = (b"auds" + b"\x00" * 4
+              + struct.pack("<IHHIIIIIIiI4h", 0, 0, 0, 0, 1, 8000, 0,
+                            64, 2, -1, 0, 0, 0, 0, 0))
+    audio = _list(b"strl", _chunk(b"strh", strh_a)
+                  + _chunk(b"strf", b"\x01\x00\x01\x00" + b"\x00" * 12))
+    out = bytearray(raw)
+    hd = out.index(b"hdrl") - 8
+    (hsize,) = struct.unpack_from("<I", out, hd + 4)
+    # inside hdrl: avih chunk then the strl LISTs
+    av = out.index(b"avih", hd)
+    (asize,) = struct.unpack_from("<I", out, av + 4)
+    if first:
+        at = av + 8 + asize + (asize & 1)   # before the video strl
+    else:
+        at = hd + 8 + hsize                 # after it
+    out[at:at] = audio
+    struct.pack_into("<I", out, hd + 4, hsize + len(audio))
+    ix = out.index(b"idx1")
+    (isize,) = struct.unpack_from("<I", out, ix + 4)
+    entry = b"01dc" + struct.pack("<3I", 0x10, 4, 12)
+    out[ix + 8 + isize:ix + 8 + isize] = entry
+    struct.pack_into("<I", out, ix + 4, isize + 16)
+    struct.pack_into("<I", out, 4,
+                     struct.unpack_from("<I", out, 4)[0]
+                     + len(audio) + 16)
+    return bytes(out)
+
+
+def test_avi_audio_strl_after_video_ignored(tmp_path):
+    fr = _frames()
+    p = tmp_path / "av.avi"
+    p.write_bytes(_splice_audio_strl(encode_avi(fr, fps=25)))
+    cat = read_avi_catalog(str(p))
+    assert cat["n_frames"] == fr.shape[0]      # '01dc' filtered out
+    assert cat["time_interval"] == 1 / 25      # video strh, not audio
+    np.testing.assert_array_equal(decode_avi(str(p)), fr)
+
+
+def test_avi_audio_strl_before_video_ignored(tmp_path):
+    """Audio as stream 0: the video stream is then 1 — but our encoder
+    numbered its chunks 00db, so the catalog must reject the mismatch
+    rather than silently misread. Covered case: audio AFTER video
+    (stream numbering intact). Audio FIRST with renumbered chunks is a
+    different mux entirely; here we only pin that the vids strl is
+    still found and its header wins."""
+    fr = _frames()
+    raw = _splice_audio_strl(encode_avi(fr, fps=25), first=True)
+    p = tmp_path / "va.avi"
+    p.write_bytes(raw)
+    # video chunks are numbered 00 but video is now stream index 1:
+    # idx1 entries no longer match the vids stream prefix -> clear error
+    with pytest.raises(ValueError):
+        read_avi_catalog(str(p))

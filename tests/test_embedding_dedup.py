@@ -84,3 +84,66 @@ def test_semantic_dedup_join_is_cluster_keyed(spark):
     plan = physical_plan(semantic_dedup(emb, cache_key=None))
     assert "CartesianProduct" not in plan
     assert "cid" in plan
+
+
+# -- Hard pairing-width caps (the l2d MAX_BUCKET_WIDTH pattern) -------------
+def test_l2e_cap_bounds_degenerate_bucket(spark):
+    """Adversarial fixture: 300 IDENTICAL embeddings (one sign bucket).
+    With max_width=8 only the 8 lowest vec_ids enter the pair join —
+    O(cap^2) pair work however wide the bucket — and every vector
+    beyond the cap is kept verbatim."""
+    dim = max(N_SIGN_BITS, 8)
+    vecs = [np.ones(dim)] * 300
+    out = embedding_near_dup_dedup(
+        _df(spark, vecs), threshold=0.9, max_width=8).toPandas()
+    assert len(out) == 300
+    by_id = out.set_index("vec_id")
+    # inside the cap: keep-lowest-id, n_dup_lower == rank
+    assert by_id.loc[0, "keep"] == 1
+    for i in range(1, 8):
+        assert by_id.loc[i, "n_dup_lower"] == i
+        assert by_id.loc[i, "keep"] == 0
+    # beyond the cap: never paired, always kept
+    beyond = by_id.loc[8:]
+    assert (beyond.n_dup_lower == 0).all() and (beyond.keep == 1).all()
+    assert int(out.keep.sum()) == 1 + 292
+
+
+def test_l2e_cap_wide_enough_is_a_noop(spark):
+    """At fixture scale (bucket width << cap) the cap changes nothing."""
+    rng = np.random.default_rng(1)
+    vecs = rng.normal(size=(30, max(N_SIGN_BITS, 8)))
+    capped = embedding_near_dup_dedup(
+        _df(spark, vecs), threshold=0.8).toPandas()
+    uncapped = embedding_near_dup_dedup(
+        _df(spark, vecs), threshold=0.8, max_width=10 ** 9).toPandas()
+    assert capped.equals(uncapped)
+
+
+def test_semdedup_cap_bounds_degenerate_cluster(spark):
+    """Adversarial fixture: 100 IDENTICAL embeddings flood one cluster.
+    With max_width=8 the pair join sees 8 rows per side; the other 92
+    vectors are kept verbatim -> survivors = 1 (lowest id) + 92."""
+    from bioio_spark.functions.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(100)],
+        "vec_id long, embedding array<double>")
+    out = semantic_dedup(emb, threshold=0.9, n_centroids=2,
+                         sample_mod=1, max_width=8,
+                         cache_key=None).toPandas()
+    assert int(out.n_vecs.sum()) == 100
+    assert int(out.n_kept.sum()) == 1 + 92
+
+
+def test_semdedup_sweep_cap_is_noop_at_fixture_scale(spark):
+    """l12b gauge: at fixture scale every cluster sits far below
+    MAX_CLUSTER_WIDTH, so capped and uncapped survivors agree at every
+    threshold; kept counts are monotone in the threshold."""
+    from bioio_spark.functions.similarity import semdedup_sweep
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = semdedup_sweep(emb, cache_key=None).toPandas()
+    assert (out.n_kept_capped == out.n_kept_uncapped).all()
+    assert out.n_kept_capped.is_monotonic_increasing
+    assert (out.n_kept_capped <= out.n_vecs).all()

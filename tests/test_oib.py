@@ -114,3 +114,23 @@ def test_routing_and_rejection(tmp_path):
     q = tmp_path / "plain.oib"
     q.write_bytes(build_cfb([("NotOib.txt", b"x")]))
     assert not OibImageReader.is_supported_image(str(q))
+
+
+def test_cfb_cyclic_minifat_detected(tmp_path):
+    """A crafted/corrupt CYCLIC mini-FAT chain must raise, not hang the
+    driver during cataloging (the big-FAT walk already guarded this)."""
+    p = tmp_path / "t.cfb"
+    p.write_bytes(build_cfb([("small.txt", b"x" * 200)]))
+    c = CfbFile(str(p))
+    c.mini_fat = [0] * len(c.mini_fat)        # every sector points at 0
+    with pytest.raises(ValueError, match="mini-FAT"):
+        c.stream_extents("small.txt")
+
+
+def test_cfb_out_of_range_minifat_detected(tmp_path):
+    p = tmp_path / "t.cfb"
+    p.write_bytes(build_cfb([("small.txt", b"x" * 200)]))
+    c = CfbFile(str(p))
+    c.mini_fat = [10 ** 6] * len(c.mini_fat)  # points past the table
+    with pytest.raises(ValueError, match="mini-FAT"):
+        c.stream_extents("small.txt")

@@ -468,3 +468,16 @@ def test_vendor_tiff_dialects_no_shuffle(spark, tmp_path):
         plan = physical_plan(df)
         assert plan.count("Exchange hashpartitioning") == 0, \
             f"{name}: pixel-side shuffle\n{plan}"
+
+
+def test_l11_no_global_sort_window(spark):
+    """l11 curriculum sampling must NOT sort the corpus globally: the
+    r7 shape (ntile OVER an unpartitioned ORDER BY) moved every row to
+    ONE task. The decile is now a narrow comparison projection against
+    broadcast histogram-derived cut-point literals — no Window operator
+    anywhere in the plan, partial agg before the only data shuffle."""
+    df = q(spark, "l11_curriculum_sample")
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    assert "ntile" not in plan.lower()
+    assert has_partial_aggregate(df)

@@ -178,3 +178,31 @@ def test_zvi_pixel_formats_table_complete():
         assert samples in (1, 3, 4)
         assert bgr == (samples > 1)
         assert np.dtype(dt).itemsize in (1, 2, 4, 8)
+
+
+def test_zvi_multichannel_bgr_grid_roundtrip():
+    """c_base > 1 with a BGR format: TWO BGR items per (t, z), each
+    owning its own channel block (round-8 ADVICE: without the
+    r.c*samples offset the items collided on channels 0..2)."""
+    rng = np.random.default_rng(5)
+    block = (rng.random((2, 6, 2, 4, 5)) * 200).astype(np.uint8)
+    data = encode_zvi(block, pixel_format=1)       # 6 = 2 blocks of 3
+    assert (decode_zvi(data) == block).all()
+
+
+def test_zvi_multichannel_bgr_bioimage(spark, tmp_path):
+    idx = np.indices((1, 6, 1, 4, 6))
+    block = ((idx[1] * 37 + idx[3] * 6 + idx[4]) % 251).astype(
+        np.uint8)
+    p = _write(tmp_path, block, pixel_format=1, name="mcbgr.zvi")
+    cat = read_zvi_catalog(p)
+    assert cat["size_c"] == 6
+    img = BioImage(p, spark=spark)
+    assert img.dims.C == 6
+    np.testing.assert_array_equal(img.get_image_data("TCZYX"), block)
+
+
+def test_zvi_bgr_channel_count_must_be_multiple():
+    block = np.zeros((1, 4, 1, 2, 2), np.uint8)
+    with pytest.raises(ValueError, match="packs 3 channels"):
+        encode_zvi(block, pixel_format=1)
