@@ -25,18 +25,21 @@ Supported pixel types (numeric ids per the spec): Gray8 (0), Gray16
 (1), Gray32Float (2), Bgr24 (3, decodes to S=3 RGB), Gray32 (12),
 Gray64 (13).
 
-Compression: 0 (uncompressed), 5 (zstd0: a raw zstd stream — the
-common compression of modern Zeiss acquisitions) and 6 (zstd1: a
-small header, optionally flagging hi/lo byte-plane packing of 16-bit
+Compression: 0 (uncompressed), 1 (JPEG: one baseline JFIF per
+subblock, decoded by the in-repo bioio_spark.formats.jpeg codec the
+same way MJPG-in-AVI reuses it — uint8 Gray8/Bgr24 only, exact on
+DC-only blocky content), 5 (zstd0: a raw zstd stream — the common
+compression of modern Zeiss acquisitions) and 6 (zstd1: a small
+header, optionally flagging hi/lo byte-plane packing of 16-bit
 samples, then the zstd stream) are supported BOTH directions; the
 zstd1 header/packing layout follows the public libCZI documentation
 (documentation/czi-compression.md: size byte, chunk type 1 =
-hiLoPack, flags bit0). JPEG (1) / JPEG-XR (4) blocks raise. The zstd
-bytes themselves go through pyarrow's bundled zstd codec —
-executor-side, per subblock, so a compressed mosaic decodes with the
-same zero-shuffle planned-read parallelism as raw blocks. Mosaic (M)
-subblocks carry their X/Y starts, the stitch itself is the engine's
-M1 operator."""
+hiLoPack, flags bit0). JPEG-XR (4, ITU-T T.832) blocks raise — the
+one CZI codec still unimplemented. The zstd bytes go through
+pyarrow's bundled zstd codec — executor-side, per subblock, so a
+compressed mosaic decodes with the same zero-shuffle planned-read
+parallelism as raw blocks. Mosaic (M) subblocks carry their X/Y
+starts, the stitch itself is the engine's M1 operator."""
 
 from __future__ import annotations
 
@@ -63,6 +66,7 @@ PIXEL_TYPE_OF_DTYPE = {("uint8", 1): 0, ("uint16", 1): 1,
 
 #: ZISRAW Compression field values
 COMP_UNCOMPRESSED = 0
+COMP_JPEG = 1           # one baseline JFIF per subblock
 COMP_ZSTD0 = 5          # raw zstd stream
 COMP_ZSTD1 = 6          # header (+ optional hi/lo packing) + zstd stream
 
@@ -95,9 +99,22 @@ def _hilo_unpack(raw: bytes) -> bytes:
 
 
 def _compress_subblock(data: bytes, compression: int,
-                       itemsize: int) -> bytes:
+                       itemsize: int, shape=None) -> bytes:
     if compression == COMP_UNCOMPRESSED:
         return data
+    if compression == COMP_JPEG:
+        from bioio_spark.formats.jpeg import encode_jpeg
+
+        if itemsize != 1:
+            raise ValueError("JPEG CZI subblocks hold uint8 samples "
+                             "(Gray8/Bgr24) only")
+        h, w, samples = shape
+        a = np.frombuffer(data, np.uint8).reshape(
+            (h, w) if samples == 1 else (h, w, samples))
+        # stored sample order is preserved through the JFIF (q=95,
+        # no chroma subsampling): exact on DC-only blocky content,
+        # the img_jpeg_roundtrip rule
+        return encode_jpeg(a, quality=95, subsampling="444")
     if compression == COMP_ZSTD0:
         return _zstd_codec().compress(data, asbytes=True)
     if compression == COMP_ZSTD1:
@@ -106,13 +123,26 @@ def _compress_subblock(data: bytes, compression: int,
         payload = _hilo_pack(data) if hilo else data
         return header + _zstd_codec().compress(payload, asbytes=True)
     raise ValueError(f"unsupported CZI compression {compression} "
-                     "(supported: 0 uncompressed, 5 zstd0, 6 zstd1)")
+                     "(supported: 0 uncompressed, 1 jpeg, 5 zstd0, "
+                     "6 zstd1)")
 
 
 def _decompress_subblock(data: bytes, compression: int,
-                         expected: int) -> bytes:
+                         expected: int, shape=None) -> bytes:
     if compression == COMP_UNCOMPRESSED:
         return data
+    if compression == COMP_JPEG:
+        from bioio_spark.formats.jpeg import decode_jpeg
+
+        img = decode_jpeg(data)
+        if shape is not None and len(shape) == 3 and shape[2] == 3 \
+                and img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        if img.size != expected:
+            raise ValueError(
+                f"JPEG subblock decodes to {img.size} samples, "
+                f"directory entry expects {expected}")
+        return img.tobytes()
     if compression == COMP_ZSTD0:
         return _zstd_codec().decompress(
             data, decompressed_size=expected, asbytes=True)
@@ -214,7 +244,9 @@ def encode_czi(subblocks: Sequence[dict],
                          a.shape[0] * scale, a.shape[0]))
         dim_list.append(("X", int(d.get("X", 0)),
                          a.shape[1] * scale, a.shape[1]))
-        data = _compress_subblock(a.tobytes(), comp, a.itemsize)
+        data = _compress_subblock(a.tobytes(), comp, a.itemsize,
+                                  shape=(a.shape[0], a.shape[1],
+                                         samples))
         entry = _pack_entry_dv(ptype, pos, dim_list,
                                pyramid=1 if scale > 1 else 0,
                                compression=comp)
@@ -337,7 +369,8 @@ def read_czi_subblock(path: str, entry: dict) -> np.ndarray:
         f.seek(entry["file_position"] + SEGMENT_HEADER + data_off)
         data = f.read(data_size)
     expected = h * w * samples * np.dtype(dt).itemsize
-    data = _decompress_subblock(data, entry["compression"], expected)
+    data = _decompress_subblock(data, entry["compression"], expected,
+                                shape=(h, w, samples))
     shape = (h, w) if samples == 1 else (h, w, samples)
     a = np.frombuffer(data, dtype=np.dtype(dt)).reshape(shape)
     a = a.astype(np.dtype(dt).newbyteorder("="), copy=False)

@@ -2076,6 +2076,63 @@ def img_planes_blur(spark, sf_dir):
 
 
 @register(
+    "img_czi_jpeg_roundtrip",
+    oracle="""
+    WITH px AS (
+      SELECT CAST(i // 48 AS INTEGER) AS y,
+             CAST(i % 48 AS INTEGER) AS x,
+             CAST(((i % 48) // 16 * 37 + (i // 48 // 8) * 3
+                   + ((i % 48) % 16 // 8) * 5) % 200 + 20 AS DOUBLE)
+               AS value
+      FROM range(384) r(i))
+    SELECT y, count(*) AS n_px,
+           CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY y ORDER BY y
+    """,
+    doc="CZI JPEG-compressed mosaic (compression 1): baseline JFIF "
+        "subblocks decoded executor-side inside the planned read, "
+        "M1 stitch, aggregate — exact on DC-only blocky content",
+)
+def img_czi_jpeg_roundtrip(spark, sf_dir):
+    """Compression 1 (JPEG) CZI subblocks through the in-repo baseline
+    JFIF codec (formats/jpeg.py — the same reuse as MJPG-in-AVI):
+    three 8x16 uint8 mosaic tiles, constant on 8x8 blocks so the q=95
+    DC quantization error is < 0.5 gray levels and the lossy codec
+    decodes the fixture EXACTLY; two tiles JPEG, one raw, in ONE file.
+    Ref README.md:59 (bioio-czi routes .czi)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.czi import encode_czi
+
+    yy, xx = np.indices((8, 16))
+    subs = []
+    for m, comp in enumerate((1, 1, 0)):
+        tile = ((m * 37 + (yy // 8) * 3 + (xx // 8) * 5) % 200
+                + 20).astype(np.uint8)
+        subs.append({"data": tile, "compression": comp,
+                     "dims": {"S": 0, "M": m, "X": m * 16, "Y": 0}})
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "czi_jpeg_roundtrip")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    path = os.path.join(out, "mosaic_jpeg.czi")
+    with open(path, "wb") as f:
+        f.write(encode_czi(subs))
+    img = BioImage(path, spark=spark)
+    return (img.get_image_dataframe()
+            .groupBy("y")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("y"))
+
+
+@register(
     "img_czi_zstd_roundtrip",
     oracle="""
     WITH tile AS (

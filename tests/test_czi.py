@@ -338,3 +338,64 @@ def test_read_czi_window_zstd(spark, tmp_path):
     got = np.zeros_like(exp)
     got[w["z"] - 1, w["y"] - 2, w["x"] - 3] = w["value"].astype(np.uint16)
     np.testing.assert_array_equal(got, exp)
+
+
+# -- JPEG subblocks (compression 1, round-8) --------------------------------
+def _blocky(h, w, seed=0):
+    """uint8 plane constant on 8x8 blocks: DC-only JPEG content, which
+    the q=95 baseline codec decodes EXACTLY (img_jpeg_roundtrip rule)."""
+    yy, xx = np.indices((h, w))
+    return ((seed * 37 + (yy // 8) * 3 + (xx // 8) * 5) % 200
+            + 20).astype(np.uint8)
+
+
+def test_jpeg_subblock_roundtrip_gray_blocky(tmp_path):
+    from bioio_spark.formats.czi import (read_czi_directory,
+                                         read_czi_subblock)
+
+    planes = [_blocky(16, 24, s) for s in range(3)]
+    p = tmp_path / "j.czi"
+    p.write_bytes(encode_czi(
+        [{"data": a, "dims": {"C": i}} for i, a in enumerate(planes)],
+        compression=1))
+    entries = read_czi_directory(str(p))
+    assert [e["compression"] for e in entries] == [1, 1, 1]
+    for e, a in zip(entries, planes):
+        np.testing.assert_array_equal(read_czi_subblock(str(p), e), a)
+
+
+def test_jpeg_subblock_bgr24_near_exact(tmp_path):
+    from bioio_spark.formats.czi import (read_czi_directory,
+                                         read_czi_subblock)
+
+    rgb = np.stack([_blocky(8, 16, s) for s in range(3)], axis=-1)
+    p = tmp_path / "jc.czi"
+    p.write_bytes(encode_czi([{"data": rgb}], compression=1))
+    e = read_czi_directory(str(p))[0]
+    got = read_czi_subblock(str(p), e)
+    # color transform rounding: DC-only blocks stay within 1 level
+    assert np.abs(got.astype(int) - rgb.astype(int)).max() <= 1
+
+
+def test_jpeg_subblock_rejects_16bit():
+    with pytest.raises(ValueError, match="uint8"):
+        encode_czi([{"data": np.zeros((8, 8), np.uint16)}],
+                   compression=1)
+
+
+def test_jpeg_subblock_compresses_smaller():
+    plane = _blocky(64, 64)
+    raw = encode_czi([{"data": plane}])
+    jp = encode_czi([{"data": plane}], compression=1)
+    assert len(jp) < len(raw) // 2
+
+
+def test_bioimage_reads_jpeg_czi(spark, tmp_path):
+    planes = [_blocky(16, 16, s) for s in range(2)]
+    p = tmp_path / "jr.czi"
+    p.write_bytes(encode_czi(
+        [{"data": a, "dims": {"C": i}} for i, a in enumerate(planes)],
+        compression=1))
+    img = BioImage(str(p), spark=spark)
+    got = img.get_image_data("CYX")
+    np.testing.assert_array_equal(got, np.stack(planes))
