@@ -307,6 +307,16 @@ def _register_builtin_plugins() -> None:
         version=__version__,
     ))
 
+    from bioio_spark.sources.mp4_image import Mp4ImageReader
+
+    register_plugin(PluginEntry(
+        name="bioio-mp4-baseline",
+        reader=Mp4ImageReader,
+        extensions=[".mp4", ".mov"],
+        is_supported_image=Mp4ImageReader.is_supported_image,
+        version=__version__,
+    ))
+
     from bioio_spark.sources.pic_image import PicImageReader
 
     register_plugin(PluginEntry(

@@ -4318,3 +4318,60 @@ def img_avi_mjpg(spark, sf_dir):
                  F.sum("value").alias("sum_val"),
                  F.max("value").alias("max_val"))
             .orderBy("t", "c"))
+
+
+@register(
+    "img_mp4_roundtrip",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {3 * 16 * 24} AS INTEGER) AS t,
+             CAST((i // {16 * 24}) % 3 AS INTEGER) AS c,
+             CAST(((i // {3 * 16 * 24}) * 30
+                   + ((i // 24) % 16 // 8) * 25
+                   + ((i % 24) // 8) * 15
+                   + ((i // {16 * 24}) % 3) * 10) % 200 + 20
+                  AS DOUBLE) AS value
+      FROM range({2 * 3 * 16 * 24}) r(i))
+    SELECT t, c, CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY t, c ORDER BY t, c
+    """,
+    doc="MP4 (ISO BMFF) Motion-JPEG encode -> BioImage reread: the "
+        "stsz+stco+stsc sample table as the read plan, frames -> T, "
+        "exact on DC-only blocky content",
+)
+def img_mp4_roundtrip(spark, sf_dir):
+    """MP4 roundtrip through TimeSeriesWriter's .mp4 route and the
+    Mp4ImageReader: the moov sample table resolves every frame to an
+    absolute byte range driver-side (no mdat IO); executors seek-read
+    + decode each Motion-JPEG sample with the in-repo baseline codec.
+    Closes the last publicly-specified writer-registry rows (ref
+    README.md:82 routes .mp4/.mov through ffmpeg)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.writers import WRITER_REGISTRY
+
+    idx = np.indices((2, 16, 24, 3))    # t y x c
+    frames = ((idx[0] * 30 + (idx[1] // 8) * 25 + (idx[2] // 8) * 15
+               + idx[3] * 10) % 200 + 20).astype(np.uint8)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "mp4_roundtrip")
+    path = os.path.join(out, "clip.mp4")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        tmp = path + ".tmp.mp4"
+        WRITER_REGISTRY["TimeSeriesWriter"].save(frames, tmp, fps=10)
+        os.replace(tmp, path)
+    img = BioImage(path, spark=spark)       # .mp4 extension routing
+    return (img.get_image_dataframe()
+            .groupBy("t", "c")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("t", "c"))

@@ -345,10 +345,11 @@ class TimeSeriesWriter:
     """Animation writer — the reference's bioio-imageio
     TimeSeriesWriter row (ref README.md:82 routes .gif/.mp4/.mkv
     through ffmpeg). Native targets here: **.gif** (multi-frame GIF89a
-    via formats/gif.py) and **.avi** (RIFF container via
-    formats/avi.py, DIB bit-exact or MJPG). The ffmpeg-only codecs
-    (.mp4/.mkv/.mov) raise with a clear message — the same accepted
-    gap as the bioio-bioformats tail.
+    via formats/gif.py), **.avi** (RIFF container via formats/avi.py,
+    DIB bit-exact or MJPG) and **.mp4/.mov** (ISO BMFF Motion-JPEG
+    track via formats/mp4.py — exact on DC-only blocky content, the
+    img_jpeg_roundtrip rule). MKV (EBML container) raises with a
+    clear message — the one remaining ffmpeg-tier route.
 
     Input: (T, Y, X) uint8 gray or (T, Y, X, 3) uint8 RGB (the
     reference writer's TYX/TYXS contract)."""
@@ -380,14 +381,21 @@ class TimeSeriesWriter:
             with open(uri, "wb") as f:
                 f.write(encode_avi(a.astype(np.uint8), codec=codec,
                                    fps=fps))
-        elif low.endswith((".mp4", ".mkv", ".mov")):
+        elif low.endswith((".mp4", ".mov")):
+            from bioio_spark.formats.mp4 import encode_mp4
+
+            if a.ndim == 3:
+                a = np.stack([a] * 3, axis=-1)
+            with open(uri, "wb") as f:
+                f.write(encode_mp4(a.astype(np.uint8), fps=fps))
+        elif low.endswith(".mkv"):
             raise NotImplementedError(
-                f"{uri}: MP4/MKV/MOV need an ffmpeg-tier codec — "
-                f"out of scope like the bioio-bioformats bridge; "
-                f"write .gif or .avi for a native container")
+                f"{uri}: MKV needs an EBML-container codec — out of "
+                f"scope like the bioio-bioformats bridge; write "
+                f".gif/.avi/.mp4 for a native container")
         else:
             raise ValueError(f"{uri}: TimeSeriesWriter writes "
-                             f".gif/.avi (native) or .mp4/.mkv "
+                             f".gif/.avi/.mp4/.mov (native) or .mkv "
                              f"(unsupported)")
 
 
@@ -441,11 +449,17 @@ class TwoDWriter:
             with open(uri, "wb") as f:
                 f.write(encode_avi(a.astype(np.uint8)[None],
                                    codec="rgb"))
-        elif low.endswith((".mov", ".mpg", ".mpeg", ".mp4", ".mkv",
-                           ".wmv", ".ogg")):
+        elif low.endswith((".mp4", ".mov")):
+            from bioio_spark.formats.mp4 import encode_mp4
+
+            if a.ndim == 2:
+                a = np.stack([a] * 3, axis=-1)
+            with open(uri, "wb") as f:
+                f.write(encode_mp4(a.astype(np.uint8)[None]))
+        elif low.endswith((".mpg", ".mpeg", ".mkv", ".wmv", ".ogg")):
             raise NotImplementedError(
                 f"{uri}: ffmpeg-tier container — out of scope; write "
-                f".png/.bmp/.jpg/.gif/.avi for a native format")
+                f".png/.bmp/.jpg/.gif/.avi/.mp4 for a native format")
         else:
             raise ValueError(f"{uri}: TwoDWriter does not route this "
                              f"extension")
