@@ -3566,6 +3566,83 @@ def img_ims_roundtrip(spark, sf_dir):
 
 
 @register(
+    "img_ims_write_roundtrip",
+    oracle="""
+    WITH l0 AS (
+      SELECT 0 AS res_level, CAST(c.c AS INTEGER) AS c,
+             CAST((t.t * 50 + c.c * 30 + z.z * 20
+                   + (y.y // 2) * 7 + (x.x // 2) * 3) % 251
+                  AS DOUBLE) AS value
+      FROM range(2) t(t), range(2) c(c), range(2) z(z),
+           range(8) y(y), range(12) x(x)),
+    l1 AS (
+      SELECT 1 AS res_level, CAST(c.c AS INTEGER) AS c,
+             CAST((t.t * 50 + c.c * 30 + z.z * 20
+                   + y.y * 7 + x.x * 3) % 251
+                  AS DOUBLE) AS value
+      FROM range(2) t(t), range(2) c(c), range(2) z(z),
+           range(4) y(y), range(6) x(x)),
+    px AS (SELECT * FROM l0 UNION ALL SELECT * FROM l1)
+    SELECT res_level, c, count(*) AS n_px,
+           CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY res_level, c ORDER BY res_level, c
+    """,
+    doc="ImsWriter -> BioImage reread across both pyramid levels: the "
+        "registered IMS write path (native HDF5 composer, Imaris 5.5 "
+        "attrs) made read/write symmetric like TIFF/Zarr",
+)
+def img_ims_write_roundtrip(spark, sf_dir):
+    """The write half of the native-HDF5 story: ImsWriter (the
+    registered writer over formats/hdf5.build_hdf5) saves a TCZYX
+    block with a 2-level pyramid; BioImage rereads BOTH levels. The
+    fixture is constant per 2x2 (y, x) block so the ceil-half
+    block-mean level is EXACT and the hash pins the writer's
+    /DataSet layout, pyramid rule, and /DataSetInfo axis catalog.
+    The reference has no IMS writer at all (README.md:74 routes .ims
+    read-only through bioio-bioformats)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.writers import WRITER_REGISTRY
+
+    idx = np.indices((2, 2, 2, 8, 12))
+    block = ((idx[0] * 50 + idx[1] * 30 + idx[2] * 20
+              + (idx[3] // 2) * 7 + (idx[4] // 2) * 3) % 251
+             ).astype(np.uint16)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "ims_write_roundtrip")
+    path = os.path.join(out, "cells.ims")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        tmp = path + ".tmp"
+        WRITER_REGISTRY["ImsWriter"].save(
+            block, tmp, dim_order="TCZYX",
+            channel_names=["DAPI", "GFP"],
+            physical_pixel_sizes=(0.5, 0.1, 0.1), n_levels=2)
+        os.replace(tmp, path)
+    b = BioImage(path, spark=spark)         # .ims extension routing
+    parts = []
+    for lvl in b.resolution_levels:
+        b.set_resolution_level(lvl)
+        parts.append(b.get_image_dataframe()
+                     .select(F.lit(lvl).alias("res_level"), "c",
+                             "value"))
+    allpx = parts[0]
+    for p in parts[1:]:
+        allpx = allpx.unionAll(p)
+    return (allpx.groupBy("res_level", "c")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("res_level", "c"))
+
+
+@register(
     "img_ndtiff_roundtrip",
     oracle=f"""
     WITH px AS (

@@ -156,3 +156,34 @@ def test_ims_routing(tmp_path):
     q = tmp_path / "x.ims"
     q.write_bytes(b"not hdf5")
     assert not ImsImageReader.is_supported_image(str(q))
+
+
+# -- ImsWriter: the registered write path (round 8) -------------------------
+def test_ims_writer_registered_roundtrip(tmp_path, spark):
+    from bioio_spark import BioImage
+    from bioio_spark.writers import WRITER_REGISTRY
+
+    idx = np.indices((2, 2, 3, 4, 6))
+    block = (idx[0] * 9000 + idx[1] * 900 + idx[2] * 90 + idx[3] * 10
+             + idx[4]).astype(np.uint16)
+    p = tmp_path / "w.ims"
+    WRITER_REGISTRY["ImsWriter"].save(
+        block, str(p), dim_order="TCZYX",
+        channel_names=["A", "B"], physical_pixel_sizes=(2.0, 0.5, 0.5))
+    img = BioImage(str(p), spark=spark)
+    assert img.channel_names == ["A", "B"]
+    assert img.physical_pixel_sizes.Z == pytest.approx(2.0)
+    assert img.physical_pixel_sizes.X == pytest.approx(0.5)
+    np.testing.assert_array_equal(img.get_image_data("TCZYX"), block)
+
+
+def test_ims_writer_coerces_dim_order(tmp_path):
+    from bioio_spark.formats.ims import read_ims_catalog
+    from bioio_spark.writers import WRITER_REGISTRY
+
+    zyx = np.arange(3 * 4 * 5, dtype=np.uint16).reshape(3, 4, 5)
+    p = tmp_path / "zyx.ims"
+    WRITER_REGISTRY["ImsWriter"].save(zyx, str(p), dim_order="ZYX")
+    cat = read_ims_catalog(str(p))
+    assert (cat["size_t"], cat["size_c"], cat["size_z"]) == (1, 1, 3)
+    assert (cat["size_y"], cat["size_x"]) == (4, 5)
