@@ -161,8 +161,10 @@ def test_timeseries_writer_gif_and_avi(spark, tmp_path):
     w.save(small, p_gif, fps=10)
     frames, delays = decode_gif(open(p_gif, "rb").read())
     assert len(frames) == 3 and delays[0] == 10
-    with pytest.raises(NotImplementedError, match="ffmpeg"):
-        w.save(fr, str(tmp_path / "a.mp4"))
+    # .mp4 is native as of round 8 (tests/test_mp4.py); MKV is the
+    # one remaining ffmpeg-tier route
+    with pytest.raises(NotImplementedError, match="EBML"):
+        w.save(fr, str(tmp_path / "a.mkv"))
 
 
 def test_twod_writer_routes_extensions(tmp_path):
@@ -185,8 +187,9 @@ def test_twod_writer_routes_extensions(tmp_path):
     p = str(tmp_path / "f.avi")
     w.save(img, p)
     np.testing.assert_array_equal(decode_avi(p)[0], img)
+    # .mov/.mp4 are native as of round 8 (tests/test_mp4.py)
     with pytest.raises(NotImplementedError, match="ffmpeg"):
-        w.save(img, str(tmp_path / "f.mov"))
+        w.save(img, str(tmp_path / "f.mkv"))
     with pytest.raises(ValueError, match="extension"):
         w.save(img, str(tmp_path / "f.xyz"))
 
