@@ -317,6 +317,16 @@ def _register_builtin_plugins() -> None:
         version=__version__,
     ))
 
+    from bioio_spark.sources.mkv_image import MkvImageReader
+
+    register_plugin(PluginEntry(
+        name="bioio-mkv-baseline",
+        reader=MkvImageReader,
+        extensions=[".mkv"],
+        is_supported_image=MkvImageReader.is_supported_image,
+        version=__version__,
+    ))
+
     from bioio_spark.sources.pic_image import PicImageReader
 
     register_plugin(PluginEntry(

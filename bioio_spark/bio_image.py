@@ -502,6 +502,8 @@ class BioImage:
                                                        read_mrc_window)
             from bioio_spark.sources.avi_image import (AviImageReader,
                                                        read_avi_window)
+            from bioio_spark.sources.mkv_image import (MkvImageReader,
+                                                       read_mkv_window)
             from bioio_spark.sources.mp4_image import (Mp4ImageReader,
                                                        read_mp4_window)
             from bioio_spark.sources.pic_image import (PicImageReader,
@@ -519,7 +521,8 @@ class BioImage:
                             (ZviImageReader, read_zvi_window),
                             (PicImageReader, read_pic_window),
                             (AviImageReader, read_avi_window),
-                            (Mp4ImageReader, read_mp4_window)):
+                            (Mp4ImageReader, read_mp4_window),
+                            (MkvImageReader, read_mkv_window)):
                 if isinstance(reader, cls) and len(self.scenes) == 1:
                     return fn(self._spark, path,
                               t=t, c=c, z=z, y=y, x=x)

@@ -3643,6 +3643,63 @@ def img_ims_write_roundtrip(spark, sf_dir):
 
 
 @register(
+    "img_mkv_roundtrip",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {3 * 16 * 24} AS INTEGER) AS t,
+             CAST((i // {16 * 24}) % 3 AS INTEGER) AS c,
+             CAST(((i // {3 * 16 * 24}) * 30
+                   + ((i // 24) % 16 // 8) * 25
+                   + ((i % 24) // 8) * 15
+                   + ((i // {16 * 24}) % 3) * 10) % 200 + 20
+                  AS DOUBLE) AS value
+      FROM range({2 * 3 * 16 * 24}) r(i))
+    SELECT t, c, CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY t, c ORDER BY t, c
+    """,
+    doc="MKV (Matroska/EBML) V_MJPEG encode -> BioImage reread: the "
+        "Cluster/SimpleBlock walk as the read plan, frames -> T, "
+        "exact on DC-only blocky content",
+)
+def img_mkv_roundtrip(spark, sf_dir):
+    """MKV roundtrip through TimeSeriesWriter's .mkv route and the
+    MkvImageReader: the EBML Segment walk resolves every SimpleBlock
+    to an absolute byte range driver-side (no payload IO); executors
+    seek-read + decode each V_MJPEG sample with the in-repo baseline
+    codec. With MP4, this makes EVERY reference TimeSeriesWriter
+    route (.gif/.mp4/.mkv/.avi, ref README.md:82) native."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.writers import WRITER_REGISTRY
+
+    idx = np.indices((2, 16, 24, 3))    # t y x c
+    frames = ((idx[0] * 30 + (idx[1] // 8) * 25 + (idx[2] // 8) * 15
+               + idx[3] * 10) % 200 + 20).astype(np.uint8)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "mkv_roundtrip")
+    path = os.path.join(out, "clip.mkv")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        tmp = path + ".tmp.mkv"
+        WRITER_REGISTRY["TimeSeriesWriter"].save(frames, tmp, fps=10)
+        os.replace(tmp, path)
+    img = BioImage(path, spark=spark)       # .mkv extension routing
+    return (img.get_image_dataframe()
+            .groupBy("t", "c")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("t", "c"))
+
+
+@register(
     "img_ndtiff_roundtrip",
     oracle=f"""
     WITH px AS (

@@ -398,12 +398,13 @@ register_writer("JpegWriter", JpegWriter)
 class TimeSeriesWriter:
     """Animation writer — the reference's bioio-imageio
     TimeSeriesWriter row (ref README.md:82 routes .gif/.mp4/.mkv
-    through ffmpeg). Native targets here: **.gif** (multi-frame GIF89a
-    via formats/gif.py), **.avi** (RIFF container via formats/avi.py,
-    DIB bit-exact or MJPG) and **.mp4/.mov** (ISO BMFF Motion-JPEG
-    track via formats/mp4.py — exact on DC-only blocky content, the
-    img_jpeg_roundtrip rule). MKV (EBML container) raises with a
-    clear message — the one remaining ffmpeg-tier route.
+    through ffmpeg). ALL of the reference's routes are native here:
+    **.gif** (multi-frame GIF89a via formats/gif.py), **.avi** (RIFF
+    container via formats/avi.py, DIB bit-exact or MJPG),
+    **.mp4/.mov** (ISO BMFF Motion-JPEG track via formats/mp4.py) and
+    **.mkv** (Matroska/EBML V_MJPEG track via formats/mkv.py) — the
+    JFIF routes are exact on DC-only blocky content, the
+    img_jpeg_roundtrip rule.
 
     Input: (T, Y, X) uint8 gray or (T, Y, X, 3) uint8 RGB (the
     reference writer's TYX/TYXS contract)."""
@@ -443,14 +444,15 @@ class TimeSeriesWriter:
             with open(uri, "wb") as f:
                 f.write(encode_mp4(a.astype(np.uint8), fps=fps))
         elif low.endswith(".mkv"):
-            raise NotImplementedError(
-                f"{uri}: MKV needs an EBML-container codec — out of "
-                f"scope like the bioio-bioformats bridge; write "
-                f".gif/.avi/.mp4 for a native container")
+            from bioio_spark.formats.mkv import encode_mkv
+
+            if a.ndim == 3:
+                a = np.stack([a] * 3, axis=-1)
+            with open(uri, "wb") as f:
+                f.write(encode_mkv(a.astype(np.uint8), fps=fps))
         else:
             raise ValueError(f"{uri}: TimeSeriesWriter writes "
-                             f".gif/.avi/.mp4/.mov (native) or .mkv "
-                             f"(unsupported)")
+                             f".gif/.avi/.mp4/.mov/.mkv")
 
 
 register_writer("TimeSeriesWriter", TimeSeriesWriter)
@@ -510,10 +512,18 @@ class TwoDWriter:
                 a = np.stack([a] * 3, axis=-1)
             with open(uri, "wb") as f:
                 f.write(encode_mp4(a.astype(np.uint8)[None]))
-        elif low.endswith((".mpg", ".mpeg", ".mkv", ".wmv", ".ogg")):
+        elif low.endswith(".mkv"):
+            from bioio_spark.formats.mkv import encode_mkv
+
+            if a.ndim == 2:
+                a = np.stack([a] * 3, axis=-1)
+            with open(uri, "wb") as f:
+                f.write(encode_mkv(a.astype(np.uint8)[None]))
+        elif low.endswith((".mpg", ".mpeg", ".wmv", ".ogg")):
             raise NotImplementedError(
                 f"{uri}: ffmpeg-tier container — out of scope; write "
-                f".png/.bmp/.jpg/.gif/.avi/.mp4 for a native format")
+                f".png/.bmp/.jpg/.gif/.avi/.mp4/.mkv for a native "
+                f"format")
         else:
             raise ValueError(f"{uri}: TwoDWriter does not route this "
                              f"extension")

@@ -161,10 +161,10 @@ def test_timeseries_writer_gif_and_avi(spark, tmp_path):
     w.save(small, p_gif, fps=10)
     frames, delays = decode_gif(open(p_gif, "rb").read())
     assert len(frames) == 3 and delays[0] == 10
-    # .mp4 is native as of round 8 (tests/test_mp4.py); MKV is the
-    # one remaining ffmpeg-tier route
-    with pytest.raises(NotImplementedError, match="EBML"):
-        w.save(fr, str(tmp_path / "a.mkv"))
+    # every reference TimeSeriesWriter route (.gif/.avi/.mp4/.mkv) is
+    # native as of round 8 (tests/test_mp4.py, tests/test_mkv.py)
+    with pytest.raises(ValueError, match="TimeSeriesWriter"):
+        w.save(fr, str(tmp_path / "a.webm"))
 
 
 def test_twod_writer_routes_extensions(tmp_path):
@@ -187,9 +187,10 @@ def test_twod_writer_routes_extensions(tmp_path):
     p = str(tmp_path / "f.avi")
     w.save(img, p)
     np.testing.assert_array_equal(decode_avi(p)[0], img)
-    # .mov/.mp4 are native as of round 8 (tests/test_mp4.py)
+    # .mov/.mp4/.mkv are native as of round 8 (tests/test_mp4.py,
+    # tests/test_mkv.py); mpeg-ps/wmv/ogg remain the ffmpeg tier
     with pytest.raises(NotImplementedError, match="ffmpeg"):
-        w.save(img, str(tmp_path / "f.mkv"))
+        w.save(img, str(tmp_path / "f.mpg"))
     with pytest.raises(ValueError, match="extension"):
         w.save(img, str(tmp_path / "f.xyz"))
 

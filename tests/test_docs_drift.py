@@ -22,3 +22,12 @@ def test_every_registry_query_has_an_oracle_or_is_documented():
     # every current query carries a DuckDB oracle twin; a new
     # non-SQL-expressible op must be added here explicitly
     assert missing == []
+
+
+def test_readme_named_query_count_matches():
+    import re
+
+    with open("/root/repo/README.md") as f:
+        text = f.read()
+    m = re.search(r"(\d+) named queries", text)
+    assert m and int(m.group(1)) == len(REGISTRY)

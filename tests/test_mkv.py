@@ -1,0 +1,119 @@
+"""MKV (.mkv) Matroska/EBML codec + reader — the last video-container
+row of the reference's imageio tier (ref README.md:82); layout per the
+public EBML (RFC 8794) + Matroska specs (Segment/Tracks/Cluster,
+SimpleBlocks as the read plan)."""
+
+import numpy as np
+import pytest
+
+from bioio_spark import BioImage
+from bioio_spark.formats.mkv import (decode_mkv, encode_mkv,
+                                     read_mkv_catalog)
+from bioio_spark.sources.mkv_image import MkvImageReader, read_mkv_window
+
+
+def _frames(t_n=4, h=16, w=24):
+    """Constant on 8x8 blocks: DC-only JPEG content decodes EXACTLY."""
+    idx = np.indices((t_n, h, w, 3))
+    return ((idx[0] * 30 + (idx[1] // 8) * 25 + (idx[2] // 8) * 15
+             + idx[3] * 10) % 200 + 20).astype(np.uint8)
+
+
+def _write(tmp_path, frames=None, name="clip.mkv", **kw):
+    p = tmp_path / name
+    p.write_bytes(encode_mkv(frames if frames is not None
+                             else _frames(), **kw))
+    return str(p)
+
+
+def test_mkv_roundtrip_blocky_exact(tmp_path):
+    fr = _frames()
+    np.testing.assert_array_equal(decode_mkv(_write(tmp_path, fr)), fr)
+
+
+def test_mkv_catalog_metadata(tmp_path):
+    p = _write(tmp_path, fps=10)
+    cat = read_mkv_catalog(p)
+    assert (cat["width"], cat["height"]) == (24, 16)
+    assert cat["n_frames"] == 4 and cat["codec"] == "mjpeg"
+    assert cat["time_interval"] == pytest.approx(0.1)
+    # SimpleBlocks ARE the read plan: absolute ranges land on JFIF SOI
+    with open(p, "rb") as f:
+        for off, size in cat["frames"]:
+            f.seek(off)
+            assert f.read(2) == b"\xFF\xD8"
+
+
+def test_mkv_rejects_non_mkv(tmp_path):
+    p = tmp_path / "x.mkv"
+    p.write_bytes(b"this is not an ebml container at all")
+    with pytest.raises(ValueError, match="EBML"):
+        read_mkv_catalog(str(p))
+    assert not MkvImageReader.is_supported_image(str(p))
+
+
+def test_mkv_unsupported_codec_rejected(tmp_path):
+    raw = bytearray(encode_mkv(_frames(t_n=1)))
+    i = raw.index(b"V_MJPEG")
+    raw[i:i + 7] = b"V_MPEG4"           # same length, AVC-ish id
+    p = tmp_path / "h264.mkv"
+    p.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="V_MPEG4"):
+        read_mkv_catalog(str(p))
+
+
+def test_mkv_laced_blocks_rejected(tmp_path):
+    raw = bytearray(encode_mkv(_frames(t_n=1)))
+    # SimpleBlock header: 0xA3 id, size vint, track vint, 2-byte ts,
+    # flags — set a lacing bit in flags
+    i = raw.index(b"\xFF\xD8")          # first JFIF payload
+    raw[i - 1] |= 0x06                  # flags byte precedes payload
+    p = tmp_path / "laced.mkv"
+    p.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="laced"):
+        read_mkv_catalog(str(p))
+
+
+def test_mkv_bioimage_roundtrip(spark, tmp_path):
+    fr = _frames()
+    img = BioImage(_write(tmp_path, fr), spark=spark)
+    assert img.dims.T == 4 and img.dims.C == 3
+    np.testing.assert_array_equal(img.get_image_data("TYXC"), fr)
+
+
+def test_mkv_window_prunes_frames(spark, tmp_path):
+    fr = _frames()
+    p = _write(tmp_path, fr)
+    w = read_mkv_window(spark, p, t=(2, 4), y=(8, 16),
+                        x=(0, 8)).toPandas()
+    assert set(w["t"]) == {2, 3}
+    got = np.zeros((2, 3, 8, 8), np.uint8)
+    got[w["t"] - 2, w["c"], w["y"] - 8, w["x"]] = w["value"]
+    np.testing.assert_array_equal(
+        got, fr[2:4, 8:16, 0:8].transpose(0, 3, 1, 2))
+
+
+def test_mkv_timeseries_writer_route(tmp_path):
+    from bioio_spark.writers import WRITER_REGISTRY
+
+    fr = _frames(t_n=2)
+    w = WRITER_REGISTRY["TimeSeriesWriter"]
+    p = tmp_path / "w.mkv"
+    w.save(fr, str(p), fps=5)
+    cat = read_mkv_catalog(str(p))
+    assert cat["n_frames"] == 2
+    np.testing.assert_array_equal(decode_mkv(str(p)), fr)
+    # gray TYX promotes to replicated channels
+    p2 = tmp_path / "g.mkv"
+    w.save(fr[..., 0], str(p2), fps=5)
+    np.testing.assert_array_equal(decode_mkv(str(p2))[..., 1],
+                                  fr[..., 0])
+
+
+def test_mkv_twod_writer_route(tmp_path):
+    from bioio_spark.writers import WRITER_REGISTRY
+
+    frame = _frames(t_n=1)[0]
+    p = tmp_path / "still.mkv"
+    WRITER_REGISTRY["TwoDWriter"].save(frame, str(p))
+    np.testing.assert_array_equal(decode_mkv(str(p))[0], frame)
