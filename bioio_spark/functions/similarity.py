@@ -960,3 +960,82 @@ def _pq_recall_oracle(query_vec_id: int = 2, k: int = _PQ_RECALL_K,
 
 
 PQ_RECALL_ORACLE = _pq_recall_oracle()
+
+
+# --------------------------------------------------------------------------
+# L3g kNN JOIN: top-k neighbors for a BATCH of query vectors in one
+# pass — the shape retrieval/dedup/eval pipelines actually run (not
+# one query at a time). Scale: broadcast the (tiny) query batch, score
+# with a narrow JVM projection, then distributed top-k-per-query in
+# TWO bounded windows — per-(query, salt) local top-k first, so no
+# single task ever sees a query's full score column (|Q| partitions of
+# the whole corpus is exactly the skew a naive window would create);
+# the final per-query window ranks only n_salt*k rows. The salted
+# refinement provably cannot change the result: top-k under the
+# deterministic (sim DESC, vec_id ASC) order is salt-invariant, so the
+# oracle mirrors the plain single-window form.
+# --------------------------------------------------------------------------
+KNN_QUERY_IDS = (0, 5, 9, 13)
+KNN_K = 5
+_KNN_SALT = 8
+
+
+def knn_join(embeddings: DataFrame, query_vec_ids=KNN_QUERY_IDS,
+             k: int = KNN_K, n_salt: int = _KNN_SALT) -> DataFrame:
+    """Per query_id: the k nearest corpus vectors by cosine (self
+    excluded). Returns (query_id, vec_id, rank, cosine_sim) ordered by
+    (query_id, rank)."""
+    from pyspark.sql import Window
+
+    emb = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("e"))
+    ids = [int(i) for i in query_vec_ids]
+    q = (emb.filter(F.col("vec_id").isin(ids))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("e").alias("qe"),
+                 _norm(F.col("e")).alias("nq")))
+    sim = _dot(F.col("e"), F.col("qe")) / (_norm(F.col("e"))
+                                           * F.col("nq"))
+    scored = (emb.crossJoin(F.broadcast(q))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id", sim.alias("cosine_sim")))
+    salt = F.crc32(F.col("vec_id").cast("string")) % n_salt
+    local = (scored.withColumn("salt", salt)
+             .withColumn("lrn", F.row_number().over(
+                 Window.partitionBy("query_id", "salt")
+                 .orderBy(F.col("cosine_sim").desc(), "vec_id")))
+             .filter(F.col("lrn") <= k)
+             .drop("salt", "lrn"))
+    final = (local.withColumn("rank", F.row_number().over(
+        Window.partitionBy("query_id")
+        .orderBy(F.col("cosine_sim").desc(), "vec_id"))
+        .cast("bigint"))
+        .filter(F.col("rank") <= k))
+    return (final.select("query_id", "vec_id", "rank", "cosine_sim")
+            .orderBy("query_id", "rank"))
+
+
+def _knn_join_oracle(query_vec_ids=KNN_QUERY_IDS,
+                     k: int = KNN_K) -> str:
+    ids = ", ".join(str(int(i)) for i in query_vec_ids)
+    cos = ("list_dot_product(e.e, q.qe) / "
+           "(sqrt(list_dot_product(e.e, e.e))"
+           " * sqrt(list_dot_product(q.qe, q.qe)))")
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM e
+          WHERE vec_id IN ({ids})),
+    ranked AS (
+      SELECT q.query_id, e.vec_id, {cos} AS cosine_sim,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY {cos} DESC, e.vec_id) AS rn
+      FROM e CROSS JOIN q WHERE e.vec_id != q.query_id)
+    SELECT query_id, vec_id, CAST(rn AS BIGINT) AS rank, cosine_sim
+    FROM ranked WHERE rn <= {k} ORDER BY query_id, rank
+    """
+
+
+KNN_JOIN_ORACLE = _knn_join_oracle()

@@ -179,6 +179,16 @@ def l3f_pq_recall(spark, sf_dir):
                      cache_key=sf_dir)
 
 
+@register("l3g_knn_join", oracle=_sim.KNN_JOIN_ORACLE,
+          doc="L3g kNN join: top-k neighbors for a query BATCH in one "
+              "pass (salted two-phase per-query top-k — no task ever "
+              "holds a query's full score column)")
+def l3g_knn_join(spark, sf_dir):
+    from bioio_spark.functions.similarity import knn_join
+
+    return knn_join(load(spark, sf_dir, "embeddings"))
+
+
 @register("l3b_lsh_near_dup", oracle=_sim.LSH_NEAR_DUP_ORACLE,
           doc="L3 hyperplane-LSH bucketed near-duplicate embedding pairs")
 def l3b_lsh_near_dup(spark, sf_dir):

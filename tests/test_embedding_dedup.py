@@ -173,3 +173,18 @@ def test_pq_recall_bounds(spark):
     # re-ranking an ADC shortlist can only help ranking quality at
     # fixture scale (exact distances on the shortlist)
     assert row["n_common_rerank"] >= row["n_common_adc"]
+
+
+def test_knn_join_salt_invariant(spark):
+    """The salted two-phase top-k must equal the single-window form
+    for any salt width (top-k under a deterministic total order is
+    salt-invariant)."""
+    from bioio_spark.functions.similarity import knn_join
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = knn_join(emb, query_vec_ids=(0, 3), k=4, n_salt=8).toPandas()
+    b = knn_join(emb, query_vec_ids=(0, 3), k=4, n_salt=1).toPandas()
+    assert a.equals(b)
+    assert list(a.groupby("query_id").size()) == [4, 4]
+    # self never appears among its own neighbors
+    assert (a.query_id != a.vec_id).all()

@@ -117,3 +117,36 @@ def test_mkv_twod_writer_route(tmp_path):
     p = tmp_path / "still.mkv"
     WRITER_REGISTRY["TwoDWriter"].save(frame, str(p))
     np.testing.assert_array_equal(decode_mkv(str(p))[0], frame)
+
+
+def test_mkv_skips_unknown_elements(tmp_path):
+    """Wild Matroska files carry SeekHead/Cues/Void elements the
+    reader must walk over: splice a Void (0xEC) element between the
+    Segment's children — EBML sizes are explicit, so unknown elements
+    shift nothing."""
+    import struct
+
+    fr = _frames(t_n=2)
+    raw = bytearray(encode_mkv(fr))
+    # Segment payload starts after its id (4B) + size vint; find the
+    # Info element (0x1549A966) and insert a Void before it
+    i = raw.index(bytes.fromhex("1549A966"))
+    void = b"\xec" + bytes([0x80 | 12]) + b"\x00" * 12
+    raw[i:i] = void
+    # grow the Segment size vint (8-byte form written by encode_mkv)
+    seg = raw.index(bytes.fromhex("18538067"))
+    size_pos = seg + 4
+    n = 1
+    b0 = raw[size_pos]
+    while not (b0 & (0x80 >> (n - 1))):
+        n += 1
+    old = int.from_bytes(raw[size_pos:size_pos + n],
+                         "big") & ((1 << (7 * n)) - 1)
+    raw[size_pos:size_pos + n] = (
+        (1 << (7 * n)) | (old + len(void))).to_bytes(n, "big")
+    p = tmp_path / "wild.mkv"
+    p.write_bytes(bytes(raw))
+    cat = read_mkv_catalog(str(p))
+    assert cat["n_frames"] == 2
+    np.testing.assert_array_equal(decode_mkv(str(p)), fr)
+    del struct

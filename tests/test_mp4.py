@@ -122,8 +122,7 @@ def test_mp4_timeseries_writer_route(tmp_path):
         cat = read_mp4_catalog(str(p))
         assert cat["n_frames"] == 2
         np.testing.assert_array_equal(decode_mp4(str(p)), fr)
-    with pytest.raises(NotImplementedError, match="MKV"):
-        w.save(fr, str(tmp_path / "w.mkv"))
+    # .mkv is also native now — covered in tests/test_mkv.py
 
 
 def test_mp4_twod_writer_route(tmp_path):
@@ -143,3 +142,32 @@ def test_mp4_gray_sample_promotes_rgb():
     got = decode_mp4_frame(encode_jpeg(gray, quality=95), 24, 16)
     assert got.shape == (16, 24, 3)
     np.testing.assert_array_equal(got[..., 0], gray)
+
+
+def test_mp4_skips_unknown_boxes(tmp_path):
+    """Wild files carry free/udta/meta boxes the reader must walk
+    over: insert a 'free' box after moov and an unknown box between
+    moov children — the catalog is unchanged (sample offsets are
+    absolute, so trailing/metadata boxes cannot shift them)."""
+    fr = _frames(t_n=2)
+    raw = bytearray(encode_mp4(fr))
+    free = struct.pack(">I", 8 + 16) + b"free" + b"\x00" * 16
+    raw += free                          # after moov: ignored
+    p = tmp_path / "wild.mp4"
+    p.write_bytes(bytes(raw))
+    cat = read_mp4_catalog(str(p))
+    assert cat["n_frames"] == 2
+    np.testing.assert_array_equal(decode_mp4(str(p)), fr)
+
+
+def test_mp4_largesize_box(tmp_path):
+    """64-bit largesize (size==1) boxes parse: rewrite the trailing
+    free box with a largesize header."""
+    fr = _frames(t_n=1)
+    raw = bytearray(encode_mp4(fr))
+    large = (struct.pack(">I", 1) + b"free"
+             + struct.pack(">Q", 16 + 8) + b"\x00" * 8)
+    raw += large
+    p = tmp_path / "ls.mp4"
+    p.write_bytes(bytes(raw))
+    np.testing.assert_array_equal(decode_mp4(str(p)), fr)
