@@ -458,3 +458,66 @@ SELECT s.doc_id,
 FROM segs s JOIN df d USING (line)
 GROUP BY s.doc_id ORDER BY s.doc_id
 """
+
+
+# -- unigram surprisal quality filter (l4j) ---------------------------------
+
+SURPRISAL_CAP = 44          # tf < 2^44 even at ~10^13 corpus tokens
+SURPRISAL_KEEP_MILLI = 35050   # keep iff avg bits/token <= 35.050
+
+
+def unigram_surprisal(documents: DataFrame,
+                      cap: int = SURPRISAL_CAP,
+                      keep_milli: int = SURPRISAL_KEEP_MILLI
+                      ) -> DataFrame:
+    """CCNet-style LM quality filter with the LM replaced by the
+    corpus unigram model, made HASH-EXACT by integer bit-length logs:
+    a token's surprisal is `cap - floor(log2(tf))` bits, and
+    floor(log2(n)) is `length(bin(n)) - 1` — pure integer arithmetic,
+    no float log whose last bit could differ across engines. Docs of
+    corpus-typical tokens score low (boilerplate-ish), docs of rare or
+    garbled tokens score high; the keep gate is the exact integer
+    inequality `surprisal_sum * 1000 <= keep_milli * n_tokens` (the
+    l4c gate pattern).
+
+    Scale: one occurrence explode (narrow), one partial-combining tf
+    aggregate on the word key, one word-keyed join back (both sides
+    combine map-side), one per-doc aggregate. No floats anywhere.
+
+    Returns (doc_id, n_tokens, surprisal_sum, keep) by doc_id."""
+    occ = documents.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("word"))
+    tf = occ.groupBy("word").agg(F.count(F.lit(1)).alias("tf"))
+    bits = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.lit(cap) - (F.length(F.bin("tf")) - F.lit(1)))
+    return (occ.join(tf, "word")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                 F.sum(bits).cast("bigint").alias("surprisal_sum"))
+            .withColumn(
+                "keep",
+                (F.col("surprisal_sum") * 1000
+                 <= F.lit(keep_milli) * F.col("n_tokens"))
+                .cast("bigint"))
+            .orderBy("doc_id"))
+
+
+SURPRISAL_ORACLE = rf"""
+WITH occ AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+'))
+           AS word
+  FROM documents),
+tf AS (SELECT word, count(*) AS tf FROM occ GROUP BY word),
+sc AS (
+  SELECT occ.doc_id,
+         greatest(0, {SURPRISAL_CAP} - (length(bin(tf.tf)) - 1))
+           AS bits
+  FROM occ JOIN tf USING (word))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(bits) AS BIGINT) AS surprisal_sum,
+       CAST(CASE WHEN sum(bits) * 1000
+                      <= {SURPRISAL_KEEP_MILLI} * count(*)
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM sc GROUP BY doc_id ORDER BY doc_id
+"""

@@ -278,3 +278,36 @@ def morph_planes(planes: DataFrame, op: str, tile_h: int = 256,
         *key_cols, "y0", "x0", "h", "w",
         F.flatten(F.transform(F.sequence(F.lit(0), h - 1),
                               out_row)).alias("values"))
+
+
+def median_pixels(pixels: DataFrame, height: int, width: int,
+                  plane_cols=("t", "c", "z")) -> DataFrame:
+    """3x3 median filter per YX plane, edge-clamped — the
+    salt-and-pepper denoiser that complements the linear blur (N4).
+    Same contribution-explode shape as box_blur_pixels; the median is
+    the EXPLICIT order statistic over the sorted in-bounds neighbor
+    list: (arr[(n+1) div 2] + arr[n div 2 + 1]) / 2 (1-based), which
+    is the middle element for odd n (averaging an element with itself
+    is exact) and the midpoint of the two middle elements for even n
+    (edge pixels see 4 or 6 neighbors). Spelled identically in the
+    oracle — never an engine median() whose interpolation rounding is
+    not pinned. Neighbor lists are bounded (<= 9), so the collect is
+    O(1) per target."""
+    offsets = F.array(*[
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+    keep = [c for c in plane_cols if c in pixels.columns]
+    ex = pixels.select(*keep, "y", "x", "value",
+                       F.explode(offsets).alias("o"))
+    ny = (F.col("y") + F.col("o.dy")).alias("y")
+    nx = (F.col("x") + F.col("o.dx")).alias("x")
+    grouped = (ex.select(*keep, ny, nx, "value")
+               .filter((F.col("y") >= 0) & (F.col("y") < height)
+                       & (F.col("x") >= 0) & (F.col("x") < width))
+               .groupBy(*keep, "y", "x")
+               .agg(F.sort_array(F.collect_list("value")).alias("arr"),
+                    F.count(F.lit(1)).alias("n")))
+    lo = F.element_at("arr", ((F.col("n") + 1) / 2).cast("int"))
+    hi = F.element_at("arr", (F.col("n") / 2).cast("int") + 1)
+    return grouped.select(*keep, "y", "x",
+                          ((lo + hi) / 2).alias("value"))

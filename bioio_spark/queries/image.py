@@ -845,6 +845,37 @@ def img_dilation(spark, sf_dir):
             .orderBy("t", "c", "z", "y", "x"))
 
 
+@register(
+    "img_median",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL})
+    SELECT a.t, a.c, a.z, a.y, a.x,
+           ((list_sort(list(b.value)))[(count(*) + 1) // 2]
+            + (list_sort(list(b.value)))[count(*) // 2 + 1]) / 2
+             AS value
+    FROM px a JOIN px b
+      ON a.t = b.t AND a.c = b.c AND a.z = b.z
+     AND abs(a.y - b.y) <= 1 AND abs(a.x - b.x) <= 1
+    GROUP BY a.t, a.c, a.z, a.y, a.x
+    ORDER BY a.t, a.c, a.z, a.y, a.x
+    """,
+    doc="3x3 median filter (N4): exact order statistic over the "
+        "edge-clamped neighborhood, explicit midpoint rule spelled "
+        "identically in both engines",
+)
+def img_median(spark, sf_dir):
+    """Salt-and-pepper denoiser completing the stencil family
+    (blur N1 / erosion N2 / dilation N3 / median N4). The median is a
+    NON-LINEAR rank filter, so unlike blur it has no
+    halo-sum decomposition — the pixel-level contribution explode IS
+    the distributed form (bounded 9-element sorted lists per
+    target)."""
+    from bioio_spark.operators.stencil import median_pixels
+
+    return (median_pixels(_gen_pixels(spark), Y, X)
+            .orderBy("t", "c", "z", "y", "x"))
+
+
 # --------------------------------------------------------------------------
 # Connected-component labeling over a thresholded mask — segmentation
 # labeling, the step after blur/threshold in every bioimage pipeline

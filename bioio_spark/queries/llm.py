@@ -249,6 +249,15 @@ def l4i_line_dedup(spark, sf_dir):
     return line_dedup(load(spark, sf_dir, "documents"))
 
 
+@register("l4j_unigram_surprisal", oracle=_text.SURPRISAL_ORACLE,
+          doc="L4 CCNet-style unigram-LM quality filter made "
+              "hash-exact: integer bit-length log2 surprisal per "
+              "token occurrence, exact integer keep gate")
+def l4j_unigram_surprisal(spark, sf_dir):
+    from bioio_spark.functions.text import unigram_surprisal
+    return unigram_surprisal(load(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # L8b per-source cap: keep at most K documents per source, deterministic
 # priority (lowest doc_id) — the C4/RefinedWeb-style per-domain cap that
