@@ -580,3 +580,91 @@ def _embedding_dedup_oracle(threshold: float = 0.3,
 
 
 EMBEDDING_DEDUP_ORACLE = _embedding_dedup_oracle()
+
+
+# -- L2f exact n-gram substring-span coverage --------------------------------
+
+from bioio_spark.functions.text import _words  # noqa: E402
+
+SPAN_K = 3                       # shingle width (words)
+SPAN_KEEP_MILLI = 200            # keep iff covered fraction <= 20.0%
+
+
+def ngram_span_coverage(documents: DataFrame, k: int = SPAN_K,
+                        keep_milli: int = SPAN_KEEP_MILLI) -> DataFrame:
+    """Exact substring-duplication coverage at n-gram granularity (the
+    practical form of Lee et al. 2022's exact-substring dedup, arXiv
+    2107.06499: a k-word shingle occurring in >= 2 DISTINCT documents
+    marks its k-token span as duplicated; a document's covered-token
+    fraction is the dedup signal). Per doc: token count, the number of
+    token positions covered by any cross-document-duplicated shingle
+    (distinct positions — overlapping spans count once), and the exact
+    integer keep gate `n_covered * 1000 <= keep_milli * n_tokens`.
+
+    Scale: positioned-shingle explode (narrow, xK rows), one
+    partial-combining distinct-doc count on the shingle key, a
+    shingle-keyed join back, a bounded xk span explode, and per-doc
+    distinct-position counts. All integers; no RNG, no floats.
+
+    Returns (doc_id, n_tokens, n_covered, keep) by doc_id."""
+    words = _words(F.col("text"))
+    n = F.size(words)
+    # 1-based positions, matching the oracle's generate_series
+    idxs = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    sh = F.concat_ws(" ", *[F.element_at(F.col("ws"), F.col("i") + j)
+                            for j in range(k)])
+    pos_sh = (documents
+              .select("doc_id", words.alias("ws"),
+                      F.explode(idxs).alias("i"))
+              .select("doc_id", F.col("i").alias("pos"),
+                      sh.alias("sh")))
+    dup = (pos_sh.groupBy("sh")
+           .agg(F.countDistinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= 2)
+           .select("sh"))
+    covered = (pos_sh.join(dup, "sh")
+               .select("doc_id",
+                       F.explode(F.sequence(
+                           F.col("pos"),
+                           F.col("pos") + k - 1)).alias("tp"))
+               .distinct()
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_covered")))
+    return (documents.select("doc_id", n.cast("bigint")
+                             .alias("n_tokens"))
+            .join(covered, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    F.coalesce("n_covered", F.lit(0)).cast("bigint")
+                    .alias("n_covered"))
+            .withColumn(
+                "keep",
+                (F.col("n_covered") * 1000
+                 <= F.lit(keep_milli) * F.col("n_tokens"))
+                .cast("bigint"))
+            .orderBy("doc_id"))
+
+
+SPAN_COVERAGE_ORACLE = rf"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents),
+ps AS (
+  SELECT w.doc_id, t.i AS pos,
+         w.ws[t.i] || ' ' || w.ws[t.i+1] || ' ' || w.ws[t.i+2] AS sh
+  FROM w, unnest(generate_series(1, len(w.ws) - {SPAN_K - 1})) t(i)
+  WHERE len(w.ws) >= {SPAN_K}),
+dup AS (SELECT sh FROM ps GROUP BY sh
+        HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT d.doc_id, s.tp
+  FROM (SELECT ps.doc_id, ps.pos FROM ps JOIN dup USING (sh)) d,
+       unnest(generate_series(d.pos, d.pos + {SPAN_K - 1})) s(tp)),
+per_doc AS (SELECT doc_id, count(*) AS n FROM cov GROUP BY doc_id)
+SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n, 0) AS BIGINT) AS n_covered,
+       CAST(CASE WHEN coalesce(p.n, 0) * 1000
+                      <= {SPAN_KEEP_MILLI} * len(w.ws)
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM w LEFT JOIN per_doc p USING (doc_id) ORDER BY w.doc_id
+"""

@@ -1039,3 +1039,156 @@ def _knn_join_oracle(query_vec_ids=KNN_QUERY_IDS,
 
 
 KNN_JOIN_ORACLE = _knn_join_oracle()
+
+
+# --------------------------------------------------------------------------
+# L3h multi-iteration Lloyd: the ITERATIVE-ALGORITHM scale pattern made
+# hash-checkable. Each round is the _train_ivf step (sampled narrow
+# assignment -> tiny integer shuffle of fixed-point sums), and because
+# every round's centroids are exact functions of integer aggregates,
+# round N's INPUT is bit-identical across engines — so an iterative
+# float algorithm stays deterministic end to end. The oracle unrolls
+# the same chain textually. At 100 TB each round costs one sampled
+# pass; rounds are driver-sequenced like the pointer-jumping CC loop.
+# --------------------------------------------------------------------------
+def _train_kmeans(emb: DataFrame, n_centroids: int, sample_mod: int,
+                  n_iters: int, cache_key=None) -> dict:
+    """n_iters Lloyd rounds of the bit-stable fixed-point recipe
+    (n_iters=1 == _train_ivf). Empty clusters keep their previous
+    centroid each round."""
+    spark = emb.sparkSession
+    key = ("kmeans", cache_key, n_centroids, sample_mod, n_iters)
+    try:
+        cache = spark.__dict__.setdefault("_bioio_ivf_cache", {})
+    except Exception:
+        cache = {}
+    if cache_key is not None and key in cache:
+        return cache[key]
+
+    trained = {
+        int(r["vec_id"]): [float(v) for v in r["e"]]
+        for r in emb.filter(F.col("vec_id") < n_centroids)
+        .select("vec_id", "e").collect()}
+    dim = len(next(iter(trained.values())))
+    quant_sums = [
+        F.sum(F.floor(F.element_at("e", j + 1) * F.lit(_KMEANS_SCALE)))
+        .alias(f"p{j}")
+        for j in range(dim)]
+    sample = emb.filter(F.col("vec_id") % sample_mod == 0)
+    for _ in range(n_iters):
+        rows = (sample.withColumn("ne", _norm(F.col("e")))
+                .withColumn("cid", _assigned(trained).cast("int"))
+                .groupBy("cid")
+                .agg(F.count(F.lit(1)).alias("cnt"), *quant_sums)
+                .collect())
+        nxt = dict(trained)
+        for r in rows:
+            cnt = float(r["cnt"])
+            nxt[int(r["cid"])] = [
+                float(r[f"p{j}"]) / cnt / _KMEANS_SCALE
+                for j in range(dim)]
+        trained = nxt
+    if cache_key is not None:
+        cache[key] = trained
+    return trained
+
+
+KMEANS_ITERS = 2
+
+
+def kmeans_clusters(embeddings: DataFrame,
+                    n_centroids: int = N_CENTROIDS,
+                    sample_mod: int = IVF_SAMPLE_MOD,
+                    n_iters: int = KMEANS_ITERS,
+                    cache_key="kmeans2") -> DataFrame:
+    """Assign the FULL corpus to the n_iters-round centroids and pin
+    both the assignment and the trained centroids themselves: returns
+    (cid, n_vecs, centroid_checksum) where centroid_checksum is the
+    integer sum of floor(ce[j] * 2^20) — a bit-exact fingerprint of
+    the iterated float centroid."""
+    emb = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("e"))
+    trained = _train_kmeans(emb, n_centroids, sample_mod, n_iters,
+                            cache_key=cache_key)
+    import math
+    checks = {cid: sum(int(math.floor(v * _KMEANS_SCALE)) for v in ce)
+              for cid, ce in trained.items()}
+    check_col = None
+    for cid in sorted(checks):
+        w = F.when(F.col("cid") == cid, F.lit(checks[cid]))
+        check_col = w if check_col is None else check_col.when(
+            F.col("cid") == cid, F.lit(checks[cid]))
+    assigned = (emb.withColumn("ne", _norm(F.col("e")))
+                .withColumn("cid", _assigned(trained).cast("int")))
+    return (assigned.groupBy("cid")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+            .withColumn("centroid_checksum",
+                        check_col.cast("bigint"))
+            .orderBy("cid"))
+
+
+def _kmeans_oracle(n_centroids: int = N_CENTROIDS,
+                   sample_mod: int = IVF_SAMPLE_MOD,
+                   n_iters: int = KMEANS_ITERS) -> str:
+    scale = int(_KMEANS_SCALE)
+    cos = _COS_SQL
+    parts = [f"""e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    dims AS (SELECT unnest(generate_series(
+               1, (SELECT max(len(e)) FROM e))) AS i),
+    trained0 AS (SELECT vec_id AS cid, e AS ce FROM e
+                 WHERE vec_id < {n_centroids})"""]
+    for it in range(n_iters):
+        parts.append(f"""assign{it} AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT e.vec_id, e.e, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {cos.format(a='e.e', b='c.ce')} DESC,
+                          c.cid ASC) AS rn
+        FROM e CROSS JOIN trained{it} c
+        WHERE e.vec_id % {sample_mod} = 0) WHERE rn = 1
+    ),
+    tsum{it} AS (
+      SELECT a.cid, d.i,
+             CAST(sum(CAST(floor(a.e[d.i] * {scale}.0) AS BIGINT))
+                  AS BIGINT) AS s,
+             count(*) AS cnt
+      FROM assign{it} a CROSS JOIN dims d GROUP BY a.cid, d.i
+    ),
+    trained{it + 1} AS (
+      SELECT p.cid, COALESCE(t.ce, p.ce) AS ce
+      FROM trained{it} p LEFT JOIN (
+        SELECT cid,
+               list(CAST(s AS DOUBLE) / cnt / {scale}.0 ORDER BY i)
+                 AS ce
+        FROM tsum{it} GROUP BY cid) t USING (cid)
+    )""")
+    final = f"trained{n_iters}"
+    parts.append(f"""assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {cos.format(a='e.e', b='c.ce')} DESC,
+                          c.cid ASC) AS rn
+        FROM e CROSS JOIN {final} c) WHERE rn = 1
+    ),
+    checks AS (
+      SELECT c.cid,
+             CAST(sum(CAST(floor(c.ce[d.i] * {scale}.0) AS BIGINT))
+                  AS BIGINT) AS centroid_checksum
+      FROM {final} c CROSS JOIN dims d GROUP BY c.cid
+    )""")
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT a.cid, CAST(count(*) AS BIGINT) AS n_vecs,
+           ch.centroid_checksum
+    FROM assigned a JOIN checks ch ON a.cid = ch.cid
+    GROUP BY a.cid, ch.centroid_checksum ORDER BY a.cid
+    """
+
+
+KMEANS_ORACLE = _kmeans_oracle()

@@ -189,6 +189,17 @@ def l3g_knn_join(spark, sf_dir):
     return knn_join(load(spark, sf_dir, "embeddings"))
 
 
+@register("l3h_kmeans_iters", oracle=_sim.KMEANS_ORACLE,
+          doc="L3h two-round Lloyd k-means: the iterative-algorithm "
+              "scale pattern, bit-stable per round (integer "
+              "fixed-point means), centroid checksums hash-pinned")
+def l3h_kmeans_iters(spark, sf_dir):
+    from bioio_spark.functions.similarity import kmeans_clusters
+
+    return kmeans_clusters(load(spark, sf_dir, "embeddings"),
+                           cache_key=sf_dir)
+
+
 @register("l3b_lsh_near_dup", oracle=_sim.LSH_NEAR_DUP_ORACLE,
           doc="L3 hyperplane-LSH bucketed near-duplicate embedding pairs")
 def l3b_lsh_near_dup(spark, sf_dir):
@@ -710,6 +721,16 @@ from bioio_spark.functions.dedup import (  # noqa: E402
 def l2e_embedding_dedup(spark, sf_dir):
     return embedding_near_dup_dedup(load(spark, sf_dir, "embeddings"),
                                     threshold=0.3)
+
+
+@register("l2f_span_coverage", oracle=_dedup.SPAN_COVERAGE_ORACLE,
+          doc="L2f exact n-gram substring-span duplication coverage "
+              "(Lee et al. 2022 exact-substring dedup): per-doc "
+              "covered-token fraction + integer keep gate")
+def l2f_span_coverage(spark, sf_dir):
+    from bioio_spark.functions.dedup import ngram_span_coverage
+
+    return ngram_span_coverage(load(spark, sf_dir, "documents"))
 
 
 # --------------------------------------------------------------------------
