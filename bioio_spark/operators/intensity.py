@@ -1,0 +1,83 @@
+"""Image-wide intensity operators: integral image (summed-area table)
+and histogram equalization — the two global-statistics primitives a
+bioimage QC/feature pipeline runs after the local stencils (N1-N5).
+
+Both are written in the scale shapes this repo standardizes on:
+
+- ``integral_image`` is a SEPARABLE DISTRIBUTED PREFIX-SUM: one
+  running-sum window per image row (partitioned by the row key — a
+  partition is one row of X pixels, never the corpus), then one per
+  column of those partial sums. Two bounded-partition shuffles; no
+  global sort anywhere. At 100 TB the same two passes run
+  tile-hierarchically (per-tile SAT + carry of tile-edge totals), and
+  the per-row/per-column window here is the semantics contract that
+  hierarchy must match.
+
+- ``hist_equalize`` is the l11_curriculum_sample pattern applied to
+  pixels: the value HISTOGRAM is a bounded partial-combining aggregate
+  (at most 2^16 distinct intensities for real imagery, ~20/plane on
+  the fixture), the CDF is a window over that tiny histogram (never
+  over pixels), and the remap joins back broadcast-side. The formula
+  is the classic integer equalization map
+  ``floor((cdf - cdf_min) * (levels - 1) / (n - cdf_min))`` — all
+  integer arithmetic, hash-exact across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def integral_image(pixels: DataFrame,
+                   plane_cols=("t", "c", "z")) -> DataFrame:
+    """Summed-area table per YX plane: sat(y, x) = sum of value over
+    all (yy <= y, xx <= x). Enables O(1) box sums of ANY window size
+    (the constant-time twin of the fixed-3x3 stencils). Exact integer
+    output on integer-valued pixels."""
+    keep = [c for c in plane_cols if c in pixels.columns]
+    row_w = (Window.partitionBy(*keep, "y").orderBy("x")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    col_w = (Window.partitionBy(*keep, "x").orderBy("y")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    return (pixels
+            .withColumn("rsum", F.sum("value").over(row_w))
+            .withColumn("sat", F.sum("rsum").over(col_w)
+                        .cast("bigint"))
+            .select(*keep, "y", "x", "sat"))
+
+
+HIST_EQ_LEVELS = 256
+
+
+def hist_equalize(pixels: DataFrame, n_pixels: int,
+                  levels: int = HIST_EQ_LEVELS,
+                  plane_cols=("t", "c", "z")) -> DataFrame:
+    """Per-plane histogram equalization: remap each intensity to
+    ``floor((cdf(v) - cdf_min) * (levels - 1) / (n - cdf_min))`` where
+    cdf is the per-plane cumulative count ordered by value and cdf_min
+    is the count of the plane's smallest value. A constant plane
+    (n == cdf_min) maps to 0 by convention. ``n_pixels`` is the
+    per-plane pixel count (Y*X), passed exactly so the gate stays
+    integer."""
+    keep = [c for c in plane_cols if c in pixels.columns]
+    hist = (pixels.groupBy(*keep, "value")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    cdf_w = (Window.partitionBy(*keep).orderBy("value")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    min_w = Window.partitionBy(*keep)
+    remap = (hist
+             .withColumn("cdf", F.sum("cnt").over(cdf_w))
+             .withColumn("cdf_min", F.min(
+                 F.when(F.col("cdf") == F.col("cnt"), F.col("cdf")))
+                 .over(min_w))
+             .withColumn(
+                 "eq",
+                 F.when(F.lit(n_pixels) == F.col("cdf_min"), F.lit(0))
+                 .otherwise(F.expr(
+                     f"((cdf - cdf_min) * {levels - 1}) DIV "
+                     f"(CAST({n_pixels} AS BIGINT) - cdf_min)"))
+                 .cast("bigint"))
+             .select(*keep, "value", "eq"))
+    return (pixels.join(F.broadcast(remap), [*keep, "value"])
+            .select(*keep, "y", "x", "eq"))

@@ -311,3 +311,42 @@ def median_pixels(pixels: DataFrame, height: int, width: int,
     hi = F.element_at("arr", (F.col("n") / 2).cast("int") + 1)
     return grouped.select(*keep, "y", "x",
                           ((lo + hi) / 2).alias("value"))
+
+
+def sobel_pixels(pixels: DataFrame, height: int, width: int,
+                 plane_cols=("t", "c", "z")) -> DataFrame:
+    """3x3 Sobel gradient (N5): the weighted-kernel generalization of
+    the box-blur contribution explode. Both kernels factor as
+    wx(dy, dx) = dx * (2 - |dy|) and wy(dy, dx) = dy * (2 - |dx|), so
+    one explode feeds BOTH gradient sums — a source pixel ships once
+    and each target accumulates (gx, gy) in a single partial-combining
+    hash aggregate (one shuffle on the target key, same as N1-N4).
+    Interior targets only (every tap in-bounds), so there is no
+    edge-clamp rule to pin. Outputs exact integers: gx, gy and the
+    squared magnitude gx^2 + gy^2 (no sqrt — hash-stable).
+
+    At 100 TB the planes/halo-exchange layout (blur_planes) is the
+    byte-efficient twin; this pixel-level form is the semantics
+    contract both share."""
+    offsets = F.array(*[
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+    keep = [c for c in plane_cols if c in pixels.columns]
+    ex = pixels.select(*keep, "y", "x", "value",
+                       F.explode(offsets).alias("o"))
+    dy, dx = F.col("o.dy"), F.col("o.dx")
+    ty = (F.col("y") - dy).alias("y")
+    tx = (F.col("x") - dx).alias("x")
+    wx = dx * (F.lit(2) - F.abs(dy))
+    wy = dy * (F.lit(2) - F.abs(dx))
+    return (ex.select(*keep, ty, tx,
+                      (F.col("value") * wx).alias("cx"),
+                      (F.col("value") * wy).alias("cy"))
+            .filter((F.col("y") >= 1) & (F.col("y") <= height - 2)
+                    & (F.col("x") >= 1) & (F.col("x") <= width - 2))
+            .groupBy(*keep, "y", "x")
+            .agg(F.sum("cx").cast("bigint").alias("gx"),
+                 F.sum("cy").cast("bigint").alias("gy"))
+            .withColumn("mag2", (F.col("gx") * F.col("gx")
+                                 + F.col("gy") * F.col("gy"))
+                        .cast("bigint")))

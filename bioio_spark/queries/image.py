@@ -4540,3 +4540,105 @@ def img_mp4_roundtrip(spark, sf_dir):
                  F.sum("value").alias("sum_val"),
                  F.max("value").alias("max_val"))
             .orderBy("t", "c"))
+
+
+# --------------------------------------------------------------------------
+# N5 Sobel gradient + the two image-wide intensity primitives (integral
+# image, histogram equalization). Sobel extends the stencil family to
+# WEIGHTED kernels (one explode feeds both gradient sums); the integral
+# image is a separable distributed prefix-sum (two bounded-partition
+# window passes — each partition is one image row/column, never the
+# corpus); hist-eq is the l11 bounded-histogram + broadcast-remap
+# pattern applied to pixels.
+# --------------------------------------------------------------------------
+@register(
+    "img_sobel",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL}),
+    g AS (
+      SELECT a.t, a.c, a.z, a.y, a.x,
+             CAST(sum(b.value * (b.x - a.x) * (2 - abs(b.y - a.y)))
+                  AS BIGINT) AS gx,
+             CAST(sum(b.value * (b.y - a.y) * (2 - abs(b.x - a.x)))
+                  AS BIGINT) AS gy
+      FROM px a JOIN px b
+        ON a.t = b.t AND a.c = b.c AND a.z = b.z
+       AND abs(a.y - b.y) <= 1 AND abs(a.x - b.x) <= 1
+      WHERE a.y BETWEEN 1 AND {Y - 2} AND a.x BETWEEN 1 AND {X - 2}
+      GROUP BY a.t, a.c, a.z, a.y, a.x)
+    SELECT t, c, z, y, x, gx, gy,
+           CAST(gx * gx + gy * gy AS BIGINT) AS mag2
+    FROM g ORDER BY t, c, z, y, x
+    """,
+    doc="N5 3x3 Sobel gradient: weighted-kernel stencil, interior "
+        "targets, exact integer gx/gy/mag2",
+)
+def img_sobel(spark, sf_dir):
+    from bioio_spark.operators.stencil import sobel_pixels
+
+    return (sobel_pixels(_gen_pixels(spark), Y, X)
+            .orderBy("t", "c", "z", "y", "x"))
+
+
+@register(
+    "img_integral",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL}),
+    r AS (
+      SELECT t, c, z, y, x,
+             sum(value) OVER (PARTITION BY t, c, z, y ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS rsum
+      FROM px)
+    SELECT t, c, z, y, x,
+           CAST(sum(rsum) OVER (PARTITION BY t, c, z, x ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS sat
+    FROM r ORDER BY t, c, z, y, x
+    """,
+    doc="integral image (summed-area table): separable distributed "
+        "prefix-sum, two bounded-partition window passes",
+)
+def img_integral(spark, sf_dir):
+    from bioio_spark.operators.intensity import integral_image
+
+    return (integral_image(_gen_pixels(spark))
+            .orderBy("t", "c", "z", "y", "x"))
+
+
+@register(
+    "img_hist_eq",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL}),
+    h AS (SELECT t, c, z, value, count(*) AS cnt
+          FROM px GROUP BY t, c, z, value),
+    cd AS (
+      SELECT t, c, z, value, cnt,
+             sum(cnt) OVER (PARTITION BY t, c, z ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cdf
+      FROM h),
+    m AS (
+      SELECT *, min(CASE WHEN cdf = cnt THEN cdf END)
+                  OVER (PARTITION BY t, c, z) AS cdf_min
+      FROM cd),
+    r AS (
+      SELECT t, c, z, value,
+             CAST(CASE WHEN {Y * X} = cdf_min THEN 0
+                  ELSE ((cdf - cdf_min) * 255) // ({Y * X} - cdf_min)
+                  END AS BIGINT) AS eq
+      FROM m)
+    SELECT px.t, px.c, px.z, px.y, px.x, r.eq
+    FROM px JOIN r ON px.t = r.t AND px.c = r.c AND px.z = r.z
+                  AND px.value = r.value
+    ORDER BY px.t, px.c, px.z, px.y, px.x
+    """,
+    doc="per-plane histogram equalization: bounded value histogram + "
+        "CDF window over the histogram (never pixels) + broadcast "
+        "remap join — integer-exact equalization map",
+)
+def img_hist_eq(spark, sf_dir):
+    from bioio_spark.operators.intensity import hist_equalize
+
+    return (hist_equalize(_gen_pixels(spark), n_pixels=Y * X)
+            .orderBy("t", "c", "z", "y", "x"))
