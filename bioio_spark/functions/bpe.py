@@ -1,0 +1,138 @@
+"""L13: distributed BPE vocabulary learning (Sennrich et al. 2016,
+arXiv:1508.07909 — the GPT-2/SentencePiece tokenizer-training loop)
+over the documents corpus.
+
+BPE training is the canonical ITERATIVE MapReduce of a training-data
+pipeline: each merge round is (1) a partial-combining hash aggregate
+of adjacent symbol-pair frequencies over the word-frequency table,
+(2) a global argmax (TakeOrderedAndProject, 1-row driver fetch — the
+bounded-index-fetch class), (3) a narrow per-row merge projection.
+Rounds are driver-sequenced exactly like the pointer-jumping CC loop
+and the l3h Lloyd iterations; the only cross-round state is the merge
+rule itself, a string literal.
+
+Hash-exactness: every count is an integer; the argmax tiebreak is
+pinned (count DESC, pair ASC); and the merge application is the
+GREEDY LEFTMOST NON-OVERLAPPING pair replacement both engines'
+``replace`` implement. Overlap correctness ("a a a" must merge once,
+"a a a a" twice) is guaranteed by the DOUBLED-SPACE trick: gaps carry
+two spaces, the pattern ``' a  b '`` consumes one boundary space per
+side, so adjacent occurrences never steal each other's boundary; a
+single ``' +' -> ' '`` collapse restores the invariant. Symbols are
+restricted to ``[a-z0-9]+`` so patterns are metacharacter-free.
+
+Scale: the working set after round 0 is the WORD-FREQUENCY table
+(corpus vocabulary, not the corpus — the classic BPE-training
+compression), so each round costs one vocab-sized pass; at 100 TB the
+vocab table would be checkpointed once and each round re-reads it,
+never the raw text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_MERGES = 4
+WORD_RE = "^[a-z0-9]+$"
+
+
+def _word_freqs(documents: DataFrame) -> DataFrame:
+    word = F.explode(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+    return (documents.select(word)
+            .filter(F.col("word").rlike(WORD_RE))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("freq")))
+
+
+def _merge_seq(seq, pair: str):
+    """Greedy leftmost merge of `pair` inside the space-separated
+    symbol string `seq` via the doubled-space trick."""
+    doubled = F.concat(F.lit(" "),
+                       F.replace(seq, F.lit(" "), F.lit("  ")),
+                       F.lit(" "))
+    pat = " " + pair.replace(" ", "  ") + " "
+    rep = " " + pair.replace(" ", "") + " "
+    return F.trim(F.regexp_replace(
+        F.replace(doubled, F.lit(pat), F.lit(rep)), " +", " "))
+
+
+def bpe_vocab(documents: DataFrame,
+              n_merges: int = N_MERGES) -> DataFrame:
+    """Learn `n_merges` BPE merge rules; returns one row per round:
+    (merge_round, pair, token, pair_count) where pair_count is the
+    pair's corpus frequency at merge time."""
+    spark = documents.sparkSession
+    wf = _word_freqs(documents)
+    seq0 = F.trim(F.regexp_replace("word", "(.)", "$1 "))
+    cur = wf.withColumn("seq", seq0)
+    merges = []
+    for r in range(n_merges):
+        s = F.split(F.col("seq"), " ")
+        idxs = (F.when(F.size(s) >= 2,
+                       F.sequence(F.lit(1), F.size(s) - 1))
+                .otherwise(F.array().cast("array<int>")))
+        ex = cur.select("freq", s.alias("s"),
+                        F.explode(idxs).alias("i"))
+        pair_col = F.concat_ws(
+            " ", F.element_at("s", F.col("i")),
+            F.element_at("s", F.col("i") + 1))
+        best = (ex.select(pair_col.alias("pair"), "freq")
+                .groupBy("pair")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("pair"))
+                .limit(1).collect())
+        if not best:
+            break
+        pair, cnt = best[0]["pair"], int(best[0]["cnt"])
+        merges.append((r + 1, pair, pair.replace(" ", ""), cnt))
+        cur = cur.withColumn("seq", _merge_seq(F.col("seq"), pair))
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, pair string, token string, "
+        "pair_count bigint").orderBy("merge_round")
+
+
+def _bpe_oracle(n_merges: int = N_MERGES) -> str:
+    parts = [rf"""wf AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                            '\s+')) AS word
+        FROM documents)
+      WHERE regexp_matches(word, '{WORD_RE}')
+      GROUP BY word),
+    seq0 AS (SELECT freq,
+                    trim(regexp_replace(word, '(.)', '\1 ', 'g'))
+                      AS seq
+             FROM wf)"""]
+    for r in range(n_merges):
+        parts.append(f"""best{r} AS (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        SELECT q.freq, q.s[t.i] || ' ' || q.s[t.i + 1] AS pair
+        FROM (SELECT freq, string_split(seq, ' ') AS s
+              FROM seq{r}) q,
+             unnest(generate_series(1, len(q.s) - 1)) t(i))
+      GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1),
+    seq{r + 1} AS (
+      SELECT freq,
+             trim(regexp_replace(
+               replace(' ' || replace(seq, ' ', '  ') || ' ',
+                       (SELECT ' ' || replace(pair, ' ', '  ') || ' '
+                        FROM best{r}),
+                       (SELECT ' ' || replace(pair, ' ', '') || ' '
+                        FROM best{r})),
+               ' +', ' ', 'g')) AS seq
+      FROM seq{r})""")
+    rounds = "\n      UNION ALL ".join(
+        f"""SELECT CAST({r + 1} AS INTEGER) AS merge_round, pair,
+               replace(pair, ' ', '') AS token, cnt AS pair_count
+        FROM best{r}""" for r in range(n_merges))
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT * FROM ({rounds}) ORDER BY merge_round
+    """
+
+
+BPE_ORACLE = _bpe_oracle()

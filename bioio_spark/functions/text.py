@@ -521,3 +521,98 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
                  THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM sc GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# -- L4k DSIR hashed-ngram importance weights --------------------------------
+
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_weights(documents: DataFrame,
+                 n_buckets: int = DSIR_BUCKETS,
+                 target_lang: str = DSIR_TARGET_LANG) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169):
+    hashed-n-gram importance weights log(p_target(f)/p_source(f))
+    summed over each document's features, selecting docs distributed
+    like a target domain. Features are word unigrams + bigrams hashed
+    into `n_buckets` buckets with the repo's portable h32; the target
+    here is the `target_lang` slice of the corpus itself (the
+    "select web data to look like Wikipedia" shape with an in-fixture
+    target). The log-ratio is made HASH-EXACT by integer bit-length
+    logs (the l4j device): lambda(b) = floor(log2(cnt_t(b)+1)) -
+    floor(log2(cnt_s(b)+1)), all integers end to end.
+
+    Scale: one feature explode (narrow), two partial-combining
+    aggregates onto a HARD-BOUNDED key space (n_buckets rows — the
+    entire model is broadcastable by construction, DSIR's point), one
+    broadcast remap join, one per-doc aggregate.
+
+    Returns (doc_id, n_feats, weight, keep) by doc_id; keep = 1 iff
+    weight >= 0 (doc looks at least as target-like as source-like)."""
+    words = _words(F.col("text"))
+    base = documents.select("doc_id", "lang", words.alias("ws"))
+    nw = F.size("ws")
+    uni = base.select(
+        "doc_id", "lang", F.explode("ws").alias("f0")).select(
+        "doc_id", "lang", F.concat(F.lit("u "), "f0").alias("feat"))
+    bi_idx = (F.when(nw >= 2, F.sequence(F.lit(1), nw - 1))
+              .otherwise(F.array().cast("array<int>")))
+    bi = base.select(
+        "doc_id", "lang", "ws", F.explode(bi_idx).alias("i")).select(
+        "doc_id", "lang",
+        F.concat_ws(" ", F.lit("b"),
+                    F.element_at("ws", F.col("i")),
+                    F.element_at("ws", F.col("i") + 1)).alias("feat"))
+    feats = (uni.unionByName(bi)
+             .select("doc_id", "lang",
+                     (h32_col(F.col("feat")) % n_buckets).alias("b")))
+    src = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cnt_s"))
+    tgt = (feats.filter(F.col("lang") == target_lang)
+           .groupBy("b").agg(F.count(F.lit(1)).alias("cnt_t")))
+
+    def lg(col):
+        return F.length(F.bin(col)) - F.lit(1)
+
+    lam = (src.join(tgt, "b", "left")
+           .select("b",
+                   (lg(F.coalesce("cnt_t", F.lit(0)) + F.lit(1))
+                    - lg(F.col("cnt_s") + F.lit(1)))
+                   .cast("bigint").alias("lam")))
+    return (feats.join(F.broadcast(lam), "b")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+                 F.sum("lam").cast("bigint").alias("weight"))
+            .withColumn("keep", (F.col("weight") >= 0).cast("bigint"))
+            .orderBy("doc_id"))
+
+
+DSIR_ORACLE = rf"""
+WITH w AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents),
+uni AS (SELECT doc_id, lang, 'u ' || unnest(ws) AS feat FROM w),
+bi AS (
+  SELECT w.doc_id, w.lang,
+         'b ' || w.ws[t.i] || ' ' || w.ws[t.i + 1] AS feat
+  FROM w, unnest(generate_series(1, len(w.ws) - 1)) t(i)
+  WHERE len(w.ws) >= 2),
+feats AS (
+  SELECT doc_id, lang, {h32_sql('feat')} % {DSIR_BUCKETS} AS b
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+src AS (SELECT b, count(*) AS cnt_s FROM feats GROUP BY b),
+tgt AS (SELECT b, count(*) AS cnt_t FROM feats
+        WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
+lam AS (
+  SELECT s.b,
+         CAST((length(bin(coalesce(t.cnt_t, 0) + 1)) - 1)
+              - (length(bin(s.cnt_s + 1)) - 1) AS BIGINT) AS lam
+  FROM src s LEFT JOIN tgt t USING (b)),
+per_doc AS (
+  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum(l.lam) AS BIGINT) AS weight
+  FROM feats f JOIN lam l USING (b) GROUP BY f.doc_id)
+SELECT doc_id, n_feats, weight,
+       CAST(CASE WHEN weight >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM per_doc ORDER BY doc_id
+"""

@@ -845,3 +845,33 @@ def l12b_semdedup_sweep(spark, sf_dir):
     from bioio_spark.functions.similarity import semdedup_sweep
 
     return semdedup_sweep(load(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# L13 distributed BPE vocabulary learning — the tokenizer-training
+# iterative MapReduce (Sennrich et al. 2016). Rounds driver-sequenced
+# like l3h/CC; per round one vocab-sized pair-count aggregate, a 1-row
+# argmax fetch, and a narrow literal-pattern merge projection. The
+# oracle unrolls the identical round chain textually.
+# --------------------------------------------------------------------------
+from bioio_spark.functions.bpe import BPE_ORACLE  # noqa: E402
+
+
+@register("l13_bpe_vocab", oracle=BPE_ORACLE,
+          doc="L13 distributed BPE vocabulary learning: 4 merge "
+              "rounds, greedy-leftmost merge semantics pinned via "
+              "the doubled-space replace trick")
+def l13_bpe_vocab(spark, sf_dir):
+    from bioio_spark.functions.bpe import bpe_vocab
+
+    return bpe_vocab(load(spark, sf_dir, "documents"))
+
+
+@register("l4k_dsir_weights", oracle=_text.DSIR_ORACLE,
+          doc="L4k DSIR hashed-ngram importance weights (Xie et al. "
+              "2023): bounded 256-bucket model, broadcast remap, "
+              "integer bit-length log-ratio")
+def l4k_dsir_weights(spark, sf_dir):
+    from bioio_spark.functions.text import dsir_weights
+
+    return dsir_weights(load(spark, sf_dir, "documents"))
