@@ -172,6 +172,16 @@ def _register_builtin_plugins() -> None:
         version=__version__,
     ))
 
+    from bioio_spark.sources.dng_image import DngImageReader
+
+    register_plugin(PluginEntry(
+        name="bioio-dng-baseline",
+        reader=DngImageReader,
+        extensions=[".dng"],
+        is_supported_image=DngImageReader.is_supported_image,
+        version=__version__,
+    ))
+
     from bioio_spark.sources.svs_image import SvsImageReader
 
     register_plugin(PluginEntry(

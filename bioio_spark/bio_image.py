@@ -506,6 +506,8 @@ class BioImage:
                                                        read_mkv_window)
             from bioio_spark.sources.mp4_image import (Mp4ImageReader,
                                                        read_mp4_window)
+            from bioio_spark.sources.dng_image import (DngImageReader,
+                                                       read_dng_window)
             from bioio_spark.sources.pic_image import (PicImageReader,
                                                        read_pic_window)
             from bioio_spark.sources.zvi_image import (ZviImageReader,
@@ -519,6 +521,7 @@ class BioImage:
                             (DicomImageReader, read_dicom_window),
                             (MrcImageReader, read_mrc_window),
                             (ZviImageReader, read_zvi_window),
+                            (DngImageReader, read_dng_window),
                             (PicImageReader, read_pic_window),
                             (AviImageReader, read_avi_window),
                             (Mp4ImageReader, read_mp4_window),

@@ -1,0 +1,175 @@
+"""Lossless JPEG (ITU-T T.81 Annex H, process 14 / SOF3) — the
+compression DNG and most camera-RAW containers use for their mosaic
+data (DNG spec 1.4, "Compression=7 means lossless JPEG"). Predictive
+coding only: no DCT, no quantization — each sample's difference from a
+neighbor prediction is entropy-coded exactly like a baseline DC
+coefficient (SSSS category via Huffman + SSSS raw bits), with the
+T.81 H.1.2 specials: differences live modulo 2^16 and SSSS=16 carries
+NO extra bits (diff = 32768).
+
+Subset: single-component scans (DNG CFA mosaics are one plane),
+precision 2-16 bits, point transform 0, all seven spatial predictors
+on decode, predictor selectable on encode. Shares the bit-level
+Huffman machinery with the baseline codec (formats/jpeg.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from bioio_spark.formats.jpeg import (_BitReader, _BitWriter,
+                                      _build_codes, _build_decode_table,
+                                      _decode_huffman, _extend)
+
+# canonical Huffman table over SSSS categories 0..16: small categories
+# get short codes; counts[i] = number of codes of length i+1
+_LJPEG_COUNTS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 2]
+_LJPEG_SYMBOLS = list(range(17))
+
+
+def _predict(ra: int, rb: int, rc: int, psv: int) -> int:
+    if psv == 1:
+        return ra
+    if psv == 2:
+        return rb
+    if psv == 3:
+        return rc
+    if psv == 4:
+        return ra + rb - rc
+    if psv == 5:
+        return ra + ((rb - rc) >> 1)
+    if psv == 6:
+        return rb + ((ra - rc) >> 1)
+    if psv == 7:
+        return (ra + rb) >> 1
+    raise ValueError(f"invalid predictor {psv}")
+
+
+def encode_ljpeg(plane: np.ndarray, precision: int = 16,
+                 predictor: int = 1) -> bytes:
+    """Encode a 2-D unsigned integer plane as a single-component
+    lossless JPEG (SOF3)."""
+    if plane.ndim != 2:
+        raise ValueError("encode_ljpeg takes a single 2-D plane")
+    if not 2 <= precision <= 16:
+        raise ValueError("lossless JPEG precision must be 2..16")
+    h, w = plane.shape
+    px = plane.astype(np.int64)
+    if px.min() < 0 or px.max() >= (1 << precision):
+        raise ValueError("plane values exceed the stated precision")
+    codes = _build_codes(_LJPEG_COUNTS, _LJPEG_SYMBOLS)
+    bw = _BitWriter()
+    default = 1 << (precision - 1)
+    mask = 0xFFFF
+    for y in range(h):
+        for x in range(w):
+            if y == 0 and x == 0:
+                pred = default
+            elif x == 0:
+                pred = int(px[y - 1, 0])
+            elif y == 0:
+                pred = int(px[0, x - 1])
+            else:
+                pred = _predict(int(px[y, x - 1]), int(px[y - 1, x]),
+                                int(px[y - 1, x - 1]), predictor)
+            diff = (int(px[y, x]) - pred) & mask
+            if diff > 0x7FFF:
+                diff -= 0x10000
+            if diff == -0x8000:
+                cat, bits = 16, 0
+            else:
+                cat = abs(diff).bit_length()
+                bits = diff if diff >= 0 else diff + (1 << cat) - 1
+            code, length = codes[cat]
+            bw.write(code, length)
+            if cat and cat != 16:
+                bw.write(bits, cat)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dht = seg(0xFFC4, bytes([0x00]) + bytes(_LJPEG_COUNTS)
+              + bytes(_LJPEG_SYMBOLS))
+    sof = seg(0xFFC3, struct.pack(">BHHB", precision, h, w, 1)
+              + bytes([1, 0x11, 0]))
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, predictor, 0, 0x00]))
+    return (b"\xFF\xD8" + dht + sof + sos + scan + b"\xFF\xD9")
+
+
+def decode_ljpeg(data: bytes) -> np.ndarray:
+    """Decode a single-component lossless JPEG (SOF3) -> (H, W)
+    uint16 (uint8 when precision <= 8)."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    tables = {}
+    precision = h = w = None
+    predictor = None
+    scan_off = None
+    while pos < len(data) - 1:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = struct.unpack(">H", data[pos:pos + 2])[0]
+        if marker == 0xFFD9:
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        payload = data[pos + 4:pos + 2 + ln]
+        if marker == 0xFFC4:
+            p = 0
+            while p < len(payload):
+                tc_th = payload[p]
+                counts = list(payload[p + 1:p + 17])
+                n = sum(counts)
+                syms = list(payload[p + 17:p + 17 + n])
+                tables[tc_th & 0x0F] = _build_decode_table(counts, syms)
+                p += 17 + n
+        elif marker == 0xFFC3:
+            precision, h, w, nf = struct.unpack(">BHHB", payload[:6])
+            if nf != 1:
+                raise ValueError(
+                    "only single-component lossless JPEG scans are "
+                    "supported (DNG CFA subset)")
+        elif marker in (0xFFC0, 0xFFC1, 0xFFC2):
+            raise ValueError("not a lossless JPEG (DCT SOF marker)")
+        elif marker == 0xFFDA:
+            ns = payload[0]
+            if ns != 1:
+                raise ValueError("multi-component scan unsupported")
+            td = payload[2] >> 4
+            predictor = payload[1 + 2 * ns]
+            pt = payload[3 + 2 * ns] & 0x0F
+            if pt:
+                raise ValueError("nonzero point transform unsupported")
+            scan_off = pos + 2 + ln
+            table = tables[td]
+            break
+        pos += 2 + ln
+    if scan_off is None or precision is None:
+        raise ValueError("lossless JPEG missing SOF3/SOS")
+    br = _BitReader(data[scan_off:])
+    out = np.zeros((h, w), dtype=np.int64)
+    default = 1 << (precision - 1)
+    mask = 0xFFFF
+    for y in range(h):
+        for x in range(w):
+            cat = _decode_huffman(br, table)
+            if cat == 16:
+                diff = 0x8000
+            else:
+                diff = _extend(br.read_bits(cat), cat)
+            if y == 0 and x == 0:
+                pred = default
+            elif x == 0:
+                pred = int(out[y - 1, 0])
+            elif y == 0:
+                pred = int(out[0, x - 1])
+            else:
+                pred = _predict(int(out[y, x - 1]), int(out[y - 1, x]),
+                                int(out[y - 1, x - 1]), predictor)
+            out[y, x] = (pred + diff) & mask
+    dt = np.uint8 if precision <= 8 else np.uint16
+    return out.astype(dt)

@@ -4642,3 +4642,58 @@ def img_hist_eq(spark, sf_dir):
 
     return (hist_equalize(_gen_pixels(spark), n_pixels=Y * X)
             .orderBy("t", "c", "z", "y", "x"))
+
+
+# --------------------------------------------------------------------------
+# DNG camera RAW (Adobe DNG 1.4, ref README.md:70 routes camera RAWs
+# via bioio-bioformats): lossless-JPEG (SOF3) strips through the
+# in-repo ljpeg codec, CFA mosaic exposed un-demosaiced. The oracle
+# recomputes the deterministic mosaic closed-form and aggregates per
+# CFA phase (y%2, x%2) — pinning strip decode, offsets and the
+# Bayer-phase arithmetic in one hash.
+# --------------------------------------------------------------------------
+@register(
+    "img_dng_roundtrip",
+    oracle="""
+    WITH px AS (
+      SELECT (i // 16) AS y, (i % 16) AS x,
+             CAST((i // 16) * 257 + (i % 16) * 13
+                  + ((i // 16) % 2) * 2048
+                  + ((i % 16) % 2) * 1024 AS DOUBLE) AS value
+      FROM range(192) r(i))
+    SELECT CAST(y % 2 AS INTEGER) AS ry, CAST(x % 2 AS INTEGER) AS rx,
+           CAST(count(*) AS BIGINT) AS n_px,
+           sum(value) AS sum_val, max(value) AS max_val
+    FROM px GROUP BY y % 2, x % 2 ORDER BY ry, rx
+    """,
+    doc="DNG camera-RAW roundtrip: lossless-JPEG (SOF3) strips, "
+        "per-CFA-phase aggregate",
+)
+def img_dng_roundtrip(spark, sf_dir):
+    import os
+    import shutil
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.dng import build_dng
+
+    idx = np.indices((12, 16))
+    mosaic = (idx[0] * 257 + idx[1] * 13 + (idx[0] % 2) * 2048
+              + (idx[1] % 2) * 1024).astype(np.uint16)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "dng_roundtrip")
+    path = os.path.join(out, "raw.dng")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(build_dng(mosaic, compression=7, rows_per_strip=4))
+        os.replace(tmp, path)
+    img = BioImage(path, spark=spark)       # .dng extension routing
+    return (img.get_image_dataframe()
+            .groupBy((F.col("y") % 2).cast("int").alias("ry"),
+                     (F.col("x") % 2).cast("int").alias("rx"))
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("ry", "rx"))
