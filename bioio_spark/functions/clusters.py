@@ -148,3 +148,81 @@ def dedup_clusters_oracle(pairs_cte: str) -> str:
            count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
     FROM cc ORDER BY doc_id
     """
+
+
+# -- G2: PageRank (integer fixed-point, Pregel-on-DataFrame) -----------------
+
+PR_SCALE = 1_000_000            # decimal fixed point
+PR_DAMP_PCT = 85                # damping factor as integer percent
+PR_ITERS = 3
+
+
+def pagerank(edges: DataFrame, n_iters: int = PR_ITERS,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """Integer fixed-point PageRank: the Pregel-on-DataFrame iteration
+    that complements the pointer-jumping CC — a FIXED number of rounds
+    unrolled as one pure DataFrame chain (no driver collect at all;
+    contrast l3h/l13, whose per-round state must come back to the
+    driver). Every round is one edge-keyed join plus one
+    partial-combining aggregate on the destination key — the standard
+    distributed PageRank shape; a 100 TB graph runs the identical plan
+    with the ranks table checkpointed between rounds.
+
+    Arithmetic is EXACT: ranks are integers scaled by PR_SCALE and the
+    damped contribution is the single integer division
+    ``(rank * 85) DIV (100 * outdeg)`` — floor semantics identical in
+    Spark (DIV) and DuckDB (//), so three rounds of float-free
+    propagation hash-match. Dangling nodes keep the base rank (they
+    contribute nothing), spelled the same in both engines.
+
+    Returns (node, rank) over all nodes, rank after n_iters rounds."""
+    e = edges.select(F.col(src).alias("src"),
+                     F.col(dst).alias("dst")).distinct()
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct())
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn(
+        "rank", F.lit(PR_SCALE).cast("bigint"))
+    base = PR_SCALE * (100 - PR_DAMP_PCT) // 100
+    for _ in range(n_iters):
+        contrib = (e.join(outdeg, "src")
+                   .join(ranks.withColumnRenamed("node", "src"), "src")
+                   .select("dst",
+                           F.expr(f"(rank * {PR_DAMP_PCT}) DIV "
+                                  f"(100 * deg)").alias("c"))
+                   .groupBy("dst")
+                   .agg(F.sum("c").alias("contrib")))
+        ranks = (nodes.join(contrib.withColumnRenamed("dst", "node"),
+                            "node", "left")
+                 .select("node",
+                         (F.lit(base)
+                          + F.coalesce("contrib", F.lit(0)))
+                         .cast("bigint").alias("rank")))
+    return ranks
+
+
+def pagerank_oracle(edges_cte: str, n_iters: int = PR_ITERS) -> str:
+    """Textually-unrolled oracle. `edges_cte` must be a CTE chain (no
+    WITH) ending in a CTE named `edges` with columns (src, dst),
+    already distinct."""
+    base = PR_SCALE * (100 - PR_DAMP_PCT) // 100
+    parts = [edges_cte, """nodes AS (
+      SELECT src AS node FROM edges UNION
+      SELECT dst AS node FROM edges),
+    outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)
+    """.format(scale=PR_SCALE)]
+    for i in range(n_iters):
+        parts.append(f"""c{i} AS (
+      SELECT e.dst, sum((r.rank * {PR_DAMP_PCT})
+                        // (100 * o.deg)) AS contrib
+      FROM edges e JOIN outdeg o ON e.src = o.src
+                   JOIN r{i} r ON e.src = r.node
+      GROUP BY e.dst),
+    r{i + 1} AS (
+      SELECT n.node,
+             CAST({base} + coalesce(c.contrib, 0) AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN c{i} c ON n.node = c.dst)""")
+    body = ",\n    ".join(parts)
+    return body, f"r{n_iters}"

@@ -875,3 +875,40 @@ def l4k_dsir_weights(spark, sf_dir):
     from bioio_spark.functions.text import dsir_weights
 
     return dsir_weights(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# G2 PageRank over the customer -> supplier purchase graph — the
+# Pregel-on-DataFrame iteration complementing the CC operator (l6):
+# a FIXED unrolled round count, no driver collect, one edge join +
+# one dst-keyed partial agg per round, integer fixed-point arithmetic
+# so three float-free rounds hash-match the unrolled oracle.
+# --------------------------------------------------------------------------
+from bioio_spark.functions.clusters import (  # noqa: E402
+    pagerank, pagerank_oracle)
+
+_PR_EDGES_CTE = """edges AS (
+  SELECT DISTINCT o.o_custkey AS src,
+                  l.l_suppkey + 1000000000 AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)"""
+_PR_BODY, _PR_FINAL = pagerank_oracle(_PR_EDGES_CTE)
+_PR_ORACLE = f"""
+WITH {_PR_BODY}
+SELECT node, rank FROM {_PR_FINAL}
+ORDER BY rank DESC, node LIMIT 50
+"""
+
+
+@register("g2_pagerank", oracle=_PR_ORACLE,
+          doc="G2 integer fixed-point PageRank (3 unrolled rounds, "
+              "no driver collect) over the customer->supplier graph")
+def g2_pagerank(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .select(F.col("o_custkey").alias("src"),
+                 (F.col("l_suppkey") + 1000000000).alias("dst")))
+    return (pagerank(e)
+            .orderBy(F.desc("rank"), F.asc("node"))
+            .limit(50))
