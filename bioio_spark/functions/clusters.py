@@ -176,12 +176,16 @@ def pagerank(edges: DataFrame, n_iters: int = PR_ITERS,
     contribute nothing), spelled the same in both engines.
 
     Returns (node, rank) over all nodes, rank after n_iters rounds."""
+    # the graph tables are reused EVERY round — persist them once, as
+    # every production PageRank does (at 100 TB: cache edges on disk,
+    # checkpoint the ranks table between rounds to cut lineage)
     e = edges.select(F.col(src).alias("src"),
-                     F.col(dst).alias("dst")).distinct()
+                     F.col(dst).alias("dst")).distinct().persist()
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
-             .distinct())
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+             .distinct().persist())
+    outdeg = (e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+              .persist())
     ranks = nodes.withColumn(
         "rank", F.lit(PR_SCALE).cast("bigint"))
     base = PR_SCALE * (100 - PR_DAMP_PCT) // 100
@@ -198,7 +202,11 @@ def pagerank(edges: DataFrame, n_iters: int = PR_ITERS,
                  .select("node",
                          (F.lit(base)
                           + F.coalesce("contrib", F.lit(0)))
-                         .cast("bigint").alias("rank")))
+                         .cast("bigint").alias("rank"))
+                 # truncate the per-round lineage (the CC loop's
+                 # localCheckpoint pattern): round i+1 reads round i's
+                 # materialized ranks, not its whole recomputed subtree
+                 .persist())
     return ranks
 
 
