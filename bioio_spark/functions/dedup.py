@@ -603,8 +603,12 @@ def ngram_span_coverage(documents: DataFrame, k: int = SPAN_K,
 
     Scale: positioned-shingle explode (narrow, xK rows), one
     partial-combining distinct-doc count on the shingle key, a
-    shingle-keyed join back, a bounded xk span explode, and per-doc
-    distinct-position counts. All integers; no RNG, no floats.
+    shingle-keyed join back, then the covered-token count via an
+    INTERVAL-UNION SWEEP — per doc, duplicated start positions are
+    strictly increasing, so |union of [pos, pos+k-1]| =
+    k + sum(min(k, pos_i - pos_{i-1})), one lag window partitioned by
+    doc_id (bounded by the doc's own positions) — no xk span explode
+    and no distinct. All integers; no RNG, no floats.
 
     Returns (doc_id, n_tokens, n_covered, keep) by doc_id."""
     words = _words(F.col("text"))
@@ -623,14 +627,16 @@ def ngram_span_coverage(documents: DataFrame, k: int = SPAN_K,
            .agg(F.countDistinct("doc_id").alias("nd"))
            .filter(F.col("nd") >= 2)
            .select("sh"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    gain = (F.when(prev.isNull(), F.lit(k))
+            .otherwise(F.least(F.lit(k), F.col("pos") - prev)))
     covered = (pos_sh.join(dup, "sh")
-               .select("doc_id",
-                       F.explode(F.sequence(
-                           F.col("pos"),
-                           F.col("pos") + k - 1)).alias("tp"))
-               .distinct()
+               .select("doc_id", "pos")
+               .withColumn("g", gain)
                .groupBy("doc_id")
-               .agg(F.count(F.lit(1)).alias("n_covered")))
+               .agg(F.sum("g").alias("n_covered")))
     return (documents.select("doc_id", n.cast("bigint")
                              .alias("n_tokens"))
             .join(covered, "doc_id", "left")
@@ -657,10 +663,13 @@ ps AS (
 dup AS (SELECT sh FROM ps GROUP BY sh
         HAVING count(DISTINCT doc_id) >= 2),
 cov AS (
-  SELECT DISTINCT d.doc_id, s.tp
-  FROM (SELECT ps.doc_id, ps.pos FROM ps JOIN dup USING (sh)) d,
-       unnest(generate_series(d.pos, d.pos + {SPAN_K - 1})) s(tp)),
-per_doc AS (SELECT doc_id, count(*) AS n FROM cov GROUP BY doc_id)
+  SELECT doc_id,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   IS NULL THEN {SPAN_K}
+              ELSE least({SPAN_K}, pos - lag(pos)
+                     OVER (PARTITION BY doc_id ORDER BY pos)) END AS g
+  FROM (SELECT ps.doc_id, ps.pos FROM ps JOIN dup USING (sh)) d),
+per_doc AS (SELECT doc_id, sum(g) AS n FROM cov GROUP BY doc_id)
 SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
        CAST(coalesce(p.n, 0) AS BIGINT) AS n_covered,
        CAST(CASE WHEN coalesce(p.n, 0) * 1000

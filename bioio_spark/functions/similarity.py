@@ -389,9 +389,14 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.3,
         "vec_id", _to_double(F.col("embedding")).alias("e"))
     trained = _train_ivf(emb, n_centroids, sample_mod,
                          cache_key=cache_key)
+    # materialize the assignment once — the paper's own pipeline shape
+    # (write the cluster assignment, then dedup per cluster); without
+    # this the argmax-over-centroids projection re-evaluates on every
+    # consumer (both self-join sides, the anti-join, both summaries)
     assigned = (emb.withColumn("ne", _norm(F.col("e")))
                 .withColumn("cid", _assigned(trained).cast("int"))
-                .select("vec_id", "cid", "e", "ne"))
+                .select("vec_id", "cid", "e", "ne")
+                .persist())
     from pyspark.sql import Window
     capped = (assigned.withColumn(
         "rn", F.row_number().over(
@@ -894,18 +899,25 @@ def pq_recall(embeddings: DataFrame, query_vec_id: int = 2,
           .limit(k)
           .select("vec_id"))
 
-    pq = pq_topk(embeddings, query_vec_id, k, m_sub, ks, sample_mod,
-                 cache_key=cache_key).select("vec_id")
-    short = (pq_topk(embeddings, query_vec_id, shortlist, m_sub, ks,
-                     sample_mod, cache_key=cache_key)
-             .select("vec_id"))
-    rerank = (base.join(short, "vec_id")
+    # ONE ADC pass: the ADC top-k is by definition the first k rows of
+    # the ADC shortlist (same total order), and the shortlist is a
+    # bounded 50-row fetch (the IVF-centroid-collect class) — so the
+    # k-cut happens driver-side and the rerank scan filters by a
+    # pushed-down isin over the 50 ids instead of a second full
+    # ADC+join pass. Cuts the gauge from four corpus passes to two.
+    short_ids = [int(r["vec_id"]) for r in
+                 pq_topk(embeddings, query_vec_id, shortlist, m_sub,
+                         ks, sample_mod, cache_key=cache_key)
+                 .select("vec_id").collect()]
+    pq = emb.sparkSession.createDataFrame(
+        [(i,) for i in short_ids[:k]], "vec_id long")
+    rerank = (base.filter(F.col("vec_id").isin(short_ids))
               .select("vec_id", exact.alias("l2"))
               .orderBy(F.col("l2").asc(), F.col("vec_id").asc())
               .limit(k)
               .select("vec_id"))
 
-    n_adc = (pq.join(bf, "vec_id")
+    n_adc = (bf.join(F.broadcast(pq), "vec_id")
              .agg(F.count(F.lit(1)).cast("bigint")
                   .alias("n_common_adc")))
     n_rr = (rerank.join(bf, "vec_id")

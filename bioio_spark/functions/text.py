@@ -567,18 +567,21 @@ def dsir_weights(documents: DataFrame,
     feats = (uni.unionByName(bi)
              .select("doc_id", "lang",
                      (h32_col(F.col("feat")) % n_buckets).alias("b")))
-    src = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cnt_s"))
-    tgt = (feats.filter(F.col("lang") == target_lang)
-           .groupBy("b").agg(F.count(F.lit(1)).alias("cnt_t")))
+    # ONE pass builds both densities: cnt_s = all instances, cnt_t =
+    # the target-slice instances, same 256-key partial-combining agg
+    counts = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cnt_s"),
+        F.sum(F.when(F.col("lang") == target_lang, 1)
+              .otherwise(0)).alias("cnt_t"))
 
     def lg(col):
         return F.length(F.bin(col)) - F.lit(1)
 
-    lam = (src.join(tgt, "b", "left")
-           .select("b",
-                   (lg(F.coalesce("cnt_t", F.lit(0)) + F.lit(1))
-                    - lg(F.col("cnt_s") + F.lit(1)))
-                   .cast("bigint").alias("lam")))
+    lam = counts.select(
+        "b",
+        (lg(F.col("cnt_t") + F.lit(1))
+         - lg(F.col("cnt_s") + F.lit(1)))
+        .cast("bigint").alias("lam"))
     return (feats.join(F.broadcast(lam), "b")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_feats"),
@@ -600,14 +603,16 @@ bi AS (
 feats AS (
   SELECT doc_id, lang, {h32_sql('feat')} % {DSIR_BUCKETS} AS b
   FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
-src AS (SELECT b, count(*) AS cnt_s FROM feats GROUP BY b),
-tgt AS (SELECT b, count(*) AS cnt_t FROM feats
-        WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
+counts AS (
+  SELECT b, count(*) AS cnt_s,
+         sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+           AS cnt_t
+  FROM feats GROUP BY b),
 lam AS (
-  SELECT s.b,
-         CAST((length(bin(coalesce(t.cnt_t, 0) + 1)) - 1)
-              - (length(bin(s.cnt_s + 1)) - 1) AS BIGINT) AS lam
-  FROM src s LEFT JOIN tgt t USING (b)),
+  SELECT b,
+         CAST((length(bin(cnt_t + 1)) - 1)
+              - (length(bin(cnt_s + 1)) - 1) AS BIGINT) AS lam
+  FROM counts),
 per_doc AS (
   SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
          CAST(sum(l.lam) AS BIGINT) AS weight

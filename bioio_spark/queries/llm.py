@@ -832,8 +832,11 @@ def l11_curriculum_sample(spark, sf_dir):
               "near-dup removal over the cached IVF assignment, "
               "pairing capped at MAX_CLUSTER_WIDTH lowest ids")
 def l12_semantic_dedup(spark, sf_dir):
+    # cache_key must be sf-scoped: a fixed key would hand a warm
+    # session sf0.001 centroids for an sf0.1 run
     return semantic_dedup(load(spark, sf_dir, "embeddings"),
-                          threshold=0.3)
+                          threshold=0.3,
+                          cache_key=("semdedup", sf_dir))
 
 
 @register("l12b_semdedup_sweep",
@@ -844,7 +847,8 @@ def l12_semantic_dedup(spark, sf_dir):
 def l12b_semdedup_sweep(spark, sf_dir):
     from bioio_spark.functions.similarity import semdedup_sweep
 
-    return semdedup_sweep(load(spark, sf_dir, "embeddings"))
+    return semdedup_sweep(load(spark, sf_dir, "embeddings"),
+                          cache_key=("semdedup", sf_dir))
 
 
 # --------------------------------------------------------------------------
