@@ -677,3 +677,117 @@ SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
                  THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM w LEFT JOIN per_doc p USING (doc_id) ORDER BY w.doc_id
 """
+
+
+# -- L9b Bloom-filter decontamination ----------------------------------------
+
+BLOOM_WORDS = 64                # filter = 64 bigint words
+BLOOM_BITS = 32                 # usable bits per word (sign-safe)
+BLOOM_M = BLOOM_WORDS * BLOOM_BITS     # 2048 bits
+BLOOM_J = 4                     # hash functions
+
+
+def bloom_decontamination(documents: DataFrame,
+                          eval_mod: int = 10,
+                          j: int = BLOOM_J) -> DataFrame:
+    """Bloom-sketch decontamination: flag TRAIN documents carrying
+    eval-set shingles via a broadcast fixed-size bit filter — the
+    at-scale complement of l9's exact shingle join. l9 shuffles the
+    train shingle set on the shingle key (right when both sides are
+    large); here the EVAL set (always the small side in practice)
+    compresses into a 2048-bit Bloom filter built by a bounded 64-key
+    bit_or aggregate, the probe is a broadcast join against <= 64
+    filter words plus codegen bit tests, and the train corpus is
+    touched in ONE narrow pass. False positives are inherent to the
+    sketch and IDENTICAL across engines (the filter is a deterministic
+    function of md5-derived positions), so the op is hash-exact — the
+    same determinism argument as the minhash family.
+
+    Returns (doc_id, n_grams, n_flagged, keep) over train docs:
+    n_flagged = distinct shingles whose j filter bits are all set,
+    keep = 1 iff n_flagged == 0."""
+    from bioio_spark.functions.hashing import h32_col as _h
+
+    sh = _shingled(documents)
+    is_eval = (_h(F.concat(F.lit("split:"),
+                           F.col("doc_id").cast("string")))
+               % eval_mod) == 0
+    ex = (sh.withColumn("is_eval", is_eval)
+          .select("doc_id", "is_eval", F.explode("sh").alias("g")))
+    seeds = F.array(*[
+        (_h(F.concat(F.lit(f"b{i}:"), F.col("g"))) % BLOOM_M)
+        for i in range(j)])
+    build = (ex.filter(F.col("is_eval"))
+             .select(F.explode(seeds).alias("p"))
+             .select(F.expr(f"p DIV {BLOOM_BITS}").alias("w"),
+                     F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                            f"CAST(p % {BLOOM_BITS} AS INT))")
+                     .alias("mask"))
+             .groupBy("w")
+             .agg(F.bit_or("mask").alias("bits")))
+    probe = (ex.filter(~F.col("is_eval"))
+             .select("doc_id", "g", F.explode(seeds).alias("p"))
+             .select("doc_id", "g",
+                     F.expr(f"p DIV {BLOOM_BITS}").alias("w"),
+                     F.expr(f"CAST(p % {BLOOM_BITS} AS INT)")
+                     .alias("b"))
+             .join(F.broadcast(build), "w", "left")
+             .select("doc_id", "g",
+                     F.coalesce(
+                         F.shiftright(F.col("bits"), 0)
+                         .bitwiseAND(F.lit(0)), F.lit(0)).alias("_z"),
+                     F.coalesce(
+                         F.expr("shiftright(bits, b)")
+                         .bitwiseAND(F.lit(1).cast("long")),
+                         F.lit(0).cast("long")).alias("hit"))
+             .groupBy("doc_id", "g")
+             .agg(F.sum("hit").alias("nhits")))
+    return (probe
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+                 F.sum((F.col("nhits") == j).cast("bigint"))
+                 .cast("bigint").alias("n_flagged"))
+            .withColumn("keep", (F.col("n_flagged") == 0)
+                        .cast("bigint"))
+            .orderBy("doc_id"))
+
+
+def bloom_decontamination_oracle(eval_mod: int = 10,
+                                 j: int = BLOOM_J) -> str:
+    split = h32_sql("'split:' || CAST(doc_id AS VARCHAR)")
+    pos = ", ".join(h32_sql(f"'b{i}:' || g") + f" % {BLOOM_M}"
+                    for i in range(j))
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, ({split} % {eval_mod} = 0) AS is_eval,
+             unnest({_SHINGLE_SQL}) AS g
+      FROM documents),
+    pos AS (
+      SELECT doc_id, is_eval, g,
+             unnest([{pos}]) AS p
+      FROM sh),
+    filt AS (
+      SELECT p // {BLOOM_BITS} AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % {BLOOM_BITS}
+                                              AS INTEGER)) AS bits
+      FROM pos WHERE is_eval GROUP BY p // {BLOOM_BITS}),
+    probe AS (
+      SELECT t.doc_id, t.g,
+             sum(coalesce((f.bits >> CAST(t.p % {BLOOM_BITS}
+                                          AS INTEGER)) & 1, 0))
+               AS nhits
+      FROM pos t LEFT JOIN filt f ON t.p // {BLOOM_BITS} = f.w
+      WHERE NOT t.is_eval GROUP BY t.doc_id, t.g),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN nhits = {j} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_flagged
+      FROM probe GROUP BY doc_id)
+    SELECT doc_id, n_grams, n_flagged,
+           CAST(CASE WHEN n_flagged = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS keep
+    FROM per_doc ORDER BY doc_id
+    """
+
+
+BLOOM_DECONTAM_ORACLE = bloom_decontamination_oracle()

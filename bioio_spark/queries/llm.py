@@ -916,3 +916,15 @@ def g2_pagerank(spark, sf_dir):
     return (pagerank(e)
             .orderBy(F.desc("rank"), F.asc("node"))
             .limit(50))
+
+
+@register("l9b_bloom_decontam",
+          oracle=_dedup.BLOOM_DECONTAM_ORACLE,
+          doc="L9b Bloom-sketch decontamination: eval shingles -> "
+              "2048-bit broadcast filter (bounded 64-key bit_or agg), "
+              "one narrow probe pass over the train corpus; "
+              "deterministic md5 positions make the sketch hash-exact")
+def l9b_bloom_decontam(spark, sf_dir):
+    from bioio_spark.functions.dedup import bloom_decontamination
+
+    return bloom_decontamination(load(spark, sf_dir, "documents"))
