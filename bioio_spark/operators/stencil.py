@@ -350,3 +350,66 @@ def sobel_pixels(pixels: DataFrame, height: int, width: int,
             .withColumn("mag2", (F.col("gx") * F.col("gx")
                                  + F.col("gy") * F.col("gy"))
                         .cast("bigint")))
+
+
+def sobel_planes(planes: DataFrame, tile_h: int = 256,
+                 tile_w: int = 256) -> DataFrame:
+    """Sobel gradient on the planes layout via halo exchange — the
+    100 TB twin of sobel_pixels (tiles ship O(perimeter) strips, the
+    in-tile pass is a fixed-size separable expression). Both kernels
+    factor separably over the halo-extended rows: Gx = [1,2,1]^T ox
+    [-1,0,1] (vertical smooth of horizontal diffs) and Gy =
+    [-1,0,1]^T ox [1,2,1] (vertical diff of horizontal sums), so ONE
+    horizontal pass feeds both gradients. NULL halo taps (image
+    border) propagate through the arithmetic, so non-interior pixels
+    emerge NULL and are filtered — exactly sobel_pixels' interior
+    contract, with no height/width parameters needed.
+
+    Returns pixel-level (keys, y, x, gx, gy, mag2), interior only."""
+    grouped, key_cols = _halo_grouped(planes, tile_h, tile_w)
+    h, w = F.col("h"), F.col("w")
+
+    def hparts(row):
+        a = F.slice(row, 1, w.cast("int"))
+        b = F.slice(row, 2, w.cast("int"))
+        c = F.slice(row, 3, w.cast("int"))
+        d = F.zip_with(c, a, lambda x, y: x - y)
+        s = F.zip_with(F.zip_with(a, b, lambda x, y: x + y + y),
+                       c, lambda x, y: x + y)
+        return F.struct(d.alias("d"), s.alias("s"))
+
+    staged = (grouped
+              .withColumn("ext", _ext_rows())
+              .withColumn("hp", F.transform(F.col("ext"), hparts)))
+    hp = F.col("hp")
+
+    def row_structs(r):
+        h1 = F.element_at(hp, (r + 1).cast("int"))
+        h2 = F.element_at(hp, (r + 2).cast("int"))
+        h3 = F.element_at(hp, (r + 3).cast("int"))
+        gx = F.zip_with(
+            F.zip_with(h1["d"], h2["d"], lambda x, y: x + y + y),
+            h3["d"], lambda x, y: x + y)
+        gy = F.zip_with(h3["s"], h1["s"], lambda x, y: x - y)
+        return F.zip_with(gx, gy,
+                          lambda x, y: F.struct(x.alias("gx"),
+                                                y.alias("gy")))
+
+    out = staged.select(
+        *key_cols, "y0", "x0", "w",
+        F.flatten(F.transform(F.sequence(F.lit(0), h - 1),
+                              row_structs)).alias("gs"))
+    ex = out.select(*key_cols, "y0", "x0", "w",
+                    F.posexplode("gs").alias("i", "g"))
+    return (ex.select(
+                *key_cols,
+                (F.col("y0") + (F.col("i") / F.col("w")).cast("long"))
+                .cast("int").alias("y"),
+                (F.col("x0") + F.col("i") % F.col("w")).cast("int")
+                .alias("x"),
+                F.col("g.gx").cast("bigint").alias("gx"),
+                F.col("g.gy").cast("bigint").alias("gy"))
+            .filter(F.col("gx").isNotNull() & F.col("gy").isNotNull())
+            .withColumn("mag2", (F.col("gx") * F.col("gx")
+                                 + F.col("gy") * F.col("gy"))
+                        .cast("bigint")))

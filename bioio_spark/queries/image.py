@@ -4697,3 +4697,39 @@ def img_dng_roundtrip(spark, sf_dir):
                  F.sum("value").alias("sum_val"),
                  F.max("value").alias("max_val"))
             .orderBy("ry", "rx"))
+
+
+@register(
+    "img_planes_sobel",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL}),
+    g AS (
+      SELECT a.t, a.c, a.z, a.y, a.x,
+             CAST(sum(b.value * (b.x - a.x) * (2 - abs(b.y - a.y)))
+                  AS BIGINT) AS gx,
+             CAST(sum(b.value * (b.y - a.y) * (2 - abs(b.x - a.x)))
+                  AS BIGINT) AS gy
+      FROM px a JOIN px b
+        ON a.t = b.t AND a.c = b.c AND a.z = b.z
+       AND abs(a.y - b.y) <= 1 AND abs(a.x - b.x) <= 1
+      WHERE a.y BETWEEN 1 AND {Y - 2} AND a.x BETWEEN 1 AND {X - 2}
+      GROUP BY a.t, a.c, a.z, a.y, a.x)
+    SELECT t, c, z, y, x, gx, gy,
+           CAST(gx * gx + gy * gy AS BIGINT) AS mag2
+    FROM g ORDER BY t, c, z, y, x
+    """,
+    doc="the same Sobel gradient through the planes/halo-exchange "
+        "layout (tiles ship O(perimeter) strips; separable in-tile "
+        "passes feed both gradients) — hash-matching the pixel-level "
+        "oracle proves the 100 TB path computes identical gradients "
+        "across tile seams and ragged edges",
+)
+def img_planes_sobel(spark, sf_dir):
+    from bioio_spark.operators.planes import pixels_to_planes
+    from bioio_spark.operators.stencil import sobel_planes
+
+    # 2x3 pitch over 4x5 planes: seams on both axes + ragged edges
+    planes = pixels_to_planes(_gen_pixels(spark), tile_h=2, tile_w=3)
+    return (sobel_planes(planes, tile_h=2, tile_w=3)
+            .select("t", "c", "z", "y", "x", "gx", "gy", "mag2")
+            .orderBy("t", "c", "z", "y", "x"))
