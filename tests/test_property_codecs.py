@@ -347,3 +347,21 @@ def test_avi_rgb_roundtrip_property(t, h, w, fps, seed):
         np.testing.assert_array_equal(decode_avi(p), frames)
     finally:
         os.remove(p)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 24), w=st.integers(1, 24),
+    precision=st.integers(2, 16),
+    predictor=st.integers(1, 7),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ljpeg_roundtrip(h, w, precision, predictor, seed):
+    from bioio_spark.formats.ljpeg import decode_ljpeg, encode_ljpeg
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 1 << precision, (h, w)).astype(np.uint16)
+    got = decode_ljpeg(encode_ljpeg(a, precision=precision,
+                                    predictor=predictor))
+    assert got.shape == a.shape
+    assert (got.astype(np.int64) == a.astype(np.int64)).all()
