@@ -4733,3 +4733,49 @@ def img_planes_sobel(spark, sf_dir):
     return (sobel_planes(planes, tile_h=2, tile_w=3)
             .select("t", "c", "z", "y", "x", "gx", "gy", "mag2")
             .orderBy("t", "c", "z", "y", "x"))
+
+
+@register(
+    "img_dng_window",
+    oracle="""
+    WITH px AS (
+      SELECT (i // 16) AS y, (i % 16) AS x,
+             CAST((i // 16) * 257 + (i % 16) * 13
+                  + ((i // 16) % 2) * 2048
+                  + ((i % 16) % 2) * 1024 AS DOUBLE) AS value
+      FROM range(192) r(i))
+    SELECT CAST(count(*) AS BIGINT) AS n_px,
+           sum(value) AS sum_val,
+           CAST(min(y) AS BIGINT) AS min_y,
+           CAST(max(y) AS BIGINT) AS max_y
+    FROM px WHERE y >= 5 AND y < 9 AND x >= 2 AND x < 10
+    """,
+    doc="DNG window read: y window prunes whole strips driver-side "
+        "(the uncompressed variant narrows to touched row byte "
+        "ranges), x trims via codegen filter",
+)
+def img_dng_window(spark, sf_dir):
+    import os
+    import shutil
+
+    from bioio_spark.formats.dng import build_dng
+    from bioio_spark.sources.dng_image import read_dng_window
+
+    idx = np.indices((12, 16))
+    mosaic = (idx[0] * 257 + idx[1] * 13 + (idx[0] % 2) * 2048
+              + (idx[1] % 2) * 1024).astype(np.uint16)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "dng_window")
+    path = os.path.join(out, "raw.dng")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(build_dng(mosaic, compression=1, rows_per_strip=4))
+        os.replace(tmp, path)
+    return (read_dng_window(spark, path, y=(5, 9), x=(2, 10))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.min("y").cast("bigint").alias("min_y"),
+                 F.max("y").cast("bigint").alias("max_y")))

@@ -832,11 +832,12 @@ def l11_curriculum_sample(spark, sf_dir):
               "near-dup removal over the cached IVF assignment, "
               "pairing capped at MAX_CLUSTER_WIDTH lowest ids")
 def l12_semantic_dedup(spark, sf_dir):
-    # cache_key must be sf-scoped: a fixed key would hand a warm
-    # session sf0.001 centroids for an sf0.1 run
+    # cache_key must be sf-scoped (a fixed key would hand a warm
+    # session sf0.001 centroids for an sf0.1 run) and is shared with
+    # l3c/l3h: identical (n_centroids, sample_mod) deterministic
+    # training means ONE index serves the whole IVF family
     return semantic_dedup(load(spark, sf_dir, "embeddings"),
-                          threshold=0.3,
-                          cache_key=("semdedup", sf_dir))
+                          threshold=0.3, cache_key=sf_dir)
 
 
 @register("l12b_semdedup_sweep",
@@ -848,7 +849,7 @@ def l12b_semdedup_sweep(spark, sf_dir):
     from bioio_spark.functions.similarity import semdedup_sweep
 
     return semdedup_sweep(load(spark, sf_dir, "embeddings"),
-                          cache_key=("semdedup", sf_dir))
+                          cache_key=sf_dir)
 
 
 # --------------------------------------------------------------------------
