@@ -81,3 +81,44 @@ def hist_equalize(pixels: DataFrame, n_pixels: int,
              .select(*keep, "value", "eq"))
     return (pixels.join(F.broadcast(remap), [*keep, "value"])
             .select(*keep, "y", "x", "eq"))
+
+
+def demosaic_pixels(pixels: DataFrame, height: int, width: int,
+                    plane_cols=("t", "c", "z")) -> DataFrame:
+    """Bilinear RGGB demosaic — the step a training pipeline runs on
+    camera-RAW mosaics right after the DNG read (sources/dng_image.py
+    exposes the CFA plane un-demosaiced precisely so this stays a
+    queryable operator, not a reader policy).
+
+    For an RGGB Bayer grid, edge-clamped bilinear interpolation is
+    EXACTLY "per output pixel, the mean of each color's source pixels
+    within the in-bounds 3x3 window": at an R site the window's only R
+    is itself, its 4 edge neighbors are the G estimate and its 4
+    diagonals the B estimate — and every in-bounds window (even the
+    2x2 corner) contains all three phases, so the projection is total.
+    One contribution explode + one hash aggregate on the target key —
+    the N1-N5 shuffle shape, three channels for one exchange. Sums are
+    integer-exact; each mean is a single IEEE division, bit-identical
+    across engines.
+
+    Returns (plane keys, y, x, r, g, b)."""
+    offsets = F.array(*[
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+    keep = [c for c in plane_cols if c in pixels.columns]
+    code = (F.col("y") % 2) * 2 + (F.col("x") % 2)   # 0=R 1,2=G 3=B
+    ph = (F.when(code == 0, 0).when(code == 3, 2).otherwise(1))
+    ex = pixels.select(*keep, "y", "x", "value", ph.alias("ph"),
+                       F.explode(offsets).alias("o"))
+    ty = (F.col("y") + F.col("o.dy")).alias("y")
+    tx = (F.col("x") + F.col("o.dx")).alias("x")
+
+    def chan(p, name):
+        hit = F.when(F.col("ph") == p, F.col("value"))
+        return (F.sum(hit) / F.count(hit)).alias(name)
+
+    return (ex.select(*keep, ty, tx, "ph", "value")
+            .filter((F.col("y") >= 0) & (F.col("y") < height)
+                    & (F.col("x") >= 0) & (F.col("x") < width))
+            .groupBy(*keep, "y", "x")
+            .agg(chan(0, "r"), chan(1, "g"), chan(2, "b")))

@@ -4779,3 +4779,59 @@ def img_dng_window(spark, sf_dir):
                  F.sum("value").alias("sum_val"),
                  F.min("y").cast("bigint").alias("min_y"),
                  F.max("y").cast("bigint").alias("max_y")))
+
+
+@register(
+    "img_demosaic",
+    oracle="""
+    WITH px AS (
+      SELECT (i // 16) AS y, (i % 16) AS x,
+             CAST((i // 16) * 257 + (i % 16) * 13
+                  + ((i // 16) % 2) * 2048
+                  + ((i % 16) % 2) * 1024 AS DOUBLE) AS value
+      FROM range(192) r(i))
+    SELECT a.y, a.x,
+           sum(CASE WHEN b.y % 2 = 0 AND b.x % 2 = 0
+                    THEN b.value END)
+             / count(CASE WHEN b.y % 2 = 0 AND b.x % 2 = 0
+                          THEN 1 END) AS r,
+           sum(CASE WHEN b.y % 2 <> b.x % 2 THEN b.value END)
+             / count(CASE WHEN b.y % 2 <> b.x % 2 THEN 1 END) AS g,
+           sum(CASE WHEN b.y % 2 = 1 AND b.x % 2 = 1
+                    THEN b.value END)
+             / count(CASE WHEN b.y % 2 = 1 AND b.x % 2 = 1
+                          THEN 1 END) AS b
+    FROM px a JOIN px b
+      ON abs(a.y - b.y) <= 1 AND abs(a.x - b.x) <= 1
+    GROUP BY a.y, a.x ORDER BY a.y, a.x
+    """,
+    doc="bilinear RGGB demosaic chained onto the DNG camera-RAW "
+        "reader: file -> CFA plane -> per-channel 3x3 in-bounds "
+        "means, one explode + one hash agg for all three channels",
+)
+def img_demosaic(spark, sf_dir):
+    import os
+    import shutil
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.dng import build_dng
+    from bioio_spark.operators.intensity import demosaic_pixels
+
+    idx = np.indices((12, 16))
+    mosaic = (idx[0] * 257 + idx[1] * 13 + (idx[0] % 2) * 2048
+              + (idx[1] % 2) * 1024).astype(np.uint16)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "dng_roundtrip")
+    path = os.path.join(out, "raw.dng")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(build_dng(mosaic, compression=7, rows_per_strip=4))
+        os.replace(tmp, path)
+    cfa = (BioImage(path, spark=spark).get_image_dataframe()
+           .select("y", "x", "value"))
+    return (demosaic_pixels(cfa, 12, 16, plane_cols=())
+            .select("y", "x", "r", "g", "b")
+            .orderBy("y", "x"))
