@@ -621,3 +621,92 @@ SELECT doc_id, n_feats, weight,
        CAST(CASE WHEN weight >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM per_doc ORDER BY doc_id
 """
+
+
+# -- L4l TF-IDF top-k similar document pairs ---------------------------------
+
+TFIDF_IDF_CAP = 20              # idf = CAP - floor(log2(df)), floored at 0
+TFIDF_MAX_POSTING = 64          # per-word posting-list width cap (l2d)
+TFIDF_TOP_PAIRS = 20
+
+
+def tfidf_similar_pairs(documents: DataFrame,
+                        idf_cap: int = TFIDF_IDF_CAP,
+                        max_posting: int = TFIDF_MAX_POSTING,
+                        top: int = TFIDF_TOP_PAIRS) -> DataFrame:
+    """Sparse-vector document similarity: top pairs by the TF-IDF dot
+    product — the text-side complement of the dense-embedding l3
+    family (same retrieval math, inverted-index shape instead of ANN).
+    IDF is the l4j integer device: idf(w) = max(0, cap - floor(
+    log2(df))) with floor-log2 = bitlen-1, so every weight and score
+    is an exact integer — hash-stable with no float ordering to pin.
+
+    Scale levers, both from the repo's standard kit:
+    - stop-words self-prune: df >= 2^cap gives idf 0 and the posting
+      drops out BEFORE the pair join (the dominant skew source in an
+      inverted index costs nothing);
+    - residual hot words hit the l2d posting cap: row_number per word,
+      keep-lowest-doc_id, max O(cap^2) pairs per word task.
+    Pair scores aggregate with map-side combining on the (a, b) key;
+    the final top-k is TakeOrderedAndProject.
+
+    Returns (doc_a, doc_b, score), top `top` by score desc, ids asc."""
+    from pyspark.sql import Window
+
+    occ = documents.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("word"))
+    tf = (occ.groupBy("doc_id", "word")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df_ = (tf.groupBy("word")
+           .agg(F.count(F.lit(1)).alias("df")))
+    idf = F.greatest(F.lit(0).cast("bigint"),
+                     F.lit(idf_cap)
+                     - (F.length(F.bin("df")) - F.lit(1)))
+    posting = (tf.join(df_, "word")
+               .select("word", "doc_id",
+                       (F.col("tf") * idf).cast("bigint").alias("w"))
+               .filter(F.col("w") > 0))
+    capped = (posting.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("word").orderBy("doc_id")))
+        .filter(F.col("rn") <= max_posting)
+        .drop("rn"))
+    a, b = capped.alias("a"), capped.alias("b")
+    return (a.join(b, (F.col("a.word") == F.col("b.word"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("bigint")
+                 .alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_a"), F.asc("doc_b"))
+            .limit(top))
+
+
+TFIDF_PAIRS_ORACLE = rf"""
+WITH occ AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+'))
+           AS word
+  FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS tf
+       FROM occ GROUP BY doc_id, word),
+dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+posting AS (
+  SELECT tf.word, tf.doc_id,
+         CAST(tf.tf * greatest(0, {TFIDF_IDF_CAP}
+                - (length(bin(dfreq.df)) - 1)) AS BIGINT) AS w
+  FROM tf JOIN dfreq USING (word)
+  WHERE tf.tf * greatest(0, {TFIDF_IDF_CAP}
+          - (length(bin(dfreq.df)) - 1)) > 0),
+capped AS (
+  SELECT word, doc_id, w FROM (
+    SELECT word, doc_id, w,
+           row_number() OVER (PARTITION BY word ORDER BY doc_id)
+             AS rn
+    FROM posting) WHERE rn <= {TFIDF_MAX_POSTING})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(sum(a.w * b.w) AS BIGINT) AS score
+FROM capped a JOIN capped b
+  ON a.word = b.word AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY score DESC, doc_a ASC, doc_b ASC LIMIT {TFIDF_TOP_PAIRS}
+"""

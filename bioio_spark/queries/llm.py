@@ -929,3 +929,14 @@ def l9b_bloom_decontam(spark, sf_dir):
     from bioio_spark.functions.dedup import bloom_decontamination
 
     return bloom_decontamination(load(spark, sf_dir, "documents"))
+
+
+@register("l4l_tfidf_pairs", oracle=_text.TFIDF_PAIRS_ORACLE,
+          doc="L4l TF-IDF top-k similar doc pairs: inverted-index "
+              "sparse retrieval with integer bit-length IDF, "
+              "stop-word self-pruning (idf=0 drops the posting) and "
+              "the l2d posting-width cap")
+def l4l_tfidf_pairs(spark, sf_dir):
+    from bioio_spark.functions.text import tfidf_similar_pairs
+
+    return tfidf_similar_pairs(load(spark, sf_dir, "documents"))
