@@ -734,9 +734,6 @@ def bloom_decontamination(documents: DataFrame,
              .join(F.broadcast(build), "w", "left")
              .select("doc_id", "g",
                      F.coalesce(
-                         F.shiftright(F.col("bits"), 0)
-                         .bitwiseAND(F.lit(0)), F.lit(0)).alias("_z"),
-                     F.coalesce(
                          F.expr("shiftright(bits, b)")
                          .bitwiseAND(F.lit(1).cast("long")),
                          F.lit(0).cast("long")).alias("hit"))
