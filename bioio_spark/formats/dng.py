@@ -83,8 +83,7 @@ def build_dng(plane: np.ndarray, compression: int = 1,
     ent(258, "SHORT", [16])
     ent(259, "SHORT", [compression])
     ent(262, "SHORT", [32803])          # CFA
-    strip_off_idx = len(entries)
-    ent(273, "LONG", [0] * n)           # patched below
+    ent(273, "LONG", [0] * n)           # patched below (by tag lookup)
     ent(277, "SHORT", [1])
     ent(278, "LONG", [rps])
     ent(279, "LONG", [len(s) for s in strips])
@@ -115,8 +114,9 @@ def build_dng(plane: np.ndarray, compression: int = 1,
         offs.append(cur)
         cur += len(s)
     # patch strip offsets (they were written as zeros into either the
-    # inline slot or the out-of-line area)
-    tag, typ, count, data = entries[strip_off_idx]
+    # inline slot or the out-of-line area) — located by TAG, never by
+    # positional index, so the entries sort can reorder freely
+    typ, count = [(t, c) for tg, t, c, _ in entries if tg == 273][0]
     packed = b"".join(struct.pack("<I", o) for o in offs)
     if len(packed) <= 4:
         fixed_idx = [i for i, e in enumerate(fixed) if e[0] == 273][0]

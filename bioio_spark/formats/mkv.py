@@ -138,13 +138,48 @@ def _read_size(buf: bytes, pos: int) -> tuple:
     raise ValueError(f"bad EBML size at offset {pos}")
 
 
+# elements a Cluster may contain (Matroska spec): Timestamp,
+# SimpleBlock, BlockGroup, SilentTracks, Position, PrevSize, EncryptedBlock,
+# plus Void/CRC-32 — used to terminate UNKNOWN-SIZE clusters
+_CLUSTER_CHILDREN = {_CLUSTER_TS, _SIMPLE_BLOCK, 0xA0, 0x5854, 0xA7,
+                     0xAB, 0xAF, 0xEC, 0xBF}
+
+
+def _unknown_cluster_end(buf, start: int, end: int) -> int:
+    """End of an unknown-size Cluster per the EBML rule: it runs until
+    the first element that is not a valid Cluster child (e.g. the next
+    Cluster or any other level-1 element) — the shape live muxers
+    (streamed Matroska) produce."""
+    pos = start
+    while pos < end:
+        try:
+            eid, p_sz = _read_id(buf, pos)
+            size, p_body = _read_size(buf, p_sz)
+        except (ValueError, IndexError):
+            break
+        if (eid not in _CLUSTER_CHILDREN or size is None
+                or p_body + size > end):
+            break
+        pos = p_body + size
+    return pos
+
+
 def _children(buf: bytes, start: int, end: int):
-    """Yield (id, payload_start, payload_end) for sibling elements."""
+    """Yield (id, payload_start, payload_end) for sibling elements.
+    Unknown-size elements: a Segment (or any non-Cluster master) runs
+    to the parent's end; an unknown-size CLUSTER ends at its first
+    non-Cluster-child sibling, so the following Clusters stay visible
+    as siblings instead of being silently swallowed."""
     pos = start
     while pos < end:
         eid, pos = _read_id(buf, pos)
         size, pos = _read_size(buf, pos)
         if size is None:
+            if eid == _CLUSTER:
+                elem_end = _unknown_cluster_end(buf, pos, end)
+                yield eid, pos, elem_end
+                pos = elem_end
+                continue
             size = end - pos                # unknown size: to parent end
         if pos + size > end:
             raise ValueError("corrupt EBML element size")
@@ -167,8 +202,16 @@ def _get_uint(buf, span) -> int:
 def read_mkv_catalog(path: str) -> dict:
     """Driver-side catalog: EBML header + Segment walk -> per-frame
     absolute byte ranges; SimpleBlock payloads are never read (D8)."""
+    import mmap
+
     with open(path, "rb") as f:
-        buf = f.read()
+        try:
+            # memory-map instead of read(): the walk touches only
+            # element headers, so cluster/block payloads are never
+            # paged in — cataloging a multi-GB file reads a few KB
+            buf = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        except ValueError:
+            raise ValueError(f"{path}: not an EBML (MKV) file")
     if buf[:4] != _id_bytes(_EBML):
         raise ValueError(f"{path}: not an EBML (MKV) file")
     top = list(_children(buf, 0, len(buf)))
@@ -214,8 +257,13 @@ def read_mkv_catalog(path: str) -> dict:
     vid = _child(buf, *video, _VIDEO)
     if vid is None:
         raise ValueError(f"{path}: video track has no Video element")
-    w = _get_uint(buf, _child(buf, *vid, _PIXEL_WIDTH))
-    h = _get_uint(buf, _child(buf, *vid, _PIXEL_HEIGHT))
+    pw = _child(buf, *vid, _PIXEL_WIDTH)
+    ph = _child(buf, *vid, _PIXEL_HEIGHT)
+    if pw is None or ph is None:
+        raise ValueError(f"{path}: Video element missing "
+                         "PixelWidth/PixelHeight")
+    w = _get_uint(buf, pw)
+    h = _get_uint(buf, ph)
     dd = _child(buf, *video, _DEFAULT_DURATION)
     time_interval = (_get_uint(buf, dd) / 1e9) if dd else None
 

@@ -130,23 +130,51 @@ def _child(buf, start, end, typ):
     return None
 
 
+def _top_level_box(f, want: bytes):
+    """Seek-walk the top-level boxes and return ONLY `want`'s payload
+    bytes — mdat (the sample data, arbitrarily large) is skipped with
+    a seek, never read (the D8 contract; moov is a few KB)."""
+    f.seek(0, 2)
+    file_end = f.tell()
+    pos = 0
+    while pos + 8 <= file_end:
+        f.seek(pos)
+        hdr = f.read(8)
+        if len(hdr) < 8:
+            break
+        (size,) = struct.unpack(">I", hdr[:4])
+        typ = hdr[4:8]
+        body = pos + 8
+        if size == 1:                       # 64-bit largesize
+            (size,) = struct.unpack(">Q", f.read(8))
+            body = pos + 16
+        elif size == 0:                     # to end of file
+            size = file_end - pos
+        if size < 8 or pos + size > file_end:
+            raise ValueError("corrupt MP4 box size")
+        if typ == want:
+            f.seek(body)
+            return f.read(pos + size - body)
+        pos += size
+    return None
+
+
 def read_mp4_catalog(path: str) -> dict:
-    """Driver-side catalog: top-level box walk + moov sample-table
-    parse -> per-frame absolute byte ranges; no mdat IO (D8)."""
+    """Driver-side catalog: seek-based top-level box walk reading only
+    the moov payload + sample-table parse -> per-frame absolute byte
+    ranges; mdat is never read (D8)."""
     with open(path, "rb") as f:
         head = f.read(8)
         if len(head) < 8 or head[4:8] not in (b"ftyp", b"moov",
                                               b"mdat", b"free",
                                               b"wide", b"skip"):
             raise ValueError(f"{path}: not an ISO BMFF (MP4) file")
-        f.seek(0)
-        buf = f.read()
-    moov = _child(buf, 0, len(buf), b"moov")
-    if moov is None:
+        buf = _top_level_box(f, b"moov")
+    if buf is None:
         raise ValueError(f"{path}: no moov box")
 
     video = None
-    for t, b, e in _boxes(buf, *moov):
+    for t, b, e in _boxes(buf, 0, len(buf)):
         if t != b"trak":
             continue
         mdia = _child(buf, b, e, b"mdia")
@@ -162,7 +190,11 @@ def read_mp4_catalog(path: str) -> dict:
     _tb, _te, mdia = video
     mdhd = _child(buf, *mdia, b"mdhd")
     minf = _child(buf, *mdia, b"minf")
+    if minf is None:
+        raise ValueError(f"{path}: video trak missing minf box")
     stbl = _child(buf, *minf, b"stbl")
+    if stbl is None:
+        raise ValueError(f"{path}: video trak missing stbl box")
     tabs = {}
     for t, b, e in _boxes(buf, *stbl):
         tabs[t] = (b, e)

@@ -189,6 +189,7 @@ def pagerank(edges: DataFrame, n_iters: int = PR_ITERS,
     ranks = nodes.withColumn(
         "rank", F.lit(PR_SCALE).cast("bigint"))
     base = PR_SCALE * (100 - PR_DAMP_PCT) // 100
+    prev = None
     for _ in range(n_iters):
         contrib = (e.join(outdeg, "src")
                    .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -205,15 +206,29 @@ def pagerank(edges: DataFrame, n_iters: int = PR_ITERS,
                          .cast("bigint").alias("rank"))
                  # truncate the per-round lineage (the CC loop's
                  # localCheckpoint pattern): round i+1 reads round i's
-                 # materialized ranks, not its whole recomputed subtree
+                 # MATERIALIZED ranks, not its whole recomputed
+                 # subtree — and the superseded round unpersists so a
+                 # long-lived session never accumulates stale blocks
                  .persist())
+        ranks.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
+    # the final ranks stay materialized; the graph tables are no
+    # longer needed (a cache miss on the final frame just recomputes
+    # from the source — correctness unaffected)
+    e.unpersist()
+    nodes.unpersist()
+    outdeg.unpersist()
     return ranks
 
 
-def pagerank_oracle(edges_cte: str, n_iters: int = PR_ITERS) -> str:
-    """Textually-unrolled oracle. `edges_cte` must be a CTE chain (no
-    WITH) ending in a CTE named `edges` with columns (src, dst),
-    already distinct."""
+def pagerank_oracle(edges_cte: str,
+                    n_iters: int = PR_ITERS) -> tuple[str, str]:
+    """Textually-unrolled oracle pieces: returns (cte_body,
+    final_cte_name) for the caller to wrap in `WITH {body} SELECT ...
+    FROM {final}`. `edges_cte` must be a CTE chain (no WITH) ending in
+    a CTE named `edges` with columns (src, dst), already distinct."""
     base = PR_SCALE * (100 - PR_DAMP_PCT) // 100
     parts = [edges_cte, """nodes AS (
       SELECT src AS node FROM edges UNION

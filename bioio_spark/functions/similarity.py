@@ -350,6 +350,35 @@ def _lsh_oracle(threshold: float = 0.3) -> str:
 LSH_NEAR_DUP_ORACLE = _lsh_oracle()
 
 
+
+def _assigned_frame(emb: DataFrame, n_centroids: int, sample_mod: int,
+                    cache_key=None) -> DataFrame:
+    """Memoized, persisted (vec_id, cid, e, ne) cluster assignment —
+    the SemDeDup pipeline's materialization point. One persisted frame
+    per (cache_key, n_centroids, sample_mod) per session (the
+    _dedup_reps pattern), so l12 and l12b share a single cached
+    assignment instead of stacking a new one per call; MEMORY_AND_DISK
+    keeps the blocks evictable under storage pressure."""
+    spark = emb.sparkSession
+    trained = _train_ivf(emb, n_centroids, sample_mod,
+                         cache_key=cache_key)
+    try:
+        cache = spark.__dict__.setdefault("_bioio_ivf_cache", {})
+    except Exception:
+        cache = {}
+    key = ("assigned", cache_key, n_centroids, sample_mod)
+    if cache_key is not None and key in cache:
+        return cache[key]
+    from pyspark import StorageLevel
+    assigned = (emb.withColumn("ne", _norm(F.col("e")))
+                .withColumn("cid", _assigned(trained).cast("int"))
+                .select("vec_id", "cid", "e", "ne")
+                .persist(StorageLevel.MEMORY_AND_DISK))
+    if cache_key is not None:
+        cache[key] = assigned
+    return assigned
+
+
 def semantic_dedup(embeddings: DataFrame, threshold: float = 0.3,
                    n_centroids: int = N_CENTROIDS,
                    sample_mod: int = IVF_SAMPLE_MOD,
@@ -387,16 +416,14 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.3,
     cap are kept verbatim and never pair."""
     emb = embeddings.select(
         "vec_id", _to_double(F.col("embedding")).alias("e"))
-    trained = _train_ivf(emb, n_centroids, sample_mod,
-                         cache_key=cache_key)
     # materialize the assignment once — the paper's own pipeline shape
     # (write the cluster assignment, then dedup per cluster); without
     # this the argmax-over-centroids projection re-evaluates on every
-    # consumer (both self-join sides, the anti-join, both summaries)
-    assigned = (emb.withColumn("ne", _norm(F.col("e")))
-                .withColumn("cid", _assigned(trained).cast("int"))
-                .select("vec_id", "cid", "e", "ne")
-                .persist())
+    # consumer (both self-join sides, the anti-join, both summaries).
+    # Memoized per (cache_key, params): repeated l12/l12b calls share
+    # ONE persisted frame instead of leaking a new one per call.
+    assigned = _assigned_frame(emb, n_centroids, sample_mod,
+                               cache_key=cache_key)
     from pyspark.sql import Window
     capped = (assigned.withColumn(
         "rn", F.row_number().over(
@@ -536,11 +563,10 @@ def semdedup_sweep(embeddings: DataFrame,
 
     emb = embeddings.select(
         "vec_id", _to_double(F.col("embedding")).alias("e"))
-    trained = _train_ivf(emb, n_centroids, sample_mod,
-                         cache_key=cache_key)
-    assigned = (emb.withColumn("ne", _norm(F.col("e")))
-                .withColumn("cid", _assigned(trained).cast("int"))
-                .select("vec_id", "cid", "e", "ne"))
+    # the memoized persisted assignment (shared with semantic_dedup):
+    # ~5 consumers below would otherwise each re-evaluate the argmax
+    assigned = _assigned_frame(emb, n_centroids, sample_mod,
+                               cache_key=cache_key)
     capped = (assigned.withColumn(
         "rn", F.row_number().over(
             Window.partitionBy("cid").orderBy("vec_id")))

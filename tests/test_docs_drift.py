@@ -2,13 +2,16 @@
 the actual registry (the count is the first thing the judge reads —
 round 7 shipped a stale one)."""
 
+import os
 import re
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 from bioio_spark.queries import REGISTRY
 
 
 def test_coverage_md_registry_count_matches():
-    with open("/root/repo/COVERAGE.md") as f:
+    with open(os.path.join(_REPO, "COVERAGE.md")) as f:
         text = f.read()
     m = re.search(r"(\d+) registry queries", text)
     assert m, "COVERAGE.md lost its 'N registry queries' totals line"
@@ -25,9 +28,7 @@ def test_every_registry_query_has_an_oracle_or_is_documented():
 
 
 def test_readme_named_query_count_matches():
-    import re
-
-    with open("/root/repo/README.md") as f:
+    with open(os.path.join(_REPO, "README.md")) as f:
         text = f.read()
     m = re.search(r"(\d+) named queries", text)
     assert m and int(m.group(1)) == len(REGISTRY)

@@ -150,3 +150,53 @@ def test_mkv_skips_unknown_elements(tmp_path):
     assert cat["n_frames"] == 2
     np.testing.assert_array_equal(decode_mkv(str(p)), fr)
     del struct
+
+
+def test_mkv_unknown_size_clusters(tmp_path):
+    """Live muxers (streamed Matroska) write Clusters with UNKNOWN
+    size; each must end at the next Cluster, not swallow its siblings
+    — a parser that clips unknown size to the Segment end sees only
+    the first cluster's frame."""
+    from bioio_spark.formats import mkv as m
+
+    fr = _frames(t_n=3)
+    sized = encode_mkv(fr)
+    cat_sized = read_mkv_catalog_path(tmp_path, "sized.mkv", sized)
+    assert cat_sized["n_frames"] == 3
+
+    # rebuild with every Cluster carrying the unknown-size marker
+    from bioio_spark.formats.jpeg import encode_jpeg
+    head = m._elem(m._EBML, b"".join(
+        [m._uint(s, v) for s, v in ((0x4286, 1), (0x42F7, 1),
+                                    (0x42F2, 4), (0x42F3, 8))]
+        + [m._elem(m._DOCTYPE, b"matroska"),
+           m._uint(0x4287, 4), m._uint(0x4285, 2)]))
+    info = m._elem(m._INFO, m._uint(m._TIMESTAMP_SCALE, 1_000_000))
+    video = m._elem(m._VIDEO, m._uint(m._PIXEL_WIDTH, 24)
+                    + m._uint(m._PIXEL_HEIGHT, 16))
+    track = m._elem(m._TRACK_ENTRY, b"".join(
+        [m._uint(m._TRACK_NUMBER, 1), m._uint(m._TRACK_UID, 1),
+         m._uint(m._TRACK_TYPE, 1),
+         m._elem(m._CODEC_ID, b"V_MJPEG"),
+         m._uint(m._DEFAULT_DURATION, 40_000_000), video]))
+    tracks = m._elem(m._TRACKS, track)
+    import struct as _s
+    clusters = b""
+    for t in range(3):
+        payload = encode_jpeg(fr[t], quality=95)
+        block = m._elem(m._SIMPLE_BLOCK,
+                        m._vint(1) + _s.pack(">h", 0) + b"\x80"
+                        + payload)
+        body = m._uint(m._CLUSTER_TS, t * 40) + block
+        clusters += m._id_bytes(m._CLUSTER) + b"\xFF" + body
+    data = head + m._elem(m._SEGMENT, info + tracks + clusters)
+    cat = read_mkv_catalog_path(tmp_path, "unksize.mkv", data)
+    assert cat["n_frames"] == 3
+    got = decode_mkv(str(tmp_path / "unksize.mkv"))
+    np.testing.assert_array_equal(got, fr)
+
+
+def read_mkv_catalog_path(tmp_path, name, data):
+    p = tmp_path / name
+    p.write_bytes(data)
+    return read_mkv_catalog(str(p))
