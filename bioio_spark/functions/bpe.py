@@ -58,12 +58,9 @@ def _merge_seq(seq, pair: str):
         F.replace(doubled, F.lit(pat), F.lit(rep)), " +", " "))
 
 
-def bpe_vocab(documents: DataFrame,
-              n_merges: int = N_MERGES) -> DataFrame:
-    """Learn `n_merges` BPE merge rules; returns one row per round:
-    (merge_round, pair, token, pair_count) where pair_count is the
-    pair's corpus frequency at merge time."""
-    spark = documents.sparkSession
+def _run_merges(documents: DataFrame, n_merges: int):
+    """Shared trainer loop: returns (final word-freq frame with the
+    merged `seq` column, [(round, pair, token, count), ...])."""
     wf = _word_freqs(documents)
     seq0 = F.trim(F.regexp_replace("word", "(.)", "$1 "))
     cur = wf.withColumn("seq", seq0)
@@ -88,10 +85,49 @@ def bpe_vocab(documents: DataFrame,
         pair, cnt = best[0]["pair"], int(best[0]["cnt"])
         merges.append((r + 1, pair, pair.replace(" ", ""), cnt))
         cur = cur.withColumn("seq", _merge_seq(F.col("seq"), pair))
-    return spark.createDataFrame(
+    return cur, merges
+
+
+def bpe_vocab(documents: DataFrame,
+              n_merges: int = N_MERGES) -> DataFrame:
+    """Learn `n_merges` BPE merge rules; returns one row per round:
+    (merge_round, pair, token, pair_count) where pair_count is the
+    pair's corpus frequency at merge time."""
+    _cur, merges = _run_merges(documents, n_merges)
+    return documents.sparkSession.createDataFrame(
         merges,
         "merge_round int, pair string, token string, "
         "pair_count bigint").orderBy("merge_round")
+
+
+def bpe_tokenize_stats(documents: DataFrame,
+                       n_merges: int = N_MERGES) -> DataFrame:
+    """Train the merges, APPLY them to the corpus, and report the
+    tokenizer's effect — the full train-tokenizer -> tokenize-corpus
+    loop: (n_merges, n_words, vocab_size, n_symbols_before,
+    n_symbols_after, n_token_types). n_symbols_* are
+    occurrence-weighted symbol counts (the corpus length in tokens
+    before/after merging — BPE's compression metric); n_token_types
+    is the symbol alphabet size after merging.
+
+    Scale: the stats are one vocab-sized aggregate over the trained
+    frame plus a distinct-symbol count — nothing re-reads the raw
+    text."""
+    cur, _merges = _run_merges(documents, n_merges)
+    types = (cur.select(F.explode(F.split("seq", " ")).alias("sym"))
+             .agg(F.countDistinct("sym").cast("bigint")
+                  .alias("n_token_types")))
+    stats = cur.agg(
+        F.sum("freq").cast("bigint").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum(F.col("freq") * F.length("word")).cast("bigint")
+        .alias("n_symbols_before"),
+        F.sum(F.col("freq") * F.size(F.split("seq", " ")))
+        .cast("bigint").alias("n_symbols_after"))
+    return (stats.crossJoin(F.broadcast(types))
+            .select(F.lit(n_merges).cast("int").alias("n_merges"),
+                    "n_words", "vocab_size", "n_symbols_before",
+                    "n_symbols_after", "n_token_types"))
 
 
 def _bpe_oracle(n_merges: int = N_MERGES) -> str:
@@ -136,3 +172,26 @@ def _bpe_oracle(n_merges: int = N_MERGES) -> str:
 
 
 BPE_ORACLE = _bpe_oracle()
+
+
+def _bpe_tokenize_oracle(n_merges: int = N_MERGES) -> str:
+    base = _bpe_oracle(n_merges)
+    # reuse the unrolled chain up to seq{n}; swap the final SELECT
+    head, _tail = base.rsplit("SELECT * FROM", 1)
+    return f"""{head}
+    SELECT CAST({n_merges} AS INTEGER) AS n_merges,
+           (SELECT CAST(sum(freq) AS BIGINT) FROM seq{n_merges})
+             AS n_words,
+           (SELECT CAST(count(*) AS BIGINT) FROM seq{n_merges})
+             AS vocab_size,
+           (SELECT CAST(sum(freq * length(replace(seq0.seq, ' ', '')))
+                   AS BIGINT) FROM seq0) AS n_symbols_before,
+           (SELECT CAST(sum(freq * len(string_split(seq, ' ')))
+                   AS BIGINT) FROM seq{n_merges}) AS n_symbols_after,
+           (SELECT CAST(count(DISTINCT sym) AS BIGINT) FROM (
+              SELECT unnest(string_split(seq, ' ')) AS sym
+              FROM seq{n_merges})) AS n_token_types
+    """
+
+
+BPE_TOKENIZE_ORACLE = _bpe_tokenize_oracle()

@@ -940,3 +940,18 @@ def l4l_tfidf_pairs(spark, sf_dir):
     from bioio_spark.functions.text import tfidf_similar_pairs
 
     return tfidf_similar_pairs(load(spark, sf_dir, "documents"))
+
+
+from bioio_spark.functions.bpe import BPE_TOKENIZE_ORACLE  # noqa: E402
+
+
+@register("l13b_bpe_tokenize",
+          oracle=BPE_TOKENIZE_ORACLE,
+          doc="L13b BPE train->apply loop: corpus token counts "
+              "before/after the learned merges + alphabet size (the "
+              "tokenizer's compression metric), one vocab-sized "
+              "aggregate over the trained frame")
+def l13b_bpe_tokenize(spark, sf_dir):
+    from bioio_spark.functions.bpe import bpe_tokenize_stats
+
+    return bpe_tokenize_stats(load(spark, sf_dir, "documents"))

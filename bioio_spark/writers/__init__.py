@@ -31,7 +31,8 @@ __all__ = ["Writer", "WRITER_REGISTRY", "register_writer",
            "discover_writers", "save_parquet", "save_ome_tiff",
            "save_ome_tiff_single_file", "save_ome_zarr",
            "read_parquet_image", "OmeTiffWriter",
-           "OmeZarrWriter", "PngWriter", "JpegWriter", "ImsWriter"]
+           "OmeZarrWriter", "PngWriter", "JpegWriter", "ImsWriter",
+           "DngWriter"]
 
 #: entry-point group external writer packages advertise (the reference's
 #: ``bioio.writers`` group, ref writers/__init__.py:10-15)
@@ -283,6 +284,43 @@ class ImsWriter:
 
 
 register_writer("ImsWriter", ImsWriter)
+
+
+class DngWriter:
+    """Adobe DNG writer — the write half of the camera-RAW story,
+    making .dng read/write symmetric like TIFF/Zarr/IMS (the
+    reference has no DNG writer; camera RAWs route through the
+    bioio-bioformats bridge read-only, ref README.md:70).
+
+    `save` takes a 2-D uint16 CFA mosaic (or anything squeezable to
+    YX) and composes a valid single-IFD DNG via formats/dng.build_dng
+    — Compression 1 (none) or 7 (lossless JPEG SOF3 strips through
+    the in-repo formats/ljpeg codec)."""
+
+    @staticmethod
+    def save(data, uri: str, dim_order=None, channel_names=None,
+             physical_pixel_sizes=None, compression: int = 7,
+             rows_per_strip: int = 0,
+             cfa_pattern: bytes = bytes((0, 1, 1, 2))) -> None:
+        import numpy as np
+
+        from bioio_spark.formats.dng import build_dng
+
+        a = np.asarray(data)
+        a = np.squeeze(a)
+        if a.ndim != 2:
+            raise ValueError(
+                "DngWriter takes a single YX CFA mosaic plane "
+                f"(got shape {np.asarray(data).shape})")
+        payload = build_dng(a.astype(np.uint16),
+                            compression=compression,
+                            rows_per_strip=rows_per_strip,
+                            cfa_pattern=cfa_pattern)
+        with open(uri, "wb") as f:
+            f.write(payload)
+
+
+register_writer("DngWriter", DngWriter)
 
 
 class OmeZarrWriter:

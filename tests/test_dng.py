@@ -109,3 +109,27 @@ def test_dng_scan_shuffle_free(spark, tmp_path):
     df = BioImage(str(p), spark=spark).get_image_dataframe()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_dng_writer_route(spark, tmp_path):
+    """Registered DngWriter: write a mosaic through the registry,
+    read it back through the BioImage plugin routing."""
+    from bioio_spark.writers import WRITER_REGISTRY
+
+    a = _mosaic()
+    p = str(tmp_path / "written.dng")
+    WRITER_REGISTRY["DngWriter"].save(a, p, rows_per_strip=4)
+    cat = read_dng_catalog(p)
+    assert cat["comp"] == 7 and cat["cfa_pattern"] == "RGGB"
+    img = BioImage(p, spark=spark)
+    np.testing.assert_array_equal(
+        img.get_image_data("YX", T=0, C=0, Z=0), a)
+
+
+def test_dng_writer_rejects_nd(tmp_path):
+    from bioio_spark.writers import WRITER_REGISTRY
+
+    with pytest.raises(ValueError, match="YX CFA mosaic"):
+        WRITER_REGISTRY["DngWriter"].save(
+            np.zeros((2, 3, 4, 5), np.uint16),
+            str(tmp_path / "x.dng"))
