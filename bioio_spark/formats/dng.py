@@ -39,9 +39,12 @@ def build_dng(plane: np.ndarray, compression: int = 1,
               rows_per_strip: int = 0,
               cfa_pattern: bytes = bytes((0, 1, 1, 2)),
               model: str = "bioio-spark synthetic",
-              white_level: int = 0) -> bytes:
+              white_level: int = 0,
+              ljpeg_components: int = 1) -> bytes:
     """Compose a single-IFD DNG holding `plane` (2-D uint16 CFA
-    mosaic). compression: 1 = none, 7 = lossless JPEG per strip."""
+    mosaic). compression: 1 = none, 7 = lossless JPEG per strip
+    (ljpeg_components=2 writes the column-interleaved two-component
+    SOF3 scans Adobe's converter produces)."""
     if plane.ndim != 2 or plane.dtype != np.uint16:
         raise ValueError("build_dng takes a 2-D uint16 mosaic")
     if compression not in (1, 7):
@@ -58,7 +61,9 @@ def build_dng(plane: np.ndarray, compression: int = 1,
             strips.append(rows.astype("<u2").tobytes())
         else:
             from bioio_spark.formats.ljpeg import encode_ljpeg
-            strips.append(encode_ljpeg(rows, precision=16))
+            strips.append(encode_ljpeg(
+                rows, precision=16,
+                n_components=ljpeg_components))
 
     model_b = model.encode() + b"\x00"
     n = len(strips)

@@ -47,45 +47,66 @@ def _predict(ra: int, rb: int, rc: int, psv: int) -> int:
     raise ValueError(f"invalid predictor {psv}")
 
 
+def _pred_at(px, y: int, x: int, default: int, psv: int) -> int:
+    """Per-component prediction per T.81 H.1: first sample uses the
+    precision default, row starts predict from above, the first row
+    predicts from the left, everything else uses the selected
+    predictor."""
+    if y == 0 and x == 0:
+        return default
+    if x == 0:
+        return int(px[y - 1, 0])
+    if y == 0:
+        return int(px[0, x - 1])
+    return _predict(int(px[y, x - 1]), int(px[y - 1, x]),
+                    int(px[y - 1, x - 1]), psv)
+
+
 def encode_ljpeg(plane: np.ndarray, precision: int = 16,
-                 predictor: int = 1) -> bytes:
-    """Encode a 2-D unsigned integer plane as a single-component
-    lossless JPEG (SOF3)."""
+                 predictor: int = 1, n_components: int = 1) -> bytes:
+    """Encode a 2-D unsigned integer plane as a lossless JPEG (SOF3).
+
+    n_components > 1 uses the DNG/dcraw column-interleave convention
+    (the form Adobe's converter writes): component c owns plane
+    columns c::n, the declared SOF width is the per-component width,
+    and the interleaved scan emits one sample per component per MCU —
+    each component predicting from ITS OWN plane."""
     if plane.ndim != 2:
         raise ValueError("encode_ljpeg takes a single 2-D plane")
     if not 2 <= precision <= 16:
         raise ValueError("lossless JPEG precision must be 2..16")
+    if not 1 <= n_components <= 4:
+        raise ValueError("lossless JPEG supports 1..4 components")
     h, w = plane.shape
+    if w % n_components:
+        raise ValueError(f"width {w} not divisible by "
+                         f"{n_components} components")
+    wc = w // n_components
     px = plane.astype(np.int64)
     if px.min() < 0 or px.max() >= (1 << precision):
         raise ValueError("plane values exceed the stated precision")
+    comps = [px[:, c::n_components] for c in range(n_components)]
     codes = _build_codes(_LJPEG_COUNTS, _LJPEG_SYMBOLS)
     bw = _BitWriter()
     default = 1 << (precision - 1)
     mask = 0xFFFF
     for y in range(h):
-        for x in range(w):
-            if y == 0 and x == 0:
-                pred = default
-            elif x == 0:
-                pred = int(px[y - 1, 0])
-            elif y == 0:
-                pred = int(px[0, x - 1])
-            else:
-                pred = _predict(int(px[y, x - 1]), int(px[y - 1, x]),
-                                int(px[y - 1, x - 1]), predictor)
-            diff = (int(px[y, x]) - pred) & mask
-            if diff > 0x7FFF:
-                diff -= 0x10000
-            if diff == -0x8000:
-                cat, bits = 16, 0
-            else:
-                cat = abs(diff).bit_length()
-                bits = diff if diff >= 0 else diff + (1 << cat) - 1
-            code, length = codes[cat]
-            bw.write(code, length)
-            if cat and cat != 16:
-                bw.write(bits, cat)
+        for x in range(wc):
+            for comp in comps:
+                pred = _pred_at(comp, y, x, default, predictor)
+                diff = (int(comp[y, x]) - pred) & mask
+                if diff > 0x7FFF:
+                    diff -= 0x10000
+                if diff == -0x8000:
+                    cat, bits = 16, 0
+                else:
+                    cat = abs(diff).bit_length()
+                    bits = (diff if diff >= 0
+                            else diff + (1 << cat) - 1)
+                code, length = codes[cat]
+                bw.write(code, length)
+                if cat and cat != 16:
+                    bw.write(bits, cat)
     scan = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -93,15 +114,21 @@ def encode_ljpeg(plane: np.ndarray, precision: int = 16,
 
     dht = seg(0xFFC4, bytes([0x00]) + bytes(_LJPEG_COUNTS)
               + bytes(_LJPEG_SYMBOLS))
-    sof = seg(0xFFC3, struct.pack(">BHHB", precision, h, w, 1)
-              + bytes([1, 0x11, 0]))
-    sos = seg(0xFFDA, bytes([1, 1, 0x00, predictor, 0, 0x00]))
+    comps_hdr = b"".join(bytes([c + 1, 0x11, 0])
+                         for c in range(n_components))
+    sof = seg(0xFFC3, struct.pack(">BHHB", precision, h, wc,
+                                  n_components) + comps_hdr)
+    scan_hdr = bytes([n_components]) + b"".join(
+        bytes([c + 1, 0x00]) for c in range(n_components))
+    sos = seg(0xFFDA, scan_hdr + bytes([predictor, 0, 0x00]))
     return (b"\xFF\xD8" + dht + sof + sos + scan + b"\xFF\xD9")
 
 
 def decode_ljpeg(data: bytes) -> np.ndarray:
-    """Decode a single-component lossless JPEG (SOF3) -> (H, W)
-    uint16 (uint8 when precision <= 8)."""
+    """Decode a lossless JPEG (SOF3) -> (H, W) uint16 (uint8 when
+    precision <= 8). Multi-component interleaved scans (Nf 1..4, the
+    DNG/dcraw convention) decode to the column-interleaved full-width
+    plane W = samples_per_line * Nf."""
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -129,47 +156,52 @@ def decode_ljpeg(data: bytes) -> np.ndarray:
                 p += 17 + n
         elif marker == 0xFFC3:
             precision, h, w, nf = struct.unpack(">BHHB", payload[:6])
-            if nf != 1:
+            if not 1 <= nf <= 4:
                 raise ValueError(
-                    "only single-component lossless JPEG scans are "
-                    "supported (DNG CFA subset)")
+                    f"{nf}-component lossless JPEG unsupported "
+                    "(1..4 per the DNG convention)")
+            for c in range(nf):
+                hv = payload[6 + 3 * c + 1]
+                if hv != 0x11:
+                    raise ValueError("subsampled lossless JPEG "
+                                     "components unsupported")
         elif marker in (0xFFC0, 0xFFC1, 0xFFC2):
             raise ValueError("not a lossless JPEG (DCT SOF marker)")
         elif marker == 0xFFDA:
             ns = payload[0]
-            if ns != 1:
-                raise ValueError("multi-component scan unsupported")
-            td = payload[2] >> 4
+            comp_tds = [payload[2 + 2 * c] >> 4 for c in range(ns)]
             predictor = payload[1 + 2 * ns]
             pt = payload[3 + 2 * ns] & 0x0F
             if pt:
                 raise ValueError("nonzero point transform unsupported")
             scan_off = pos + 2 + ln
-            table = tables[td]
             break
         pos += 2 + ln
     if scan_off is None or precision is None:
         raise ValueError("lossless JPEG missing SOF3/SOS")
+    if ns != nf:
+        raise ValueError("non-interleaved lossless JPEG scans "
+                         "unsupported")
+    comp_tabs = [tables[td] for td in comp_tds]
     br = _BitReader(data[scan_off:])
-    out = np.zeros((h, w), dtype=np.int64)
+    comps = [np.zeros((h, w), dtype=np.int64) for _ in range(nf)]
     default = 1 << (precision - 1)
     mask = 0xFFFF
     for y in range(h):
         for x in range(w):
-            cat = _decode_huffman(br, table)
-            if cat == 16:
-                diff = 0x8000
-            else:
-                diff = _extend(br.read_bits(cat), cat)
-            if y == 0 and x == 0:
-                pred = default
-            elif x == 0:
-                pred = int(out[y - 1, 0])
-            elif y == 0:
-                pred = int(out[0, x - 1])
-            else:
-                pred = _predict(int(out[y, x - 1]), int(out[y - 1, x]),
-                                int(out[y - 1, x - 1]), predictor)
-            out[y, x] = (pred + diff) & mask
+            for comp, table in zip(comps, comp_tabs):
+                cat = _decode_huffman(br, table)
+                if cat == 16:
+                    diff = 0x8000
+                else:
+                    diff = _extend(br.read_bits(cat), cat)
+                pred = _pred_at(comp, y, x, default, predictor)
+                comp[y, x] = (pred + diff) & mask
+    if nf == 1:
+        out = comps[0]
+    else:
+        out = np.zeros((h, w * nf), dtype=np.int64)
+        for c in range(nf):
+            out[:, c::nf] = comps[c]
     dt = np.uint8 if precision <= 8 else np.uint16
     return out.astype(dt)

@@ -133,3 +133,23 @@ def test_dng_writer_rejects_nd(tmp_path):
         WRITER_REGISTRY["DngWriter"].save(
             np.zeros((2, 3, 4, 5), np.uint16),
             str(tmp_path / "x.dng"))
+
+
+@pytest.mark.parametrize("nf", [2, 4])
+def test_ljpeg_multi_component(nf):
+    """Column-interleaved multi-component SOF3 (the Adobe-converter
+    DNG shape): each component predicts from its own plane."""
+    rng = np.random.default_rng(nf)
+    a = rng.integers(0, 1 << 14, (7, nf * 5)).astype(np.uint16)
+    got = decode_ljpeg(encode_ljpeg(a, n_components=nf))
+    assert got.shape == a.shape and (got == a).all()
+
+
+def test_dng_two_component_ljpeg_roundtrip(spark, tmp_path):
+    a = _mosaic()
+    p = tmp_path / "raw2c.dng"
+    p.write_bytes(build_dng(a, compression=7, rows_per_strip=4,
+                            ljpeg_components=2))
+    img = BioImage(str(p), spark=spark)
+    np.testing.assert_array_equal(
+        img.get_image_data("YX", T=0, C=0, Z=0), a)
