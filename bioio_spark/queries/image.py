@@ -4835,3 +4835,53 @@ def img_demosaic(spark, sf_dir):
     return (demosaic_pixels(cfa, 12, 16, plane_cols=())
             .select("y", "x", "r", "g", "b")
             .orderBy("y", "x"))
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) clustering key: the data-layout lever for windowed
+# reads over relational pixel tables. The query pins BOTH the key math
+# (identical bit-interleave in each engine) and the locality property
+# that makes it useful: within every aligned 4x4 block the 16 keys are
+# one CONTIGUOUS range (max-min = 15) — which is exactly why a pixel
+# table written sorted by (plane, morton) lets parquet min/max stats
+# prune a YX window to O(window) row groups at 100 TB.
+# --------------------------------------------------------------------------
+@register(
+    "img_zorder",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL}),
+    keyed AS (
+      SELECT t, c, z, CAST(y // 4 AS INTEGER) AS by,
+             CAST(x // 4 AS INTEGER) AS bx,
+             (((((((((CAST(x AS BIGINT) | (CAST(x AS BIGINT) << 8)) & 16711935) | (((CAST(x AS BIGINT) | (CAST(x AS BIGINT) << 8)) & 16711935) << 4)) & 252645135) | (((((CAST(x AS BIGINT) | (CAST(x AS BIGINT) << 8)) & 16711935) | (((CAST(x AS BIGINT) | (CAST(x AS BIGINT) << 8)) & 16711935) << 4)) & 252645135) << 2)) & 858993459) | (((((((CAST(x AS BIGINT) | (CAST(x AS BIGINT) << 8)) & 16711935) | (((CAST(x AS BIGINT) | (CAST(x AS BIGINT) << 8)) & 16711935) << 4)) & 252645135) | (((((CAST(x AS BIGINT) | (CAST(x AS BIGINT) << 8)) & 16711935) | (((CAST(x AS BIGINT) | (CAST(x AS BIGINT) << 8)) & 16711935) << 4)) & 252645135) << 2)) & 858993459) << 1)) & 1431655765) | (((((((((CAST(y AS BIGINT) | (CAST(y AS BIGINT) << 8)) & 16711935) | (((CAST(y AS BIGINT) | (CAST(y AS BIGINT) << 8)) & 16711935) << 4)) & 252645135) | (((((CAST(y AS BIGINT) | (CAST(y AS BIGINT) << 8)) & 16711935) | (((CAST(y AS BIGINT) | (CAST(y AS BIGINT) << 8)) & 16711935) << 4)) & 252645135) << 2)) & 858993459) | (((((((CAST(y AS BIGINT) | (CAST(y AS BIGINT) << 8)) & 16711935) | (((CAST(y AS BIGINT) | (CAST(y AS BIGINT) << 8)) & 16711935) << 4)) & 252645135) | (((((CAST(y AS BIGINT) | (CAST(y AS BIGINT) << 8)) & 16711935) | (((CAST(y AS BIGINT) | (CAST(y AS BIGINT) << 8)) & 16711935) << 4)) & 252645135) << 2)) & 858993459) << 1)) & 1431655765) << 1)) AS mk
+      FROM px)
+    SELECT t, c, z, by, bx,
+           CAST(count(*) AS BIGINT) AS n_px,
+           min(mk) AS min_key, max(mk) AS max_key,
+           CAST(CASE WHEN max(mk) - min(mk) = count(*) - 1
+                THEN 1 ELSE 0 END AS BIGINT) AS contiguous
+    FROM keyed GROUP BY t, c, z, by, bx
+    ORDER BY t, c, z, by, bx
+    """,
+    doc="Morton/Z-order clustering key + per-4x4-block contiguity "
+        "proof (the layout that makes windowed pixel reads "
+        "row-group-prunable at scale)",
+)
+def img_zorder(spark, sf_dir):
+    from bioio_spark.operators.zorder import morton_key
+
+    px = _gen_pixels(spark)
+    keyed = px.select(
+        "t", "c", "z",
+        (F.col("y") / 4).cast("int").alias("by"),
+        (F.col("x") / 4).cast("int").alias("bx"),
+        morton_key(F.col("y"), F.col("x")).alias("mk"))
+    return (keyed.groupBy("t", "c", "z", "by", "bx")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_px"),
+                 F.min("mk").alias("min_key"),
+                 F.max("mk").alias("max_key"))
+            .withColumn(
+                "contiguous",
+                (F.col("max_key") - F.col("min_key")
+                 == F.col("n_px") - 1).cast("bigint"))
+            .orderBy("t", "c", "z", "by", "bx"))
