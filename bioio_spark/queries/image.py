@@ -4885,3 +4885,52 @@ def img_zorder(spark, sf_dir):
                 (F.col("max_key") - F.col("min_key")
                  == F.col("n_px") - 1).cast("bigint"))
             .orderBy("t", "c", "z", "by", "bx"))
+
+
+@register(
+    "img_dng_large",
+    oracle="""
+    WITH px AS (
+      SELECT (i // 1024) AS y, (i % 1024) AS x,
+             CAST(((i // 1024) * 131 + (i % 1024) * 7) % 30000
+                  + ((i // 1024) % 2) * 2048
+                  + ((i % 1024) % 2) * 1024 AS DOUBLE) AS value
+      FROM range(524288) r(i))
+    SELECT CAST(y % 2 AS INTEGER) AS ry, CAST(x % 2 AS INTEGER) AS rx,
+           CAST(count(*) AS BIGINT) AS n_px,
+           sum(value) AS sum_val, max(value) AS max_val
+    FROM px GROUP BY y % 2, x % 2 ORDER BY ry, rx
+    """,
+    doc="DNG decode-throughput row: 512x1024 mosaic, 8 uncompressed "
+        "strips read in parallel (one ranged GET each)",
+)
+def img_dng_large(spark, sf_dir):
+    import os
+    import shutil
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.dng import build_dng
+
+    idx = np.indices((512, 1024))
+    mosaic = (((idx[0] * 131 + idx[1] * 7) % 30000
+               + (idx[0] % 2) * 2048
+               + (idx[1] % 2) * 1024)).astype(np.uint16)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "dng_large")
+    path = os.path.join(out, "big.dng")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(build_dng(mosaic, compression=1,
+                              rows_per_strip=64))
+        os.replace(tmp, path)
+    img = BioImage(path, spark=spark)
+    return (img.get_image_dataframe()
+            .groupBy((F.col("y") % 2).cast("int").alias("ry"),
+                     (F.col("x") % 2).cast("int").alias("rx"))
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("ry", "rx"))
