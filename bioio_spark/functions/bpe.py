@@ -151,13 +151,17 @@ def _bpe_oracle(n_merges: int = N_MERGES) -> str:
              unnest(generate_series(1, len(q.s) - 1)) t(i))
       GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1),
     seq{r + 1} AS (
+      -- coalesce to a chr(1) sentinel (symbols are [a-z0-9]+, so it
+      -- can never match): an EMPTY best{r} (merges ran dry) leaves
+      -- seq unchanged instead of cascading NULLs — matching the
+      -- Spark loop's break
       SELECT freq,
              trim(regexp_replace(
                replace(' ' || replace(seq, ' ', '  ') || ' ',
-                       (SELECT ' ' || replace(pair, ' ', '  ') || ' '
-                        FROM best{r}),
-                       (SELECT ' ' || replace(pair, ' ', '') || ' '
-                        FROM best{r})),
+                       coalesce((SELECT ' ' || replace(pair, ' ', '  ')
+                                 || ' ' FROM best{r}), chr(1)),
+                       coalesce((SELECT ' ' || replace(pair, ' ', '')
+                                 || ' ' FROM best{r}), chr(1))),
                ' +', ' ', 'g')) AS seq
       FROM seq{r})""")
     rounds = "\n      UNION ALL ".join(

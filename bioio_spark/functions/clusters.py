@@ -152,6 +152,8 @@ def dedup_clusters_oracle(pairs_cte: str) -> str:
 
 # -- G2: PageRank (integer fixed-point, Pregel-on-DataFrame) -----------------
 
+_PAGERANK_PERSISTS: dict = {}
+
 PR_SCALE = 1_000_000            # decimal fixed point
 PR_DAMP_PCT = 85                # damping factor as integer percent
 PR_ITERS = 3
@@ -189,7 +191,10 @@ def pagerank(edges: DataFrame, n_iters: int = PR_ITERS,
         held = spark.__dict__.setdefault("_bioio_pagerank_persists",
                                          [])
     except Exception:
-        held = []
+        # sessions whose __dict__ is unavailable (connect-style
+        # proxies) fall back to a module-level registry keyed by the
+        # session id, so release still happens across invocations
+        held = _PAGERANK_PERSISTS.setdefault(id(spark), [])
     for old_df in held:
         try:
             old_df.unpersist()

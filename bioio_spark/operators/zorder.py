@@ -29,10 +29,16 @@ def _spread_bits(col: Column) -> Column:
 
 def morton_key(y: Column, x: Column) -> Column:
     """32-bit Morton code of two 16-bit coordinates: bit i of x lands
-    at key bit 2i, bit i of y at 2i+1."""
-    return (_spread_bits(x)
-            .bitwiseOR(F.shiftleft(_spread_bits(y), 1))
-            .cast("bigint"))
+    at key bit 2i, bit i of y at 2i+1. Coordinates outside 0..65535
+    FAIL THE JOB (assert_true) rather than silently aliasing — a
+    wider image needs a wider spread, not wrong clustering."""
+    ok = F.assert_true(
+        (y >= 0) & (y < 65536) & (x >= 0) & (x < 65536),
+        F.lit("morton_key: coordinates must be in 0..65535"))
+    key = (_spread_bits(x)
+           .bitwiseOR(F.shiftleft(_spread_bits(y), 1))
+           .cast("bigint"))
+    return F.when(ok.isNull(), key)
 
 
 def morton_sql(y: str, x: str) -> str:

@@ -4841,31 +4841,42 @@ def img_demosaic(spark, sf_dir):
 # Z-order (Morton) clustering key: the data-layout lever for windowed
 # reads over relational pixel tables. The query pins BOTH the key math
 # (identical bit-interleave in each engine) and the locality property
-# that makes it useful: within every aligned 4x4 block the 16 keys are
-# one CONTIGUOUS range (max-min = 15) — which is exactly why a pixel
-# table written sorted by (plane, morton) lets parquet min/max stats
-# prune a YX window to O(window) row groups at 100 TB.
+# that makes it useful: within EVERY aligned 4x4 block — full or
+# ragged — the key range is bounded by the block's 16-key span
+# (max - min <= 15), and full blocks are exactly one contiguous
+# 16-key run. That bounded range is why a pixel table written sorted
+# by (plane, morton) lets parquet min/max stats prune a YX window to
+# O(window) row groups at 100 TB.
 # --------------------------------------------------------------------------
-@register(
-    "img_zorder",
-    oracle=f"""
+from bioio_spark.operators.zorder import morton_sql  # noqa: E402
+
+_ZORDER_ORACLE = f"""
     WITH px AS ({_GEN_SQL}),
     keyed AS (
       SELECT t, c, z, CAST(y // 4 AS INTEGER) AS by,
              CAST(x // 4 AS INTEGER) AS bx,
-             (((((((((CAST(x AS BIGINT) | (CAST(x AS BIGINT) << 8)) & 16711935) | (((CAST(x AS BIGINT) | (CAST(x AS BIGINT) << 8)) & 16711935) << 4)) & 252645135) | (((((CAST(x AS BIGINT) | (CAST(x AS BIGINT) << 8)) & 16711935) | (((CAST(x AS BIGINT) | (CAST(x AS BIGINT) << 8)) & 16711935) << 4)) & 252645135) << 2)) & 858993459) | (((((((CAST(x AS BIGINT) | (CAST(x AS BIGINT) << 8)) & 16711935) | (((CAST(x AS BIGINT) | (CAST(x AS BIGINT) << 8)) & 16711935) << 4)) & 252645135) | (((((CAST(x AS BIGINT) | (CAST(x AS BIGINT) << 8)) & 16711935) | (((CAST(x AS BIGINT) | (CAST(x AS BIGINT) << 8)) & 16711935) << 4)) & 252645135) << 2)) & 858993459) << 1)) & 1431655765) | (((((((((CAST(y AS BIGINT) | (CAST(y AS BIGINT) << 8)) & 16711935) | (((CAST(y AS BIGINT) | (CAST(y AS BIGINT) << 8)) & 16711935) << 4)) & 252645135) | (((((CAST(y AS BIGINT) | (CAST(y AS BIGINT) << 8)) & 16711935) | (((CAST(y AS BIGINT) | (CAST(y AS BIGINT) << 8)) & 16711935) << 4)) & 252645135) << 2)) & 858993459) | (((((((CAST(y AS BIGINT) | (CAST(y AS BIGINT) << 8)) & 16711935) | (((CAST(y AS BIGINT) | (CAST(y AS BIGINT) << 8)) & 16711935) << 4)) & 252645135) | (((((CAST(y AS BIGINT) | (CAST(y AS BIGINT) << 8)) & 16711935) | (((CAST(y AS BIGINT) | (CAST(y AS BIGINT) << 8)) & 16711935) << 4)) & 252645135) << 2)) & 858993459) << 1)) & 1431655765) << 1)) AS mk
+             {morton_sql('y', 'x')} AS mk
       FROM px)
     SELECT t, c, z, by, bx,
            CAST(count(*) AS BIGINT) AS n_px,
            min(mk) AS min_key, max(mk) AS max_key,
-           CAST(CASE WHEN max(mk) - min(mk) = count(*) - 1
-                THEN 1 ELSE 0 END AS BIGINT) AS contiguous
+           CAST(CASE WHEN max(mk) - min(mk) <= 15
+                THEN 1 ELSE 0 END AS BIGINT) AS range_bounded,
+           CAST(CASE WHEN count(*) = 16
+                     AND max(mk) - min(mk) = 15
+                THEN 1 ELSE 0 END AS BIGINT) AS full_contiguous
     FROM keyed GROUP BY t, c, z, by, bx
     ORDER BY t, c, z, by, bx
-    """,
-    doc="Morton/Z-order clustering key + per-4x4-block contiguity "
-        "proof (the layout that makes windowed pixel reads "
-        "row-group-prunable at scale)",
+    """
+
+
+@register(
+    "img_zorder",
+    oracle=_ZORDER_ORACLE,
+    doc="Morton/Z-order clustering key + per-4x4-block bounded-range "
+        "proof (every aligned block spans <= 16 keys; full blocks "
+        "are one contiguous run) — the layout that makes windowed "
+        "pixel reads row-group-prunable at scale",
 )
 def img_zorder(spark, sf_dir):
     from bioio_spark.operators.zorder import morton_key
@@ -4881,9 +4892,14 @@ def img_zorder(spark, sf_dir):
                  F.min("mk").alias("min_key"),
                  F.max("mk").alias("max_key"))
             .withColumn(
-                "contiguous",
-                (F.col("max_key") - F.col("min_key")
-                 == F.col("n_px") - 1).cast("bigint"))
+                "range_bounded",
+                (F.col("max_key") - F.col("min_key") <= 15)
+                .cast("bigint"))
+            .withColumn(
+                "full_contiguous",
+                ((F.col("n_px") == 16)
+                 & (F.col("max_key") - F.col("min_key") == 15))
+                .cast("bigint"))
             .orderBy("t", "c", "z", "by", "bx"))
 
 

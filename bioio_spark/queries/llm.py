@@ -859,7 +859,8 @@ def l12b_semdedup_sweep(spark, sf_dir):
 # argmax fetch, and a narrow literal-pattern merge projection. The
 # oracle unrolls the identical round chain textually.
 # --------------------------------------------------------------------------
-from bioio_spark.functions.bpe import BPE_ORACLE  # noqa: E402
+from bioio_spark.functions.bpe import (  # noqa: E402
+    BPE_ORACLE, BPE_TOKENIZE_ORACLE)
 
 
 @register("l13_bpe_vocab", oracle=BPE_ORACLE,
@@ -940,9 +941,6 @@ def l4l_tfidf_pairs(spark, sf_dir):
     from bioio_spark.functions.text import tfidf_similar_pairs
 
     return tfidf_similar_pairs(load(spark, sf_dir, "documents"))
-
-
-from bioio_spark.functions.bpe import BPE_TOKENIZE_ORACLE  # noqa: E402
 
 
 @register("l13b_bpe_tokenize",

@@ -312,6 +312,14 @@ class DngWriter:
             raise ValueError(
                 "DngWriter takes a single YX CFA mosaic plane "
                 f"(got shape {np.asarray(data).shape})")
+        if a.dtype.kind not in "ui":
+            raise ValueError(
+                f"DngWriter takes integer mosaic data (got "
+                f"{a.dtype}); quantize floats explicitly first")
+        if a.size and (int(a.min()) < 0 or int(a.max()) > 0xFFFF):
+            raise ValueError(
+                "DngWriter mosaic values must fit uint16 "
+                f"(got range [{int(a.min())}, {int(a.max())}])")
         payload = build_dng(a.astype(np.uint16),
                             compression=compression,
                             rows_per_strip=rows_per_strip,
