@@ -4950,3 +4950,49 @@ def img_dng_large(spark, sf_dir):
                  F.sum("value").alias("sum_val"),
                  F.max("value").alias("max_val"))
             .orderBy("ry", "rx"))
+
+
+# --------------------------------------------------------------------------
+# Remove-small-objects: the segmentation step AFTER labeling (the
+# scipy.ndimage remove_small_objects analog every bioimage pipeline
+# runs on its mask). Components below min_size drop; isolated pixels
+# carry no CC edge (size 1 by the l6 contract) and drop with them.
+# One extra bounded filter + per-plane aggregate on top of the CC
+# output — the labeling shuffle is the whole cost.
+# --------------------------------------------------------------------------
+_RSO_MIN = 4
+
+
+@register(
+    "img_remove_small",
+    oracle=f"""
+    WITH base AS ({_cc_oracle()})
+    SELECT CAST(p // {C * Z} AS INTEGER) AS t,
+           CAST((p // {Z}) % {C} AS INTEGER) AS c,
+           CAST(p % {Z} AS INTEGER) AS z,
+           CAST(count(*) AS BIGINT) AS n_kept_px,
+           CAST(count(DISTINCT component) AS BIGINT) AS n_components
+    FROM (SELECT node // {Y * X} AS p, component
+          FROM base WHERE component_size >= {_RSO_MIN})
+    GROUP BY 1, 2, 3 ORDER BY t, c, z
+    """,
+    doc="remove-small-objects: size-gated CC components per plane "
+        "(the post-labeling segmentation filter)",
+)
+def img_remove_small(spark, sf_dir):
+    from bioio_spark.operators.labeling import label_mask_components
+
+    cc = label_mask_components(_cc_mask(spark),
+                               approx_size=T * C * Z * Y * X)
+    kept = cc.filter(F.col("component_size") >= _RSO_MIN)
+    p = (F.col("node") / (Y * X)).cast("long")
+    return (kept.select(
+                (p / (C * Z)).cast("int").alias("t"),
+                ((p / Z) % C).cast("int").alias("c"),
+                (p % Z).cast("int").alias("z"),
+                "component")
+            .groupBy("t", "c", "z")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept_px"),
+                 F.countDistinct("component").cast("bigint")
+                 .alias("n_components"))
+            .orderBy("t", "c", "z"))
