@@ -408,3 +408,65 @@ def s9_stream_ngff_sink(spark, sf_dir):
                  F.sum("value").alias("sum_val"),
                  F.max("value").alias("max_val"))
             .orderBy("t", "z"))
+
+
+# --------------------------------------------------------------------------
+# E1: event-funnel analysis — sequenced-pattern matching (view ->
+# click -> purchase, each stage strictly AFTER the previous one's
+# first occurrence per user), the classic product-analytics query
+# shape no plain aggregate expresses. Three user-keyed stages; every
+# join and aggregate shuffles on the SAME user_id key, so AQE reuses
+# one partitioning across the whole chain. Conversion ratios are
+# exact integer permille (n * 1000 DIV n_prev).
+# --------------------------------------------------------------------------
+@register(
+    "e1_event_funnel",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN t1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > t1.t1
+      GROUP BY e.user_id),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN t2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+      GROUP BY e.user_id)
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM t1) AS n_view,
+      (SELECT CAST(count(*) AS BIGINT) FROM t2) AS n_click,
+      (SELECT CAST(count(*) AS BIGINT) FROM t3) AS n_purchase,
+      (SELECT CAST(count(*) AS BIGINT) FROM t2) * 1000
+        // (SELECT count(*) FROM t1) AS click_permille,
+      (SELECT CAST(count(*) AS BIGINT) FROM t3) * 1000
+        // (SELECT count(*) FROM t2) AS purchase_permille
+    """,
+    doc="E1 event funnel (view -> click -> purchase, strictly "
+        "ordered per user): sequenced-pattern analytics, one reused "
+        "user_id partitioning across the stage chain",
+)
+def e1_event_funnel(spark, sf_dir):
+    e = load(spark, sf_dir, "events").select("user_id", "event_type",
+                                             "ts")
+    t1 = (e.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    t2 = (e.filter(F.col("event_type") == "click")
+          .join(t1, "user_id")
+          .filter(F.col("ts") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    t3 = (e.filter(F.col("event_type") == "purchase")
+          .join(t2, "user_id")
+          .filter(F.col("ts") > F.col("t2"))
+          .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    n1 = t1.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
+    n2 = t2.agg(F.count(F.lit(1)).cast("bigint").alias("n_click"))
+    n3 = t3.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchase"))
+    return (n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(n3))
+            .select("n_view", "n_click", "n_purchase",
+                    F.expr("n_click * 1000 DIV n_view")
+                    .alias("click_permille"),
+                    F.expr("n_purchase * 1000 DIV n_click")
+                    .alias("purchase_permille")))
