@@ -4996,3 +4996,83 @@ def img_remove_small(spark, sf_dir):
                  F.countDistinct("component").cast("bigint")
                  .alias("n_components"))
             .orderBy("t", "c", "z"))
+
+
+# --------------------------------------------------------------------------
+# N10 local variance (3x3 texture feature) + N11 morphological opening
+# (erosion -> dilation). Variance stays INTEGER-exact by reporting the
+# scaled numerator n^2 * var = n * sum(v^2) - sum(v)^2 — no float
+# division to pin. Opening chains two stencils: the oracle is the
+# nested min-then-max neighborhood join, the Spark side composes the
+# same two contribution-explode aggregates (same target key, so the
+# second shuffle reuses the first's partitioning layout).
+# --------------------------------------------------------------------------
+@register(
+    "img_local_var",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL})
+    SELECT a.t, a.c, a.z, a.y, a.x,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) * sum(CAST(b.value AS BIGINT)
+                               * CAST(b.value AS BIGINT))
+                - sum(CAST(b.value AS BIGINT))
+                  * sum(CAST(b.value AS BIGINT)) AS BIGINT)
+             AS var_num
+    FROM px a JOIN px b
+      ON a.t = b.t AND a.c = b.c AND a.z = b.z
+     AND abs(a.y - b.y) <= 1 AND abs(a.x - b.x) <= 1
+    GROUP BY a.t, a.c, a.z, a.y, a.x
+    ORDER BY a.t, a.c, a.z, a.y, a.x
+    """,
+    doc="N10 3x3 local variance texture feature: integer-exact "
+        "scaled numerator n*sum(v^2) - sum(v)^2, edge-clamped, one "
+        "explode + one hash agg",
+)
+def img_local_var(spark, sf_dir):
+    offsets = F.array(*[
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+    px = _gen_pixels(spark)
+    ex = px.select("t", "c", "z", "y", "x",
+                   F.col("value").cast("long").alias("v"),
+                   F.explode(offsets).alias("o"))
+    ny = (F.col("y") + F.col("o.dy")).alias("y")
+    nx = (F.col("x") + F.col("o.dx")).alias("x")
+    return (ex.select("t", "c", "z", ny, nx, "v")
+            .filter((F.col("y") >= 0) & (F.col("y") < Y)
+                    & (F.col("x") >= 0) & (F.col("x") < X))
+            .groupBy("t", "c", "z", "y", "x")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 (F.count(F.lit(1)) * F.sum(F.col("v") * F.col("v"))
+                  - F.sum("v") * F.sum("v")).cast("bigint")
+                 .alias("var_num"))
+            .orderBy("t", "c", "z", "y", "x"))
+
+
+@register(
+    "img_opening",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL}),
+    er AS (
+      SELECT a.t, a.c, a.z, a.y, a.x, min(b.value) AS value
+      FROM px a JOIN px b
+        ON a.t = b.t AND a.c = b.c AND a.z = b.z
+       AND abs(a.y - b.y) <= 1 AND abs(a.x - b.x) <= 1
+      GROUP BY a.t, a.c, a.z, a.y, a.x)
+    SELECT a.t, a.c, a.z, a.y, a.x, max(b.value) AS value
+    FROM er a JOIN er b
+      ON a.t = b.t AND a.c = b.c AND a.z = b.z
+     AND abs(a.y - b.y) <= 1 AND abs(a.x - b.x) <= 1
+    GROUP BY a.t, a.c, a.z, a.y, a.x
+    ORDER BY a.t, a.c, a.z, a.y, a.x
+    """,
+    doc="N11 morphological opening (3x3 erosion then dilation): two "
+        "chained contribution-explode stencils on the same target "
+        "key — the speckle-noise remover of the segmentation family",
+)
+def img_opening(spark, sf_dir):
+    from bioio_spark.operators.stencil import morph_pixels
+
+    eroded = morph_pixels(_gen_pixels(spark), Y, X, op="min")
+    return (morph_pixels(eroded, Y, X, op="max")
+            .orderBy("t", "c", "z", "y", "x"))
