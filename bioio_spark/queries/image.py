@@ -5076,3 +5076,85 @@ def img_opening(spark, sf_dir):
     eroded = morph_pixels(_gen_pixels(spark), Y, X, op="min")
     return (morph_pixels(eroded, Y, X, op="max")
             .orderBy("t", "c", "z", "y", "x"))
+
+
+# --------------------------------------------------------------------------
+# N12 Otsu auto-threshold: the classic histogram-based segmentation
+# threshold (maximize between-class variance). Everything runs over
+# the bounded VALUE HISTOGRAM (the hist-eq/l11 pattern — never a
+# window over pixels): cumulative class counts/sums per plane, the
+# between-class objective (s0*n1 - s1*n0)^2 / (n0*n1) computed from
+# exact integer inputs (same IEEE ops both engines), argmax with the
+# threshold value as the pinned tiebreak.
+# --------------------------------------------------------------------------
+@register(
+    "img_otsu",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL}),
+    h AS (SELECT t, c, z, value, count(*) AS cnt
+          FROM px GROUP BY t, c, z, value),
+    cum AS (
+      SELECT t, c, z, value, cnt,
+             sum(cnt) OVER w AS n0,
+             sum(cnt * value) OVER w AS s0,
+             sum(cnt) OVER p AS n_tot,
+             sum(cnt * value) OVER p AS s_tot
+      FROM h
+      WINDOW w AS (PARTITION BY t, c, z ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             p AS (PARTITION BY t, c, z)),
+    scored AS (
+      SELECT t, c, z, value,
+             CAST(n0 AS BIGINT) AS n0,
+             CAST(n_tot - n0 AS BIGINT) AS n1,
+             CASE WHEN n0 > 0 AND n_tot - n0 > 0 THEN
+               (s0 * (n_tot - n0) - (s_tot - s0) * n0)
+               * (s0 * (n_tot - n0) - (s_tot - s0) * n0)
+               / (n0 * (n_tot - n0)) ELSE -1.0 END AS obj
+      FROM cum),
+    best AS (
+      SELECT t, c, z, value, n0, n1,
+             row_number() OVER (PARTITION BY t, c, z
+                                ORDER BY obj DESC, value ASC) AS rn
+      FROM scored)
+    SELECT t, c, z, value AS threshold, n0 AS n_bg, n1 AS n_fg
+    FROM best WHERE rn = 1 ORDER BY t, c, z
+    """,
+    doc="N12 Otsu auto-threshold: between-class-variance argmax over "
+        "the bounded per-plane value histogram (never a pixel "
+        "window), integer-exact inputs, pinned tiebreak",
+)
+def img_otsu(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    h = (_gen_pixels(spark)
+         .groupBy("t", "c", "z", "value")
+         .agg(F.count(F.lit(1)).alias("cnt")))
+    w = (W.partitionBy("t", "c", "z").orderBy("value")
+         .rowsBetween(W.unboundedPreceding, 0))
+    p = W.partitionBy("t", "c", "z")
+    cum = (h.withColumn("n0", F.sum("cnt").over(w))
+           .withColumn("s0", F.sum(F.col("cnt") * F.col("value"))
+                       .over(w))
+           .withColumn("n_tot", F.sum("cnt").over(p))
+           .withColumn("s_tot", F.sum(F.col("cnt") * F.col("value"))
+                       .over(p)))
+    n1 = F.col("n_tot") - F.col("n0")
+    s1 = F.col("s_tot") - F.col("s0")
+    d = F.col("s0") * n1 - s1 * F.col("n0")
+    obj = (F.when((F.col("n0") > 0) & (n1 > 0),
+                  d * d / (F.col("n0") * n1))
+           .otherwise(F.lit(-1.0)))
+    scored = cum.select("t", "c", "z", "value",
+                        F.col("n0").cast("bigint").alias("n0"),
+                        n1.cast("bigint").alias("n1"),
+                        obj.alias("obj"))
+    rn = F.row_number().over(
+        W.partitionBy("t", "c", "z")
+        .orderBy(F.desc("obj"), F.asc("value")))
+    return (scored.withColumn("rn", rn).filter(F.col("rn") == 1)
+            .select("t", "c", "z",
+                    F.col("value").alias("threshold"),
+                    F.col("n0").alias("n_bg"),
+                    F.col("n1").alias("n_fg"))
+            .orderBy("t", "c", "z"))
