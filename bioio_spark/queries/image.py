@@ -5158,3 +5158,65 @@ def img_otsu(spark, sf_dir):
                     F.col("n0").alias("n_bg"),
                     F.col("n1").alias("n_fg"))
             .orderBy("t", "c", "z"))
+
+
+# --------------------------------------------------------------------------
+# N13 region properties — the MEASUREMENT stage after labeling (the
+# scipy.ndimage/skimage regionprops analog): per component, pixel
+# area, bounding box, and centroid NUMERATORS (integer sums — the
+# division is presentation, so the contract stays integer-exact).
+# One decompose projection + one component-keyed partial agg on top
+# of the CC output.
+# --------------------------------------------------------------------------
+@register(
+    "img_regionprops",
+    oracle=f"""
+    WITH base AS ({_cc_oracle()}),
+    d AS (
+      SELECT component,
+             node // {Y * X} AS p,
+             (node % {Y * X}) // {X} AS y,
+             node % {X} AS x
+      FROM base)
+    SELECT component,
+           CAST(max(p // {C * Z}) AS INTEGER) AS t,
+           CAST(max((p // {Z}) % {C}) AS INTEGER) AS c,
+           CAST(max(p % {Z}) AS INTEGER) AS z,
+           CAST(count(*) AS BIGINT) AS area,
+           CAST(min(y) AS INTEGER) AS y_min,
+           CAST(max(y) AS INTEGER) AS y_max,
+           CAST(min(x) AS INTEGER) AS x_min,
+           CAST(max(x) AS INTEGER) AS x_max,
+           CAST(sum(y) AS BIGINT) AS sum_y,
+           CAST(sum(x) AS BIGINT) AS sum_x
+    FROM d GROUP BY component ORDER BY component
+    """,
+    doc="N13 region properties (regionprops analog): per-component "
+        "area, bbox, centroid numerators — one component-keyed "
+        "partial agg over the CC labels; components never span "
+        "planes, so the plane ids are constant per group",
+)
+def img_regionprops(spark, sf_dir):
+    from bioio_spark.operators.labeling import label_mask_components
+
+    cc = label_mask_components(_cc_mask(spark),
+                               approx_size=T * C * Z * Y * X)
+    p = (F.col("node") / (Y * X)).cast("long")
+    y = ((F.col("node") % (Y * X)) / X).cast("long")
+    x = (F.col("node") % X).cast("long")
+    d = cc.select("component", p.alias("p"), y.alias("y"),
+                  x.alias("x"))
+    return (d.groupBy("component")
+            .agg(F.max((F.col("p") / (C * Z)).cast("long"))
+                 .cast("int").alias("t"),
+                 F.max(((F.col("p") / Z).cast("long")) % C)
+                 .cast("int").alias("c"),
+                 F.max(F.col("p") % Z).cast("int").alias("z"),
+                 F.count(F.lit(1)).cast("bigint").alias("area"),
+                 F.min("y").cast("int").alias("y_min"),
+                 F.max("y").cast("int").alias("y_max"),
+                 F.min("x").cast("int").alias("x_min"),
+                 F.max("x").cast("int").alias("x_max"),
+                 F.sum("y").cast("bigint").alias("sum_y"),
+                 F.sum("x").cast("bigint").alias("sum_x"))
+            .orderBy("component"))
