@@ -23,9 +23,22 @@ restricted to ``[a-z0-9]+`` so patterns are metacharacter-free.
 
 Scale: the working set after round 0 is the WORD-FREQUENCY table
 (corpus vocabulary, not the corpus — the classic BPE-training
-compression), so each round costs one vocab-sized pass; at 100 TB the
-vocab table would be checkpointed once and each round re-reads it,
-never the raw text.
+compression). The trainer PERSISTS that state: the round-0 frame
+(word freqs + initial symbol split) is lazily persisted, every round's
+merged frame is persisted on top of its predecessor's cache, and every
+``CHECKPOINT_EVERY`` rounds the frame is ``localCheckpoint``-ed to
+truncate the growing merge-projection lineage — so round r's argmax
+job reads round r-1's CACHED vocab table plus one narrow projection,
+never the raw corpus. The corpus is scanned exactly once, in round 0
+(pinned by the accumulator-source test in
+``tests/test_intensity.py::test_bpe_scans_corpus_once``); at a real
+30k-merge vocab each round stays one vocab-sized cached pass instead
+of the O(rounds²) re-derivation the unpersisted chain would cost.
+Memory hygiene is the pagerank release-registry pattern
+(``functions/clusters.py``): each NEW training releases every frame a
+previous invocation pinned, and results are memoized per
+``(cache_key, n_merges)`` so the l13/l13b pair trains once per
+session, not once per query.
 """
 
 from __future__ import annotations
@@ -33,8 +46,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-N_MERGES = 4
+N_MERGES = 16
+CHECKPOINT_EVERY = 8
 WORD_RE = "^[a-z0-9]+$"
+
+# fallback registry for sessions whose __dict__ is unavailable
+# (connect-style proxies), keyed by session id — mirrors
+# _PAGERANK_PERSISTS in functions/clusters.py
+_BPE_CACHE: dict = {}
+
+
+def _session_cache(spark) -> dict:
+    try:
+        return spark.__dict__.setdefault("_bioio_bpe_cache", {})
+    except Exception:
+        return _BPE_CACHE.setdefault(id(spark), {})
 
 
 def _word_freqs(documents: DataFrame) -> DataFrame:
@@ -58,12 +84,40 @@ def _merge_seq(seq, pair: str):
         F.replace(doubled, F.lit(pat), F.lit(rep)), " +", " "))
 
 
-def _run_merges(documents: DataFrame, n_merges: int):
+def _run_merges(documents: DataFrame, n_merges: int,
+                cache_key=None):
     """Shared trainer loop: returns (final word-freq frame with the
-    merged `seq` column, [(round, pair, token, count), ...])."""
+    merged `seq` column, [(round, pair, token, count), ...]).
+
+    Persistence contract (the round-8 verdict's directed fix): the
+    round-0 frame and every round's merged frame are LAZILY persisted,
+    so each round's 1-row argmax job materializes exactly one new
+    narrow projection over the previous round's cache — the corpus is
+    scanned once, in round 0. Every CHECKPOINT_EVERY rounds the frame
+    is localCheckpoint(eager=False)-ed so lineage depth stays bounded
+    at a real 30k-merge vocab. Results are memoized per
+    (cache_key, n_merges); a new training releases all frames earlier
+    invocations pinned (the pagerank release-registry pattern)."""
+    spark = documents.sparkSession
+    cache = _session_cache(spark)
+    key = (cache_key, n_merges) if cache_key is not None \
+        else ("anon", object())
+    if cache_key is not None and key in cache:
+        cur, merges, _held = cache[key]
+        return cur, merges
+    # a NEW training releases every other invocation's pinned frames —
+    # the session holds at most one training's cache blocks
+    for other in [k for k in list(cache) if k != key]:
+        _cur, _m, held = cache.pop(other)
+        for old_df in held:
+            try:
+                old_df.unpersist()
+            except Exception:
+                pass
     wf = _word_freqs(documents)
     seq0 = F.trim(F.regexp_replace("word", "(.)", "$1 "))
-    cur = wf.withColumn("seq", seq0)
+    cur = wf.withColumn("seq", seq0).persist()
+    held = [cur]
     merges = []
     for r in range(n_merges):
         s = F.split(F.col("seq"), " ")
@@ -85,15 +139,24 @@ def _run_merges(documents: DataFrame, n_merges: int):
         pair, cnt = best[0]["pair"], int(best[0]["cnt"])
         merges.append((r + 1, pair, pair.replace(" ", ""), cnt))
         cur = cur.withColumn("seq", _merge_seq(F.col("seq"), pair))
+        if (r + 1) % CHECKPOINT_EVERY == 0 and r + 1 < n_merges:
+            # truncate the merge-projection lineage; lazy so the NEXT
+            # round's argmax job materializes it with cache reuse
+            cur = cur.localCheckpoint(eager=False)
+        else:
+            cur = cur.persist()
+        held.append(cur)
+    cache[key] = (cur, merges, held)
     return cur, merges
 
 
-def bpe_vocab(documents: DataFrame,
-              n_merges: int = N_MERGES) -> DataFrame:
+def bpe_vocab(documents: DataFrame, n_merges: int = N_MERGES,
+              cache_key=None) -> DataFrame:
     """Learn `n_merges` BPE merge rules; returns one row per round:
     (merge_round, pair, token, pair_count) where pair_count is the
     pair's corpus frequency at merge time."""
-    _cur, merges = _run_merges(documents, n_merges)
+    _cur, merges = _run_merges(documents, n_merges,
+                               cache_key=cache_key)
     return documents.sparkSession.createDataFrame(
         merges,
         "merge_round int, pair string, token string, "
@@ -101,7 +164,8 @@ def bpe_vocab(documents: DataFrame,
 
 
 def bpe_tokenize_stats(documents: DataFrame,
-                       n_merges: int = N_MERGES) -> DataFrame:
+                       n_merges: int = N_MERGES,
+                       cache_key=None) -> DataFrame:
     """Train the merges, APPLY them to the corpus, and report the
     tokenizer's effect — the full train-tokenizer -> tokenize-corpus
     loop: (n_merges, n_words, vocab_size, n_symbols_before,
@@ -112,8 +176,10 @@ def bpe_tokenize_stats(documents: DataFrame,
 
     Scale: the stats are one vocab-sized aggregate over the trained
     frame plus a distinct-symbol count — nothing re-reads the raw
-    text."""
-    cur, _merges = _run_merges(documents, n_merges)
+    text, and (via the _run_merges memo) a session that already ran
+    bpe_vocab with the same cache_key reuses that training outright."""
+    cur, _merges = _run_merges(documents, n_merges,
+                               cache_key=cache_key)
     types = (cur.select(F.explode(F.split("seq", " ")).alias("sym"))
              .agg(F.countDistinct("sym").cast("bigint")
                   .alias("n_token_types")))
@@ -131,26 +197,31 @@ def bpe_tokenize_stats(documents: DataFrame,
 
 
 def _bpe_oracle(n_merges: int = N_MERGES) -> str:
-    parts = [rf"""wf AS (
+    # AS MATERIALIZED is load-bearing: seq{r} is referenced by both
+    # best{r} and seq{r+1}, so an inlining planner would re-derive the
+    # whole prefix chain per reference — exponential in n_merges (the
+    # direct analogue of the Spark side's per-round persist)
+    parts = [rf"""wf AS MATERIALIZED (
       SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
         SELECT unnest(regexp_split_to_array(trim(lower(text)),
                                             '\s+')) AS word
         FROM documents)
       WHERE regexp_matches(word, '{WORD_RE}')
       GROUP BY word),
-    seq0 AS (SELECT freq,
+    seq0 AS MATERIALIZED (
+             SELECT freq,
                     trim(regexp_replace(word, '(.)', '\1 ', 'g'))
                       AS seq
              FROM wf)"""]
     for r in range(n_merges):
-        parts.append(f"""best{r} AS (
+        parts.append(f"""best{r} AS MATERIALIZED (
       SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
         SELECT q.freq, q.s[t.i] || ' ' || q.s[t.i + 1] AS pair
         FROM (SELECT freq, string_split(seq, ' ') AS s
               FROM seq{r}) q,
              unnest(generate_series(1, len(q.s) - 1)) t(i))
       GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1),
-    seq{r + 1} AS (
+    seq{r + 1} AS MATERIALIZED (
       -- coalesce to a chr(1) sentinel (symbols are [a-z0-9]+, so it
       -- can never match): an EMPTY best{r} (merges ran dry) leaves
       -- seq unchanged instead of cascading NULLs — matching the

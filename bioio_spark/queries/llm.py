@@ -864,13 +864,15 @@ from bioio_spark.functions.bpe import (  # noqa: E402
 
 
 @register("l13_bpe_vocab", oracle=BPE_ORACLE,
-          doc="L13 distributed BPE vocabulary learning: 4 merge "
-              "rounds, greedy-leftmost merge semantics pinned via "
-              "the doubled-space replace trick")
+          doc="L13 distributed BPE vocabulary learning: 16 merge "
+              "rounds over a persisted/checkpointed vocab table, "
+              "greedy-leftmost merge semantics pinned via the "
+              "doubled-space replace trick")
 def l13_bpe_vocab(spark, sf_dir):
     from bioio_spark.functions.bpe import bpe_vocab
 
-    return bpe_vocab(load(spark, sf_dir, "documents"))
+    return bpe_vocab(load(spark, sf_dir, "documents"),
+                     cache_key=sf_dir)
 
 
 @register("l4k_dsir_weights", oracle=_text.DSIR_ORACLE,
@@ -952,4 +954,5 @@ def l4l_tfidf_pairs(spark, sf_dir):
 def l13b_bpe_tokenize(spark, sf_dir):
     from bioio_spark.functions.bpe import bpe_tokenize_stats
 
-    return bpe_tokenize_stats(load(spark, sf_dir, "documents"))
+    return bpe_tokenize_stats(load(spark, sf_dir, "documents"),
+                              cache_key=sf_dir)
