@@ -134,6 +134,8 @@ def decode_ljpeg(data: bytes) -> np.ndarray:
     pos = 2
     tables = {}
     precision = h = w = None
+    ns = nf = None
+    comp_tds = []
     predictor = None
     scan_off = None
     while pos < len(data) - 1:
@@ -167,6 +169,16 @@ def decode_ljpeg(data: bytes) -> np.ndarray:
                                      "components unsupported")
         elif marker in (0xFFC0, 0xFFC1, 0xFFC2):
             raise ValueError("not a lossless JPEG (DCT SOF marker)")
+        elif marker == 0xFFDD:
+            # DRI: a nonzero restart interval would interleave RSTn
+            # markers into the entropy stream, which this explicit
+            # subset does not resync on — reject rather than decode
+            # corrupt pixels silently
+            (ri,) = struct.unpack(">H", payload[:2])
+            if ri:
+                raise ValueError(
+                    f"restart interval {ri} unsupported (lossless "
+                    "JPEG subset decodes unsegmented scans only)")
         elif marker == 0xFFDA:
             ns = payload[0]
             comp_tds = [payload[2 + 2 * c] >> 4 for c in range(ns)]
@@ -177,7 +189,8 @@ def decode_ljpeg(data: bytes) -> np.ndarray:
             scan_off = pos + 2 + ln
             break
         pos += 2 + ln
-    if scan_off is None or precision is None:
+    if scan_off is None or precision is None or nf is None \
+            or ns is None:
         raise ValueError("lossless JPEG missing SOF3/SOS")
     if ns != nf:
         raise ValueError("non-interleaved lossless JPEG scans "

@@ -213,9 +213,12 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 1, k: int = 10,
     emb = embeddings.select(
         "vec_id", "label", _to_double(F.col("embedding")).alias("e"))
     trained = _train_ivf(emb, n_centroids, sample_mod, cache_key=cache_key)
-    q_vec = list(
-        emb.filter(F.col("vec_id") == query_vec_id).select("e")
-        .collect()[0]["e"])
+    q_rows = (emb.filter(F.col("vec_id") == query_vec_id)
+              .select("e").collect())
+    if not q_rows:
+        raise ValueError(
+            f"query vec_id {query_vec_id} not found in embeddings")
+    q_vec = list(q_rows[0]["e"])
 
     probe_ids = [cid for cid, _ in sorted(
         ((cid, _cos_py(q_vec, v)) for cid, v in trained.items()),
@@ -720,6 +723,11 @@ def _train_pq(emb: DataFrame, m_sub: int = PQ_M, ks: int = PQ_KS,
 
     seed_rows = (emb.filter(F.col("vec_id") < ks)
                  .select("vec_id", "e").collect())
+    seed_ids = {int(r["vec_id"]) for r in seed_rows}
+    if seed_ids != set(range(ks)):
+        raise ValueError(
+            f"PQ seeding requires vec_ids 0..{ks - 1} present; "
+            f"missing {sorted(set(range(ks)) - seed_ids)}")
     dim = len(seed_rows[0]["e"])
     if dim % m_sub:
         raise ValueError(f"dim {dim} not divisible by {m_sub} "
@@ -775,9 +783,12 @@ def pq_topk(embeddings: DataFrame, query_vec_id: int = 2, k: int = 10,
                         cache_key=cache_key)
     dim = len(trained[(0, 0)]) * m_sub
     subdim = dim // m_sub
-    q = [float(v) for v in
-         emb.filter(F.col("vec_id") == query_vec_id)
-         .select("e").collect()[0]["e"]]
+    q_rows = (emb.filter(F.col("vec_id") == query_vec_id)
+              .select("e").collect())
+    if not q_rows:
+        raise ValueError(
+            f"query vec_id {query_vec_id} not found in embeddings")
+    q = [float(v) for v in q_rows[0]["e"]]
 
     adc = None
     for m in range(m_sub):
@@ -904,9 +915,12 @@ def pq_recall(embeddings: DataFrame, query_vec_id: int = 2,
                         cache_key=cache_key)
     dim = len(trained[(0, 0)]) * m_sub
     subdim = dim // m_sub
-    q = [float(v) for v in
-         emb.filter(F.col("vec_id") == query_vec_id)
-         .select("e").collect()[0]["e"]]
+    q_rows = (emb.filter(F.col("vec_id") == query_vec_id)
+              .select("e").collect())
+    if not q_rows:
+        raise ValueError(
+            f"query vec_id {query_vec_id} not found in embeddings")
+    q = [float(v) for v in q_rows[0]["e"]]
 
     # exact squared L2, summed subspace-by-subspace in the same
     # left-associated order as the oracle's textual expression

@@ -439,10 +439,12 @@ def s9_stream_ngff_sink(spark, sf_dir):
       (SELECT CAST(count(*) AS BIGINT) FROM t1) AS n_view,
       (SELECT CAST(count(*) AS BIGINT) FROM t2) AS n_click,
       (SELECT CAST(count(*) AS BIGINT) FROM t3) AS n_purchase,
-      (SELECT CAST(count(*) AS BIGINT) FROM t2) * 1000
-        // (SELECT count(*) FROM t1) AS click_permille,
-      (SELECT CAST(count(*) AS BIGINT) FROM t3) * 1000
-        // (SELECT count(*) FROM t2) AS purchase_permille
+      CASE WHEN (SELECT count(*) FROM t1) = 0 THEN NULL
+           ELSE (SELECT CAST(count(*) AS BIGINT) FROM t2) * 1000
+                // (SELECT count(*) FROM t1) END AS click_permille,
+      CASE WHEN (SELECT count(*) FROM t2) = 0 THEN NULL
+           ELSE (SELECT CAST(count(*) AS BIGINT) FROM t3) * 1000
+                // (SELECT count(*) FROM t2) END AS purchase_permille
     """,
     doc="E1 event funnel (view -> click -> purchase, strictly "
         "ordered per user): sequenced-pattern analytics, one reused "
@@ -466,7 +468,11 @@ def e1_event_funnel(spark, sf_dir):
     n3 = t3.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchase"))
     return (n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(n3))
             .select("n_view", "n_click", "n_purchase",
-                    F.expr("n_click * 1000 DIV n_view")
-                    .alias("click_permille"),
-                    F.expr("n_purchase * 1000 DIV n_click")
-                    .alias("purchase_permille")))
+                    # CASE-guarded: an empty stage yields NULL in both
+                    # engines (DuckDB // raises on 0, Spark DIV nulls)
+                    F.expr("CASE WHEN n_view = 0 THEN NULL ELSE "
+                           "n_click * 1000 DIV n_view END")
+                    .cast("bigint").alias("click_permille"),
+                    F.expr("CASE WHEN n_click = 0 THEN NULL ELSE "
+                           "n_purchase * 1000 DIV n_click END")
+                    .cast("bigint").alias("purchase_permille")))

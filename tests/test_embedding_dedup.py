@@ -188,3 +188,34 @@ def test_knn_join_salt_invariant(spark):
     assert list(a.groupby("query_id").size()) == [4, 4]
     # self never appears among its own neighbors
     assert (a.query_id != a.vec_id).all()
+
+
+def test_pq_missing_query_vec_is_valueerror(spark):
+    from bioio_spark.functions.similarity import PQ_M, pq_topk
+
+    dim = PQ_M * 2
+    rng = np.random.default_rng(3)
+    emb = spark.createDataFrame(
+        [(i, "x", [float(v) for v in rng.standard_normal(dim)])
+         for i in range(20)],
+        "vec_id long, label string, embedding array<double>")
+    with pytest.raises(ValueError, match="vec_id 999 not found"):
+        pq_topk(emb, query_vec_id=999, k=3, cache_key=None)
+
+
+def test_pq_sparse_seed_ids_is_valueerror(spark):
+    """vec_ids that skip 0..ks-1 must raise a named error instead of
+    IndexError/KeyError deep inside codebook training."""
+    from bioio_spark.functions.similarity import PQ_KS, PQ_M, _train_pq
+    from pyspark.sql import functions as F
+
+    dim = PQ_M * 2
+    rng = np.random.default_rng(4)
+    emb = spark.createDataFrame(
+        [(i * 2 + 1, "x", [float(v) for v in rng.standard_normal(dim)])
+         for i in range(20)],
+        "vec_id long, label string, embedding array<double>")
+    e = emb.select("vec_id", "label",
+                   F.col("embedding").alias("e"))
+    with pytest.raises(ValueError, match="requires vec_ids 0.."):
+        _train_pq(e, PQ_M, PQ_KS, 1, cache_key=None)

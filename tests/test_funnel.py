@@ -1,0 +1,59 @@
+"""E1/E1b event-funnel edge semantics: an EMPTY funnel stage must
+yield NULL conversion ratios in BOTH engines (Spark's DIV nulls on
+zero; DuckDB's // raises — the oracle therefore CASE-guards), pinned
+here on a degenerate fixture the driver's events table never hits."""
+
+import datetime
+
+import duckdb
+import pytest
+
+from bioio_spark.queries import REGISTRY
+
+
+def _write_events(tmp_path, spark, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet"))
+
+
+def _oracle(tmp_path, sql):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp_path}/events.parquet/*.parquet'")
+    return con.execute(sql).fetchall()
+
+
+@pytest.mark.parametrize("name", ["e1_event_funnel"])
+def test_funnel_empty_stage_is_null_both_engines(tmp_path, spark, name):
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, "view", 1.0, ""),
+        (2, t0 + datetime.timedelta(minutes=1), 7, "view", 1.0, ""),
+        (3, t0, 8, "view", 1.0, ""),
+        # no clicks, no purchases: n_click = n_purchase = 0
+    ]
+    _write_events(tmp_path, spark, rows)
+    spec = REGISTRY[name]
+    srow = spec.fn(spark, str(tmp_path)).collect()[0]
+    assert srow["n_view"] == 2
+    assert srow["n_click"] == 0
+    assert srow["click_permille"] == 0          # 0 clicks / 2 views
+    assert srow["purchase_permille"] is None    # x / 0 clicks -> NULL
+    orow = _oracle(tmp_path, spec.oracle)[0]
+    assert tuple(srow) == tuple(orow)
+
+    # no views at all: every ratio's denominator stage is empty
+    # (fresh directory — Spark caches the previous path's file listing)
+    d2 = tmp_path / "noviews"
+    d2.mkdir()
+    _write_events(d2, spark, [(1, t0, 7, "purchase", 1.0, "")])
+    srow = spec.fn(spark, str(d2)).collect()[0]
+    assert srow["n_view"] == 0
+    assert srow["click_permille"] is None
+    assert srow["purchase_permille"] is None
+    orow = _oracle(d2, spec.oracle)[0]
+    assert tuple(srow) == tuple(orow)

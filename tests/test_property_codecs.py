@@ -365,3 +365,39 @@ def test_ljpeg_roundtrip(h, w, precision, predictor, seed):
                                     predictor=predictor))
     assert got.shape == a.shape
     assert (got.astype(np.int64) == a.astype(np.int64)).all()
+
+
+def test_ljpeg_rejects_restart_interval():
+    """A DRI segment with a nonzero interval means RSTn markers sit in
+    the entropy stream; the explicit subset must refuse rather than
+    decode corrupt pixels silently. DRI=0 (disabled) stays accepted."""
+    import pytest
+
+    from bioio_spark.formats.ljpeg import decode_ljpeg, encode_ljpeg
+
+    a = np.arange(12, dtype=np.uint16).reshape(3, 4)
+    enc = encode_ljpeg(a, precision=8)
+    dri = bytes([0xFF, 0xDD, 0x00, 0x04, 0x00, 0x10])
+    with pytest.raises(ValueError, match="restart interval"):
+        decode_ljpeg(enc[:2] + dri + enc[2:])
+    dri0 = bytes([0xFF, 0xDD, 0x00, 0x04, 0x00, 0x00])
+    got = decode_ljpeg(enc[:2] + dri0 + enc[2:])
+    assert (got.astype(np.int64) == a.astype(np.int64)).all()
+
+
+def test_ljpeg_missing_sof3_is_valueerror():
+    """A stream whose SOF3 is absent (SOS still present) must hit the
+    explicit missing-SOF3/SOS ValueError, not an unbound-local error."""
+    import pytest
+    import struct as _struct
+
+    from bioio_spark.formats.ljpeg import decode_ljpeg, encode_ljpeg
+
+    enc = encode_ljpeg(np.arange(12, dtype=np.uint16).reshape(3, 4),
+                       precision=8)
+    # splice the SOF3 segment out
+    i = enc.index(b"\xFF\xC3")
+    (ln,) = _struct.unpack(">H", enc[i + 2:i + 4])
+    hollow = enc[:i] + enc[i + 2 + ln:]
+    with pytest.raises(ValueError, match="missing SOF3/SOS"):
+        decode_ljpeg(hollow)
