@@ -476,3 +476,77 @@ def e1_event_funnel(spark, sf_dir):
                     F.expr("CASE WHEN n_click = 0 THEN NULL ELSE "
                            "n_purchase * 1000 DIV n_click END")
                     .cast("bigint").alias("purchase_permille")))
+
+
+# E1b: the WINDOWED funnel — each stage must convert within
+# FUNNEL_WINDOW_HOURS of the PRIOR stage's conversion instant (the
+# form real product analytics uses: "clicked within 24h of first
+# view"). Same user_id-keyed three-stage chain as e1 — one reused
+# partitioning — with the window as an extra sargable predicate on the
+# already-joined prior-stage timestamp; no new shuffle, no state.
+FUNNEL_WINDOW_HOURS = 24
+
+
+@register(
+    "e1b_windowed_funnel",
+    oracle=f"""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN t1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > t1.t1
+        AND e.ts <= t1.t1 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+      GROUP BY e.user_id),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN t2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        AND e.ts <= t2.t2 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+      GROUP BY e.user_id)
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM t1) AS n_view,
+      (SELECT CAST(count(*) AS BIGINT) FROM t2) AS n_click,
+      (SELECT CAST(count(*) AS BIGINT) FROM t3) AS n_purchase,
+      CASE WHEN (SELECT count(*) FROM t1) = 0 THEN NULL
+           ELSE (SELECT CAST(count(*) AS BIGINT) FROM t2) * 1000
+                // (SELECT count(*) FROM t1) END AS click_permille,
+      CASE WHEN (SELECT count(*) FROM t2) = 0 THEN NULL
+           ELSE (SELECT CAST(count(*) AS BIGINT) FROM t3) * 1000
+                // (SELECT count(*) FROM t2) END AS purchase_permille
+    """,
+    doc="E1b windowed event funnel: each stage converts within 24h of "
+        "the prior stage (the production analytics form); the window "
+        "is one extra predicate on the e1 chain, same single user_id "
+        "partitioning",
+)
+def e1b_windowed_funnel(spark, sf_dir):
+    w = FUNNEL_WINDOW_HOURS
+    e = load(spark, sf_dir, "events").select("user_id", "event_type",
+                                             "ts")
+    t1 = (e.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    t2 = (e.filter(F.col("event_type") == "click")
+          .join(t1, "user_id")
+          .filter((F.col("ts") > F.col("t1"))
+                  & (F.col("ts")
+                     <= F.expr(f"t1 + INTERVAL {w} HOUR")))
+          .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    t3 = (e.filter(F.col("event_type") == "purchase")
+          .join(t2, "user_id")
+          .filter((F.col("ts") > F.col("t2"))
+                  & (F.col("ts")
+                     <= F.expr(f"t2 + INTERVAL {w} HOUR")))
+          .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    n1 = t1.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
+    n2 = t2.agg(F.count(F.lit(1)).cast("bigint").alias("n_click"))
+    n3 = t3.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchase"))
+    return (n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(n3))
+            .select("n_view", "n_click", "n_purchase",
+                    F.expr("CASE WHEN n_view = 0 THEN NULL ELSE "
+                           "n_click * 1000 DIV n_view END")
+                    .cast("bigint").alias("click_permille"),
+                    F.expr("CASE WHEN n_click = 0 THEN NULL ELSE "
+                           "n_purchase * 1000 DIV n_click END")
+                    .cast("bigint").alias("purchase_permille")))

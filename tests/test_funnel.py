@@ -27,7 +27,8 @@ def _oracle(tmp_path, sql):
     return con.execute(sql).fetchall()
 
 
-@pytest.mark.parametrize("name", ["e1_event_funnel"])
+@pytest.mark.parametrize("name", ["e1_event_funnel",
+                                  "e1b_windowed_funnel"])
 def test_funnel_empty_stage_is_null_both_engines(tmp_path, spark, name):
     t0 = datetime.datetime(2024, 1, 1)
     rows = [
@@ -57,3 +58,26 @@ def test_funnel_empty_stage_is_null_both_engines(tmp_path, spark, name):
     assert srow["purchase_permille"] is None
     orow = _oracle(d2, spec.oracle)[0]
     assert tuple(srow) == tuple(orow)
+
+
+def test_windowed_funnel_excludes_late_conversions(tmp_path, spark):
+    """A click 25h after the first view converts in e1 but NOT in the
+    24h-windowed e1b."""
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, "view", 1.0, ""),
+        (2, t0 + datetime.timedelta(hours=25), 7, "click", 1.0, ""),
+        (3, t0, 8, "view", 1.0, ""),
+        (4, t0 + datetime.timedelta(hours=2), 8, "click", 1.0, ""),
+        (5, t0 + datetime.timedelta(hours=3), 8, "purchase", 1.0, ""),
+    ]
+    _write_events(tmp_path, spark, rows)
+    strict = REGISTRY["e1_event_funnel"].fn(
+        spark, str(tmp_path)).collect()[0]
+    windowed = REGISTRY["e1b_windowed_funnel"].fn(
+        spark, str(tmp_path)).collect()[0]
+    assert strict["n_click"] == 2 and windowed["n_click"] == 1
+    assert strict["n_purchase"] == 1 and windowed["n_purchase"] == 1
+    owin = _oracle(tmp_path,
+                   REGISTRY["e1b_windowed_funnel"].oracle)[0]
+    assert tuple(windowed) == tuple(owin)
