@@ -23,7 +23,8 @@ import struct
 
 import numpy as np
 
-_TAG_TYPES = {"SHORT": 3, "LONG": 4, "BYTE": 1, "ASCII": 2}
+_TAG_TYPES = {"SHORT": 3, "LONG": 4, "BYTE": 1, "ASCII": 2,
+              "RATIONAL": 5, "SRATIONAL": 10}
 
 CFA_NAMES = {0: "R", 1: "G", 2: "B"}
 
@@ -33,6 +34,8 @@ _DNG_VERSION = 50706
 _UNIQUE_MODEL = 50708
 _BLACK_LEVEL = 50714
 _WHITE_LEVEL = 50717
+_COLOR_MATRIX1 = 50721
+_AS_SHOT_NEUTRAL = 50728
 
 
 def build_dng(plane: np.ndarray, compression: int = 1,
@@ -40,11 +43,19 @@ def build_dng(plane: np.ndarray, compression: int = 1,
               cfa_pattern: bytes = bytes((0, 1, 1, 2)),
               model: str = "bioio-spark synthetic",
               white_level: int = 0,
-              ljpeg_components: int = 1) -> bytes:
+              ljpeg_components: int = 1,
+              black_level: int = 0,
+              as_shot_neutral=None,
+              color_matrix1=None) -> bytes:
     """Compose a single-IFD DNG holding `plane` (2-D uint16 CFA
     mosaic). compression: 1 = none, 7 = lossless JPEG per strip
     (ljpeg_components=2 writes the column-interleaved two-component
-    SOF3 scans Adobe's converter produces)."""
+    SOF3 scans Adobe's converter produces).
+
+    `as_shot_neutral` is 3 (num, den) RATIONAL pairs (tag 50728, the
+    camera-neutral white point); `color_matrix1` is 9 signed (num, den)
+    SRATIONAL pairs row-major (tag 50721, the XYZ->camera matrix) —
+    the metadata the develop stage (img_dng_develop) consumes."""
     if plane.ndim != 2 or plane.dtype != np.uint16:
         raise ValueError("build_dng takes a 2-D uint16 mosaic")
     if compression not in (1, 7):
@@ -77,6 +88,12 @@ def build_dng(plane: np.ndarray, compression: int = 1,
         if typ == "BYTE":
             entries.append((tag, t, len(values), bytes(values)))
             return
+        if typ in ("RATIONAL", "SRATIONAL"):
+            fmt = "<II" if typ == "RATIONAL" else "<ii"
+            entries.append((tag, t, len(values),
+                            b"".join(struct.pack(fmt, n, d)
+                                     for n, d in values)))
+            return
         fmt = "<H" if typ == "SHORT" else "<I"
         entries.append((tag, t, len(values),
                         b"".join(struct.pack(fmt, v) for v in values)))
@@ -96,11 +113,19 @@ def build_dng(plane: np.ndarray, compression: int = 1,
     ent(_CFA_PATTERN, "BYTE", cfa_pattern)
     ent(_DNG_VERSION, "BYTE", bytes((1, 4, 0, 0)))
     ent(_UNIQUE_MODEL, "ASCII", model_b)
-    ent(_BLACK_LEVEL, "SHORT", [0])
+    ent(_BLACK_LEVEL, "SHORT", [black_level])
     ent(_WHITE_LEVEL, "LONG", [white_level])
+    if as_shot_neutral is not None:
+        if len(as_shot_neutral) != 3:
+            raise ValueError("AsShotNeutral needs 3 (num, den) pairs")
+        ent(_AS_SHOT_NEUTRAL, "RATIONAL", list(as_shot_neutral))
+    if color_matrix1 is not None:
+        if len(color_matrix1) != 9:
+            raise ValueError("ColorMatrix1 needs 9 (num, den) pairs")
+        ent(_COLOR_MATRIX1, "SRATIONAL", list(color_matrix1))
     entries.sort(key=lambda e: e[0])
 
-    type_size = {1: 1, 2: 1, 3: 2, 4: 4}
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 10: 8}
     ifd_off = 8
     ifd_len = 2 + 12 * len(entries) + 4
     ool_off = ifd_off + ifd_len
@@ -151,7 +176,7 @@ def read_dng_catalog(path: str) -> dict:
     pages = iter_tiff_chunks(
         path, keep_tags=(_CFA_DIM, _CFA_PATTERN, _DNG_VERSION,
                          _UNIQUE_MODEL, _BLACK_LEVEL, _WHITE_LEVEL,
-                         262))
+                         _COLOR_MATRIX1, _AS_SHOT_NEUTRAL, 262))
     raw = None
     for pg in pages:
         if _DNG_VERSION in pg.get("vendor", {}):
@@ -183,4 +208,9 @@ def read_dng_catalog(path: str) -> dict:
         "model": model,
         "black_level": v.get(_BLACK_LEVEL, [0])[0],
         "white_level": v.get(_WHITE_LEVEL, [0xFFFF])[0],
+        # develop metadata: AsShotNeutral (RATIONAL -> floats, exact
+        # for dyadic denominators) and ColorMatrix1 (SRATIONAL ->
+        # exact signed (num, den) pairs, row-major XYZ->camera)
+        "as_shot_neutral": v.get(_AS_SHOT_NEUTRAL),
+        "color_matrix1": v.get(_COLOR_MATRIX1),
     }

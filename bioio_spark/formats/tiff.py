@@ -166,7 +166,8 @@ def build_ome_xml(size_t: int, size_c: int, size_z: int, size_y: int,
     )
 
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8, 16: 8}
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 10: 8, 11: 4, 12: 8,
+               16: 8}
 
 
 def _ifd_entry(tag: int, typ: int, count: int, value: int) -> bytes:
@@ -693,7 +694,7 @@ def _read_tag_values(data: bytes, typ: int, count: int,
     """Decode an IFD entry's value(s), following the offset when needed.
     `bo` is the file byte order; `big` selects the BigTIFF entry layout
     (8-byte inline field and offsets, LONG8 type 16)."""
-    sizes = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8, 16: 8}
+    sizes = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 10: 8, 11: 4, 12: 8, 16: 8}
     fmt = {1: "B", 3: "H", 4: "I", 11: "f", 12: "d", 16: "Q"}
     total = sizes.get(typ, 1) * count
     inline = 8 if big else 4
@@ -709,6 +710,11 @@ def _read_tag_values(data: bytes, typ: int, count: int,
     if typ == 5:  # RATIONAL
         vals = struct.unpack(f"{bo}{2 * count}I", buf)
         return [vals[i] / vals[i + 1] if vals[i + 1] else float("nan")
+                for i in range(0, len(vals), 2)]
+    if typ == 10:  # SRATIONAL: exact signed (num, den) pairs — color
+        # matrices need the exact rationals, not a lossy float
+        vals = struct.unpack(f"{bo}{2 * count}i", buf)
+        return [(vals[i], vals[i + 1])
                 for i in range(0, len(vals), 2)]
     return [buf]
 
@@ -1054,7 +1060,7 @@ def _read_tag_values_fh(f, typ: int, count: int, raw: bytes, bo: str,
                         big: bool) -> list:
     """Seek-based twin of _read_tag_values: follows out-of-line value
     offsets through the file handle instead of a memory buffer."""
-    sizes = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8, 16: 8}
+    sizes = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 10: 8, 11: 4, 12: 8, 16: 8}
     fmt = {1: "B", 3: "H", 4: "I", 11: "f", 12: "d", 16: "Q"}
     total = sizes.get(typ, 1) * count
     inline = 8 if big else 4
@@ -1073,6 +1079,10 @@ def _read_tag_values_fh(f, typ: int, count: int, raw: bytes, bo: str,
     if typ == 5:
         vals = struct.unpack(f"{bo}{2 * count}I", buf)
         return [vals[i] / vals[i + 1] if vals[i + 1] else float("nan")
+                for i in range(0, len(vals), 2)]
+    if typ == 10:  # SRATIONAL: exact signed (num, den) pairs
+        vals = struct.unpack(f"{bo}{2 * count}i", buf)
+        return [(vals[i], vals[i + 1])
                 for i in range(0, len(vals), 2)]
     return [buf]
 

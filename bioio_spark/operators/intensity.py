@@ -122,3 +122,81 @@ def demosaic_pixels(pixels: DataFrame, height: int, width: int,
                     & (F.col("x") >= 0) & (F.col("x") < width))
             .groupBy(*keep, "y", "x")
             .agg(chan(0, "r"), chan(1, "g"), chan(2, "b")))
+
+
+# -- DNG develop stage (black level -> white balance -> color matrix) -------
+
+def invert_color_matrix(pairs) -> list:
+    """Exact 3x3 inverse of a row-major list of 9 (num, den) rational
+    pairs (DNG ColorMatrix1, XYZ->camera) -> row-major 3x3 FLOAT
+    camera->XYZ matrix. The inversion runs in exact Fractions
+    (adjugate / determinant) and only the final coefficients round to
+    double — the literal both engines then parse identically."""
+    from fractions import Fraction
+
+    if len(pairs) != 9:
+        raise ValueError("ColorMatrix1 needs 9 (num, den) pairs")
+    m = [[Fraction(int(n), int(d)) for n, d in pairs[r * 3:r * 3 + 3]]
+         for r in range(3)]
+    det = (m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+           - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+           + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0]))
+    if det == 0:
+        raise ValueError("ColorMatrix1 is singular")
+    cof = [[(m[(i + 1) % 3][(j + 1) % 3] * m[(i + 2) % 3][(j + 2) % 3]
+             - m[(i + 1) % 3][(j + 2) % 3] * m[(i + 2) % 3][(j + 1) % 3])
+            for j in range(3)] for i in range(3)]
+    # adjugate = transpose of cofactor matrix; this cyclic cofactor
+    # form needs no sign grid
+    return [[float(cof[j][i] / det) for j in range(3)]
+            for i in range(3)]
+
+
+def develop_sql(rgb_cte: str, black_level: int, neutral,
+                cam_to_xyz) -> str:
+    """DuckDB oracle half of develop_pixels: given a CTE chain ending
+    in `rgb`(y, x, r, g, b), append wb + matrix stages with the SAME
+    repr-formatted double literals the Spark side uses."""
+    b = repr(float(black_level))
+    vs = [f"greatest({c} - {b}, 0.0) / {repr(float(n))} AS v{c}"
+          for c, n in zip("rgb", neutral)]
+    outs = []
+    for name, row in zip(("cie_x", "cie_y", "cie_z"), cam_to_xyz):
+        terms = " + ".join(f"{repr(float(a))} * v{c}"
+                           for a, c in zip(row, "rgb"))
+        outs.append(f"({terms}) AS {name}")
+    return f"""{rgb_cte},
+    wb AS (SELECT y, x, {', '.join(vs)} FROM rgb)
+    SELECT y, x, {', '.join(outs)} FROM wb ORDER BY y, x"""
+
+
+def develop_pixels(rgb: DataFrame, black_level: int, neutral,
+                   cam_to_xyz, plane_cols=()) -> DataFrame:
+    """RAW develop: the camera processing chain the DNG spec (1.4,
+    "Mapping Camera Color Space to CIE XYZ") prescribes after
+    demosaicing — (1) black-level subtraction clamped at zero, (2)
+    AsShotNeutral white balance (divide each channel by its camera
+    neutral), (3) camera->XYZ via the inverted ColorMatrix1
+    (invert_color_matrix). All three are one narrow codegen
+    projection; every literal is a repr-formatted double parsed
+    identically by Spark and DuckDB, and both engines run the same
+    left-associated expression tree — deterministic, hash-checkable
+    output with zero extra shuffles on top of the demosaic agg.
+
+    `rgb` is demosaic_pixels output (plane keys, y, x, r, g, b);
+    `neutral` is 3 floats; `cam_to_xyz` a row-major 3x3 float matrix.
+    Returns (plane keys, y, x, cie_x, cie_y, cie_z)."""
+    keep = [c for c in plane_cols if c in rgb.columns]
+    blk = F.lit(float(black_level))
+    vs = [(F.greatest(F.col(c) - blk, F.lit(0.0))
+           / F.lit(float(n))).alias(f"v{c}")
+          for c, n in zip("rgb", neutral)]
+    wb = rgb.select(*keep, "y", "x", *vs)
+    outs = []
+    for name, row in zip(("cie_x", "cie_y", "cie_z"), cam_to_xyz):
+        expr = None
+        for a, c in zip(row, "rgb"):
+            term = F.lit(float(a)) * F.col(f"v{c}")
+            expr = term if expr is None else expr + term
+        outs.append(expr.alias(name))
+    return wb.select(*keep, "y", "x", *outs)

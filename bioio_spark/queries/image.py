@@ -4838,6 +4838,100 @@ def img_demosaic(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# img_dng_develop: the full camera-RAW develop chain (DNG spec 1.4
+# "Mapping Camera Color Space to CIE XYZ") — file -> CFA plane ->
+# bilinear demosaic -> black-level subtract -> AsShotNeutral white
+# balance -> inverse-ColorMatrix1 camera->XYZ. The develop stage is
+# ONE narrow codegen projection chained on the demosaic agg (no new
+# shuffle); all its parameters flow from the DNG's own metadata tags
+# (BlackLevel 50714, AsShotNeutral 50728, ColorMatrix1 50721), read
+# driver-side by the catalog walk. Ref README.md:70 reaches camera
+# RAW only through the Java bridge; this is the native tier.
+# --------------------------------------------------------------------------
+_DEV_BLACK = 256
+_DEV_NEUTRAL_PAIRS = ((5, 8), (1, 1), (13, 16))   # dyadic -> exact
+_DEV_CM1 = [(2, 1), (1, 2), (0, 1),
+            (0, 1), (2, 1), (1, 2),
+            (0, 1), (0, 1), (2, 1)]               # XYZ->camera
+
+_DEV_RGB_CTE = """
+    WITH px AS (
+      SELECT (i // 16) AS y, (i % 16) AS x,
+             CAST((i // 16) * 257 + (i % 16) * 13
+                  + ((i // 16) % 2) * 2048
+                  + ((i % 16) % 2) * 1024 AS DOUBLE) AS value
+      FROM range(192) r(i)),
+    rgb AS (
+      SELECT a.y, a.x,
+             sum(CASE WHEN b.y % 2 = 0 AND b.x % 2 = 0
+                      THEN b.value END)
+               / count(CASE WHEN b.y % 2 = 0 AND b.x % 2 = 0
+                            THEN 1 END) AS r,
+             sum(CASE WHEN b.y % 2 <> b.x % 2 THEN b.value END)
+               / count(CASE WHEN b.y % 2 <> b.x % 2 THEN 1 END) AS g,
+             sum(CASE WHEN b.y % 2 = 1 AND b.x % 2 = 1
+                      THEN b.value END)
+               / count(CASE WHEN b.y % 2 = 1 AND b.x % 2 = 1
+                            THEN 1 END) AS b
+      FROM px a JOIN px b
+        ON abs(a.y - b.y) <= 1 AND abs(a.x - b.x) <= 1
+      GROUP BY a.y, a.x)"""
+
+
+def _dev_oracle() -> str:
+    from bioio_spark.operators.intensity import (develop_sql,
+                                                 invert_color_matrix)
+    neutral = [n / d for n, d in _DEV_NEUTRAL_PAIRS]
+    return develop_sql(_DEV_RGB_CTE, _DEV_BLACK, neutral,
+                       invert_color_matrix(_DEV_CM1))
+
+
+@register(
+    "img_dng_develop",
+    oracle=_dev_oracle(),
+    doc="DNG develop chain: demosaic -> black-level -> AsShotNeutral "
+        "white balance -> inverse ColorMatrix1 camera->XYZ, all "
+        "parameters from the file's own DNG tags; one codegen "
+        "projection on top of the demosaic agg",
+)
+def img_dng_develop(spark, sf_dir):
+    import os
+    import shutil
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.formats.dng import build_dng, read_dng_catalog
+    from bioio_spark.operators.intensity import (demosaic_pixels,
+                                                 develop_pixels,
+                                                 invert_color_matrix)
+
+    idx = np.indices((12, 16))
+    mosaic = (idx[0] * 257 + idx[1] * 13 + (idx[0] % 2) * 2048
+              + (idx[1] % 2) * 1024).astype(np.uint16)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "dng_develop")
+    path = os.path.join(out, "raw.dng")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(build_dng(mosaic, compression=7, rows_per_strip=4,
+                              black_level=_DEV_BLACK,
+                              as_shot_neutral=_DEV_NEUTRAL_PAIRS,
+                              color_matrix1=_DEV_CM1))
+        os.replace(tmp, path)
+    cat = read_dng_catalog(path)
+    cfa = (BioImage(path, spark=spark).get_image_dataframe()
+           .select("y", "x", "value"))
+    rgb = demosaic_pixels(cfa, cat["size_y"], cat["size_x"],
+                          plane_cols=())
+    dev = develop_pixels(rgb, cat["black_level"],
+                         cat["as_shot_neutral"],
+                         invert_color_matrix(cat["color_matrix1"]))
+    return dev.orderBy("y", "x")
+
+
+# --------------------------------------------------------------------------
 # Z-order (Morton) clustering key: the data-layout lever for windowed
 # reads over relational pixel tables. The query pins BOTH the key math
 # (identical bit-interleave in each engine) and the locality property

@@ -153,3 +153,63 @@ def test_dng_two_component_ljpeg_roundtrip(spark, tmp_path):
     img = BioImage(str(p), spark=spark)
     np.testing.assert_array_equal(
         img.get_image_data("YX", T=0, C=0, Z=0), a)
+
+
+def test_dng_develop_metadata_roundtrip(tmp_path):
+    """BlackLevel/AsShotNeutral/ColorMatrix1 survive the build ->
+    catalog roundtrip: neutral as exact dyadic floats, matrix as exact
+    signed (num, den) pairs."""
+    from bioio_spark.formats.dng import read_dng_catalog
+
+    a = _mosaic()
+    p = tmp_path / "dev.dng"
+    cm = [(21, 10), (-3, 25), (1, 2),
+          (0, 1), (19, 10), (7, 100),
+          (1, 100), (0, 1), (23, 10)]
+    p.write_bytes(build_dng(
+        a, compression=1, black_level=128,
+        as_shot_neutral=((5, 8), (1, 1), (13, 16)),
+        color_matrix1=cm))
+    cat = read_dng_catalog(str(p))
+    assert cat["black_level"] == 128
+    assert cat["as_shot_neutral"] == [0.625, 1.0, 0.8125]
+    assert cat["color_matrix1"] == cm
+
+
+def test_invert_color_matrix_exact():
+    """inv(M) @ M == I in exact rational arithmetic (checked through
+    the float boundary on a matrix whose inverse is dyadic), and a
+    singular matrix raises."""
+    import pytest
+
+    from bioio_spark.operators.intensity import invert_color_matrix
+
+    cm = [(2, 1), (1, 2), (0, 1),
+          (0, 1), (2, 1), (1, 2),
+          (0, 1), (0, 1), (2, 1)]
+    inv = invert_color_matrix(cm)
+    m = [[n / d for n, d in cm[r * 3:r * 3 + 3]] for r in range(3)]
+    for i in range(3):
+        for j in range(3):
+            s = sum(inv[i][k] * m[k][j] for k in range(3))
+            assert s == (1.0 if i == j else 0.0)
+    with pytest.raises(ValueError, match="singular"):
+        invert_color_matrix([(1, 1)] * 9)
+
+
+def test_dng_develop_without_metadata_raises(tmp_path):
+    """A DNG missing the develop tags yields catalog None fields; the
+    operator's matrix inversion rejects None early."""
+    import pytest
+
+    from bioio_spark.formats.dng import read_dng_catalog
+    from bioio_spark.operators.intensity import invert_color_matrix
+
+    a = _mosaic()
+    p = tmp_path / "plain.dng"
+    p.write_bytes(build_dng(a, compression=1))
+    cat = read_dng_catalog(str(p))
+    assert cat["as_shot_neutral"] is None
+    assert cat["color_matrix1"] is None
+    with pytest.raises((ValueError, TypeError)):
+        invert_color_matrix(cat["color_matrix1"])
