@@ -4932,6 +4932,81 @@ def img_dng_develop(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# img_bulk_catalog: the directory-scale ingest front door. Every
+# planned reader catalogs one file driver-side (the D8 contract);
+# for a real acquisition directory (millions of files at 100 TB) that
+# walk must itself distribute. sources/bulk.py parallelizes the path
+# list and runs the SAME per-format catalog functions inside
+# mapInPandas — executor-side ranged reads, per-file errors as rows.
+# The query builds a 24-file mixed directory (TIFF/DNG/PNG with
+# deterministic dims), bulk-catalogs it, and aggregates per format;
+# the oracle recomputes the expected geometry arithmetically.
+# --------------------------------------------------------------------------
+@register(
+    "img_bulk_catalog",
+    oracle="""
+    WITH f AS (
+      SELECT 'dng' AS fmt, 1 AS n_pages, 8 + 2 * (i % 2) AS h,
+             12 AS w, (8 + 2 * (i % 2) + 3) // 4 AS n_chunks
+      FROM range(8) r(i)
+      UNION ALL
+      SELECT 'png', 1, 5 + i, 6 + i, 1 FROM range(8) r(i)
+      UNION ALL
+      SELECT 'tiff', 2 + i % 3, 8 + i, 10 + i, 2 + i % 3
+      FROM range(8) r(i))
+    SELECT fmt, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n_pages * h * w) AS BIGINT) AS sum_px,
+           CAST(sum(n_chunks) AS BIGINT) AS sum_chunks
+    FROM f GROUP BY fmt ORDER BY fmt
+    """,
+    doc="distributed bulk catalog over a 24-file mixed acquisition "
+        "directory: parallelize(paths) -> mapInPandas(catalog) -> "
+        "per-format geometry rollup; the executor-side walk that "
+        "replaces the driver-side per-file catalog at directory scale",
+)
+def img_bulk_catalog(spark, sf_dir):
+    import os
+    import shutil
+
+    from bioio_spark.formats.dng import build_dng
+    from bioio_spark.formats.png import encode_png
+    from bioio_spark.formats.tiff import encode_tiff
+    from bioio_spark.sources.bulk import bulk_catalog
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "bulk_catalog")
+    done = os.path.join(out, ".complete")
+    if not os.path.exists(done):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        for i in range(8):
+            planes = [np.full((8 + i, 10 + i), i, dtype=np.uint16)
+                      for _ in range(2 + i % 3)]
+            with open(os.path.join(out, f"t{i}.tif"), "wb") as f:
+                f.write(encode_tiff(planes))
+            mosaic = np.full((8 + 2 * (i % 2), 12), i,
+                             dtype=np.uint16)
+            with open(os.path.join(out, f"d{i}.dng"), "wb") as f:
+                f.write(build_dng(mosaic, compression=1,
+                                  rows_per_strip=4))
+            with open(os.path.join(out, f"p{i}.png"), "wb") as f:
+                f.write(encode_png(
+                    np.full((5 + i, 6 + i), i, dtype=np.uint8)))
+        open(done, "w").close()
+    paths = sorted(os.path.join(out, n) for n in os.listdir(out)
+                   if not n.startswith("."))
+    cat = bulk_catalog(spark, paths)
+    return (cat.filter(F.col("ok"))
+            .groupBy("fmt")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_files"),
+                 F.sum(F.col("n_pages") * F.col("size_y")
+                       * F.col("size_x")).cast("bigint")
+                 .alias("sum_px"),
+                 F.sum("n_chunks").cast("bigint").alias("sum_chunks"))
+            .orderBy("fmt"))
+
+
+# --------------------------------------------------------------------------
 # Z-order (Morton) clustering key: the data-layout lever for windowed
 # reads over relational pixel tables. The query pins BOTH the key math
 # (identical bit-interleave in each engine) and the locality property

@@ -500,3 +500,52 @@ def test_l3e_pq_topk_narrow_heap_no_python(spark):
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "REPARTITION_BY_NUM" in plan or \
         "Exchange hashpartitioning" not in plan
+
+
+def test_bulk_catalog_walk_is_executor_side(spark, tmp_path):
+    """The bulk-catalog stage must be a parallelized path list feeding
+    mapInPandas — the catalog walk runs in executor tasks (no FileScan
+    of image bytes, no driver loop, no shuffle of catalog rows beyond
+    the path-list repartition)."""
+    import numpy as np
+
+    from bioio_spark.formats.tiff import encode_tiff
+    from bioio_spark.sources.bulk import bulk_catalog
+
+    paths = []
+    for i in range(6):
+        p = tmp_path / f"s{i}.tif"
+        p.write_bytes(encode_tiff(
+            [np.zeros((4, 5), np.uint16)] * 2))
+        paths.append(str(p))
+    cat = bulk_catalog(spark, paths)
+    plan = physical_plan(cat)
+    assert "MapInPandas" in plan
+    assert "FileScan" not in plan
+    rows = {r["path"]: r for r in cat.collect()}
+    assert len(rows) == 6
+    assert all(r["ok"] and r["n_pages"] == 2 and r["n_chunks"] == 2
+               for r in rows.values())
+
+
+def test_bulk_catalog_errors_become_rows(spark, tmp_path):
+    """Truncated/foreign files must surface as (ok=false, err) rows,
+    never fail the job — the admission-control contract at directory
+    scale."""
+    import numpy as np
+
+    from bioio_spark.formats.tiff import encode_tiff
+    from bioio_spark.sources.bulk import bulk_catalog
+
+    good = tmp_path / "ok.tif"
+    good.write_bytes(encode_tiff([np.zeros((4, 5), np.uint16)]))
+    bad = tmp_path / "trunc.tif"
+    bad.write_bytes(b"II*\x00\x08")
+    foreign = tmp_path / "notes.txt"
+    foreign.write_text("not an image")
+    rows = {r["path"]: r for r in bulk_catalog(
+        spark, [str(good), str(bad), str(foreign)]).collect()}
+    assert rows[str(good)]["ok"]
+    assert not rows[str(bad)]["ok"] and rows[str(bad)]["err"]
+    assert not rows[str(foreign)]["ok"]
+    assert "unsupported extension" in rows[str(foreign)]["err"]
