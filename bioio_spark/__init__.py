@@ -337,6 +337,16 @@ def _register_builtin_plugins() -> None:
         version=__version__,
     ))
 
+    from bioio_spark.sources.mpeg_image import MpegImageReader
+
+    register_plugin(PluginEntry(
+        name="bioio-mpeg1-baseline",
+        reader=MpegImageReader,
+        extensions=[".mpg", ".mpeg"],
+        is_supported_image=MpegImageReader.is_supported_image,
+        version=__version__,
+    ))
+
     from bioio_spark.sources.pic_image import PicImageReader
 
     register_plugin(PluginEntry(

@@ -506,6 +506,8 @@ class BioImage:
                                                        read_mkv_window)
             from bioio_spark.sources.mp4_image import (Mp4ImageReader,
                                                        read_mp4_window)
+            from bioio_spark.sources.mpeg_image import (
+                MpegImageReader, read_mpeg_window)
             from bioio_spark.sources.dng_image import (DngImageReader,
                                                        read_dng_window)
             from bioio_spark.sources.pic_image import (PicImageReader,
@@ -525,6 +527,7 @@ class BioImage:
                             (PicImageReader, read_pic_window),
                             (AviImageReader, read_avi_window),
                             (Mp4ImageReader, read_mp4_window),
+                            (MpegImageReader, read_mpeg_window),
                             (MkvImageReader, read_mkv_window)):
                 if isinstance(reader, cls) and len(self.scenes) == 1:
                     return fn(self._spark, path,

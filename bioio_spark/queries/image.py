@@ -4542,6 +4542,63 @@ def img_mp4_roundtrip(spark, sf_dir):
             .orderBy("t", "c"))
 
 
+@register(
+    "img_mpeg_roundtrip",
+    oracle=f"""
+    WITH px AS (
+      SELECT CAST(i // {24 * 32} AS INTEGER) AS c,
+             CAST((((i // 32) % 24 // 8) * 3
+                   + (i % 32 // 8) * 5) % 200 + 20 AS DOUBLE)
+               AS value
+      FROM range({3 * 24 * 32}) r(i))
+    SELECT c, CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(value) AS DOUBLE) AS sum_val,
+           CAST(max(value) AS DOUBLE) AS max_val
+    FROM px GROUP BY c ORDER BY c
+    """,
+    doc="MPEG-1 (ISO 11172-2) intra encode -> BioImage reread via "
+        "the TwoDWriter .mpg route: picture start codes as the read "
+        "plan, exact on gray 8x8-constant content (4:2:0 chroma is "
+        "flat at 128)",
+)
+def img_mpeg_roundtrip(spark, sf_dir):
+    """MPEG-1 roundtrip through TwoDWriter's .mpg route and the
+    MpegImageReader: the start-code catalog resolves the picture to
+    an absolute byte range driver-side (no entropy IO); executors
+    seek-read + decode with the in-repo ISO 11172-2 intra codec. The
+    gray blocky fixture makes the DCT path bit-exact: flat luma
+    blocks quantise losslessly at DC step 8 and gray content carries
+    flat Cb=Cr=128 chroma through the mandatory 4:2:0 subsampling.
+    Closes the .mpg/.mpeg TwoDWriter rows (ref README.md:84)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bioio_spark.bio_image import BioImage
+    from bioio_spark.writers import WRITER_REGISTRY
+
+    yy, xx = np.indices((24, 32))
+    gray = (((yy // 8) * 3 + (xx // 8) * 5) % 200 + 20).astype(
+        np.uint8)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "mpeg_roundtrip")
+    path = os.path.join(out, "frame.mpg")
+    if not os.path.exists(path):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        tmp = path + ".tmp.mpg"
+        WRITER_REGISTRY["TwoDWriter"].save(gray, tmp)
+        os.replace(tmp, path)
+    img = BioImage(path, spark=spark)       # .mpg extension routing
+    return (img.get_image_dataframe()
+            .groupBy("c")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_px"),
+                 F.sum("value").alias("sum_val"),
+                 F.max("value").alias("max_val"))
+            .orderBy("c"))
+
+
 # --------------------------------------------------------------------------
 # N5 Sobel gradient + the two image-wide intensity primitives (integral
 # image, histogram equalization). Sobel extends the stencil family to

@@ -508,8 +508,10 @@ class TwoDWriter:
     """One-frame raster writer — the reference's bioio-imageio
     TwoDWriter row (ref README.md:83 routes .png/.bmp/.jpg and the
     one-frame video containers). Native targets: .png, .bmp,
-    .jpg/.jpeg, .gif, and .avi (a one-frame RIFF container). Input:
-    (Y, X) gray or (Y, X, 3) RGB uint8 (uint16 allowed for PNG)."""
+    .jpg/.jpeg, .gif, .avi (one-frame RIFF), .mp4/.mov, .mkv, and
+    .mpg/.mpeg (one-picture MPEG-1 elementary stream via
+    formats/mpeg1.py). Input: (Y, X) gray or (Y, X, 3) RGB uint8
+    (uint16 allowed for PNG)."""
 
     @staticmethod
     def save(data, uri: str, dim_order=None, **kwargs) -> None:
@@ -565,11 +567,18 @@ class TwoDWriter:
                 a = np.stack([a] * 3, axis=-1)
             with open(uri, "wb") as f:
                 f.write(encode_mkv(a.astype(np.uint8)[None]))
-        elif low.endswith((".mpg", ".mpeg", ".wmv", ".ogg")):
+        elif low.endswith((".mpg", ".mpeg")):
+            from bioio_spark.formats.mpeg1 import encode_mpeg1
+
+            if a.ndim == 2:
+                a = np.stack([a] * 3, axis=-1)
+            with open(uri, "wb") as f:
+                f.write(encode_mpeg1(a.astype(np.uint8)[None]))
+        elif low.endswith((".wmv", ".ogg")):
             raise NotImplementedError(
-                f"{uri}: ffmpeg-tier container — out of scope; write "
-                f".png/.bmp/.jpg/.gif/.avi/.mp4/.mkv for a native "
-                f"format")
+                f"{uri}: proprietary/ffmpeg-tier container — out of "
+                f"scope; write .png/.bmp/.jpg/.gif/.avi/.mp4/.mkv/"
+                f".mpg for a native format")
         else:
             raise ValueError(f"{uri}: TwoDWriter does not route this "
                              f"extension")

@@ -187,10 +187,14 @@ def test_twod_writer_routes_extensions(tmp_path):
     p = str(tmp_path / "f.avi")
     w.save(img, p)
     np.testing.assert_array_equal(decode_avi(p)[0], img)
-    # .mov/.mp4/.mkv are native as of round 8 (tests/test_mp4.py,
-    # tests/test_mkv.py); mpeg-ps/wmv/ogg remain the ffmpeg tier
-    with pytest.raises(NotImplementedError, match="ffmpeg"):
-        w.save(img, str(tmp_path / "f.mpg"))
+    # .mov/.mp4/.mkv native as of round 8, .mpg/.mpeg native as of
+    # round 9 (tests/test_mpeg1.py); wmv/ogg remain the closed tier
+    p = str(tmp_path / "f.mpg")
+    w.save(img, p)
+    from bioio_spark.formats.mpeg1 import read_mpeg1_catalog
+    assert read_mpeg1_catalog(p)["n_frames"] == 1
+    with pytest.raises(NotImplementedError, match="proprietary"):
+        w.save(img, str(tmp_path / "f.wmv"))
     with pytest.raises(ValueError, match="extension"):
         w.save(img, str(tmp_path / "f.xyz"))
 

@@ -338,6 +338,7 @@ def test_planned_read_sources_no_shuffle(spark, tmp_path):
     from bioio_spark.formats.nd2 import encode_nd2
     from bioio_spark.formats.mkv import encode_mkv
     from bioio_spark.formats.mp4 import encode_mp4
+    from bioio_spark.formats.mpeg1 import encode_mpeg1
     from bioio_spark.formats.zvi import encode_zvi
 
     block = np.zeros((2, 2, 2, 4, 5), np.uint16)
@@ -351,6 +352,7 @@ def test_planned_read_sources_no_shuffle(spark, tmp_path):
         "a.zvi": encode_zvi(block),
         "a.mp4": encode_mp4(np.zeros((2, 16, 16, 3), np.uint8)),
         "a.mkv": encode_mkv(np.zeros((2, 16, 16, 3), np.uint8)),
+        "a.mpg": encode_mpeg1(np.zeros((2, 16, 16, 3), np.uint8)),
     }
     for name, payload in files.items():
         p = tmp_path / name
