@@ -67,6 +67,7 @@ PIXEL_TYPE_OF_DTYPE = {("uint8", 1): 0, ("uint16", 1): 1,
 #: ZISRAW Compression field values
 COMP_UNCOMPRESSED = 0
 COMP_JPEG = 1           # one baseline JFIF per subblock
+COMP_JPEGXR = 4         # ITU-T T.832 — deliberate scope gap (raises)
 COMP_ZSTD0 = 5          # raw zstd stream
 COMP_ZSTD1 = 6          # header (+ optional hi/lo packing) + zstd stream
 
@@ -159,9 +160,21 @@ def _decompress_subblock(data: bytes, compression: int,
         raw = _zstd_codec().decompress(
             data[hsize:], decompressed_size=expected, asbytes=True)
         return _hilo_unpack(raw) if hilo else raw
+    if compression == COMP_JPEGXR:
+        # DELIBERATE scope gap (documented in README "Known gaps"):
+        # ITU-T T.832's mandatory adaptive-VLC/adaptive-scan state
+        # machines put a correct from-scratch decoder outside this
+        # repo's explicit-subset codec budget. Every other CZI codec
+        # a ZEN export can produce (uncompressed/JPEG/zstd0/zstd1) is
+        # native — re-export with zstd compression to read here.
+        raise ValueError(
+            "CZI subblock uses JPEG-XR compression (4, ITU-T T.832) "
+            "— the one CZI codec deliberately not implemented; "
+            "re-export the acquisition with zstd or uncompressed "
+            "subblocks (ZEN supports both), which decode natively")
     raise ValueError(
         f"unsupported CZI compression {compression}; supported: "
-        "0 (uncompressed), 5 (zstd0), 6 (zstd1)")
+        "0 (uncompressed), 1 (jpeg), 5 (zstd0), 6 (zstd1)")
 
 
 def _segment(sid: bytes, payload: bytes,

@@ -294,6 +294,9 @@ def test_unsupported_compression_raises(tmp_path):
     p.write_bytes(encode_czi([{"data": np.zeros((2, 2), np.uint16)}]))
     e = read_czi_directory(str(p))[0]
     e["compression"] = 4
+    with pytest.raises(ValueError, match="JPEG-XR"):
+        read_czi_subblock(str(p), e)
+    e["compression"] = 99
     with pytest.raises(ValueError, match="unsupported CZI compression"):
         read_czi_subblock(str(p), e)
 
@@ -399,3 +402,17 @@ def test_bioimage_reads_jpeg_czi(spark, tmp_path):
     img = BioImage(str(p), spark=spark)
     got = img.get_image_data("CYX")
     np.testing.assert_array_equal(got, np.stack(planes))
+
+
+def test_jpegxr_subblock_raises_actionable_error():
+    """JPEG-XR (compression 4, ITU-T T.832) is the DELIBERATE scope
+    gap (README "Known gaps"): the error must name the codec and the
+    workaround, not be a generic unsupported-compression raise."""
+    from bioio_spark.formats.czi import (COMP_JPEGXR,
+                                         _decompress_subblock)
+
+    with pytest.raises(ValueError) as ei:
+        _decompress_subblock(b"\x00" * 32, COMP_JPEGXR, 64)
+    msg = str(ei.value)
+    assert "JPEG-XR" in msg and "T.832" in msg
+    assert "re-export" in msg and "zstd" in msg

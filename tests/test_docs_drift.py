@@ -32,3 +32,44 @@ def test_readme_named_query_count_matches():
         text = f.read()
     m = re.search(r"(\d+) named queries", text)
     assert m and int(m.group(1)) == len(REGISTRY)
+
+
+def test_readme_known_gaps_track_writer_registry():
+    """README's Known-gaps table must track reality: the TwoDWriter
+    extensions it lists as closed are exactly the ones that raise
+    NotImplementedError, and the extensions it claims native really
+    route (the format-parity drift the r8 verdict flagged)."""
+    import numpy as np
+    import pytest
+
+    from bioio_spark.writers import WRITER_REGISTRY
+
+    with open(os.path.join(_REPO, "README.md")) as f:
+        text = f.read()
+    assert "### Known gaps" in text, "README lost the Known gaps table"
+    gaps = text.split("### Known gaps", 1)[1]
+    assert "JPEG-XR" in gaps and "T.832" in gaps
+    assert "`.wmv`" in gaps and "`.ogg`" in gaps
+
+    w = WRITER_REGISTRY["TwoDWriter"]
+    img = np.zeros((8, 8), np.uint8)
+    for ext in ("wmv", "ogg"):
+        with pytest.raises(NotImplementedError):
+            w.save(img, f"/tmp/_drift_probe.{ext}")
+    # the route the gaps table claims native must actually write
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        w.save(img, os.path.join(d, "f.mpg"))
+        assert os.path.getsize(os.path.join(d, "f.mpg")) > 0
+
+
+def test_readme_known_gaps_jpegxr_matches_code():
+    """The CZI JPEG-XR close must stay consistent between README and
+    the raise site."""
+    import pytest
+
+    from bioio_spark.formats.czi import (COMP_JPEGXR,
+                                         _decompress_subblock)
+
+    with pytest.raises(ValueError, match="T.832"):
+        _decompress_subblock(b"\x00" * 8, COMP_JPEGXR, 16)
