@@ -1179,9 +1179,11 @@ def kmeans_clusters(embeddings: DataFrame,
             .orderBy("cid"))
 
 
-def _kmeans_oracle(n_centroids: int = N_CENTROIDS,
-                   sample_mod: int = IVF_SAMPLE_MOD,
-                   n_iters: int = KMEANS_ITERS) -> str:
+def _kmeans_cte_parts(n_centroids: int, sample_mod: int,
+                      n_iters: int):
+    """The unrolled Lloyd-iteration CTE chain shared by every oracle
+    that consumes the trained centroids (l3h checksums, l14 pruning):
+    returns (parts, final_trained_name)."""
     scale = int(_KMEANS_SCALE)
     cos = _COS_SQL
     parts = [f"""e AS (
@@ -1217,7 +1219,15 @@ def _kmeans_oracle(n_centroids: int = N_CENTROIDS,
                  AS ce
         FROM tsum{it} GROUP BY cid) t USING (cid)
     )""")
-    final = f"trained{n_iters}"
+    return parts, f"trained{n_iters}"
+
+
+def _kmeans_oracle(n_centroids: int = N_CENTROIDS,
+                   sample_mod: int = IVF_SAMPLE_MOD,
+                   n_iters: int = KMEANS_ITERS) -> str:
+    scale = int(_KMEANS_SCALE)
+    cos = _COS_SQL
+    parts, final = _kmeans_cte_parts(n_centroids, sample_mod, n_iters)
     parts.append(f"""assigned AS (
       SELECT vec_id, cid FROM (
         SELECT e.vec_id, c.cid,
@@ -1244,3 +1254,99 @@ def _kmeans_oracle(n_centroids: int = N_CENTROIDS,
 
 
 KMEANS_ORACLE = _kmeans_oracle()
+
+
+# -- L14 prototypicality pruning (SSL-prototypes) ----------------------------
+
+PROTO_PRUNE_MILLI = 250     # drop the most-prototypical 25% per cluster
+
+
+def proto_prune(embeddings: DataFrame,
+                n_centroids: int = N_CENTROIDS,
+                sample_mod: int = IVF_SAMPLE_MOD,
+                n_iters: int = KMEANS_ITERS,
+                prune_milli: int = PROTO_PRUNE_MILLI,
+                cache_key=None) -> DataFrame:
+    """SSL-prototypes data pruning (Sorscher et al. 2022,
+    "Beyond neural scaling laws", arXiv:2206.14486): cluster the
+    embedding space, score each example by its cosine to its OWN
+    cluster centroid (prototypicality), and drop the most prototypical
+    `prune_milli`/1000 fraction of every cluster — in the
+    abundant-data regime, easy/prototypical examples contribute least
+    to the loss, so pruning them beats random subsampling.
+
+    Reuses the bit-stable fixed-point k-means of l3h (same
+    `_train_kmeans` memo key, so a suite run trains once); the
+    assignment is the same broadcast-literal-centroid argmax as l12 —
+    one narrow codegen projection per row, no join. Ranking is one
+    window per cid (shuffle on cid only); with n_centroids scaled to
+    the corpus, per-cluster widths stay bounded, and the drop gate is
+    the exact integer `proto_rank > cn * prune_milli DIV 1000` — no
+    float fraction that could round differently across engines. At
+    extreme skew the l11 histogram-cut-point rewrite applies per
+    cluster; rank is kept here because the rank itself is the output.
+
+    Returns the KEPT rows (vec_id, cid, proto_rank) — proto_rank 1 is
+    the most prototypical survivor's predecessor-count + 1, i.e. rank
+    within the cluster by cosine DESC, ties to smallest vec_id."""
+    from pyspark.sql import Window
+
+    emb = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("e"))
+    trained = _train_kmeans(emb, n_centroids, sample_mod, n_iters,
+                            cache_key=cache_key)
+    best = F.greatest(*[
+        F.struct(_cos_lit(vec).alias("s"), F.lit(-cid).alias("n"))
+        for cid, vec in sorted(trained.items())])
+    scored = (emb.withColumn("ne", _norm(F.col("e")))
+              .withColumn("b", best)
+              .select("vec_id",
+                      (F.col("b")["n"] * -1).cast("int").alias("cid"),
+                      F.col("b")["s"].alias("cos")))
+    w = Window.partitionBy("cid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    cw = Window.partitionBy("cid")
+    ranked = scored.select(
+        "vec_id", "cid",
+        F.row_number().over(w).cast("bigint").alias("proto_rank"),
+        F.count(F.lit(1)).over(cw).alias("cn"))
+    return (ranked
+            .filter(F.col("proto_rank")
+                    > F.expr(f"cn * {int(prune_milli)} DIV 1000"))
+            .select("vec_id", "cid", "proto_rank")
+            .orderBy("cid", "proto_rank"))
+
+
+def _proto_prune_oracle(n_centroids: int = N_CENTROIDS,
+                        sample_mod: int = IVF_SAMPLE_MOD,
+                        n_iters: int = KMEANS_ITERS,
+                        prune_milli: int = PROTO_PRUNE_MILLI) -> str:
+    cos = _COS_SQL
+    parts, final = _kmeans_cte_parts(n_centroids, sample_mod, n_iters)
+    parts.append(f"""assigned AS (
+      SELECT vec_id, cid, cos FROM (
+        SELECT e.vec_id, c.cid,
+               {cos.format(a='e.e', b='c.ce')} AS cos,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {cos.format(a='e.e', b='c.ce')} DESC,
+                          c.cid ASC) AS rn
+        FROM e CROSS JOIN {final} c) WHERE rn = 1
+    ),
+    ranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY cid
+               ORDER BY cos DESC, vec_id ASC) AS proto_rank,
+             count(*) OVER (PARTITION BY cid) AS cn
+      FROM assigned
+    )""")
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT vec_id, CAST(cid AS INT) AS cid,
+           CAST(proto_rank AS BIGINT) AS proto_rank
+    FROM ranked WHERE proto_rank > cn * {int(prune_milli)} // 1000
+    ORDER BY cid, proto_rank
+    """
+
+
+PROTO_PRUNE_ORACLE = _proto_prune_oracle()

@@ -200,6 +200,17 @@ def l3h_kmeans_iters(spark, sf_dir):
                            cache_key=sf_dir)
 
 
+@register("l14_proto_prune", oracle=_sim.PROTO_PRUNE_ORACLE,
+          doc="L14 SSL-prototypes data pruning (Sorscher et al. 2022): "
+              "drop the most-prototypical 25% of every embedding "
+              "cluster; shares l3h's bit-stable k-means memo")
+def l14_proto_prune(spark, sf_dir):
+    from bioio_spark.functions.similarity import proto_prune
+
+    return proto_prune(load(spark, sf_dir, "embeddings"),
+                       cache_key=sf_dir)
+
+
 @register("l3b_lsh_near_dup", oracle=_sim.LSH_NEAR_DUP_ORACLE,
           doc="L3 hyperplane-LSH bucketed near-duplicate embedding pairs")
 def l3b_lsh_near_dup(spark, sf_dir):
