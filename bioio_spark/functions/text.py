@@ -523,6 +523,89 @@ FROM sc GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# -- L4m bigram conditional surprisal (CCNet LM filter, order 2) -------------
+
+BIGRAM_KEEP_MILLI = 4560    # keep iff avg conditional bits/bigram <= 4.560
+
+
+def bigram_surprisal(documents: DataFrame,
+                     keep_milli: int = BIGRAM_KEEP_MILLI
+                     ) -> DataFrame:
+    """CCNet-style LM perplexity filter at order 2: score each document
+    by the average CONDITIONAL surprisal of its bigrams under the
+    corpus bigram model, `bits(w|prev) = floor(log2 c(prev)) -
+    floor(log2 c(prev,w))` — the integer bit-length device of l4j, so
+    no float log and no smoothing constant whose representation could
+    differ across engines. Documents whose word transitions are
+    corpus-typical (low conditional bits) pass the gate; garbled or
+    out-of-domain transitions score high.
+
+    Scale shape: bigrams are built INSIDE the row (arrays_zip of two
+    slices — no window, no self-join), the model is two chained hash
+    aggregates (pair counts, then prev counts as a rollup OF the pair
+    counts, so the corpus is scanned once for the model), and scoring
+    is one join on the (prev, w) model key — sort-merge at real scale,
+    all sides partial-aggregated map-side. Docs with fewer than two
+    tokens have no bigram and are excluded by construction.
+
+    Returns (doc_id, n_bigrams, bits_sum, keep) by doc_id; keep is the
+    exact integer gate `bits_sum * 1000 <= keep_milli * n_bigrams`."""
+    ws = _words(F.col("text"))
+    occ = (documents
+           .select("doc_id", ws.alias("ws"))
+           .filter(F.size("ws") >= 2)
+           .select("doc_id",
+                   F.explode(F.arrays_zip(
+                       F.slice("ws", 1, F.size("ws") - 1).alias("prev"),
+                       F.slice("ws", 2, F.size("ws") - 1).alias("w")))
+                   .alias("bg"))
+           .select("doc_id", F.col("bg")["prev"].alias("prev"),
+                   F.col("bg")["w"].alias("w")))
+    pair = occ.groupBy("prev", "w").agg(
+        F.count(F.lit(1)).alias("c_pair"))
+    prevc = pair.groupBy("prev").agg(F.sum("c_pair").alias("c_prev"))
+    model = pair.join(prevc, "prev").select(
+        "prev", "w",
+        ((F.length(F.bin("c_prev")) - F.length(F.bin("c_pair")))
+         .cast("bigint").alias("bits")))
+    return (occ.join(model, ["prev", "w"])
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                 F.sum("bits").cast("bigint").alias("bits_sum"))
+            .withColumn(
+                "keep",
+                (F.col("bits_sum") * 1000
+                 <= F.lit(keep_milli) * F.col("n_bigrams"))
+                .cast("bigint"))
+            .orderBy("doc_id"))
+
+
+BIGRAM_SURPRISAL_ORACLE = rf"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents),
+occ AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)),
+             i -> struct_pack(prev := ws[i], w := ws[i + 1]))) AS bg
+  FROM w WHERE len(ws) >= 2),
+bg AS (SELECT doc_id, bg.prev AS prev, bg.w AS w FROM occ),
+pair AS (SELECT prev, w, count(*) AS c_pair FROM bg GROUP BY prev, w),
+prevc AS (SELECT prev, sum(c_pair) AS c_prev FROM pair GROUP BY prev),
+model AS (
+  SELECT pair.prev, pair.w,
+         length(bin(c_prev)) - length(bin(c_pair)) AS bits
+  FROM pair JOIN prevc USING (prev))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(bits) AS BIGINT) AS bits_sum,
+       CAST(CASE WHEN sum(bits) * 1000
+                      <= {BIGRAM_KEEP_MILLI} * count(*)
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM bg JOIN model USING (prev, w)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # -- L4k DSIR hashed-ngram importance weights --------------------------------
 
 DSIR_BUCKETS = 256

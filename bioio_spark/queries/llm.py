@@ -280,6 +280,15 @@ def l4j_unigram_surprisal(spark, sf_dir):
     return unigram_surprisal(load(spark, sf_dir, "documents"))
 
 
+@register("l4m_bigram_surprisal", oracle=_text.BIGRAM_SURPRISAL_ORACLE,
+          doc="L4m CCNet-style order-2 LM quality filter: integer "
+              "bit-length conditional surprisal per bigram, exact "
+              "integer keep gate; in-row bigrams, one model join")
+def l4m_bigram_surprisal(spark, sf_dir):
+    from bioio_spark.functions.text import bigram_surprisal
+    return bigram_surprisal(load(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # L8b per-source cap: keep at most K documents per source, deterministic
 # priority (lowest doc_id) — the C4/RefinedWeb-style per-domain cap that
