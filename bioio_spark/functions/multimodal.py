@@ -351,3 +351,105 @@ def audio_window_energy(media: DataFrame, window: int = 100,
 
     return (media.filter(F.col("kind") == "audio")
             .mapInPandas(batches, schema=schema))
+
+
+# -- perceptual average-hash near-duplicates (LAION-style image dedup) ------
+
+AHASH_GRID = 8          # 8x8 block grid -> 64-bit hash
+AHASH_BANDS = 4         # 4 x 16-bit LSH bands
+AHASH_MAX_HAMMING = 3   # banded join is EXACT for hamming < AHASH_BANDS
+
+
+def ahash_images(media: DataFrame, codec=FakeCodec) -> DataFrame:
+    """64-bit average hash per IMAGE row, as 4 x 16-bit band columns.
+
+    The classic pHash-family aHash: partition the decoded frame into an
+    8x8 grid (pixel (x, y) -> block ((x*8)//w, (y*8)//h)), set bit
+    b = by*8+bx iff the block's mean EXCEEDS the global mean. The
+    comparison is the exact integer cross-multiplication
+    `block_sum * n_pixels > total_sum * block_count` — no float means,
+    so the hash is bit-identical to the SQL oracle's recomputation.
+
+    Bands are bits [16k, 16k+16) as small positive ints (the int64
+    assembly is avoided entirely: band values stay below 2^16, sparing
+    both engines any sign-bit arithmetic). Decode runs executor-side on
+    Arrow batches; non-image rows are dropped before decode."""
+    schema = T.StructType(
+        [T.StructField("media_id", T.LongType())]
+        + [T.StructField(f"b{k}", T.IntegerType())
+           for k in range(AHASH_BANDS)])
+    grid = AHASH_GRID
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = []
+            bands = [[] for _ in range(AHASH_BANDS)]
+            for _, row in pdf.iterrows():
+                img = codec.decode(row["payload"])[0].astype(np.int64)
+                h, w = img.shape
+                ys = (np.arange(h) * grid) // h
+                xs = (np.arange(w) * grid) // w
+                bid = (ys[:, None] * grid + xs[None, :]).ravel()
+                # bincount sums stay < 2^53: exact in the float64 path
+                bs = np.bincount(bid, weights=img.ravel(),
+                                 minlength=grid * grid).astype(np.int64)
+                bc = np.bincount(bid, minlength=grid * grid)
+                ts, tc = int(img.sum()), h * w
+                bits = (bs * tc) > (ts * bc.astype(np.int64))
+                ids.append(int(row["media_id"]))
+                for k in range(AHASH_BANDS):
+                    val = 0
+                    for j in range(16):
+                        if bits[k * 16 + j]:
+                            val |= 1 << j
+                    bands[k].append(val)
+            out = {"media_id": np.asarray(ids, dtype=np.int64)}
+            for k in range(AHASH_BANDS):
+                out[f"b{k}"] = np.asarray(bands[k], dtype=np.int32)
+            yield pd.DataFrame(out)
+
+    return (media.filter(F.col("kind") == "image")
+            .mapInPandas(batches, schema=schema))
+
+
+def image_near_dups(media: DataFrame, codec=FakeCodec,
+                    max_hamming: int = AHASH_MAX_HAMMING) -> DataFrame:
+    """Near-duplicate image pairs by aHash hamming distance <=
+    `max_hamming`, found through a banded LSH join: candidates must
+    share one EXACT 16-bit band, and by pigeonhole any pair with
+    hamming < AHASH_BANDS differs in at most 3 of the 4 bands — the
+    banding loses NOTHING at the default threshold (exact, not
+    approximate, recall). One hash per image (Arrow-batched decode),
+    one band-keyed equi-join (never all-pairs; the l2d MAX_BUCKET_WIDTH
+    cap composes here unchanged when a degenerate corpus floods one
+    band value), then hamming evaluated only on candidates via two
+    hash-keyed lookups. Returns (media_id_a, media_id_b, hamming),
+    a < b."""
+    h = ahash_images(media, codec)
+    bands = F.array(*[
+        F.struct(F.lit(k).alias("k"), F.col(f"b{k}").alias("v"))
+        for k in range(AHASH_BANDS)])
+    lf = (h.select("media_id", F.explode(bands).alias("bv"))
+          .select("media_id", F.col("bv")["k"].alias("k"),
+                  F.col("bv")["v"].alias("v")))
+    cand = (lf.alias("x").join(lf.alias("y"), ["k", "v"])
+            .where(F.col("x.media_id") < F.col("y.media_id"))
+            .select(F.col("x.media_id").alias("media_id_a"),
+                    F.col("y.media_id").alias("media_id_b"))
+            .distinct())
+    ha = h.select(F.col("media_id").alias("media_id_a"),
+                  *[F.col(f"b{k}").alias(f"xa{k}")
+                    for k in range(AHASH_BANDS)])
+    hb = h.select(F.col("media_id").alias("media_id_b"),
+                  *[F.col(f"b{k}").alias(f"xb{k}")
+                    for k in range(AHASH_BANDS)])
+    ham = None
+    for k in range(AHASH_BANDS):
+        term = F.bit_count(
+            F.col(f"xa{k}").bitwiseXOR(F.col(f"xb{k}")))
+        ham = term if ham is None else ham + term
+    return (cand.join(ha, "media_id_a").join(hb, "media_id_b")
+            .withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("media_id_a", "media_id_b", "hamming")
+            .orderBy("media_id_a", "media_id_b"))

@@ -1,0 +1,81 @@
+"""aHash perceptual near-dup invariants (oracle parity covers the
+registry query; these pin the hash arithmetic on adversarial inputs)."""
+import struct
+
+import numpy as np
+import pyspark.sql.functions as F
+
+
+def _fkc(media_id, img):
+    from bioio_spark.functions.multimodal import _MAGIC
+
+    h, w = img.shape
+    header = struct.pack("<iii", w, h, 1)
+    return (media_id, "image",
+            _MAGIC + header + img.astype(np.uint8).tobytes(),
+            (w, h, 1, 0, "fkc1"))
+
+
+def _media(spark, rows):
+    from bioio_spark.functions.multimodal import MEDIA_SCHEMA
+
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_near_identical_pair_found_distinct_image_excluded(spark):
+    from bioio_spark.functions.multimodal import image_near_dups
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 200, size=(16, 16))
+    twin = base.copy()
+    twin[0, 0] += 40          # flips at most a couple of hash bits
+    other = rng.integers(0, 200, size=(16, 16))   # unrelated content
+    rows = [_fkc(1, base), _fkc(2, twin), _fkc(3, other)]
+    pairs = {(r["media_id_a"], r["media_id_b"])
+             for r in image_near_dups(_media(spark, rows)).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_identical_images_hamming_zero(spark):
+    from bioio_spark.functions.multimodal import image_near_dups
+
+    img = (np.arange(256).reshape(16, 16) % 251)
+    rows = [_fkc(5, img), _fkc(9, img)]
+    out = image_near_dups(_media(spark, rows)).collect()
+    assert len(out) == 1
+    assert (out[0]["media_id_a"], out[0]["media_id_b"],
+            out[0]["hamming"]) == (5, 9, 0)
+
+
+def test_flat_image_hash_is_all_zero_bits(spark):
+    """A constant image: every block mean == global mean, strict >
+    comparison leaves all 64 bits unset in BOTH engines."""
+    from bioio_spark.functions.multimodal import ahash_images
+
+    rows = [_fkc(7, np.full((12, 24), 99))]
+    r = ahash_images(_media(spark, rows)).collect()[0]
+    assert [r[f"b{k}"] for k in range(4)] == [0, 0, 0, 0]
+
+
+def test_non_images_dropped_before_decode(spark):
+    from bioio_spark.functions.multimodal import (FakeCodec,
+                                                  ahash_images)
+
+    audio = (4, "audio", FakeCodec.encode(4, "audio", 800, 1, 1),
+             (800, 1, 1, 8000, "fkc1"))
+    rows = [_fkc(1, np.zeros((12, 16))), audio]
+    out = ahash_images(_media(spark, rows)).collect()
+    assert [r["media_id"] for r in out] == [1]
+
+
+def test_plan_band_join_not_all_pairs(spark):
+    """The candidate join is an equi-join on (k, v) band keys — no
+    cartesian/BNLJ anywhere in the pair generation."""
+    from bioio_spark.functions.multimodal import (image_near_dups,
+                                                  synth_media)
+
+    df = image_near_dups(synth_media(spark, 16))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
