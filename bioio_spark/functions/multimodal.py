@@ -412,20 +412,15 @@ def ahash_images(media: DataFrame, codec=FakeCodec) -> DataFrame:
             .mapInPandas(batches, schema=schema))
 
 
-def image_near_dups(media: DataFrame, codec=FakeCodec,
-                    max_hamming: int = AHASH_MAX_HAMMING) -> DataFrame:
-    """Near-duplicate image pairs by aHash hamming distance <=
-    `max_hamming`, found through a banded LSH join: candidates must
-    share one EXACT 16-bit band, and by pigeonhole any pair with
-    hamming < AHASH_BANDS differs in at most 3 of the 4 bands — the
-    banding loses NOTHING at the default threshold (exact, not
-    approximate, recall). One hash per image (Arrow-batched decode),
-    one band-keyed equi-join (never all-pairs; the l2d MAX_BUCKET_WIDTH
-    cap composes here unchanged when a degenerate corpus floods one
-    band value), then hamming evaluated only on candidates via two
-    hash-keyed lookups. Returns (media_id_a, media_id_b, hamming),
-    a < b."""
-    h = ahash_images(media, codec)
+def _banded_near_dups(h: DataFrame, max_hamming: int) -> DataFrame:
+    """Near-duplicate pairs over a (media_id, b0..b3) banded-hash frame:
+    candidates must share one EXACT 16-bit band — by pigeonhole any pair
+    with hamming < AHASH_BANDS differs in at most 3 of the 4 bands, so
+    the banding loses NOTHING at thresholds below the band count (exact,
+    not approximate, recall). One band-keyed equi-join (never all-pairs;
+    the l2d MAX_BUCKET_WIDTH cap composes here unchanged when a
+    degenerate corpus floods one band value), then hamming evaluated
+    only on candidates via two hash-keyed lookups."""
     bands = F.array(*[
         F.struct(F.lit(k).alias("k"), F.col(f"b{k}").alias("v"))
         for k in range(AHASH_BANDS)])
@@ -453,3 +448,68 @@ def image_near_dups(media: DataFrame, codec=FakeCodec,
             .filter(F.col("hamming") <= max_hamming)
             .select("media_id_a", "media_id_b", "hamming")
             .orderBy("media_id_a", "media_id_b"))
+
+
+def image_near_dups(media: DataFrame, codec=FakeCodec,
+                    max_hamming: int = AHASH_MAX_HAMMING) -> DataFrame:
+    """Near-duplicate IMAGE pairs by aHash hamming distance <=
+    `max_hamming` (LAION-style perceptual dedup): one hash per image
+    (Arrow-batched decode), then the exact banded join. Returns
+    (media_id_a, media_id_b, hamming), a < b."""
+    return _banded_near_dups(ahash_images(media, codec), max_hamming)
+
+
+AUDIO_FP_WINDOWS = 64
+
+
+def audio_fingerprint(media: DataFrame, codec=FakeCodec) -> DataFrame:
+    """64-bit energy-envelope fingerprint per AUDIO row, as 4 x 16-bit
+    band columns — the 1-D sibling of `ahash_images`: sample j falls in
+    window (j*64)//n, bit b is set iff window b's mean amplitude EXCEEDS
+    the track mean, compared by the exact integer cross-multiplication
+    `win_sum * n_samples > total_sum * win_count`. Shift- and
+    gain-robust the way envelope hashes are (a constant offset moves
+    every window with the mean), integer-exact across engines."""
+    schema = T.StructType(
+        [T.StructField("media_id", T.LongType())]
+        + [T.StructField(f"b{k}", T.IntegerType())
+           for k in range(AHASH_BANDS)])
+    n_win = AUDIO_FP_WINDOWS
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = []
+            bands = [[] for _ in range(AHASH_BANDS)]
+            for _, row in pdf.iterrows():
+                s = codec.decode(row["payload"]).reshape(-1).astype(
+                    np.int64)
+                n = len(s)
+                wid = (np.arange(n) * n_win) // n
+                ws = np.bincount(wid, weights=s,
+                                 minlength=n_win).astype(np.int64)
+                wc = np.bincount(wid, minlength=n_win)
+                ts = int(s.sum())
+                bits = (ws * n) > (ts * wc.astype(np.int64))
+                ids.append(int(row["media_id"]))
+                for k in range(AHASH_BANDS):
+                    val = 0
+                    for j in range(16):
+                        if bits[k * 16 + j]:
+                            val |= 1 << j
+                    bands[k].append(val)
+            out = {"media_id": np.asarray(ids, dtype=np.int64)}
+            for k in range(AHASH_BANDS):
+                out[f"b{k}"] = np.asarray(bands[k], dtype=np.int32)
+            yield pd.DataFrame(out)
+
+    return (media.filter(F.col("kind") == "audio")
+            .mapInPandas(batches, schema=schema))
+
+
+def audio_near_dups(media: DataFrame, codec=FakeCodec,
+                    max_hamming: int = AHASH_MAX_HAMMING) -> DataFrame:
+    """Near-duplicate AUDIO pairs by envelope-fingerprint hamming
+    distance <= `max_hamming` through the same exact banded join.
+    Returns (media_id_a, media_id_b, hamming), a < b."""
+    return _banded_near_dups(audio_fingerprint(media, codec),
+                             max_hamming)

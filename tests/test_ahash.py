@@ -79,3 +79,39 @@ def test_plan_band_join_not_all_pairs(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def _wav_row(media_id, samples):
+    from bioio_spark.functions.multimodal import _MAGIC
+
+    n = len(samples)
+    header = struct.pack("<iii", n, 1, 1)
+    return (media_id, "audio",
+            _MAGIC + header + np.asarray(samples, np.uint8).tobytes(),
+            (n, 1, 1, 8000, "fkc1"))
+
+
+def test_audio_shifted_copy_is_near_dup(spark):
+    """A constant-gain offset moves every window mean with the track
+    mean, so the envelope fingerprint is identical (hamming 0)."""
+    from bioio_spark.functions.multimodal import audio_near_dups
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 200, size=800)
+    shifted = np.clip(base + 20, 0, 255)   # clip hits no sample < 200+20
+    noise = rng.integers(0, 200, size=800)
+    rows = [_wav_row(1, base), _wav_row(2, shifted), _wav_row(3, noise)]
+    out = {(r["media_id_a"], r["media_id_b"]): r["hamming"]
+           for r in audio_near_dups(_media(spark, rows)).collect()}
+    assert out.get((1, 2)) == 0
+    assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_audio_fingerprint_window_partition_is_total(spark):
+    """Every sample lands in exactly one of the 64 windows: a track of
+    n=800 has window counts 12 or 13 summing to n (the same mapping the
+    SQL oracle uses)."""
+    import numpy as np
+    wid = (np.arange(800) * 64) // 800
+    counts = np.bincount(wid, minlength=64)
+    assert counts.sum() == 800 and set(counts) == {12, 13}
