@@ -513,3 +513,112 @@ def audio_near_dups(media: DataFrame, codec=FakeCodec,
     Returns (media_id_a, media_id_b, hamming), a < b."""
     return _banded_near_dups(audio_fingerprint(media, codec),
                              max_hamming)
+
+
+def video_fingerprint(media: DataFrame, codec=FakeCodec) -> DataFrame:
+    """Per-FRAME aHash over VIDEO rows: one (media_id, fidx, b0..b3)
+    row per frame, same 8x8 block-grid hash as `ahash_images` (on the
+    fixture's 8x8 frames the grid degenerates to pixel-vs-frame-mean,
+    which the SQL oracle mirrors as v*64 > frame_sum)."""
+    schema = T.StructType(
+        [T.StructField("media_id", T.LongType()),
+         T.StructField("fidx", T.IntegerType())]
+        + [T.StructField(f"b{k}", T.IntegerType())
+           for k in range(AHASH_BANDS)])
+    grid = AHASH_GRID
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fidxs = [], []
+            bands = [[] for _ in range(AHASH_BANDS)]
+            for _, row in pdf.iterrows():
+                frames = codec.decode(row["payload"]).astype(np.int64)
+                fr, h, w = frames.shape
+                ys = (np.arange(h) * grid) // h
+                xs = (np.arange(w) * grid) // w
+                bid = (ys[:, None] * grid + xs[None, :]).ravel()
+                for f in range(fr):
+                    img = frames[f]
+                    bs = np.bincount(bid, weights=img.ravel(),
+                                     minlength=grid * grid
+                                     ).astype(np.int64)
+                    bc = np.bincount(bid, minlength=grid * grid)
+                    ts, tc = int(img.sum()), h * w
+                    bits = (bs * tc) > (ts * bc.astype(np.int64))
+                    ids.append(int(row["media_id"]))
+                    fidxs.append(f)
+                    for k in range(AHASH_BANDS):
+                        val = 0
+                        for j in range(16):
+                            if bits[k * 16 + j]:
+                                val |= 1 << j
+                        bands[k].append(val)
+            out = {"media_id": np.asarray(ids, dtype=np.int64),
+                   "fidx": np.asarray(fidxs, dtype=np.int32)}
+            for k in range(AHASH_BANDS):
+                out[f"b{k}"] = np.asarray(bands[k], dtype=np.int32)
+            yield pd.DataFrame(out)
+
+    return (media.filter(F.col("kind") == "video")
+            .mapInPandas(batches, schema=schema))
+
+
+def video_near_dups(media: DataFrame, codec=FakeCodec,
+                    max_frame_hamming: int = AHASH_MAX_HAMMING
+                    ) -> DataFrame:
+    """Near-duplicate VIDEO pairs: same frame count and EVERY aligned
+    frame within `max_frame_hamming` aHash bits (the re-encoded-copy
+    detection contract). Candidates come from a banded join on FRAME 0
+    only — exact by pigeonhole, since an all-frames-close pair is in
+    particular frame-0-close and must share a frame-0 band — then the
+    full aligned-frame hamming is evaluated on candidates only. Scale:
+    one fingerprint pass (Arrow-batched decode), one band equi-join
+    over n_videos rows (not n_frames), one fidx-aligned join bounded
+    by candidate count x frames. Returns (media_id_a, media_id_b,
+    n_frames, hamming_sum), a < b."""
+    fp = video_fingerprint(media, codec)
+    f0 = fp.filter(F.col("fidx") == 0)
+    bands = F.array(*[
+        F.struct(F.lit(k).alias("k"), F.col(f"b{k}").alias("v"))
+        for k in range(AHASH_BANDS)])
+    lf = (f0.select("media_id", F.explode(bands).alias("bv"))
+          .select("media_id", F.col("bv")["k"].alias("k"),
+                  F.col("bv")["v"].alias("v")))
+    cand = (lf.alias("x").join(lf.alias("y"), ["k", "v"])
+            .where(F.col("x.media_id") < F.col("y.media_id"))
+            .select(F.col("x.media_id").alias("media_id_a"),
+                    F.col("y.media_id").alias("media_id_b"))
+            .distinct())
+    fa = fp.select(F.col("media_id").alias("media_id_a"), "fidx",
+                   *[F.col(f"b{k}").alias(f"xa{k}")
+                     for k in range(AHASH_BANDS)])
+    fb = fp.select(F.col("media_id").alias("mb"),
+                   F.col("fidx").alias("fidx_b"),
+                   *[F.col(f"b{k}").alias(f"xb{k}")
+                     for k in range(AHASH_BANDS)])
+    nf = fp.groupBy("media_id").agg(F.count(F.lit(1)).alias("nf"))
+    ham = None
+    for k in range(AHASH_BANDS):
+        term = F.bit_count(
+            F.col(f"xa{k}").bitwiseXOR(F.col(f"xb{k}")))
+        ham = term if ham is None else ham + term
+    aligned = (cand.join(fa, "media_id_a")
+               .join(fb, (F.col("media_id_b") == F.col("mb"))
+                     & (F.col("fidx") == F.col("fidx_b")))
+               .drop("mb", "fidx_b")
+               .withColumn("hf", ham.cast("int")))
+    pairs = (aligned.groupBy("media_id_a", "media_id_b")
+             .agg(F.count(F.lit(1)).cast("int").alias("n_frames"),
+                  F.sum("hf").cast("int").alias("hamming_sum"),
+                  F.max("hf").alias("hmax")))
+    na = nf.select(F.col("media_id").alias("media_id_a"),
+                   F.col("nf").alias("nf_a"))
+    nb = nf.select(F.col("media_id").alias("media_id_b"),
+                   F.col("nf").alias("nf_b"))
+    return (pairs.join(na, "media_id_a").join(nb, "media_id_b")
+            .filter((F.col("hmax") <= max_frame_hamming)
+                    & (F.col("nf_a") == F.col("nf_b"))
+                    & (F.col("n_frames") == F.col("nf_a")))
+            .select("media_id_a", "media_id_b", "n_frames",
+                    "hamming_sum")
+            .orderBy("media_id_a", "media_id_b"))

@@ -115,3 +115,46 @@ def test_audio_fingerprint_window_partition_is_total(spark):
     wid = (np.arange(800) * 64) // 800
     counts = np.bincount(wid, minlength=64)
     assert counts.sum() == 800 and set(counts) == {12, 13}
+
+
+def _vid_row(media_id, frames):
+    from bioio_spark.functions.multimodal import _MAGIC
+
+    fr, h, w = frames.shape
+    header = struct.pack("<iii", w, h, fr)
+    return (media_id, "video",
+            _MAGIC + header + frames.astype(np.uint8).tobytes(),
+            (w, h, fr, 0, "fkc1"))
+
+
+def test_video_reencoded_copy_found_frame_count_mismatch_excluded(spark):
+    from bioio_spark.functions.multimodal import video_near_dups
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 200, size=(4, 8, 8))
+    twin = base.copy()
+    twin[2, 0, 0] += 30                    # one pixel in one frame
+    trunc = base[:3]                       # same content, fewer frames
+    rows = [_vid_row(1, base), _vid_row(2, twin), _vid_row(3, trunc)]
+    out = {(r["media_id_a"], r["media_id_b"]): (r["n_frames"],
+                                                r["hamming_sum"])
+           for r in video_near_dups(_media(spark, rows)).collect()}
+    assert (1, 2) in out and out[(1, 2)][0] == 4
+    # the truncated copy shares frame 0 exactly but fails the
+    # frame-count gate
+    assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_video_divergent_tail_frame_excluded(spark):
+    """Identical first frames, but one WILDLY different later frame:
+    candidate generation (frame 0) admits the pair, the per-frame
+    hamming gate rejects it."""
+    from bioio_spark.functions.multimodal import video_near_dups
+
+    rng = np.random.default_rng(8)
+    base = rng.integers(0, 200, size=(4, 8, 8))
+    fork = base.copy()
+    fork[3] = rng.integers(0, 200, size=(8, 8))
+    rows = [_vid_row(1, base), _vid_row(2, fork)]
+    out = video_near_dups(_media(spark, rows)).collect()
+    assert out == []
