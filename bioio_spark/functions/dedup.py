@@ -243,7 +243,10 @@ def minhash_candidate_pairs(documents: DataFrame, sort: bool = True,
 
 
 def _minhash_sql_core(source: str = "documents",
-                      dedup: bool = True) -> str:
+                      dedup: bool = True, suffix: str = "") -> str:
+    """CTE chain ending in sig{suffix}(doc_id, s0..s{n-1}); the suffix
+    lets two independent corpora (index + delta, l2g) instantiate the
+    chain side by side in one WITH."""
     mins = ", ".join(
         f"min((hp * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MOD}) AS s{i}"
         for i in range(NUM_MINHASH))
@@ -251,30 +254,31 @@ def _minhash_sql_core(source: str = "documents",
           f"FROM {source} GROUP BY md5(text)"
           if dedup else f"SELECT doc_id, text FROM {source}")
     return f"""
-    mh_dd AS ({dd}),
-    shingled AS (
+    mh_dd{suffix} AS ({dd}),
+    shingled{suffix} AS (
       SELECT doc_id, {_SHINGLE_SQL.strip()} AS sh
-      FROM mh_dd
+      FROM mh_dd{suffix}
     ),
-    hashed AS (
+    hashed{suffix} AS (
       SELECT doc_id, {h32_sql('shingle')} % {MOD} AS hp
-      FROM (SELECT doc_id, unnest(sh) AS shingle FROM shingled
+      FROM (SELECT doc_id, unnest(sh) AS shingle FROM shingled{suffix}
             WHERE len(sh) >= 1)
     ),
-    sig AS (
-      SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+    sig{suffix} AS (
+      SELECT doc_id, {mins} FROM hashed{suffix} GROUP BY doc_id
     )"""
 
 
-def _banded_sql() -> str:
-    """banded CTE body (requires a preceding `sig` CTE)."""
+def _banded_sql(suffix: str = "") -> str:
+    """banded CTE body (requires a preceding `sig{suffix}` CTE)."""
     band_rows = []
     for b in range(N_BANDS):
         parts = " || ',' || ".join(
             f"CAST(s{b * ROWS_PER_BAND + r} AS VARCHAR)"
             for r in range(ROWS_PER_BAND))
         band_rows.append(
-            f"SELECT doc_id, {b} AS band, md5({parts}) AS key FROM sig")
+            f"SELECT doc_id, {b} AS band, md5({parts}) AS key "
+            f"FROM sig{suffix}")
     return " UNION ALL ".join(band_rows)
 
 
@@ -788,3 +792,115 @@ def bloom_decontamination_oracle(eval_mod: int = 10,
 
 
 BLOOM_DECONTAM_ORACLE = bloom_decontamination_oracle()
+
+
+# -- L2g incremental dedup: delta vs standing index --------------------------
+
+INCR_DELTA_MOD = 10     # doc_id % 10 == 0 -> today's delta; else index
+
+
+def incremental_dedup(documents: DataFrame,
+                      delta_mod: int = INCR_DELTA_MOD) -> DataFrame:
+    """Dedup a DELTA (today's crawl) against a STANDING INDEX without
+    re-pairing the index — the incremental form every long-running
+    corpus actually needs: re-running full-corpus LSH per ingest day is
+    O(corpus) daily, probing the standing band index is O(delta).
+
+    Split is deterministic (doc_id % delta_mod == 0 -> delta). Three
+    gates per delta document, cheapest first:
+
+    - hit_exact: md5(text) seen in the index (narrow anti-join-shaped
+      probe; at scale the index md5 set is a bucketed table);
+    - hit_index: any LSH band of the delta doc's minhash signature
+      matches an index band (near-dup of existing corpus) — the same
+      N_BANDS x ROWS_PER_BAND banding as l2, so a delta doc is caught
+      exactly when full-corpus l2 would have paired it with an index
+      doc;
+    - hit_delta: shares a band with a LOWER-id delta doc (new-vs-new;
+      keep-lowest-id, the l2 determinism rule — identical delta texts
+      collapse here too, their signatures being equal).
+
+    keep = none of the three. At 100 TB the index band table is a
+    persisted artifact updated by appending each day's kept delta
+    bands — only the fixture recomputes it per query (no cross-query
+    storage); the delta side is persisted here because both the index
+    probe and the self probe consume it. Returns
+    (doc_id, hit_exact, hit_index, hit_delta, keep) for every delta
+    doc by doc_id."""
+    idx = documents.filter(F.col("doc_id") % delta_mod != 0)
+    delta = documents.filter(F.col("doc_id") % delta_mod == 0)
+    bi = _banded(minhash_signatures(idx))
+    from pyspark import StorageLevel
+    bd = _banded(minhash_signatures(delta)).persist(
+        StorageLevel.MEMORY_AND_DISK)
+
+    exact_idx = idx.select(F.md5("text").alias("h")).distinct()
+    he = (delta.select("doc_id", F.md5("text").alias("h"))
+          .join(exact_idx, "h").select("doc_id").distinct()
+          .withColumn("he", F.lit(1)))
+    hi = (bd.alias("d").join(bi.alias("i"), ["band", "key"])
+          .select(F.col("d.doc_id").alias("doc_id")).distinct()
+          .withColumn("hi", F.lit(1)))
+    hd = (bd.alias("x").join(
+              bd.alias("y"),
+              (F.col("x.band") == F.col("y.band"))
+              & (F.col("x.key") == F.col("y.key"))
+              & (F.col("x.doc_id") > F.col("y.doc_id")))
+          .select(F.col("x.doc_id").alias("doc_id")).distinct()
+          .withColumn("hd", F.lit(1)))
+    flags = (delta.select("doc_id")
+             .join(he, "doc_id", "left")
+             .join(hi, "doc_id", "left")
+             .join(hd, "doc_id", "left"))
+    z = F.lit(0)
+    return (flags.select(
+        "doc_id",
+        F.coalesce("he", z).cast("bigint").alias("hit_exact"),
+        F.coalesce("hi", z).cast("bigint").alias("hit_index"),
+        F.coalesce("hd", z).cast("bigint").alias("hit_delta"))
+        .withColumn(
+            "keep",
+            ((F.col("hit_exact") + F.col("hit_index")
+              + F.col("hit_delta")) == 0).cast("bigint"))
+        .orderBy("doc_id"))
+
+
+def _incremental_dedup_oracle(delta_mod: int = INCR_DELTA_MOD) -> str:
+    return f"""
+    WITH idx AS (SELECT doc_id, text FROM documents
+                 WHERE doc_id % {delta_mod} <> 0),
+    delta AS (SELECT doc_id, text FROM documents
+              WHERE doc_id % {delta_mod} = 0),
+    {_minhash_sql_core('idx', dedup=False, suffix='_i')},
+    banded_i AS ({_banded_sql('_i')}),
+    {_minhash_sql_core('delta', dedup=False, suffix='_d')},
+    banded_d AS ({_banded_sql('_d')}),
+    he AS (SELECT DISTINCT d.doc_id FROM delta d
+           JOIN (SELECT DISTINCT md5(text) AS h FROM idx) x
+             ON md5(d.text) = x.h),
+    hi AS (SELECT DISTINCT bd.doc_id FROM banded_d bd
+           JOIN banded_i bi
+             ON bd.band = bi.band AND bd.key = bi.key),
+    hd AS (SELECT DISTINCT x.doc_id FROM banded_d x
+           JOIN banded_d y
+             ON x.band = y.band AND x.key = y.key
+            AND x.doc_id > y.doc_id)
+    SELECT d.doc_id,
+           CAST(CASE WHEN he.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS hit_exact,
+           CAST(CASE WHEN hi.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS hit_index,
+           CAST(CASE WHEN hd.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS hit_delta,
+           CAST(CASE WHEN he.doc_id IS NULL AND hi.doc_id IS NULL
+                      AND hd.doc_id IS NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS keep
+    FROM delta d
+    LEFT JOIN he ON he.doc_id = d.doc_id
+    LEFT JOIN hi ON hi.doc_id = d.doc_id
+    LEFT JOIN hd ON hd.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+INCREMENTAL_DEDUP_ORACLE = _incremental_dedup_oracle()

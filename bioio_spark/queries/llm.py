@@ -976,3 +976,12 @@ def l13b_bpe_tokenize(spark, sf_dir):
 
     return bpe_tokenize_stats(load(spark, sf_dir, "documents"),
                               cache_key=sf_dir)
+
+
+@register("l2g_incremental_dedup", oracle=_dedup.INCREMENTAL_DEDUP_ORACLE,
+          doc="L2g incremental dedup: probe today's delta against the "
+              "standing corpus band index (exact md5 gate + LSH band "
+              "gate + new-vs-new keep-lowest) — O(delta), not O(corpus)")
+def l2g_incremental_dedup(spark, sf_dir):
+    from bioio_spark.functions.dedup import incremental_dedup
+    return incremental_dedup(load(spark, sf_dir, "documents"))
