@@ -985,3 +985,117 @@ def l13b_bpe_tokenize(spark, sf_dir):
 def l2g_incremental_dedup(spark, sf_dir):
     from bioio_spark.functions.dedup import incremental_dedup
     return incremental_dedup(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# L15 composed filter stack: the quality-gate funnel a real corpus run
+# executes (Gopher/CCNet/FineWeb all chain rule families and publish the
+# attrition table). Four rules — composite quality (l4c), Gopher repetition
+# (l4g), unigram surprisal (l4j), bigram surprisal (l4m) — evaluated
+# per document, then one aggregate reports, per rule: how many docs fail
+# it, how many it ALONE rejects (the rule's marginal value — a rule with
+# zero sole rejections is dead weight at scale), and the survivor count
+# through the stack prefix. The oracle textually embeds the four rule
+# oracles as subqueries, so the funnel can never drift from the rules.
+# Scale: four corpus passes (each the rule's own all-codegen shape) joined
+# on doc_id, then one tiny aggregate; at 100 TB the flags frame is the
+# natural checkpoint artifact.
+# --------------------------------------------------------------------------
+def _filter_stack_oracle() -> str:
+    return f"""
+    WITH q AS (SELECT doc_id FROM ({_text.QUALITY_ORACLE})),
+    r AS (SELECT doc_id FROM ({_text.REPETITION_ORACLE})),
+    u AS (SELECT doc_id FROM ({_text.SURPRISAL_ORACLE}) WHERE keep = 1),
+    b AS (SELECT doc_id FROM ({_text.BIGRAM_SURPRISAL_ORACLE})
+          WHERE keep = 1),
+    flags AS (
+      SELECT d.doc_id,
+             CASE WHEN q.doc_id IS NULL THEN 0 ELSE 1 END AS p1,
+             CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS p2,
+             CASE WHEN u.doc_id IS NULL THEN 0 ELSE 1 END AS p3,
+             CASE WHEN b.doc_id IS NULL THEN 0 ELSE 1 END AS p4
+      FROM documents d
+      LEFT JOIN q ON q.doc_id = d.doc_id
+      LEFT JOIN r ON r.doc_id = d.doc_id
+      LEFT JOIN u ON u.doc_id = d.doc_id
+      LEFT JOIN b ON b.doc_id = d.doc_id),
+    agg AS (
+      SELECT
+        sum(1 - p1) AS f1, sum(1 - p2) AS f2,
+        sum(1 - p3) AS f3, sum(1 - p4) AS f4,
+        sum((1 - p1) * p2 * p3 * p4) AS o1,
+        sum(p1 * (1 - p2) * p3 * p4) AS o2,
+        sum(p1 * p2 * (1 - p3) * p4) AS o3,
+        sum(p1 * p2 * p3 * (1 - p4)) AS o4,
+        sum(p1) AS v1, sum(p1 * p2) AS v2,
+        sum(p1 * p2 * p3) AS v3, sum(p1 * p2 * p3 * p4) AS v4
+      FROM flags)
+    SELECT * FROM (
+      SELECT 1 AS stage, 'quality' AS rule,
+             CAST(f1 AS BIGINT) AS n_fail,
+             CAST(o1 AS BIGINT) AS n_sole_fail,
+             CAST(v1 AS BIGINT) AS n_survive_through FROM agg
+      UNION ALL
+      SELECT 2, 'repetition', CAST(f2 AS BIGINT), CAST(o2 AS BIGINT),
+             CAST(v2 AS BIGINT) FROM agg
+      UNION ALL
+      SELECT 3, 'unigram_surprisal', CAST(f3 AS BIGINT),
+             CAST(o3 AS BIGINT), CAST(v3 AS BIGINT) FROM agg
+      UNION ALL
+      SELECT 4, 'bigram_surprisal', CAST(f4 AS BIGINT),
+             CAST(o4 AS BIGINT), CAST(v4 AS BIGINT) FROM agg)
+    ORDER BY stage
+    """
+
+
+@register("l15_filter_stack", oracle=_filter_stack_oracle(),
+          doc="L15 composed quality-gate funnel: per-rule attrition, "
+              "sole-rejector attribution, stack-prefix survivors over "
+              "the l4c/l4g/l4j/l4m rules")
+def l15_filter_stack(spark, sf_dir):
+    from bioio_spark.functions.text import (bigram_surprisal,
+                                            quality_score,
+                                            repetition_filter,
+                                            unigram_surprisal)
+
+    documents = load(spark, sf_dir, "documents")
+    sets = [
+        quality_score(documents).select("doc_id"),
+        repetition_filter(documents).select("doc_id"),
+        unigram_surprisal(documents)
+        .filter(F.col("keep") == 1).select("doc_id"),
+        bigram_surprisal(documents)
+        .filter(F.col("keep") == 1).select("doc_id"),
+    ]
+    flags = documents.select("doc_id")
+    for i, s in enumerate(sets, start=1):
+        flags = flags.join(
+            s.withColumn(f"p{i}", F.lit(1)), "doc_id", "left")
+    flags = flags.select(
+        *[F.coalesce(f"p{i}", F.lit(0)).alias(f"p{i}")
+          for i in range(1, 5)])
+    agg = flags.agg(
+        *[F.sum(1 - F.col(f"p{i}")).alias(f"f{i}") for i in range(1, 5)],
+        F.sum((1 - F.col("p1")) * F.col("p2") * F.col("p3")
+              * F.col("p4")).alias("o1"),
+        F.sum(F.col("p1") * (1 - F.col("p2")) * F.col("p3")
+              * F.col("p4")).alias("o2"),
+        F.sum(F.col("p1") * F.col("p2") * (1 - F.col("p3"))
+              * F.col("p4")).alias("o3"),
+        F.sum(F.col("p1") * F.col("p2") * F.col("p3")
+              * (1 - F.col("p4"))).alias("o4"),
+        F.sum("p1").alias("v1"),
+        F.sum(F.col("p1") * F.col("p2")).alias("v2"),
+        F.sum(F.col("p1") * F.col("p2") * F.col("p3")).alias("v3"),
+        F.sum(F.col("p1") * F.col("p2") * F.col("p3")
+              * F.col("p4")).alias("v4"))
+    rules = ["quality", "repetition", "unigram_surprisal",
+             "bigram_surprisal"]
+    stack_args = ", ".join(
+        f"{i}, '{rules[i - 1]}', CAST(f{i} AS BIGINT), "
+        f"CAST(o{i} AS BIGINT), CAST(v{i} AS BIGINT)"
+        for i in range(1, 5))
+    return (agg.selectExpr(
+        f"stack(4, {stack_args}) AS "
+        "(stage, rule, n_fail, n_sole_fail, n_survive_through)")
+        .orderBy("stage"))
