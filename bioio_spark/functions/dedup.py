@@ -829,14 +829,25 @@ def incremental_dedup(documents: DataFrame,
     doc by doc_id."""
     idx = documents.filter(F.col("doc_id") % delta_mod != 0)
     delta = documents.filter(F.col("doc_id") % delta_mod == 0)
-    bi = _banded(minhash_signatures(idx))
     from pyspark import StorageLevel
     bd = _banded(minhash_signatures(delta)).persist(
         StorageLevel.MEMORY_AND_DISK)
+    return incremental_flags(
+        idx,
+        delta.select("doc_id"),
+        delta.select("doc_id", F.md5("text").alias("h")),
+        bd)
 
+
+def incremental_flags(idx: DataFrame, delta_ids: DataFrame,
+                      delta_md5: DataFrame, bd: DataFrame) -> DataFrame:
+    """The l2g gate evaluation over already-materialized delta artifacts
+    — (doc_id), (doc_id, h=md5) and (doc_id, band, key) frames — so the
+    streaming twin (s10) can probe the SAME semantics from its
+    incrementally-built band store and hash-match the same oracle."""
+    bi = _banded(minhash_signatures(idx))
     exact_idx = idx.select(F.md5("text").alias("h")).distinct()
-    he = (delta.select("doc_id", F.md5("text").alias("h"))
-          .join(exact_idx, "h").select("doc_id").distinct()
+    he = (delta_md5.join(exact_idx, "h").select("doc_id").distinct()
           .withColumn("he", F.lit(1)))
     hi = (bd.alias("d").join(bi.alias("i"), ["band", "key"])
           .select(F.col("d.doc_id").alias("doc_id")).distinct()
@@ -848,7 +859,7 @@ def incremental_dedup(documents: DataFrame,
               & (F.col("x.doc_id") > F.col("y.doc_id")))
           .select(F.col("x.doc_id").alias("doc_id")).distinct()
           .withColumn("hd", F.lit(1)))
-    flags = (delta.select("doc_id")
+    flags = (delta_ids
              .join(he, "doc_id", "left")
              .join(hi, "doc_id", "left")
              .join(hd, "doc_id", "left"))

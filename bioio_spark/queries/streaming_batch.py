@@ -550,3 +550,121 @@ def e1b_windowed_funnel(spark, sf_dir):
                     F.expr("CASE WHEN n_click = 0 THEN NULL ELSE "
                            "n_purchase * 1000 DIV n_click END")
                     .cast("bigint").alias("purchase_permille")))
+
+
+# --------------------------------------------------------------------------
+# S10 streaming incremental dedup: the production form of l2g. The daily
+# delta arrives as a file stream; every micro-batch computes its docs'
+# minhash band rows and md5 hashes BATCH-SIDE inside foreachBatch and
+# appends them to a band store under a DETERMINISTIC per-group path
+# (overwrite => exactly-once under retries/restarts, the s9 device); the
+# final probe evaluates the l2g gates from the accumulated store. The gate
+# semantics are order-independent (new-vs-new resolves by keep-lowest
+# doc_id, not arrival order), so the result is identical under ANY batch
+# split — and s10 hash-checks against the SAME SQL oracle as l2g, pinning
+# streaming == batch.
+# Scale: each micro-batch's work is O(batch); the store is the standing
+# index artifact the next day's delta probes.
+# --------------------------------------------------------------------------
+_S10_GROUPS = 5
+
+
+def _s10_fixture_dir(spark, sf_dir: str) -> str:
+    """Write the sf delta (doc_id % 10 == 0) as _S10_GROUPS parquet files
+    with ascending mtimes so the file stream replays them as ordered
+    micro-batches (order only affects batch boundaries, not results)."""
+    import os
+    import time
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", f"s10_delta_{tag}")
+    done = os.path.join(base, "_FIXTURE_DONE")
+    if os.path.isfile(done):
+        return base
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    delta = (load(spark, sf_dir, "documents")
+             .filter(F.col("doc_id") % 10 == 0)
+             .select("doc_id", "text").orderBy("doc_id").collect())
+    os.makedirs(base, exist_ok=True)
+    now = time.time()
+    for k in range(_S10_GROUPS):
+        rows = [r for r in delta if (r["doc_id"] // 10) % _S10_GROUPS == k]
+        tbl = pa.table({"doc_id": [r["doc_id"] for r in rows],
+                        "text": [r["text"] for r in rows]})
+        p = os.path.join(base, f"day{k}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (now + k, now + k))
+    with open(done, "w") as f:
+        f.write("ok")
+    return base
+
+
+def stream_band_index(spark, delta_dir: str, store: str) -> None:
+    """Stream delta parquet files; per micro-batch, compute band + md5
+    rows and write them to `store` under per-group deterministic paths
+    (idempotent overwrite)."""
+    import os
+
+    from bioio_spark.functions.dedup import _banded, minhash_signatures
+
+    schema = spark.read.parquet(delta_dir).schema
+
+    g = ((F.col("doc_id") / 10).cast("long") % _S10_GROUPS).alias("g")
+
+    def write_batch(batch, _bid):
+        # dynamic partition overwrite: a replayed batch rewrites exactly
+        # its own g-partitions — exactly-once without a transaction log
+        (_banded(minhash_signatures(batch)).withColumn("g", g)
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("g").parquet(os.path.join(store, "bands")))
+        (batch.select("doc_id", F.md5("text").alias("h"), g)
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("g").parquet(os.path.join(store, "md5")))
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(delta_dir)
+         .writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation", os.path.join(store, "_ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+from bioio_spark.functions.dedup import (  # noqa: E402
+    INCREMENTAL_DEDUP_ORACLE as _L2G_ORACLE,
+)
+
+
+@register(
+    "s10_stream_incremental_dedup",
+    oracle=_L2G_ORACLE,     # same semantics as l2g: streaming == batch
+    doc="S10 streaming incremental dedup: micro-batch band-store build "
+        "(exactly-once foreachBatch) + final l2g gate probe; "
+        "hash-matches the l2g batch oracle",
+)
+def s10_stream_incremental_dedup(spark, sf_dir):
+    import os
+    import shutil
+
+    from bioio_spark.functions.dedup import incremental_flags
+
+    delta_dir = _s10_fixture_dir(spark, sf_dir)
+    store = os.path.join(os.path.dirname(delta_dir),
+                         f"s10_store_{os.path.basename(delta_dir)}")
+    shutil.rmtree(store, ignore_errors=True)
+    stream_band_index(spark, delta_dir, store)
+
+    bd = (spark.read.parquet(os.path.join(store, "bands"))
+          .select("doc_id", "band", "key"))
+    md5s = (spark.read.parquet(os.path.join(store, "md5"))
+            .select("doc_id", "h"))
+    idx = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") % 10 != 0))
+    return incremental_flags(idx, md5s.select("doc_id"), md5s, bd)
+
+

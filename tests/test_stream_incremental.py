@@ -1,0 +1,60 @@
+"""S10 streaming incremental dedup: exactly-once store semantics and
+streaming == batch equivalence (oracle parity covers the hash gate)."""
+import os
+import shutil
+
+import pyspark.sql.functions as F
+
+
+def _flags(spark, sf_dir):
+    from bioio_spark.queries.base import REGISTRY
+
+    return [tuple(r) for r in
+            REGISTRY["s10_stream_incremental_dedup"]
+            .fn(spark, sf_dir).collect()]
+
+
+def test_streaming_equals_batch(spark, sf_dir):
+    """The stream-built band store must reproduce l2g's batch flags
+    exactly — the gate semantics are order-independent by design."""
+    from bioio_spark.functions.dedup import incremental_dedup
+
+    batch = [tuple(r) for r in incremental_dedup(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")).collect()]
+    assert _flags(spark, sf_dir) == batch
+
+
+def test_replay_is_idempotent(spark, sf_dir):
+    """A full replay (fresh checkpoint over the same files — the
+    restart-after-lost-checkpoint case) rewrites every g-partition via
+    dynamic partition overwrite and converges to the same store, byte
+    content and flags alike."""
+    from bioio_spark.queries.streaming_batch import (_s10_fixture_dir,
+                                                     stream_band_index)
+
+    delta_dir = _s10_fixture_dir(spark, sf_dir)
+    store = os.path.join(os.path.dirname(delta_dir), "s10_replay_test")
+    shutil.rmtree(store, ignore_errors=True)
+    stream_band_index(spark, delta_dir, store)
+    first = sorted(
+        tuple(r) for r in
+        spark.read.parquet(os.path.join(store, "bands")).collect())
+    # lose the checkpoint, replay everything
+    shutil.rmtree(os.path.join(store, "_ckpt"))
+    stream_band_index(spark, delta_dir, store)
+    second = sorted(
+        tuple(r) for r in
+        spark.read.parquet(os.path.join(store, "bands")).collect())
+    assert first == second
+    shutil.rmtree(store, ignore_errors=True)
+
+
+def test_fixture_covers_delta_exactly_once(spark, sf_dir):
+    from bioio_spark.queries.streaming_batch import _s10_fixture_dir
+
+    delta_dir = _s10_fixture_dir(spark, sf_dir)
+    streamed = spark.read.parquet(delta_dir).select("doc_id")
+    expected = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .filter(F.col("doc_id") % 10 == 0).select("doc_id"))
+    assert (sorted(r["doc_id"] for r in streamed.collect())
+            == sorted(r["doc_id"] for r in expected.collect()))
