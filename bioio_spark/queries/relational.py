@@ -849,3 +849,61 @@ def a13_pivot(spark, sf_dir):
                        F.col("N").alias("rev_n"),
                        F.col("R").alias("rev_r"))
             .orderBy("ship_year"))
+
+
+# --------------------------------------------------------------------------
+# A35 native recursive CTE (Spark 4.x WITH RECURSIVE): the hierarchical
+# rollup pattern (org charts, BOM explosions, folder trees) over the
+# supplier table arranged as a binary-heap hierarchy (parent(k) =
+# (k-1) DIV 2, root 0). Each supplier walks its ancestor chain to the
+# root, accumulating chain length and balance. Linear recursion: every
+# iteration is ONE equi-join on the parent key, and the iteration count
+# is the tree DEPTH (log2 N), not N — the same bound that makes the
+# repo's unrolled iterative operators (g2 PageRank, l13 BPE, l6 CC)
+# scale; a35 pins the NATIVE operator form now that Spark ships it.
+# The chain-balance fold order is the path order in both engines, so the
+# double sum is bit-identical.
+# --------------------------------------------------------------------------
+@register(
+    "a35_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE chain AS (
+      SELECT s_suppkey AS start_key, s_suppkey AS cur,
+             0 AS depth, s_acctbal AS bal
+      FROM supplier
+      UNION ALL
+      SELECT c.start_key, p.s_suppkey, c.depth + 1, c.bal + p.s_acctbal
+      FROM chain c
+      JOIN supplier p ON p.s_suppkey = (c.cur - 1) // 2
+      WHERE c.cur > 0
+    )
+    SELECT start_key AS s_suppkey,
+           CAST(depth AS BIGINT) AS depth_to_root,
+           round(bal, 2) AS chain_balance
+    FROM chain WHERE cur = 0
+    ORDER BY s_suppkey
+    """,
+    doc="A35 native WITH RECURSIVE hierarchical rollup: ancestor-chain "
+        "depth + balance to the heap root, one parent-key join per "
+        "level, log2(N) iterations",
+)
+def a35_recursive_hierarchy(spark, sf_dir):
+    sup = load(spark, sf_dir, "supplier")
+    sup.createOrReplaceTempView("a35_supplier")
+    return spark.sql("""
+      WITH RECURSIVE chain AS (
+        SELECT s_suppkey AS start_key, s_suppkey AS cur,
+               0 AS depth, s_acctbal AS bal
+        FROM a35_supplier
+        UNION ALL
+        SELECT c.start_key, p.s_suppkey, c.depth + 1, c.bal + p.s_acctbal
+        FROM chain c
+        JOIN a35_supplier p ON p.s_suppkey = (c.cur - 1) DIV 2
+        WHERE c.cur > 0
+      )
+      SELECT start_key AS s_suppkey,
+             CAST(depth AS BIGINT) AS depth_to_root,
+             round(bal, 2) AS chain_balance
+      FROM chain WHERE cur = 0
+      ORDER BY s_suppkey
+    """)
