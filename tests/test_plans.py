@@ -551,3 +551,29 @@ def test_bulk_catalog_errors_become_rows(spark, tmp_path):
     assert not rows[str(bad)]["ok"] and rows[str(bad)]["err"]
     assert not rows[str(foreign)]["ok"]
     assert "unsupported extension" in rows[str(foreign)]["err"]
+
+
+def test_recursive_hierarchy_uses_union_loop(spark, sf_dir):
+    """a35 executes through Spark's native recursive-CTE operator
+    (UnionLoop) with a parent-key equi-join — no cartesian, no Python,
+    and only the presentation sort's exchange."""
+    from bioio_spark.queries.base import REGISTRY
+
+    plan = (REGISTRY["a35_recursive_hierarchy"].fn(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "UnionLoop" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_filter_stack_stays_jvm_side(spark, sf_dir):
+    """l15 composes four rule passes: every gate is codegen (no Python
+    UDF sneaks in via the composition), and flag joins are hash/broadcast
+    equi-joins."""
+    from bioio_spark.queries.base import REGISTRY
+
+    plan = (REGISTRY["l15_filter_stack"].fn(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
