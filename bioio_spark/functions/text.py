@@ -793,3 +793,78 @@ FROM capped a JOIN capped b
 GROUP BY a.doc_id, b.doc_id
 ORDER BY score DESC, doc_a ASC, doc_b ASC LIMIT {TFIDF_TOP_PAIRS}
 """
+
+
+# -- L16 hashed document embeddings (feature hashing) ------------------------
+
+HASH_EMBED_DIM = 16
+
+
+def hashed_embeddings(documents: DataFrame,
+                      dim: int = HASH_EMBED_DIM) -> DataFrame:
+    """Feature-hashing document embeddings (Weinberger et al. 2009,
+    "Feature Hashing for Large Scale Multitask Learning"): the
+    model-free text -> vector bridge. Each word occurrence lands in
+    bucket h32(word) % dim with sign +-1 from the hash's next bit, and
+    the document's vector is the signed occurrence count per bucket —
+    EXACT INTEGERS end to end (the hashing-trick estimator preserves
+    inner products in expectation; integer counts keep the oracle
+    hash-exact, no normalization float). Any operator of the
+    similarity tier (l3/l12/l14) consumes the result as its embedding
+    column.
+
+    Scale: one occurrence explode (narrow), one (doc_id, bucket)
+    partial-combining aggregate; the dense row form is a per-doc
+    map_from_entries + fixed-width transform, all codegen. Output is
+    the ROW form (doc_id, dim_idx, component) — scalar values, one row
+    per dimension per doc."""
+    occ = documents.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("word"))
+    h = h32_col(F.col("word"))
+    per = (occ.select(
+               "doc_id", (h % dim).alias("bucket"),
+               (F.when((h % (2 * dim)) >= dim, -1).otherwise(1))
+               .alias("sign"))
+           .groupBy("doc_id", "bucket")
+           .agg(F.sum("sign").alias("v")))
+    dense = (per.groupBy("doc_id")
+             .agg(F.map_from_entries(
+                 F.collect_list(F.struct("bucket", "v"))).alias("m"))
+             .select("doc_id", F.explode(
+                 F.transform(
+                     F.sequence(F.lit(0), F.lit(dim - 1)),
+                     lambda j: F.struct(
+                         j.alias("dim_idx"),
+                         F.coalesce(F.element_at("m", j), F.lit(0))
+                         .cast("bigint").alias("component"))))
+                 .alias("e"))
+             .select("doc_id", F.col("e")["dim_idx"].alias("dim_idx"),
+                     F.col("e")["component"].alias("component")))
+    return dense.orderBy("doc_id", "dim_idx")
+
+
+def _hashed_embeddings_oracle(dim: int = HASH_EMBED_DIM) -> str:
+    h = h32_sql("word")
+    return f"""
+    WITH occ AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+'))
+               AS word
+      FROM documents),
+    per AS (
+      SELECT doc_id, {h} % {dim} AS bucket,
+             sum(CASE WHEN {h} % {2 * dim} >= {dim} THEN -1 ELSE 1 END)
+               AS v
+      FROM occ GROUP BY doc_id, {h} % {dim}),
+    grid AS (
+      SELECT d.doc_id, r.j
+      FROM (SELECT DISTINCT doc_id FROM occ) d
+      CROSS JOIN range({dim}) r(j))
+    SELECT g.doc_id, CAST(g.j AS INT) AS dim_idx,
+           CAST(coalesce(p.v, 0) AS BIGINT) AS component
+    FROM grid g LEFT JOIN per p
+      ON p.doc_id = g.doc_id AND p.bucket = g.j
+    ORDER BY g.doc_id, g.j
+    """
+
+
+HASHED_EMBEDDINGS_ORACLE = _hashed_embeddings_oracle()

@@ -1099,3 +1099,12 @@ def l15_filter_stack(spark, sf_dir):
         f"stack(4, {stack_args}) AS "
         "(stage, rule, n_fail, n_sole_fail, n_survive_through)")
         .orderBy("stage"))
+
+
+@register("l16_hashed_embeddings", oracle=_text.HASHED_EMBEDDINGS_ORACLE,
+          doc="L16 feature-hashing document embeddings (Weinberger et "
+              "al. 2009): the model-free text->vector bridge, exact "
+              "signed integer bucket counts, row form")
+def l16_hashed_embeddings(spark, sf_dir):
+    from bioio_spark.functions.text import hashed_embeddings
+    return hashed_embeddings(load(spark, sf_dir, "documents"))
