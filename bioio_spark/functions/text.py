@@ -868,3 +868,88 @@ def _hashed_embeddings_oracle(dim: int = HASH_EMBED_DIM) -> str:
 
 
 HASHED_EMBEDDINGS_ORACLE = _hashed_embeddings_oracle()
+
+
+# -- L17 document chunking (fixed window + stride, clamped tail) -------------
+
+CHUNK_WINDOW = 32
+CHUNK_STRIDE = 24     # overlap = window - stride = 8 tokens
+
+
+def doc_chunks(documents: DataFrame, window: int = CHUNK_WINDOW,
+               stride: int = CHUNK_STRIDE) -> DataFrame:
+    """The pretraining/RAG chunker: split each document into
+    fixed-`window` token chunks every `stride` tokens (overlap =
+    window - stride), with the LAST window clamped to end exactly at
+    the document tail — every chunk of a long doc is full-width, the
+    standard LM-context construction. Docs at or under `window` tokens
+    yield one whole-doc chunk.
+
+    Entirely IN-ROW (transform over the start sequence + slice) then
+    one explode — no window function, no shuffle before the
+    presentation sort. chunk_md5 is the md5 of the space-joined chunk,
+    so the oracle hash pins the exact token boundaries, overlap and
+    clamping included.
+
+    Returns (doc_id, chunk_idx, start_tok, chunk_len, chunk_md5)."""
+    W, S = int(window), int(stride)
+    ws = _words(F.col("text"))
+    base = documents.select("doc_id", ws.alias("ws"))
+    n = F.size("ws")
+    # exact integer ceil((n-W)/S) via DIV — the oracle's // twin
+    nc = F.when(n <= W, F.lit(1)).otherwise(
+        F.expr(f"1 + (size(ws) - {W} + {S} - 1) DIV {S}"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), nc.cast("int") - 1),
+        lambda k: F.struct(
+            k.cast("int").alias("ci"),
+            F.least(k * S, F.greatest(n - W, F.lit(0)))
+            .cast("int").alias("st")))
+    ex = (base.select("doc_id", "ws", F.explode(chunks).alias("c"))
+          .select("doc_id", "ws",
+                  F.col("c")["ci"].alias("chunk_idx"),
+                  F.col("c")["st"].alias("start_tok")))
+    clen = F.least(F.lit(W), F.size("ws") - F.col("start_tok"))
+    return (ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        clen.cast("bigint").alias("chunk_len"),
+        F.md5(F.concat_ws(
+            " ", F.slice("ws", F.col("start_tok") + 1, clen)))
+        .alias("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx"))
+
+
+def _doc_chunks_oracle(window: int = CHUNK_WINDOW,
+                       stride: int = CHUNK_STRIDE) -> str:
+    W, S = int(window), int(stride)
+    return rf"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents),
+    meta AS (
+      SELECT doc_id, ws, len(ws) AS n,
+             CASE WHEN len(ws) <= {W} THEN 1
+                  ELSE 1 + (len(ws) - {W} + {S} - 1) // {S} END AS nc
+      FROM w),
+    ex AS (
+      SELECT doc_id, ws, n,
+             unnest(list_transform(range(0, nc),
+                 k -> struct_pack(
+                     ci := k,
+                     st := least(k * {S}, greatest(n - {W}, 0))))) AS c
+      FROM meta)
+    SELECT doc_id,
+           CAST(c.ci AS BIGINT) AS chunk_idx,
+           CAST(c.st AS BIGINT) AS start_tok,
+           CAST(least({W}, n - c.st) AS BIGINT) AS chunk_len,
+           md5(array_to_string(
+               list_slice(ws, c.st + 1,
+                          c.st + least({W}, n - c.st)), ' '))
+             AS chunk_md5
+    FROM ex ORDER BY doc_id, chunk_idx
+    """
+
+
+DOC_CHUNKS_ORACLE = _doc_chunks_oracle()

@@ -1108,3 +1108,12 @@ def l15_filter_stack(spark, sf_dir):
 def l16_hashed_embeddings(spark, sf_dir):
     from bioio_spark.functions.text import hashed_embeddings
     return hashed_embeddings(load(spark, sf_dir, "documents"))
+
+
+@register("l17_doc_chunking", oracle=_text.DOC_CHUNKS_ORACLE,
+          doc="L17 pretraining/RAG chunker: fixed-window token chunks "
+              "with stride overlap, clamped tail window; chunk md5 pins "
+              "exact boundaries; in-row transform + one explode")
+def l17_doc_chunking(spark, sf_dir):
+    from bioio_spark.functions.text import doc_chunks
+    return doc_chunks(load(spark, sf_dir, "documents"))
