@@ -1117,3 +1117,44 @@ def l16_hashed_embeddings(spark, sf_dir):
 def l17_doc_chunking(spark, sf_dir):
     from bioio_spark.functions.text import doc_chunks
     return doc_chunks(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# L18 exact-count stratified sampling: the eval-set constructor — exactly
+# min(k, stratum size) documents per language, chosen by DETERMINISTIC hash
+# order (salted h32, doc_id tiebreak), so the sample is stable across runs,
+# engines, and cluster layouts (no RNG, no sampleBy approximation). One
+# window per stratum, rank bounded by k — the same top-K-per-group
+# TakeOrdered shape as l8b, never a stratum-wide sort at scale.
+# --------------------------------------------------------------------------
+_L18_K = 20
+
+
+@register(
+    "l18_stratified_exact",
+    oracle=f"""
+    SELECT lang, doc_id, rk FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_dedup.h32_sql("'l18:' || CAST(doc_id AS VARCHAR)")},
+                        doc_id) AS rk
+      FROM documents)
+    WHERE rk <= {_L18_K}
+    ORDER BY lang, rk
+    """,
+    doc="L18 exact-count stratified sample: min(k, n) docs per lang by "
+        "salted deterministic hash order",
+)
+def l18_stratified_exact(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from bioio_spark.functions.hashing import h32_col
+
+    docs = load(spark, sf_dir, "documents")
+    h = h32_col(F.concat(F.lit("l18:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    return (docs.select("lang", "doc_id",
+                        F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= _L18_K)
+            .orderBy("lang", "rk"))
