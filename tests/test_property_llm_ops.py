@@ -1,0 +1,99 @@
+"""Seeded-random reference tests for the round-9 text operators: each
+Spark result is replayed against an independent pure-Python
+implementation over ~100 random documents (one Spark job per property,
+deterministic rng — the codec-tier property-test discipline applied to
+the LLM tier)."""
+import hashlib
+
+import numpy as np
+
+
+def _rand_docs(n_docs=100, seed=29):
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for d in range(n_docs):
+        n = int(rng.integers(1, 200))
+        words = [vocab[int(i)] for i in rng.integers(0, len(vocab), n)]
+        rows.append((d, " ".join(words)))
+    return rows
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_doc_chunks_matches_python_reference(spark):
+    from bioio_spark.functions.text import (CHUNK_STRIDE, CHUNK_WINDOW,
+                                            doc_chunks)
+
+    rows = _rand_docs()
+    got = [(r["doc_id"], r["chunk_idx"], r["start_tok"],
+            r["chunk_len"], r["chunk_md5"])
+           for r in doc_chunks(_df(spark, rows)).collect()]
+
+    W, S = CHUNK_WINDOW, CHUNK_STRIDE
+    want = []
+    for d, text in rows:
+        ws = text.split()
+        n = len(ws)
+        nc = 1 if n <= W else 1 + -(-(n - W) // S)
+        for k in range(nc):
+            st = min(k * S, max(n - W, 0))
+            chunk = ws[st:st + min(W, n - st)]
+            want.append((d, k, st, len(chunk),
+                         hashlib.md5(" ".join(chunk).encode()).hexdigest()))
+    assert got == sorted(want)
+
+
+def _h32(s):
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_bigram_surprisal_matches_python_reference(spark):
+    from bioio_spark.functions.text import (BIGRAM_KEEP_MILLI,
+                                            bigram_surprisal)
+
+    rows = _rand_docs(seed=31)
+    got = [tuple(r) for r in
+           bigram_surprisal(_df(spark, rows)).collect()]
+
+    from collections import Counter
+    pair, prev = Counter(), Counter()
+    bgs = {}
+    for d, text in rows:
+        ws = text.split()
+        bg = list(zip(ws, ws[1:]))
+        if not bg:
+            continue
+        bgs[d] = bg
+        for p in bg:
+            pair[p] += 1
+            prev[p[0]] += 1
+    want = []
+    for d in sorted(bgs):
+        bits = sum(prev[p[0]].bit_length() - pair[p].bit_length()
+                   for p in bgs[d])
+        n = len(bgs[d])
+        want.append((d, n, bits,
+                     int(bits * 1000 <= BIGRAM_KEEP_MILLI * n)))
+    assert got == want
+
+
+def test_hashed_embeddings_match_python_reference(spark):
+    from bioio_spark.functions.text import (HASH_EMBED_DIM,
+                                            hashed_embeddings)
+
+    rows = _rand_docs(seed=37)
+    got = {}
+    for r in hashed_embeddings(_df(spark, rows)).collect():
+        got.setdefault(r["doc_id"], [0] * HASH_EMBED_DIM)[
+            r["dim_idx"]] = r["component"]
+
+    dim = HASH_EMBED_DIM
+    for d, text in rows:
+        vec = [0] * dim
+        for w in text.split():
+            h = _h32(w)
+            vec[h % dim] += -1 if h % (2 * dim) >= dim else 1
+        assert got[d] == vec, d
