@@ -58,3 +58,23 @@ def test_fixture_covers_delta_exactly_once(spark, sf_dir):
                 .filter(F.col("doc_id") % 10 == 0).select("doc_id"))
     assert (sorted(r["doc_id"] for r in streamed.collect())
             == sorted(r["doc_id"] for r in expected.collect()))
+
+
+def test_s11_fingerprint_store_replay_idempotent(spark):
+    """s11: losing the checkpoint and replaying every file converges to
+    the same fingerprint store (per-file partitions, dynamic
+    overwrite)."""
+    from bioio_spark.queries.multimodal import (_s11_fixture_dir,
+                                                stream_fingerprint_store)
+
+    media_dir = _s11_fixture_dir()
+    store = os.path.join(os.path.dirname(media_dir), "s11_replay_test")
+    shutil.rmtree(store, ignore_errors=True)
+    stream_fingerprint_store(spark, media_dir, store)
+    first = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+    assert len(first) == 22          # every image fingerprinted once
+    shutil.rmtree(os.path.join(store, "_ckpt"))
+    stream_fingerprint_store(spark, media_dir, store)
+    second = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+    assert first == second
+    shutil.rmtree(store, ignore_errors=True)
