@@ -5446,3 +5446,39 @@ def img_regionprops(spark, sf_dir):
                  F.sum("y").cast("bigint").alias("sum_y"),
                  F.sum("x").cast("bigint").alias("sum_x"))
             .orderBy("component"))
+
+
+# --------------------------------------------------------------------------
+# N14: wide box filter through the integral image — the O(1)-per-pixel
+# wide-stencil path. A 7x7 (R=3) box through the explode-halo stencils
+# ships 49 contributions per pixel and grows with R^2; through the SAT it
+# is exactly FOUR corner lookups whatever the radius — the shuffle volume
+# is radius-free. The ORACLE is the brute-force neighborhood sum (a range
+# self-join), deliberately NOT a SAT recomputation: the two
+# implementations are independent, so the hash pins the corner algebra
+# (clips, -1 offsets, sign pattern) against ground truth.
+# --------------------------------------------------------------------------
+_BOX_R = 3
+
+
+@register(
+    "img_box_integral",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL})
+    SELECT a.t, a.c, a.z, a.y, a.x,
+           CAST(sum(b.value) AS BIGINT) AS box_sum
+    FROM px a JOIN px b
+      ON a.t = b.t AND a.c = b.c AND a.z = b.z
+     AND b.y BETWEEN a.y - {_BOX_R} AND a.y + {_BOX_R}
+     AND b.x BETWEEN a.x - {_BOX_R} AND a.x + {_BOX_R}
+    GROUP BY a.t, a.c, a.z, a.y, a.x
+    ORDER BY a.t, a.c, a.z, a.y, a.x
+    """,
+    doc="N14 wide box sum (7x7) via summed-area-table corner algebra — "
+        "4 lookups per pixel, radius-free shuffle; oracle is the "
+        "independent brute-force neighborhood sum",
+)
+def img_box_integral(spark, sf_dir):
+    from bioio_spark.operators.intensity import box_sum_integral
+
+    return box_sum_integral(_gen_pixels(spark), radius=_BOX_R)

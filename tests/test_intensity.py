@@ -169,3 +169,30 @@ def test_bpe_scans_corpus_once(spark):
                                cache_key=key).collect()
     assert stats[0]["n_symbols_after"] < stats[0]["n_symbols_before"]
     assert scans.value == 1, "memoized re-train touched the corpus"
+
+
+def test_box_sum_integral_radius_edges(spark):
+    """R=0 reduces to the pixel's own value; R >= plane extent yields
+    the whole-plane sum everywhere; mid radii match a numpy clipped-box
+    reference."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from bioio_spark.operators.intensity import box_sum_integral
+
+    rng = np.random.default_rng(13)
+    H, W = 5, 7
+    img = rng.integers(0, 100, size=(H, W))
+    rows = [(0, 0, 0, y, x, float(img[y, x]))
+            for y in range(H) for x in range(W)]
+    px = spark.createDataFrame(
+        rows, "t int, c int, z int, y int, x int, value double")
+
+    for R in (0, 2, 10):
+        got = {(r["y"], r["x"]): r["box_sum"]
+               for r in box_sum_integral(px, radius=R).collect()}
+        for y in range(H):
+            for x in range(W):
+                want = int(img[max(0, y - R):y + R + 1,
+                               max(0, x - R):x + R + 1].sum())
+                assert got[(y, x)] == want, (R, y, x)
