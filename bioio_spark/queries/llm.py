@@ -1158,3 +1158,55 @@ def l18_stratified_exact(spark, sf_dir):
                         F.row_number().over(w).alias("rk"))
             .filter(F.col("rk") <= _L18_K)
             .orderBy("lang", "rk"))
+
+
+# --------------------------------------------------------------------------
+# L19 chunk packing: the end-to-end pretraining batch constructor —
+# l17's stride chunks packed into fixed token budgets with l7's
+# prefix-sum device (bin = cumulative-length DIV capacity, one bounded
+# window per lang partition). The composition is the job a corpus run
+# actually submits: chunk -> pack in one plan, no intermediate
+# materialization. Oracle embeds the chunker oracle as a subquery, so
+# the packing can never drift from the chunk boundaries.
+# --------------------------------------------------------------------------
+_L19_CAP = 128
+
+
+@register(
+    "l19_chunk_packing",
+    oracle=f"""
+    WITH ch AS ({_text.DOC_CHUNKS_ORACLE}),
+    wl AS (
+      SELECT d.lang, ch.doc_id, ch.chunk_idx, ch.chunk_len,
+             COALESCE(sum(ch.chunk_len) OVER (
+               PARTITION BY d.lang
+               ORDER BY ch.doc_id, ch.chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prev_toks
+      FROM ch JOIN documents d ON d.doc_id = ch.doc_id)
+    SELECT lang, doc_id, chunk_idx,
+           CAST(prev_toks // {_L19_CAP} AS BIGINT) AS bin_id,
+           CAST(prev_toks % {_L19_CAP} AS BIGINT) AS bin_offset
+    FROM wl ORDER BY lang, doc_id, chunk_idx
+    """,
+    doc="L19 chunk -> pack composition: l17 stride chunks packed into "
+        "128-token bins per lang (prefix-sum DIV, the l7 device) in "
+        "one plan",
+)
+def l19_chunk_packing(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from bioio_spark.functions.text import doc_chunks
+
+    docs = load(spark, sf_dir, "documents")
+    ch = doc_chunks(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    w = (Window.partitionBy("lang").orderBy("doc_id", "chunk_idx")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prev = F.coalesce(F.sum("chunk_len").over(w), F.lit(0))
+    return (ch.withColumn("prev_toks", prev.cast("long"))
+            .select("lang", "doc_id", "chunk_idx",
+                    F.expr(f"prev_toks DIV {_L19_CAP}")
+                    .cast("bigint").alias("bin_id"),
+                    (F.col("prev_toks") % _L19_CAP)
+                    .cast("bigint").alias("bin_offset"))
+            .orderBy("lang", "doc_id", "chunk_idx"))
