@@ -52,6 +52,29 @@ import logging
 
 log = logging.getLogger(__name__)
 
+# module-level fallback registry for sessions whose __dict__ is unavailable
+# (connect-style proxies) — keyed by (session id, tag)
+_HELD_FALLBACK: dict[tuple[int, str], list] = {}
+
+
+def swap_held(spark, tag: str) -> list:
+    """Session-level persist release registry (the pagerank pattern,
+    clusters.py:186): unpersist every frame the PREVIOUS invocation of
+    the operator tagged `tag` pinned, and return the (now empty) list the
+    CURRENT invocation appends its own persisted frames to. A long-lived
+    session thus holds at most one invocation's cache blocks per tag."""
+    try:
+        held = spark.__dict__.setdefault(f"_bioio_held_{tag}", [])
+    except Exception:
+        held = _HELD_FALLBACK.setdefault((id(spark), tag), [])
+    for old_df in held:
+        try:
+            old_df.unpersist()
+        except Exception:
+            pass
+    held.clear()
+    return held
+
 
 # -- L1 exact dedup --------------------------------------------------------
 

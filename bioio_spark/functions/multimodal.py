@@ -358,6 +358,14 @@ def audio_window_energy(media: DataFrame, window: int = 100,
 AHASH_GRID = 8          # 8x8 block grid -> 64-bit hash
 AHASH_BANDS = 4         # 4 x 16-bit LSH bands
 AHASH_MAX_HAMMING = 3   # banded join is EXACT for hamming < AHASH_BANDS
+# Hard per-(band, value) bucket cap for perceptual near-dup candidate
+# enumeration — the l2d MAX_BUCKET_WIDTH device (keep-lowest-media_id,
+# oracle-mirrored). Band keys are 16-bit: a bucket wider than the cap means
+# >cap items agree on a full band, where the key carries no discriminating
+# power (degenerate corpora: solid-color frames, silence-padded audio) —
+# and even a uniform corpus reaches n/65536 expected members per bucket
+# (SCALING.md "16-bit band-space saturation").
+MEDIA_MAX_BUCKET_WIDTH = 256
 
 
 def ahash_images(media: DataFrame, codec=FakeCodec) -> DataFrame:
@@ -412,26 +420,49 @@ def ahash_images(media: DataFrame, codec=FakeCodec) -> DataFrame:
             .mapInPandas(batches, schema=schema))
 
 
-def _banded_near_dups(h: DataFrame, max_hamming: int) -> DataFrame:
+def _banded_near_dups(h: DataFrame, max_hamming: int,
+                      max_width: int = MEDIA_MAX_BUCKET_WIDTH
+                      ) -> DataFrame:
     """Near-duplicate pairs over a (media_id, b0..b3) banded-hash frame:
     candidates must share one EXACT 16-bit band — by pigeonhole any pair
     with hamming < AHASH_BANDS differs in at most 3 of the 4 bands, so
     the banding loses NOTHING at thresholds below the band count (exact,
-    not approximate, recall). One band-keyed equi-join (never all-pairs;
-    the l2d MAX_BUCKET_WIDTH cap composes here unchanged when a
-    degenerate corpus floods one band value), then hamming evaluated
-    only on candidates via two hash-keyed lookups."""
+    not approximate, recall — up to the width cap below).
+
+    Scale discipline (the l2d contract, applied for real):
+    - candidate enumeration goes through `_bucket_pairs`
+      (functions/dedup.py): groupBy(band, value) -> sorted id list ->
+      pair explode, with each bucket HARD-CAPPED to its `max_width`
+      lowest media_ids (oracle-mirrored as
+      row_number() OVER (PARTITION BY k, v ORDER BY media_id) <= cap).
+      Degenerate corpora — solid-color images, silence-padded audio —
+      collapse to one band value; without the cap that one bucket is
+      O(n^2) pairs in a single task. Band keys are 16-bit, so even a
+      UNIFORM corpus saturates at n/65536 expected members per bucket
+      (see SCALING.md "16-bit band-space saturation").
+    - the fingerprint frame `h` (1 row per item, 4 ints) is PERSISTED:
+      it feeds the bucket grouping and both hamming-lookup sides, and
+      without the pin the Arrow-batched decode subtree would run three
+      times (on different join keys, so exchange reuse cannot save it).
+      Released by the next invocation via the session registry.
+    Hamming is then evaluated only on candidates via two hash-keyed
+    lookups."""
+    from bioio_spark.functions.dedup import _bucket_pairs, swap_held
+
+    held = swap_held(h.sparkSession, "media_neardup")
+    h = h.persist()
+    held.append(h)
     bands = F.array(*[
         F.struct(F.lit(k).alias("k"), F.col(f"b{k}").alias("v"))
         for k in range(AHASH_BANDS)])
     lf = (h.select("media_id", F.explode(bands).alias("bv"))
           .select("media_id", F.col("bv")["k"].alias("k"),
                   F.col("bv")["v"].alias("v")))
-    cand = (lf.alias("x").join(lf.alias("y"), ["k", "v"])
-            .where(F.col("x.media_id") < F.col("y.media_id"))
-            .select(F.col("x.media_id").alias("media_id_a"),
-                    F.col("y.media_id").alias("media_id_b"))
-            .distinct())
+    cand = (_bucket_pairs(lf, ["k", "v"], "media_id",
+                          max_width=max_width)
+            .distinct()
+            .select(F.col("doc_a").alias("media_id_a"),
+                    F.col("doc_b").alias("media_id_b")))
     ha = h.select(F.col("media_id").alias("media_id_a"),
                   *[F.col(f"b{k}").alias(f"xa{k}")
                     for k in range(AHASH_BANDS)])
@@ -451,12 +482,15 @@ def _banded_near_dups(h: DataFrame, max_hamming: int) -> DataFrame:
 
 
 def image_near_dups(media: DataFrame, codec=FakeCodec,
-                    max_hamming: int = AHASH_MAX_HAMMING) -> DataFrame:
+                    max_hamming: int = AHASH_MAX_HAMMING,
+                    max_width: int = MEDIA_MAX_BUCKET_WIDTH) -> DataFrame:
     """Near-duplicate IMAGE pairs by aHash hamming distance <=
     `max_hamming` (LAION-style perceptual dedup): one hash per image
-    (Arrow-batched decode), then the exact banded join. Returns
-    (media_id_a, media_id_b, hamming), a < b."""
-    return _banded_near_dups(ahash_images(media, codec), max_hamming)
+    (Arrow-batched decode, persisted), then the exact banded join with
+    the `max_width` bucket cap. Returns (media_id_a, media_id_b,
+    hamming), a < b."""
+    return _banded_near_dups(ahash_images(media, codec), max_hamming,
+                             max_width=max_width)
 
 
 AUDIO_FP_WINDOWS = 64
@@ -507,12 +541,14 @@ def audio_fingerprint(media: DataFrame, codec=FakeCodec) -> DataFrame:
 
 
 def audio_near_dups(media: DataFrame, codec=FakeCodec,
-                    max_hamming: int = AHASH_MAX_HAMMING) -> DataFrame:
+                    max_hamming: int = AHASH_MAX_HAMMING,
+                    max_width: int = MEDIA_MAX_BUCKET_WIDTH) -> DataFrame:
     """Near-duplicate AUDIO pairs by envelope-fingerprint hamming
-    distance <= `max_hamming` through the same exact banded join.
-    Returns (media_id_a, media_id_b, hamming), a < b."""
+    distance <= `max_hamming` through the same exact banded join
+    (capped, persisted). Returns (media_id_a, media_id_b, hamming),
+    a < b."""
     return _banded_near_dups(audio_fingerprint(media, codec),
-                             max_hamming)
+                             max_hamming, max_width=max_width)
 
 
 def video_fingerprint(media: DataFrame, codec=FakeCodec) -> DataFrame:
@@ -564,19 +600,30 @@ def video_fingerprint(media: DataFrame, codec=FakeCodec) -> DataFrame:
 
 
 def video_near_dups(media: DataFrame, codec=FakeCodec,
-                    max_frame_hamming: int = AHASH_MAX_HAMMING
+                    max_frame_hamming: int = AHASH_MAX_HAMMING,
+                    max_width: int = MEDIA_MAX_BUCKET_WIDTH
                     ) -> DataFrame:
     """Near-duplicate VIDEO pairs: same frame count and EVERY aligned
     frame within `max_frame_hamming` aHash bits (the re-encoded-copy
     detection contract). Candidates come from a banded join on FRAME 0
     only — exact by pigeonhole, since an all-frames-close pair is in
     particular frame-0-close and must share a frame-0 band — then the
-    full aligned-frame hamming is evaluated on candidates only. Scale:
-    one fingerprint pass (Arrow-batched decode), one band equi-join
-    over n_videos rows (not n_frames), one fidx-aligned join bounded
-    by candidate count x frames. Returns (media_id_a, media_id_b,
-    n_frames, hamming_sum), a < b."""
-    fp = video_fingerprint(media, codec)
+    full aligned-frame hamming is evaluated on candidates only.
+
+    Scale: one fingerprint pass (Arrow-batched decode) PERSISTED (the
+    frame feeds candidate grouping, both aligned-join sides, and the
+    frame-count agg — four consumers over one decode; released via the
+    session registry), candidate enumeration via the capped
+    `_bucket_pairs` device over n_videos frame-0 rows (never all-pairs:
+    each (band, value) bucket keeps its `max_width` lowest media_ids,
+    oracle-mirrored — black-leader frames are the degenerate corpus
+    here), one fidx-aligned join bounded by candidate count x frames.
+    Returns (media_id_a, media_id_b, n_frames, hamming_sum), a < b."""
+    from bioio_spark.functions.dedup import _bucket_pairs, swap_held
+
+    held = swap_held(media.sparkSession, "video_neardup")
+    fp = video_fingerprint(media, codec).persist()
+    held.append(fp)
     f0 = fp.filter(F.col("fidx") == 0)
     bands = F.array(*[
         F.struct(F.lit(k).alias("k"), F.col(f"b{k}").alias("v"))
@@ -584,11 +631,11 @@ def video_near_dups(media: DataFrame, codec=FakeCodec,
     lf = (f0.select("media_id", F.explode(bands).alias("bv"))
           .select("media_id", F.col("bv")["k"].alias("k"),
                   F.col("bv")["v"].alias("v")))
-    cand = (lf.alias("x").join(lf.alias("y"), ["k", "v"])
-            .where(F.col("x.media_id") < F.col("y.media_id"))
-            .select(F.col("x.media_id").alias("media_id_a"),
-                    F.col("y.media_id").alias("media_id_b"))
-            .distinct())
+    cand = (_bucket_pairs(lf, ["k", "v"], "media_id",
+                          max_width=max_width)
+            .distinct()
+            .select(F.col("doc_a").alias("media_id_a"),
+                    F.col("doc_b").alias("media_id_b")))
     fa = fp.select(F.col("media_id").alias("media_id_a"), "fidx",
                    *[F.col(f"b{k}").alias(f"xa{k}")
                      for k in range(AHASH_BANDS)])

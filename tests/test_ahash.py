@@ -158,3 +158,70 @@ def test_video_divergent_tail_frame_excluded(spark):
     rows = [_vid_row(1, base), _vid_row(2, fork)]
     out = video_near_dups(_media(spark, rows)).collect()
     assert out == []
+
+
+# -- Hard bucket-width caps (the l2d MAX_BUCKET_WIDTH device, applied to
+# the perceptual tier; SCALING.md "16-bit band-space saturation") ----------
+
+def test_media_cap_bounds_degenerate_image_corpus(spark):
+    """Adversarial fixture: 40 IDENTICAL flat images (every hash = 0,
+    ONE band bucket holds the whole corpus). With max_width=8 only the
+    8 lowest media_ids enter pair enumeration — O(cap^2) work however
+    wide the bucket — keep-lowest-id, exactly the SQL cap mirror."""
+    from bioio_spark.functions.multimodal import image_near_dups
+
+    img = np.full((12, 16), 99)
+    rows = [_fkc(i, img) for i in range(40)]
+    out = image_near_dups(_media(spark, rows), max_width=8).collect()
+    pairs = {(r["media_id_a"], r["media_id_b"]) for r in out}
+    # exactly the 8-choose-2 pairs among the 8 lowest ids
+    assert pairs == {(a, b) for a in range(8) for b in range(8) if a < b}
+    assert all(r["hamming"] == 0 for r in out)
+
+
+def test_media_cap_wide_enough_is_a_noop(spark):
+    """At fixture scale (bucket width << cap) the cap changes nothing."""
+    from bioio_spark.functions.multimodal import (image_near_dups,
+                                                  synth_media)
+
+    media = synth_media(spark, 24).filter(F.col("kind") == "image")
+    capped = image_near_dups(media).toPandas()
+    uncapped = image_near_dups(media, max_width=10 ** 9).toPandas()
+    assert capped.equals(uncapped)
+
+
+def test_video_cap_bounds_black_leader_corpus(spark):
+    """Adversarial fixture: 30 videos sharing an all-black FRAME 0 (the
+    black-leader degenerate case) with distinct tails. Candidate
+    enumeration is capped at 8 frame-0 bucket members; the aligned-frame
+    gate then rejects the divergent tails, and the pair-join input stays
+    O(cap^2) rather than O(n^2)."""
+    from bioio_spark.functions.multimodal import video_near_dups
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for i in range(30):
+        frames = np.zeros((3, 8, 8), dtype=np.int64)
+        frames[1:] = rng.integers(0, 200, size=(2, 8, 8))
+        rows.append(_vid_row(i, frames))
+    out = video_near_dups(_media(spark, rows), max_width=8).collect()
+    assert out == []   # tails diverge; no pair survives verification
+
+
+def test_media_neardup_fingerprints_persisted_and_released(spark):
+    """The fingerprint frame is persisted (one Arrow decode feeds three
+    consumers) and the NEXT invocation releases the previous pin (the
+    pagerank release-registry pattern)."""
+    from bioio_spark.functions.multimodal import image_near_dups
+
+    img = np.arange(192).reshape(12, 16) % 251
+    df1 = image_near_dups(_media(spark, [_fkc(1, img), _fkc(2, img)]))
+    df1.collect()
+    held = spark.__dict__.get("_bioio_held_media_neardup")
+    assert held and len(held) == 1
+    first = held[0]
+    assert first.storageLevel.useMemory or first.storageLevel.useDisk
+    image_near_dups(_media(spark, [_fkc(3, img)])).collect()
+    held2 = spark.__dict__.get("_bioio_held_media_neardup")
+    assert len(held2) == 1 and held2[0] is not first
+    assert not first.storageLevel.useMemory  # released
