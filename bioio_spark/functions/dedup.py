@@ -846,41 +846,75 @@ def incremental_dedup(documents: DataFrame,
     keep = none of the three. At 100 TB the index band table is a
     persisted artifact updated by appending each day's kept delta
     bands — only the fixture recomputes it per query (no cross-query
-    storage); the delta side is persisted here because both the index
-    probe and the self probe consume it. Returns
-    (doc_id, hit_exact, hit_index, hit_delta, keep) for every delta
-    doc by doc_id."""
+    storage). The delta is EXACT-DUP COLLAPSED before signing (the l2
+    discipline applied to the incremental form): only one
+    representative per distinct delta text is shingled/signed/banded —
+    a boilerplate-flooded ingest day contributes one bucket member per
+    distinct text, not k — and the band artifacts are persisted (both
+    gates consume them) with release via the session registry
+    (swap_held). Returns (doc_id, hit_exact, hit_index, hit_delta,
+    keep) for every delta doc by doc_id."""
+    from pyspark import StorageLevel
+
     idx = documents.filter(F.col("doc_id") % delta_mod != 0)
     delta = documents.filter(F.col("doc_id") % delta_mod == 0)
-    from pyspark import StorageLevel
-    bd = _banded(minhash_signatures(delta)).persist(
+    held = swap_held(documents.sparkSession, "l2g")
+    delta_md5 = (delta.select("doc_id", F.md5("text").alias("h"))
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+    held.append(delta_md5)
+    reps = (delta_md5.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"))
+    bd = _banded(minhash_signatures(delta.join(reps, "doc_id"))).persist(
         StorageLevel.MEMORY_AND_DISK)
+    held.append(bd)
     return incremental_flags(
-        idx,
-        delta.select("doc_id"),
-        delta.select("doc_id", F.md5("text").alias("h")),
-        bd)
+        idx, delta.select("doc_id"), delta_md5, bd)
 
 
 def incremental_flags(idx: DataFrame, delta_ids: DataFrame,
-                      delta_md5: DataFrame, bd: DataFrame) -> DataFrame:
+                      delta_md5: DataFrame, bd: DataFrame,
+                      max_width: int | None = MAX_BUCKET_WIDTH
+                      ) -> DataFrame:
     """The l2g gate evaluation over already-materialized delta artifacts
     — (doc_id), (doc_id, h=md5) and (doc_id, band, key) frames — so the
     streaming twin (s10) can probe the SAME semantics from its
-    incrementally-built band store and hash-match the same oracle."""
+    incrementally-built band store and hash-match the same oracle.
+
+    The delta is exact-dup collapsed at probe time: `bd` may carry
+    bands for every delta doc (the s10 store cannot know global reps —
+    a doc's twin may arrive in a later micro-batch) or for reps only
+    (the batch path); either way only the REPRESENTATIVE (lowest
+    doc_id per md5) bands enter the gates. This is semantics-preserving
+    because equal texts have equal signatures, hence equal bands:
+
+    - hit_index of a non-rep == hit_index of its rep (same bands), so
+      hi is evaluated on rep bands and propagated through the md5
+      rep-map;
+    - hit_delta of a non-rep is 1 by construction (its rep has a lower
+      id and shares every band); hit_delta of a rep reduces to the
+      rep-vs-rep band join — which goes through the capped
+      `_bucket_pairs` device (keep-lowest-id, oracle-mirrored as
+      row_number() <= max_width), so a boilerplate-flooded delta can
+      never make one band bucket O(k^2)."""
     bi = _banded(minhash_signatures(idx))
     exact_idx = idx.select(F.md5("text").alias("h")).distinct()
     he = (delta_md5.join(exact_idx, "h").select("doc_id").distinct()
           .withColumn("he", F.lit(1)))
-    hi = (bd.alias("d").join(bi.alias("i"), ["band", "key"])
-          .select(F.col("d.doc_id").alias("doc_id")).distinct()
+    reps = delta_md5.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
+    repmap = delta_md5.join(reps, "h").select("doc_id", "rep_id")
+    bdr = bd.join(reps.select(F.col("rep_id").alias("doc_id")),
+                  "doc_id")
+    hi_rep = (bdr.alias("d").join(bi.alias("i"), ["band", "key"])
+              .select(F.col("d.doc_id").alias("rep_id")).distinct())
+    hi = (repmap.join(hi_rep, "rep_id").select("doc_id").distinct()
           .withColumn("hi", F.lit(1)))
-    hd = (bd.alias("x").join(
-              bd.alias("y"),
-              (F.col("x.band") == F.col("y.band"))
-              & (F.col("x.key") == F.col("y.key"))
-              & (F.col("x.doc_id") > F.col("y.doc_id")))
-          .select(F.col("x.doc_id").alias("doc_id")).distinct()
+    hd_rep = (_bucket_pairs(bdr, ["band", "key"], "doc_id",
+                            max_width=max_width)
+              .select(F.col("doc_b").alias("rep_id")).distinct())
+    hd = (repmap.filter(F.col("doc_id") != F.col("rep_id"))
+          .select("doc_id")
+          .unionByName(repmap.join(hd_rep, "rep_id").select("doc_id"))
+          .distinct()
           .withColumn("hd", F.lit(1)))
     flags = (delta_ids
              .join(he, "doc_id", "left")
@@ -899,7 +933,13 @@ def incremental_flags(idx: DataFrame, delta_ids: DataFrame,
         .orderBy("doc_id"))
 
 
-def _incremental_dedup_oracle(delta_mod: int = INCR_DELTA_MOD) -> str:
+def _incremental_dedup_oracle(delta_mod: int = INCR_DELTA_MOD,
+                              cap: int = MAX_BUCKET_WIDTH) -> str:
+    """Mirrors incremental_flags exactly: the delta is exact-dup
+    collapsed (mh_dd_d, the dedup=True core = min(doc_id) per
+    md5(text)), hi is evaluated on rep bands and propagated through
+    the rep-map, and hd = (doc is a non-rep) OR (its rep appears as
+    the higher id of a capped rep-vs-rep band pair)."""
     return f"""
     WITH idx AS (SELECT doc_id, text FROM documents
                  WHERE doc_id % {delta_mod} <> 0),
@@ -907,18 +947,35 @@ def _incremental_dedup_oracle(delta_mod: int = INCR_DELTA_MOD) -> str:
               WHERE doc_id % {delta_mod} = 0),
     {_minhash_sql_core('idx', dedup=False, suffix='_i')},
     banded_i AS ({_banded_sql('_i')}),
-    {_minhash_sql_core('delta', dedup=False, suffix='_d')},
+    {_minhash_sql_core('delta', dedup=True, suffix='_d')},
     banded_d AS ({_banded_sql('_d')}),
+    capped_d AS (
+      SELECT doc_id, band, key FROM (
+        SELECT doc_id, band, key,
+               row_number() OVER (PARTITION BY band, key
+                                  ORDER BY doc_id) AS rn
+        FROM banded_d) WHERE rn <= {cap}),
+    repmap AS (
+      SELECT d.doc_id, r.rep_id FROM delta d
+      JOIN (SELECT md5(text) AS h, min(doc_id) AS rep_id
+            FROM delta GROUP BY md5(text)) r
+        ON md5(d.text) = r.h),
     he AS (SELECT DISTINCT d.doc_id FROM delta d
            JOIN (SELECT DISTINCT md5(text) AS h FROM idx) x
              ON md5(d.text) = x.h),
-    hi AS (SELECT DISTINCT bd.doc_id FROM banded_d bd
-           JOIN banded_i bi
-             ON bd.band = bi.band AND bd.key = bi.key),
-    hd AS (SELECT DISTINCT x.doc_id FROM banded_d x
-           JOIN banded_d y
-             ON x.band = y.band AND x.key = y.key
-            AND x.doc_id > y.doc_id)
+    hi_rep AS (SELECT DISTINCT bd.doc_id FROM banded_d bd
+               JOIN banded_i bi
+                 ON bd.band = bi.band AND bd.key = bi.key),
+    hi AS (SELECT DISTINCT rm.doc_id FROM repmap rm
+           JOIN hi_rep ON hi_rep.doc_id = rm.rep_id),
+    hd_rep AS (SELECT DISTINCT x.doc_id FROM capped_d x
+               JOIN capped_d y
+                 ON x.band = y.band AND x.key = y.key
+                AND x.doc_id > y.doc_id),
+    hd AS (SELECT doc_id FROM repmap WHERE doc_id <> rep_id
+           UNION
+           SELECT rm.doc_id FROM repmap rm
+           JOIN hd_rep ON hd_rep.doc_id = rm.rep_id)
     SELECT d.doc_id,
            CAST(CASE WHEN he.doc_id IS NOT NULL THEN 1 ELSE 0 END
                 AS BIGINT) AS hit_exact,

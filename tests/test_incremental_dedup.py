@@ -66,3 +66,62 @@ def test_plan_no_cartesian(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_boilerplate_flooded_delta_bounded(spark):
+    """Adversarial fixture: an ingest day of 60 IDENTICAL boilerplate
+    delta docs (plus one fresh doc). The exact-dup collapse means only
+    ONE representative is signed/banded — every band bucket holds one
+    member per distinct text — and with max_width the residual
+    rep-vs-rep join is capped. All 60 copies beyond the rep get
+    hit_delta=1 via the rep-map, the rep keeps."""
+    from bioio_spark.functions.dedup import incremental_dedup
+
+    fresh = ("completely different content about catalyst optimizer "
+             "rules and adaptive query execution plans rewriting "
+             "shuffles at runtime for skewed joins")
+    idx_doc = ("microscopy plates under the confocal objective emit "
+               "fluorescence captured as z stacks across channels with "
+               "physical pixel sizes recorded in metadata blocks")
+    rows = [(1, idx_doc)]                                  # index
+    rows += [(10 * (k + 1), BASE) for k in range(60)]      # delta flood
+    rows += [(990, fresh)]                                 # delta novel
+    out = {r["doc_id"]: r for r in
+           incremental_dedup(_docs(spark, rows)).collect()}
+    assert out[10]["hit_delta"] == 0 and out[10]["keep"] == 1  # the rep
+    for k in range(1, 60):
+        d = out[10 * (k + 1)]
+        assert d["hit_delta"] == 1 and d["keep"] == 0
+    assert out[990]["keep"] == 1
+
+
+def test_identical_shingleless_delta_twins_collapse(spark):
+    """Two identical delta docs too short to shingle (no signature, no
+    bands): the rep-map still flags the higher id via hit_delta — the
+    exact-dup collapse catches what the band gate structurally cannot."""
+    from bioio_spark.functions.dedup import incremental_dedup
+
+    rows = [(1, "hello world"), (10, "hi there"), (20, "hi there")]
+    out = {r["doc_id"]: r for r in
+           incremental_dedup(_docs(spark, rows)).collect()}
+    assert out[10]["hit_delta"] == 0 and out[10]["keep"] == 1
+    assert out[20]["hit_delta"] == 1 and out[20]["keep"] == 0
+
+
+def test_l2g_persists_released_on_next_invocation(spark):
+    """ADVICE r9: the persisted delta artifacts must not accumulate
+    across invocations — the session release registry frees the
+    previous pins (the pagerank pattern)."""
+    from bioio_spark.functions.dedup import incremental_dedup
+
+    rows = [(1, BASE), (10, BASE)]
+    incremental_dedup(_docs(spark, rows)).collect()
+    held = spark.__dict__.get("_bioio_held_l2g")
+    assert held and len(held) == 2
+    first = list(held)
+    incremental_dedup(_docs(spark, rows)).collect()
+    held2 = spark.__dict__.get("_bioio_held_l2g")
+    assert len(held2) == 2
+    for df in first:
+        assert not df.storageLevel.useMemory and \
+            not df.storageLevel.useDisk
