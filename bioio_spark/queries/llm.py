@@ -521,12 +521,59 @@ def l4f_pii_redaction(spark, sf_dir):
 # L7: sequence packing — concat-and-chunk documents into fixed-capacity
 # context windows (the standard pretraining packing strategy: concatenate
 # the stream, cut every CAP units; a document's bin is the chunk its first
-# unit lands in). Pure window arithmetic over a running sum: one shuffle on
-# the stream key. Scale: partitionBy(lang) stands in for the shard key —
-# real pipelines pack within shards, so parallelism = #shards and the
-# running-sum state is one number per stream.
+# unit lands in). The running sum is computed with the TWO-LEVEL
+# prefix-sum device (per-(lang, shard) local window + broadcast shard
+# offsets — the img_integral separable trick), so no single task ever
+# orders a whole lang stratum; the oracle keeps the equivalent global
+# per-lang window form (the arithmetic is exact, the results identical).
 # --------------------------------------------------------------------------
 _PACK_CAP = 2048  # capacity per context window, in n_chars units
+# doc_id-range width of one prefix-sum shard: local window tasks are
+# bounded by the ids in one shard; the per-shard offset table is
+# (#langs x #shards) rows — broadcast-sized up to ~10^4 shards, i.e.
+# corpora of ~10^7 id range per lang before raising the width.
+_PACK_SHARD_IDS = 512
+
+
+def _sharded_prev_sum(df, part_col: str, order_cols: list[str],
+                      val_col, out_col: str,
+                      shard_ids: int = _PACK_SHARD_IDS):
+    """EXCLUSIVE running sum of `val_col` over
+    (PARTITION BY part_col ORDER BY order_cols), decomposed so no task
+    sorts a whole stratum (the two-level / separable prefix-sum device,
+    the 1-D img_integral trick):
+
+    1. shard = doc_id DIV shard_ids — order_cols lead with doc_id, so
+       shards are CONTIGUOUS runs of the stratum order and offsets
+       compose exactly;
+    2. local exclusive prefix sum per (part_col, shard) — each window
+       task holds one shard, never the stratum;
+    3. per-shard totals (tiny partial-combining agg) get their own
+       per-stratum exclusive running sum — #shards rows per stratum —
+       and are BROADCAST-joined back;
+    4. out = shard offset + local prefix.
+
+    Identical integer arithmetic to the single global window (the
+    oracle keeps that form), at stratum-parallel cost."""
+    from pyspark.sql import Window
+
+    shard = (F.col("doc_id") / shard_ids).cast("long")
+    df = df.withColumn("_shard", shard)
+    lw = (Window.partitionBy(part_col, "_shard").orderBy(*order_cols)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    local = F.coalesce(F.sum(val_col).over(lw), F.lit(0))
+    ow = (Window.partitionBy(part_col).orderBy("_shard")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (df.groupBy(part_col, "_shard")
+               .agg(F.sum(val_col).alias("_tot"))
+               .withColumn("_off",
+                           F.coalesce(F.sum("_tot").over(ow), F.lit(0)))
+               .drop("_tot"))
+    return (df.withColumn("_local", local)
+            .join(F.broadcast(offsets), [part_col, "_shard"])
+            .withColumn(out_col,
+                        (F.col("_off") + F.col("_local")).cast("long"))
+            .drop("_shard", "_local", "_off"))
 
 
 @register(
@@ -547,16 +594,13 @@ _PACK_CAP = 2048  # capacity per context window, in n_chars units
     doc="L7 concat-and-chunk sequence packing into fixed context windows",
 )
 def l7_sequence_packing(spark, sf_dir):
-    from pyspark.sql import Window
-
     docs = load(spark, sf_dir, "documents")
-    w = (Window.partitionBy("lang").orderBy("doc_id")
-         .rowsBetween(Window.unboundedPreceding, -1))
-    prev = F.coalesce(F.sum("n_chars").over(w), F.lit(0))
-    return (docs.select(
+    c = _sharded_prev_sum(docs.select("doc_id", "lang", "n_chars"),
+                          "lang", ["doc_id"], "n_chars", "prev_chars")
+    return (c.select(
         "doc_id", "lang",
-        F.floor(prev / _PACK_CAP).alias("bin_id"),
-        (prev % _PACK_CAP).alias("bin_offset"))
+        F.floor(F.col("prev_chars") / _PACK_CAP).alias("bin_id"),
+        (F.col("prev_chars") % _PACK_CAP).alias("bin_offset"))
         .orderBy("lang", "doc_id"))
 
 
@@ -1163,11 +1207,12 @@ def l18_stratified_exact(spark, sf_dir):
 # --------------------------------------------------------------------------
 # L19 chunk packing: the end-to-end pretraining batch constructor —
 # l17's stride chunks packed into fixed token budgets with l7's
-# prefix-sum device (bin = cumulative-length DIV capacity, one bounded
-# window per lang partition). The composition is the job a corpus run
-# actually submits: chunk -> pack in one plan, no intermediate
-# materialization. Oracle embeds the chunker oracle as a subquery, so
-# the packing can never drift from the chunk boundaries.
+# TWO-LEVEL prefix-sum device (bin = cumulative-length DIV capacity;
+# per-(lang, shard) local windows + broadcast shard offsets, so no task
+# orders a stratum). The composition is the job a corpus run actually
+# submits: chunk -> pack in one plan, no intermediate materialization.
+# Oracle embeds the chunker oracle as a subquery, so the packing can
+# never drift from the chunk boundaries.
 # --------------------------------------------------------------------------
 _L19_CAP = 128
 
@@ -1194,16 +1239,16 @@ _L19_CAP = 128
         "one plan",
 )
 def l19_chunk_packing(spark, sf_dir):
-    from pyspark.sql import Window
-
     from bioio_spark.functions.text import doc_chunks
 
     docs = load(spark, sf_dir, "documents")
     ch = doc_chunks(docs).join(docs.select("doc_id", "lang"), "doc_id")
-    w = (Window.partitionBy("lang").orderBy("doc_id", "chunk_idx")
-         .rowsBetween(Window.unboundedPreceding, -1))
-    prev = F.coalesce(F.sum("chunk_len").over(w), F.lit(0))
-    return (ch.withColumn("prev_toks", prev.cast("long"))
+    # two-level prefix sum (the l7 device): chunks of one doc share a
+    # shard (shard = doc_id range), so (doc_id, chunk_idx) order is
+    # preserved within and across shards
+    ch = _sharded_prev_sum(ch, "lang", ["doc_id", "chunk_idx"],
+                           "chunk_len", "prev_toks")
+    return (ch
             .select("lang", "doc_id", "chunk_idx",
                     F.expr(f"prev_toks DIV {_L19_CAP}")
                     .cast("bigint").alias("bin_id"),

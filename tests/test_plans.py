@@ -577,3 +577,24 @@ def test_filter_stack_stays_jvm_side(spark, sf_dir):
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_l7_l19_no_stratum_wide_window(spark):
+    """The packing family's running sum is the TWO-LEVEL prefix-sum
+    (per-(lang, shard) local windows + broadcast shard offsets — the
+    img_integral separable device): no Window operator may partition by
+    the stratum key alone, which would order an entire lang in one task
+    at 100 TB. Every running-sum window must carry the _shard column in
+    its partition spec (the offsets window runs over the tiny per-shard
+    totals frame, also shard-keyed); the offsets join is a broadcast."""
+    import re
+
+    for name in ("l7_sequence_packing", "l19_chunk_packing"):
+        plan = physical_plan(q(spark, name))
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs, f"{name}: expected window nodes\n{plan}"
+        for spec in specs:
+            assert "_shard" in spec, \
+                f"{name}: stratum-wide window spec {spec}\n{plan}"
+        assert broadcast_join_count(q(spark, name)) >= 1, \
+            f"{name}: shard offsets must broadcast"
