@@ -4995,7 +4995,8 @@ def img_dng_develop(spark, sf_dir):
 # walk must itself distribute. sources/bulk.py parallelizes the path
 # list and runs the SAME per-format catalog functions inside
 # mapInPandas — executor-side ranged reads, per-file errors as rows.
-# The query builds a 24-file mixed directory (TIFF/DNG/PNG with
+# The query builds a 40-entry mixed directory (TIFF/DNG/PNG plus the
+# vendor tier: CZI/ND2/LIF and an OME-Zarr store, each with
 # deterministic dims), bulk-catalogs it, and aggregates per format;
 # the oracle recomputes the expected geometry arithmetically.
 # --------------------------------------------------------------------------
@@ -5010,28 +5011,42 @@ def img_dng_develop(spark, sf_dir):
       SELECT 'png', 1, 5 + i, 6 + i, 1 FROM range(8) r(i)
       UNION ALL
       SELECT 'tiff', 2 + i % 3, 8 + i, 10 + i, 2 + i % 3
-      FROM range(8) r(i))
+      FROM range(8) r(i)
+      UNION ALL
+      SELECT 'czi', 2, 6 + i, 7 + i, 2 FROM range(4) r(i)
+      UNION ALL
+      SELECT 'nd2', 3, 5 + i, 8 + i, 3 FROM range(4) r(i)
+      UNION ALL
+      SELECT 'lif', 2, 6 + i, 5 + i, 1 FROM range(4) r(i)
+      UNION ALL
+      SELECT 'zarr', 2, 7 + i, 9 + i, 2 FROM range(4) r(i))
     SELECT fmt, CAST(count(*) AS BIGINT) AS n_files,
            CAST(sum(n_pages * h * w) AS BIGINT) AS sum_px,
            CAST(sum(n_chunks) AS BIGINT) AS sum_chunks
     FROM f GROUP BY fmt ORDER BY fmt
     """,
-    doc="distributed bulk catalog over a 24-file mixed acquisition "
-        "directory: parallelize(paths) -> mapInPandas(catalog) -> "
-        "per-format geometry rollup; the executor-side walk that "
-        "replaces the driver-side per-file catalog at directory scale",
+    doc="distributed bulk catalog over a 40-entry mixed acquisition "
+        "directory (tiff/dng/png/czi/nd2/lif/zarr): parallelize(paths) "
+        "-> mapInPandas(catalog) -> per-format geometry rollup; the "
+        "executor-side walk that replaces the driver-side per-file "
+        "catalog at directory scale",
 )
 def img_bulk_catalog(spark, sf_dir):
     import os
     import shutil
 
+    from bioio_spark.formats.czi import encode_czi
     from bioio_spark.formats.dng import build_dng
+    from bioio_spark.formats.lif import encode_lif
+    from bioio_spark.formats.nd2 import encode_nd2
     from bioio_spark.formats.png import encode_png
     from bioio_spark.formats.tiff import encode_tiff
+    from bioio_spark.formats.zarr import (build_zarray, chunk_key,
+                                          encode_chunk)
     from bioio_spark.sources.bulk import bulk_catalog
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), ".scratch", "bulk_catalog")
+        os.path.abspath(__file__)))), ".scratch", "bulk_catalog_mixed")
     done = os.path.join(out, ".complete")
     if not os.path.exists(done):
         shutil.rmtree(out, ignore_errors=True)
@@ -5049,6 +5064,30 @@ def img_bulk_catalog(spark, sf_dir):
             with open(os.path.join(out, f"p{i}.png"), "wb") as f:
                 f.write(encode_png(
                     np.full((5 + i, 6 + i), i, dtype=np.uint8)))
+        for i in range(4):
+            subs = [{"data": np.full((6 + i, 7 + i), i + c,
+                                     dtype=np.uint16),
+                     "dims": {"C": c}} for c in range(2)]
+            with open(os.path.join(out, f"c{i}.czi"), "wb") as f:
+                f.write(encode_czi(subs))
+            with open(os.path.join(out, f"n{i}.nd2"), "wb") as f:
+                f.write(encode_nd2(np.full((3, 5 + i, 8 + i), i,
+                                           dtype=np.uint16)))
+            scene = {"name": f"S{i}",
+                     "data": np.full((1, 2, 1, 6 + i, 5 + i), i,
+                                     dtype=np.uint8)}
+            with open(os.path.join(out, f"l{i}.lif"), "wb") as f:
+                f.write(encode_lif([scene]))
+            a = np.full((2, 7 + i, 9 + i), i, dtype=np.uint16)
+            zdir = os.path.join(out, f"z{i}.zarr")
+            os.makedirs(zdir)
+            with open(os.path.join(zdir, ".zarray"), "w") as f:
+                f.write(build_zarray(a.shape, (1,) + a.shape[1:],
+                                     a.dtype))
+            for z in range(2):
+                with open(os.path.join(
+                        zdir, chunk_key((z, 0, 0))), "wb") as f:
+                    f.write(encode_chunk(a[z:z + 1]))
         open(done, "w").close()
     paths = sorted(os.path.join(out, n) for n in os.listdir(out)
                    if not n.startswith("."))

@@ -13,9 +13,11 @@ frame is the input to the per-file read plans, admission control, or
 partition planning; no pixel IO happens here.
 
 Formats: TIFF/OME-TIFF (shared IFD walk), DNG (raw-IFD catalog), PNG
-(IHDR header). The dispatch table is the extension point — each new
-entry is one driver-side catalog function reused verbatim on
-executors.
+(IHDR header), CZI (segment directory walk), ND2 (tail chunk map +
+attributes), LIF (block walk + XML scenes), OME-Zarr v2/v3 (store
+metadata documents). Each entry reuses the reader tier's existing
+driver-side catalog walk verbatim on executors — the dispatch table is
+the extension point; a real acquisition directory is a MIX of these.
 
 Reference parity: bioio routes directories only file-at-a-time through
 ``BioImage`` construction (ref ``bio_image.py``); the bulk stage is
@@ -70,10 +72,99 @@ def _catalog_png(path: str) -> dict:
             "dtype": "<u2" if depth == 16 else "|u1", "n_chunks": 1}
 
 
+def _catalog_czi(path: str) -> dict:
+    # the CziImageReader planning walk (sources/czi_image.py): segment
+    # directory entries, no pixel IO
+    import numpy as np
+
+    from bioio_spark.formats.czi import (DTYPE_OF_PIXEL_TYPE,
+                                         read_czi_directory)
+
+    entries = read_czi_directory(path)
+    if not entries:
+        raise ValueError(f"{path}: CZI directory has no subblocks")
+    dt, _samples = DTYPE_OF_PIXEL_TYPE[entries[0]["pixel_type"]]
+    h = max(e["dims"]["Y"]["stored"] or e["dims"]["Y"]["size"]
+            for e in entries)
+    w = max(e["dims"]["X"]["stored"] or e["dims"]["X"]["size"]
+            for e in entries)
+    return {"fmt": "czi", "n_pages": len(entries),
+            "size_y": int(h), "size_x": int(w),
+            "dtype": np.dtype(dt).newbyteorder("=").name,
+            "n_chunks": len(entries)}
+
+
+def _catalog_nd2(path: str) -> dict:
+    # the Nd2ImageReader planning walk: tail-seek chunk map +
+    # ImageAttributesLV — header-only IO
+    from bioio_spark.formats.nd2 import (read_nd2_attributes,
+                                         read_nd2_chunkmap)
+
+    attrs = read_nd2_attributes(path)
+    cmap = read_nd2_chunkmap(path)
+    frames = sum(1 for k in cmap if k.startswith("ImageDataSeq|"))
+    return {"fmt": "nd2", "n_pages": int(attrs["uiSequenceCount"]),
+            "size_y": int(attrs["uiHeight"]),
+            "size_x": int(attrs["uiWidth"]),
+            "dtype": ("uint8" if attrs["uiBpcInMemory"] == 8
+                      else "uint16"),
+            "n_chunks": frames}
+
+
+def _catalog_lif(path: str) -> dict:
+    # the LifImageReader planning walk: block offsets + XML scene
+    # strides (parse_lif_header also routes single-object LOF)
+    from bioio_spark.formats.lif import parse_lif_header
+
+    header = parse_lif_header(path)
+    scenes = header["scenes"]
+    if not scenes:
+        raise ValueError(f"{path}: LIF XML declares no image scenes")
+    n_pages = sum(sc["shape"][0] * sc["shape"][1] * sc["shape"][2]
+                  * sc.get("m_n", 1) for sc in scenes)
+    return {"fmt": "lif", "n_pages": int(n_pages),
+            "size_y": max(int(sc["shape"][3]) for sc in scenes),
+            "size_x": max(int(sc["shape"][4]) for sc in scenes),
+            "dtype": str(scenes[0]["dtype"]),
+            "n_chunks": len(header["blocks"])}
+
+
+def _catalog_zarr(path: str) -> dict:
+    # the ZarrImageReader planning walk: the store's metadata documents
+    # (v2 .zarray/.zattrs or v3 zarr.json) at full resolution — plus a
+    # store walk for total bytes (a zarr store is a DIRECTORY; its
+    # "file size" is the sum of its objects)
+    import math
+
+    from bioio_spark.sources.zarr_image import _array_of
+
+    _arr_dir, za, _axes = _array_of(path, 0)
+    shape, chunks = za["shape"], za["chunks"]
+    n_pages = 1
+    for s in shape[:-2]:
+        n_pages *= int(s)
+    n_chunks = 1
+    for s, c in zip(shape, chunks):
+        n_chunks *= math.ceil(s / c)
+    n_bytes = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            n_bytes += os.path.getsize(os.path.join(root, f))
+    return {"fmt": "zarr", "n_pages": n_pages,
+            "size_y": int(shape[-2]) if len(shape) >= 2 else 1,
+            "size_x": int(shape[-1]),
+            "dtype": str(za["dtype"]), "n_chunks": n_chunks,
+            "n_bytes": n_bytes}
+
+
 _DISPATCH = {
     ".tif": _catalog_tiff, ".tiff": _catalog_tiff,
     ".dng": _catalog_dng,
     ".png": _catalog_png,
+    ".czi": _catalog_czi,
+    ".nd2": _catalog_nd2,
+    ".lif": _catalog_lif, ".lof": _catalog_lif,
+    ".zarr": _catalog_zarr,
 }
 
 
@@ -91,7 +182,8 @@ def catalog_one(path: str) -> dict:
                              f"(bulk catalog handles "
                              f"{sorted(_DISPATCH)})")
         row.update(fn(path))
-        row["n_bytes"] = os.path.getsize(path)
+        if row.get("n_bytes") is None:
+            row["n_bytes"] = os.path.getsize(path)
         row["ok"] = True
         row["err"] = None
     except Exception as exc:
