@@ -166,6 +166,20 @@ def _encode_block(bw: _BitW, block: np.ndarray, pred: int,
         if level == 0:
             run += 1
             continue
+        if run == 0 and level in (1, -1):
+            # Table B.5c run-0/level-±1 "11s" — for INTRA blocks every
+            # AC coefficient uses dct_coeff_next (ISO/IEC 11172-2
+            # 2.4.3.7), where this short code is unambiguous alongside
+            # EOB "10"; emitting it (not escape) for the most common
+            # combination keeps strict external decoders happy.
+            # Conformance caveat: every OTHER VLC-covered run/level is
+            # still escape-coded ("000001" + run + level) — legal input
+            # to any decoder that accepts escapes for in-table combos,
+            # and self-consistent with the in-repo subset decoder.
+            bw.write(0b11, 2)
+            bw.write(0 if level == 1 else 1, 1)
+            run = 0
+            continue
         bw.write(0b000001, 6)                  # escape
         bw.write(run, 6)
         if -127 <= level <= -1:
@@ -404,6 +418,20 @@ def read_mpeg1_catalog(path: str) -> dict:
         gop = data.rfind(b"\x00\x00\x01\xB8", off, end)
         if gop > off:
             end = gop
+        # picture header: 10-bit temporal_reference then 3-bit
+        # picture_coding_type — the decoder handles INTRA pictures
+        # only, so a genuine ffmpeg stream (P/B pictures) must fail
+        # FAST here, driver-side, at is_supported_image/catalog time,
+        # not per-frame inside executor tasks
+        pbr = _BitR(data, pos=(off + 4) * 8)
+        pbr.read(10)
+        ptype = pbr.read(3)
+        if ptype != 1:
+            raise ValueError(
+                f"{path}: picture at offset {off} has "
+                f"picture_coding_type {ptype} — this reader decodes "
+                f"I-picture-only MPEG-1 streams (P/B pictures need a "
+                f"full Table B.5c + motion-compensation decoder)")
         frames.append((off, end - off))
     return {"width": w, "height": h, "n_frames": len(frames),
             "frames": frames, "codec": "mpeg1video",

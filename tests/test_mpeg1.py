@@ -112,3 +112,62 @@ def test_mpeg1_writer_gray_equals_rgb_gray(tmp_path):
     w.save(g, str(p1))
     w.save(np.stack([g] * 3, axis=-1), str(p2))
     assert p1.read_bytes() == p2.read_bytes()
+
+
+def test_encoder_uses_11s_vlc_for_run0_level1():
+    """ADVICE r9: run-0/level-±1 must use the Table B.5c '11s' code,
+    not escape — same decoded pixels, strictly shorter stream than the
+    all-escape form (the short code replaces 20-bit escapes with 3
+    bits wherever the combination occurs)."""
+    import numpy as np
+
+    from bioio_spark.formats.mpeg1 import (decode_mpeg1_frame,
+                                           encode_mpeg1,
+                                           read_mpeg1_catalog)
+
+    rng = np.random.default_rng(4)
+    frames = rng.integers(0, 255, size=(2, 16, 16, 3), dtype=np.uint8)
+    data = encode_mpeg1(frames, qscale=8)
+    import io
+    import tempfile
+    import os
+    fd, p = tempfile.mkstemp(suffix=".mpg")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        cat = read_mpeg1_catalog(p)
+        assert cat["n_frames"] == 2
+        for t, (off, nb) in enumerate(cat["frames"]):
+            out = decode_mpeg1_frame(data[off:off + nb], 16, 16)
+            assert out.shape == (16, 16, 3)
+    finally:
+        os.unlink(p)
+    del io
+
+
+def test_catalog_rejects_non_intra_pictures(tmp_path):
+    """A stream with a P-picture (picture_coding_type 2) must fail at
+    CATALOG time (driver-side, hence also is_supported_image), not
+    inside executor tasks."""
+    import numpy as np
+    import pytest
+
+    from bioio_spark.formats.mpeg1 import encode_mpeg1, read_mpeg1_catalog
+    from bioio_spark.sources.mpeg_image import MpegImageReader
+
+    data = bytearray(encode_mpeg1(
+        np.zeros((2, 16, 16, 3), dtype=np.uint8)))
+    # flip the SECOND picture's coding type I -> P: the 3 type bits sit
+    # after the 10-bit temporal_reference, i.e. bits 10..12 of the byte
+    # pair following the 0x00000100 start code
+    second = data.index(b"\x00\x00\x01\x00",
+                        data.index(b"\x00\x00\x01\x00") + 4)
+    b1 = data[second + 5]
+    # bits (MSB first) of byte +5: tr[8:10] type[0:3] ...
+    b1 = (b1 & 0b11000111) | (0b010 << 3)     # type = 2 (P)
+    data[second + 5] = b1
+    p = tmp_path / "pb.mpg"
+    p.write_bytes(bytes(data))
+    with pytest.raises(ValueError, match="picture_coding_type 2"):
+        read_mpeg1_catalog(str(p))
+    assert MpegImageReader.is_supported_image(str(p)) is False
