@@ -468,8 +468,8 @@ SURPRISAL_KEEP_MILLI = 35050   # keep iff avg bits/token <= 35.050
 
 def unigram_surprisal(documents: DataFrame,
                       cap: int = SURPRISAL_CAP,
-                      keep_milli: int = SURPRISAL_KEEP_MILLI
-                      ) -> DataFrame:
+                      keep_milli: int = SURPRISAL_KEEP_MILLI,
+                      tf: DataFrame | None = None) -> DataFrame:
     """CCNet-style LM quality filter with the LM replaced by the
     corpus unigram model, made HASH-EXACT by integer bit-length logs:
     a token's surprisal is `cap - floor(log2(tf))` bits, and
@@ -484,10 +484,17 @@ def unigram_surprisal(documents: DataFrame,
     aggregate on the word key, one word-keyed join back (both sides
     combine map-side), one per-doc aggregate. No floats anywhere.
 
+    `tf` overrides the corpus term-frequency model with a precomputed
+    (word, tf) frame — the streaming twin (s12) builds that model
+    incrementally from per-micro-batch partial counts (tf is ADDITIVE,
+    so the incrementally-built model equals the one-pass corpus model
+    exactly) and probes the same scoring here.
+
     Returns (doc_id, n_tokens, surprisal_sum, keep) by doc_id."""
     occ = documents.select(
         "doc_id", F.explode(_words(F.col("text"))).alias("word"))
-    tf = occ.groupBy("word").agg(F.count(F.lit(1)).alias("tf"))
+    if tf is None:
+        tf = occ.groupBy("word").agg(F.count(F.lit(1)).alias("tf"))
     bits = F.greatest(
         F.lit(0).cast("bigint"),
         F.lit(cap) - (F.length(F.bin("tf")) - F.lit(1)))

@@ -5521,3 +5521,157 @@ def img_box_integral(spark, sf_dir):
     from bioio_spark.operators.intensity import box_sum_integral
 
     return box_sum_integral(_gen_pixels(spark), radius=_BOX_R)
+
+
+# --------------------------------------------------------------------------
+# img_flatfield: illumination / flat-field correction across a plate —
+# the CellProfiler-style batch op a microscopy pipeline runs over EVERY
+# acquisition before quantification: estimate the per-position
+# illumination field as the mean over all T acquisitions at each
+# (c, z, y, x), then rescale every pixel by global_mean / field_mean.
+# Integer-exact: gain_milli = (gsum * fcnt * 1000) DIV (fsum * gcnt)
+# over bigint sums, corrected = v * gain_milli — no floats anywhere.
+# Scale: one partial-combining aggregate keyed on pixel POSITION (the
+# field frame is one image per channel — broadcast by construction),
+# one tiny per-channel aggregate, correction is a codegen projection
+# after a broadcast join. 100 TB plates run the identical plan: the
+# field estimate never exceeds image size whatever T is.
+# --------------------------------------------------------------------------
+@register(
+    "img_flatfield",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL}),
+    v AS (SELECT t, c, z, y, x, CAST(value AS BIGINT) AS v FROM px),
+    fld AS (
+      SELECT c, z, y, x, sum(v) AS fsum, count(*) AS fcnt
+      FROM v GROUP BY c, z, y, x),
+    gl AS (SELECT c, sum(v) AS gsum, count(*) AS gcnt
+           FROM v GROUP BY c),
+    gain AS (
+      SELECT fld.c, z, y, x,
+             CAST(CASE WHEN fsum = 0 THEN 1000
+                  ELSE (gsum * fcnt * 1000) // (fsum * gcnt)
+                  END AS BIGINT) AS gain_milli
+      FROM fld JOIN gl ON gl.c = fld.c)
+    SELECT v.t, v.c, v.z, v.y, v.x,
+           CAST(v.v * g.gain_milli AS BIGINT) AS corrected_milli
+    FROM v JOIN gain g
+      ON g.c = v.c AND g.z = v.z AND g.y = v.y AND g.x = v.x
+    ORDER BY v.t, v.c, v.z, v.y, v.x
+    """,
+    doc="img_flatfield plate illumination correction: per-position "
+        "field mean over T acquisitions, integer-exact milli-gain "
+        "rescale, broadcast field join (CellProfiler's illumination "
+        "correction as one Spark plan)",
+)
+def img_flatfield(spark, sf_dir):
+    px = _gen_pixels(spark).withColumn(
+        "v", F.col("value").cast("bigint"))
+    fld = (px.groupBy("c", "z", "y", "x")
+           .agg(F.sum("v").alias("fsum"),
+                F.count(F.lit(1)).alias("fcnt")))
+    glob = (px.groupBy("c")
+            .agg(F.sum("v").alias("gsum"),
+                 F.count(F.lit(1)).alias("gcnt")))
+    gain = (fld.join(F.broadcast(glob), "c")
+            .select("c", "z", "y", "x",
+                    F.expr("CASE WHEN fsum = 0 THEN 1000 ELSE "
+                           "(gsum * fcnt * 1000) DIV (fsum * gcnt) "
+                           "END").cast("bigint").alias("gain_milli")))
+    return (px.join(F.broadcast(gain), ["c", "z", "y", "x"])
+            .select("t", "c", "z", "y", "x",
+                    (F.col("v") * F.col("gain_milli"))
+                    .cast("bigint").alias("corrected_milli"))
+            .orderBy("t", "c", "z", "y", "x"))
+
+
+# --------------------------------------------------------------------------
+# img_focus_stack: extended-depth-of-field Z-projection — the microscopy
+# composition that picks, per (t, c, y, x), the pixel from the SHARPEST
+# z-slice, sharpness measured as 3x3 local variance (the N10 integer
+# numerator: n*sum(v^2) - sum(v)^2, edge-clamped; n depends only on
+# (y, x), so comparing the numerator across z at a fixed position is
+# exact). Tie -> lowest z (deterministic, oracle-mirrored). Pixel
+# content is the nonlinear v = value^2 % 251 ramp so focus genuinely
+# varies by slice. Scale: one neighborhood explode + hash agg (the N1
+# stencil shape), one per-position top-1 window (literal limit ->
+# WindowGroupLimit: bounded per-group state, never a stack-wide sort),
+# one position-keyed join back for the winning pixel.
+# --------------------------------------------------------------------------
+@register(
+    "img_focus_stack",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL}),
+    v2 AS (SELECT t, c, z, y, x,
+                  (CAST(value AS BIGINT) * CAST(value AS BIGINT)) % 251
+                    AS v
+           FROM px),
+    sharp AS (
+      SELECT a.t, a.c, a.z, a.y, a.x,
+             CAST(count(*) * sum(b.v * b.v)
+                  - sum(b.v) * sum(b.v) AS BIGINT) AS var_num
+      FROM v2 a JOIN v2 b
+        ON a.t = b.t AND a.c = b.c AND a.z = b.z
+       AND abs(a.y - b.y) <= 1 AND abs(a.x - b.x) <= 1
+      GROUP BY a.t, a.c, a.z, a.y, a.x),
+    best AS (
+      SELECT t, c, y, x, z, var_num,
+             row_number() OVER (PARTITION BY t, c, y, x
+                                ORDER BY var_num DESC, z) AS rk
+      FROM sharp)
+    SELECT b.t, b.c, b.y, b.x,
+           CAST(b.z AS INT) AS best_z, b.var_num,
+           CAST(v2.v AS BIGINT) AS value
+    FROM best b JOIN v2
+      ON v2.t = b.t AND v2.c = b.c AND v2.z = b.z
+     AND v2.y = b.y AND v2.x = b.x
+    WHERE rk = 1
+    ORDER BY b.t, b.c, b.y, b.x
+    """,
+    doc="img_focus_stack extended-depth-of-field Z-projection: per-"
+        "position sharpest slice by integer 3x3 local-variance "
+        "numerator, tie -> lowest z, winning pixel joined back",
+)
+def img_focus_stack(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    px = _gen_pixels(spark)
+    v2 = px.select(
+        "t", "c", "z", "y", "x",
+        ((F.col("value").cast("long") * F.col("value").cast("long"))
+         % 251).alias("v"))
+    offsets = F.array(*[
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+    ex = v2.select("t", "c", "z", "y", "x", "v",
+                   F.explode(offsets).alias("o"))
+    ny = (F.col("y") + F.col("o.dy")).alias("y")
+    nx = (F.col("x") + F.col("o.dx")).alias("x")
+    sharp = (ex.select("t", "c", "z", ny, nx, "v")
+             .filter((F.col("y") >= 0) & (F.col("y") < Y)
+                     & (F.col("x") >= 0) & (F.col("x") < X))
+             .groupBy("t", "c", "z", "y", "x")
+             .agg((F.count(F.lit(1)) * F.sum(F.col("v") * F.col("v"))
+                   - F.sum("v") * F.sum("v")).cast("bigint")
+                  .alias("var_num")))
+    rk = F.row_number().over(
+        W.partitionBy("t", "c", "y", "x")
+        .orderBy(F.col("var_num").desc(), F.col("z")))
+    best = (sharp.withColumn("rk", rk).filter(F.col("rk") == 1)
+            .select("t", "c", "y", "x",
+                    F.col("z").cast("int").alias("best_z"),
+                    "var_num"))
+    v2j = v2.select(F.col("t").alias("jt"), F.col("c").alias("jc"),
+                    F.col("z").alias("best_z"),
+                    F.col("y").alias("jy"), F.col("x").alias("jx"),
+                    "v")
+    return (best.withColumnRenamed("t", "jt")
+            .withColumnRenamed("c", "jc")
+            .withColumnRenamed("y", "jy")
+            .withColumnRenamed("x", "jx")
+            .join(v2j, ["jt", "jc", "jy", "jx", "best_z"])
+            .select(F.col("jt").alias("t"), F.col("jc").alias("c"),
+                    F.col("jy").alias("y"), F.col("jx").alias("x"),
+                    "best_z", "var_num",
+                    F.col("v").cast("bigint").alias("value"))
+            .orderBy("t", "c", "y", "x"))

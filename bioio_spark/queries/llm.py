@@ -32,6 +32,7 @@ from bioio_spark.queries.base import load, register
 from bioio_spark.functions import dedup as _dedup
 from bioio_spark.functions import similarity as _sim
 from bioio_spark.functions import text as _text
+from bioio_spark.functions.hashing import h32_sql as _h32_sql
 
 
 @register("l1_exact_dedup", oracle=_dedup.EXACT_DEDUP_ORACLE,
@@ -322,6 +323,83 @@ def l8b_source_cap(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# L20 temperature-scaled language mixing — the mT5/UniMax multilingual
+# sampling rule: per-language selection mass proportional to cnt^(1/T)
+# with T=2, i.e. sqrt(cnt), flattening the head languages without l8's
+# fixed target shares. Made HASH-EXACT with a CORRECTED integer sqrt
+# (float sqrt is within +-1 of isqrt below 2^52; one comparison fixes
+# it — both engines compute the identical bigint). Per-lang quota =
+# budget * isqrt(cnt) DIV sum(isqrt); selection is the l8 device
+# (content-stable hash rank). The rank window pre-filters at the
+# LITERAL budget so Spark compiles WindowGroupLimit (bounded per-group
+# top-k, never a stratum sort) before the per-lang quota join.
+# --------------------------------------------------------------------------
+_TMIX_BUDGET = 100
+
+
+def _isqrt_sql(n: str) -> str:
+    """Exact integer sqrt: float-sqrt candidate +-1-corrected."""
+    s = f"CAST(floor(sqrt(CAST({n} AS DOUBLE))) AS BIGINT)"
+    return (f"CASE WHEN ({s} + 1) * ({s} + 1) <= {n} THEN {s} + 1 "
+            f"WHEN {s} * {s} > {n} THEN {s} - 1 ELSE {s} END")
+
+
+@register(
+    "l20_temperature_mix",
+    oracle=f"""
+    WITH c AS (SELECT lang, count(*) AS cnt FROM documents
+               GROUP BY lang),
+    s AS (SELECT lang, CAST({_isqrt_sql('cnt')} AS BIGINT) AS w
+          FROM c),
+    tot AS (SELECT sum(w) AS t FROM s),
+    q AS (SELECT lang, CAST({_TMIX_BUDGET} * w // t AS BIGINT)
+                 AS quota
+          FROM s, tot),
+    r AS (SELECT lang, doc_id,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_h32_sql(
+                       "'tmix:' || CAST(doc_id AS VARCHAR)")}, doc_id)
+                   AS rk
+          FROM documents)
+    SELECT r.lang, r.doc_id FROM r JOIN q USING (lang)
+    WHERE rk <= quota ORDER BY lang, doc_id
+    """,
+    doc="L20 temperature (T=2) language mixing: per-lang quota "
+        "proportional to corrected-isqrt(count), content-stable hash "
+        "selection — the mT5/UniMax sampling rule, integer-exact",
+)
+def l20_temperature_mix(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from bioio_spark.functions.hashing import h32_col
+
+    docs = load(spark, sf_dir, "documents")
+    cnts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    s0 = F.expr("CAST(floor(sqrt(CAST(cnt AS DOUBLE))) AS BIGINT)")
+    w = (cnts.withColumn("s0", s0)
+         .withColumn("w", F.expr(
+             "CASE WHEN (s0 + 1) * (s0 + 1) <= cnt THEN s0 + 1 "
+             "WHEN s0 * s0 > cnt THEN s0 - 1 ELSE s0 END")
+             .cast("bigint")))
+    tot = w.agg(F.sum("w").alias("t"))
+    quota = (w.crossJoin(F.broadcast(tot))
+             .select("lang", F.expr(f"{_TMIX_BUDGET} * w DIV t")
+                     .cast("bigint").alias("quota")))
+    h = h32_col(F.concat(F.lit("tmix:"), F.col("doc_id").cast("string")))
+    rw = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id"))
+    ranked = (docs.select("lang", "doc_id",
+                          F.row_number().over(rw).alias("rk"))
+              # literal pre-filter -> WindowGroupLimit (quota <= budget
+              # by construction: w/t <= 1)
+              .filter(F.col("rk") <= _TMIX_BUDGET))
+    return (ranked.join(F.broadcast(quota), "lang")
+            .filter(F.col("rk") <= F.col("quota"))
+            .select("lang", "doc_id")
+            .orderBy("lang", "doc_id"))
+
+
+# --------------------------------------------------------------------------
 # L5 composed pipeline: the end-to-end training-data preparation shape —
 # exact dedup (one hash-partitioned window) -> quality gate (narrow
 # projection) -> per-language token budget (hash agg). Three stages, two
@@ -440,7 +518,6 @@ def _sample_rate_sql() -> str:
     return f"CASE {whens} ELSE 0 END"
 
 
-from bioio_spark.functions.hashing import h32_sql as _h32_sql  # noqa: E402
 
 @register(
     "l6b_hash_sample",

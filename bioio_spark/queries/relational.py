@@ -907,3 +907,39 @@ def a35_recursive_hierarchy(spark, sf_dir):
       FROM chain WHERE cur = 0
       ORDER BY s_suppkey
     """)
+
+
+# --------------------------------------------------------------------------
+# A36 pivot + unpivot roundtrip: the reshaping pair (Spark
+# groupBy().pivot() -> DataFrame.unpivot). The pivot's value list is
+# DECLARED (the three TPC-H order statuses), so the plan is a plain
+# hash aggregate with conditional counts — no extra pass to discover
+# pivot values, no per-value shuffle; unpivot is a pure projection
+# (Expand). Output is the long form so the oracle is a plain GROUP BY:
+# the reshape must be a lossless roundtrip to hash-match it.
+# --------------------------------------------------------------------------
+@register(
+    "a36_pivot_unpivot",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    ORDER BY o_orderpriority, status
+    """,
+    doc="A36 pivot/unpivot reshape roundtrip: declared-values pivot "
+        "(one hash agg, no discovery pass) -> unpivot back to long "
+        "form; lossless by oracle",
+)
+def a36_pivot_unpivot(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    wide = (orders.groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["F", "O", "P"])
+            .agg(F.count(F.lit(1))))
+    long = wide.unpivot(
+        ids=["o_orderpriority"], values=["F", "O", "P"],
+        variableColumnName="status", valueColumnName="n_orders")
+    return (long.filter(F.col("n_orders").isNotNull())
+            .select("o_orderpriority", "status",
+                    F.col("n_orders").cast("bigint").alias("n_orders"))
+            .orderBy("o_orderpriority", "status"))

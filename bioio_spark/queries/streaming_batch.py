@@ -668,3 +668,120 @@ def s10_stream_incremental_dedup(spark, sf_dir):
     return incremental_flags(idx, md5s.select("doc_id"), md5s, bd)
 
 
+
+
+# --------------------------------------------------------------------------
+# S12 streaming CORPUS-MODEL build: the strongest streaming==batch pin in
+# the tier. s10/s11 pinned per-item gates; l4j's surprisal filter needs a
+# GLOBAL model (corpus term frequencies) — per-batch scoring with
+# batch-local models would diverge from the batch result. The device:
+# term frequency is ADDITIVE, so each micro-batch writes its PARTIAL
+# (word, tf, g) counts plus its document rows under the batch's
+# deterministic arrival-unit partition (dynamic overwrite, exactly-once
+# under replays — the s9/s10 device); the final probe sums the partials
+# (== the one-pass corpus tf, exactly) and scores the stored docs through
+# the SAME unigram_surprisal code with the model injected. Hash-matches
+# l4j's batch oracle: an incrementally-built global model is proven equal
+# to the batch model, not assumed.
+# Scale: each batch's work is O(batch); the tf store is the standing
+# model artifact the next ingest day extends by appending partials.
+# --------------------------------------------------------------------------
+_S12_GROUPS = 5
+
+
+def _s12_fixture_dir(spark, sf_dir: str) -> str:
+    """ALL sf documents as _S12_GROUPS parquet files with ascending
+    mtimes (order shapes micro-batch boundaries only)."""
+    import os
+    import time
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", f"s12_docs_{tag}")
+    done = os.path.join(base, "_FIXTURE_DONE")
+    if os.path.isfile(done):
+        return base
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", "text").orderBy("doc_id").collect())
+    os.makedirs(base, exist_ok=True)
+    now = time.time()
+    for k in range(_S12_GROUPS):
+        rows = [r for r in docs if r["doc_id"] % _S12_GROUPS == k]
+        tbl = pa.table({"doc_id": [r["doc_id"] for r in rows],
+                        "text": [r["text"] for r in rows]})
+        p = os.path.join(base, f"part{k}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (now + k, now + k))
+    with open(done, "w") as f:
+        f.write("ok")
+    return base
+
+
+def stream_lm_model_store(spark, docs_dir: str, store: str) -> None:
+    """Stream document parquet files; per micro-batch, write PARTIAL
+    term-frequency counts and the document rows under the batch's
+    deterministic group partition (idempotent dynamic overwrite)."""
+    import os
+
+    from bioio_spark.functions.text import _words
+
+    schema = spark.read.parquet(docs_dir).schema
+    g = (F.col("doc_id") % _S12_GROUPS).cast("long").alias("g")
+
+    def write_batch(batch, _bid):
+        (batch.select("doc_id",
+                      F.explode(_words(F.col("text"))).alias("word"))
+         .withColumn("g", g)
+         .groupBy("g", "word")
+         .agg(F.count(F.lit(1)).alias("tf_part"))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("g").parquet(os.path.join(store, "tf")))
+        (batch.select("doc_id", "text", g)
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("g").parquet(os.path.join(store, "docs")))
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(docs_dir)
+         .writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation", os.path.join(store, "_ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+from bioio_spark.functions.text import (  # noqa: E402
+    SURPRISAL_ORACLE as _L4J_ORACLE,
+)
+
+
+@register(
+    "s12_stream_lm_model",
+    oracle=_L4J_ORACLE,   # same semantics as l4j: streaming == batch
+    doc="S12 streaming corpus-model build: per-micro-batch PARTIAL "
+        "term-frequency counts into an exactly-once store, summed to "
+        "the exact global model, scored through l4j's own code path; "
+        "hash-matches the l4j batch oracle (a GLOBAL model built "
+        "incrementally proven equal to the batch model)",
+)
+def s12_stream_lm_model(spark, sf_dir):
+    import os
+    import shutil
+
+    from bioio_spark.functions.text import unigram_surprisal
+
+    docs_dir = _s12_fixture_dir(spark, sf_dir)
+    store = os.path.join(os.path.dirname(docs_dir),
+                         f"s12_store_{os.path.basename(docs_dir)}")
+    shutil.rmtree(store, ignore_errors=True)
+    stream_lm_model_store(spark, docs_dir, store)
+
+    tf = (spark.read.parquet(os.path.join(store, "tf"))
+          .groupBy("word").agg(F.sum("tf_part").alias("tf")))
+    docs = (spark.read.parquet(os.path.join(store, "docs"))
+            .select("doc_id", "text"))
+    return unigram_surprisal(docs, tf=tf)

@@ -598,3 +598,14 @@ def test_l7_l19_no_stratum_wide_window(spark):
                 f"{name}: stratum-wide window spec {spec}\n{plan}"
         assert broadcast_join_count(q(spark, name)) >= 1, \
             f"{name}: shard offsets must broadcast"
+
+
+def test_l20_windowgrouplimit_and_broadcast_quota(spark):
+    """l20 temperature mixing: the rank window must compile to
+    WindowGroupLimit (bounded per-group top-k at the literal budget —
+    never a stratum-wide sort) and the per-lang quota join must be a
+    broadcast."""
+    df = q(spark, "l20_temperature_mix")
+    plan = physical_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan

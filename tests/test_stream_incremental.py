@@ -78,3 +78,37 @@ def test_s11_fingerprint_store_replay_idempotent(spark):
     second = sorted(tuple(r) for r in spark.read.parquet(store).collect())
     assert first == second
     shutil.rmtree(store, ignore_errors=True)
+
+
+def test_s12_model_store_replay_idempotent_and_additive(spark, sf_dir):
+    """s12: losing the checkpoint and replaying converges to the same
+    tf store, and the SUM of the per-batch partials equals the one-pass
+    corpus term frequencies exactly (the additivity that makes the
+    incrementally-built global model == the batch model)."""
+    from bioio_spark.functions.text import _words
+    from bioio_spark.queries.streaming_batch import (_s12_fixture_dir,
+                                                     stream_lm_model_store)
+
+    docs_dir = _s12_fixture_dir(spark, sf_dir)
+    store = os.path.join(os.path.dirname(docs_dir), "s12_replay_test")
+    shutil.rmtree(store, ignore_errors=True)
+    stream_lm_model_store(spark, docs_dir, store)
+    tf_path = os.path.join(store, "tf")
+    first = sorted(tuple(r) for r in
+                   spark.read.parquet(tf_path).collect())
+    shutil.rmtree(os.path.join(store, "_ckpt"))
+    stream_lm_model_store(spark, docs_dir, store)
+    second = sorted(tuple(r) for r in
+                    spark.read.parquet(tf_path).collect())
+    assert first == second
+    summed = sorted(
+        tuple(r) for r in
+        spark.read.parquet(tf_path).groupBy("word")
+        .agg(F.sum("tf_part").alias("tf")).collect())
+    batch = sorted(
+        tuple(r) for r in
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(_words(F.col("text"))).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("tf")).collect())
+    assert summed == batch
+    shutil.rmtree(store, ignore_errors=True)
