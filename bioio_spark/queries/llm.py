@@ -1332,3 +1332,83 @@ def l19_chunk_packing(spark, sf_dir):
                     (F.col("prev_toks") % _L19_CAP)
                     .cast("bigint").alias("bin_offset"))
             .orderBy("lang", "doc_id", "chunk_idx"))
+
+
+# --------------------------------------------------------------------------
+# L21 count-min sketch heavy hitters — the sketch tier. A CMS is the
+# mergeable, ADDITIVE frequency summary a 100 TB pipeline keeps instead
+# of exact term counts: D x W integer cells (here 4 x 256 = 1024 cells,
+# bounded whatever the corpus), built by one partial-combining agg on
+# (row, bucket); estimates never undercount (min over rows of an
+# overcounting cell). Hash positions are md5-derived, so the sketch is
+# bit-identical across engines — even the collision-driven
+# overestimates hash-match. The query is the gauge (the l3f device):
+# top-20 exact heavy hitters vs their CMS estimates, over_by >= 0 by
+# construction. At scale the exact side is the fixture-bounded ground
+# truth; the sketch is the artifact that ships.
+# --------------------------------------------------------------------------
+_CMS_D, _CMS_W, _CMS_TOPK = 4, 256, 20
+
+
+@register(
+    "l21_cms_heavy_hitters",
+    oracle=rf"""
+    WITH occ AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      FROM documents),
+    pos AS (
+      SELECT word, r.d,
+             {_h32_sql("'cms' || CAST(r.d AS VARCHAR) || ':' || word")}
+               % {_CMS_W} AS b
+      FROM occ CROSS JOIN range({_CMS_D}) r(d)),
+    cms AS (SELECT d, b, count(*) AS cnt FROM pos GROUP BY d, b),
+    exact AS (SELECT word, count(*) AS exact FROM occ GROUP BY word),
+    top AS (SELECT word, exact FROM exact
+            ORDER BY exact DESC, word LIMIT {_CMS_TOPK}),
+    est AS (
+      SELECT t.word, min(c.cnt) AS cms_est
+      FROM top t CROSS JOIN range({_CMS_D}) r(d)
+      JOIN cms c ON c.d = r.d
+       AND c.b = {_h32_sql(
+           "'cms' || CAST(r.d AS VARCHAR) || ':' || t.word")} % {_CMS_W}
+      GROUP BY t.word)
+    SELECT t.word, CAST(t.exact AS BIGINT) AS exact,
+           CAST(e.cms_est AS BIGINT) AS cms_est,
+           CAST(e.cms_est - t.exact AS BIGINT) AS over_by
+    FROM top t JOIN est e USING (word)
+    ORDER BY exact DESC, word
+    """,
+    doc="L21 count-min sketch heavy hitters: 4x256 md5-positioned CMS "
+        "(bounded, additive, mergeable) vs exact top-20 — the sketch "
+        "gauge; over_by >= 0 pins the no-undercount property",
+)
+def l21_cms_heavy_hitters(spark, sf_dir):
+    from bioio_spark.functions.hashing import h32_col
+    from bioio_spark.functions.text import _words
+
+    docs = load(spark, sf_dir, "documents")
+    occ = docs.select(F.explode(_words(F.col("text"))).alias("word"))
+
+    def bucket(word_col, d_col):
+        return (h32_col(F.concat(F.lit("cms"), d_col.cast("string"),
+                                 F.lit(":"), word_col))
+                % _CMS_W)
+
+    rows = F.explode(F.array(*[F.lit(d) for d in range(_CMS_D)]))
+    pos = (occ.select("word", rows.alias("d"))
+           .select("d", bucket(F.col("word"), F.col("d")).alias("b")))
+    cms = pos.groupBy("d", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = occ.groupBy("word").agg(F.count(F.lit(1)).alias("exact"))
+    top = (exact.orderBy(F.col("exact").desc(), "word")
+           .limit(_CMS_TOPK))
+    est = (top.select("word", rows.alias("d"))
+           .select("word", "d",
+                   bucket(F.col("word"), F.col("d")).alias("b"))
+           .join(F.broadcast(cms), ["d", "b"])
+           .groupBy("word").agg(F.min("cnt").alias("cms_est")))
+    return (top.join(est, "word")
+            .select("word", F.col("exact").cast("bigint").alias("exact"),
+                    F.col("cms_est").cast("bigint").alias("cms_est"),
+                    (F.col("cms_est") - F.col("exact")).cast("bigint")
+                    .alias("over_by"))
+            .orderBy(F.col("exact").desc(), "word"))

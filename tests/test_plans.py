@@ -609,3 +609,18 @@ def test_l20_windowgrouplimit_and_broadcast_quota(spark):
     plan = physical_plan(df)
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_media_neardup_fingerprints_cached_no_allpairs(spark):
+    """The capped media near-dup: every fingerprint consumer reads the
+    PERSISTED frame (3 InMemoryTableScans — the Arrow decode runs once),
+    candidate enumeration is the grouped pair explode (no cartesian, no
+    BNLJ, no raw band self-join recompute)."""
+    from bioio_spark.functions.multimodal import (image_near_dups,
+                                                  synth_media)
+
+    df = image_near_dups(synth_media(spark, 16))
+    plan = physical_plan(df)
+    assert plan.count("InMemoryTableScan") == 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
