@@ -785,3 +785,111 @@ def s12_stream_lm_model(spark, sf_dir):
     docs = (spark.read.parquet(os.path.join(store, "docs"))
             .select("doc_id", "text"))
     return unigram_surprisal(docs, tf=tf)
+
+
+# --------------------------------------------------------------------------
+# S13 streaming sketch build: the CMS twin of s12. A count-min sketch is
+# ADDITIVE cell-wise, so each micro-batch writes its PARTIAL (d, b)
+# cell counts under the batch's deterministic arrival-unit partition
+# (dynamic overwrite, exactly-once); the final probe sums the partials —
+# equal to the one-pass corpus sketch EXACTLY — and runs l21's gauge
+# (exact top-20 vs estimates) against it. Hash-matches the l21 batch
+# oracle: the sketch a stream maintains is proven equal to the sketch a
+# batch job builds. This is how a 100 TB ingest actually keeps frequency
+# summaries: merge per-shard sketches, never recount.
+# --------------------------------------------------------------------------
+def stream_cms_store(spark, docs_dir: str, store: str) -> None:
+    """Stream document parquet files; per micro-batch, write PARTIAL
+    count-min cell counts plus document rows under the batch's group
+    partition (idempotent dynamic overwrite)."""
+    import os
+
+    from bioio_spark.functions.hashing import h32_col
+    from bioio_spark.functions.text import _words
+    from bioio_spark.queries.llm import _CMS_D, _CMS_W
+
+    schema = spark.read.parquet(docs_dir).schema
+    g = (F.col("doc_id") % _S12_GROUPS).cast("long").alias("g")
+
+    def write_batch(batch, _bid):
+        occ = batch.select(
+            "doc_id", F.explode(_words(F.col("text"))).alias("word"))
+        rows = F.explode(F.array(*[F.lit(d) for d in range(_CMS_D)]))
+        pos = (occ.select("doc_id", "word", rows.alias("d"))
+               .select("doc_id", "d",
+                       (h32_col(F.concat(F.lit("cms"),
+                                         F.col("d").cast("string"),
+                                         F.lit(":"), F.col("word")))
+                        % _CMS_W).alias("b")))
+        (pos.withColumn("g", g)
+         .groupBy("g", "d", "b")
+         .agg(F.count(F.lit(1)).alias("cnt_part"))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("g").parquet(os.path.join(store, "cms")))
+        (batch.select("doc_id", "text", g)
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("g").parquet(os.path.join(store, "docs")))
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(docs_dir)
+         .writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation", os.path.join(store, "_ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+from bioio_spark.queries.base import REGISTRY as _REG  # noqa: E402
+
+_L21_ORACLE = _REG["l21_cms_heavy_hitters"].oracle
+
+
+@register(
+    "s13_stream_cms_sketch",
+    oracle=_L21_ORACLE,   # same semantics as l21: streaming == batch
+    doc="S13 streaming count-min sketch build: per-micro-batch PARTIAL "
+        "cell counts into an exactly-once store, summed to the exact "
+        "corpus sketch, gauged with l21's exact-vs-estimate probe; "
+        "hash-matches the l21 batch oracle (streaming sketch == batch "
+        "sketch)",
+)
+def s13_stream_cms_sketch(spark, sf_dir):
+    import os
+    import shutil
+
+    from bioio_spark.functions.hashing import h32_col
+    from bioio_spark.functions.text import _words
+    from bioio_spark.queries.llm import _CMS_D, _CMS_TOPK, _CMS_W
+
+    docs_dir = _s12_fixture_dir(spark, sf_dir)
+    store = os.path.join(os.path.dirname(docs_dir),
+                         f"s13_store_{os.path.basename(docs_dir)}")
+    shutil.rmtree(store, ignore_errors=True)
+    stream_cms_store(spark, docs_dir, store)
+
+    cms = (spark.read.parquet(os.path.join(store, "cms"))
+           .groupBy("d", "b").agg(F.sum("cnt_part").alias("cnt")))
+    docs = spark.read.parquet(os.path.join(store, "docs"))
+    occ = docs.select(F.explode(_words(F.col("text"))).alias("word"))
+
+    def bucket(word_col, d_col):
+        return (h32_col(F.concat(F.lit("cms"), d_col.cast("string"),
+                                 F.lit(":"), word_col)) % _CMS_W)
+
+    rows = F.explode(F.array(*[F.lit(d) for d in range(_CMS_D)]))
+    exact = occ.groupBy("word").agg(F.count(F.lit(1)).alias("exact"))
+    top = exact.orderBy(F.col("exact").desc(), "word").limit(_CMS_TOPK)
+    est = (top.select("word", rows.alias("d"))
+           .select("word", "d",
+                   bucket(F.col("word"), F.col("d")).alias("b"))
+           .join(F.broadcast(cms), ["d", "b"])
+           .groupBy("word").agg(F.min("cnt").alias("cms_est")))
+    return (top.join(est, "word")
+            .select("word",
+                    F.col("exact").cast("bigint").alias("exact"),
+                    F.col("cms_est").cast("bigint").alias("cms_est"),
+                    (F.col("cms_est") - F.col("exact")).cast("bigint")
+                    .alias("over_by"))
+            .orderBy(F.col("exact").desc(), "word"))

@@ -112,3 +112,46 @@ def test_s12_model_store_replay_idempotent_and_additive(spark, sf_dir):
         .groupBy("word").agg(F.count(F.lit(1)).alias("tf")).collect())
     assert summed == batch
     shutil.rmtree(store, ignore_errors=True)
+
+
+def test_s13_cms_store_replay_idempotent_and_additive(spark, sf_dir):
+    """s13: replay converges to the same CMS store, and the SUM of the
+    per-batch cell partials equals the one-pass corpus sketch exactly
+    (cell-wise additivity — sketch merging, the 100 TB frequency-summary
+    maintenance path)."""
+    from bioio_spark.functions.hashing import h32_col
+    from bioio_spark.functions.text import _words
+    from bioio_spark.queries.llm import _CMS_D, _CMS_W
+    from bioio_spark.queries.streaming_batch import (_s12_fixture_dir,
+                                                     stream_cms_store)
+
+    docs_dir = _s12_fixture_dir(spark, sf_dir)
+    store = os.path.join(os.path.dirname(docs_dir), "s13_replay_test")
+    shutil.rmtree(store, ignore_errors=True)
+    stream_cms_store(spark, docs_dir, store)
+    cms_path = os.path.join(store, "cms")
+    first = sorted(tuple(r) for r in
+                   spark.read.parquet(cms_path).collect())
+    shutil.rmtree(os.path.join(store, "_ckpt"))
+    stream_cms_store(spark, docs_dir, store)
+    second = sorted(tuple(r) for r in
+                    spark.read.parquet(cms_path).collect())
+    assert first == second
+    summed = sorted(
+        tuple(r) for r in
+        spark.read.parquet(cms_path).groupBy("d", "b")
+        .agg(F.sum("cnt_part").alias("cnt")).collect())
+    rows = F.explode(F.array(*[F.lit(d) for d in range(_CMS_D)]))
+    batch = sorted(
+        tuple(r) for r in
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(_words(F.col("text"))).alias("word"))
+        .select("word", rows.alias("d"))
+        .select("d", (h32_col(F.concat(F.lit("cms"),
+                                       F.col("d").cast("string"),
+                                       F.lit(":"), F.col("word")))
+                      % _CMS_W).alias("b"))
+        .groupBy("d", "b").agg(F.count(F.lit(1)).alias("cnt"))
+        .collect())
+    assert summed == batch
+    shutil.rmtree(store, ignore_errors=True)
