@@ -862,19 +862,21 @@ def incremental_dedup(documents: DataFrame,
     delta_md5 = (delta.select("doc_id", F.md5("text").alias("h"))
                  .persist(StorageLevel.MEMORY_AND_DISK))
     held.append(delta_md5)
-    reps = (delta_md5.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-            .select("doc_id"))
-    bd = _banded(minhash_signatures(delta.join(reps, "doc_id"))).persist(
+    reps = delta_md5.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
+    bd = _banded(minhash_signatures(delta.join(
+        reps.select(F.col("rep_id").alias("doc_id")), "doc_id"))).persist(
         StorageLevel.MEMORY_AND_DISK)
     held.append(bd)
     return incremental_flags(
-        idx, delta.select("doc_id"), delta_md5, bd)
+        idx, delta.select("doc_id"), delta_md5, bd,
+        reps=reps, bd_is_reps=True)
 
 
 def incremental_flags(idx: DataFrame, delta_ids: DataFrame,
                       delta_md5: DataFrame, bd: DataFrame,
-                      max_width: int | None = MAX_BUCKET_WIDTH
-                      ) -> DataFrame:
+                      max_width: int | None = MAX_BUCKET_WIDTH,
+                      reps: DataFrame | None = None,
+                      bd_is_reps: bool = False) -> DataFrame:
     """The l2g gate evaluation over already-materialized delta artifacts
     — (doc_id), (doc_id, h=md5) and (doc_id, band, key) frames — so the
     streaming twin (s10) can probe the SAME semantics from its
@@ -895,15 +897,23 @@ def incremental_flags(idx: DataFrame, delta_ids: DataFrame,
       rep-vs-rep band join — which goes through the capped
       `_bucket_pairs` device (keep-lowest-id, oracle-mirrored as
       row_number() <= max_width), so a boilerplate-flooded delta can
-      never make one band bucket O(k^2)."""
+      never make one band bucket O(k^2).
+
+    `reps` (h -> rep_id) may be passed in when the caller already
+    derived it (the batch path computes it once from the persisted
+    delta_md5); `bd_is_reps=True` skips the rep-filter join when `bd`
+    is known to carry representative bands only (also the batch path —
+    s10's store holds per-doc bands and keeps the filter)."""
     bi = _banded(minhash_signatures(idx))
     exact_idx = idx.select(F.md5("text").alias("h")).distinct()
     he = (delta_md5.join(exact_idx, "h").select("doc_id").distinct()
           .withColumn("he", F.lit(1)))
-    reps = delta_md5.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
+    if reps is None:
+        reps = delta_md5.groupBy("h").agg(
+            F.min("doc_id").alias("rep_id"))
     repmap = delta_md5.join(reps, "h").select("doc_id", "rep_id")
-    bdr = bd.join(reps.select(F.col("rep_id").alias("doc_id")),
-                  "doc_id")
+    bdr = bd if bd_is_reps else bd.join(
+        reps.select(F.col("rep_id").alias("doc_id")), "doc_id")
     hi_rep = (bdr.alias("d").join(bi.alias("i"), ["band", "key"])
               .select(F.col("d.doc_id").alias("rep_id")).distinct())
     hi = (repmap.join(hi_rep, "rep_id").select("doc_id").distinct()
