@@ -5675,3 +5675,135 @@ def img_focus_stack(spark, sf_dir):
                     "best_z", "var_num",
                     F.col("v").cast("bigint").alias("value"))
             .orderBy("t", "c", "y", "x"))
+
+
+# --------------------------------------------------------------------------
+# img_colocalization: two-channel colocalization — the quantification a
+# fluorescence-microscopy pipeline runs on every multi-channel plane
+# (does signal in c0 spatially co-occur with c1?). Per (t, z) plane:
+# the Pearson correlation's INTEGER pieces (num = n*Sxy - Sx*Sy,
+# den_x = n*Sxx - Sx^2, den_y = n*Syy - Sy^2 — no sqrt, no floats: the
+# caller divides; the pieces hash exactly) and the Manders M1/M2
+# fractions as integer permille (signal in one channel overlapping
+# above-threshold signal in the other). Scale: pixels pair by POSITION
+# — one co-partitioned self-join on (t, z, y, x) (both sides shuffle
+# once on the same key; at 100 TB the pixel table is already bucketed
+# by plane so the join is co-located) + one per-plane partial-combining
+# aggregate.
+# --------------------------------------------------------------------------
+_COLOC_THR = 60  # intensity threshold for the Manders overlap masks
+
+
+@register(
+    "img_colocalization",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL}),
+    v AS (SELECT t, c, z, y, x,
+                 (CAST(value AS BIGINT) * CAST(value AS BIGINT)) % 251
+                   AS v
+          FROM px),
+    pair AS (
+      SELECT a.t, a.z, a.y, a.x, a.v AS v0, b.v AS v1
+      FROM v a JOIN v b
+        ON b.t = a.t AND b.z = a.z AND b.y = a.y AND b.x = a.x
+       AND a.c = 0 AND b.c = 1)
+    SELECT t, z,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) * sum(v0 * v1) - sum(v0) * sum(v1) AS BIGINT)
+             AS pearson_num,
+           CAST(count(*) * sum(v0 * v0) - sum(v0) * sum(v0) AS BIGINT)
+             AS pearson_den_x,
+           CAST(count(*) * sum(v1 * v1) - sum(v1) * sum(v1) AS BIGINT)
+             AS pearson_den_y,
+           CAST(sum(CASE WHEN v1 > {_COLOC_THR} THEN v0 ELSE 0 END)
+                * 1000 // sum(v0) AS BIGINT) AS m1_permille,
+           CAST(sum(CASE WHEN v0 > {_COLOC_THR} THEN v1 ELSE 0 END)
+                * 1000 // sum(v1) AS BIGINT) AS m2_permille
+    FROM pair GROUP BY t, z ORDER BY t, z
+    """,
+    doc="img_colocalization two-channel Pearson (integer num/den "
+        "pieces, no sqrt) + Manders M1/M2 permille per (t, z) plane — "
+        "position-keyed channel pairing, one co-partitioned join + one "
+        "plane agg",
+)
+def img_colocalization(spark, sf_dir):
+    px = _gen_pixels(spark)
+    v = px.select(
+        "t", "c", "z", "y", "x",
+        ((F.col("value").cast("long") * F.col("value").cast("long"))
+         % 251).alias("v"))
+    c0 = (v.filter(F.col("c") == 0)
+          .select("t", "z", "y", "x", F.col("v").alias("v0")))
+    c1 = (v.filter(F.col("c") == 1)
+          .select("t", "z", "y", "x", F.col("v").alias("v1")))
+    pair = c0.join(c1, ["t", "z", "y", "x"])
+    n = F.count(F.lit(1))
+    return (pair.groupBy("t", "z")
+            .agg(n.cast("bigint").alias("n"),
+                 (n * F.sum(F.col("v0") * F.col("v1"))
+                  - F.sum("v0") * F.sum("v1")).cast("bigint")
+                 .alias("pearson_num"),
+                 (n * F.sum(F.col("v0") * F.col("v0"))
+                  - F.sum("v0") * F.sum("v0")).cast("bigint")
+                 .alias("pearson_den_x"),
+                 (n * F.sum(F.col("v1") * F.col("v1"))
+                  - F.sum("v1") * F.sum("v1")).cast("bigint")
+                 .alias("pearson_den_y"),
+                 F.expr(f"sum(CASE WHEN v1 > {_COLOC_THR} THEN v0 "
+                        f"ELSE 0 END) * 1000 DIV sum(v0)")
+                 .cast("bigint").alias("m1_permille"),
+                 F.expr(f"sum(CASE WHEN v0 > {_COLOC_THR} THEN v1 "
+                        f"ELSE 0 END) * 1000 DIV sum(v1)")
+                 .cast("bigint").alias("m2_permille"))
+            .orderBy("t", "z"))
+
+
+# --------------------------------------------------------------------------
+# img_tophat: white top-hat transform — value minus its morphological
+# opening, the standard uneven-illumination background subtraction for
+# spot/puncta detection (N11's composition extended one step). The
+# residual keeps structures SMALLER than the structuring element and
+# zeroes the smooth background. Same scale shape as N11: two chained
+# contribution explodes + the position-keyed join back to the original
+# (all three stages share the plane/position key, so the join is
+# co-partitioned with the agg output).
+# --------------------------------------------------------------------------
+@register(
+    "img_tophat",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL}),
+    er AS (
+      SELECT a.t, a.c, a.z, a.y, a.x, min(b.value) AS value
+      FROM px a JOIN px b
+        ON a.t = b.t AND a.c = b.c AND a.z = b.z
+       AND abs(a.y - b.y) <= 1 AND abs(a.x - b.x) <= 1
+      GROUP BY a.t, a.c, a.z, a.y, a.x),
+    op AS (
+      SELECT a.t, a.c, a.z, a.y, a.x, max(b.value) AS value
+      FROM er a JOIN er b
+        ON a.t = b.t AND a.c = b.c AND a.z = b.z
+       AND abs(a.y - b.y) <= 1 AND abs(a.x - b.x) <= 1
+      GROUP BY a.t, a.c, a.z, a.y, a.x)
+    SELECT px.t, px.c, px.z, px.y, px.x,
+           CAST(px.value - op.value AS BIGINT) AS tophat
+    FROM px JOIN op ON op.t = px.t AND op.c = px.c AND op.z = px.z
+                   AND op.y = px.y AND op.x = px.x
+    ORDER BY px.t, px.c, px.z, px.y, px.x
+    """,
+    doc="img_tophat white top-hat (value - opening): background "
+        "subtraction for spot detection — N11's erosion->dilation "
+        "chain + one co-partitioned join back, integer-exact residual",
+)
+def img_tophat(spark, sf_dir):
+    from bioio_spark.operators.stencil import morph_pixels
+
+    px = _gen_pixels(spark)
+    opened = morph_pixels(morph_pixels(px, Y, X, op="min"),
+                          Y, X, op="max")
+    op = opened.select("t", "c", "z", "y", "x",
+                       F.col("value").alias("op_v"))
+    return (px.join(op, ["t", "c", "z", "y", "x"])
+            .select("t", "c", "z", "y", "x",
+                    (F.col("value") - F.col("op_v")).cast("bigint")
+                    .alias("tophat"))
+            .orderBy("t", "c", "z", "y", "x"))

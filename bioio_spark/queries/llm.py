@@ -1412,3 +1412,110 @@ def l21_cms_heavy_hitters(spark, sf_dir):
                     (F.col("cms_est") - F.col("exact")).cast("bigint")
                     .alias("over_by"))
             .orderBy(F.col("exact").desc(), "word"))
+
+
+# --------------------------------------------------------------------------
+# L22 minhash accuracy gauge — completes the sketch-gauge family (l3f PQ
+# recall, mm_ahash_recall banding, l21 CMS): for every l2 candidate pair,
+# the MinHash ESTIMATE of Jaccard similarity (fraction of agreeing
+# signature components — the quantity LSH actually thresholds on) against
+# the EXACT shingle-set Jaccard, both in integer permille, plus the
+# absolute error. At 100 TB the exact side is computed only on the
+# bounded candidate set (never all pairs); the gauge is the regression
+# tripwire for signature/banding changes — a hashing bug shows up as an
+# error-distribution shift, not a silent recall loss.
+# --------------------------------------------------------------------------
+def _l22_oracle() -> str:
+    from bioio_spark.functions.dedup import minhash_pairs_cte
+    from bioio_spark.functions.hashing import NUM_MINHASH
+
+    matches = " + ".join(
+        f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END"
+        for i in range(NUM_MINHASH))
+    return f"""
+    WITH {minhash_pairs_cte()},
+    shx AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+    ncard AS (SELECT doc_id, count(*) AS nsh FROM shx GROUP BY doc_id),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, count(*) AS ni
+      FROM pairs p
+      JOIN shx a ON a.doc_id = p.doc_a
+      JOIN shx b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      GROUP BY p.doc_a, p.doc_b)
+    SELECT p.doc_a, p.doc_b,
+           CAST(({matches}) * 1000 // {NUM_MINHASH} AS BIGINT)
+             AS est_milli,
+           CAST(COALESCE(i.ni, 0) * 1000
+                // (na.nsh + nb.nsh - COALESCE(i.ni, 0)) AS BIGINT)
+             AS jaccard_milli,
+           CAST(abs(({matches}) * 1000 // {NUM_MINHASH}
+                - COALESCE(i.ni, 0) * 1000
+                  // (na.nsh + nb.nsh - COALESCE(i.ni, 0)))
+                AS BIGINT) AS abs_err_milli
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.doc_a
+    JOIN sig sb ON sb.doc_id = p.doc_b
+    JOIN ncard na ON na.doc_id = p.doc_a
+    JOIN ncard nb ON nb.doc_id = p.doc_b
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    ORDER BY p.doc_a, p.doc_b
+    """
+
+
+@register(
+    "l22_minhash_gauge",
+    oracle=_l22_oracle(),
+    doc="L22 minhash accuracy gauge: signature-agreement Jaccard "
+        "estimate vs exact shingle-set Jaccard on the (bounded) l2 "
+        "candidate pairs, integer permille + absolute error",
+)
+def l22_minhash_gauge(spark, sf_dir):
+    from bioio_spark.functions.dedup import (_dedup_reps, _shingled,
+                                             minhash_candidate_pairs,
+                                             minhash_signatures)
+    from bioio_spark.functions.hashing import NUM_MINHASH
+
+    docs = load(spark, sf_dir, "documents")
+    reps = _dedup_reps(docs)
+    pairs = minhash_candidate_pairs(docs, sort=False)
+    sig = minhash_signatures(reps)
+    sa = sig.select(F.col("doc_id").alias("doc_a"),
+                    *[F.col(f"s{i}").alias(f"sa{i}")
+                      for i in range(NUM_MINHASH)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"),
+                    *[F.col(f"s{i}").alias(f"sb{i}")
+                      for i in range(NUM_MINHASH)])
+    matches = None
+    for i in range(NUM_MINHASH):
+        term = (F.col(f"sa{i}") == F.col(f"sb{i}")).cast("long")
+        matches = term if matches is None else matches + term
+    shx = _shingled(reps).select(
+        "doc_id", F.explode("sh").alias("shingle"))
+    ncard = shx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+    inter = (pairs
+             .join(shx.select(F.col("doc_id").alias("doc_a"), "shingle"),
+                   "doc_a")
+             .join(shx.select(F.col("doc_id").alias("doc_b"), "shingle"),
+                   ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("ni")))
+    na = ncard.select(F.col("doc_id").alias("doc_a"),
+                      F.col("nsh").alias("na"))
+    nb = ncard.select(F.col("doc_id").alias("doc_b"),
+                      F.col("nsh").alias("nb"))
+    out = (pairs.join(sa, "doc_a").join(sb, "doc_b")
+           .join(na, "doc_a").join(nb, "doc_b")
+           .join(inter, ["doc_a", "doc_b"], "left")
+           .withColumn("ni", F.coalesce("ni", F.lit(0)))
+           .withColumn("m1000", matches * 1000)
+           .withColumn("est_milli",
+                       F.expr(f"m1000 DIV {NUM_MINHASH}")
+                       .cast("bigint"))
+           .withColumn("jaccard_milli",
+                       F.expr("ni * 1000 DIV (na + nb - ni)")
+                       .cast("bigint")))
+    return (out.select(
+        "doc_a", "doc_b", "est_milli", "jaccard_milli",
+        F.abs(F.col("est_milli") - F.col("jaccard_milli"))
+        .cast("bigint").alias("abs_err_milli"))
+        .orderBy("doc_a", "doc_b"))
