@@ -1519,3 +1519,140 @@ def l22_minhash_gauge(spark, sf_dir):
         F.abs(F.col("est_milli") - F.col("jaccard_milli"))
         .cast("bigint").alias("abs_err_milli"))
         .orderBy("doc_a", "doc_b"))
+
+
+# --------------------------------------------------------------------------
+# L23 contamination report — the l15 attrition device applied to the
+# decontamination tier, over the TRAIN split: three gates per train doc
+# (exact eval-shingle overlap; the l9b Bloom-sketch flag — a strict
+# SUPERSET of the exact gate, so sole-fail attribution EXPOSES the
+# sketch's false-positive overhead as p2-only failures; the l2f
+# duplicated-span gate), rolled into the per-gate n_fail / n_sole_fail /
+# n_survive_through table a corpus release publishes. The oracle embeds
+# the l9b and l2f oracles textually (the no-drift device) plus the
+# side-swapped exact CTE. Scale: each gate keeps its own documented
+# shape; the report adds three doc_id flag joins + one tiny aggregate.
+# --------------------------------------------------------------------------
+def _contamination_report_oracle() -> str:
+    split = _h32_sql("'split:' || CAST(doc_id AS VARCHAR)")
+    shingle = _dedup._SHINGLE_SQL
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({shingle}) AS shingle FROM documents),
+    tagged AS (
+      SELECT doc_id, shingle, {split} % 10 = 0 AS is_eval FROM sh),
+    evset AS (SELECT DISTINCT shingle FROM tagged WHERE is_eval),
+    exact_clean AS (
+      SELECT doc_id FROM (SELECT DISTINCT doc_id FROM tagged
+                          WHERE NOT is_eval) t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM tagged g JOIN evset e USING (shingle)
+        WHERE g.doc_id = t.doc_id AND NOT g.is_eval)),
+    bloom_clean AS (
+      SELECT doc_id FROM ({_dedup.BLOOM_DECONTAM_ORACLE}) WHERE keep = 1),
+    span_clean AS (
+      SELECT doc_id FROM ({_dedup.SPAN_COVERAGE_ORACLE}) WHERE keep = 1),
+    train AS (
+      SELECT doc_id FROM documents WHERE {split} % 10 <> 0),
+    flags AS (
+      SELECT tr.doc_id,
+             CASE WHEN e.doc_id IS NULL THEN 0 ELSE 1 END AS p1,
+             CASE WHEN b.doc_id IS NULL THEN 0 ELSE 1 END AS p2,
+             CASE WHEN s.doc_id IS NULL THEN 0 ELSE 1 END AS p3
+      FROM train tr
+      LEFT JOIN exact_clean e ON e.doc_id = tr.doc_id
+      LEFT JOIN bloom_clean b ON b.doc_id = tr.doc_id
+      LEFT JOIN span_clean s ON s.doc_id = tr.doc_id),
+    agg AS (
+      SELECT sum(1 - p1) AS f1, sum(1 - p2) AS f2, sum(1 - p3) AS f3,
+             sum((1 - p1) * p2 * p3) AS o1,
+             sum(p1 * (1 - p2) * p3) AS o2,
+             sum(p1 * p2 * (1 - p3)) AS o3,
+             sum(p1) AS v1, sum(p1 * p2) AS v2,
+             sum(p1 * p2 * p3) AS v3
+      FROM flags)
+    SELECT * FROM (
+      SELECT 1 AS stage, 'exact_overlap' AS gate,
+             CAST(f1 AS BIGINT) AS n_fail,
+             CAST(o1 AS BIGINT) AS n_sole_fail,
+             CAST(v1 AS BIGINT) AS n_survive_through FROM agg
+      UNION ALL
+      SELECT 2, 'bloom_sketch', CAST(f2 AS BIGINT), CAST(o2 AS BIGINT),
+             CAST(v2 AS BIGINT) FROM agg
+      UNION ALL
+      SELECT 3, 'span_coverage', CAST(f3 AS BIGINT), CAST(o3 AS BIGINT),
+             CAST(v3 AS BIGINT) FROM agg)
+    ORDER BY stage
+    """
+
+
+@register(
+    "l23_contamination_report",
+    oracle=_contamination_report_oracle(),
+    doc="L23 contamination report: exact eval-overlap, Bloom-sketch, "
+        "and duplicated-span gates over the train split rolled into "
+        "the per-gate attrition table (sole-fail attribution exposes "
+        "the sketch's false-positive overhead) — the l15 device for "
+        "the decontamination tier",
+)
+def l23_contamination_report(spark, sf_dir):
+    from bioio_spark.functions.dedup import (_shingled,
+                                             bloom_decontamination,
+                                             ngram_span_coverage)
+    from bioio_spark.functions.hashing import h32_col
+
+    docs = load(spark, sf_dir, "documents")
+    split = h32_col(F.concat(F.lit("split:"),
+                             F.col("doc_id").cast("string"))) % 10
+    train = docs.filter(split != 0).select("doc_id")
+    # exact gate: train docs sharing ANY shingle with the eval set
+    ex = (_shingled(docs)
+          .withColumn("is_eval", split == 0)
+          .select("doc_id", "is_eval", F.explode("sh").alias("shingle")))
+    evset = ex.filter(F.col("is_eval")).select("shingle").distinct()
+    exact_dirty = (ex.filter(~F.col("is_eval"))
+                   .join(evset, "shingle")
+                   .select("doc_id").distinct()
+                   .withColumn("d1", F.lit(1)))
+    bloom_clean = (bloom_decontamination(docs)
+                   .filter(F.col("keep") == 1)
+                   .select("doc_id").withColumn("c2", F.lit(1)))
+    span_clean = (ngram_span_coverage(docs)
+                  .filter(F.col("keep") == 1)
+                  .select("doc_id").withColumn("c3", F.lit(1)))
+    flags = (train
+             .join(exact_dirty, "doc_id", "left")
+             .join(bloom_clean, "doc_id", "left")
+             .join(span_clean, "doc_id", "left")
+             .select(
+                 (F.coalesce("d1", F.lit(0)) == 0).cast("long")
+                 .alias("p1"),
+                 F.coalesce("c2", F.lit(0)).cast("long").alias("p2"),
+                 F.coalesce("c3", F.lit(0)).cast("long").alias("p3")))
+    agg = flags.agg(
+        F.sum(1 - F.col("p1")).alias("f1"),
+        F.sum(1 - F.col("p2")).alias("f2"),
+        F.sum(1 - F.col("p3")).alias("f3"),
+        F.sum((1 - F.col("p1")) * F.col("p2") * F.col("p3")).alias("o1"),
+        F.sum(F.col("p1") * (1 - F.col("p2")) * F.col("p3")).alias("o2"),
+        F.sum(F.col("p1") * F.col("p2") * (1 - F.col("p3"))).alias("o3"),
+        F.sum("p1").alias("v1"),
+        F.sum(F.col("p1") * F.col("p2")).alias("v2"),
+        F.sum(F.col("p1") * F.col("p2") * F.col("p3")).alias("v3"))
+    names = [(1, "exact_overlap"), (2, "bloom_sketch"),
+             (3, "span_coverage")]
+    stages = F.array(*[
+        F.struct(F.lit(i).alias("stage"), F.lit(g).alias("gate"),
+                 F.col(f"f{i}").cast("bigint").alias("n_fail"),
+                 F.col(f"o{i}").cast("bigint").alias("n_sole_fail"),
+                 F.col(f"v{i}").cast("bigint")
+                 .alias("n_survive_through"))
+        for i, g in names])
+    return (agg.select(F.explode(stages).alias("s"))
+            .select(F.col("s.stage").cast("int").alias("stage"),
+                    F.col("s.gate").alias("gate"),
+                    F.col("s.n_fail").alias("n_fail"),
+                    F.col("s.n_sole_fail").alias("n_sole_fail"),
+                    F.col("s.n_survive_through")
+                    .alias("n_survive_through"))
+            .orderBy("stage"))
