@@ -5807,3 +5807,133 @@ def img_tophat(spark, sf_dir):
                     (F.col("value") - F.col("op_v")).cast("bigint")
                     .alias("tophat"))
             .orderBy("t", "c", "z", "y", "x"))
+
+
+# --------------------------------------------------------------------------
+# §2.9 pandas_udf surface: the two Arrow-vectorized UDF flavors the UDF
+# inventory declares but no other query exercises — a SCALAR pandas_udf
+# (Arrow-batched projection; here the same nonlinear v^2 % 251 ramp the
+# stencil fixtures use, computed in numpy on whole batches) and a
+# GROUPED_AGG pandas_udf (AggregateInPandas: per-(t, c) integer sum over
+# the scalar UDF's output). The oracle recomputes both stages in SQL, so
+# the Arrow transfer, batch slicing, and the aggregate buffer semantics
+# are all inside the value hash. Scale: scalar pandas_udfs process
+# Arrow batches (never rows); the grouped agg ships one partial buffer
+# per group per partition — same shuffle discipline as a JVM aggregate,
+# with the Python worker cost paid once per batch.
+# --------------------------------------------------------------------------
+@register(
+    "img_pandas_udf_stats",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL}),
+    v2 AS (SELECT t, c,
+                  (CAST(value AS BIGINT) * CAST(value AS BIGINT)) % 251
+                    AS v
+           FROM px)
+    SELECT t, c, CAST(sum(v) AS BIGINT) AS sum_v,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(max(v) AS BIGINT) AS max_v
+    FROM v2 GROUP BY t, c ORDER BY t, c
+    """,
+    doc="§2.9 pandas_udf surface: scalar Arrow-vectorized projection "
+        "(v^2 %% 251 in numpy batches) + GROUPED_AGG pandas_udf sum "
+        "per (t, c), both value-checked end to end",
+)
+def img_pandas_udf_stats(spark, sf_dir):
+    from bioio_spark.functions.arrow_udfs import (int_count, int_max,
+                                                  int_sum,
+                                                  nonlinear_ramp)
+
+    px = _gen_pixels(spark).withColumn(
+        "v", nonlinear_ramp(F.col("value").cast("long")))
+    return (px.groupBy("t", "c")
+            .agg(int_sum(F.col("v")).alias("sum_v"),
+                 int_count(F.col("v")).alias("n_px"),
+                 int_max(F.col("v")).alias("max_v"))
+            .orderBy("t", "c"))
+
+
+# --------------------------------------------------------------------------
+# img_drift_correction: stage-drift estimation between consecutive
+# timepoints — the registration pass a long time-lapse runs before any
+# per-cell tracking: for each (t -> t+1, c, z) pair, the translation
+# (dy, dx) in a bounded +-2 search window maximizing the INTEGER
+# cross-correlation sum(a(y,x) * b(y+dy, x+dx)) over the valid overlap
+# (out-of-bounds taps drop out of the position join naturally). Tie ->
+# smallest (dy, dx). Unnormalized correlation over the bounded window
+# is the classic exhaustive block-matching estimator; content is the
+# nonlinear v^2 % 251 ramp so the optimum is data-driven. Scale: one
+# 25-way contribution explode + one position-keyed equi-join + one
+# partial-combining agg per (pair, shift) — the N1 stencil shape with
+# the shift as an extra key; argmax is a WindowGroupLimit top-1 over 25
+# rows per pair.
+# --------------------------------------------------------------------------
+_DRIFT_R = 2  # search radius in pixels
+
+
+@register(
+    "img_drift_correction",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL}),
+    v AS (SELECT t, c, z, y, x,
+                 (CAST(value AS BIGINT) * CAST(value AS BIGINT)) % 251
+                   AS v
+          FROM px),
+    sh AS (SELECT dy.i - {_DRIFT_R} AS dy, dx.i - {_DRIFT_R} AS dx
+           FROM range({2 * _DRIFT_R + 1}) dy(i),
+                range({2 * _DRIFT_R + 1}) dx(i)),
+    corr AS (
+      SELECT a.t, a.c, a.z, s.dy, s.dx, sum(a.v * b.v) AS corr
+      FROM v a CROSS JOIN sh s
+      JOIN v b ON b.t = a.t + 1 AND b.c = a.c AND b.z = a.z
+              AND b.y = a.y + s.dy AND b.x = a.x + s.dx
+      WHERE a.t < {T - 1}
+      GROUP BY a.t, a.c, a.z, s.dy, s.dx),
+    best AS (
+      SELECT t, c, z, dy, dx, corr,
+             row_number() OVER (PARTITION BY t, c, z
+                                ORDER BY corr DESC, dy, dx) AS rk
+      FROM corr)
+    SELECT t, c, z, CAST(dy AS INT) AS best_dy,
+           CAST(dx AS INT) AS best_dx, CAST(corr AS BIGINT) AS corr
+    FROM best WHERE rk = 1 ORDER BY t, c, z
+    """,
+    doc="img_drift_correction time-lapse registration: bounded +-2 "
+        "exhaustive block matching by integer cross-correlation per "
+        "(t->t+1, c, z), tie -> smallest shift — contribution explode "
+        "+ position join + WindowGroupLimit argmax",
+)
+def img_drift_correction(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    px = _gen_pixels(spark)
+    v = px.select("t", "c", "z", "y", "x",
+                  ((F.col("value").cast("long")
+                    * F.col("value").cast("long")) % 251).alias("v"))
+    shifts = F.array(*[
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+        for dy in range(-_DRIFT_R, _DRIFT_R + 1)
+        for dx in range(-_DRIFT_R, _DRIFT_R + 1)])
+    a = (v.filter(F.col("t") < T - 1)
+         .select("t", "c", "z", "y", "x",
+                 F.col("v").alias("va"),
+                 F.explode(shifts).alias("s"))
+         .select("t", "c", "z", F.col("s.dy").alias("dy"),
+                 F.col("s.dx").alias("dx"), "va",
+                 (F.col("y") + F.col("s.dy")).alias("ty"),
+                 (F.col("x") + F.col("s.dx")).alias("tx")))
+    b = v.select((F.col("t") - 1).alias("t"), "c", "z",
+                 F.col("y").alias("ty"), F.col("x").alias("tx"),
+                 F.col("v").alias("vb"))
+    corr = (a.join(b, ["t", "c", "z", "ty", "tx"])
+            .groupBy("t", "c", "z", "dy", "dx")
+            .agg(F.sum(F.col("va") * F.col("vb")).alias("corr")))
+    rk = F.row_number().over(
+        W.partitionBy("t", "c", "z")
+        .orderBy(F.col("corr").desc(), F.col("dy"), F.col("dx")))
+    return (corr.withColumn("rk", rk).filter(F.col("rk") == 1)
+            .select("t", "c", "z",
+                    F.col("dy").cast("int").alias("best_dy"),
+                    F.col("dx").cast("int").alias("best_dx"),
+                    F.col("corr").cast("bigint").alias("corr"))
+            .orderBy("t", "c", "z"))
