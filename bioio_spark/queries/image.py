@@ -5904,36 +5904,10 @@ _DRIFT_R = 2  # search radius in pixels
         "+ position join + WindowGroupLimit argmax",
 )
 def img_drift_correction(spark, sf_dir):
-    from pyspark.sql import Window as W
+    from bioio_spark.operators.registration import estimate_drift
 
     px = _gen_pixels(spark)
     v = px.select("t", "c", "z", "y", "x",
                   ((F.col("value").cast("long")
                     * F.col("value").cast("long")) % 251).alias("v"))
-    shifts = F.array(*[
-        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
-        for dy in range(-_DRIFT_R, _DRIFT_R + 1)
-        for dx in range(-_DRIFT_R, _DRIFT_R + 1)])
-    a = (v.filter(F.col("t") < T - 1)
-         .select("t", "c", "z", "y", "x",
-                 F.col("v").alias("va"),
-                 F.explode(shifts).alias("s"))
-         .select("t", "c", "z", F.col("s.dy").alias("dy"),
-                 F.col("s.dx").alias("dx"), "va",
-                 (F.col("y") + F.col("s.dy")).alias("ty"),
-                 (F.col("x") + F.col("s.dx")).alias("tx")))
-    b = v.select((F.col("t") - 1).alias("t"), "c", "z",
-                 F.col("y").alias("ty"), F.col("x").alias("tx"),
-                 F.col("v").alias("vb"))
-    corr = (a.join(b, ["t", "c", "z", "ty", "tx"])
-            .groupBy("t", "c", "z", "dy", "dx")
-            .agg(F.sum(F.col("va") * F.col("vb")).alias("corr")))
-    rk = F.row_number().over(
-        W.partitionBy("t", "c", "z")
-        .orderBy(F.col("corr").desc(), F.col("dy"), F.col("dx")))
-    return (corr.withColumn("rk", rk).filter(F.col("rk") == 1)
-            .select("t", "c", "z",
-                    F.col("dy").cast("int").alias("best_dy"),
-                    F.col("dx").cast("int").alias("best_dx"),
-                    F.col("corr").cast("bigint").alias("corr"))
-            .orderBy("t", "c", "z"))
+    return estimate_drift(v, radius=_DRIFT_R)
