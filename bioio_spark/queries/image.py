@@ -5911,3 +5911,159 @@ def img_drift_correction(spark, sf_dir):
                   ((F.col("value").cast("long")
                     * F.col("value").cast("long")) % 251).alias("v"))
     return estimate_drift(v, radius=_DRIFT_R)
+
+
+# --------------------------------------------------------------------------
+# img_maxima: strict 3x3 local-maxima detection — the spot/seed finder
+# that follows top-hat background subtraction in a puncta pipeline: a
+# pixel is a maximum iff it strictly exceeds EVERY in-bounds neighbor
+# (edge pixels compare against their smaller neighborhoods). Same
+# contribution-explode shape as N1-N5: one explode shuffles neighbor
+# values onto the center key, one hash agg takes the neighbor max, a
+# codegen filter keeps strict winners. Content is the nonlinear
+# v^2 % 251 ramp so maxima are data-driven.
+# --------------------------------------------------------------------------
+@register(
+    "img_maxima",
+    oracle=f"""
+    WITH px AS ({_GEN_SQL}),
+    v2 AS (SELECT t, c, z, y, x,
+                  (CAST(value AS BIGINT) * CAST(value AS BIGINT)) % 251
+                    AS v
+           FROM px),
+    nmax AS (
+      SELECT a.t, a.c, a.z, a.y, a.x, max(b.v) AS nmax
+      FROM v2 a JOIN v2 b
+        ON a.t = b.t AND a.c = b.c AND a.z = b.z
+       AND abs(a.y - b.y) <= 1 AND abs(a.x - b.x) <= 1
+       AND NOT (a.y = b.y AND a.x = b.x)
+      GROUP BY a.t, a.c, a.z, a.y, a.x)
+    SELECT v2.t, v2.c, v2.z, v2.y, v2.x, v2.v
+    FROM v2 JOIN nmax ON nmax.t = v2.t AND nmax.c = v2.c
+                     AND nmax.z = v2.z AND nmax.y = v2.y
+                     AND nmax.x = v2.x
+    WHERE v2.v > nmax.nmax
+    ORDER BY v2.t, v2.c, v2.z, v2.y, v2.x
+    """,
+    doc="img_maxima strict 3x3 local-maxima (spot seeds after "
+        "top-hat): neighbor-max via contribution explode + hash agg, "
+        "strict codegen filter, edge-clamped neighborhoods",
+)
+def img_maxima(spark, sf_dir):
+    px = _gen_pixels(spark)
+    v2 = px.select(
+        "t", "c", "z", "y", "x",
+        ((F.col("value").cast("long") * F.col("value").cast("long"))
+         % 251).alias("v"))
+    offsets = F.array(*[
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        if not (dy == 0 and dx == 0)])
+    ex = v2.select("t", "c", "z", "y", "x", "v",
+                   F.explode(offsets).alias("o"))
+    ny = (F.col("y") + F.col("o.dy")).alias("y")
+    nx = (F.col("x") + F.col("o.dx")).alias("x")
+    nmax = (ex.select("t", "c", "z", ny, nx, "v")
+            .filter((F.col("y") >= 0) & (F.col("y") < Y)
+                    & (F.col("x") >= 0) & (F.col("x") < X))
+            .groupBy("t", "c", "z", "y", "x")
+            .agg(F.max("v").alias("nmax")))
+    return (v2.join(nmax, ["t", "c", "z", "y", "x"])
+            .filter(F.col("v") > F.col("nmax"))
+            .select("t", "c", "z", "y", "x", "v")
+            .orderBy("t", "c", "z", "y", "x"))
+
+
+# --------------------------------------------------------------------------
+# img_tracking: nearest-centroid object linking across timepoints — the
+# frame-to-frame association step of every time-lapse tracker (threshold
+# -> label -> measure -> LINK): for each labeled component at t, the
+# component at t+1 in the same (c, z) plane with the minimum squared
+# integer distance between FLOOR centroids (sum DIV area — exact
+# integers both engines), tie -> lowest target component id. Composes
+# the CC labeling + regionprops tiers end to end. Scale: per-plane
+# candidate pairing is an equi-join on the (t+1, c, z) key, bounded by
+# objects-per-frame^2 (the classic linking cost, frame-local, never
+# corpus-wide); argmin is a WindowGroupLimit top-1 per source object.
+# --------------------------------------------------------------------------
+@register(
+    "img_tracking",
+    oracle=f"""
+    WITH base AS ({_cc_oracle()}),
+    d AS (
+      SELECT component,
+             node // {Y * X} AS p,
+             (node % {Y * X}) // {X} AS y,
+             node % {X} AS x
+      FROM base),
+    props AS (
+      SELECT component,
+             max(p // {C * Z}) AS t,
+             max((p // {Z}) % {C}) AS c,
+             max(p % {Z}) AS z,
+             sum(y) // count(*) AS cy,
+             sum(x) // count(*) AS cx
+      FROM d GROUP BY component),
+    link AS (
+      SELECT a.t, a.c, a.z, a.component AS comp_a,
+             b.component AS comp_b,
+             (a.cy - b.cy) * (a.cy - b.cy)
+             + (a.cx - b.cx) * (a.cx - b.cx) AS d2,
+             row_number() OVER (
+               PARTITION BY a.component
+               ORDER BY (a.cy - b.cy) * (a.cy - b.cy)
+                        + (a.cx - b.cx) * (a.cx - b.cx),
+                        b.component) AS rk
+      FROM props a JOIN props b
+        ON b.t = a.t + 1 AND b.c = a.c AND b.z = a.z)
+    SELECT CAST(t AS INT) AS t, CAST(c AS INT) AS c,
+           CAST(z AS INT) AS z,
+           CAST(comp_a AS BIGINT) AS comp_a,
+           CAST(comp_b AS BIGINT) AS comp_b,
+           CAST(d2 AS BIGINT) AS d2
+    FROM link WHERE rk = 1 ORDER BY t, c, z, comp_a
+    """,
+    doc="img_tracking nearest-centroid object linking t -> t+1: CC "
+        "labels -> floor centroids -> per-plane candidate join -> "
+        "WindowGroupLimit argmin with lowest-target tie rule — the "
+        "threshold/label/measure/LINK time-lapse composition",
+)
+def img_tracking(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from bioio_spark.operators.labeling import label_mask_components
+
+    cc = label_mask_components(_cc_mask(spark),
+                               approx_size=T * C * Z * Y * X)
+    p = (F.col("node") / (Y * X)).cast("long")
+    y = ((F.col("node") % (Y * X)) / X).cast("long")
+    x = (F.col("node") % X).cast("long")
+    d = cc.select("component", p.alias("p"), y.alias("y"), x.alias("x"))
+    props = (d.groupBy("component")
+             .agg(F.max((F.col("p") / (C * Z)).cast("long")).alias("t"),
+                  F.max(((F.col("p") / Z).cast("long")) % C).alias("c"),
+                  F.max(F.col("p") % Z).alias("z"),
+                  F.expr("sum(y) DIV count(*)").alias("cy"),
+                  F.expr("sum(x) DIV count(*)").alias("cx")))
+    a = props.select(F.col("component").alias("comp_a"),
+                     (F.col("t") + 1).alias("tn"), "c", "z",
+                     F.col("cy").alias("cya"), F.col("cx").alias("cxa"),
+                     F.col("t"))
+    b = props.select(F.col("component").alias("comp_b"),
+                     F.col("t").alias("tn"), "c", "z",
+                     F.col("cy").alias("cyb"), F.col("cx").alias("cxb"))
+    d2 = ((F.col("cya") - F.col("cyb")) * (F.col("cya") - F.col("cyb"))
+          + (F.col("cxa") - F.col("cxb"))
+          * (F.col("cxa") - F.col("cxb")))
+    rk = F.row_number().over(
+        W.partitionBy("comp_a").orderBy(F.col("d2"), F.col("comp_b")))
+    return (a.join(b, ["tn", "c", "z"])
+            .withColumn("d2", d2)
+            .withColumn("rk", rk).filter(F.col("rk") == 1)
+            .select(F.col("t").cast("int").alias("t"),
+                    F.col("c").cast("int").alias("c"),
+                    F.col("z").cast("int").alias("z"),
+                    F.col("comp_a").cast("bigint").alias("comp_a"),
+                    F.col("comp_b").cast("bigint").alias("comp_b"),
+                    F.col("d2").cast("bigint").alias("d2"))
+            .orderBy("t", "c", "z", "comp_a"))
