@@ -5836,7 +5836,7 @@ def img_tophat(spark, sf_dir):
     FROM v2 GROUP BY t, c ORDER BY t, c
     """,
     doc="§2.9 pandas_udf surface: scalar Arrow-vectorized projection "
-        "(v^2 %% 251 in numpy batches) + GROUPED_AGG pandas_udf sum "
+        "(v^2 % 251 in numpy batches) + GROUPED_AGG pandas_udf sum "
         "per (t, c), both value-checked end to end",
 )
 def img_pandas_udf_stats(spark, sf_dir):
