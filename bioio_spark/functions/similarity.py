@@ -749,8 +749,18 @@ def _train_pq(emb: DataFrame, m_sub: int = PQ_M, ks: int = PQ_KS,
         F.sum(F.floor(F.element_at("sub", i + 1)
                       * F.lit(_KMEANS_SCALE))).alias(f"p{i}")
         for i in range(subdim)]
+    # The per-subspace struct array is PROJECTED before the explode:
+    # ProjectExec splits huge generated expressions into compilable
+    # methods, but GenerateExec inlines its generator expression into
+    # one generate_doConsume method — with m_sub x ks x subdim literal
+    # distance terms that method blew janino's internal limits and the
+    # whole stage fell back to INTERPRETED eval (observed: a
+    # deterministic "Failed to compile" per bench run, with l3e/l3f
+    # paying the slow path). Exploding a precomputed column keeps the
+    # arithmetic in compiled codegen.
     rows = (emb.filter(F.col("vec_id") % sample_mod == 0)
-            .select(F.explode(F.array(*per_m)).alias("s"))
+            .select(F.array(*per_m).alias("arr"))
+            .select(F.explode("arr").alias("s"))
             .select("s.m", "s.code", "s.sub")
             .groupBy("m", "code")
             .agg(F.count(F.lit(1)).alias("cnt"), *quant_sums)
