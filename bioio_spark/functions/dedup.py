@@ -53,8 +53,12 @@ import logging
 log = logging.getLogger(__name__)
 
 # module-level fallback registry for sessions whose __dict__ is unavailable
-# (connect-style proxies) — keyed by (session id, tag)
-_HELD_FALLBACK: dict[tuple[int, str], list] = {}
+# (connect-style proxies) — weak-keyed on the session so entries (and the
+# DataFrame lineage their held-lists pin) die with the session, and a
+# recycled id() can never hand a stale held-list to an unrelated session
+import weakref
+
+_HELD_FALLBACK: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def swap_held(spark, tag: str) -> list:
@@ -66,7 +70,10 @@ def swap_held(spark, tag: str) -> list:
     try:
         held = spark.__dict__.setdefault(f"_bioio_held_{tag}", [])
     except Exception:
-        held = _HELD_FALLBACK.setdefault((id(spark), tag), [])
+        try:
+            held = _HELD_FALLBACK.setdefault(spark, {}).setdefault(tag, [])
+        except TypeError:  # session not weakref-able: degrade to no-op list
+            held = []
     for old_df in held:
         try:
             old_df.unpersist()

@@ -5715,10 +5715,12 @@ _COLOC_THR = 60  # intensity threshold for the Manders overlap masks
              AS pearson_den_x,
            CAST(count(*) * sum(v1 * v1) - sum(v1) * sum(v1) AS BIGINT)
              AS pearson_den_y,
-           CAST(sum(CASE WHEN v1 > {_COLOC_THR} THEN v0 ELSE 0 END)
-                * 1000 // sum(v0) AS BIGINT) AS m1_permille,
-           CAST(sum(CASE WHEN v0 > {_COLOC_THR} THEN v1 ELSE 0 END)
-                * 1000 // sum(v1) AS BIGINT) AS m2_permille
+           CAST(CASE WHEN sum(v0) = 0 THEN 1000
+                ELSE sum(CASE WHEN v1 > {_COLOC_THR} THEN v0 ELSE 0 END)
+                     * 1000 // sum(v0) END AS BIGINT) AS m1_permille,
+           CAST(CASE WHEN sum(v1) = 0 THEN 1000
+                ELSE sum(CASE WHEN v0 > {_COLOC_THR} THEN v1 ELSE 0 END)
+                     * 1000 // sum(v1) END AS BIGINT) AS m2_permille
     FROM pair GROUP BY t, z ORDER BY t, z
     """,
     doc="img_colocalization two-channel Pearson (integer num/den "
@@ -5749,11 +5751,17 @@ def img_colocalization(spark, sf_dir):
                  (n * F.sum(F.col("v1") * F.col("v1"))
                   - F.sum("v1") * F.sum("v1")).cast("bigint")
                  .alias("pearson_den_y"),
-                 F.expr(f"sum(CASE WHEN v1 > {_COLOC_THR} THEN v0 "
-                        f"ELSE 0 END) * 1000 DIV sum(v0)")
+                 # zero guard mirrors flatfield's fsum = 0 clause: an
+                 # all-zero channel plane means "everything overlaps" —
+                 # 1000 permille in both engines (DuckDB // would error,
+                 # Spark DIV would NULL; neither is a result)
+                 F.expr(f"CASE WHEN sum(v0) = 0 THEN 1000 ELSE "
+                        f"sum(CASE WHEN v1 > {_COLOC_THR} THEN v0 "
+                        f"ELSE 0 END) * 1000 DIV sum(v0) END")
                  .cast("bigint").alias("m1_permille"),
-                 F.expr(f"sum(CASE WHEN v0 > {_COLOC_THR} THEN v1 "
-                        f"ELSE 0 END) * 1000 DIV sum(v1)")
+                 F.expr(f"CASE WHEN sum(v1) = 0 THEN 1000 ELSE "
+                        f"sum(CASE WHEN v0 > {_COLOC_THR} THEN v1 "
+                        f"ELSE 0 END) * 1000 DIV sum(v1) END")
                  .cast("bigint").alias("m2_permille"))
             .orderBy("t", "z"))
 

@@ -634,8 +634,9 @@ def _sharded_prev_sum(df, part_col: str, order_cols: list[str],
     oracle keeps that form), at stratum-parallel cost."""
     from pyspark.sql import Window
 
-    shard = (F.col("doc_id") / shard_ids).cast("long")
-    df = df.withColumn("_shard", shard)
+    # integer DIV, not float division + cast: exactness must not depend
+    # on doc_id < 2^53, and cast-truncation != floor for negative ids
+    df = df.withColumn("_shard", F.expr(f"doc_id DIV {shard_ids}"))
     lw = (Window.partitionBy(part_col, "_shard").orderBy(*order_cols)
           .rowsBetween(Window.unboundedPreceding, -1))
     local = F.coalesce(F.sum(val_col).over(lw), F.lit(0))
@@ -1542,9 +1543,14 @@ def _contamination_report_oracle() -> str:
     tagged AS (
       SELECT doc_id, shingle, {split} % 10 = 0 AS is_eval FROM sh),
     evset AS (SELECT DISTINCT shingle FROM tagged WHERE is_eval),
+    train AS (
+      SELECT doc_id FROM documents WHERE {split} % 10 <> 0),
     exact_clean AS (
-      SELECT doc_id FROM (SELECT DISTINCT doc_id FROM tagged
-                          WHERE NOT is_eval) t
+      -- start from ALL train docs (not just shingled ones): a train doc
+      -- with <3 words has zero shingles, never reaches `tagged`, and by
+      -- definition overlaps nothing -> clean, matching the Spark side's
+      -- anti-join-on-exact_dirty semantics.
+      SELECT doc_id FROM train t
       WHERE NOT EXISTS (
         SELECT 1 FROM tagged g JOIN evset e USING (shingle)
         WHERE g.doc_id = t.doc_id AND NOT g.is_eval)),
@@ -1552,8 +1558,6 @@ def _contamination_report_oracle() -> str:
       SELECT doc_id FROM ({_dedup.BLOOM_DECONTAM_ORACLE}) WHERE keep = 1),
     span_clean AS (
       SELECT doc_id FROM ({_dedup.SPAN_COVERAGE_ORACLE}) WHERE keep = 1),
-    train AS (
-      SELECT doc_id FROM documents WHERE {split} % 10 <> 0),
     flags AS (
       SELECT tr.doc_id,
              CASE WHEN e.doc_id IS NULL THEN 0 ELSE 1 END AS p1,
