@@ -421,13 +421,20 @@ def ahash_images(media: DataFrame, codec=FakeCodec) -> DataFrame:
 
 
 def _banded_near_dups(h: DataFrame, max_hamming: int,
-                      max_width: int = MEDIA_MAX_BUCKET_WIDTH
-                      ) -> DataFrame:
-    """Near-duplicate pairs over a (media_id, b0..b3) banded-hash frame:
-    candidates must share one EXACT 16-bit band — by pigeonhole any pair
-    with hamming < AHASH_BANDS differs in at most 3 of the 4 bands, so
-    the banding loses NOTHING at thresholds below the band count (exact,
-    not approximate, recall — up to the width cap below).
+                      max_width: int = MEDIA_MAX_BUCKET_WIDTH,
+                      n_bands: int = AHASH_BANDS) -> DataFrame:
+    """Near-duplicate pairs over a (media_id, b0..b{n_bands-1})
+    banded-hash frame: candidates must share one EXACT 16-bit band — by
+    pigeonhole any pair with hamming < n_bands differs in at most
+    n_bands-1 of the n_bands bands, so the banding loses NOTHING at
+    thresholds below the band count (exact, not approximate, recall —
+    up to the width cap below). `n_bands` parameterizes the key width:
+    4 x 16-bit for the 64-bit aHash family, 8 x 16-bit for the 128-bit
+    pHash (the SCALING.md band-space-saturation escape path — the key
+    space multiplies from 2^16 to the same 2^16 per band but over twice
+    the bands, moving the exact-recall regime from hamming<4 to
+    hamming<8 and the saturation point out by the extra entropy of the
+    wider fingerprint).
 
     Scale discipline (the l2d contract, applied for real):
     - candidate enumeration goes through `_bucket_pairs`
@@ -454,7 +461,7 @@ def _banded_near_dups(h: DataFrame, max_hamming: int,
     held.append(h)
     bands = F.array(*[
         F.struct(F.lit(k).alias("k"), F.col(f"b{k}").alias("v"))
-        for k in range(AHASH_BANDS)])
+        for k in range(n_bands)])
     lf = (h.select("media_id", F.explode(bands).alias("bv"))
           .select("media_id", F.col("bv")["k"].alias("k"),
                   F.col("bv")["v"].alias("v")))
@@ -465,12 +472,12 @@ def _banded_near_dups(h: DataFrame, max_hamming: int,
                     F.col("doc_b").alias("media_id_b")))
     ha = h.select(F.col("media_id").alias("media_id_a"),
                   *[F.col(f"b{k}").alias(f"xa{k}")
-                    for k in range(AHASH_BANDS)])
+                    for k in range(n_bands)])
     hb = h.select(F.col("media_id").alias("media_id_b"),
                   *[F.col(f"b{k}").alias(f"xb{k}")
-                    for k in range(AHASH_BANDS)])
+                    for k in range(n_bands)])
     ham = None
-    for k in range(AHASH_BANDS):
+    for k in range(n_bands):
         term = F.bit_count(
             F.col(f"xa{k}").bitwiseXOR(F.col(f"xb{k}")))
         ham = term if ham is None else ham + term
@@ -491,6 +498,138 @@ def image_near_dups(media: DataFrame, codec=FakeCodec,
     hamming), a < b."""
     return _banded_near_dups(ahash_images(media, codec), max_hamming,
                              max_width=max_width)
+
+
+# -- 128-bit pHash (integer DCT) — the wider-band-key scale path ------------
+#
+# SCALING.md "16-bit band-space saturation" derives that the 64-bit
+# aHash's 4 x 16-bit band key stops discriminating around n = 10^6-10^7
+# items. The documented escape is a WIDER key: a 128-bit perceptual
+# fingerprint banded 8 x 16-bit. This is the classic pHash construction
+# (block-mean image -> 2-D DCT -> sign of the low-frequency AC
+# coefficients), made integer-exact so the SQL oracle reproduces every
+# bit: the DCT basis is a FIXED-POINT table T[u][y] =
+# round(1024 * cos((2y+1) u pi / 32)) baked as literals into BOTH
+# engines, and coefficients are integer dot products of block SUMS
+# (never means — no division anywhere). Exactness bound: |c| <=
+# 255 * n_pixels * 1024^2, so int64 arithmetic is exact up to ~3 x 10^13
+# pixels per image.
+#
+# Why DCT bits (not just a finer 16x8 aHash grid): aHash bits are
+# spatially LOCAL — a localized edit (logo overlay, crop border) flips a
+# contiguous run of bits, wiping out whole bands at once. DCT bits are
+# GLOBAL frequency signs: a local edit perturbs every coefficient a
+# little, flipping only the ones near zero — flips spread thinly across
+# bands, which is exactly what banded LSH wants.
+
+PHASH_GRID = 16     # 16x16 block grid feeding the DCT
+PHASH_BANDS = 8     # 8 x 16-bit bands = 128-bit fingerprint
+PHASH_MAX_HAMMING = 7   # banded join is EXACT for hamming < PHASH_BANDS
+_DCT_SCALE = 1024
+
+import math as _math
+
+# fixed-point DCT-II basis, u,y in 0..15 (u=DC row included: T[0][y]=1024)
+DCT_T = [[int(round(_DCT_SCALE * _math.cos((2 * y + 1) * u *
+                                           _math.pi / 32)))
+          for y in range(16)] for u in range(16)]
+
+# the 128 (u, v) coefficient positions, lowest frequencies first: the
+# u in 0..7 x v in 0..15 rectangle minus DC, plus (8, 0) to round out
+# 128. Band k holds bits [16k, 16k+16) — band 0 is the most stable
+# (lowest-frequency) 16 signs, which is where near-dups agree first.
+PHASH_PAIRS = ([(u, v) for u in range(8) for v in range(16)][1:]
+               + [(8, 0)])
+
+
+def phash_images(media: DataFrame, codec=FakeCodec) -> DataFrame:
+    """128-bit integer-DCT pHash per IMAGE row, as 8 x 16-bit bands.
+
+    Pipeline per image (all int64, bit-identical to the SQL oracle):
+    block sums bs[16][16] over the 16x16 grid (pixel (x, y) -> block
+    ((x*16)//w, (y*16)//h)); C = T[:9] @ bs @ T.T (fixed-point DCT);
+    bit k = 1 iff C[PHASH_PAIRS[k]] > 0. Decode runs executor-side on
+    Arrow batches; non-image rows are dropped before decode."""
+    schema = T.StructType(
+        [T.StructField("media_id", T.LongType())]
+        + [T.StructField(f"b{k}", T.IntegerType())
+           for k in range(PHASH_BANDS)])
+    grid = PHASH_GRID
+    tu = np.asarray(DCT_T, dtype=np.int64)[:9, :]     # u rows 0..8
+    tv = np.asarray(DCT_T, dtype=np.int64)            # v rows 0..15
+    pu = np.asarray([p[0] for p in PHASH_PAIRS])
+    pv = np.asarray([p[1] for p in PHASH_PAIRS])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = []
+            bands = [[] for _ in range(PHASH_BANDS)]
+            for _, row in pdf.iterrows():
+                img = codec.decode(row["payload"])[0].astype(np.int64)
+                h, w = img.shape
+                ys = (np.arange(h) * grid) // h
+                xs = (np.arange(w) * grid) // w
+                bid = (ys[:, None] * grid + xs[None, :]).ravel()
+                # bincount sums stay < 2^53: exact in the float64 path
+                bs = (np.bincount(bid, weights=img.ravel(),
+                                  minlength=grid * grid)
+                      .astype(np.int64).reshape(grid, grid))
+                coef = tu @ bs @ tv.T                  # int64-exact
+                bits = coef[pu, pv] > 0
+                ids.append(int(row["media_id"]))
+                for k in range(PHASH_BANDS):
+                    val = 0
+                    for j in range(16):
+                        if bits[k * 16 + j]:
+                            val |= 1 << j
+                    bands[k].append(val)
+            out = {"media_id": np.asarray(ids, dtype=np.int64)}
+            for k in range(PHASH_BANDS):
+                out[f"b{k}"] = np.asarray(bands[k], dtype=np.int32)
+            yield pd.DataFrame(out)
+
+    return (media.filter(F.col("kind") == "image")
+            .mapInPandas(batches, schema=schema))
+
+
+TWIN_DELTA = 30   # per-pixel perturbation of the twin copies
+TWIN_NPIX = 3     # how many leading pixels the twin perturbs
+
+
+def synth_image_twins(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Near-duplicate IMAGE fixture for the 128-bit pHash tier: every
+    image id of the standard `synth_media` geometry (i % 3 == 0) plus a
+    TWIN copy at media_id i + n whose first TWIN_NPIX pixels are shifted
+    by TWIN_DELTA (mod 251) — a closed-form perturbation the SQL oracle
+    reproduces exactly. The twins land at pHash hamming ~2-8 of their
+    base (empirically 2/3/4/8 across the four fixture widths), so the
+    banded join has real positives to find AND a just-over-threshold
+    pair to reject. All payloads are real PNGs."""
+    from bioio_spark.formats.png import encode_png
+
+    rows = []
+    for i in range(n):
+        if i % 3 != 0:
+            continue
+        w, h = 16 + (i % 4) * 8, 12
+        base = ((np.arange(w * h, dtype=np.int64) * 31 + i * 7) % 251)
+        twin = base.copy()
+        twin[:TWIN_NPIX] = (twin[:TWIN_NPIX] + TWIN_DELTA) % 251
+        for mid, px in ((i, base), (i + n, twin)):
+            payload = encode_png(px.astype(np.uint8).reshape(h, w))
+            rows.append((mid, "image", payload, (w, h, 1, 0, "png")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def phash_near_dups(media: DataFrame, codec=FakeCodec,
+                    max_hamming: int = PHASH_MAX_HAMMING,
+                    max_width: int = MEDIA_MAX_BUCKET_WIDTH) -> DataFrame:
+    """Near-duplicate IMAGE pairs by 128-bit pHash hamming <=
+    `max_hamming` through the parameterized banded join (8 x 16-bit
+    bands — exact recall for hamming < 8 by pigeonhole, capped buckets).
+    Returns (media_id_a, media_id_b, hamming), a < b."""
+    return _banded_near_dups(phash_images(media, codec), max_hamming,
+                             max_width=max_width, n_bands=PHASH_BANDS)
 
 
 AUDIO_FP_WINDOWS = 64

@@ -624,3 +624,17 @@ def test_media_neardup_fingerprints_cached_no_allpairs(spark):
     assert plan.count("InMemoryTableScan") == 3
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_phash_neardup_fingerprints_cached_no_allpairs(spark):
+    """The 128-bit pHash near-dup inherits the same plan shape through
+    the parameterized `_banded_near_dups`: one persisted fingerprint
+    frame feeding three consumers, capped pair explode, no cartesian."""
+    from bioio_spark.functions.multimodal import (phash_near_dups,
+                                                  synth_image_twins)
+
+    df = phash_near_dups(synth_image_twins(spark, 16))
+    plan = physical_plan(df)
+    assert plan.count("InMemoryTableScan") == 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
