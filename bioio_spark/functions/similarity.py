@@ -235,46 +235,61 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 1, k: int = 10,
     )
 
 
-def _ivf_oracle(query_vec_id: int = 1, k: int = 10,
-                n_centroids: int = N_CENTROIDS,
-                n_probe: int = N_PROBE,
-                sample_mod: int = IVF_SAMPLE_MOD) -> str:
+# cosine expression template shared by every IVF-family oracle
+_COS_SQL = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+            " * sqrt(list_dot_product({b}, {b})))")
+
+
+def _ivf_train_sql(n_centroids: int, sample_mod: int, p: str = "") -> str:
+    """The IVF centroid-training CTE chain ({p}seeds -> {p}assign0 ->
+    {p}dims -> {p}tsum -> {p}trained), referencing a preceding `e` CTE.
+    The name prefix `p` lets the SAME text compose into oracles that
+    also carry the PQ chain (whose unprefixed CTE names would collide) —
+    the l15 no-drift device: one training definition, embedded verbatim
+    everywhere it's used."""
     scale = int(_KMEANS_SCALE)
-    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
-           " * sqrt(list_dot_product({b}, {b})))")
-    return f"""
-    WITH e AS (
-      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-    ),
-    seeds AS (SELECT vec_id AS cid, e AS ce FROM e
+    cos = _COS_SQL
+    return f"""{p}seeds AS (SELECT vec_id AS cid, e AS ce FROM e
               WHERE vec_id < {n_centroids}),
-    q AS (SELECT e AS q FROM e WHERE vec_id = {query_vec_id}),
-    assign0 AS (
+    {p}assign0 AS (
       SELECT vec_id, e, cid FROM (
         SELECT e.vec_id, e.e, s.cid,
                row_number() OVER (
                  PARTITION BY e.vec_id
                  ORDER BY {cos.format(a='e.e', b='s.ce')} DESC,
                           s.cid ASC) AS rn
-        FROM e CROSS JOIN seeds s
+        FROM e CROSS JOIN {p}seeds s
         WHERE e.vec_id % {sample_mod} = 0) WHERE rn = 1
     ),
-    dims AS (SELECT unnest(generate_series(
+    {p}dims AS (SELECT unnest(generate_series(
                1, (SELECT max(len(e)) FROM e))) AS i),
-    tsum AS (
+    {p}tsum AS (
       SELECT a.cid, d.i,
              CAST(sum(CAST(floor(a.e[d.i] * {scale}.0) AS BIGINT))
                   AS BIGINT) AS s,
              count(*) AS cnt
-      FROM assign0 a CROSS JOIN dims d GROUP BY a.cid, d.i
+      FROM {p}assign0 a CROSS JOIN {p}dims d GROUP BY a.cid, d.i
     ),
-    trained AS (
+    {p}trained AS (
       SELECT s.cid, COALESCE(t.ce, s.ce) AS ce
-      FROM seeds s LEFT JOIN (
+      FROM {p}seeds s LEFT JOIN (
         SELECT cid,
                list(CAST(s AS DOUBLE) / cnt / {scale}.0 ORDER BY i) AS ce
-        FROM tsum GROUP BY cid) t USING (cid)
+        FROM {p}tsum GROUP BY cid) t USING (cid)
+    )"""
+
+
+def _ivf_oracle(query_vec_id: int = 1, k: int = 10,
+                n_centroids: int = N_CENTROIDS,
+                n_probe: int = N_PROBE,
+                sample_mod: int = IVF_SAMPLE_MOD) -> str:
+    cos = _COS_SQL
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     ),
+    q AS (SELECT e AS q FROM e WHERE vec_id = {query_vec_id}),
+    {_ivf_train_sql(n_centroids, sample_mod)},
     assigned AS (
       SELECT e.vec_id, e.label, e.e, c.cid,
              row_number() OVER (
@@ -1022,6 +1037,243 @@ def _pq_recall_oracle(query_vec_id: int = 2, k: int = _PQ_RECALL_K,
 
 
 PQ_RECALL_ORACLE = _pq_recall_oracle()
+
+
+# --------------------------------------------------------------------------
+# L3i IVF-ADC: the COMPOSED architecture a 100 TB vector store actually
+# runs (Jegou, Douze, Schmid 2011 §IV, "IVFADC"): coarse IVF centroids
+# prune the corpus to n_probe inverted lists, then PQ/ADC ranks the
+# survivors by integer table lookups — never a full dot product on the
+# pruned set, never a scan of the unpruned corpus. The repo had both
+# halves (l3c's probe-limited pruning, l3e's integer ADC); this is the
+# one-query composition (non-residual variant: codes quantize raw
+# vectors, which keeps every distance hash-exact; residual encoding is
+# a documented refinement, not a correctness requirement).
+#
+# Scale shape: both trainings are sampled + session-cached (built once,
+# amortized across queries); assignment and encoding are narrow
+# codegen projections (at ingest time in a real store — the cid and
+# codes columns are what you persist); the probe filter prunes
+# ~n_centroids/n_probe of the corpus BEFORE the ADC projection runs
+# (Catalyst orders the filter ahead of the LUT arithmetic), and the
+# only wide op is TakeOrderedAndProject top-k.
+# --------------------------------------------------------------------------
+def ivf_adc_topk(embeddings: DataFrame, query_vec_id: int = 2,
+                 k: int = 10, n_centroids: int = N_CENTROIDS,
+                 n_probe: int = N_PROBE, m_sub: int = PQ_M,
+                 ks: int = PQ_KS, sample_mod: int = IVF_SAMPLE_MOD,
+                 cache_key=None) -> DataFrame:
+    """IVF-pruned ADC top-k: assign each vector to its max-cosine IVF
+    centroid, keep only the `n_probe` lists nearest the query, rank
+    survivors by the integer ADC sum. Returns (vec_id, label, adc_q)
+    ordered adc_q ASC, vec_id ASC, k rows."""
+    import math
+
+    emb = embeddings.select(
+        "vec_id", "label", _to_double(F.col("embedding")).alias("e"))
+    cents = _train_ivf(emb, n_centroids, sample_mod,
+                       cache_key=cache_key)
+    books = _train_pq(emb, m_sub, ks, sample_mod, cache_key=cache_key)
+    subdim = len(books[(0, 0)])
+    q_rows = (emb.filter(F.col("vec_id") == query_vec_id)
+              .select("e").collect())
+    if not q_rows:
+        raise ValueError(
+            f"query vec_id {query_vec_id} not found in embeddings")
+    q = [float(v) for v in q_rows[0]["e"]]
+    probe_ids = [cid for cid, _ in sorted(
+        ((cid, _cos_py(q, v)) for cid, v in cents.items()),
+        key=lambda t: (-t[1], t[0]))[:n_probe]]
+
+    adc = None
+    for m in range(m_sub):
+        lut = [int(math.floor(
+            _sub_dist_py(q, m * subdim, books[(m, j)])
+            * _KMEANS_SCALE)) for j in range(ks)]
+        code = _pq_code(F.col("e"), m, subdim, books, ks)
+        term = F.element_at(F.array(*[F.lit(v) for v in lut]),
+                            code + 1)
+        adc = term if adc is None else adc + term
+    return (emb.withColumn("ne", _norm(F.col("e")))
+            .withColumn("cid", _assigned(cents).cast("int"))
+            .filter(F.col("cid").isin(probe_ids))
+            .filter(F.col("vec_id") != query_vec_id)
+            .select("vec_id", "label",
+                    adc.cast("bigint").alias("adc_q"))
+            .orderBy(F.col("adc_q").asc(), F.col("vec_id").asc())
+            .limit(k))
+
+
+def _ivf_adc_probe_sql(query_vec_id: int, n_centroids: int,
+                       sample_mod: int) -> str:
+    """IVF half of the composed oracle, PREFIXED 'i' so the PQ chain's
+    unprefixed CTE names don't collide: training embedded verbatim via
+    _ivf_train_sql (the no-drift device), then per-vector assignment
+    and the query's probe ranking."""
+    cos = _COS_SQL
+    return f"""{_ivf_train_sql(n_centroids, sample_mod, p="i")},
+    iq AS (SELECT e AS q FROM e WHERE vec_id = {query_vec_id}),
+    iassigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {cos.format(a='e.e', b='c.ce')} DESC,
+                          c.cid ASC) AS rn
+        FROM e CROSS JOIN itrained c) WHERE rn = 1
+    ),
+    iprobes AS (
+      SELECT c.cid,
+             row_number() OVER (
+               ORDER BY {cos.format(a='iq.q', b='c.ce')} DESC,
+                        c.cid ASC) AS prn
+      FROM itrained c CROSS JOIN iq
+    )"""
+
+
+def _ivf_adc_oracle(query_vec_id: int = 2, k: int = 10,
+                    n_centroids: int = N_CENTROIDS,
+                    n_probe: int = N_PROBE, m_sub: int = PQ_M,
+                    ks: int = PQ_KS,
+                    sample_mod: int = IVF_SAMPLE_MOD,
+                    dim: int = 64) -> str:
+    subdim = dim // m_sub
+    pq_prefix = _pq_train_sql(query_vec_id, m_sub, ks, sample_mod,
+                              subdim)
+    return f"""
+    WITH {pq_prefix},
+    {_ivf_adc_probe_sql(query_vec_id, n_centroids, sample_mod)}
+    SELECT e.vec_id, e.label, a.adc_q
+    FROM adc a JOIN e USING (vec_id)
+    JOIN iassigned ia ON ia.vec_id = e.vec_id
+    JOIN iprobes p ON ia.cid = p.cid AND p.prn <= {n_probe}
+    WHERE e.vec_id != {query_vec_id}
+    ORDER BY a.adc_q ASC, e.vec_id ASC LIMIT {k}
+    """
+
+
+IVF_ADC_ORACLE = _ivf_adc_oracle()
+
+
+def ivf_adc_recall(embeddings: DataFrame, query_vec_id: int = 2,
+                   k: int = _PQ_RECALL_K, n_centroids: int = N_CENTROIDS,
+                   n_probe: int = N_PROBE, m_sub: int = PQ_M,
+                   ks: int = PQ_KS, sample_mod: int = IVF_SAMPLE_MOD,
+                   shortlist: int = _PQ_SHORTLIST,
+                   cache_key=None) -> DataFrame:
+    """L3j recall gauge for the composed index (the l3f device applied
+    to IVF-ADC): against the exact-L2 top-k over the WHOLE corpus,
+    report |IVF-ADC top-k ∩ exact| and the production recipe's
+    |(IVF-ADC shortlist -> exact re-rank) top-k ∩ exact| — so the gauge
+    charges the composition for BOTH quantization loss (l3f's subject)
+    and probe-pruning loss (what IVF adds). One row
+    (k, n_common_adc, n_common_rerank)."""
+    emb = embeddings.select(
+        "vec_id", "label", _to_double(F.col("embedding")).alias("e"))
+    books = _train_pq(emb, m_sub, ks, sample_mod, cache_key=cache_key)
+    subdim = len(books[(0, 0)])
+    q_rows = (emb.filter(F.col("vec_id") == query_vec_id)
+              .select("e").collect())
+    if not q_rows:
+        raise ValueError(
+            f"query vec_id {query_vec_id} not found in embeddings")
+    q = [float(v) for v in q_rows[0]["e"]]
+
+    exact = None
+    for m in range(m_sub):
+        qlit = q[m * subdim:(m + 1) * subdim]
+        d = None
+        for i, c in enumerate(qlit):
+            t = F.element_at("e", m * subdim + i + 1) - F.lit(float(c))
+            term = t * t
+            d = term if d is None else d + term
+        exact = d if exact is None else exact + d
+    base = emb.filter(F.col("vec_id") != query_vec_id)
+    bf = (base.select("vec_id", exact.alias("l2"))
+          .orderBy(F.col("l2").asc(), F.col("vec_id").asc())
+          .limit(k)
+          .select("vec_id"))
+
+    # one composed pass: IVF-ADC shortlist (bounded fetch); its first
+    # k rows ARE the IVF-ADC top-k (same total order)
+    short_ids = [int(r["vec_id"]) for r in
+                 ivf_adc_topk(embeddings, query_vec_id, shortlist,
+                              n_centroids, n_probe, m_sub, ks,
+                              sample_mod, cache_key=cache_key)
+                 .select("vec_id").collect()]
+    comp = emb.sparkSession.createDataFrame(
+        [(i,) for i in short_ids[:k]], "vec_id long")
+    rerank = (base.filter(F.col("vec_id").isin(short_ids))
+              .select("vec_id", exact.alias("l2"))
+              .orderBy(F.col("l2").asc(), F.col("vec_id").asc())
+              .limit(k)
+              .select("vec_id"))
+
+    n_adc = (bf.join(F.broadcast(comp), "vec_id")
+             .agg(F.count(F.lit(1)).cast("bigint")
+                  .alias("n_common_adc")))
+    n_rr = (rerank.join(bf, "vec_id")
+            .agg(F.count(F.lit(1)).cast("bigint")
+                 .alias("n_common_rerank")))
+    return (n_adc.crossJoin(F.broadcast(n_rr))
+            .select(F.lit(k).cast("bigint").alias("k"),
+                    "n_common_adc", "n_common_rerank"))
+
+
+def _ivf_adc_recall_oracle(query_vec_id: int = 2,
+                           k: int = _PQ_RECALL_K,
+                           n_centroids: int = N_CENTROIDS,
+                           n_probe: int = N_PROBE, m_sub: int = PQ_M,
+                           ks: int = PQ_KS,
+                           sample_mod: int = IVF_SAMPLE_MOD,
+                           shortlist: int = _PQ_SHORTLIST,
+                           dim: int = 64) -> str:
+    subdim = dim // m_sub
+    pq_prefix = _pq_train_sql(query_vec_id, m_sub, ks, sample_mod,
+                              subdim)
+    exact = " + ".join(
+        "(" + _sub_dist_sql(f"s{m}.sub", f"qq{m}.qs", subdim) + ")"
+        for m in range(m_sub))
+    sub_joins = " ".join(
+        f"JOIN subs s{m} ON s{m}.vec_id = e.vec_id AND s{m}.m = {m} "
+        f"JOIN q qq{m} ON qq{m}.m = {m}"
+        for m in range(m_sub))
+    return f"""
+    WITH {pq_prefix},
+    {_ivf_adc_probe_sql(query_vec_id, n_centroids, sample_mod)},
+    pruned AS (
+      SELECT a.vec_id, a.adc_q
+      FROM adc a
+      JOIN iassigned ia ON ia.vec_id = a.vec_id
+      JOIN iprobes p ON ia.cid = p.cid AND p.prn <= {n_probe}
+      WHERE a.vec_id != {query_vec_id}
+    ),
+    comp AS (
+      SELECT vec_id FROM pruned
+      ORDER BY adc_q ASC, vec_id ASC LIMIT {k}
+    ),
+    short AS (
+      SELECT vec_id FROM pruned
+      ORDER BY adc_q ASC, vec_id ASC LIMIT {shortlist}
+    ),
+    rerank AS (
+      SELECT e.vec_id FROM e JOIN short USING (vec_id) {sub_joins}
+      ORDER BY ({exact}) ASC, e.vec_id ASC LIMIT {k}
+    ),
+    bf AS (
+      SELECT e.vec_id FROM e {sub_joins}
+      WHERE e.vec_id != {query_vec_id}
+      ORDER BY ({exact}) ASC, e.vec_id ASC LIMIT {k}
+    )
+    SELECT CAST({k} AS BIGINT) AS k,
+           (SELECT CAST(count(*) AS BIGINT) FROM comp JOIN bf
+            USING (vec_id)) AS n_common_adc,
+           (SELECT CAST(count(*) AS BIGINT) FROM rerank JOIN bf
+            USING (vec_id)) AS n_common_rerank
+    """
+
+
+IVF_ADC_RECALL_ORACLE = _ivf_adc_recall_oracle()
 
 
 # --------------------------------------------------------------------------

@@ -180,6 +180,30 @@ def l3f_pq_recall(spark, sf_dir):
                      cache_key=sf_dir)
 
 
+@register("l3i_ivf_adc_topk", oracle=_sim.IVF_ADC_ORACLE,
+          doc="L3i composed IVF-ADC (Jegou et al. 2011 SIV): coarse "
+              "IVF pruning to 2 of 8 inverted lists, then integer-ADC "
+              "ranking over the survivors — the architecture a 100 TB "
+              "vector store actually runs, one query plan")
+def l3i_ivf_adc_topk(spark, sf_dir):
+    from bioio_spark.functions.similarity import ivf_adc_topk
+
+    return ivf_adc_topk(load(spark, sf_dir, "embeddings"),
+                        query_vec_id=2, k=10, cache_key=sf_dir)
+
+
+@register("l3j_ivf_adc_recall", oracle=_sim.IVF_ADC_RECALL_ORACLE,
+          doc="L3j IVF-ADC recall gauge vs exact-L2 brute force: "
+              "charges the composition for quantization loss AND "
+              "probe-pruning loss, with the shortlist->exact-rerank "
+              "production recipe measured alongside")
+def l3j_ivf_adc_recall(spark, sf_dir):
+    from bioio_spark.functions.similarity import ivf_adc_recall
+
+    return ivf_adc_recall(load(spark, sf_dir, "embeddings"),
+                          query_vec_id=2, cache_key=sf_dir)
+
+
 @register("l3g_knn_join", oracle=_sim.KNN_JOIN_ORACLE,
           doc="L3g kNN join: top-k neighbors for a query BATCH in one "
               "pass (salted two-phase per-query top-k — no task ever "

@@ -219,3 +219,37 @@ def test_pq_sparse_seed_ids_is_valueerror(spark):
                    F.col("embedding").alias("e"))
     with pytest.raises(ValueError, match="requires vec_ids 0.."):
         _train_pq(e, PQ_M, PQ_KS, 1, cache_key=None)
+
+
+def test_ivf_adc_subset_of_probed_lists(spark):
+    """L3i composition invariant: every IVF-ADC result id must carry
+    the SAME adc_q as the unpruned PQ ranking assigns it (pruning
+    changes the candidate set, never the distance), and the composed
+    result is a subset of vectors assigned to the probed lists."""
+    from bioio_spark.functions.similarity import (ivf_adc_topk,
+                                                  pq_topk)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    comp = {r["vec_id"]: r["adc_q"]
+            for r in ivf_adc_topk(emb, query_vec_id=2, k=10,
+                                  cache_key=None).collect()}
+    full = {r["vec_id"]: r["adc_q"]
+            for r in pq_topk(emb, query_vec_id=2, k=10 ** 6,
+                             cache_key=None).collect()}
+    assert comp  # pruning must not empty the fixture result
+    for vid, adc in comp.items():
+        assert full[vid] == adc
+
+
+def test_ivf_adc_recall_dominates_pq_recall(spark):
+    """The r10 verdict's done-bar: the composed index's
+    shortlist->rerank recall must be >= the PQ-only gauge's (IVF adds
+    pruning loss, but the rerank recovers it at fixture scale)."""
+    from bioio_spark.functions.similarity import (ivf_adc_recall,
+                                                  pq_recall)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    comp = ivf_adc_recall(emb, query_vec_id=2, cache_key=None).collect()[0]
+    pq = pq_recall(emb, query_vec_id=2, cache_key=None).collect()[0]
+    assert comp["n_common_rerank"] >= pq["n_common_rerank"]
+    assert 0 <= comp["n_common_adc"] <= comp["k"]

@@ -638,3 +638,19 @@ def test_phash_neardup_fingerprints_cached_no_allpairs(spark):
     assert plan.count("InMemoryTableScan") == 3
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_ivf_adc_plan_prunes_before_topk(spark):
+    """l3i composed IVF-ADC: the only wide op is the bounded top-k
+    (TakeOrderedAndProject), the probe filter is a pushed isin ahead of
+    the ADC arithmetic, and nothing goes cartesian."""
+    df = q(spark, "l3i_ivf_adc_topk")
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # the probe-list membership filter survives optimization (the cid
+    # argmax is inlined into it), and the query-exclusion predicate is
+    # pushed all the way into the parquet scan
+    assert "IN (" in plan.replace("IN(", "IN (")
+    assert "Not(EqualTo(vec_id,2))" in plan
