@@ -313,11 +313,15 @@ def _banded_sql(suffix: str = "") -> str:
 
 
 def minhash_pairs_cte(source: str = "documents",
-                      cap: int = MAX_BUCKET_WIDTH) -> str:
-    """CTE chain (no WITH keyword) ending in pairs(doc_a, doc_b) — shared
-    by the pairs oracle and downstream consumers (cluster resolution).
-    Mirrors the Spark pipeline exactly: exact-dup collapse (mh_dd), band
-    keys, keep-lowest-doc_id bucket cap, pair enumeration."""
+                      cap: int = MAX_BUCKET_WIDTH,
+                      name: str = "pairs") -> str:
+    """CTE chain (no WITH keyword) ending in {name}(doc_a, doc_b) —
+    shared by the pairs oracle and downstream consumers (cluster
+    resolution, crossmodal composition — `name` renames just the
+    terminal CTE so composed oracles can reserve `pairs` for their own
+    union). Mirrors the Spark pipeline exactly: exact-dup collapse
+    (mh_dd), band keys, keep-lowest-doc_id bucket cap, pair
+    enumeration."""
     return f"""{_minhash_sql_core(source)},
     banded AS ({_banded_sql()}),
     capped AS (
@@ -327,7 +331,7 @@ def minhash_pairs_cte(source: str = "documents",
                                   ORDER BY doc_id) AS rn
         FROM banded) WHERE rn <= {cap}
     ),
-    pairs AS (
+    {name} AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM capped a JOIN capped b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id

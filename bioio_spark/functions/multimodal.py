@@ -592,6 +592,62 @@ def phash_images(media: DataFrame, codec=FakeCodec) -> DataFrame:
             .mapInPandas(batches, schema=schema))
 
 
+# -- cross-modal dedup fixture (the LAION shape: image + caption) ----------
+#
+# (doc_id, imgidx, capbase, capvar) rows; two docs sharing imgidx carry
+# byte-identical images, two docs sharing (capbase, capvar) carry
+# byte-identical captions, and capvar=1 swaps the caption's LAST word
+# (a minhash NEAR-dup of the capvar=0 twin — 9/10 shingles shared).
+# Structure: 10 base docs; 5 image-twins of docs 0-4 with fresh
+# captions; 5 exact-caption-twins of docs 0-4 with fresh images; 5
+# near-caption-twins of docs 5-9 with fresh images; one BRIDGE doc
+# (image-twin of doc 0 AND near-caption of doc 3 — merges two clusters
+# transitively); two singletons.
+CROSSMODAL_SPEC = tuple(
+    [(k, k, k, 0) for k in range(10)]
+    + [(10 + j, j, 10 + j, 0) for j in range(5)]
+    + [(15 + j, 15 + j, j, 0) for j in range(5)]
+    + [(20 + j, 20 + j, 5 + j, 1) for j in range(5)]
+    + [(25, 0, 3, 1), (26, 26, 26, 0), (27, 27, 27, 0)]
+)
+CAPTION_WORDS = 12
+
+
+def _caption_text(capbase: int, capvar: int) -> str:
+    # words are unique per (capbase, position): distinct capbases share
+    # ZERO shingles (a modular-arithmetic word alphabet would make every
+    # caption a rotation of the same cyclic progression — all captions
+    # near-dups of each other), while a variant shares 9 of 10 shingles
+    # with its base (only the last-shingle window moves)
+    ws = [f"w{capbase}_{j}" for j in range(CAPTION_WORDS)]
+    if capvar:
+        ws[-1] = f"x{capbase}"
+    return " ".join(ws)
+
+
+def synth_crossmodal(spark: SparkSession):
+    """The crossmodal fixture as (media, captions): one real-PNG image
+    row (MEDIA_SCHEMA, media_id = doc_id) plus one caption row
+    (doc_id, text) per CROSSMODAL_SPEC entry. Image content is the
+    closed-form pixel formula keyed by imgidx (identical imgidx ->
+    byte-identical image; distinct imgidx are >3 aHash bits apart on
+    this spec, verified by test)."""
+    from bioio_spark.formats.png import encode_png
+
+    media_rows, cap_rows = [], []
+    for doc_id, imgidx, capbase, capvar in CROSSMODAL_SPEC:
+        w, h = 16 + (imgidx % 4) * 8, 12
+        px = ((np.arange(w * h, dtype=np.int64) * 31 + imgidx * 7)
+              % 251).astype(np.uint8)
+        media_rows.append((doc_id, "image",
+                           encode_png(px.reshape(h, w)),
+                           (w, h, 1, 0, "png")))
+        cap_rows.append((doc_id, _caption_text(capbase, capvar)))
+    media = spark.createDataFrame(media_rows, MEDIA_SCHEMA)
+    caps = spark.createDataFrame(cap_rows, "doc_id long, text string")
+    return media, caps
+
+
 TWIN_DELTA = 30   # per-pixel perturbation of the twin copies
 TWIN_NPIX = 3     # how many leading pixels the twin perturbs
 

@@ -159,3 +159,53 @@ def test_decode_features_mixed_codecs(spark):
         b = base[r["media_id"]]
         assert (r["mean_value"], r["max_value"]) == \
             (b["mean_value"], b["max_value"])
+
+
+# -- L5o cross-modal dedup (r11) --------------------------------------------
+
+def test_crossmodal_adversarial_structure(spark):
+    """The r10 verdict's adversarial bar: same image/different caption
+    and same caption/different image BOTH resolve into one cluster, a
+    bridge doc merges two clusters transitively, and edge-free docs
+    stay singleton keepers."""
+    from bioio_spark.queries import REGISTRY
+
+    rows = {r["doc_id"]: r for r in
+            REGISTRY["mm_crossmodal_dedup"]
+            .fn(spark, "/root/testdata/sf0.001").collect()}
+    # same image, different caption: docs 1 and 11 share imgidx 1
+    assert rows[11]["cluster_rep"] == rows[1]["cluster_rep"]
+    # same caption, different image: docs 1 and 16 share capbase 1
+    assert rows[16]["cluster_rep"] == rows[1]["cluster_rep"]
+    # NEAR caption (variant last word), different image: docs 5 and 20
+    assert rows[20]["cluster_rep"] == rows[5]["cluster_rep"] == 5
+    # the bridge: doc 25 is an image-twin of doc 0 AND a near-caption
+    # of doc 3 — merging {0,10,15} with {3,13,18} into one cluster
+    reps = {rows[d]["cluster_rep"] for d in (0, 3, 10, 13, 15, 18, 25)}
+    assert reps == {0}
+    assert rows[0]["cluster_size"] == 7
+    # independent families stay apart
+    assert rows[1]["cluster_rep"] != rows[2]["cluster_rep"]
+    # singletons keep themselves
+    for d in (26, 27):
+        assert rows[d]["cluster_rep"] == d
+        assert rows[d]["cluster_size"] == 1 and rows[d]["keep"] == 1
+    # exactly one keeper per cluster
+    keepers = [d for d, r in rows.items() if r["keep"] == 1]
+    assert sorted(keepers) == sorted(
+        {r["cluster_rep"] for r in rows.values()})
+
+
+def test_crossmodal_images_distinct_unless_twinned(spark):
+    """Fixture guard: distinct imgidx values must be >3 aHash bits
+    apart (no accidental image edges blurring the caption-edge test)."""
+    from bioio_spark.functions.multimodal import (AutoCodec,
+                                                  CROSSMODAL_SPEC,
+                                                  image_near_dups,
+                                                  synth_crossmodal)
+
+    media, _caps = synth_crossmodal(spark)
+    imgidx = {d: i for d, i, _c, _v in CROSSMODAL_SPEC}
+    for r in image_near_dups(media, codec=AutoCodec).collect():
+        assert imgidx[r["media_id_a"]] == imgidx[r["media_id_b"]]
+        assert r["hamming"] == 0
