@@ -893,3 +893,224 @@ def s13_stream_cms_sketch(spark, sf_dir):
                     (F.col("cms_est") - F.col("exact")).cast("bigint")
                     .alias("over_by"))
             .orderBy(F.col("exact").desc(), "word"))
+
+
+# --------------------------------------------------------------------------
+# S14 streaming LATE-DATA / WATERMARK gauge: the tier pins exactly-once
+# and streaming==batch for append aggregates, but nothing measures what
+# the watermark DROPS. Fixture: events re-ordered across micro-batches
+# by a closed formula (roughly chronological weekly batches, with a
+# hashed 10% of events arriving TWO batches late). The REAL structured
+# stream (withWatermark + 1-day tumbling window, update mode, dynamic
+# partition overwrite per window — exactly-once) produces the engine's
+# accepted count per window; the batch side recomputes the watermark
+# semantics from the arrival order (per-batch max event time ->
+# prefix max -> ms-floored watermark -> window_end <= watermark drop
+# rule, Spark's own arithmetic) and reports per-window integers
+# (n_ontime, n_late_accepted, n_dropped, n_accepted_engine). The oracle
+# computes ALL FOUR from the arrival model textually — so the hash
+# match PROVES the engine dropped exactly the predicted set.
+# Scale: the gauge is the run report a production watermark config
+# ships; the model side is two tiny aggregates over the event scan.
+# --------------------------------------------------------------------------
+_S14_BATCHES = 5
+_S14_DELAY_MS = 3 * 86400 * 1000          # watermark delay: 3 days
+_S14_WIN_US = 86400 * 1000 * 1000         # 1-day tumbling windows
+_S14_BASE = "2024-01-01"                  # events fixture epoch
+
+
+def _s14_arrival_batch_col():
+    """Closed-form arrival batch: weekly chronological batches, with
+    h32-selected ~10%% of events arriving two batches late (capped)."""
+    from bioio_spark.functions.hashing import h32_col
+
+    day_idx = F.datediff(F.col("ts").cast("date"),
+                         F.lit(_S14_BASE).cast("date"))
+    strag = (h32_col(F.concat(F.lit("s14:"),
+                              F.col("event_id").cast("string"))) % 10
+             == 0)
+    return F.least(
+        F.lit(_S14_BATCHES - 1),
+        F.floor(day_idx / 7).cast("int")
+        + F.when(strag, 2).otherwise(0)).cast("int")
+
+
+def _s14_fixture_dir(spark, sf_dir: str) -> str:
+    """events (event_id, ts) split into _S14_BATCHES parquet files by
+    arrival batch, ascending mtimes (file order IS the batch order and,
+    unlike s10/s12, here it changes what the watermark drops — which is
+    the point; the formula makes it deterministic)."""
+    import os
+    import time
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", f"s14_events_{tag}")
+    done = os.path.join(base, "_FIXTURE_DONE")
+    if os.path.isfile(done):
+        return base
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ev = (load(spark, sf_dir, "events")
+          .select("event_id", F.unix_micros("ts").alias("tus"),
+                  _s14_arrival_batch_col().alias("g"))
+          .orderBy("event_id").collect())
+    os.makedirs(base, exist_ok=True)
+    now = time.time()
+    for k in range(_S14_BATCHES):
+        rows = [r for r in ev if r["g"] == k]
+        # UTC-adjusted micros -> Spark reads TimestampType (NOT ntz,
+        # which withWatermark rejects)
+        tbl = pa.table({"event_id": [r["event_id"] for r in rows],
+                        "ts": pa.array([r["tus"] for r in rows],
+                                       type=pa.timestamp("us",
+                                                         tz="UTC"))})
+        p = os.path.join(base, f"arrival{k}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (now + k, now + k))
+    with open(done, "w") as f:
+        f.write("ok")
+    return base
+
+
+def stream_watermark_store(spark, ev_dir: str, store: str) -> None:
+    """The REAL watermarked stream: readStream one file per trigger,
+    withWatermark 3 days, 1-day tumbling count in UPDATE mode; each
+    micro-batch's updated windows overwrite their own day-partitions
+    (exactly-once under replays — the s9/s10 device). Late rows beyond
+    the watermark never reach the state store, so the final store IS
+    the engine's accepted count per window."""
+    import os
+
+    schema = spark.read.parquet(ev_dir).schema
+
+    def write_batch(batch, _bid):
+        (batch.withColumn(
+            "wd", F.datediff(F.col("window_start").cast("date"),
+                             F.lit(_S14_BASE).cast("date")))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("wd").parquet(os.path.join(store, "wins")))
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(ev_dir)
+         .withWatermark("ts", "3 days")
+         .groupBy(F.window("ts", "1 day").alias("w"))
+         .agg(F.count(F.lit(1)).alias("n_acc"))
+         .select(F.col("w.start").alias("window_start"), "n_acc")
+         .writeStream.foreachBatch(write_batch)
+         .outputMode("update")
+         .option("checkpointLocation", os.path.join(store, "_ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+def _s14_oracle() -> str:
+    from bioio_spark.functions.hashing import h32_sql
+
+    h = h32_sql("'s14:' || CAST(event_id AS VARCHAR)")
+    return f"""
+    WITH r AS (
+      SELECT event_id, ts, epoch_us(ts) AS tus,
+             LEAST({_S14_BATCHES - 1},
+                   date_diff('day', DATE '{_S14_BASE}', ts) // 7
+                   + CASE WHEN {h} % 10 = 0 THEN 2 ELSE 0 END) AS g
+      FROM events),
+    bm AS (SELECT g, max(tus) AS bmax FROM r GROUP BY g),
+    pm AS (SELECT g,
+             max(bmax) OVER (ORDER BY g
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax,
+             max(bmax) OVER (ORDER BY g
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) AS lmax
+           FROM bm),
+    j AS (
+      SELECT r.tus, pm.pmax, pm.lmax,
+             CASE WHEN pm.lmax IS NULL THEN NULL
+                  ELSE ((pm.lmax // 1000) - {_S14_DELAY_MS}) * 1000
+             END AS wm
+      FROM r JOIN pm USING (g)),
+    f AS (
+      SELECT (tus // {_S14_WIN_US}) * {_S14_WIN_US} AS ws,
+             CASE WHEN lmax IS NOT NULL
+                   AND (tus // {_S14_WIN_US}) * {_S14_WIN_US}
+                       + {_S14_WIN_US} <= wm
+                  THEN 1 ELSE 0 END AS dropped,
+             CASE WHEN pmax IS NOT NULL AND tus < pmax
+                  THEN 1 ELSE 0 END AS late
+      FROM j)
+    SELECT make_timestamp(ws) AS window_start,
+           CAST(sum(1 - late) AS BIGINT) AS n_ontime,
+           CAST(sum(late * (1 - dropped)) AS BIGINT) AS n_late_accepted,
+           CAST(sum(dropped) AS BIGINT) AS n_dropped,
+           CAST(sum(1 - dropped) AS BIGINT) AS n_accepted_engine
+    FROM f GROUP BY ws ORDER BY window_start
+    """
+
+
+@register(
+    "s14_stream_watermark_gauge",
+    oracle=_s14_oracle(),
+    doc="S14 watermark late-data gauge: a real watermarked stream over "
+        "a deterministically re-ordered arrival fixture vs the "
+        "closed-form drop model — per-window n_ontime / n_late_accepted "
+        "/ n_dropped, with the engine's accepted count hash-proven "
+        "equal to the prediction",
+)
+def s14_stream_watermark_gauge(spark, sf_dir):
+    import os
+    import shutil
+
+    ev_dir = _s14_fixture_dir(spark, sf_dir)
+    store = os.path.join(os.path.dirname(ev_dir),
+                         f"s14_store_{os.path.basename(ev_dir)}")
+    shutil.rmtree(store, ignore_errors=True)
+    stream_watermark_store(spark, ev_dir, store)
+
+    eng = (spark.read.parquet(os.path.join(store, "wins"))
+           .select(F.unix_micros("window_start").alias("ws"),
+                   F.col("n_acc").cast("bigint").alias("n_eng")))
+
+    # recompute g from the same closed formula (the file split is the
+    # fixture's job; the model must stand on the formula alone)
+    rows = (spark.read.parquet(ev_dir)
+            .select(_s14_arrival_batch_col().alias("g"),
+                    F.unix_micros("ts").alias("tus")))
+    bmax = rows.groupBy("g").agg(F.max("tus").alias("bmax"))
+    # Spark keeps TWO watermarks per batch (SPARK-24634 line): the
+    # late-event FILTER uses the PREVIOUS batch's watermark (prefix max
+    # over batches <= k-2, `lmax`), while eviction uses the current one
+    # — verified against the engine: the lag-1 model over-predicts
+    # drops (78 vs the engine's 31 on the sf0.001 fixture)
+    w1 = (Window.orderBy("g")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    w2 = (Window.orderBy("g")
+          .rowsBetween(Window.unboundedPreceding, -2))
+    pm = (bmax.withColumn("pmax", F.max("bmax").over(w1))
+          .withColumn("lmax", F.max("bmax").over(w2))
+          .select("g", "pmax", "lmax"))
+    j = (rows.join(F.broadcast(pm), "g")
+         .withColumn("wm", (F.floor(F.col("lmax") / 1000)
+                            - F.lit(_S14_DELAY_MS)) * 1000)
+         .withColumn("ws", F.floor(F.col("tus") / _S14_WIN_US)
+                     * _S14_WIN_US)
+         .withColumn("dropped",
+                     (F.col("lmax").isNotNull()
+                      & (F.col("ws") + _S14_WIN_US <= F.col("wm")))
+                     .cast("int"))
+         .withColumn("late",
+                     (F.col("pmax").isNotNull()
+                      & (F.col("tus") < F.col("pmax"))).cast("int")))
+    model = (j.groupBy("ws")
+             .agg(F.sum(1 - F.col("late")).cast("bigint")
+                  .alias("n_ontime"),
+                  F.sum(F.col("late") * (1 - F.col("dropped")))
+                  .cast("bigint").alias("n_late_accepted"),
+                  F.sum("dropped").cast("bigint").alias("n_dropped")))
+    return (model.join(eng, "ws", "left")
+            .select(F.timestamp_micros("ws").alias("window_start"),
+                    "n_ontime", "n_late_accepted", "n_dropped",
+                    F.coalesce("n_eng", F.lit(0)).cast("bigint")
+                    .alias("n_accepted_engine"))
+            .orderBy("window_start"))

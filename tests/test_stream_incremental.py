@@ -155,3 +155,43 @@ def test_s13_cms_store_replay_idempotent_and_additive(spark, sf_dir):
         .collect())
     assert summed == batch
     shutil.rmtree(store, ignore_errors=True)
+
+
+def test_s14_watermark_store_replay_idempotent(spark, sf_dir):
+    """s14: losing the checkpoint and replaying the same arrival files
+    converges to the same per-window accepted counts (update-mode
+    emissions overwrite their own day-partitions; the drop set depends
+    only on the batch sequence, which the fixture fixes)."""
+    from bioio_spark.queries.streaming_batch import (_s14_fixture_dir,
+                                                     stream_watermark_store)
+
+    ev_dir = _s14_fixture_dir(spark, sf_dir)
+    store = os.path.join(os.path.dirname(ev_dir), "s14_replay_test")
+    shutil.rmtree(store, ignore_errors=True)
+    stream_watermark_store(spark, ev_dir, store)
+    first = sorted(
+        tuple(r) for r in
+        spark.read.parquet(os.path.join(store, "wins")).collect())
+    assert first, "stream produced no windows"
+    shutil.rmtree(os.path.join(store, "_ckpt"))
+    stream_watermark_store(spark, ev_dir, store)
+    second = sorted(
+        tuple(r) for r in
+        spark.read.parquet(os.path.join(store, "wins")).collect())
+    assert first == second
+    shutil.rmtree(store, ignore_errors=True)
+
+
+def test_s14_engine_drops_match_model(spark, sf_dir):
+    """The gauge's core claim: the engine accepted exactly
+    n_ontime + n_late_accepted per window, and the fixture actually
+    exercises all three buckets."""
+    from bioio_spark.queries import REGISTRY
+
+    rows = (REGISTRY["s14_stream_watermark_gauge"]
+            .fn(spark, sf_dir).collect())
+    assert sum(r["n_dropped"] for r in rows) > 0
+    assert sum(r["n_late_accepted"] for r in rows) > 0
+    for r in rows:
+        assert (r["n_accepted_engine"]
+                == r["n_ontime"] + r["n_late_accepted"]), r
