@@ -943,3 +943,67 @@ def a36_pivot_unpivot(spark, sf_dir):
             .select("o_orderpriority", "status",
                     F.col("n_orders").cast("bigint").alias("n_orders"))
             .orderBy("o_orderpriority", "status"))
+
+
+# --------------------------------------------------------------------------
+# A37: SALTED SKEW JOIN — a1b salts a skewed aggregate; this is the JOIN
+# half of the skew story. The fixture's realistic hot key: ~75% of
+# events fold to account 0 (the anonymous/logged-out default-key shape —
+# THE classic join skew at scale). A plain shuffle join would put the
+# whole hot key in ONE task; the salted twin splits it S ways: the fact
+# side adds salt = event_id % S, the dim side replicates each customer
+# row S times (one per salt), and the join key becomes (acct, salt) —
+# provably identical output (each fact row meets exactly the one dim
+# copy carrying its salt), hot-key work spread across S tasks. The
+# merge hint pins the shuffle-join strategy the pattern exists for (a
+# broadcast would hide the skew at fixture scale — and when the dim fits
+# in memory, broadcasting IS the right fix; salting is for when it
+# doesn't). AQE's OptimizeSkewedJoin does this adaptively at real scale
+# (256 MB partitions); the explicit salt is the deterministic,
+# engine-independent form the oracle can mirror.
+# --------------------------------------------------------------------------
+_A37_SALT = 8
+
+
+@register(
+    "a37_salted_skew_join",
+    oracle="""
+    WITH f AS (
+      SELECT CASE WHEN user_id % 4 <> 0 THEN 0 ELSE user_id END AS acct,
+             value
+      FROM events)
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(f.value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM f LEFT JOIN customer c ON c.c_custkey = f.acct
+    GROUP BY c.c_mktsegment ORDER BY segment
+    """,
+    doc="A37 salted skew join: 75%-hot default key (anonymous account) "
+        "split S ways via fact-side salt + S-fold dim replication — "
+        "output provably identical to the plain join (the oracle), "
+        "hot-key work spread across S tasks",
+)
+def a37_salted_skew_join(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer")
+    fact = ev.select(
+        F.when(F.col("user_id") % 4 != 0, F.lit(0))
+        .otherwise(F.col("user_id")).alias("acct"),
+        (F.col("event_id") % _A37_SALT).alias("_salt"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"))
+    dim = (cust.select("c_custkey", "c_mktsegment",
+                       F.explode(F.array(*[F.lit(s) for s in
+                                           range(_A37_SALT)]))
+                       .alias("_salt")))
+    joined = fact.join(
+        dim.hint("merge"),
+        (fact["acct"] == dim["c_custkey"])
+        & (fact["_salt"] == dim["_salt"]),
+        "left")
+    return (joined.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.sum("cents").cast("bigint").alias("value_cents"))
+            .select(F.col("c_mktsegment").alias("segment"),
+                    "n_events", "value_cents")
+            .orderBy("segment"))

@@ -654,3 +654,35 @@ def test_ivf_adc_plan_prunes_before_topk(spark):
     # pushed all the way into the parquet scan
     assert "IN (" in plan.replace("IN(", "IN (")
     assert "Not(EqualTo(vec_id,2))" in plan
+
+
+def test_a37_salted_join_spreads_hot_key(spark):
+    """a37: the join must be a shuffle join keyed on (acct, _salt) —
+    the salt in the exchange partitioning IS the skew split — with no
+    broadcast (which would hide the pattern) and no cartesian."""
+    df = q(spark, "a37_salted_skew_join")
+    plan = physical_plan(df)
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    # the salt participates in the shuffle partitioning of both sides
+    import re
+    parts = re.findall(r"hashpartitioning\([^)]*\)", plan)
+    salted = [p for p in parts if "_salt" in p]
+    assert len(salted) >= 2, plan[:2000]
+
+
+def test_a37_salt_width_invariant(spark, sf_dir):
+    """Salting must not change the result for ANY salt width: the
+    S-fold dim replication meets each fact row exactly once."""
+    import bioio_spark.queries.relational as rel
+
+    base = sorted(tuple(r) for r in
+                  q(spark, "a37_salted_skew_join").collect())
+    old = rel._A37_SALT
+    try:
+        rel._A37_SALT = 3
+        alt = sorted(tuple(r) for r in
+                     rel.a37_salted_skew_join(spark, sf_dir).collect())
+    finally:
+        rel._A37_SALT = old
+    assert base == alt
