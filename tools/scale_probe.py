@@ -1,0 +1,180 @@
+"""10x scale probe for the dedup family (SCALING.md evidence).
+
+Builds a one-off sf1-equivalent fixture (10x the sf0.1 documents and
+embeddings) under .scratch/sf1 and times the headline dedup operators at
+sf0.1 vs sf1, printing the wall-clock ratios the SCALING.md table
+records. The replicas are made STATISTICALLY INDEPENDENT of each other
+(every word suffixed with the replica id -> zero shared shingles across
+replicas; embeddings coordinate-rolled per replica), so the theoretical
+scaling is the operator's own complexity in corpus size, not an
+artifact of 10 literal copies flooding the same buckets.
+
+Usage:  python tools/scale_probe.py [--runs 2]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".scratch")
+DST = os.path.join(_SCRATCH, "sf1")      # 10x sf0.1
+DST100 = os.path.join(_SCRATCH, "sf10")  # 100x sf0.1
+
+
+def build_fixture(replicas: int = 10, dst: str = DST) -> str:
+    done = os.path.join(dst, "_FIXTURE_DONE")
+    if os.path.isfile(done):
+        return dst
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst, exist_ok=True)
+
+    docs = pq.read_table(os.path.join(SRC, "documents.parquet"))
+    d = docs.to_pydict()
+    out = {k: [] for k in d}
+    for k in range(replicas):
+        for i in range(len(d["doc_id"])):
+            if k == 0:
+                text = d["text"][i]
+            else:
+                text = re.sub(r"(\S+)", rf"\g<1>_{k}", d["text"][i])
+            out["doc_id"].append(d["doc_id"][i] + k * 10_000_000)
+            out["text"].append(text)
+            out["lang"].append(d["lang"][i])
+            out["source"].append(d["source"][i])
+            out["n_chars"].append(len(text))
+    pq.write_table(pa.table(out, schema=docs.schema),
+                   os.path.join(dst, "documents.parquet"))
+
+    emb = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+    e = emb.to_pydict()
+    vecs = np.asarray([list(v) for v in e["embedding"]], dtype=np.float32)
+    ids, arrs, labels = [], [], []
+    for k in range(replicas):
+        ids.extend(i + k * 1_000_000 for i in e["vec_id"])
+        arrs.append(np.roll(vecs, k * 7, axis=1))
+        labels.extend(e["label"])
+    allv = np.concatenate(arrs, axis=0)
+    pq.write_table(
+        pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array([row for row in allv.tolist()],
+                                        pa.list_(pa.float32())),
+                  "label": pa.array(labels, emb.schema.field("label").type)}),
+        os.path.join(dst, "embeddings.parquet"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return dst
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+
+    build_fixture(10, DST)
+    build_fixture(100, DST100)
+
+    import struct
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bioio_spark.functions.clusters import dedup_clusters
+    from bioio_spark.functions.multimodal import (_MAGIC, MEDIA_SCHEMA,
+                                                  image_near_dups)
+    from bioio_spark.functions.similarity import semantic_dedup
+    from bioio_spark.queries import REGISTRY
+    from bioio_spark.queries.base import load
+    from bioio_spark.session import get_session
+
+    spark = get_session()
+
+    def sink(df):
+        # bench.py's noop sink: forces FULL materialization of every
+        # column (count() lets Catalyst prune left-join flag columns —
+        # observed: l2g flat-lined at 100x data under count())
+        df.write.format("noop").mode("overwrite").save()
+
+    def timed(fn):
+        best = None
+        for _ in range(args.runs):
+            t0 = time.monotonic()
+            fn()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    def reg(name, sf_dir):
+        return lambda: sink(REGISTRY[name].fn(spark, sf_dir))
+
+    def l12_cold(sf_dir):
+        # cache_key=None: retrain per run, so BOTH scales pay their own
+        # training (the registry's session cache would otherwise make the
+        # second timed run measure only the persisted assignment readback)
+        return lambda: sink(semantic_dedup(
+            load(spark, sf_dir, "embeddings"), cache_key=None))
+
+    def _media(n):
+        """n INDEPENDENT random images (rng seeded per id) with a 10%
+        exact-dup rate (id % 10 == 0 copies id+1) — linear dup structure,
+        so the theoretical scaling is the fingerprint+banding cost, not
+        the degenerate self-similar tail of the closed-form synth_media
+        content (which at thousands of ids chains into deep clusters —
+        the capped-bucket case the unit tests pin separately)."""
+        header = struct.pack("<iii", 16, 12, 1)
+        rows = []
+        for i in range(n):
+            seed = i + 1 if (i % 10 == 0 and i + 1 < n) else i
+            img = np.random.default_rng(seed).integers(
+                0, 251, size=(12, 16)).astype(np.uint8)
+            rows.append((i, "image", _MAGIC + header + img.tobytes(),
+                         (16, 12, 1, 0, "fkc1")))
+        return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    def media_neardup(n):
+        def run():
+            sink(image_near_dups(_media(n)))
+        return run
+
+    def media_pipeline(n):
+        def run():
+            pairs = image_near_dups(_media(n))
+            sink(dedup_clusters(pairs.select(
+                F.col("media_id_a").alias("doc_a"),
+                F.col("media_id_b").alias("doc_b"))))
+        return run
+
+    probes = [
+        ("l2_minhash_lsh", reg("l2_minhash_lsh", SRC),
+         reg("l2_minhash_lsh", DST), reg("l2_minhash_lsh", DST100)),
+        ("l2g_incremental_dedup", reg("l2g_incremental_dedup", SRC),
+         reg("l2g_incremental_dedup", DST),
+         reg("l2g_incremental_dedup", DST100)),
+        ("l12_semantic_dedup(cold)", l12_cold(SRC), l12_cold(DST),
+         l12_cold(DST100)),
+        ("mm_ahash_neardup(n=2k/20k/200k)", media_neardup(2000),
+         media_neardup(20000), media_neardup(200000)),
+        ("mm_dedup_pipeline(n=2k/20k/200k)", media_pipeline(2000),
+         media_pipeline(20000), media_pipeline(200000)),
+    ]
+    print(f"{'probe':34s} {'sf0.1':>8s} {'10x':>8s} {'100x':>8s}"
+          f" {'r10':>6s} {'r100':>7s}")
+    for name, small, big, huge in probes:
+        ts = timed(small)
+        tb = timed(big)
+        th = timed(huge)
+        print(f"{name:34s} {ts:8.2f} {tb:8.2f} {th:8.2f}"
+              f" {tb / ts:6.2f} {th / ts:7.2f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
