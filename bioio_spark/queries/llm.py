@@ -204,6 +204,19 @@ def l3j_ivf_adc_recall(spark, sf_dir):
                           query_vec_id=2, cache_key=sf_dir)
 
 
+@register("l3k_ivf_rpq_topk", oracle=_sim.IVF_RPQ_ORACLE,
+          doc="L3k residual IVF-ADC (the full IVFADC of Jegou et al. "
+              "2011 SIV.A): PQ quantizes the residual v - q_coarse(v), "
+              "search ranks probed lists by per-list query-residual "
+              "integer LUTs — the refinement that beats raw-vector PQ "
+              "at equal code budget")
+def l3k_ivf_rpq_topk(spark, sf_dir):
+    from bioio_spark.functions.similarity import ivf_rpq_topk
+
+    return ivf_rpq_topk(load(spark, sf_dir, "embeddings"),
+                        query_vec_id=2, k=10, cache_key=sf_dir)
+
+
 @register("l3g_knn_join", oracle=_sim.KNN_JOIN_ORACLE,
           doc="L3g kNN join: top-k neighbors for a query BATCH in one "
               "pass (salted two-phase per-query top-k — no task ever "

