@@ -1382,6 +1382,31 @@ def _train_rpq(emb: DataFrame, cents: dict, m_sub: int = PQ_M,
     return trained
 
 
+def rpq_encode(emb: DataFrame, cents: dict, books: dict,
+               m_sub: int = PQ_M, ks: int = PQ_KS) -> DataFrame:
+    """Encode (vec_id, label, e) rows against a FROZEN residual-PQ
+    index: coarse argmax assignment -> residual -> m_sub argmin codes,
+    as three checkpoint-separated stages. Fusing the coarse argmax
+    (~1.2k generated ops) with the residual + argmins (~2.7k) in one
+    whole-stage span is what failed to compile (SCALING.md r11
+    postscript); the staging is also the honest ingest-pipeline shape.
+    Used by the batch codes frame AND the s15 streaming micro-batch
+    encoder (one definition, streaming == batch by construction)."""
+    dim = len(next(iter(cents.values())))
+    subdim = dim // m_sub
+    assigned = (emb.withColumn("ne", _norm(F.col("e")))
+                .withColumn("cid", _assigned(cents).cast("int"))
+                .select("vec_id", "label", "cid", "e")
+                .localCheckpoint(eager=False))
+    resd = (_with_residual(assigned, cents, dim)
+            .select("vec_id", "label", "cid", "res")
+            .localCheckpoint(eager=False))
+    return resd.select(
+        "vec_id", "label", "cid",
+        *[_pq_code(F.col("res"), m, subdim, books, ks)
+          .alias(f"_c{m}") for m in range(m_sub)])
+
+
 def _rpq_codes_frame(emb: DataFrame, cents: dict, books: dict,
                      m_sub: int = PQ_M, ks: int = PQ_KS,
                      cache_key=None) -> DataFrame:
@@ -1406,22 +1431,8 @@ def _rpq_codes_frame(emb: DataFrame, cents: dict, books: dict,
         cache = {}
     if cache_key is not None and key in cache:
         return cache[key]
-    # assignment and encoding are SEPARATE pipeline stages (the ingest
-    # pipeline materializes the assignment anyway): fusing the coarse
-    # argmax (~1.2k generated ops) with the residual + m_sub argmins
-    # (~2.7k) in one whole-stage span is what failed to compile
-    assigned = (emb.withColumn("ne", _norm(F.col("e")))
-                .withColumn("cid", _assigned(cents).cast("int"))
-                .select("vec_id", "label", "cid", "e")
-                .localCheckpoint(eager=False))
-    resd = (_with_residual(assigned, cents, dim)
-            .select("vec_id", "label", "cid", "res")
-            .localCheckpoint(eager=False))
-    coded = (resd
-             .select("vec_id", "label", "cid",
-                     *[_pq_code(F.col("res"), m, subdim, books, ks)
-                       .alias(f"_c{m}") for m in range(m_sub)])
-             .persist(StorageLevel.MEMORY_AND_DISK))
+    coded = rpq_encode(emb, cents, books, m_sub, ks).persist(
+        StorageLevel.MEMORY_AND_DISK)
     if cache_key is not None:
         cache[key] = coded
     else:
@@ -1470,7 +1481,18 @@ def ivf_rpq_topk(embeddings: DataFrame, query_vec_id: int = 2,
 
     coded = _rpq_codes_frame(emb, cents, books, m_sub, ks,
                              cache_key=cache_key)
-    coded = (coded.filter(F.col("cid").isin(probe_ids))
+    return rpq_search(coded, luts, probe_ids, query_vec_id, k,
+                      m_sub=m_sub)
+
+
+def rpq_search(coded: DataFrame, luts: dict, probe_ids: list,
+               query_vec_id: int, k: int,
+               m_sub: int = PQ_M) -> DataFrame:
+    """LUT-rank a codes table: filter to the probed lists, sum the
+    per-subspace integer lookups (when-chain over the n_probe lists),
+    bounded top-k. Shared by the batch path and the s15 streaming
+    codes-store probe (one search definition)."""
+    coded = (coded.filter(F.col("cid").isin(list(probe_ids)))
              .filter(F.col("vec_id") != query_vec_id))
     adc = None
     for m in range(m_sub):
@@ -1489,6 +1511,29 @@ def ivf_rpq_topk(embeddings: DataFrame, query_vec_id: int = 2,
                          adc.cast("bigint").alias("adc_q"))
             .orderBy(F.col("adc_q").asc(), F.col("vec_id").asc())
             .limit(k))
+
+
+def rpq_query_luts(q: list, cents: dict, books: dict,
+                   n_probe: int = N_PROBE, m_sub: int = PQ_M,
+                   ks: int = PQ_KS):
+    """(probe_ids, luts) for a query vector against a frozen index —
+    one integer LUT per (probed list, subspace), since the query
+    residual differs per list."""
+    import math
+
+    dim = len(next(iter(cents.values())))
+    subdim = dim // m_sub
+    probe_ids = [cid for cid, _ in sorted(
+        ((cid, _cos_py(q, v)) for cid, v in cents.items()),
+        key=lambda t: (-t[1], t[0]))[:n_probe]]
+    luts = {}
+    for cid in probe_ids:
+        qr = [q[i] - cents[cid][i] for i in range(dim)]
+        for m in range(m_sub):
+            luts[(cid, m)] = [int(math.floor(
+                _sub_dist_py(qr, m * subdim, books[(m, j)])
+                * _KMEANS_SCALE)) for j in range(ks)]
+    return probe_ids, luts
 
 
 def _ivf_rpq_oracle(query_vec_id: int = 2, k: int = 10,

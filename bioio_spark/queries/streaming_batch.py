@@ -1114,3 +1114,133 @@ def s14_stream_watermark_gauge(spark, sf_dir):
                     F.coalesce("n_eng", F.lit(0)).cast("bigint")
                     .alias("n_accepted_engine"))
             .orderBy("window_start"))
+
+
+# --------------------------------------------------------------------------
+# S15 streaming ANN CODES-TABLE maintenance: the s12/s13 device applied
+# to the l3k residual-IVFADC index. A real vector store trains its
+# coarse centroids + residual codebooks ONCE (on a sample) and FREEZES
+# them; ingest then encodes every arriving batch against the frozen
+# index and appends to the codes table — the 32x-compressed artifact
+# searches scan. Here: embeddings arrive as a 5-file parquet stream,
+# each micro-batch encodes batch-side via the SAME rpq_encode used by
+# the batch path (one encode definition) and writes its codes under the
+# batch's deterministic vec_id-partition (dynamic overwrite,
+# exactly-once under replays); the final probe runs the SAME rpq_search
+# over the accumulated store. Result hash-matches l3k's batch oracle —
+# an incrementally-built compressed index proven equal to the batch
+# index, not assumed.
+# --------------------------------------------------------------------------
+_S15_GROUPS = 5
+
+
+def _s15_fixture_dir(spark, sf_dir: str) -> str:
+    """ALL sf embeddings as _S15_GROUPS parquet files keyed by
+    vec_id % groups, ascending mtimes (order shapes micro-batch
+    boundaries only — encoding against a frozen index is order-free)."""
+    import os
+    import time
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", f"s15_emb_{tag}")
+    done = os.path.join(base, "_FIXTURE_DONE")
+    if os.path.isfile(done):
+        return base
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    emb = (load(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding", "label")
+           .orderBy("vec_id").collect())
+    os.makedirs(base, exist_ok=True)
+    now = time.time()
+    for k in range(_S15_GROUPS):
+        rows = [r for r in emb if r["vec_id"] % _S15_GROUPS == k]
+        tbl = pa.table({
+            "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [[float(v) for v in r["embedding"]] for r in rows],
+                pa.list_(pa.float32())),
+            "label": pa.array([r["label"] for r in rows], pa.int32()),
+        })
+        p = os.path.join(base, f"ingest{k}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (now + k, now + k))
+    with open(done, "w") as f:
+        f.write("ok")
+    return base
+
+
+def stream_ann_codes_store(spark, emb_dir: str, store: str,
+                           cents: dict, books: dict) -> None:
+    """Stream embedding files; per micro-batch, encode against the
+    FROZEN (cents, books) index via rpq_encode and write the codes
+    rows under per-group deterministic paths (idempotent overwrite)."""
+    import os
+
+    from bioio_spark.functions.similarity import _to_double, rpq_encode
+
+    schema = spark.read.parquet(emb_dir).schema
+
+    def write_batch(batch, _bid):
+        emb = batch.select(
+            "vec_id", "label",
+            _to_double(F.col("embedding")).alias("e"))
+        coded = rpq_encode(emb, cents, books)
+        (coded.withColumn("g", F.col("vec_id") % _S15_GROUPS)
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("g").parquet(os.path.join(store, "codes")))
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(emb_dir)
+         .writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation", os.path.join(store, "_ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+from bioio_spark.functions.similarity import (  # noqa: E402
+    IVF_RPQ_ORACLE as _L3K_ORACLE,
+)
+
+
+@register(
+    "s15_stream_ann_codes",
+    oracle=_L3K_ORACLE,     # same semantics as l3k: streaming == batch
+    doc="S15 streaming IVFADC codes-table maintenance: frozen index, "
+        "per-micro-batch rpq_encode into an exactly-once partitioned "
+        "store, final rpq_search over the accumulated codes — "
+        "hash-matches the l3k batch oracle (streaming index == batch "
+        "index)",
+)
+def s15_stream_ann_codes(spark, sf_dir):
+    import os
+    import shutil
+
+    from bioio_spark.functions.similarity import (_to_double,
+                                                  _train_ivf,
+                                                  _train_rpq,
+                                                  rpq_query_luts,
+                                                  rpq_search)
+
+    emb = (load(spark, sf_dir, "embeddings")
+           .select("vec_id", "label",
+                   _to_double(F.col("embedding")).alias("e")))
+    # the frozen index (trained once, session-cached — shared with l3k)
+    cents = _train_ivf(emb, 8, 4, cache_key=sf_dir)
+    books = _train_rpq(emb, cents, cache_key=sf_dir)
+
+    emb_dir = _s15_fixture_dir(spark, sf_dir)
+    store = os.path.join(os.path.dirname(emb_dir),
+                         f"s15_store_{os.path.basename(emb_dir)}")
+    shutil.rmtree(store, ignore_errors=True)
+    stream_ann_codes_store(spark, emb_dir, store, cents, books)
+
+    coded = spark.read.parquet(os.path.join(store, "codes"))
+    q_rows = emb.filter(F.col("vec_id") == 2).select("e").collect()
+    q = [float(v) for v in q_rows[0]["e"]]
+    probe_ids, luts = rpq_query_luts(q, cents, books)
+    return rpq_search(coded, luts, probe_ids, query_vec_id=2, k=10)

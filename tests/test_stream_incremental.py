@@ -195,3 +195,36 @@ def test_s14_engine_drops_match_model(spark, sf_dir):
     for r in rows:
         assert (r["n_accepted_engine"]
                 == r["n_ontime"] + r["n_late_accepted"]), r
+
+
+def test_s15_codes_store_replay_idempotent(spark, sf_dir):
+    """s15: losing the checkpoint and replaying every embedding file
+    converges to the same codes store (frozen index, per-group dynamic
+    overwrite) — the compressed ANN index is rebuild-safe."""
+    from bioio_spark.functions.similarity import (_to_double,
+                                                  _train_ivf,
+                                                  _train_rpq)
+    from bioio_spark.queries.streaming_batch import (
+        _s15_fixture_dir, stream_ann_codes_store)
+    import pyspark.sql.functions as F
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "label",
+                   _to_double(F.col("embedding")).alias("e")))
+    cents = _train_ivf(emb, 8, 4, cache_key=None)
+    books = _train_rpq(emb, cents, cache_key=None)
+    emb_dir = _s15_fixture_dir(spark, sf_dir)
+    store = os.path.join(os.path.dirname(emb_dir), "s15_replay_test")
+    shutil.rmtree(store, ignore_errors=True)
+    stream_ann_codes_store(spark, emb_dir, store, cents, books)
+    first = sorted(tuple(r) for r in
+                   spark.read.parquet(os.path.join(store, "codes"))
+                   .collect())
+    assert len(first) == emb.count()     # every vector encoded once
+    shutil.rmtree(os.path.join(store, "_ckpt"))
+    stream_ann_codes_store(spark, emb_dir, store, cents, books)
+    second = sorted(tuple(r) for r in
+                    spark.read.parquet(os.path.join(store, "codes"))
+                    .collect())
+    assert first == second
+    shutil.rmtree(store, ignore_errors=True)
