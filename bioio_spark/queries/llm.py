@@ -1086,6 +1086,144 @@ ORDER BY rank DESC, node LIMIT 50
 """
 
 
+# --------------------------------------------------------------------------
+# G3 triangle counting — the third classic distributed-graph kernel
+# (after g2 PageRank and l6 connected components), with THE scale trick
+# that makes it tractable: DEGREE ORIENTATION. Each undirected edge is
+# oriented from its (degree, id)-smaller endpoint to the larger; every
+# triangle then has exactly ONE vertex with two out-edges, so counting
+# wedges (u->v, u->w) and probing the closing edge (v->w) counts each
+# triangle once — and out-degrees are bounded by O(sqrt(E)) however
+# skewed the raw degree distribution (the hub that would create
+# deg^2 wedges becomes the SINK of its edges instead). Graph: parts
+# co-purchased in the same order (unipartite), hash-sampled 25% so the
+# fixture stays bench-sized; pairs enumerated with the capped
+# _bucket_pairs device (orders have <=7 lines).
+# --------------------------------------------------------------------------
+_G3_SAMPLE_MOD = 4
+
+
+def _g3_oracle() -> str:
+    h = _h32_sql("CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
+    oh = _h32_sql("'g3o:' || CAST(l_orderkey AS VARCHAR)")
+    return f"""
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem
+      WHERE {oh} % 4 = 0),
+    pairs AS (
+      SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM li x JOIN li y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+    edges AS (SELECT a, b FROM pairs WHERE {h} % {_G3_SAMPLE_MOD} = 0),
+    deg AS (
+      SELECT v, count(*) AS d FROM (
+        SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
+      GROUP BY v),
+    oriented AS (
+      SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END
+               AS src,
+             CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END
+               AS dst
+      FROM edges e
+      JOIN deg da ON da.v = e.a
+      JOIN deg db ON db.v = e.b),
+    od AS (SELECT o.src, o.dst, d.d AS dd
+           FROM oriented o JOIN deg d ON d.v = o.dst),
+    wedges AS (
+      SELECT e1.dst AS v, e2.dst AS w
+      FROM od e1 JOIN od e2
+        ON e1.src = e2.src AND (e1.dd, e1.dst) < (e2.dd, e2.dst)),
+    tri AS (
+      SELECT count(*) AS n_tri
+      FROM wedges wg JOIN oriented o
+        ON o.src = wg.v AND o.dst = wg.w),
+    stats AS (
+      SELECT (SELECT count(*) FROM deg) AS n_vertices,
+             (SELECT count(*) FROM edges) AS n_edges,
+             (SELECT sum(d * (d - 1) // 2) FROM deg) AS n_wedges,
+             (SELECT n_tri FROM tri) AS n_triangles)
+    SELECT CAST(n_vertices AS BIGINT) AS n_vertices,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_wedges AS BIGINT) AS n_wedges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN n_wedges = 0 THEN 0
+                ELSE 3 * n_triangles * 1000 // n_wedges END AS BIGINT)
+             AS clustering_permille
+    FROM stats
+    """
+
+
+@register(
+    "g3_triangle_count",
+    oracle=_g3_oracle(),
+    doc="G3 degree-oriented triangle counting over the co-purchase "
+        "part graph (hash-sampled): out-degrees bounded O(sqrt(E)) by "
+        "orientation, one wedge self-join + one closing-edge probe; "
+        "global clustering coefficient in integer permille",
+)
+def g3_triangle_count(spark, sf_dir):
+    from bioio_spark.functions.dedup import _bucket_pairs
+    from bioio_spark.functions.hashing import h32_col
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                "l_partkey")
+    # order-level pre-sample BEFORE pair enumeration: the hash filter
+    # rides the scan, halving the explode input (a pair-level sample
+    # alone cannot push below the pairing)
+    oh = h32_col(F.concat(F.lit("g3o:"),
+                          F.col("l_orderkey").cast("string")))
+    li = li.filter(oh % 4 == 0)
+    pairs = (_bucket_pairs(li, ["l_orderkey"], "l_partkey")
+             .filter(F.col("doc_a") != F.col("doc_b"))
+             .select(F.col("doc_a").alias("a"),
+                     F.col("doc_b").alias("b"))
+             .distinct())
+    h = h32_col(F.concat(F.col("a").cast("string"), F.lit(":"),
+                         F.col("b").cast("string")))
+    edges = pairs.filter(h % _G3_SAMPLE_MOD == 0)
+    from bioio_spark.functions.dedup import swap_held
+    held = swap_held(spark, "g3")
+    edges = edges.persist()
+    held.append(edges)
+    deg = (edges.select(F.col("a").alias("v"))
+           .unionAll(edges.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    lower = (F.struct("da", "a") < F.struct("db", "b"))
+    oriented = (edges.join(da, "a").join(db, "b")
+                .select(F.when(lower, F.col("a")).otherwise(F.col("b"))
+                        .alias("src"),
+                        F.when(lower, F.col("b")).otherwise(F.col("a"))
+                        .alias("dst"))
+                .persist())
+    held.append(oriented)
+    od = (oriented.join(deg.select(F.col("v").alias("dst"),
+                                   F.col("d").alias("dd")), "dst"))
+    e1 = od.select(F.col("src").alias("u"), F.col("dst").alias("v"),
+                   F.col("dd").alias("dv"))
+    e2 = od.select(F.col("src").alias("u"), F.col("dst").alias("w"),
+                   F.col("dd").alias("dw"))
+    wedges = (e1.join(e2, "u")
+              .filter(F.struct("dv", "v") < F.struct("dw", "w"))
+              .select("v", "w"))
+    closing = oriented.select(F.col("src").alias("v"),
+                              F.col("dst").alias("w"))
+    n_tri = (wedges.join(closing, ["v", "w"])
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles")))
+    n_e = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    vstats = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("bigint")
+        .alias("n_wedges"))
+    return (vstats.crossJoin(F.broadcast(n_e))
+            .crossJoin(F.broadcast(n_tri))
+            .select("n_vertices", "n_edges", "n_wedges", "n_triangles",
+                    F.expr("CASE WHEN n_wedges = 0 THEN 0 ELSE "
+                           "3 * n_triangles * 1000 DIV n_wedges END")
+                    .cast("bigint").alias("clustering_permille")))
+
+
 @register("g2_pagerank", oracle=_PR_ORACLE,
           doc="G2 integer fixed-point PageRank (3 unrolled rounds, "
               "no driver collect) over the customer->supplier graph")

