@@ -691,24 +691,28 @@ def phash_near_dups(media: DataFrame, codec=FakeCodec,
 AUDIO_FP_WINDOWS = 64
 
 
-def audio_fingerprint(media: DataFrame, codec=FakeCodec) -> DataFrame:
-    """64-bit energy-envelope fingerprint per AUDIO row, as 4 x 16-bit
-    band columns — the 1-D sibling of `ahash_images`: sample j falls in
-    window (j*64)//n, bit b is set iff window b's mean amplitude EXCEEDS
-    the track mean, compared by the exact integer cross-multiplication
-    `win_sum * n_samples > total_sum * win_count`. Shift- and
-    gain-robust the way envelope hashes are (a constant offset moves
-    every window with the mean), integer-exact across engines."""
+def audio_fingerprint(media: DataFrame, codec=FakeCodec,
+                      n_win: int = AUDIO_FP_WINDOWS) -> DataFrame:
+    """n_win-bit energy-envelope fingerprint per AUDIO row, as
+    n_win/16 x 16-bit band columns — the 1-D sibling of `ahash_images`:
+    sample j falls in window (j*n_win)//n, bit b is set iff window b's
+    mean amplitude EXCEEDS the track mean, compared by the exact
+    integer cross-multiplication `win_sum * n_samples > total_sum *
+    win_count`. Shift- and gain-robust the way envelope hashes are (a
+    constant offset moves every window with the mean), integer-exact
+    across engines. The default 64 windows give the 4 x 16-bit key;
+    n_win=128 is the audio arm of the WIDER-band-key scale path (8
+    bands — pigeonhole exactness up to hamming 7, key space doubled)."""
+    n_bands = n_win // 16
     schema = T.StructType(
         [T.StructField("media_id", T.LongType())]
         + [T.StructField(f"b{k}", T.IntegerType())
-           for k in range(AHASH_BANDS)])
-    n_win = AUDIO_FP_WINDOWS
+           for k in range(n_bands)])
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids = []
-            bands = [[] for _ in range(AHASH_BANDS)]
+            bands = [[] for _ in range(n_bands)]
             for _, row in pdf.iterrows():
                 s = codec.decode(row["payload"]).reshape(-1).astype(
                     np.int64)
@@ -720,14 +724,14 @@ def audio_fingerprint(media: DataFrame, codec=FakeCodec) -> DataFrame:
                 ts = int(s.sum())
                 bits = (ws * n) > (ts * wc.astype(np.int64))
                 ids.append(int(row["media_id"]))
-                for k in range(AHASH_BANDS):
+                for k in range(n_bands):
                     val = 0
                     for j in range(16):
                         if bits[k * 16 + j]:
                             val |= 1 << j
                     bands[k].append(val)
             out = {"media_id": np.asarray(ids, dtype=np.int64)}
-            for k in range(AHASH_BANDS):
+            for k in range(n_bands):
                 out[f"b{k}"] = np.asarray(bands[k], dtype=np.int32)
             yield pd.DataFrame(out)
 
@@ -737,13 +741,16 @@ def audio_fingerprint(media: DataFrame, codec=FakeCodec) -> DataFrame:
 
 def audio_near_dups(media: DataFrame, codec=FakeCodec,
                     max_hamming: int = AHASH_MAX_HAMMING,
-                    max_width: int = MEDIA_MAX_BUCKET_WIDTH) -> DataFrame:
+                    max_width: int = MEDIA_MAX_BUCKET_WIDTH,
+                    n_win: int = AUDIO_FP_WINDOWS) -> DataFrame:
     """Near-duplicate AUDIO pairs by envelope-fingerprint hamming
     distance <= `max_hamming` through the same exact banded join
-    (capped, persisted). Returns (media_id_a, media_id_b, hamming),
-    a < b."""
-    return _banded_near_dups(audio_fingerprint(media, codec),
-                             max_hamming, max_width=max_width)
+    (capped, persisted). n_win=128 selects the wider 128-bit key
+    (8 bands, exact recall below hamming 8). Returns
+    (media_id_a, media_id_b, hamming), a < b."""
+    return _banded_near_dups(audio_fingerprint(media, codec, n_win),
+                             max_hamming, max_width=max_width,
+                             n_bands=n_win // 16)
 
 
 def video_fingerprint(media: DataFrame, codec=FakeCodec) -> DataFrame:
