@@ -1324,7 +1324,7 @@ def _train_rpq(emb: DataFrame, cents: dict, m_sub: int = PQ_M,
     of the sampled rows (seeds = the first `ks` vectors' residual
     subvectors; one Lloyd step with exact fixed-point integer means)."""
     spark = emb.sparkSession
-    key = ("rpq", cache_key, m_sub, ks, sample_mod)
+    key = ("rpq", cache_key, m_sub, ks, sample_mod, len(cents))
     try:
         cache = spark.__dict__.setdefault("_bioio_ivf_cache", {})
     except Exception:
@@ -1424,7 +1424,7 @@ def _rpq_codes_frame(emb: DataFrame, cents: dict, books: dict,
     spark = emb.sparkSession
     dim = len(next(iter(cents.values())))
     subdim = dim // m_sub
-    key = ("rpq_codes", cache_key, m_sub, ks)
+    key = ("rpq_codes", cache_key, m_sub, ks, len(cents))
     try:
         cache = spark.__dict__.setdefault("_bioio_ivf_cache", {})
     except Exception:
@@ -1465,20 +1465,8 @@ def ivf_rpq_topk(embeddings: DataFrame, query_vec_id: int = 2,
         raise ValueError(
             f"query vec_id {query_vec_id} not found in embeddings")
     q = [float(v) for v in q_rows[0]["e"]]
-    probe_ids = [cid for cid, _ in sorted(
-        ((cid, _cos_py(q, v)) for cid, v in cents.items()),
-        key=lambda t: (-t[1], t[0]))[:n_probe]]
-
-    # one integer LUT per (probed list, subspace): the query residual
-    # differs per list, so the table is n_probe x m_sub x ks literals
-    luts = {}
-    for cid in probe_ids:
-        qr = [q[i] - cents[cid][i] for i in range(dim)]
-        for m in range(m_sub):
-            luts[(cid, m)] = [int(math.floor(
-                _sub_dist_py(qr, m * subdim, books[(m, j)])
-                * _KMEANS_SCALE)) for j in range(ks)]
-
+    probe_ids, luts = rpq_query_luts(q, cents, books, n_probe,
+                                     m_sub, ks)
     coded = _rpq_codes_frame(emb, cents, books, m_sub, ks,
                              cache_key=cache_key)
     return rpq_search(coded, luts, probe_ids, query_vec_id, k,

@@ -1110,9 +1110,14 @@ def _g3_oracle() -> str:
     WITH li AS (
       SELECT l_orderkey, l_partkey FROM lineitem
       WHERE {oh} % 4 = 0),
+    licap AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT DISTINCT l_orderkey, l_partkey FROM li) d
+      QUALIFY row_number() OVER (PARTITION BY l_orderkey
+                                 ORDER BY l_partkey) <= 256),
     pairs AS (
       SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
-      FROM li x JOIN li y
+      FROM licap x JOIN licap y
         ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
     edges AS (SELECT a, b FROM pairs WHERE {h} % {_G3_SAMPLE_MOD} = 0),
     deg AS (
@@ -1173,7 +1178,9 @@ def g3_triangle_count(spark, sf_dir):
     oh = h32_col(F.concat(F.lit("g3o:"),
                           F.col("l_orderkey").cast("string")))
     li = li.filter(oh % 4 == 0)
-    pairs = (_bucket_pairs(li, ["l_orderkey"], "l_partkey")
+    from bioio_spark.functions.dedup import MAX_BUCKET_WIDTH
+    pairs = (_bucket_pairs(li, ["l_orderkey"], "l_partkey",
+                           max_width=MAX_BUCKET_WIDTH)
              .filter(F.col("doc_a") != F.col("doc_b"))
              .select(F.col("doc_a").alias("a"),
                      F.col("doc_b").alias("b"))

@@ -921,7 +921,7 @@ _S14_BASE = "2024-01-01"                  # events fixture epoch
 
 def _s14_arrival_batch_col():
     """Closed-form arrival batch: weekly chronological batches, with
-    h32-selected ~10%% of events arriving two batches late (capped)."""
+    h32-selected ~10% of events arriving two batches late (capped)."""
     from bioio_spark.functions.hashing import h32_col
 
     day_idx = F.datediff(F.col("ts").cast("date"),
@@ -1220,7 +1220,9 @@ def s15_stream_ann_codes(spark, sf_dir):
     import os
     import shutil
 
-    from bioio_spark.functions.similarity import (_to_double,
+    from bioio_spark.functions.similarity import (IVF_SAMPLE_MOD,
+                                                  N_CENTROIDS,
+                                                  _to_double,
                                                   _train_ivf,
                                                   _train_rpq,
                                                   rpq_query_luts,
@@ -1229,8 +1231,10 @@ def s15_stream_ann_codes(spark, sf_dir):
     emb = (load(spark, sf_dir, "embeddings")
            .select("vec_id", "label",
                    _to_double(F.col("embedding")).alias("e")))
-    # the frozen index (trained once, session-cached — shared with l3k)
-    cents = _train_ivf(emb, 8, 4, cache_key=sf_dir)
+    # the frozen index (trained once, session-cached — shared with l3k,
+    # same constants so the l3k oracle stays the streaming pin)
+    cents = _train_ivf(emb, N_CENTROIDS, IVF_SAMPLE_MOD,
+                       cache_key=sf_dir)
     books = _train_rpq(emb, cents, cache_key=sf_dir)
 
     emb_dir = _s15_fixture_dir(spark, sf_dir)

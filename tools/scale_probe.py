@@ -61,7 +61,10 @@ def build_fixture(replicas: int = 10, dst: str = DST) -> str:
     ids, arrs, labels = [], [], []
     for k in range(replicas):
         ids.extend(i + k * 1_000_000 for i in e["vec_id"])
-        arrs.append(np.roll(vecs, k * 7, axis=1))
+        # roll has period dim/gcd(7,dim)=64: negate past one full cycle
+        # so replicas 64..99 are NOT byte-copies of replicas 0..35
+        sign = 1.0 if k < 64 else -1.0
+        arrs.append(np.roll(vecs * sign, (k * 7) % 64, axis=1))
         labels.extend(e["label"])
     allv = np.concatenate(arrs, axis=0)
     pq.write_table(
