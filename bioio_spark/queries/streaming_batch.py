@@ -1131,7 +1131,7 @@ def s14_stream_watermark_gauge(spark, sf_dir):
 # an incrementally-built compressed index proven equal to the batch
 # index, not assumed.
 # --------------------------------------------------------------------------
-_S15_GROUPS = 5
+_S15_GROUPS = 3
 
 
 def _s15_fixture_dir(spark, sf_dir: str) -> str:
@@ -1143,7 +1143,7 @@ def _s15_fixture_dir(spark, sf_dir: str) -> str:
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     base = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), ".scratch", f"s15_emb_{tag}")
+        os.path.abspath(__file__)))), ".scratch", f"s15_emb{_S15_GROUPS}_{tag}")
     done = os.path.join(base, "_FIXTURE_DONE")
     if os.path.isfile(done):
         return base
