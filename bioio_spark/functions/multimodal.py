@@ -650,6 +650,36 @@ def synth_crossmodal(spark: SparkSession):
 
 TWIN_DELTA = 30   # per-pixel perturbation of the twin copies
 TWIN_NPIX = 3     # how many leading pixels the twin perturbs
+VTWIN_DELTA = 20  # video twin: frame-0 perturbation
+VTWIN_NPIX = 2
+
+
+def synth_video_twins(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Near-duplicate VIDEO fixture for the wide-key tier: every video
+    id of the standard geometry (i % 3 == 2, fr = 4 + (i//3) % 3) plus
+    a TWIN at media_id i + n whose first VTWIN_NPIX pixels of FRAME 0
+    are shifted by VTWIN_DELTA (mod 251) — later frames byte-identical.
+    Per-frame pHash lands the twins at frame-0 hamming ~2-16 across the
+    fixture ids (some inside the per-frame boundary 7, some beyond), so
+    the aligned verification has both accepts and rejects. Real GIFs."""
+    from bioio_spark.formats.gif import encode_gif
+
+    rows = []
+    for i in range(n):
+        if i % 3 != 2:
+            continue
+        w = h = 8
+        fr = 4 + (i // 3) % 3
+        base = ((np.arange(w * h * fr, dtype=np.int64) * 31 + i * 7)
+                % 251)
+        twin = base.copy()
+        twin[:VTWIN_NPIX] = (twin[:VTWIN_NPIX] + VTWIN_DELTA) % 251
+        for mid, px in ((i, base), (i + n, twin)):
+            payload = encode_gif(
+                px.astype(np.uint8).reshape(fr, h, w),
+                delays=[4] * fr)
+            rows.append((mid, "video", payload, (w, h, fr, 0, "gif")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def synth_image_twins(spark: SparkSession, n: int = 64) -> DataFrame:
@@ -801,10 +831,64 @@ def video_fingerprint(media: DataFrame, codec=FakeCodec) -> DataFrame:
             .mapInPandas(batches, schema=schema))
 
 
+def phash_video_frames(media: DataFrame,
+                       codec=FakeCodec) -> DataFrame:
+    """Per-FRAME 128-bit integer-DCT pHash over VIDEO rows — the video
+    arm of the wider-band-key scale path: one (media_id, fidx, b0..b7)
+    row per frame, same fixed-point DCT construction as `phash_images`
+    applied frame-by-frame. Feeds `video_near_dups` via its
+    `fingerprint`/`n_bands` parameters (frame-0 banding moves from
+    hamming<4-exact to hamming<8-exact)."""
+    schema = T.StructType(
+        [T.StructField("media_id", T.LongType()),
+         T.StructField("fidx", T.IntegerType())]
+        + [T.StructField(f"b{k}", T.IntegerType())
+           for k in range(PHASH_BANDS)])
+    grid = PHASH_GRID
+    tu = np.asarray(DCT_T, dtype=np.int64)[:9, :]
+    tv = np.asarray(DCT_T, dtype=np.int64)
+    pu = np.asarray([p[0] for p in PHASH_PAIRS])
+    pv = np.asarray([p[1] for p in PHASH_PAIRS])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fidxs = [], []
+            bands = [[] for _ in range(PHASH_BANDS)]
+            for _, row in pdf.iterrows():
+                frames = codec.decode(row["payload"]).astype(np.int64)
+                fr, h, w = frames.shape
+                ys = (np.arange(h) * grid) // h
+                xs = (np.arange(w) * grid) // w
+                bid = (ys[:, None] * grid + xs[None, :]).ravel()
+                for f in range(fr):
+                    bs = (np.bincount(bid,
+                                      weights=frames[f].ravel(),
+                                      minlength=grid * grid)
+                          .astype(np.int64).reshape(grid, grid))
+                    bits = (tu @ bs @ tv.T)[pu, pv] > 0
+                    ids.append(int(row["media_id"]))
+                    fidxs.append(f)
+                    for k in range(PHASH_BANDS):
+                        val = 0
+                        for j in range(16):
+                            if bits[k * 16 + j]:
+                                val |= 1 << j
+                        bands[k].append(val)
+            out = {"media_id": np.asarray(ids, dtype=np.int64),
+                   "fidx": np.asarray(fidxs, dtype=np.int32)}
+            for k in range(PHASH_BANDS):
+                out[f"b{k}"] = np.asarray(bands[k], dtype=np.int32)
+            yield pd.DataFrame(out)
+
+    return (media.filter(F.col("kind") == "video")
+            .mapInPandas(batches, schema=schema))
+
+
 def video_near_dups(media: DataFrame, codec=FakeCodec,
                     max_frame_hamming: int = AHASH_MAX_HAMMING,
-                    max_width: int = MEDIA_MAX_BUCKET_WIDTH
-                    ) -> DataFrame:
+                    max_width: int = MEDIA_MAX_BUCKET_WIDTH,
+                    n_bands: int = AHASH_BANDS,
+                    fingerprint=None) -> DataFrame:
     """Near-duplicate VIDEO pairs: same frame count and EVERY aligned
     frame within `max_frame_hamming` aHash bits (the re-encoded-copy
     detection contract). Candidates come from a banded join on FRAME 0
@@ -824,12 +908,13 @@ def video_near_dups(media: DataFrame, codec=FakeCodec,
     from bioio_spark.functions.dedup import _bucket_pairs, swap_held
 
     held = swap_held(media.sparkSession, "video_neardup")
-    fp = video_fingerprint(media, codec).persist()
+    fp_fn = fingerprint if fingerprint is not None else video_fingerprint
+    fp = fp_fn(media, codec).persist()
     held.append(fp)
     f0 = fp.filter(F.col("fidx") == 0)
     bands = F.array(*[
         F.struct(F.lit(k).alias("k"), F.col(f"b{k}").alias("v"))
-        for k in range(AHASH_BANDS)])
+        for k in range(n_bands)])
     lf = (f0.select("media_id", F.explode(bands).alias("bv"))
           .select("media_id", F.col("bv")["k"].alias("k"),
                   F.col("bv")["v"].alias("v")))
@@ -840,14 +925,14 @@ def video_near_dups(media: DataFrame, codec=FakeCodec,
                     F.col("doc_b").alias("media_id_b")))
     fa = fp.select(F.col("media_id").alias("media_id_a"), "fidx",
                    *[F.col(f"b{k}").alias(f"xa{k}")
-                     for k in range(AHASH_BANDS)])
+                     for k in range(n_bands)])
     fb = fp.select(F.col("media_id").alias("mb"),
                    F.col("fidx").alias("fidx_b"),
                    *[F.col(f"b{k}").alias(f"xb{k}")
-                     for k in range(AHASH_BANDS)])
+                     for k in range(n_bands)])
     nf = fp.groupBy("media_id").agg(F.count(F.lit(1)).alias("nf"))
     ham = None
-    for k in range(AHASH_BANDS):
+    for k in range(n_bands):
         term = F.bit_count(
             F.col(f"xa{k}").bitwiseXOR(F.col(f"xb{k}")))
         ham = term if ham is None else ham + term

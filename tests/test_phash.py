@@ -149,3 +149,27 @@ def test_twin_fixture_shape(spark):
         assert ((flat_b[:TWIN_NPIX] + TWIN_DELTA) % 251
                 == flat_t[:TWIN_NPIX]).all()
         assert (flat_b[TWIN_NPIX:] == flat_t[TWIN_NPIX:]).all()
+
+
+def test_video_twin_fixture_and_wide_key(spark):
+    """Video wide key: frame-0 perturbed twins resolve by the per-frame
+    128-bit pHash — every reported pair is a (base, base+N) twin, the
+    frame-count gate holds, and at least one over-threshold twin is
+    rejected (the fixture spans hamming 2-16)."""
+    from bioio_spark.functions.multimodal import (AutoCodec,
+                                                  PHASH_BANDS,
+                                                  phash_video_frames,
+                                                  synth_video_twins,
+                                                  video_near_dups)
+
+    media = synth_video_twins(spark, 64)
+    out = video_near_dups(media, codec=AutoCodec, max_frame_hamming=7,
+                          n_bands=PHASH_BANDS,
+                          fingerprint=phash_video_frames).collect()
+    assert out, "no twin pairs found"
+    base_ids = {i for i in range(64) if i % 3 == 2}
+    for r in out:
+        assert r["media_id_a"] in base_ids
+        assert r["media_id_b"] == r["media_id_a"] + 64
+        assert r["n_frames"] == 4 + (r["media_id_a"] // 3) % 3
+    assert len(out) < len(base_ids)   # some twins exceed the boundary
