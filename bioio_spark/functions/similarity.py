@@ -1382,29 +1382,88 @@ def _train_rpq(emb: DataFrame, cents: dict, m_sub: int = PQ_M,
     return trained
 
 
+def _index_frame(spark, cents: dict, books: dict,
+                 m_sub: int = PQ_M, ks: int = PQ_KS) -> DataFrame:
+    """The frozen IVFADC index as a ONE-ROW DataFrame of nested array
+    columns — `_ix_cents` (cid-indexed coarse centroids), `_ix_cnorms`
+    (their driver-computed norms, same fold as _cos_lit's literal
+    norm), `_ix_books` ([m][code][subdim] residual codebooks). Joined
+    broadcast into the encode plan so the index travels as DATA in a
+    LocalRelation, not as literal expression trees: the plan stays
+    constant-size however large the index, Catalyst re-analysis per
+    streaming micro-batch is O(1), and the CollapseProject
+    literal-re-inlining codegen trap (SCALING.md r11 postscript)
+    cannot trigger — array columns are not 'cheap' expressions, so
+    projections referencing them more than once are never collapsed."""
+    cents_a = [[float(x) for x in vec]
+               for _cid, vec in sorted(cents.items())]
+    cnorms = [_norm_py(vec) for vec in cents_a]
+    books_a = [[[float(x) for x in books[(m, j)]] for j in range(ks)]
+               for m in range(m_sub)]
+    return spark.createDataFrame(
+        [(cents_a, cnorms, books_a)],
+        "_ix_cents array<array<double>>, _ix_cnorms array<double>, "
+        "_ix_books array<array<array<double>>>")
+
+
 def rpq_encode(emb: DataFrame, cents: dict, books: dict,
                m_sub: int = PQ_M, ks: int = PQ_KS) -> DataFrame:
     """Encode (vec_id, label, e) rows against a FROZEN residual-PQ
-    index: coarse argmax assignment -> residual -> m_sub argmin codes,
-    as three checkpoint-separated stages. Fusing the coarse argmax
-    (~1.2k generated ops) with the residual + argmins (~2.7k) in one
-    whole-stage span is what failed to compile (SCALING.md r11
-    postscript); the staging is also the honest ingest-pipeline shape.
-    Used by the batch codes frame AND the s15 streaming micro-batch
-    encoder (one definition, streaming == batch by construction)."""
+    index, LITERAL-FREE: the index rides in as a one-row broadcast
+    join (_index_frame) and every step — coarse argmax assignment,
+    residual, per-subspace argmin codes — is a higher-order function
+    over the index's array columns, compiling to loops over data
+    instead of unrolled literal expressions. Arithmetic is
+    bit-identical to the literal path the oracle spells out: dot and
+    distance are the same left fold with a 0.0 seed (0.0 + x == x),
+    argmax/argmin are the same lexicographic struct compares
+    (array_max/array_min vs greatest/least), so l3k/s15 stay
+    hash-green. Used by the batch codes frame AND the s15 streaming
+    micro-batch encoder (one definition, streaming == batch by
+    construction); per-micro-batch Catalyst cost is now a small
+    constant plan, not seconds of literal-tree re-optimization."""
     dim = len(next(iter(cents.values())))
     subdim = dim // m_sub
-    assigned = (emb.withColumn("ne", _norm(F.col("e")))
-                .withColumn("cid", _assigned(cents).cast("int"))
-                .select("vec_id", "label", "cid", "e")
-                .localCheckpoint(eager=False))
-    resd = (_with_residual(assigned, cents, dim)
-            .select("vec_id", "label", "cid", "res")
-            .localCheckpoint(eager=False))
-    return resd.select(
+    n_cent = len(cents)
+    idx = _index_frame(emb.sparkSession, cents, books, m_sub, ks)
+
+    # coarse argmax: per-centroid struct(cos, -cid), array_max — the
+    # HOF twin of _assigned() (max cos, ties to smallest cid)
+    scored = F.transform(
+        F.sequence(F.lit(0), F.lit(n_cent - 1)),
+        lambda i: F.struct(
+            (_dot(F.col("e"), F.element_at(F.col("_ix_cents"), i + 1))
+             / (F.col("ne")
+                * F.element_at(F.col("_ix_cnorms"), i + 1))).alias("s"),
+            (-i).alias("n")))
+    assigned = (emb.crossJoin(F.broadcast(idx))
+                .withColumn("ne", _norm(F.col("e")))
+                .withColumn("cid",
+                            (F.array_max(scored)["n"] * -1).cast("int")))
+
+    # per-subspace code: residual slice r = e[m] - cent[cid][m] fused
+    # into the (r - book)^2 fold — same element values and fold order
+    # as _with_residual + _sub_dist, so codes match bit-for-bit
+    cvec = F.element_at(F.col("_ix_cents"), F.col("cid") + 1)
+
+    def _code(m: int):
+        rsub = F.zip_with(
+            F.slice(F.col("e"), m * subdim + 1, subdim),
+            F.slice(cvec, m * subdim + 1, subdim),
+            lambda a, b: a - b)
+        return F.array_min(F.transform(
+            F.element_at(F.col("_ix_books"), m + 1),
+            lambda cb, j: F.struct(
+                F.aggregate(
+                    F.zip_with(rsub, cb,
+                               lambda r, b: (r - b) * (r - b)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v).alias("d"),
+                j.alias("c"))))["c"]
+
+    return assigned.select(
         "vec_id", "label", "cid",
-        *[_pq_code(F.col("res"), m, subdim, books, ks)
-          .alias(f"_c{m}") for m in range(m_sub)])
+        *[_code(m).alias(f"_c{m}") for m in range(m_sub)])
 
 
 def _rpq_codes_frame(emb: DataFrame, cents: dict, books: dict,

@@ -913,7 +913,12 @@ def s13_stream_cms_sketch(spark, sf_dir):
 # Scale: the gauge is the run report a production watermark config
 # ships; the model side is two tiny aggregates over the event scan.
 # --------------------------------------------------------------------------
-_S14_BATCHES = 5
+# 3 arrival batches (r12, was 5): the two-watermark pin only needs
+# lag-1 != lag-2 to be observable, which batch 2 already gives
+# (pmax = max(b0,b1) vs lmax = max(b0)); every side — fixture split,
+# batch model, DuckDB oracle — derives from this one constant, and two
+# fewer triggers cut the stream's fixed per-trigger cost by ~40%
+_S14_BATCHES = 3
 _S14_DELAY_MS = 3 * 86400 * 1000          # watermark delay: 3 days
 _S14_WIN_US = 86400 * 1000 * 1000         # 1-day tumbling windows
 _S14_BASE = "2024-01-01"                  # events fixture epoch
@@ -944,8 +949,10 @@ def _s14_fixture_dir(spark, sf_dir: str) -> str:
     import time
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    base = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), ".scratch", f"s14_events_{tag}")
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".scratch",
+        f"s14_events_b{_S14_BATCHES}_{tag}")
     done = os.path.join(base, "_FIXTURE_DONE")
     if os.path.isfile(done):
         return base
@@ -974,16 +981,26 @@ def _s14_fixture_dir(spark, sf_dir: str) -> str:
     return base
 
 
-def stream_watermark_store(spark, ev_dir: str, store: str) -> None:
+def stream_watermark_store(spark, ev_dir: str, store: str,
+                           state_partitions: int = 4) -> None:
     """The REAL watermarked stream: readStream one file per trigger,
     withWatermark 3 days, 1-day tumbling count in UPDATE mode; each
     micro-batch's updated windows overwrite their own day-partitions
     (exactly-once under replays — the s9/s10 device). Late rows beyond
     the watermark never reach the state store, so the final store IS
-    the engine's accepted count per window."""
+    the engine's accepted count per window.
+
+    state_partitions sizes the stateful shuffle (the state-store
+    partition count, frozen into the checkpoint at first trigger):
+    the keyed state here is ~tens of day-windows, so 32 default
+    partitions mean 32 mostly-empty HDFS-backed state stores ticking
+    per trigger — pure fixed overhead. A production deployment sizes
+    this to its window-key cardinality / executor count; it is a
+    per-query knob, restored after start."""
     import os
 
     schema = spark.read.parquet(ev_dir).schema
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
 
     def write_batch(batch, _bid):
         (batch.withColumn(
@@ -993,17 +1010,22 @@ def stream_watermark_store(spark, ev_dir: str, store: str) -> None:
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("wd").parquet(os.path.join(store, "wins")))
 
-    q = (spark.readStream.schema(schema)
-         .option("maxFilesPerTrigger", 1).parquet(ev_dir)
-         .withWatermark("ts", "3 days")
-         .groupBy(F.window("ts", "1 day").alias("w"))
-         .agg(F.count(F.lit(1)).alias("n_acc"))
-         .select(F.col("w.start").alias("window_start"), "n_acc")
-         .writeStream.foreachBatch(write_batch)
-         .outputMode("update")
-         .option("checkpointLocation", os.path.join(store, "_ckpt"))
-         .trigger(availableNow=True)
-         .start())
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(state_partitions))
+        q = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", 1).parquet(ev_dir)
+             .withWatermark("ts", "3 days")
+             .groupBy(F.window("ts", "1 day").alias("w"))
+             .agg(F.count(F.lit(1)).alias("n_acc"))
+             .select(F.col("w.start").alias("window_start"), "n_acc")
+             .writeStream.foreachBatch(write_batch)
+             .outputMode("update")
+             .option("checkpointLocation", os.path.join(store, "_ckpt"))
+             .trigger(availableNow=True)
+             .start())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
 
 

@@ -228,3 +228,45 @@ def test_s15_codes_store_replay_idempotent(spark, sf_dir):
                     .collect())
     assert first == second
     shutil.rmtree(store, ignore_errors=True)
+
+
+def test_s14_two_watermark_semantics_pin(spark, sf_dir):
+    """THE engine-behavior find the gauge rests on (SPARK-24634 line):
+    the late-event FILTER uses the PREVIOUS batch's watermark (lag-2
+    prefix max over arrival batches), not the current one (lag-1).
+    Pin that the distinction is OBSERVABLE on the fixture: the lag-1
+    model predicts strictly more drops than the lag-2 model that
+    hash-matches the engine — if the two ever coincide here, the gauge
+    stops gauging anything and the fixture must be re-shaped."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from bioio_spark.queries.streaming_batch import (
+        _S14_DELAY_MS, _S14_WIN_US, _s14_arrival_batch_col,
+        _s14_fixture_dir)
+
+    ev_dir = _s14_fixture_dir(spark, sf_dir)
+    rows = (spark.read.parquet(ev_dir)
+            .select(_s14_arrival_batch_col().alias("g"),
+                    F.unix_micros("ts").alias("tus")))
+    bmax = rows.groupBy("g").agg(F.max("tus").alias("bmax"))
+    pm = (bmax
+          .withColumn("pmax", F.max("bmax").over(
+              W.orderBy("g").rowsBetween(W.unboundedPreceding, -1)))
+          .withColumn("lmax", F.max("bmax").over(
+              W.orderBy("g").rowsBetween(W.unboundedPreceding, -2))))
+
+    def n_drops(src_col):
+        wm = (F.floor(F.col(src_col) / 1000) - _S14_DELAY_MS) * 1000
+        ws = F.floor(F.col("tus") / _S14_WIN_US) * _S14_WIN_US
+        return (rows.join(F.broadcast(pm.select("g", "pmax", "lmax")),
+                          "g")
+                .filter(F.col(src_col).isNotNull()
+                        & (ws + _S14_WIN_US <= wm))
+                .count())
+
+    lag1, lag2 = n_drops("pmax"), n_drops("lmax")
+    assert lag2 > 0, "fixture produces no drops at all"
+    assert lag1 > lag2, (
+        f"lag-1 ({lag1}) vs lag-2 ({lag2}) indistinguishable — the "
+        f"two-watermark pin is dead on this fixture")
