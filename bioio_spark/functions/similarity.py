@@ -1583,26 +1583,16 @@ def rpq_query_luts(q: list, cents: dict, books: dict,
     return probe_ids, luts
 
 
-def _ivf_rpq_oracle(query_vec_id: int = 2, k: int = 10,
-                    n_centroids: int = N_CENTROIDS,
-                    n_probe: int = N_PROBE, m_sub: int = PQ_M,
-                    ks: int = PQ_KS,
-                    sample_mod: int = IVF_SAMPLE_MOD,
-                    dim: int = 64) -> str:
-    """Residual-IVFADC oracle: the prefixed IVF chain, residuals for
-    every vector against its assigned centroid, the PQ training chain
-    over the residual subvectors (r-prefixed), per-probed-list query
-    residual LUTs, and the ADC sum keyed on (cid, m, code)."""
+def _rpq_chain_sql(query_vec_id: int, n_probe: int, m_sub: int,
+                   ks: int, sample_mod: int, dim: int) -> str:
+    """The residual-PQ CTE chain (res -> rsubs -> rtrained -> rcodes ->
+    per-probed-list query LUTs -> radc), r-prefixed so it composes next
+    to the raw-PQ chain in one WITH. Assumes `e` plus the i-prefixed
+    IVF chain (_ivf_adc_probe_sql) are already in scope."""
     scale = int(_KMEANS_SCALE)
     subdim = dim // m_sub
     dist = _sub_dist_sql("s.sub", "c.ce", subdim)
-    return f"""
-    WITH e AS (
-      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
-      FROM embeddings
-    ),
-    {_ivf_adc_probe_sql(query_vec_id, n_centroids, sample_mod)},
-    res AS (
+    return f"""res AS (
       SELECT e.vec_id, ia.cid,
              list_transform(generate_series(1, {dim}),
                             i -> e.e[i] - c.ce[i]) AS r
@@ -1670,21 +1660,156 @@ def _ivf_rpq_oracle(query_vec_id: int = 2, k: int = 10,
                         * {scale}.0) AS BIGINT) AS d
       FROM rtrained c JOIN qrsubs s ON s.m = c.m
     ),
-    adc AS (
+    radc AS (
       SELECT cd.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_q
       FROM rcodes cd
       JOIN rlut l ON l.cid = cd.cid AND l.m = cd.m
                  AND l.code = cd.code
       GROUP BY cd.vec_id
-    )
+    )"""
+
+
+def _ivf_rpq_oracle(query_vec_id: int = 2, k: int = 10,
+                    n_centroids: int = N_CENTROIDS,
+                    n_probe: int = N_PROBE, m_sub: int = PQ_M,
+                    ks: int = PQ_KS,
+                    sample_mod: int = IVF_SAMPLE_MOD,
+                    dim: int = 64) -> str:
+    """Residual-IVFADC oracle: the prefixed IVF chain, residuals for
+    every vector against its assigned centroid, the PQ training chain
+    over the residual subvectors (r-prefixed), per-probed-list query
+    residual LUTs, and the ADC sum keyed on (cid, m, code)."""
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings
+    ),
+    {_ivf_adc_probe_sql(query_vec_id, n_centroids, sample_mod)},
+    {_rpq_chain_sql(query_vec_id, n_probe, m_sub, ks, sample_mod, dim)}
     SELECT e.vec_id, e.label, a.adc_q
-    FROM adc a JOIN e USING (vec_id)
+    FROM radc a JOIN e USING (vec_id)
     WHERE e.vec_id != {query_vec_id}
     ORDER BY a.adc_q ASC, e.vec_id ASC LIMIT {k}
     """
 
 
 IVF_RPQ_ORACLE = _ivf_rpq_oracle()
+
+
+def rpq_vs_raw_recall(embeddings: DataFrame, query_vec_id: int = 2,
+                      k: int = _PQ_RECALL_K,
+                      n_centroids: int = N_CENTROIDS,
+                      n_probe: int = N_PROBE, m_sub: int = PQ_M,
+                      ks: int = PQ_KS,
+                      sample_mod: int = IVF_SAMPLE_MOD,
+                      cache_key=None) -> DataFrame:
+    """L3l: WHY residual encoding exists (Jegou et al. 2011 §IV.A) —
+    at the SAME code budget (m_sub x log2(ks) bits) and the SAME probe
+    set, residual PQ should recall better than raw-vector PQ, because
+    its codebooks spend their bits on what the coarse quantizer did
+    NOT explain instead of re-describing which cell a vector lives in.
+    Measures both arms against the exact-L2 top-k over the whole
+    corpus: one row (k, n_common_raw, n_common_res). The residual >=
+    raw inequality is pinned by test; if a fixture ever contradicts
+    the theory, the honest number goes to SCALING.md instead."""
+    emb = embeddings.select(
+        "vec_id", "label", _to_double(F.col("embedding")).alias("e"))
+    q_rows = (emb.filter(F.col("vec_id") == query_vec_id)
+              .select("e").collect())
+    if not q_rows:
+        raise ValueError(
+            f"query vec_id {query_vec_id} not found in embeddings")
+    q = [float(v) for v in q_rows[0]["e"]]
+    dim = len(q)
+    subdim = dim // m_sub
+
+    # exact-L2 truth, grouped per subspace — the same term grouping
+    # (and so the same float fold) as the l3j gauge and both oracles
+    exact = None
+    for m in range(m_sub):
+        d = None
+        for i in range(subdim):
+            t = (F.element_at("e", m * subdim + i + 1)
+                 - F.lit(q[m * subdim + i]))
+            term = t * t
+            d = term if d is None else d + term
+        exact = d if exact is None else exact + d
+    bf = (emb.filter(F.col("vec_id") != query_vec_id)
+          .select("vec_id", exact.alias("l2"))
+          .orderBy(F.col("l2").asc(), F.col("vec_id").asc())
+          .limit(k)
+          .select("vec_id"))
+
+    raw_ids = ivf_adc_topk(embeddings, query_vec_id, k, n_centroids,
+                           n_probe, m_sub, ks, sample_mod,
+                           cache_key=cache_key).select("vec_id")
+    res_ids = ivf_rpq_topk(embeddings, query_vec_id, k, n_centroids,
+                           n_probe, m_sub, ks, sample_mod,
+                           cache_key=cache_key).select("vec_id")
+
+    n_raw = (bf.join(raw_ids, "vec_id")
+             .agg(F.count(F.lit(1)).cast("bigint")
+                  .alias("n_common_raw")))
+    n_res = (bf.join(res_ids, "vec_id")
+             .agg(F.count(F.lit(1)).cast("bigint")
+                  .alias("n_common_res")))
+    return (n_raw.crossJoin(F.broadcast(n_res))
+            .select(F.lit(k).cast("bigint").alias("k"),
+                    "n_common_raw", "n_common_res"))
+
+
+def _rpq_vs_raw_recall_oracle(query_vec_id: int = 2,
+                              k: int = _PQ_RECALL_K,
+                              n_centroids: int = N_CENTROIDS,
+                              n_probe: int = N_PROBE, m_sub: int = PQ_M,
+                              ks: int = PQ_KS,
+                              sample_mod: int = IVF_SAMPLE_MOD,
+                              dim: int = 64) -> str:
+    """Composes the raw-PQ chain (unprefixed), the IVF chain
+    (i-prefixed) and the residual chain (r-prefixed) in ONE WITH —
+    textually the same CTEs the l3i and l3k oracles run, plus the
+    exact-L2 truth and two intersection counts."""
+    subdim = dim // m_sub
+    pq_prefix = _pq_train_sql(query_vec_id, m_sub, ks, sample_mod,
+                              subdim)
+    exact = " + ".join(
+        "(" + _sub_dist_sql(f"s{m}.sub", f"qq{m}.qs", subdim) + ")"
+        for m in range(m_sub))
+    sub_joins = " ".join(
+        f"JOIN subs s{m} ON s{m}.vec_id = e.vec_id AND s{m}.m = {m} "
+        f"JOIN q qq{m} ON qq{m}.m = {m}"
+        for m in range(m_sub))
+    return f"""
+    WITH {pq_prefix},
+    {_ivf_adc_probe_sql(query_vec_id, n_centroids, sample_mod)},
+    {_rpq_chain_sql(query_vec_id, n_probe, m_sub, ks, sample_mod, dim)},
+    comp_raw AS (
+      SELECT a.vec_id
+      FROM adc a
+      JOIN iassigned ia ON ia.vec_id = a.vec_id
+      JOIN iprobes p ON ia.cid = p.cid AND p.prn <= {n_probe}
+      WHERE a.vec_id != {query_vec_id}
+      ORDER BY a.adc_q ASC, a.vec_id ASC LIMIT {k}
+    ),
+    comp_res AS (
+      SELECT vec_id FROM radc
+      WHERE vec_id != {query_vec_id}
+      ORDER BY adc_q ASC, vec_id ASC LIMIT {k}
+    ),
+    bf AS (
+      SELECT e.vec_id FROM e {sub_joins}
+      WHERE e.vec_id != {query_vec_id}
+      ORDER BY ({exact}) ASC, e.vec_id ASC LIMIT {k}
+    )
+    SELECT CAST({k} AS BIGINT) AS k,
+           (SELECT CAST(count(*) AS BIGINT) FROM comp_raw JOIN bf
+            USING (vec_id)) AS n_common_raw,
+           (SELECT CAST(count(*) AS BIGINT) FROM comp_res JOIN bf
+            USING (vec_id)) AS n_common_res
+    """
+
+
+RPQ_VS_RAW_RECALL_ORACLE = _rpq_vs_raw_recall_oracle()
 
 
 # --------------------------------------------------------------------------

@@ -217,6 +217,18 @@ def l3k_ivf_rpq_topk(spark, sf_dir):
                         query_vec_id=2, k=10, cache_key=sf_dir)
 
 
+@register("l3l_rpq_vs_raw_recall", oracle=_sim.RPQ_VS_RAW_RECALL_ORACLE,
+          doc="L3l residual-vs-raw recall gauge: recall@k of l3k "
+              "(residual PQ) vs l3i (raw-vector PQ) against the "
+              "exact-L2 truth at the SAME m/ks/probe — measures the "
+              "reason residual encoding exists (Jegou SIV.A)")
+def l3l_rpq_vs_raw_recall(spark, sf_dir):
+    from bioio_spark.functions.similarity import rpq_vs_raw_recall
+
+    return rpq_vs_raw_recall(load(spark, sf_dir, "embeddings"),
+                             query_vec_id=2, cache_key=sf_dir)
+
+
 @register("l3g_knn_join", oracle=_sim.KNN_JOIN_ORACLE,
           doc="L3g kNN join: top-k neighbors for a query BATCH in one "
               "pass (salted two-phase per-query top-k — no task ever "

@@ -290,3 +290,17 @@ def test_ivf_rpq_topk_subset_of_probed_lists(spark):
     assert len(out) == 10
     assert out.adc_q.is_monotonic_increasing
     assert (out.adc_q >= 0).all()
+
+
+def test_l3l_recall_arms_within_noise(spark, sf_dir):
+    """l3l honest-number pin (SCALING.md r12): on the near-uniform
+    synthetic fixture the residual arm does NOT beat the raw arm —
+    both recall 2-3/10 at sf0.001 within ±1 of each other. Pin the
+    exact measured values so a silent regression of either encode
+    path (or a fixture reshape that flips the story) shows up here
+    and forces the SCALING.md narrative to be re-checked."""
+    from bioio_spark.queries import REGISTRY
+
+    [row] = REGISTRY["l3l_rpq_vs_raw_recall"].fn(spark, sf_dir).collect()
+    assert (row["k"], row["n_common_raw"], row["n_common_res"]) \
+        == (10, 3, 2)
