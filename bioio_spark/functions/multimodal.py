@@ -707,6 +707,194 @@ def synth_image_twins(spark: SparkSession, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+# -- crop-robust perceptual dedup (the l2f exact-substring analog) ---------
+#
+# The wide-key triad catches PERTURBATION near-dups, but a crop (or
+# pad) shifts every pixel coordinate, so every global DCT coefficient
+# moves and the banded pHash key is lost. The text tier's answer to
+# the same problem is l2f's exact-substring containment; the image
+# analog is TILE-WISE hashing: fingerprint small aligned tiles, make
+# ANY exact tile-hash match a candidate (banding where each tile IS a
+# band), then verify candidates by the BEST-OFFSET aligned hamming —
+# slide B's tile grid over A's, score each offset by total hamming
+# over the overlapping tiles, accept if the best offset's per-tile
+# average is low over enough tiles. A crop by a multiple of the tile
+# size leaves interior tiles byte-identical (exact candidate recall),
+# and the offset score localizes edits the way substring containment
+# localizes edits in text.
+#
+# Integer exactness: tile hash bit p = 1 iff pixel_p * n_px > tile_sum
+# (the aHash cross-multiplication), offsets and overlap counts are
+# integers, and the per-tile average is the integer permille
+# hs * 1000 // n_overlap — every step textually mirrored in SQL.
+
+CROP_TILE = 4             # tile side in pixels (16-bit hash per tile)
+CROP_MAX_MILLI = 500      # accept: best offset avg <= 0.5 bit/tile
+#   (measured on the twin fixture: true crops score 0, the densest
+#   spurious-offset scores start at 571, cross-image noise at 1333 —
+#   500 sits in the widest gap; see tests/test_crop_dedup.py)
+CROP_MIN_OVERLAP = 4      # ... over at least this many aligned tiles
+CTWIN_ROWS = 4            # crop-twin: rows removed from the top
+CTWIN_DELTA = 97          # corrupt-twin: perturbation of the top rows
+
+
+def synth_crop_twins(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Crop-twin fixture: every image id of the standard geometry
+    (i % 3 == 0, w = 16 + (i%4)*8, h = 12) plus TWO derived arms —
+    media_id i + n is a PURE CROP (top CTWIN_ROWS rows and the left
+    4*(1 + (i//3) % 2) columns removed: tile-aligned, so its interior
+    tiles are byte-identical to the base and best-offset hamming is 0:
+    the accept arm), and media_id i + 2n is the same crop with its top
+    CTWIN_ROWS rows shifted by CTWIN_DELTA (mod 251): half its tiles
+    still match exactly (so it IS enumerated as a candidate) but the
+    best aligned offset averages ~half-corrupted tiles, failing the
+    CROP_MAX_MILLI gate — the reject arm. All payloads real PNGs; the
+    pixel formula is closed-form so the SQL oracle reproduces every
+    arm from range() alone."""
+    from bioio_spark.formats.png import encode_png
+
+    rows = []
+    for i in range(n):
+        if i % 3 != 0:
+            continue
+        w, h = 16 + (i % 4) * 8, 12
+        # per-image stride 31 + i decorrelates DIFFERENT ids (the
+        # shared-stride synth_media formula makes same-width images
+        # constant-offset copies of each other, which the
+        # offset-invariant tile bits would all "accept"); 251 is prime
+        # and 31 + i < 251, so every stride is full-period
+        base = (((np.arange(w * h, dtype=np.int64)) * (31 + i) + i * 7)
+                % 251).reshape(h, w)
+        cw = 4 * (1 + (i // 3) % 2)
+        crop = base[CTWIN_ROWS:, cw:]
+        corrupt = crop.copy()
+        corrupt[:CTWIN_ROWS, :] = (corrupt[:CTWIN_ROWS, :]
+                                   + CTWIN_DELTA) % 251
+        for mid, px in ((i, base), (i + n, crop), (i + 2 * n, corrupt)):
+            ph, pw = px.shape
+            rows.append((mid, "image",
+                         encode_png(px.astype(np.uint8)),
+                         (pw, ph, 1, 0, "png")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def crop_tile_hashes(media: DataFrame, codec=FakeCodec,
+                     tile: int = CROP_TILE) -> DataFrame:
+    """16-bit aHash per aligned `tile` x `tile` tile per IMAGE row:
+    (media_id, ti, tj, v) with ti/tj the tile's row/col index and bit
+    (y % tile) * tile + (x % tile) set iff pixel * tile^2 > tile_sum.
+    Arrow-batched decode; partial trailing tiles are dropped (crops in
+    the fixture are tile-aligned; a production pipeline pads)."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ti", T.IntegerType()),
+        T.StructField("tj", T.IntegerType()),
+        T.StructField("v", T.IntegerType()),
+    ])
+    npx = tile * tile
+    weights = (1 << np.arange(npx, dtype=np.int64))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids, tis, tjs, vals = [], [], [], []
+            for _, row in pdf.iterrows():
+                img = codec.decode(row["payload"])[0].astype(np.int64)
+                h, w = img.shape
+                nty, ntx = h // tile, w // tile
+                if nty == 0 or ntx == 0:
+                    continue
+                tiles = (img[:nty * tile, :ntx * tile]
+                         .reshape(nty, tile, ntx, tile)
+                         .transpose(0, 2, 1, 3)
+                         .reshape(nty, ntx, npx))
+                ts = tiles.sum(axis=2)
+                bits = tiles * npx > ts[:, :, None]
+                v = (bits * weights).sum(axis=2).astype(np.int64)
+                for a in range(nty):
+                    for b in range(ntx):
+                        mids.append(int(row["media_id"]))
+                        tis.append(a)
+                        tjs.append(b)
+                        vals.append(int(v[a, b]))
+            yield pd.DataFrame({
+                "media_id": np.asarray(mids, dtype=np.int64),
+                "ti": np.asarray(tis, dtype=np.int32),
+                "tj": np.asarray(tjs, dtype=np.int32),
+                "v": np.asarray(vals, dtype=np.int32)})
+
+    return (media.filter(F.col("kind") == "image")
+            .mapInPandas(batches, schema=schema))
+
+
+def _crop_best_offsets(cand: DataFrame, th: DataFrame,
+                       min_overlap: int = CROP_MIN_OVERLAP) -> DataFrame:
+    """Best-offset aligned hamming per candidate pair: cross the two
+    tile grids, group by the implied offset (dy, dx), score each
+    offset by (sum hamming, n overlapping tiles), keep the offset
+    minimizing the integer per-tile permille (ties to smallest dy,
+    dx). Work per pair is n_tiles_a x n_tiles_b — bounded, because
+    candidates come from capped buckets and tile counts are fixed by
+    the image geometry, not the corpus."""
+    from pyspark.sql import Window
+
+    ta = th.select(F.col("media_id").alias("media_id_a"),
+                   F.col("ti").alias("tia"), F.col("tj").alias("tja"),
+                   F.col("v").alias("va"))
+    tb = th.select(F.col("media_id").alias("media_id_b"),
+                   F.col("ti").alias("tib"), F.col("tj").alias("tjb"),
+                   F.col("v").alias("vb"))
+    offs = (cand.join(ta, "media_id_a").join(tb, "media_id_b")
+            .groupBy("media_id_a", "media_id_b",
+                     (F.col("tib") - F.col("tia")).alias("dy"),
+                     (F.col("tjb") - F.col("tja")).alias("dx"))
+            .agg(F.sum(F.bit_count(
+                F.col("va").bitwiseXOR(F.col("vb")))).alias("hs"),
+                 F.count(F.lit(1)).alias("no"))
+            .filter(F.col("no") >= min_overlap)
+            .withColumn("ham_milli",
+                        F.floor(F.col("hs") * 1000 / F.col("no"))
+                        .cast("bigint")))
+    w = (Window.partitionBy("media_id_a", "media_id_b")
+         .orderBy(F.col("ham_milli").asc(), F.col("dy").asc(),
+                  F.col("dx").asc()))
+    return (offs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("media_id_a", "media_id_b",
+                    F.col("dy").cast("int").alias("dy"),
+                    F.col("dx").cast("int").alias("dx"),
+                    F.col("no").cast("bigint").alias("n_overlap"),
+                    "ham_milli"))
+
+
+def crop_near_dups(media: DataFrame, codec=FakeCodec,
+                   tile: int = CROP_TILE,
+                   max_milli: int = CROP_MAX_MILLI,
+                   min_overlap: int = CROP_MIN_OVERLAP,
+                   max_width: int = MEDIA_MAX_BUCKET_WIDTH) -> DataFrame:
+    """Crop-robust near-duplicate IMAGE pairs: tile-wise 16-bit
+    hashes (persisted — they feed the bucket grouping and both sides
+    of the offset verification), candidates = any exact tile-value
+    match through the capped `_bucket_pairs` (the l2d discipline: a
+    degenerate corpus of flat tiles collapses into one bucket, which
+    the cap bounds to O(max_width^2) pairs), then best-offset aligned
+    hamming with the (min_overlap, max_milli) gate. Returns
+    (media_id_a, media_id_b, dy, dx, n_overlap, ham_milli), a < b."""
+    from bioio_spark.functions.dedup import _bucket_pairs, swap_held
+
+    th = crop_tile_hashes(media, codec, tile)
+    held = swap_held(th.sparkSession, "crop_neardup")
+    th = th.persist()
+    held.append(th)
+    lf = th.select("media_id", "v").distinct()
+    cand = (_bucket_pairs(lf, ["v"], "media_id", max_width=max_width)
+            .distinct()
+            .select(F.col("doc_a").alias("media_id_a"),
+                    F.col("doc_b").alias("media_id_b")))
+    best = _crop_best_offsets(cand, th, min_overlap)
+    return (best.filter(F.col("ham_milli") <= max_milli)
+            .orderBy("media_id_a", "media_id_b"))
+
+
 def phash_near_dups(media: DataFrame, codec=FakeCodec,
                     max_hamming: int = PHASH_MAX_HAMMING,
                     max_width: int = MEDIA_MAX_BUCKET_WIDTH) -> DataFrame:

@@ -81,6 +81,9 @@ def build_fixture(replicas: int = 10, dst: str = DST) -> str:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--family", choices=("all", "dedup", "ann"),
+                    default="all",
+                    help="which probe family to run (ann added r12)")
     args = ap.parse_args()
 
     build_fixture(10, DST)
@@ -156,7 +159,54 @@ def main() -> None:
                 F.col("media_id_b").alias("doc_b"))))
         return run
 
-    probes = [
+    # ---- ANN family (round 12): the l3i/l3k tier was the only major
+    # 100 TB claim still argument-only. Three measurements per scale:
+    # cold index BUILD (train coarse + residual codebooks, then encode
+    # the full corpus — the ingest pipeline, cache_key=None so every
+    # scale pays its own training), WARM SEARCH over a persisted codes
+    # table (the steady-state query path — setup untimed), and recall
+    # drift (reported separately; recall is a count, not a wall time).
+    from bioio_spark.functions.similarity import (IVF_SAMPLE_MOD,
+                                                  N_CENTROIDS,
+                                                  _rpq_codes_frame,
+                                                  _to_double,
+                                                  _train_ivf,
+                                                  _train_rpq,
+                                                  rpq_encode,
+                                                  rpq_query_luts,
+                                                  rpq_search)
+
+    def _emb(sf_dir):
+        return (load(spark, sf_dir, "embeddings")
+                .select("vec_id", "label",
+                        _to_double(F.col("embedding")).alias("e")))
+
+    def ann_build_cold(sf_dir):
+        def run():
+            emb = _emb(sf_dir)
+            cents = _train_ivf(emb, N_CENTROIDS, IVF_SAMPLE_MOD,
+                               cache_key=None)
+            books = _train_rpq(emb, cents, cache_key=None)
+            sink(rpq_encode(emb, cents, books))
+        return run
+
+    def ann_search_warm(sf_dir):
+        # untimed setup: session-cached training + persisted codes
+        emb = _emb(sf_dir)
+        cents = _train_ivf(emb, N_CENTROIDS, IVF_SAMPLE_MOD,
+                           cache_key=sf_dir)
+        books = _train_rpq(emb, cents, cache_key=sf_dir)
+        coded = _rpq_codes_frame(emb, cents, books, cache_key=sf_dir)
+        coded.count()        # materialize the persist before timing
+        q = [float(v) for v in emb.filter(F.col("vec_id") == 2)
+             .select("e").collect()[0]["e"]]
+        probe_ids, luts = rpq_query_luts(q, cents, books)
+
+        def run():
+            sink(rpq_search(coded, luts, probe_ids, 2, 10))
+        return run
+
+    dedup_probes = [
         ("l2_minhash_lsh", reg("l2_minhash_lsh", SRC),
          reg("l2_minhash_lsh", DST), reg("l2_minhash_lsh", DST100)),
         ("l2g_incremental_dedup", reg("l2g_incremental_dedup", SRC),
@@ -169,6 +219,15 @@ def main() -> None:
         ("mm_dedup_pipeline(n=2k/20k/200k)", media_pipeline(2000),
          media_pipeline(20000), media_pipeline(200000)),
     ]
+    ann_probes = [
+        ("l3k_codes_build(cold)", ann_build_cold(SRC),
+         ann_build_cold(DST), ann_build_cold(DST100)),
+        ("l3k_warm_search", ann_search_warm(SRC),
+         ann_search_warm(DST), ann_search_warm(DST100)),
+    ]
+    probes = {"all": dedup_probes + ann_probes,
+              "dedup": dedup_probes,
+              "ann": ann_probes}[args.family]
     print(f"{'probe':34s} {'sf0.1':>8s} {'10x':>8s} {'100x':>8s}"
           f" {'r10':>6s} {'r100':>7s}")
     for name, small, big, huge in probes:
@@ -177,6 +236,18 @@ def main() -> None:
         th = timed(huge)
         print(f"{name:34s} {ts:8.2f} {tb:8.2f} {th:8.2f}"
               f" {tb / ts:6.2f} {th / ts:7.2f}", flush=True)
+
+    if args.family in ("all", "ann"):
+        # recall drift across corpus scale: a count, not a wall time —
+        # reported alongside so SCALING.md can record whether the
+        # banded/probed index LOSES neighbors as the corpus grows
+        from bioio_spark.functions.similarity import rpq_vs_raw_recall
+        for tag, d in (("sf0.1", SRC), ("10x", DST), ("100x", DST100)):
+            [row] = rpq_vs_raw_recall(
+                load(spark, d, "embeddings"), query_vec_id=2,
+                cache_key=d).collect()
+            print(f"recall@{row['k']} {tag:6s} raw={row['n_common_raw']}"
+                  f" res={row['n_common_res']}", flush=True)
 
 
 if __name__ == "__main__":
