@@ -1313,3 +1313,406 @@ def e2_retention_cohorts(spark, sf_dir):
                      .alias("week_offset"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
             .orderBy("cohort_week", "week_offset"))
+
+
+# --------------------------------------------------------------------------
+# S16 stream-stream JOIN STATE gauge (round 12): s14 gauges what the
+# watermark drops for AGGREGATES; this gauges the interval join's state
+# machine — the production risk s5 carries at 100 TB is unbounded join
+# state, and the whole point of the watermark + band is that state stays
+# bounded WITHOUT losing pairs the contract still owes. Same device as
+# s14: the real watermarked stream over the deterministic arrival
+# fixture, against a closed-form model of (a) which join pairs the
+# engine can still produce and (b) exactly how many rows each side's
+# state holds per micro-batch (verified against the engine's own
+# stateOperators metrics).
+#
+# The model was fitted to the engine (sf0.001 AND sf0.01, exact match
+# on pairs, per-batch state totals, and eviction counts) and pins THREE
+# engine behaviors:
+#   1. the raw late-INPUT filter uses the lag-2 watermark W(k-2) on
+#      both sides (the SPARK-24634 two-watermark semantics, same as
+#      s14's aggregate finding);
+#   2. the RIGHT side (clicks) skips storing input rows that cannot
+#      match future left rows (ct < W(k-1) - band) — but such rows
+#      STILL join against the left state first (left inputs are fully
+#      processed before right inputs, so nothing future is lost): an
+#      engine optimization visible only because the gauge reconciles
+#      pairs AND state counts simultaneously;
+#   3. LEFT inputs are always stored (this batch's right inputs are
+#      still to come), then evicted at batch end — eviction uses the
+#      lag-1 watermark with the per-side bounds Spark derives from the
+#      band condition: purchases at p_ts < W, clicks at c_ts < W - band.
+# --------------------------------------------------------------------------
+_S16_BAND_HOURS = 48
+_S16_BAND_US = _S16_BAND_HOURS * 3600 * 1000 * 1000
+
+
+def _s16_fixture_dir(spark, sf_dir: str) -> str:
+    """purchase/click events split into _S14_BATCHES parquet files by
+    the s14 arrival formula (weekly chronological batches, hashed ~10%
+    arriving two batches late), ascending mtimes, with user_id and
+    event_type carried for the join."""
+    import os
+    import time
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".scratch",
+        f"s16_events_b{_S14_BATCHES}_{tag}")
+    done = os.path.join(base, "_FIXTURE_DONE")
+    if os.path.isfile(done):
+        return base
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("purchase", "click"))
+          .select("event_id", "user_id", "event_type",
+                  F.unix_micros("ts").alias("tus"),
+                  _s14_arrival_batch_col().alias("g"))
+          .orderBy("event_id").collect())
+    os.makedirs(base, exist_ok=True)
+    now = time.time()
+    for k in range(_S14_BATCHES):
+        rows = [r for r in ev if r["g"] == k]
+        tbl = pa.table({
+            "event_id": pa.array([r["event_id"] for r in rows],
+                                 pa.int64()),
+            "user_id": pa.array([r["user_id"] for r in rows],
+                                pa.int64()),
+            "event_type": pa.array([r["event_type"] for r in rows]),
+            "ts": pa.array([r["tus"] for r in rows],
+                           pa.timestamp("us", tz="UTC")),
+        })
+        p = os.path.join(base, f"arrival{k}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (now + k, now + k))
+    with open(done, "w") as f:
+        f.write("ok")
+    return base
+
+
+def stream_join_pairs_store(spark, ev_dir: str, store: str,
+                            state_partitions: int = 4) -> list:
+    """The REAL watermarked stream-stream interval join: purchases
+    joined to the same user's clicks in the preceding _S16_BAND_HOURS,
+    one arrival file per trigger, both sides watermarked 3 days. Each
+    micro-batch's pairs land under their deterministic batch partition
+    (g = batch id — replays from an empty checkpoint reprocess the
+    same files in the same order, so overwrite is idempotent: the
+    s12/s15 exactly-once device). Returns the per-batch
+    (batch_id, state_total, state_removed) engine metrics from the
+    query's own progress reports — the numbers the model must equal."""
+    import json
+    import os
+
+    schema = spark.read.parquet(ev_dir).schema
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def write_batch(batch, bid):
+        (batch.withColumn("g", F.lit(int(bid)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("g").parquet(os.path.join(store, "pairs")))
+
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(state_partitions))
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(ev_dir))
+        ps = (src.filter(F.col("event_type") == "purchase")
+              .select(F.col("event_id").alias("purchase_id"),
+                      "user_id", F.col("ts").alias("p_ts"))
+              .withWatermark("p_ts", "3 days"))
+        cs = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(ev_dir)
+              .filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("c_ts"))
+              .withWatermark("c_ts", "3 days"))
+        j = ps.join(
+            cs,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts")
+               >= F.col("p_ts") - F.expr(f"INTERVAL {_S16_BAND_HOURS} "
+                                         f"HOURS"))
+            & (F.col("c_ts") <= F.col("p_ts")))
+        q = (j.writeStream.foreachBatch(write_batch)
+             .option("checkpointLocation", os.path.join(store, "_ckpt"))
+             .trigger(availableNow=True)
+             .start())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    metrics = []
+    for p in q.recentProgress:
+        d = json.loads(str(p))
+        so = d.get("stateOperators") or [{}]
+        metrics.append((int(d["batchId"]),
+                        int(so[0].get("numRowsTotal", 0)),
+                        int(so[0].get("numRowsRemoved", 0))))
+    return metrics
+
+
+def _s16_oracle() -> str:
+    """Everything closed-form from the arrival formula: per-side
+    per-batch prefix maxima -> the global ms-floored watermark W(k) ->
+    the three pinned rules -> per-batch pair and state counts. The
+    engine columns are computed FROM THE MODEL (the s14 device): a
+    hash match proves the engine produced exactly the predicted pairs
+    and held exactly the predicted state."""
+    from bioio_spark.functions.hashing import h32_sql
+
+    h = h32_sql("'s14:' || CAST(event_id AS VARCHAR)")
+    d = _S14_DELAY_MS * 1000
+    b = _S16_BAND_US
+    nb = _S14_BATCHES
+    return f"""
+    WITH r AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS tus,
+             LEAST({nb - 1},
+                   date_diff('day', DATE '{_S14_BASE}', ts) // 7
+                   + CASE WHEN {h} % 10 = 0 THEN 2 ELSE 0 END) AS g
+      FROM events WHERE event_type IN ('purchase', 'click')),
+    bm AS (SELECT g, event_type, max(tus) AS m FROM r
+           GROUP BY g, event_type),
+    ks AS (SELECT unnest(generate_series(0, {nb - 1})) AS k),
+    sp AS (SELECT ks.k, bm.event_type, max(bm.m) AS pm
+           FROM ks JOIN bm ON bm.g <= ks.k
+           GROUP BY ks.k, bm.event_type),
+    wk AS (SELECT k, (min(pm) // 1000) * 1000 - {d} AS w
+           FROM sp GROUP BY k HAVING count(*) = 2),
+    p AS (SELECT event_id AS pe, user_id, tus AS pt, g AS gp
+          FROM r WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS ce, user_id, tus AS ct, g AS gc
+          FROM r WHERE event_type = 'click'),
+    truth AS (
+      SELECT pe, ce, pt, ct, gp, gc, GREATEST(gp, gc) AS k
+      FROM p JOIN c USING (user_id)
+      WHERE ct BETWEEN pt - {b} AND pt),
+    prod AS (
+      SELECT t.* FROM truth t
+      LEFT JOIN wk wp2 ON wp2.k = t.gp - 2
+      LEFT JOIN wk wc2 ON wc2.k = t.gc - 2
+      LEFT JOIN wk wc1 ON wc1.k = t.gc - 1
+      WHERE (wp2.w IS NULL OR t.pt >= wp2.w)
+        AND (wc2.w IS NULL OR t.ct >= wc2.w)
+        AND (t.gp >= t.gc OR wc2.w IS NULL OR t.pt >= wc2.w)
+        AND (t.gc >= t.gp
+             OR ((wp2.w IS NULL OR t.ct >= wp2.w - {b})
+                 AND (wc1.w IS NULL OR t.ct >= wc1.w - {b})))),
+    batches AS (SELECT unnest(generate_series(0, {nb})) AS g),
+    pair_counts AS (
+      SELECT b.g,
+             (SELECT count(*) FROM prod WHERE prod.k = b.g)
+               AS n_pairs_model,
+             (SELECT count(*) FROM truth WHERE truth.k = b.g)
+             - (SELECT count(*) FROM prod WHERE prod.k = b.g)
+               AS n_lost_model
+      FROM batches b),
+    praw AS (SELECT p.pe, p.pt, p.gp FROM p
+             LEFT JOIN wk wf ON wf.k = p.gp - 2
+             WHERE wf.w IS NULL OR p.pt >= wf.w),
+    craw AS (SELECT c.ce, c.ct, c.gc FROM c
+             LEFT JOIN wk wf ON wf.k = c.gc - 2
+             WHERE wf.w IS NULL OR c.ct >= wf.w),
+    cadd AS (SELECT cr.ce, cr.ct, cr.gc FROM craw cr
+             LEFT JOIN wk wg ON wg.k = cr.gc - 1
+             WHERE wg.w IS NULL OR cr.ct >= wg.w - {b}),
+    wevict AS (SELECT b.g, wk.w FROM batches b
+               LEFT JOIN wk ON wk.k = b.g - 1),
+    state AS (
+      SELECT w.g,
+             count(CASE WHEN s.side = 'p'
+                         AND (w.w IS NULL OR s.t >= w.w) THEN 1
+                        WHEN s.side = 'c'
+                         AND (w.w IS NULL OR s.t >= w.w - {b}) THEN 1
+                   END) AS total
+      FROM wevict w
+      LEFT JOIN (SELECT 'p' AS side, pt AS t, gp AS g0 FROM praw
+                 UNION ALL
+                 SELECT 'c' AS side, ct AS t, gc AS g0 FROM cadd) s
+        ON s.g0 <= w.g
+      GROUP BY w.g),
+    added AS (
+      SELECT b.g,
+             (SELECT count(*) FROM praw WHERE praw.gp = b.g)
+           + (SELECT count(*) FROM cadd WHERE cadd.gc = b.g)
+               AS n_added
+      FROM batches b)
+    SELECT CAST(s.g AS INT) AS g,
+           CAST(pc.n_pairs_model AS BIGINT) AS n_pairs_model,
+           CAST(pc.n_pairs_model AS BIGINT) AS n_pairs_engine,
+           CAST(pc.n_lost_model AS BIGINT) AS n_lost_model,
+           CAST(s.total AS BIGINT) AS state_rows_model,
+           CAST(s.total AS BIGINT) AS state_rows_engine,
+           CAST(COALESCE(lag(s.total) OVER (ORDER BY s.g), 0)
+                + a.n_added - s.total AS BIGINT)
+             AS state_removed_model,
+           CAST(COALESCE(lag(s.total) OVER (ORDER BY s.g), 0)
+                + a.n_added - s.total AS BIGINT)
+             AS state_removed_engine
+    FROM state s JOIN pair_counts pc ON pc.g = s.g
+    JOIN added a ON a.g = s.g
+    ORDER BY g
+    """
+
+
+@register(
+    "s16_stream_join_state_gauge",
+    oracle=_s16_oracle(),
+    doc="S16 stream-stream join state gauge: real watermarked interval "
+        "join over the deterministic arrival fixture vs a closed-form "
+        "model of produced pairs AND per-batch state rows/evictions — "
+        "pins the lag-2 late filter, the right-side storage-skip "
+        "optimization, and the per-side eviction bounds",
+)
+def s16_stream_join_state_gauge(spark, sf_dir):
+    import os
+    import shutil
+
+    ev_dir = _s16_fixture_dir(spark, sf_dir)
+    store = os.path.join(os.path.dirname(ev_dir),
+                         f"s16_store_{os.path.basename(ev_dir)}")
+    shutil.rmtree(store, ignore_errors=True)
+    metrics = stream_join_pairs_store(spark, ev_dir, store)
+    eng_state = spark.createDataFrame(
+        [(g, t, r) for g, t, r in metrics],
+        "g int, state_rows_engine bigint, state_removed_engine bigint")
+    eng_pairs = (spark.read.parquet(os.path.join(store, "pairs"))
+                 .groupBy(F.col("g").cast("int").alias("g"))
+                 .agg(F.count(F.lit(1)).cast("bigint")
+                      .alias("n_pairs_engine")))
+
+    # ---- the closed-form model, mirrored from the oracle ----
+    d_us = _S14_DELAY_MS * 1000
+    b_us = _S16_BAND_US
+    nb = _S14_BATCHES
+    r = (spark.read.parquet(ev_dir)
+         .select("event_id", "user_id", "event_type",
+                 F.unix_micros("ts").alias("tus"),
+                 _s14_arrival_batch_col().alias("g")))
+    bm = (r.groupBy("g", "event_type").agg(F.max("tus").alias("m")))
+    ks = spark.range(nb).select(F.col("id").cast("int").alias("k"))
+    sp = (ks.join(F.broadcast(bm), F.col("g") <= F.col("k"))
+          .groupBy("k", "event_type").agg(F.max("m").alias("pm")))
+    wk = (sp.groupBy("k")
+          .agg(F.min("pm").alias("mn"), F.count(F.lit(1)).alias("ns"))
+          .filter(F.col("ns") == 2)
+          .select("k", (F.floor(F.col("mn") / 1000) * 1000
+                        - F.lit(d_us)).alias("w")))
+    p = (r.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("pe"), "user_id",
+                 F.col("tus").alias("pt"), F.col("g").alias("gp")))
+    c = (r.filter(F.col("event_type") == "click")
+         .select(F.col("event_id").alias("ce"),
+                 F.col("user_id").alias("c_user"),
+                 F.col("tus").alias("ct"), F.col("g").alias("gc")))
+    truth = (p.join(c, (F.col("user_id") == F.col("c_user"))
+                    & (F.col("ct") >= F.col("pt") - b_us)
+                    & (F.col("ct") <= F.col("pt")))
+             .select("pe", "ce", "pt", "ct", "gp", "gc",
+                     F.greatest("gp", "gc").alias("k")))
+    wkb = F.broadcast(wk)
+    jt = (truth
+          .join(wkb.select(F.col("k").alias("_kp2"),
+                           F.col("w").alias("wp2")),
+                F.col("_kp2") == F.col("gp") - 2, "left")
+          .join(wkb.select(F.col("k").alias("_kc2"),
+                           F.col("w").alias("wc2")),
+                F.col("_kc2") == F.col("gc") - 2, "left")
+          .join(wkb.select(F.col("k").alias("_kc1"),
+                           F.col("w").alias("wc1")),
+                F.col("_kc1") == F.col("gc") - 1, "left"))
+    produced = jt.filter(
+        (F.col("wp2").isNull() | (F.col("pt") >= F.col("wp2")))
+        & (F.col("wc2").isNull() | (F.col("ct") >= F.col("wc2")))
+        & ((F.col("gp") >= F.col("gc")) | F.col("wc2").isNull()
+           | (F.col("pt") >= F.col("wc2")))
+        & ((F.col("gc") >= F.col("gp"))
+           | ((F.col("wp2").isNull()
+               | (F.col("ct") >= F.col("wp2") - b_us))
+              & (F.col("wc1").isNull()
+                 | (F.col("ct") >= F.col("wc1") - b_us)))))
+    batches = spark.range(nb + 1).select(
+        F.col("id").cast("int").alias("g"))
+    n_model = (produced.groupBy(F.col("k").alias("g"))
+               .agg(F.count(F.lit(1)).alias("n_pairs_model")))
+    n_truth = (truth.groupBy(F.col("k").alias("g"))
+               .agg(F.count(F.lit(1)).alias("n_truth")))
+
+    # state model: per batch g, survivors = raw-passing rows of g' <= g
+    # above the eviction bound at W(g-1); clicks additionally gated on
+    # storage at arrival (dominated by the eviction bound, kept for
+    # fidelity to the pinned rule)
+    sides = (r.join(wkb.select(F.col("k").alias("_kf"),
+                               F.col("w").alias("wf")),
+                    F.col("_kf") == F.col("g") - 2, "left")
+             .filter(F.col("wf").isNull()
+                     | (F.col("tus") >= F.col("wf")))
+             .select("event_type", "tus", "g"))
+    surv = (batches.alias("b")
+            .join(wkb.select(F.col("k").alias("_ke"),
+                             F.col("w").alias("we")),
+                  F.col("_ke") == F.col("g") - 1, "left")
+            .join(sides.select(F.col("event_type").alias("ty"),
+                               "tus", F.col("g").alias("rg")),
+                  F.col("rg") <= F.col("g"))
+            .filter(F.col("we").isNull()
+                    | ((F.col("ty") == "purchase")
+                       & (F.col("tus") >= F.col("we")))
+                    | ((F.col("ty") == "click")
+                       & (F.col("tus") >= F.col("we") - b_us)))
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("state_rows_model")))
+    added = (batches.alias("b")
+             .join(wkb.select(F.col("k").alias("_ke"),
+                              F.col("w").alias("we")),
+                   F.col("_ke") == F.col("g") - 1, "left")
+             .join(sides.select(F.col("event_type").alias("ty"),
+                                "tus", F.col("g").alias("rg")),
+                   F.col("rg") == F.col("g"), "left")
+             .filter(F.col("rg").isNull()
+                     | (F.col("ty") == "purchase")
+                     | F.col("we").isNull()
+                     | (F.col("tus") >= F.col("we") - b_us))
+             .groupBy("g")
+             .agg(F.sum(F.when(F.col("rg").isNotNull(), 1)
+                        .otherwise(0)).alias("n_added")))
+    win = Window.orderBy("g")
+    model = (batches
+             .join(n_model, "g", "left")
+             .join(n_truth, "g", "left")
+             .join(surv, "g", "left")
+             .join(added, "g", "left")
+             .select("g",
+                     F.coalesce("n_pairs_model", F.lit(0))
+                     .cast("bigint").alias("n_pairs_model"),
+                     (F.coalesce("n_truth", F.lit(0))
+                      - F.coalesce("n_pairs_model", F.lit(0)))
+                     .cast("bigint").alias("n_lost_model"),
+                     F.coalesce("state_rows_model", F.lit(0))
+                     .cast("bigint").alias("state_rows_model"),
+                     F.coalesce("n_added", F.lit(0)).alias("n_added"))
+             .withColumn(
+                 "state_removed_model",
+                 (F.coalesce(F.lag("state_rows_model").over(win),
+                             F.lit(0))
+                  + F.col("n_added")
+                  - F.col("state_rows_model")).cast("bigint")))
+    return (model
+            .join(eng_pairs, "g", "left")
+            .join(F.broadcast(eng_state), "g", "left")
+            .select("g", "n_pairs_model",
+                    F.coalesce("n_pairs_engine", F.lit(0))
+                    .cast("bigint").alias("n_pairs_engine"),
+                    "n_lost_model", "state_rows_model",
+                    F.coalesce("state_rows_engine", F.lit(0))
+                    .cast("bigint").alias("state_rows_engine"),
+                    "state_removed_model",
+                    F.coalesce("state_removed_engine", F.lit(0))
+                    .cast("bigint").alias("state_removed_engine"))
+            .orderBy("g"))

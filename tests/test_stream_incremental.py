@@ -270,3 +270,52 @@ def test_s14_two_watermark_semantics_pin(spark, sf_dir):
     assert lag1 > lag2, (
         f"lag-1 ({lag1}) vs lag-2 ({lag2}) indistinguishable — the "
         f"two-watermark pin is dead on this fixture")
+
+
+def test_s16_pairs_store_replay_idempotent(spark, sf_dir):
+    """s16: losing the checkpoint and replaying the same arrival files
+    converges to the same pair store (per-batch dynamic partition
+    overwrite; batch ids are deterministic under availableNow replay
+    from scratch, so every partition rewrites to identical content)."""
+    import os
+    import shutil
+
+    from bioio_spark.queries.streaming_batch import (
+        _s16_fixture_dir, stream_join_pairs_store)
+
+    ev_dir = _s16_fixture_dir(spark, sf_dir)
+    store = os.path.join(os.path.dirname(ev_dir), "s16_replay_test")
+    shutil.rmtree(store, ignore_errors=True)
+    stream_join_pairs_store(spark, ev_dir, store)
+    first = sorted(
+        (r["purchase_id"], r["click_id"], r["g"]) for r in
+        spark.read.parquet(os.path.join(store, "pairs")).collect())
+    shutil.rmtree(os.path.join(store, "_ckpt"))
+    stream_join_pairs_store(spark, ev_dir, store)
+    second = sorted(
+        (r["purchase_id"], r["click_id"], r["g"]) for r in
+        spark.read.parquet(os.path.join(store, "pairs")).collect())
+    assert first == second and len(first) > 0
+    shutil.rmtree(store, ignore_errors=True)
+
+
+def test_s16_engine_state_and_pairs_match_model(spark, sf_dir):
+    """The gauge's core claims, as assertions: engine pair counts and
+    per-batch state metrics equal the closed-form model on every row,
+    and the fixture actually loses pairs (the watermark does real
+    work) while keeping final state bounded far below the input."""
+    from bioio_spark.queries import REGISTRY
+
+    rows = (REGISTRY["s16_stream_join_state_gauge"]
+            .fn(spark, sf_dir).collect())
+    assert len(rows) >= 4
+    for r in rows:
+        assert r["n_pairs_engine"] == r["n_pairs_model"], r
+        assert r["state_rows_engine"] == r["state_rows_model"], r
+        assert r["state_removed_engine"] == r["state_removed_model"], r
+    assert sum(r["n_lost_model"] for r in rows) > 0
+    assert sum(r["n_pairs_model"] for r in rows) > 0
+    # state is EVICTED, not accumulated: the final batch holds less
+    # than half of what passed through
+    assert rows[-1]["state_rows_model"] < max(
+        r["state_rows_model"] for r in rows) / 2
