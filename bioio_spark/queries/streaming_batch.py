@@ -1716,3 +1716,240 @@ def s16_stream_join_state_gauge(spark, sf_dir):
                     F.coalesce("state_removed_engine", F.lit(0))
                     .cast("bigint").alias("state_removed_engine"))
             .orderBy("g"))
+
+
+# --------------------------------------------------------------------------
+# E3 sessionization (round 12): the third leg of the product-analytics
+# family (e1 funnel, e2r retention) — per-user SESSION WINDOWS with a
+# 30-minute inactivity gap, computed by Spark's NATIVE session_window
+# grouping (the engine merges events into sessions inside the user_id
+# hash aggregate — no lag-window self-join, no second shuffle), proven
+# equal to the declarative gaps-and-islands form the oracle runs.
+# Semantics pinned: an event extends the session iff it lands STRICTLY
+# before start + gap (a gap of exactly 30 min starts a new session),
+# and session_end = last event + gap. Scale: one user_id shuffle; the
+# per-key merge is linear in the user's events — the shape that at
+# 100 TB beats any window-function sessionization (which would sort
+# twice: once for lag, once for the island sum).
+# --------------------------------------------------------------------------
+_E3_GAP_MIN = 30
+
+
+@register(
+    "e3_sessionization",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts)
+                       >= INTERVAL {_E3_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL {_E3_GAP_MIN} MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE)
+             AS total_value
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    doc="E3 per-user sessionization: Spark's NATIVE session_window "
+        "grouping (30-min inactivity gap, single user_id shuffle) "
+        "hash-proven equal to the gaps-and-islands declarative form",
+)
+def e3_sessionization(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (e.groupBy(
+                "user_id",
+                F.session_window("ts", f"{_E3_GAP_MIN} minutes")
+                .alias("w"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(10,2)"))
+                 .cast("double").alias("total_value"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "total_value")
+            .orderBy("user_id", "session_start"))
+
+
+# --------------------------------------------------------------------------
+# S17 streaming SESSION-WINDOW emission gauge (round 12): e3's native
+# session_window run as a REAL append-mode stream over the late-arrival
+# fixture. Append mode only emits a session once the watermark proves
+# no event can still extend it — so the store is the engine's answer to
+# "which sessions are FINAL, and when did each become final". The
+# closed-form model reproduces the emitted set ROW-EXACTLY (verified at
+# sf0.001 and sf0.01): late events are dropped by the lag-2 watermark
+# (the s14/s16 SPARK-24634 pin, third operator family it holds for),
+# sessions form by gaps-and-islands over the SURVIVING events, and a
+# session emits at the first batch whose (lag-1) watermark reaches its
+# end. Sessions whose end the final watermark never reaches stay
+# pending forever — the append-mode cost a production pipeline must
+# budget (pinned by test).
+# --------------------------------------------------------------------------
+def _s17_fixture_dir(spark, sf_dir: str) -> str:
+    """ALL events (event_id, user_id, ts) split by the s14 arrival
+    formula into _S14_BATCHES files, ascending mtimes."""
+    import os
+    import time
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".scratch",
+        f"s17_events_b{_S14_BATCHES}_{tag}")
+    done = os.path.join(base, "_FIXTURE_DONE")
+    if os.path.isfile(done):
+        return base
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ev = (load(spark, sf_dir, "events")
+          .select("event_id", "user_id",
+                  F.unix_micros("ts").alias("tus"),
+                  _s14_arrival_batch_col().alias("g"))
+          .orderBy("event_id").collect())
+    os.makedirs(base, exist_ok=True)
+    now = time.time()
+    for k in range(_S14_BATCHES):
+        rows = [r for r in ev if r["g"] == k]
+        tbl = pa.table({
+            "event_id": pa.array([r["event_id"] for r in rows],
+                                 pa.int64()),
+            "user_id": pa.array([r["user_id"] for r in rows],
+                                pa.int64()),
+            "ts": pa.array([r["tus"] for r in rows],
+                           pa.timestamp("us", tz="UTC")),
+        })
+        p = os.path.join(base, f"arrival{k}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (now + k, now + k))
+    with open(done, "w") as f:
+        f.write("ok")
+    return base
+
+
+def stream_session_store(spark, ev_dir: str, store: str,
+                         state_partitions: int = 4) -> None:
+    """Append-mode session_window stream: per micro-batch, the
+    FINALIZED sessions land under their deterministic batch partition
+    (append emissions are immutable, so per-batch dynamic overwrite is
+    exactly-once under replay — the s12/s15/s16 device)."""
+    import os
+
+    schema = spark.read.parquet(ev_dir).schema
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def write_batch(batch, bid):
+        (batch.withColumn("g", F.lit(int(bid)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("g").parquet(os.path.join(store, "sessions")))
+
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(state_partitions))
+        q = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", 1).parquet(ev_dir)
+             .withWatermark("ts", "3 days")
+             .groupBy("user_id",
+                      F.session_window("ts", f"{_E3_GAP_MIN} minutes")
+                      .alias("w"))
+             .agg(F.count(F.lit(1)).alias("n_events"))
+             .select("user_id",
+                     F.col("w.start").alias("session_start"),
+                     F.col("w.end").alias("session_end"),
+                     "n_events")
+             .writeStream.foreachBatch(write_batch)
+             .outputMode("append")
+             .option("checkpointLocation", os.path.join(store, "_ckpt"))
+             .trigger(availableNow=True)
+             .start())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+
+
+def _s17_oracle() -> str:
+    from bioio_spark.functions.hashing import h32_sql
+
+    h = h32_sql("'s14:' || CAST(event_id AS VARCHAR)")
+    d = _S14_DELAY_MS * 1000
+    gap = _E3_GAP_MIN * 60 * 1000 * 1000
+    nb = _S14_BATCHES
+    return f"""
+    WITH r AS (
+      SELECT event_id, user_id, epoch_us(ts) AS tus,
+             LEAST({nb - 1},
+                   date_diff('day', DATE '{_S14_BASE}', ts) // 7
+                   + CASE WHEN {h} % 10 = 0 THEN 2 ELSE 0 END) AS g
+      FROM events),
+    bm AS (SELECT g, max(tus) AS m FROM r GROUP BY g),
+    ks AS (SELECT unnest(generate_series(0, {nb - 1})) AS k),
+    wk AS (SELECT ks.k, (max(bm.m) // 1000) * 1000 - {d} AS w
+           FROM ks JOIN bm ON bm.g <= ks.k GROUP BY ks.k),
+    surv AS (SELECT r.user_id, r.tus, r.g FROM r
+             LEFT JOIN wk wf ON wf.k = r.g - 2
+             WHERE wf.w IS NULL OR r.tus >= wf.w),
+    o AS (
+      SELECT user_id, tus, g,
+             CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id
+                                            ORDER BY tus)
+                       >= {gap} THEN 1 ELSE 0 END AS brk
+      FROM surv),
+    s AS (
+      SELECT user_id, tus, g,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+    sess AS (
+      SELECT user_id, sid, min(tus) AS ss, max(tus) + {gap} AS se,
+             count(*) AS n, max(g) AS gmax
+      FROM s GROUP BY user_id, sid),
+    batches AS (SELECT unnest(generate_series(0, {nb})) AS g),
+    em AS (
+      SELECT sess.user_id, sess.ss, sess.se, sess.n,
+             min(b.g) AS gem
+      FROM sess
+      JOIN batches b ON b.g >= sess.gmax
+      JOIN wk we ON we.k = b.g - 1 AND we.w >= sess.se
+      GROUP BY sess.user_id, sess.sid, sess.ss, sess.se, sess.n)
+    SELECT user_id,
+           make_timestamp(ss) AS session_start,
+           make_timestamp(se) AS session_end,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(gem AS INT) AS g_emit
+    FROM em ORDER BY user_id, session_start
+    """
+
+
+@register(
+    "s17_stream_session_emit",
+    oracle=_s17_oracle(),
+    doc="S17 append-mode session_window emission gauge: the real "
+        "watermarked session stream's finalized-session store proven "
+        "ROW-EXACTLY equal to the closed-form model (lag-2 late "
+        "filter, islands over surviving events, emission at the first "
+        "batch whose watermark reaches the session end)",
+)
+def s17_stream_session_emit(spark, sf_dir):
+    import os
+    import shutil
+
+    ev_dir = _s17_fixture_dir(spark, sf_dir)
+    store = os.path.join(os.path.dirname(ev_dir),
+                         f"s17_store_{os.path.basename(ev_dir)}")
+    shutil.rmtree(store, ignore_errors=True)
+    stream_session_store(spark, ev_dir, store)
+    return (spark.read.parquet(os.path.join(store, "sessions"))
+            .select("user_id", "session_start", "session_end",
+                    F.col("n_events").cast("bigint").alias("n_events"),
+                    F.col("g").cast("int").alias("g_emit"))
+            .orderBy("user_id", "session_start"))

@@ -319,3 +319,62 @@ def test_s16_engine_state_and_pairs_match_model(spark, sf_dir):
     # than half of what passed through
     assert rows[-1]["state_rows_model"] < max(
         r["state_rows_model"] for r in rows) / 2
+
+
+def test_s17_session_store_replay_idempotent(spark, sf_dir):
+    """s17: checkpoint loss + full replay converges to the same
+    finalized-session store (append emissions are immutable and batch
+    ids deterministic, so per-batch overwrite rewrites identical
+    content)."""
+    import os
+    import shutil
+
+    from bioio_spark.queries.streaming_batch import (
+        _s17_fixture_dir, stream_session_store)
+
+    ev_dir = _s17_fixture_dir(spark, sf_dir)
+    store = os.path.join(os.path.dirname(ev_dir), "s17_replay_test")
+    shutil.rmtree(store, ignore_errors=True)
+    stream_session_store(spark, ev_dir, store)
+    first = sorted(
+        (r["user_id"], str(r["session_start"]), r["n_events"], r["g"])
+        for r in spark.read.parquet(
+            os.path.join(store, "sessions")).collect())
+    shutil.rmtree(os.path.join(store, "_ckpt"))
+    stream_session_store(spark, ev_dir, store)
+    second = sorted(
+        (r["user_id"], str(r["session_start"]), r["n_events"], r["g"])
+        for r in spark.read.parquet(
+            os.path.join(store, "sessions")).collect())
+    assert first == second and len(first) > 0
+    shutil.rmtree(store, ignore_errors=True)
+
+
+def test_s17_pending_sessions_are_the_append_mode_cost(spark, sf_dir):
+    """Append mode never emits a session the watermark hasn't sealed:
+    the fixture must leave a nonzero pending tail (sessions within
+    watermark-delay of the stream end), and every EMITTED session's
+    end must be at or below the final watermark — the budget line a
+    production append-mode sessionizer plans around."""
+    from pyspark.sql import functions as F
+
+    from bioio_spark.queries import REGISTRY
+    from bioio_spark.queries.base import load
+    from bioio_spark.queries.streaming_batch import _S14_DELAY_MS
+
+    emitted = (REGISTRY["s17_stream_session_emit"]
+               .fn(spark, sf_dir).collect())
+    assert len(emitted) > 0
+    ev = load(spark, sf_dir, "events")
+    max_ms = (ev.agg(F.max(F.unix_micros("ts")).alias("m"))
+              .collect()[0]["m"])
+    final_wm = (max_ms // 1000) * 1000 - _S14_DELAY_MS * 1000
+    for r in emitted:
+        import calendar
+        se = int(r["session_end"].timestamp() * 1e6)
+        assert se <= final_wm, r
+    # total sessions over ALL events (no drops) exceeds the emitted
+    # count: the pending tail is real
+    from bioio_spark.queries.streaming_batch import _E3_GAP_MIN
+    n_total = (REGISTRY["e3_sessionization"].fn(spark, sf_dir).count())
+    assert n_total > len(emitted)
