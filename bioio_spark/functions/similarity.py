@@ -1825,6 +1825,147 @@ RPQ_VS_RAW_RECALL_ORACLE = _rpq_vs_raw_recall_oracle()
 # deterministic (sim DESC, vec_id ASC) order is salt-invariant, so the
 # oracle mirrors the plain single-window form.
 # --------------------------------------------------------------------------
+# --------------------------------------------------------------------------
+# L3m SCALAR QUANTIZATION (SQ8): the OTHER production vector codec next
+# to PQ (FAISS IndexScalarQuantizer QT_8bit) — per-DIMENSION 8-bit
+# codes against trained per-dimension [min, max] ranges, 4x memory
+# compression with no codebook training beyond two order statistics.
+# Where PQ spends bits on joint subspace structure, SQ spends them
+# uniformly per dimension — cheaper to train/encode, larger codes,
+# the codec a pipeline reaches for when ingest throughput beats
+# compression ratio. Encode/decode arithmetic is plain IEEE doubles
+# mirrored textually in SQL; the ADC distance is made hash-exact by
+# flooring each per-dimension squared term to a fixed-point BIGINT
+# before the (associative, order-free) integer sum — the l3e device.
+# The trained ranges ride the literal-free one-row broadcast frame
+# (the r12 rpq_encode pattern), so the encode plan is constant-size.
+# --------------------------------------------------------------------------
+SQ_LEVELS = 255
+
+
+def _train_sq(emb: DataFrame, sample_mod: int = IVF_SAMPLE_MOD,
+              cache_key=None) -> tuple:
+    """Per-dimension (min, max) over the hash sample — the entire SQ
+    'codebook' (2 x dim doubles, trivially broadcastable)."""
+    spark = emb.sparkSession
+    key = ("sq", cache_key, sample_mod)
+    try:
+        cache = spark.__dict__.setdefault("_bioio_ivf_cache", {})
+    except Exception:
+        cache = {}
+    if cache_key is not None and key in cache:
+        return cache[key]
+    dim = len(emb.select("e").first()["e"])
+    row = (emb.filter(F.col("vec_id") % sample_mod == 0)
+           .agg(*[F.min(F.element_at("e", i + 1)).alias(f"mn{i}")
+                  for i in range(dim)],
+                *[F.max(F.element_at("e", i + 1)).alias(f"mx{i}")
+                  for i in range(dim)])
+           .collect()[0])
+    mins = [float(row[f"mn{i}"]) for i in range(dim)]
+    maxs = [float(row[f"mx{i}"]) for i in range(dim)]
+    if cache_key is not None:
+        cache[key] = (mins, maxs)
+    return mins, maxs
+
+
+def sq8_topk(embeddings: DataFrame, query_vec_id: int = 2,
+             k: int = 10, sample_mod: int = IVF_SAMPLE_MOD,
+             cache_key=None) -> DataFrame:
+    """SQ8/ADC approximate top-k by squared L2: encode every dimension
+    as floor((v - mn) * 255 / (mx - mn)) clamped to [0, 255], decode
+    to the bucket midpoint mn + (c + 0.5) * (mx - mn) / 255, rank by
+    the integer-floored sum of per-dimension squared errors against
+    the raw query. One narrow literal-free projection over the
+    broadcast range frame; TakeOrderedAndProject top-k."""
+    emb = embeddings.select(
+        "vec_id", "label", _to_double(F.col("embedding")).alias("e"))
+    mins, maxs = _train_sq(emb, sample_mod, cache_key=cache_key)
+    spark = emb.sparkSession
+    q_rows = (emb.filter(F.col("vec_id") == query_vec_id)
+              .select("e").collect())
+    if not q_rows:
+        raise ValueError(
+            f"query vec_id {query_vec_id} not found in embeddings")
+    q = [float(v) for v in q_rows[0]["e"]]
+    dim = len(q)
+
+    idx = spark.createDataFrame(
+        [(mins, maxs, q)],
+        "_sq_mn array<double>, _sq_mx array<double>, "
+        "_sq_q array<double>")
+
+    def _term(i):
+        # i is a lambda-bound index column (0-based)
+        ei = F.element_at(F.col("e"), i + 1)
+        mn = F.element_at(F.col("_sq_mn"), i + 1)
+        mx = F.element_at(F.col("_sq_mx"), i + 1)
+        qi = F.element_at(F.col("_sq_q"), i + 1)
+        code = F.when(mx == mn, F.lit(0.0)).otherwise(
+            F.least(F.lit(float(SQ_LEVELS)), F.greatest(
+                F.lit(0.0),
+                F.floor((ei - mn) * SQ_LEVELS / (mx - mn))
+                .cast("double"))))
+        dec = mn + (code + 0.5) * (mx - mn) / SQ_LEVELS
+        d = qi - dec
+        return F.floor(d * d * F.lit(_KMEANS_SCALE)).cast("bigint")
+
+    # one integer fold over the dimension index: literal-free,
+    # loop-compiled (the rpq_encode device); integer partials are
+    # associative, so the fold matches the oracle's order-free sum
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc + _term(i))
+    return (emb.crossJoin(F.broadcast(idx))
+            .filter(F.col("vec_id") != query_vec_id)
+            .select("vec_id", "label", adc.alias("adc_q"))
+            .orderBy(F.col("adc_q").asc(), F.col("vec_id").asc())
+            .limit(k))
+
+
+def _sq8_oracle(query_vec_id: int = 2, k: int = 10,
+                sample_mod: int = IVF_SAMPLE_MOD,
+                dim: int = 64) -> str:
+    scale = int(_KMEANS_SCALE)
+    lv = SQ_LEVELS
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings
+    ),
+    dims AS (SELECT unnest(generate_series(1, {dim})) AS i),
+    rng AS (
+      SELECT d.i, min(e.e[d.i]) AS mn, max(e.e[d.i]) AS mx
+      FROM e CROSS JOIN dims d
+      WHERE e.vec_id % {sample_mod} = 0 GROUP BY d.i),
+    q AS (SELECT e FROM e WHERE vec_id = {query_vec_id}),
+    adc AS (
+      SELECT e.vec_id,
+             CAST(sum(CAST(floor(
+               (q.e[r.i] - (r.mn + (
+                  CASE WHEN r.mx = r.mn THEN 0
+                  ELSE LEAST({lv}.0, GREATEST(0.0,
+                    floor((e.e[r.i] - r.mn) * {lv} / (r.mx - r.mn))))
+                  END + 0.5) * (r.mx - r.mn) / {lv}))
+               * (q.e[r.i] - (r.mn + (
+                  CASE WHEN r.mx = r.mn THEN 0
+                  ELSE LEAST({lv}.0, GREATEST(0.0,
+                    floor((e.e[r.i] - r.mn) * {lv} / (r.mx - r.mn))))
+                  END + 0.5) * (r.mx - r.mn) / {lv}))
+               * {scale}.0) AS BIGINT)) AS BIGINT) AS adc_q
+      FROM e CROSS JOIN q JOIN rng r ON TRUE
+      WHERE e.vec_id != {query_vec_id}
+      GROUP BY e.vec_id)
+    SELECT e.vec_id, e.label, a.adc_q
+    FROM adc a JOIN e USING (vec_id)
+    ORDER BY a.adc_q ASC, e.vec_id ASC LIMIT {k}
+    """
+
+
+SQ8_TOPK_ORACLE = _sq8_oracle()
+
+
 KNN_QUERY_IDS = (0, 5, 9, 13)
 KNN_K = 5
 _KNN_SALT = 8

@@ -217,6 +217,19 @@ def l3k_ivf_rpq_topk(spark, sf_dir):
                         query_vec_id=2, k=10, cache_key=sf_dir)
 
 
+@register("l3m_sq8_topk", oracle=_sim.SQ8_TOPK_ORACLE,
+          doc="L3m scalar-quantization SQ8 top-k (FAISS QT_8bit "
+              "analog): per-dimension 8-bit codes against trained "
+              "[min,max] ranges, bucket-midpoint decode, integer "
+              "fixed-point ADC — the cheap-to-train 4x-compression "
+              "codec next to PQ")
+def l3m_sq8_topk(spark, sf_dir):
+    from bioio_spark.functions.similarity import sq8_topk
+
+    return sq8_topk(load(spark, sf_dir, "embeddings"),
+                    query_vec_id=2, k=10, cache_key=sf_dir)
+
+
 @register("l3l_rpq_vs_raw_recall", oracle=_sim.RPQ_VS_RAW_RECALL_ORACLE,
           doc="L3l residual-vs-raw recall gauge: recall@k of l3k "
               "(residual PQ) vs l3i (raw-vector PQ) against the "

@@ -304,3 +304,39 @@ def test_l3l_recall_arms_within_noise(spark, sf_dir):
     [row] = REGISTRY["l3l_rpq_vs_raw_recall"].fn(spark, sf_dir).collect()
     assert (row["k"], row["n_common_raw"], row["n_common_res"]) \
         == (10, 3, 2)
+
+
+def test_sq8_topk_high_fidelity_and_plan(spark, sf_dir):
+    """SQ8 spends a full 8 bits per dimension, so unlike the 3-bit PQ
+    arms its top-10 should nearly reproduce the exact-L2 top-10 —
+    that fidelity IS the codec's selling point vs PQ's compression.
+    Plan: one broadcast of the 1-row range frame, no shuffle before
+    the TakeOrderedAndProject top-k."""
+    from pyspark.sql import functions as F
+
+    from bioio_spark.functions.similarity import _to_double, sq8_topk
+    from bioio_spark.queries.base import load
+
+    embeddings = load(spark, sf_dir, "embeddings")
+    out = sq8_topk(embeddings, query_vec_id=2, k=10, cache_key=None)
+    got = [r["vec_id"] for r in out.collect()]
+
+    emb = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("e"))
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 2)
+         .first()["e"]]
+    exact = F.aggregate(
+        F.zip_with(F.col("e"),
+                   F.array(*[F.lit(v) for v in q]),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    want = [r["vec_id"] for r in
+            emb.filter(F.col("vec_id") != 2)
+            .select("vec_id", exact.alias("l2"))
+            .orderBy(F.col("l2").asc(), F.col("vec_id").asc())
+            .limit(10).collect()]
+    assert len(set(got) & set(want)) >= 8, (got, want)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
