@@ -1867,3 +1867,120 @@ def l23_contamination_report(spark, sf_dir):
                     F.col("s.n_survive_through")
                     .alias("n_survive_through"))
             .orderBy("stage"))
+
+
+# --------------------------------------------------------------------------
+# L24 HyperLogLog distinct gauge (round 12): the cardinality member of
+# the sketch tier (l21 counts frequencies, l22 gauges similarity
+# sketches, l24 counts DISTINCTS) — the sketch behind every "how many
+# unique documents/users/n-grams" dashboard at 100 TB, where exact
+# COUNT(DISTINCT) is a full shuffle of the key universe but HLL is 64
+# mergeable bytes. From-scratch and HASH-EXACT across engines (Spark's
+# own approx_count_distinct is HLL++ but not oracle-mirrorable):
+# h32 -> top-6 bits pick 1 of m=64 registers, rho = leading-zero count
+# of the 26-bit suffix + 1 (integer bit-length device, l4j), register
+# = max(rho) — max is associative/commutative, so the sketch is
+# mergeable BY CONSTRUCTION and layout-independent. The harmonic-mean
+# denominator is computed as the EXACT integer S = sum(2^(27 - M_j))
+# (absent registers contribute 2^27), so the only float op is the
+# final alpha*m^2*2^27/S — one division on one row, identical IEEE in
+# both engines. No small-range correction: the fixture cardinality
+# (>= thousands) sits far above the 2.5*m = 160 linear-counting
+# regime; n_zero_registers is reported so the regime is visible.
+# --------------------------------------------------------------------------
+_HLL_P = 6                      # 2^6 = 64 registers
+_HLL_M = 1 << _HLL_P
+_HLL_SUFFIX_BITS = 32 - _HLL_P  # 26
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+
+
+def _hll_registers(documents):
+    """(bucket, mj) register rows for the distinct-document sketch
+    (key = md5 of the text, the l1 exact-dedup identity)."""
+    from bioio_spark.functions.hashing import h32_col
+
+    h = h32_col(F.concat(F.lit("hll:"), F.md5(F.col("text"))))
+    rows = documents.select(
+        F.floor(h / F.lit(1 << _HLL_SUFFIX_BITS)).cast("int")
+        .alias("bucket"),
+        (h % F.lit(1 << _HLL_SUFFIX_BITS)).alias("v"))
+    rho = (F.when(F.col("v") == 0, _HLL_SUFFIX_BITS + 1)
+           .otherwise(F.lit(_HLL_SUFFIX_BITS + 1)
+                      - F.length(F.bin(F.col("v")))))
+    return (rows.select("bucket", rho.alias("rho"))
+            .groupBy("bucket").agg(F.max("rho").alias("mj")))
+
+
+@register(
+    "l24_hll_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT {{h}} AS h FROM (
+        SELECT md5(text) AS k FROM documents) t
+    ),
+    rows_ AS (
+      SELECT h // {1 << _HLL_SUFFIX_BITS} AS bucket,
+             h % {1 << _HLL_SUFFIX_BITS} AS v
+      FROM h),
+    regs AS (
+      SELECT bucket,
+             max(CASE WHEN v = 0 THEN {_HLL_SUFFIX_BITS + 1}
+                 ELSE {_HLL_SUFFIX_BITS + 1} - length(bin(v)) END)
+               AS mj
+      FROM rows_ GROUP BY bucket),
+    s AS (
+      SELECT CAST(sum(1::BIGINT << ({_HLL_SUFFIX_BITS + 1} - mj))
+                  AS BIGINT)
+             + ({_HLL_M} - count(*))
+               * {1 << (_HLL_SUFFIX_BITS + 1)} AS s,
+             CAST({_HLL_M} - count(*) AS BIGINT) AS n_zero
+      FROM regs),
+    ex AS (SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_exact
+           FROM documents)
+    SELECT CAST({_HLL_M} AS INT) AS m,
+           ex.n_exact,
+           s.n_zero AS n_zero_registers,
+           CAST(floor(CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M}
+                      * {_HLL_M}
+                      * {1 << (_HLL_SUFFIX_BITS + 1)} / s.s)
+                AS BIGINT) AS hll_est,
+           CAST(abs(CAST(floor(CAST({_HLL_ALPHA!r} AS DOUBLE)
+                      * {_HLL_M} * {_HLL_M}
+                      * {1 << (_HLL_SUFFIX_BITS + 1)} / s.s)
+                AS BIGINT) - ex.n_exact) * 1000 // ex.n_exact
+                AS BIGINT) AS err_permille
+    FROM s CROSS JOIN ex
+    """.replace(
+        "{h}",
+        "CAST(('0x' || substr(md5('hll:' || t.k), 1, 8)) "
+        "AS BIGINT)"),
+    doc="L24 HyperLogLog distinct-document gauge: 64 mergeable "
+        "registers from h32 bucket/leading-zero ranks, EXACT integer "
+        "harmonic denominator (sum of 2^(27-Mj)), one final float "
+        "division — estimate vs exact COUNT DISTINCT with integer "
+        "permille error",
+)
+def l24_hll_distinct(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    regs = _hll_registers(docs)
+    s = (regs.agg(
+        (F.sum(F.expr(f"shiftleft(1L, {_HLL_SUFFIX_BITS + 1} - mj)"))
+         + (F.lit(_HLL_M) - F.count(F.lit(1)))
+         * F.lit(1 << (_HLL_SUFFIX_BITS + 1))).cast("bigint")
+        .alias("s"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).cast("bigint")
+        .alias("n_zero")))
+    ex = docs.agg(F.countDistinct(F.md5("text")).cast("bigint")
+                  .alias("n_exact"))
+    est = F.floor(F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M
+                  * (1 << (_HLL_SUFFIX_BITS + 1)) / F.col("s")
+                  ).cast("bigint")
+    return (s.crossJoin(F.broadcast(ex))
+            .select(F.lit(_HLL_M).cast("int").alias("m"),
+                    "n_exact",
+                    F.col("n_zero").alias("n_zero_registers"),
+                    est.alias("hll_est"),
+                    (F.abs(est - F.col("n_exact")) * 1000
+                     / F.col("n_exact")).cast("bigint")
+                    .alias("err_permille"))
+            )

@@ -97,3 +97,31 @@ def test_hashed_embeddings_match_python_reference(spark):
             h = _h32(w)
             vec[h % dim] += -1 if h % (2 * dim) >= dim else 1
         assert got[d] == vec, d
+
+
+def test_hll_registers_merge_exactly(spark, sf_dir):
+    """l24's scale claim IS mergeability: registers built per SOURCE
+    shard and merged by per-bucket max must equal the registers built
+    over the whole corpus in one pass — max is associative and
+    commutative, so the sketch is layout-independent by construction,
+    and this pins that the implementation kept that property."""
+    from pyspark.sql import functions as F
+
+    from bioio_spark.queries.base import load
+    from bioio_spark.queries.llm import _hll_registers
+
+    docs = load(spark, sf_dir, "documents")
+    whole = {(r["bucket"], r["mj"])
+             for r in _hll_registers(docs).collect()}
+    sources = [r["source"] for r in
+               docs.select("source").distinct().collect()]
+    partials = []
+    for s in sources:
+        partials.append(_hll_registers(
+            docs.filter(F.col("source") == s)))
+    merged = {}
+    for p in partials:
+        for r in p.collect():
+            b = r["bucket"]
+            merged[b] = max(merged.get(b, 0), r["mj"])
+    assert set(merged.items()) == whole
