@@ -1128,11 +1128,12 @@ ORDER BY rank DESC, node LIMIT 50
 _G3_SAMPLE_MOD = 4
 
 
-def _g3_oracle() -> str:
+def _g3_edges_sql() -> str:
+    """The sampled co-purchase edge chain (li -> licap -> pairs ->
+    edges), shared textually by the g3 and g4 oracles."""
     h = _h32_sql("CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
     oh = _h32_sql("'g3o:' || CAST(l_orderkey AS VARCHAR)")
-    return f"""
-    WITH li AS (
+    return f"""li AS (
       SELECT l_orderkey, l_partkey FROM lineitem
       WHERE {oh} % 4 = 0),
     licap AS (
@@ -1144,7 +1145,12 @@ def _g3_oracle() -> str:
       SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
       FROM licap x JOIN licap y
         ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
-    edges AS (SELECT a, b FROM pairs WHERE {h} % {_G3_SAMPLE_MOD} = 0),
+    edges AS (SELECT a, b FROM pairs WHERE {h} % {_G3_SAMPLE_MOD} = 0)"""
+
+
+def _g3_oracle() -> str:
+    return f"""
+    WITH {_g3_edges_sql()},
     deg AS (
       SELECT v, count(*) AS d FROM (
         SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
@@ -1984,3 +1990,108 @@ def l24_hll_distinct(spark, sf_dir):
                      / F.col("n_exact")).cast("bigint")
                     .alias("err_permille"))
             )
+
+
+# --------------------------------------------------------------------------
+# G4 label-propagation communities (round 12): the fourth graph kernel
+# (CC finds connectivity, g2 ranks, g3 counts closure, g4 finds
+# COMMUNITY structure — the retrieval/dedup partitioner that groups
+# documents/parts by dense co-occurrence). Classic async LPA is
+# RNG-tie-broken and order-dependent; this is the deterministic
+# synchronous form the cross-engine contract needs: a FIXED number of
+# unrolled rounds (the g2 device), each node simultaneously adopting
+# the most frequent label among its neighbors, ties to the SMALLEST
+# label (argmax via (count, -label) struct max == the oracle's
+# row_number ORDER BY c DESC, lab ASC). Scale: per round one
+# dst-keyed count aggregate + one node-keyed argmax — two partial-
+# combining hash aggs on the same key spine, no driver collect; the
+# undirected edge frame is persisted once and reused by every round
+# (3 rounds -> 3 plan references).
+# --------------------------------------------------------------------------
+_G4_ROUNDS = 3
+
+
+def _g4_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for r in range(1, _G4_ROUNDS + 1):
+        rounds.append(f"""c{r} AS (
+      SELECT u.dst AS node, l.lab, count(*) AS c
+      FROM und u JOIN {prev} l ON l.node = u.src
+      GROUP BY u.dst, l.lab),
+    l{r} AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lab ASC) AS rn
+        FROM c{r}) WHERE rn = 1)""")
+        prev = f"l{r}"
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH {_g3_edges_sql()},
+    und AS (SELECT a AS src, b AS dst FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    l0 AS (SELECT v AS node, v AS lab FROM (
+             SELECT a AS v FROM edges
+             UNION SELECT b FROM edges)),
+    {chain}
+    SELECT CAST(lab AS BIGINT) AS community,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM {prev} GROUP BY lab
+    ORDER BY n_members DESC, community ASC
+    """
+
+
+@register(
+    "g4_label_propagation",
+    oracle=_g4_oracle(),
+    doc="G4 deterministic synchronous label propagation over the "
+        "sampled co-purchase graph: 3 unrolled rounds, most-frequent "
+        "neighbor label with smallest-label tie-break, community "
+        "sizes — the RNG-free cross-engine form of LPA",
+)
+def g4_label_propagation(spark, sf_dir):
+    from bioio_spark.functions.dedup import (MAX_BUCKET_WIDTH,
+                                             _bucket_pairs, swap_held)
+    from bioio_spark.functions.hashing import h32_col
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                "l_partkey")
+    oh = h32_col(F.concat(F.lit("g3o:"),
+                          F.col("l_orderkey").cast("string")))
+    li = li.filter(oh % 4 == 0)
+    pairs = (_bucket_pairs(li, ["l_orderkey"], "l_partkey",
+                           max_width=MAX_BUCKET_WIDTH)
+             .filter(F.col("doc_a") != F.col("doc_b"))
+             .select(F.col("doc_a").alias("a"),
+                     F.col("doc_b").alias("b"))
+             .distinct())
+    h = h32_col(F.concat(F.col("a").cast("string"), F.lit(":"),
+                         F.col("b").cast("string")))
+    edges = pairs.filter(h % _G3_SAMPLE_MOD == 0)
+    held = swap_held(spark, "g4")
+    und = (edges.select(F.col("a").alias("src"),
+                        F.col("b").alias("dst"))
+           .unionAll(edges.select(F.col("b").alias("src"),
+                                  F.col("a").alias("dst")))
+           .persist())
+    held.append(und)
+    labels = (edges.select(F.col("a").alias("v"))
+              .union(edges.select(F.col("b").alias("v")))
+              .distinct()
+              .select(F.col("v").alias("node"), F.col("v").alias("lab")))
+    for _r in range(_G4_ROUNDS):
+        cnt = (und.join(labels.select(F.col("node").alias("src"),
+                                      "lab"), "src")
+               .groupBy(F.col("dst").alias("node"), "lab")
+               .agg(F.count(F.lit(1)).alias("c")))
+        labels = (cnt.groupBy("node")
+                  .agg(F.max(F.struct(F.col("c"),
+                                      (-F.col("lab")).alias("nl")))
+                       .alias("m"))
+                  .select("node", (-F.col("m.nl")).alias("lab")))
+    return (labels.groupBy(F.col("lab").cast("bigint")
+                           .alias("community"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+            .orderBy(F.col("n_members").desc(),
+                     F.col("community").asc()))

