@@ -1917,9 +1917,7 @@ def _hll_registers(documents):
             .groupBy("bucket").agg(F.max("rho").alias("mj")))
 
 
-@register(
-    "l24_hll_distinct",
-    oracle=f"""
+HLL_ORACLE = f"""
     WITH h AS (
       SELECT {{h}} AS h FROM (
         SELECT md5(text) AS k FROM documents) t
@@ -1959,7 +1957,12 @@ def _hll_registers(documents):
     """.replace(
         "{h}",
         "CAST(('0x' || substr(md5('hll:' || t.k), 1, 8)) "
-        "AS BIGINT)"),
+        "AS BIGINT)")
+
+
+@register(
+    "l24_hll_distinct",
+    oracle=HLL_ORACLE,
     doc="L24 HyperLogLog distinct-document gauge: 64 mergeable "
         "registers from h32 bucket/leading-zero ranks, EXACT integer "
         "harmonic denominator (sum of 2^(27-Mj)), one final float "

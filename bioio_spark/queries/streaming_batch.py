@@ -1953,3 +1953,107 @@ def s17_stream_session_emit(spark, sf_dir):
                     F.col("n_events").cast("bigint").alias("n_events"),
                     F.col("g").cast("int").alias("g_emit"))
             .orderBy("user_id", "session_start"))
+
+
+# --------------------------------------------------------------------------
+# S18 streaming HLL maintenance (round 12): the s13 sketch-by-merging
+# device applied to l24's cardinality sketch. Each micro-batch writes
+# its PARTIAL per-bucket register maxima under the batch's
+# deterministic group partition (exactly-once dynamic overwrite); the
+# final sketch is the per-bucket MAX over the partials — max is
+# associative/commutative/idempotent, so the merged stream sketch is
+# BIT-EQUAL to the batch sketch however the arrival split the corpus,
+# and the query hash-matches l24's own oracle (streaming == batch for
+# the cardinality tier). Idempotence matters doubly here: a replayed
+# batch re-contributes the same maxima, so even double-merging is
+# harmless — the strongest exactly-once story in the sketch family.
+# --------------------------------------------------------------------------
+def stream_hll_store(spark, docs_dir: str, store: str) -> None:
+    """Stream document parquet files; per micro-batch, write partial
+    per-bucket register maxima under the batch's group partition."""
+    import os
+
+    from bioio_spark.queries.llm import _hll_registers
+
+    schema = spark.read.parquet(docs_dir).schema
+
+    def write_batch(batch, _bid):
+        from bioio_spark.functions.hashing import h32_col
+        from bioio_spark.queries.llm import _HLL_SUFFIX_BITS
+
+        part = (batch.select((F.col("doc_id") % _S12_GROUPS)
+                             .cast("long").alias("g"), "text"))
+        # per-(g, bucket) partials: one narrow projection + hash agg
+        h = h32_col(F.concat(F.lit("hll:"), F.md5(F.col("text"))))
+        rho = (F.when(F.col("v") == 0, _HLL_SUFFIX_BITS + 1)
+               .otherwise(F.lit(_HLL_SUFFIX_BITS + 1)
+                          - F.length(F.bin(F.col("v")))))
+        (part.select("g",
+                     F.floor(h / F.lit(1 << _HLL_SUFFIX_BITS))
+                     .cast("int").alias("bucket"),
+                     (h % F.lit(1 << _HLL_SUFFIX_BITS)).alias("v"))
+         .select("g", "bucket", rho.alias("rho"))
+         .groupBy("g", "bucket").agg(F.max("rho").alias("mj_part"))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("g").parquet(os.path.join(store, "regs")))
+        (part.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("g").parquet(os.path.join(store, "docs")))
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(docs_dir)
+         .writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation", os.path.join(store, "_ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+from bioio_spark.queries.llm import HLL_ORACLE as _HLL_ORACLE  # noqa: E402
+
+
+@register(
+    "s18_stream_hll_distinct",
+    oracle=_HLL_ORACLE,
+    doc="S18 streaming HLL maintenance: per-micro-batch partial "
+        "register maxima merged by per-bucket max (associative + "
+        "idempotent) — the streamed sketch hash-matches l24's batch "
+        "oracle (streaming == batch for the cardinality tier)",
+)
+def s18_stream_hll_distinct(spark, sf_dir):
+    import os
+    import shutil
+
+    from bioio_spark.queries.llm import (_HLL_ALPHA, _HLL_M,
+                                         _HLL_SUFFIX_BITS)
+
+    docs_dir = _s12_fixture_dir(spark, sf_dir)
+    store = os.path.join(os.path.dirname(docs_dir),
+                         f"s18_store_{os.path.basename(docs_dir)}")
+    shutil.rmtree(store, ignore_errors=True)
+    stream_hll_store(spark, docs_dir, store)
+
+    regs = (spark.read.parquet(os.path.join(store, "regs"))
+            .groupBy("bucket").agg(F.max("mj_part").alias("mj")))
+    docs = spark.read.parquet(os.path.join(store, "docs"))
+    s = (regs.agg(
+        (F.sum(F.expr(f"shiftleft(1L, {_HLL_SUFFIX_BITS + 1} - mj)"))
+         + (F.lit(_HLL_M) - F.count(F.lit(1)))
+         * F.lit(1 << (_HLL_SUFFIX_BITS + 1))).cast("bigint")
+        .alias("s"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).cast("bigint")
+        .alias("n_zero")))
+    ex = docs.agg(F.countDistinct(F.md5("text")).cast("bigint")
+                  .alias("n_exact"))
+    est = F.floor(F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M
+                  * (1 << (_HLL_SUFFIX_BITS + 1)) / F.col("s")
+                  ).cast("bigint")
+    return (s.crossJoin(F.broadcast(ex))
+            .select(F.lit(_HLL_M).cast("int").alias("m"),
+                    "n_exact",
+                    F.col("n_zero").alias("n_zero_registers"),
+                    est.alias("hll_est"),
+                    (F.abs(est - F.col("n_exact")) * 1000
+                     / F.col("n_exact")).cast("bigint")
+                    .alias("err_permille")))

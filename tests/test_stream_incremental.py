@@ -378,3 +378,32 @@ def test_s17_pending_sessions_are_the_append_mode_cost(spark, sf_dir):
     from bioio_spark.queries.streaming_batch import _E3_GAP_MIN
     n_total = (REGISTRY["e3_sessionization"].fn(spark, sf_dir).count())
     assert n_total > len(emitted)
+
+
+def test_s18_hll_store_replay_idempotent(spark, sf_dir):
+    """s18: register-max merging is idempotent, so replaying every
+    file after checkpoint loss converges to the identical sketch —
+    and so does the estimate."""
+    import os
+    import shutil
+
+    from bioio_spark.queries.streaming_batch import (_s12_fixture_dir,
+                                                     stream_hll_store)
+    from pyspark.sql import functions as F
+
+    docs_dir = _s12_fixture_dir(spark, sf_dir)
+    store = os.path.join(os.path.dirname(docs_dir), "s18_replay_test")
+    shutil.rmtree(store, ignore_errors=True)
+    stream_hll_store(spark, docs_dir, store)
+    first = sorted(
+        (r["bucket"], r["mj"]) for r in
+        spark.read.parquet(os.path.join(store, "regs"))
+        .groupBy("bucket").agg(F.max("mj_part").alias("mj")).collect())
+    shutil.rmtree(os.path.join(store, "_ckpt"))
+    stream_hll_store(spark, docs_dir, store)
+    second = sorted(
+        (r["bucket"], r["mj"]) for r in
+        spark.read.parquet(os.path.join(store, "regs"))
+        .groupBy("bucket").agg(F.max("mj_part").alias("mj")).collect())
+    assert first == second and len(first) > 0
+    shutil.rmtree(store, ignore_errors=True)
