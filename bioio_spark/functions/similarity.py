@@ -2289,3 +2289,137 @@ def _proto_prune_oracle(n_centroids: int = N_CENTROIDS,
 
 
 PROTO_PRUNE_ORACLE = _proto_prune_oracle()
+
+
+# --------------------------------------------------------------------------
+# L26 retrieval metrics (round 12): the eval harness a RAG / retrieval
+# pipeline runs over its ANN results — recall@k, MRR, NDCG@k per query
+# against a deterministic relevance rule (same `label` as the query
+# vector: the class-retrieval protocol). All metrics are EXACT
+# integers: MRR as 1000 // first_relevant_rank, recall as permille of
+# the attainable hit count, and NDCG via a PRE-COMPUTED integer weight
+# table w(i) = floor(10^6 / log2(i + 1)) baked textually into BOTH
+# engines — the one float (log2) is evaluated once in Python, never
+# per-engine, so no cross-libm ULP can split the hash. Composes the
+# l3g kNN join (same k, same tie-breaks); at 100 TB the metrics add
+# one broadcast label join + one per-query aggregate to the retrieval
+# plan itself.
+# --------------------------------------------------------------------------
+import math as _m
+
+NDCG_W = tuple(int(_m.floor(1_000_000 / _m.log2(i + 1)))
+               for i in range(1, KNN_K + 1))
+NDCG_PREFIX = tuple(sum(NDCG_W[:i]) for i in range(1, KNN_K + 1))
+
+
+def retrieval_metrics(embeddings: DataFrame,
+                      query_vec_ids=KNN_QUERY_IDS,
+                      k: int = KNN_K) -> DataFrame:
+    """Per query: (query_id, n_rel, n_hit, recall_permille, mrr_milli,
+    ndcg_milli). n_rel counts same-label corpus vectors (self
+    excluded); ideal DCG uses the first min(k, n_rel) weights."""
+    res = knn_join(embeddings, query_vec_ids, k)
+    lab = embeddings.select("vec_id",
+                            F.col("label").cast("long").alias("lab"))
+    qlab = (lab.filter(F.col("vec_id").isin(list(query_vec_ids)))
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("lab").alias("qlab")))
+    w_arr = F.array(*[F.lit(w) for w in NDCG_W])
+    pre_arr = F.array(*[F.lit(p) for p in NDCG_PREFIX])
+
+    hits = (res.join(lab, "vec_id")
+            .join(F.broadcast(qlab), "query_id")
+            .withColumn("rel", (F.col("lab") == F.col("qlab"))
+                        .cast("int"))
+            .groupBy("query_id")
+            .agg(F.sum("rel").alias("n_hit"),
+                 F.min(F.when(F.col("rel") == 1, F.col("rank")))
+                 .alias("first_rank"),
+                 F.sum(F.when(F.col("rel") == 1,
+                              F.element_at(w_arr,
+                                           F.col("rank").cast("int")))
+                       .otherwise(0)).alias("dcg")))
+    nrel = (lab.join(F.broadcast(qlab),
+                     F.col("lab") == F.col("qlab"))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_rel")))
+    attain = F.least(F.lit(k).cast("bigint"), F.col("n_rel"))
+    idcg = F.element_at(pre_arr, attain.cast("int"))
+    return (qlab.select("query_id")
+            .join(hits, "query_id", "left")
+            .join(nrel, "query_id", "left")
+            .select(
+                "query_id",
+                F.coalesce("n_rel", F.lit(0)).cast("bigint")
+                .alias("n_rel"),
+                F.coalesce("n_hit", F.lit(0)).cast("bigint")
+                .alias("n_hit"),
+                F.when(F.coalesce("n_rel", F.lit(0)) == 0, F.lit(0))
+                .otherwise(F.floor(F.coalesce("n_hit", F.lit(0))
+                                   * 1000 / attain))
+                .cast("bigint").alias("recall_permille"),
+                F.when(F.col("first_rank").isNull(), F.lit(0))
+                .otherwise(F.floor(1000 / F.col("first_rank")))
+                .cast("bigint").alias("mrr_milli"),
+                F.when((F.coalesce("n_rel", F.lit(0)) == 0)
+                       | F.col("dcg").isNull(), F.lit(0))
+                .otherwise(F.floor(F.col("dcg") * 1000 / idcg))
+                .cast("bigint").alias("ndcg_milli"))
+            .orderBy("query_id"))
+
+
+def _retrieval_metrics_oracle(query_vec_ids=KNN_QUERY_IDS,
+                              k: int = KNN_K) -> str:
+    ids = ", ".join(str(int(i)) for i in query_vec_ids)
+    w_list = ", ".join(str(w) for w in NDCG_W)
+    p_list = ", ".join(str(p) for p in NDCG_PREFIX)
+    return f"""
+    WITH knn AS ({KNN_JOIN_ORACLE}),
+    lab AS (SELECT vec_id, CAST(label AS BIGINT) AS lab
+            FROM embeddings),
+    qlab AS (SELECT vec_id AS query_id, lab AS qlab FROM lab
+             WHERE vec_id IN ({ids})),
+    wt AS (SELECT * FROM (VALUES ([{w_list}]::BIGINT[],
+                                  [{p_list}]::BIGINT[]))
+           t(w, pre)),
+    hits AS (
+      SELECT knn.query_id,
+             sum(CASE WHEN l.lab = q.qlab THEN 1 ELSE 0 END) AS n_hit,
+             min(CASE WHEN l.lab = q.qlab THEN knn.rank END)
+               AS first_rank,
+             sum(CASE WHEN l.lab = q.qlab
+                 THEN wt.w[CAST(knn.rank AS INT)] ELSE 0 END) AS dcg
+      FROM knn
+      JOIN lab l ON l.vec_id = knn.vec_id
+      JOIN qlab q ON q.query_id = knn.query_id
+      CROSS JOIN wt
+      GROUP BY knn.query_id),
+    nrel AS (
+      SELECT q.query_id, count(*) AS n_rel
+      FROM lab l JOIN qlab q ON l.lab = q.qlab
+      WHERE l.vec_id != q.query_id
+      GROUP BY q.query_id)
+    SELECT q.query_id,
+           CAST(COALESCE(n.n_rel, 0) AS BIGINT) AS n_rel,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(CASE WHEN COALESCE(n.n_rel, 0) = 0 THEN 0
+                ELSE COALESCE(h.n_hit, 0) * 1000
+                     // LEAST({k}, n.n_rel) END AS BIGINT)
+             AS recall_permille,
+           CAST(CASE WHEN h.first_rank IS NULL THEN 0
+                ELSE 1000 // h.first_rank END AS BIGINT) AS mrr_milli,
+           CAST(CASE WHEN COALESCE(n.n_rel, 0) = 0
+                      OR h.dcg IS NULL THEN 0
+                ELSE h.dcg * 1000
+                     // wt.pre[CAST(LEAST({k}, n.n_rel) AS INT)]
+                END AS BIGINT) AS ndcg_milli
+    FROM qlab q
+    LEFT JOIN hits h ON h.query_id = q.query_id
+    LEFT JOIN nrel n ON n.query_id = q.query_id
+    CROSS JOIN wt
+    ORDER BY q.query_id
+    """
+
+
+RETRIEVAL_METRICS_ORACLE = _retrieval_metrics_oracle()

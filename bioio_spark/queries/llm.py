@@ -217,6 +217,18 @@ def l3k_ivf_rpq_topk(spark, sf_dir):
                         query_vec_id=2, k=10, cache_key=sf_dir)
 
 
+@register("l26_retrieval_metrics", oracle=_sim.RETRIEVAL_METRICS_ORACLE,
+          doc="L26 retrieval-eval metrics over the l3g kNN join: "
+              "per-query recall@k / MRR / NDCG@k vs the same-label "
+              "relevance rule — all integer-exact (NDCG via a "
+              "Python-precomputed weight table shared textually by "
+              "both engines)")
+def l26_retrieval_metrics(spark, sf_dir):
+    from bioio_spark.functions.similarity import retrieval_metrics
+
+    return retrieval_metrics(load(spark, sf_dir, "embeddings"))
+
+
 @register("l3m_sq8_topk", oracle=_sim.SQ8_TOPK_ORACLE,
           doc="L3m scalar-quantization SQ8 top-k (FAISS QT_8bit "
               "analog): per-dimension 8-bit codes against trained "

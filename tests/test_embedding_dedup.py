@@ -340,3 +340,44 @@ def test_sq8_topk_high_fidelity_and_plan(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_retrieval_metrics_math_on_designed_corpus(spark):
+    """The fixture's random labels make l26 read ~0 (honest: labels
+    don't cluster in cosine space) — so pin the METRIC MATH itself on
+    a corpus where relevance is designed: query 0's class occupies
+    ranks 1, 3, 5 of its top-5 exactly. recall@5 = 3/5 of attainable
+    (n_rel=4 -> attainable 4), MRR = 1000//1, NDCG = (w1+w3+w5)*1000
+    // (w1+w2+w3+w4) with the shared weight table."""
+    from bioio_spark.functions.similarity import (NDCG_PREFIX, NDCG_W,
+                                                  retrieval_metrics)
+
+    # 64-dim unit-ish vectors: class 1 vectors at decreasing cosine to
+    # the query, interleaved with class 0 decoys
+    def vec(main, off):
+        v = [0.0] * 64
+        v[0] = main
+        v[1] = off
+        return v
+
+    rows = [
+        (0, 1, vec(1.0, 0.0)),        # the query, class 1
+        (1, 1, vec(1.0, 0.1)),        # rank 1, relevant
+        (2, 0, vec(1.0, 0.2)),        # rank 2, decoy
+        (3, 1, vec(1.0, 0.3)),        # rank 3, relevant
+        (4, 0, vec(1.0, 0.4)),        # rank 4, decoy
+        (5, 1, vec(1.0, 0.5)),        # rank 5, relevant
+        (6, 1, vec(-1.0, 0.0)),       # relevant but far (rank > 5)
+        (7, 0, vec(-1.0, 0.1)),
+        (8, 0, vec(-1.0, 0.2)),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+    [m] = (retrieval_metrics(emb, query_vec_ids=(0,), k=5)
+           .collect())
+    assert m["n_rel"] == 4 and m["n_hit"] == 3
+    assert m["recall_permille"] == 3 * 1000 // 4
+    assert m["mrr_milli"] == 1000
+    want_ndcg = ((NDCG_W[0] + NDCG_W[2] + NDCG_W[4]) * 1000
+                 // NDCG_PREFIX[3])
+    assert m["ndcg_milli"] == want_ndcg
