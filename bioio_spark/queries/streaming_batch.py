@@ -1611,11 +1611,14 @@ def s16_stream_join_state_gauge(spark, sf_dir):
          .select(F.col("event_id").alias("ce"),
                  F.col("user_id").alias("c_user"),
                  F.col("tus").alias("ct"), F.col("g").alias("gc")))
+    from bioio_spark.functions.dedup import swap_held
     truth = (p.join(c, (F.col("user_id") == F.col("c_user"))
                     & (F.col("ct") >= F.col("pt") - b_us)
                     & (F.col("ct") <= F.col("pt")))
              .select("pe", "ce", "pt", "ct", "gp", "gc",
-                     F.greatest("gp", "gc").alias("k")))
+                     F.greatest("gp", "gc").alias("k"))
+             .persist())
+    swap_held(spark, "s16").append(truth)
     wkb = F.broadcast(wk)
     jt = (truth
           .join(wkb.select(F.col("k").alias("_kp2"),
@@ -1997,9 +2000,9 @@ def stream_hll_store(spark, docs_dir: str, store: str) -> None:
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("g").parquet(os.path.join(store, "regs")))
-        (part.write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("g").parquet(os.path.join(store, "docs")))
+        # no docs copy: the sketch IS the store's artifact (64 rows of
+        # partials per batch); the exact-count gauge side reads the
+        # same fixture files the stream consumed
 
     q = (spark.readStream.schema(schema)
          .option("maxFilesPerTrigger", 1).parquet(docs_dir)
@@ -2036,7 +2039,7 @@ def s18_stream_hll_distinct(spark, sf_dir):
 
     regs = (spark.read.parquet(os.path.join(store, "regs"))
             .groupBy("bucket").agg(F.max("mj_part").alias("mj")))
-    docs = spark.read.parquet(os.path.join(store, "docs"))
+    docs = spark.read.parquet(docs_dir)
     s = (regs.agg(
         (F.sum(F.expr(f"shiftleft(1L, {_HLL_SUFFIX_BITS + 1} - mj)"))
          + (F.lit(_HLL_M) - F.count(F.lit(1)))
