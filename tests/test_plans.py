@@ -686,3 +686,63 @@ def test_a37_salt_width_invariant(spark, sf_dir):
     finally:
         rel._A37_SALT = old
     assert base == alt
+
+
+def test_crop_neardup_tiles_cached_no_allpairs(spark):
+    """mm_crop_neardup (r12): the tile-hash frame is persisted and
+    feeds the bucket grouping + BOTH sides of the offset verification
+    (3 InMemoryTableScans — the Arrow decode runs once); candidates
+    come from the capped pair explode, never a cartesian."""
+    from bioio_spark.functions.multimodal import (crop_near_dups,
+                                                  synth_crop_twins)
+
+    df = crop_near_dups(synth_crop_twins(spark, 16))
+    plan = physical_plan(df)
+    assert plan.count("InMemoryTableScan") == 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_e3_sessionization_single_shuffle(spark):
+    """e3 (r12): the native session_window grouping sessionizes inside
+    ONE user_id exchange — exactly one shuffle in the plan (plus the
+    output sort), no window-function self-join, no second exchange for
+    the merge."""
+    df = q(spark, "e3_sessionization")
+    plan = physical_plan(df)
+    # one exchange for the aggregate, one for the final orderBy's
+    # range partitioning — nothing else
+    assert plan.count("Exchange") == 2, plan[:2000]
+    assert "SessionWindowStateStore" not in plan  # batch mode: no state
+    assert "Window" not in plan                   # no lag/island windows
+
+
+def test_sq8_encode_plan_is_literal_free(spark, sf_dir):
+    """l3m (r12): the SQ range 'codebook' rides as a one-row broadcast
+    LocalRelation, not as literal expression trees — the plan contains
+    a BroadcastNestedLoopJoin of a 1-row local table and NO per-range
+    literal floods (spot-check: the trained min values do not appear
+    as literals in the physical plan)."""
+    from bioio_spark.functions.similarity import _train_sq, _to_double
+    from bioio_spark.functions.similarity import sq8_topk
+    from bioio_spark.queries.base import load
+    from pyspark.sql import functions as F
+
+    embeddings = load(spark, sf_dir, "embeddings")
+    emb = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("e"))
+    mins, _maxs = _train_sq(emb, cache_key=None)
+    df = sq8_topk(embeddings, query_vec_id=2, k=10, cache_key=None)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert repr(float(mins[3]))[:12] not in plan
+
+
+def test_g4_reuses_persisted_edges_across_rounds(spark):
+    """g4 (r12): every LPA round joins the SAME persisted undirected
+    edge frame — 3 InMemoryTableScans (one per round), so the pair
+    enumeration runs once, not once per round."""
+    df = q(spark, "g4_label_propagation")
+    plan = physical_plan(df)
+    assert plan.count("InMemoryTableScan") == 3
+    assert "CartesianProduct" not in plan
