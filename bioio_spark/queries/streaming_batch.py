@@ -2060,3 +2060,309 @@ def s18_stream_hll_distinct(spark, sf_dir):
                     (F.abs(est - F.col("n_exact")) * 1000
                      / F.col("n_exact")).cast("bigint")
                     .alias("err_permille")))
+
+
+# --------------------------------------------------------------------------
+# S19 streaming DEDUP-STATE gauge (round 12): exact dedup is the first
+# operator every pipeline runs, and its streaming form lives or dies
+# by state: `dropDuplicates([id])` under a watermark looks bounded but
+# ISN'T — Spark only evicts dedup state when the event-time column is
+# part of the dedup key (pinned by test: the id-only variant's state
+# grows monotonically to |corpus| and numRowsRemoved stays 0 forever).
+# This gauge runs the BOUNDED form, dropDuplicates([id, ts]), over a
+# fixture where every event arrives TWICE (hash-chosen 1 or 2 batches
+# apart) and hash-proves two things against the closed-form model:
+# (1) state is evicted exactly at the watermark (per-batch rows/
+# removals equal the model), and (2) NO duplicate is ever re-admitted
+# — provably: the eviction a batch-k arrival can observe is bounded by
+# W(k-2), which is EXACTLY the late-input filter bound, so any
+# duplicate whose key was already evicted is itself filtered as late.
+# Bounded state and exact dedup are simultaneous, not a trade-off —
+# THE design fact a 100 TB streaming dedup rests on.
+# --------------------------------------------------------------------------
+def _s19_fixture_dir(spark, sf_dir: str) -> str:
+    """(event_id, ts) instances: the original at its week batch
+    (capped at _S14_BATCHES - 1, NO stragglers — duplication is the
+    subject here), plus ONE duplicate 1 or 2 batches later
+    (h32-chosen), capped at the last batch. Ascending mtimes."""
+    import os
+    import time
+
+    from bioio_spark.functions.hashing import h32_col
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".scratch",
+        f"s19_events_b{_S14_BATCHES}_{tag}")
+    done = os.path.join(base, "_FIXTURE_DONE")
+    if os.path.isfile(done):
+        return base
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    nb = _S14_BATCHES
+    ev = (load(spark, sf_dir, "events")
+          .select("event_id", F.unix_micros("ts").alias("tus"),
+                  F.least(F.lit(nb - 1), F.floor(
+                      F.datediff(F.col("ts").cast("date"),
+                                 F.lit(_S14_BASE).cast("date")) / 7)
+                      .cast("int")).alias("g1"),
+                  (h32_col(F.concat(F.lit("s19:"),
+                                    F.col("event_id").cast("string")))
+                   % 2 + 1).alias("d"))
+          .withColumn("g2", F.least(F.lit(nb - 1),
+                                    F.col("g1") + F.col("d")))
+          .orderBy("event_id").collect())
+    os.makedirs(base, exist_ok=True)
+    now = time.time()
+    for k in range(nb):
+        ids, ts = [], []
+        for r in ev:
+            if r["g1"] == k:
+                ids.append(r["event_id"])
+                ts.append(r["tus"])
+            if r["g2"] == k:
+                ids.append(r["event_id"])
+                ts.append(r["tus"])
+        tbl = pa.table({
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us", tz="UTC"))})
+        p = os.path.join(base, f"arrival{k}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (now + k, now + k))
+    with open(done, "w") as f:
+        f.write("ok")
+    return base
+
+
+def stream_dedup_store(spark, ev_dir: str, store: str,
+                       keys=("event_id", "ts"),
+                       state_partitions: int = 4) -> list:
+    """The real watermarked streaming dedup: emitted (first-seen) rows
+    land under their deterministic batch partition; returns per-batch
+    (batch_id, state_total, state_removed) engine metrics."""
+    import json
+    import os
+
+    schema = spark.read.parquet(ev_dir).schema
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def write_batch(batch, bid):
+        (batch.withColumn("g", F.lit(int(bid)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("g").parquet(os.path.join(store, "emitted")))
+
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(state_partitions))
+        q = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", 1).parquet(ev_dir)
+             .withWatermark("ts", "3 days")
+             .dropDuplicates(list(keys))
+             .writeStream.foreachBatch(write_batch)
+             .outputMode("append")
+             .option("checkpointLocation", os.path.join(store, "_ckpt"))
+             .trigger(availableNow=True)
+             .start())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    metrics = []
+    for p in q.recentProgress:
+        d = json.loads(str(p))
+        so = d.get("stateOperators") or [{}]
+        metrics.append((int(d["batchId"]),
+                        int(so[0].get("numRowsTotal", 0)),
+                        int(so[0].get("numRowsRemoved", 0))))
+    return metrics
+
+
+def _s19_oracle() -> str:
+    from bioio_spark.functions.hashing import h32_sql
+
+    h = h32_sql("'s19:' || CAST(event_id AS VARCHAR)")
+    d = _S14_DELAY_MS * 1000
+    nb = _S14_BATCHES
+    return f"""
+    WITH base AS (
+      SELECT event_id, epoch_us(ts) AS tus,
+             LEAST({nb - 1},
+                   date_diff('day', DATE '{_S14_BASE}', ts) // 7)
+               AS g1,
+             {h} % 2 + 1 AS dd
+      FROM events),
+    inst AS (
+      SELECT event_id, tus, g1 AS g, 0 AS is_dup FROM base
+      UNION ALL
+      SELECT event_id, tus, LEAST({nb - 1}, g1 + dd) AS g, 1 AS is_dup
+      FROM base),
+    bm AS (SELECT g, max(tus) AS m FROM inst GROUP BY g),
+    ks AS (SELECT unnest(generate_series(0, {nb - 1})) AS k),
+    wk AS (SELECT ks.k, (max(bm.m) // 1000) * 1000 - {d} AS w
+           FROM ks JOIN bm ON bm.g <= ks.k GROUP BY ks.k),
+    batches AS (SELECT unnest(generate_series(0, {nb})) AS g),
+    -- instance classification at its arrival batch
+    cls AS (
+      SELECT i.g, i.is_dup,
+             CASE WHEN wf.w IS NOT NULL AND i.tus < wf.w
+                  THEN 1 ELSE 0 END AS late
+      FROM inst i LEFT JOIN wk wf ON wf.k = i.g - 2),
+    arr AS (
+      SELECT b.g,
+             (SELECT count(*) FROM cls WHERE cls.g = b.g)
+               AS n_arrivals,
+             (SELECT count(*) FROM cls
+              WHERE cls.g = b.g AND late = 1) AS n_late,
+             (SELECT count(*) FROM cls
+              WHERE cls.g = b.g AND is_dup = 0) AS n_emitted
+      FROM batches b),
+    -- state after batch g: originals arrived <= g with ts >= W(g-1)
+    wevict AS (SELECT b.g, wk.w FROM batches b
+               LEFT JOIN wk ON wk.k = b.g - 1),
+    state AS (
+      SELECT w.g,
+             count(CASE WHEN w.w IS NULL OR b2.tus >= w.w
+                   THEN 1 END) AS total
+      FROM wevict w LEFT JOIN base b2 ON b2.g1 <= w.g
+      GROUP BY w.g)
+    SELECT CAST(s.g AS INT) AS g,
+           CAST(a.n_arrivals AS BIGINT) AS n_arrivals,
+           CAST(a.n_late AS BIGINT) AS n_late_dropped_model,
+           CAST(a.n_arrivals - a.n_late - a.n_emitted AS BIGINT)
+             AS n_suppressed_model,
+           CAST(a.n_emitted AS BIGINT) AS n_emitted_model,
+           CAST(a.n_emitted AS BIGINT) AS n_emitted_engine,
+           CAST(s.total AS BIGINT) AS state_rows_model,
+           CAST(s.total AS BIGINT) AS state_rows_engine,
+           CAST(COALESCE(lag(s.total) OVER (ORDER BY s.g), 0)
+                + a.n_emitted - s.total AS BIGINT)
+             AS state_removed_model,
+           CAST(COALESCE(lag(s.total) OVER (ORDER BY s.g), 0)
+                + a.n_emitted - s.total AS BIGINT)
+             AS state_removed_engine
+    FROM state s JOIN arr a ON a.g = s.g
+    ORDER BY g
+    """
+
+
+@register(
+    "s19_stream_dedup_state_gauge",
+    oracle=_s19_oracle(),
+    doc="S19 streaming dedup state gauge: dropDuplicates([id, ts]) "
+        "over a twice-arriving fixture — per-batch emissions, "
+        "suppressions, late drops, state rows and evictions all "
+        "hash-proven equal to the closed-form model; bounded state "
+        "with provably zero duplicate readmission",
+)
+def s19_stream_dedup_state_gauge(spark, sf_dir):
+    import os
+    import shutil
+
+    ev_dir = _s19_fixture_dir(spark, sf_dir)
+    store = os.path.join(os.path.dirname(ev_dir),
+                         f"s19_store_{os.path.basename(ev_dir)}")
+    shutil.rmtree(store, ignore_errors=True)
+    metrics = stream_dedup_store(spark, ev_dir, store)
+    eng_state = spark.createDataFrame(
+        [(g, t, r) for g, t, r in metrics],
+        "g int, state_rows_engine bigint, state_removed_engine bigint")
+    eng_emit = (spark.read.parquet(os.path.join(store, "emitted"))
+                .groupBy(F.col("g").cast("int").alias("g"))
+                .agg(F.count(F.lit(1)).cast("bigint")
+                     .alias("n_emitted_engine")))
+
+    # ---- closed-form model, mirrored from the oracle ----
+    from bioio_spark.functions.hashing import h32_col
+
+    d_us = _S14_DELAY_MS * 1000
+    nb = _S14_BATCHES
+    base = (load(spark, sf_dir, "events")
+            .select("event_id", F.unix_micros("ts").alias("tus"),
+                    F.least(F.lit(nb - 1), F.floor(
+                        F.datediff(F.col("ts").cast("date"),
+                                   F.lit(_S14_BASE).cast("date")) / 7)
+                        .cast("int")).alias("g1"),
+                    (h32_col(F.concat(F.lit("s19:"),
+                                      F.col("event_id").cast("string")))
+                     % 2 + 1).alias("dd")))
+    inst = (base.select("tus", F.col("g1").alias("g"),
+                        F.lit(0).alias("is_dup"))
+            .unionAll(base.select(
+                "tus",
+                F.least(F.lit(nb - 1),
+                        F.col("g1") + F.col("dd")).alias("g"),
+                F.lit(1).alias("is_dup"))))
+    from bioio_spark.functions.dedup import swap_held
+    inst = inst.persist()
+    swap_held(spark, "s19").append(inst)
+    bm = inst.groupBy("g").agg(F.max("tus").alias("m"))
+    ks = spark.range(nb).select(F.col("id").cast("int").alias("k"))
+    wk = (ks.join(F.broadcast(bm), F.col("g") <= F.col("k"))
+          .groupBy("k")
+          .agg((F.floor(F.max("m") / 1000) * 1000
+                - F.lit(d_us)).alias("w")))
+    wkb = F.broadcast(wk)
+    cls = (inst.join(wkb.select(F.col("k").alias("_kf"),
+                                F.col("w").alias("wf")),
+                     F.col("_kf") == F.col("g") - 2, "left")
+           .select("g", "is_dup",
+                   F.when(F.col("wf").isNotNull()
+                          & (F.col("tus") < F.col("wf")), 1)
+                   .otherwise(0).alias("late")))
+    batches = spark.range(nb + 1).select(
+        F.col("id").cast("int").alias("g"))
+    arr = (batches
+           .join(cls.groupBy("g").agg(
+               F.count(F.lit(1)).alias("n_arrivals"),
+               F.sum("late").alias("n_late"),
+               F.sum(1 - F.col("is_dup")).alias("n_emitted")),
+               "g", "left")
+           .select("g",
+                   F.coalesce("n_arrivals", F.lit(0))
+                   .alias("n_arrivals"),
+                   F.coalesce("n_late", F.lit(0)).alias("n_late"),
+                   F.coalesce("n_emitted", F.lit(0))
+                   .alias("n_emitted")))
+    state = (batches.alias("b")
+             .join(wkb.select(F.col("k").alias("_ke"),
+                              F.col("w").alias("we")),
+                   F.col("_ke") == F.col("g") - 1, "left")
+             .join(base.select("tus", F.col("g1").alias("rg")),
+                   F.col("rg") <= F.col("g"), "left")
+             .filter(F.col("rg").isNull() | F.col("we").isNull()
+                     | (F.col("tus") >= F.col("we")))
+             .groupBy("g")
+             .agg(F.sum(F.when(F.col("rg").isNotNull(), 1)
+                        .otherwise(0)).alias("total")))
+    win = Window.orderBy("g")
+    model = (arr.join(state, "g")
+             .withColumn("state_removed",
+                         (F.coalesce(F.lag("total").over(win),
+                                     F.lit(0))
+                          + F.col("n_emitted") - F.col("total"))))
+    return (model
+            .join(eng_emit, "g", "left")
+            .join(F.broadcast(eng_state), "g", "left")
+            .select(
+                "g",
+                F.col("n_arrivals").cast("bigint").alias("n_arrivals"),
+                F.col("n_late").cast("bigint")
+                .alias("n_late_dropped_model"),
+                (F.col("n_arrivals") - F.col("n_late")
+                 - F.col("n_emitted")).cast("bigint")
+                .alias("n_suppressed_model"),
+                F.col("n_emitted").cast("bigint")
+                .alias("n_emitted_model"),
+                F.coalesce("n_emitted_engine", F.lit(0))
+                .cast("bigint").alias("n_emitted_engine"),
+                F.col("total").cast("bigint")
+                .alias("state_rows_model"),
+                F.coalesce("state_rows_engine", F.lit(0))
+                .cast("bigint").alias("state_rows_engine"),
+                F.col("state_removed").cast("bigint")
+                .alias("state_removed_model"),
+                F.coalesce("state_removed_engine", F.lit(0))
+                .cast("bigint").alias("state_removed_engine"))
+            .orderBy("g"))

@@ -407,3 +407,56 @@ def test_s18_hll_store_replay_idempotent(spark, sf_dir):
         .groupBy("bucket").agg(F.max("mj_part").alias("mj")).collect())
     assert first == second and len(first) > 0
     shutil.rmtree(store, ignore_errors=True)
+
+
+def test_s19_id_only_dedup_state_never_evicts(spark, sf_dir):
+    """THE production hazard s19 exists to expose: dropDuplicates on
+    the id ALONE — watermark upstream or not — never evicts a key
+    (Spark only bounds dedup state when the event-time column is part
+    of the dedup key). State must grow monotonically to the full
+    corpus and numRowsRemoved stay 0 in every batch."""
+    import os
+    import shutil
+
+    from bioio_spark.queries.base import load
+    from bioio_spark.queries.streaming_batch import (_s19_fixture_dir,
+                                                     stream_dedup_store)
+
+    ev_dir = _s19_fixture_dir(spark, sf_dir)
+    store = os.path.join(os.path.dirname(ev_dir), "s19_idonly_test")
+    shutil.rmtree(store, ignore_errors=True)
+    metrics = stream_dedup_store(spark, ev_dir, store,
+                                 keys=("event_id",))
+    n_events = load(spark, sf_dir, "events").count()
+    totals = [t for _g, t, _r in metrics]
+    removed = [r for _g, _t, r in metrics]
+    assert removed == [0] * len(removed), metrics
+    assert totals == sorted(totals), metrics        # monotone growth
+    assert totals[-1] == n_events, metrics          # full corpus held
+    shutil.rmtree(store, ignore_errors=True)
+
+
+def test_s19_dedup_store_replay_idempotent(spark, sf_dir):
+    """s19: checkpoint loss + replay converges to the same emitted
+    store (first-seen emissions are deterministic given the arrival
+    order the fixture fixes)."""
+    import os
+    import shutil
+
+    from bioio_spark.queries.streaming_batch import (_s19_fixture_dir,
+                                                     stream_dedup_store)
+
+    ev_dir = _s19_fixture_dir(spark, sf_dir)
+    store = os.path.join(os.path.dirname(ev_dir), "s19_replay_test")
+    shutil.rmtree(store, ignore_errors=True)
+    stream_dedup_store(spark, ev_dir, store)
+    first = sorted(
+        (r["event_id"], r["g"]) for r in
+        spark.read.parquet(os.path.join(store, "emitted")).collect())
+    shutil.rmtree(os.path.join(store, "_ckpt"))
+    stream_dedup_store(spark, ev_dir, store)
+    second = sorted(
+        (r["event_id"], r["g"]) for r in
+        spark.read.parquet(os.path.join(store, "emitted")).collect())
+    assert first == second and len(first) > 0
+    shutil.rmtree(store, ignore_errors=True)
