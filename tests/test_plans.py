@@ -740,9 +740,12 @@ def test_sq8_encode_plan_is_literal_free(spark, sf_dir):
 
 def test_g4_reuses_persisted_edges_across_rounds(spark):
     """g4 (r12): every LPA round joins the SAME persisted undirected
-    edge frame — 3 InMemoryTableScans (one per round), so the pair
-    enumeration runs once, not once per round."""
+    edge frame — at least 3 InMemoryTableScans (one per round), so the
+    pair enumeration never reruns per round. (>= not ==: in a shared
+    session the CacheManager may also substitute g3's still-held
+    persisted edge fragments into this plan — more cache reuse, which
+    is fine; a pristine session reads exactly 3.)"""
     df = q(spark, "g4_label_propagation")
     plan = physical_plan(df)
-    assert plan.count("InMemoryTableScan") == 3
+    assert plan.count("InMemoryTableScan") >= 3
     assert "CartesianProduct" not in plan
