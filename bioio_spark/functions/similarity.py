@@ -2423,3 +2423,185 @@ def _retrieval_metrics_oracle(query_vec_ids=KNN_QUERY_IDS,
 
 
 RETRIEVAL_METRICS_ORACLE = _retrieval_metrics_oracle()
+
+
+# --------------------------------------------------------------------------
+# L26b PLANTED retrieval metrics (round 13): the l26 harness made
+# INFORMATIVE at driver scale. l26's class-relevance rule is honest but
+# vacuous on the fixture (random labels don't cluster in cosine space,
+# so working and broken rankings both score ~0). Here relevance is
+# derived from VECTOR GEOMETRY instead: for every query vector, k
+# near-duplicate neighbors are PLANTED into the corpus inside the query
+# itself — plant j perturbs coordinate j of the query by the exact
+# power-of-two factor (1 + j/1024), giving cosine ~0.9999 vs the
+# fixture's natural maximum ~0.39 — and relevance means "planted for
+# this query". A working kNN ranking MUST retrieve all k plants at the
+# top (recall/MRR/NDCG = 1000), a broken one scores ~0, so the
+# driver-visible number finally discriminates. Both engines build the
+# same derived corpus from the same arithmetic (the perturbation factor
+# j/1024 is exactly representable, so the plants are bit-identical),
+# and the metric math is the l26 integer contract unchanged. At 100 TB
+# this is the standard "planted canary" retrieval regression test: the
+# plants ride the normal broadcast-query kNN plan, adding |Q| x k rows.
+# --------------------------------------------------------------------------
+PLANT_BASE = 1_000_000_000
+PLANT_STRIDE = 100
+
+
+def _planted_corpus(emb: DataFrame, query_vec_ids, k: int) -> DataFrame:
+    """(vec_id, e) corpus with k plants per query appended. Plant j of
+    query q gets vec_id = PLANT_BASE + q * PLANT_STRIDE + j and vector
+    q_e with element j scaled by (1 + j/1024) — exact dyadic factor,
+    so Spark and the oracle synthesize bit-identical plants."""
+    ids = [int(i) for i in query_vec_ids]
+    factor = F.lit(1.0) + F.col("j").cast("double") / F.lit(1024.0)
+    plants = (emb.filter(F.col("vec_id").isin(ids))
+              .select(F.col("vec_id").alias("qid"), "e")
+              .withColumn("j", F.explode(F.sequence(F.lit(1), F.lit(k))))
+              .select(
+                  (F.lit(PLANT_BASE) + F.col("qid") * PLANT_STRIDE
+                   + F.col("j")).alias("vec_id"),
+                  F.transform(
+                      "e",
+                      lambda x, i: F.when(i == F.col("j") - 1, x * factor)
+                      .otherwise(x)).alias("e")))
+    return emb.select("vec_id", "e").unionByName(plants)
+
+
+def planted_retrieval_metrics(embeddings: DataFrame,
+                              query_vec_ids=KNN_QUERY_IDS,
+                              k: int = KNN_K) -> DataFrame:
+    """Per query: (query_id, n_rel, n_hit, recall_permille, mrr_milli,
+    ndcg_milli) against the planted-neighbor relevance rule. All
+    metrics integer-exact (the l26 contract); a correct kNN scores
+    1000/1000/1000 per query, pinned by test as the metric floor."""
+    emb = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("e"))
+    ids = [int(i) for i in query_vec_ids]
+    aug = _planted_corpus(emb, ids, k)
+    res = knn_join(aug.select("vec_id", F.col("e").alias("embedding")),
+                   ids, k)
+
+    rel = ((F.col("vec_id") >= PLANT_BASE)
+           & (F.expr(f"(vec_id - {PLANT_BASE}) div {PLANT_STRIDE}")
+              == F.col("query_id"))).cast("int")
+    w_arr = F.array(*[F.lit(w) for w in NDCG_W])
+    pre_arr = F.array(*[F.lit(p) for p in NDCG_PREFIX])
+    hits = (res.withColumn("rel", rel)
+            .groupBy("query_id")
+            .agg(F.sum("rel").alias("n_hit"),
+                 F.min(F.when(F.col("rel") == 1, F.col("rank")))
+                 .alias("first_rank"),
+                 F.sum(F.when(F.col("rel") == 1,
+                              F.element_at(w_arr,
+                                           F.col("rank").cast("int")))
+                       .otherwise(0)).alias("dcg")))
+    nrel = (aug.filter(F.col("vec_id") >= PLANT_BASE)
+            .select(F.expr(f"(vec_id - {PLANT_BASE}) div {PLANT_STRIDE}")
+                    .alias("query_id"))
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_rel")))
+    attain = F.least(F.lit(k).cast("bigint"), F.col("n_rel"))
+    idcg = F.element_at(pre_arr, attain.cast("int"))
+    qframe = emb.filter(F.col("vec_id").isin(ids)).select(
+        F.col("vec_id").alias("query_id"))
+    return (qframe
+            .join(hits, "query_id", "left")
+            .join(nrel, "query_id", "left")
+            .select(
+                "query_id",
+                F.coalesce("n_rel", F.lit(0)).cast("bigint")
+                .alias("n_rel"),
+                F.coalesce("n_hit", F.lit(0)).cast("bigint")
+                .alias("n_hit"),
+                F.when(F.coalesce("n_rel", F.lit(0)) == 0, F.lit(0))
+                .otherwise(F.floor(F.coalesce("n_hit", F.lit(0))
+                                   * 1000 / attain))
+                .cast("bigint").alias("recall_permille"),
+                F.when(F.col("first_rank").isNull(), F.lit(0))
+                .otherwise(F.floor(1000 / F.col("first_rank")))
+                .cast("bigint").alias("mrr_milli"),
+                F.when((F.coalesce("n_rel", F.lit(0)) == 0)
+                       | F.col("dcg").isNull(), F.lit(0))
+                .otherwise(F.floor(F.col("dcg") * 1000 / idcg))
+                .cast("bigint").alias("ndcg_milli"))
+            .orderBy("query_id"))
+
+
+def _planted_retrieval_metrics_oracle(query_vec_ids=KNN_QUERY_IDS,
+                                      k: int = KNN_K) -> str:
+    ids = ", ".join(str(int(i)) for i in query_vec_ids)
+    w_list = ", ".join(str(w) for w in NDCG_W)
+    p_list = ", ".join(str(p) for p in NDCG_PREFIX)
+    cos = ("list_dot_product(a.e, q.qe) / "
+           "(sqrt(list_dot_product(a.e, a.e))"
+           " * sqrt(list_dot_product(q.qe, q.qe)))")
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    js AS (SELECT unnest(generate_series(1, {k})) AS j),
+    plants AS (
+      SELECT {PLANT_BASE} + e.vec_id * {PLANT_STRIDE} + js.j AS vec_id,
+             list_transform(generate_series(1, len(e.e)),
+               i -> CASE WHEN i = js.j
+                         THEN e.e[i] * (1.0 + js.j / 1024.0)
+                         ELSE e.e[i] END) AS e
+      FROM e CROSS JOIN js WHERE e.vec_id IN ({ids})),
+    aug AS (SELECT vec_id, e FROM e
+            UNION ALL SELECT vec_id, e FROM plants),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM e
+          WHERE vec_id IN ({ids})),
+    ranked AS (
+      SELECT q.query_id, a.vec_id,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY {cos} DESC, a.vec_id) AS rn
+      FROM aug a CROSS JOIN q WHERE a.vec_id != q.query_id),
+    knn AS (SELECT query_id, vec_id, CAST(rn AS BIGINT) AS rank
+            FROM ranked WHERE rn <= {k}),
+    wt AS (SELECT * FROM (VALUES ([{w_list}]::BIGINT[],
+                                  [{p_list}]::BIGINT[]))
+           t(w, pre)),
+    relknn AS (
+      SELECT query_id, vec_id, rank,
+             CASE WHEN vec_id >= {PLANT_BASE}
+                   AND (vec_id - {PLANT_BASE}) // {PLANT_STRIDE}
+                       = query_id
+                  THEN 1 ELSE 0 END AS rel
+      FROM knn),
+    hits AS (
+      SELECT query_id,
+             sum(rel) AS n_hit,
+             min(CASE WHEN rel = 1 THEN rank END) AS first_rank,
+             sum(CASE WHEN rel = 1
+                 THEN wt.w[CAST(rank AS INT)] ELSE 0 END) AS dcg
+      FROM relknn CROSS JOIN wt
+      GROUP BY query_id),
+    nrel AS (
+      SELECT (vec_id - {PLANT_BASE}) // {PLANT_STRIDE} AS query_id,
+             count(*) AS n_rel
+      FROM plants GROUP BY 1)
+    SELECT q.query_id,
+           CAST(COALESCE(n.n_rel, 0) AS BIGINT) AS n_rel,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(CASE WHEN COALESCE(n.n_rel, 0) = 0 THEN 0
+                ELSE COALESCE(h.n_hit, 0) * 1000
+                     // LEAST({k}, n.n_rel) END AS BIGINT)
+             AS recall_permille,
+           CAST(CASE WHEN h.first_rank IS NULL THEN 0
+                ELSE 1000 // h.first_rank END AS BIGINT) AS mrr_milli,
+           CAST(CASE WHEN COALESCE(n.n_rel, 0) = 0
+                      OR h.dcg IS NULL THEN 0
+                ELSE h.dcg * 1000
+                     // wt.pre[CAST(LEAST({k}, n.n_rel) AS INT)]
+                END AS BIGINT) AS ndcg_milli
+    FROM q
+    LEFT JOIN hits h ON h.query_id = q.query_id
+    LEFT JOIN nrel n ON n.query_id = q.query_id
+    CROSS JOIN wt
+    ORDER BY q.query_id
+    """
+
+
+PLANTED_RETRIEVAL_METRICS_ORACLE = _planted_retrieval_metrics_oracle()

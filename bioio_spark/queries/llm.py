@@ -229,6 +229,21 @@ def l26_retrieval_metrics(spark, sf_dir):
     return retrieval_metrics(load(spark, sf_dir, "embeddings"))
 
 
+@register("l26b_planted_retrieval_metrics",
+          oracle=_sim.PLANTED_RETRIEVAL_METRICS_ORACLE,
+          doc="L26b planted-canary retrieval metrics: k near-duplicate "
+              "neighbors planted per query inside the query itself "
+              "(exact dyadic perturbation, bit-identical across "
+              "engines), relevance = planted-for-this-query — a "
+              "working kNN scores 1000/1000/1000 per query, a broken "
+              "ranking ~0, so the driver-visible metric discriminates "
+              "(the l26 fixture-vacuity fix)")
+def l26b_planted_retrieval_metrics(spark, sf_dir):
+    from bioio_spark.functions.similarity import planted_retrieval_metrics
+
+    return planted_retrieval_metrics(load(spark, sf_dir, "embeddings"))
+
+
 @register("l3m_sq8_topk", oracle=_sim.SQ8_TOPK_ORACLE,
           doc="L3m scalar-quantization SQ8 top-k (FAISS QT_8bit "
               "analog): per-dimension 8-bit codes against trained "

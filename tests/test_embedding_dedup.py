@@ -381,3 +381,65 @@ def test_retrieval_metrics_math_on_designed_corpus(spark):
     want_ndcg = ((NDCG_W[0] + NDCG_W[2] + NDCG_W[4]) * 1000
                  // NDCG_PREFIX[3])
     assert m["ndcg_milli"] == want_ndcg
+
+
+def test_planted_metrics_floor_on_fixture(spark):
+    """l26b's whole point: at fixture scale the planted gauge is
+    INFORMATIVE — a working kNN retrieves every plant, so all three
+    metrics pin at exactly 1000 per query (the driver-visible floor).
+    Natural max cosine in the fixture is ~0.39 vs plants' ~0.9999, so
+    this is not a near-threshold assertion."""
+    from bioio_spark.functions.similarity import planted_retrieval_metrics
+    from bioio_spark.queries.base import load
+
+    rows = (planted_retrieval_metrics(
+        load(spark, "/root/testdata/sf0.001", "embeddings")).collect())
+    assert len(rows) == 4
+    for m in rows:
+        assert m["n_rel"] == 5 and m["n_hit"] == 5
+        assert m["recall_permille"] == 1000
+        assert m["mrr_milli"] == 1000
+        assert m["ndcg_milli"] == 1000
+
+
+def test_planted_metrics_detect_broken_ranking(spark):
+    """The discriminator l26 lacked: if the retriever's ranking is
+    broken (here: simulated by ranking on cosine ASC — worst-first),
+    the planted gauge must COLLAPSE, not read 1000. Reuses the same
+    planted corpus + metric math, swapping only the ranking order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bioio_spark.functions.similarity import (KNN_K, KNN_QUERY_IDS,
+                                                  PLANT_BASE,
+                                                  PLANT_STRIDE,
+                                                  _planted_corpus,
+                                                  _dot, _norm,
+                                                  _to_double)
+    from bioio_spark.queries.base import load
+
+    emb = (load(spark, "/root/testdata/sf0.001", "embeddings")
+           .select("vec_id",
+                   _to_double(F.col("embedding")).alias("e")))
+    ids = [int(i) for i in KNN_QUERY_IDS]
+    aug = _planted_corpus(emb, ids, KNN_K)
+    q = (emb.filter(F.col("vec_id").isin(ids))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("e").alias("qe")))
+    sim = _dot(F.col("e"), F.col("qe")) / (_norm(F.col("e"))
+                                           * _norm(F.col("qe")))
+    broken = (aug.crossJoin(F.broadcast(q))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .withColumn("cosine_sim", sim)
+              .withColumn("rank", F.row_number().over(
+                  Window.partitionBy("query_id")
+                  .orderBy(F.col("cosine_sim").asc(), "vec_id"))
+                  .cast("bigint"))
+              .filter(F.col("rank") <= KNN_K)
+              .select("query_id", "vec_id", "rank"))
+    is_rel = ((F.col("vec_id") >= PLANT_BASE)
+              & (F.expr(f"(vec_id - {PLANT_BASE}) div {PLANT_STRIDE}")
+                 == F.col("query_id")))
+    n_hits = (broken.withColumn("rel", is_rel.cast("int"))
+              .agg(F.sum("rel")).collect()[0][0])
+    assert n_hits == 0     # worst-first ranking retrieves zero plants
