@@ -2041,7 +2041,11 @@ def l24_hll_distinct(spark, sf_dir):
 _G4_ROUNDS = 3
 
 
-def _g4_oracle() -> str:
+def _g4_rounds_sql() -> str:
+    """The shared l0 -> c{r}/l{r} LPA round chain (assumes `edges` is
+    in scope) — ONE textual definition embedded by both the g4
+    communities oracle and the g4b convergence oracle (the l15
+    no-drift device)."""
     rounds = []
     prev = "l0"
     for r in range(1, _G4_ROUNDS + 1):
@@ -2057,17 +2061,21 @@ def _g4_oracle() -> str:
         FROM c{r}) WHERE rn = 1)""")
         prev = f"l{r}"
     chain = ",\n    ".join(rounds)
-    return f"""
-    WITH {_g3_edges_sql()},
-    und AS (SELECT a AS src, b AS dst FROM edges
+    return f"""und AS (SELECT a AS src, b AS dst FROM edges
             UNION ALL SELECT b, a FROM edges),
     l0 AS (SELECT v AS node, v AS lab FROM (
              SELECT a AS v FROM edges
              UNION SELECT b FROM edges)),
-    {chain}
+    {chain}"""
+
+
+def _g4_oracle() -> str:
+    return f"""
+    WITH {_g3_edges_sql()},
+    {_g4_rounds_sql()}
     SELECT CAST(lab AS BIGINT) AS community,
            CAST(count(*) AS BIGINT) AS n_members
-    FROM {prev} GROUP BY lab
+    FROM l{_G4_ROUNDS} GROUP BY lab
     ORDER BY n_members DESC, community ASC
     """
 
@@ -2125,3 +2133,92 @@ def g4_label_propagation(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
             .orderBy(F.col("n_members").desc(),
                      F.col("community").asc()))
+
+
+def _g4b_oracle() -> str:
+    diffs = " UNION ALL ".join(
+        f"""SELECT {r} AS round,
+           sum(CASE WHEN n.lab != p.lab THEN 1 ELSE 0 END) AS n_changed,
+           count(*) AS n_nodes
+        FROM l{r} n JOIN l{r - 1} p USING (node)"""
+        for r in range(1, _G4_ROUNDS + 1))
+    return f"""
+    WITH {_g3_edges_sql()},
+    {_g4_rounds_sql()}
+    SELECT CAST(round AS BIGINT) AS round,
+           CAST(n_changed AS BIGINT) AS n_changed,
+           CAST(n_nodes AS BIGINT) AS n_nodes
+    FROM ({diffs}) ORDER BY round
+    """
+
+
+@register(
+    "g4b_lpa_convergence",
+    oracle=_g4b_oracle(),
+    doc="G4b LPA convergence gauge (the l6 fused-count device applied "
+        "to g4): per unrolled round, how many nodes CHANGED label — "
+        "pins whether the 3-round community structure has reached its "
+        "fixed point or records the honest non-convergence number; "
+        "n_changed = 0 in a round proves every later round is a no-op",
+)
+def g4b_lpa_convergence(spark, sf_dir):
+    from functools import reduce
+
+    from bioio_spark.functions.dedup import (MAX_BUCKET_WIDTH,
+                                             _bucket_pairs, swap_held)
+    from bioio_spark.functions.hashing import h32_col
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                "l_partkey")
+    oh = h32_col(F.concat(F.lit("g3o:"),
+                          F.col("l_orderkey").cast("string")))
+    li = li.filter(oh % 4 == 0)
+    pairs = (_bucket_pairs(li, ["l_orderkey"], "l_partkey",
+                           max_width=MAX_BUCKET_WIDTH)
+             .filter(F.col("doc_a") != F.col("doc_b"))
+             .select(F.col("doc_a").alias("a"),
+                     F.col("doc_b").alias("b"))
+             .distinct())
+    h = h32_col(F.concat(F.col("a").cast("string"), F.lit(":"),
+                         F.col("b").cast("string")))
+    edges = pairs.filter(h % _G3_SAMPLE_MOD == 0)
+    held = swap_held(spark, "g4b")
+    und = (edges.select(F.col("a").alias("src"),
+                        F.col("b").alias("dst"))
+           .unionAll(edges.select(F.col("b").alias("src"),
+                                  F.col("a").alias("dst")))
+           .persist())
+    held.append(und)
+    # every round's label frame is consumed TWICE (next round's input +
+    # its own diff count), so each is persisted — without this the
+    # round-3 diff would recompute the whole round-1/2 chain
+    labels = (edges.select(F.col("a").alias("v"))
+              .union(edges.select(F.col("b").alias("v")))
+              .distinct()
+              .select(F.col("v").alias("node"), F.col("v").alias("lab"))
+              .persist())
+    held.append(labels)
+    diffs = []
+    for r in range(1, _G4_ROUNDS + 1):
+        cnt = (und.join(labels.select(F.col("node").alias("src"),
+                                      "lab"), "src")
+               .groupBy(F.col("dst").alias("node"), "lab")
+               .agg(F.count(F.lit(1)).alias("c")))
+        new = (cnt.groupBy("node")
+               .agg(F.max(F.struct(F.col("c"),
+                                   (-F.col("lab")).alias("nl")))
+                    .alias("m"))
+               .select("node", (-F.col("m.nl")).alias("lab"))
+               .persist())
+        held.append(new)
+        diffs.append(
+            new.join(labels.select("node",
+                                   F.col("lab").alias("prev_lab")),
+                     "node")
+            .agg(F.sum((F.col("lab") != F.col("prev_lab"))
+                       .cast("int")).cast("bigint").alias("n_changed"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+            .select(F.lit(r).cast("bigint").alias("round"),
+                    "n_changed", "n_nodes"))
+        labels = new
+    return reduce(lambda a, b: a.unionAll(b), diffs).orderBy("round")

