@@ -355,6 +355,12 @@ def discover_plugins(group: str = ENTRY_POINT_GROUP) -> list[PluginEntry]:
     for ep in _md.entry_points(group=group):
         dist = getattr(ep, "dist", None)
         dist_name = getattr(dist, "name", None) or ep.name
+        # the core distribution may advertise SEVERAL in-repo readers
+        # under one dist (unlike the reference's one-dist-per-plugin
+        # ecosystem); key those on the entry-point name so they don't
+        # collapse into a single registry entry
+        if dist_name.replace("_", "-").lower() == CORE_DIST_NAME:
+            dist_name = ep.name
         lo, hi, hi_incl = plugin_core_requirement(dist_name)
         if core < lo or (hi is not None
                          and (core > hi or (not hi_incl and core == hi))):

@@ -60,6 +60,10 @@ def discover_writers(group: str = WRITER_ENTRY_POINT_GROUP) -> list[str]:
     for ep in _md.entry_points(group=group):
         dist = getattr(ep, "dist", None)
         dist_name = getattr(dist, "name", None) or ep.name
+        # core-dist-advertised writers are keyed on entry-point name
+        # (several writers ship in the one core distribution)
+        if dist_name.replace("_", "-").lower() == "bioio-spark":
+            dist_name = ep.name
         lo, hi, hi_incl = plugin_core_requirement(dist_name)
         if core < lo or (hi is not None
                          and (core > hi or (not hi_incl and core == hi))):

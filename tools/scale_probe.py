@@ -26,6 +26,7 @@ _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), ".scratch")
 DST = os.path.join(_SCRATCH, "sf1")      # 10x sf0.1
 DST100 = os.path.join(_SCRATCH, "sf10")  # 100x sf0.1
+DSTS10 = os.path.join(_SCRATCH, "sfs10")  # 10x events (stream gauges)
 
 
 def build_fixture(replicas: int = 10, dst: str = DST) -> str:
@@ -78,16 +79,105 @@ def build_fixture(replicas: int = 10, dst: str = DST) -> str:
     return dst
 
 
+def build_graph_fixture(replicas: int, dst: str) -> str:
+    """Add lineitem (l_orderkey, l_partkey, l_suppkey) and orders
+    (o_orderkey, o_custkey) replicas to a scale dir. Every key is
+    offset by replica * 10^7, so replicas are DISJOINT subgraphs —
+    total graph work should scale linearly in corpus size (same
+    density, x10 more data), which is exactly the claim the graph
+    probes measure. 10^7 stride keeps 100 replicas of customer ids
+    below g2's +10^9 supplier-node offset (no src/dst collision)."""
+    done = os.path.join(dst, "_FIXTURE_G_DONE")
+    if os.path.isfile(done):
+        return dst
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst, exist_ok=True)
+    off = 10_000_000
+
+    li = pq.read_table(os.path.join(SRC, "lineitem.parquet"),
+                       columns=["l_orderkey", "l_partkey", "l_suppkey"])
+    cols = {c: li.column(c).to_numpy().astype(np.int64) for c in
+            ("l_orderkey", "l_partkey", "l_suppkey")}
+    shifts = np.repeat(np.arange(replicas, dtype=np.int64) * off,
+                       len(li))
+    pq.write_table(pa.table({
+        c: pa.array(np.tile(v, replicas) + shifts, pa.int64())
+        for c, v in cols.items()}),
+        os.path.join(dst, "lineitem.parquet"))
+
+    od = pq.read_table(os.path.join(SRC, "orders.parquet"),
+                       columns=["o_orderkey", "o_custkey"])
+    ocols = {c: od.column(c).to_numpy().astype(np.int64) for c in
+             ("o_orderkey", "o_custkey")}
+    oshifts = np.repeat(np.arange(replicas, dtype=np.int64) * off,
+                        len(od))
+    pq.write_table(pa.table({
+        c: pa.array(np.tile(v, replicas) + oshifts, pa.int64())
+        for c, v in ocols.items()}),
+        os.path.join(dst, "orders.parquet"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return dst
+
+
+def build_stream_fixture(replicas: int, dst: str) -> str:
+    """10x-arrival events fixture for the streaming state gauges:
+    replicas offset event_id AND user_id by k * 10^9 but keep the TIME
+    AXIS unchanged, so the same watermark trajectory carries 10x the
+    per-batch arrival density — exactly the axis the state-capacity
+    formula rows/s x (delay + band) predicts along. Replicas share no
+    user (no cross-replica join pairs) and no event_id (independent
+    late/dup hashes)."""
+    done = os.path.join(dst, "_FIXTURE_DONE")
+    if os.path.isfile(done):
+        return dst
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst, exist_ok=True)
+    off = 1_000_000_000
+    ev = pq.read_table(os.path.join(SRC, "events.parquet"))
+    n = ev.num_rows
+    shifts = np.repeat(np.arange(replicas, dtype=np.int64) * off, n)
+    cols = {}
+    for name in ev.schema.names:
+        col = ev.column(name)
+        if name in ("event_id", "user_id"):
+            cols[name] = pa.array(
+                np.tile(col.to_numpy().astype(np.int64), replicas)
+                + shifts, pa.int64())
+        else:
+            cols[name] = pa.chunked_array(
+                [c for _ in range(replicas) for c in col.chunks])
+    pq.write_table(pa.table(cols, schema=ev.schema),
+                   os.path.join(dst, "events.parquet"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return dst
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
-    ap.add_argument("--family", choices=("all", "dedup", "ann"),
+    ap.add_argument("--family",
+                    choices=("all", "dedup", "ann", "ann-scaled",
+                             "graph", "stream"),
                     default="all",
-                    help="which probe family to run (ann added r12)")
+                    help="which probe family to run (ann added r12; "
+                         "ann-scaled + graph + stream added r13)")
     args = ap.parse_args()
 
     build_fixture(10, DST)
     build_fixture(100, DST100)
+    if args.family in ("all", "graph"):
+        build_graph_fixture(10, DST)
+        build_graph_fixture(100, DST100)
+    if args.family in ("all", "stream"):
+        build_stream_fixture(10, DSTS10)
 
     import struct
 
@@ -225,9 +315,20 @@ def main() -> None:
         ("l3k_warm_search", ann_search_warm(SRC),
          ann_search_warm(DST), ann_search_warm(DST100)),
     ]
-    probes = {"all": dedup_probes + ann_probes,
+    # ---- graph family (round 13): g2/g3/g4 were the last major
+    # family argument-only at 10x/100x. Replicas are DISJOINT
+    # subgraphs (offset keys), so the theoretical scaling is linear;
+    # anything superlinear would expose a wedge/shuffle blowup.
+    graph_probes = [
+        (name, reg(name, SRC), reg(name, DST), reg(name, DST100))
+        for name in ("g2_pagerank", "g3_triangle_count",
+                     "g4_label_propagation", "g4b_lpa_convergence")
+    ]
+    probes = {"all": dedup_probes + ann_probes + graph_probes,
               "dedup": dedup_probes,
-              "ann": ann_probes}[args.family]
+              "ann": ann_probes,
+              "ann-scaled": [],
+              "graph": graph_probes}[args.family]
     print(f"{'probe':34s} {'sf0.1':>8s} {'10x':>8s} {'100x':>8s}"
           f" {'r10':>6s} {'r100':>7s}")
     for name, small, big, huge in probes:
@@ -248,6 +349,71 @@ def main() -> None:
                 cache_key=d).collect()
             print(f"recall@{row['k']} {tag:6s} raw={row['n_common_raw']}"
                   f" res={row['n_common_res']}", flush=True)
+
+    if args.family in ("all", "ann-scaled"):
+        # ---- CORPUS-SCALED index parameters (round 13): the r12 probe
+        # honestly recorded that recall at FIXED nlist=8 / 3-bit codes
+        # collapses at 100x — the expected behavior of fixed params,
+        # not of the architecture (Jegou et al. 2011 §V scale their
+        # index with the corpus). The scaled arm grows nlist ~ 8*sqrt(
+        # scale), keeps the probe FRACTION constant (probe/nlist =
+        # 1/4), grows code bits 3 -> 4 -> 5, and bounds the training
+        # sample (sample_mod grows with corpus, the production "train
+        # on a fixed-size sample" policy). Claim under test: recall at
+        # 10x/100x stays within noise of the sf0.1 fixed-arm figure.
+        from bioio_spark.functions.similarity import rpq_vs_raw_recall
+        scaled = (
+            ("sf0.1", SRC, 8, 2, 8, 4),
+            ("10x", DST, 25, 6, 16, 16),
+            ("100x", DST100, 80, 20, 32, 64),
+        )
+        for tag, d, nc, npb, ks, mod in scaled:
+            t0 = time.monotonic()
+            [row] = rpq_vs_raw_recall(
+                load(spark, d, "embeddings"), query_vec_id=2,
+                n_centroids=nc, n_probe=npb, ks=ks, sample_mod=mod,
+                cache_key=d + ":scaled").collect()
+            dt = time.monotonic() - t0
+            print(f"scaled recall@{row['k']} {tag:6s} nlist={nc:<3d}"
+                  f" probe={npb:<3d} ks={ks:<3d}"
+                  f" raw={row['n_common_raw']}"
+                  f" res={row['n_common_res']} ({dt:.1f}s)",
+                  flush=True)
+
+    if args.family in ("all", "stream"):
+        # ---- streaming state capacity at 10x arrivals (round 13):
+        # s16/s19 reconcile engine state rows with closed-form models
+        # at fixture scale; here the SAME gauges run over a fixture
+        # with 10x the per-batch arrival density on an unchanged time
+        # axis. Expect: model == engine still (zero mismatches), peak
+        # state rows ~10x (the rows/s term of rows/s x (delay + band)),
+        # wall growing ~linearly.
+        gauges = (
+            ("s16_stream_join_state_gauge",
+             (("n_pairs_model", "n_pairs_engine"),
+              ("state_rows_model", "state_rows_engine"),
+              ("state_removed_model", "state_removed_engine"))),
+            ("s19_stream_dedup_state_gauge",
+             (("n_emitted_model", "n_emitted_engine"),
+              ("state_rows_model", "state_rows_engine"),
+              ("state_removed_model", "state_removed_engine"))),
+        )
+        for name, pairs_cols in gauges:
+            res = {}
+            for tag, d in (("sf0.1", SRC), ("10x", DSTS10)):
+                t0 = time.monotonic()
+                rows = REGISTRY[name].fn(spark, d).collect()
+                dt = time.monotonic() - t0
+                mism = sum(1 for r in rows for a, b in pairs_cols
+                           if r[a] != r[b])
+                peak = max(r["state_rows_engine"] for r in rows)
+                res[tag] = (dt, peak)
+                print(f"{name:32s} {tag:6s} wall={dt:7.2f}s"
+                      f" peak_state={peak:8d} mismatches={mism}",
+                      flush=True)
+            print(f"{name:32s} ratio  wall={res['10x'][0] / res['sf0.1'][0]:.2f}x"
+                  f" state={res['10x'][1] / max(1, res['sf0.1'][1]):.2f}x",
+                  flush=True)
 
 
 if __name__ == "__main__":
