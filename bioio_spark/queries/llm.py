@@ -217,6 +217,28 @@ def l3k_ivf_rpq_topk(spark, sf_dir):
                         query_vec_id=2, k=10, cache_key=sf_dir)
 
 
+# corpus-scaled index parameters (round 13, the SCALING.md ann-scaled
+# arm): nlist and code bits grown with the corpus, probe fraction held
+_L3N = dict(n_centroids=16, n_probe=4, ks=16, sample_mod=8)
+
+
+@register("l3n_ivf_rpq_scaled",
+          oracle=_sim._ivf_rpq_oracle(query_vec_id=2, k=10, **_L3N),
+          doc="L3n residual IVFADC at corpus-scaled index parameters "
+              "(nlist 16, probe 4, 4-bit codes — the production rule "
+              "nlist ~ sqrt(n) / bits grown with corpus the r13 scale "
+              "probe measures): the l3k plan is parameter-generic, so "
+              "the scaled index is the same literal-free broadcast "
+              "frame + HOF encode, just wider — oracle-checked here so "
+              "the scaled arm's arithmetic is driver-pinned too")
+def l3n_ivf_rpq_scaled(spark, sf_dir):
+    from bioio_spark.functions.similarity import ivf_rpq_topk
+
+    return ivf_rpq_topk(load(spark, sf_dir, "embeddings"),
+                        query_vec_id=2, k=10,
+                        cache_key=sf_dir + ":l3n", **_L3N)
+
+
 @register("l26_retrieval_metrics", oracle=_sim.RETRIEVAL_METRICS_ORACLE,
           doc="L26 retrieval-eval metrics over the l3g kNN join: "
               "per-query recall@k / MRR / NDCG@k vs the same-label "

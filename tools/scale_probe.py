@@ -356,29 +356,47 @@ def main() -> None:
         # collapses at 100x — the expected behavior of fixed params,
         # not of the architecture (Jegou et al. 2011 §V scale their
         # index with the corpus). The scaled arm grows nlist ~ 8*sqrt(
-        # scale), keeps the probe FRACTION constant (probe/nlist =
-        # 1/4), grows code bits 3 -> 4 -> 5, and bounds the training
-        # sample (sample_mod grows with corpus, the production "train
-        # on a fixed-size sample" policy). Claim under test: recall at
-        # 10x/100x stays within noise of the sf0.1 fixed-arm figure.
+        # scale), keeps the probe FRACTION constant (probe/nlist ~
+        # 1/4), grows code bits 3 -> 6 (the r13 sweep found codebook
+        # RESOLUTION, not subspace count, is the binding constraint:
+        # m=8/ks=64 beats m=16/ks=16 at equal 10x corpus), and bounds
+        # the training sample (sample_mod grows with corpus — the
+        # production "train on a fixed-size sample" policy).
+        #
+        # Methodology fix over r12: recall is averaged over EIGHT
+        # queries (80 neighbor trials), not one (10 trials) — the r12
+        # single-query figures move by +-2 hits on reruns, which is
+        # binomial noise, not signal. Training/codes are session-cached
+        # per (scale, params), so extra queries cost only their own
+        # LUT rankings + one brute-force truth pass each.
         from bioio_spark.functions.similarity import rpq_vs_raw_recall
-        scaled = (
-            ("sf0.1", SRC, 8, 2, 8, 4),
-            ("10x", DST, 25, 6, 16, 16),
-            ("100x", DST100, 80, 20, 32, 64),
+        qids = (2, 5, 9, 13, 21, 34, 55, 89)
+        arms = (
+            ("fixed", (("sf0.1", SRC, 8, 2, 8, 4),
+                       ("10x", DST, 8, 2, 8, 4),
+                       ("100x", DST100, 8, 2, 8, 4))),
+            ("scaled", (("sf0.1", SRC, 8, 2, 8, 4),
+                        ("10x", DST, 25, 6, 64, 16),
+                        ("100x", DST100, 80, 20, 64, 64))),
         )
-        for tag, d, nc, npb, ks, mod in scaled:
-            t0 = time.monotonic()
-            [row] = rpq_vs_raw_recall(
-                load(spark, d, "embeddings"), query_vec_id=2,
-                n_centroids=nc, n_probe=npb, ks=ks, sample_mod=mod,
-                cache_key=d + ":scaled").collect()
-            dt = time.monotonic() - t0
-            print(f"scaled recall@{row['k']} {tag:6s} nlist={nc:<3d}"
-                  f" probe={npb:<3d} ks={ks:<3d}"
-                  f" raw={row['n_common_raw']}"
-                  f" res={row['n_common_res']} ({dt:.1f}s)",
-                  flush=True)
+        for arm, rows_cfg in arms:
+            for tag, d, nc, npb, ks, mod in rows_cfg:
+                t0 = time.monotonic()
+                raw = res = 0
+                for qid in qids:
+                    [row] = rpq_vs_raw_recall(
+                        load(spark, d, "embeddings"), query_vec_id=qid,
+                        n_centroids=nc, n_probe=npb, ks=ks,
+                        sample_mod=mod,
+                        cache_key=f"{d}:{arm}").collect()
+                    raw += int(row["n_common_raw"])
+                    res += int(row["n_common_res"])
+                dt = time.monotonic() - t0
+                n = len(qids) * 10
+                print(f"{arm:6s} recall@10 {tag:6s} nlist={nc:<3d}"
+                      f" probe={npb:<3d} ks={ks:<3d}"
+                      f" raw={raw}/{n} res={res}/{n}"
+                      f" ({dt:.1f}s)", flush=True)
 
     if args.family in ("all", "stream"):
         # ---- streaming state capacity at 10x arrivals (round 13):
