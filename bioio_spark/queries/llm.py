@@ -2244,3 +2244,111 @@ def g4b_lpa_convergence(spark, sf_dir):
                     "n_changed", "n_nodes"))
         labels = new
     return reduce(lambda a, b: a.unionAll(b), diffs).orderBy("round")
+
+
+# --------------------------------------------------------------------------
+# G5 k-core peeling (round 13): the fifth graph kernel — the density
+# filter a co-occurrence pipeline runs before community detection
+# (drop nodes that cannot sit in a dense region; Matula & Beck 1983's
+# peeling, driver-unrolled like g2/g4). Each round removes every node
+# with degree < K from the undirected graph and keeps only edges whose
+# BOTH endpoints survive; iterated to a fixed point this is exactly
+# the K-core, and the per-round (n_nodes, n_edges) trajectory makes
+# convergence visible the same way g4b does for LPA (a stable tail
+# row proves later rounds are no-ops). Scale: per round one degree
+# hash agg + two semi-joins on the persisted survivor frame — all
+# partial-combining on the node key spine, no driver collect.
+# --------------------------------------------------------------------------
+_G5_K = 3
+_G5_ROUNDS = 3
+
+
+def _g5_oracle() -> str:
+    chain = []
+    stats = []
+    prev = "und0"
+    for r in range(1, _G5_ROUNDS + 1):
+        chain.append(f"""deg{r} AS (
+      SELECT src, count(*) AS d FROM {prev} GROUP BY src),
+    keep{r} AS (SELECT src AS node FROM deg{r} WHERE d >= {_G5_K}),
+    und{r} AS (
+      SELECT u.src, u.dst FROM {prev} u
+      JOIN keep{r} ka ON u.src = ka.node
+      JOIN keep{r} kb ON u.dst = kb.node)""")
+        stats.append(
+            f"SELECT {r} AS round,"
+            f" (SELECT count(*) FROM keep{r}) AS n_nodes,"
+            f" (SELECT count(*) // 2 FROM und{r}) AS n_edges")
+        prev = f"und{r}"
+    body = ",\n    ".join(chain)
+    sel = " UNION ALL ".join(stats)
+    return f"""
+    WITH {_g3_edges_sql()},
+    und0 AS (SELECT a AS src, b AS dst FROM edges
+             UNION ALL SELECT b, a FROM edges),
+    {body}
+    SELECT CAST(round AS BIGINT) AS round,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges
+    FROM ({sel}) ORDER BY round
+    """
+
+
+@register(
+    "g5_kcore_peel",
+    oracle=_g5_oracle(),
+    doc="G5 k-core peeling (K=3, 3 unrolled rounds) over the sampled "
+        "co-purchase graph: per round drop nodes with degree < K and "
+        "edges missing a surviving endpoint; (round, n_nodes, n_edges) "
+        "trajectory — the density filter before community detection, "
+        "with convergence visible in the tail rows",
+)
+def g5_kcore_peel(spark, sf_dir):
+    from functools import reduce
+
+    from bioio_spark.functions.dedup import (MAX_BUCKET_WIDTH,
+                                             _bucket_pairs, swap_held)
+    from bioio_spark.functions.hashing import h32_col
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                "l_partkey")
+    oh = h32_col(F.concat(F.lit("g3o:"),
+                          F.col("l_orderkey").cast("string")))
+    li = li.filter(oh % 4 == 0)
+    pairs = (_bucket_pairs(li, ["l_orderkey"], "l_partkey",
+                           max_width=MAX_BUCKET_WIDTH)
+             .filter(F.col("doc_a") != F.col("doc_b"))
+             .select(F.col("doc_a").alias("a"),
+                     F.col("doc_b").alias("b"))
+             .distinct())
+    h = h32_col(F.concat(F.col("a").cast("string"), F.lit(":"),
+                         F.col("b").cast("string")))
+    edges = pairs.filter(h % _G3_SAMPLE_MOD == 0)
+    held = swap_held(spark, "g5")
+    cur = (edges.select(F.col("a").alias("src"),
+                        F.col("b").alias("dst"))
+           .unionAll(edges.select(F.col("b").alias("src"),
+                                  F.col("a").alias("dst")))
+           .persist())
+    held.append(cur)
+    stats = []
+    for r in range(1, _G5_ROUNDS + 1):
+        keep = (cur.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("d"))
+                .filter(F.col("d") >= _G5_K)
+                .select(F.col("src").alias("node"))
+                .persist())
+        held.append(keep)
+        nxt = (cur.join(keep.select(F.col("node").alias("src")), "src")
+               .join(keep.select(F.col("node").alias("dst")), "dst")
+               .persist())
+        held.append(nxt)
+        stats.append(
+            keep.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+            .crossJoin(F.broadcast(
+                nxt.agg((F.floor(F.count(F.lit(1)) / 2))
+                        .cast("bigint").alias("n_edges"))))
+            .select(F.lit(r).cast("bigint").alias("round"),
+                    "n_nodes", "n_edges"))
+        cur = nxt
+    return reduce(lambda a, b: a.unionAll(b), stats).orderBy("round")

@@ -237,3 +237,54 @@ def test_g4b_zero_changes_on_a_converged_graph(spark):
     # {2,1} -> 1; node 3 sees {2,1} -> 1. Round 3: all see {1,1} except
     # node 1, which sees {1,1} -> stable. So convergence by round 3.
     assert changed[-1] == 0
+
+
+def test_g5_kcore_trajectory_pinned(spark, sf_dir):
+    """g5: the per-round (n_nodes, n_edges) peel trajectory is pinned
+    at sf0.001; at sf0.01 the test also witnesses CONVERGENCE (rounds
+    2 and 3 identical -> the 3-core is reached and later rounds are
+    no-ops — the same honesty device as g4b)."""
+    from bioio_spark.queries import REGISTRY
+
+    rows = [tuple(r) for r in
+            REGISTRY["g5_kcore_peel"].fn(spark, sf_dir).collect()]
+    assert rows == [(1, 174, 561), (2, 170, 553), (3, 168, 549)]
+
+
+def test_g5_kcore_semantics_on_designed_graph(spark):
+    """K4 clique (all degrees 3) survives K=3 peeling untouched; a
+    pendant path hanging off it peels completely in two rounds (the
+    tail node first, then its now-degree-1 neighbor... degree-2 chain
+    nodes all drop in round 1 since 2 < 3)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from bioio_spark.functions.dedup import swap_held
+    from bioio_spark.queries.llm import _G5_K, _G5_ROUNDS
+
+    # K4 on {1,2,3,4} + path 4-10-11
+    e = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (4, 10), (10, 11)]
+    edges = spark.createDataFrame(e, "a long, b long")
+    held = swap_held(spark, "g5_test")
+    cur = (edges.select(F.col("a").alias("src"),
+                        F.col("b").alias("dst"))
+           .unionAll(edges.select(F.col("b").alias("src"),
+                                  F.col("a").alias("dst"))).persist())
+    held.append(cur)
+    seen = []
+    for _r in range(_G5_ROUNDS):
+        keep = (cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+                .filter(F.col("d") >= _G5_K)
+                .select(F.col("src").alias("node")).persist())
+        held.append(keep)
+        nxt = (cur.join(keep.select(F.col("node").alias("src")), "src")
+               .join(keep.select(F.col("node").alias("dst")), "dst")
+               .persist())
+        held.append(nxt)
+        seen.append((keep.count(), nxt.count() // 2))
+        cur = nxt
+    # round 1: chain nodes 10, 11 peel (degrees 2 and 1); node 4 keeps
+    # degree 4 >= 3. Rounds 2-3: the clique is stable.
+    assert seen == [(4, 6), (4, 6), (4, 6)]
