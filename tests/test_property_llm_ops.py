@@ -125,3 +125,48 @@ def test_hll_registers_merge_exactly(spark, sf_dir):
             b = r["bucket"]
             merged[b] = max(merged.get(b, 0), r["mj"])
     assert set(merged.items()) == whole
+
+
+def test_l28_dsir_mean_ranking_selects_target_language(spark):
+    """l28: the per-token mean importance weight must produce a real
+    selection LIFT toward the target language — at sf0.01 the top-20
+    contains 13 'en' docs against a 43.6% (218/500) base rate (9/20
+    under the length-biased raw-sum ranking this op deliberately
+    avoids). Pinned exactly: the ranking is integer-deterministic."""
+    from pyspark.sql import functions as F
+
+    from bioio_spark.queries import REGISTRY
+    from bioio_spark.queries.base import load
+
+    top = REGISTRY["l28_dsir_weights"].fn(spark, "/root/testdata/sf0.01")
+    docs = load(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "lang")
+    n_en = (top.join(docs, "doc_id")
+            .filter(F.col("lang") == "en").count())
+    assert n_en == 13
+
+
+def test_l28_weights_favor_target_exclusive_tokens(spark):
+    """Designed corpus: tokens that appear ONLY in target-language docs
+    get weight ~2^20 * (t+1)/(t+1) ... > 2^19, tokens only outside the
+    target get the minimum smoothing weight — so a doc written purely
+    in target vocabulary must outrank a doc of off-target vocabulary,
+    regardless of length."""
+    from bioio_spark.functions.dedup import swap_held
+    from bioio_spark.queries import REGISTRY
+
+    spark.createDataFrame(
+        [(1, "alpha alpha beta", "en", "s", 16),
+         (2, "alpha beta gamma", "en", "s", 16),
+         (3, "delta epsilon zeta", "fr", "s", 18),
+         (4, "delta zeta zeta delta", "fr", "s", 21),
+         (5, "alpha beta", "fr", "s", 10),       # en-vocab doc, fr label
+         ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars int").write.mode("overwrite").parquet(
+        "/tmp/l28_designed/documents.parquet")
+    out = {r["doc_id"]: r["mean_w"] for r in
+           REGISTRY["l28_dsir_weights"].fn(
+               spark, "/tmp/l28_designed").collect()}
+    # docs built from en-exclusive vocabulary outrank fr-exclusive ones
+    assert min(out[1], out[2], out[5]) > max(out[3], out[4])
