@@ -328,6 +328,7 @@ def main() -> None:
               "dedup": dedup_probes,
               "ann": ann_probes,
               "ann-scaled": [],
+              "stream": [],
               "graph": graph_probes}[args.family]
     print(f"{'probe':34s} {'sf0.1':>8s} {'10x':>8s} {'100x':>8s}"
           f" {'r10':>6s} {'r100':>7s}")
