@@ -126,6 +126,64 @@ def _assigned(cents):
     ])["n"] * -1
 
 
+def _cents_frame(spark, cents: dict) -> DataFrame:
+    """Centroids as a ONE-ROW broadcast frame (`_ix_cents` cid-indexed,
+    `_ix_cnorms` their driver-side norms — the same _norm_py fold
+    _cos_lit bakes into its literal) — the cents-only slice of
+    _index_frame, for literal-free TRAINING passes (r13)."""
+    cents_a = [[float(x) for x in vec]
+               for _cid, vec in sorted(cents.items())]
+    cnorms = [_norm_py(vec) for vec in cents_a]
+    return spark.createDataFrame(
+        [(cents_a, cnorms)],
+        "_ix_cents array<array<double>>, _ix_cnorms array<double>")
+
+
+def _books_frame(spark, books: dict, m_sub: int, ks: int) -> DataFrame:
+    """{(m, code): [subdim]} codebooks as a ONE-ROW broadcast frame
+    (`_ix_books` [m][code][subdim]) — the books-only slice of
+    _index_frame, for literal-free codebook TRAINING passes (r13)."""
+    books_a = [[[float(x) for x in books[(m, j)]] for j in range(ks)]
+               for m in range(m_sub)]
+    return spark.createDataFrame(
+        [(books_a,)], "_ix_books array<array<array<double>>>")
+
+
+def _hof_code(vec_col, m: int, subdim: int):
+    """The higher-order-function twin of _pq_code over a joined
+    _books_frame: slice subspace m of `vec_col`, argmin over the
+    book's codes by the same (r - b)^2 left fold with a 0.0 seed
+    (0.0 + x == x) and the same lexicographic (dist, code) struct
+    compare — codes bit-identical to the literal least() path."""
+    sub = F.slice(vec_col, m * subdim + 1, subdim)
+    return F.array_min(F.transform(
+        F.element_at(F.col("_ix_books"), m + 1),
+        lambda cb, j: F.struct(
+            F.aggregate(
+                F.zip_with(sub, cb, lambda r, b: (r - b) * (r - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v).alias("d"),
+            j.alias("c"))))["c"]
+
+
+def _hof_assigned(n_cent: int):
+    """The higher-order-function twin of _assigned over a joined
+    _cents_frame/_index_frame: per-centroid struct(cos, -cid),
+    array_max — same dot fold, same driver-computed norms, same
+    lexicographic struct compare, so the winning cid is bit-identical
+    to the literal greatest() path (the rpq_encode equivalence,
+    reused for training). Requires `e`, `ne`, `_ix_cents`,
+    `_ix_cnorms` columns in scope."""
+    scored = F.transform(
+        F.sequence(F.lit(0), F.lit(n_cent - 1)),
+        lambda i: F.struct(
+            (_dot(F.col("e"), F.element_at(F.col("_ix_cents"), i + 1))
+             / (F.col("ne")
+                * F.element_at(F.col("_ix_cnorms"), i + 1))).alias("s"),
+            (-i).alias("n")))
+    return F.array_max(scored)["n"] * -1
+
+
 def _train_ivf(emb: DataFrame, n_centroids: int, sample_mod: int,
                cache_key=None) -> dict:
     """Build (and memoize) the IVF centroid index.
@@ -162,6 +220,13 @@ def _train_ivf(emb: DataFrame, n_centroids: int, sample_mod: int,
     dim = len(next(iter(seeds.values())))
 
     # -- one Lloyd iteration over the hash-sample (index build job #2) ----
+    # r13: assignment via the literal-free broadcast-index device
+    # (rpq_encode's HOF twin of _assigned — same dot fold, same
+    # driver-computed norms, same lexicographic struct argmax, so the
+    # trained centroids are bit-identical to the literal path the
+    # oracle spells out) — Catalyst analysis/codegen cost no longer
+    # grows with n_centroids x dim, which at scaled index parameters
+    # (l3n: nlist 16+) dominated the training wall.
     quant_sums = [
         F.sum(F.floor(F.element_at("e", j + 1) * F.lit(_KMEANS_SCALE)))
         .alias(f"p{j}")
@@ -169,8 +234,9 @@ def _train_ivf(emb: DataFrame, n_centroids: int, sample_mod: int,
     ]
     cluster_rows = (
         emb.filter(F.col("vec_id") % sample_mod == 0)
+        .crossJoin(F.broadcast(_cents_frame(spark, seeds)))
         .withColumn("ne", _norm(F.col("e")))
-        .withColumn("cid", _assigned(seeds).cast("int"))
+        .withColumn("cid", _hof_assigned(len(seeds)).cast("int"))
         .groupBy("cid")
         .agg(F.count(F.lit(1)).alias("cnt"), *quant_sums)
         .collect())
@@ -752,28 +818,27 @@ def _train_pq(emb: DataFrame, m_sub: int = PQ_M, ks: int = PQ_KS,
              [float(v) for v in r["e"][m * subdim:(m + 1) * subdim]]
              for r in seed_rows for m in range(m_sub)}
 
+    # r13: literal-free — codes via the broadcast seed-books frame
+    # (the rpq_encode device; bit-identical folds/compares, see
+    # _hof_code), so analysis/codegen cost is constant in m_sub x ks.
+    # (Historical note kept for the explode shape: the struct array is
+    # PROJECTED before the explode because GenerateExec inlines its
+    # generator expression into one generate_doConsume method — with
+    # the pre-r13 literal distance terms that blew janino's limits and
+    # fell back to interpreted eval.)
+    sbooks = _books_frame(spark, seeds, m_sub, ks)
     per_m = []
     for m in range(m_sub):
-        sub = F.array(*[F.element_at("e", m * subdim + i + 1)
-                        for i in range(subdim)])
         per_m.append(F.struct(
             F.lit(m).alias("m"),
-            _pq_code(F.col("e"), m, subdim, seeds, ks).alias("code"),
-            sub.alias("sub")))
+            _hof_code(F.col("e"), m, subdim).alias("code"),
+            F.slice(F.col("e"), m * subdim + 1, subdim).alias("sub")))
     quant_sums = [
         F.sum(F.floor(F.element_at("sub", i + 1)
                       * F.lit(_KMEANS_SCALE))).alias(f"p{i}")
         for i in range(subdim)]
-    # The per-subspace struct array is PROJECTED before the explode:
-    # ProjectExec splits huge generated expressions into compilable
-    # methods, but GenerateExec inlines its generator expression into
-    # one generate_doConsume method — with m_sub x ks x subdim literal
-    # distance terms that method blew janino's internal limits and the
-    # whole stage fell back to INTERPRETED eval (observed: a
-    # deterministic "Failed to compile" per bench run, with l3e/l3f
-    # paying the slow path). Exploding a precomputed column keeps the
-    # arithmetic in compiled codegen.
     rows = (emb.filter(F.col("vec_id") % sample_mod == 0)
+            .crossJoin(F.broadcast(sbooks))
             .select(F.array(*per_m).alias("arr"))
             .select(F.explode("arr").alias("s"))
             .select("s.m", "s.code", "s.sub")
@@ -1293,30 +1358,6 @@ IVF_ADC_RECALL_ORACLE = _ivf_adc_recall_oracle()
 # residual is materialized as ONE projected array column before any
 # argmin touches it (the explode/janino rule, SCALING.md r10).
 # --------------------------------------------------------------------------
-def _cent_array(cents: dict):
-    """Literal array-of-arrays of the trained coarse centroids,
-    indexable by cid + 1."""
-    return F.array(*[
-        F.array(*[F.lit(float(c)) for c in vec])
-        for _cid, vec in sorted(cents.items())])
-
-
-def _with_residual(df: DataFrame, cents: dict, dim: int) -> DataFrame:
-    """Add a residual array column `res` = e - centroid[cid] (requires
-    `e` and `cid` columns) as ONE zip_with over the cid-indexed literal
-    centroid table. The higher-order function matters: an element-wise
-    F.array of dim subtractions re-inlines the n_centroids x dim
-    literal table into EVERY element once CollapseProject merges the
-    projections (observed: 'Code grows beyond 64 KB' in the struct
-    comparators downstream), while zip_with names the literal once and
-    compiles to a loop."""
-    ca = _cent_array(cents)
-    return df.withColumn(
-        "res", F.zip_with(F.col("e"),
-                          F.element_at(ca, F.col("cid") + 1),
-                          lambda a, b: a - b))
-
-
 def _train_rpq(emb: DataFrame, cents: dict, m_sub: int = PQ_M,
                ks: int = PQ_KS, sample_mod: int = IVF_SAMPLE_MOD,
                cache_key=None) -> dict:
@@ -1337,11 +1378,23 @@ def _train_rpq(emb: DataFrame, cents: dict, m_sub: int = PQ_M,
         raise ValueError(f"dim {dim} not divisible by {m_sub}")
     subdim = dim // m_sub
 
-    assigned = _with_residual(
-        emb.withColumn("ne", _norm(F.col("e")))
-        .withColumn("cid", _assigned(cents).cast("int")), cents, dim)
+    # r13: literal-free training — both passes ride the broadcast
+    # index frames (the rpq_encode device), so Catalyst cost is a
+    # small constant plan however large nlist/ks grow. Arithmetic is
+    # bit-identical to the literal path (same folds, same struct
+    # compares): the DuckDB oracles, which spell the literal chain out
+    # textually, stay hash-green.
+    def _residual_frame(src):
+        return (src.crossJoin(F.broadcast(_cents_frame(spark, cents)))
+                .withColumn("ne", _norm(F.col("e")))
+                .withColumn("cid", _hof_assigned(len(cents))
+                            .cast("int"))
+                .withColumn("res", F.zip_with(
+                    F.col("e"),
+                    F.element_at(F.col("_ix_cents"), F.col("cid") + 1),
+                    lambda a, b: a - b)))
 
-    seed_rows = (assigned.filter(F.col("vec_id") < ks)
+    seed_rows = (_residual_frame(emb.filter(F.col("vec_id") < ks))
                  .select("vec_id", "res").collect())
     seed_ids = {int(r["vec_id"]) for r in seed_rows}
     if seed_ids != set(range(ks)):
@@ -1352,25 +1405,27 @@ def _train_rpq(emb: DataFrame, cents: dict, m_sub: int = PQ_M,
              [float(v) for v in r["res"][m * subdim:(m + 1) * subdim]]
              for r in seed_rows for m in range(m_sub)}
 
+    sbooks = _books_frame(spark, seeds, m_sub, ks)
     per_m = []
     for m in range(m_sub):
-        sub = F.array(*[F.element_at("res", m * subdim + i + 1)
-                        for i in range(subdim)])
         per_m.append(F.struct(
             F.lit(m).alias("m"),
-            _pq_code(F.col("res"), m, subdim, seeds, ks).alias("code"),
-            sub.alias("sub")))
+            _hof_code(F.col("res"), m, subdim).alias("code"),
+            F.slice(F.col("res"), m * subdim + 1, subdim)
+            .alias("sub")))
     quant_sums = [
         F.sum(F.floor(F.element_at("sub", i + 1)
                       * F.lit(_KMEANS_SCALE))).alias(f"p{i}")
         for i in range(subdim)]
-    rows = (assigned.filter(F.col("vec_id") % sample_mod == 0)
-            .select(F.array(*per_m).alias("arr"))
-            .select(F.explode("arr").alias("s"))
-            .select("s.m", "s.code", "s.sub")
-            .groupBy("m", "code")
-            .agg(F.count(F.lit(1)).alias("cnt"), *quant_sums)
-            .collect())
+    rows = (_residual_frame(
+        emb.filter(F.col("vec_id") % sample_mod == 0))
+        .crossJoin(F.broadcast(sbooks))
+        .select(F.array(*per_m).alias("arr"))
+        .select(F.explode("arr").alias("s"))
+        .select("s.m", "s.code", "s.sub")
+        .groupBy("m", "code")
+        .agg(F.count(F.lit(1)).alias("cnt"), *quant_sums)
+        .collect())
     trained = dict(seeds)
     for r in rows:
         cnt = float(r["cnt"])
@@ -1443,7 +1498,8 @@ def rpq_encode(emb: DataFrame, cents: dict, books: dict,
 
     # per-subspace code: residual slice r = e[m] - cent[cid][m] fused
     # into the (r - book)^2 fold — same element values and fold order
-    # as _with_residual + _sub_dist, so codes match bit-for-bit
+    # as the residual-zip_with + _sub_dist literal chain the oracle
+    # spells out, so codes match bit-for-bit
     cvec = F.element_at(F.col("_ix_cents"), F.col("cid") + 1)
 
     def _code(m: int):

@@ -443,3 +443,74 @@ def test_planted_metrics_detect_broken_ranking(spark):
     n_hits = (broken.withColumn("rel", is_rel.cast("int"))
               .agg(F.sum("rel")).collect()[0][0])
     assert n_hits == 0     # worst-first ranking retrieves zero plants
+
+
+def test_literal_free_training_matches_literal_path_exactly(spark):
+    """r13: _train_ivf/_train_pq/_train_rpq ride the broadcast index
+    frames instead of literal expression trees (constant Catalyst cost
+    in nlist x ks). The trained dicts must equal the LITERAL
+    formulation bit-for-bit — same dot fold, same 0.0-seeded distance
+    fold, same lexicographic argmax/argmin — reconstructed inline here
+    as the frozen reference."""
+    from pyspark.sql import functions as F
+
+    from bioio_spark.functions.similarity import (_KMEANS_SCALE,
+                                                  _assigned, _norm,
+                                                  _pq_code, _to_double,
+                                                  _train_ivf, _train_pq)
+    from bioio_spark.queries.base import load
+
+    emb = (load(spark, "/root/testdata/sf0.001", "embeddings")
+           .select("vec_id", "label",
+                   _to_double(F.col("embedding")).alias("e")))
+    n_cent, mod = 8, 4
+
+    # literal Lloyd pass, verbatim pre-r13 formulation
+    seeds = {int(r["vec_id"]): list(r["e"]) for r in
+             emb.filter(F.col("vec_id") < n_cent)
+             .select("vec_id", "e").collect()}
+    dim = len(next(iter(seeds.values())))
+    sums = [F.sum(F.floor(F.element_at("e", j + 1)
+                          * F.lit(_KMEANS_SCALE))).alias(f"p{j}")
+            for j in range(dim)]
+    rows = (emb.filter(F.col("vec_id") % mod == 0)
+            .withColumn("ne", _norm(F.col("e")))
+            .withColumn("cid", _assigned(seeds).cast("int"))
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("cnt"), *sums).collect())
+    lit_ivf = dict(seeds)
+    for r in rows:
+        lit_ivf[int(r["cid"])] = [
+            float(r[f"p{j}"]) / float(r["cnt"]) / _KMEANS_SCALE
+            for j in range(dim)]
+    assert _train_ivf(emb, n_cent, mod, cache_key=None) == lit_ivf
+
+    # literal PQ pass (m_sub=8, ks=8), verbatim pre-r13 formulation
+    m_sub = ks = 8
+    subdim = dim // m_sub
+    seed_rows = (emb.filter(F.col("vec_id") < ks)
+                 .select("vec_id", "e").collect())
+    pseeds = {(m, int(r["vec_id"])):
+              [float(v) for v in r["e"][m * subdim:(m + 1) * subdim]]
+              for r in seed_rows for m in range(m_sub)}
+    per_m = [F.struct(
+        F.lit(m).alias("m"),
+        _pq_code(F.col("e"), m, subdim, pseeds, ks).alias("code"),
+        F.array(*[F.element_at("e", m * subdim + i + 1)
+                  for i in range(subdim)]).alias("sub"))
+        for m in range(m_sub)]
+    qs = [F.sum(F.floor(F.element_at("sub", i + 1)
+                        * F.lit(_KMEANS_SCALE))).alias(f"p{i}")
+          for i in range(subdim)]
+    prows = (emb.filter(F.col("vec_id") % mod == 0)
+             .select(F.array(*per_m).alias("arr"))
+             .select(F.explode("arr").alias("s"))
+             .select("s.m", "s.code", "s.sub")
+             .groupBy("m", "code")
+             .agg(F.count(F.lit(1)).alias("cnt"), *qs).collect())
+    lit_pq = dict(pseeds)
+    for r in prows:
+        lit_pq[(int(r["m"]), int(r["code"]))] = [
+            float(r[f"p{i}"]) / float(r["cnt"]) / _KMEANS_SCALE
+            for i in range(subdim)]
+    assert _train_pq(emb, m_sub, ks, mod, cache_key=None) == lit_pq
