@@ -2366,3 +2366,55 @@ def s19_stream_dedup_state_gauge(spark, sf_dir):
                 F.coalesce("state_removed_engine", F.lit(0))
                 .cast("bigint").alias("state_removed_engine"))
             .orderBy("g"))
+
+
+# --------------------------------------------------------------------------
+# E4 Markov transition matrix (round 13): the fourth product-analytics
+# leg (e1 funnel, e2r retention, e3 sessions) — per-user event-type
+# transition counts, the input to next-action prediction and anomaly
+# baselining. One lead() window per user (ordered by ts with event_id
+# as the deterministic tie-break), one (from, to) hash aggregate, one
+# broadcast total for integer permille shares. Scale: the window sorts
+# each user's events inside the user_id shuffle partition — the same
+# single-shuffle shape e3 pins — and the transition matrix is at most
+# |types|^2 rows however large the corpus.
+# --------------------------------------------------------------------------
+@register(
+    "e4_markov_transitions",
+    oracle="""
+    WITH nxt AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+      FROM events),
+    t AS (SELECT from_type, to_type, count(*) AS n
+          FROM nxt WHERE to_type IS NOT NULL
+          GROUP BY from_type, to_type),
+    tot AS (SELECT sum(n) AS s FROM t)
+    SELECT from_type, to_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(n * 1000 // tot.s AS BIGINT) AS permille
+    FROM t CROSS JOIN tot
+    ORDER BY n DESC, from_type, to_type
+    """,
+    doc="E4 per-user event-type transition matrix: lead() window with "
+        "(ts, event_id) deterministic ordering, (from, to) counts and "
+        "integer permille shares — next-action modeling input, "
+        "bounded |types|^2 output",
+)
+def e4_markov_transitions(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = (e.select(F.col("event_type").alias("from_type"),
+                    F.lead("event_type").over(w).alias("to_type"))
+           .filter(F.col("to_type").isNotNull()))
+    t = (nxt.groupBy("from_type", "to_type")
+         .agg(F.count(F.lit(1)).alias("n")))
+    tot = t.agg(F.sum("n").alias("s"))
+    return (t.crossJoin(F.broadcast(tot))
+            .select("from_type", "to_type",
+                    F.col("n").cast("bigint").alias("n"),
+                    F.expr("CAST(n * 1000 div s AS BIGINT)")
+                    .alias("permille"))
+            .orderBy(F.col("n").desc(), "from_type", "to_type"))

@@ -81,3 +81,41 @@ def test_windowed_funnel_excludes_late_conversions(tmp_path, spark):
     owin = _oracle(tmp_path,
                    REGISTRY["e1b_windowed_funnel"].oracle)[0]
     assert tuple(windowed) == tuple(owin)
+
+
+def test_e4_transitions_on_designed_sequence(spark, tmp_path):
+    """Designed corpus: user 1 walks view->click->purchase->view,
+    user 2 walks view->click. Transition counts and permille shares
+    are exact; ties in ts break on event_id (events 10/11 share a
+    timestamp)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bioio_spark.queries import REGISTRY
+
+    rows = [
+        # (event_id, ts_us, user_id, event_type)
+        (1, 1_000_000, 1, "view"),
+        (2, 2_000_000, 1, "click"),
+        (10, 3_000_000, 1, "purchase"),   # same ts as 11: id order wins
+        (11, 3_000_000, 1, "view"),
+        (20, 1_000_000, 2, "view"),
+        (21, 2_000_000, 2, "click"),
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows],
+                       pa.timestamp("us", tz="UTC")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+    }), str(tmp_path / "events.parquet"))
+    got = [tuple(r) for r in REGISTRY["e4_markov_transitions"].fn(
+        spark, str(tmp_path)).collect()]
+    # 4 transitions: view->click x2 (500 permille), click->purchase and
+    # purchase->view x1 each (250 permille); the shared-ts pair orders
+    # purchase(10) before view(11) by event_id
+    assert got == [
+        ("view", "click", 2, 500),
+        ("click", "purchase", 1, 250),
+        ("purchase", "view", 1, 250),
+    ]
