@@ -2442,3 +2442,178 @@ def l28_dsir_weights(spark, sf_dir):
                  .alias("mean_w"))
             .orderBy(F.col("mean_w").desc(), F.col("doc_id").asc())
             .limit(_L28_TOP))
+
+
+# --------------------------------------------------------------------------
+# L29 composed RAG retrieval (round 13): the end-to-end shape a
+# retrieval-augmented pipeline actually runs — l17's chunker, l16's
+# feature-hash embeddings (Weinberger et al. 2009) at CHUNK
+# granularity, and a per-query top-k — composed into ONE plan. Scoring
+# is the raw integer inner product (the hashing trick preserves inner
+# products in expectation; chunks are fixed-width so length bias is
+# constant, and integers keep both engines hash-exact — no cosine
+# float anywhere). Chunk vectors stay SPARSE (one row per non-zero
+# bucket, <= dim per chunk); query vectors densify into a broadcast
+# array frame, so the dot is one narrow crossJoin-with-tiny projection
+# + a (query, chunk) partial-combining sum — no |chunks| x |queries|
+# shuffle. Top-k per query reuses the l3g salted two-phase device
+# (salt-invariant under the deterministic total order, so the oracle
+# mirrors the plain single-window form).
+# --------------------------------------------------------------------------
+_L29_QUERY_DOCS = (3, 7, 11)
+_L29_K = 5
+
+
+def _l29_oracle() -> str:
+    from bioio_spark.functions.text import (CHUNK_STRIDE, CHUNK_WINDOW,
+                                            HASH_EMBED_DIM)
+    W, S, dim = int(CHUNK_WINDOW), int(CHUNK_STRIDE), int(HASH_EMBED_DIM)
+    qids = ", ".join(str(int(i)) for i in _L29_QUERY_DOCS)
+    h = _h32_sql("word")
+    sign = f"CASE WHEN {h} % {2 * dim} >= {dim} THEN -1 ELSE 1 END"
+    return rf"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents),
+    meta AS (
+      SELECT doc_id, ws, len(ws) AS n,
+             CASE WHEN len(ws) <= {W} THEN 1
+                  ELSE 1 + (len(ws) - {W} + {S} - 1) // {S} END AS nc
+      FROM w),
+    ex AS (
+      SELECT doc_id, ws, n,
+             unnest(list_transform(range(0, nc),
+                 k -> struct_pack(
+                     ci := k,
+                     st := least(k * {S}, greatest(n - {W}, 0))))) AS c
+      FROM meta),
+    occ AS (
+      SELECT doc_id, c.ci AS chunk_idx,
+             unnest(list_slice(ws, c.st + 1,
+                               c.st + least({W}, n - c.st))) AS word
+      FROM ex),
+    cells AS (
+      SELECT doc_id, chunk_idx, {h} % {dim} AS b,
+             sum({sign}) AS v
+      FROM occ GROUP BY doc_id, chunk_idx, {h} % {dim}),
+    qocc AS (
+      SELECT doc_id AS qid, unnest(ws) AS word FROM w
+      WHERE doc_id IN ({qids})),
+    qcells AS (
+      SELECT qid, {h} % {dim} AS b, sum({sign}) AS qv
+      FROM qocc GROUP BY qid, {h} % {dim}),
+    scored AS (
+      SELECT q.qid, c.doc_id, c.chunk_idx,
+             sum(c.v * coalesce(qc.qv, 0)) AS score
+      FROM cells c
+      CROSS JOIN (SELECT DISTINCT qid FROM qcells) q
+      LEFT JOIN qcells qc ON qc.qid = q.qid AND qc.b = c.b
+      WHERE c.doc_id != q.qid
+      GROUP BY q.qid, c.doc_id, c.chunk_idx),
+    ranked AS (
+      SELECT qid, doc_id, chunk_idx, score,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY score DESC, doc_id, chunk_idx) AS rn
+      FROM scored)
+    SELECT CAST(qid AS BIGINT) AS query_doc_id,
+           CAST(rn AS BIGINT) AS rank,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(score AS BIGINT) AS score
+    FROM ranked WHERE rn <= {_L29_K}
+    ORDER BY query_doc_id, rank
+    """
+
+
+@register(
+    "l29_rag_retrieval",
+    oracle=_l29_oracle(),
+    doc="L29 composed RAG retrieval: l17 chunking + l16 feature-hash "
+        "embeddings at chunk granularity + integer-inner-product "
+        "per-query top-k in one plan — sparse chunk cells, broadcast "
+        "dense query vectors, salted two-phase ranking",
+)
+def l29_rag_retrieval(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from bioio_spark.functions.hashing import h32_col
+    from bioio_spark.functions.text import (CHUNK_STRIDE, CHUNK_WINDOW,
+                                            HASH_EMBED_DIM, _words)
+
+    W, S, dim = int(CHUNK_WINDOW), int(CHUNK_STRIDE), int(HASH_EMBED_DIM)
+    qids = [int(i) for i in _L29_QUERY_DOCS]
+    k = _L29_K
+
+    base = (load(spark, sf_dir, "documents")
+            .select("doc_id", _words(F.col("text")).alias("ws")))
+    n = F.size("ws")
+    nc = F.when(n <= W, F.lit(1)).otherwise(
+        F.expr(f"1 + (size(ws) - {W} + {S} - 1) DIV {S}"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), nc.cast("int") - 1),
+        lambda kk: F.struct(
+            kk.cast("int").alias("ci"),
+            F.least(kk * S, F.greatest(n - W, F.lit(0)))
+            .cast("int").alias("st")))
+    ex = (base.select("doc_id", "ws", F.explode(chunks).alias("c"))
+          .select("doc_id",
+                  F.col("c")["ci"].alias("chunk_idx"),
+                  F.slice("ws", F.col("c")["st"] + 1,
+                          F.least(F.lit(W),
+                                  F.size("ws") - F.col("c")["st"]))
+                  .alias("cw")))
+    occ = ex.select("doc_id", "chunk_idx",
+                    F.explode("cw").alias("word"))
+    h = h32_col(F.col("word"))
+    sign = F.when((h % (2 * dim)) >= dim, F.lit(-1)).otherwise(F.lit(1))
+    cells = (occ.select("doc_id", "chunk_idx",
+                        (h % dim).cast("int").alias("b"),
+                        sign.alias("s"))
+             .groupBy("doc_id", "chunk_idx", "b")
+             .agg(F.sum("s").alias("v")))
+
+    qocc = (base.filter(F.col("doc_id").isin(qids))
+            .select(F.col("doc_id").alias("qid"),
+                    F.explode("ws").alias("word")))
+    qh = h32_col(F.col("word"))
+    qsign = F.when((qh % (2 * dim)) >= dim,
+                   F.lit(-1)).otherwise(F.lit(1))
+    qvec = (qocc.select("qid", (qh % dim).cast("int").alias("b"),
+                        qsign.alias("s"))
+            .groupBy("qid", "b").agg(F.sum("s").alias("qv"))
+            .groupBy("qid")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("b", "qv"))).alias("m"))
+            .select("qid", F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: F.coalesce(
+                    F.element_at("m", j.cast("int")), F.lit(0)))
+                .alias("qe")))
+
+    scored = (cells.crossJoin(F.broadcast(qvec))
+              .filter(F.col("doc_id") != F.col("qid"))
+              .select("qid", "doc_id", "chunk_idx",
+                      (F.col("v")
+                       * F.element_at("qe", F.col("b") + 1)).alias("t"))
+              .groupBy("qid", "doc_id", "chunk_idx")
+              .agg(F.sum("t").alias("score")))
+    salt = F.crc32(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                            F.col("chunk_idx").cast("string"))) % 8
+    local = (scored.withColumn("salt", salt)
+             .withColumn("lrn", F.row_number().over(
+                 Window.partitionBy("qid", "salt")
+                 .orderBy(F.col("score").desc(), "doc_id",
+                          "chunk_idx")))
+             .filter(F.col("lrn") <= k).drop("salt", "lrn"))
+    return (local.withColumn("rank", F.row_number().over(
+        Window.partitionBy("qid")
+        .orderBy(F.col("score").desc(), "doc_id", "chunk_idx"))
+        .cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").cast("bigint").alias("query_doc_id"),
+                "rank",
+                F.col("doc_id").cast("bigint").alias("doc_id"),
+                F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+                F.col("score").cast("bigint").alias("score"))
+        .orderBy("query_doc_id", "rank"))

@@ -57,3 +57,39 @@ def test_plan_in_row_no_shuffle_before_sort(spark, sf_dir):
     # only the presentation orderBy exchanges
     import re
     assert len(re.findall(r"Exchange (?!rangepartitioning)", plan)) == 0
+
+
+def test_l29_rag_retrieval_surfaces_shared_vocabulary(spark, tmp_path):
+    """Designed corpus: query doc 3 shares its vocabulary with doc 100
+    (near-paraphrase) and shares nothing with doc 200 — the top-ranked
+    chunk must come from doc 100 with a strictly higher integer score
+    than any doc-200 chunk, and the query's own chunks are excluded."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bioio_spark.queries import REGISTRY
+    from bioio_spark.queries.llm import _L29_QUERY_DOCS
+
+    assert 3 in _L29_QUERY_DOCS
+    rows = [
+        (3, "alpha beta gamma delta alpha beta"),
+        (7, "epsilon zeta"),                      # other query docs
+        (11, "eta theta"),
+        (100, "alpha beta gamma alpha beta gamma"),   # paraphrase of 3
+        (200, "iota kappa lambda mu nu xi"),          # unrelated
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows]),
+        "lang": pa.array(["en"] * len(rows)),
+        "source": pa.array(["s"] * len(rows)),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int32()),
+    }), str(tmp_path / "documents.parquet"))
+    got = [r for r in REGISTRY["l29_rag_retrieval"].fn(
+        spark, str(tmp_path)).collect() if r["query_doc_id"] == 3]
+    assert got, "query 3 returned no rows"
+    assert all(r["doc_id"] != 3 for r in got)     # self excluded
+    assert got[0]["doc_id"] == 100                # paraphrase on top
+    s100 = max(r["score"] for r in got if r["doc_id"] == 100)
+    s200 = [r["score"] for r in got if r["doc_id"] == 200]
+    assert all(s100 > s for s in s200)
