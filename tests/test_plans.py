@@ -749,3 +749,30 @@ def test_g4_reuses_persisted_edges_across_rounds(spark):
     plan = physical_plan(df)
     assert plan.count("InMemoryTableScan") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_l29_rag_query_side_broadcast_no_cartesian(spark):
+    """l29 (r13): the chunk-cells x queries dot is a broadcast
+    nested-loop of the TINY dense query frame against the sparse
+    cells, never a shuffled cartesian; ranking ends in one bounded
+    window pair."""
+    plan = physical_plan(q(spark, "l29_rag_retrieval"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_g5_kcore_reuses_persisted_frames(spark):
+    """g5 (r13): every peel round consumes the PREVIOUS round's
+    persisted survivor frames — InMemoryTableScans appear, the pair
+    enumeration never reruns per round, no cartesian anywhere."""
+    plan = physical_plan(q(spark, "g5_kcore_peel"))
+    assert plan.count("InMemoryTableScan") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_e4_transition_total_is_broadcast(spark):
+    """e4 (r13): the permille share divides by a one-row total joined
+    broadcast — no shuffle of the transition matrix against itself."""
+    plan = physical_plan(q(spark, "e4_markov_transitions"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
