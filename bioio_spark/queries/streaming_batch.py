@@ -2379,9 +2379,7 @@ def s19_stream_dedup_state_gauge(spark, sf_dir):
 # single-shuffle shape e3 pins — and the transition matrix is at most
 # |types|^2 rows however large the corpus.
 # --------------------------------------------------------------------------
-@register(
-    "e4_markov_transitions",
-    oracle="""
+_E4_ORACLE = """
     WITH nxt AS (
       SELECT event_type AS from_type,
              lead(event_type) OVER (
@@ -2397,7 +2395,12 @@ def s19_stream_dedup_state_gauge(spark, sf_dir):
            CAST(n * 1000 // tot.s AS BIGINT) AS permille
     FROM t CROSS JOIN tot
     ORDER BY n DESC, from_type, to_type
-    """,
+    """
+
+
+@register(
+    "e4_markov_transitions",
+    oracle=_E4_ORACLE,
     doc="E4 per-user event-type transition matrix: lead() window with "
         "(ts, event_id) deterministic ordering, (from, to) counts and "
         "integer permille shares — next-action modeling input, "
@@ -2410,6 +2413,166 @@ def e4_markov_transitions(spark, sf_dir):
                     F.lead("event_type").over(w).alias("to_type"))
            .filter(F.col("to_type").isNotNull()))
     t = (nxt.groupBy("from_type", "to_type")
+         .agg(F.count(F.lit(1)).alias("n")))
+    tot = t.agg(F.sum("n").alias("s"))
+    return (t.crossJoin(F.broadcast(tot))
+            .select("from_type", "to_type",
+                    F.col("n").cast("bigint").alias("n"),
+                    F.expr("CAST(n * 1000 div s AS BIGINT)")
+                    .alias("permille"))
+            .orderBy(F.col("n").desc(), "from_type", "to_type"))
+
+
+# --------------------------------------------------------------------------
+# S20 streaming transition counts (round 13): e4's Markov matrix built
+# INCREMENTALLY by a custom stateful operator — the §2.10 surface the
+# built-in windows can't express, because a transition spans
+# micro-batches (the last event of batch k pairs with the first event
+# of batch k+1). applyInPandasWithState keeps ONE row of state per
+# user (last ts/event_id/type — bounded by |users|, no watermark
+# needed); each trigger sorts its per-user Arrow batch by the batch
+# contract's (ts, event_id) order, prepends the carried state, and
+# emits the new transitions. The arrival fixture is CHRONOLOGICAL
+# (weekly batches, no stragglers), so the per-batch sort + carry
+# reproduces e4's global per-user order exactly — the gauge's oracle
+# IS e4's batch SQL verbatim: streaming == batch, driver-pinned.
+# Exactly-once: emissions land under their deterministic batch
+# partition (the s12/s15 idempotent-replay device).
+# --------------------------------------------------------------------------
+def _s20_fixture_dir(spark, sf_dir: str) -> str:
+    """(event_id, user_id, event_type, ts) split into _S14_BATCHES
+    chronological weekly parquet files (week capped at the last
+    batch), ascending mtimes — no late arrivals: cross-batch per-user
+    order equals global (ts, event_id) order."""
+    import os
+    import time
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".scratch",
+        f"s20_events_b{_S14_BATCHES}_{tag}")
+    done = os.path.join(base, "_FIXTURE_DONE")
+    if os.path.isfile(done):
+        return base
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    nb = _S14_BATCHES
+    ev = (load(spark, sf_dir, "events")
+          .select("event_id", "user_id", "event_type",
+                  F.unix_micros("ts").alias("tus"),
+                  F.least(F.lit(nb - 1), F.floor(
+                      F.datediff(F.col("ts").cast("date"),
+                                 F.lit(_S14_BASE).cast("date")) / 7)
+                      .cast("int")).alias("g"))
+          .orderBy("event_id").collect())
+    os.makedirs(base, exist_ok=True)
+    now = time.time()
+    for k in range(nb):
+        rows = [r for r in ev if r["g"] == k]
+        tbl = pa.table({
+            "event_id": pa.array([r["event_id"] for r in rows],
+                                 pa.int64()),
+            "user_id": pa.array([r["user_id"] for r in rows],
+                                pa.int64()),
+            "event_type": pa.array([r["event_type"] for r in rows]),
+            "ts": pa.array([r["tus"] for r in rows],
+                           pa.timestamp("us", tz="UTC")),
+        })
+        p = os.path.join(base, f"arrival{k}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (now + k, now + k))
+    with open(done, "w") as f:
+        f.write("ok")
+    return base
+
+
+_S20_OUT_SCHEMA = "user_id long, from_type string, to_type string"
+_S20_STATE_SCHEMA = "last_tus long, last_eid long, last_type string"
+
+
+def _s20_transitions_fn(key, pdfs, state):
+    import pandas as pd
+
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["tus", "event_id"], kind="mergesort")
+    types = rows["event_type"].tolist()
+    if state.exists:
+        _lt, _le, last_type = state.get
+        types = [last_type] + types
+    last = rows.iloc[-1]
+    state.update((int(last["tus"]), int(last["event_id"]),
+                  str(last["event_type"])))
+    yield pd.DataFrame({
+        "user_id": [key[0]] * (len(types) - 1),
+        "from_type": types[:-1],
+        "to_type": types[1:],
+    })
+
+
+def stream_transitions_store(spark, ev_dir: str, store: str,
+                             state_partitions: int = 4) -> None:
+    """The real incremental transition stream: one arrival file per
+    trigger, per-user carry state, emissions partitioned by batch id
+    (idempotent replay)."""
+    import os
+
+    schema = spark.read.parquet(ev_dir).schema
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def write_batch(batch, bid):
+        (batch.withColumn("g", F.lit(int(bid)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("g").parquet(os.path.join(store, "trans")))
+
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(state_partitions))
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(ev_dir)
+               .select("event_id", "user_id", "event_type",
+                       F.unix_micros("ts").alias("tus")))
+        q = (src.groupBy("user_id")
+             .applyInPandasWithState(
+                 _s20_transitions_fn,
+                 outputStructType=_S20_OUT_SCHEMA,
+                 stateStructType=_S20_STATE_SCHEMA,
+                 outputMode="append",
+                 timeoutConf=GroupStateTimeout.NoTimeout)
+             .writeStream.foreachBatch(write_batch)
+             .option("checkpointLocation", os.path.join(store, "_ckpt"))
+             .trigger(availableNow=True)
+             .start())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+
+
+@register(
+    "s20_stream_transitions",
+    oracle=_E4_ORACLE,
+    doc="S20 incremental Markov transitions: applyInPandasWithState "
+        "carries each user's last event across micro-batches (bounded "
+        "one-row-per-user state), per-batch (ts, event_id) sort + "
+        "carry reproduces the global order over the chronological "
+        "arrival fixture — the gauge's oracle is e4's batch SQL "
+        "verbatim, so streaming == batch is driver-pinned",
+)
+def s20_stream_transitions(spark, sf_dir):
+    import os
+    import shutil
+
+    ev_dir = _s20_fixture_dir(spark, sf_dir)
+    store = os.path.join(os.path.dirname(ev_dir),
+                         f"s20_store_{os.path.basename(ev_dir)}")
+    shutil.rmtree(store, ignore_errors=True)
+    stream_transitions_store(spark, ev_dir, store)
+    emitted = spark.read.parquet(os.path.join(store, "trans"))
+    t = (emitted.groupBy("from_type", "to_type")
          .agg(F.count(F.lit(1)).alias("n")))
     tot = t.agg(F.sum("n").alias("s"))
     return (t.crossJoin(F.broadcast(tot))

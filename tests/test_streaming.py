@@ -452,3 +452,62 @@ def test_streaming_ngff_sink_exactly_once(spark, tmp_path):
     run_once()
     img2 = BioImage(store, reader=ZarrImageReader, spark=spark)
     np.testing.assert_allclose(img2.get_image_data("TYX"), planes)
+
+
+def test_s20_cross_batch_carry_and_replay_idempotence(spark, tmp_path):
+    """s20: a user whose events span micro-batches still yields the
+    boundary transition exactly once (the carried one-row state), and
+    replaying the whole stream from an empty checkpoint overwrites the
+    same batch partitions — byte-identical aggregate."""
+    import os
+    import shutil
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from bioio_spark.queries.streaming_batch import (
+        stream_transitions_store)
+
+    ev_dir = str(tmp_path / "ev")
+    os.makedirs(ev_dir)
+    now = time.time()
+    batches = [
+        # batch 0: user 1 view, click; user 2 signup
+        [(1, 1, "view", 1_000_000), (2, 1, "click", 2_000_000),
+         (3, 2, "signup", 2_500_000)],
+        # batch 1: user 1 purchase (boundary transition click->purchase)
+        [(4, 1, "purchase", 3_000_000)],
+        # batch 2: user 2 error (boundary signup->error), user 1 view
+        [(5, 2, "error", 4_000_000), (6, 1, "view", 5_000_000)],
+    ]
+    for k, rows in enumerate(batches):
+        p = os.path.join(ev_dir, f"arrival{k}.parquet")
+        pq.write_table(pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "ts": pa.array([r[3] for r in rows],
+                           pa.timestamp("us", tz="UTC")),
+        }), p)
+        os.utime(p, (now + k, now + k))
+
+    def run():
+        store = str(tmp_path / "store")
+        shutil.rmtree(store, ignore_errors=True)
+        stream_transitions_store(spark, ev_dir, store)
+        return sorted(tuple(r) for r in spark.read.parquet(
+            os.path.join(store, "trans"))
+            .select("user_id", "from_type", "to_type", "g").collect())
+
+    got = run()
+    # user 1: view->click (b0), click->purchase (b1), purchase->view
+    # (b2); user 2: signup->error (b2) — each boundary pair ONCE
+    assert got == sorted([
+        (1, "view", "click", 0),
+        (1, "click", "purchase", 1),
+        (1, "purchase", "view", 2),
+        (2, "signup", "error", 2),
+    ])
+    assert run() == got        # replay from scratch: idempotent
