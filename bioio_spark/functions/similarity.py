@@ -897,16 +897,21 @@ def pq_topk(embeddings: DataFrame, query_vec_id: int = 2, k: int = 10,
 
 
 def _pq_train_sql(query_vec_id: int, m_sub: int, ks: int,
-                  sample_mod: int, subdim: int) -> str:
+                  sample_mod: int, subdim: int,
+                  e_cte: str = None) -> str:
     """Shared CTE chain e -> subs -> seeds -> trained -> codes -> q ->
     lut -> adc: the full PQ pipeline, bit-identical to the Spark
-    path."""
+    path. `e_cte` overrides the corpus CTE (must end by defining `e`
+    with columns vec_id, label, e DOUBLE[]) — the l3o planted-corpus
+    device trains the same chain over an augmented corpus."""
     scale = int(_KMEANS_SCALE)
     dist = _sub_dist_sql("s.sub", "c.ce", subdim)
-    return f"""e AS (
+    if e_cte is None:
+        e_cte = """e AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
       FROM embeddings
-    ),
+    )"""
+    return f"""{e_cte},
     subs AS (
       SELECT vec_id, label, m.m AS m,
              e[m.m * {subdim} + 1 : (m.m + 1) * {subdim}] AS sub
@@ -1339,6 +1344,204 @@ def _ivf_adc_recall_oracle(query_vec_id: int = 2,
 
 
 IVF_ADC_RECALL_ORACLE = _ivf_adc_recall_oracle()
+
+
+# --------------------------------------------------------------------------
+# L3o WHY the production recipe ends with an exact re-rank: the r13
+# clustered-corpus probe (SCALING.md) measured that when true neighbors
+# sit closer together than the PQ code resolution, ADC ranking among
+# them degenerates to the tie-break — recall@10 collapses to the
+# random-overlap floor no matter how many lists are probed. This gauge
+# pins that mechanism as a driver-checked value on a DESIGNED corpus:
+# two tiers of plants built from the query vector itself (the l26b
+# dyadic device), TRUE plants at factor (1 + j/8192) on element 0 and
+# DECOY plants at (1 + j/512) — 16x farther, yet BOTH tiers inside one
+# quantization cell, so their ADC distances tie exactly and the
+# deterministic (adc, vec_id) order hands the top-k to the lower-id
+# decoys. Exact top-k is provably the true tier (same element
+# perturbed, strictly smaller factors). A correct engine therefore
+# reads n_true_adc = 0 and n_true_rerank = k: the ADC arm CANNOT see
+# sub-resolution structure and the shortlist->exact-rerank arm MUST
+# recover it. At 100 TB this is the regression test for the refine
+# stage of an IVFADC+R store: if someone drops the re-rank (or breaks
+# its exact arithmetic), n_true_rerank collapses driver-visibly.
+# --------------------------------------------------------------------------
+L3O_TRUE_BASE = 2_000_000_000
+L3O_DECOY_BASE = 1_500_000_000
+_L3O_TRUE_DEN = 8192.0
+_L3O_DECOY_DEN = 512.0
+
+
+def _two_tier_planted(emb: DataFrame, query_vec_id: int,
+                      k: int) -> DataFrame:
+    """(vec_id, label, e) corpus with k TRUE + k DECOY plants built
+    from the query row: plant j of tier (base, den) has vec_id =
+    base + j and the query vector with element 0 scaled by
+    (1 + j/den). Both factors are dyadic, so Spark and the oracle
+    synthesize bit-identical plants (one shared double multiply)."""
+    qrow = (emb.filter(F.col("vec_id") == query_vec_id)
+            .select("label", "e"))
+    plants = None
+    for base, den in ((L3O_TRUE_BASE, _L3O_TRUE_DEN),
+                      (L3O_DECOY_BASE, _L3O_DECOY_DEN)):
+        factor = F.lit(1.0) + F.col("j").cast("double") / F.lit(den)
+        p = (qrow
+             .withColumn("j", F.explode(F.sequence(F.lit(1),
+                                                   F.lit(k))))
+             .select((F.lit(base) + F.col("j")).alias("vec_id"),
+                     "label",
+                     F.transform(
+                         "e",
+                         lambda x, i: F.when(i == 0, x * factor)
+                         .otherwise(x)).alias("e")))
+        plants = p if plants is None else plants.unionByName(p)
+    return emb.select("vec_id", "label", "e").unionByName(plants)
+
+
+def adc_rerank_planted(embeddings: DataFrame, query_vec_id: int = 2,
+                       k: int = _PQ_RECALL_K,
+                       n_centroids: int = N_CENTROIDS,
+                       n_probe: int = N_PROBE, m_sub: int = PQ_M,
+                       ks: int = PQ_KS,
+                       sample_mod: int = IVF_SAMPLE_MOD,
+                       shortlist: int = _PQ_SHORTLIST,
+                       cache_key=None) -> DataFrame:
+    """L3o ADC-vs-rerank on the two-tier planted corpus: one row
+    (k, n_true_adc, n_decoy_adc, n_true_rerank). See the block comment
+    above for the designed semantics (true plants sub-resolution close,
+    decoys 16x farther but code-identical)."""
+    emb = embeddings.select(
+        "vec_id", "label", _to_double(F.col("embedding")).alias("e"))
+    aug = _two_tier_planted(emb, query_vec_id, k)
+    q_rows = (emb.filter(F.col("vec_id") == query_vec_id)
+              .select("e").collect())
+    if not q_rows:
+        raise ValueError(
+            f"query vec_id {query_vec_id} not found in embeddings")
+    q = [float(v) for v in q_rows[0]["e"]]
+    dim = len(q)
+    subdim = dim // m_sub
+
+    # composed IVF-ADC shortlist over the augmented corpus (trains on
+    # it too — mirrored verbatim in the oracle's e CTE); first k rows
+    # ARE the ADC top-k (same total order), driver fetch bounded by
+    # `shortlist`
+    short_ids = [int(r["vec_id"]) for r in
+                 ivf_adc_topk(aug.select(
+                     "vec_id", "label",
+                     F.col("e").alias("embedding")),
+                     query_vec_id, shortlist, n_centroids, n_probe,
+                     m_sub, ks, sample_mod, cache_key=cache_key)
+                 .select("vec_id").collect()]
+
+    # exact-L2 with the same per-subspace term grouping as the l3j
+    # gauge and the oracle's sub_joins — identical float folds
+    exact = None
+    for m in range(m_sub):
+        qlit = q[m * subdim:(m + 1) * subdim]
+        d = None
+        for i, c in enumerate(qlit):
+            t = F.element_at("e", m * subdim + i + 1) - F.lit(float(c))
+            term = t * t
+            d = term if d is None else d + term
+        exact = d if exact is None else exact + d
+
+    base = aug.filter(F.col("vec_id") != query_vec_id)
+    rerank = (base.filter(F.col("vec_id").isin(short_ids))
+              .select("vec_id", exact.alias("l2"))
+              .orderBy(F.col("l2").asc(), F.col("vec_id").asc())
+              .limit(k)
+              .select("vec_id"))
+
+    is_true = (F.col("vec_id") >= L3O_TRUE_BASE).cast("bigint")
+    is_decoy = ((F.col("vec_id") >= L3O_DECOY_BASE)
+                & (F.col("vec_id") < L3O_TRUE_BASE)).cast("bigint")
+    comp = emb.sparkSession.createDataFrame(
+        [(i,) for i in short_ids[:k]], "vec_id long")
+    adc_counts = comp.agg(
+        F.coalesce(F.sum(is_true), F.lit(0)).cast("bigint")
+        .alias("n_true_adc"),
+        F.coalesce(F.sum(is_decoy), F.lit(0)).cast("bigint")
+        .alias("n_decoy_adc"))
+    rr_counts = rerank.agg(
+        F.coalesce(F.sum(is_true), F.lit(0)).cast("bigint")
+        .alias("n_true_rerank"))
+    return (adc_counts.crossJoin(F.broadcast(rr_counts))
+            .select(F.lit(k).cast("bigint").alias("k"),
+                    "n_true_adc", "n_decoy_adc", "n_true_rerank"))
+
+
+def _adc_rerank_planted_oracle(query_vec_id: int = 2,
+                               k: int = _PQ_RECALL_K,
+                               n_centroids: int = N_CENTROIDS,
+                               n_probe: int = N_PROBE,
+                               m_sub: int = PQ_M, ks: int = PQ_KS,
+                               sample_mod: int = IVF_SAMPLE_MOD,
+                               shortlist: int = _PQ_SHORTLIST,
+                               dim: int = 64) -> str:
+    subdim = dim // m_sub
+    e_cte = f"""ebase AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings
+    ),
+    pj AS (SELECT unnest(generate_series(1, {k})) AS j),
+    ptier AS (SELECT * FROM (VALUES
+      ({L3O_TRUE_BASE}, {_L3O_TRUE_DEN}),
+      ({L3O_DECOY_BASE}, {_L3O_DECOY_DEN})) t(pbase, pden)),
+    e AS (
+      SELECT vec_id, label, e FROM ebase
+      UNION ALL
+      SELECT t.pbase + pj.j AS vec_id, q.label AS label,
+             list_transform(generate_series(1, len(q.e)),
+               i -> CASE WHEN i = 1
+                         THEN q.e[i] * (1.0 + pj.j / t.pden)
+                         ELSE q.e[i] END) AS e
+      FROM ebase q CROSS JOIN pj CROSS JOIN ptier t
+      WHERE q.vec_id = {query_vec_id}
+    )"""
+    pq_prefix = _pq_train_sql(query_vec_id, m_sub, ks, sample_mod,
+                              subdim, e_cte=e_cte)
+    exact = " + ".join(
+        "(" + _sub_dist_sql(f"s{m}.sub", f"qq{m}.qs", subdim) + ")"
+        for m in range(m_sub))
+    sub_joins = " ".join(
+        f"JOIN subs s{m} ON s{m}.vec_id = e.vec_id AND s{m}.m = {m} "
+        f"JOIN q qq{m} ON qq{m}.m = {m}"
+        for m in range(m_sub))
+    return f"""
+    WITH {pq_prefix},
+    {_ivf_adc_probe_sql(query_vec_id, n_centroids, sample_mod)},
+    pruned AS (
+      SELECT a.vec_id, a.adc_q
+      FROM adc a
+      JOIN iassigned ia ON ia.vec_id = a.vec_id
+      JOIN iprobes p ON ia.cid = p.cid AND p.prn <= {n_probe}
+      WHERE a.vec_id != {query_vec_id}
+    ),
+    comp AS (
+      SELECT vec_id FROM pruned
+      ORDER BY adc_q ASC, vec_id ASC LIMIT {k}
+    ),
+    short AS (
+      SELECT vec_id FROM pruned
+      ORDER BY adc_q ASC, vec_id ASC LIMIT {shortlist}
+    ),
+    rerank AS (
+      SELECT e.vec_id FROM e JOIN short USING (vec_id) {sub_joins}
+      ORDER BY ({exact}) ASC, e.vec_id ASC LIMIT {k}
+    )
+    SELECT CAST({k} AS BIGINT) AS k,
+           (SELECT CAST(count(*) AS BIGINT) FROM comp
+            WHERE vec_id >= {L3O_TRUE_BASE}) AS n_true_adc,
+           (SELECT CAST(count(*) AS BIGINT) FROM comp
+            WHERE vec_id >= {L3O_DECOY_BASE}
+              AND vec_id < {L3O_TRUE_BASE}) AS n_decoy_adc,
+           (SELECT CAST(count(*) AS BIGINT) FROM rerank
+            WHERE vec_id >= {L3O_TRUE_BASE}) AS n_true_rerank
+    """
+
+
+ADC_RERANK_PLANTED_ORACLE = _adc_rerank_planted_oracle()
 
 
 # --------------------------------------------------------------------------

@@ -239,6 +239,25 @@ def l3n_ivf_rpq_scaled(spark, sf_dir):
                         cache_key=sf_dir + ":l3n", **_L3N)
 
 
+@register("l3o_adc_rerank_planted",
+          oracle=_sim.ADC_RERANK_PLANTED_ORACLE,
+          doc="L3o sub-resolution rerank gauge: two tiers of dyadic "
+              "plants built from the query (true at 1+j/8192, decoys "
+              "16x farther at 1+j/512) share one PQ code cell, so ADC "
+              "tie-breaks the top-k to the decoys while the "
+              "shortlist->exact-rerank arm recovers the true tier — "
+              "the driver-visible regression test for the refine "
+              "stage of an IVFADC+R store (the r13 clustered-corpus "
+              "probe measured this mechanism in the wild; this pins "
+              "it by construction)")
+def l3o_adc_rerank_planted(spark, sf_dir):
+    from bioio_spark.functions.similarity import adc_rerank_planted
+
+    return adc_rerank_planted(load(spark, sf_dir, "embeddings"),
+                              query_vec_id=2,
+                              cache_key=sf_dir + ":l3o")
+
+
 @register("l26_retrieval_metrics", oracle=_sim.RETRIEVAL_METRICS_ORACLE,
           doc="L26 retrieval-eval metrics over the l3g kNN join: "
               "per-query recall@k / MRR / NDCG@k vs the same-label "

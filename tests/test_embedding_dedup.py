@@ -306,6 +306,40 @@ def test_l3l_recall_arms_within_noise(spark, sf_dir):
         == (10, 3, 2)
 
 
+def test_l3o_adc_blind_to_subresolution_rerank_recovers(spark, sf_dir):
+    """The l3o designed semantics, pinned end-to-end: TRUE plants
+    (1 + j/8192 on element 0) and DECOY plants (1 + j/512, 16x
+    farther) share one PQ code cell, so the ADC top-10 is handed to
+    the lower-vec_id decoys by the deterministic tie-break
+    (n_true_adc = 0, n_decoy_adc = 10) while the exact re-rank of the
+    50-wide shortlist recovers the true tier completely
+    (n_true_rerank = 10). If codebook training or the tie-break order
+    ever drifts, this moves."""
+    from bioio_spark.queries import REGISTRY
+
+    [row] = REGISTRY["l3o_adc_rerank_planted"].fn(spark, sf_dir) \
+        .collect()
+    assert (row["k"], row["n_true_adc"], row["n_decoy_adc"],
+            row["n_true_rerank"]) == (10, 0, 10, 10)
+
+
+def test_l3o_rerank_recall_is_shortlist_bounded(spark, sf_dir):
+    """The r13 clustered-corpus probe's second finding, pinned by
+    construction: exact re-rank can only recover what the shortlist
+    contains. With shortlist = k = 10, the shortlist IS the ADC
+    top-10 — all decoys — so the re-rank arm collapses to
+    n_true_rerank = 0. (Production rule: size the refine shortlist to
+    the expected code-cell width, not to k.)"""
+    from bioio_spark.functions.similarity import adc_rerank_planted
+    from bioio_spark.queries.base import load
+
+    [row] = adc_rerank_planted(
+        load(spark, sf_dir, "embeddings"), query_vec_id=2,
+        shortlist=10, cache_key=sf_dir + ":l3o").collect()
+    assert (row["n_true_adc"], row["n_true_rerank"]) == (0, 0)
+    assert row["n_decoy_adc"] == 10
+
+
 def test_sq8_topk_high_fidelity_and_plan(spark, sf_dir):
     """SQ8 spends a full 8 bits per dimension, so unlike the 3-bit PQ
     arms its top-10 should nearly reproduce the exact-L2 top-10 —
