@@ -160,15 +160,52 @@ def build_stream_fixture(replicas: int, dst: str) -> str:
     return dst
 
 
+def build_clustered_fixture(n_vectors: int, dst: str,
+                            n_clusters: int = 256,
+                            dim: int = 64) -> str:
+    """Cluster-STRUCTURED embeddings (deterministic): center_c drawn
+    from a per-cluster seeded normal, members = center + 0.25-sigma
+    jitter. The testdata embeddings are near-isotropic (the l26
+    finding), which bounds any IVF's recall by probe geometry; this
+    fixture measures what the index delivers when the data has the
+    structure production embeddings actually have (points concentrate
+    near cluster centers). vec_ids are assigned round-robin across
+    clusters so the seed rows 0..nlist-1 span distinct clusters."""
+    done = os.path.join(dst, "_FIXTURE_DONE")
+    if os.path.isfile(done):
+        return dst
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst, exist_ok=True)
+    rng = np.random.default_rng(1234)
+    centers = rng.normal(size=(n_clusters, dim)).astype(np.float32)
+    cid = np.arange(n_vectors, dtype=np.int64) % n_clusters
+    jit = np.random.default_rng(5678).normal(
+        scale=0.25, size=(n_vectors, dim)).astype(np.float32)
+    vecs = centers[cid] + jit
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(n_vectors, dtype=np.int64)),
+        "embedding": pa.array([row for row in vecs.tolist()],
+                              pa.list_(pa.float32())),
+        "label": pa.array(cid, pa.int64()),
+    }), os.path.join(dst, "embeddings.parquet"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return dst
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--family",
                     choices=("all", "dedup", "ann", "ann-scaled",
-                             "graph", "stream"),
+                             "ann-clustered", "graph", "stream"),
                     default="all",
                     help="which probe family to run (ann added r12; "
-                         "ann-scaled + graph + stream added r13)")
+                         "ann-scaled + ann-clustered + graph + stream "
+                         "added r13)")
     args = ap.parse_args()
 
     build_fixture(10, DST)
@@ -328,6 +365,7 @@ def main() -> None:
               "dedup": dedup_probes,
               "ann": ann_probes,
               "ann-scaled": [],
+              "ann-clustered": [],
               "stream": [],
               "graph": graph_probes}[args.family]
     print(f"{'probe':34s} {'sf0.1':>8s} {'10x':>8s} {'100x':>8s}"
@@ -398,6 +436,41 @@ def main() -> None:
                       f" probe={npb:<3d} ks={ks:<3d}"
                       f" raw={raw}/{n} res={res}/{n}"
                       f" ({dt:.1f}s)", flush=True)
+
+    if args.family in ("all", "ann-clustered"):
+        # ---- structured-data recall (round 13): same protocol as
+        # ann-scaled (8 queries, fixed vs scaled arms) over the
+        # clustered fixture — the absolute recall level the index
+        # delivers when the corpus has cluster structure, vs the
+        # isotropic testdata where recall is probe-geometry-bounded.
+        from bioio_spark.functions.similarity import rpq_vs_raw_recall
+        c1 = build_clustered_fixture(60_000, os.path.join(
+            _SCRATCH, "sfc1"))
+        c10 = build_clustered_fixture(600_000, os.path.join(
+            _SCRATCH, "sfc10"))
+        qids = (2, 5, 9, 13, 21, 34, 55, 89)
+        rows_cfg = (
+            ("fixed", "60k", c1, 8, 2, 8, 4),
+            ("fixed", "600k", c10, 8, 2, 8, 4),
+            ("scaled", "600k", c10, 25, 6, 64, 16),
+        )
+        for arm, tag, d, nc, npb, ks, mod in rows_cfg:
+            t0 = time.monotonic()
+            raw = res = 0
+            for qid in qids:
+                [row] = rpq_vs_raw_recall(
+                    load(spark, d, "embeddings"), query_vec_id=qid,
+                    n_centroids=nc, n_probe=npb, ks=ks,
+                    sample_mod=mod,
+                    cache_key=f"{d}:{arm}").collect()
+                raw += int(row["n_common_raw"])
+                res += int(row["n_common_res"])
+            dt = time.monotonic() - t0
+            n = len(qids) * 10
+            print(f"clustered {arm:6s} recall@10 {tag:5s}"
+                  f" nlist={nc:<3d} probe={npb:<3d} ks={ks:<3d}"
+                  f" raw={raw}/{n} res={res}/{n} ({dt:.1f}s)",
+                  flush=True)
 
     if args.family in ("all", "stream"):
         # ---- streaming state capacity at 10x arrivals (round 13):
