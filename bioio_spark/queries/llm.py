@@ -2064,6 +2064,166 @@ def l24_hll_distinct(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# L30 bottom-k quantile sketch (round 13): the fourth mergeable sketch
+# (l21 CMS answers frequency, l22 minhash similarity, l24 HLL
+# cardinality — l30 answers DISTRIBUTION: "what is the p50/p99 of this
+# column?"). The sketch is the bottom-k-by-hash sample (Cohen &
+# Kaplan's bottom-k sketch): keep the k rows whose md5(row identity)
+# is smallest — a uniform without-replacement sample that is
+# DETERMINISTIC (no RNG: the hash order is a property of the data),
+# MERGEABLE as a semilattice (bottom-k of a union == bottom-k of the
+# merged per-part bottom-ks, exactly — pinned by test), and
+# SQL-expressible in both engines. Quantile q is then read off the
+# sample at rank ceil(q*s/1000) and gauged against the exact
+# rank-statistic at ceil(q*n/1000).
+#
+# Scale shape: the sample arm is ONE TakeOrderedAndProject over the
+# hash projection (map-side partial top-k per partition, k rows merged
+# at the coordinator — no shuffle of the data, the same plan shape as
+# a4's top-k) + arithmetic over k rows. The exact arm is the gauge's
+# ground-truth bracket: a per-value partial-combining count aggregate
+# + a cumulative sum over the DISTINCT-value frame (bounded by the
+# value domain, not the row count; were the domain itself data-scale,
+# the l7 _sharded_prev_sum two-level device applies verbatim). At
+# 100 TB you ship the k-row sample, not the corpus.
+# --------------------------------------------------------------------------
+_BK_K = 1024
+_BK_QS = (250, 500, 750, 900, 990)
+
+
+def _bk_vals(lineitem, extra=()):
+    """(v, h): extendedprice in exact integer cents (floor(x*100+0.5)
+    — the double is stored, so both engines must share one rounding)
+    keyed by the md5 of the row's (orderkey, linenumber) identity.
+    `extra` columns pass through (the s21 stream carries its group
+    key alongside)."""
+    h = F.md5(F.concat(F.lit("bk:"),
+                       F.col("l_orderkey").cast("string"),
+                       F.lit("-"),
+                       F.col("l_linenumber").cast("string")))
+    return lineitem.select(
+        *extra,
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+        .alias("v"),
+        h.alias("h"))
+
+
+def _bk_sample(vals, k: int = _BK_K):
+    """The bottom-k sketch: k rows of smallest hash. Lexicographic
+    order on lowercase-hex md5 is identical in both engines; v is the
+    tie-break (the synthetic lineitem has a handful of duplicate
+    (orderkey, linenumber) identities, so h alone can tie at the
+    boundary)."""
+    return vals.orderBy(F.col("h").asc(), F.col("v").asc()).limit(k)
+
+
+def _bk_cum_counts(v_df):
+    """Per-distinct-value cumulative row counts (v, cum), the shared
+    quantile-readout frame for both arms."""
+    from pyspark.sql import Window
+
+    cnt = v_df.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    w = (Window.orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return cnt.select("v", F.sum("c").over(w).alias("cum"))
+
+
+def _bk_quantile_report(samp_v, full_v, qs=_BK_QS):
+    """(q_permille, sample_k, est_cents, exact_cents, err_permille):
+    sketch estimate vs exact rank-statistic, all-integer (div, not
+    float division, on both engines)."""
+    spark = samp_v.sparkSession
+    scum = _bk_cum_counts(samp_v)
+    xcum = _bk_cum_counts(full_v)
+    stot = samp_v.agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+    xtot = full_v.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    qf = spark.createDataFrame([(int(q),) for q in qs],
+                               "q_permille long")
+    t = (qf.crossJoin(F.broadcast(stot))
+         .crossJoin(F.broadcast(xtot))
+         .select("q_permille",
+                 F.expr("(q_permille * s + 999) div 1000").alias("ts"),
+                 F.expr("(q_permille * n + 999) div 1000")
+                 .alias("tx")))
+    est = (t.join(F.broadcast(scum), F.col("cum") >= F.col("ts"))
+           .groupBy("q_permille")
+           .agg(F.min("v").alias("est_cents")))
+    ex = (t.join(F.broadcast(xcum), F.col("cum") >= F.col("tx"))
+          .groupBy("q_permille")
+          .agg(F.min("v").alias("exact_cents")))
+    return (qf.join(est, "q_permille").join(ex, "q_permille")
+            .crossJoin(F.broadcast(stot))
+            .select("q_permille",
+                    F.col("s").alias("sample_k"),
+                    "est_cents", "exact_cents",
+                    F.expr("abs(est_cents - exact_cents) * 1000 "
+                           "div exact_cents").alias("err_permille"))
+            .orderBy("q_permille"))
+
+
+def bottomk_quantile_gauge(lineitem, k: int = _BK_K, qs=_BK_QS):
+    vals = _bk_vals(lineitem)
+    return _bk_quantile_report(_bk_sample(vals, k).select("v"),
+                               vals.select("v"), qs)
+
+
+def _bk_oracle(k: int = _BK_K, qs=_BK_QS) -> str:
+    q_list = ", ".join(str(int(q)) for q in qs)
+    return f"""
+    WITH vals AS (
+      SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+             md5('bk:' || CAST(l_orderkey AS VARCHAR) || '-'
+                 || CAST(l_linenumber AS VARCHAR)) AS h
+      FROM lineitem
+    ),
+    samp AS (SELECT v FROM vals ORDER BY h ASC, v ASC LIMIT {k}),
+    scnt AS (SELECT v, count(*) AS c FROM samp GROUP BY v),
+    scum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM scnt),
+    xcnt AS (SELECT v, count(*) AS c FROM vals GROUP BY v),
+    xcum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM xcnt),
+    stot AS (SELECT CAST(count(*) AS BIGINT) AS s FROM samp),
+    xtot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vals),
+    qs AS (SELECT unnest([{q_list}]) AS q),
+    t AS (
+      SELECT CAST(q AS BIGINT) AS q_permille,
+             (CAST(q AS BIGINT) * s + 999) // 1000 AS ts,
+             (CAST(q AS BIGINT) * n + 999) // 1000 AS tx
+      FROM qs CROSS JOIN stot CROSS JOIN xtot
+    ),
+    est AS (
+      SELECT t.q_permille, min(sc.v) AS est_cents
+      FROM t JOIN scum sc ON sc.cum >= t.ts GROUP BY t.q_permille
+    ),
+    ex AS (
+      SELECT t.q_permille, min(xc.v) AS exact_cents
+      FROM t JOIN xcum xc ON xc.cum >= t.tx GROUP BY t.q_permille
+    )
+    SELECT e.q_permille, stot.s AS sample_k,
+           e.est_cents, x.exact_cents,
+           abs(e.est_cents - x.exact_cents) * 1000 // x.exact_cents
+             AS err_permille
+    FROM est e JOIN ex x USING (q_permille) CROSS JOIN stot
+    ORDER BY e.q_permille
+    """
+
+
+BK_QUANTILES_ORACLE = _bk_oracle()
+
+
+@register(
+    "l30_bottomk_quantiles",
+    oracle=BK_QUANTILES_ORACLE,
+    doc="L30 bottom-k quantile sketch: deterministic bottom-k-by-hash "
+        "sample (mergeable semilattice, no RNG) read off at rank "
+        "ceil(q*s/1000) vs the exact rank-statistic — p25/p50/p75/"
+        "p90/p99 of extendedprice with integer permille error; the "
+        "sample arm is one TakeOrderedAndProject, no data shuffle",
+)
+def l30_bottomk_quantiles(spark, sf_dir):
+    return bottomk_quantile_gauge(load(spark, sf_dir, "lineitem"))
+
+
+# --------------------------------------------------------------------------
 # G4 label-propagation communities (round 12): the fourth graph kernel
 # (CC finds connectivity, g2 ranks, g3 counts closure, g4 finds
 # COMMUNITY structure — the retrieval/dedup partitioner that groups

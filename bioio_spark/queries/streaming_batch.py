@@ -2063,6 +2063,119 @@ def s18_stream_hll_distinct(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# S21 streaming bottom-k quantile maintenance (round 13): the s18
+# sketch-by-merging device applied to l30's distribution sketch. Each
+# micro-batch keeps its LOCAL bottom-k (v, h) rows and writes them
+# under the batch's deterministic group partition (exactly-once
+# dynamic overwrite); the final sketch is the bottom-k over the union
+# of the partials. Correct because bottom-k is a semilattice merge:
+# any row in the global bottom-k is in its own batch's bottom-k, so
+# merging per-batch bottom-ks loses nothing — the streamed sample is
+# SET-EQUAL to the batch sample however arrival split the corpus, and
+# the query hash-matches l30's own oracle (streaming == batch for the
+# distribution tier). Replay is idempotent: a re-run batch recomputes
+# the same k rows and overwrites identical bytes. State per batch is
+# k rows, independent of arrival volume.
+# --------------------------------------------------------------------------
+_S21_GROUPS = 5
+
+
+def _s21_fixture_dir(spark, sf_dir: str) -> str:
+    """ALL sf lineitem rows as _S21_GROUPS parquet files (split by
+    l_orderkey % groups — arbitrary; merge must be split-invariant)
+    with ascending mtimes."""
+    import os
+    import time
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", f"s21_lineitem_{tag}")
+    done = os.path.join(base, "_FIXTURE_DONE")
+    if os.path.isfile(done):
+        return base
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = (load(spark, sf_dir, "lineitem")
+           .select("l_orderkey", "l_linenumber", "l_extendedprice")
+           .toPandas())
+    os.makedirs(base, exist_ok=True)
+    now = time.time()
+    for k in range(_S21_GROUPS):
+        part = pdf[pdf["l_orderkey"] % _S21_GROUPS == k]
+        p = os.path.join(base, f"part{k}.parquet")
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False),
+                       p)
+        os.utime(p, (now + k, now + k))
+    with open(done, "w") as f:
+        f.write("ok")
+    return base
+
+
+def stream_bottomk_store(spark, rows_dir: str, store: str) -> None:
+    """Stream lineitem parquet files; per micro-batch, write the
+    batch's local bottom-k (v, h) rows under its group partition."""
+    import os
+
+    from bioio_spark.queries.llm import _BK_K, _bk_sample, _bk_vals
+
+    schema = spark.read.parquet(rows_dir).schema
+
+    def write_batch(batch, _bid):
+        # group key from the rows themselves (constant per file by
+        # fixture construction), so a replayed batch overwrites only
+        # its own partition with identical bytes
+        g = (F.col("l_orderkey") % _S21_GROUPS).cast("long").alias("g")
+        samp = _bk_sample(_bk_vals(batch, extra=(g,)), _BK_K)
+        (samp.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("g").parquet(os.path.join(store, "partials")))
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(rows_dir)
+         .writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation", os.path.join(store, "_ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+from bioio_spark.queries.llm import (  # noqa: E402
+    BK_QUANTILES_ORACLE as _BK_ORACLE,
+)
+
+
+@register(
+    "s21_stream_bottomk_quantiles",
+    oracle=_BK_ORACLE,
+    doc="S21 streaming bottom-k quantile maintenance: per-micro-batch "
+        "local bottom-k partials merged by a final bottom-k "
+        "(semilattice — the streamed sample is set-equal to the batch "
+        "sample for any arrival split), hash-matching l30's batch "
+        "oracle; state per batch is k rows regardless of volume",
+)
+def s21_stream_bottomk_quantiles(spark, sf_dir):
+    import os
+    import shutil
+
+    from bioio_spark.queries.llm import (_BK_K, _BK_QS,
+                                         _bk_quantile_report,
+                                         _bk_sample, _bk_vals)
+
+    rows_dir = _s21_fixture_dir(spark, sf_dir)
+    store = os.path.join(os.path.dirname(rows_dir),
+                         f"s21_store_{os.path.basename(rows_dir)}")
+    shutil.rmtree(store, ignore_errors=True)
+    stream_bottomk_store(spark, rows_dir, store)
+
+    partials = (spark.read.parquet(os.path.join(store, "partials"))
+                .select("v", "h"))
+    samp = _bk_sample(partials, _BK_K).select("v")
+    full = _bk_vals(spark.read.parquet(rows_dir)).select("v")
+    return _bk_quantile_report(samp, full, _BK_QS)
+
+
+# --------------------------------------------------------------------------
 # S19 streaming DEDUP-STATE gauge (round 12): exact dedup is the first
 # operator every pipeline runs, and its streaming form lives or dies
 # by state: `dropDuplicates([id])` under a watermark looks bounded but
