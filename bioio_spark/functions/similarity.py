@@ -1478,17 +1478,34 @@ def _adc_rerank_planted_oracle(query_vec_id: int = 2,
                                m_sub: int = PQ_M, ks: int = PQ_KS,
                                sample_mod: int = IVF_SAMPLE_MOD,
                                shortlist: int = _PQ_SHORTLIST,
-                               dim: int = 64) -> str:
+                               dim: int = 64,
+                               corpus_mod: int = 1) -> str:
     subdim = dim // m_sub
+    # corpus_mod > 1 gauges the MECHANISM on a deterministic
+    # sub-corpus (every corpus_mod-th vector, ids remapped by div so
+    # the training seeds vec_id < ks survive) — the designed plant
+    # semantics are corpus-size-free, and the l3i/l3j rows already
+    # charge the full-corpus cost of this index family
+    if corpus_mod == 1:
+        base_sel = ("SELECT vec_id, label, "
+                    "CAST(embedding AS DOUBLE[]) AS e FROM embeddings")
+    else:
+        base_sel = (f"SELECT vec_id // {corpus_mod} AS vec_id, label, "
+                    f"CAST(embedding AS DOUBLE[]) AS e FROM embeddings "
+                    f"WHERE vec_id % {corpus_mod} = 0")
+    # AS MATERIALIZED is load-bearing: e is referenced by every stage
+    # of the training chain and by the 8 rerank sub_joins; DuckDB
+    # inlines plain CTEs per reference, and the remapped-union-plants
+    # construction re-inlined ~20x deep sends optimization time over
+    # a cliff (observed: >300 s vs <1 s materialized)
     e_cte = f"""ebase AS (
-      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
-      FROM embeddings
+      {base_sel}
     ),
     pj AS (SELECT unnest(generate_series(1, {k})) AS j),
     ptier AS (SELECT * FROM (VALUES
       ({L3O_TRUE_BASE}, {_L3O_TRUE_DEN}),
       ({L3O_DECOY_BASE}, {_L3O_DECOY_DEN})) t(pbase, pden)),
-    e AS (
+    e AS MATERIALIZED (
       SELECT vec_id, label, e FROM ebase
       UNION ALL
       SELECT t.pbase + pj.j AS vec_id, q.label AS label,
@@ -1541,7 +1558,9 @@ def _adc_rerank_planted_oracle(query_vec_id: int = 2,
     """
 
 
-ADC_RERANK_PLANTED_ORACLE = _adc_rerank_planted_oracle()
+L3O_CORPUS_MOD = 8
+ADC_RERANK_PLANTED_ORACLE = _adc_rerank_planted_oracle(
+    corpus_mod=L3O_CORPUS_MOD)
 
 
 # --------------------------------------------------------------------------

@@ -251,10 +251,18 @@ def l3n_ivf_rpq_scaled(spark, sf_dir):
               "probe measured this mechanism in the wild; this pins "
               "it by construction)")
 def l3o_adc_rerank_planted(spark, sf_dir):
-    from bioio_spark.functions.similarity import adc_rerank_planted
+    from bioio_spark.functions.similarity import (L3O_CORPUS_MOD,
+                                                  adc_rerank_planted)
 
-    return adc_rerank_planted(load(spark, sf_dir, "embeddings"),
-                              query_vec_id=2,
+    # deterministic 1/8 sub-corpus, ids remapped by div so the
+    # training seeds (vec_id < ks) survive: the gauge pins a
+    # MECHANISM that is corpus-size-free, and l3i/l3j already charge
+    # the full-corpus cost of this index family
+    emb = (load(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") % L3O_CORPUS_MOD == 0)
+           .select(F.expr(f"vec_id div {L3O_CORPUS_MOD}")
+                   .alias("vec_id"), "embedding", "label"))
+    return adc_rerank_planted(emb, query_vec_id=2,
                               cache_key=sf_dir + ":l3o")
 
 
