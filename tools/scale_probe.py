@@ -80,14 +80,17 @@ def build_fixture(replicas: int = 10, dst: str = DST) -> str:
 
 
 def build_graph_fixture(replicas: int, dst: str) -> str:
-    """Add lineitem (l_orderkey, l_partkey, l_suppkey) and orders
-    (o_orderkey, o_custkey) replicas to a scale dir. Every key is
-    offset by replica * 10^7, so replicas are DISJOINT subgraphs —
-    total graph work should scale linearly in corpus size (same
-    density, x10 more data), which is exactly the claim the graph
-    probes measure. 10^7 stride keeps 100 replicas of customer ids
-    below g2's +10^9 supplier-node offset (no src/dst collision)."""
-    done = os.path.join(dst, "_FIXTURE_G_DONE")
+    """Add lineitem (l_orderkey, l_partkey, l_suppkey + the l30 value
+    columns l_linenumber, l_extendedprice) and orders (o_orderkey,
+    o_custkey) replicas to a scale dir. Every key is offset by
+    replica * 10^7, so replicas are DISJOINT subgraphs — total graph
+    work should scale linearly in corpus size (same density, x10 more
+    data), which is exactly the claim the graph probes measure. 10^7
+    stride keeps 100 replicas of customer ids below g2's +10^9
+    supplier-node offset (no src/dst collision). Prices get a
+    +replica-cent shift so replica value sets are not byte-copies
+    (the sketch probe's independence discipline)."""
+    done = os.path.join(dst, "_FIXTURE_G2_DONE")
     if os.path.isfile(done):
         return dst
     import numpy as np
@@ -98,15 +101,23 @@ def build_graph_fixture(replicas: int, dst: str) -> str:
     off = 10_000_000
 
     li = pq.read_table(os.path.join(SRC, "lineitem.parquet"),
-                       columns=["l_orderkey", "l_partkey", "l_suppkey"])
+                       columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                "l_linenumber", "l_extendedprice"])
     cols = {c: li.column(c).to_numpy().astype(np.int64) for c in
             ("l_orderkey", "l_partkey", "l_suppkey")}
     shifts = np.repeat(np.arange(replicas, dtype=np.int64) * off,
                        len(li))
-    pq.write_table(pa.table({
-        c: pa.array(np.tile(v, replicas) + shifts, pa.int64())
-        for c, v in cols.items()}),
-        os.path.join(dst, "lineitem.parquet"))
+    cent_shifts = np.repeat(
+        np.arange(replicas, dtype=np.float64) * 0.01, len(li))
+    out = {c: pa.array(np.tile(v, replicas) + shifts, pa.int64())
+           for c, v in cols.items()}
+    out["l_linenumber"] = pa.array(
+        np.tile(li.column("l_linenumber").to_numpy(), replicas),
+        li.schema.field("l_linenumber").type)
+    out["l_extendedprice"] = pa.array(
+        np.tile(li.column("l_extendedprice").to_numpy(), replicas)
+        + cent_shifts, pa.float64())
+    pq.write_table(pa.table(out), os.path.join(dst, "lineitem.parquet"))
 
     od = pq.read_table(os.path.join(SRC, "orders.parquet"),
                        columns=["o_orderkey", "o_custkey"])
@@ -201,16 +212,17 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--family",
                     choices=("all", "dedup", "ann", "ann-scaled",
-                             "ann-clustered", "graph", "stream"),
+                             "ann-clustered", "graph", "stream",
+                             "sketch"),
                     default="all",
                     help="which probe family to run (ann added r12; "
                          "ann-scaled + ann-clustered + graph + stream "
-                         "added r13)")
+                         "+ sketch added r13)")
     args = ap.parse_args()
 
     build_fixture(10, DST)
     build_fixture(100, DST100)
-    if args.family in ("all", "graph"):
+    if args.family in ("all", "graph", "sketch"):
         build_graph_fixture(10, DST)
         build_graph_fixture(100, DST100)
     if args.family in ("all", "stream"):
@@ -361,12 +373,40 @@ def main() -> None:
         for name in ("g2_pagerank", "g3_triangle_count",
                      "g4_label_propagation", "g4b_lpa_convergence")
     ]
-    probes = {"all": dedup_probes + ann_probes + graph_probes,
+    # ---- sketch family (round 13): the mergeable-summary tier. All
+    # three are bounded-output partial aggregates (CMS cells, HLL
+    # registers, bottom-k rows), so wall should track the scan and
+    # nothing should go superlinear; l30's ACCURACY claim (error is
+    # sample-size-bound, corpus-size-free) is reported separately.
+    def l30_sample_arm(sf_dir):
+        # the SHIPPABLE path alone: bottom-k sample of the corpus (one
+        # TakeOrderedAndProject). The full l30 gauge also carries its
+        # exact-rank ground-truth bracket, whose distinct-value
+        # cumulative window grows with the value domain — charge the
+        # two separately so the sketch's own scaling is visible.
+        from bioio_spark.queries.llm import _BK_K, _bk_sample, _bk_vals
+
+        def run():
+            sink(_bk_sample(_bk_vals(load(spark, sf_dir, "lineitem")),
+                            _BK_K))
+        return run
+
+    sketch_probes = [
+        (name, reg(name, SRC), reg(name, DST), reg(name, DST100))
+        for name in ("l21_cms_heavy_hitters", "l24_hll_distinct",
+                     "l30_bottomk_quantiles")
+    ] + [
+        ("l30_sample_arm_only", l30_sample_arm(SRC),
+         l30_sample_arm(DST), l30_sample_arm(DST100)),
+    ]
+    probes = {"all": (dedup_probes + ann_probes + graph_probes
+                      + sketch_probes),
               "dedup": dedup_probes,
               "ann": ann_probes,
               "ann-scaled": [],
               "ann-clustered": [],
               "stream": [],
+              "sketch": sketch_probes,
               "graph": graph_probes}[args.family]
     print(f"{'probe':34s} {'sf0.1':>8s} {'10x':>8s} {'100x':>8s}"
           f" {'r10':>6s} {'r100':>7s}")
@@ -471,6 +511,44 @@ def main() -> None:
                   f" nlist={nc:<3d} probe={npb:<3d} ks={ks:<3d}"
                   f" raw={raw}/{n} res={res}/{n} ({dt:.1f}s)",
                   flush=True)
+
+    if args.family in ("all", "sketch"):
+        # ---- l30 accuracy flatness: bottom-k quantile error is a
+        # property of k (binomial envelope ~ sqrt(q(1-q)/k) mapped
+        # through the local density), NOT of corpus size — the reason
+        # the sketch is shippable at 100 TB. Report err_permille per
+        # quantile at each scale; expect same-order values, no growth
+        # trend with n.
+        for tag, d in (("sf0.1", SRC), ("10x", DST), ("100x", DST100)):
+            t0 = time.monotonic()
+            rows = REGISTRY["l30_bottomk_quantiles"].fn(
+                spark, d).collect()
+            errs = {int(r["q_permille"]): int(r["err_permille"])
+                    for r in rows}
+            print(f"l30 err_permille {tag:6s} {errs}"
+                  f" ({time.monotonic() - t0:.1f}s)", flush=True)
+        # ---- s21 state bound at 10x arrivals: per-batch partials are
+        # k rows regardless of volume — the store must hold at most
+        # n_batches * k rows however large the corpus grows.
+        import glob as _glob
+
+        from bioio_spark.queries.streaming_batch import (
+            _S21_GROUPS, _s21_fixture_dir, stream_bottomk_store)
+        rows_dir = _s21_fixture_dir(spark, DST)
+        store = os.path.join(os.path.dirname(rows_dir),
+                             "s21_probe_store")
+        import shutil
+        shutil.rmtree(store, ignore_errors=True)
+        t0 = time.monotonic()
+        stream_bottomk_store(spark, rows_dir, store)
+        dt = time.monotonic() - t0
+        n_part = spark.read.parquet(
+            os.path.join(store, "partials")).count()
+        n_corpus = spark.read.parquet(rows_dir).count()
+        print(f"s21 partial-state rows @10x: {n_part}"
+              f" (bound {_S21_GROUPS * 1024}; corpus {n_corpus};"
+              f" stream wall {dt:.1f}s)", flush=True)
+        shutil.rmtree(store, ignore_errors=True)
 
     if args.family in ("all", "stream"):
         # ---- streaming state capacity at 10x arrivals (round 13):
