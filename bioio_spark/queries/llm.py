@@ -2153,10 +2153,13 @@ def _bk_quantile_report(samp_v, full_v, qs=_BK_QS):
                  F.expr("(q_permille * s + 999) div 1000").alias("ts"),
                  F.expr("(q_permille * n + 999) div 1000")
                  .alias("tx")))
-    est = (t.join(F.broadcast(scum), F.col("cum") >= F.col("ts"))
+    # broadcast the |qs|-row target frame and STREAM the cumulative
+    # frames: xcum grows with the value domain, so shipping it to the
+    # driver would invert the size relationship at scale
+    est = (scum.join(F.broadcast(t), F.col("cum") >= F.col("ts"))
            .groupBy("q_permille")
            .agg(F.min("v").alias("est_cents")))
-    ex = (t.join(F.broadcast(xcum), F.col("cum") >= F.col("tx"))
+    ex = (xcum.join(F.broadcast(t), F.col("cum") >= F.col("tx"))
           .groupBy("q_permille")
           .agg(F.min("v").alias("exact_cents")))
     return (qf.join(est, "q_permille").join(ex, "q_permille")

@@ -333,9 +333,13 @@ def test_l3o_rerank_recall_is_shortlist_bounded(spark, sf_dir):
     from bioio_spark.functions.similarity import adc_rerank_planted
     from bioio_spark.queries.base import load
 
+    # cache_key distinct from the registry's: trainings cache per
+    # (cache_key, params) with no corpus identity, and this test runs
+    # on the FULL corpus while the registry query runs the 1/8
+    # remapped sub-corpus
     [row] = adc_rerank_planted(
         load(spark, sf_dir, "embeddings"), query_vec_id=2,
-        shortlist=10, cache_key=sf_dir + ":l3o").collect()
+        shortlist=10, cache_key=sf_dir + ":l3o-sl10").collect()
     assert (row["n_true_adc"], row["n_true_rerank"]) == (0, 0)
     assert row["n_decoy_adc"] == 10
 

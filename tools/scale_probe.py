@@ -512,6 +512,27 @@ def main() -> None:
                   f" raw={raw}/{n} res={res}/{n} ({dt:.1f}s)",
                   flush=True)
 
+        # the refine stage over the same fixtures (SCALING.md's
+        # second clustered table): ivf_adc_recall's shortlist=50
+        # exact-rerank arm at defaults — rerank recall is
+        # shortlist-fraction-bounded (~ k*shortlist/cell_width)
+        from bioio_spark.functions.similarity import ivf_adc_recall
+        for tag, d in (("60k", c1), ("600k", c10)):
+            t0 = time.monotonic()
+            adc = rr = 0
+            for qid in qids:
+                [row] = ivf_adc_recall(
+                    load(spark, d, "embeddings"), query_vec_id=qid,
+                    cache_key=f"rerank:{d}").collect()
+                adc += int(row["n_common_adc"])
+                rr += int(row["n_common_rerank"])
+            dt = time.monotonic() - t0
+            n = len(qids) * 10
+            print(f"clustered rerank   recall@10 {tag:5s}"
+                  f" defaults(shortlist=50)"
+                  f" adc={adc}/{n} rerank={rr}/{n} ({dt:.1f}s)",
+                  flush=True)
+
     if args.family in ("all", "sketch"):
         # ---- l30 accuracy flatness: bottom-k quantile error is a
         # property of k (binomial envelope ~ sqrt(q(1-q)/k) mapped
@@ -538,6 +559,8 @@ def main() -> None:
         store = os.path.join(os.path.dirname(rows_dir),
                              "s21_probe_store")
         import shutil
+
+        from bioio_spark.queries.llm import _BK_K
         shutil.rmtree(store, ignore_errors=True)
         t0 = time.monotonic()
         stream_bottomk_store(spark, rows_dir, store)
@@ -546,7 +569,7 @@ def main() -> None:
             os.path.join(store, "partials")).count()
         n_corpus = spark.read.parquet(rows_dir).count()
         print(f"s21 partial-state rows @10x: {n_part}"
-              f" (bound {_S21_GROUPS * 1024}; corpus {n_corpus};"
+              f" (bound {_S21_GROUPS * _BK_K}; corpus {n_corpus};"
               f" stream wall {dt:.1f}s)", flush=True)
         shutil.rmtree(store, ignore_errors=True)
 
