@@ -1559,8 +1559,14 @@ def _adc_rerank_planted_oracle(query_vec_id: int = 2,
 
 
 L3O_CORPUS_MOD = 8
+# m_sub=4 / ks=4: half the literal terms of the l3i defaults in both
+# the _pq_code argmin and the ADC LUTs — the gauge's plan is
+# Catalyst-compile-bound at fixture scale, and COARSER codes only
+# strengthen the designed sub-resolution tie (bigger cells)
+L3O_M_SUB = 4
+L3O_KS = 4
 ADC_RERANK_PLANTED_ORACLE = _adc_rerank_planted_oracle(
-    corpus_mod=L3O_CORPUS_MOD)
+    m_sub=L3O_M_SUB, ks=L3O_KS, corpus_mod=L3O_CORPUS_MOD)
 
 
 # --------------------------------------------------------------------------

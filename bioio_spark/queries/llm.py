@@ -258,11 +258,14 @@ def l3o_adc_rerank_planted(spark, sf_dir):
     # training seeds (vec_id < ks) survive: the gauge pins a
     # MECHANISM that is corpus-size-free, and l3i/l3j already charge
     # the full-corpus cost of this index family
+    from bioio_spark.functions.similarity import L3O_KS, L3O_M_SUB
+
     emb = (load(spark, sf_dir, "embeddings")
            .filter(F.col("vec_id") % L3O_CORPUS_MOD == 0)
            .select(F.expr(f"vec_id div {L3O_CORPUS_MOD}")
                    .alias("vec_id"), "embedding", "label"))
     return adc_rerank_planted(emb, query_vec_id=2,
+                              m_sub=L3O_M_SUB, ks=L3O_KS,
                               cache_key=sf_dir + ":l3o")
 
 
