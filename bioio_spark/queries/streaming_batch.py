@@ -2537,6 +2537,95 @@ def e4_markov_transitions(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# E5 dense resample + gap fill (round 13): the time-series
+# regularization every monitoring/feature pipeline runs before
+# modeling — event streams are IRREGULAR, models want a REGULAR grid.
+# Hourly buckets per event_type over the global [min, max] hour span:
+# missing cells are materialized (n_events = 0, is_gap = 1) and the
+# value column is forward-filled per type with last-non-null
+# (IGNORE NULLS window — identical semantics both engines, leading
+# gap coalesced to 0). Value sums ride as exact integer cents.
+#
+# Scale shape: ONE partial-combining (type, hour) hash agg over the
+# events scan; the grid is |types| x |hours| — a broadcast cross of
+# two TINY frames (dimension-sized, never data-sized) — so the left
+# join shuffles only the aggregated cells; the forward-fill window
+# partitions by type over grid-sized (not event-sized) rows. At
+# 100 TB the grid is still |types| x |hours|.
+# --------------------------------------------------------------------------
+E5_ORACLE = """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS v_cents
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS mn,
+             date_trunc('hour', max(ts)) AS mx
+      FROM events
+    ),
+    hrs AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+              AS hr FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT t.event_type, h.hr
+             FROM types t CROSS JOIN hrs h),
+    j AS (
+      SELECT g.event_type, g.hr, hh.n, hh.v_cents
+      FROM grid g LEFT JOIN hourly hh
+        ON hh.event_type = g.event_type AND hh.hr = g.hr
+    )
+    SELECT event_type, hr,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(last_value(v_cents IGNORE NULLS) OVER (
+                  PARTITION BY event_type ORDER BY hr
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                0) AS BIGINT) AS ffill_cents,
+           CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS INT)
+             AS is_gap
+    FROM j ORDER BY event_type, hr
+    """
+
+
+@register(
+    "e5_dense_resample",
+    oracle=E5_ORACLE,
+    doc="E5 dense hourly resample + gap fill: materialize the full "
+        "|types| x |hours| grid (broadcast cross of two tiny "
+        "dimension frames), zero-fill counts, forward-fill exact "
+        "integer-cent value sums per type with a last-non-null "
+        "window — the irregular-events -> regular-grid step every "
+        "feature pipeline runs",
+)
+def e5_dense_resample(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", F.col("ts")).alias("hr"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                   F.sum(F.floor(F.col("value") * 100 + 0.5))
+                   .cast("bigint").alias("v_cents")))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"))
+    hrs = bounds.select(F.explode(F.expr(
+        "sequence(mn, mx, interval 1 hour)")).alias("hr"))
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(hrs))
+    w = (Window.partitionBy("event_type").orderBy("hr")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (grid.join(hourly, ["event_type", "hr"], "left")
+            .select("event_type", "hr",
+                    F.coalesce("n", F.lit(0)).cast("bigint")
+                    .alias("n_events"),
+                    F.coalesce(F.last("v_cents", ignorenulls=True)
+                               .over(w), F.lit(0)).cast("bigint")
+                    .alias("ffill_cents"),
+                    F.col("n").isNull().cast("int").alias("is_gap"))
+            .orderBy("event_type", "hr"))
+
+
+# --------------------------------------------------------------------------
 # S20 streaming transition counts (round 13): e4's Markov matrix built
 # INCREMENTALLY by a custom stateful operator — the §2.10 surface the
 # built-in windows can't express, because a transition spans
