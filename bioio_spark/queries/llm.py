@@ -2640,6 +2640,117 @@ def g5_kcore_peel(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# G6 common-neighbor link prediction (round 13): the graph family's
+# INFERENCE kernel (CC connectivity, g2 rank, g3 closure, g4
+# communities, g5 coreness — g6 predicts the edges that are not there
+# yet). Classic common-neighbors scoring: for every non-adjacent pair
+# (a, b), the number of shared neighbors is the link-likelihood
+# signal (Liben-Nowell & Kleinberg 2003, the baseline every
+# embedding-based predictor is measured against). Deterministic and
+# integer-exact by construction — no RNG, no float.
+#
+# Scale shape: adjacency is CAPPED per node (keep-lowest-dst,
+# row_number <= 128 — the same keep-lowest device as l2d/l31), so
+# wedge enumeration is bounded by n * cap^2 regardless of hub skew
+# (the unoriented analog of g3's degree-orientation bound; orientation
+# itself is NOT usable here because a common-neighbor count needs
+# every wedge, not one representative per triangle). One shuffle to
+# group wedges by (a, b), an anti-join against the existing edge set,
+# TakeOrderedAndProject top-20.
+# --------------------------------------------------------------------------
+_G6_ADJ_CAP = 128
+_G6_TOPK = 20
+
+
+def _g6_oracle() -> str:
+    return f"""
+    WITH {_g3_edges_sql()},
+    und AS (SELECT a AS src, b AS dst FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    adj AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY dst) AS rn
+        FROM und) WHERE rn <= {_G6_ADJ_CAP}
+    ),
+    wed AS (
+      SELECT x.dst AS a, y.dst AS b
+      FROM adj x JOIN adj y
+        ON x.src = y.src AND x.dst < y.dst
+    ),
+    cn AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS n_common
+      FROM wed GROUP BY a, b
+    )
+    SELECT a, b, n_common FROM cn
+    WHERE NOT EXISTS (SELECT 1 FROM edges e
+                      WHERE e.a = cn.a AND e.b = cn.b)
+    ORDER BY n_common DESC, a ASC, b ASC LIMIT {_G6_TOPK}
+    """
+
+
+G6_LINK_PREDICTION_ORACLE = _g6_oracle()
+
+
+@register(
+    "g6_link_prediction",
+    oracle=G6_LINK_PREDICTION_ORACLE,
+    doc="G6 common-neighbor link prediction: capped adjacency "
+        "(keep-lowest-dst, bounds wedge work to n*cap^2 under hub "
+        "skew), wedge grouping to count shared neighbors per "
+        "non-adjacent pair, anti-join against existing edges, "
+        "top-20 — the Liben-Nowell/Kleinberg baseline, integer-exact",
+)
+def g6_link_prediction(spark, sf_dir):
+    from bioio_spark.functions.dedup import (MAX_BUCKET_WIDTH,
+                                             _bucket_pairs, swap_held)
+    from bioio_spark.functions.hashing import h32_col
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                "l_partkey")
+    oh = h32_col(F.concat(F.lit("g3o:"),
+                          F.col("l_orderkey").cast("string")))
+    li = li.filter(oh % 4 == 0)
+    pairs = (_bucket_pairs(li, ["l_orderkey"], "l_partkey",
+                           max_width=MAX_BUCKET_WIDTH)
+             .filter(F.col("doc_a") != F.col("doc_b"))
+             .select(F.col("doc_a").alias("a"),
+                     F.col("doc_b").alias("b"))
+             .distinct())
+    h = h32_col(F.concat(F.col("a").cast("string"), F.lit(":"),
+                         F.col("b").cast("string")))
+    edges = pairs.filter(h % _G3_SAMPLE_MOD == 0).persist()
+    swap_held(spark, "g6").append(edges)
+    return common_neighbor_topk(edges)
+
+
+def common_neighbor_topk(edges, cap: int = _G6_ADJ_CAP,
+                         k: int = _G6_TOPK):
+    """The g6 scoring core over an (a, b) a<b edge frame: capped
+    adjacency -> wedge grouping -> anti-join -> top-k."""
+    from pyspark.sql import Window
+
+    und = (edges.select(F.col("a").alias("src"),
+                        F.col("b").alias("dst"))
+           .unionAll(edges.select(F.col("b").alias("src"),
+                                  F.col("a").alias("dst"))))
+    w = Window.partitionBy("src").orderBy("dst")
+    adj = (und.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= cap).drop("rn"))
+    x = adj.select("src", F.col("dst").alias("a"))
+    y = adj.select("src", F.col("dst").alias("b"))
+    cn = (x.join(y, "src")
+          .filter(F.col("a") < F.col("b"))
+          .groupBy("a", "b")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_common")))
+    return (cn.join(edges, ["a", "b"], "left_anti")
+            .orderBy(F.col("n_common").desc(), F.col("a").asc(),
+                     F.col("b").asc())
+            .limit(k))
+
+
+# --------------------------------------------------------------------------
 # L28 DSIR-shaped importance weights (round 13): data selection for LM
 # pretraining (Xie et al. 2023) — score every candidate document by how
 # much its hashed-feature profile looks like a TARGET distribution

@@ -288,3 +288,30 @@ def test_g5_kcore_semantics_on_designed_graph(spark):
     # round 1: chain nodes 10, 11 peel (degrees 2 and 1); node 4 keeps
     # degree 4 >= 3. Rounds 2-3: the clique is stable.
     assert seen == [(4, 6), (4, 6), (4, 6)]
+
+
+def test_g6_common_neighbors_on_designed_graph(spark):
+    """Square 1-2-3-4 (cycle): the two diagonals are the only
+    2-common-neighbor predictions; a disjoint wedge 5-6, 5-7 predicts
+    (6, 7) with 1; existing edges never appear."""
+    from bioio_spark.queries.llm import common_neighbor_topk
+
+    e = [(1, 2), (2, 3), (3, 4), (1, 4), (5, 6), (5, 7)]
+    edges = spark.createDataFrame(e, "a long, b long")
+    rows = [tuple(r) for r in common_neighbor_topk(edges).collect()]
+    assert rows == [(1, 3, 2), (2, 4, 2), (6, 7, 1)]
+
+
+def test_g6_adjacency_cap_bounds_hub_wedges(spark):
+    """A hub adjacent to 100 leaves with cap=8: only the 8
+    lowest-dst neighbors wedge, so predictions are exactly C(8,2)
+    leaf pairs, each with n_common = 1 — bounded work under skew,
+    deterministic survivors."""
+    from bioio_spark.queries.llm import common_neighbor_topk
+
+    e = [(0, i) for i in range(1, 101)]
+    edges = spark.createDataFrame(e, "a long, b long")
+    rows = common_neighbor_topk(edges, cap=8, k=1000).collect()
+    assert len(rows) == 8 * 7 // 2
+    assert all(r["n_common"] == 1 for r in rows)
+    assert max(max(r["a"], r["b"]) for r in rows) == 8
