@@ -2626,6 +2626,109 @@ def e5_dense_resample(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# E6 robust grid anomalies (round 13): the monitoring op the e5 grid
+# exists to feed — flag hours whose event count deviates from the
+# type's TYPICAL level by more than 3 robust spreads. Median/MAD, not
+# mean/stddev, because anomalies are exactly what corrupt the mean
+# (the classic leave-the-outlier-out-of-the-yardstick argument), and
+# both are EXACT integer lower-median rank statistics (the l30 cum
+# device, no interpolation — DuckDB's median() interpolates halves,
+# so both engines compute the rank statistic explicitly). mad = 0
+# degenerates to "any deviation flags", the standard behavior.
+#
+# Scale shape: composes on the e5 grid (|types| x |hours| rows, never
+# data-sized); two bounded cum-count windows per type (distinct
+# counts, then distinct deviations) + broadcast joins of the
+# per-type 1-row stats. The oracle textually embeds the e5 CTE (the
+# l15 no-drift device), so the composition is hash-checked end-to-end.
+# --------------------------------------------------------------------------
+def _median_by_type(df, col):
+    """Per-type exact lower median of integer column `col` via the
+    cum-count device: min value whose cumulative count reaches
+    ceil(total/2)."""
+    cnt = (df.groupBy("event_type", col)
+           .agg(F.count(F.lit(1)).alias("c")))
+    w = (Window.partitionBy("event_type").orderBy(col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = cnt.select("event_type", F.col(col).alias("v"),
+                     F.sum("c").over(w).alias("cum"))
+    tot = (df.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("tot")))
+    return (cum.join(F.broadcast(tot), "event_type")
+            .filter(F.col("cum") >= F.expr("(tot + 1) div 2"))
+            .groupBy("event_type")
+            .agg(F.min("v").cast("bigint").alias("med")))
+
+
+E6_ORACLE = f"""
+    WITH grid AS ({E5_ORACLE.replace('ORDER BY event_type, hr', '')}),
+    mcnt AS (SELECT event_type, n_events AS v, count(*) AS c
+             FROM grid GROUP BY 1, 2),
+    mcum AS (SELECT event_type, v,
+                    sum(c) OVER (PARTITION BY event_type
+                                 ORDER BY v) AS cum
+             FROM mcnt),
+    mtot AS (SELECT event_type, count(*) AS tot
+             FROM grid GROUP BY 1),
+    med AS (
+      SELECT m.event_type, CAST(min(m.v) AS BIGINT) AS med
+      FROM mcum m JOIN mtot t USING (event_type)
+      WHERE m.cum >= (t.tot + 1) // 2 GROUP BY m.event_type
+    ),
+    dev AS (
+      SELECT g.event_type, g.hr, g.n_events,
+             abs(g.n_events - d.med) AS ad, d.med
+      FROM grid g JOIN med d USING (event_type)
+    ),
+    dcnt AS (SELECT event_type, ad AS v, count(*) AS c
+             FROM dev GROUP BY 1, 2),
+    dcum AS (SELECT event_type, v,
+                    sum(c) OVER (PARTITION BY event_type
+                                 ORDER BY v) AS cum
+             FROM dcnt),
+    mad AS (
+      SELECT m.event_type, CAST(min(m.v) AS BIGINT) AS mad
+      FROM dcum m JOIN mtot t USING (event_type)
+      WHERE m.cum >= (t.tot + 1) // 2 GROUP BY m.event_type
+    )
+    SELECT d.event_type, d.hr,
+           CAST(d.n_events AS BIGINT) AS n_events,
+           d.med, a.mad,
+           CAST(d.ad AS BIGINT) AS abs_dev
+    FROM dev d JOIN mad a USING (event_type)
+    WHERE d.ad > 3 * a.mad
+    ORDER BY d.event_type, d.hr
+    """
+
+
+@register(
+    "e6_grid_anomalies",
+    oracle=E6_ORACLE,
+    doc="E6 robust grid anomalies composed on the e5 hourly grid: "
+        "per-type exact integer lower-median and MAD via the "
+        "cum-count rank-statistic device (no interpolation, no "
+        "float), flag hours with |n - med| > 3*MAD — median/MAD "
+        "because anomalies corrupt mean/stddev yardsticks",
+)
+def e6_grid_anomalies(spark, sf_dir):
+    grid = e5_dense_resample(spark, sf_dir).select(
+        "event_type", "hr", "n_events")
+    med = _median_by_type(grid, "n_events")
+    dev = (grid.join(F.broadcast(med), "event_type")
+           .withColumn("ad", F.abs(F.col("n_events") - F.col("med"))))
+    mad = (_median_by_type(dev.select("event_type",
+                                      F.col("ad").alias("adv")), "adv")
+           .select("event_type", F.col("med").alias("mad")))
+    return (dev.join(F.broadcast(mad), "event_type")
+            .filter(F.col("ad") > 3 * F.col("mad"))
+            .select("event_type", "hr",
+                    F.col("n_events").cast("bigint").alias("n_events"),
+                    "med", "mad",
+                    F.col("ad").cast("bigint").alias("abs_dev"))
+            .orderBy("event_type", "hr"))
+
+
+# --------------------------------------------------------------------------
 # S20 streaming transition counts (round 13): e4's Markov matrix built
 # INCREMENTALLY by a custom stateful operator — the §2.10 surface the
 # built-in windows can't express, because a transition spans

@@ -35,3 +35,27 @@ def test_e5_gap_fill_semantics(spark, tmp_path):
     assert out[("b", 1)] == (0, 0, 1)
     assert out[("b", 2)] == (1, 925, 0)
     assert out[("b", 3)] == (0, 925, 1)   # trailing gap carries h2
+
+
+def test_e6_median_mad_spike_detection(spark, tmp_path):
+    """Single type over 5 hours with counts 1,2,3,4,100: exact lower
+    median 3, MAD 1 (deviations 2,1,0,1,97 -> lower median 1), so
+    only the planted 100-count spike exceeds 3*MAD."""
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    for hour, n in enumerate((1, 2, 3, 4, 100)):
+        for i in range(n):
+            rows.append((eid, dt.datetime(2024, 1, 1, hour, i % 60),
+                         1, "a", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    d = str(tmp_path / "sfanom")
+    df.write.parquet(d + "/events.parquet")
+
+    from bioio_spark.queries.streaming_batch import e6_grid_anomalies
+    out = [tuple(r) for r in e6_grid_anomalies(spark, d).collect()]
+    assert out == [("a", dt.datetime(2024, 1, 1, 4), 100, 3, 1, 97)]
