@@ -1007,3 +1007,79 @@ def a37_salted_skew_join(spark, sf_dir):
             .select(F.col("c_mktsegment").alias("segment"),
                     "n_events", "value_cents")
             .orderBy("segment"))
+
+
+# --------------------------------------------------------------------------
+# A38 SCD Type-2 interval compaction (round 13): the slowly-changing-
+# dimension reconstruction every warehouse runs — collapse a per-key
+# event stream into validity intervals, one row per RUN of equal
+# status (change-point islands: new island exactly where the lagged
+# value differs, island id = running count of change points). Distinct
+# from e3's sessionization (gap-based islands) — here the boundary is
+# a VALUE change, not a time gap. valid_to is the next island's start
+# (NULL = current row still open), the half-open convention
+# downstream point-in-time joins expect.
+#
+# Scale shape: everything rides ONE user_id shuffle — the lag flag,
+# the running island id, and the island aggregation share the same
+# partitioning, so Catalyst plans a single Exchange; output is
+# bounded by the number of status CHANGES, not events.
+# --------------------------------------------------------------------------
+A38_SCD2_ORACLE = """
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM
+                       event_type THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    spans AS (
+      SELECT user_id, event_type, island,
+             min(ts) AS valid_from,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM islands GROUP BY user_id, event_type, island
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY island) AS valid_to,
+           n_events
+    FROM spans ORDER BY user_id, valid_from
+    """
+
+
+@register(
+    "a38_scd2_intervals",
+    oracle=A38_SCD2_ORACLE,
+    doc="A38 SCD Type-2 interval compaction: per-user change-point "
+        "islands (boundary = value change, not time gap) collapsed "
+        "to half-open validity intervals with lead() closing each "
+        "span — one user_id shuffle end-to-end, output bounded by "
+        "status changes",
+)
+def a38_scd2_intervals(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(F.lag("event_type").over(w).eqNullSafe(
+            F.col("event_type")), F.lit(0)).otherwise(F.lit(1))
+        .alias("chg"))
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = flagged.select(
+        "user_id", "event_type", "ts",
+        F.sum("chg").over(wrun).alias("island"))
+    spans = (islands.groupBy("user_id", "event_type", "island")
+             .agg(F.min("ts").alias("valid_from"),
+                  F.count(F.lit(1)).cast("bigint").alias("n_events")))
+    wl = Window.partitionBy("user_id").orderBy("island")
+    return (spans.select(
+        "user_id", "event_type", "valid_from",
+        F.lead("valid_from").over(wl).alias("valid_to"),
+        "n_events")
+        .orderBy("user_id", "valid_from"))

@@ -146,3 +146,42 @@ def test_planes_fast_path_matches_pixels(spark, tmp_path, fmt):
         np.testing.assert_array_equal(
             got[col].to_numpy(), want[col].to_numpy(),
             err_msg=f"{fmt} {col}")
+
+
+def test_a38_scd2_designed_history(spark, tmp_path):
+    """A,A,B,A collapses to three half-open intervals: the repeated A
+    run merges (n_events 2), the B interlude closes it, the final A
+    re-opens (valid_to NULL = still current). Boundary = value
+    change, not time gap."""
+    import datetime as dt
+
+    from bioio_spark.queries.relational import a38_scd2_intervals
+
+    t = [dt.datetime(2024, 1, 1, h) for h in (0, 1, 2, 3)]
+    rows = [(0, t[0], 7, "A", 0.0, "{}"), (1, t[1], 7, "A", 0.0, "{}"),
+            (2, t[2], 7, "B", 0.0, "{}"), (3, t[3], 7, "A", 0.0, "{}")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    d = str(tmp_path / "sfscd")
+    df.write.parquet(d + "/events.parquet")
+
+    out = [(r["event_type"], r["valid_from"], r["valid_to"],
+            r["n_events"])
+           for r in a38_scd2_intervals(spark, d).collect()]
+    assert out == [("A", t[0], t[2], 2),
+                   ("B", t[2], t[3], 1),
+                   ("A", t[3], None, 1)]
+
+
+def test_a38_single_analytic_shuffle(spark, sf_dir):
+    """The lag flag, running island id, island agg, and closing
+    lead() all reuse ONE user_id hashpartitioning (subset-key
+    clustering satisfies the group-by distribution); the only other
+    Exchange is the presentation ORDER BY rangepartitioning."""
+    from bioio_spark.queries import REGISTRY
+
+    plan = (REGISTRY["a38_scd2_intervals"].fn(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("hashpartitioning") <= 1
+    assert plan.count("rangepartitioning") == 1
