@@ -142,7 +142,7 @@ def build_stream_fixture(replicas: int, dst: str) -> str:
     formula rows/s x (delay + band) predicts along. Replicas share no
     user (no cross-replica join pairs) and no event_id (independent
     late/dup hashes)."""
-    done = os.path.join(dst, "_FIXTURE_DONE")
+    done = os.path.join(dst, "_FIXTURE_S_DONE")
     if os.path.isfile(done):
         return dst
     import numpy as np
@@ -213,20 +213,25 @@ def main() -> None:
     ap.add_argument("--family",
                     choices=("all", "dedup", "ann", "ann-scaled",
                              "ann-clustered", "graph", "stream",
-                             "sketch"),
+                             "sketch", "late"),
                     default="all",
                     help="which probe family to run (ann added r12; "
                          "ann-scaled + ann-clustered + graph + stream "
-                         "+ sketch added r13)")
+                         "+ sketch + late added r13)")
     args = ap.parse_args()
 
     build_fixture(10, DST)
     build_fixture(100, DST100)
-    if args.family in ("all", "graph", "sketch"):
+    if args.family in ("all", "graph", "sketch", "late"):
         build_graph_fixture(10, DST)
         build_graph_fixture(100, DST100)
     if args.family in ("all", "stream"):
         build_stream_fixture(10, DSTS10)
+    if args.family in ("all", "late"):
+        # events replicas into the scale dirs themselves so reg()
+        # probes can load(sf_dir, "events") at 10x/100x
+        build_stream_fixture(10, DST)
+        build_stream_fixture(100, DST100)
 
     import struct
 
@@ -399,14 +404,27 @@ def main() -> None:
         ("l30_sample_arm_only", l30_sample_arm(SRC),
          l30_sample_arm(DST), l30_sample_arm(DST100)),
     ]
+    # ---- late round-13 ops (l31/e5/e6/g6/a38): documents replicas
+    # serve l31, lineitem replicas serve g6, events replicas (time
+    # axis unchanged, 10x/100x density) serve e5/e6/a38 — for e5/e6
+    # the grid is |types| x |hours| = CONSTANT across scales, so wall
+    # should track the scan while output stays fixed (the
+    # dimension-bounded-output claim, measured).
+    late_probes = [
+        (name, reg(name, SRC), reg(name, DST), reg(name, DST100))
+        for name in ("l31_fuzzy_blocked_join", "e5_dense_resample",
+                     "e6_grid_anomalies", "g6_link_prediction",
+                     "a38_scd2_intervals")
+    ]
     probes = {"all": (dedup_probes + ann_probes + graph_probes
-                      + sketch_probes),
+                      + sketch_probes + late_probes),
               "dedup": dedup_probes,
               "ann": ann_probes,
               "ann-scaled": [],
               "ann-clustered": [],
               "stream": [],
               "sketch": sketch_probes,
+              "late": late_probes,
               "graph": graph_probes}[args.family]
     print(f"{'probe':34s} {'sf0.1':>8s} {'10x':>8s} {'100x':>8s}"
           f" {'r10':>6s} {'r100':>7s}")
