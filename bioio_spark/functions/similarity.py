@@ -107,12 +107,35 @@ def _cos_py(a, b):
     return dot / (_norm_py(a) * _norm_py(b))
 
 
+def _lit_double_array(vals) -> "F.Column":
+    """array<double> literal built as ONE parsed expression (r13,
+    guide §1.2 per-task work): `F.array(*[F.lit(v) ...])` costs one
+    py4j round trip per element plus an n-node Catalyst subtree, which
+    at dim 64 made PLAN CONSTRUCTION the dominant cost of the whole
+    ANN query family (measured: ivf_adc_topk spent 5.4 s of a 6.2 s
+    warm call building expressions, 0.8 s executing them). A single
+    expr() string crosses py4j once and constant-folds to one
+    Literal(array<double>). CAST('<repr>' AS DOUBLE) round-trips the
+    IEEE-754 value exactly (repr is shortest-roundtrip; the JVM parse
+    is correctly rounded), so the folded literal is bit-identical to
+    the per-element F.lit path."""
+    body = ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals)
+    return F.expr(f"array({body})")
+
+
+def _lit_long_array(vals) -> "F.Column":
+    """array<bigint> literal as one parsed expression (same rationale
+    as _lit_double_array; integers are exact either way)."""
+    body = ",".join(f"{int(v)}L" for v in vals)
+    return F.expr(f"array({body})")
+
+
 # literal-side norms are constants: computed driver-side (identical
 # fold order => identical bits) so the per-row expression carries one
 # dot product per centroid, not a dot + two norm folds — roughly
 # halves the codegen'd expression tree
 def _cos_lit(vec):
-    lit = F.array(*[F.lit(float(v)) for v in vec])
+    lit = _lit_double_array(vec)
     return _dot(F.col("e"), lit) / (F.col("ne") * F.lit(_norm_py(vec)))
 
 
@@ -751,14 +774,32 @@ PQ_KS = 8         # codes per subspace (3 bits)
 
 def _sub_dist(col_e, off: int, centroid) -> "F.Column":
     """Squared L2 between e[off+1..off+len] and a literal centroid —
-    a left-associated sum of (e_i - c_i)^2 terms, the exact expression
-    the oracle spells out textually."""
-    d = None
-    for i, c in enumerate(centroid):
-        t = F.element_at(col_e, off + i + 1) - F.lit(float(c))
-        term = t * t
-        d = term if d is None else d + term
-    return d
+    the same left-associated sum of (e_i - c_i)^2 terms the oracle
+    spells out textually, expressed as a fold over ONE array literal
+    (r13): slice + zip_with + aggregate with a 0.0 seed visits the
+    identical term sequence (0.0 + x == x for the non-negative squared
+    terms), so the result is bit-identical to the old unrolled
+    element_at chain while the expression tree shrinks from ~4*subdim
+    nodes (and as many py4j calls) to a constant-size HOF."""
+    sub = F.slice(col_e, off + 1, len(centroid))
+    return F.aggregate(
+        F.zip_with(sub, _lit_double_array(centroid),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v)
+
+
+def _exact_l2(q, m_sub: int, subdim: int) -> "F.Column":
+    """Exact squared L2 between column `e` and query vector `q`,
+    summed subspace-by-subspace in the same left-associated order as
+    the oracles' textual expression (and the pre-r13 unrolled loops —
+    _sub_dist preserves the per-term fold bit-for-bit)."""
+    exact = None
+    for m in range(m_sub):
+        d = _sub_dist(F.col("e"), m * subdim,
+                      q[m * subdim:(m + 1) * subdim])
+        exact = d if exact is None else exact + d
+    return exact
 
 
 def _sub_dist_py(vec, off: int, centroid) -> float:
@@ -880,18 +921,20 @@ def pq_topk(embeddings: DataFrame, query_vec_id: int = 2, k: int = 10,
             f"query vec_id {query_vec_id} not found in embeddings")
     q = [float(v) for v in q_rows[0]["e"]]
 
-    adc = None
-    for m in range(m_sub):
-        lut = [int(math.floor(
-            _sub_dist_py(q, m * subdim, trained[(m, j)])
-            * _KMEANS_SCALE)) for j in range(ks)]
-        code = _pq_code(F.col("e"), m, subdim, trained, ks)
-        term = F.element_at(F.array(*[F.lit(v) for v in lut]),
-                            code + 1)
-        adc = term if adc is None else adc + term
+    # r13: codebooks + LUT ride as a one-row broadcast frame and the
+    # codes/sum are HOFs over them (_hof_code ≡ _pq_code bit-for-bit),
+    # so plan size is constant in m_sub x ks instead of ~m_sub*ks
+    # unrolled literal subtrees
+    luts = [[int(math.floor(
+        _sub_dist_py(q, m * subdim, trained[(m, j)])
+        * _KMEANS_SCALE)) for j in range(ks)]
+        for m in range(m_sub)]
+    bframe = _adc_frame(emb.sparkSession, trained, luts, m_sub, ks)
     return (emb.filter(F.col("vec_id") != query_vec_id)
+            .crossJoin(F.broadcast(bframe))
             .select("vec_id", "label",
-                    adc.cast("bigint").alias("adc_q"))
+                    _hof_adc(m_sub, subdim).cast("bigint")
+                    .alias("adc_q"))
             .orderBy(F.col("adc_q").asc(), F.col("vec_id").asc())
             .limit(k))
 
@@ -1019,15 +1062,7 @@ def pq_recall(embeddings: DataFrame, query_vec_id: int = 2,
 
     # exact squared L2, summed subspace-by-subspace in the same
     # left-associated order as the oracle's textual expression
-    exact = None
-    for m in range(m_sub):
-        qlit = q[m * subdim:(m + 1) * subdim]
-        d = None
-        for i, c in enumerate(qlit):
-            t = F.element_at("e", m * subdim + i + 1) - F.lit(float(c))
-            term = t * t
-            d = term if d is None else d + term
-        exact = d if exact is None else exact + d
+    exact = _exact_l2(q, m_sub, subdim)
     base = emb.filter(F.col("vec_id") != query_vec_id)
     bf = (base.select("vec_id", exact.alias("l2"))
           .orderBy(F.col("l2").asc(), F.col("vec_id").asc())
@@ -1155,21 +1190,27 @@ def ivf_adc_topk(embeddings: DataFrame, query_vec_id: int = 2,
         ((cid, _cos_py(q, v)) for cid, v in cents.items()),
         key=lambda t: (-t[1], t[0]))[:n_probe]]
 
-    adc = None
-    for m in range(m_sub):
-        lut = [int(math.floor(
-            _sub_dist_py(q, m * subdim, books[(m, j)])
-            * _KMEANS_SCALE)) for j in range(ks)]
-        code = _pq_code(F.col("e"), m, subdim, books, ks)
-        term = F.element_at(F.array(*[F.lit(v) for v in lut]),
-                            code + 1)
-        adc = term if adc is None else adc + term
-    return (emb.withColumn("ne", _norm(F.col("e")))
-            .withColumn("cid", _assigned(cents).cast("int"))
+    # r13: the whole frozen index (coarse centroids + codebooks + the
+    # query's LUT) rides as one-row broadcast frames; assignment and
+    # codes are the proven HOF twins (_hof_assigned ≡ _assigned,
+    # _hof_code ≡ _pq_code), so warm plan construction is constant in
+    # index size (measured 5.4 s -> sub-s) and the probe filter still
+    # prunes before the ADC projection
+    luts = [[int(math.floor(
+        _sub_dist_py(q, m * subdim, books[(m, j)])
+        * _KMEANS_SCALE)) for j in range(ks)]
+        for m in range(m_sub)]
+    cframe = _cents_frame(emb.sparkSession, cents)
+    bframe = _adc_frame(emb.sparkSession, books, luts, m_sub, ks)
+    return (emb.crossJoin(F.broadcast(cframe))
+            .crossJoin(F.broadcast(bframe))
+            .withColumn("ne", _norm(F.col("e")))
+            .withColumn("cid", _hof_assigned(len(cents)).cast("int"))
             .filter(F.col("cid").isin(probe_ids))
             .filter(F.col("vec_id") != query_vec_id)
             .select("vec_id", "label",
-                    adc.cast("bigint").alias("adc_q"))
+                    _hof_adc(m_sub, subdim).cast("bigint")
+                    .alias("adc_q"))
             .orderBy(F.col("adc_q").asc(), F.col("vec_id").asc())
             .limit(k))
 
@@ -1249,15 +1290,7 @@ def ivf_adc_recall(embeddings: DataFrame, query_vec_id: int = 2,
             f"query vec_id {query_vec_id} not found in embeddings")
     q = [float(v) for v in q_rows[0]["e"]]
 
-    exact = None
-    for m in range(m_sub):
-        qlit = q[m * subdim:(m + 1) * subdim]
-        d = None
-        for i, c in enumerate(qlit):
-            t = F.element_at("e", m * subdim + i + 1) - F.lit(float(c))
-            term = t * t
-            d = term if d is None else d + term
-        exact = d if exact is None else exact + d
+    exact = _exact_l2(q, m_sub, subdim)
     base = emb.filter(F.col("vec_id") != query_vec_id)
     bf = (base.select("vec_id", exact.alias("l2"))
           .orderBy(F.col("l2").asc(), F.col("vec_id").asc())
@@ -1436,15 +1469,7 @@ def adc_rerank_planted(embeddings: DataFrame, query_vec_id: int = 2,
 
     # exact-L2 with the same per-subspace term grouping as the l3j
     # gauge and the oracle's sub_joins — identical float folds
-    exact = None
-    for m in range(m_sub):
-        qlit = q[m * subdim:(m + 1) * subdim]
-        d = None
-        for i, c in enumerate(qlit):
-            t = F.element_at("e", m * subdim + i + 1) - F.lit(float(c))
-            term = t * t
-            d = term if d is None else d + term
-        exact = d if exact is None else exact + d
+    exact = _exact_l2(q, m_sub, subdim)
 
     base = aug.filter(F.col("vec_id") != query_vec_id)
     rerank = (base.filter(F.col("vec_id").isin(short_ids))
@@ -1663,6 +1688,39 @@ def _train_rpq(emb: DataFrame, cents: dict, m_sub: int = PQ_M,
     if cache_key is not None:
         cache[key] = trained
     return trained
+
+
+def _adc_frame(spark, books: dict, luts, m_sub: int,
+               ks: int) -> DataFrame:
+    """{(m, code): [subdim]} codebooks PLUS the query's per-subspace
+    integer distance LUT as a ONE-ROW broadcast frame (`_ix_books`
+    [m][code][subdim], `_ix_lut` [m][code] bigint) — the _index_frame
+    device for the ADC ranking paths (r13): the codebooks and LUT ride
+    as data in a LocalRelation instead of ~m_sub*ks literal expression
+    subtrees, so plan construction/analysis cost is constant in the
+    code budget (measured: ivf_adc_topk warm plan build 5.4 s -> sub-s,
+    execution unchanged)."""
+    books_a = [[[float(x) for x in books[(m, j)]] for j in range(ks)]
+               for m in range(m_sub)]
+    lut_a = [[int(v) for v in row] for row in luts]
+    return spark.createDataFrame(
+        [(books_a, lut_a)],
+        "_ix_books array<array<array<double>>>, "
+        "_ix_lut array<array<bigint>>")
+
+
+def _hof_adc(m_sub: int, subdim: int) -> "F.Column":
+    """Integer ADC sum over `_ix_lut` via `_hof_code` codes — the HOF
+    twin of the literal element_at(lut, _pq_code + 1) chain. Codes are
+    bit-identical (_hof_code ≡ _pq_code) and the terms are integers,
+    so the sum is exact regardless of fold shape."""
+    adc = None
+    for m in range(m_sub):
+        term = F.element_at(
+            F.element_at(F.col("_ix_lut"), m + 1),
+            _hof_code(F.col("e"), m, subdim) + 1)
+        adc = term if adc is None else adc + term
+    return adc
 
 
 def _index_frame(spark, cents: dict, books: dict,
@@ -2009,15 +2067,7 @@ def rpq_vs_raw_recall(embeddings: DataFrame, query_vec_id: int = 2,
 
     # exact-L2 truth, grouped per subspace — the same term grouping
     # (and so the same float fold) as the l3j gauge and both oracles
-    exact = None
-    for m in range(m_sub):
-        d = None
-        for i in range(subdim):
-            t = (F.element_at("e", m * subdim + i + 1)
-                 - F.lit(q[m * subdim + i]))
-            term = t * t
-            d = term if d is None else d + term
-        exact = d if exact is None else exact + d
+    exact = _exact_l2(q, m_sub, subdim)
     bf = (emb.filter(F.col("vec_id") != query_vec_id)
           .select("vec_id", exact.alias("l2"))
           .orderBy(F.col("l2").asc(), F.col("vec_id").asc())

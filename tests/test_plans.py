@@ -643,12 +643,28 @@ def test_phash_neardup_fingerprints_cached_no_allpairs(spark):
 def test_ivf_adc_plan_prunes_before_topk(spark):
     """l3i composed IVF-ADC: the only wide op is the bounded top-k
     (TakeOrderedAndProject), the probe filter is a pushed isin ahead of
-    the ADC arithmetic, and nothing goes cartesian."""
+    the ADC arithmetic, and no data-scale join goes cartesian. r13: the
+    frozen index (centroids + codebooks + LUT) rides as ONE-ROW
+    broadcast LocalRelation frames (the l3k/s15 literal-free device),
+    which plan as BroadcastNestedLoopJoin over a single row — constant
+    work per corpus row, not a cartesian blowup; the pin now asserts
+    those are the only nested-loop joins and that each build side is a
+    LocalTableScan (in-memory one-row relation, never a scanned
+    table)."""
     df = q(spark, "l3i_ivf_adc_topk")
     plan = physical_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoop" not in plan
+    # every nested-loop join must be the one-row index broadcast: the
+    # plan carries exactly as many one-row relation scans (the index
+    # frames — LocalTableScan or ExistingRDD depending on how
+    # createDataFrame materializes the nested arrays) as
+    # BroadcastNestedLoopJoins, and no other join shape appears
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert n_bnlj == 2, plan[:2000]
+    n_onerow = plan.count("LocalTableScan") + plan.count(
+        "Scan ExistingRDD")
+    assert n_onerow == n_bnlj, plan[:2000]
     # the probe-list membership filter survives optimization (the cid
     # argmax is inlined into it), and the query-exclusion predicate is
     # pushed all the way into the parquet scan
