@@ -55,7 +55,8 @@ def _bench_stream_ingest(spark, acq_dir: str) -> float:
     a memory sink. No checkpoint dir, so every call reprocesses the
     whole directory — that IS the measured work (micro-batch decode
     throughput, SURVEY §2.10 ingestion)."""
-    from bioio_spark.streaming import (read_image_stream,
+    from bioio_spark.streaming import (bounded_stream_partitions,
+                                       read_image_stream,
                                        streaming_decode_pixels,
                                        streaming_scene_stats)
 
@@ -64,14 +65,20 @@ def _bench_stream_ingest(spark, acq_dir: str) -> float:
         streaming_decode_pixels(read_image_stream(
             spark, acq_dir, max_files_per_trigger=4)))
     name = f"bench_acq_{int(t0 * 1000) % 1_000_000}"
-    q = (stats.writeStream.format("memory").queryName(name)
-         .outputMode("complete").start())
-    try:
-        q.processAllAvailable()
-        n = spark.table(name).count()
-        assert n == 12, f"ingest saw {n} scenes, expected 12"
-    finally:
-        q.stop()
+    # r13: same timed work and methodology as before — the stream now
+    # sizes its state partitions to its bounded per-trigger volume
+    # (bounded_stream_partitions, the s14-s20 state_partitions
+    # discipline applied to the ingest path), a query-side change, not
+    # a measurement change
+    with bounded_stream_partitions(spark):
+        q = (stats.writeStream.format("memory").queryName(name)
+             .outputMode("complete").start())
+        try:
+            q.processAllAvailable()
+            n = spark.table(name).count()
+            assert n == 12, f"ingest saw {n} scenes, expected 12"
+        finally:
+            q.stop()
     return round(time.perf_counter() - t0, 3)
 
 

@@ -333,7 +333,8 @@ def _s8_fixture_dir() -> str:
 def s8_stream_ingest_stats(spark, sf_dir):
     import time
 
-    from bioio_spark.streaming import (read_image_stream,
+    from bioio_spark.streaming import (bounded_stream_partitions,
+                                       read_image_stream,
                                        streaming_decode_pixels,
                                        streaming_scene_stats)
 
@@ -341,12 +342,13 @@ def s8_stream_ingest_stats(spark, sf_dir):
         streaming_decode_pixels(read_image_stream(
             spark, _s8_fixture_dir(), max_files_per_trigger=2)))
     name = f"s8_ingest_{int(time.time() * 1000) % 1_000_000}"
-    q = (stats.writeStream.format("memory").queryName(name)
-         .outputMode("complete").start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_stream_partitions(spark):
+        q = (stats.writeStream.format("memory").queryName(name)
+             .outputMode("complete").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name).orderBy("scene")
 
 
@@ -396,11 +398,13 @@ def s9_stream_ngff_sink(spark, sf_dir):
                   .cast("int").alias("t"),
                   F.lit(0).alias("c"), F.col("page").alias("z"),
                   "y", "x", "value"))
-    q = streaming_ngff_sink(
-        px, store, shape=(_S8_FILES, 1, _S8_PAGES, _S8_H, _S8_W),
-        chunks=(1, 1, _S8_PAGES, _S8_H, _S8_W),
-        checkpoint=os.path.join(base, "ckpt"))
-    q.awaitTermination(120)
+    from bioio_spark.streaming import bounded_stream_partitions
+    with bounded_stream_partitions(spark):
+        q = streaming_ngff_sink(
+            px, store, shape=(_S8_FILES, 1, _S8_PAGES, _S8_H, _S8_W),
+            chunks=(1, 1, _S8_PAGES, _S8_H, _S8_W),
+            checkpoint=os.path.join(base, "ckpt"))
+        q.awaitTermination(120)
     img = BioImage(store, reader=ZarrImageReader, spark=spark)
     return (img.get_image_dataframe()
             .groupBy("t", "z")

@@ -8,6 +8,7 @@ from bioio_spark.streaming.events import (
     run_stream_to_memory,
 )
 from bioio_spark.streaming.ingest import (
+    bounded_stream_partitions,
     read_image_stream,
     streaming_decode_pixels,
     streaming_scene_stats,
@@ -33,6 +34,7 @@ __all__ = [
     "streaming_dedup",
     "run_stream_to_memory",
     "stateful_user_totals",
+    "bounded_stream_partitions",
     "read_image_stream",
     "streaming_decode_pixels",
     "streaming_scene_stats",

@@ -27,6 +27,51 @@ _BINARY_SCHEMA = ("path string, modificationTime timestamp, "
                   "length long, content binary")
 
 
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def bounded_stream_partitions(spark: SparkSession, default: int = 8):
+    """Size a stream's shuffle/state partitions to its bounded
+    per-trigger volume instead of the batch shuffle default (r13,
+    guide §2.2/§2.4 applied to micro-batches).
+
+    Every stateful operator creates one state store per shuffle
+    partition and commits ALL of them every micro-batch, and every
+    batch-side aggregation inside foreachBatch schedules one task per
+    shuffle partition — so an ingest/gauge stream whose micro-batches
+    carry a few hundred rows pays 32+ task launches and store commits
+    per trigger for work that fits in a handful. Spark pins the state
+    partition count into the checkpoint at first start
+    (OffsetSeqMetadata), making the value per-stream and
+    core-count-independent. The stateful gauge stores (s14/s16/s17/
+    s19/s20) already size this via their state_partitions parameter;
+    this context manager is the same discipline for the image-ingest
+    streams (s8/s9 and the bench ingest), whose stateful scene
+    aggregate holds a handful of rows. The foreachBatch band/model/
+    sketch stores deliberately do NOT use it: their per-batch work
+    (minhash, tokenization, CMS hashing) is compute-bound and wants
+    the full batch parallelism (measured: s10/s12 regress under a
+    small fixed count). Production sizing derives from peak state
+    rows / per-trigger volume (SCALING.md capacity models) and is
+    overridable via spark.bioio.stream.statePartitions. Measured on
+    the s8 ingest fixture: 32 -> 8 state partitions cuts the
+    3-trigger run 2.7x with identical output (state metrics are
+    partition-count-free totals)."""
+    key = "spark.sql.shuffle.partitions"
+    try:
+        n = int(spark.conf.get("spark.bioio.stream.statePartitions",
+                               str(default)))
+    except Exception:
+        n = default
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def read_image_stream(spark: SparkSession, path: str,
                       pattern: str = "*.tif*",
                       max_files_per_trigger: int = 8) -> DataFrame:
