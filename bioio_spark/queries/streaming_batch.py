@@ -2802,17 +2802,27 @@ _S20_STATE_SCHEMA = "last_tus long, last_eid long, last_type string"
 
 
 def _s20_transitions_fn(key, pdfs, state):
+    # called once per (user, micro-batch) — ~1500 groups/trigger at
+    # sf0.1, so per-call pandas overhead IS the operator's cost (guide
+    # §4.2: measured 1.33 -> 0.17 ms/call). numpy lexsort replaces the
+    # DataFrame mergesort (both stable; (tus, event_id) is a total
+    # order in the fixture so the sort is unique either way) and the
+    # iloc[-1] row materialization.
+    import numpy as np
     import pandas as pd
 
-    rows = pd.concat(list(pdfs), ignore_index=True)
-    rows = rows.sort_values(["tus", "event_id"], kind="mergesort")
-    types = rows["event_type"].tolist()
+    chunks = list(pdfs)
+    rows = chunks[0] if len(chunks) == 1 else pd.concat(
+        chunks, ignore_index=True)
+    tus = rows["tus"].to_numpy()
+    eid = rows["event_id"].to_numpy()
+    order = np.lexsort((eid, tus))
+    types = rows["event_type"].to_numpy()[order].tolist()
+    last_i = int(order[-1])
     if state.exists:
         _lt, _le, last_type = state.get
         types = [last_type] + types
-    last = rows.iloc[-1]
-    state.update((int(last["tus"]), int(last["event_id"]),
-                  str(last["event_type"])))
+    state.update((int(tus[last_i]), int(eid[last_i]), str(types[-1])))
     yield pd.DataFrame({
         "user_id": [key[0]] * (len(types) - 1),
         "from_type": types[:-1],
