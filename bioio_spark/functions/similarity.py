@@ -123,11 +123,58 @@ def _lit_double_array(vals) -> "F.Column":
     return F.expr(f"array({body})")
 
 
-def _lit_long_array(vals) -> "F.Column":
-    """array<bigint> literal as one parsed expression (same rationale
-    as _lit_double_array; integers are exact either way)."""
-    body = ",".join(f"{int(v)}L" for v in vals)
-    return F.expr(f"array({body})")
+def _pair_sims_arrow(pairs: "DataFrame") -> "DataFrame":
+    """(vec_id, sim) per joined pair, scored in one Arrow batch pass.
+
+    Bit-exact twin of the HOF scoring `_dot(ea, eb) / (na * nb)` (r14,
+    guide §4.2: hand whole batches to vectorized native code). The
+    oracle pins a strict left-fold dot — ((0.0 + p1) + p2) + ... — so
+    plain numpy `dot`/`sum` (pairwise summation) would reorder floats;
+    instead the fold runs ACROSS PAIRS: `acc = acc + (a[:, j] * b[:, j])`
+    steps j = 0..dim-1, each one IEEE-754 double multiply + add per
+    pair in exactly the HOF's association order, vectorized over the
+    ~250k-pair batch axis where order does not matter. The denominator
+    multiplies before dividing, as the column expression does.
+
+    Input columns (select exactly these before calling — mapInArrow is
+    opaque to column pruning): vec_id long, ea/eb array<double> of one
+    common fixed dim, na/nb double. Output: vec_id long, sim double.
+
+    Why Arrow at all: the interpreted `aggregate(zip_with(...))` fold
+    was l12's warm floor (~5 s over 250k pairs x 64 dims) and the
+    unrolled-expression replacement measured 2x WORSE (r13); numpy does
+    the same 16M flops in milliseconds, and only (vec_id, sim) rides
+    back across the boundary."""
+    import numpy as np
+    import pyarrow as pa
+
+    def score(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ea, eb = rb.column("ea"), rb.column("eb")
+            fa = ea.combine_chunks() if hasattr(ea, "combine_chunks") \
+                else ea
+            fb = eb.combine_chunks() if hasattr(eb, "combine_chunks") \
+                else eb
+            va = fa.flatten().to_numpy(zero_copy_only=False)
+            vb = fb.flatten().to_numpy(zero_copy_only=False)
+            dim = va.shape[0] // n
+            a2 = va.reshape(n, dim)
+            b2 = vb.reshape(n, dim)
+            acc = np.zeros(n, dtype=np.float64)
+            for j in range(dim):
+                acc = acc + (a2[:, j] * b2[:, j])
+            na = rb.column("na").to_numpy(zero_copy_only=False)
+            nb = rb.column("nb").to_numpy(zero_copy_only=False)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = acc / (na * nb)
+            yield pa.RecordBatch.from_arrays(
+                [rb.column("vec_id"), pa.array(sim, pa.float64())],
+                ["vec_id", "sim"])
+
+    return pairs.mapInArrow(score, "vec_id long, sim double")
 
 
 # literal-side norms are constants: computed driver-side (identical
@@ -538,12 +585,20 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.3,
         .filter(F.col("rn") <= max_width)
         .drop("rn"))
     a, b = capped.alias("a"), capped.alias("b")
-    sim = _dot(F.col("a.e"), F.col("b.e")) / (
-        F.col("a.ne") * F.col("b.ne"))
-    dups = (a.join(b, (F.col("a.cid") == F.col("b.cid"))
-                   & (F.col("a.vec_id") > F.col("b.vec_id")))
-            .filter(sim >= threshold)
-            .select(F.col("a.vec_id").alias("vec_id"))
+    # pair scoring via the Arrow batch scorer (r14): the within-cluster
+    # join stays JVM-side; only the 5 needed columns cross the boundary
+    # and only (vec_id, sim) comes back — bit-exact fold, see
+    # _pair_sims_arrow.
+    pair_cols = (a.join(b, (F.col("a.cid") == F.col("b.cid"))
+                        & (F.col("a.vec_id") > F.col("b.vec_id")))
+                 .select(F.col("a.vec_id").alias("vec_id"),
+                         F.col("a.e").alias("ea"),
+                         F.col("b.e").alias("eb"),
+                         F.col("a.ne").alias("na"),
+                         F.col("b.ne").alias("nb")))
+    dups = (_pair_sims_arrow(pair_cols)
+            .filter(F.col("sim") >= threshold)
+            .select("vec_id")
             .distinct())
     kept = assigned.join(dups, "vec_id", "left_anti")
     return (assigned.groupBy("cid")
@@ -680,6 +735,12 @@ def semdedup_sweep(embeddings: DataFrame,
         .filter(F.col("rn") <= max_width)
         .drop("rn"))
 
+    # NOTE(r14): the Arrow pair scorer (used by semantic_dedup) was
+    # measured here too and LOST (interleaved A/B 2.70 vs 2.54 s): the
+    # max() aggregation runs map-side in the same stage as the join
+    # when the sim is a JVM expression, but an Arrow boundary between
+    # join and agg ships every pair's arrays to Python twice (capped +
+    # uncapped) before any reduction. Kept on the HOF fold.
     def max_sim_to_lower(src, out):
         a, b = src.alias("a"), src.alias("b")
         sim = _dot(F.col("a.e"), F.col("b.e")) / (
