@@ -2620,13 +2620,34 @@ def g5_kcore_peel(spark, sf_dir):
                          F.col("b").cast("string")))
     edges = pairs.filter(h % _G3_SAMPLE_MOD == 0)
     held = swap_held(spark, "g5")
+    # Lineage truncation (r14, the CC family's localCheckpoint device,
+    # guide §3.3 "materialise an intermediate to truncate the plan"):
+    # nxt_r's logical tree contains cur's THREE times (two join sides +
+    # the stats branch), so the unrolled peel's plan grew ~3x per round
+    # — explain("formatted") of the round-13 shape is 14 MB, and every
+    # AQE re-optimization re-walks it. Checkpointing the spine (cur)
+    # and each round's survivor edges caps the tree at one round's
+    # shape; the peel's physical work is unchanged (the frames were
+    # already persisted — a checkpoint is the same materialization
+    # minus the lineage).
     cur = (edges.select(F.col("a").alias("src"),
                         F.col("b").alias("dst"))
            .unionAll(edges.select(F.col("b").alias("src"),
                                   F.col("a").alias("dst")))
-           .persist())
-    held.append(cur)
-    stats = []
+           .localCheckpoint(eager=False))
+    # Per-round trajectory counts fused into ONE aggregation (r14,
+    # guide §2.4): the former shape — keep.agg(count) crossJoin
+    # broadcast(nxt.agg(count)) per round — scheduled 6 single-row
+    # aggregates plus 3 broadcast exchanges; tagging each persisted
+    # survivor frame with (round, node_w, edge_w) and summing by round
+    # is one partial-aggregated pass over the same InMemoryTableScans
+    # (no payload rows shuffle — map-side partial agg emits one row
+    # per task per round). The sentinel rows keep a fully-peeled
+    # round's (0, 0) row present, as the oracle's scalar subqueries do.
+    parts = [spark.range(1, _G5_ROUNDS + 1)
+             .select(F.col("id").alias("round"),
+                     F.lit(0).cast("long").alias("node_w"),
+                     F.lit(0).cast("long").alias("edge_w"))]
     for r in range(1, _G5_ROUNDS + 1):
         keep = (cur.groupBy("src")
                 .agg(F.count(F.lit(1)).alias("d"))
@@ -2636,17 +2657,24 @@ def g5_kcore_peel(spark, sf_dir):
         held.append(keep)
         nxt = (cur.join(keep.select(F.col("node").alias("src")), "src")
                .join(keep.select(F.col("node").alias("dst")), "dst")
-               .persist())
-        held.append(nxt)
-        stats.append(
-            keep.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
-            .crossJoin(F.broadcast(
-                nxt.agg((F.floor(F.count(F.lit(1)) / 2))
-                        .cast("bigint").alias("n_edges"))))
-            .select(F.lit(r).cast("bigint").alias("round"),
-                    "n_nodes", "n_edges"))
+               .localCheckpoint(eager=False))
+        parts.append(keep.select(
+            F.lit(r).cast("long").alias("round"),
+            F.lit(1).cast("long").alias("node_w"),
+            F.lit(0).cast("long").alias("edge_w")))
+        parts.append(nxt.select(
+            F.lit(r).cast("long").alias("round"),
+            F.lit(0).cast("long").alias("node_w"),
+            F.lit(1).cast("long").alias("edge_w")))
         cur = nxt
-    return reduce(lambda a, b: a.unionAll(b), stats).orderBy("round")
+    return (reduce(lambda a, b: a.unionAll(b), parts)
+            .groupBy("round")
+            .agg(F.sum("node_w").cast("bigint").alias("n_nodes"),
+                 F.floor(F.sum("edge_w") / 2)
+                 .cast("bigint").alias("n_edges"))
+            .select(F.col("round").cast("bigint").alias("round"),
+                    "n_nodes", "n_edges")
+            .orderBy("round"))
 
 
 # --------------------------------------------------------------------------
