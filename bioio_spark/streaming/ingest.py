@@ -16,6 +16,7 @@ the file-source checkpoint gives exactly-once file processing.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Iterator
 
 import numpy as np
@@ -25,9 +26,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 _BINARY_SCHEMA = ("path string, modificationTime timestamp, "
                   "length long, content binary")
-
-
-from contextlib import contextmanager  # noqa: E402
 
 
 @contextmanager
@@ -57,7 +55,15 @@ def bounded_stream_partitions(spark: SparkSession, default: int = 8):
     overridable via spark.bioio.stream.statePartitions. Measured on
     the s8 ingest fixture: 32 -> 8 state partitions cuts the
     3-trigger run 2.7x with identical output (state metrics are
-    partition-count-free totals)."""
+    partition-count-free totals).
+
+    Single-threaded by design: this mutates the session-global
+    spark.sql.shuffle.partitions for the duration of the stream run, so
+    a concurrent batch query on the same SparkSession would inherit the
+    reduced count, and nested/overlapping uses restore a stale value.
+    All call sites (s8/s9 query paths, the bench ingest twin) run their
+    streams sequentially on a dedicated session; keep it that way, or
+    scope the setting to the stream's own writer instead."""
     key = "spark.sql.shuffle.partitions"
     try:
         n = int(spark.conf.get("spark.bioio.stream.statePartitions",
