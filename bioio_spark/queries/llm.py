@@ -2500,17 +2500,20 @@ def g4b_lpa_convergence(spark, sf_dir):
                          F.col("b").cast("string")))
     edges = pairs.filter(h % _G3_SAMPLE_MOD == 0)
     held = swap_held(spark, "g4b")
+    # r14 (the g5 peel's two devices): the edge spine is
+    # localCheckpoint-ed so the LSH pair-generation subtree appears in
+    # NO round's plan, and the per-round diff aggregates are fused into
+    # one tagged union + groupBy(round) pass (map-side partial agg)
+    # instead of three one-row aggregates union-ed at the top.
     und = (edges.select(F.col("a").alias("src"),
                         F.col("b").alias("dst"))
            .unionAll(edges.select(F.col("b").alias("src"),
                                   F.col("a").alias("dst")))
-           .persist())
-    held.append(und)
+           .localCheckpoint(eager=False))
     # every round's label frame is consumed TWICE (next round's input +
     # its own diff count), so each is persisted — without this the
     # round-3 diff would recompute the whole round-1/2 chain
-    labels = (edges.select(F.col("a").alias("v"))
-              .union(edges.select(F.col("b").alias("v")))
+    labels = (und.select(F.col("src").alias("v"))
               .distinct()
               .select(F.col("v").alias("node"), F.col("v").alias("lab"))
               .persist())
@@ -2532,13 +2535,15 @@ def g4b_lpa_convergence(spark, sf_dir):
             new.join(labels.select("node",
                                    F.col("lab").alias("prev_lab")),
                      "node")
-            .agg(F.sum((F.col("lab") != F.col("prev_lab"))
-                       .cast("int")).cast("bigint").alias("n_changed"),
-                 F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
             .select(F.lit(r).cast("bigint").alias("round"),
-                    "n_changed", "n_nodes"))
+                    (F.col("lab") != F.col("prev_lab"))
+                    .cast("int").alias("chg")))
         labels = new
-    return reduce(lambda a, b: a.unionAll(b), diffs).orderBy("round")
+    return (reduce(lambda a, b: a.unionAll(b), diffs)
+            .groupBy("round")
+            .agg(F.sum("chg").cast("bigint").alias("n_changed"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+            .orderBy("round"))
 
 
 # --------------------------------------------------------------------------
