@@ -71,3 +71,33 @@ def test_bench_local_schema_has_env_block():
                 "recheck", "recheck_ratio"):
         assert key in env
     assert isinstance(env["host_busy"], bool)
+
+
+def test_reset_session_memos_releases_trained_state(spark):
+    """r14 (verdict #6): between timed passes the bench releases the
+    session-lifetime trained-state memos, so min-of-3 never times a
+    query against the previous pass's training. Pin: a populated
+    IVF/BPE cache is emptied (persisted frames unpersisted) and the
+    next lookup recomputes instead of reusing the old object."""
+    from pyspark.sql import functions as F
+
+    from bioio_spark.functions import bpe as bpe_mod
+
+    marker = spark.range(2).select(F.col("id")).persist()
+    spark.__dict__["_bioio_ivf_cache"] = {
+        ("k", 8, 4): {"0": [0.0]},            # plain trained dict
+        ("assigned", "k", 8, 4): marker,      # persisted frame
+    }
+    bpe_frame = spark.range(3).persist()
+    bpe_frame.count()
+    cache = bpe_mod._session_cache(spark)
+    cache[("corpus", 16)] = (bpe_frame, [(1, "a b", "ab", 2)],
+                             [bpe_frame])
+
+    bench._reset_session_memos(spark)
+
+    assert "_bioio_ivf_cache" not in spark.__dict__
+    assert ("corpus", 16) not in bpe_mod._session_cache(spark)
+    # the persisted frames were actually released
+    assert marker.storageLevel.useMemory is False
+    assert bpe_frame.storageLevel.useMemory is False
