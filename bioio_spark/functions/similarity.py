@@ -144,9 +144,37 @@ def _pair_sims_arrow(pairs: "DataFrame") -> "DataFrame":
     was l12's warm floor (~5 s over 250k pairs x 64 dims) and the
     unrolled-expression replacement measured 2x WORSE (r13); numpy does
     the same 16M flops in milliseconds, and only (vec_id, sim) rides
-    back across the boundary."""
+    back across the boundary.
+
+    Degenerate inputs mirror the DUCKDB ORACLE (pinned by
+    tests/test_embedding_dedup.py::
+    test_pair_sims_arrow_degenerates_match_oracle): a ZERO denominator
+    yields NULL — DuckDB double division by zero is NULL; raw IEEE NaN
+    would pass Spark's NaN-is-largest `sim >= t` filter and wrongly
+    drop zero-norm vectors, and the in-stage JVM division this
+    replaced would RAISE DIVIDE_BY_ZERO under ANSI Spark 4 — and any
+    null/ragged embedding pair yields NULL (zip_with null-pads,
+    nulling the fold). Batches with nulls or ragged lists take a
+    per-row fallback; the fixture-shaped fast path is pure vector
+    code."""
     import numpy as np
     import pyarrow as pa
+
+    def _fallback(rows_a, rows_b, na_l, nb_l):
+        sims = []
+        for va_, vb_, na_, nb_ in zip(rows_a, rows_b, na_l, nb_l):
+            if va_ is None or vb_ is None or na_ is None \
+                    or nb_ is None or len(va_) != len(vb_) \
+                    or any(x is None for x in va_) \
+                    or any(y is None for y in vb_):
+                sims.append(None)
+                continue
+            acc = 0.0
+            for x, y in zip(va_, vb_):
+                acc = acc + (x * y)
+            den = na_ * nb_
+            sims.append(None if den == 0.0 else acc / den)
+        return sims
 
     def score(batches):
         for rb in batches:
@@ -158,21 +186,38 @@ def _pair_sims_arrow(pairs: "DataFrame") -> "DataFrame":
                 else ea
             fb = eb.combine_chunks() if hasattr(eb, "combine_chunks") \
                 else eb
-            va = fa.flatten().to_numpy(zero_copy_only=False)
-            vb = fb.flatten().to_numpy(zero_copy_only=False)
-            dim = va.shape[0] // n
-            a2 = va.reshape(n, dim)
-            b2 = vb.reshape(n, dim)
-            acc = np.zeros(n, dtype=np.float64)
-            for j in range(dim):
-                acc = acc + (a2[:, j] * b2[:, j])
-            na = rb.column("na").to_numpy(zero_copy_only=False)
-            nb = rb.column("nb").to_numpy(zero_copy_only=False)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sim = acc / (na * nb)
+            na_col, nb_col = rb.column("na"), rb.column("nb")
+            lens_a = np.diff(fa.offsets.to_numpy())
+            lens_b = np.diff(fb.offsets.to_numpy())
+            clean = (fa.null_count == 0 and fb.null_count == 0
+                     and na_col.null_count == 0
+                     and nb_col.null_count == 0
+                     and fa.flatten().null_count == 0
+                     and fb.flatten().null_count == 0
+                     and lens_a.size and lens_a.min() == lens_a.max()
+                     and np.array_equal(lens_a, lens_b))
+            if clean:
+                va = fa.flatten().to_numpy(zero_copy_only=False)
+                vb = fb.flatten().to_numpy(zero_copy_only=False)
+                dim = va.shape[0] // n
+                a2 = va.reshape(n, dim)
+                b2 = vb.reshape(n, dim)
+                acc = np.zeros(n, dtype=np.float64)
+                for j in range(dim):
+                    acc = acc + (a2[:, j] * b2[:, j])
+                na = na_col.to_numpy(zero_copy_only=False)
+                nb = nb_col.to_numpy(zero_copy_only=False)
+                den = na * nb
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sim = acc / den
+                out = pa.array(sim, pa.float64(), mask=(den == 0.0))
+            else:
+                out = pa.array(
+                    _fallback(fa.to_pylist(), fb.to_pylist(),
+                              na_col.to_pylist(), nb_col.to_pylist()),
+                    pa.float64())
             yield pa.RecordBatch.from_arrays(
-                [rb.column("vec_id"), pa.array(sim, pa.float64())],
-                ["vec_id", "sim"])
+                [rb.column("vec_id"), out], ["vec_id", "sim"])
 
     return pairs.mapInArrow(score, "vec_id long, sim double")
 

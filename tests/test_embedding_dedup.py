@@ -552,3 +552,56 @@ def test_literal_free_training_matches_literal_path_exactly(spark):
             float(r[f"p{i}"]) / float(r["cnt"]) / _KMEANS_SCALE
             for i in range(subdim)]
     assert _train_pq(emb, m_sub, ks, mod, cache_key=None) == lit_pq
+
+def test_pair_sims_arrow_degenerates_match_oracle(spark):
+    """r14: the Arrow pair scorer's degenerate-input semantics mirror
+    the DuckDB oracle, which l12's dedup decision is graded against:
+    a zero denominator yields NULL (DuckDB double division by zero is
+    NULL; NaN would pass Spark's NaN-is-largest `sim >= t` filter and
+    wrongly drop zero-norm vectors — and the old in-stage HOF division
+    would RAISE under ANSI Spark 4), and null/ragged embedding pairs
+    yield NULL (zip_with null-pads, nulling the fold). Normal rows are
+    bit-identical to the strict left-fold dot over IEEE doubles."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from bioio_spark.functions.similarity import (_dot,
+                                                  _pair_sims_arrow)
+
+    rows = [
+        (1, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),        # normal
+        (2, [0.25, -0.5, 0.125], [1.0, 3.0, -2.0]),   # normal
+        (3, [0.0, 0.0, 0.0], [1.0, 2.0, 3.0]),        # zero norm a
+        (4, [1.0, 2.0, 3.0], [0.0, 0.0, 0.0]),        # zero norm b
+        (5, None, [1.0, 2.0, 3.0]),                   # null embedding
+        (6, [1.0, 2.0], [1.0, 2.0, 3.0]),             # ragged pair
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, ea array<double>, eb array<double>")
+
+    def norm(c):
+        return F.sqrt(_dot(F.col(c), F.col(c)))
+
+    pairs = df.select("vec_id", "ea", "eb",
+                      norm("ea").alias("na"), norm("eb").alias("nb"))
+    got = {r["vec_id"]: r["sim"]
+           for r in _pair_sims_arrow(pairs).collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+
+    def fold_sim(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x * y)
+        na = sum(v * v for v in a) ** 0.5
+        nb = sum(v * v for v in b) ** 0.5
+        return acc / (na * nb)
+
+    for k, a, b in [(1, rows[0][1], rows[0][2]),
+                    (2, rows[1][1], rows[1][2])]:
+        assert struct.pack("<d", got[k]) == \
+            struct.pack("<d", fold_sim(a, b)), k
+    # degenerate rows: NULL, like the oracle — a `sim >= threshold`
+    # dedup filter drops the pair and the vectors stay
+    for k in (3, 4, 5, 6):
+        assert got[k] is None, (k, got[k])
