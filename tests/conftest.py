@@ -33,6 +33,11 @@ def pytest_configure(config):
 def pytest_collection_modifyitems(config, items):
     if os.environ.get("SPARK_GRAFT_FULL_TESTS"):
         return
+    # explicit node ids (pytest file.py::test_name) mean the developer
+    # wants exactly those tests — don't let the default -m filter
+    # silently deselect a named slow test into a green-looking no-op
+    if any("::" in str(a) for a in config.invocation_params.args):
+        return
     slow = _slow_ids()
     if not slow:
         return
