@@ -2539,10 +2539,19 @@ def g4b_lpa_convergence(spark, sf_dir):
                     (F.col("lab") != F.col("prev_lab"))
                     .cast("int").alias("chg")))
         labels = new
-    return (reduce(lambda a, b: a.unionAll(b), diffs)
-            .groupBy("round")
-            .agg(F.sum("chg").cast("bigint").alias("n_changed"),
-                 F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    # left-join against the static rounds frame so a round whose diff
+    # join is empty (fully degenerate graph) still emits its row with
+    # the oracle's empty-aggregate values: n_changed NULL, n_nodes 0.
+    rounds = spark.range(1, _G4_ROUNDS + 1).select(
+        F.col("id").cast("bigint").alias("round"))
+    agg = (reduce(lambda a, b: a.unionAll(b), diffs)
+           .groupBy("round")
+           .agg(F.sum("chg").cast("bigint").alias("n_changed"),
+                F.count(F.lit(1)).cast("bigint").alias("n_nodes")))
+    return (rounds.join(agg, "round", "left")
+            .select("round", "n_changed",
+                    F.coalesce("n_nodes", F.lit(0)).cast("bigint")
+                    .alias("n_nodes"))
             .orderBy("round"))
 
 
